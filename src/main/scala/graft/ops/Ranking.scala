@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Player-ranking operator family.
+  *
+  * Re-expresses the reference's per-player career-stats → weighted-score →
+  * global-rank pipeline (`/root/reference/spark_apps/advanced_analytics.py:105-135`:
+  * A1 groupBy+count/avg/sum, A5 weighted polynomial, W1 `row_number` over global
+  * order, F2 `rank <= k` gate) as composable `DataFrame => DataFrame` stages.
+  *
+  * Scale notes (100 TB):
+  *  - The groupBy is a hash aggregation; Catalyst plans partial (map-side)
+  *    + final aggregation, so the shuffle carries one row per key per mapper,
+  *    not the raw facts.
+  *  - The reference's bare `Window.orderBy(desc)` (W1) funnels every row into a
+  *    single partition. That is only safe because we apply it AFTER the
+  *    aggregation (cardinality = #keys) and only when the rank value itself is
+  *    needed; for pure top-k use [[topK]] which is `TakeOrderedAndProject` —
+  *    per-partition heaps + a k-row merge at the driver, no global sort.
+  */
+object Ranking {
+
+  /** A1: per-key career stats. `count(*)`, avg of metric cols, sum of flag cols.
+    * Mirrors `advanced_analytics.py:105-118` (player career aggregation).
+    */
+  def careerStats(
+      df: DataFrame,
+      keys: Seq[String],
+      avgCols: Seq[String],
+      sumCols: Seq[String],
+      countName: String = "total_matches"): DataFrame = {
+    val aggs =
+      (count(lit(1)).as(countName) +:
+        (avgCols.map(c => avg(col(c)).as(s"avg_$c")) ++
+          sumCols.map(c => sum(col(c)).as(s"sum_$c"))))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A5: weighted ranking polynomial over aggregated stats — constant-folded by
+    * Catalyst. Mirrors `advanced_analytics.py:121-129`. `weights` maps an input
+    * column to its coefficient.
+    */
+  def weightedScore(df: DataFrame, weights: Map[String, Double], as: String = "ranking_score"): DataFrame = {
+    val score = weights.toSeq.sortBy(_._1)
+      .map { case (c, w) => col(c) * lit(w) }
+      .reduce(_ + _)
+    df.withColumn(as, score)
+  }
+
+  /** W1+F2: global rank with deterministic tie-break, gated at `rank <= k`.
+    * Keeps the rank column (the reference surfaces it in the alert payload);
+    * the global `Window.orderBy` is applied post-aggregation so the single
+    * partition holds #keys rows, not #facts. Use [[topK]] when the rank value
+    * is not needed.
+    */
+  def rankTopK(df: DataFrame, scoreCol: String, tieBreak: String, k: Int): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(tieBreak).asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** O2: pure top-k — `orderBy().limit(k)` compiles to TakeOrderedAndProject
+    * (no global shuffle; per-partition top-k then driver merge). Preferred at
+    * scale when rank values beyond ordering are unused (SURVEY §7.4).
+    */
+  def topK(df: DataFrame, scoreCol: String, tieBreak: String, k: Int): DataFrame =
+    df.orderBy(col(scoreCol).desc, col(tieBreak).asc).limit(k)
+}
