@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine exact arithmetic helpers.
+  *
+  * The driver's correctness gate hash-compares Spark output against DuckDB.
+  * Float aggregates are NOT portable: accumulation order differs, and even
+  * `round(x, k)` diverges (Spark rounds `BigDecimal.valueOf(toString)`
+  * HALF_UP; DuckDB rounds the binary value). The portable recipe:
+  *
+  *  1. convert 2-decimal metric doubles to exact integer cents
+  *     (`round(x*100) → long` — inputs are exactly 2-decimal, so the
+  *     product is within 1e-9 of an integer and never near a .5 boundary);
+  *  2. aggregate the integers (exact in both engines);
+  *  3. derive the floating result with an IDENTICAL double-op sequence on
+  *     both sides (IEEE ops on equal inputs are bit-equal).
+  */
+object Exact {
+  /** Exact integer cents of a 2-decimal double column. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** `sumCents / n / 100.0` — the canonical exact average. The oracle SQL
+    * must spell the same sequence: `CAST(s AS DOUBLE) / n / 100.0`. */
+  def avgFromCents(sumCents: Column, n: Column): Column =
+    sumCents.cast("double") / n / lit(100.0)
+
+  /** Sample standard deviation (in cents space) from exact integer sums:
+    * `sqrt((ss - s*s/n) / (n-1))`, all in doubles. `ss` must be aggregated
+    * exactly (DECIMAL(38,0) in Spark / HUGEINT in DuckDB when cents² sums
+    * can exceed int64). */
+  def stddevFromSums(s: Column, ss: Column, n: Column): Column =
+    sqrt((ss.cast("double") - s.cast("double") * s.cast("double") / n) / (n - lit(1)))
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-bucketed and dimensional rollups.
+  *
+  * A3 hourly rollup (`/root/reference/spark_apps/advanced_analytics.py:236-248`
+  * — the reference buckets by `date_format(ts, "yyyy-MM-dd HH")` string
+  * truncation, P12), A4 map-difficulty (`:254-263`), A6/§2.8 the Grafana
+  * read-side tumbling-window aggregates, O4 time-ordered limit.
+  *
+  * Scale notes:
+  *  - rollups are partial+final hash aggregations; the shuffle carries one
+  *    row per (bucket, dims) per mapper.
+  *  - `countDistinct` is exact as the reference's is
+  *    (`advanced_analytics.py:241`); it adds an Expand + second aggregation.
+  *    At 100 TB prefer `approx_count_distinct` (HLL) unless exactness is
+  *    contractual.
+  *  - O4 `orderBy().limit(k)` plans as TakeOrderedAndProject: per-partition
+  *    heaps, k-row merge at the driver — no global sort shuffle.
+  */
+object Rollups {
+
+  /** A3/P12: reference-shaped hourly rollup keyed by a string hour bucket
+    * plus dimension columns. Metric averages derive from exact cents sums. */
+  def hourlyRollup(df: DataFrame, ts: Column, dims: Seq[Column], userId: Column,
+      valueCents: Column): DataFrame =
+    df.withColumn("hour", date_format(ts, "yyyy-MM-dd HH"))
+      .groupBy(col("hour") +: dims: _*)
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(userId).as("unique_users"),
+        sum(valueCents).as("sum_cents"))
+      .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("total_events")))
+      .drop("sum_cents")
+
+  /** A6/§2.8: tumbling event-time window aggregate (the engine-native form
+    * the reference approximates with string truncation). `last` semantics
+    * are made deterministic via `max_by` on a unique sequence column. */
+  def windowAgg(df: DataFrame, ts: Column, width: String, dims: Seq[Column],
+      valueCol: Column, valueCents: Column, seqCol: Column): DataFrame =
+    df.groupBy(window(ts, width) +: dims: _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(valueCents).as("sum_cents"),
+        max_by(valueCol, seqCol).as("last_value"))
+      .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("n_events")))
+      .select(col("window.start").as("window_start") +: dims :+
+        col("n_events") :+ col("avg_value") :+ col("last_value"): _*)
+
+  /** A4+O1: inverse-average difficulty score per dimension, ordered. */
+  def difficulty(df: DataFrame, dim: Column, qtyCents: Column, priceCents: Column): DataFrame =
+    df.groupBy(dim)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qtyCents).as("sq"),
+        sum(priceCents).as("sp"))
+      .withColumn("avg_qty", Exact.avgFromCents(col("sq"), col("n")))
+      .withColumn("avg_price", Exact.avgFromCents(col("sp"), col("n")))
+      .withColumn("difficulty_score",
+        lit(100.0) / (col("avg_qty") + lit(1.0)) / (col("avg_price") / lit(1000.0) + lit(1.0)))
+      .drop("sq", "sp")
+      .orderBy(col("difficulty_score").desc)
+}

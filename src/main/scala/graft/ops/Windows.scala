@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Moving-average / sequence window operators.
+  *
+  * Re-expresses the reference's per-player trend analysis
+  * (`/root/reference/spark_apps/advanced_analytics.py:141-161`): W2 a
+  * 5-row moving average `Window.partitionBy(player).orderBy(time)
+  * .rowsBetween(-4, 0)`, W3 a per-player `row_number` sequence, F3 the
+  * `game_number >= 5` warm-up gate, F4 the disjunctive trend threshold.
+  *
+  * Divergence from the reference (SURVEY §7.4): it orders by
+  * `processed_at = current_timestamp()`, which ties within a micro-batch
+  * and makes the frame nondeterministic. We order by event time with a
+  * unique-key tie-break.
+  *
+  * Scale: one shuffle on the partition key; frames are bounded (5 rows)
+  * so state is O(frame) per key in the sort-based window exec. Skewed
+  * keys would dominate a partition — at 100 TB, salting the key and
+  * re-merging would apply, but per-player cardinality here is naturally
+  * bounded by the frame semantics.
+  */
+object Windows {
+
+  /** W2+W3: appends `seq` (1-based per-key sequence) and, for each metric
+    * cents column, an exact moving sum + frame count from which callers
+    * derive the moving average with [[Exact.avgFromCents]].
+    */
+  def movingFrame(
+      df: DataFrame,
+      key: Column,
+      order: Seq[Column],
+      centsCols: Seq[String],
+      lookback: Int = 4): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val frame = w.rowsBetween(-lookback, 0)
+    val withSeq = df.withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("frame_n", count(lit(1)).over(frame))
+    centsCols.foldLeft(withSeq) { (d, c) =>
+      d.withColumn(s"mov_sum_$c", sum(col(c)).over(frame))
+    }
+  }
+}

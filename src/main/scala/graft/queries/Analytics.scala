@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+
+/** Reference analytics surface: moving-average trends (W2/W3/F3/F4),
+  * z-score anomalies (A2/F5), rollups (A3/A4/A6), KDA + severity +
+  * alert-summary scalar logic (X1/X2/X4), dedup (O3), sort/limit (O4),
+  * JSON/array scalars (P2/P12/P14/X6).
+  */
+object Analytics extends QueryModule {
+
+  /** events + exact value cents + `k` extracted from the JSON props (P2). */
+  private def eventsEnriched(t: Tables): DataFrame =
+    t.events
+      .withColumn("value_cents", Exact.cents(col("value")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+
+  /** X2-shaped alert frame over events: kills from JSON, damage/zscore
+    * analogues from `value`, severity CASE. */
+  private def alerts(t: Tables): DataFrame =
+    eventsEnriched(t)
+      .select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("k").as("kills"),
+        (col("value") * lit(10.0)).as("damage"),
+        ((col("value") - lit(100.0)) / lit(50.0)).as("z"))
+      .withColumn("severity",
+        Anomaly.severity(col("kills"), col("damage"), Seq(col("z"))))
+
+  private val alertsSql =
+    """SELECT event_id, ts, user_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS kills,
+      |       value * 10.0 AS damage,
+      |       (value - 100.0) / 50.0 AS z,
+      |       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 20
+      |                 OR value * 10.0 >= 4000 OR abs((value - 100.0) / 50.0) >= 4.0 THEN 'HIGH'
+      |            WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 15
+      |                 OR value * 10.0 >= 2500 OR abs((value - 100.0) / 50.0) >= 3.0 THEN 'MEDIUM'
+      |            ELSE 'LOW' END AS severity
+      |FROM events""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W2+W3: 5-row moving average per user ordered by event time.
+    "q05_moving_avg" -> ((s, dir) => {
+      val framed = Windows.movingFrame(eventsEnriched(Tables(s, dir)),
+        col("user_id"), Seq(col("ts"), col("event_id")), Seq("value_cents"))
+      framed.select(
+        col("event_id"), col("user_id"), col("value"),
+        col("seq").as("game_number"),
+        Exact.avgFromCents(col("mov_sum_value_cents"), col("frame_n")).as("moving_avg"))
+    }),
+
+    // W2+W3+F3+F4: trend deltas vs moving average, warm-up + threshold gates.
+    "q06_trend_alerts" -> ((s, dir) => {
+      val framed = Windows.movingFrame(eventsEnriched(Tables(s, dir)),
+        col("user_id"), Seq(col("ts"), col("event_id")), Seq("value_cents", "k"))
+      framed
+        .withColumn("k_trend",
+          col("k") - col("mov_sum_k").cast("double") / col("frame_n"))
+        .withColumn("value_trend",
+          col("value") - Exact.avgFromCents(col("mov_sum_value_cents"), col("frame_n")))
+        .filter(col("seq") >= 5 &&
+          (abs(col("k_trend")) > 20 || abs(col("value_trend")) > 50))
+        .select(col("event_id"), col("user_id"), col("seq").as("game_number"),
+          col("k"), col("value"), col("k_trend"), col("value_trend"))
+    }),
+
+    // A2+F5: global-stats z-score anomalies via broadcast stats join
+    // (no collect() driver round-trip — SURVEY §4.3). Threshold 1.6, not the
+    // reference's 2.5: the uniform testdata has max |z| = sqrt(3) ≈ 1.73, so
+    // 2.5 can never fire; the operator takes the threshold as a parameter.
+    "q07_zscore_anomaly" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .withColumn("price_cents", Exact.cents(col("l_extendedprice")))
+      Anomaly.zscoreFilter(li, "price_cents", 1.6)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("zscore"))
+    }),
+
+    // A3+P12: hourly rollup by string hour bucket (reference form).
+    "q08_hourly_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Rollups.hourlyRollup(t.events, col("ts"), Seq(col("event_type")),
+        col("user_id"), Exact.cents(col("value")))
+    }),
+
+    // A4+O1: inverse-average difficulty score, ordered.
+    "q09_map_difficulty" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Rollups.difficulty(t.lineitem, col("l_returnflag"),
+        Exact.cents(col("l_quantity")), Exact.cents(col("l_extendedprice")))
+    }),
+
+    // X1+P7: KDA with div-by-zero guard.
+    "q10_kda" -> ((s, dir) => {
+      eventsEnriched(Tables(s, dir)).select(
+        col("event_id"), col("user_id"),
+        col("k").as("kills"),
+        (col("event_id") % 5).as("assists"),
+        when(col("event_type") =!= "error", 1).otherwise(0).as("deaths"))
+        .withColumn("kda", Anomaly.kda(col("kills"), col("assists"), col("deaths")))
+    }),
+
+    // X2: severity classification CASE chain.
+    "q11_severity" -> ((s, dir) => alerts(Tables(s, dir))),
+
+    // O3 (batch form): exact dedup on a key subset.
+    "q12_dedup_exact" -> ((s, dir) =>
+      Tables(s, dir).events.select(col("user_id"), col("event_type")).distinct()),
+
+    // A6/§2.8: tumbling 1-hour event-time window with deterministic last.
+    "q13_window_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Rollups.windowAgg(t.events, col("ts"), "1 hour", Seq(col("event_type")),
+        col("value"), Exact.cents(col("value")), col("event_id"))
+    }),
+
+    // O4: time-ordered limit (TakeOrderedAndProject — no global sort).
+    "q14_sort_limit" -> ((s, dir) =>
+      Tables(s, dir).events.orderBy(col("ts").desc, col("event_id").desc).limit(10)),
+
+    // A2 standalone: exact global mean/stddev (single-row frame).
+    "q15_global_stats" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.withColumn("c", Exact.cents(col("value")))
+      Anomaly.globalStats(ev, "c").select(
+        col("n"),
+        Exact.avgFromCents(col("s"), col("n")).as("mean_value"),
+        (Exact.stddevFromSums(col("s"), col("ss"), col("n")) / lit(100.0)).as("sd_value"))
+    }),
+
+    // P2+X6: JSON field extraction + unit conversion.
+    "q16_json_extract" -> ((s, dir) =>
+      Tables(s, dir).events.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        (col("value") / lit(60.0)).as("duration_min"))),
+
+    // P14: array size + element access over the embeddings table.
+    "q17_array_ops" -> ((s, dir) =>
+      Tables(s, dir).embeddings.select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"))),
+
+    // X4: hourly alert summary counters by severity.
+    "q18_alert_summary" -> ((s, dir) => {
+      alerts(Tables(s, dir))
+        .withColumn("hour", date_format(col("ts"), "yyyy-MM-dd HH"))
+        .groupBy(col("hour"))
+        .agg(
+          count(lit(1)).as("total_alerts"),
+          sum(when(col("severity") === "HIGH", 1).otherwise(0)).as("high_alerts"),
+          sum(when(col("severity") === "MEDIUM", 1).otherwise(0)).as("medium_alerts"),
+          max(col("ts")).as("last_alert_ts"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q05_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        |       CAST(row_number() OVER w AS BIGINT) AS game_number,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER f AS DOUBLE)
+        |         / (count(*) OVER f) / 100.0 AS moving_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q06_trend_alerts" ->
+      """WITH base AS (
+        |  SELECT *, CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |), framed AS (
+        |  SELECT event_id, user_id, k, value,
+        |         CAST(row_number() OVER w AS BIGINT) AS game_number,
+        |         count(*) OVER f AS frame_n,
+        |         sum(value_cents) OVER f AS sv,
+        |         sum(k) OVER f AS sk
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, game_number, k, value,
+        |       k - (CAST(sk AS DOUBLE) / frame_n) AS k_trend,
+        |       value - (CAST(sv AS DOUBLE) / frame_n / 100.0) AS value_trend
+        |FROM framed
+        |WHERE game_number >= 5
+        |  AND (abs(k - (CAST(sk AS DOUBLE) / frame_n)) > 20
+        |       OR abs(value - (CAST(sv AS DOUBLE) / frame_n / 100.0)) > 50)""".stripMargin,
+
+    "q07_zscore_anomaly" ->
+      """WITH c AS (
+        |  SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+        |), s AS (
+        |  SELECT count(*) AS n, sum(cents) AS s,
+        |         sum(CAST(cents AS HUGEINT) * cents) AS ss
+        |  FROM c
+        |), z AS (
+        |  SELECT c.*,
+        |         (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |           / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS zscore
+        |  FROM c CROSS JOIN s
+        |)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, zscore
+        |FROM z WHERE abs(zscore) > 1.6""".stripMargin,
+
+    "q08_hourly_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |       count(*) AS total_events,
+        |       count(DISTINCT user_id) AS unique_users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q09_map_difficulty" ->
+      """SELECT l_returnflag, n, avg_qty, avg_price,
+        |       100.0 / (avg_qty + 1.0) / (avg_price / 1000.0 + 1.0) AS difficulty_score
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_qty,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_price
+        |  FROM lineitem GROUP BY l_returnflag
+        |)""".stripMargin,
+
+    "q10_kda" ->
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS kills,
+        |       event_id % 5 AS assists,
+        |       CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS deaths,
+        |       (CAST(json_extract_string(props, '$.k') AS BIGINT) + event_id % 5)
+        |         / greatest(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END, 1) AS kda
+        |FROM events""".stripMargin,
+
+    "q11_severity" -> alertsSql,
+
+    "q12_dedup_exact" -> "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q13_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_value,
+        |       max_by(value, event_id) AS last_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_sort_limit" ->
+      "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",
+
+    "q15_global_stats" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean_value,
+        |       sqrt((CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |             - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / count(*))
+        |            / (count(*) - 1)) / 100.0 AS sd_value
+        |FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       value / 60.0 AS duration_min
+        |FROM events""".stripMargin,
+
+    "q17_array_ops" ->
+      """SELECT vec_id, label,
+        |       CAST(len(embedding) AS INTEGER) AS dim,
+        |       embedding[1] AS first_elem
+        |FROM embeddings""".stripMargin,
+
+    "q18_alert_summary" ->
+      s"""WITH alerts AS ($alertsSql)
+        |SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+        |       count(*) AS total_alerts,
+        |       CAST(sum(CASE WHEN severity = 'HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_alerts,
+        |       CAST(sum(CASE WHEN severity = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_alerts,
+        |       max(ts) AS last_alert_ts
+        |FROM alerts GROUP BY 1""".stripMargin,
+  )
+}
