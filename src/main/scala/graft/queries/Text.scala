@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.NearDup
+import graft.text.TextAnalysis
+
+/** Training-data text pipeline: token/char statistics, quality scoring,
+  * language ID, fingerprinting, exact dedup, blocked token-set Jaccard.
+  * All operators over the `documents` table; every query oracle-checked.
+  */
+object Text extends QueryModule {
+
+  /** Shared DuckDB tokenization fragment (mirrors TextAnalysis.tokens). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + char stats (whitespace/regex tokenizer).
+    "q19_text_stats" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        TextAnalysis.avgTokenLen(toks).as("avg_token_len"))
+    }),
+
+    // Quality scoring: length/stopword/punctuation components.
+    "q20_quality_score" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val stopRatio = TextAnalysis.stopwordHits(toks, TextAnalysis.stopEn)
+        .cast("double") / greatest(size(toks), lit(1))
+      val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+      val punct = TextAnalysis.punctRatio(col("text"))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        stopRatio.as("stop_ratio"),
+        punct.as("punct_ratio"),
+        lenScore.as("len_score"),
+        (lenScore * lit(0.6) + (lit(1.0) - stopRatio) * lit(0.3) +
+          (lit(1.0) - punct) * lit(0.1)).as("quality"))
+    }),
+
+    // Language ID: stopword-hit argmax heuristic.
+    "q21_lang_id" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.stopwordHits(toks, TextAnalysis.stopEn).as("en_hits"),
+        TextAnalysis.stopwordHits(toks, TextAnalysis.stopEs).as("es_hits"),
+        TextAnalysis.langId(toks).as("predicted_lang"))
+    }),
+
+    // Whitespace-normalized md5 document fingerprint.
+    "q22_fingerprint" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Exact dedup: hash-groupBy over content fingerprint. Duplicates are
+    // injected (10% resample) since the corpus has none — the query must
+    // collapse them back to one group per distinct text.
+    "q23_dedup_docs" -> ((s, dir) => {
+      val base = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val withDupes = base.unionAll(base.filter(col("doc_id") % 10 === 0))
+      withDupes
+        .withColumn("fp", md5(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Blocked token-set Jaccard near-dup pairs (the LSH verify stage,
+    // standalone): one shuffle keyed by (token, block), no cross join.
+    "q24_token_jaccard" -> ((s, dir) =>
+      NearDup.tokenJaccardPairs(Tables(s, dir).documents,
+        "doc_id", "text", "source", minJaccard = 0.9)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q19_text_stats" ->
+      s"""SELECT doc_id,
+        |       CAST(length(text) AS INTEGER) AS len_chars,
+        |       CAST(len(toks) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |       CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+        |         / greatest(len(toks), 1) AS avg_token_len
+        |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)""".stripMargin,
+
+    "q20_quality_score" ->
+      s"""SELECT doc_id,
+        |       stop_ratio, punct_ratio, len_score,
+        |       len_score * 0.6 + (1.0 - stop_ratio) * 0.3 + (1.0 - punct_ratio) * 0.1 AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+        |           / greatest(len(toks), 1) AS stop_ratio,
+        |         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+        |           / greatest(length(text), 1) AS punct_ratio,
+        |         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score
+        |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+        |)""".stripMargin,
+
+    "q21_lang_id" ->
+      s"""SELECT doc_id,
+        |       CAST(en AS INTEGER) AS en_hits,
+        |       CAST(es AS INTEGER) AS es_hits,
+        |       CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |            WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |            WHEN de >= fr AND de > 0 THEN 'de'
+        |            WHEN fr > 0 THEN 'fr'
+        |            ELSE 'und' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id,
+        |         len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS en,
+        |         len(list_filter(toks, t -> t IN ('el','la','de','y','que','los','en','un'))) AS es,
+        |         len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
+        |         len(list_filter(toks, t -> t IN ('le','les','des','et','est','une','dans','pour'))) AS fr
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |)""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q23_dedup_docs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM all_docs GROUP BY 1""".stripMargin,
+
+    "q24_token_jaccard" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, source, unnest(list_distinct($toksSql)) AS token
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tok a JOIN tok b
+        |    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, inter,
+        |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline extensions:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * All built from codegen'd `functions._` higher-order expressions — no
+  * UDFs, so whole-stage codegen spans the scan → project pipeline and the
+  * operators run at parquet-scan speed at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Lowercase alnum tokens; empty strings (leading separators) dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace-ish token count (BPE-ish regex split). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Exact average token length: integer sum of lengths / count, derived
+    * in doubles (cross-engine exact — see graft.ops.Exact). */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1))
+
+  /** Ratio of non-alnum, non-space chars (punctuation density). The DuckDB
+    * oracle needs the 'g' flag — Spark's regexp_replace is global by default. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Per-language stopword hit count over a token array. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  val stopEs = Seq("el", "la", "de", "y", "que", "los", "en", "un")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+  val stopFr = Seq("le", "les", "des", "et", "est", "une", "dans", "pour")
+
+  /** N-gram-free heuristic language ID: stopword-hit argmax with a fixed
+    * priority tie-break (en > es > de > fr), `und` (unknown) when no set
+    * hits. Deterministic, expressible identically in the DuckDB oracle. */
+  def langId(toks: Column): Column = {
+    val en = stopwordHits(toks, stopEn)
+    val es = stopwordHits(toks, stopEs)
+    val de = stopwordHits(toks, stopDe)
+    val fr = stopwordHits(toks, stopFr)
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Whitespace-normalized md5 fingerprint (rolling-hash stand-in with a
+    * portable oracle; the streaming rolling hash lives in NearDup). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}
