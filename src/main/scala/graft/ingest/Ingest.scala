@@ -1,0 +1,101 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Envelope ingest: the reference's wire format and ETL flatten path.
+  *
+  * Wire schema from `/root/reference/spark_apps/pubg_streaming.py:28-135`
+  * (full) and `:140-144` (envelope): one Kafka message = one JSON envelope
+  * `{player: {...}, matches: [...]}`; the analytics job re-declares a
+  * narrower projection of the same format (`advanced_analytics.py:36-62`)
+  * — schema-on-read pruning that Catalyst's `OptimizeJsonExprs` exploits:
+  * only fields actually projected are parsed out of the JSON.
+  *
+  * P1 cast → P2 `from_json` → P3 star-expand → G1 `explode(matches)` →
+  * P4-P15 projection/derivation (X5 derived metrics from
+  * `advanced_analytics.py:84-88`).
+  */
+object Ingest {
+
+  /** player_performance struct (`pubg_streaming.py:100-134`). */
+  val performanceSchema: StructType = StructType(Seq(
+    StructField("kills", IntegerType),
+    StructField("assists", IntegerType),
+    StructField("headshot_kills", IntegerType),
+    StructField("longest_kill", DoubleType),
+    StructField("damage_dealt", DoubleType),
+    StructField("time_survived", DoubleType),
+    StructField("death_type", StringType),
+    StructField("win_place", IntegerType),
+    StructField("walk_distance", DoubleType),
+    StructField("weapons_acquired", IntegerType),
+    StructField("participant_name", StringType)))
+
+  /** match element struct (`pubg_streaming.py:62-135`, pruned per the
+    * analytics job's narrower declaration). */
+  val matchSchema: StructType = StructType(Seq(
+    StructField("match_id", StringType),
+    StructField("game_mode", StringType),
+    StructField("map_name", StringType),
+    StructField("duration", IntegerType),
+    StructField("is_custom_match", BooleanType),
+    StructField("created_at", StringType),
+    StructField("player_performance", performanceSchema)))
+
+  /** player struct (`pubg_streaming.py:28-60`, pruned). */
+  val playerSchema: StructType = StructType(Seq(
+    StructField("player_name", StringType),
+    StructField("account_id", StringType),
+    StructField("shard_id", StringType),
+    StructField("total_matches_count", IntegerType),
+    StructField("match_ids", ArrayType(StringType)),
+    StructField("data_collected_at", StringType)))
+
+  /** Kafka `pubg-matches` envelope. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("player", playerSchema),
+    StructField("matches", ArrayType(matchSchema))))
+
+  /** P1+P2+P3: raw message bytes/string → parsed envelope columns.
+    * (`pubg_streaming.py:138-145`). */
+  def parseEnvelope(raw: DataFrame, valueCol: String = "value",
+      schema: StructType = envelopeSchema): DataFrame =
+    raw.select(from_json(col(valueCol).cast("string"), schema).as("data"))
+      .select(col("data.*"))
+
+  /** G1 + P4-P8 + X5: explode matches, flatten to one row per
+    * (player, match), append the derived performance metrics
+    * (`advanced_analytics.py:70-89`). */
+  def flattenMatches(envelopes: DataFrame): DataFrame = {
+    val perf = col("m.player_performance")
+    envelopes
+      .select(col("player"), explode(col("matches")).as("m"))
+      .select(
+        col("player.player_name").as("player_name"),
+        col("player.account_id").as("account_id"),
+        col("player.data_collected_at").as("data_collected_at"),
+        col("m.match_id").as("match_id"),
+        col("m.game_mode").as("game_mode"),
+        col("m.map_name").as("map_name"),
+        col("m.duration").as("duration"),
+        perf.getField("kills").as("kills"),
+        perf.getField("assists").as("assists"),
+        perf.getField("headshot_kills").as("headshot_kills"),
+        perf.getField("damage_dealt").as("damage_dealt"),
+        perf.getField("time_survived").as("time_survived"),
+        perf.getField("death_type").as("death_type"),
+        perf.getField("win_place").as("win_place"))
+      .withColumn("ka_score", col("kills") + col("assists"))
+      .withColumn("dps", col("damage_dealt") / greatest(col("time_survived"), lit(1)))
+      .withColumn("headshot_ratio",
+        col("headshot_kills").cast("double") / greatest(col("kills"), lit(1)))
+      .withColumn("is_winner", when(col("win_place") === 1, 1).otherwise(0))
+      .withColumn("top10_finish", when(col("win_place") <= 10, 1).otherwise(0))
+  }
+
+  /** F1 null guard (`advanced_analytics.py:89`). */
+  def validPerformance(df: DataFrame): DataFrame =
+    df.filter(col("kills").isNotNull && col("damage_dealt").isNotNull)
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.ingest.Ingest
+import graft.ops._
+
+/** Structured-streaming re-expression of the reference's two jobs.
+  *
+  * ETL job (`/root/reference/spark_apps/pubg_streaming.py`): source → parse
+  * → flatten → dedup → parquet sink with checkpoint + 60 s processing-time
+  * trigger (S1/S2/O3). The reference's `dropDuplicates` carries NO watermark
+  * — unbounded state, a real leak at scale (SURVEY §7.4). Here dedup is
+  * watermarked (`dropDuplicatesWithinWatermark`), which also implements the
+  * alert-manager's TTL dedup semantics (X3:
+  * `monitoring/alert_manager.py:83-94` — suppress same key within N min).
+  *
+  * Analytics job (`advanced_analytics.py:91-288`): `foreachBatch` runs four
+  * eager sub-queries per micro-batch. The reference recomputes the batch for
+  * each (`count()` twice, no cache — SURVEY §4.3); here the batch is
+  * persisted once per epoch and unpersisted after.
+  */
+object Streams {
+
+  /** O3+X3: keyed dedup with TTL'd state. Event-time watermark bounds the
+    * state store; without it a 100 TB/day stream accumulates state forever. */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+      eventTimeCol: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** S2: append-mode parquet sink, checkpointed, processing-time trigger. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  /** ETL stream: raw JSON envelope stream → flat match facts with an
+    * event-time column for watermarking. */
+  def etlFlatten(raw: DataFrame): DataFrame =
+    Ingest.validPerformance(
+      Ingest.flattenMatches(
+        Ingest.parseEnvelope(raw)))
+      .withColumn("event_time", current_timestamp())
+
+  /** The four per-epoch analytics sub-queries of `advanced_analytics.py`,
+    * over a (batch) frame of flat match facts. Shared scan via persist is
+    * the caller's job (see [[analyticsPipeline]]). */
+  object MicroBatchAnalytics {
+
+    /** A1+A5+W1+F2 player ranking (`advanced_analytics.py:105-135`). */
+    def ranking(facts: DataFrame): DataFrame = {
+      val stats = facts.groupBy(col("player_name"), col("account_id"))
+        .agg(
+          count(lit(1)).as("total_matches"),
+          avg(col("kills")).as("avg_kills"),
+          avg(col("assists")).as("avg_assists"),
+          avg(col("damage_dealt")).as("avg_damage"),
+          avg(col("time_survived")).as("avg_survival"),
+          avg(col("headshot_ratio")).as("avg_headshot_ratio"),
+          sum(col("is_winner")).as("wins"),
+          sum(col("top10_finish")).as("top10s"))
+        .withColumn("win_rate", col("wins") / col("total_matches"))
+        .withColumn("top10_rate", col("top10s") / col("total_matches"))
+      val scored = stats.withColumn("ranking_score",
+        col("avg_kills") * 10 + col("avg_assists") * 5 +
+          col("avg_damage") * 0.01 + col("avg_survival") * 0.005 +
+          col("win_rate") * 100 + col("top10_rate") * 50 +
+          col("avg_headshot_ratio") * 30)
+      Ranking.rankTopK(scored, "ranking_score", "account_id", 10)
+    }
+
+    /** W2+W3+F3+F4 moving-average trend alerts
+      * (`advanced_analytics.py:141-168`), event-time ordered. */
+    def trends(facts: DataFrame): DataFrame = {
+      val framed = Windows.movingFrame(
+        facts.withColumn("kills_l", col("kills").cast("long"))
+          .withColumn("damage_cents", Exact.cents(col("damage_dealt"))),
+        col("player_name"), Seq(col("event_time"), col("match_id")),
+        Seq("kills_l", "damage_cents"))
+      framed
+        .withColumn("kill_trend",
+          col("kills_l") - col("mov_sum_kills_l").cast("double") / col("frame_n"))
+        .withColumn("damage_trend",
+          col("damage_dealt") - Exact.avgFromCents(col("mov_sum_damage_cents"), col("frame_n")))
+        .filter(col("seq") >= 5 &&
+          (abs(col("kill_trend")) > 2 || abs(col("damage_trend")) > 500))
+        .select(col("player_name"), col("match_id"), col("seq").as("game_number"),
+          col("kills"), col("damage_dealt"), col("kill_trend"), col("damage_trend"))
+    }
+
+    /** A2+F5 z-score anomalies (`advanced_analytics.py:174-228`) — broadcast
+      * stats join instead of the reference's collect() round-trip. */
+    def anomalies(facts: DataFrame): DataFrame =
+      Anomaly.zscoreFilter(
+        facts.withColumn("damage_cents", Exact.cents(col("damage_dealt"))),
+        "damage_cents", 2.5)
+        .select(col("player_name"), col("match_id"), col("kills"),
+          col("damage_dealt"), col("zscore"))
+        .withColumn("alert_type", lit("statistical_anomaly"))
+
+    /** A3+A4 hourly/map aggregates (`advanced_analytics.py:236-266`). */
+    def aggregates(facts: DataFrame): DataFrame =
+      Rollups.hourlyRollup(facts, col("event_time"),
+        Seq(col("game_mode"), col("map_name")), col("player_name"),
+        Exact.cents(col("damage_dealt")))
+  }
+
+  /** S4+S6: foreachBatch analytics pipeline. Persists each micro-batch once
+    * (the reference recomputes it per sub-query), runs the four sub-queries,
+    * hands results to `sink`, unpersists. */
+  def analyticsPipeline(factsStream: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))(
+      sink: (String, DataFrame, Long) => Unit): StreamingQuery =
+    factsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try {
+            sink("ranking", MicroBatchAnalytics.ranking(batch), epochId)
+            sink("trends", MicroBatchAnalytics.trends(batch), epochId)
+            sink("anomalies", MicroBatchAnalytics.anomalies(batch), epochId)
+            sink("aggregates", MicroBatchAnalytics.aggregates(batch), epochId)
+          } finally batch.unpersist()
+        }
+      }
+      .start()
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDup
+import graft.text.TextAnalysis
+
+class NearDupSpec extends SparkSuite {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "s"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "s"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again", "s"), // near dup of 1
+      (4L, "completely different content about spark query engines here now", "s"),
+      (5L, "unrelated words nothing shared with others whatsoever truly", "s"))
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("minhash: identical docs have identical signatures; LSH finds the pair") {
+    val sig = docs.select(col("doc_id"),
+      NearDup.minhashSignature(
+        NearDup.shingles(TextAnalysis.tokens(col("text")))).as("sig"))
+    val s = sig.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(s(0) == s(1))          // exact dup → equal signature
+    assert(s(0) != s(3))          // different doc → different signature
+    val cands = NearDup.lshCandidatePairs(sig, "doc_id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((4L, 5L)))
+  }
+
+  test("simhash: hamming 0 for dup, small for near-dup, large for unrelated") {
+    val sigs = NearDup.simhash(docs, "doc_id", "text")
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+    val pairs = NearDup.simhashPairs(sigs, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("token jaccard: dup pair = 1.0, blocked pairs only") {
+    val out = NearDup.tokenJaccardPairs(docs, "doc_id", "text", "source", 0.5)
+    val m = out.collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m.contains((1L, 3L)) && m((1L, 3L)) < 1.0)
+    assert(!m.contains((4L, 5L)))
+  }
+
+  test("shingles: w-gram count and short-doc fallback") {
+    import spark.implicits._
+    val t = Seq("a b c d", "a b").toDF("text")
+      .select(NearDup.shingles(TextAnalysis.tokens(col("text"))).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(t(0) == Seq("a b c", "b c d"))
+    assert(t(1) == Seq("a b")) // shorter than w → whole doc as one shingle
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Operator unit tests, including the reference's only machine-checkable
+  * fixtures: the three alert payloads of `test/test_alerts.py:30-70`
+  * (FIXTURES.md A3) against the X2 severity gates. */
+class OpsSpec extends SparkSuite {
+
+  test("severity matches the reference alert fixtures (HIGH/MEDIUM/LOW)") {
+    import spark.implicits._
+    val alerts = Seq(
+      ("TestPlayer_HIGH", 25, 4500.0, 4.2, 3.8, 4.5, "HIGH"),
+      ("TestPlayer_MEDIUM", 16, 2800.0, 3.2, 2.8, 3.5, "MEDIUM"),
+      ("TestPlayer_LOW", 5, 800.0, 1.2, 0.8, 1.5, "LOW"))
+      .toDF("player_name", "kills", "damage_dealt", "kill_zscore",
+        "damage_zscore", "headshot_zscore", "expected")
+    val out = alerts.withColumn("severity",
+      Anomaly.severity(col("kills"), col("damage_dealt"),
+        Seq(col("kill_zscore"), col("damage_zscore"), col("headshot_zscore"))))
+    assert(out.filter(col("severity") =!= col("expected")).count() == 0)
+  }
+
+  test("severity boundary: each gate alone triggers its level") {
+    import spark.implicits._
+    val rows = Seq(
+      (20, 0.0, 0.0, "HIGH"),   // kills gate
+      (0, 4000.0, 0.0, "HIGH"), // damage gate
+      (0, 0.0, -4.0, "HIGH"),   // |z| gate
+      (15, 0.0, 0.0, "MEDIUM"),
+      (0, 2500.0, 0.0, "MEDIUM"),
+      (0, 0.0, 3.0, "MEDIUM"),
+      (14, 2499.0, 2.9, "LOW"))
+      .toDF("kills", "damage", "z", "expected")
+    val out = rows.withColumn("sev",
+      Anomaly.severity(col("kills"), col("damage"), Seq(col("z"))))
+    assert(out.filter(col("sev") =!= col("expected")).count() == 0)
+  }
+
+  test("kda guards division by zero deaths") {
+    import spark.implicits._
+    val df = Seq((5, 3, 0), (5, 3, 2)).toDF("kills", "assists", "deaths")
+      .withColumn("kda", Anomaly.kda(col("kills"), col("assists"), col("deaths")))
+    assert(df.orderBy("deaths").collect().map(_.getAs[Double]("kda")).toSeq ==
+      Seq(8.0, 4.0))
+  }
+
+  test("zscoreFilter flags exactly the outlier") {
+    import spark.implicits._
+    // 20 values at 100 ± small noise, one at 100000
+    val vals = (1 to 20).map(i => 100.0 + i * 0.01) :+ 100000.0
+    val df = vals.toDF("v").withColumn("c", Exact.cents(col("v")))
+    val out = Anomaly.zscoreFilter(df, "c", 2.5)
+    assert(out.count() == 1)
+    assert(out.first().getAs[Double]("v") == 100000.0)
+  }
+
+  test("movingFrame: 5-row frame and sequence") {
+    import spark.implicits._
+    val df = (1 to 7).map(i => ("p", i, i * 10L)).toDF("k", "ord", "c")
+    val framed = Windows.movingFrame(df, col("k"), Seq(col("ord")), Seq("c"))
+    val rows = framed.orderBy("ord").collect()
+    assert(rows.map(_.getAs[Long]("seq")).toSeq == (1L to 7L))
+    // row 7: frame = rows 3..7 → sum = (3+4+5+6+7)*10 = 250, n = 5
+    assert(rows.last.getAs[Long]("mov_sum_c") == 250L)
+    assert(rows.last.getAs[Long]("frame_n") == 5L)
+    // row 2: frame = rows 1..2
+    assert(rows(1).getAs[Long]("mov_sum_c") == 30L)
+    assert(rows(1).getAs[Long]("frame_n") == 2L)
+  }
+
+  test("rankTopK deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("b", 5.0), ("c", 4.0)).toDF("id", "score")
+    val ranked = Ranking.rankTopK(df, "score", "id", 2).collect()
+    assert(ranked.map(r => (r.getAs[String]("id"), r.getAs[Long]("rank"))).toSet ==
+      Set(("a", 1L), ("b", 2L)))
+  }
+
+  test("topK equals rank-filter top-k on distinct scores") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 101).toDouble)).toDF("id", "score")
+    val a = Ranking.topK(df, "score", "id", 10).select("id").collect().map(_.getLong(0)).toSet
+    val b = Ranking.rankTopK(df, "score", "id", 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("Exact.cents survives 2-decimal doubles exactly") {
+    import spark.implicits._
+    val df = Seq(0.01, 123.45, 99999.99, -5.5).toDF("v")
+    val out = df.select(Exact.cents(col("v"))).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 12345L, 9999999L, -550L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSuite {
+
+  test("cosine: orthogonal = 0, identical = 1, opposite = -1") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0), 1.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0))
+      .toDF("a", "b", "expected")
+    val out = df.withColumn("c", Similarity.cosine(col("a"), col("b"))).collect()
+    out.foreach(r =>
+      assert(math.abs(r.getAs[Double]("c") - r.getAs[Double]("expected")) < 1e-12))
+  }
+
+  test("bruteForceTopK returns k best with self first") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0))).toDF("id", "ev")
+    val queries = Seq((1L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
+    val top = Similarity.bruteForceTopK(base, queries, 2)
+      .orderBy("rn").collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("annTopK finds the exact duplicate through LSH bucketing") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 8 + d).abs + 0.1).toSeq)
+    }
+    val base = vecs.toDF("id", "ev")
+    val queries = base.filter(col("id") === 7)
+      .select(col("id").as("qid"), col("ev").as("qv"))
+    val out = Similarity.annTopK(base, queries, dim = 8, k = 3).collect()
+    // the query vector itself shares its own bucket → rank 1, cosine 1
+    val self = out.find(_.getAs[Long]("id") == 7L).get
+    assert(self.getAs[Long]("rn") == 1L)
+    assert(math.abs(self.getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("lshBucket is deterministic across evaluations") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")
+    val a = df.select(col("id"), Similarity.lshBucket(col("ev"), 4).as("b")).collect()
+    val b = df.select(col("id"), Similarity.lshBucket(col("ev"), 4).as("b")).collect()
+    assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq)
+  }
+}
