@@ -51,6 +51,7 @@ def main():
         print(f"OK   {name}: {len(srows)} rows")
         n_ok += 1
     print(f"== {n_ok}/{len(oracles)} queries match")
+    sys.exit(0 if n_ok == len(oracles) else 1)
 
 if __name__ == "__main__":
     main()

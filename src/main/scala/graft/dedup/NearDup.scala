@@ -3,19 +3,26 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hash64
 import graft.text.TextAnalysis
 
 /** Near-duplicate detection: MinHash+LSH, SimHash, token-set Jaccard.
   *
   * Scale design (the whole point at 100 TB):
   *  - Candidate generation is always a KEYED SHUFFLE (band bucket / simhash
-  *    band / blocking key), never an O(n²) cross join.
+  *    band / blocking key), never an O(n²) cross join, and never a
+  *    broadcast of anything that grows with the corpus.
   *  - Verification (exact Jaccard / hamming) runs only on bucket-cograms,
   *    whose cardinality is controlled by band width.
-  *  - Hashing uses `xxhash64` — a codegen'd Catalyst expression, no UDF.
-  *  - Ultra-common tokens (document frequency ≈ corpus size) should be
-  *    df-cut before the token join in [[tokenJaccardPairs]]; the testdata
-  *    vocabulary is tiny so the cut is left to the caller's `maxDf`.
+  *  - Signatures are computed via explode + partial-aggregated min/sum —
+  *    shingling and hashing run ONCE per document, map-side combine keeps
+  *    the shuffle at one row per (doc, agg) — and hashing is the portable
+  *    codegen'd md5 path of [[Hash64]] so every operator has a DuckDB
+  *    oracle (round 1's `xxhash64`+HOF formulation was Spark-only and
+  *    recomputed the signature per seeded hash).
+  *  - Ultra-common tokens are document-frequency-cut before the token
+  *    self-join in [[tokenJaccardPairs]] (`maxDfFrac`), bounding the
+  *    worst-case O(df²) join fan-out per token.
   */
 object NearDup {
 
@@ -26,17 +33,29 @@ object NearDup {
         sequence(lit(1), size(toks) - (w - 1)),
         i => concat_ws(" ", slice(toks, i, lit(w)))))
 
-  /** MinHash signature: for each of `k` seeded hash functions, the min
-    * xxhash64 over the distinct shingles. Returns array<long> of length k. */
-  def minhashSignature(shings: Column, k: Int = 16): Column = {
-    val distinctSh = array_distinct(shings)
-    array((0 until k).map { seed =>
-      array_min(transform(distinctSh, sh => xxhash64(sh, lit(seed))))
-    }: _*)
+  /** MinHash signatures for a document frame: explode distinct shingles
+    * once, then k seeded min-hash aggregates in a single partial+final
+    * hash aggregation (one shuffle keyed by doc). Shingling cost is paid
+    * once per document — not once per hash — and nothing needs a persist
+    * to avoid recomputation within this frame.
+    *
+    * @return (idCol, sig: array<long> of length k)
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), w))).as("sh"))
+    val mins = (0 until k).map(seed => min(Hash64.seeded(seed, col("sh"))).as(s"m$seed"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH banding: docs sharing any (band, bandHash) bucket become candidate
-    * pairs; exact Jaccard is then verified on the candidates only.
+  /** LSH banding: docs sharing any (band, band-slice-of-signature) bucket
+    * become candidate pairs; exact/estimated Jaccard is then verified on
+    * the candidates only. The bucket key is the sliced signature array
+    * itself (array equality joins are supported by both engines — no extra
+    * hash of the band needed).
     *
     * @param df        (idCol, sigCol: array<long>) frame
     * @param bands     number of bands (rows per band = k / bands)
@@ -46,26 +65,44 @@ object NearDup {
     val banded = df.select(
       col(idCol),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))): _*)))
-      .toDF(idCol, "band", "band_hash")
+        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .toDF(idCol, "band", "band_key")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
   }
 
   /** Exact token-set Jaccard for all pairs sharing a blocking key — the
-    * verify stage of LSH, or standalone blocked near-dup. One shuffle keyed
-    * by token (+block); no cross join. */
+    * verify stage of LSH, or standalone blocked near-dup. Keyed shuffles
+    * only: the df-cut is a token-keyed aggregate + join, the pair join is
+    * keyed by (token, block), and the per-document size frames join by doc
+    * id (NOT broadcast — one row per document grows with the corpus).
+    *
+    * @param maxDfFrac tokens present in more than this fraction of
+    *                  documents are cut before the self-join (stopword-grade
+    *                  tokens otherwise produce O(df²) join output). 1.0
+    *                  disables the cut.
+    */
   def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, minJaccard: Double): DataFrame = {
-    val tok = docs.select(
+      blockCol: String, minJaccard: Double, maxDfFrac: Double = 1.0): DataFrame = {
+    val tokAll = docs.select(
       col(idCol), col(blockCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+    val tok =
+      if (maxDfFrac >= 1.0) tokAll
+      else {
+        val nDocs = docs.select(count(lit(1)).as("n_docs")) // 1 row — broadcast is fine
+        val kept = tokAll.groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") <= col("n_docs") * maxDfFrac)
+          .select(col("token"))
+        tokAll.join(kept, Seq("token"))
+      }
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val pairs = tok.as("a").join(tok.as("b"),
         col("a.token") === col("b.token") &&
@@ -74,45 +111,47 @@ object NearDup {
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(broadcast(sizes).as("s1"), col("d1") === col(s"s1.$idCol"))
-      .join(broadcast(sizes).as("s2"), col("d2") === col(s"s2.$idCol"))
+      .join(sizes.as("s1"), col("d1") === col(s"s1.$idCol"))
+      .join(sizes.as("s2"), col("d2") === col(s"s2.$idCol"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per bit, the sign of Σ(±1) across token
-    * hashes. Computed as 64 codegen'd conditional sums after an explode —
-    * one shuffle keyed by doc id. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 60-bit SimHash over tokens: per bit, the sign of Σ(±1) across token
+    * hashes. Two partial-aggregated stages — (doc, bit) sign sums, then
+    * the per-doc bit pack — so every expression is a simple codegen'd
+    * shift/compare (round 1's 64-conditional-sum single aggregate blew the
+    * codegen budget and fell back to interpreted evaluation). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60): DataFrame = {
     val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-    }
-    tok.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col(idCol), Hash64.hash60(col("token")).as("h"))
+    val signs = tok.select(col(idCol), posexplode(array((0 until bits).map(i =>
+        when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)): _*)))
+      .toDF(idCol, "pos", "sign")
+    signs.groupBy(col(idCol), col("pos")).agg(sum(col("sign")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), pos)"))
+        .otherwise(lit(0L))).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: block on 4×16-bit bands (a pair within
+  /** SimHash near-dup candidates: block on 4×15-bit bands (a pair within
     * hamming ≤ 3 of band count shares at least one exact band), verify with
     * `bit_count(xor)`. */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .toDF(idCol, "simhash", "band", "band_bits")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_bits") === col("b.band_bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -80,6 +80,7 @@ object Ingest {
         col("m.game_mode").as("game_mode"),
         col("m.map_name").as("map_name"),
         col("m.duration").as("duration"),
+        col("m.created_at").as("created_at"),
         perf.getField("kills").as("kills"),
         perf.getField("assists").as("assists"),
         perf.getField("headshot_kills").as("headshot_kills"),

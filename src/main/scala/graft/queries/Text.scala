@@ -74,10 +74,13 @@ object Text extends QueryModule {
     }),
 
     // Blocked token-set Jaccard near-dup pairs (the LSH verify stage,
-    // standalone): one shuffle keyed by (token, block), no cross join.
+    // standalone): keyed shuffles only, with a document-frequency cut —
+    // tokens in >80% of documents are dropped before the self-join
+    // (stopword-grade tokens otherwise fan out O(df²) per token). The
+    // fraction scales with the corpus, so semantics are SF-invariant.
     "q24_token_jaccard" -> ((s, dir) =>
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
-        "doc_id", "text", "source", minJaccard = 0.9)),
+        "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,9 +140,14 @@ object Text extends QueryModule {
         |FROM all_docs GROUP BY 1""".stripMargin,
 
     "q24_token_jaccard" ->
-      s"""WITH tok AS (
+      s"""WITH tok_all AS (
         |  SELECT doc_id, source, unnest(list_distinct($toksSql)) AS token
         |  FROM documents
+        |), kept AS (
+        |  SELECT token FROM (SELECT token, count(*) AS df FROM tok_all GROUP BY 1)
+        |  WHERE df <= (SELECT count(*) FROM documents) * 0.8
+        |), tok AS (
+        |  SELECT tok_all.* FROM tok_all JOIN kept USING (token)
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
         |), pairs AS (

@@ -5,15 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.NearDup
+import graft.functions.Hash64
 import graft.multimodal.Media
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
 /** Similarity search, near-dup detection and multimodal plumbing.
-  * Brute-force cosine is oracle-checked (identical double fold order on
-  * both engines); the hash-family operators (MinHash/SimHash/LSH) have no
-  * portable SQL equivalent — driver records rows-only checks, exactness is
-  * covered by ScalaTest.
+  *
+  * Every hash-family operator (MinHash/LSH, SimHash, ANN hyperplanes) is
+  * built on the portable [[Hash64]] hash, so — unlike round 1's xxhash64
+  * formulation — each has a full rows+schema+hash DuckDB oracle. Only the
+  * multimodal query stays rows-only (its stubbed codec has no SQL
+  * equivalent; exactness is covered by MediaSpec).
   */
 object Vectors extends QueryModule {
 
@@ -38,15 +41,14 @@ object Vectors extends QueryModule {
       Similarity.annTopK(base(t), queriesDf(t), dim = 64, k = 5)
     }),
 
-    // MinHash+LSH near-dup: shingle → 16-hash signature → 4×4 banding →
-    // bucket-join candidates → signature-agreement estimate.
+    // MinHash+LSH near-dup: one explode of distinct shingles → 16 seeded
+    // min-hash aggregates (single shuffle) → 4×4 banding → bucket-join
+    // candidates → signature-agreement estimate. The signature frame is
+    // used three times (banding + two verify joins) → persist.
     "q27_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val sig = docs.select(col("doc_id"),
-        NearDup.minhashSignature(
-          NearDup.shingles(TextAnalysis.tokens(col("text")))).as("sig"))
-      val cands = NearDup.lshCandidatePairs(sig, "doc_id", "sig")
-      cands
+      val sig = NearDup.minhashSignatures(
+        Tables(s, dir).documents, "doc_id", "text").persist()
+      NearDup.lshCandidatePairs(sig, "doc_id", "sig")
         .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
         .withColumn("est_jaccard",
@@ -55,7 +57,7 @@ object Vectors extends QueryModule {
         .select(col("d1"), col("d2"), col("est_jaccard"))
     }),
 
-    // SimHash near-dup: 64-bit signature, 16-bit band blocking, hamming gate.
+    // SimHash near-dup: 60-bit signature, 15-bit band blocking, hamming gate.
     "q28_simhash" -> ((s, dir) => {
       val sigs = NearDup.simhash(Tables(s, dir).documents, "doc_id", "text")
       NearDup.simhashPairs(sigs, "doc_id", maxHamming = 16)
@@ -76,16 +78,40 @@ object Vectors extends QueryModule {
     }),
 
     // Multimodal: binary payload column → per-partition batch decode (stubbed
-    // codec, real plumbing) → feature table. Rows-only check + ScalaTest.
+    // codec, real plumbing) → feature table. Rows-only check + MediaSpec.
     "q30_multimodal" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       Media.decode(Media.syntheticMedia(s, docs)).toDF()
     }),
   )
 
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** 16 seeded min-hash aggregates as a DuckDB list literal (mirrors
+    * [[NearDup.minhashSignatures]] / [[Hash64.seeded]]). */
+  private val minhashSigList: String =
+    (0 until 16).map(i => s"min(${Hash64.duckSeededSql(i, "sh")})")
+      .mkString("[", ", ", "]")
+
+  /** Random-hyperplane LSH bucket of a double-list column (mirrors
+    * [[Similarity.lshBucket]]: 8 planes over 64 dims, sequential fold). */
+  private def bucketSql(vecCol: String): String = {
+    val plane =
+      s"((${Hash64.duckSql("CAST(p AS VARCHAR) || '_' || CAST(pr[2] AS VARCHAR)")} % 1000) / 1000.0 - 0.5)"
+    val proj =
+      s"list_reduce(list_transform(list_zip($vecCol, range(0, 64)), pr -> pr[1] * $plane), (a, x) -> a + x)"
+    s"CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"
+  }
+
+  private val cosineSql =
+    """list_reduce(list_transform(list_zip(qv, ev), p -> p[1] * p[2]), (a, v) -> a + v)
+      |           / sqrt(list_reduce(list_transform(qv, x -> x * x), (a, v) -> a + v))
+      |           / sqrt(list_reduce(list_transform(ev, x -> x * x), (a, v) -> a + v))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q25_cosine_topk" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
         |  FROM embeddings
         |), q AS (
@@ -93,15 +119,88 @@ object Vectors extends QueryModule {
         |  FROM embeddings WHERE vec_id < 3
         |), sims AS (
         |  SELECT qid, id,
-        |         list_reduce(list_transform(list_zip(qv, ev), p -> p[1] * p[2]), (a, v) -> a + v)
-        |           / sqrt(list_reduce(list_transform(qv, x -> x * x), (a, v) -> a + v))
-        |           / sqrt(list_reduce(list_transform(ev, x -> x * x), (a, v) -> a + v)) AS cosine
+        |         $cosineSql AS cosine
         |  FROM b CROSS JOIN q
         |)
         |SELECT qid, id, cosine, rn FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
         |  FROM sims
         |) WHERE rn <= 5""".stripMargin,
+
+    "q26_ann_lsh" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), bb AS (
+        |  SELECT id, ev, ${bucketSql("ev")} AS bucket FROM b
+        |), qb AS (
+        |  SELECT qid, qv, ${bucketSql("qv")} AS bucket FROM q
+        |), cands AS (
+        |  SELECT qid, id, bb.bucket AS bucket,
+        |         $cosineSql AS cosine
+        |  FROM bb JOIN qb ON bb.bucket = qb.bucket
+        |)
+        |SELECT qid, id, cosine, rn, bucket FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
+        |  FROM cands
+        |) WHERE rn <= 5""".stripMargin,
+
+    "q27_minhash_lsh" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, $minhashSigList AS sig FROM sh GROUP BY 1
+        |), banded AS (
+        |  SELECT doc_id, b.band AS band, sig[b.band*4+1 : b.band*4+4] AS band_key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |)
+        |SELECT d1, d2,
+        |       CAST(len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) AS DOUBLE) / 16.0
+        |         AS est_jaccard
+        |FROM pairs
+        |JOIN sig s1 ON d1 = s1.doc_id
+        |JOIN sig s2 ON d2 = s2.doc_id""".stripMargin,
+
+    "q28_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(toks) AS token
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |), h AS (
+        |  SELECT doc_id, ${Hash64.duckSql("token")} AS h FROM tok
+        |), bitsum AS (
+        |  SELECT doc_id, p.pos AS pos,
+        |         sum(CASE WHEN (h >> p.pos) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(0, 60)) AS pos) p
+        |  GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT)
+        |           AS simhash
+        |  FROM bitsum GROUP BY 1
+        |), banded AS (
+        |  SELECT doc_id, simhash, b.band AS band,
+        |         (simhash >> (b.band * 15)) & 32767 AS band_bits
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+        |)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 16""".stripMargin,
 
     "q29_embedding_dupkey" ->
       """WITH e AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ingest.Ingest
+import graft.ops.{Anomaly, Exact}
 
 /** The wire-format ingest path (P1-P3, G1, X5) made oracle-checkable:
   * envelope JSON is synthesized from `events`, pushed through the real
@@ -65,6 +66,26 @@ object Wire extends QueryModule {
           Ingest.parseEnvelope(envelopes(t))))
         .drop("headshot_kills") // retained inputs below keep the row identity
     }),
+
+    // S5+P13+F5+X2: the alert wire path (`advanced_analytics.py:208-228`) —
+    // anomalous rows serialized as to_json(struct(...)) messages. Payload
+    // keeps longs/strings only (money as cents) so the wire bytes are
+    // bit-identical across engines — no double formatting divergence.
+    "q32_alert_wire" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val alerts = ev.select(
+        col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("kills"),
+        Exact.cents(col("value") * lit(10.0)).as("damage_cents"),
+        ((col("value") - lit(100.0)) / lit(50.0)).as("z"))
+        .filter(col("kills").isNotNull && col("damage_cents").isNotNull &&
+          abs(col("z")) > 2.5)
+        .withColumn("severity", Anomaly.severity(
+          col("kills"), col("damage_cents").cast("double") / lit(100.0), Seq(col("z"))))
+      alerts.select(to_json(struct(
+        col("event_id"), col("user_id"), col("kills"), col("damage_cents"),
+        col("severity"), lit("statistical_anomaly").as("alert_type"))).as("value"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,6 +97,7 @@ object Wire extends QueryModule {
         |       event_type AS game_mode,
         |       'test_map' AS map_name,
         |       CAST(event_id % 3600 AS INTEGER) AS duration,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS kills,
         |       CAST(event_id % 5 AS INTEGER) AS assists,
         |       value * 10.0 AS damage_dealt,
@@ -89,6 +111,33 @@ object Wire extends QueryModule {
         |         / greatest(CAST(json_extract_string(props, '$.k') AS INTEGER), 1) AS headshot_ratio,
         |       CASE WHEN event_id % 100 + 1 = 1 THEN 1 ELSE 0 END AS is_winner,
         |       CASE WHEN event_id % 100 + 1 <= 10 THEN 1 ELSE 0 END AS top10_finish
-        |FROM events""".stripMargin,
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  AND value IS NOT NULL""".stripMargin,
+
+    "q32_alert_wire" ->
+      """WITH alerts AS (
+        |  SELECT event_id, user_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kills,
+        |         CAST(round(value * 10.0 * 100) AS BIGINT) AS damage_cents,
+        |         (value - 100.0) / 50.0 AS z
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |    AND value IS NOT NULL
+        |    AND abs((value - 100.0) / 50.0) > 2.5
+        |)
+        |SELECT CAST(to_json(struct_pack(
+        |  event_id := event_id,
+        |  user_id := user_id,
+        |  kills := kills,
+        |  damage_cents := damage_cents,
+        |  severity := CASE
+        |    WHEN kills >= 20 OR CAST(damage_cents AS DOUBLE) / 100.0 >= 4000
+        |         OR abs(z) >= 4.0 THEN 'HIGH'
+        |    WHEN kills >= 15 OR CAST(damage_cents AS DOUBLE) / 100.0 >= 2500
+        |         OR abs(z) >= 3.0 THEN 'MEDIUM'
+        |    ELSE 'LOW' END,
+        |  alert_type := 'statistical_anomaly')) AS VARCHAR) AS value
+        |FROM alerts""".stripMargin,
   )
 }

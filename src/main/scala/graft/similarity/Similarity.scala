@@ -45,10 +45,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64-derived value in [-0.5, 0.5). */
+    * portable-hash-derived value in [-0.5, 0.5). Uses [[Hash64.hash60]]
+    * (md5-based, non-negative) rather than xxhash64 so the DuckDB oracle
+    * can derive the identical hyperplanes — which upgrades the ANN query
+    * from a rows-only check to a full hash-compared oracle. */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(concat_ws("_", lit(plane), dim)), lit(1000L)).cast("double") /
-      lit(1000.0)) - lit(0.5)
+    ((graft.functions.Hash64.hash60(concat_ws("_", lit(plane), dim)) % lit(1000L))
+      .cast("double") / lit(1000.0)) - lit(0.5)
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane over the
     * embedding's dot product with each hyperplane. */

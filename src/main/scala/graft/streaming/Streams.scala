@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -41,13 +41,33 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
 
+  /** S3: console debug sink (`pubg_streaming.py:265-269`). */
+  def consoleSink(df: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("console")
+      .outputMode("append")
+      .trigger(trigger)
+
+  /** S6: block until any active streaming query of the session terminates
+    * (`pubg_streaming.py:272`). With a non-negative timeout, returns
+    * whether a query terminated within it. */
+  def awaitAny(spark: SparkSession, timeoutMs: Long = -1L): Boolean =
+    if (timeoutMs >= 0) spark.streams.awaitAnyTermination(timeoutMs)
+    else { spark.streams.awaitAnyTermination(); true }
+
   /** ETL stream: raw JSON envelope stream → flat match facts with an
-    * event-time column for watermarking. */
+    * event-time column for watermarking. Event time comes from the
+    * envelope's `created_at` (the reference stamps `current_timestamp()`
+    * instead — processing-time-as-event-time makes watermarked dedup
+    * meaningless on replay/late data; `current_timestamp` remains only as
+    * the null fallback). */
   def etlFlatten(raw: DataFrame): DataFrame =
     Ingest.validPerformance(
       Ingest.flattenMatches(
         Ingest.parseEnvelope(raw)))
-      .withColumn("event_time", current_timestamp())
+      .withColumn("event_time",
+        coalesce(to_timestamp(col("created_at")), current_timestamp()))
 
   /** The four per-epoch analytics sub-queries of `advanced_analytics.py`,
     * over a (batch) frame of flat match facts. Shared scan via persist is

@@ -19,9 +19,7 @@ class NearDupSpec extends SparkSuite {
   }
 
   test("minhash: identical docs have identical signatures; LSH finds the pair") {
-    val sig = docs.select(col("doc_id"),
-      NearDup.minhashSignature(
-        NearDup.shingles(TextAnalysis.tokens(col("text")))).as("sig"))
+    val sig = NearDup.minhashSignatures(docs, "doc_id", "text")
     val s = sig.orderBy("doc_id").collect().map(_.getSeq[Long](1))
     assert(s(0) == s(1))          // exact dup → equal signature
     assert(s(0) != s(3))          // different doc → different signature
@@ -50,6 +48,29 @@ class NearDupSpec extends SparkSuite {
     assert(m((1L, 2L)) == 1.0)
     assert(m.contains((1L, 3L)) && m((1L, 3L)) < 1.0)
     assert(!m.contains((4L, 5L)))
+  }
+
+  test("Hash64.hash60 matches DuckDB's CAST('0x' || substr(md5(s),1,15) AS BIGINT)") {
+    import spark.implicits._
+    val v = Seq("abc").toDF("s")
+      .select(graft.functions.Hash64.hash60(col("s"))).head.getLong(0)
+    assert(v == 648541476951500027L) // verified against DuckDB
+  }
+
+  test("token jaccard df-cut drops ubiquitous tokens from pair generation") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y common", "s"),
+      (2L, "x y common", "s"),
+      (3L, "common aaa", "s"),
+      (4L, "common bbb", "s")).toDF("doc_id", "text", "source")
+    def pairs(frac: Double) =
+      NearDup.tokenJaccardPairs(d, "doc_id", "text", "source", 0.3, frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncut: "common" (df=4) links 3-4 at jaccard 1/3
+    assert(pairs(1.0) == Set((1L, 2L), (3L, 4L)))
+    // df-cut at 50%: "common" removed; only the real dup pair remains
+    assert(pairs(0.5) == Set((1L, 2L)))
   }
 
   test("shingles: w-gram count and short-doc fallback") {
