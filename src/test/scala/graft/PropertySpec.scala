@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SC}
+import org.scalacheck.Prop.propBoolean
+
+import graft.ops.{Anomaly, Windows}
+import graft.text.TextAnalysis
+
+/** Property-based invariants (SURVEY §5.2) over generated inputs — raw
+  * scalacheck driven from ScalaTest (no scalatestplus bridge in the
+  * offline cache). Each case evaluates on a small local DataFrame. */
+class PropertySpec extends SparkSuite {
+
+  private def holds(p: Prop): Unit = {
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: fingerprint dedup is idempotent and collapses to distinct texts") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 999L), Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+    holds(Prop.forAll(gen) { docs =>
+      docs.nonEmpty ==> {
+        val df = docs.toDF("id", "text").withColumn("fp", md5(col("text")))
+        val once = df.dropDuplicates("fp").select("fp").as[String].collect().sorted.toSeq
+        val twice = df.dropDuplicates("fp").dropDuplicates("fp")
+          .select("fp").as[String].collect().sorted.toSeq
+        once == twice && once.size == docs.map(_._2).distinct.size
+      }
+    })
+  }
+
+  test("property: moving frame holds at most 5 rows and matches a sequential re-computation") {
+    import spark.implicits._
+    val gen = Gen.listOfN(18,
+      Gen.zip(Gen.oneOf("p1", "p2", "p3"), Gen.choose(-500L, 500L)))
+    holds(Prop.forAll(gen) { evs =>
+      evs.nonEmpty ==> {
+        val rows = evs.zipWithIndex.map { case ((k, c), i) => (k, i.toLong, c) }
+        val df = rows.toDF("k", "ord", "c")
+        val out = Windows.movingFrame(df, col("k"), Seq(col("ord")), Seq("c"))
+          .select("k", "ord", "seq", "frame_n", "mov_sum_c").collect()
+        // sequential oracle: per key in ord order, sum of the last <=5 values
+        val expected = rows.groupBy(_._1).flatMap { case (_, g) =>
+          val sorted = g.sortBy(_._2)
+          sorted.zipWithIndex.map { case ((k, ord, _), i) =>
+            val frame = sorted.slice(math.max(0, i - 4), i + 1)
+            (k, ord) -> (i + 1L, frame.size.toLong, frame.map(_._3).sum)
+          }
+        }
+        out.forall { r =>
+          val (seq, fn, ms) = expected((r.getString(0), r.getLong(1)))
+          r.getLong(2) == seq && r.getLong(3) == fn && fn <= 5 &&
+            r.getLong(4) == ms
+        }
+      }
+    })
+  }
+
+  test("property: severity is monotone in kills, damage and |z|") {
+    import spark.implicits._
+    val rank = Map("LOW" -> 0, "MEDIUM" -> 1, "HIGH" -> 2)
+    val gen = Gen.listOfN(25, Gen.zip(
+      Gen.choose(0L, 30L), Gen.choose(0.0, 5000.0), Gen.choose(-5.0, 5.0)))
+    holds(Prop.forAll(gen) { ts =>
+      ts.nonEmpty ==> {
+        val df = ts.toDF("kills", "damage", "z")
+        def sev(k: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column,
+            z: org.apache.spark.sql.Column) = Anomaly.severity(k, d, Seq(z))
+        val out = df.select(
+          sev(col("kills"), col("damage"), col("z")).as("s0"),
+          sev(col("kills") + 5, col("damage"), col("z")).as("sk"),
+          sev(col("kills"), col("damage") + 1000, col("z")).as("sd"),
+          sev(col("kills"), col("damage"), abs(col("z")) + 1).as("sz")).collect()
+        out.forall { r =>
+          val s0 = rank(r.getString(0))
+          rank(r.getString(1)) >= s0 &&
+            rank(r.getString(2)) >= s0 &&
+            rank(r.getString(3)) >= s0
+        }
+      }
+    })
+  }
+
+  test("property: tokens are lowercase alnum and stable under re-tokenization") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.asciiPrintableStr)
+    holds(Prop.forAll(gen) { strs =>
+      strs.nonEmpty ==> {
+        val toks = strs.toDF("text")
+          .select(TextAnalysis.tokens(col("text")).as("t"))
+          .collect().map(_.getSeq[String](0).toList).toList
+        val wellFormed = toks.forall(_.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")))
+        val again = toks.map(_.mkString(" ")).toDF("text")
+          .select(TextAnalysis.tokens(col("text")).as("t"))
+          .collect().map(_.getSeq[String](0).toList).toList
+        wellFormed && again == toks
+      }
+    })
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.streaming.Streams
+
+/** End-to-end streaming coverage (S1-S4, S6, streaming O3/X3, F6) using
+  * MemoryStream as the source stand-in (SURVEY §2.1 S1: no Kafka in the
+  * harness — the operators consume a generic streaming DataFrame carrying
+  * the same JSON envelopes the reference reads from its topic).
+  */
+class StreamsSpec extends SparkSuite {
+
+  /** One wire envelope as the reference producer emits it
+    * (`/root/reference/producer/producer.py:215`). */
+  private def envJson(account: String, name: String,
+      matches: Seq[(String, Int, Double, String)]): String = {
+    val ms = matches.map { case (mid, kills, damage, createdAt) =>
+      s"""{"match_id":"$mid","game_mode":"squad","map_name":"erangel","duration":1800,""" +
+        s""""is_custom_match":false,"created_at":"$createdAt","player_performance":{""" +
+        s""""kills":$kills,"assists":1,"headshot_kills":1,"longest_kill":100.0,""" +
+        s""""damage_dealt":$damage,"time_survived":1200.0,"death_type":"byplayer",""" +
+        s""""win_place":5,"walk_distance":1000.0,"weapons_acquired":3,"participant_name":"$name"}}"""
+    }.mkString("[", ",", "]")
+    s"""{"player":{"player_name":"$name","account_id":"$account","shard_id":"steam",""" +
+      s""""total_matches_count":${matches.size},"match_ids":[],""" +
+      s""""data_collected_at":"2024-01-01 00:00:00"},"matches":$ms}"""
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("S1+S2+O3/X3: envelope stream -> flatten -> watermarked dedup -> parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val out = tmp("etl-out")
+    val ckp = tmp("etl-ckp")
+
+    val flat = Streams.dedupWithinWatermark(
+      Streams.etlFlatten(mem.toDF()),
+      Seq("match_id", "account_id"), "event_time", "10 minutes")
+
+    // m1 arrives twice in the batch (producer re-poll) -> must land once
+    mem.addData(
+      envJson("a1", "alice", Seq(
+        ("m1", 3, 250.0, "2024-01-01 10:00:00"),
+        ("m2", 1, 100.0, "2024-01-01 10:05:00"))),
+      envJson("a1", "alice", Seq(
+        ("m1", 3, 250.0, "2024-01-01 10:00:00"))),
+      envJson("b2", "bob", Seq(
+        ("m1", 0, 50.0, "2024-01-01 10:01:00"))))
+
+    val q = Streams.parquetSink(flat, out, ckp, Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 3) // (m1,a1) deduped; (m1,b2) is a distinct key
+    assert(landed.filter(col("match_id") === "m1").count() == 2)
+    // event time came from the envelope, not the processing clock
+    assert(landed.filter(col("account_id") === "a1" && col("match_id") === "m1")
+      .select(date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss"))
+      .head.getString(0) == "2024-01-01 10:00:00")
+  }
+
+  test("S4+F6: foreachBatch analytics pipeline emits the four sub-queries per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    // alice: 5 quiet matches then a spike (trend + anomaly); bob: 3 quiet
+    val quiet = (1 to 5).map(i => (s"a$i", 1, 100.0, f"2024-01-01 10:0$i%d:00"))
+    val spike = Seq(("a6", 20, 10000.0, "2024-01-01 10:06:00"))
+    val bobMs = (1 to 3).map(i => (s"b$i", 1, 100.0, f"2024-01-01 11:0$i%d:00"))
+    mem.addData(
+      envJson("a1", "alice", quiet ++ spike),
+      envJson("b2", "bob", bobMs))
+
+    val got = scala.collection.mutable.Map[String, Array[Row]]()
+    val q = Streams.analyticsPipeline(
+      Streams.etlFlatten(mem.toDF()), tmp("fb-ckp"), Trigger.AvailableNow()) {
+      (name: String, df: DataFrame, _: Long) => got.synchronized { got(name) = df.collect() }
+    }
+    q.awaitTermination(120000)
+
+    assert(got.keySet == Set("ranking", "trends", "anomalies", "aggregates"))
+    // ranking: both players scored, spike player on top
+    val ranking = got("ranking")
+    assert(ranking.length == 2)
+    assert(ranking.map(_.getAs[String]("player_name")).toSet == Set("alice", "bob"))
+    // trends: only the warm (seq>=5) spike row passes the threshold gate
+    val trends = got("trends")
+    assert(trends.map(r => (r.getAs[String]("player_name"), r.getAs[String]("match_id"))).toSet
+      == Set(("alice", "a6")))
+    // anomalies: the 10000-damage outlier is the lone |z|>2.5 row
+    assert(got("anomalies").map(_.getAs[String]("match_id")).toSet == Set("a6"))
+    // aggregates: two (hour, mode, map) buckets, 9 rows total
+    assert(got("aggregates").map(_.getAs[Long]("total_events")).sum == 9)
+  }
+
+  test("F6: empty micro-batch short-circuits the pipeline (no sink calls)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String] // no data added
+    var calls = 0
+    val q = Streams.analyticsPipeline(
+      Streams.etlFlatten(mem.toDF()), tmp("fb-empty-ckp"), Trigger.AvailableNow()) {
+      (_: String, _: DataFrame, _: Long) => calls += 1
+    }
+    q.awaitTermination(120000)
+    assert(calls == 0)
+  }
+
+  test("S3+S6: console sink runs alongside the parquet sink; awaitAny unblocks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    mem.addData(envJson("c3", "carol", Seq(("m9", 2, 150.0, "2024-01-01 12:00:00"))))
+    val flat = Streams.etlFlatten(mem.toDF())
+    val console = Streams.consoleSink(flat, Trigger.AvailableNow()).start()
+    val parquet = Streams.parquetSink(flat, tmp("multi-out"), tmp("multi-ckp"),
+      Trigger.AvailableNow()).start()
+    // S6: multi-query coordination — both queries drain, awaitAny returns
+    assert(Streams.awaitAny(spark, 120000))
+    console.awaitTermination(120000)
+    parquet.awaitTermination(120000)
+    assert(console.exception.isEmpty && parquet.exception.isEmpty)
+  }
+}
