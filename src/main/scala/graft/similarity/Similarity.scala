@@ -1,5 +1,7 @@
 package graft.similarity
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,13 +13,25 @@ import org.apache.spark.sql.functions._
   * shuffle of the corpus side — at 100 TB this is scan-bound and
   * embarrassingly parallel.
   *
-  * The scale path is [[lshBuckets]]: random-hyperplane LSH cuts candidates
+  * The scale path is [[annTopK]]: random-hyperplane LSH cuts candidates
   * to one bucket's worth per query (probing only matching sign-bit buckets),
   * trading recall for a ~2^bits candidate reduction. Hyperplanes are derived
-  * deterministically from xxhash64 so the operator needs no stored model.
+  * deterministically from the portable md5 hash (see [[graft.functions.Hash64]])
+  * so the operator needs no stored model AND the DuckDB oracle can recompute
+  * them — q26 is fully hash-checked.
   *
-  * All expressions are built-in higher-order functions (`zip_with`,
-  * `aggregate`) — codegen'd, no UDF (SURVEY §7.5).
+  * Expression strategy: Spark's higher-order functions (`zip_with`,
+  * `aggregate`) are *interpreted* expressions, but their per-element work
+  * here is one multiply-add — compact and cheap. The measured alternative,
+  * expanding dot products into fixed-dimension `element_at` chains
+  * ([[dotFixed]]), generates ~200-term codegen methods whose Janino
+  * compilation cost exceeds the fold's runtime at bench scale; it is kept
+  * as the documented option for long-running jobs where compile time
+  * amortizes. What must NOT run per row is hashing: hyperplane components
+  * are baked in as literals at plan-build time (same md5 derivation as the
+  * DuckDB oracle, evaluated 8×dim times total in Scala instead of 8×dim
+  * times per row). Both fold forms are left-associated from 0.0, so
+  * results are bit-identical to DuckDB's `list_reduce`.
   */
 object Similarity {
 
@@ -33,33 +47,51 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
+  /** Fixed-dimension dot product as a left-associated `+` chain of element
+    * products — same evaluation order as the HOF fold, hence bit-identical.
+    * Codegen-friendly but Janino-heavy (~3 s compile per distinct plan):
+    * worth it only for long-running jobs; see the class doc. */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  def cosineFixed(a: Column, b: Column, dim: Int): Column =
+    dotFixed(a, b, dim) / sqrt(dotFixed(a, a, dim)) / sqrt(dotFixed(b, b, dim))
+
+  private def cosineFor(a: Column, b: Column, dim: Int): Column =
+    if (dim > 0) cosineFixed(a, b, dim) else cosine(a, b)
+
   /** Brute-force cosine top-k: broadcast `queries` (qid, qv), score all of
-    * `base` (id, ev), keep k best per query (deterministic tie-break on id). */
-  def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * `base` (id, ev), keep k best per query (deterministic tie-break on id).
+    * Pass the embedding dimension to stay on the codegen'd path; `dim = 0`
+    * falls back to the interpreted HOF fold. */
+  def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 0): DataFrame = {
     val scored = base.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col("qv"), col("ev")))
+      .withColumn("cosine", cosineFor(col("qv"), col("ev"), dim))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id"), col("cosine"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * portable-hash-derived value in [-0.5, 0.5). Uses [[Hash64.hash60]]
-    * (md5-based, non-negative) rather than xxhash64 so the DuckDB oracle
-    * can derive the identical hyperplanes — which upgrades the ANN query
-    * from a rows-only check to a full hash-compared oracle. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    ((graft.functions.Hash64.hash60(concat_ws("_", lit(plane), dim)) % lit(1000L))
-      .cast("double") / lit(1000.0)) - lit(0.5)
+  /** Deterministic pseudo-random hyperplane component for (plane, dim),
+    * in [-0.5, 0.5): the same value `Hash64.hash60("<plane>_<dim>") % 1000
+    * / 1000.0 - 0.5` yields in either engine, evaluated once at plan-build
+    * time (md5 of a constant string) and inlined as a literal. */
+  private def planeVal(plane: Int, dim: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16)
+    (h % 1000L).toDouble / 1000.0 - 0.5
+  }
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane over the
-    * embedding's dot product with each hyperplane. */
+    * embedding's dot product with each (literal) hyperplane array. */
   def lshBucket(ev: Column, dim: Int, bits: Int = 8): Column =
     (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(ev, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * planeComponent(p, i)),
+      val planeArr = array((0 until dim).map(i => lit(planeVal(p, i))): _*)
+      val proj = aggregate(zip_with(ev, planeArr, (x, c) => x * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

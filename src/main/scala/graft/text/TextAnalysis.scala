@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for the training-data pipeline extensions:
   * tokenization, quality scoring, language ID, document fingerprinting.
   *
-  * All built from codegen'd `functions._` higher-order expressions — no
-  * UDFs, so whole-stage codegen spans the scan → project pipeline and the
-  * operators run at parquet-scan speed at 100 TB.
+  * All built from built-in `functions._` expressions — no UDFs, so plans
+  * remain declarative and Catalyst-optimizable. Caveat: the higher-order
+  * functions used here (`transform`, `filter`, `aggregate`) are
+  * *interpreted* expressions in Spark — they evaluate once per document
+  * (fine), but must stay out of per-row hot loops; the dedup/similarity
+  * operators therefore hash over exploded rows or literal-expanded chains
+  * instead of folding arrays per candidate pair (see NearDup/Similarity).
   */
 object TextAnalysis {
 

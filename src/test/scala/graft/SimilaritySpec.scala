@@ -47,6 +47,18 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(self.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("dotFixed chain is bit-identical to the HOF fold") {
+    import spark.implicits._
+    val df = (0 until 50).map { i =>
+      (Seq.tabulate(16)(d => math.sin(i * 16 + d) * 3),
+        Seq.tabulate(16)(d => math.cos(i * 16 + d) * 2))
+    }.toDF("a", "b")
+    val out = df.select(
+      Similarity.dot(col("a"), col("b")).as("hof"),
+      Similarity.dotFixed(col("a"), col("b"), 16).as("fixed")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
   test("lshBucket is deterministic across evaluations") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")
