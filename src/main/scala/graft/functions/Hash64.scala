@@ -18,16 +18,42 @@ object Hash64 {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant (independent hash family member per seed): prefix the
-    * payload with "seed:". */
-  def seeded(seed: Int, s: Column): Column =
-    hash60(concat(lit(s"$seed:"), s))
-
   /** DuckDB fragment computing the same value as [[hash60]]. */
   def duckSql(inner: String): String =
     s"CAST('0x' || substr(md5($inner), 1, 15) AS BIGINT)"
 
-  /** DuckDB fragment computing the same value as [[seeded]]. */
-  def duckSeededSql(seed: Int, inner: String): String =
-    duckSql(s"'$seed:' || $inner")
+  /** Deterministic 60-bit xor-key for hash family member i. */
+  def mixKey(i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"k:$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Rotation distance for family member i (coprime stride spreads the
+    * members over the 60 bit positions). */
+  def mixRot(i: Int): Int = (i * 7 + 5) % 60
+
+  /** Hash family member i over a 60-bit base hash `h`: xor an md5-derived
+    * key, then rotate within 60 bits. Rotation changes which bits dominate
+    * the ordering, so the argmin element differs per member — the property
+    * MinHash banding needs. (A linear `a*h+b mod p` family whose products
+    * never exceed p stays order-correlated with `h`: every member picks
+    * the same argmin and banding collapses — measured 45x candidate
+    * blowup. A wrap-multiply mixer fixes that but ANSI mode rejects 64-bit
+    * wrap.) All ops stay below 2^61 — overflow-free in both engines — and
+    * the strong md5 hash runs once per element, not once per member. */
+  def mixed(i: Int, h: Column): Column = {
+    val r = mixRot(i)
+    val x = h.bitwiseXOR(lit(mixKey(i)))
+    if (r == 0) x
+    else x.bitwiseAND(lit((1L << (60 - r)) - 1)) * lit(1L << r) + shiftright(x, 60 - r)
+  }
+
+  /** DuckDB fragment computing the same value as [[mixed]]. */
+  def duckMixedSql(i: Int, hExpr: String): String = {
+    val r = mixRot(i)
+    val x = s"xor(($hExpr), ${mixKey(i)})"
+    if (r == 0) x
+    else s"(($x & ${(1L << (60 - r)) - 1}) * ${1L << r} + ($x >> ${60 - r}))"
+  }
 }

@@ -88,10 +88,10 @@ object Vectors extends QueryModule {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** 16 seeded min-hash aggregates as a DuckDB list literal (mirrors
-    * [[NearDup.minhashSignatures]] / [[Hash64.seeded]]). */
+  /** 16 mixer min aggregates over the strong shingle hash `h`, as a
+    * DuckDB list literal (mirrors [[NearDup.minhashSignatures]]). */
   private val minhashSigList: String =
-    (0 until 16).map(i => s"min(${Hash64.duckSeededSql(i, "sh")})")
+    (0 until 16).map(i => s"min(${Hash64.duckMixedSql(i, "h")})")
       .mkString("[", ", ", "]")
 
   /** Random-hyperplane LSH bucket of a double-list column (mirrors
@@ -157,8 +157,10 @@ object Vectors extends QueryModule {
         |         ELSE list_transform(range(1, len(toks) - 1),
         |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS sh
         |  FROM toks
+        |), hs AS (
+        |  SELECT doc_id, ${Hash64.duckSql("sh")} AS h FROM sh
         |), sig AS (
-        |  SELECT doc_id, $minhashSigList AS sig FROM sh GROUP BY 1
+        |  SELECT doc_id, $minhashSigList AS sig FROM hs GROUP BY 1
         |), banded AS (
         |  SELECT doc_id, b.band AS band, sig[b.band*4+1 : b.band*4+4] AS band_key
         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
