@@ -96,7 +96,7 @@ object NearDup {
     val tokAll = docs.select(
       col(idCol), col(blockCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
-    val tok =
+    val tok0 =
       if (maxDfFrac >= 1.0) tokAll
       else {
         val nDocs = docs.select(count(lit(1)).as("n_docs")) // 1 row — broadcast is fine
@@ -106,6 +106,10 @@ object NearDup {
           .select(col("token"))
         tokAll.join(kept, Seq("token"))
       }
+    // The token frame feeds four plan arms (both self-join sides + the two
+    // size lookups) and the static plan gets no exchange reuse across them
+    // — persist so the explode + df-cut runs once, not four times.
+    val tok = tok0.persist()
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val pairs = tok.as("a").join(tok.as("b"),
         col("a.token") === col("b.token") &&

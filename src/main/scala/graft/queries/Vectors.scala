@@ -83,6 +83,18 @@ object Vectors extends QueryModule {
       val docs = Tables(s, dir).documents
       Media.decode(Media.syntheticMedia(s, docs)).toDF()
     }),
+
+    // Embedding-cosine near-dup: LSH-bucketed self-join + exact-cosine
+    // verify. Scaled copies (x*1.01 — same direction, different values,
+    // so exact/quantized dedup misses them) are injected and must be
+    // caught; a keyed shuffle on the bucket, never a cross join.
+    "q33_cosine_neardup" -> ((s, dir) => {
+      val e = base(Tables(s, dir))
+      val withDupes = e.unionAll(e.filter(col("id") % 100 === 0)
+        .select((col("id") + 200000).as("id"),
+          transform(col("ev"), x => x * lit(1.01)).as("ev")))
+      Similarity.cosineNearDupPairs(withDupes, dim = 64, minCosine = 0.95)
+    }),
   )
 
   private val toksSql =
@@ -104,10 +116,12 @@ object Vectors extends QueryModule {
     s"CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"
   }
 
-  private val cosineSql =
-    """list_reduce(list_transform(list_zip(qv, ev), p -> p[1] * p[2]), (a, v) -> a + v)
-      |           / sqrt(list_reduce(list_transform(qv, x -> x * x), (a, v) -> a + v))
-      |           / sqrt(list_reduce(list_transform(ev, x -> x * x), (a, v) -> a + v))""".stripMargin
+  private def cosineSqlFor(x: String, y: String): String =
+    s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (a, v) -> a + v)
+      |           / sqrt(list_reduce(list_transform($x, x -> x * x), (a, v) -> a + v))
+      |           / sqrt(list_reduce(list_transform($y, x -> x * x), (a, v) -> a + v))""".stripMargin
+
+  private val cosineSql = cosineSqlFor("qv", "ev")
 
   def oracleSql: Map[String, String] = Map(
     "q25_cosine_topk" ->
@@ -203,6 +217,24 @@ object Vectors extends QueryModule {
         |    ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
         |)
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 16""".stripMargin,
+
+    "q33_cosine_neardup" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), wd AS (
+        |  SELECT * FROM b
+        |  UNION ALL
+        |  SELECT id + 200000 AS id, list_transform(ev, x -> x * 1.01) AS ev
+        |  FROM b WHERE id % 100 = 0
+        |), bb AS (
+        |  SELECT id, ev, ${bucketSql("ev")} AS bucket FROM wd
+        |), pairs AS (
+        |  SELECT a.id AS d1, b.id AS d2,
+        |         ${cosineSqlFor("a.ev", "b.ev")} AS cosine
+        |  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.id < b.id
+        |)
+        |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin,
 
     "q29_embedding_dupkey" ->
       """WITH e AS (

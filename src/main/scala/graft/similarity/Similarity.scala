@@ -96,6 +96,21 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-dup pairs: LSH self-join (rows sharing a
+    * bucket become candidates — a keyed shuffle, never an O(n²) cross
+    * join), verified by exact cosine ≥ threshold. The dedup analogue of
+    * [[annTopK]]: corpus × corpus instead of corpus × query-set. */
+  def cosineNearDupPairs(base: DataFrame, dim: Int,
+      minCosine: Double): DataFrame = {
+    val bucketed = base.withColumn("bucket", lshBucket(col("ev"), dim))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        cosine(col("a.ev"), col("b.ev")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** ANN via LSH buckets: candidates = rows sharing the query's bucket,
     * reranked by exact cosine, top-k per query. Recall < 1 by construction;
     * increase probes/bands for higher recall at proportional cost. */

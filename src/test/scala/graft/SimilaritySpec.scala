@@ -47,6 +47,17 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(self.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("cosineNearDupPairs catches scaled copies, not unrelated vectors") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(1.01, 2.02, 3.03, 4.04)), // scaled copy of 1 → cosine ≈ 1
+      (3L, Seq(4.0, -3.0, 2.0, -1.0))).toDF("id", "ev")
+    val pairs = Similarity.cosineNearDupPairs(base, dim = 4, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("dotFixed chain is bit-identical to the HOF fold") {
     import spark.implicits._
     val df = (0 until 50).map { i =>
