@@ -92,10 +92,26 @@ object NearDup {
     *                  disables the cut.
     */
   def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, minJaccard: Double, maxDfFrac: Double = 1.0): DataFrame = {
+      blockCol: String, minJaccard: Double, maxDfFrac: Double = 1.0): DataFrame =
+    jaccardPairs(docs,
+      array_distinct(TextAnalysis.tokens(col(textCol))),
+      idCol, blockCol, minJaccard, maxDfFrac)
+
+  /** Exact n-gram (shingle) Jaccard: the stricter word-order-sensitive
+    * variant of [[tokenJaccardPairs]] — two documents with the same word
+    * multiset but different order share tokens yet few shingles. Same
+    * keyed-shuffle plan, unit = w-gram instead of token. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJaccard: Double, maxDfFrac: Double = 1.0,
+      w: Int = 3): DataFrame =
+    jaccardPairs(docs,
+      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), w)),
+      idCol, blockCol, minJaccard, maxDfFrac)
+
+  private def jaccardPairs(docs: DataFrame, units: Column, idCol: String,
+      blockCol: String, minJaccard: Double, maxDfFrac: Double): DataFrame = {
     val tokAll = docs.select(
-      col(idCol), col(blockCol),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+      col(idCol), col(blockCol), explode(units).as("token"))
     val tok0 =
       if (maxDfFrac >= 1.0) tokAll
       else {

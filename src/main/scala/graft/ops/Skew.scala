@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting.
+  *
+  * A single hot key (one player generating 1% of 100 TB, one stopword
+  * token) lands its entire partition on one task in a keyed shuffle. AQE's
+  * skew-join split handles much of this at runtime; salting is the
+  * explicit, planner-independent form:
+  *
+  *  - join: the probe side gets a salt in [0, n); the build side is
+  *    replicated to every salt value; joining on (key, salt) splits each
+  *    hot key across n tasks. Output is identical to the unsalted join
+  *    for any salt assignment, so the salt source only needs spread, not
+  *    determinism.
+  *  - aggregation: partial-aggregate on (key, salt), then final-aggregate
+  *    on key — the manual form of the map-side partial Catalyst already
+  *    does, useful when combining non-algebraic custom logic.
+  */
+object Skew {
+
+  private def saltCol(n: Int): Column =
+    pmod(monotonically_increasing_id(), lit(n.toLong)).cast("int")
+
+  /** Inner equi-join with the probe (larger, skewed) side salted and the
+    * build side replicated `salts` times. Build side should be the smaller
+    * input — replication multiplies it. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val sl = probe.withColumn("__salt", saltCol(salts))
+    val sr = build.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    sl.join(sr, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted count: per-(key, salt) partials, then the final
+    * per-key sum. Result equals `df.groupBy(key).count`. */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    df.withColumn("__salt", saltCol(salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col(key))
+      .agg(sum(col("partial")).as("count"))
+}

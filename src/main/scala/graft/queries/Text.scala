@@ -81,6 +81,13 @@ object Text extends QueryModule {
     "q24_token_jaccard" -> ((s, dir) =>
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
+
+    // n-gram (3-shingle) Jaccard: word-order-sensitive near-dup — the
+    // exact counterpart of q27's MinHash estimate, same keyed-shuffle plan
+    // as q24 with shingles as the join unit.
+    "q34_ngram_jaccard" -> ((s, dir) =>
+      NearDup.ngramJaccardPairs(Tables(s, dir).documents,
+        "doc_id", "text", "source", minJaccard = 0.8, maxDfFrac = 0.8)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,5 +169,32 @@ object Text extends QueryModule {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
+
+    "q34_ngram_jaccard" ->
+      s"""WITH tok_all AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS token
+        |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
+        |), kept AS (
+        |  SELECT token FROM (SELECT token, count(*) AS df FROM tok_all GROUP BY 1)
+        |  WHERE df <= (SELECT count(*) FROM documents) * 0.8
+        |), tok AS (
+        |  SELECT tok_all.* FROM tok_all JOIN kept USING (token)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tok a JOIN tok b
+        |    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, inter,
+        |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8""".stripMargin,
   )
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.ingest.Ingest
 import graft.ops._
@@ -130,6 +130,53 @@ object Streams {
       Rollups.hourlyRollup(facts, col("event_time"),
         Seq(col("game_mode"), col("map_name")), col("player_name"),
         Exact.cents(col("damage_dealt")))
+  }
+
+  /** A3/A6 streaming form: event-time tumbling-window aggregation with a
+    * watermark, append mode. The reference buckets hours by `date_format`
+    * string truncation inside foreachBatch — recomputed every epoch, never
+    * finalized; this emits each window exactly once, when the watermark
+    * passes its end, with bounded state. */
+  def windowedCounts(facts: DataFrame, eventTimeCol: String, delay: String,
+      windowLen: String, keys: Seq[String]): DataFrame =
+    facts.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Keyed event for the custom-state operators. */
+  case class KeyedEvent(key: String, payload: String, ts: java.sql.Timestamp)
+
+  /** X3 via explicit state — the `flatMapGroupsWithState` form of
+    * [[dedupWithinWatermark]], for semantics the built-in operator cannot
+    * express (per-key quotas, emit-counts, custom TTL bookkeeping). An
+    * event is emitted iff its event time is past the key's suppression
+    * deadline (last emitted event + `ttlMs` — the alert-manager semantics,
+    * `monitoring/alert_manager.py:83-94`); state per key is one long
+    * (the deadline), reclaimed by event-time timeout once the watermark
+    * passes it, so state stays bounded by keys alerting within a TTL. */
+  def ttlDedupWithState(events: Dataset[KeyedEvent], delay: String,
+      ttlMs: Long): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val kept = Seq.newBuilder[KeyedEvent]
+            var deadline = state.getOption.getOrElse(Long.MinValue)
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              if (e.ts.getTime >= deadline) {
+                kept += e
+                deadline = e.ts.getTime + ttlMs
+              }
+            }
+            state.update(deadline)
+            state.setTimeoutTimestamp(deadline)
+            kept.result().iterator
+          }
+      }
   }
 
   /** S4+S6: foreachBatch analytics pipeline. Persists each micro-batch once

@@ -115,6 +115,50 @@ class StreamsSpec extends SparkSuite {
     assert(calls == 0)
   }
 
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("event-time window agg emits finalized windows as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.KeyedEvent]
+    val wc = Streams.windowedCounts(mem.toDF(), "ts", "0 seconds", "1 hour", Seq("key"))
+    val q = wc.writeStream.format("memory").queryName("wc_out")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.KeyedEvent("a", "p", ts("10:00:00")),
+      Streams.KeyedEvent("a", "p", ts("10:30:00")),
+      Streams.KeyedEvent("b", "p", ts("10:15:00")))
+    q.processAllAvailable()
+    assert(spark.table("wc_out").count() == 0) // 10:00 window still open
+    mem.addData(Streams.KeyedEvent("a", "p", ts("12:00:00")))
+    q.processAllAvailable()
+    val closed = spark.table("wc_out")
+      .select(col("key"), col("n_events")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(closed == Map("a" -> 2L, "b" -> 1L)) // exactly the finalized hour
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState TTL dedup: emit, suppress within TTL, re-emit after") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.KeyedEvent]
+    val out = Streams.ttlDedupWithState(mem.toDS(), "0 seconds", ttlMs = 10 * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.KeyedEvent("k1", "first", ts("10:00:00")),
+      Streams.KeyedEvent("k1", "dup", ts("10:00:30")))
+    q.processAllAvailable()
+    mem.addData(Streams.KeyedEvent("k2", "other", ts("10:20:00")))
+    q.processAllAvailable()
+    mem.addData(Streams.KeyedEvent("k1", "again", ts("10:25:00"))) // past k1's 10:10 deadline
+    q.processAllAvailable()
+    val got = spark.table("ttl_out").select("payload").as[String].collect().toSet
+    assert(got == Set("first", "other", "again")) // "dup" suppressed
+    q.stop()
+  }
+
   test("S3+S6: console sink runs alongside the parquet sink; awaitAny unblocks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
