@@ -20,18 +20,19 @@ import org.apache.spark.sql.functions._
   * so the operator needs no stored model AND the DuckDB oracle can recompute
   * them — q26 is fully hash-checked.
   *
-  * Expression strategy: Spark's higher-order functions (`zip_with`,
-  * `aggregate`) are *interpreted* expressions, but their per-element work
-  * here is one multiply-add — compact and cheap. The measured alternative,
-  * expanding dot products into fixed-dimension `element_at` chains
-  * ([[dotFixed]]), generates ~200-term codegen methods whose Janino
-  * compilation cost exceeds the fold's runtime at bench scale; it is kept
-  * as the documented option for long-running jobs where compile time
-  * amortizes. What must NOT run per row is hashing: hyperplane components
-  * are baked in as literals at plan-build time (same md5 derivation as the
-  * DuckDB oracle, evaluated 8×dim times total in Scala instead of 8×dim
-  * times per row). Both fold forms are left-associated from 0.0, so
-  * results are bit-identical to DuckDB's `list_reduce`.
+  * Expression strategy (measured, in preference order):
+  *  1. [[cosineNative]] — the custom codegen'd [[graft.functions.DotProduct]]
+  *     expression: the loop lives inside one compact generated method.
+  *     Used in every scoring hot loop.
+  *  2. HOF folds ([[dot]]) — interpreted, compact; fine once per row
+  *     outside hot loops (e.g. the 8 bucket projections).
+  *  3. [[dotFixed]] `element_at` chains — codegen'd but ~200-term methods
+  *     cost seconds of Janino compile per distinct plan; only for
+  *     long-running jobs where that amortizes.
+  * All three are left-associated folds from 0.0, so results are
+  * bit-identical to each other and to DuckDB's `list_reduce`. Hashing
+  * never runs per row: hyperplane components are baked in as literals at
+  * plan-build time (same md5 derivation as the DuckDB oracle).
   */
 object Similarity {
 
@@ -47,6 +48,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
+  /** Cosine via the native codegen'd [[graft.functions.DotProduct]]
+    * expression — the scoring form used by the top-k / near-dup operators'
+    * hot loops (same fold order as [[cosine]]; bit-equal results). */
+  def cosineNative(a: Column, b: Column): Column = {
+    val nd = graft.functions.DotProduct.dot _
+    nd(a, b) / sqrt(nd(a, a)) / sqrt(nd(b, b))
+  }
+
   /** Fixed-dimension dot product as a left-associated `+` chain of element
     * products — same evaluation order as the HOF fold, hence bit-identical.
     * Codegen-friendly but Janino-heavy (~3 s compile per distinct plan):
@@ -57,17 +66,11 @@ object Similarity {
   def cosineFixed(a: Column, b: Column, dim: Int): Column =
     dotFixed(a, b, dim) / sqrt(dotFixed(a, a, dim)) / sqrt(dotFixed(b, b, dim))
 
-  private def cosineFor(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0) cosineFixed(a, b, dim) else cosine(a, b)
-
   /** Brute-force cosine top-k: broadcast `queries` (qid, qv), score all of
-    * `base` (id, ev), keep k best per query (deterministic tie-break on id).
-    * Pass the embedding dimension to stay on the codegen'd path; `dim = 0`
-    * falls back to the interpreted HOF fold. */
-  def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int,
-      dim: Int = 0): DataFrame = {
+    * `base` (id, ev), keep k best per query (deterministic tie-break on id). */
+  def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = base.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosineFor(col("qv"), col("ev"), dim))
+      .withColumn("cosine", cosineNative(col("qv"), col("ev")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -107,7 +110,7 @@ object Similarity {
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        cosine(col("a.ev"), col("b.ev")).as("cosine"))
+        cosineNative(col("a.ev"), col("b.ev")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -118,7 +121,7 @@ object Similarity {
     val bucketed = base.withColumn("bucket", lshBucket(col("ev"), dim))
     val qBucketed = queries.withColumn("bucket", lshBucket(col("qv"), dim))
     val cands = bucketed.join(broadcast(qBucketed), Seq("bucket"))
-      .withColumn("cosine", cosine(col("qv"), col("ev")))
+      .withColumn("cosine", cosineNative(col("qv"), col("ev")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     cands.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

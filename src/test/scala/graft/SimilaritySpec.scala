@@ -58,7 +58,7 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("dotFixed chain is bit-identical to the HOF fold") {
+  test("dotFixed chain and native DotProduct are bit-identical to the HOF fold") {
     import spark.implicits._
     val df = (0 until 50).map { i =>
       (Seq.tabulate(16)(d => math.sin(i * 16 + d) * 3),
@@ -66,8 +66,30 @@ class SimilaritySpec extends SparkSuite {
     }.toDF("a", "b")
     val out = df.select(
       Similarity.dot(col("a"), col("b")).as("hof"),
-      Similarity.dotFixed(col("a"), col("b"), 16).as("fixed")).collect()
-    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+      Similarity.dotFixed(col("a"), col("b"), 16).as("fixed"),
+      graft.functions.DotProduct.dot(col("a"), col("b")).as("native")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // exact, not approx
+      assert(r.getDouble(0) == r.getDouble(2))
+    }
+  }
+
+  test("native DotProduct: null array yields null; interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(3.0, 4.0)))).toDF("a", "b")
+    val rows = df.select(graft.functions.DotProduct.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+    // interpreted path (eval without codegen)
+    val e = graft.functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3.0, 4.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 11.0)
   }
 
   test("lshBucket is deterministic across evaluations") {
