@@ -143,22 +143,25 @@ object NearDup {
   }
 
   /** 60-bit SimHash over tokens: per bit, the sign of Σ(±1) across token
-    * hashes. Two partial-aggregated stages — (doc, bit) sign sums, then
-    * the per-doc bit pack — so every expression is a simple codegen'd
-    * shift/compare (round 1's 64-conditional-sum single aggregate blew the
-    * codegen budget and fell back to interpreted evaluation). */
+    * hashes, weighted by token multiplicity. Repeated tokens are collapsed
+    * to (doc, hash, count) first — one row per distinct token per doc —
+    * then the 60 per-bit sign sums run as conditional aggregates over that
+    * compact frame (no 60x row fan-out; each expression is a codegen'd
+    * shift/compare). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame = {
     val tok = docs.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .select(col(idCol), Hash64.hash60(col("token")).as("h"))
-    val signs = tok.select(col(idCol), posexplode(array((0 until bits).map(i =>
-        when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)): _*)))
-      .toDF(idCol, "pos", "sign")
-    signs.groupBy(col(idCol), col("pos")).agg(sum(col("sign")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), pos)"))
-        .otherwise(lit(0L))).as("simhash"))
+    val cnt = tok.groupBy(col(idCol), col("h")).agg(count(lit(1)).as("c"))
+    val sums = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("c"))
+        .otherwise(-col("c"))).as(s"b$i"))
+    cnt.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on 4×15-bit bands (a pair within

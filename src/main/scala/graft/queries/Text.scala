@@ -84,10 +84,14 @@ object Text extends QueryModule {
 
     // n-gram (3-shingle) Jaccard: word-order-sensitive near-dup — the
     // exact counterpart of q27's MinHash estimate, same keyed-shuffle plan
-    // as q24 with shingles as the join unit.
+    // as q24 with shingles as the join unit. No df-cut: 3-grams are
+    // self-discriminating (max df 25 of 5000 docs in this corpus), so the
+    // cut would add a shuffle + a second shingle evaluation to remove
+    // nothing; the maxDfFrac guard remains available for corpora with
+    // boilerplate n-grams.
     "q34_ngram_jaccard" -> ((s, dir) =>
       NearDup.ngramJaccardPairs(Tables(s, dir).documents,
-        "doc_id", "text", "source", minJaccard = 0.8, maxDfFrac = 0.8)),
+        "doc_id", "text", "source", minJaccard = 0.8)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,17 +175,12 @@ object Text extends QueryModule {
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
 
     "q34_ngram_jaccard" ->
-      s"""WITH tok_all AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, source, unnest(list_distinct(
         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |         ELSE list_transform(range(1, len(toks) - 1),
         |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS token
         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
-        |), kept AS (
-        |  SELECT token FROM (SELECT token, count(*) AS df FROM tok_all GROUP BY 1)
-        |  WHERE df <= (SELECT count(*) FROM documents) * 0.8
-        |), tok AS (
-        |  SELECT tok_all.* FROM tok_all JOIN kept USING (token)
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
         |), pairs AS (
