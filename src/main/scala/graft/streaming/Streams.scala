@@ -143,6 +143,17 @@ object Streams {
       .groupBy(window(col(eventTimeCol), windowLen) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"))
 
+  /** Session windows: per-key activity sessions that close after `gap` of
+    * event-time inactivity — e.g. play sessions from match events. Spark
+    * merges overlapping windows incrementally; the watermark bounds state
+    * and finalizes sessions. (Absent from the reference — SURVEY §2.10 —
+    * but table stakes for a complete streaming engine.) */
+  def sessionCounts(facts: DataFrame, eventTimeCol: String, delay: String,
+      gap: String, keys: Seq[String]): DataFrame =
+    facts.withWatermark(eventTimeCol, delay)
+      .groupBy(session_window(col(eventTimeCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+
   /** Keyed event for the custom-state operators. */
   case class KeyedEvent(key: String, payload: String, ts: java.sql.Timestamp)
 

@@ -139,6 +139,26 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("session windows close after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.KeyedEvent]
+    val sc = Streams.sessionCounts(mem.toDF(), "ts", "0 seconds", "10 minutes", Seq("key"))
+    val q = sc.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.KeyedEvent("a", "p", ts("10:00:00")),
+      Streams.KeyedEvent("a", "p", ts("10:05:00")), // same session (gap < 10m)
+      Streams.KeyedEvent("a", "p", ts("10:30:00"))) // new session
+    q.processAllAvailable()
+    mem.addData(Streams.KeyedEvent("b", "p", ts("12:00:00"))) // advance watermark
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out")
+      .filter(col("key") === "a").select("n_events").as[Long].collect().sorted.toSeq
+    assert(sessions == Seq(1L, 2L)) // the 10:00-10:05 pair and the lone 10:30
+    q.stop()
+  }
+
   test("flatMapGroupsWithState TTL dedup: emit, suppress within TTL, re-emit after") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
