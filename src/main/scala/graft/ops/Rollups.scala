@@ -35,6 +35,24 @@ object Rollups {
       .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("total_events")))
       .drop("sum_cents")
 
+  /** A3 at scale: [[hourlyRollup]] with the exact distinct count replaced
+    * by the HLL++ sketch. Exact `countDistinct` plans an Expand + second
+    * aggregation — every (bucket, user) pair crosses the shuffle; the
+    * sketch is a fixed-size mergeable buffer per group, combined map-side,
+    * with relative error ≤ `rsd`. Sketch internals differ per engine so
+    * there is no DuckDB oracle; RollupsSpec bounds it against the exact
+    * count instead. */
+  def hourlyRollupApprox(df: DataFrame, ts: Column, dims: Seq[Column],
+      userId: Column, valueCents: Column, rsd: Double = 0.02): DataFrame =
+    df.withColumn("hour", date_format(ts, "yyyy-MM-dd HH"))
+      .groupBy(col("hour") +: dims: _*)
+      .agg(
+        count(lit(1)).as("total_events"),
+        approx_count_distinct(userId, rsd).as("unique_users"),
+        sum(valueCents).as("sum_cents"))
+      .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("total_events")))
+      .drop("sum_cents")
+
   /** A6/§2.8: tumbling event-time window aggregate (the engine-native form
     * the reference approximates with string truncation). `last` semantics
     * are made deterministic via `max_by` on a unique sequence column. */
