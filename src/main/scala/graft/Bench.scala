@@ -32,6 +32,9 @@ object Bench {
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(e.toString.linesIterator.next().take(200)) }
+      // Operators that persist internal frames (q24/q27/q34) would
+      // otherwise pin them for the rest of the run, skewing later queries.
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, err) =>

@@ -21,11 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Fold order is `((0 + p0) + p1) + ...` — identical to the HOF form and
   * DuckDB's `list_reduce`, so results stay bit-equal (asserted in
-  * SimilaritySpec). Array elements must be non-null (embedding vectors);
-  * a null ARRAY input yields null via the standard binary null contract.
+  * SimilaritySpec). The null contract also matches both: a null ARRAY
+  * input yields null, and a LENGTH MISMATCH yields null (zip_with /
+  * list_zip pad the shorter side with null, poisoning the fold) — a
+  * ragged embedding row drops out of scoring identically on all three
+  * paths instead of silently scoring a common prefix here. Array
+  * elements themselves must be non-null (embedding vectors).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -40,11 +46,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,12 +62,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -22,18 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Rollups {
 
-  /** A3/P12: reference-shaped hourly rollup keyed by a string hour bucket
-    * plus dimension columns. Metric averages derive from exact cents sums. */
-  def hourlyRollup(df: DataFrame, ts: Column, dims: Seq[Column], userId: Column,
-      valueCents: Column): DataFrame =
+  /** Shared rollup body — exact and sketch forms differ only in the
+    * unique-users aggregate, so the shape lives once. */
+  private def rollupWith(df: DataFrame, ts: Column, dims: Seq[Column],
+      uniqueUsers: Column): DataFrame =
     df.withColumn("hour", date_format(ts, "yyyy-MM-dd HH"))
       .groupBy(col("hour") +: dims: _*)
       .agg(
         count(lit(1)).as("total_events"),
-        countDistinct(userId).as("unique_users"),
-        sum(valueCents).as("sum_cents"))
+        uniqueUsers.as("unique_users"),
+        sum(col("__cents")).as("sum_cents"))
       .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("total_events")))
       .drop("sum_cents")
+
+  /** A3/P12: reference-shaped hourly rollup keyed by a string hour bucket
+    * plus dimension columns. Metric averages derive from exact cents sums. */
+  def hourlyRollup(df: DataFrame, ts: Column, dims: Seq[Column], userId: Column,
+      valueCents: Column): DataFrame =
+    rollupWith(df.withColumn("__cents", valueCents), ts, dims, countDistinct(userId))
 
   /** A3 at scale: [[hourlyRollup]] with the exact distinct count replaced
     * by the HLL++ sketch. Exact `countDistinct` plans an Expand + second
@@ -44,14 +50,8 @@ object Rollups {
     * count instead. */
   def hourlyRollupApprox(df: DataFrame, ts: Column, dims: Seq[Column],
       userId: Column, valueCents: Column, rsd: Double = 0.02): DataFrame =
-    df.withColumn("hour", date_format(ts, "yyyy-MM-dd HH"))
-      .groupBy(col("hour") +: dims: _*)
-      .agg(
-        count(lit(1)).as("total_events"),
-        approx_count_distinct(userId, rsd).as("unique_users"),
-        sum(valueCents).as("sum_cents"))
-      .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("total_events")))
-      .drop("sum_cents")
+    rollupWith(df.withColumn("__cents", valueCents), ts, dims,
+      approx_count_distinct(userId, rsd))
 
   /** A6/§2.8: tumbling event-time window aggregate (the engine-native form
     * the reference approximates with string truncation). `last` semantics

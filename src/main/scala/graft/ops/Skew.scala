@@ -21,15 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  private def saltCol(n: Int): Column =
-    pmod(monotonically_increasing_id(), lit(n.toLong)).cast("int")
+  /** Deterministic per-row salt: hash of the full row content. A
+    * nondeterministic source (row order, monotonically_increasing_id)
+    * would assign different salts when a failed map stage is partially
+    * recomputed — reducers that already consumed the first attempt's
+    * output would then double-count or drop rows (the SPARK-23207 class
+    * of bug). Content-hashing is retry-stable; a hot KEY still spreads
+    * because its rows differ in the other columns. */
+  private def saltCol(df: DataFrame, n: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n.toLong)).cast("int")
 
   /** Inner equi-join with the probe (larger, skewed) side salted and the
     * build side replicated `salts` times. Build side should be the smaller
     * input — replication multiplies it. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val sl = probe.withColumn("__salt", saltCol(salts))
+    val sl = probe.withColumn("__salt", saltCol(probe, salts))
     val sr = build.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")
@@ -38,7 +45,7 @@ object Skew {
   /** Two-phase salted count: per-(key, salt) partials, then the final
     * per-key sum. Result equals `df.groupBy(key).count`. */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("__salt", saltCol(salts))
+    df.withColumn("__salt", saltCol(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("partial"))
       .groupBy(col(key))

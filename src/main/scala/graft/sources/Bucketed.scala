@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directly and the `Exchange` nodes disappear from the physical plan —
   * the join runs shuffle-free, stage-local. The reference has no joins at
   * all (SURVEY §2.10); this is engine capability for the read-side/
-  * training-pipeline workloads, exercised by BucketedSpec (which asserts
+  * training-pipeline workloads, exercised by ScaleOpsSpec (which asserts
   * the plan contains no shuffle exchange).
   *
   * `bucketBy` requires a catalog table (`saveAsTable`) — works with the

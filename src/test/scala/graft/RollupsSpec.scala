@@ -1,36 +1,46 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Exact, Rollups}
 
 /** The sketch-relaxed rollup: same shape as the exact form, distinct
-  * counts within the configured relative error. */
+  * counts within the configured relative error. Inline fixture — no
+  * machine-local testdata dependency. */
 class RollupsSpec extends SparkSuite {
 
+  private def events = {
+    import spark.implicits._
+    (1 to 2000).map { i =>
+      (Timestamp.valueOf(s"2024-01-01 ${10 + i % 3}:00:00"),
+        if (i % 4 == 0) "click" else "view",
+        (i % 137).toLong,       // user_id: 137 distinct per slice
+        (i % 50) + 0.25)        // value
+    }.toDF("ts", "event_type", "user_id", "value")
+  }
+
   test("hourlyRollupApprox matches the exact rollup within the rsd bound") {
-    val t = Tables(spark, "/root/testdata/sf0.001")
-    val ev = t.events
     def run(approx: Boolean) = {
-      val f =
-        if (approx) Rollups.hourlyRollupApprox _
-        else (df: org.apache.spark.sql.DataFrame, ts: org.apache.spark.sql.Column,
-            dims: Seq[org.apache.spark.sql.Column], uid: org.apache.spark.sql.Column,
-            vc: org.apache.spark.sql.Column, _: Double) =>
-          Rollups.hourlyRollup(df, ts, dims, uid, vc)
-      f(ev, col("ts"), Seq(col("event_type")), col("user_id"),
-        Exact.cents(col("value")), 0.02)
-        .collect()
+      val f = if (approx)
+        Rollups.hourlyRollupApprox(events, col("ts"), Seq(col("event_type")),
+          col("user_id"), Exact.cents(col("value")))
+      else
+        Rollups.hourlyRollup(events, col("ts"), Seq(col("event_type")),
+          col("user_id"), Exact.cents(col("value")))
+      f.collect()
         .map(r => (r.getString(0), r.getString(1)) ->
-          (r.getAs[Long]("total_events"), r.getAs[Long]("unique_users")))
+          (r.getAs[Long]("total_events"), r.getAs[Long]("unique_users"),
+            r.getAs[Double]("avg_value")))
         .toMap
     }
     val exact = run(approx = false)
-    val approx = run(approx = true)
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, (n, distinct)) =>
-      val (nA, distinctA) = approx(k)
-      assert(nA == n) // counts and grouping identical
+    val sketch = run(approx = true)
+    assert(exact.nonEmpty && sketch.keySet == exact.keySet)
+    exact.foreach { case (k, (n, distinct, avg)) =>
+      val (nA, distinctA, avgA) = sketch(k)
+      assert(nA == n && avgA == avg) // identical shape outside the sketch
       val err = math.abs(distinctA - distinct).toDouble / math.max(distinct, 1)
       assert(err <= 0.10, s"$k: approx $distinctA vs exact $distinct") // 5x rsd headroom
     }

@@ -74,6 +74,15 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("native DotProduct nulls on length mismatch, matching the HOF/list_zip contract") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      graft.functions.DotProduct.dot(col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("hof")).head
+    assert(r.isNullAt(0) && r.isNullAt(1)) // ragged rows drop out identically
+  }
+
   test("native DotProduct: null array yields null; interpreted eval agrees with codegen") {
     import spark.implicits._
     val df = Seq(
