@@ -154,6 +154,23 @@ object Streams {
       .groupBy(session_window(col(eventTimeCol), gap) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream inner interval join: rows with equal `key` whose event
+    * times lie within [-before, +after] of each other. Both sides carry
+    * watermarks so Spark can age out join state — without them a
+    * stream-stream join buffers forever. Column names on the right side
+    * are suffixed `_r`. (Absent from the reference, which has no joins at
+    * all; required engine capability for enrichment-at-ingest.) */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      timeCol: String, delay: String, before: String, after: String): DataFrame = {
+    val l = left.withWatermark(timeCol, delay)
+    val r0 = right.withWatermark(timeCol, delay)
+    val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col(s"${timeCol}_r") >= col(timeCol) - expr(s"INTERVAL $before") &&
+        col(s"${timeCol}_r") <= col(timeCol) + expr(s"INTERVAL $after"))
+  }
+
   /** Keyed event for the custom-state operators. */
   case class KeyedEvent(key: String, payload: String, ts: java.sql.Timestamp)
 
@@ -188,6 +205,27 @@ object Streams {
             kept.result().iterator
           }
       }
+  }
+
+  /** Exactly-once-per-epoch guard for `foreachBatch` side effects. The
+    * reference's per-epoch Kafka writes are at-least-once — a failed epoch
+    * is re-run and its messages re-published (SURVEY §3.2, "no exactly-once
+    * guard"). This wraps a sink with a durable (name, epochId) marker under
+    * `markerDir` and skips already-committed work on replay. foreachBatch
+    * callbacks run on the driver, so a driver-visible path suffices;
+    * point it at shared storage when the driver itself can fail over. */
+  def idempotentSink(markerDir: String)(
+      sink: (String, DataFrame, Long) => Unit): (String, DataFrame, Long) => Unit = {
+    (name, df, epochId) => {
+      val dir = java.nio.file.Paths.get(markerDir)
+      val marker = dir.resolve(s"$name-$epochId.done")
+      if (!java.nio.file.Files.exists(marker)) {
+        sink(name, df, epochId)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.createFile(marker)
+        ()
+      }
+    }
   }
 
   /** S4+S6: foreachBatch analytics pipeline. Persists each micro-batch once

@@ -139,6 +139,30 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("stream-stream interval join matches within the window, ages out state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lm = MemoryStream[Streams.KeyedEvent]
+    val rm = MemoryStream[Streams.KeyedEvent]
+    val joined = Streams.intervalJoin(lm.toDF(), rm.toDF(), "key", "ts",
+      delay = "0 seconds", before = "5 minutes", after = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    lm.addData(
+      Streams.KeyedEvent("k1", "left-a", ts("10:00:00")),
+      Streams.KeyedEvent("k1", "left-b", ts("11:00:00")))
+    rm.addData(
+      Streams.KeyedEvent("k1", "right-near", ts("10:03:00")), // within ±5m of left-a
+      Streams.KeyedEvent("k1", "right-far", ts("10:30:00")),  // matches neither
+      Streams.KeyedEvent("k2", "right-otherkey", ts("10:00:00")))
+    q.processAllAvailable()
+    val got = spark.table("ij_out")
+      .select("payload", "payload_r").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("left-a", "right-near")))
+    q.stop()
+  }
+
   test("session windows close after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -177,6 +201,19 @@ class StreamsSpec extends SparkSuite {
     val got = spark.table("ttl_out").select("payload").as[String].collect().toSet
     assert(got == Set("first", "other", "again")) // "dup" suppressed
     q.stop()
+  }
+
+  test("idempotentSink runs each (name, epoch) once across replays") {
+    var calls = List.empty[(String, Long)]
+    val wrapped = Streams.idempotentSink(tmp("idem-markers")) {
+      (name, _, epoch) => calls = (name, epoch) :: calls
+    }
+    val df = spark.range(1).toDF()
+    wrapped("ranking", df, 0L)
+    wrapped("ranking", df, 0L) // epoch replay → skipped
+    wrapped("ranking", df, 1L) // new epoch → runs
+    wrapped("trends", df, 0L)  // different sub-query, same epoch → runs
+    assert(calls.reverse == List(("ranking", 0L), ("ranking", 1L), ("trends", 0L)))
   }
 
   test("S3+S6: console sink runs alongside the parquet sink; awaitAny unblocks") {
