@@ -3,7 +3,6 @@ package graft.similarity
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over an `array<float>` embedding column.
@@ -67,13 +66,17 @@ object Similarity {
     dotFixed(a, b, dim) / sqrt(dotFixed(a, a, dim)) / sqrt(dotFixed(b, b, dim))
 
   /** Brute-force cosine top-k: broadcast `queries` (qid, qv), score all of
-    * `base` (id, ev), keep k best per query (deterministic tie-break on id). */
+    * `base` (id, ev), keep k best per query (deterministic tie-break on id).
+    *
+    * Top-k is two-phase via [[TopK.perGroup]]: each scan task keeps a ≤k-row
+    * buffer per query (map-side combine), the final merge sees only
+    * |queries|×|tasks|×k rows. Round 2's `Window.partitionBy(qid)` funneled
+    * the whole scored corpus into #queries partitions and sorted it —
+    * invisible at sf0.1, fatal at 100 TB. */
   def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = base.crossJoin(broadcast(queries))
       .withColumn("cosine", cosineNative(col("qv"), col("ev")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    TopK.perGroup(scored, Seq("qid"), "id", "cosine", k)
       .select(col("qid"), col("id"), col("cosine"), col("rn"))
   }
 
@@ -115,16 +118,17 @@ object Similarity {
   }
 
   /** ANN via LSH buckets: candidates = rows sharing the query's bucket,
-    * reranked by exact cosine, top-k per query. Recall < 1 by construction;
-    * increase probes/bands for higher recall at proportional cost. */
-  def annTopK(base: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
-    val bucketed = base.withColumn("bucket", lshBucket(col("ev"), dim))
-    val qBucketed = queries.withColumn("bucket", lshBucket(col("qv"), dim))
+    * reranked by exact cosine, top-k per query (two-phase — see
+    * [[bruteForceTopK]]). Recall < 1 by construction; raise it with more
+    * `bands` (OR-construction) or fewer `bits` — see [[lshBucket]]'s sizing
+    * rule and the recall measurement in SimilaritySpec. */
+  def annTopK(base: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      bits: Int = 8): DataFrame = {
+    val bucketed = base.withColumn("bucket", lshBucket(col("ev"), dim, bits))
+    val qBucketed = queries.withColumn("bucket", lshBucket(col("qv"), dim, bits))
     val cands = bucketed.join(broadcast(qBucketed), Seq("bucket"))
       .withColumn("cosine", cosineNative(col("qv"), col("ev")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
-    cands.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    TopK.perGroup(cands, Seq("qid", "bucket"), "id", "cosine", k)
       .select(col("qid"), col("id"), col("cosine"), col("rn"), col("bucket"))
   }
 }

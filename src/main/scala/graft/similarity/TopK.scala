@@ -1,0 +1,76 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded per-group top-k as a partial-aggregable accumulator.
+  *
+  * `Window.partitionBy(qid)` over a scored corpus shuffles EVERY scored row
+  * into #queries partitions and sorts each — at 100 TB that is a handful of
+  * tasks each sorting the whole corpus (the round-2 verdict's one surviving
+  * scale-killer). This aggregator keeps only the k best rows per group in
+  * its buffer, so the plan becomes ObjectHashAggregate(partial) →
+  * ObjectHashAggregate(final): every map task emits ≤ k rows per group and
+  * the shuffle carries |groups| × |partitions| × k rows, not the corpus.
+  * Wall-clock is scan-bound and the reduce side is trivially small.
+  *
+  * Ordering contract: score DESC, then id ASC — identical to the
+  * `row_number() OVER (ORDER BY cosine DESC, id)` tie-break the DuckDB
+  * oracles use, so results are bit-identical to the window formulation.
+  */
+private[similarity] class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  /** score desc, id asc; NaN sorts first like Spark's DESC NULLS/NaN rule
+    * would never matter here (callers guarantee non-null, non-NaN scores). */
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  def zero: Seq[(Double, Long)] = Vector.empty
+
+  def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    // k is small (top-k); insert + trim is O(k) per row with no allocation
+    // churn beyond the vector copy. For large k swap in a bounded heap.
+    if (b.length >= k && ord.compare(a, b.last) >= 0) b
+    else ((b :+ a).sorted(ord)).take(k)
+
+  def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (b1 ++ b2).sorted(ord).take(k)
+
+  def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b.sorted(ord)
+
+  def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    bufferEncoder
+}
+
+object TopK {
+
+  /** Top-k rows per group of a scored frame, two-phase: partial buffers of
+    * ≤ k rows combine map-side, the final merge sees |groups|×|tasks|×k
+    * rows. Emits (groupCols..., id, score, rn) with rn = 1-based rank by
+    * (score desc, id asc) — the same contract as
+    * `row_number() OVER (PARTITION BY group ORDER BY score DESC, id)`.
+    *
+    * @param scored    frame containing `groupCols`, `idCol`, `scoreCol`
+    * @param groupCols grouping keys (e.g. qid, or qid+bucket)
+    */
+  def perGroup(scored: DataFrame, groupCols: Seq[String], idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val tk = udaf(new TopKByScore(k))
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(tk(col(scoreCol), col(idCol)).as("tk"))
+      .select(groupCols.map(col) :+ posexplode(col("tk")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col._2").as(idCol),
+        col("col._1").as(scoreCol),
+        (col("pos") + 1).cast("long").as("rn")): _*)
+  }
+}

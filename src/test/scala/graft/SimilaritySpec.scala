@@ -101,6 +101,22 @@ class SimilaritySpec extends SparkSuite {
     assert(e.eval(null) == 11.0)
   }
 
+  test("top-k plans are two-phase aggregations, not a per-query window sort") {
+    import spark.implicits._
+    val base = (0 until 100).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8 + d)))).toDF("id", "ev")
+    val queries = Seq((0L, Seq.tabulate(8)(d => math.cos(d)))).toDF("qid", "qv")
+    for (df <- Seq(
+        Similarity.bruteForceTopK(base, queries, 5),
+        Similarity.annTopK(base, queries, dim = 8, k = 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the round-2 scale-killer: Window.partitionBy(qid) sorted the whole
+      // scored corpus in #queries partitions. Two-phase = partial buffers.
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("partial_topkbyscore"), plan)
+    }
+  }
+
   test("lshBucket is deterministic across evaluations") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")
