@@ -93,28 +93,72 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane over the
-    * embedding's dot product with each (literal) hyperplane array. */
-  def lshBucket(ev: Column, dim: Int, bits: Int = 8): Column =
+    * embedding's dot product with each (literal) hyperplane array.
+    *
+    * Sizing rule (document-level contract, was hard-coded in round 2):
+    *  - expected bucket occupancy is n / 2^bits, so for a target bucket
+    *    size b choose `bits ≈ log2(n / b)`; the bucket self-join then emits
+    *    ~n·b/2 candidate pairs per band instead of O(n²).
+    *  - a pair at angle θ shares one band's bucket with probability
+    *    (1 − θ/π)^bits; `bands` independent plane sets OR together:
+    *    recall = 1 − (1 − (1−θ/π)^bits)^bands. Pick bands =
+    *    ln(1−recall)/ln(1−p) for the target radius. Scaled copies (θ = 0)
+    *    collide with probability 1 in every band.
+    *
+    * @param band independent plane set index — band b uses planes
+    *             [b·bits, (b+1)·bits), so band 0 at bits=8 is bit-compatible
+    *             with the round-2 single-band scheme (and its DuckDB oracle).
+    */
+  def lshBucket(ev: Column, dim: Int, bits: Int = 8, band: Int = 0): Column =
     (0 until bits).map { p =>
-      val planeArr = array((0 until dim).map(i => lit(planeVal(p, i))): _*)
+      val planeArr = array((0 until dim).map(i => lit(planeVal(band * bits + p, i))): _*)
       val proj = aggregate(zip_with(ev, planeArr, (x, c) => x * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** (band, bucket) pairs for the OR-construction: one row per band, keyed
+    * for the banded self/probe join. */
+  private def withBandedBuckets(df: DataFrame, vecCol: String, dim: Int,
+      bits: Int, bands: Int): DataFrame =
+    df.select(col("*"), posexplode(array((0 until bands).map(b =>
+        lshBucket(col(vecCol), dim, bits, b)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
   /** Embedding-cosine near-dup pairs: LSH self-join (rows sharing a
     * bucket become candidates — a keyed shuffle, never an O(n²) cross
     * join), verified by exact cosine ≥ threshold. The dedup analogue of
-    * [[annTopK]]: corpus × corpus instead of corpus × query-set. */
-  def cosineNearDupPairs(base: DataFrame, dim: Int,
-      minCosine: Double): DataFrame = {
-    val bucketed = base.withColumn("bucket", lshBucket(col("ev"), dim))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        cosineNative(col("a.ev"), col("b.ev")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+    * [[annTopK]]: corpus × corpus instead of corpus × query-set.
+    *
+    * `bits` and `bands` are caller-sized per [[lshBucket]]'s rule (round 2
+    * hard-coded 8 bits — 256 buckets makes the self-join O(n²/256),
+    * quadratic with a constant). Scaled copies land in the same bucket in
+    * every band, so recall for exact near-dups is 1 at any width; `bands`
+    * buys recall for noisy near-dups at linear candidate cost. */
+  def cosineNearDupPairs(base: DataFrame, dim: Int, minCosine: Double,
+      bits: Int = 8, bands: Int = 1): DataFrame = {
+    if (bands == 1) {
+      val bucketed = base.withColumn("bucket", lshBucket(col("ev"), dim, bits))
+      bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"),
+          cosineNative(col("a.ev"), col("b.ev")).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    } else {
+      // OR-construction: keyed self-join per band, then pair-level dedup
+      // (max is a no-op combiner — cosine is identical across bands).
+      val banded = withBandedBuckets(base, "ev", dim, bits, bands)
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"),
+          cosineNative(col("a.ev"), col("b.ev")).as("cosine"))
+        .groupBy(col("d1"), col("d2")).agg(max(col("cosine")).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    }
   }
 
   /** ANN via LSH buckets: candidates = rows sharing the query's bucket,
@@ -130,5 +174,22 @@ object Similarity {
       .withColumn("cosine", cosineNative(col("qv"), col("ev")))
     TopK.perGroup(cands, Seq("qid", "bucket"), "id", "cosine", k)
       .select(col("qid"), col("id"), col("cosine"), col("rn"), col("bucket"))
+  }
+
+  /** Multi-band ANN: candidates = rows sharing ANY band's bucket with the
+    * query (OR-construction), deduped per (qid, id), reranked exactly,
+    * two-phase top-k. Recall follows [[lshBucket]]'s formula — measured
+    * against [[bruteForceTopK]] ground truth in SimilaritySpec. */
+  def annTopKBanded(base: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      bits: Int, bands: Int): DataFrame = {
+    val banded = withBandedBuckets(base, "ev", dim, bits, bands)
+    val qBanded = withBandedBuckets(queries, "qv", dim, bits, bands)
+    val cands = banded.join(broadcast(qBanded), Seq("band", "bucket"))
+      .withColumn("cosine", cosineNative(col("qv"), col("ev")))
+      // a candidate found in several bands scores identically in each —
+      // max dedupes; the aggregation keys the shuffle by (qid, id)
+      .groupBy(col("qid"), col("id")).agg(max(col("cosine")).as("cosine"))
+    TopK.perGroup(cands, Seq("qid"), "id", "cosine", k)
+      .select(col("qid"), col("id"), col("cosine"), col("rn"))
   }
 }

@@ -117,6 +117,43 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ANN recall@5 vs brute-force ground truth on the sf0.01 corpus") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val base = t.embeddings.select(col("vec_id").as("id"),
+      Similarity.toDouble(col("embedding")).as("ev"))
+    val queries = base.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("ev").as("qv"))
+    val pairs = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(base, queries, 5))
+
+    // Single-probe 8-bit (the q26 default): high precision, low recall on
+    // this near-random corpus — its top neighbors sit at cosine ≈ 0.3,
+    // where one 8-bit band collides with prob (1-θ/π)^8 ≈ 0.02.
+    val single = pairs(Similarity.annTopK(base, queries, dim = 64, k = 5))
+    val singleRecall = (single & truth).size.toDouble / truth.size
+
+    // OR-construction sized by lshBucket's rule for θ ≈ acos(0.3):
+    // p = 0.61^4 ≈ 0.14 per band, 16 bands → 1-(1-p)^16 ≈ 0.9.
+    val banded = Similarity.annTopKBanded(base, queries, dim = 64, k = 5,
+      bits = 4, bands = 16)
+    val bandedRecall = (pairs(banded) & truth).size.toDouble / truth.size
+
+    // Candidate fraction the OR-construction actually scored (the price of
+    // that recall on a corpus with no real clusters).
+    val n = base.count()
+    val cands = Similarity.annTopKBanded(base, queries, dim = 64,
+      k = n.toInt, bits = 4, bands = 16).count()
+    val frac = cands.toDouble / (n * queries.count())
+
+    info(f"recall@5 single-probe 8-bit = $singleRecall%.2f, " +
+      f"16x4-bit bands = $bandedRecall%.2f (candidate fraction $frac%.2f)")
+    assert(bandedRecall >= 0.8,
+      f"banded recall $bandedRecall%.2f below floor (single-probe was $singleRecall%.2f)")
+    assert(bandedRecall > singleRecall)
+    assert(frac < 1.0) // still prunes, even on a clusterless corpus
+  }
+
   test("lshBucket is deterministic across evaluations") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")
