@@ -33,22 +33,31 @@ object Media {
   object MediaCodec {
     /** Deterministic fake decode: metadata derived from payload bytes only.
       * A real decoder (image dims, audio duration, frame count) plugs in
-      * here with the identical signature. */
-    def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      * here with the identical signature.
+      *
+      * The fingerprint is the portable 60-bit md5 prefix of the payload
+      * (the byte-level analogue of [[graft.functions.Hash64.hash60]]), and
+      * every derived column is integer arithmetic over it — so DuckDB can
+      * recompute the whole feature row and q30 gets a full rows+schema+hash
+      * oracle (round 2's bespoke 31-fold left it rows-only). The digest
+      * instance is per-partition (decode batches amortize setup cost, the
+      * same shape a real codec handle needs). */
+    def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val n = r.content.length.toLong
-        var fp = 1125899906842597L
-        var i = 0
-        while (i < r.content.length) { fp = 31 * fp + r.content(i); i += 1 }
+        val hex = md.digest(r.content).map(b => f"$b%02x").mkString
+        val fp = java.lang.Long.parseLong(hex.take(15), 16) // 60 bits, >= 0
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
           n_bytes = n,
           fingerprint = fp,
-          width = (math.abs(fp) % 1920).toInt + 1,
-          height = (math.abs(fp / 7) % 1080).toInt + 1,
+          width = (fp % 1920).toInt + 1,
+          height = ((fp / 7) % 1080).toInt + 1,
           frames = if (r.kind == "video") (n % 240).toInt + 1 else 1)
       }
+    }
   }
 
   /** documents.text → fake media table (deterministic payload bytes), the

@@ -14,9 +14,9 @@ import graft.text.TextAnalysis
   *
   * Every hash-family operator (MinHash/LSH, SimHash, ANN hyperplanes) is
   * built on the portable [[Hash64]] hash, so — unlike round 1's xxhash64
-  * formulation — each has a full rows+schema+hash DuckDB oracle. Only the
-  * multimodal query stays rows-only (its stubbed codec has no SQL
-  * equivalent; exactness is covered by MediaSpec).
+  * formulation — each has a full rows+schema+hash DuckDB oracle. Since
+  * round 3 that includes the multimodal query: the stub codec fingerprints
+  * with the md5-prefix hash, so its whole feature row is SQL-recomputable.
   */
 object Vectors extends QueryModule {
 
@@ -78,7 +78,9 @@ object Vectors extends QueryModule {
     }),
 
     // Multimodal: binary payload column → per-partition batch decode (stubbed
-    // codec, real plumbing) → feature table. Rows-only check + MediaSpec.
+    // codec, real plumbing) → feature table. The stub fingerprints with the
+    // portable md5-prefix hash, so the full feature row has a DuckDB oracle
+    // (plus MediaSpec for the batching/partitioning contract).
     "q30_multimodal" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       Media.decode(Media.syntheticMedia(s, docs)).toDF()
@@ -235,6 +237,25 @@ object Vectors extends QueryModule {
         |  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.id < b.id
         |)
         |SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin,
+
+    // Mirrors MediaCodec.decodeStub: fingerprint = 60-bit md5 prefix of the
+    // UTF-8 payload bytes (DuckDB md5(varchar) hashes the same bytes the
+    // Spark side encodes), dims/frames = integer arithmetic over it.
+    "q30_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT media_id, kind, n_bytes, fingerprint,
+        |       CAST(fingerprint % 1920 + 1 AS INTEGER) AS width,
+        |       CAST((fingerprint // 7) % 1080 + 1 AS INTEGER) AS height,
+        |       CAST(CASE WHEN kind = 'video' THEN n_bytes % 240 + 1 ELSE 1 END AS INTEGER) AS frames
+        |FROM m""".stripMargin,
 
     "q29_embedding_dupkey" ->
       """WITH e AS (
