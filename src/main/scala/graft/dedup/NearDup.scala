@@ -164,13 +164,39 @@ object NearDup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: block on 4×15-bit bands (a pair within
-    * hamming ≤ 3 of band count shares at least one exact band), verify with
-    * `bit_count(xor)`. */
-  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  /** Contiguous partition of `totalBits` signature bits into `bands`
+    * near-equal spans, as (offset, width) per band. Pigeonhole contract:
+    * a pair within hamming ≤ bands − 1 has too few differing bits to touch
+    * every band, so it shares at least one band exactly and is ALWAYS a
+    * candidate. The same layout generates the DuckDB oracle fragments
+    * (graft.queries.Vectors) so the two engines cannot drift. */
+  def bandLayout(bands: Int, totalBits: Int = 60): Seq[(Int, Int)] = {
+    require(bands >= 1 && bands <= totalBits, s"bands=$bands out of range")
+    val base = totalBits / bands
+    val rem = totalBits % bands
+    val widths = Seq.tabulate(bands)(b => base + (if (b < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-dup candidates: band-blocked self-join, verified with
+    * `bit_count(xor)`. Bands default to `maxHamming + 1`, which by the
+    * [[bandLayout]] pigeonhole argument makes recall within the advertised
+    * radius EXACTLY 1 — round 2 ran 4 fixed bands with `maxHamming = 16`
+    * and silently under-reported pairs at hamming 4–16.
+    *
+    * Cost scales with the radius: bands−1 = maxHamming means band width
+    * ~60/(maxHamming+1) bits, so buckets coarsen (≈ n²/2^width candidate
+    * pairs per band) as the radius widens. A wide radius over a short
+    * signature is inherently expensive — prefer raising signature bits
+    * (`simhash(bits = …)`) over radius if candidate volume bites. Passing
+    * an explicit smaller `bands` trades that guarantee for fewer, finer
+    * bands (recall < 1 beyond bands−1). */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
+      bands: Int = -1): DataFrame = {
+    val layout = bandLayout(if (bands > 0) bands else maxHamming + 1)
     val banded = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      posexplode(array(layout.map { case (off, w) =>
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)) }: _*)))
       .toDF(idCol, "simhash", "band", "band_bits")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&

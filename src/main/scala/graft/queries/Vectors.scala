@@ -57,10 +57,13 @@ object Vectors extends QueryModule {
         .select(col("d1"), col("d2"), col("est_jaccard"))
     }),
 
-    // SimHash near-dup: 60-bit signature, 15-bit band blocking, hamming gate.
+    // SimHash near-dup: 60-bit signature, pigeonhole banding (9 bands for
+    // radius 8 — every pair within the advertised hamming radius is
+    // guaranteed a candidate; round 2's fixed 4x15 banding only guaranteed
+    // radius 3 while advertising 16).
     "q28_simhash" -> ((s, dir) => {
       val sigs = NearDup.simhash(Tables(s, dir).documents, "doc_id", "text")
-      NearDup.simhashPairs(sigs, "doc_id", maxHamming = 16)
+      NearDup.simhashPairs(sigs, "doc_id", maxHamming = simhashRadius)
     }),
 
     // Embedding near-dup via quantized-vector fingerprint (exact dup after
@@ -101,6 +104,16 @@ object Vectors extends QueryModule {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** q28's radius; bands = radius + 1 (pigeonhole guarantee). */
+  private val simhashRadius = 8
+
+  /** DuckDB VALUES list mirroring [[NearDup.bandLayout]] for q28's band
+    * count — generated from the same Scala layout so engines can't drift. */
+  private val simhashBandsSql: String =
+    NearDup.bandLayout(simhashRadius + 1).zipWithIndex
+      .map { case ((off, w), b) => s"($b, $off, ${(1L << w) - 1})" }
+      .mkString("(VALUES ", ", ", ") AS b(band, boff, bmask)")
 
   /** 16 mixer min aggregates over the strong shingle hash `h`, as a
     * DuckDB list literal (mirrors [[NearDup.minhashSignatures]]). */
@@ -210,15 +223,15 @@ object Vectors extends QueryModule {
         |  FROM bitsum GROUP BY 1
         |), banded AS (
         |  SELECT doc_id, simhash, b.band AS band,
-        |         (simhash >> (b.band * 15)) & 32767 AS band_bits
-        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+        |         (simhash >> b.boff) & b.bmask AS band_bits
+        |  FROM sigs, $simhashBandsSql
         |), pairs AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM banded a JOIN banded b
         |    ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
         |)
-        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 16""".stripMargin,
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= $simhashRadius""".stripMargin,
 
     "q33_cosine_neardup" ->
       s"""WITH b AS (

@@ -40,6 +40,41 @@ class NearDupSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash banding guarantees the advertised radius (pigeonhole)") {
+    import spark.implicits._
+    // adversarial placement: one differing bit at the START of each of the
+    // first 10 bands — the layout that defeated round 2's fixed 4x15
+    // banding (guaranteed radius 3, advertised 16). With bands = 11 the
+    // 11th band is untouched and the pair MUST be found.
+    val offsets = NearDup.bandLayout(11).map(_._1).take(10)
+    val sigA = 0L
+    val sigB = offsets.foldLeft(0L)((s, off) => s | (1L << off))
+    assert(java.lang.Long.bitCount(sigA ^ sigB) == 10)
+    val sigs = Seq((1L, sigA), (2L, sigB)).toDF("doc_id", "simhash")
+    val found = NearDup.simhashPairs(sigs, "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((1L, 2L)))
+    // same pair under 4 coarse bands (no guarantee at radius 10): the 10
+    // differing bits hit every 15-bit band, so blocking finds nothing —
+    // the round-2 under-reporting this contract fix closes.
+    val missed = NearDup.simhashPairs(sigs, "doc_id", maxHamming = 10, bands = 4)
+    assert(missed.isEmpty)
+  }
+
+  test("bandLayout partitions all 60 bits into near-equal contiguous spans") {
+    for (bands <- Seq(1, 4, 9, 11, 17, 60)) {
+      val layout = NearDup.bandLayout(bands)
+      assert(layout.length == bands)
+      assert(layout.map(_._2).sum == 60)
+      assert(layout.head._1 == 0)
+      layout.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o1 + w1 == o2)
+        case _ =>
+      }
+      assert(layout.map(_._2).max - layout.map(_._2).min <= 1)
+    }
+  }
+
   test("token jaccard: dup pair = 1.0, blocked pairs only") {
     val out = NearDup.tokenJaccardPairs(docs, "doc_id", "text", "source", 0.5)
     val m = out.collect()
