@@ -31,7 +31,14 @@ object Streams {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** S2: append-mode parquet sink, checkpointed, processing-time trigger. */
+  /** S2: append-mode parquet sink, checkpointed, processing-time trigger.
+    * `mergeSchema` is set as the reference does
+    * (`pubg_streaming.py:236-244`): schema drift is a weekly event in a
+    * telemetry pipeline — the supported evolution path is stop the query,
+    * redeploy with the widened schema, resume from the SAME checkpoint into
+    * the same directory (the sink's metadata log continues at the next
+    * batch id; parquet files of mixed schemas coexist). Read the union
+    * back with [[readEvolved]]. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
@@ -39,7 +46,15 @@ object Streams {
       .outputMode("append")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
+      .option("mergeSchema", "true")
       .trigger(trigger)
+
+  /** Read-side companion of [[parquetSink]]'s evolution contract: merge the
+    * per-file schemas across micro-batch generations — columns absent in
+    * older files come back null. (Plain `spark.read.parquet` picks one
+    * file's schema and silently drops newer columns.) */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** S3: console debug sink (`pubg_streaming.py:265-269`). */
   def consoleSink(df: DataFrame,
@@ -181,7 +196,14 @@ object Streams {
     * deadline (last emitted event + `ttlMs` — the alert-manager semantics,
     * `monitoring/alert_manager.py:83-94`); state per key is one long
     * (the deadline), reclaimed by event-time timeout once the watermark
-    * passes it, so state stays bounded by keys alerting within a TTL. */
+    * passes it, so state stays bounded by keys alerting within a TTL.
+    *
+    * Per-BATCH memory caveat: each key's micro-batch group is materialized
+    * and sorted on the executor (TTL semantics need event-time order, and
+    * Spark hands the group in arrival order) — STORE state is bounded, but
+    * a hot key in one huge micro-batch costs O(group) transient memory.
+    * If per-batch arrival order is acceptable, process the iterator
+    * streaming-style instead. */
   def ttlDedupWithState(events: Dataset[KeyedEvent], delay: String,
       ttlMs: Long): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
@@ -207,13 +229,21 @@ object Streams {
       }
   }
 
-  /** Exactly-once-per-epoch guard for `foreachBatch` side effects. The
-    * reference's per-epoch Kafka writes are at-least-once — a failed epoch
-    * is re-run and its messages re-published (SURVEY §3.2, "no exactly-once
-    * guard"). This wraps a sink with a durable (name, epochId) marker under
-    * `markerDir` and skips already-committed work on replay. foreachBatch
-    * callbacks run on the driver, so a driver-visible path suffices;
-    * point it at shared storage when the driver itself can fail over. */
+  /** Replay guard for `foreachBatch` side effects: a durable (name,
+    * epochId) marker under `markerDir` skips already-committed work when
+    * Structured Streaming re-runs an epoch. The reference's per-epoch Kafka
+    * writes re-publish on every replay (SURVEY §3.2, "no exactly-once
+    * guard").
+    *
+    * Honest contract (NOT exactly-once): the marker is written after the
+    * sink call, so a crash in the gap between them re-publishes that epoch
+    * on restart — this upgrades at-least-once to effectively-once only for
+    * sinks that are themselves idempotent or atomic per epoch. True
+    * exactly-once needs the sink and marker in one transaction. The marker
+    * itself is crash-atomic (temp file + atomic rename — no observer can
+    * see a half-written marker). foreachBatch callbacks run on the driver,
+    * so a driver-visible path suffices; point it at shared storage when the
+    * driver itself can fail over. */
   def idempotentSink(markerDir: String)(
       sink: (String, DataFrame, Long) => Unit): (String, DataFrame, Long) => Unit = {
     (name, df, epochId) => {
@@ -222,7 +252,9 @@ object Streams {
       if (!java.nio.file.Files.exists(marker)) {
         sink(name, df, epochId)
         java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.createFile(marker)
+        val tmp = java.nio.file.Files.createTempFile(dir, s"$name-$epochId", ".tmp")
+        java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         ()
       }
     }
