@@ -67,6 +67,44 @@ object Rollups {
       .select(col("window.start").as("window_start") +: dims :+
         col("n_events") :+ col("avg_value") :+ col("last_value"): _*)
 
+  /** A6 + dense buckets: [[windowAgg]] left-joined onto a generated time
+    * spine so EMPTY buckets surface as null-metric rows — the engine form
+    * of the reference dashboards' `GROUP BY time(1h) fill(null)`
+    * (`monitoring/grafana/provisioning/dashboards/advanced_analytics_dashboard.json:55,103,217,426`),
+    * which every round-2 rollup silently dropped.
+    *
+    * Scale shape: the spine derives from the ALREADY-AGGREGATED sparse
+    * frame (min/max bucket → `sequence()` → explode), and the spine ×
+    * distinct-dims product is dashboard-sized (buckets × dims), so both
+    * sides of the final join are small; the raw corpus is touched once, by
+    * the underlying [[windowAgg]]. fill(null) semantics: metrics of empty
+    * buckets are null, not zero — a dashboard must distinguish "no events"
+    * from "events averaging zero". */
+  def denseWindowAgg(df: DataFrame, ts: Column, width: String, dims: Seq[Column],
+      valueCol: Column, valueCents: Column, seqCol: Column): DataFrame =
+    densify(windowAgg(df, ts, width, dims, valueCol, valueCents, seqCol), width)
+
+  /** Densify an already-aggregated sparse rollup (shape of [[windowAgg]]:
+    * window_start, dims..., 3 metric columns). CACHING CONTRACT: `sparse`
+    * feeds three plan arms (spine bounds, dim values, join right side) and
+    * column pruning makes the three subplans non-identical, so exchange
+    * reuse can NOT unify them — an unpersisted frame re-scans its source
+    * three times. When `sparse` derives from a large scan, persist it
+    * first (it is aggregate-sized: buckets × dims rows) and unpersist
+    * after materializing the result; [[denseWindowAgg]] is the one-call
+    * convenience that accepts the re-scan. At dashboard scale, prefer an
+    * explicit caller-known time range by filtering before densifying. */
+  def densify(sparse: DataFrame, width: String): DataFrame = {
+    val dimNames = sparse.columns.drop(1).dropRight(3).toSeq
+    val spine = sparse
+      .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr(s"INTERVAL $width")))
+        .as("window_start"))
+    val dimValues = sparse.select(dimNames.map(col): _*).distinct()
+    spine.crossJoin(dimValues)
+      .join(sparse, "window_start" +: dimNames, "left")
+  }
+
   /** A4+O1: inverse-average difficulty score per dimension, ordered. */
   def difficulty(df: DataFrame, dim: Column, qtyCents: Column, priceCents: Column): DataFrame =
     df.groupBy(dim)

@@ -146,6 +146,17 @@ object Analytics extends QueryModule {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_elem"))),
 
+    // A6 + fill(null): dense time-spine rollup — rare events (value > 195)
+    // leave most (hour, type) buckets empty; they must appear as null rows.
+    // The sparse rollup feeds densify's three plan arms → persist per its
+    // caching contract (harness clears caches between queries).
+    "q35_dense_rollup" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.filter(col("value") > 195)
+      val sparse = Rollups.windowAgg(ev, col("ts"), "1 hour", Seq(col("event_type")),
+        col("value"), Exact.cents(col("value")), col("event_id")).persist()
+      Rollups.densify(sparse, "1 hour")
+    }),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -246,6 +257,25 @@ object Analytics extends QueryModule {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_value,
         |       max_by(value, event_id) AS last_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q35_dense_rollup" ->
+      """WITH sparse AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_value,
+        |         max_by(value, event_id) AS last_value
+        |  FROM events WHERE value > 195 GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(window_start) AS lo, max(window_start) AS hi FROM sparse
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start FROM bounds
+        |), dims AS (
+        |  SELECT DISTINCT event_type FROM sparse
+        |)
+        |SELECT s.window_start, d.event_type, sp.n_events, sp.avg_value, sp.last_value
+        |FROM spine s CROSS JOIN dims d
+        |LEFT JOIN sparse sp
+        |  ON sp.window_start = s.window_start AND sp.event_type = d.event_type""".stripMargin,
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",

@@ -21,6 +21,27 @@ class RollupsSpec extends SparkSuite {
     }.toDF("ts", "event_type", "user_id", "value")
   }
 
+  test("denseWindowAgg fills the gap hours with null metrics (fill(null))") {
+    import spark.implicits._
+    // click events only at 10:00 and 13:00 — 11:00 and 12:00 are holes;
+    // view has 10:00 only, so the spine forces 3 null rows for it too.
+    val sparse = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:10"), "click", 1L, 2.0),
+      (Timestamp.valueOf("2024-01-01 13:00:10"), "click", 2L, 4.0),
+      (Timestamp.valueOf("2024-01-01 10:00:20"), "view", 3L, 6.0))
+      .toDF("ts", "event_type", "event_id", "value")
+    val dense = Rollups.denseWindowAgg(sparse, col("ts"), "1 hour",
+      Seq(col("event_type")), col("value"), Exact.cents(col("value")), col("event_id"))
+      .collect()
+    assert(dense.length == 8) // 4 spine hours x 2 types
+    val byKey = dense.map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r).toMap
+    assert(byKey(("2024-01-01 10:00:00.0", "click")).getAs[Long]("n_events") == 1L)
+    val hole = byKey(("2024-01-01 11:00:00.0", "click"))
+    assert(hole.isNullAt(hole.fieldIndex("n_events")))   // no events ≠ zero
+    assert(hole.isNullAt(hole.fieldIndex("avg_value")))
+    assert(byKey(("2024-01-01 12:00:00.0", "view")).isNullAt(2))
+  }
+
   test("hourlyRollupApprox matches the exact rollup within the rsd bound") {
     def run(approx: Boolean) = {
       val f = if (approx)
