@@ -22,9 +22,21 @@ object Bench {
     // Optional name filter for local profiling (comma-separated).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Bench-only headroom measurements: no DuckDB oracle (xxhash64 is
+    // Spark-only), so they live here — NOT in SparkEntry.queries, which
+    // Verify's correctness gate enumerates.
+    val extras: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "x27_minhash_xxh" ->
+        ((s, dir) => queries.Vectors.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)))
+    // Untimed warmup absorbs session init + first-plan Janino/JIT cost so
+    // the alphabetically-first timed query stops paying ~5 s of it and
+    // cross-round per-query deltas get cleaner.
+    try { SparkEntry.queries("q22_fingerprint")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     // A failed query records a negative sentinel, never a fast time —
     // total includes its wall clock, and the error text is reported.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = (SparkEntry.queries.toSeq.sortBy(_._1) ++ extras)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -34,20 +34,30 @@ object NearDup {
         i => concat_ws(" ", slice(toks, i, lit(w)))))
 
   /** MinHash signatures for a document frame: explode distinct shingles
-    * once, hash each shingle ONCE with the strong md5-based hash, then k
-    * wrap-multiply mixer min-aggregates ([[Hash64.mixed]]: one multiply +
-    * two xors each) in a single partial+final hash aggregation (one
+    * once, hash each shingle ONCE with the strong base hash, then k
+    * xor-rotate mixer min-aggregates ([[Hash64.mixed]]: xor an md5-derived
+    * key, rotate within 60 bits) in a single partial+final hash aggregation (one
     * shuffle keyed by doc). Shingling and strong hashing cost is paid once
     * per shingle — not once per hash function — which is both the textbook
     * MinHash construction and 16x less md5 work.
     *
+    * Documents whose text yields no tokens (empty/whitespace-only) produce
+    * no shingle rows and so VANISH from the signature frame — harmless for
+    * candidate generation (nothing to pair), but left-join back to the doc
+    * frame if you need one row per document downstream.
+    *
+    * @param hash 60-bit string hash: [[Hash64.hash60]] (md5, DuckDB-
+    *             oracle-able, the default) or [[Hash64.fast60]] (xxhash64,
+    *             ~3x cheaper, Spark-only) — both feed the same xor-rotate
+    *             mixer family.
     * @return (idCol, sig: array<long> of length k)
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, k: Int = 16): DataFrame = {
+      w: Int = 3, k: Int = 16,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), w))).as("sh"))
-      .select(col(idCol), Hash64.hash60(col("sh")).as("h"))
+      .select(col(idCol), hash(col("sh")).as("h"))
     val mins = (0 until k).map(i => min(Hash64.mixed(i, col("h"))).as(s"m$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -149,10 +159,11 @@ object NearDup {
     * compact frame (no 60x row fan-out; each expression is a codegen'd
     * shift/compare). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 60): DataFrame = {
+      bits: Int = 60,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
     val tok = docs.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .select(col(idCol), Hash64.hash60(col("token")).as("h"))
+      .select(col(idCol), hash(col("token")).as("h"))
     val cnt = tok.groupBy(col(idCol), col("h")).agg(count(lit(1)).as("c"))
     val sums = (0 until bits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("c"))

@@ -18,6 +18,16 @@ object Hash64 {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Production-mode 60-bit hash: `xxhash64` masked into the same
+    * non-negative 60-bit domain as [[hash60]] (so [[mixed]] and every
+    * downstream banding scheme work unchanged). ~3x cheaper per call than
+    * the md5 path but has NO DuckDB equivalent — oracle-checked pipelines
+    * keep [[hash60]]; production runs opt in per operator (e.g.
+    * `NearDup.minhashSignatures(..., hash = Hash64.fast60)`). The bench's
+    * x27 extra measures the headroom. */
+  def fast60(s: Column): Column =
+    xxhash64(s).bitwiseAND(lit((1L << 60) - 1))
+
   /** DuckDB fragment computing the same value as [[hash60]]. */
   def duckSql(inner: String): String =
     s"CAST('0x' || substr(md5($inner), 1, 15) AS BIGINT)"

@@ -28,6 +28,23 @@ object Vectors extends QueryModule {
     t.embeddings.filter(col("vec_id") < 3).select(col("vec_id").as("qid"),
       Similarity.toDouble(col("embedding")).as("qv"))
 
+  /** q27's full pipeline with a pluggable base hash: [[Hash64.hash60]] for
+    * the oracle run, [[Hash64.fast60]] for the production/bench headroom
+    * path (same mixer family, same plan shape — only the per-shingle
+    * strong hash differs). */
+  def minhashLshPipeline(s: SparkSession, dir: String,
+      hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val sig = NearDup.minhashSignatures(
+      Tables(s, dir).documents, "doc_id", "text", hash = hash).persist()
+    NearDup.lshCandidatePairs(sig, "doc_id", "sig")
+      .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("s1.sig"), col("s2.sig"), (x, y) => x === y),
+          b => b)).cast("double") / lit(16.0))
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: broadcast queries, scan-bound scoring.
     "q25_cosine_topk" -> ((s, dir) => {
@@ -45,17 +62,7 @@ object Vectors extends QueryModule {
     // min-hash aggregates (single shuffle) → 4×4 banding → bucket-join
     // candidates → signature-agreement estimate. The signature frame is
     // used three times (banding + two verify joins) → persist.
-    "q27_minhash_lsh" -> ((s, dir) => {
-      val sig = NearDup.minhashSignatures(
-        Tables(s, dir).documents, "doc_id", "text").persist()
-      NearDup.lshCandidatePairs(sig, "doc_id", "sig")
-        .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
-        .withColumn("est_jaccard",
-          size(filter(zip_with(col("s1.sig"), col("s2.sig"), (x, y) => x === y),
-            b => b)).cast("double") / lit(16.0))
-        .select(col("d1"), col("d2"), col("est_jaccard"))
-    }),
+    "q27_minhash_lsh" -> (minhashLshPipeline(_, _, graft.functions.Hash64.hash60)),
 
     // SimHash near-dup: 60-bit signature, pigeonhole banding (9 bands for
     // radius 8 — every pair within the advertised hamming radius is
