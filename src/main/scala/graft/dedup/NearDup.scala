@@ -96,6 +96,13 @@ object NearDup {
     * keyed by (token, block), and the per-document size frames join by doc
     * id (NOT broadcast — one row per document grows with the corpus).
     *
+    * CACHING CONTRACT: the token frame is `persist()`ed internally (it
+    * feeds four plan arms that static exchange reuse cannot unify) and
+    * stays pinned after the result materializes. Call
+    * `spark.catalog.clearCache()` — or unpersist selectively — between
+    * invocations in a long-lived session, as Bench/Verify do; otherwise
+    * executor storage memory accumulates per call.
+    *
     * @param maxDfFrac tokens present in more than this fraction of
     *                  documents are cut before the self-join (stopword-grade
     *                  tokens otherwise produce O(df²) join output). 1.0

@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * and makes the frame nondeterministic. We order by event time with a
   * unique-key tie-break.
   *
-  * Scale: one shuffle on the partition key; frames are bounded (5 rows)
-  * so state is O(frame) per key in the sort-based window exec. Skewed
-  * keys would dominate a partition — at 100 TB, salting the key and
-  * re-merging would apply, but per-player cardinality here is naturally
-  * bounded by the frame semantics.
+  * Scale: one shuffle on the partition key. The bounded frame (5 rows)
+  * bounds only the AGGREGATION buffer — WindowExec still sorts each
+  * key's full partition, so per-key cost is O(rows·log rows), not
+  * O(frame). Skewed keys would dominate a partition — at 100 TB, salting
+  * the key and re-merging would apply, but per-player cardinality here is
+  * naturally bounded by the frame semantics.
   */
 object Windows {
 

@@ -260,6 +260,31 @@ class StreamsSpec extends SparkSuite {
     assert(files == List("x-0.done"))
   }
 
+  test("Kafka builders carry the reference's option surface; value cast enters the ETL path") {
+    import graft.streaming.Kafka
+    import spark.implicits._
+    val src = Kafka.Source("kafka:29092", "pubg-matches")
+    assert(src.options == Map(
+      "kafka.bootstrap.servers" -> "kafka:29092",
+      "subscribe" -> "pubg-matches",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false")) // pubg_streaming.py:19-25 verbatim
+    src.reader(spark) // configures without binding (no connector in harness)
+    assert(Kafka.Source("b", "t", startingOffsets = "earliest",
+      extra = Map("maxOffsetsPerTrigger" -> "1000")).options("maxOffsetsPerTrigger") == "1000")
+
+    val sink = Kafka.Sink("kafka:29092", "pubg-alerts")
+    assert(sink.options == Map(
+      "kafka.bootstrap.servers" -> "kafka:29092", "topic" -> "pubg-alerts"))
+    sink.batchWriter(Seq("x").toDF("value"))
+
+    // binary kafka value -> string envelope column the flatten path reads
+    val casted = Kafka.valueAsString(
+      Seq("""{"k":1}""".getBytes("UTF-8")).toDF("value"))
+    assert(casted.schema.head.dataType.typeName == "string")
+    assert(casted.head.getString(0) == """{"k":1}""")
+  }
+
   test("S3+S6: console sink runs alongside the parquet sink; awaitAny unblocks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
