@@ -96,6 +96,20 @@ object Vectors extends QueryModule {
       Media.decode(Media.syntheticMedia(s, docs)).toDF()
     }),
 
+    // IVF ANN: nearest-centroid cells via plan-literal centroids (zero
+    // corpus shuffle for assignment), nProbe-cell candidate generation,
+    // exact rerank. Centroids = first 16 vectors (deterministic stand-in
+    // for a trained quantizer — the operator takes any centroid frame).
+    "q36_ivf_ann" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      graft.similarity.IVF.topK(base(t), queriesDf(t), cents, nProbe = 4, k = 5)
+    }),
+
     // Embedding-cosine near-dup: LSH-bucketed self-join + exact-cosine
     // verify. Scaled copies (x*1.01 — same direction, different values,
     // so exact/quantized dedup misses them) are injected and must be
@@ -180,6 +194,42 @@ object Vectors extends QueryModule {
         |  FROM bb JOIN qb ON bb.bucket = qb.bucket
         |)
         |SELECT qid, id, cosine, rn, bucket FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
+        |  FROM cands
+        |) WHERE rn <= 5""".stripMargin,
+
+    // Mirrors IVF.topK value-for-value: assignment/probing as rank over the
+    // corpus×centroid join (Spark computes the same argmax as a literal
+    // expression — same cosines, same (desc cosine, asc cid) tie-break).
+    "q36_ivf_ann" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), c AS (
+        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT id, ev, cell FROM (
+        |    SELECT b.id, b.ev, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY b.id
+        |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+        |    FROM b CROSS JOIN c
+        |  ) WHERE arn = 1
+        |), probes AS (
+        |  SELECT qid, qv, cell FROM (
+        |    SELECT q.qid, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY ${cosineSqlFor("qv", "cv")} DESC, c.cid) AS prn
+        |    FROM q CROSS JOIN c
+        |  ) WHERE prn <= 4
+        |), cands AS (
+        |  SELECT qid, id, $cosineSql AS cosine
+        |  FROM assigned a JOIN probes p ON a.cell = p.cell
+        |)
+        |SELECT qid, id, cosine, rn FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
         |  FROM cands
         |) WHERE rn <= 5""".stripMargin,

@@ -154,6 +154,44 @@ class SimilaritySpec extends SparkSuite {
     assert(frac < 1.0) // still prunes, even on a clusterless corpus
   }
 
+  test("IVF: assignment is shuffle-free, self always found, pruning measured") {
+    import graft.similarity.IVF
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val base = t.embeddings.select(col("vec_id").as("id"),
+      Similarity.toDouble(col("embedding")).as("ev"))
+    val queries = base.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("ev").as("qv"))
+    val cents = IVF.collectCentroids(
+      base.filter(col("id") < 16).select(col("id").as("cid"), col("ev").as("cv")),
+      "cid", "cv")
+
+    // cell assignment must not shuffle or join the corpus
+    val assignPlan = IVF.assign(base, cents).queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange") && !assignPlan.contains("Join"), assignPlan)
+
+    val out = IVF.topK(base, queries, cents, nProbe = 4, k = 5)
+    val got = out.collect()
+    // every query's own vector is in its top probe cell → rank 1, cosine 1
+    for (q <- 0L until 3L) {
+      val self = got.find(r => r.getAs[Long]("qid") == q && r.getAs[Long]("id") == q)
+      assert(self.exists(_.getAs[Long]("rn") == 1L), s"self-retrieval failed for qid=$q")
+    }
+
+    // measured recall vs brute force, and the scanned fraction bought
+    val truth = Similarity.bruteForceTopK(base, queries, 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (ann & truth).size.toDouble / truth.size
+    val n = base.count()
+    val probed = IVF.assign(base, cents)
+      .join(queries.withColumn("cell",
+        explode(IVF.probeExpr(col("qv"), cents, 4))), Seq("cell"))
+      .count()
+    val frac = probed.toDouble / (n * 3)
+    info(f"IVF recall@5 = $recall%.2f scanning $frac%.2f of the corpus (nProbe 4/16)")
+    assert(recall > frac) // cells are data-adaptive: beats random pruning
+  }
+
   test("lshBucket is deterministic across evaluations") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")
