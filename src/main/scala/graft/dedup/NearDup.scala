@@ -182,6 +182,49 @@ object NearDup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step between
+    * candidate pairs and "keep one copy" that a training-data dedup
+    * actually executes. Connected components by iterative min-label
+    * propagation: every node's label converges to the smallest node id
+    * reachable from it, giving (node, cluster_id, keep = node is the
+    * cluster's representative) for every node that appears in an edge.
+    *
+    * Scale shape: each round is a keyed edge⋈label join plus a min
+    * aggregation (map-side combinable); rounds = graph diameter, and
+    * near-dup graphs are shallow (clusters are cliques or short chains).
+    * The loop is a driver-side convergence check (one tiny count per
+    * round); label generations persist one round and release the previous.
+    * For adversarially deep graphs (long chains), switch to the
+    * large-star/small-star alternation, which converges in O(log n)
+    * rounds on the same join primitive.
+    *
+    * Deterministic fixpoint (min reachable id) regardless of iteration
+    * order — the DuckDB oracle recomputes it with a recursive CTE (q37). */
+  def connectedComponents(edges: DataFrame, srcCol: String = "d1",
+      dstCol: String = "d2", maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNbr = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), labels("lab").as("lab"))
+      val next = labels.unionAll(viaNbr)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab")).persist()
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("lab").as("cluster_id"),
+      (col("node") === col("lab")).as("keep"))
+  }
+
   /** Contiguous partition of `totalBits` signature bits into `bands`
     * near-equal spans, as (offset, width) per band. Pigeonhole contract:
     * a pair within hamming ≤ bands − 1 has too few differing bits to touch

@@ -64,6 +64,16 @@ object Vectors extends QueryModule {
     // used three times (banding + two verify joins) → persist.
     "q27_minhash_lsh" -> (minhashLshPipeline(_, _, graft.functions.Hash64.hash60)),
 
+    // Dedup clusters: minhash pairs (est >= 0.5) → connected components →
+    // per-doc cluster id + keep-one flag. The step a training-data dedup
+    // actually executes between "candidate pairs" and "drop duplicates".
+    "q37_dedup_clusters" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5)
+      NearDup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster_id"), col("keep"))
+    }),
+
     // SimHash near-dup: 60-bit signature, pigeonhole banding (9 bands for
     // radius 8 — every pair within the advertised hamming radius is
     // guaranteed a candidate; round 2's fixed 4x15 banding only guaranteed
@@ -141,6 +151,38 @@ object Vectors extends QueryModule {
   private val minhashSigList: String =
     (0 until 16).map(i => s"min(${Hash64.duckMixedSql(i, "h")})")
       .mkString("[", ", ", "]")
+
+  /** The q27 MinHash+LSH pipeline as a reusable CTE chain ending in
+    * `est (d1, d2, est_jaccard)` — shared by the q27 oracle and q37's
+    * recursive-closure oracle. */
+  private val minhashCtes: String =
+    s"""toks AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS sh
+      |  FROM toks
+      |), hs AS (
+      |  SELECT doc_id, ${Hash64.duckSql("sh")} AS h FROM sh
+      |), sig AS (
+      |  SELECT doc_id, $minhashSigList AS sig FROM hs GROUP BY 1
+      |), banded AS (
+      |  SELECT doc_id, b.band AS band, sig[b.band*4+1 : b.band*4+4] AS band_key
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+      |), mpairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |), est AS (
+      |  SELECT d1, d2,
+      |         CAST(len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) AS DOUBLE) / 16.0
+      |           AS est_jaccard
+      |  FROM mpairs
+      |  JOIN sig s1 ON d1 = s1.doc_id
+      |  JOIN sig s2 ON d2 = s2.doc_id
+      |)""".stripMargin
 
   /** Random-hyperplane LSH bucket of a double-list column (mirrors
     * [[Similarity.lshBucket]]: 8 planes over 64 dims, sequential fold). */
@@ -235,32 +277,26 @@ object Vectors extends QueryModule {
         |) WHERE rn <= 5""".stripMargin,
 
     "q27_minhash_lsh" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, $toksSql AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS sh
-        |  FROM toks
-        |), hs AS (
-        |  SELECT doc_id, ${Hash64.duckSql("sh")} AS h FROM sh
-        |), sig AS (
-        |  SELECT doc_id, $minhashSigList AS sig FROM hs GROUP BY 1
-        |), banded AS (
-        |  SELECT doc_id, b.band AS band, sig[b.band*4+1 : b.band*4+4] AS band_key
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-        |), pairs AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      s"WITH $minhashCtes\nSELECT d1, d2, est_jaccard FROM est",
+
+    // Clusters = connected components over the minhash near-dup pairs —
+    // DuckDB recomputes the same min-reachable-label fixpoint with a
+    // recursive CTE that Spark reaches by iterative label propagation.
+    "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes, fpairs AS (
+        |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
+        |), sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM fpairs
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM fpairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
         |)
-        |SELECT d1, d2,
-        |       CAST(len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) AS DOUBLE) / 16.0
-        |         AS est_jaccard
-        |FROM pairs
-        |JOIN sig s1 ON d1 = s1.doc_id
-        |JOIN sig s2 ON d2 = s2.doc_id""".stripMargin,
+        |SELECT node AS doc_id, min(lab) AS cluster_id,
+        |       (min(lab) = node) AS keep
+        |FROM reach GROUP BY node""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tok AS (

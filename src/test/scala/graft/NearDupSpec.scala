@@ -61,6 +61,25 @@ class NearDupSpec extends SparkSuite {
     assert(missed.isEmpty)
   }
 
+  test("connectedComponents: chains, cliques and isolated pairs resolve to min-label clusters") {
+    import spark.implicits._
+    // chain 5-2-7-9 (transitive closure across rounds), clique 10-11-12,
+    // isolated pair 20-21; node 9 only reaches 5 via two hops
+    val edges = Seq(
+      (5L, 2L), (2L, 7L), (7L, 9L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("d1", "d2")
+    val cc = NearDup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(cc.view.mapValues(_._1).toMap == Map(
+      2L -> 2L, 5L -> 2L, 7L -> 2L, 9L -> 2L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // exactly one representative per cluster
+    assert(cc.collect { case (n, (c, true)) => (n, c) }.toSet ==
+      Set((2L, 2L), (10L, 10L), (20L, 20L)))
+  }
+
   test("bandLayout partitions all 60 bits into near-equal contiguous spans") {
     for (bands <- Seq(1, 4, 9, 11, 17, 60)) {
       val layout = NearDup.bandLayout(bands)
