@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash64
+
+/** Deterministic sampling and dataset splitting on the portable hash —
+  * the reproducibility layer a training-data pipeline needs that
+  * `df.sample()` cannot give it: `sample()` draws from a per-partition RNG
+  * stream, so results change with partitioning, retries and engine — a
+  * rerun ships different training data. Hash-mod sampling is a pure
+  * function of (salt, key): stable across runs, partitionings, engines
+  * (DuckDB oracles it — q43), and additive (raising a rate keeps every
+  * previously sampled row — crucial for incremental corpus growth).
+  *
+  * All decisions are per-row expressions: no shuffle, no RNG state, and
+  * the sample survives predicate pushdown (the filter sits on the scan).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, mod) from the salted key — the shared
+    * primitive. Distinct salts give independent decisions (the md5 base
+    * hash decorrelates them), so a sampling pass and a split pass on the
+    * same key don't interact. */
+  def hashBucket(key: Column, salt: String, mod: Int = 10000): Column =
+    Hash64.hash60(concat_ws("_", lit(salt), key.cast("string"))) % mod
+
+  /** DuckDB fragment computing the same bucket. */
+  def hashBucketSql(keyExpr: String, salt: String, mod: Int = 10000): String =
+    s"${Hash64.duckSql(s"'$salt' || '_' || CAST($keyExpr AS VARCHAR)")} % $mod"
+
+  /** Keep rows where the salted key falls under the stratum's rate:
+    * per-stratum rates in [0,1] resolve to per-mille-of-mod thresholds.
+    * Strata absent from `rates` get `defaultRate`. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String,
+      mod: Int = 10000): DataFrame = {
+    val threshold = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(strata === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, salt, mod) < threshold * mod)
+  }
+
+  /** Append a `split` column assigning train/validation/test (or any
+    * labeled fractions) by hash range. Fractions must sum to ≤ 1; the
+    * remainder gets the last label. A row's split NEVER changes across
+    * runs or engines — the leakage guarantee train/test separation needs. */
+  def assignSplit(df: DataFrame, key: Column, salt: String,
+      fracs: Seq[(String, Double)], mod: Int = 10000): DataFrame = {
+    val b = hashBucket(key, salt, mod)
+    val cuts = fracs.scanLeft(0.0)(_ + _._2).tail
+    val expr = fracs.zip(cuts).init.foldRight(lit(fracs.last._1): Column) {
+      case (((label, _), cut), acc) => when(b < cut * mod, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

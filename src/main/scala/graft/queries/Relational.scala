@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{AsOf, Exact, Quantiles, RangeJoin, Sampling}
+
+/** Relational/OLAP surface beyond the reference: as-of join, bucketed
+  * range join, exact+sketch quantiles, pivot, rollup grouping sets, and
+  * deterministic sampling/splitting. Each operator exists because a user
+  * of a complete analytics engine reaches for it weekly; each query here
+  * is the oracle-checked witness of the scalable plan shape documented on
+  * the operator.
+  */
+object Relational extends QueryModule {
+
+  private val centsSql = "CAST(round(value * 100) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: every event enriched with the user's most recent
+    // purchase at or before it (union + running-last; one sort-merge-grade
+    // shuffle, no theta join).
+    "q38_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val snaps = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("snap_value"), max(col("event_id")).as("snap_id"))
+      AsOf.join(
+        ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        snaps, Seq("user_id"), "ts", "ts", Seq("snap_value", "snap_id"), "snap_id")
+    }),
+
+    // Range join: events counted into 1-hour incident windows opened by
+    // high-value errors (bucketed equi-join, not BroadcastNestedLoop).
+    "q39_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > 300)
+        .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      RangeJoin.pointInInterval(ev, incidents, "ts", "w_start", "w_end")
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Exact.cents(col("value"))).as("sum_cents"))
+        .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("n_events")))
+        .drop("sum_cents")
+    }),
+
+    // Exact discrete latency-style quantiles per event_type (rank
+    // selection — cross-engine deterministic, unlike interpolation).
+    "q40_quantiles" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.withColumn("cents", Exact.cents(col("value")))
+      val q = Quantiles.exact(ev, Seq(col("event_type")), col("cents"),
+        Seq(0.5, 0.95, 0.99))
+      q.select(col("event_type"),
+        (col("p50") / 100.0).as("p50"),
+        (col("p95") / 100.0).as("p95"),
+        (col("p99") / 100.0).as("p99"))
+    }),
+
+    // Pivot: per-user event-type counts as columns (explicit value list →
+    // one hash aggregation, no per-value scans).
+    "q41_pivot" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          col("click").as("n_click"), col("view").as("n_view"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("error").as("n_error"))
+    }),
+
+    // Rollup grouping sets: (type, hour-of-day) with subtotal and grand-
+    // total rows, grouping_id disambiguating aggregation levels.
+    "q42_rollup" -> ((s, dir) => {
+      Tables(s, dir).events
+        .withColumn("hod", date_format(col("ts"), "HH"))
+        .withColumn("cents", Exact.cents(col("value")))
+        .rollup(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          grouping_id().cast("long").as("gid"))
+        .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("n")))
+        .drop("sum_cents")
+    }),
+
+    // Deterministic stratified sample + split: per-lang rates, then a
+    // stable train/val/test assignment — rerun-identical, engine-identical.
+    "q43_sample_split" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sampled = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25, salt = "smp")
+      Sampling.assignSplit(sampled, col("doc_id"), "spl",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q38_asof_join" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts, max(value) AS snap_value, max(event_id) AS snap_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type, s.snap_value, s.snap_id
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+
+    "q39_range_join" ->
+      s"""WITH incidents AS (
+        |  SELECT event_id AS incident_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+        |  FROM events WHERE event_type = 'error' AND value > 300
+        |)
+        |SELECT i.incident_id, count(*) AS n_events,
+        |       CAST(sum($centsSql) AS DOUBLE) / count(*) / 100.0 AS avg_value
+        |FROM events e JOIN incidents i
+        |  ON e.ts >= i.w_start AND e.ts < i.w_end
+        |GROUP BY 1""".stripMargin,
+
+    "q40_quantiles" ->
+      s"""WITH ranked AS (
+        |  SELECT event_type, $centsSql AS cents,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY $centsSql) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       max(CASE WHEN rn = ceil(0.5 * n)  THEN cents END) / 100.0 AS p50,
+        |       max(CASE WHEN rn = ceil(0.95 * n) THEN cents END) / 100.0 AS p95,
+        |       max(CASE WHEN rn = ceil(0.99 * n) THEN cents END) / 100.0 AS p99
+        |FROM ranked GROUP BY 1""".stripMargin,
+
+    // null (not 0) for absent combos, matching Spark's pivot cells; CAST
+    // because DuckDB widens sum(int) to HUGEINT.
+    "q41_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS n_click,
+        |       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS n_view,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS n_signup,
+        |       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q42_rollup" ->
+      s"""SELECT event_type, strftime(ts, '%H') AS hod,
+        |       count(*) AS n,
+        |       CAST(GROUPING_ID(event_type, strftime(ts, '%H')) AS BIGINT) AS gid,
+        |       CAST(sum($centsSql) AS DOUBLE) / count(*) / 100.0 AS avg_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, strftime(ts, '%H'))""".stripMargin,
+
+    "q43_sample_split" -> {
+      val keep = Sampling.hashBucketSql("doc_id", "smp")
+      val spl = Sampling.hashBucketSql("doc_id", "spl")
+      s"""SELECT doc_id, lang, source,
+        |       CASE WHEN $spl < 8000 THEN 'train'
+        |            WHEN $spl < 9000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents
+        |WHERE $keep < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000 ELSE 2500 END""".stripMargin
+    },
+  )
+}

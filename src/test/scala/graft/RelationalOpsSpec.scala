@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Quantiles, RangeJoin, Sampling}
+
+/** Edge-case contracts of the relational/OLAP operators (the oracle rows
+  * q38-q43 check end-to-end values; these pin the semantics the oracles
+  * can't isolate). */
+class RelationalOpsSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf: inclusive bound, latest-wins, null for rows before any snapshot") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 09:00:00")), // before any snapshot → null
+      (2L, 10L, ts("2024-01-01 10:00:00")), // == snapshot time → inclusive match
+      (3L, 10L, ts("2024-01-01 12:00:00")), // after both → latest wins
+      (4L, 99L, ts("2024-01-01 12:00:00"))) // other key, no snapshots → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100.0, 7L),
+      (10L, ts("2024-01-01 11:00:00"), 200.0, 8L))
+      .toDF("user_id", "ts", "snap_value", "snap_id")
+    val out = AsOf.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("snap_value", "snap_id"), "snap_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("snap_id"))) None else Some(r.getAs[Long]("snap_id"))))
+      .toMap
+    assert(out == Map(1L -> None, 2L -> Some(7L), 3L -> Some(8L), 4L -> None))
+  }
+
+  test("rangeJoin: bucketed result equals the naive theta join; boundary is [start, end)") {
+    import spark.implicits._
+    val points = (0 until 200).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"))).toDF("pid", "t")
+    val iv = Seq(
+      (1L, ts("2024-01-01 03:30:00"), ts("2024-01-01 06:10:00")), // multi-bucket span
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+      .toDF("iid", "s", "e")
+    val bucketed = RangeJoin.pointInInterval(points, iv, "t", "s", "e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(iv, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive && bucketed.nonEmpty)
+    // end-exclusive: a point exactly at e must be out, at s must be in
+    val edge = Seq((100L, ts("2024-01-01 10:00:00")), (101L, ts("2024-01-01 10:30:00")))
+      .toDF("pid", "t")
+    val hits = RangeJoin.pointInInterval(edge, iv, "t", "s", "e")
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(100L))
+  }
+
+  test("quantiles: approx sketch lands within rank tolerance of the exact answer") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val ex = Quantiles.exact(df, Seq(col("g")), col("v"), Seq(0.5, 0.99)).head
+    assert(ex.getAs[Long]("p50") == 5000L && ex.getAs[Long]("p99") == 9900L)
+    val ap = Quantiles.approx(df, Seq(col("g")), col("v"), Seq(0.5, 0.99)).head
+    assert(math.abs(ap.getAs[Long]("p50") - 5000L) <= 50)
+    assert(math.abs(ap.getAs[Long]("p99") - 9900L) <= 50)
+  }
+
+  test("sampling: deterministic across runs/partitionings, additive in the rate") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame, rate: Double) =
+      Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+        Map("en" -> rate), defaultRate = 0.1, salt = "s")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(df, 0.3)
+    assert(a == ids(df.repartition(13), 0.3)) // layout-independent
+    val b = ids(df, 0.6)
+    assert(a.subsetOf(b)) // raising a rate keeps every prior row
+    // rates land near nominal
+    val en = df.filter(col("lang") === "en").count().toDouble
+    val enKept = Sampling.stratifiedSample(df, col("doc_id"), col("lang"),
+      Map("en" -> 0.3), 0.1, "s").filter(col("lang") === "en").count()
+    assert(math.abs(enKept / en - 0.3) < 0.08)
+  }
+
+  test("assignSplit: stable fractions, exhaustive and disjoint labels") {
+    import spark.implicits._
+    val df = (0 until 5000).map(_.toLong).toDF("id")
+    val split = Sampling.assignSplit(df, col("id"), "x",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000L)
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.05)
+    // same key, same salt → same split on a different day/run
+    val again = Sampling.assignSplit(df.repartition(7), col("id"), "x",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    split.collect().foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
+  }
+}
