@@ -33,6 +33,34 @@ class RelationalOpsSpec extends SparkSuite {
     assert(out == Map(1L -> None, 2L -> Some(7L), 3L -> Some(8L), 4L -> None))
   }
 
+  test("asOf: union+running-last equals the naive theta-join on random data") {
+    import spark.implicits._
+    // pseudo-random but deterministic: ~300 left rows, ~60 right rows over
+    // 7 keys with colliding timestamps to exercise ties
+    val left = (0 until 300).map { i =>
+      (i.toLong, (i * 31 % 7).toLong, ts(f"2024-01-01 ${i * 17 % 24}%02d:${i * 13 % 60}%02d:00"))
+    }.toDF("event_id", "user_id", "ts")
+    val right = (0 until 60).map { j =>
+      ((j * 37 % 7).toLong, ts(f"2024-01-01 ${j * 11 % 24}%02d:${j * 7 % 60}%02d:00"),
+        j * 1.5, 1000L + j)
+    }.toDF("user_id", "ts", "snap_value", "snap_id")
+      .groupBy("user_id", "ts")
+      .agg(max("snap_value").as("snap_value"), max("snap_id").as("snap_id"))
+    val fast = AsOf.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("snap_value", "snap_id"), "snap_id")
+      .select("event_id", "snap_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // naive: theta-join all eligible rights, keep max (rt, snap_id)
+    val naive = left.as("l")
+      .join(right.as("r"),
+        col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.event_id"))
+      .agg(max_by(col("r.snap_id"), struct(col("r.ts"), col("r.snap_id"))).as("snap_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == naive)
+    assert(fast.valuesIterator.contains(-1L)) // some rows genuinely unmatched
+  }
+
   test("rangeJoin: bucketed result equals the naive theta join; boundary is [start, end)") {
     import spark.implicits._
     val points = (0 until 200).map(i =>
