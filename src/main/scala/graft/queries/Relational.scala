@@ -85,6 +85,58 @@ object Relational extends QueryModule {
         .drop("sum_cents")
     }),
 
+    // Set operations: (clicked ∩ purchased) \ errored — INTERSECT/EXCEPT
+    // plan as keyed aggregates/joins, not row-by-row driver logic.
+    // (thresholds keep each set a strict subset so the result exercises
+    // both operators — every user has every event type in this testdata)
+    "q44_set_ops" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      def users(t: String, minV: Double) =
+        ev.filter(col("event_type") === t && col("value") > minV)
+          .select(col("user_id"))
+      users("click", 150).intersect(users("purchase", 150))
+        .except(users("error", 250))
+    }),
+
+    // SQL text surface: the same engine via spark.sql over registered
+    // views — top-3 users per event type, ANSI-portable text.
+    "q45_sql_api" -> ((s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, user_id, n, rn FROM (
+          |  SELECT event_type, user_id, count(*) AS n,
+          |         CAST(row_number() OVER (PARTITION BY event_type
+          |           ORDER BY count(*) DESC, user_id) AS BIGINT) AS rn
+          |  FROM events_v GROUP BY event_type, user_id
+          |) WHERE rn <= 3""".stripMargin)
+    }),
+
+    // Anti join: click counts for users who never purchased (left_anti —
+    // a keyed shuffle; the driver-side "collect then filter" anti-pattern
+    // never appears).
+    "q46_anti_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        .join(ev.filter(col("event_type") === "purchase" && col("value") > 180)
+            .select(col("user_id")),
+          Seq("user_id"), "left_anti")
+    }),
+
+    // Latest record per key via max_by on a unique (ts, event_id) ordering
+    // struct: one hash aggregation — no window sort, no per-key shuffle
+    // beyond the agg's own.
+    "q47_latest_per_key" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.ts").as("ts"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"), col("last.value").as("value"))
+    }),
+
     // Deterministic stratified sample + split: per-lang rates, then a
     // stable train/val/test assignment — rerun-identical, engine-identical.
     "q43_sample_split" -> ((s, dir) => {
@@ -149,6 +201,36 @@ object Relational extends QueryModule {
         |       CAST(sum($centsSql) AS DOUBLE) / count(*) / 100.0 AS avg_value
         |FROM events
         |GROUP BY ROLLUP(event_type, strftime(ts, '%H'))""".stripMargin,
+
+    "q44_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 250""".stripMargin,
+
+    "q45_sql_api" ->
+      """SELECT event_type, user_id, n, rn FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY count(*) DESC, user_id) AS BIGINT) AS rn
+        |  FROM events GROUP BY event_type, user_id
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q46_anti_join" ->
+      """SELECT user_id, count(*) AS n_clicks
+        |FROM events e WHERE event_type = 'click'
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |                  WHERE p.event_type = 'purchase' AND p.value > 180
+        |                    AND p.user_id = e.user_id)
+        |GROUP BY 1""".stripMargin,
+
+    "q47_latest_per_key" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
 
     "q43_sample_split" -> {
       val keep = Sampling.hashBucketSql("doc_id", "smp")
