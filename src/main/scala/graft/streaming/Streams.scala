@@ -186,6 +186,16 @@ object Streams {
         col(s"${timeCol}_r") <= col(timeCol) + expr(s"INTERVAL $after"))
   }
 
+  /** Stream-static enrichment: join a stream against a broadcast dimension
+    * frame — stateless (unlike stream-stream joins, no watermark or join
+    * state: the static side is re-resolved per micro-batch, so a reloaded
+    * dim table is picked up on the next epoch). The broadcast hint keeps
+    * every micro-batch a map-side hash join; never shuffle a stream to
+    * meet a dimension that fits in memory. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      how: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, how)
+
   /** Keyed event for the custom-state operators. */
   case class KeyedEvent(key: String, payload: String, ts: java.sql.Timestamp)
 

@@ -82,6 +82,24 @@ class RelationalOpsSpec extends SparkSuite {
     assert(hits == Set(100L))
   }
 
+  test("plan shapes: asOf is one window pass, rangeJoin never plans a nested-loop join") {
+    import spark.implicits._
+    val left = (0 until 50).map(i =>
+      (i.toLong, (i % 5).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = (0 until 10).map(j =>
+      ((j % 5).toLong, ts(f"2024-01-01 ${j}%02d:30:00"), j * 1.0, j.toLong)).toDF("user_id", "ts", "v", "rid")
+    val asofPlan = AsOf.join(left, right, Seq("user_id"), "ts", "ts", Seq("v", "rid"), "rid")
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"), asofPlan) // pure union + window, no join at all
+    assert(asofPlan.split("Window").length == 2, asofPlan) // exactly one window op
+
+    val iv = Seq((1L, ts("2024-01-01 03:00:00"), ts("2024-01-01 05:00:00"))).toDF("iid", "s", "e")
+    val rjPlan = RangeJoin.pointInInterval(left, iv, "ts", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!rjPlan.contains("NestedLoop"), rjPlan) // the bucket key makes it a hash join
+    assert(rjPlan.contains("BroadcastHashJoin") || rjPlan.contains("SortMergeJoin"), rjPlan)
+  }
+
   test("quantiles: approx sketch lands within rank tolerance of the exact answer") {
     import spark.implicits._
     val df = (1 to 10000).map(i => ("g", i.toLong)).toDF("g", "v")

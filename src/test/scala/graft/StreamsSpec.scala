@@ -260,6 +260,27 @@ class StreamsSpec extends SparkSuite {
     assert(files == List("x-0.done"))
   }
 
+  test("stream-static enrich: broadcast dim join per micro-batch, no stream shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.KeyedEvent]
+    val dim = Seq(("k1", "gold"), ("k2", "silver")).toDF("key", "tier")
+    val enriched = Streams.enrich(mem.toDF(), dim, Seq("key"))
+    val q = enriched.writeStream.format("memory").queryName("enr_out")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.KeyedEvent("k1", "a", ts("10:00:00")),
+      Streams.KeyedEvent("k3", "b", ts("10:01:00"))) // no dim row → null tier
+    q.processAllAvailable()
+    val got = spark.table("enr_out").select("key", "tier").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("k1" -> Some("gold"), "k3" -> None))
+    // the micro-batch plan must broadcast the dim side
+    assert(q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    q.stop()
+  }
+
   test("Kafka builders carry the reference's option surface; value cast enters the ETL path") {
     import graft.streaming.Kafka
     import spark.implicits._
