@@ -28,11 +28,15 @@ object Bench {
     val extras: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "x27_minhash_xxh" ->
         ((s, dir) => queries.Vectors.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)))
-    // Untimed warmup absorbs session init + first-plan Janino/JIT cost so
-    // the alphabetically-first timed query stops paying ~5 s of it and
-    // cross-round per-query deltas get cleaner.
-    try { SparkEntry.queries("q22_fingerprint")(spark, sfDir).count() }
-    catch { case _: Throwable => () }
+    // Untimed warmup: run EVERY query once at the tiny SF so each plan's
+    // Janino/JIT compilation (the dominant 4-6 s first-evaluation noise,
+    // keyed by plan structure, not data paths) is paid before timing —
+    // round 2's numbers mixed compile cost into whichever query ran a
+    // plan family first.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    (SparkEntry.queries.toSeq ++ extras).foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    }
     spark.catalog.clearCache()
     // A failed query records a negative sentinel, never a fast time —
     // total includes its wall clock, and the error text is reported.
