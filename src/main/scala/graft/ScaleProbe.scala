@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe (dev tool, not part of the library surface): times the
+  * heaviest operator families at 1x and Nx corpus multiples to check the
+  * growth exponent empirically — near-linear growth is the evidence that
+  * the keyed-shuffle plans hold as data scales. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, "/root/testdata/sf0.1")
+
+    def replicate(df: DataFrame, idCol: String, m: Int): DataFrame =
+      (0 until m).map(i => df.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name rows=$n took ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
+    for (m <- Seq(1, mult)) {
+      val docs = replicate(t.documents, "doc_id", m).persist()
+      docs.count()
+      time(s"minhash_lsh_x$m") {
+        val sig = dedup.NearDup.minhashSignatures(docs, "doc_id", "text",
+          hash = functions.Hash64.fast60).persist()
+        val n = dedup.NearDup.lshCandidatePairs(sig, "doc_id", "sig").count()
+        sig.unpersist(); n
+      }
+      time(s"simhash_x$m") {
+        val sigs = dedup.NearDup.simhash(docs, "doc_id", "text",
+          hash = functions.Hash64.fast60)
+        dedup.NearDup.simhashPairs(sigs, "doc_id", maxHamming = 8).count()
+      }
+      docs.unpersist()
+
+      val emb = replicate(
+        t.embeddings.select(col("vec_id").as("id"),
+          similarity.Similarity.toDouble(col("embedding")).as("ev")), "id", m).persist()
+      emb.count()
+      val queries = t.embeddings.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), similarity.Similarity.toDouble(col("embedding")).as("qv"))
+      time(s"brute_topk_x$m") {
+        similarity.Similarity.bruteForceTopK(emb, queries, 5).count()
+      }
+      emb.unpersist()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
