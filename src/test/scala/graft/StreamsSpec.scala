@@ -260,6 +260,31 @@ class StreamsSpec extends SparkSuite {
     assert(files == List("x-0.done"))
   }
 
+  test("watermarked dedup runs on the RocksDB state store (the at-scale state backend)") {
+    // The default HDFSBackedStateStore keeps every key's state on-heap —
+    // fine for tests, an OOM at 100 TB/day key cardinality. RocksDB spills
+    // to local disk with incremental checkpointing; the operator code is
+    // unchanged, only session config selects it.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      val out = tmp("rocks-out"); val ckp = tmp("rocks-ckp")
+      mem.addData(
+        envJson("a1", "alice", Seq(("m1", 3, 250.0, "2024-01-01 10:00:00"))),
+        envJson("a1", "alice", Seq(("m1", 3, 250.0, "2024-01-01 10:00:00"))))
+      val flat = Streams.dedupWithinWatermark(
+        Streams.etlFlatten(mem.toDF()),
+        Seq("match_id", "account_id"), "event_time", "10 minutes")
+      val q = Streams.parquetSink(flat, out, ckp, Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, q.exception)
+      assert(spark.read.parquet(out).count() == 1) // deduped through RocksDB state
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrich: broadcast dim join per micro-batch, no stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
