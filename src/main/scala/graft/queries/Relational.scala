@@ -137,6 +137,36 @@ object Relational extends QueryModule {
           col("last.event_type").as("event_type"), col("last.value").as("value"))
     }),
 
+    // Batch sessionization: Spark's native session_window (the same
+    // operator the streaming path uses, minus the watermark) — sessions =
+    // maximal event chains with consecutive gaps < 30 min. The oracle is
+    // the classic gaps-and-islands rewrite, proving the two formulations
+    // agree value-for-value.
+    "q48_sessions" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+    }),
+
+    // Star join: revenue by nation — the broadcast-the-dims shape every
+    // warehouse query needs. nation (25 rows) broadcasts; orders⋈customer
+    // shuffle on the fact keys. RelationalOpsSpec asserts the broadcast.
+    "q49_star_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Exact.cents(col("o_totalprice"))).as("cents"))
+        .select(col("n_name"), col("n_orders"),
+          (col("cents").cast("double") / 100.0).as("revenue"))
+    }),
+
     // Deterministic stratified sample + split: per-lang rates, then a
     // stable train/val/test assignment — rerun-identical, engine-identical.
     "q43_sample_split" -> ((s, dir) => {
@@ -231,6 +261,35 @@ object Relational extends QueryModule {
         |    ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
+
+    // gaps-and-islands; break on gap >= 30 min to match session_window's
+    // half-open [ts, ts+gap) merge rule at the exact boundary
+    "q48_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q49_star_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
 
     "q43_sample_split" -> {
       val keep = Sampling.hashBucketSql("doc_id", "smp")

@@ -100,6 +100,13 @@ class RelationalOpsSpec extends SparkSuite {
     assert(rjPlan.contains("BroadcastHashJoin") || rjPlan.contains("SortMergeJoin"), rjPlan)
   }
 
+  test("star join broadcasts the dim side at sf0.01") {
+    val df = graft.queries.Relational.queries("q49_star_join")(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan) // nation never shuffles the facts
+    assert(df.count() == 25)
+  }
+
   test("quantiles: approx sketch lands within rank tolerance of the exact answer") {
     import spark.implicits._
     val df = (1 to 10000).map(i => ("g", i.toLong)).toDF("g", "v")
