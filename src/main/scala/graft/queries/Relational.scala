@@ -167,6 +167,32 @@ object Relational extends QueryModule {
           (col("cents").cast("double") / 100.0).as("revenue"))
     }),
 
+    // Two-hop dim chain: supplier → nation → region, both dims broadcast
+    // (completes coverage of every testdata table).
+    "q51_region_suppliers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(Exact.cents(col("s_acctbal"))).as("cents"))
+        .select(col("r_name"), col("n_suppliers"),
+          Exact.avgFromCents(col("cents"), col("n_suppliers")).as("avg_acctbal"))
+    }),
+
+    // Dimensional rollup over part: brand-level price/size stats.
+    "q52_part_brand" -> ((s, dir) => {
+      Tables(s, dir).part
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(Exact.cents(col("p_retailprice"))).as("cents"),
+          max(col("p_size")).as("max_size"))
+        .select(col("p_brand"), col("n_parts"),
+          Exact.avgFromCents(col("cents"), col("n_parts")).as("avg_price"),
+          col("max_size"))
+    }),
+
     // Deterministic stratified sample + split: per-lang rates, then a
     // stable train/val/test assignment — rerun-identical, engine-identical.
     "q43_sample_split" -> ((s, dir) => {
@@ -290,6 +316,20 @@ object Relational extends QueryModule {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    "q51_region_suppliers" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q52_part_brand" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_price,
+        |       max(p_size) AS max_size
+        |FROM part GROUP BY 1""".stripMargin,
 
     "q43_sample_split" -> {
       val keep = Sampling.hashBucketSql("doc_id", "smp")

@@ -82,6 +82,20 @@ object Text extends QueryModule {
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
 
+    // The flagship composition: sample → dedup → quality floor → split as
+    // ONE declarative plan with a single shuffle, oracle-checked end to
+    // end. Dups injected (doc_id%7, shifted ids) so the dedup stage has
+    // real work; rates/threshold chosen to make every stage selective.
+    "q50_corpus" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      val withDupes = base.unionAll(
+        base.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000))
+      graft.text.Corpus.build(withDupes, "doc_id", "text", "lang",
+        Map("en" -> 0.8, "zh" -> 1.0), defaultRate = 0.5,
+        minQuality = 0.6, salt = "corp")
+    }),
+
     // n-gram (3-shingle) Jaccard: word-order-sensitive near-dup — the
     // exact counterpart of q27's MinHash estimate, same keyed-shuffle plan
     // as q24 with shingles as the join unit. No df-cut: 3-grams are
@@ -173,6 +187,40 @@ object Text extends QueryModule {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
+
+    "q50_corpus" -> {
+      val smp = graft.ops.Sampling.hashBucketSql("doc_id", "corp-smp")
+      val spl = graft.ops.Sampling.hashBucketSql("doc_id", "corp-spl")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
+        |), sampled AS (
+        |  SELECT * FROM all_docs
+        |  WHERE $smp < CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 10000 ELSE 5000 END
+        |), deduped AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |    FROM sampled
+        |  ) WHERE rn = 1
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(toks) AS INTEGER) AS n_tokens,
+        |         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+        |           + (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+        |                      / greatest(len(toks), 1)) * 0.3
+        |           + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+        |                      / greatest(length(text), 1)) * 0.1 AS quality
+        |  FROM (SELECT doc_id, text, lang, $toksSql AS toks FROM deduped)
+        |)
+        |SELECT doc_id, lang, n_tokens, quality,
+        |       CASE WHEN $spl < 8000 THEN 'train'
+        |            WHEN $spl < 9000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM scored WHERE quality >= 0.6""".stripMargin
+    },
 
     "q34_ngram_jaccard" ->
       s"""WITH tok AS (

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** End-to-end training-corpus builder — the composition a data pipeline
+  * actually ships, as ONE declarative plan:
+  *
+  *   stratified sample → exact dedup (keep lowest id per normalized
+  *   fingerprint) → quality floor → train/val/test split
+  *
+  * Plan shape: the sample predicate is a pure hash expression (sits on the
+  * scan, survives pushdown), dedup is a single keyed `min_by` aggregation
+  * (one shuffle — the only one in the whole pipeline), quality is scalar,
+  * and the split is another pure expression. Every step is deterministic
+  * and engine-portable, so the entire pipeline output is one
+  * rows+schema+hash oracle row (q50) — rerunning it on 100 TB tomorrow
+  * selects the same documents into the same splits.
+  */
+object Corpus {
+
+  /** @return (id, strata, n_tokens, quality, split) for the surviving rows */
+  def build(docs: DataFrame, idCol: String, textCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double, minQuality: Double,
+      salt: String): DataFrame = {
+    val sampled = Sampling.stratifiedSample(docs, col(idCol), col(strataCol),
+      rates, defaultRate, s"$salt-smp")
+    val deduped = sampled
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min_by(
+        struct(col(idCol), col(textCol), col(strataCol)), col(idCol)).as("r"))
+      .select(col("r.*"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val stopRatio = TextAnalysis.stopwordHits(toks, TextAnalysis.stopEn)
+      .cast("double") / greatest(size(toks), lit(1))
+    val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    val punct = TextAnalysis.punctRatio(col(textCol))
+    val scored = deduped
+      .withColumn("n_tokens", size(toks))
+      .withColumn("quality",
+        lenScore * lit(0.6) + (lit(1.0) - stopRatio) * lit(0.3) +
+          (lit(1.0) - punct) * lit(0.1))
+      .filter(col("quality") >= minQuality)
+    Sampling.assignSplit(scored, col(idCol), s"$salt-spl",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        col("quality"), col("split"))
+  }
+}
