@@ -42,6 +42,21 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("scan contract: filters push down and projection prunes the read schema") {
+    // the two properties that dominate 100 TB cost — a scan that reads all
+    // columns for a 2-column projection, or filters post-scan, is wrong
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val df = t.lineitem.filter(org.apache.spark.sql.functions.col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PushedFilters").contains("l_quantity"), scan.metadata)
+    val readSchema = scan.metadata("ReadSchema")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema) // pruned
+  }
+
   test("salted join equals the plain join on a skewed key") {
     import spark.implicits._
     // 90% of probe rows share one hot key
