@@ -30,6 +30,24 @@ object Sampling {
   def hashBucketSql(keyExpr: String, salt: String, mod: Int = 10000): String =
     s"${Hash64.duckSql(s"'$salt' || '_' || CAST($keyExpr AS VARCHAR)")} % $mod"
 
+  /** DuckDB threshold CASE mirroring [[stratifiedSample]]'s rate map —
+    * generated from the SAME Scala values so engines cannot drift. */
+  def rateThresholdSql(strataExpr: String, rates: Map[String, Double],
+      defaultRate: Double, mod: Int = 10000): String =
+    rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN '$s' THEN ${(r * mod).round}" }
+      .mkString(s"CASE $strataExpr ", " ", s" ELSE ${(defaultRate * mod).round} END")
+
+  /** DuckDB split CASE mirroring [[assignSplit]]'s fractions. */
+  def splitCaseSql(keyExpr: String, salt: String,
+      fracs: Seq[(String, Double)], mod: Int = 10000): String = {
+    val b = hashBucketSql(keyExpr, salt, mod)
+    val cuts = fracs.scanLeft(0.0)(_ + _._2).tail
+    fracs.zip(cuts).init
+      .map { case ((label, _), cut) => s"WHEN $b < ${(cut * mod).round} THEN '$label'" }
+      .mkString("CASE ", " ", s" ELSE '${fracs.last._1}' END")
+  }
+
   /** Keep rows where the salted key falls under the stratum's rate:
     * per-stratum rates in [0,1] resolve to per-mille-of-mod thresholds.
     * Strata absent from `rates` get `defaultRate`. */

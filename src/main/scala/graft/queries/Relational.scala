@@ -17,6 +17,13 @@ object Relational extends QueryModule {
 
   private val centsSql = "CAST(round(value * 100) AS BIGINT)"
 
+  /** q43's sampling/splitting config — the oracle SQL is generated from
+    * these same values (Sampling.rateThresholdSql/splitCaseSql) so the
+    * two engines cannot drift. */
+  private val docRates = Map("en" -> 0.5, "zh" -> 1.0)
+  private val docDefaultRate = 0.25
+  private val splitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: every event enriched with the user's most recent
     // purchase at or before it (union + running-last; one sort-merge-grade
@@ -198,9 +205,8 @@ object Relational extends QueryModule {
     "q43_sample_split" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val sampled = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
-        Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25, salt = "smp")
-      Sampling.assignSplit(sampled, col("doc_id"), "spl",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        docRates, docDefaultRate, salt = "smp")
+      Sampling.assignSplit(sampled, col("doc_id"), "spl", splitFracs)
         .select(col("doc_id"), col("lang"), col("source"), col("split"))
     }),
   )
@@ -331,15 +337,11 @@ object Relational extends QueryModule {
         |       max(p_size) AS max_size
         |FROM part GROUP BY 1""".stripMargin,
 
-    "q43_sample_split" -> {
-      val keep = Sampling.hashBucketSql("doc_id", "smp")
-      val spl = Sampling.hashBucketSql("doc_id", "spl")
+    "q43_sample_split" ->
       s"""SELECT doc_id, lang, source,
-        |       CASE WHEN $spl < 8000 THEN 'train'
-        |            WHEN $spl < 9000 THEN 'val'
-        |            ELSE 'test' END AS split
+        |       ${Sampling.splitCaseSql("doc_id", "spl", splitFracs)} AS split
         |FROM documents
-        |WHERE $keep < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000 ELSE 2500 END""".stripMargin
-    },
+        |WHERE ${Sampling.hashBucketSql("doc_id", "smp")}
+        |    < ${Sampling.rateThresholdSql("lang", docRates, docDefaultRate)}""".stripMargin,
   )
 }

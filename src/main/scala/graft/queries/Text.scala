@@ -17,6 +17,11 @@ object Text extends QueryModule {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** q50's corpus config — oracle SQL derives from the same values. */
+  private val corpusRates = Map("en" -> 0.8, "zh" -> 1.0)
+  private val corpusDefaultRate = 0.5
+  private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + char stats (whitespace/regex tokenizer).
     "q19_text_stats" -> ((s, dir) => {
@@ -92,8 +97,8 @@ object Text extends QueryModule {
         base.filter(col("doc_id") % 7 === 0)
           .withColumn("doc_id", col("doc_id") + 500000))
       graft.text.Corpus.build(withDupes, "doc_id", "text", "lang",
-        Map("en" -> 0.8, "zh" -> 1.0), defaultRate = 0.5,
-        minQuality = 0.6, salt = "corp")
+        corpusRates, corpusDefaultRate, minQuality = 0.6, salt = "corp",
+        splits = corpusSplits)
     }),
 
     // n-gram (3-shingle) Jaccard: word-order-sensitive near-dup — the
@@ -190,14 +195,13 @@ object Text extends QueryModule {
 
     "q50_corpus" -> {
       val smp = graft.ops.Sampling.hashBucketSql("doc_id", "corp-smp")
-      val spl = graft.ops.Sampling.hashBucketSql("doc_id", "corp-spl")
       s"""WITH all_docs AS (
         |  SELECT doc_id, text, lang FROM documents
         |  UNION ALL
         |  SELECT doc_id + 500000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
         |), sampled AS (
         |  SELECT * FROM all_docs
-        |  WHERE $smp < CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 10000 ELSE 5000 END
+        |  WHERE $smp < ${graft.ops.Sampling.rateThresholdSql("lang", corpusRates, corpusDefaultRate)}
         |), deduped AS (
         |  SELECT doc_id, text, lang FROM (
         |    SELECT *, row_number() OVER (
@@ -216,9 +220,7 @@ object Text extends QueryModule {
         |  FROM (SELECT doc_id, text, lang, $toksSql AS toks FROM deduped)
         |)
         |SELECT doc_id, lang, n_tokens, quality,
-        |       CASE WHEN $spl < 8000 THEN 'train'
-        |            WHEN $spl < 9000 THEN 'val'
-        |            ELSE 'test' END AS split
+        |       ${graft.ops.Sampling.splitCaseSql("doc_id", "corp-spl", corpusSplits)} AS split
         |FROM scored WHERE quality >= 0.6""".stripMargin
     },
 

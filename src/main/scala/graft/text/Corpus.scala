@@ -24,7 +24,8 @@ object Corpus {
   /** @return (id, strata, n_tokens, quality, split) for the surviving rows */
   def build(docs: DataFrame, idCol: String, textCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double, minQuality: Double,
-      salt: String): DataFrame = {
+      salt: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     val sampled = Sampling.stratifiedSample(docs, col(idCol), col(strataCol),
       rates, defaultRate, s"$salt-smp")
     val deduped = sampled
@@ -44,8 +45,7 @@ object Corpus {
         lenScore * lit(0.6) + (lit(1.0) - stopRatio) * lit(0.3) +
           (lit(1.0) - punct) * lit(0.1))
       .filter(col("quality") >= minQuality)
-    Sampling.assignSplit(scored, col(idCol), s"$salt-spl",
-      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    Sampling.assignSplit(scored, col(idCol), s"$salt-spl", splits)
       .select(col(idCol), col(strataCol), col("n_tokens"),
         col("quality"), col("split"))
   }
