@@ -18,22 +18,66 @@ import org.apache.spark.sql.functions._
   */
 object Partitioned {
 
+  private def arranged(withDt: DataFrame, filesPerDay: Int): DataFrame =
+    if (filesPerDay <= 1) withDt.repartition(col("dt"))
+    else withDt
+      .withColumn("__salt",
+        pmod(hash(withDt.columns.map(col): _*), lit(filesPerDay)))
+      .repartition(col("dt"), col("__salt"))
+      .drop("__salt")
+
   /** Write `df` date-partitioned by `tsCol`'s calendar day. */
   def writeByDay(df: DataFrame, tsCol: String, path: String,
       filesPerDay: Int = 1): DataFrame = {
     val withDt = df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
-    val arranged =
-      if (filesPerDay <= 1) withDt.repartition(col("dt"))
-      else withDt
-        .withColumn("__salt",
-          pmod(hash(withDt.columns.map(col): _*), lit(filesPerDay)))
-        .repartition(col("dt"), col("__salt"))
-        .drop("__salt")
-    arranged.write.mode("overwrite").partitionBy("dt").parquet(path)
+    arranged(withDt, filesPerDay).write.mode("overwrite")
+      .partitionBy("dt").parquet(path)
     withDt
   }
 
   /** Read back; day-range predicates on `dt` prune at planning time. */
   def readDays(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Upsert at day granularity: rewrite ONLY the days present in
+    * `updates`, leaving every other partition's files untouched — the
+    * parquet-only replacement for a MERGE, via dynamic partition
+    * overwrite. The unit of atomicity is the day directory: late data or
+    * corrections re-derive whole days (idempotent, replayable), which is
+    * how append-only telemetry lakes actually reconcile — row-level
+    * merge needs a table format (Delta/Iceberg) on top. */
+  def upsertDays(updates: DataFrame, tsCol: String, path: String,
+      filesPerDay: Int = 1): Unit = {
+    val spark = updates.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      arranged(updates.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd")),
+        filesPerDay)
+        .write.mode("overwrite").partitionBy("dt").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Compact one day's small files into `targetFiles` — the maintenance
+    * job that keeps scan task counts sane after streaming appends. Reads
+    * only the target partition (pruned scan), rewrites only it (dynamic
+    * overwrite). */
+  def compactDay(spark: SparkSession, path: String, day: String,
+      targetFiles: Int = 1): Unit = {
+    val dayRows = readDays(spark, path).filter(col("dt") === day)
+      .repartition(targetFiles).drop("dt")
+      .withColumn("dt", lit(day))
+    // materialize before overwriting the directory being read
+    val snapshot = dayRows.localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try snapshot.write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

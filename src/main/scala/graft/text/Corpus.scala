@@ -49,4 +49,21 @@ object Corpus {
       .select(col(idCol), col(strataCol), col("n_tokens"),
         col("quality"), col("split"))
   }
+
+  /** Incremental ingestion: drop new documents whose normalized
+    * fingerprint already exists in the corpus — the daily-batch path
+    * (dedup new data against history WITHOUT re-reading history's text:
+    * `existingFps` is the persisted fingerprint column, one slim row per
+    * historical doc). A keyed left_anti shuffle on the fingerprint; also
+    * drops intra-batch dups, keeping the lowest id. */
+  def incremental(newDocs: DataFrame, idCol: String, textCol: String,
+      existingFps: DataFrame): DataFrame = {
+    val fps = existingFps.toDF("__fp")
+    newDocs
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(fps, Seq("__fp"), "left_anti")
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(newDocs.columns.map(col): _*), col(idCol)).as("r"))
+      .select(col("r.*"))
+  }
 }

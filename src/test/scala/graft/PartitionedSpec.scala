@@ -37,6 +37,39 @@ class PartitionedSpec extends SparkSuite {
     assert(pruned.count() == 600)
   }
 
+  test("upsertDays rewrites only the touched day; compactDay merges its files") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("upsert-out").toString
+    Partitioned.writeByDay(events, "ts", path)
+    val before = Partitioned.readDays(spark, path)
+    assert(before.count() == 3000)
+    val untouchedFiles = before.inputFiles.filterNot(_.contains("dt=2024-01-02")).sorted
+
+    // day 2 re-derived with corrected values → only its directory changes
+    val day2 = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02")
+      .withColumn("value", col("value") * 2)
+    Partitioned.upsertDays(day2, "ts", path)
+    val after = Partitioned.readDays(spark, path)
+    assert(after.count() == 3000) // other days intact, day 2 replaced not appended
+    assert(after.inputFiles.filterNot(_.contains("dt=2024-01-02")).sorted
+      .sameElements(untouchedFiles)) // same physical files, byte-identical dirs
+    val day2Sum = after.filter(col("dt") === "2024-01-02")
+      .agg(org.apache.spark.sql.functions.sum("value")).head.getDouble(0)
+    val origSum = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02")
+      .agg(org.apache.spark.sql.functions.sum("value")).head.getDouble(0)
+    assert(math.abs(day2Sum - origSum * 2) < 1e-6)
+
+    // fragment day 3 into many files, then compact to one
+    val day3 = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-03")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Partitioned.upsertDays(day3, "ts", path, filesPerDay = 8)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    Partitioned.compactDay(spark, path, "2024-01-03")
+    val compacted = Partitioned.readDays(spark, path)
+    assert(compacted.inputFiles.count(_.contains("dt=2024-01-03")) == 1)
+    assert(compacted.count() == 3000) // content preserved through compaction
+  }
+
   test("writeByDay: one file per day by default, filesPerDay fans out") {
     val p1 = Files.createTempDirectory("part-one").toString
     Partitioned.writeByDay(events.repartition(16), "ts", p1)

@@ -117,6 +117,23 @@ class RelationalOpsSpec extends SparkSuite {
     assert(math.abs(ap.getAs[Long]("p99") - 9900L) <= 50)
   }
 
+  test("incremental corpus dedup: history fingerprints and intra-batch dups both drop") {
+    import spark.implicits._
+    val history = Seq((1L, "the quick brown fox"), (2L, "existing doc two"))
+      .toDF("doc_id", "text")
+    val historyFps = history.select(
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "THE  quick   brown fox"), // normalizes to history doc 1 → drop
+      (11L, "genuinely new content"),
+      (12L, "genuinely new content"),  // intra-batch dup → keep lowest id
+      (13L, "another new one"))
+      .toDF("doc_id", "text")
+    val kept = graft.text.Corpus.incremental(batch, "doc_id", "text", historyFps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("sampling: deterministic across runs/partitionings, additive in the rate") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
