@@ -99,4 +99,27 @@ object Ingest {
   /** F1 null guard (`advanced_analytics.py:89`). */
   def validPerformance(df: DataFrame): DataFrame =
     df.filter(col("kills").isNotNull && col("damage_dealt").isNotNull)
+
+  /** Dead-letter split: parse the envelope but KEEP malformed messages.
+    * The reference (and [[parseEnvelope]]) silently nulls-then-drops bad
+    * JSON — at telemetry scale that's data loss with no audit trail. Here
+    * a message is routed to `bad` when `from_json` cannot produce a
+    * non-null envelope; `bad` carries the raw payload for a dead-letter
+    * sink (replayable once the producer bug is fixed). Pure projection +
+    * filter on both arms — the scan is shared, nothing shuffles.
+    *
+    * @return (good envelopes frame, bad raw-message frame) */
+  def parseWithDeadLetter(raw: DataFrame, valueCol: String = "value",
+      schema: StructType = envelopeSchema): (DataFrame, DataFrame) = {
+    val parsed = raw.withColumn("__env",
+      from_json(col(valueCol).cast("string"), schema))
+    // from_json yields null for unparseable text; an envelope missing BOTH
+    // declared fields is schema-mismatched junk even if it is valid JSON
+    val ok = col("__env").isNotNull &&
+      (col("__env.player").isNotNull || col("__env.matches").isNotNull)
+    val good = parsed.filter(ok).select(col("__env.*"))
+    val bad = parsed.filter(!ok)
+      .select(col(valueCol).cast("string").as("raw_value"))
+    (good, bad)
+  }
 }

@@ -63,6 +63,23 @@ class IngestSpec extends SparkSuite {
     assert(flat.count() == 0)
   }
 
+  test("dead-letter split keeps malformed messages with their raw payload") {
+    import spark.implicits._
+    val raw = Seq(
+      envelope,                      // good
+      """{"truncated": """,          // invalid JSON → null envelope
+      """{"foo": 1, "bar": "x"}""",  // valid JSON, wrong shape → both fields null
+      envelope.replace("TestPlayer", "SecondPlayer")) // good
+      .toDF("value")
+    val (good, bad) = Ingest.parseWithDeadLetter(raw)
+    assert(good.count() == 2)
+    assert(Ingest.flattenMatches(good).count() == 4) // still flattens downstream
+    val badRows = bad.as[String].collect()
+    assert(badRows.length == 2)
+    assert(badRows.exists(_.startsWith("""{"truncated""")))
+    assert(badRows.exists(_.contains("\"foo\""))) // raw payload preserved verbatim
+  }
+
   test("schema pruning: projecting two fields only parses those") {
     import spark.implicits._
     val raw = Seq(envelope).toDF("value")
