@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two registration routes, same builder:
+  *  - [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    — the deployment-config route, applied at session build.
+  *  - [[GraftFunctions.register]] — the runtime route for an existing
+  *    session (tests, notebooks).
+  *
+  * Either way `SELECT dot_product(a, b)` resolves to the codegen'd
+  * [[DotProduct]] Catalyst expression — NOT a Scala UDF: SQL-text users
+  * get the same whole-stage-codegen plan as the DataFrame API's
+  * `DotProduct.dot`. */
+object GraftFunctions {
+
+  private[functions] val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"dot_product expects 2 arguments, got ${exprs.length}")
+      DotProduct(exprs.head, exprs(1))
+    })
+
+  /** Register into a live session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = dotProduct
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    val _ = info
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(GraftFunctions.dotProduct)
+}

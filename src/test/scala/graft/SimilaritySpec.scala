@@ -192,6 +192,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > frac) // cells are data-adaptive: beats random pruning
   }
 
+  test("dot_product registers as a SQL function resolving to the native expression") {
+    graft.functions.GraftFunctions.register(spark)
+    // non-literal source, else constant folding erases the expression
+    spark.range(1, 4)
+      .selectExpr("array(CAST(id AS DOUBLE), 2.0) AS a", "array(3.0, CAST(id AS DOUBLE)) AS b")
+      .createOrReplaceTempView("vecs")
+    val df = spark.sql("SELECT sum(dot_product(a, b)) AS d FROM vecs")
+    assert(df.head.getDouble(0) == (1 to 3).map(i => i * 3.0 + 2.0 * i).sum)
+    // SQL text resolved to the codegen'd Catalyst expression, not a UDF
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dot_product"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("lshBucket is deterministic across evaluations") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")
