@@ -50,14 +50,17 @@ object Sampling {
 
   /** Keep rows where the salted key falls under the stratum's rate:
     * per-stratum rates in [0,1] resolve to per-mille-of-mod thresholds.
-    * Strata absent from `rates` get `defaultRate`. */
+    * Strata absent from `rates` get `defaultRate`. Thresholds are rounded
+    * to INTEGERS at plan-build time — comparing against `rate * mod` as a
+    * double would disagree with the (rounded) oracle SQL on keys hashing
+    * exactly to the boundary bucket (0.1 * 10000 = 1000.0000000000001). */
   def stratifiedSample(df: DataFrame, key: Column, strata: Column,
       rates: Map[String, Double], defaultRate: Double, salt: String,
       mod: Int = 10000): DataFrame = {
-    val threshold = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
-      when(strata === s, lit(r)).otherwise(acc)
+    val threshold = rates.foldLeft(lit((defaultRate * mod).round)) {
+      case (acc, (s, r)) => when(strata === s, lit((r * mod).round)).otherwise(acc)
     }
-    df.filter(hashBucket(key, salt, mod) < threshold * mod)
+    df.filter(hashBucket(key, salt, mod) < threshold)
   }
 
   /** Append a `split` column assigning train/validation/test (or any
@@ -68,8 +71,12 @@ object Sampling {
       fracs: Seq[(String, Double)], mod: Int = 10000): DataFrame = {
     val b = hashBucket(key, salt, mod)
     val cuts = fracs.scanLeft(0.0)(_ + _._2).tail
+    // rounded-integer cuts, same values the SQL generator emits — double
+    // cut accumulation (0.8 + 0.1 = 0.9000000000000001) would misassign
+    // the exact boundary bucket relative to the oracle
     val expr = fracs.zip(cuts).init.foldRight(lit(fracs.last._1): Column) {
-      case (((label, _), cut), acc) => when(b < cut * mod, lit(label)).otherwise(acc)
+      case (((label, _), cut), acc) =>
+        when(b < (cut * mod).round, lit(label)).otherwise(acc)
     }
     df.withColumn("split", expr)
   }
