@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.ops.{Sampling => S}
+
+/** Frequency sketching — the third leg of the sketch suite (HLL++ distinct
+  * counts in [[Rollups.hourlyRollupApprox]], KLL-style quantiles in
+  * [[Quantiles.approx]], count-min frequencies here).
+  *
+  * A count-min sketch answers "how often does key X occur in 100 TB?" from
+  * a KILOBYTE-scale summary built in one pass with map-side merging — no
+  * groupBy shuffle over all keys, no driver-side key explosion. Estimates
+  * only OVER-count (est ≥ true, error ≤ eps·n with prob ≥ confidence), so
+  * a heavy-hitter screen has no false negatives by construction.
+  *
+  * Like the other sketches, internals are engine-specific (no SQL oracle);
+  * SketchesSpec bounds the estimates against exact counts.
+  */
+object Sketches {
+
+  /** One-pass mergeable count-min sketch of `c` (collected to the driver —
+    * the sketch is model-scale: width 2/eps × depth ln(1/δ) longs). */
+  def countMin(df: DataFrame, c: Column, eps: Double = 0.0001,
+      confidence: Double = 0.99, seed: Int = 42): CountMinSketch = {
+    val bytes = df
+      .select(count_min_sketch(c, lit(eps), lit(confidence), lit(seed)).as("s"))
+      .head.getAs[Array[Byte]](0)
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  /** Heavy hitters: keys with frequency ≥ `minFrac` of the corpus.
+    * Discovery uses a deterministic ROW sample for CANDIDATES — a key at
+    * row-frequency f appears in a size-k uniform row sample with prob
+    * 1−(1−f)^k (for f ≥ 1% and k = 2000 that is 1 − 2e-9) — then the
+    * sketch supplies the counts. The sample hashes the FULL row content
+    * (hashing only the key would sample keys uniformly, giving hot keys
+    * no discovery advantage; byte-identical duplicate rows collapse, so
+    * keys whose rows are all identical need a row-unique column in `df`).
+    * Two passes over the data, both shuffle-free except the candidate
+    * distinct; candidate probing is driver-side over a sample-sized key
+    * set. Output (key, est) with est ≥ true count — no false negatives
+    * from the sketch, only from sampling. */
+  def heavyHitters(df: DataFrame, key: Column, minFrac: Double,
+      sampleSize: Int = 2000, eps: Double = 0.0001): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.count()
+    val sketch = countMin(df, key, eps)
+    val rowHash = concat_ws("", df.columns.map(c => col(c).cast("string")): _*)
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(total, 1L))
+    val candidates = df
+      .filter(S.hashBucket(rowHash, "hh", 1000000) < (frac * 1000000).round)
+      .select(key.cast("string").as("k")).distinct()
+      .as[String].collect()
+    val floor = (minFrac * total).toLong
+    val hits = candidates.toSeq
+      .map(k => k -> sketch.estimateCount(k))
+      .filter(_._2 >= floor)
+      .sortBy(-_._2)
+    hits.toDF("key", "est")
+  }
+}
