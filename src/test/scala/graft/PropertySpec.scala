@@ -84,6 +84,51 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: two-phase top-k with k >= group size reproduces the full ranking") {
+    import spark.implicits._
+    val scored = (0 until 300).map { i =>
+      ((i % 3).toLong, i.toLong, math.sin(i * 2.7) * 100)
+    }.toDF("qid", "id", "cosine")
+    val full = graft.similarity.TopK.perGroup(scored, Seq("qid"), "id", "cosine", 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // reference: rank via sorted sequence per group
+    val expected = scored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).zipWithIndex
+          .map { case ((_, id, _), i) => (q, id, (i + 1).toLong) }
+      }.toSet
+    assert(full == expected)
+  }
+
+  test("property: connected components are a fixpoint (re-running on its output is stable)") {
+    import spark.implicits._
+    val edges = (0 until 120).map(i => ((i * 13 % 40).toLong, (i * 7 % 40).toLong))
+      .filter { case (a, b) => a != b }.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("d1", "d2")
+    val cc1 = graft.dedup.NearDup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every node must point to a label inside its own component (the label
+    // is itself a node with the same label — canonical representative)
+    cc1.foreach { case (_, lab) => assert(cc1(lab) == lab) }
+    // rerun on (node, cluster) edges: same partition of the node set
+    val cc2 = graft.dedup.NearDup.connectedComponents(
+      cc1.toSeq.toDF("d1", "d2").filter(col("d1") =!= col("d2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc1.foreach { case (n, lab) =>
+      if (n != lab) assert(cc2(n) == cc1(n)) // same representative
+    }
+  }
+
+  test("property: exact quantiles at p=1 equal the max; estimates bound the discrete rank") {
+    import spark.implicits._
+    val df = (1 to 777).map(i => ("g", (i * 37 % 1000).toLong)).toDF("g", "v")
+    val q = graft.ops.Quantiles.exact(df, Seq(col("g")), col("v"), Seq(1.0)).head
+    val mx = df.agg(max("v")).head.getLong(0)
+    assert(q.getAs[Long]("p100") == mx)
+  }
+
   test("property: tokens are lowercase alnum and stable under re-tokenization") {
     import spark.implicits._
     val gen = Gen.listOfN(12, Gen.asciiPrintableStr)
