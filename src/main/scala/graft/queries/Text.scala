@@ -101,6 +101,26 @@ object Text extends QueryModule {
         splits = corpusSplits)
     }),
 
+    // PII scrub: plant synthetic emails/IPs/phones deterministically (the
+    // corpus has none), count on the original text, redact, emit the
+    // scrubbed text's fingerprint so the oracle proves byte-exact redaction.
+    "q53_pii_scrub" -> ((s, dir) => {
+      val planted = Tables(s, dir).documents.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("from 10.0."), (col("doc_id") % 200).cast("string"), lit(".7 "), col("text")))
+          .when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" call +1 555 01"), (col("doc_id") % 90 + 10).cast("string"), lit(" 0199")))
+          .otherwise(col("text")))
+      planted.select(
+        col("doc_id"),
+        graft.text.Scrub.countEmails(col("text")).as("n_emails"),
+        graft.text.Scrub.countIps(col("text")).as("n_ips"),
+        graft.text.Scrub.countPhones(col("text")).as("n_phones"),
+        md5(graft.text.Scrub.scrub(col("text"))).as("scrubbed_fp"))
+    }),
+
     // n-gram (3-shingle) Jaccard: word-order-sensitive near-dup — the
     // exact counterpart of q27's MinHash estimate, same keyed-shuffle plan
     // as q24 with shingles as the join unit. No df-cut: 3-grams are
@@ -222,6 +242,30 @@ object Text extends QueryModule {
         |SELECT doc_id, lang, n_tokens, quality,
         |       ${graft.ops.Sampling.splitCaseSql("doc_id", "corp-spl", corpusSplits)} AS split
         |FROM scored WHERE quality >= 0.6""".stripMargin
+    },
+
+    "q53_pii_scrub" -> {
+      import graft.text.Scrub
+      s"""WITH planted AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |                THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |              WHEN doc_id % 5 = 1
+        |                THEN 'from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7 ' || text
+        |              WHEN doc_id % 5 = 2
+        |                THEN text || ' call +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' 0199'
+        |              ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '${Scrub.emailRe}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '${Scrub.ipRe}')) AS INTEGER) AS n_ips,
+        |       CAST(len(regexp_extract_all(text, '${Scrub.phoneRe}')) AS INTEGER) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |             '${Scrub.emailRe}', '[EMAIL]', 'g'),
+        |             '${Scrub.ipRe}', '[IP]', 'g'),
+        |             '${Scrub.phoneRe}', '[PHONE]', 'g')) AS scrubbed_fp
+        |FROM planted""".stripMargin
     },
 
     "q34_ngram_jaccard" ->
