@@ -101,6 +101,33 @@ object Text extends QueryModule {
         splits = corpusSplits)
     }),
 
+    // Repetition signals (Gopher/C4-style quality filters): fraction of
+    // tokens that are repeats, share of the most frequent token, and share
+    // of the most frequent 2-gram. High values mark boilerplate/spam for
+    // exclusion. One explode + two keyed aggregations per signal family.
+    "q54_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      val tokStats = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_tok"))
+      val grams = docs.select(col("doc_id"),
+        explode(NearDup.shingles(graft.text.TextAnalysis.tokens(col("text")), 2)).as("g"))
+      val gramStats = grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram"))
+      tokStats.join(gramStats, Seq("doc_id"))
+        .select(col("doc_id"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_tok_frac"),
+          (col("top_tok").cast("double") / col("n_tokens")).as("top_tok_frac"),
+          (col("top_gram").cast("double") / col("n_grams")).as("top_2gram_frac"))
+    }),
+
     // PII scrub: plant synthetic emails/IPs/phones deterministically (the
     // corpus has none), count on the original text, redact, emit the
     // scrubbed text's fingerprint so the oracle proves byte-exact redaction.
@@ -243,6 +270,32 @@ object Text extends QueryModule {
         |       ${graft.ops.Sampling.splitCaseSql("doc_id", "corp-spl", corpusSplits)} AS split
         |FROM scored WHERE quality >= 0.6""".stripMargin
     },
+
+    "q54_repetition" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(toks) AS tok
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+        |), ts AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok
+        |  FROM tc GROUP BY 1
+        |), grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks)),
+        |                             i -> array_to_string(toks[i:i+1], ' ')) END) AS g
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |), gc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+        |), gs AS (
+        |  SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram FROM gc GROUP BY 1
+        |)
+        |SELECT ts.doc_id,
+        |       1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_tok_frac,
+        |       CAST(top_tok AS DOUBLE) / n_tokens AS top_tok_frac,
+        |       CAST(top_gram AS DOUBLE) / n_grams AS top_2gram_frac
+        |FROM ts JOIN gs ON ts.doc_id = gs.doc_id""".stripMargin,
 
     "q53_pii_scrub" -> {
       import graft.text.Scrub
