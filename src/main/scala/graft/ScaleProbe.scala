@@ -53,7 +53,23 @@ object ScaleProbe {
       time(s"brute_topk_x$m") {
         similarity.Similarity.bruteForceTopK(emb, queries, 5).count()
       }
+      val cents = similarity.IVF.collectCentroids(
+        emb.filter(col("id") < 16).select(col("id").as("cid"), col("ev").as("cv")),
+        "cid", "cv")
+      time(s"ivf_topk_x$m") {
+        similarity.IVF.topK(emb, queries, cents, nProbe = 4, k = 5).count()
+      }
       emb.unpersist()
+
+      // connected components over a synthetic chain+clique edge set that
+      // grows with m (tests the O(log diameter) loop, not the pipeline)
+      import spark.implicits._
+      val nNodes = 20000 * m
+      val edges = spark.range(1, nNodes)
+        .select((col("id") - 1).as("d1"), col("id").as("d2")) // one long chain
+      time(s"connected_components_x$m") {
+        dedup.NearDup.connectedComponents(edges.toDF()).count()
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -294,13 +294,14 @@ object Relational extends QueryModule {
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
 
-    // gaps-and-islands; break on gap >= 30 min to match session_window's
-    // half-open [ts, ts+gap) merge rule at the exact boundary
+    // gaps-and-islands; break on gap STRICTLY > 30 min — session_window
+    // merges an exactly-gap-later event (inclusive bound, pinned by the
+    // RelationalOpsSpec boundary test)
     "q48_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -134,6 +134,23 @@ class RelationalOpsSpec extends SparkSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("session_window boundary: an exactly-gap-later event MERGES (inclusive bound)") {
+    // Pins the boundary rule q48's oracle must mirror: Spark merges when
+    // next.ts <= prev.ts + gap (inclusive), so the gaps-and-islands break
+    // condition is STRICTLY greater-than. (Measured here — an earlier
+    // draft of the oracle used >= and only passed by data luck.)
+    import spark.implicits._
+    val df = Seq(
+      (7L, ts("2024-01-01 10:00:00")),
+      (7L, ts("2024-01-01 10:30:00")),   // exactly gap later → merges
+      (7L, ts("2024-01-01 11:00:01")))   // 30:01 later → new session
+      .toDF("user_id", "ts")
+    val sessions = df.groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes"))
+      .count().collect().map(_.getLong(2)).sorted.toSeq
+    assert(sessions == Seq(1L, 2L))
+  }
+
   test("sampling: deterministic across runs/partitionings, additive in the rate") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
