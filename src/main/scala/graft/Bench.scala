@@ -34,9 +34,11 @@ object Bench {
     // round 2's numbers mixed compile cost into whichever query ran a
     // plan family first.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    (SparkEntry.queries.toSeq ++ extras).foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-    }
+    (SparkEntry.queries.toSeq ++ extras)
+      .filter { case (n, _) => only.forall(_.contains(n)) } // warm only what we time
+      .foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
     spark.catalog.clearCache()
     // A failed query records a negative sentinel, never a fast time —
     // total includes its wall clock, and the error text is reported.

@@ -30,7 +30,12 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       tieBreak: String): DataFrame = {
-    val r = right.select(
+    // join-key equality semantics: a NULL key matches nothing, but the
+    // window partition would happily group NULL with NULL — drop null-
+    // keyed right rows so null-keyed left rows keep a null payload,
+    // exactly like the equality theta-join / DuckDB ASOF the q38 oracle runs
+    val rNonNull = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val r = rNonNull.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__ts"),
         col(tieBreak).as("__tb"),

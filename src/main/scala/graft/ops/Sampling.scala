@@ -22,9 +22,15 @@ object Sampling {
   /** Uniform bucket in [0, mod) from the salted key — the shared
     * primitive. Distinct salts give independent decisions (the md5 base
     * hash decorrelates them), so a sampling pass and a split pass on the
-    * same key don't interact. */
+    * same key don't interact.
+    *
+    * NULL keys bucket to NULL (`concat`, like SQL `||`, propagates null —
+    * `concat_ws` would silently hash the bare salt), so a null-keyed row
+    * is dropped by [[stratifiedSample]]'s comparison and falls to the
+    * last label in [[assignSplit]] — matching the generated oracle SQL
+    * exactly instead of by luck. */
   def hashBucket(key: Column, salt: String, mod: Int = 10000): Column =
-    Hash64.hash60(concat_ws("_", lit(salt), key.cast("string"))) % mod
+    Hash64.hash60(concat(lit(salt), lit("_"), key.cast("string"))) % mod
 
   /** DuckDB fragment computing the same bucket. */
   def hashBucketSql(keyExpr: String, salt: String, mod: Int = 10000): String =

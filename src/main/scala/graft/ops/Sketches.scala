@@ -41,16 +41,20 @@ object Sketches {
     * (hashing only the key would sample keys uniformly, giving hot keys
     * no discovery advantage; byte-identical duplicate rows collapse, so
     * keys whose rows are all identical need a row-unique column in `df`).
-    * Two passes over the data, both shuffle-free except the candidate
-    * distinct; candidate probing is driver-side over a sample-sized key
+    * Two passes over the data (sketch + sample), shuffle-free except the
+    * candidate distinct; candidate probing is driver-side over a sample-sized key
     * set. Output (key, est) with est ≥ true count — no false negatives
     * from the sketch, only from sampling. */
   def heavyHitters(df: DataFrame, key: Column, minFrac: Double,
       sampleSize: Int = 2000, eps: Double = 0.0001): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val total = df.count()
-    val sketch = countMin(df, key, eps)
+    // sketch over the STRING form of the key: probing happens with string
+    // candidates below, and CountMinSketch hashes a long and its string
+    // rendering differently — building on the native type would silently
+    // estimate ~0 for every candidate of a non-string key column
+    val sketch = countMin(df, key.cast("string"), eps)
+    val total = sketch.totalCount() // row count for free — no extra pass
     val rowHash = concat_ws("", df.columns.map(c => col(c).cast("string")): _*)
     val frac = math.min(1.0, sampleSize.toDouble / math.max(total, 1L))
     val candidates = df

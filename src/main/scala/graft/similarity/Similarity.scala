@@ -156,8 +156,11 @@ object Similarity {
             col("a.id") < col("b.id"))
         .select(col("a.id").as("d1"), col("b.id").as("d2"),
           cosineNative(col("a.ev"), col("b.ev")).as("cosine"))
-        .groupBy(col("d1"), col("d2")).agg(max(col("cosine")).as("cosine"))
+        // threshold BEFORE the dedup shuffle: a pair scores identically in
+        // every band, so sub-threshold candidates can drop map-side
+        // instead of riding the groupBy exchange
         .filter(col("cosine") >= minCosine)
+        .groupBy(col("d1"), col("d2")).agg(max(col("cosine")).as("cosine"))
     }
   }
 

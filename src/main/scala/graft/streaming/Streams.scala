@@ -32,13 +32,15 @@ object Streams {
       .dropDuplicatesWithinWatermark(keys)
 
   /** S2: append-mode parquet sink, checkpointed, processing-time trigger.
-    * `mergeSchema` is set as the reference does
-    * (`pubg_streaming.py:236-244`): schema drift is a weekly event in a
-    * telemetry pipeline — the supported evolution path is stop the query,
-    * redeploy with the widened schema, resume from the SAME checkpoint into
-    * the same directory (the sink's metadata log continues at the next
-    * batch id; parquet files of mixed schemas coexist). Read the union
-    * back with [[readEvolved]]. */
+    * Schema drift is a weekly event in a telemetry pipeline — the
+    * supported evolution path is stop the query, redeploy with the widened
+    * schema, resume from the SAME checkpoint into the same directory (the
+    * sink's metadata log continues at the next batch id; parquet files of
+    * mixed schemas coexist). The union MUST be read back with
+    * [[readEvolved]]: the `mergeSchema` option below mirrors the reference
+    * (`pubg_streaming.py:236-244`) but is a READ option — on the write
+    * side it is a no-op, and a plain `spark.read.parquet` of the output
+    * picks one file's schema and silently drops newer columns. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

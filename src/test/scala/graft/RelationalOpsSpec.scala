@@ -33,6 +33,26 @@ class RelationalOpsSpec extends SparkSuite {
     assert(out == Map(1L -> None, 2L -> Some(7L), 3L -> Some(8L), 4L -> None))
   }
 
+  test("asOf: NULL join keys match nothing on either side") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-01 12:00:00")),
+      (2L, None, ts("2024-01-01 12:00:00"))) // null-keyed left row
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), ts("2024-01-01 10:00:00"), 1.5, 7L),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 9.9, 8L)) // null-keyed snapshot
+      .toDF("user_id", "ts", "snap_value", "snap_id")
+    val out = AsOf.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("snap_value", "snap_id"), "snap_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("snap_id"))) None else Some(r.getAs[Long]("snap_id"))))
+      .toMap
+    // equality semantics: the null-keyed left row must NOT pick up the
+    // null-keyed snapshot (window partitioning would happily group them)
+    assert(out == Map(1L -> Some(7L), 2L -> None))
+  }
+
   test("asOf: union+running-last equals the naive theta-join on random data") {
     import spark.implicits._
     // pseudo-random but deterministic: ~300 left rows, ~60 right rows over

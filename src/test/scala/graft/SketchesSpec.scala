@@ -33,6 +33,18 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("heavyHitters works on non-string key columns (sketch/probe type parity)") {
+    import spark.implicits._
+    // long key: 60% of rows are key 42; the sketch must be built on the
+    // same string rendering the candidates probe with
+    val df = (0 until 5000).map(i => (i.toLong, if (i % 5 < 3) 42L else i.toLong))
+      .toDF("row_id", "key")
+    val hits = Sketches.heavyHitters(df, col("key"), minFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set("42"), hits)
+    assert(hits("42") >= 3000L)
+  }
+
   test("heavyHitters finds the hot keys with faithful estimates, nothing cold") {
     val df = skewed
     val hits = Sketches.heavyHitters(df, col("key"), minFrac = 0.04)
