@@ -331,6 +331,34 @@ class StreamsSpec extends SparkSuite {
     assert(casted.head.getString(0) == """{"k":1}""")
   }
 
+  test("assembled jobs: EtlJob and AnalyticsJob run the full reference pipelines") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Jobs
+
+    val etlMem = MemoryStream[String]
+    etlMem.addData(
+      envJson("a1", "alice", Seq(("m1", 3, 250.0, "2024-01-01 10:00:00"))),
+      envJson("a1", "alice", Seq(("m1", 3, 250.0, "2024-01-01 10:00:00")))) // dup
+    val out = tmp("job-etl-out")
+    val q1 = Jobs.EtlJob.start(etlMem.toDF(),
+      Jobs.EtlConfig(out, tmp("job-etl-ckp"), trigger = Trigger.AvailableNow()))
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 1) // deduped end to end
+
+    val anMem = MemoryStream[String]
+    anMem.addData(envJson("b2", "bob",
+      (1 to 6).map(i => (s"m$i", i, i * 100.0, f"2024-01-01 10:0$i%d:00"))))
+    var names = Set.empty[String]
+    val q2 = Jobs.AnalyticsJob.start(anMem.toDF(),
+      Jobs.AnalyticsConfig(tmp("job-an-ckp"), tmp("job-an-markers"),
+        trigger = Trigger.AvailableNow())) {
+      (name, _, _) => names.synchronized { names += name }
+    }
+    q2.awaitTermination(120000)
+    assert(names == Set("ranking", "trends", "anomalies", "aggregates"))
+  }
+
   test("S3+S6: console sink runs alongside the parquet sink; awaitAny unblocks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
