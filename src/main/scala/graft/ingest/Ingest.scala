@@ -105,8 +105,12 @@ object Ingest {
     * JSON — at telemetry scale that's data loss with no audit trail. Here
     * a message is routed to `bad` when `from_json` cannot produce a
     * non-null envelope; `bad` carries the raw payload for a dead-letter
-    * sink (replayable once the producer bug is fixed). Pure projection +
-    * filter on both arms — the scan is shared, nothing shuffles.
+    * sink (replayable once the producer bug is fixed). Both arms are pure
+    * projection + filter (no shuffle), but they are INDEPENDENT plans:
+    * materializing both re-runs the scan and the JSON parse twice. When
+    * both arms are written in one job, persist the parsed frame first —
+    * or write a single output with a routing column — so the dominant
+    * parse cost is paid once.
     *
     * @return (good envelopes frame, bad raw-message frame) */
   def parseWithDeadLetter(raw: DataFrame, valueCol: String = "value",

@@ -31,15 +31,24 @@ object Anomaly {
       sum(col(centsCol).cast(DecimalType(38, 0)) * col(centsCol)).as("ss"))
 
   /** A2+F5: rows whose |z-score| on `centsCol` exceeds `threshold`, with the
-    * score surfaced as `zscore`. Stats arrive via broadcast cross-join. */
+    * score surfaced as `zscore`. Stats arrive via broadcast cross-join
+    * under reserved `__`-prefixed names (an input owning a column named
+    * `n`/`s`/`ss` would otherwise be ambiguous or silently dropped).
+    *
+    * Zero-variance guard: with sd = 0 (constant column, or n ≤ 1) the
+    * z-score is 0/0 = NaN, and both engines rank NaN ABOVE every double —
+    * an unguarded `abs(zscore) > t` would flag 100% of rows precisely when
+    * nothing deviates. Such frames yield zero anomalies instead. */
   def zscoreFilter(df: DataFrame, centsCol: String, threshold: Double): DataFrame = {
     val stats = globalStats(df, centsCol)
-    val mean = col("s").cast("double") / col("n")
-    val sd = Exact.stddevFromSums(col("s"), col("ss"), col("n"))
+      .select(col("n").as("__n"), col("s").as("__s"), col("ss").as("__ss"))
+    val mean = col("__s").cast("double") / col("__n")
+    val sd = Exact.stddevFromSums(col("__s"), col("__ss"), col("__n"))
     df.crossJoin(broadcast(stats))
-      .withColumn("zscore", (col(centsCol).cast("double") - mean) / sd)
-      .filter(abs(col("zscore")) > lit(threshold))
-      .drop("n", "s", "ss")
+      .withColumn("__sd", sd)
+      .withColumn("zscore", (col(centsCol).cast("double") - mean) / col("__sd"))
+      .filter(col("__sd") > 0 && abs(col("zscore")) > lit(threshold))
+      .drop("__n", "__s", "__ss", "__sd")
   }
 
   /** X1: deaths flag + KDA ratio with the div-by-zero guard (P7 `greatest`). */
@@ -49,7 +58,10 @@ object Anomaly {
   /** X2: chained CASE severity classification (HIGH/MEDIUM/LOW gates from
     * `monitoring/alert_manager.py:387-394`). */
   def severity(kills: Column, damage: Column, zscores: Seq[Column]): Column = {
-    def anyZ(t: Double) = zscores.map(z => abs(z) >= t).reduce(_ || _)
+    // foldLeft, not reduce: an empty zscores list means "no z gates", not
+    // an empty-reduce crash at plan build
+    def anyZ(t: Double) =
+      zscores.foldLeft(lit(false))((acc, z) => acc || (abs(z) >= t))
     when(kills >= 20 || damage >= 4000 || anyZ(4.0), "HIGH")
       .when(kills >= 15 || damage >= 2500 || anyZ(3.0), "MEDIUM")
       .otherwise("LOW")

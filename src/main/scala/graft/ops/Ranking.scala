@@ -44,9 +44,12 @@ object Ranking {
     * column to its coefficient.
     */
   def weightedScore(df: DataFrame, weights: Map[String, Double], as: String = "ranking_score"): DataFrame = {
+    // foldLeft, not reduce: an empty weight map scores 0.0 instead of
+    // crashing plan construction with an empty-reduce
     val score = weights.toSeq.sortBy(_._1)
-      .map { case (c, w) => col(c) * lit(w) }
-      .reduce(_ + _)
+      .foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+        case (acc, (c, w)) => acc + col(c) * lit(w)
+      }
     df.withColumn(as, score)
   }
 

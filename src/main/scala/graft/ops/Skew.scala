@@ -27,7 +27,13 @@ object Skew {
     * recomputed — reducers that already consumed the first attempt's
     * output would then double-count or drop rows (the SPARK-23207 class
     * of bug). Content-hashing is retry-stable; a hot KEY still spreads
-    * because its rows differ in the other columns. */
+    * because its rows differ in the other columns.
+    *
+    * PRECONDITION: rows of a hot key must actually differ — on an input
+    * projected down to the key alone (or with byte-identical duplicate
+    * rows), every duplicate hashes to ONE salt and the hot key still
+    * lands on one task, with an extra shuffle stage for nothing. Salt
+    * BEFORE projecting, or carry a row-unique column through. */
   private def saltCol(df: DataFrame, n: Int): Column =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n.toLong)).cast("int")
 

@@ -20,10 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketed {
 
   /** Write `df` as a parquet-backed catalog table bucketed (and sorted)
-    * by `key` — pre-paying the shuffle once at write time. */
+    * by `key` — pre-paying the shuffle once at write time. The repartition
+    * on the bucket key is load-bearing: without it EVERY write task emits
+    * a file per bucket it sees (tasks × buckets small files at scale) and
+    * per-file sortBy no longer yields globally sorted buckets, so
+    * SortMergeJoin re-sorts at read. With it, each bucket is one task's
+    * output: one file, sorted. (Read parallelism of a bucketed scan is
+    * capped at the bucket count — size `buckets` accordingly.) */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
