@@ -35,17 +35,20 @@ object Anomaly {
     * under reserved `__`-prefixed names (an input owning a column named
     * `n`/`s`/`ss` would otherwise be ambiguous or silently dropped).
     *
-    * Zero-variance guard: with sd = 0 (constant column, or n ≤ 1) the
-    * z-score is 0/0 = NaN, and both engines rank NaN ABOVE every double —
-    * an unguarded `abs(zscore) > t` would flag 100% of rows precisely when
-    * nothing deviates. Such frames yield zero anomalies instead. */
+    * Degenerate-stats guard: with a constant column sd = 0 and the
+    * z-score is 0/0 = NaN — both engines rank NaN ABOVE every double, so
+    * an unguarded `abs(zscore) > t` would flag 100% of rows precisely
+    * when nothing deviates; with n = 1 the sample-variance division by
+    * n−1 is a hard DIVIDE_BY_ZERO under ANSI mode. The n-gate is a lazy
+    * conditional (ANSI only evaluates the taken branch), and such frames
+    * yield zero anomalies instead. */
   def zscoreFilter(df: DataFrame, centsCol: String, threshold: Double): DataFrame = {
     val stats = globalStats(df, centsCol)
       .select(col("n").as("__n"), col("s").as("__s"), col("ss").as("__ss"))
     val mean = col("__s").cast("double") / col("__n")
     val sd = Exact.stddevFromSums(col("__s"), col("__ss"), col("__n"))
     df.crossJoin(broadcast(stats))
-      .withColumn("__sd", sd)
+      .withColumn("__sd", when(col("__n") > 1, sd))
       .withColumn("zscore", (col(centsCol).cast("double") - mean) / col("__sd"))
       .filter(col("__sd") > 0 && abs(col("zscore")) > lit(threshold))
       .drop("__n", "__s", "__ss", "__sd")

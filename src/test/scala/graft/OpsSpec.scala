@@ -57,6 +57,31 @@ class OpsSpec extends SparkSuite {
     assert(out.first().getAs[Double]("v") == 100000.0)
   }
 
+  test("zscoreFilter: zero variance flags nothing (NaN guard), stat names don't collide") {
+    import spark.implicits._
+    // constant column → sd = 0 → z = 0/0 = NaN; NaN ranks above every
+    // double, so the unguarded filter would flag 100% of rows
+    val const = Seq.fill(10)(42.0).toDF("v").withColumn("c", Exact.cents(col("v")))
+    assert(Anomaly.zscoreFilter(const, "c", 2.5).count() == 0)
+    assert(Anomaly.zscoreFilter(Seq(1.0).toDF("v")
+      .withColumn("c", Exact.cents(col("v"))), "c", 2.5).count() == 0) // n = 1
+    // input owning columns named n/s/ss must survive untouched
+    val clash = ((1 to 20).map(i => (100.0 + i * 0.01, i)) :+ ((100000.0, 21)))
+      .toDF("v", "n").withColumn("s", col("n") + 1).withColumn("ss", col("n") + 2)
+      .withColumn("c", Exact.cents(col("v")))
+    val out = Anomaly.zscoreFilter(clash, "c", 2.5)
+    assert(out.columns.count(_ == "n") == 1 && out.count() == 1)
+    assert(out.first().getAs[Int]("n") == 21) // caller's column, not the stat
+  }
+
+  test("severity: empty z-score list degrades to the kills/damage gates") {
+    import spark.implicits._
+    val out = Seq((25, 100.0), (1, 100.0)).toDF("kills", "damage")
+      .select(Anomaly.severity(col("kills"), col("damage"), Seq.empty).as("sev"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("HIGH", "LOW"))
+  }
+
   test("movingFrame: 5-row frame and sequence") {
     import spark.implicits._
     val df = (1 to 7).map(i => ("p", i, i * 10L)).toDF("k", "ord", "c")
