@@ -205,6 +205,11 @@ object Analytics extends QueryModule {
         |  AND (abs(k - (CAST(sk AS DOUBLE) / frame_n)) > 20
         |       OR abs(value - (CAST(sv AS DOUBLE) / frame_n / 100.0)) > 50)""".stripMargin,
 
+    // ss routes HUGEINT→VARCHAR→DOUBLE: DuckDB's direct HUGEINT→DOUBLE
+    // cast is not correctly rounded above 2^64 (two-part upper/lower float
+    // math, off by ulps), while Spark's Decimal→Double is — lineitem's
+    // cents² sum crosses 2^64 at sf0.1 and diverged in the last 3 bits.
+    // The string parse is correctly rounded in both engines.
     "q07_zscore_anomaly" ->
       """WITH c AS (
         |  SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
@@ -215,7 +220,7 @@ object Analytics extends QueryModule {
         |), z AS (
         |  SELECT c.*,
         |         (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
-        |           / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS zscore
+        |           / sqrt((CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS zscore
         |  FROM c CROSS JOIN s
         |)
         |SELECT l_orderkey, l_linenumber, l_extendedprice, zscore
@@ -280,10 +285,11 @@ object Analytics extends QueryModule {
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",
 
+    // same VARCHAR-route as q07's ss: correct rounding above 2^64
     "q15_global_stats" ->
       """SELECT count(*) AS n,
         |       CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean_value,
-        |       sqrt((CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |       sqrt((CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE)
         |             - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) / count(*))
         |            / (count(*) - 1)) / 100.0 AS sd_value
         |FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)""".stripMargin,
