@@ -178,15 +178,26 @@ object Streams {
     * are suffixed `_r`. (Absent from the reference, which has no joins at
     * all; required engine capability for enrichment-at-ingest.) */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      timeCol: String, delay: String, before: String, after: String): DataFrame = {
+      timeCol: String, delay: String, before: String, after: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(timeCol, delay)
     val r0 = right.withWatermark(timeCol, delay)
     val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
     l.join(r,
       col(key) === col(s"${key}_r") &&
         col(s"${timeCol}_r") >= col(timeCol) - expr(s"INTERVAL $before") &&
-        col(s"${timeCol}_r") <= col(timeCol) + expr(s"INTERVAL $after"))
+        col(s"${timeCol}_r") <= col(timeCol) + expr(s"INTERVAL $after"),
+      joinType)
   }
+
+  /** Left-outer form of [[intervalJoin]]: left rows with no in-window
+    * partner still emit (null right columns) — but only once the
+    * watermark passes their join window, when Spark can PROVE no partner
+    * can arrive. Until then they wait in state; the emission delay is the
+    * price of correct outer semantics on unbounded streams. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      timeCol: String, delay: String, before: String, after: String): DataFrame =
+    intervalJoin(left, right, key, timeCol, delay, before, after, "left_outer")
 
   /** Stream-static enrichment: join a stream against a broadcast dimension
     * frame — stateless (unlike stream-stream joins, no watermark or join

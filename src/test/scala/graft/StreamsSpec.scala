@@ -163,6 +163,32 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows once the watermark proves no partner") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lm = MemoryStream[Streams.KeyedEvent]
+    val rm = MemoryStream[Streams.KeyedEvent]
+    val joined = Streams.intervalJoinLeftOuter(lm.toDF(), rm.toDF(), "key", "ts",
+      delay = "0 seconds", before = "5 minutes", after = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").start()
+    lm.addData(
+      Streams.KeyedEvent("k1", "matched", ts("10:00:00")),
+      Streams.KeyedEvent("k1", "lonely", ts("10:20:00")))
+    rm.addData(Streams.KeyedEvent("k1", "partner", ts("10:02:00")))
+    q.processAllAvailable()
+    // advance both watermarks far past the lonely row's join window
+    lm.addData(Streams.KeyedEvent("k9", "tick", ts("12:00:00")))
+    rm.addData(Streams.KeyedEvent("k9", "tick", ts("12:00:00")))
+    q.processAllAvailable()
+    val got = spark.table("loj_out")
+      .filter(col("key") === "k1")
+      .select("payload", "payload_r").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(("matched", Some("partner")), ("lonely", None)))
+    q.stop()
+  }
+
   test("session windows close after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
