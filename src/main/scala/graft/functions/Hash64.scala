@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Hash64 {
 
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** Since round 3 this resolves to the native [[Hash60]] expression —
+    * same value, computed from the digest bytes without materializing the
+    * 32-char hex string or the base-16 re-parse (NearDupSpec asserts
+    * bit-parity with the chain). The SQL chain in [[duckSql]] stays the
+    * oracle formulation. */
+  def hash60(s: Column): Column = Hash60.hash60(s)
 
   /** Production-mode 60-bit hash: `xxhash64` masked into the same
     * non-negative 60-bit domain as [[hash60]] (so [[mixed]] and every

@@ -111,6 +111,21 @@ class NearDupSpec extends SparkSuite {
     assert(v == 648541476951500027L) // verified against DuckDB
   }
 
+  test("native Hash60 expression is bit-identical to the md5/conv SQL chain") {
+    import spark.implicits._
+    val strs = (0 until 500).map(i => s"doc $i ${"x" * (i % 37)} é${i * 31}") :+ ""
+    val rows = strs.toDF("s").select(
+      graft.functions.Hash60.hash60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // interpreted eval path agrees too
+    val e = graft.functions.Hash60(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("abc",
+        org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == 648541476951500027L)
+  }
+
   test("token jaccard df-cut drops ubiquitous tokens from pair generation") {
     import spark.implicits._
     val d = Seq(
