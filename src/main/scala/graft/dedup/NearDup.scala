@@ -230,21 +230,30 @@ object NearDup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // The previous label rides along as `old` (non-null exactly on the
+      // labels arm; max() ignores the nulls) so convergence is a plain
+      // filter-count over the checkpointed generation — no per-round
+      // labels⋈next join job, which halves the loop's contention-sensitive
+      // job count.
+      val nullLab = when(lit(false), col("lab"))
       val viaNbr = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), labels("lab").as("lab"))
-      val prop = labels.unionAll(viaNbr)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+      val prop = labels.withColumn("old", col("lab"))
+        .unionAll(viaNbr.withColumn("old", nullLab))
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"),
+          max(col("old")).as("old"))
       // pointer doubling: node → lab(lab(node)). Labels only ever shrink
       // toward the component minimum, so unioning the shortcut in and
       // re-minimizing preserves the fixpoint while squaring path reach.
       val shortcut = prop.as("a").join(prop.as("b"),
           col("a.lab") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.lab").as("lab"))
+        .select(col("a.node").as("node"), col("b.lab").as("lab"),
+          col("a.old").as("old"))
       val next = prop.unionAll(shortcut)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab")).localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .filter(col("lab") < col("old")).count()
-      labels = next
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"),
+          max(col("old")).as("old")).localCheckpoint()
+      changed = next.filter(col("lab") < col("old")).count()
+      labels = next.select(col("node"), col("lab"))
       iter += 1
     }
     sym.unpersist()

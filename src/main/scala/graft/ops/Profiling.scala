@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data profiling: per-column quality statistics (null count/fraction,
+  * exact distinct cardinality, min/max) in ONE aggregation pass — the
+  * summary a pipeline owner checks before trusting a new drop of data.
+  *
+  * Scale shape: a single `agg` computes every statistic for every column
+  * (the multiple exact `count_distinct`s plan as one Expand + aggregate —
+  * rows × #columns intermediate, all map-side combinable; swap in
+  * `approx_count_distinct` for trillion-row profiles), and the wide
+  * one-row result is exploded driver-free into the long (column, stats)
+  * form. min/max are computed in the column's native type and THEN cast
+  * to string for the uniform output schema — numeric semantics, not
+  * lexicographic.
+  */
+object Profiling {
+
+  /** Profile `cols` of `df`.
+    *
+    * @return (column, n_rows, n_nulls, null_frac, n_distinct, min_val,
+    *         max_val) — one row per profiled column
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"__nulls_$c"),
+      count_distinct(col(c)).as(s"__distinct_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"__nulls_$c").as("n_nulls"),
+      col(s"__distinct_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_val"),
+      col(s"__max_$c").as("max_val")))
+    one.select(col("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.column"), col("n_rows"), col("p.n_nulls"),
+        (col("p.n_nulls").cast("double") / col("n_rows")).as("null_frac"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
+  /** DuckDB oracle for [[profile]], generated from the same column list. */
+  def profileOracleSql(table: String, cols: Seq[String]): String = {
+    val aggs = cols.flatMap(c => Seq(
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS __nulls_$c",
+      s"count(DISTINCT $c) AS __distinct_$c",
+      s"CAST(min($c) AS VARCHAR) AS __min_$c",
+      s"CAST(max($c) AS VARCHAR) AS __max_$c")).mkString(", ")
+    val arms = cols.map(c =>
+      s"""SELECT '$c' AS "column", n_rows,
+         |       CAST(__nulls_$c AS BIGINT) AS n_nulls,
+         |       CAST(__nulls_$c AS DOUBLE) / n_rows AS null_frac,
+         |       __distinct_$c AS n_distinct,
+         |       __min_$c AS min_val, __max_$c AS max_val FROM agg""".stripMargin)
+    s"""WITH agg AS (SELECT count(*) AS n_rows, $aggs FROM $table)
+      |${arms.mkString("\n UNION ALL\n")}""".stripMargin
+  }
+}

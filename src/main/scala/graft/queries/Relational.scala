@@ -24,6 +24,9 @@ object Relational extends QueryModule {
   private val docDefaultRate = 0.25
   private val splitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** q57's profiled columns — oracle SQL generated from the same list. */
+  private val profileCols = Seq("event_id", "user_id", "event_type", "props")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: every event enriched with the user's most recent
     // purchase at or before it (union + running-last; one sort-merge-grade
@@ -209,6 +212,11 @@ object Relational extends QueryModule {
       Sampling.assignSplit(sampled, col("doc_id"), "spl", splitFracs)
         .select(col("doc_id"), col("lang"), col("source"), col("split"))
     }),
+
+    // Column profiling: per-column null/distinct/min/max quality stats in
+    // one aggregation pass over the events stream's landing table.
+    "q57_profile" -> ((s, dir) =>
+      graft.ops.Profiling.profile(Tables(s, dir).events, profileCols)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -344,5 +352,8 @@ object Relational extends QueryModule {
         |FROM documents
         |WHERE ${Sampling.hashBucketSql("doc_id", "smp")}
         |    < ${Sampling.rateThresholdSql("lang", docRates, docDefaultRate)}""".stripMargin,
+
+    "q57_profile" ->
+      graft.ops.Profiling.profileOracleSql("events", profileCols),
   )
 }

@@ -22,6 +22,17 @@ object Text extends QueryModule {
   private val corpusDefaultRate = 0.5
   private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** q55/q56 config — shared by the Spark plan and the oracle SQL. */
+  private val decontamW = 13
+  private val bm25Terms = Seq("hash", "join", "spark", "vector")
+
+  /** DuckDB w-shingle fragment over a `toks` list column (mirrors
+    * [[NearDup.shingles]], including the short-doc single-shingle case). */
+  private def shinglesSql(w: Int): String =
+    s"""CASE WHEN len(toks) < $w THEN [array_to_string(toks, ' ')]
+       |     ELSE list_transform(range(1, len(toks) - ${w - 2}),
+       |                         i -> array_to_string(toks[i:i+${w - 1}], ' ')) END""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + char stats (whitespace/regex tokenizer).
     "q19_text_stats" -> ((s, dir) => {
@@ -158,6 +169,24 @@ object Text extends QueryModule {
     "q34_ngram_jaccard" -> ((s, dir) =>
       NearDup.ngramJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.8)),
+
+    // Benchmark decontamination: flag training docs sharing any 13-token
+    // shingle with the held-out benchmark slice (doc_id % 11 — the corpus
+    // carries injected near-dups, so matches are true leaks). One keyed
+    // join; AQE broadcasts the benchmark side on its own.
+    "q55_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.text.Decontaminate.overlap(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", w = decontamW)
+    }),
+
+    // BM25-family ranked retrieval for a literal term list (log-free RSJ
+    // idf for cross-engine bit parity — see graft.text.Retrieval).
+    "q56_bm25" -> ((s, dir) =>
+      graft.text.Retrieval.bm25(
+        Tables(s, dir).documents, "doc_id", "text", bm25Terms)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -342,5 +371,20 @@ object Text extends QueryModule {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8""".stripMargin,
+
+    "q55_decontaminate" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(${shinglesSql(decontamW)})) AS g
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT g FROM sh WHERE doc_id % 11 = 0
+        |)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN bench b USING (g)
+        |WHERE s.doc_id % 11 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    "q56_bm25" ->
+      graft.text.Retrieval.bm25OracleSql(toksSql, bm25Terms),
   )
 }
