@@ -187,6 +187,19 @@ object Text extends QueryModule {
     "q56_bm25" -> ((s, dir) =>
       graft.text.Retrieval.bm25(
         Tables(s, dir).documents, "doc_id", "text", bm25Terms)),
+
+    // Inverted index build: token → (df, sorted posting list). One keyed
+    // shuffle; postings sort deterministically so the index (and its
+    // oracle) is byte-stable. The distributed half of retrieval-index
+    // construction — q56 scores, this one serves.
+    "q59_inverted_index" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(array_distinct(
+          TextAnalysis.tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .filter(col("df") >= 2)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -386,5 +399,13 @@ object Text extends QueryModule {
 
     "q56_bm25" ->
       graft.text.Retrieval.bm25OracleSql(toksSql, bm25Terms),
+
+    "q59_inverted_index" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings
+        |FROM tok GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
   )
 }

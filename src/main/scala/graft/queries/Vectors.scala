@@ -120,6 +120,20 @@ object Vectors extends QueryModule {
       graft.similarity.IVF.topK(base(t), queriesDf(t), cents, nProbe = 4, k = 5)
     }),
 
+    // One k-means Lloyd iteration: literal-centroid assignment (zero
+    // corpus shuffle) + exact integer-quantized centroid update (one
+    // map-side-combinable aggregation; order-independent sums so the
+    // new centroids are bit-reproducible and oracle-able).
+    "q58_kmeans_step" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      graft.similarity.KMeans.lloydStep(base(t), cents)
+    }),
+
     // Embedding-cosine near-dup: LSH-bucketed self-join + exact-cosine
     // verify. Scaled copies (x*1.01 — same direction, different values,
     // so exact/quantized dedup misses them) are injected and must be
@@ -275,6 +289,33 @@ object Vectors extends QueryModule {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
         |  FROM cands
         |) WHERE rn <= 5""".stripMargin,
+
+    "q58_kmeans_step" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT id, ev, cell FROM (
+        |    SELECT b.id, b.ev, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY b.id
+        |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+        |    FROM b CROSS JOIN c
+        |  ) WHERE arn = 1
+        |), dims AS (
+        |  SELECT cell, CAST(pr[2] AS BIGINT) AS pos,
+        |         CAST(floor(pr[1] * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT cell, unnest(list_zip(ev, range(0, len(ev)))) AS pr
+        |        FROM assigned)
+        |), sums AS (
+        |  SELECT cell, pos, sum(q) AS s, count(*) AS n
+        |  FROM dims GROUP BY 1, 2
+        |)
+        |SELECT cell, max(n) AS n,
+        |       list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS centroid
+        |FROM sums GROUP BY 1""".stripMargin,
 
     "q27_minhash_lsh" ->
       s"WITH $minhashCtes\nSELECT d1, d2, est_jaccard FROM est",

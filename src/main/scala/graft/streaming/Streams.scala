@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.ingest.Ingest
 import graft.ops._
@@ -252,6 +252,25 @@ object Streams {
       }
   }
 
+  /** X3 TTL dedup on Spark 4's `transformWithState` — the arbitrary-state
+    * API that supersedes `flatMapGroupsWithState` (same semantics as
+    * [[ttlDedupWithState]], kept side-by-side as the migration pair).
+    * What the new API buys at scale: typed named state slots with
+    * store-level TTL support, explicit timers (state cleanup here is an
+    * event-time timer at the key's deadline, deleted/re-registered as the
+    * deadline advances, instead of fMGWS's single timeout), and
+    * first-class RocksDB backing — transformWithState REQUIRES the
+    * RocksDB state store provider, which is the 100 TB/day backend
+    * anyway. */
+  def ttlDedupTws(events: Dataset[KeyedEvent], delay: String,
+      ttlMs: Long): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .transformWithState(new TtlDedupProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Replay guard for `foreachBatch` side effects: a durable (name,
     * epochId) marker under `markerDir` skips already-committed work when
     * Structured Streaming re-runs an epoch. The reference's per-epoch Kafka
@@ -305,4 +324,46 @@ object Streams {
         }
       }
       .start()
+}
+
+/** [[Streams.ttlDedupTws]]'s processor: per key, a `ValueState[Long]`
+  * holds the suppress-until deadline; events at/after it emit and push the
+  * deadline forward by the TTL, events before it are suppressed. An
+  * event-time timer at the deadline clears the state once the watermark
+  * proves nothing else can land inside the window — state stays bounded
+  * by live keys, not seen keys. */
+class TtlDedupProcessor(ttlMs: Long)
+    extends StatefulProcessor[String, Streams.KeyedEvent, Streams.KeyedEvent] {
+
+  @transient private var deadline: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    deadline = getHandle.getValueState[Long]("deadline",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[Streams.KeyedEvent],
+      timers: TimerValues): Iterator[Streams.KeyedEvent] = {
+    val prev = if (deadline.exists()) Some(deadline.get()) else None
+    var dl = prev.getOrElse(Long.MinValue)
+    val kept = Seq.newBuilder[Streams.KeyedEvent]
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      if (e.ts.getTime >= dl) {
+        kept += e
+        dl = e.ts.getTime + ttlMs
+      }
+    }
+    deadline.update(dl)
+    if (!prev.contains(dl)) {
+      prev.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(dl)
+    }
+    kept.result().iterator
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Streams.KeyedEvent] = {
+    deadline.clear()
+    Iterator.empty
+  }
 }

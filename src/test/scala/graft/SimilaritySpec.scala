@@ -213,4 +213,27 @@ class SimilaritySpec extends SparkSuite {
     val b = df.select(col("id"), Similarity.lshBucket(col("ev"), 4).as("b")).collect()
     assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq)
   }
+
+  test("kmeans lloydStep recovers two well-separated cluster means") {
+    import spark.implicits._
+    // Two tight clusters around (1,0) and (0,1); seeds inside each.
+    val pts = (Seq.tabulate(10)(i => (i.toLong, Seq(1.0 + i * 0.01, 0.0))) ++
+      Seq.tabulate(10)(i => (10L + i, Seq(0.0, 1.0 + i * 0.01)))).toDF("id", "ev")
+    val cents = Seq((0L, Seq(1.05, 0.0)), (1L, Seq(0.0, 1.05)))
+    val next = graft.similarity.KMeans.lloydStep(pts, cents)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getSeq[Double](2).toVector))).toMap
+    assert(next.keySet == Set(0L, 1L))
+    assert(next(0L)._1 == 10L && next(1L)._1 == 10L)
+    // exact quantized mean of 1.00..1.09 = 1.045 (scale 1e6 keeps it exact)
+    assert(math.abs(next(0L)._2(0) - 1.045) < 1e-9)
+    assert(next(0L)._2(1) == 0.0)
+    assert(math.abs(next(1L)._2(1) - 1.045) < 1e-9)
+    // the step's output feeds IVF.assign directly (model round-trip)
+    val cents2 = next.toSeq.map { case (cid, (_, cv)) => (cid, cv: Seq[Double]) }
+      .sortBy(_._1)
+    val reassigned = graft.similarity.IVF.assign(pts, cents2)
+      .groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reassigned == Map(0L -> 10L, 1L -> 10L))
+  }
 }

@@ -229,6 +229,31 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("transformWithState TTL dedup matches the flatMapGroupsWithState semantics") {
+    // Spark 4's arbitrary-state API; requires the RocksDB state store.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streams.KeyedEvent]
+      val out = Streams.ttlDedupTws(mem.toDS(), "0 seconds", ttlMs = 10 * 60 * 1000)
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      mem.addData(
+        Streams.KeyedEvent("k1", "first", ts("10:00:00")),
+        Streams.KeyedEvent("k1", "dup", ts("10:00:30")))
+      q.processAllAvailable()
+      mem.addData(Streams.KeyedEvent("k2", "other", ts("10:20:00")))
+      q.processAllAvailable()
+      mem.addData(Streams.KeyedEvent("k1", "again", ts("10:25:00"))) // past 10:10 deadline
+      q.processAllAvailable()
+      val got = spark.table("tws_out").select("payload").as[String].collect().toSet
+      assert(got == Set("first", "other", "again")) // "dup" suppressed
+      q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("idempotentSink runs each (name, epoch) once across replays") {
     var calls = List.empty[(String, Long)]
     val wrapped = Streams.idempotentSink(tmp("idem-markers")) {
