@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over an event log: ordered funnels, retention
+  * cohorts, and SCD2 (slowly-changing-dimension) interval histories — the
+  * product-analytics surface a complete engine serves next to its
+  * rollups.
+  *
+  * Scale shapes:
+  *  - [[funnel]] is one keyed aggregation per stage chained by keyed
+  *    joins (each stage's survivors only — monotonically shrinking), no
+  *    window over the raw log.
+  *  - [[retention]] is two keyed aggregations (first-touch, then
+  *    cohort×offset distincts).
+  *  - [[scd2]] is one window sort per key — the unavoidable shape for
+  *    interval construction; keys partition it, so it scales with the
+  *    busiest key, not the table.
+  */
+object Journey {
+
+  /** Ordered funnel: for each stage i>0, a user converts only with an
+    * event of that stage type AT/AFTER their stage i−1 conversion time
+    * (first-touch semantics).
+    *
+    * @return (stage_idx, stage, n_users) — one row per stage
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    // Stage i survivors: stage-i events of stage-(i-1) survivors at/after
+    // their conversion time, reduced to first-touch per user.
+    val stageFrames = stages.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (stage, i)) =>
+        events.filter(col(typeCol) === stage)
+          .join(prev, userCol)
+          .filter(col(tsCol) >= col(s"t${i - 1}"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
+    }
+    stageFrames.zip(stages).zipWithIndex.map { case ((frame, stage), i) =>
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Retention cohorts: users cohorted by the week of their first
+    * `anchorType` event; activity counted as distinct users per
+    * (cohort_week, whole weeks since cohort) for events at/after the
+    * anchor.
+    *
+    * @return (cohort_week: date, week_offset, n_users)
+    */
+  def retention(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, anchorType: String): DataFrame = {
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_anchor"))
+    events.join(anchors, userCol)
+      .filter(col(tsCol) >= col("t_anchor"))
+      .select(col(userCol),
+        date_trunc("week", col("t_anchor")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col(tsCol)).cast("date"),
+          date_trunc("week", col("t_anchor")).cast("date")) / 7)
+          .cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
+  /** SCD2 interval history: each event opens a validity interval closed
+    * by the key's next event (half-open [from, to); ties broken by
+    * `tieCol` so the history is deterministic). The change-capture →
+    * dimension-history step of a warehouse load.
+    *
+    * @return original columns + (valid_from, valid_to, is_current)
+    */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -168,6 +168,26 @@ object Analytics extends QueryModule {
           sum(when(col("severity") === "MEDIUM", 1).otherwise(0)).as("medium_alerts"),
           max(col("ts")).as("last_alert_ts"))
     }),
+
+    // Ordered funnel (first-touch): view → click → purchase, each stage
+    // gated on the previous stage's conversion time. Keyed joins over
+    // monotonically-shrinking survivor sets — no window over the raw log.
+    "q60_funnel" -> ((s, dir) =>
+      graft.ops.Journey.funnel(Tables(s, dir).events, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // Retention cohorts: signup-week cohort × whole weeks since, distinct
+    // active users. Two keyed aggregations.
+    "q61_retention" -> ((s, dir) =>
+      graft.ops.Journey.retention(Tables(s, dir).events, "user_id",
+        "event_type", "ts", anchorType = "signup")),
+
+    // SCD2 interval history: each event's validity closed by the user's
+    // next event (half-open, event_id tie-break). One window per key.
+    "q62_scd2" -> ((s, dir) =>
+      graft.ops.Journey.scd2(Tables(s, dir).events, "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -314,5 +334,45 @@ object Analytics extends QueryModule {
         |       CAST(sum(CASE WHEN severity = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_alerts,
         |       max(ts) AS last_alert_ts
         |FROM alerts GROUP BY 1""".stripMargin,
+
+    "q60_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1
+        |)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+        |UNION ALL
+        |SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL
+        |SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
+
+    "q61_retention" ->
+      """WITH a AS (
+        |  SELECT user_id, min(ts) AS t_anchor FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |)
+        |SELECT CAST(date_trunc('week', t_anchor) AS DATE) AS cohort_week,
+        |       CAST(datediff('day', CAST(date_trunc('week', t_anchor) AS DATE),
+        |                     CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+        |         AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN a USING (user_id)
+        |WHERE e.ts >= t_anchor
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q62_scd2" ->
+      """SELECT event_id, user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Journey
+
+class JourneySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2024-01-$s")
+
+  test("funnel enforces stage order per user") {
+    val events = Seq(
+      (1L, "view", ts("01 10:00:00")),
+      (1L, "click", ts("01 10:05:00")),
+      (1L, "purchase", ts("01 10:10:00")),
+      (2L, "click", ts("02 09:00:00")), // out of order: before the view
+      (2L, "view", ts("02 10:00:00")),
+      (3L, "view", ts("03 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Journey.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("retention cohorts count distinct users per week offset") {
+    val events = Seq(
+      (1L, "signup", ts("01 10:00:00")), // Mon Jan 1 cohort
+      (1L, "click", ts("03 10:00:00")),  // offset 0
+      (1L, "click", ts("10 10:00:00")),  // offset 1
+      (2L, "signup", ts("02 10:00:00")), // same cohort week
+      (2L, "view", ts("16 10:00:00")),   // offset 2
+      (3L, "view", ts("01 09:00:00")))   // never signs up → excluded
+      .toDF("user_id", "event_type", "ts")
+    val out = Journey.retention(events, "user_id", "event_type", "ts", "signup")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // both signups are offset-0 active
+      ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 1L))
+  }
+
+  test("scd2 closes each interval at the key's next event, ties on tieCol") {
+    val events = Seq(
+      (10L, 1L, "a", ts("01 10:00:00")),
+      (11L, 1L, "b", ts("01 11:00:00")),
+      (12L, 1L, "c", ts("01 11:00:00")), // same ts — event_id breaks the tie
+      (20L, 2L, "x", ts("05 10:00:00")))
+      .toDF("event_id", "user_id", "state", "ts")
+    val df = Journey.scd2(events, "user_id", "ts", "event_id")
+    val out = df.orderBy("event_id").collect()
+    val vtIdx = df.schema.fieldIndex("valid_to")
+    assert(out.map(_.getBoolean(df.schema.fieldIndex("is_current"))).toSeq ==
+      Seq(false, false, true, true))
+    val byId = out.map(r => r.getLong(0) -> Option(r.getTimestamp(vtIdx))).toMap
+    assert(byId(10L).contains(ts("01 11:00:00")))
+    assert(byId(11L).contains(ts("01 11:00:00"))) // closed by the tied row
+    assert(byId(12L).isEmpty && byId(20L).isEmpty)
+  }
+}
