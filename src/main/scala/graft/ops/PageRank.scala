@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge frame, in EXACT integer arithmetic.
+  *
+  * Ranks are carried as quantized longs (`scale` units = rank 1.0) and
+  * every step is integer division/multiplication — no floating point
+  * until the final readout — so the result is deterministic across
+  * partitionings, retries, AND engines: the DuckDB oracle (q63) replays
+  * the identical integer recurrence and matches bit-for-bit. A
+  * double-valued PageRank cannot be oracled this way (shuffle-order
+  * float sums), which is why published implementations are only ever
+  * "close"; this one is reproducible to the unit.
+  *
+  * Recurrence (α as a rational `alphaNum/alphaDen`):
+  *   r₀(v)   = scale
+  *   rₖ₊₁(v) = ⌊scale·(den−num)/den⌋ + ⌊num·Σ_{u→v}⌊rₖ(u)/deg(u)⌋ / den⌋
+  * Dangling mass (nodes without out-edges) is dropped, not
+  * redistributed — the usual simplification; document if ranks must sum
+  * to n. Overflow bound: n·scale·alphaNum must stay under 2⁶³ — at
+  * 10¹² nodes drop scale to 10⁶.
+  *
+  * Scale shape: per iteration ONE keyed join of the edge frame with the
+  * rank frame (both partitioned by the join key), a map-side-combinable
+  * inflow sum, and a left join back to the node set. The edge frame and
+  * degree frame are computed once. Iterations are few and each
+  * generation references the previous exactly once, so the logical plan
+  * grows linearly — no checkpoint needed (contrast
+  * [[graft.dedup.NearDup.connectedComponents]], whose 3-way
+  * self-reference forces per-round lineage truncation).
+  */
+object PageRank {
+
+  /** @return (node, r: quantized long, rank: r/scale as double) */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000000L,
+      alphaNum: Long = 17L, alphaDen: Long = 20L): DataFrame = {
+    require(iters >= 1 && alphaNum > 0 && alphaDen > alphaNum)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outdeg, "src")
+    val base = scale * (alphaDen - alphaNum) / alphaDen
+    var ranks = nodes.withColumn("r", lit(scale))
+    (1 to iters).foreach { _ =>
+      val inflow = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($alphaNum * coalesce(inflow, 0L)) div $alphaDen")).as("r"))
+    }
+    ranks.select(col("node"), col("r"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
+
+  /** DuckDB oracle for [[pageRank]], unrolled from the same constants.
+    * `edgeSql` must yield columns (src, dst). */
+  def pageRankOracleSql(edgeSql: String, iters: Int = 3,
+      scale: Long = 1000000000L, alphaNum: Long = 17L,
+      alphaDen: Long = 20L): String = {
+    val base = scale * (alphaDen - alphaNum) / alphaDen
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, sum(r${k - 1}.r // deg) AS inflow
+         |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |  JOIN outdeg USING (src) GROUP BY 1
+         |), r$k AS (
+         |  SELECT n.node,
+         |         CAST($base + ($alphaNum * coalesce(c$k.inflow, 0)) // $alphaDen
+         |              AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql)),
+      |nodes AS (
+      |  SELECT DISTINCT node FROM
+      |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      |), outdeg AS (
+      |  SELECT src, count(*) AS deg FROM e GROUP BY 1
+      |), r0 AS (
+      |  SELECT node, CAST($scale AS BIGINT) AS r FROM nodes
+      |), $steps
+      |SELECT node, r, CAST(r AS DOUBLE) / $scale.0 AS rank FROM r$iters""".stripMargin
+  }
+}

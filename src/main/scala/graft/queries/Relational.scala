@@ -27,6 +27,9 @@ object Relational extends QueryModule {
   /** q57's profiled columns — oracle SQL generated from the same list. */
   private val profileCols = Seq("event_id", "user_id", "event_type", "props")
 
+  /** q63: suppliers join the node space above every custkey. */
+  private val supplierNodeOffset = 1000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: every event enriched with the user's most recent
     // purchase at or before it (union + running-last; one sort-merge-grade
@@ -217,6 +220,18 @@ object Relational extends QueryModule {
     // one aggregation pass over the events stream's landing table.
     "q57_profile" -> ((s, dir) =>
       graft.ops.Profiling.profile(Tables(s, dir).events, profileCols)),
+
+    // PageRank in exact integer arithmetic over the customer→supplier
+    // purchase graph — deterministic across partitionings and engines,
+    // so the whole iterative computation hash-matches the oracle.
+    "q63_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      graft.ops.PageRank.pageRank(edges, "src", "dst")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -355,5 +370,10 @@ object Relational extends QueryModule {
 
     "q57_profile" ->
       graft.ops.Profiling.profileOracleSql("events", profileCols),
+
+    "q63_pagerank" ->
+      graft.ops.PageRank.pageRankOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
   )
 }

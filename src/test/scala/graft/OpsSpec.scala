@@ -118,4 +118,19 @@ class OpsSpec extends SparkSuite {
     val out = df.select(Exact.cents(col("v"))).collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L, 12345L, 9999999L, -550L))
   }
+
+  test("pageRank: sinks absorb rank from their fan-in, runs are bit-identical") {
+    import spark.implicits._
+    // Star into node 9 plus a 1→2 chain: 9 has fan-in 3, node 2 fan-in 1.
+    val edges = Seq((1L, 9L), (3L, 9L), (4L, 9L), (1L, 2L)).toDF("s", "d")
+    val pr = PageRank.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 9L))
+    assert(pr(9L) > pr(2L)) // more fan-in, more rank
+    assert(pr(2L) > pr(1L)) // sources keep only the teleport share
+    assert(pr(1L) == pr(3L) && pr(3L) == pr(4L))
+    val again = PageRank.pageRank(edges.repartition(7), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == pr) // integer arithmetic: partitioning-independent
+  }
 }
