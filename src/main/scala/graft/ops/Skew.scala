@@ -56,4 +56,48 @@ object Skew {
       .agg(count(lit(1)).as("partial"))
       .groupBy(col(key))
       .agg(sum(col("partial")).as("count"))
+
+  /** Key-distribution report — the diagnostic that decides whether a
+    * shuffle needs [[saltedJoin]]/AQE skew handling at all: one row with
+    * key cardinality, row count, the heaviest key (deterministic lowest-id
+    * tie-break), exact discrete count quantiles, and `skew` = max key
+    * share relative to a uniform spread (max_c · n_keys / n_rows; 1.0 =
+    * perfectly uniform).
+    *
+    * Scale shape: per-key counts are one keyed aggregation; quantiles are
+    * selected from the count HISTOGRAM (distinct count values — bounded
+    * by the max key multiplicity, not by key cardinality), so the only
+    * window runs over a frame that stays tiny at any corpus size.
+    * Quantile ranks are computed in integer arithmetic
+    * (`⌈p·n⌉ = (num·n + den − 1) div den`) — a double `ceil(0.9·n)`
+    * diverges between engines when 0.9·n lands on an integer.
+    *
+    * @param ps quantiles as rationals (num, den), e.g. (1,2) for p50
+    * @return one row: (n_keys, n_rows, max_c, top_key, p<NN>_c…, skew)
+    */
+  def skewReport(df: DataFrame, keyCol: String,
+      ps: Seq[(Int, Int)] = Seq(1 -> 2, 9 -> 10)): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+      max(struct(col("c"), (-col(keyCol)).as("nk"))).as("top"))
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val cum = hist.withColumn("cum",
+      sum(col("k")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c")).rowsBetween(Long.MinValue, 0)))
+    val qAggs = ps.map { case (num, den) =>
+      min(when(col("cum") >=
+        expr(s"($num * n_keys + ${den - 1}) div $den"), col("c")))
+        .as(s"p${num * 100 / den}_c")
+    }
+    val outCols =
+      Seq(col("n_keys"), col("n_rows"),
+        col("top.c").as("max_c"), (-col("top.nk")).as("top_key")) ++
+      ps.map { case (n, d) => col(s"p${n * 100 / d}_c") } :+
+      (col("top.c").cast("double") * col("n_keys") / col("n_rows")).as("skew")
+    cum.crossJoin(broadcast(totals))
+      .agg(qAggs.head, qAggs.tail: _*)
+      .crossJoin(broadcast(totals))
+      .select(outCols: _*)
+  }
 }

@@ -232,6 +232,18 @@ object Relational extends QueryModule {
           (col("l_suppkey") + supplierNodeOffset).as("dst"))
       graft.ops.PageRank.pageRank(edges, "src", "dst")
     }),
+
+    // Z-order clustering key: Morton interleave as a native codegen'd
+    // expression (the write path is Partitioned.writeZOrdered; this query
+    // proves the key itself is engine-exact).
+    "q64_zorder_key" -> ((s, dir) =>
+      Tables(s, dir).events.select(col("event_id"), col("user_id"),
+        graft.functions.Morton.morton(col("user_id"), col("event_id"))
+          .as("zkey"))),
+
+    // Key-distribution skew report over the event log's user key.
+    "q65_skew_report" -> ((s, dir) =>
+      graft.ops.Skew.skewReport(Tables(s, dir).events, "user_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -375,5 +387,30 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q64_zorder_key" ->
+      s"""SELECT event_id, user_id,
+         |       ${graft.functions.Morton.duckSql("user_id", "event_id")} AS zkey
+         |FROM events""".stripMargin,
+
+    "q65_skew_report" ->
+      """WITH counts AS (
+        |  SELECT user_id AS key, count(*) AS c FROM events GROUP BY 1
+        |), totals AS (
+        |  SELECT count(*) AS n_keys, sum(c) AS n_rows FROM counts
+        |), top AS (
+        |  SELECT c AS max_c, key AS top_key FROM counts
+        |  ORDER BY c DESC, key LIMIT 1
+        |), cum AS (
+        |  SELECT c, sum(k) OVER (ORDER BY c) AS cum
+        |  FROM (SELECT c, count(*) AS k FROM counts GROUP BY 1)
+        |), qs AS (
+        |  SELECT min(CASE WHEN cum >= (1 * n_keys + 1) // 2 THEN c END) AS p50_c,
+        |         min(CASE WHEN cum >= (9 * n_keys + 9) // 10 THEN c END) AS p90_c
+        |  FROM cum, totals
+        |)
+        |SELECT n_keys, n_rows, max_c, top_key, p50_c, p90_c,
+        |       CAST(max_c AS DOUBLE) * n_keys / n_rows AS skew
+        |FROM totals, top, qs""".stripMargin,
   )
 }

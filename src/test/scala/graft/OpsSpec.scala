@@ -119,6 +119,34 @@ class OpsSpec extends SparkSuite {
     assert(out == Seq(1L, 12345L, 9999999L, -550L))
   }
 
+  test("morton interleave: known bit patterns, expression matches JVM path") {
+    import spark.implicits._
+    import graft.functions.Morton
+    assert(Morton.interleave(0L, 0L) == 0L)
+    assert(Morton.interleave(3L, 1L) == 7L)   // 0b101 | 0b010
+    assert(Morton.interleave(0L, 3L) == 10L)  // odd positions only
+    assert(Morton.interleave(0x7FFFFFFFL, 0L) == 0x1555555555555555L)
+    // sign-bit safety: max inputs stay positive
+    assert(Morton.interleave(0x7FFFFFFFL, 0x7FFFFFFFL) > 0L)
+    val df = Seq((3L, 1L), (123456789L, 987654321L)).toDF("a", "b")
+    val viaExpr = df.select(Morton.morton(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr == Seq(Morton.interleave(3L, 1L),
+      Morton.interleave(123456789L, 987654321L)))
+  }
+
+  test("skewReport: exact quantiles from the histogram, deterministic top key") {
+    import spark.implicits._
+    // key 1 x 6 rows, keys 2..5 x 1 — max share 6/10 over 5 keys = 3.0
+    val df = (Seq.fill(6)(1L) ++ Seq(2L, 3L, 4L, 5L)).toDF("k")
+    val r = Skew.skewReport(df, "k").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L) // n_keys, n_rows
+    assert(r.getLong(2) == 6L && r.getLong(3) == 1L)  // max_c, top_key
+    assert(r.getLong(4) == 1L) // p50 of counts {1,1,1,1,6}
+    assert(r.getLong(5) == 6L) // p90 rank ceil(4.5)=5 → the heavy key
+    assert(r.getDouble(6) == 3.0)
+  }
+
   test("pageRank: sinks absorb rank from their fan-in, runs are bit-identical") {
     import spark.implicits._
     // Star into node 9 plus a 1→2 chain: 9 has fan-in 3, node 2 fan-in 1.

@@ -91,4 +91,35 @@ class PartitionedSpec extends SparkSuite {
     assert(filesPerDay4.values.forall(fs => fs.length >= 1 && fs.length <= 4))
     assert(filesPerDay4.values.map(_.length).sum > 5) // genuinely fanned out
   }
+
+  test("writeZOrdered tightens per-file bounding boxes on both dimensions") {
+    import spark.implicits._
+    // Two independent uniform dims; a-sorted layout leaves b unclustered.
+    val df = (0 until 4096).map { i =>
+      val a = (i * 2654435761L) % 1024
+      val b = (i * 40503L) % 1024
+      (a, b)
+    }.toDF("a", "b")
+    // Files a point-query on `dim` must scan = files whose min/max range
+    // covers the value (what parquet row-group/file skipping consults).
+    def filesToScan(path: String, dim: String, v: Long): Long =
+      spark.read.parquet(path).withColumn("f", input_file_name())
+        .groupBy("f").agg(min(dim).as("lo"), max(dim).as("hi"))
+        .filter(col("lo") <= v && col("hi") >= v).count()
+    val zPath = Files.createTempDirectory("zord").toString
+    val aPath = Files.createTempDirectory("asort").toString
+    Partitioned.writeZOrdered(df, "a", "b", zPath, numFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(aPath)
+    assert(spark.read.parquet(zPath).inputFiles.length == 16)
+    // a-sorted layout: every file spans the full b range — a b-filter
+    // scans ALL files. Z-order bounds BOTH dims per file: a b-filter
+    // skips most files, while an a-filter still skips most too.
+    assert(filesToScan(aPath, "b", 512L) == 16L)
+    assert(filesToScan(zPath, "b", 512L) <= 8L)
+    assert(filesToScan(zPath, "a", 512L) <= 8L)
+    // layout changes must not change content
+    assert(spark.read.parquet(zPath).as[(Long, Long)].collect().sorted.toSeq ==
+      df.as[(Long, Long)].collect().sorted.toSeq)
+  }
 }
