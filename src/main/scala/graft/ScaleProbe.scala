@@ -70,6 +70,35 @@ object ScaleProbe {
       time(s"connected_components_x$m") {
         dedup.NearDup.connectedComponents(edges.toDF()).count()
       }
+
+      val docs2 = replicate(t.documents, "doc_id", m).persist()
+      docs2.count()
+      time(s"decontaminate_x$m") {
+        text.Decontaminate.overlap(
+          docs2.filter(col("doc_id") % 11 =!= 0),
+          docs2.filter(col("doc_id") % 11 === 0), "doc_id", "text").count()
+      }
+      time(s"bm25_x$m") {
+        text.Retrieval.bm25(docs2, "doc_id", "text",
+          Seq("hash", "join", "spark", "vector")).count()
+      }
+      docs2.unpersist()
+
+      val ev = replicate(t.events.select("event_id", "user_id", "event_type", "ts"),
+        "event_id", m).persist()
+      ev.count()
+      time(s"funnel_x$m") {
+        ops.Journey.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).count()
+      }
+      time(s"pagerank_x$m") {
+        // purchase graph replicated via the orders side: reuse events as a
+        // bipartite user→type graph scaled by m (edge count grows with m)
+        val e = ev.select(col("user_id").as("src"),
+          (col("event_id") % 1000 + 1000000L).as("dst"))
+        ops.PageRank.pageRank(e, "src", "dst").count()
+      }
+      ev.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -30,6 +30,8 @@ object Journey {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct == stages,
+      "repeated stage types make the survivor join ambiguous")
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
     // Stage i survivors: stage-i events of stage-(i-1) survivors at/after

@@ -387,8 +387,10 @@ object Text extends QueryModule {
 
     "q55_decontaminate" ->
       s"""WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(${shinglesSql(decontamW)})) AS g
-        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_distinct(${shinglesSql(decontamW)})) AS g
+        |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |  ) WHERE g <> ''
         |), bench AS (
         |  SELECT DISTINCT g FROM sh WHERE doc_id % 11 = 0
         |)

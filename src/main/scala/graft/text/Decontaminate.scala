@@ -28,9 +28,13 @@ object Decontaminate {
     */
   def overlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, w: Int = 13): DataFrame = {
+    // Empty/whitespace-only texts shingle to [""] via the short-doc path;
+    // dropping the empty gram keeps "both docs are blank" from counting
+    // as contamination.
     def sh(df: DataFrame): DataFrame = df.select(col(idCol),
       explode(array_distinct(
         NearDup.shingles(TextAnalysis.tokens(col(textCol)), w))).as("g"))
+      .filter(col("g") =!= "")
     val benchGrams = sh(benchmark).select(col("g")).distinct()
     sh(corpus).join(benchGrams, Seq("g"))
       .groupBy(col(idCol))

@@ -32,6 +32,8 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "term list must be non-empty")
+    require(terms.distinct == terms,
+      "duplicate query terms would double-count their tf contribution")
     val toks = TextAnalysis.tokens(col(textCol))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")

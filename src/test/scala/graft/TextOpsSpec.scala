@@ -31,6 +31,12 @@ class TextOpsSpec extends SparkSuite {
     assert(hits == Set(1L))
   }
 
+  test("decontaminate: blank docs never match blank benchmark entries") {
+    val bench = Seq((100L, ""), (101L, "real benchmark text")).toDF("doc_id", "text")
+    val corpus = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(Decontaminate.overlap(corpus, bench, "doc_id", "text", w = 3).isEmpty)
+  }
+
   test("bm25 ranks term-bearing docs and weights rare terms above common ones") {
     // 'rare' appears in 1 of 4 docs, 'common' in 3 of 4.
     val docs = Seq(
