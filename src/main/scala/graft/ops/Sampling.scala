@@ -86,4 +86,58 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Domain mixing: deterministically downsample each domain toward a
+    * TARGET corpus composition — the "20% code, 30% web, …" reweighting
+    * step of a pretraining data recipe. Targets are rationals
+    * (`domain → num/den` of the output budget, which is itself
+    * `totalNum/totalDen` of the corpus), and the acceptance test is pure
+    * integer arithmetic: row accepted iff
+    * `bucket(key) · n_domain < target_domain · mod`, which realizes rate
+    * `min(1, target/n_domain)` — the cap is automatic, since
+    * `target ≥ n_domain` accepts every bucket. No floats anywhere, so
+    * the mix is reproducible across runs/partitionings/engines (q66).
+    *
+    * Scale shape: domain counts are one map-side-combinable aggregation;
+    * the (tiny) count frame joins back keyed by domain and the one-row
+    * total broadcasts; the accept test is a per-row expression on the
+    * scan. Domains needing UPsampling (target > n_domain) are capped at
+    * rate 1 — replication is a separate, explicit step.
+    */
+  def mixSample(docs: DataFrame, key: Column, domainCol: String,
+      targets: Map[String, (Long, Long)], default: (Long, Long),
+      totalNum: Long, totalDen: Long, salt: String,
+      mod: Int = 10000): DataFrame = {
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n_s"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val budget = s"(($totalNum * __n) div $totalDen)"
+    val (dn, dd) = default
+    val targetS = targets.toSeq.sortBy(_._1)
+      .foldLeft(expr(s"($dn * $budget) div $dd")) {
+        case (acc, (s, (num, den))) =>
+          when(col(domainCol) === s, expr(s"($num * $budget) div $den"))
+            .otherwise(acc)
+      }
+    docs.join(counts, domainCol).crossJoin(broadcast(total))
+      .filter(hashBucket(key, salt, mod).cast("long") * col("__n_s") <
+        targetS * lit(mod.toLong))
+      .drop("__n_s", "__n")
+  }
+
+  /** DuckDB acceptance predicate mirroring [[mixSample]] (the caller
+    * wraps it in the same counts/total join). */
+  def mixPredicateSql(keyExpr: String, domainExpr: String,
+      targets: Map[String, (Long, Long)], default: (Long, Long),
+      totalNum: Long, totalDen: Long, salt: String,
+      mod: Int = 10000): String = {
+    val budget = s"(($totalNum * __n) // $totalDen)"
+    val (dn, dd) = default
+    val cases = targets.toSeq.sortBy(_._1)
+      .map { case (s, (num, den)) =>
+        s"WHEN '$s' THEN ($num * $budget) // $den" }
+      .mkString(" ")
+    val targetS =
+      s"CASE $domainExpr $cases ELSE ($dn * $budget) // $dd END"
+    s"${hashBucketSql(keyExpr, salt, mod)} * __n_s < ($targetS) * $mod"
+  }
 }

@@ -78,9 +78,12 @@ object Skew {
   def skewReport(df: DataFrame, keyCol: String,
       ps: Seq[(Int, Int)] = Seq(1 -> 2, 9 -> 10)): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    // Heaviest key, ties to the SMALLEST key value: min over (−count,
+    // key) structs — works for any orderable key type (a negated-key max
+    // would only handle numeric keys).
     val totals = counts.agg(
       count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-      max(struct(col("c"), (-col(keyCol)).as("nk"))).as("top"))
+      min(struct((-col("c")).as("nc"), col(keyCol).as("k"))).as("top"))
     val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
     val cum = hist.withColumn("cum",
       sum(col("k")).over(org.apache.spark.sql.expressions.Window
@@ -92,9 +95,10 @@ object Skew {
     }
     val outCols =
       Seq(col("n_keys"), col("n_rows"),
-        col("top.c").as("max_c"), (-col("top.nk")).as("top_key")) ++
+        (-col("top.nc")).as("max_c"), col("top.k").as("top_key")) ++
       ps.map { case (n, d) => col(s"p${n * 100 / d}_c") } :+
-      (col("top.c").cast("double") * col("n_keys") / col("n_rows")).as("skew")
+      ((-col("top.nc")).cast("double") * col("n_keys") / col("n_rows"))
+        .as("skew")
     cum.crossJoin(broadcast(totals))
       .agg(qAggs.head, qAggs.tail: _*)
       .crossJoin(broadcast(totals))

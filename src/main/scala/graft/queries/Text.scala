@@ -26,6 +26,15 @@ object Text extends QueryModule {
   private val decontamW = 13
   private val bm25Terms = Seq("hash", "join", "spark", "vector")
 
+  /** q66: half the corpus, with src0/src1 at 30% each (src0/src1 hold
+    * only 5% of docs each, so their rate caps at 1 — both behaviors
+    * exercised). q67: 512-token windows over 4 shards. */
+  private val mixTargets = Map("src0" -> (3L, 10L), "src1" -> (3L, 10L))
+  private val mixDefault = (4L, 180L)
+  private val (mixTotalNum, mixTotalDen) = (1L, 2L)
+  private val mixSalt = "mix"
+  private val (packCapacity, packShards, packSalt) = (512, 4, "pack")
+
   /** DuckDB w-shingle fragment over a `toks` list column (mirrors
     * [[NearDup.shingles]], including the short-doc single-shingle case). */
   private def shinglesSql(w: Int): String =
@@ -200,6 +209,21 @@ object Text extends QueryModule {
         .agg(count(lit(1)).as("df"),
           sort_array(collect_list(col("doc_id"))).as("postings"))
         .filter(col("df") >= 2)),
+
+    // Domain mixing: reweight sources toward a target composition with
+    // runtime (count-dependent) rates in pure integer arithmetic.
+    "q66_domain_mix" -> ((s, dir) =>
+      graft.ops.Sampling.mixSample(Tables(s, dir).documents, col("doc_id"),
+          "source", mixTargets, mixDefault, mixTotalNum, mixTotalDen,
+          salt = mixSalt)
+        .select(col("doc_id"), col("source"))),
+
+    // GPT-style sequence packing: shard-local concatenate-and-chunk
+    // window layout, one bounded window sort per shard.
+    "q67_packing" -> ((s, dir) =>
+      graft.ops.Packing.packIntoWindows(Tables(s, dir).documents,
+        "doc_id", "text", capacity = packCapacity, shards = packShards,
+        salt = packSalt)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -409,5 +433,27 @@ object Text extends QueryModule {
         |)
         |SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings
         |FROM tok GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q66_domain_mix" ->
+      s"""WITH counts AS (
+        |  SELECT source, count(*) AS __n_s FROM documents GROUP BY 1
+        |), tot AS (SELECT count(*) AS __n FROM documents)
+        |SELECT doc_id, source
+        |FROM documents JOIN counts USING (source), tot
+        |WHERE ${graft.ops.Sampling.mixPredicateSql("doc_id", "source",
+            mixTargets, mixDefault, mixTotalNum, mixTotalDen, mixSalt)}""".stripMargin,
+
+    "q67_packing" ->
+      s"""SELECT doc_id,
+        |       ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)} AS shard,
+        |       CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |       sum(CAST(len($toksSql) AS BIGINT)) OVER w
+        |         - CAST(len($toksSql) AS BIGINT) AS start_off,
+        |       (sum(CAST(len($toksSql) AS BIGINT)) OVER w
+        |         - CAST(len($toksSql) AS BIGINT)) // $packCapacity AS window
+        |FROM documents
+        |WINDOW w AS (
+        |  PARTITION BY ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)}
+        |  ORDER BY doc_id)""".stripMargin,
   )
 }

@@ -62,6 +62,45 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.head.getLong(2) == 2L) // n_matched
   }
 
+  test("mixSample hits the target composition and caps scarce domains at rate 1") {
+    import graft.ops.Sampling
+    // 1000 "web" docs, 50 "code" docs; target: half the corpus, 60% code.
+    val docs = ((0 until 1000).map(i => (i.toLong, "web")) ++
+      (1000 until 1050).map(i => (i.toLong, "code"))).toDF("id", "dom")
+    val out = Sampling.mixSample(docs, col("id"), "dom",
+      Map("code" -> (3L, 5L)), default = (2L, 5L),
+      totalNum = 1L, totalDen = 2L, salt = "t")
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // code target = 315 > 50 available → rate caps at 1, ALL kept
+    assert(byDom("code") == 50L)
+    // web target = 2/5 * 525 = 210 of 1000 → rate 0.21; hash-uniform ±
+    assert(byDom("web") > 150L && byDom("web") < 270L)
+    // deterministic: same inputs, same sample
+    val again = Sampling.mixSample(docs.repartition(13), col("id"), "dom",
+      Map("code" -> (3L, 5L)), default = (2L, 5L),
+      totalNum = 1L, totalDen = 2L, salt = "t")
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("packIntoWindows: contiguous shard-local offsets, windows chunk by capacity") {
+    import graft.ops.Packing
+    val docs = (0 until 40).map(i => (i.toLong, ("tok " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = Packing.packIntoWindows(docs, "doc_id", "text",
+      capacity = 10, shards = 3, salt = "p").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2) // by doc_id within shard
+      // offsets are the running sum of preceding token counts
+      val expectedOffsets = ordered.map(_._3).scanLeft(0L)(_ + _).init
+      assert(ordered.map(_._4).toSeq == expectedOffsets.toSeq)
+      assert(ordered.forall { case (_, _, _, off, win) => win == off / 10 })
+    }
+    assert(out.map(_._1).distinct.sorted.toSeq.forall(s => s >= 0 && s < 3))
+  }
+
   test("profile reports nulls, distincts, and native-typed min/max per column") {
     val df = Seq(
       (Some(3L), Some("b")),
