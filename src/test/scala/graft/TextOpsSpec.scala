@@ -101,6 +101,33 @@ class TextOpsSpec extends SparkSuite {
     assert(out.map(_._1).distinct.sorted.toSeq.forall(s => s >= 0 && s < 3))
   }
 
+  test("plan shapes: bm25 never shuffles the corpus; packing shuffles once by shard") {
+    val docs = (0 until 200).map(i => (i.toLong, s"tok$i word $i")).toDF("doc_id", "text")
+    val bm25Plan = Retrieval.bm25(docs, "doc_id", "text", Seq("word"))
+      .queryExecution.executedPlan.toString
+    // Only the one-row global-stats aggregation may exchange (single
+    // partition) + its broadcast back; no hash-partitioned corpus shuffle.
+    assert(!bm25Plan.contains("hashpartitioning"), bm25Plan)
+    assert(bm25Plan.contains("BroadcastExchange") ||
+      bm25Plan.contains("BroadcastNestedLoopJoin"), bm25Plan)
+    val packPlan = graft.ops.Packing
+      .packIntoWindows(docs, "doc_id", "text", 64, 4, "p")
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(packPlan).size == 1, packPlan)
+  }
+
+  test("mixSample resolves the domain-count join as a broadcast at runtime") {
+    import graft.ops.Sampling
+    val docs = (0 until 500).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "dom")
+    val out = Sampling.mixSample(docs, col("id"), "dom",
+      Map("d0" -> (1L, 2L)), default = (1L, 4L),
+      totalNum = 1L, totalDen = 2L, salt = "x")
+    out.collect() // materialize so AQE finalizes the plan
+    val finalPlan = out.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan)
+  }
+
   test("profile reports nulls, distincts, and native-typed min/max per column") {
     val df = Seq(
       (Some(3L), Some("b")),
