@@ -244,6 +244,26 @@ object Relational extends QueryModule {
     // Key-distribution skew report over the event log's user key.
     "q65_skew_report" -> ((s, dir) =>
       graft.ops.Skew.skewReport(Tables(s, dir).events, "user_id")),
+
+    // CUBE grouping sets (q42's rollup sibling): all 2^k flag/status
+    // aggregates in one pass, gid disambiguating the grouping set.
+    "q68_cube" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .withColumn("cents", Exact.cents(col("l_extendedprice")))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          grouping_id().cast("long").as("gid"))),
+
+    // Left semi join: users who DID purchase big (q46's anti complement) —
+    // keyed existence probe, no row multiplication from the build side.
+    "q69_semi_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        .join(ev.filter(col("event_type") === "purchase" && col("value") > 180)
+            .select(col("user_id")),
+          Seq("user_id"), "left_semi")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -392,6 +412,21 @@ object Relational extends QueryModule {
       s"""SELECT event_id, user_id,
          |       ${graft.functions.Morton.duckSql("user_id", "event_id")} AS zkey
          |FROM events""".stripMargin,
+
+    "q68_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+        |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q69_semi_join" ->
+      """SELECT user_id, count(*) AS n_clicks
+        |FROM events e WHERE event_type = 'click'
+        |  AND EXISTS (SELECT 1 FROM events p
+        |              WHERE p.event_type = 'purchase' AND p.value > 180
+        |                AND p.user_id = e.user_id)
+        |GROUP BY 1""".stripMargin,
 
     "q65_skew_report" ->
       """WITH counts AS (
