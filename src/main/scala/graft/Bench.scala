@@ -27,7 +27,15 @@ object Bench {
     // Verify's correctness gate enumerates.
     val extras: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "x27_minhash_xxh" ->
-        ((s, dir) => queries.Vectors.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)))
+        ((s, dir) => queries.Vectors.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)),
+      "x55_decontam_hashed" ->
+        ((s, dir) => {
+          val docs = Tables(s, dir).documents
+          text.Decontaminate.overlap(
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0),
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 === 0),
+            "doc_id", "text", hashGrams = true)
+        }))
     // Untimed warmup: run EVERY query once at the tiny SF so each plan's
     // Janino/JIT compilation (the dominant 4-6 s first-evaluation noise,
     // keyed by plan structure, not data paths) is paid before timing —

@@ -24,17 +24,28 @@ object Decontaminate {
   /** Documents of `corpus` sharing at least one w-shingle with
     * `benchmark`, with the count of distinct shared shingles.
     *
+    * @param hashGrams join on `xxhash64` of the shingle instead of the
+    *        string itself — an n-token shingle averages ~7n bytes where
+    *        the hash is a fixed 8, so the shuffle/broadcast volume drops
+    *        ~10x at w = 13. A false positive needs a 64-bit collision
+    *        between a corpus and a benchmark shingle (~2⁻⁶⁴ per pair) —
+    *        the right trade in production, but Spark-only, so the oracle
+    *        query (q55) keeps the string join.
     * @return (idCol, n_shared) — one row per contaminated document
     */
   def overlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, w: Int = 13): DataFrame = {
+      textCol: String, w: Int = 13, hashGrams: Boolean = false): DataFrame = {
     // Empty/whitespace-only texts shingle to [""] via the short-doc path;
     // dropping the empty gram keeps "both docs are blank" from counting
     // as contamination.
-    def sh(df: DataFrame): DataFrame = df.select(col(idCol),
-      explode(array_distinct(
-        NearDup.shingles(TextAnalysis.tokens(col(textCol)), w))).as("g"))
-      .filter(col("g") =!= "")
+    def sh(df: DataFrame): DataFrame = {
+      val grams = df.select(col(idCol),
+        explode(array_distinct(
+          NearDup.shingles(TextAnalysis.tokens(col(textCol)), w))).as("g"))
+        .filter(col("g") =!= "")
+      if (hashGrams) grams.select(col(idCol), xxhash64(col("g")).as("g"))
+      else grams
+    }
     val benchGrams = sh(benchmark).select(col("g")).distinct()
     sh(corpus).join(benchGrams, Seq("g"))
       .groupBy(col(idCol))

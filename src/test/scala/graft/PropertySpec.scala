@@ -129,6 +129,72 @@ class PropertySpec extends SparkSuite {
     assert(q.getAs[Long]("p100") == mx)
   }
 
+  test("property: pageRank conserves no more than the initial mass") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.filter(e => e._1 != e._2))
+    holds(Prop.forAll(gen) { es =>
+      es.nonEmpty ==> {
+        val pr = graft.ops.PageRank.pageRank(
+          es.toDF("s", "d"), "s", "d", iters = 2)
+          .select("r").as[Long].collect()
+        val n = es.flatMap(e => Seq(e._1, e._2)).distinct.size
+        // teleport + damped inflow can only lose mass (dangling drop,
+        // floor rounding), never create it
+        pr.forall(_ > 0L) && pr.sum <= n * 1000000000L
+      }
+    })
+  }
+
+  test("property: raising a mix target keeps every previously sampled row") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val docs = (0 until 400).map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dom")
+    def ids(num: Long) = Sampling.mixSample(docs, col("id"), "dom",
+        Map("d0" -> (num, 10L)), default = (1L, 10L),
+        totalNum = 1L, totalDen = 1L, salt = "a")
+      .select("id").as[Long].collect().toSet
+    val small = ids(2L); val big = ids(5L)
+    assert(small.subsetOf(big)) // hash-threshold sampling is additive
+  }
+
+  test("property: packing windows tile each shard's token stream exactly") {
+    import spark.implicits._
+    val gen = Gen.listOfN(25, Gen.choose(1, 9))
+    holds(Prop.forAll(gen) { lens =>
+      lens.nonEmpty ==> {
+        val docs = lens.zipWithIndex
+          .map { case (l, i) => (i.toLong, ("w " * l).trim) }.toDF("doc_id", "text")
+        val out = graft.ops.Packing
+          .packIntoWindows(docs, "doc_id", "text", 7, 2, "s")
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        out.groupBy(_._1).forall { case (_, rows) =>
+          val sorted = rows.sortBy(_._3)
+          // offsets start at 0 and are gap-free: each next = prev + len
+          sorted.zip(sorted.scanLeft(0L)(_ + _._2)).forall {
+            case ((_, _, off), expected) => off == expected
+          }
+        }
+      }
+    })
+  }
+
+  test("property: funnel stage counts never increase") {
+    import spark.implicits._
+    val types = Seq("a", "b", "c")
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1L, 6L), Gen.oneOf(types),
+      Gen.choose(0L, 100000L)))
+    holds(Prop.forAll(gen) { evs =>
+      evs.nonEmpty ==> {
+        val df = evs.map { case (u, t, ms) => (u, t, new java.sql.Timestamp(ms)) }
+          .toDF("u", "t", "ts")
+        val counts = graft.ops.Journey.funnel(df, "u", "t", "ts", types)
+          .orderBy("stage_idx").select("n_users").as[Long].collect().toSeq
+        counts.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true }
+      }
+    })
+  }
+
   test("property: tokens are lowercase alnum and stable under re-tokenization") {
     import spark.implicits._
     val gen = Gen.listOfN(12, Gen.asciiPrintableStr)

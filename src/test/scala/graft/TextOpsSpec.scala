@@ -31,6 +31,18 @@ class TextOpsSpec extends SparkSuite {
     assert(hits == Set(1L))
   }
 
+  test("decontaminate hashed-gram path finds the same documents") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x beta gamma delta y"),
+      (2L, "beta x gamma y delta")).toDF("doc_id", "text")
+    val str = Decontaminate.overlap(corpus, bench, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashed = Decontaminate.overlap(corpus, bench, "doc_id", "text", w = 3,
+      hashGrams = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hashed == str)
+  }
+
   test("decontaminate: blank docs never match blank benchmark entries") {
     val bench = Seq((100L, ""), (101L, "real benchmark text")).toDF("doc_id", "text")
     val corpus = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
