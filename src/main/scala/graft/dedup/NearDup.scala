@@ -69,8 +69,10 @@ object NearDup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 16,
       hash: Column => Column = Hash64.hash60): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), w))).as("sh"))
+    val sh = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(shingles(col("__toks"), w))).as("sh"))
       .select(col(idCol), hash(col("sh")).as("h"))
     val mins = (0 until k).map(i => min(Hash64.mixed(i, col("h"))).as(s"m$i"))
     sh.groupBy(col(idCol))
@@ -135,8 +137,13 @@ object NearDup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJaccard: Double, maxDfFrac: Double = 1.0,
       w: Int = 3): DataFrame =
-    jaccardPairs(docs,
-      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), w)),
+    // Tokens materialize in their own projection first: shingles()
+    // references its input w+2 times, and each reference of an inline
+    // tokens() subtree would re-run the regex split per row.
+    jaccardPairs(
+      docs.select(col(idCol), col(blockCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks")),
+      array_distinct(shingles(col("__toks"), w)),
       idCol, blockCol, minJaccard, maxDfFrac)
 
   private def jaccardPairs(docs: DataFrame, units: Column, idCol: String,

@@ -135,8 +135,11 @@ object Text extends QueryModule {
         .agg(sum(col("c")).as("n_tokens"),
           count(lit(1)).as("n_distinct"),
           max(col("c")).as("top_tok"))
-      val grams = docs.select(col("doc_id"),
-        explode(NearDup.shingles(graft.text.TextAnalysis.tokens(col("text")), 2)).as("g"))
+      val grams = docs
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          explode(NearDup.shingles(col("__toks"), 2)).as("g"))
       val gramStats = grams.groupBy(col("doc_id"), col("g"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))

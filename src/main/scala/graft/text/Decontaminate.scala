@@ -39,9 +39,11 @@ object Decontaminate {
     // dropping the empty gram keeps "both docs are blank" from counting
     // as contamination.
     def sh(df: DataFrame): DataFrame = {
-      val grams = df.select(col(idCol),
-        explode(array_distinct(
-          NearDup.shingles(TextAnalysis.tokens(col(textCol)), w))).as("g"))
+      // tokens materialize first — shingles() references them w+2 times
+      val grams = df
+        .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol),
+          explode(array_distinct(NearDup.shingles(col("__toks"), w))).as("g"))
         .filter(col("g") =!= "")
       if (hashGrams) grams.select(col(idCol), xxhash64(col("g")).as("g"))
       else grams
