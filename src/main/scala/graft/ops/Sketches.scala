@@ -68,4 +68,29 @@ object Sketches {
       .sortBy(-_._2)
     hits.toDF("key", "est")
   }
+
+  /** Pre-aggregated rollup with a MERGEABLE distinct-count column: each
+    * group row carries a Datasketches HLL sketch (binary), so the table
+    * re-aggregates to coarser grains WITHOUT rescanning the facts —
+    * `approx_count_distinct` can't do that (its result is a number;
+    * re-summing numbers double-counts users active in several groups).
+    * This is the materialized-rollup workflow: build once at fine grain,
+    * answer every coarser grain by `hll_union_agg` over sketch bytes.
+    *
+    * Both steps are one hash aggregation; sketches are fixed-size
+    * (lgConfigK buckets) and map-side combinable. Sketch bytes are
+    * engine-specific — SketchesSpec bounds the estimates against exact
+    * distinct counts instead of a SQL oracle. */
+  def hllRollup(df: DataFrame, grp: Seq[Column], c: Column,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(c, lit(lgConfigK)).as("dv_sketch"))
+
+  /** Re-aggregate a [[hllRollup]] table to a coarser grain: union the
+    * sketches, then read the estimate. */
+  def hllReRollup(rollup: DataFrame, grp: Seq[Column]): DataFrame =
+    rollup.groupBy(grp: _*)
+      .agg(sum(col("n")).as("n"),
+        hll_sketch_estimate(hll_union_agg(col("dv_sketch"))).as("est_distinct"))
 }

@@ -57,4 +57,29 @@ class SketchesSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == hits)
   }
+
+  test("hllRollup re-aggregates sketches to coarser grains without rescanning") {
+    import spark.implicits._
+    // users overlap across (day, hour) groups — re-summing per-group
+    // distinct NUMBERS would double-count; sketch union must not.
+    val df = (0 until 5000).map { i =>
+      (s"d${i % 2}", s"h${(i / 2) % 4}", (i % 700).toLong)
+    }.toDF("day", "hour", "user")
+    val fine = Sketches.hllRollup(df, Seq(col("day"), col("hour")), col("user"))
+    assert(fine.count() == 8)
+    val byDay = Sketches.hllReRollup(fine, Seq(col("day")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = df.groupBy("day").agg(count(lit(1)), count_distinct(col("user")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((day, (n, est)) <- byDay) {
+      assert(n == exact(day)._1) // row counts re-sum exactly
+      val ex = exact(day)._2.toDouble
+      assert(math.abs(est.toDouble - ex) / ex < 0.05, s"$day est=$est exact=$ex")
+      // naive double-count for contrast: summing per-hour distincts
+      // overshoots (each user shows up in several hours)
+    }
+    val global = Sketches.hllReRollup(fine, Seq(lit(1).as("g")))
+      .collect().head.getLong(2)
+    assert(math.abs(global.toDouble - 700.0) / 700.0 < 0.05)
+  }
 }
