@@ -47,6 +47,15 @@ object NearDup {
       .otherwise(filter(joined, x => x.isNotNull))
   }
 
+  /** DuckDB fragment mirroring [[shingles]] over a `toks` list column —
+    * the single source for every oracle's shingle SQL (the short-doc
+    * whole-text branch included), so a semantics change here cannot leave
+    * a hand-inlined oracle copy behind. */
+  def duckShinglesSql(w: Int, toksExpr: String = "toks"): String =
+    s"""CASE WHEN len($toksExpr) < $w THEN [array_to_string($toksExpr, ' ')]
+       |     ELSE list_transform(range(1, len($toksExpr) - ${w - 2}),
+       |                         i -> array_to_string($toksExpr[i:i+${w - 1}], ' ')) END""".stripMargin
+
   /** MinHash signatures for a document frame: explode distinct shingles
     * once, hash each shingle ONCE with the strong base hash, then k
     * xor-rotate mixer min-aggregates ([[Hash64.mixed]]: xor an md5-derived

@@ -65,9 +65,12 @@ object Journey {
       .filter(col(tsCol) >= col("t_anchor"))
       .select(col(userCol),
         date_trunc("week", col("t_anchor")).cast("date").as("cohort_week"),
-        (datediff(date_trunc("week", col(tsCol)).cast("date"),
-          date_trunc("week", col("t_anchor")).cast("date")) / 7)
-          .cast("long").as("week_offset"))
+        datediff(date_trunc("week", col(tsCol)).cast("date"),
+          date_trunc("week", col("t_anchor")).cast("date")).as("__dd"))
+      // integer div, not a float quotient cast: the double path is exact
+      // only while __dd stays a multiple of 7 — div matches the oracle's
+      // `// 7` unconditionally
+      .withColumn("week_offset", expr("__dd div 7").cast("long"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }

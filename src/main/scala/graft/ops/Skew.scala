@@ -72,12 +72,19 @@ object Skew {
     * (`⌈p·n⌉ = (num·n + den − 1) div den`) — a double `ceil(0.9·n)`
     * diverges between engines when 0.9·n lands on an integer.
     *
+    * CACHING CONTRACT: the per-key count frame is `persist()`ed
+    * internally (it feeds the totals/top arm and the histogram arm —
+    * static exchange reuse cannot unify them) and stays pinned after the
+    * result materializes. Call `spark.catalog.clearCache()` — or
+    * unpersist selectively — between invocations in a long-lived
+    * session, as Bench/Verify do.
+    *
     * @param ps quantiles as rationals (num, den), e.g. (1,2) for p50
     * @return one row: (n_keys, n_rows, max_c, top_key, p<NN>_c…, skew)
     */
   def skewReport(df: DataFrame, keyCol: String,
       ps: Seq[(Int, Int)] = Seq(1 -> 2, 9 -> 10)): DataFrame = {
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c")).persist()
     // Heaviest key, ties to the SMALLEST key value: min over (−count,
     // key) structs — works for any orderable key type (a negated-key max
     // would only handle numeric keys).
@@ -88,11 +95,15 @@ object Skew {
     val cum = hist.withColumn("cum",
       sum(col("k")).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("c")).rowsBetween(Long.MinValue, 0)))
+    // Totals ride through the one-row quantile aggregation (max of a
+    // constant column), so the single crossJoin serves both the rank
+    // thresholds and the output columns.
     val qAggs = ps.map { case (num, den) =>
       min(when(col("cum") >=
         expr(s"($num * n_keys + ${den - 1}) div $den"), col("c")))
         .as(s"p${num * 100 / den}_c")
-    }
+    } ++ Seq(max(col("n_keys")).as("n_keys"),
+      max(col("n_rows")).as("n_rows"), max(col("top")).as("top"))
     val outCols =
       Seq(col("n_keys"), col("n_rows"),
         (-col("top.nc")).as("max_c"), col("top.k").as("top_key")) ++
@@ -101,7 +112,6 @@ object Skew {
         .as("skew")
     cum.crossJoin(broadcast(totals))
       .agg(qAggs.head, qAggs.tail: _*)
-      .crossJoin(broadcast(totals))
       .select(outCols: _*)
   }
 }

@@ -35,12 +35,8 @@ object Text extends QueryModule {
   private val mixSalt = "mix"
   private val (packCapacity, packShards, packSalt) = (512, 4, "pack")
 
-  /** DuckDB w-shingle fragment over a `toks` list column (mirrors
-    * [[NearDup.shingles]], including the short-doc single-shingle case). */
-  private def shinglesSql(w: Int): String =
-    s"""CASE WHEN len(toks) < $w THEN [array_to_string(toks, ' ')]
-       |     ELSE list_transform(range(1, len(toks) - ${w - 2}),
-       |                         i -> array_to_string(toks[i:i+${w - 1}], ' ')) END""".stripMargin
+  /** DuckDB w-shingle fragment — the shared generator in [[NearDup]]. */
+  private def shinglesSql(w: Int): String = NearDup.duckShinglesSql(w)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + char stats (whitespace/regex tokenizer).
@@ -350,10 +346,7 @@ object Text extends QueryModule {
         |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok
         |  FROM tc GROUP BY 1
         |), grams AS (
-        |  SELECT doc_id, unnest(
-        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks)),
-        |                             i -> array_to_string(toks[i:i+1], ' ')) END) AS g
+        |  SELECT doc_id, unnest(${shinglesSql(2)}) AS g
         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         |), gc AS (
         |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
@@ -392,10 +385,7 @@ object Text extends QueryModule {
 
     "q34_ngram_jaccard" ->
       s"""WITH tok AS (
-        |  SELECT doc_id, source, unnest(list_distinct(
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS token
+        |  SELECT doc_id, source, unnest(list_distinct(${shinglesSql(3)})) AS token
         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1

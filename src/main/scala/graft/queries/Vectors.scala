@@ -173,10 +173,7 @@ object Vectors extends QueryModule {
     s"""toks AS (
       |  SELECT doc_id, $toksSql AS toks FROM documents
       |), sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |         ELSE list_transform(range(1, len(toks) - 1),
-      |                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS sh
+      |  SELECT doc_id, unnest(list_distinct(${NearDup.duckShinglesSql(3)})) AS sh
       |  FROM toks
       |), hs AS (
       |  SELECT doc_id, ${Hash64.duckSql("sh")} AS h FROM sh

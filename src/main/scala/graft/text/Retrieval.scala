@@ -34,12 +34,16 @@ object Retrieval {
     require(terms.nonEmpty, "term list must be non-empty")
     require(terms.distinct == terms,
       "duplicate query terms would double-count their tf contribution")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // tokens materialize in their own projection first: dl + one filter
+    // per term would otherwise re-run the regex split terms+1 times per
+    // row (interpreted HOFs get no subexpression elimination).
+    val toks = col("__toks")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
     }
-    val base = docs.select(
-      col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
     val dfAggs = terms.indices.map(i =>
       sum(when(col(s"tf$i") > 0, lit(1L)).otherwise(lit(0L))).as(s"df$i"))
     val globals = base.agg(
