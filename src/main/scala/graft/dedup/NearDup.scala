@@ -139,6 +139,44 @@ object NearDup {
       array_distinct(TextAnalysis.tokens(col(textCol))),
       idCol, blockCol, minJaccard, maxDfFrac)
 
+  /** Record linkage (entity resolution): token-set Jaccard match of a
+    * DIRTY frame against a CANONICAL frame — the cross-table sibling of
+    * [[tokenJaccardPairs]]'s self-join, for "which master record is this
+    * noisy row?" workloads. Same scale shape: the candidate join is keyed
+    * by (token, block), per-record sizes join by id, nothing broadcast.
+    * Blocking is load-bearing here exactly as in dedup: it bounds the
+    * per-token fan-out to in-block frequencies.
+    *
+    * @param w matching unit: 1 = token sets (loose — small vocabularies
+    *          make unrelated records share most tokens), ≥2 = w-gram
+    *          shingle sets (word-order-sensitive, discriminative)
+    * @return (left_id, right_id, inter, jaccard) — all pairs ≥ minJaccard;
+    *         resolve to best-match with a per-left top-1 if needed
+    */
+  def tokenLinkPairs(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, blockCol: String, minJaccard: Double,
+      w: Int = 1): DataFrame = {
+    def tok(df: DataFrame) = df
+      .select(col(idCol), col(blockCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(blockCol),
+        explode(array_distinct(
+          if (w <= 1) col("__toks") else shingles(col("__toks"), w))).as("token"))
+    val (ta, tb) = (tok(left), tok(right))
+    def sizes(t: DataFrame) = t.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val pairs = ta.as("a").join(tb.as("b"),
+        col("a.token") === col("b.token") &&
+          col(s"a.$blockCol") === col(s"b.$blockCol"))
+      .groupBy(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes(ta).as("s1"), col("left_id") === col(s"s1.$idCol"))
+      .join(sizes(tb).as("s2"), col("right_id") === col(s"s2.$idCol"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("left_id"), col("right_id"), col("inter"), col("jaccard"))
+  }
+
   /** Exact n-gram (shingle) Jaccard: the stricter word-order-sensitive
     * variant of [[tokenJaccardPairs]] — two documents with the same word
     * multiset but different order share tokens yet few shingles. Same

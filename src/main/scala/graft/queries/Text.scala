@@ -223,6 +223,21 @@ object Text extends QueryModule {
       graft.ops.Packing.packIntoWindows(Tables(s, dir).documents,
         "doc_id", "text", capacity = packCapacity, shards = packShards,
         salt = packSalt)),
+
+    // Record linkage: a deterministically-dirtied slice (first token
+    // dropped, shifted ids) matched back to the canonical corpus by
+    // blocked 3-shingle Jaccard — entity resolution across two tables
+    // (token sets are too loose over this small vocabulary; shingles
+    // keep the match one-to-few).
+    "q70_record_link" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val dirty = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"),
+          col("source"))
+      NearDup.tokenLinkPairs(dirty, docs, "doc_id", "text", "source",
+        minJaccard = 0.7, w = 3)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -435,6 +450,31 @@ object Text extends QueryModule {
         |FROM documents JOIN counts USING (source), tot
         |WHERE ${graft.ops.Sampling.mixPredicateSql("doc_id", "source",
             mixTargets, mixDefault, mixTotalNum, mixTotalDen, mixSalt)}""".stripMargin,
+
+    "q70_record_link" ->
+      s"""WITH dirty AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, '^\\S+\\s*', '') AS text, source
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), ta AS (
+        |  SELECT doc_id, source, unnest(list_distinct(${shinglesSql(3)})) AS token
+        |  FROM (SELECT doc_id, source, $toksSql AS toks FROM dirty)
+        |), tb AS (
+        |  SELECT doc_id, source, unnest(list_distinct(${shinglesSql(3)})) AS token
+        |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
+        |), s1 AS (SELECT doc_id, count(*) AS n FROM ta GROUP BY 1
+        |), s2 AS (SELECT doc_id, count(*) AS n FROM tb GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS inter
+        |  FROM ta a JOIN tb b ON a.token = b.token AND a.source = b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT left_id, right_id, inter,
+        |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN s1 ON left_id = s1.doc_id
+        |JOIN s2 ON right_id = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.7""".stripMargin,
 
     "q67_packing" ->
       s"""SELECT doc_id,

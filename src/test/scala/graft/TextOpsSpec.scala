@@ -74,6 +74,24 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.head.getLong(2) == 2L) // n_matched
   }
 
+  test("tokenLinkPairs links dirty records to canonicals, blocked and unit-aware") {
+    import graft.dedup.NearDup
+    val canon = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "b1"),
+      (2L, "one two three four five six", "b1"),
+      (3L, "alpha beta gamma delta epsilon zeta", "b2")) // same text, other block
+      .toDF("id", "text", "blk")
+    val dirty = Seq(
+      (101L, "beta gamma delta epsilon zeta", "b1"), // doc 1 minus first token
+      (102L, "unrelated words entirely here now", "b1"))
+      .toDF("id", "text", "blk")
+    val links = NearDup.tokenLinkPairs(dirty, canon, "id", "text", "blk",
+        minJaccard = 0.5, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // matches its canonical in ITS block only; blocking excludes doc 3
+    assert(links == Set((101L, 1L)))
+  }
+
   test("mixSample hits the target composition and caps scarce domains at rate 1") {
     import graft.ops.Sampling
     // 1000 "web" docs, 50 "code" docs; target: half the corpus, 60% code.
