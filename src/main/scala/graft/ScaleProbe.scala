@@ -22,11 +22,16 @@ object ScaleProbe {
       (0 until m).map(i => df.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
         .reduce(_ unionAll _)
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"PROBE $name rows=$n took ${(System.nanoTime() - t0) / 1e9}%.1fs")
-    }
+    // Optional family filter (comma-separated name prefixes) so one slow
+    // family can be probed solo — e.g. SPARK_GRAFT_PROBE=connected.
+    val only = sys.env.get("SPARK_GRAFT_PROBE")
+      .map(_.split(",").map(_.trim).toSet)
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(_.exists(name.startsWith))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"PROBE $name rows=$n took ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
 
     for (m <- Seq(1, mult)) {
       val docs = replicate(t.documents, "doc_id", m).persist()

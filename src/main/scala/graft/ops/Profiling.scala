@@ -43,6 +43,45 @@ object Profiling {
         col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
 
+  /** Data-quality gate: evaluate row-level expectations in ONE aggregation
+    * pass and emit a verdict row per check — the dbt-test/CHECK-constraint
+    * step a pipeline runs before publishing a table. NULL follows SQL
+    * CHECK semantics: only an explicit `false` is a violation, so an
+    * expectation over a nullable column states its own null policy
+    * (`isNotNull && …` vs plain `…`).
+    *
+    * @param checks (name, boolean expectation) pairs
+    * @return (check, n_rows, n_violations, pass) — one row per check
+    */
+  def expectations(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one expectation")
+    val aggs = count(lit(1)).as("n_rows") +: checks.zipWithIndex.map {
+      case ((_, c), i) =>
+        sum(when(c === false, lit(1L)).otherwise(lit(0L))).as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("check"), col(s"__v$i").as("n_violations"))
+    }
+    one.select(col("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.check"), col("n_rows"), col("e.n_violations"),
+        (col("e.n_violations") === 0L).as("pass"))
+  }
+
+  /** DuckDB oracle for [[expectations]]: same one-pass aggregation over
+    * `(name, sqlPredicate)` pairs mirroring the Spark checks. */
+  def expectationsOracleSql(table: String,
+      checks: Seq[(String, String)]): String = {
+    val aggs = checks.zipWithIndex.map { case ((_, p), i) =>
+      s"sum(CASE WHEN ($p) = false THEN 1 ELSE 0 END) AS __v$i" }
+      .mkString(", ")
+    val arms = checks.zipWithIndex.map { case ((n, _), i) =>
+      s"""SELECT '$n' AS "check", n_rows, CAST(__v$i AS BIGINT) AS n_violations,
+         |       __v$i = 0 AS pass FROM agg""".stripMargin }
+    s"""WITH agg AS (SELECT count(*) AS n_rows, $aggs FROM $table)
+      |${arms.mkString("\n UNION ALL\n")}""".stripMargin
+  }
+
   /** DuckDB oracle for [[profile]], generated from the same column list. */
   def profileOracleSql(table: String, cols: Seq[String]): String = {
     val aggs = cols.flatMap(c => Seq(

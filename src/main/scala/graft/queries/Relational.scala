@@ -254,6 +254,18 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           grouping_id().cast("long").as("gid"))),
 
+    // Data-quality gate: row-level expectations in one pass, a verdict
+    // row per check (the publish gate a pipeline runs before a table
+    // goes live). value_in_range is INTENTIONALLY violated by design of
+    // the corpus (values reach ~300) so both verdicts appear.
+    "q71_expectations" -> ((s, dir) =>
+      graft.ops.Profiling.expectations(Tables(s, dir).events, Seq(
+        "value_non_negative" -> (col("value") >= 0),
+        "value_in_range" -> (col("value") < 150),
+        "event_type_in_domain" ->
+          col("event_type").isin("signup", "view", "click", "purchase", "error"),
+        "user_id_present" -> col("user_id").isNotNull))),
+
     // Left semi join: users who DID purchase big (q46's anti complement) —
     // keyed existence probe, no row multiplication from the build side.
     "q69_semi_join" -> ((s, dir) => {
@@ -419,6 +431,14 @@ object Relational extends QueryModule {
         |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q71_expectations" ->
+      graft.ops.Profiling.expectationsOracleSql("events", Seq(
+        "value_non_negative" -> "value >= 0",
+        "value_in_range" -> "value < 150",
+        "event_type_in_domain" ->
+          "event_type IN ('signup', 'view', 'click', 'purchase', 'error')",
+        "user_id_present" -> "user_id IS NOT NULL")),
 
     "q69_semi_join" ->
       """SELECT user_id, count(*) AS n_clicks
