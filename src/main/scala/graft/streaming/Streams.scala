@@ -252,6 +252,27 @@ object Streams {
       }
   }
 
+  /** Row-level quality gate for a stream (or batch) frame: split into
+    * (pass, quarantine) on named expectations — the streaming use of
+    * [[graft.ops.Profiling.expectations]]'s predicates, with the same
+    * SQL-CHECK null semantics (only an explicit `false` quarantines).
+    * Quarantined rows keep every column plus `failed_checks`, so they are
+    * replayable after the rule or the data is fixed — the quality sibling
+    * of [[graft.ingest.Ingest.parseWithDeadLetter]]'s malformed-row
+    * split. Both sides are narrow row-local projections: no shuffle, no
+    * state, safe under any trigger. */
+  def qualityGate(df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "need at least one expectation")
+    val violated = checks.map { case (n, c) =>
+      org.apache.spark.sql.functions.when(c === false, n)
+    }
+    val failed = array_compact(array(violated: _*))
+    val tagged = df.withColumn("failed_checks", failed)
+    (tagged.filter(size(col("failed_checks")) === 0).drop("failed_checks"),
+      tagged.filter(size(col("failed_checks")) > 0))
+  }
+
   /** X3 TTL dedup on Spark 4's `transformWithState` — the arbitrary-state
     * API that supersedes `flatMapGroupsWithState` (same semantics as
     * [[ttlDedupWithState]], kept side-by-side as the migration pair).

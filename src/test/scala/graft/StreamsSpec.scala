@@ -229,6 +229,31 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("qualityGate splits a stream into pass and replayable quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("id", "kind", "v")
+    val (good, bad) = Streams.qualityGate(df, Seq(
+      "v_non_negative" -> (col("v") >= 0),
+      "kind_in_domain" -> col("kind").isin("a", "b")))
+    val q1 = good.writeStream.format("memory").queryName("qg_good")
+      .outputMode("append").start()
+    val q2 = bad.writeStream.format("memory").queryName("qg_bad")
+      .outputMode("append").start()
+    mem.addData((1L, "a", 1.0), (2L, "z", 2.0), (3L, "a", -5.0), (4L, "z", -1.0))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    assert(spark.table("qg_good").select("id").as[Long].collect().toSet == Set(1L))
+    val bads = spark.table("qg_bad")
+      .select(col("id"), col("failed_checks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(bads == Map(
+      2L -> Set("kind_in_domain"),
+      3L -> Set("v_non_negative"),
+      4L -> Set("v_non_negative", "kind_in_domain")))
+    q1.stop(); q2.stop()
+  }
+
   test("transformWithState TTL dedup matches the flatMapGroupsWithState semantics") {
     // Spark 4's arbitrary-state API; requires the RocksDB state store.
     implicit val sqlCtx = spark.sqlContext
