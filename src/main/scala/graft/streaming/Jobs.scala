@@ -21,22 +21,43 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object Jobs {
 
-  /** @param console also start a console tap of the flattened stream */
+  /** @param console also start a console tap of the flattened stream
+    * @param checks row-level quality expectations ([[Streams.qualityGate]]
+    *        semantics); violating rows divert to `quarantinePath` (with a
+    *        `failed_checks` column, replayable) instead of the main sink
+    * @param quarantinePath parquet destination for gated-out rows;
+    *        required when `checks` is non-empty */
   final case class EtlConfig(
       outputPath: String,
       checkpoint: String,
       dedupKeys: Seq[String] = Seq("match_id", "account_id"),
       watermark: String = "10 minutes",
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-      console: Boolean = false)
+      console: Boolean = false,
+      checks: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      quarantinePath: Option[String] = None)
 
   object EtlJob {
     /** Start the ETL pipeline on a raw envelope stream (string `value`
-      * column). Returns the parquet sink query (the console tap, if any,
-      * is coordinated via [[Streams.awaitAny]]). */
+      * column). Returns the parquet sink query (the console tap and
+      * quarantine sink, if any, are coordinated via [[Streams.awaitAny]]).
+      * The quarantine runs as its own query over the same source — the
+      * standard two-reader shape; a transactional dual-write needs a
+      * foreachBatch sink instead. */
     def start(raw: DataFrame, cfg: EtlConfig): StreamingQuery = {
+      val flat0 = Streams.etlFlatten(raw)
+      val kept =
+        if (cfg.checks.isEmpty) flat0
+        else {
+          val qPath = cfg.quarantinePath.getOrElse(
+            sys.error("quarantinePath required when checks are set"))
+          val (good, bad) = Streams.qualityGate(flat0, cfg.checks)
+          Streams.parquetSink(bad, qPath, s"${cfg.checkpoint}-quarantine",
+            cfg.trigger).start()
+          good
+        }
       val flat = Streams.dedupWithinWatermark(
-        Streams.etlFlatten(raw), cfg.dedupKeys, "event_time", cfg.watermark)
+        kept, cfg.dedupKeys, "event_time", cfg.watermark)
       if (cfg.console) Streams.consoleSink(flat, cfg.trigger).start()
       Streams.parquetSink(flat, cfg.outputPath, cfg.checkpoint, cfg.trigger).start()
     }

@@ -407,6 +407,29 @@ class StreamsSpec extends SparkSuite {
     assert(casted.head.getString(0) == """{"k":1}""")
   }
 
+  test("EtlJob with checks diverts violating rows to a replayable quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Jobs
+    val mem = MemoryStream[String]
+    mem.addData(
+      envJson("a1", "alice", Seq(("m1", 3, 250.0, "2024-01-01 10:00:00"))),
+      envJson("a2", "eve", Seq(("m2", 4, -50.0, "2024-01-01 10:01:00")))) // bad damage
+    val out = tmp("gate-etl-out"); val qr = tmp("gate-etl-quar")
+    val q = Jobs.EtlJob.start(mem.toDF(),
+      Jobs.EtlConfig(out, tmp("gate-etl-ckp"), trigger = Trigger.AvailableNow(),
+        checks = Seq("damage_non_negative" -> (col("damage_dealt") >= 0)),
+        quarantinePath = Some(qr)))
+    q.awaitTermination(120000)
+    spark.streams.active.foreach(_.awaitTermination()) // quarantine sink (AvailableNow)
+    assert(spark.read.parquet(out).select("account_id").as[String]
+      .collect().toSeq == Seq("a1"))
+    val quarantined = spark.read.parquet(qr)
+    assert(quarantined.select("account_id").as[String].collect().toSeq == Seq("a2"))
+    assert(quarantined.select("failed_checks").as[Seq[String]]
+      .collect().head == Seq("damage_non_negative"))
+  }
+
   test("assembled jobs: EtlJob and AnalyticsJob run the full reference pipelines") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
