@@ -150,4 +150,30 @@ class NearDupSpec extends SparkSuite {
     assert(t(0) == Seq("a b c", "b c d"))
     assert(t(1) == Seq("a b")) // shorter than w → whole doc as one shingle
   }
+
+  test("minhash LSH recall vs exact shingle-Jaccard ground truth on the sf0.01 corpus") {
+    // The minhash analogue of SimilaritySpec's ANN recall measurement:
+    // 4x4 banding's candidate probability at true similarity s is
+    // 1-(1-s^4)^4 — ~0.999 at the s≈0.94 of a one-token-dropped copy.
+    // 50 such near-dups are injected (first token removed, shifted ids)
+    // so the ground truth isn't one lucky pair; truth = exact 3-shingle
+    // Jaccard >= 0.7 (the same unit the signatures sketch).
+    val base = graft.Tables(spark, "/root/testdata/sf0.01").documents
+    val dirty = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s*", "").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val docs = base.unionByName(dirty)
+    val exact = graft.dedup.NearDup.ngramJaccardPairs(
+        docs, "doc_id", "text", "source", minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50) // at least the injected pairs
+    val sigs = graft.dedup.NearDup.minhashSignatures(docs, "doc_id", "text")
+    val cands = graft.dedup.NearDup.lshCandidatePairs(sigs, "doc_id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cands.contains).toDouble / exact.size
+    info(f"minhash-LSH recall@jaccard>=0.7: $recall%.3f " +
+      f"(${exact.size} true pairs, ${cands.size} candidates)")
+    assert(recall >= 0.9, f"recall $recall%.3f below floor")
+  }
 }
