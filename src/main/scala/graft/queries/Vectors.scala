@@ -74,6 +74,21 @@ object Vectors extends QueryModule {
         .select(col("node").as("doc_id"), col("cluster_id"), col("keep"))
     }),
 
+    // Dedup report: the summary a pipeline logs after cluster resolution —
+    // how many docs sat in dup clusters, how many clusters, how many rows
+    // removal drops, and the biggest cluster (skew indicator for the
+    // representative-pick stage). One aggregation over q37's output.
+    "q72_dedup_report" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5)
+      val clusters = NearDup.connectedComponents(pairs)
+      clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz")).as("n_docs_clustered"),
+          count(lit(1)).as("n_clusters"),
+          (sum(col("sz")) - count(lit(1))).as("n_removed"),
+          max(col("sz")).as("max_cluster_size"))
+    }),
+
     // SimHash near-dup: 60-bit signature, pigeonhole banding (9 bands for
     // radius 8 — every pair within the advertised hamming radius is
     // guaranteed a candidate; round 2's fixed 4x15 banding only guaranteed
@@ -335,6 +350,28 @@ object Vectors extends QueryModule {
         |SELECT node AS doc_id, min(lab) AS cluster_id,
         |       (min(lab) = node) AS keep
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q72_dedup_report" ->
+      s"""WITH RECURSIVE $minhashCtes, fpairs AS (
+        |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
+        |), sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM fpairs
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM fpairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+        |), clusters AS (
+        |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        |), szs AS (
+        |  SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY 1
+        |)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+        |       count(*) AS n_clusters,
+        |       CAST(sum(sz) - count(*) AS BIGINT) AS n_removed,
+        |       max(sz) AS max_cluster_size
+        |FROM szs""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tok AS (
