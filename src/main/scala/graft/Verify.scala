@@ -16,9 +16,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) is GATE-ONLY convenience (one file per query for the
+    // DuckDB compare) — query outputs at gate SFs are small. No production
+    // path coalesces; set SPARK_GRAFT_NO_COALESCE=1 for large-SF probes.
+    val coalesce1 = !sys.env.contains("SPARK_GRAFT_NO_COALESCE")
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        (if (coalesce1) out.coalesce(1) else out).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -180,7 +180,9 @@ object NearDup {
   /** Exact n-gram (shingle) Jaccard: the stricter word-order-sensitive
     * variant of [[tokenJaccardPairs]] — two documents with the same word
     * multiset but different order share tokens yet few shingles. Same
-    * keyed-shuffle plan, unit = w-gram instead of token. */
+    * keyed-shuffle plan, unit = w-gram instead of token, and the SAME
+    * caching contract: the shingle frame stays `persist()`ed after the
+    * result materializes (see [[tokenJaccardPairs]]). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJaccard: Double, maxDfFrac: Double = 1.0,
       w: Int = 3): DataFrame =

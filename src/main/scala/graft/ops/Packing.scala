@@ -24,12 +24,18 @@ import graft.text.TextAnalysis
   */
 object Packing {
 
-  /** @return (idCol, shard, n_tokens, start_off, window) */
+  /** @return (idCol, shard, n_tokens, start_off, window)
+    *
+    * `idCol` must be unique per row — the layout is defined by the total
+    * order (shard, id). The frame is ROWS, not the RANGE default: under
+    * RANGE, duplicate ids would be frame PEERS sharing one cumulative
+    * sum, silently overlapping their windows. */
   def packIntoWindows(docs: DataFrame, idCol: String, textCol: String,
       capacity: Int, shards: Int, salt: String): DataFrame = {
     require(capacity > 0 && shards > 0)
     val key: Column = col(idCol)
     val w = Window.partitionBy(col("shard")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(key,
         Sampling.hashBucket(key, salt, shards).as("shard"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))

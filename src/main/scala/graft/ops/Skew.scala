@@ -72,12 +72,12 @@ object Skew {
     * (`⌈p·n⌉ = (num·n + den − 1) div den`) — a double `ceil(0.9·n)`
     * diverges between engines when 0.9·n lands on an integer.
     *
-    * CACHING CONTRACT: the per-key count frame is `persist()`ed
-    * internally (it feeds the totals/top arm and the histogram arm —
-    * static exchange reuse cannot unify them) and stays pinned after the
-    * result materializes. Call `spark.catalog.clearCache()` — or
-    * unpersist selectively — between invocations in a long-lived
-    * session, as Bench/Verify do.
+    * The per-key count frame is `persist()`ed internally (it feeds the
+    * totals/top arm and the histogram arm — static exchange reuse cannot
+    * unify them), the ONE-ROW result is materialized eagerly, and the
+    * cache is released in a `finally` before returning — no caching
+    * contract leaks to the caller. The returned frame is a local
+    * relation holding the single diagnostic row.
     *
     * @param ps quantiles as rationals (num, den), e.g. (1,2) for p50
     * @return one row: (n_keys, n_rows, max_c, top_key, p<NN>_c…, skew)
@@ -85,33 +85,38 @@ object Skew {
   def skewReport(df: DataFrame, keyCol: String,
       ps: Seq[(Int, Int)] = Seq(1 -> 2, 9 -> 10)): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c")).persist()
-    // Heaviest key, ties to the SMALLEST key value: min over (−count,
-    // key) structs — works for any orderable key type (a negated-key max
-    // would only handle numeric keys).
-    val totals = counts.agg(
-      count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-      min(struct((-col("c")).as("nc"), col(keyCol).as("k"))).as("top"))
-    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
-    val cum = hist.withColumn("cum",
-      sum(col("k")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c")).rowsBetween(Long.MinValue, 0)))
-    // Totals ride through the one-row quantile aggregation (max of a
-    // constant column), so the single crossJoin serves both the rank
-    // thresholds and the output columns.
-    val qAggs = ps.map { case (num, den) =>
-      min(when(col("cum") >=
-        expr(s"($num * n_keys + ${den - 1}) div $den"), col("c")))
-        .as(s"p${num * 100 / den}_c")
-    } ++ Seq(max(col("n_keys")).as("n_keys"),
-      max(col("n_rows")).as("n_rows"), max(col("top")).as("top"))
-    val outCols =
-      Seq(col("n_keys"), col("n_rows"),
-        (-col("top.nc")).as("max_c"), col("top.k").as("top_key")) ++
-      ps.map { case (n, d) => col(s"p${n * 100 / d}_c") } :+
-      ((-col("top.nc")).cast("double") * col("n_keys") / col("n_rows"))
-        .as("skew")
-    cum.crossJoin(broadcast(totals))
-      .agg(qAggs.head, qAggs.tail: _*)
-      .select(outCols: _*)
+    try {
+      // Heaviest key, ties to the SMALLEST key value: min over (−count,
+      // key) structs — works for any orderable key type (a negated-key max
+      // would only handle numeric keys).
+      val totals = counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        min(struct((-col("c")).as("nc"), col(keyCol).as("k"))).as("top"))
+      val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
+      val cum = hist.withColumn("cum",
+        sum(col("k")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c")).rowsBetween(Long.MinValue, 0)))
+      // Totals ride through the one-row quantile aggregation (max of a
+      // constant column), so the single crossJoin serves both the rank
+      // thresholds and the output columns.
+      val qAggs = ps.map { case (num, den) =>
+        min(when(col("cum") >=
+          expr(s"($num * n_keys + ${den - 1}) div $den"), col("c")))
+          .as(s"p${num * 100 / den}_c")
+      } ++ Seq(max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"), max(col("top")).as("top"))
+      val outCols =
+        Seq(col("n_keys"), col("n_rows"),
+          (-col("top.nc")).as("max_c"), col("top.k").as("top_key")) ++
+        ps.map { case (n, d) => col(s"p${n * 100 / d}_c") } :+
+        ((-col("top.nc")).cast("double") * col("n_keys") / col("n_rows"))
+          .as("skew")
+      val out = cum.crossJoin(broadcast(totals))
+        .agg(qAggs.head, qAggs.tail: _*)
+        .select(outCols: _*)
+      val rows = out.collect() // one row by construction — bounded
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally counts.unpersist()
   }
 }

@@ -427,7 +427,7 @@ object Relational extends QueryModule {
 
     "q68_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
@@ -452,7 +452,7 @@ object Relational extends QueryModule {
       """WITH counts AS (
         |  SELECT user_id AS key, count(*) AS c FROM events GROUP BY 1
         |), totals AS (
-        |  SELECT count(*) AS n_keys, sum(c) AS n_rows FROM counts
+        |  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows FROM counts
         |), top AS (
         |  SELECT c AS max_c, key AS top_key FROM counts
         |  ORDER BY c DESC, key LIMIT 1

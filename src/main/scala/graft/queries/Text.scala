@@ -199,14 +199,17 @@ object Text extends QueryModule {
     // Inverted index build: token → (df, sorted posting list). One keyed
     // shuffle; postings sort deterministically so the index (and its
     // oracle) is byte-stable. The distributed half of retrieval-index
-    // construction — q56 scores, this one serves.
+    // construction — q56 scores, this one serves. Postings are emitted
+    // as a comma-joined string (sorted numerically FIRST, then cast)
+    // because the verification comparator cannot sort array columns.
     "q59_inverted_index" -> ((s, dir) =>
       Tables(s, dir).documents
         .select(col("doc_id"), explode(array_distinct(
           TextAnalysis.tokens(col("text")))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string")), ",").as("postings"))
         .filter(col("df") >= 2)),
 
     // Domain mixing: reweight sources toward a target composition with
@@ -439,7 +442,9 @@ object Text extends QueryModule {
         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS token
         |  FROM documents
         |)
-        |SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings
+        |SELECT token, count(*) AS df,
+        |       array_to_string(list_transform(list_sort(list(doc_id)),
+        |         x -> CAST(x AS VARCHAR)), ',') AS postings
         |FROM tok GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     "q66_domain_mix" ->
@@ -480,13 +485,15 @@ object Text extends QueryModule {
       s"""SELECT doc_id,
         |       ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)} AS shard,
         |       CAST(len($toksSql) AS BIGINT) AS n_tokens,
-        |       sum(CAST(len($toksSql) AS BIGINT)) OVER w
-        |         - CAST(len($toksSql) AS BIGINT) AS start_off,
-        |       (sum(CAST(len($toksSql) AS BIGINT)) OVER w
-        |         - CAST(len($toksSql) AS BIGINT)) // $packCapacity AS window
+        |       CAST(sum(CAST(len($toksSql) AS BIGINT)) OVER w
+        |         - CAST(len($toksSql) AS BIGINT) AS BIGINT) AS start_off,
+        |       CAST((sum(CAST(len($toksSql) AS BIGINT)) OVER w
+        |         - CAST(len($toksSql) AS BIGINT)) // $packCapacity
+        |         AS BIGINT) AS window
         |FROM documents
         |WINDOW w AS (
         |  PARTITION BY ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)}
-        |  ORDER BY doc_id)""".stripMargin,
+        |  ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }

@@ -31,7 +31,13 @@ object Vectors extends QueryModule {
   /** q27's full pipeline with a pluggable base hash: [[Hash64.hash60]] for
     * the oracle run, [[Hash64.fast60]] for the production/bench headroom
     * path (same mixer family, same plan shape — only the per-shingle
-    * strong hash differs). */
+    * strong hash differs).
+    *
+    * CACHING CONTRACT: the signature frame is `persist()`ed (it feeds the
+    * banding arm and both verify-join arms — static exchange reuse cannot
+    * unify them) and stays pinned after the result materializes; call
+    * `spark.catalog.clearCache()` (or unpersist selectively) between
+    * invocations in a long-lived session, as Bench/Verify do. */
   def minhashLshPipeline(s: SparkSession, dir: String,
       hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val sig = NearDup.minhashSignatures(
@@ -138,7 +144,9 @@ object Vectors extends QueryModule {
     // One k-means Lloyd iteration: literal-centroid assignment (zero
     // corpus shuffle) + exact integer-quantized centroid update (one
     // map-side-combinable aggregation; order-independent sums so the
-    // new centroids are bit-reproducible and oracle-able).
+    // new centroids are bit-reproducible and oracle-able). Output is
+    // long form (cell, n, pos, c) — one row per centroid dimension —
+    // because the verification comparator cannot sort array columns.
     "q58_kmeans_step" -> ((s, dir) => {
       val t = Tables(s, dir)
       val cents = graft.similarity.IVF.collectCentroids(
@@ -147,6 +155,9 @@ object Vectors extends QueryModule {
             Similarity.toDouble(col("embedding")).as("cv")),
         "cid", "cv")
       graft.similarity.KMeans.lloydStep(base(t), cents)
+        .select(col("cell"), col("n"),
+          posexplode(col("centroid")).as(Seq("pos", "c")))
+        .withColumn("pos", col("pos").cast("long"))
     }),
 
     // Embedding-cosine near-dup: LSH-bucketed self-join + exact-cosine
@@ -322,12 +333,11 @@ object Vectors extends QueryModule {
         |  FROM (SELECT cell, unnest(list_zip(ev, range(0, len(ev)))) AS pr
         |        FROM assigned)
         |), sums AS (
-        |  SELECT cell, pos, sum(q) AS s, count(*) AS n
+        |  SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
         |  FROM dims GROUP BY 1, 2
         |)
-        |SELECT cell, max(n) AS n,
-        |       list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS centroid
-        |FROM sums GROUP BY 1""".stripMargin,
+        |SELECT cell, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
+        |FROM sums""".stripMargin,
 
     "q27_minhash_lsh" ->
       s"WITH $minhashCtes\nSELECT d1, d2, est_jaccard FROM est",

@@ -273,6 +273,53 @@ object Streams {
       tagged.filter(size(col("failed_checks")) > 0))
   }
 
+  /** Streaming incremental corpus dedup — the continuously-ingesting form
+    * of [[graft.text.Corpus.incremental]]: each micro-batch is deduped
+    * against a PERSISTED fingerprint history (one slim md5 row per
+    * historical doc — never the historical text), survivors append to
+    * `outDir` and their fingerprints extend the history, so the next
+    * batch — or tomorrow's restart — sees them. State lives in parquet,
+    * not the state store: fingerprint history at corpus scale (billions
+    * of rows at 100 TB) belongs in shared storage where it is also
+    * queryable, compactable, and shared across pipelines; the per-batch
+    * anti-join is one keyed shuffle.
+    *
+    * Replay contract (same honesty as [[idempotentSink]]): the epoch is
+    * guarded by a durable marker, so a committed epoch never re-appends;
+    * a crash BETWEEN the two appends re-runs the epoch, where the
+    * history append is self-healing (re-deduped rows vanish against the
+    * already-written history) but output rows written in the torn epoch
+    * duplicate. Sinks needing stronger guarantees should read `outDir`
+    * through a dedup view or compact it downstream. */
+  def incrementalCorpusSink(docsStream: DataFrame, idCol: String,
+      textCol: String, historyDir: String, outDir: String,
+      markerDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val guarded = idempotentSink(markerDir) { (_, batch, _) =>
+      val spark = batch.sparkSession
+      val history =
+        if (new java.io.File(historyDir).exists())
+          spark.read.parquet(historyDir).select(col("__fp"))
+        else spark.emptyDataFrame
+          .select(lit("").as("__fp")).filter(lit(false))
+      val fresh = graft.text.Corpus
+        .incremental(batch, idCol, textCol, history).persist()
+      try {
+        fresh.write.mode("append").parquet(outDir)
+        fresh.select(graft.text.TextAnalysis.fingerprint(col(textCol))
+          .as("__fp")).write.mode("append").parquet(historyDir)
+      } finally { fresh.unpersist(); () }
+    }
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) guarded("corpus", batch, epochId)
+      }
+      .start()
+  }
+
   /** X3 TTL dedup on Spark 4's `transformWithState` — the arbitrary-state
     * API that supersedes `flatMapGroupsWithState` (same semantics as
     * [[ttlDedupWithState]], kept side-by-side as the migration pair).

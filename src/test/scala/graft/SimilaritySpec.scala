@@ -192,6 +192,46 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > frac) // cells are data-adaptive: beats random pruning
   }
 
+  test("IVF recall/cost curve across nProbe — the sizing table for users") {
+    import graft.similarity.IVF
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val base = t.embeddings.select(col("vec_id").as("id"),
+      Similarity.toDouble(col("embedding")).as("ev"))
+    val queries = base.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("ev").as("qv"))
+    val cents = IVF.collectCentroids(
+      base.filter(col("id") < 16).select(col("id").as("cid"), col("ev").as("cv")),
+      "cid", "cv")
+    val truth = Similarity.bruteForceTopK(base, queries, 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = base.count()
+    val assigned = IVF.assign(base, cents).persist()
+    val curve = Seq(1, 2, 4, 8).map { nProbe =>
+      val ann = IVF.topK(base, queries, cents, nProbe = nProbe, k = 5)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ann & truth).size.toDouble / truth.size
+      val probed = assigned.join(queries.withColumn("cell",
+        explode(IVF.probeExpr(col("qv"), cents, nProbe))), Seq("cell")).count()
+      (nProbe, recall, probed.toDouble / (n * 3))
+    }
+    assigned.unpersist()
+    curve.foreach { case (p, r, f) =>
+      info(f"IVF nProbe=$p%2d/16: recall@5 = $r%.2f, scanned fraction = $f%.2f")
+    }
+    // Monotone: more probes never lose recall (candidate sets are nested).
+    curve.sliding(2).foreach { case Seq((_, r1, f1), (_, r2, f2)) =>
+      assert(r2 >= r1 && f2 >= f1, s"curve not monotone: $curve")
+    }
+    // Per-point floors (measured with margin on the sf0.01 corpus) — the
+    // guarantee a user sizes against; each point must also beat random
+    // pruning (recall > scanned fraction).
+    val floors = Map(1 -> 0.2, 2 -> 0.4, 4 -> 0.7, 8 -> 0.8)
+    curve.foreach { case (p, r, f) =>
+      assert(r >= floors(p), f"nProbe=$p recall $r%.2f below floor ${floors(p)}")
+      assert(r > f, f"nProbe=$p recall $r%.2f does not beat random pruning $f%.2f")
+    }
+  }
+
   test("dot_product registers as a SQL function resolving to the native expression") {
     graft.functions.GraftFunctions.register(spark)
     // non-literal source, else constant folding erases the expression

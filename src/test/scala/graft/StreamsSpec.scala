@@ -254,6 +254,39 @@ class StreamsSpec extends SparkSuite {
     q1.stop(); q2.stop()
   }
 
+  test("incremental corpus dedup: batch two drops fingerprints that landed in batch one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (hist, out, mark, ckp) =
+      (tmp("inc-hist"), tmp("inc-out"), tmp("inc-mark"), tmp("inc-ckp"))
+    // fresh dirs must not pre-exist for parquet append to create them
+    Seq(hist, out).foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+
+    def run(): Unit = {
+      val q = Streams.incrementalCorpusSink(docs, "doc_id", "text",
+        hist, out, mark, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    // batch 1: d2 duplicates d1's normalized text (whitespace/case only)
+    // intra-batch — lowest id survives
+    mem.addData((1L, "the quick brown fox"), (2L, "  The  QUICK brown fox "),
+      (3L, "something else"))
+    run()
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+
+    // batch 2: d4 re-sends d3's text (cross-batch dup against history),
+    // d5 is genuinely new
+    mem.addData((4L, "SOMETHING   else"), (5L, "entirely new document"))
+    run()
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 5L))
+    // history carries exactly the surviving fingerprints
+    assert(spark.read.parquet(hist).distinct().count() == 3)
+  }
+
   test("transformWithState TTL dedup matches the flatMapGroupsWithState semantics") {
     // Spark 4's arbitrary-state API; requires the RocksDB state store.
     implicit val sqlCtx = spark.sqlContext
