@@ -35,6 +35,9 @@ object Text extends QueryModule {
   private val mixSalt = "mix"
   private val (packCapacity, packShards, packSalt) = (512, 4, "pack")
 
+  /** q73: 7-gram spans (short enough that the sf-test docs overlap). */
+  private val spanW = 7
+
   /** DuckDB w-shingle fragment — the shared generator in [[NearDup]]. */
   private def shinglesSql(w: Int): String = NearDup.duckShinglesSql(w)
 
@@ -241,6 +244,19 @@ object Text extends QueryModule {
       NearDup.tokenLinkPairs(dirty, docs, "doc_id", "text", "source",
         minJaccard = 0.7, w = 3)
     }),
+
+    // Duplicated-span profile: fraction of each doc's 7-gram positions
+    // whose shingle appears in >= 2 documents — the partial-copy signal
+    // document-level dedup misses. Hashed grams (portable) on the wire.
+    "q73_dup_spans" -> ((s, dir) =>
+      graft.text.Spans.duplicatedSpans(Tables(s, dir).documents,
+        "doc_id", "text", w = spanW, minDf = 2)),
+
+    // Corpus-relative token rarity: log-free unigram-LM quality proxy,
+    // integer-exact df sums, one final division.
+    "q74_token_rarity" -> ((s, dir) =>
+      graft.text.Spans.tokenRarity(Tables(s, dir).documents,
+        "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -495,5 +511,38 @@ object Text extends QueryModule {
         |  PARTITION BY ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)}
         |  ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q73_dup_spans" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, ${graft.functions.Hash64.duckSql("gram")} AS h
+        |  FROM (SELECT doc_id, unnest(${shinglesSql(spanW)}) AS gram
+        |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        |), pg AS (
+        |  SELECT h, doc_id, count(*) AS k FROM g GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, k, count(*) OVER (PARTITION BY h) AS df FROM pg
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN df >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |       CAST(sum(CASE WHEN df >= 2 THEN k ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(k) AS DOUBLE) AS dup_frac
+        |FROM wd GROUP BY 1""".stripMargin,
+
+    "q74_token_rarity" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(toks) AS h
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |), pg AS (
+        |  SELECT h, doc_id, count(*) AS k FROM t GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, k, count(*) OVER (PARTITION BY h) AS df FROM pg
+        |), nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_tokens,
+        |       CAST(sum(k * df) AS BIGINT) AS df_sum,
+        |       1.0 - CAST(sum(k * df) AS DOUBLE)
+        |         / CAST(sum(k) * n_docs AS DOUBLE) AS rarity
+        |FROM wd, nd GROUP BY doc_id, n_docs""".stripMargin,
   )
 }

@@ -131,6 +131,54 @@ class TextOpsSpec extends SparkSuite {
     assert(out.map(_._1).distinct.sorted.toSeq.forall(s => s >= 0 && s < 3))
   }
 
+  test("duplicatedSpans: partial copies flagged by overlap fraction, unique text clean") {
+    import graft.text.Spans
+    val docs = Seq(
+      // 1 and 2 share the 3-gram span "beta gamma delta" inside different text
+      (1L, "alpha beta gamma delta unique1 tail1 one"),
+      (2L, "other beta gamma delta unique2 tail2 two"),
+      // word-scrambled: same tokens as 1, no shared 3-gram
+      (3L, "delta beta alpha gamma tail1 one unique1"),
+      (4L, "completely fresh words nobody else uses")).toDF("doc_id", "text")
+    val out = Spans.duplicatedSpans(docs, "doc_id", "text", w = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 7 tokens -> 5 3-gram positions; exactly one shared position each
+    assert(out(1L) == ((5L, 1L, 0.2)))
+    assert(out(2L) == ((5L, 1L, 0.2)))
+    assert(out(3L)._2 == 0L && out(4L)._2 == 0L)
+  }
+
+  test("duplicatedSpans: full copies profile dup_frac 1.0; intra-doc repeats count once") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "exact copy of this sentence body"),
+      (2L, "exact copy of this sentence body"),
+      // repeats its own 3-gram; no other doc shares it -> NOT duplicated
+      (3L, "self same span self same span")).toDF("doc_id", "text")
+    val out = Spans.duplicatedSpans(docs, "doc_id", "text", w = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0)
+    assert(out(3L) == 0.0) // df counts DOCUMENTS, not occurrences
+  }
+
+  test("tokenRarity: every-doc tokens score rarity 0, distinct-heavy docs score higher") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "common common common"),      // 'common' in all 3 docs
+      (2L, "common rare1 rare2"),
+      (3L, "common rare3 rare4 rare5")).toDF("doc_id", "text")
+    val out = Spans.tokenRarity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 3 occurrences of df=3 token -> commonness (3*3)/(3*3) = 1
+    assert(out(1L) == ((3L, 9L, 0.0)))
+    // doc 2: df_sum = 3 + 1 + 1 = 5; rarity = 1 - 5/9
+    assert(out(2L)._2 == 5L && math.abs(out(2L)._3 - (1.0 - 5.0 / 9)) < 1e-15)
+    // doc 3 carries more hapaxes -> rarer than doc 2
+    assert(out(3L)._3 > out(2L)._3)
+  }
+
   test("plan shapes: bm25 never shuffles the corpus; packing shuffles once by shard") {
     val docs = (0 until 200).map(i => (i.toLong, s"tok$i word $i")).toDF("doc_id", "text")
     val bm25Plan = Retrieval.bm25(docs, "doc_id", "text", Seq("word"))
