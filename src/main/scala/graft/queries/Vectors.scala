@@ -28,6 +28,18 @@ object Vectors extends QueryModule {
     t.embeddings.filter(col("vec_id") < 3).select(col("vec_id").as("qid"),
       Similarity.toDouble(col("embedding")).as("qv"))
 
+  /** q75/q76's deterministic sub-codebooks: slices of the first 8
+    * embeddings (vec_ids 0..7 double as cids 0..7), 8 subspaces × 8
+    * dims over the 64-dim corpus — the oracle-able init-codebook path
+    * ([[graft.similarity.PQ.train]] refines it off the oracle gate). */
+  private def pqCodebook(t: Tables): graft.similarity.PQ.Codebook =
+    graft.similarity.PQ.sliceCodebook(
+      graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv"), m = 8)
+
   /** q27's full pipeline with a pluggable base hash: [[Hash64.hash60]] for
     * the oracle run, [[Hash64.fast60]] for the production/bench headroom
     * path (same mixer family, same plan shape — only the per-shingle
@@ -160,6 +172,25 @@ object Vectors extends QueryModule {
         .withColumn("pos", col("pos").cast("long"))
     }),
 
+    // PQ encode: per-subspace argmin against literal sub-codebooks —
+    // one codegen'd scan-projection, no shuffle; code emitted as a
+    // comma-joined string (the comparator cannot sort arrays).
+    "q75_pq_encode" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.similarity.PQ.encode(base(t), pqCodebook(t))
+        .select(col("id"), array_join(transform(col("code"),
+          c => c.cast("string")), ",").as("code"))
+    }),
+
+    // PQ ADC top-k over the full code table: integer-exact quantized
+    // LUT sums, two-phase top-k — the compressed-domain ANN scale path.
+    "q76_pq_adc" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cb = pqCodebook(t)
+      graft.similarity.PQ.adcTopK(
+        graft.similarity.PQ.encode(base(t), cb), queriesDf(t), cb, k = 5)
+    }),
+
     // Embedding-cosine near-dup: LSH-bucketed self-join + exact-cosine
     // verify. Scaled copies (x*1.01 — same direction, different values,
     // so exact/quantized dedup misses them) are injected and must be
@@ -237,6 +268,39 @@ object Vectors extends QueryModule {
       |           / sqrt(list_reduce(list_transform($y, x -> x * x), (a, v) -> a + v))""".stripMargin
 
   private val cosineSql = cosineSqlFor("qv", "ev")
+
+  /** Quantized squared-L2 mirroring `PQ.qdistToLit`: the same three
+    * left-fold dots in the same association order, ×10⁶, floored. */
+  private def qdistSqlFor(x: String, y: String): String =
+    s"""CAST(floor(((list_reduce(list_transform($x, v -> v * v), (a, v) -> a + v)
+      |  - 2.0 * list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (a, v) -> a + v))
+      |  + list_reduce(list_transform($y, v -> v * v), (a, v) -> a + v)) * 1000000.0) AS BIGINT)""".stripMargin
+
+  /** Shared q75/q76 CTE chain: slices, per-(vector, subspace, centroid)
+    * quantized distances, and the argmin code table. 8 subspaces × 8
+    * dims × 8 centroids (vec_ids 0..7), mirroring `pqCodebook`. */
+  private val pqCtes =
+    s"""b AS (
+      |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings WHERE vec_id < 8
+      |), sub AS (SELECT range AS s FROM range(0, 8)
+      |), bs AS (
+      |  SELECT id, s, ev[s * 8 + 1 : s * 8 + 8] AS x FROM b CROSS JOIN sub
+      |), cs AS (
+      |  SELECT cid, s, cv[s * 8 + 1 : s * 8 + 8] AS y FROM c CROSS JOIN sub
+      |), dists AS (
+      |  SELECT id, s, cid, ${qdistSqlFor("x", "y")} AS d
+      |  FROM bs JOIN cs USING (s)
+      |), codes AS (
+      |  SELECT id, s, cid FROM (
+      |    SELECT id, s, cid,
+      |           row_number() OVER (PARTITION BY id, s ORDER BY d, cid) AS arn
+      |    FROM dists
+      |  ) WHERE arn = 1
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q25_cosine_topk" ->
@@ -338,6 +402,30 @@ object Vectors extends QueryModule {
         |)
         |SELECT cell, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
         |FROM sums""".stripMargin,
+
+    "q75_pq_encode" ->
+      s"""WITH $pqCtes
+        |SELECT id, array_to_string(list(CAST(cid AS VARCHAR) ORDER BY s), ',') AS code
+        |FROM codes GROUP BY 1""".stripMargin,
+
+    "q76_pq_adc" ->
+      s"""WITH $pqCtes, q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), qs AS (
+        |  SELECT qid, s, qv[s * 8 + 1 : s * 8 + 8] AS x FROM q CROSS JOIN sub
+        |), lut AS (
+        |  SELECT qid, s, cid, ${qdistSqlFor("x", "y")} AS d
+        |  FROM qs JOIN cs USING (s)
+        |), adcs AS (
+        |  SELECT qid, id, CAST(sum(d) AS BIGINT) AS adc
+        |  FROM codes JOIN lut USING (s, cid) GROUP BY 1, 2
+        |)
+        |SELECT qid, id, adc, rn FROM (
+        |  SELECT qid, id, adc,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS BIGINT) AS rn
+        |  FROM adcs
+        |) WHERE rn <= 5""".stripMargin,
 
     "q27_minhash_lsh" ->
       s"WITH $minhashCtes\nSELECT d1, d2, est_jaccard FROM est",

@@ -28,15 +28,21 @@ object KMeans {
 
   /** One assignment + centroid-update step.
     *
-    * @param cents current centroids (collected, literal-sized)
-    * @param scale quantization factor for the exact component sums
+    * @param cents  current centroids (collected, literal-sized)
+    * @param scale  quantization factor for the exact component sums
+    * @param assign cell-assignment strategy — [[IVF.assign]] (cosine /
+    *               spherical k-means, the q58 oracle path) by default;
+    *               [[PQ.train]] passes an L2 argmin so sub-quantizers
+    *               train in the same metric ADC scores with
     * @return (cell, n, centroid: array<double>) — one row per non-empty
     *         cell; empty cells drop out (standard Lloyd degeneracy, the
     *         caller re-seeds or accepts K shrinking)
     */
   def lloydStep(base: DataFrame, cents: Seq[(Long, Seq[Double])],
-      vecCol: String = "ev", scale: Double = 1e6): DataFrame = {
-    val assigned = IVF.assign(base, cents, vecCol)
+      vecCol: String = "ev", scale: Double = 1e6,
+      assign: (DataFrame, Seq[(Long, Seq[Double])], String) => DataFrame =
+        IVF.assign(_, _, _)): DataFrame = {
+    val assigned = assign(base, cents, vecCol)
     val dims = assigned.select(col("cell"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("cell"), col("pos").cast("long").as("pos"),

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct
+import graft.similarity.{IVF, PQ, Similarity, TopK}
+
+/** Product quantization: encode determinism, ADC retrieval quality,
+  * L2 Lloyd training, and the plan shapes that must survive 100 TB. */
+class PQSpec extends SparkSuite {
+
+  private def base = Tables(spark, "/root/testdata/sf0.01")
+    .embeddings.select(col("vec_id").as("id"),
+      Similarity.toDouble(col("embedding")).as("ev"))
+
+  private def cb = PQ.sliceCodebook(
+    IVF.collectCentroids(
+      base.filter(col("id") < 8).select(col("id").as("cid"), col("ev").as("cv")),
+      "cid", "cv"), m = 8)
+
+  private def queries = base.filter(col("id") < 3)
+    .select(col("id").as("qid"), col("ev").as("qv"))
+
+  /** Exact squared-L2 top-k ground truth (same metric ADC approximates). */
+  private def l2TopK(k: Int): Set[(Long, Long)] = {
+    val scored = base.crossJoin(broadcast(queries))
+      .withColumn("negd", -(DotProduct.dot(col("ev"), col("ev"))
+        - lit(2.0) * DotProduct.dot(col("ev"), col("qv"))
+        + DotProduct.dot(col("qv"), col("qv"))))
+    TopK.perGroup(scored, Seq("qid"), "id", "negd", k)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("codebook vectors encode to their own cids; self-ADC is exactly zero") {
+    val enc = PQ.encode(base.filter(col("id") < 8), cb)
+      .select(col("id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (i <- 0L until 8L)
+      assert(enc(i) == Seq.fill(8)(i), s"vector $i should be its own code word")
+    // query 0 retrieves itself at rank 1 with adc 0 (x=c -> every
+    // subspace distance is IEEE-exact zero)
+    val self = PQ.adcTopK(PQ.encode(base, cb), queries, cb, k = 1)
+      .filter(col("qid") === 0).collect().head
+    assert(self.getAs[Long]("id") == 0L && self.getAs[Long]("adc") == 0L)
+  }
+
+  test("ADC recall@10 against exact-L2 ground truth; training tightens reconstruction") {
+    val truth = l2TopK(10)
+    val encInit = PQ.encode(base, cb)
+    val gotInit = PQ.adcTopK(encInit, queries, cb, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallInit = (gotInit & truth).size.toDouble / truth.size
+
+    // Mean reconstruction error = mean self-ADC of the corpus against its
+    // own code — Lloyd in the SAME metric must not increase it.
+    def mse(b: DataFrame, c: PQ.Codebook): Double = {
+      val enc = PQ.encode(b, c)
+      val adcSelf = PQ.adcTopK(enc, b.select(col("id").as("qid"),
+        col("ev").as("qv")), c, k = 1)
+      // rank-1 adc <= self-code adc, itself a valid reconstruction bound
+      adcSelf.agg(avg(col("adc"))).head.getDouble(0)
+    }
+    val trained = PQ.train(base, cb, iters = 2)
+    val gotTrained = PQ.adcTopK(PQ.encode(base, trained), queries, trained, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallTrained = (gotTrained & truth).size.toDouble / truth.size
+
+    val (e0, e1) = (mse(base.limit(200), cb), mse(base.limit(200), trained))
+    info(f"PQ ADC recall@10: init-codebook $recallInit%.2f, 2-iter-trained " +
+      f"$recallTrained%.2f; mean min-ADC ${e0}%.0f -> ${e1}%.0f")
+    assert(recallInit >= 0.3, f"init recall $recallInit%.2f below floor")
+    assert(recallTrained >= recallInit - 0.1,
+      "training should not collapse retrieval quality")
+    assert(e1 <= e0, "L2 Lloyd must not increase quantization error")
+  }
+
+  test("plan shapes: encode never shuffles; ADC top-k is two-phase, not a window") {
+    val encPlan = PQ.encode(base, cb).queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange") && !encPlan.contains("Join"), encPlan)
+    val adcPlan = PQ.adcTopK(PQ.encode(base, cb), queries, cb, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!adcPlan.contains("Window"), adcPlan)
+    assert(adcPlan.contains("partial_topkbyscore"), adcPlan)
+    assert(adcPlan.contains("BroadcastExchange"), adcPlan) // queries side only
+  }
+
+  test("ivfAdcTopK prunes to probed cells and keeps self-retrieval") {
+    val coarse = IVF.collectCentroids(
+      base.filter(col("id") < 16).select(col("id").as("cid"), col("ev").as("cv")),
+      "cid", "cv")
+    val out = PQ.ivfAdcTopK(base, queries, coarse, cb, nProbe = 4, k = 5)
+    val got = out.collect()
+    for (q <- 0L until 3L) {
+      val self = got.find(r => r.getAs[Long]("qid") == q && r.getAs[Long]("id") == q)
+      assert(self.exists(_.getAs[Long]("rn") == 1L), s"self-retrieval failed for qid=$q")
+    }
+    assert(got.groupBy(r => r.getAs[Long]("qid")).forall(_._2.size <= 5))
+  }
+}
