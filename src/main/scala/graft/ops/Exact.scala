@@ -32,4 +32,24 @@ object Exact {
     * can exceed int64). */
   def stddevFromSums(s: Column, ss: Column, n: Column): Column =
     sqrt((ss.cast("double") - s.cast("double") * s.cast("double") / n) / (n - lit(1)))
+
+  /** Pearson correlation from exact integer sums — the oracle-able form
+    * of `corr(x, y)`: the built-in aggregate accumulates doubles in
+    * partition order and can never hash-match another engine; integer
+    * sums are order-independent, and this one fixed IEEE sequence on both
+    * sides is bit-equal. `sxx`/`syy`/`sxy` must be aggregated exactly
+    * (DECIMAL(38,0) / HUGEINT via the VARCHAR route when products can
+    * exceed int64 — see q07's ss note). NULL (no verdict) when either
+    * variance is 0 — a constant column has no correlation, and both
+    * engines would otherwise emit a 0/0 NaN that ranks above every
+    * double. Oracle spells the identical sequence:
+    * `(sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n))`
+    * with every sum `CAST ... AS DOUBLE` first. */
+  def corrFromSums(n: Column, sx: Column, sy: Column,
+      sxx: Column, syy: Column, sxy: Column): Column = {
+    val cov = sxy.cast("double") - sx.cast("double") * sy.cast("double") / n
+    val vx = sxx.cast("double") - sx.cast("double") * sx.cast("double") / n
+    val vy = syy.cast("double") - sy.cast("double") * sy.cast("double") / n
+    when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
+  }
 }

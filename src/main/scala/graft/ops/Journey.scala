@@ -90,4 +90,30 @@ object Journey {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Per-user ordered action sequence — the behavior-sequence layout
+    * recommender/session models train on (one row per user: the journey
+    * as a delimited string plus span stats). Ordering ties on the
+    * timestamp break by `tieCol` (an id), so the sequence is total and
+    * reproducible across engines — `collect_list` alone has no order
+    * contract; the `array_sort` over (ts, tie, action) structs imposes
+    * one.
+    *
+    * ONE keyed shuffle; the per-user list is bounded by that user's
+    * activity (the same bound any sessionization carries). Whale users →
+    * cap first with [[Sampling.capPerKey]].
+    *
+    * @return (userCol, n_events, first_ts, last_ts, seq) */
+  def eventSequences(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, actionCol: String, sep: String = "->"): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(tsCol), col(tieCol), col(actionCol).as("__a")))),
+            x => x.getField("__a")),
+          sep).as("seq"))
 }

@@ -46,4 +46,51 @@ object Quantiles {
     val aggs = ps.map(p => approx_percentile(v, lit(p), lit(accuracy)).as(colName(p)))
     df.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def cutName(num: Int, den: Int): String =
+    "c" + (num * 100 / den).toString
+
+  /** GLOBAL exact quantile cut points from the value HISTOGRAM (the
+    * skew-report quantile trick generalized): aggregate to distinct
+    * values with counts, cumulative-sum over the sorted distinct values,
+    * then pick the first value whose cumulative count reaches rank
+    * ⌈num·n/den⌉. The window sorts DISTINCT VALUES, not rows — bounded
+    * by value cardinality (cents of a price: ~10⁶), which is what makes
+    * an exact global quantile tolerable at 100 TB where [[exact]]'s
+    * per-row global window is not.
+    *
+    * Quantile positions are rational (num, den) pairs compared in pure
+    * integer arithmetic — `cum·den ≥ num·n` avoids both the divide and
+    * the `ceil(p·n)`-in-doubles cross-engine trap (§8.2).
+    *
+    * @return one row of `c<PCT>` cut columns, for `broadcast` */
+  def histogramCuts(df: DataFrame, v: Column,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val hist = df.groupBy(v.as("__val")).agg(count(lit(1)).as("__k"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__k")).over(Window.orderBy(col("__val"))))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+    val aggs = qs.map { case (num, den) =>
+      min(when(col("__cum") * den >= col("__n") * num, col("__val")))
+        .as(cutName(num, den))
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Equal-frequency binning against precomputed cut points: bin =
+    * number of cuts strictly below the value (ties share a bin,
+    * deterministically). `cuts` is a one-row frame (e.g.
+    * [[histogramCuts]] for the exact gate, [[approx]] single-group for
+    * the sketched 100 TB path — binning is indifferent to where the cuts
+    * came from). Broadcast + per-row expression: no extra shuffle.
+    *
+    * @return df plus `binCol` (0 .. #cuts) */
+  def binByCuts(df: DataFrame, v: Column, cuts: DataFrame,
+      binCol: String = "bin"): DataFrame = {
+    val cutCols = cuts.columns.toSeq
+    df.crossJoin(broadcast(cuts))
+      .withColumn(binCol,
+        cutCols.map(c => (v > col(c)).cast("long")).reduce(_ + _))
+      .drop(cutCols: _*)
+  }
 }

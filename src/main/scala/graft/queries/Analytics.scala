@@ -188,6 +188,13 @@ object Analytics extends QueryModule {
       graft.ops.Journey.scd2(Tables(s, dir).events, "user_id", "ts", "event_id")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("valid_from"), col("valid_to"), col("is_current"))),
+
+    // Per-user ordered action sequences (behavior-sequence training
+    // layout): one keyed aggregation, total order imposed by
+    // (ts, event_id) struct sort.
+    "q83_user_sequences" -> ((s, dir) =>
+      graft.ops.Journey.eventSequences(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "event_type")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -374,5 +381,11 @@ object Analytics extends QueryModule {
         |       lead(ts) OVER w IS NULL AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q83_user_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       min(ts) AS first_ts, max(ts) AS last_ts,
+        |       string_agg(event_type, '->' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

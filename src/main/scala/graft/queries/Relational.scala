@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.ops.{AsOf, Exact, Quantiles, RangeJoin, Sampling}
@@ -29,6 +30,9 @@ object Relational extends QueryModule {
 
   /** q63: suppliers join the node space above every custkey. */
   private val supplierNodeOffset = 1000000L
+
+  /** q84: decile cut positions as integer rationals (i/10). */
+  private val decileQs: Seq[(Int, Int)] = (1 to 9).map(i => (i, 10))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: every event enriched with the user's most recent
@@ -276,6 +280,57 @@ object Relational extends QueryModule {
             .select(col("user_id")),
           Seq("user_id"), "left_semi")
     }),
+
+    // Batch MERGE / CDC apply: a deterministic change set (updates,
+    // deletes, inserts derived from the snapshot itself) folded into the
+    // customer table in ONE full-outer key join (graft.ops.Merge).
+    "q79_merge" -> ((s, dir) => {
+      val cust = Tables(s, dir).customer
+      val updates = cust
+        .filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"),
+          lit("UPDATED").as("c_mktsegment"), lit("upsert").as("op"))
+      val deletes = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"), lit("delete").as("op"))
+      val inserts = cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+          concat(lit("new_"), col("c_name")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"), lit("upsert").as("op"))
+      graft.ops.Merge.applyChanges(cust,
+        updates.unionByName(deletes).unionByName(inserts), Seq("c_custkey"))
+    }),
+
+    // Equal-frequency decile binning: exact global cut points from the
+    // value HISTOGRAM (window over distinct values, bounded by value
+    // cardinality — not a per-row global sort), broadcast back as one
+    // row; bin assignment is a per-row expression on the scan.
+    "q84_decile_bin" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), Exact.cents(col("value")).as("cents"))
+      Quantiles.binByCuts(ev, col("cents"),
+        Quantiles.histogramCuts(ev, col("cents"), decileQs))
+    }),
+
+    // Grouped Pearson correlation from exact integer sums (the
+    // oracle-able corr(x, y) — built-in float accumulation can never
+    // hash-match another engine). One map-side-combined aggregation.
+    "q85_correlation" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        Exact.cents(col("l_extendedprice")).as("c"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sx"), sum(col("c")).as("sy"),
+          sum(col("q") * col("q")).as("sxx"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("syy"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("q")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          Exact.corrFromSums(col("n"), col("sx"), col("sy"),
+            col("sxx"), col("syy"), col("sxy")).as("corr_qty_price"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -467,5 +522,78 @@ object Relational extends QueryModule {
         |SELECT n_keys, n_rows, max_c, top_key, p50_c, p90_c,
         |       CAST(max_c AS DOUBLE) * n_keys / n_rows AS skew
         |FROM totals, top, qs""".stripMargin,
+
+    "q79_merge" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 100.0 AS c_acctbal,
+        |         'UPDATED' AS c_mktsegment, 'upsert' AS op
+        |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         'delete'
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+        |         CAST(0.0 AS DOUBLE), 'NEW', 'upsert'
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |)
+        |SELECT coalesce(ch.c_custkey, t.c_custkey) AS c_custkey,
+        |       CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE t.c_name END AS c_name,
+        |       CASE WHEN ch.op IS NOT NULL THEN ch.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |       CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |       CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |FROM customer t FULL OUTER JOIN ch ON t.c_custkey = ch.c_custkey
+        |WHERE ch.op IS NULL OR ch.op <> 'delete'""".stripMargin,
+
+    // Cut selection in pure integer arithmetic: cum·den >= n·num avoids
+    // both the divide and the ceil(p·n)-in-doubles trap. CASE/min lists
+    // generated from the same decileQs the Spark plan uses.
+    "q84_decile_bin" -> {
+      val cuts = decileQs.map { case (num, den) =>
+        s"min(CASE WHEN cum * $den >= n * $num THEN val END) AS c${num * 100 / den}"
+      }.mkString(",\n|         ")
+      val binSum = decileQs.map { case (num, den) =>
+        s"(CASE WHEN cents > c${num * 100 / den} THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH c AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), h AS (SELECT cents AS val, count(*) AS k FROM c GROUP BY 1),
+        |m AS (SELECT val, CAST(sum(k) OVER (ORDER BY val) AS BIGINT) AS cum FROM h),
+        |t AS (SELECT count(*) AS n FROM c),
+        |q AS (
+        |  SELECT $cuts
+        |  FROM m, t)
+        |SELECT event_id, cents, CAST($binSum AS BIGINT) AS bin
+        |FROM c, q""".stripMargin
+    },
+
+    // Same double-op sequence as Exact.corrFromSums; HUGEINT sums route
+    // through VARCHAR (q07's ss lesson: DuckDB HUGEINT→DOUBLE is not
+    // correctly rounded above 2^64; the string parse is).
+    "q85_correlation" -> {
+      val sxxD = "CAST(sxx AS DOUBLE)"
+      val syyD = "CAST(CAST(syy AS VARCHAR) AS DOUBLE)"
+      val sxyD = "CAST(CAST(sxy AS VARCHAR) AS DOUBLE)"
+      val (sxD, syD) = ("CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)")
+      val vx = s"($sxxD - $sxD * $sxD / n)"
+      val vy = s"($syyD - $syD * $syD / n)"
+      s"""WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cv
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sx, CAST(sum(cv) AS BIGINT) AS sy,
+        |         CAST(sum(q * q) AS BIGINT) AS sxx,
+        |         sum(CAST(cv AS HUGEINT) * cv) AS syy,
+        |         sum(CAST(cv AS HUGEINT) * q) AS sxy
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       CASE WHEN $vx > 0 AND $vy > 0
+        |         THEN ($sxyD - $sxD * $syD / n) / (sqrt($vx) * sqrt($vy))
+        |       END AS corr_qty_price
+        |FROM s""".stripMargin
+    },
   )
 }

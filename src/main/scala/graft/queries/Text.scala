@@ -38,6 +38,18 @@ object Text extends QueryModule {
   /** q73: 7-gram spans (short enough that the sf-test docs overlap). */
   private val spanW = 7
 
+  /** q77: 32-token chunks every 16 (50% overlap); q80/q81: 12-token
+    * "lines" (the span segmentation the single-line harness corpus
+    * supports — see [[graft.text.Segments]]), ≥5-token minimum.
+    * q78: top-50 vocabulary. */
+  private val (chunkSize, chunkStride) = (32, 16)
+  private val (linePer, lineMinTokens) = (12, 5)
+  private val vocabTopN = 50
+
+  /** q82: at most 15 docs per source (sf sources hold 25 each, so the
+    * cap genuinely cuts). */
+  private val (capK, capSalt) = (15, "cap")
+
   /** DuckDB w-shingle fragment — the shared generator in [[NearDup]]. */
   private def shinglesSql(w: Int): String = NearDup.duckShinglesSql(w)
 
@@ -257,6 +269,42 @@ object Text extends QueryModule {
     "q74_token_rarity" -> ((s, dir) =>
       graft.text.Spans.tokenRarity(Tables(s, dir).documents,
         "doc_id", "text")),
+
+    // Sliding-window token chunking (training-sequence prep): 32-token
+    // windows every 16, full coverage with a single ragged tail; pure
+    // projection + generator, zero shuffles.
+    "q77_chunks" -> ((s, dir) =>
+      graft.text.Segments.chunkWithStride(Tables(s, dir).documents,
+        "doc_id", "text", chunkSize, chunkStride)),
+
+    // Exact vocabulary: top-50 tokens by corpus frequency with document
+    // frequency (deterministic tie-break) via TakeOrderedAndProject —
+    // distributed top-k, no single-partition global sort.
+    "q78_vocab" -> ((s, dir) =>
+      graft.text.Spans.vocabulary(Tables(s, dir).documents,
+        "doc_id", "text", vocabTopN)),
+
+    // C4-style line-level quality filter with per-document reassembly
+    // (lines = 12-token spans; keep: >= 5 tokens and an English-stopword
+    // hit). Zero shuffles.
+    "q80_line_filter" -> ((s, dir) =>
+      graft.text.Segments.lineFilterDocs(Tables(s, dir).documents,
+        "doc_id", "text", linePer, lineMinTokens)),
+
+    // Corpus-wide first-occurrence line dedup (CCNet/Dolma paragraph
+    // dedup) with ordered reassembly; first-wins window over the hashed
+    // line, partition bounded by duplicate multiplicity.
+    "q81_line_dedup" -> ((s, dir) =>
+      graft.text.Segments.lineDedupDocs(Tables(s, dir).documents,
+        "doc_id", "text", linePer)),
+
+    // Per-source document cap: deterministic hash-order reservoir — the
+    // absolute-volume bound corpus mixing applies before q66's rate
+    // balancing. One keyed window shuffle.
+    "q82_domain_cap" -> ((s, dir) =>
+      graft.ops.Sampling.capPerKey(Tables(s, dir).documents,
+          col("source"), col("doc_id"), capK, salt = capSalt)
+        .select(col("doc_id"), col("source"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -544,5 +592,85 @@ object Text extends QueryModule {
         |       1.0 - CAST(sum(k * df) AS DOUBLE)
         |         / CAST(sum(k) * n_docs AS DOUBLE) AS rarity
         |FROM wd, nd GROUP BY doc_id, n_docs""".stripMargin,
+
+    "q77_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         list_filter(generate_series(0, len(toks) - 1, $chunkStride),
+        |           st -> st = 0 OR st + ${chunkSize - chunkStride} < len(toks)) AS starts
+        |  FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks, starts, unnest(starts) AS st FROM s)
+        |SELECT doc_id,
+        |       CAST(list_position(starts, st) - 1 AS BIGINT) AS chunk_idx,
+        |       CAST(st AS BIGINT) AS start_off,
+        |       CAST(len(list_slice(toks, st + 1, st + $chunkSize)) AS BIGINT) AS n_tokens,
+        |       array_to_string(list_slice(toks, st + 1, st + $chunkSize), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "q78_vocab" ->
+      s"""WITH pd AS (
+        |  SELECT token, doc_id, count(*) AS k
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2
+        |), v AS (
+        |  SELECT token, CAST(sum(k) AS BIGINT) AS freq, count(*) AS df
+        |  FROM pd GROUP BY 1
+        |), top AS (SELECT * FROM v ORDER BY freq DESC, token LIMIT $vocabTopN)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+        |       token, freq, df
+        |FROM top""".stripMargin,
+
+    "q80_line_filter" -> {
+      val stopList = graft.text.TextAnalysis.stopEn
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) > 0 THEN
+        |           list_transform(generate_series(0, len(toks) - 1, $linePer),
+        |             st -> list_slice(toks, st + 1, st + $linePer))
+        |         ELSE CAST([] AS VARCHAR[][]) END AS lines
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |         list_filter(lines, a -> len(a) >= $lineMinTokens
+        |           AND list_has_any(a, [$stopList])) AS kept
+        |  FROM l)
+        |SELECT doc_id,
+        |       CAST(len(lines) AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       coalesce(array_to_string(flatten(kept), ' '), '') AS kept_text
+        |FROM k""".stripMargin
+    },
+
+    "q81_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1, $linePer)) AS st, toks
+        |  FROM t WHERE len(toks) > 0),
+        |d AS (
+        |  SELECT doc_id, st,
+        |         array_to_string(list_slice(toks, st + 1, st + $linePer), ' ') AS line
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, st, line,
+        |         row_number() OVER (
+        |           PARTITION BY ${graft.functions.Hash64.duckSql("line")}
+        |           ORDER BY doc_id, st) AS rn
+        |  FROM d)
+        |SELECT doc_id,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY st), '') AS kept_text
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q82_domain_cap" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ${graft.ops.Sampling.capPrioritySql("doc_id", capSalt)}, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= $capK""".stripMargin,
   )
 }

@@ -1,0 +1,160 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash64
+
+/** Sub-document segmentation operators: the unit between the token
+  * ([[Spans]], [[TextAnalysis]]) and the whole document ([[NearDup]]).
+  * Public pipeline recipes (C4, CCNet, Dolma) clean and deduplicate at
+  * LINE/PARAGRAPH granularity — a page with one boilerplate nav bar and
+  * one good paragraph should lose the nav bar, not the page — and train
+  * at CHUNK granularity (fixed token windows with overlap).
+  *
+  * Segmentation here is token-span based (`per` consecutive tokens = one
+  * line): the harness corpus is single-line text, and a span segmenter
+  * exercises the identical downstream plumbing (filter, dedup,
+  * reassembly) with a DuckDB-expressible unit boundary. Real newline
+  * corpora swap [[newlineSegments]] in — the downstream operators
+  * consume the segment arrays, not the segmentation rule.
+  *
+  * Plan shapes (the 100 TB contract):
+  *  - [[lineFilterDocs]] and [[chunkWithStride]] are pure per-row
+  *    projections — ZERO shuffles, fully codegen'd, scan-bound.
+  *  - [[lineDedupDocs]] is explode → one window over the line-hash key →
+  *    per-doc re-aggregation: two keyed shuffles, no join-back, and the
+  *    window partition for a line is bounded by its duplicate
+  *    multiplicity, never by corpus size.
+  *
+  * No integer division anywhere: `sequence(0, n−1, step)` already stops
+  * at the largest multiple ≤ n−1 (as does DuckDB `generate_series`), so
+  * start offsets never pass through a quotient that could diverge
+  * cross-engine.
+  */
+object Segments {
+
+  /** Lines as arrays-of-tokens: element i = tokens [i·per, i·per+per).
+    * `toks` MUST be a materialized column reference (project first) —
+    * lambda bodies referencing an expression subtree re-evaluate it per
+    * element (the round-4 shingle blowup); an attribute deref is free. */
+  def lineArrays(toks: Column, per: Int): Column = {
+    require(per >= 1, s"per must be >= 1, got $per")
+    when(size(toks) > lit(0),
+      transform(
+        sequence(lit(0L), (size(toks) - lit(1)).cast("long"), lit(per.toLong)),
+        i => slice(toks, (i + lit(1L)).cast("int"), lit(per))))
+      .otherwise(array().cast("array<array<string>>"))
+  }
+
+  /** Newline segmenter for real multi-line corpora: whitespace-trimmed
+    * (regex — Spark's `trim` strips only 0x20 spaces, not tabs), blank
+    * lines dropped. Same downstream contract as [[lineArrays]] but each
+    * element is the raw line string. */
+  def newlineSegments(text: Column): Column =
+    filter(
+      transform(split(text, "\n"),
+        l => regexp_replace(l, "^\\s+|\\s+$", "")),
+      l => l =!= "")
+
+  /** C4-style line-level quality filter, reassembled per document: a line
+    * survives when it has ≥ `minTokens` tokens AND contains at least one
+    * word from `mustContain` (the span-segmentation analogue of C4's
+    * "≥ 5 words and ends in terminal punctuation" — the harness tokenizer
+    * strips punctuation, so the natural-language signal here is a
+    * stopword hit). Kept lines rejoin in original order; fully-filtered
+    * documents survive with empty text (drop on `n_kept = 0` downstream —
+    * the caller owns the document-level verdict).
+    *
+    * Zero shuffles: every column derives per-row from the token array.
+    *
+    * @return (idCol, n_lines, n_kept, kept_text) */
+  def lineFilterDocs(docs: DataFrame, idCol: String, textCol: String,
+      per: Int, minTokens: Int,
+      mustContain: Seq[String] = TextAnalysis.stopEn): DataFrame = {
+    val kept = filter(col("__lines"), a =>
+      size(a) >= minTokens &&
+        arrays_overlap(a, lit(mustContain.toArray)))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), lineArrays(col("__toks"), per).as("__lines"))
+      .select(col(idCol), col("__lines"), kept.as("__kept"))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(flatten(col("__kept")), " ").as("kept_text"))
+  }
+
+  /** Corpus-wide line-level dedup (the CCNet/Dolma paragraph-dedup
+    * semantics): every duplicate line keeps ONLY its first occurrence in
+    * (idCol, line-index) order; documents reassemble from their surviving
+    * lines in original order. Catches shared boilerplate that
+    * whole-document near-dup never fires on.
+    *
+    * Lines travel hashed ([[Hash64.hash60]] — 8 bytes on the shuffle wire
+    * instead of a ~per·7-char string; portable, so the oracle computes
+    * identical keys; a 2⁻⁶⁰ collision drops one unique line). First-wins
+    * is a `row_number` window over the hash — partition size = duplicate
+    * multiplicity of that line, so the plan scales with dup density, not
+    * corpus size.
+    *
+    * @return (idCol, n_lines, n_kept, kept_text) */
+  def lineDedupDocs(docs: DataFrame, idCol: String, textCol: String,
+      per: Int): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(lineArrays(col("__toks"), per)).as(Seq("idx", "toks")))
+      .select(col(idCol), col("idx"),
+        array_join(col("toks"), " ").as("line"))
+    val firstWins = exploded.withColumn("__rn",
+      row_number().over(Window.partitionBy(Hash64.hash60(col("line")))
+        .orderBy(col(idCol), col("idx"))))
+    firstWins.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("kept_text"))
+  }
+
+  /** Sliding-window token chunking for training-sequence prep: windows of
+    * `chunkSize` tokens starting every `stride` tokens (overlap =
+    * chunkSize − stride). Start offsets are the multiples of `stride`
+    * kept while the PREVIOUS window hadn't already reached the document
+    * end — full coverage, exactly one possibly-short tail window, no
+    * nested suffixes (padding is the packer's job, q67). With
+    * `stride > chunkSize` this degrades gracefully to gap-sampling:
+    * every stride offset emits a window.
+    *
+    * Pure projection + generator: zero shuffles, scan-bound.
+    *
+    * @return (idCol, chunk_idx, start_off, n_tokens, chunk_text) */
+  def chunkWithStride(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize/stride must be >= 1, got $chunkSize/$stride")
+    val n = size(col("__toks"))
+    val starts = filter(
+      when(n > lit(0),
+        sequence(lit(0L), (n - lit(1)).cast("long"), lit(stride.toLong)))
+        .otherwise(array().cast("array<long>")),
+      st => st === lit(0L) ||
+        st + lit((chunkSize - stride).toLong) < n.cast("long"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start_off")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_off"),
+        slice(col("__toks"), (col("start_off") + lit(1L)).cast("int"),
+          lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"), col("start_off"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+}

@@ -66,6 +66,37 @@ object Spans {
       .withColumn("dup_frac",
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
 
+  /** Exact corpus vocabulary: the top `topN` tokens by total occurrence
+    * count (deterministic tie-break: token ascending), with document
+    * frequency — the exact companion to the CMS heavy-hitter sketch
+    * ([[graft.ops.Sketches]]): sketch when the vocabulary doesn't fit,
+    * this when you need the exact counts (tokenizer/vocab construction,
+    * stopword induction, frequency-table exports).
+    *
+    * Plan: explode → map-side-combined (token, doc) pre-aggregation →
+    * per-token aggregation → `orderBy(...).limit(topN)`, which Spark
+    * plans as TakeOrderedAndProject — per-partition top-N then a driver
+    * merge of N·partitions rows, NOT a single-partition global sort (the
+    * round-2 top-k lesson; vocabulary cardinality at 100 TB is easily
+    * 10⁸). The rank column is a row_number over the already-limited N
+    * rows — a one-partition window over topN rows by construction.
+    *
+    * @return (rank, token, freq, df) */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("k"))
+    val vocab = perDoc.groupBy(col("token"))
+      .agg(sum(col("k")).as("freq"), count(lit(1)).as("df"))
+    vocab.orderBy(col("freq").desc, col("token")).limit(topN)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token"))).cast("long"))
+      .select(col("rank"), col("token"), col("freq"), col("df"))
+  }
+
   /** Corpus-relative token rarity — a log-free unigram-LM quality proxy
     * (the role KenLM perplexity plays in public pipeline recipes, minus
     * the external model): commonness = Σ_occurrences df(token) /

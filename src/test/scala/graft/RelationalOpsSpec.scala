@@ -206,4 +206,131 @@ class RelationalOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     split.collect().foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
   }
+
+  test("capPerKey caps each key, is deterministic, and is a subset under repartitioning") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
+    val capped = Sampling.capPerKey(df, col("key"), col("id"), 20, "s")
+    val byKey = capped.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey.values.forall(_ == 20L) && byKey.size == 3)
+    // Same winners regardless of partitioning (hash priority, not order).
+    val again = Sampling.capPerKey(df.repartition(7), col("key"), col("id"), 20, "s")
+    assert(capped.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // Raising the cap keeps every previously selected row (prefix property).
+    val wider = Sampling.capPerKey(df, col("key"), col("id"), 30, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(capped.select("id").collect().map(_.getLong(0)).forall(wider))
+  }
+
+  test("histogramCuts + binByCuts: exact deciles, equal-frequency bins, ties share") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    val df = (1 to 100).map(_.toLong).toDF("v") // values 1..100
+    val cuts = Quantiles.histogramCuts(df, col("v"), (1 to 9).map(i => (i, 10)))
+    val row = cuts.collect().head
+    // rank ceil(i*100/10) = 10i → cut value 10i exactly
+    assert(cuts.columns.toSeq == (1 to 9).map(i => s"c${i * 10}"))
+    assert((0 until 9).map(row.getLong) == (1 to 9).map(_ * 10L))
+    val binned = Quantiles.binByCuts(df, col("v"), cuts)
+    val counts = binned.groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == (0L to 9L).map(_ -> 10L).toMap) // 10 bins x 10 rows
+    // Ties: duplicate values land in one bin
+    val dup = Quantiles.binByCuts(
+      Seq(10L, 10L, 10L).toDF("v"), col("v"), cuts)
+      .select("bin").distinct().collect()
+    assert(dup.length == 1 && dup.head.getLong(0) == 0L)
+  }
+
+  test("corrFromSums: exact ±1 on linear data, NULL on constant columns") {
+    import spark.implicits._
+    import graft.ops.Exact
+    import org.apache.spark.sql.types.DecimalType
+    def corrOf(pairs: Seq[(Long, Long)]): Option[Double] = {
+      val df = pairs.toDF("x", "y")
+      val r = df.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
+          sum(col("y").cast(DecimalType(38, 0)) * col("x")).as("sxy"))
+        .select(Exact.corrFromSums(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // ±1 up to one IEEE rounding of sqrt(vx)·sqrt(vy) — the portability
+    // guarantee is bit-equality BETWEEN engines, not algebraic exactness.
+    assert(math.abs(corrOf(Seq((1L, 2L), (2L, 4L), (3L, 6L))).get - 1.0) < 1e-12)
+    assert(math.abs(corrOf(Seq((1L, 6L), (2L, 4L), (3L, 2L))).get + 1.0) < 1e-12)
+    assert(corrOf(Seq((1L, 5L), (2L, 5L), (3L, 5L))).isEmpty) // var(y) = 0
+    val r = corrOf(Seq((1L, 1L), (2L, 5L), (3L, 2L), (4L, 9L))).get
+    assert(r > 0 && r < 1) // noisy positive, bounded
+  }
+
+  test("eventSequences: (ts, tie) total order, span stats per user") {
+    import spark.implicits._
+    import graft.ops.Journey
+    val ev = Seq(
+      (10L, 3L, ts("2024-01-01 10:00:02"), "c"),
+      (10L, 1L, ts("2024-01-01 10:00:01"), "a"),
+      (10L, 2L, ts("2024-01-01 10:00:01"), "b"), // ts tie → event_id order
+      (20L, 4L, ts("2024-01-01 11:00:00"), "x")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Journey.eventSequences(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getLong(1) == 3L)
+    assert(out(10L).getString(4) == "a->b->c")
+    assert(out(10L).getTimestamp(2) == ts("2024-01-01 10:00:01"))
+    assert(out(10L).getTimestamp(3) == ts("2024-01-01 10:00:02"))
+    assert(out(20L).getString(4) == "x")
+  }
+
+  test("applyChanges: update, insert, delete, idempotent unmatched delete") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val target = Seq(
+      (1L, "alice", 10.0),
+      (2L, "bob", 20.0),
+      (3L, "carol", 30.0)).toDF("id", "name", "bal")
+    val changes = Seq(
+      (2L, "bob2", 25.0, "upsert"),   // matched update
+      (3L, "carol", 30.0, "delete"),  // matched delete
+      (4L, "dave", 40.0, "upsert"),   // unmatched insert
+      (9L, "ghost", 0.0, "delete")    // unmatched delete → no-op
+    ).toDF("id", "name", "bal", "op")
+    val out = Merge.applyChanges(target, changes, Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "name", "bal"))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(rows == Map(
+      1L -> (("alice", 10.0)), // untouched
+      2L -> (("bob2", 25.0)),  // updated
+      4L -> (("dave", 40.0)))) // inserted; 3 deleted, 9 never existed
+  }
+
+  test("applyChanges: NULL keys never match (SQL MERGE semantics)") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val target = Seq((Some(1L), "a"), (None, "null-target"))
+      .toDF("id", "name")
+    val changes = Seq((Option.empty[Long], "null-change", "upsert"))
+      .toDF("id", "name", "op")
+    val out = Merge.applyChanges(target, changes, Seq("id"))
+      .collect().map(r => r.getString(1)).toSet
+    // Null-keyed target row kept, null-keyed upsert inserts a new row.
+    assert(out == Set("a", "null-target", "null-change"))
+  }
+
+  test("applyChanges rejects a change set missing target columns") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val target = Seq((1L, "a")).toDF("id", "name")
+    val bad = Seq((1L, "upsert")).toDF("id", "op") // no 'name'
+    val e = intercept[IllegalArgumentException] {
+      Merge.applyChanges(target, bad, Seq("id"))
+    }
+    assert(e.getMessage.contains("name"))
+  }
 }

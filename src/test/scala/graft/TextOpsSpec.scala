@@ -224,4 +224,104 @@ class TextOpsSpec extends SparkSuite {
     assert(str.getLong(2) == 1L && str.getLong(4) == 2L)
     assert(str.getString(5) == "a" && str.getString(6) == "b")
   }
+
+  test("chunkWithStride: full coverage, fixed overlap, single ragged tail") {
+    import graft.text.Segments
+    // 10 tokens, size 4, stride 2 → starts 0,2,4,6 (8 would start past a
+    // window that already reached the end at 6+4=10).
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val chunks = Segments.chunkWithStride(docs, "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getLong(2)).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(chunks.map(_.getLong(3)).forall(_ == 4L)) // all full here
+    assert(chunks.head.getString(4) == "t0 t1 t2 t3")
+    assert(chunks.last.getString(4) == "t6 t7 t8 t9")
+    // 5 tokens, size 4, stride 2 → starts 0,2; tail is short (3 tokens).
+    val ragged = Segments.chunkWithStride(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx").collect()
+    assert(ragged.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 4L), (2L, 3L)))
+    assert(ragged.last.getString(4) == "c d e")
+    // Shorter than one window → exactly one chunk.
+    val short = Segments.chunkWithStride(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 4, 2).collect()
+    assert(short.length == 1 && short.head.getString(4) == "a b")
+  }
+
+  test("chunkWithStride: stride > size gap-samples every stride offset") {
+    import graft.text.Segments
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val chunks = Segments.chunkWithStride(docs, "doc_id", "text", 2, 3)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getLong(2)).toSeq == Seq(0L, 3L, 6L))
+    assert(chunks.map(_.getString(4)).toSeq == Seq("a b", "d e", "g h"))
+  }
+
+  test("lineFilterDocs: short and stopword-free lines drop, order preserved") {
+    import graft.text.Segments
+    // per=3: lines = [the cat sat] [on the mat] [xx yy zz] [qq]
+    //   line 3 has no stopword, line 4 is short → keep 1 and 2.
+    val docs = Seq(
+      (1L, "the cat sat on the mat xx yy zz qq"),
+      (2L, "zz yy xx")). // one line, no stopword → everything filtered
+      toDF("doc_id", "text")
+    val out = Segments.lineFilterDocs(docs, "doc_id", "text",
+        per = 3, minTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((4L, 2L, "the cat sat on the mat")))
+    assert(out(2L) == ((1L, 0L, ""))) // doc survives, empty — caller drops
+  }
+
+  test("lineDedupDocs: first occurrence wins corpus-wide, reassembly ordered") {
+    import graft.text.Segments
+    // per=2 lines: doc 1 = [a b][c d], doc 2 = [c d][e f], doc 3 = [a b].
+    // First-wins order (doc_id, idx): doc 2 loses [c d], doc 3 loses [a b].
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Segments.lineDedupDocs(docs, "doc_id", "text", per = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "e f")))
+    assert(out(3L) == ((1L, 0L, "")))
+  }
+
+  test("lineDedupDocs: intra-document duplicate lines also collapse to the first") {
+    import graft.text.Segments
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val out = Segments.lineDedupDocs(docs, "doc_id", "text", per = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L && out.head.getLong(2) == 1L)
+    assert(out.head.getString(3) == "a b")
+  }
+
+  test("newlineSegments trims and drops blank lines") {
+    import graft.text.Segments
+    val df = Seq("  first line \n\n second \n\t\nthird").toDF("text")
+      .select(Segments.newlineSegments(col("text")).as("lines"))
+    assert(df.collect().head.getSeq[String](0) ==
+      Seq("first line", "second", "third"))
+  }
+
+  test("vocabulary: frequency-ordered with token tie-break and exact df") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry banana"),
+      (3L, "cherry apple")).toDF("doc_id", "text")
+    val top = Spans.vocabulary(docs, "doc_id", "text", topN = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // apple: freq 4 df 3; banana/cherry: freq 2 df 2 → 'banana' wins the tie
+    assert(top(0).getString(1) == "apple" &&
+      top(0).getLong(2) == 4L && top(0).getLong(3) == 3L)
+    assert(top(1).getString(1) == "banana" && top(1).getLong(2) == 2L)
+    // top-k is TakeOrderedAndProject — not a single-partition global sort
+    val plan = Spans.vocabulary(docs, "doc_id", "text", topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
