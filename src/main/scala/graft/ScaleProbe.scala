@@ -87,6 +87,15 @@ object ScaleProbe {
         text.Retrieval.bm25(docs2, "doc_id", "text",
           Seq("hash", "join", "spark", "vector")).count()
       }
+      // line dedup: replicas make every line a dup — worst-case window
+      // partitions (multiplicity m) while the zero-shuffle chunker is the
+      // scan-bound control
+      time(s"line_dedup_x$m") {
+        text.Segments.lineDedupDocs(docs2, "doc_id", "text", 12).count()
+      }
+      time(s"chunk_stride_x$m") {
+        text.Segments.chunkWithStride(docs2, "doc_id", "text", 32, 16).count()
+      }
       docs2.unpersist()
 
       val ev = replicate(t.events.select("event_id", "user_id", "event_type", "ts"),

@@ -317,6 +317,31 @@ object NearDup {
       (col("node") === col("lab")).as("keep"))
   }
 
+  /** Representative selection after cluster resolution: one winner per
+    * cluster by (`scoreCol` desc, id asc) — the pick [[connectedComponents]]'s
+    * min-id `keep` column does NOT make. Public pipeline recipes keep the
+    * BEST duplicate (Dolma: the longest; quality-scored corpora: the
+    * highest-scoring), and which doc survives dedup materially changes
+    * the training set. The tie-break on id keeps the choice total, so
+    * the same winner emerges on every engine/run.
+    *
+    * One equi-join (clusters are a vertex list — tiny next to the
+    * corpus, AQE broadcasts it) + one window whose partition is a
+    * cluster (bounded by duplicate multiplicity, the
+    * [[graft.text.Segments.lineDedupDocs]] bound — never corpus size).
+    *
+    * @param clusters [[connectedComponents]] output (node, cluster_id, …)
+    * @param docs     frame carrying `idCol` and `scoreCol`
+    * @return (cluster_id, idCol, scoreCol, rep: winner flag) */
+  def clusterRepresentatives(clusters: DataFrame, docs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    clusters.join(docs, clusters("node") === docs(idCol))
+      .select(col("cluster_id"), col(idCol), col(scoreCol))
+      .withColumn("rep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col(scoreCol).desc, col(idCol))) === 1)
+
   /** Contiguous partition of `totalBits` signature bits into `bands`
     * near-equal spans, as (offset, width) per band. Pigeonhole contract:
     * a pair within hamming ≤ bands − 1 has too few differing bits to touch

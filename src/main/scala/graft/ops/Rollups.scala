@@ -118,4 +118,29 @@ object Rollups {
         lit(100.0) / (col("avg_qty") + lit(1.0)) / (col("avg_price") / lit(1000.0) + lit(1.0)))
       .drop("sq", "sp")
       .orderBy(col("difficulty_score").desc)
+
+  /** Mergeable per-key aggregate state — the incremental-maintenance
+    * layout: at 100 TB you do not rescan history to refresh a rollup,
+    * you fold each arriving slice's state into the stored state. Every
+    * statistic here is an exact MERGEABLE monoid (count/sum/min/max add
+    * associatively; avg derives at read time from n+sum — storing avg
+    * would make merging wrong). The HLL companion for distincts is
+    * [[Sketches.hllRollup]]/`hllReRollup`, same contract sketched.
+    *
+    * @return one row per key: (keys…, n, sum_v, min_v, max_v) */
+  def rollupState(df: DataFrame, keys: Seq[Column], v: Column): DataFrame =
+    df.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"), sum(v).as("sum_v"),
+      min(v).as("min_v"), max(v).as("max_v"))
+
+  /** Fold a new slice's state into previous state: union + re-aggregate
+    * with each statistic's own merge op. Associative and commutative —
+    * slices can arrive in any order and grouping; `mergeStates(a, b) ≡`
+    * recomputing [[rollupState]] over the concatenated inputs
+    * (RollupsSpec asserts it, and q89's oracle IS the full recompute). */
+  def mergeStates(prev: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    prev.unionByName(delta).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
 }

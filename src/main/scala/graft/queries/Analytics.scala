@@ -195,6 +195,21 @@ object Analytics extends QueryModule {
     "q83_user_sequences" -> ((s, dir) =>
       graft.ops.Journey.eventSequences(Tables(s, dir).events,
         "user_id", "ts", "event_id", "event_type")),
+
+    // Incremental rollup maintenance: mergeable per-type state computed
+    // on two disjoint slices and FOLDED together (no history rescan);
+    // the oracle recomputes over all rows in one pass, so the gate
+    // proves merge ≡ recompute.
+    "q89_incremental_rollup" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_id"),
+        col("event_type"), Exact.cents(col("value")).as("cents"))
+      val keys = Seq(col("event_type"))
+      val prev = Rollups.rollupState(
+        ev.filter(col("event_id") % 3 === 0), keys, col("cents"))
+      val delta = Rollups.rollupState(
+        ev.filter(col("event_id") % 3 =!= 0), keys, col("cents"))
+      Rollups.mergeStates(prev, delta, Seq("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -386,6 +401,15 @@ object Analytics extends QueryModule {
       """SELECT user_id, count(*) AS n_events,
         |       min(ts) AS first_ts, max(ts) AS last_ts,
         |       string_agg(event_type, '->' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Single-pass full recompute — equality with the two-slice merge IS
+    // the incremental-maintenance correctness statement.
+    "q89_incremental_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v,
+        |       min(CAST(round(value * 100) AS BIGINT)) AS min_v,
+        |       max(CAST(round(value * 100) AS BIGINT)) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -314,6 +314,43 @@ object Relational extends QueryModule {
         Quantiles.histogramCuts(ev, col("cents"), decileQs))
     }),
 
+    // UNPIVOT / melt (q41's inverse): wide metric columns to long
+    // (id, metric, value) rows — Dataset.unpivot plans a Generate
+    // (Expand) projection, zero shuffles.
+    "q86_unpivot" -> ((s, dir) =>
+      Tables(s, dir).lineitem.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")),
+
+    // Lag-delta time series: hour-over-hour change per event type (the
+    // derivative every monitoring dashboard plots). One agg shuffle +
+    // one per-type window; first hour's delta is NULL, honestly.
+    "q87_hourly_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("delta",
+          col("n") - lag(col("n"), 1).over(
+            Window.partitionBy(col("event_type")).orderBy(col("hour"))))
+    }),
+
+    // Grouped ntile quartiles: equal-count buckets per event type under
+    // a TOTAL order (cents, event_id) — ntile over a tied order is
+    // engine-dependent; over a total order it is exact arithmetic.
+    "q88_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir).events
+        .select(col("event_id"), col("event_type"),
+          Exact.cents(col("value")).as("cents"))
+        .withColumn("quartile",
+          ntile(4).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("cents"), col("event_id"))).cast("long"))
+    }),
+
     // Grouped Pearson correlation from exact integer sums (the
     // oracle-able corr(x, y) — built-in float accumulation can never
     // hash-match another engine). One map-side-combined aggregation.
@@ -595,5 +632,31 @@ object Relational extends QueryModule {
         |       END AS corr_qty_price
         |FROM s""".stripMargin
     },
+
+    // UNION ALL form rather than DuckDB's UNPIVOT syntax: identical
+    // semantics, no dialect surprises in the gate.
+    "q86_unpivot" -> {
+      val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c =>
+          s"SELECT l_orderkey, l_linenumber, '$c' AS metric, $c AS value FROM lineitem")
+        .mkString("\n|UNION ALL\n|")
+      s"""$arms""".stripMargin
+    },
+
+    "q87_hourly_delta" ->
+      """WITH h AS (
+        |  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n,
+        |       n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS delta
+        |FROM h""".stripMargin,
+
+    "q88_ntile" ->
+      """SELECT event_id, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS cents,
+        |       CAST(ntile(4) OVER (PARTITION BY event_type
+        |         ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT) AS quartile
+        |FROM events""".stripMargin,
   )
 }

@@ -50,6 +50,13 @@ object Text extends QueryModule {
     * cap genuinely cuts). */
   private val (capK, capSalt) = (15, "cap")
 
+  /** q91: the corpus is markup-free, so the query WRAPS each text in this
+    * deterministic dirty shell (tags, entities, a doomed script block) on
+    * BOTH engines — the strip is then genuinely exercised on every row
+    * rather than tested as an identity. */
+  private val markupPrefix = "<p class=\"x\">"
+  private val markupSuffix = " <br/>tail &amp; &lt;b&gt; <script>no()</script>"
+
   /** DuckDB w-shingle fragment — the shared generator in [[NearDup]]. */
   private def shinglesSql(w: Int): String = NearDup.duckShinglesSql(w)
 
@@ -305,6 +312,17 @@ object Text extends QueryModule {
       graft.ops.Sampling.capPerKey(Tables(s, dir).documents,
           col("source"), col("doc_id"), capK, salt = capSalt)
         .select(col("doc_id"), col("source"))),
+
+    // Markup strip (C4 web-boilerplate stage): tags out, entities
+    // decoded in the safe order, whitespace collapsed. Zero shuffles,
+    // codegen'd regex chain.
+    "q91_markup_strip" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          graft.text.Scrub.stripMarkup(
+            concat(lit(markupPrefix), col("text"), lit(markupSuffix)))
+            .as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")).cast("long"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -672,5 +690,13 @@ object Text extends QueryModule {
         |           ORDER BY ${graft.ops.Sampling.capPrioritySql("doc_id", capSalt)}, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= $capK""".stripMargin,
+
+    "q91_markup_strip" -> {
+      val dirty = s"'$markupPrefix' || text || '$markupSuffix'"
+      s"""WITH s AS (
+        |  SELECT doc_id, ${graft.text.Scrub.stripMarkupSql(dirty)} AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean, length(clean) AS n_chars_clean FROM s""".stripMargin
+    },
   )
 }

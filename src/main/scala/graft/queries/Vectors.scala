@@ -92,6 +92,19 @@ object Vectors extends QueryModule {
         .select(col("node").as("doc_id"), col("cluster_id"), col("keep"))
     }),
 
+    // Representative selection over q37's clusters: keep the LONGEST doc
+    // per cluster (Dolma's pick), ties to the lower id — the quality-
+    // aware alternative to connectedComponents' min-id `keep`.
+    "q90_cluster_reps" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5)
+      val clusters = NearDup.connectedComponents(pairs)
+      val docs = Tables(s, dir).documents.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      NearDup.clusterRepresentatives(clusters, docs, "doc_id", "n_tokens")
+    }),
+
     // Dedup report: the summary a pipeline logs after cluster resolution —
     // how many docs sat in dup clusters, how many clusters, how many rows
     // removal drops, and the biggest cluster (skew indicator for the
@@ -448,6 +461,29 @@ object Vectors extends QueryModule {
         |SELECT node AS doc_id, min(lab) AS cluster_id,
         |       (min(lab) = node) AS keep
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q90_cluster_reps" ->
+      s"""WITH RECURSIVE $minhashCtes, fpairs AS (
+        |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
+        |), sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM fpairs
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM fpairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+        |), clusters AS (
+        |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        |), scored AS (
+        |  SELECT c.cluster_id, d.doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM clusters c JOIN documents d ON c.node = d.doc_id
+        |)
+        |SELECT cluster_id, doc_id, n_tokens,
+        |       (row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY n_tokens DESC, doc_id) = 1) AS rep
+        |FROM scored""".stripMargin,
 
     "q72_dedup_report" ->
       s"""WITH RECURSIVE $minhashCtes, fpairs AS (

@@ -98,4 +98,31 @@ object Partitioned {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Shuffled-shard layout for training order: rows write to `numFiles`
+    * shards ordered by (salted id-hash, id) — a deterministic global
+    * shuffle where `df.orderBy(rand())` changes with partitioning and
+    * retries and silently breaks resume-from-step. The concatenated
+    * filename-order read sequence is a pure function of (salt, ids):
+    * identical on every run, cluster and input partitioning (the id
+    * tie-break totalizes the sort); a new salt is a fresh epoch
+    * permutation. Shard BOUNDARIES are `repartitionByRange`'s sampled
+    * split points — near-even, but which boundary a row sits next to may
+    * shift with input layout; consumers that need fixed shard membership
+    * (not just a fixed sequence) should shard by `hash % n` explicitly
+    * and accept hash-grouped file sizes.
+    *
+    * Range-partition + within-partition sort — the Z-order writer's plan
+    * shape with a hash in place of the Morton code: one range exchange,
+    * no global single-partition sort. */
+  def writeShuffled(df: DataFrame, idCol: String, salt: String,
+      path: String, numFiles: Int): Unit = {
+    val h = graft.functions.Hash64.hash60(
+      concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
 }

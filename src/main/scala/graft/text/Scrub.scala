@@ -39,4 +39,32 @@ object Scrub {
         regexp_replace(c, emailRe, "[EMAIL]"),
         ipRe, "[IP]"),
       phoneRe, "[PHONE]")
+
+  /** Markup strip — the C4-style web-boilerplate stage: drop tags, decode
+    * the five XML entities, collapse the whitespace the removals leave.
+    * Order is load-bearing: tags first (an entity inside an attribute
+    * dies with its tag), `&amp;` LAST among entities (`&amp;lt;` means a
+    * literal "&lt;" — decoding `&amp;` first would re-decode it to "<").
+    * Same portable regex subset / codegen'd chain as [[scrub]]; identity
+    * on markup-free text, so it composes in front of any text operator
+    * unconditionally. */
+  def stripMarkup(c: Column): Column = {
+    val detagged = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(detagged) { case (col0, (ent, ch)) =>
+        regexp_replace(col0, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** DuckDB fragment computing [[stripMarkup]] identically (regexp_replace
+    * needs the 'g' flag — DuckDB replaces first-match by default). */
+  def stripMarkupSql(inner: String): String = {
+    val detagged = s"regexp_replace($inner, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&amp;" -> "&")
+      .foldLeft(detagged) { case (sql, (ent, ch)) =>
+        s"regexp_replace($sql, '$ent', '$ch', 'g')" }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
 }

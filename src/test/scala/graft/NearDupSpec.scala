@@ -176,4 +176,24 @@ class NearDupSpec extends SparkSuite {
       f"(${exact.size} true pairs, ${cands.size} candidates)")
     assert(recall >= 0.9, f"recall $recall%.3f below floor")
   }
+
+  test("clusterRepresentatives: best score wins, ties to lower id, singletons keep") {
+    import spark.implicits._
+    // Edges: {1,2,3} one cluster; {7,8} another; 9 untouched (no edges →
+    // not in the cluster frame at all, as in q37).
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+    val clusters = NearDup.connectedComponents(edges)
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // 2 and 3 tie on score → 2 wins
+      (7L, 4L), (8L, 6L)).toDF("doc_id", "score")
+    val reps = NearDup.clusterRepresentatives(clusters, docs, "doc_id", "score")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getBoolean(3)))).toMap
+    assert(reps(2L)._2 && !reps(1L)._2 && !reps(3L)._2)
+    assert(reps(8L)._2 && !reps(7L)._2) // 8 outscores min-id 7
+    assert(reps.keySet == Set(1L, 2L, 3L, 7L, 8L))
+    // The min-id `keep` and the scored `rep` genuinely disagree here.
+    val keepIds = clusters.filter(col("keep")).select("node")
+      .collect().map(_.getLong(0)).toSet
+    assert(keepIds == Set(1L, 7L))
+  }
 }

@@ -122,4 +122,30 @@ class PartitionedSpec extends SparkSuite {
     assert(spark.read.parquet(zPath).as[(Long, Long)].collect().sorted.toSeq ==
       df.as[(Long, Long)].collect().sorted.toSeq)
   }
+
+  test("writeShuffled: deterministic read sequence, salt re-permutes, decorrelated") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    // the contract is the CONCATENATED filename-order sequence (shard
+    // boundaries are sampled and may shift with input layout)
+    def sequence(path: String, input: org.apache.spark.sql.DataFrame,
+        salt: String): Seq[Long] = {
+      Partitioned.writeShuffled(input, "id", salt, path, numFiles = 4)
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .flatMap(f => spark.read.parquet(f.getPath)
+          .collect().map(_.getLong(0))).toSeq
+    }
+    val dir = Files.createTempDirectory("shuf").toString
+    val a = sequence(s"$dir/a", df, "epoch1")
+    // identical sequence on a rerun, even from a different partitioning
+    val b = sequence(s"$dir/b", df.repartition(13), "epoch1")
+    assert(a == b)
+    // content preserved; order decorrelated from id (not the 0..n prefix)
+    assert(a.sorted == (0L until 2000L))
+    assert(a.take(500) != (0L until 500L).toSeq)
+    // a different salt is a genuinely different permutation
+    val c = sequence(s"$dir/c", df, "epoch2")
+    assert(a != c && a.sorted == c.sorted)
+  }
 }

@@ -66,4 +66,24 @@ class RollupsSpec extends SparkSuite {
       assert(err <= 0.10, s"$k: approx $distinctA vs exact $distinct") // 5x rsd headroom
     }
   }
+
+  test("rollupState merge: any slicing folds to the full recompute, any order") {
+    import spark.implicits._
+    import graft.ops.Rollups
+    val rows = (0 until 300)
+      .map(i => (s"k${i % 4}", (i * 37 % 101).toLong)).toDF("key", "v")
+    val full = Rollups.rollupState(rows, Seq(col("key")), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // three disjoint slices, merged pairwise in two different orders
+    val s = (0 until 3).map(j =>
+      Rollups.rollupState(rows.filter(col("v") % 3 === j), Seq(col("key")), col("v")))
+    def m(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Rollups.mergeStates(a, b, Seq("key"))
+    for (merged <- Seq(m(m(s(0), s(1)), s(2)), m(s(2), m(s(0), s(1))))) {
+      val got = merged.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got == full)
+    }
+  }
 }

@@ -307,6 +307,21 @@ class TextOpsSpec extends SparkSuite {
       Seq("first line", "second", "third"))
   }
 
+  test("stripMarkup: tags out, entities decoded safely, whitespace collapsed") {
+    import graft.text.Scrub
+    val cases = Seq(
+      ("<p class=\"x\">hello <b>world</b></p>", "hello world"),
+      // &amp; decodes LAST: &amp;lt; must yield a literal "&lt;", not "<"
+      ("a &amp;lt; b &amp; c &lt;d&gt;", "a &lt; b & c <d>"),
+      // tags become spaces (never joins adjacent words), then collapse
+      ("<script>alert('x')</script>keep", "alert('x') keep"),
+      ("  spaced\t\tout  ", "spaced out"),
+      ("no markup at all", "no markup at all"))
+    val df = cases.map(_._1).toDF("text")
+      .select(Scrub.stripMarkup(col("text")).as("clean"))
+    assert(df.collect().map(_.getString(0)).toSeq == cases.map(_._2))
+  }
+
   test("vocabulary: frequency-ordered with token tie-break and exact df") {
     import graft.text.Spans
     val docs = Seq(
