@@ -211,4 +211,87 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: stride<=size chunks cover every token; stride=size tiles exactly") {
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val gen = Gen.zip(Gen.listOfN(1, Gen.choose(1, 40)).map(_.head),
+      Gen.choose(1, 6), Gen.choose(1, 6))
+    holds(Prop.forAll(gen) { case (n, size, stride) =>
+      val toks = (0 until n).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.text.Segments
+        .chunkWithStride(df, "doc_id", "text", size, stride)
+        .orderBy("chunk_idx").collect()
+        .map(_.getString(4).split(" ").toSeq).toSeq
+      val covered = chunks.flatten.toSet == toks.toSet
+      val tilesExactly = stride != size ||
+        chunks.flatten == toks // disjoint tiling reconstructs the doc
+      (stride <= size) ==> (covered && tilesExactly)
+    })
+  }
+
+  test("property: line dedup is idempotent and never keeps a line twice") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 99L),
+      Gen.listOfN(4, Gen.oneOf("aa", "bb")).map(_.mkString(" "))))
+    holds(Prop.forAll(gen) { docs =>
+      docs.map(_._1).distinct.size == docs.size ==> {
+        val df = docs.toDF("doc_id", "text")
+        val once = graft.text.Segments.lineDedupDocs(df, "doc_id", "text", 2)
+        val keptDocs = once.select(col("doc_id"), col("kept_text").as("text"))
+        val twice = graft.text.Segments
+          .lineDedupDocs(keptDocs, "doc_id", "text", 2)
+        // re-running on the deduped corpus drops nothing further
+        twice.collect().forall(r => r.getLong(1) == r.getLong(2)) && {
+          // and no surviving line appears twice anywhere
+          val lines = keptDocs.collect().map(_.getString(1))
+            .flatMap(_.split(" ").grouped(2).map(_.mkString(" ")).toSeq)
+            .filter(_.nonEmpty)
+          lines.distinct.size == lines.size
+        }
+      }
+    })
+  }
+
+  test("property: applyChanges is idempotent for replayed change sets") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val gen = Gen.zip(
+      Gen.listOfN(10, Gen.zip(Gen.choose(1L, 15L), Gen.choose(0L, 99L))),
+      Gen.listOfN(6, Gen.zip(Gen.choose(1L, 20L), Gen.choose(0L, 99L),
+        Gen.oneOf("upsert", "delete"))))
+    holds(Prop.forAll(gen) { case (tgt0, ch0) =>
+      val tgt = tgt0.distinctBy(_._1)
+      val ch = ch0.distinctBy(_._1)
+      (tgt.nonEmpty && ch.nonEmpty) ==> {
+        val target = tgt.toDF("id", "v")
+        val changes = ch.toDF("id", "v", "op")
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val once = Merge.applyChanges(target, changes, Seq("id"))
+        val twice = Merge.applyChanges(once, changes, Seq("id"))
+        snap(once) == snap(twice)
+      }
+    })
+  }
+
+  test("property: binByCuts is monotone in the value") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    val gen = Gen.listOfN(40, Gen.choose(0L, 50L))
+    holds(Prop.forAll(gen) { vs =>
+      vs.nonEmpty ==> {
+        val df = vs.toDF("v")
+        val cuts = Quantiles.histogramCuts(df, col("v"),
+          Seq((1, 4), (2, 4), (3, 4)))
+        val binned = Quantiles.binByCuts(df, col("v"), cuts)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        binned.sliding(2).forall {
+          case Array((v1, b1), (v2, b2)) => v1 > v2 || b1 <= b2
+          case _ => true
+        }
+      }
+    })
+  }
 }
