@@ -27,17 +27,36 @@ object GraftFunctions {
       DotProduct(exprs.head, exprs(1))
     })
 
+  private[functions] val hash60: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hash60"),
+    new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, s"hash60 expects 1 argument, got ${exprs.length}")
+      Hash60(exprs.head)
+    })
+
+  private[functions] val mortonInterleave: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("morton_interleave"),
+    new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"morton_interleave expects 2 arguments, got ${exprs.length}")
+      MortonInterleave(exprs.head, exprs(1))
+    })
+
+  private[functions] val all = Seq(dotProduct, hash60, mortonInterleave)
+
   /** Register into a live session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotProduct
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
-    val _ = info
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+      val _ = info
+    }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftFunctions.dotProduct)
+    GraftFunctions.all.foreach(e.injectFunction)
 }

@@ -172,4 +172,29 @@ object Sampling {
     * matching `row_number` window. */
   def capPrioritySql(idExpr: String, salt: String): String =
     Hash64.duckSql(s"'$salt' || '_' || CAST($idExpr AS VARCHAR)")
+
+  /** Mega-key-safe form of [[capPerKey]]: the SAME winners — k smallest
+    * (salted hash, id) per key — selected by a two-phase bounded-buffer
+    * aggregation ([[graft.similarity.TopK.bottomKLongPerGroup]]) instead
+    * of a window. The window form sorts each key's whole partition, so
+    * one 10⁹-row key sorts 10⁹ rows in one task; here every map task
+    * emits ≤ k rows per key and the shuffle carries |keys|·|tasks|·k
+    * rows — scan-bound regardless of skew (the round-2 top-k lesson
+    * applied to sampling). Emits (keyCol, id) only; callers needing full
+    * rows semi-join the winners back (broadcastable whenever |keys|·k
+    * is, which is the normal cap regime — thousands of sources × a
+    * per-source cap).
+    *
+    * Long scores on purpose: a double-scored buffer would corrupt the
+    * order of 60-bit hash priorities beyond 2⁵³. */
+  def capPerKeyIds(df: DataFrame, keyCol: String, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    val pri = Hash64.hash60(
+      concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    graft.similarity.TopK.bottomKLongPerGroup(
+        df.select(col(keyCol), col(idCol), pri.as("__pri")),
+        Seq(keyCol), idCol, "__pri", k)
+      .select(col(keyCol), col(idCol))
+  }
 }

@@ -307,10 +307,11 @@ object Text extends QueryModule {
 
     // Per-source document cap: deterministic hash-order reservoir — the
     // absolute-volume bound corpus mixing applies before q66's rate
-    // balancing. One keyed window shuffle.
+    // balancing. The two-phase bounded-buffer form (mega-key-safe; the
+    // window form is capPerKey); same winners, same oracle.
     "q82_domain_cap" -> ((s, dir) =>
-      graft.ops.Sampling.capPerKey(Tables(s, dir).documents,
-          col("source"), col("doc_id"), capK, salt = capSalt)
+      graft.ops.Sampling.capPerKeyIds(Tables(s, dir).documents,
+          "source", "doc_id", capK, salt = capSalt)
         .select(col("doc_id"), col("source"))),
 
     // Markup strip (C4 web-boilerplate stage): tags out, entities

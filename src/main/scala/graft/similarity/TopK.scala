@@ -51,6 +51,39 @@ private[similarity] class TopKByScore(k: Int)
     bufferEncoder
 }
 
+/** [[TopKByScore]]'s integer sibling: the k SMALLEST (score, id) pairs
+  * per group, exact on the full 64-bit range — a double-scored buffer
+  * would corrupt the order of 60-bit hash priorities beyond 2⁵³
+  * (doubles carry 53 mantissa bits), which is exactly the score domain
+  * [[graft.ops.Sampling.capPerKeyIds]] feeds it. */
+private[graft] class BottomKByLongScore(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  def zero: Seq[(Long, Long)] = Vector.empty
+
+  def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+    if (b.length >= k && ord.compare(a, b.last) >= 0) b
+    else ((b :+ a).sorted(ord)).take(k)
+
+  def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (b1 ++ b2).sorted(ord).take(k)
+
+  def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b.sorted(ord)
+
+  def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+    bufferEncoder
+}
+
 object TopK {
 
   /** Top-k rows per group of a scored frame, two-phase: partial buffers of
@@ -68,6 +101,20 @@ object TopK {
     scored.groupBy(groupCols.map(col): _*)
       .agg(tk(col(scoreCol), col(idCol)).as("tk"))
       .select(groupCols.map(col) :+ posexplode(col("tk")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col._2").as(idCol),
+        col("col._1").as(scoreCol),
+        (col("pos") + 1).cast("long").as("rn")): _*)
+  }
+
+  /** Bottom-k (smallest Long scores) per group, same two-phase shape and
+    * the `row_number() OVER (ORDER BY score ASC, id ASC)` contract. */
+  def bottomKLongPerGroup(scored: DataFrame, groupCols: Seq[String],
+      idCol: String, scoreCol: String, k: Int): DataFrame = {
+    val bk = udaf(new BottomKByLongScore(k))
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(bk(col(scoreCol), col(idCol)).as("bk"))
+      .select(groupCols.map(col) :+ posexplode(col("bk")): _*)
       .select(groupCols.map(col) ++ Seq(
         col("col._2").as(idCol),
         col("col._1").as(scoreCol),

@@ -224,6 +224,21 @@ class RelationalOpsSpec extends SparkSuite {
     assert(capped.select("id").collect().map(_.getLong(0)).forall(wider))
   }
 
+  test("capPerKeyIds: identical winners to the window form, no Window in the plan") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"k${i % 5}")).toDF("id", "key")
+    val viaWindow = Sampling.capPerKey(df, col("key"), col("id"), 12, "s")
+      .select("key", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaTopK = Sampling.capPerKeyIds(df, "key", "id", 12, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaTopK == viaWindow)
+    // two-phase aggregate, never a per-key window sort of the whole frame
+    val plan = Sampling.capPerKeyIds(df, "key", "id", 12, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
   test("histogramCuts + binByCuts: exact deciles, equal-frequency bins, ties share") {
     import spark.implicits._
     import graft.ops.Quantiles

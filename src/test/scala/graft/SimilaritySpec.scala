@@ -246,6 +246,22 @@ class SimilaritySpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("hash60 and morton_interleave register as SQL functions matching the APIs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("abc", 3L, 5L), ("xy z", 100L, 7L)).toDF("s", "a", "b")
+      .createOrReplaceTempView("vals")
+    val sql = spark.sql(
+      "SELECT hash60(s) AS h, morton_interleave(a, b) AS z FROM vals")
+      .collect()
+    val api = Seq(("abc", 3L, 5L), ("xy z", 100L, 7L)).toDF("s", "a", "b")
+      .select(graft.functions.Hash64.hash60(col("s")).as("h"),
+        graft.functions.Morton.morton(col("a"), col("b")).as("z"))
+      .collect()
+    assert(sql.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      api.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("lshBucket is deterministic across evaluations") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")
