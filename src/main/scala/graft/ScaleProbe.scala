@@ -98,6 +98,20 @@ object ScaleProbe {
       }
       docs2.unpersist()
 
+      // per-key cap under worst-case skew: ONE key owning every row —
+      // the window form sorts it all in a single task; the bounded-buffer
+      // form stays scan-bound
+      val skewed = spark.range(0, 500000L * m)
+        .select(col("id"), lit("k0").as("key")).persist()
+      skewed.count()
+      time(s"cap_window_x$m") {
+        ops.Sampling.capPerKey(skewed, col("key"), col("id"), 100, "s").count()
+      }
+      time(s"cap_topk_x$m") {
+        ops.Sampling.capPerKeyIds(skewed, "key", "id", 100, "s").count()
+      }
+      skewed.unpersist()
+
       val ev = replicate(t.events.select("event_id", "user_id", "event_type", "ts"),
         "event_id", m).persist()
       ev.count()

@@ -314,6 +314,13 @@ object Text extends QueryModule {
           "source", "doc_id", capK, salt = capSalt)
         .select(col("doc_id"), col("source"))),
 
+    // Corpus bigram counts, top-20 (the BPE-training inner loop: rank 1
+    // is the next merge). Zero-shuffle pair construction, one counted
+    // aggregation, TakeOrdered top-N.
+    "q92_bigrams" -> ((s, dir) =>
+      graft.text.Spans.topBigrams(Tables(s, dir).documents,
+        "doc_id", "text", topN = 20)),
+
     // Markup strip (C4 web-boilerplate stage): tags out, entities
     // decoded in the safe order, whitespace collapsed. Zero shuffles,
     // codegen'd regex chain.
@@ -699,5 +706,17 @@ object Text extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, clean, length(clean) AS n_chars_clean FROM s""".stripMargin
     },
+
+    "q92_bigrams" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM t WHERE len(toks) >= 2),
+        |v AS (SELECT pair, count(*) AS freq FROM p GROUP BY 1),
+        |top AS (SELECT * FROM v ORDER BY freq DESC, pair LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank,
+        |       pair, freq
+        |FROM top""".stripMargin,
   )
 }

@@ -97,6 +97,37 @@ object Spans {
       .select(col("rank"), col("token"), col("freq"), col("df"))
   }
 
+  /** Corpus bigram counts, top-N by frequency — the inner loop of BPE
+    * tokenizer training (count adjacent pairs, merge the argmax, repeat)
+    * and the raw material of bigram language models. Pair construction
+    * is a per-row `zip_with` over two shifted slices of the
+    * ALREADY-MATERIALIZED token array (the round-4 shingle lesson:
+    * lambdas must touch attributes, not expression subtrees), so the
+    * corpus-sized stage is zero-shuffle; then one map-side-combined
+    * count and a TakeOrdered top-N — [[vocabulary]]'s plan over pairs.
+    * Rank ties break on the pair string, so "the merge to apply next"
+    * (rank 1) is deterministic cross-engine.
+    *
+    * @return (rank, pair, freq) */
+  def topBigrams(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    val pairs = zip_with(
+      slice(col("__toks"), lit(1), n - 1),
+      slice(col("__toks"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(org.apache.spark.sql.functions.size(col("__toks")) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair")).limit(topN)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("freq"))
+  }
+
   /** Corpus-relative token rarity — a log-free unigram-LM quality proxy
     * (the role KenLM perplexity plays in public pipeline recipes, minus
     * the external model): commonness = Σ_occurrences df(token) /

@@ -307,6 +307,18 @@ class TextOpsSpec extends SparkSuite {
       Seq("first line", "second", "third"))
   }
 
+  test("topBigrams: adjacent pairs only, intra-doc repeats counted, rank-1 is the merge") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "a b a b c"),   // pairs: "a b","b a","a b","b c"
+      (2L, "a b"),          // "a b"
+      (3L, "z")).           // sub-2-token doc contributes nothing
+      toDF("doc_id", "text")
+    val top = Spans.topBigrams(docs, "doc_id", "text", topN = 3).collect()
+    assert(top.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a b", 3L), (2L, "b a", 1L), (3L, "b c", 1L)))
+  }
+
   test("stripMarkup: tags out, entities decoded safely, whitespace collapsed") {
     import graft.text.Scrub
     val cases = Seq(
