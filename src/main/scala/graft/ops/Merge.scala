@@ -21,13 +21,14 @@ import org.apache.spark.sql.functions._
   * operator). With duplicate change keys the join fans out and the
   * result depends on nothing the engine promises.
   *
-  * Scale: ONE equi-join shuffle on the key columns (AQE broadcasts the
-  * change side when it is small — the common case: a day's changes
-  * against a years-deep snapshot); output is a full new snapshot
-  * (copy-on-write). At 100 TB the practical deployment partitions the
-  * snapshot by a key-derived column and rewrites only partitions the
-  * change set touches ([[graft.sources.Partitioned]] owns layout) — the
-  * per-partition fold is this same operator.
+  * Scale: ONE equi-join on the key columns; output is a full new
+  * snapshot (copy-on-write). Spark cannot broadcast a FULL OUTER join
+  * (no build side can be the stream side for unmatched-row emission), so
+  * both inputs shuffle — which is why the practical 100 TB deployment
+  * partitions the snapshot by a key-derived column and rewrites ONLY the
+  * partitions the change set touches ([[graft.sources.Partitioned]] owns
+  * layout): the per-partition fold is this same operator over
+  * partition-sized inputs, and the untouched bulk never moves.
   *
   * Matching is strict equality: NULL keys never match (SQL MERGE
   * semantics) — a NULL-keyed target row is always kept, a NULL-keyed
@@ -48,10 +49,18 @@ object Merge {
     val dataCols = target.columns.filterNot(keys.contains).toSeq
     // Rename change-side data columns so the USING join leaves exactly
     // one unambiguous column per name (USING coalesces the keys itself).
+    // The op value is validated PER ROW as it is read: an unrecognized op
+    // ('DELETE', 'remove', a typo) must fail the job loudly — silently
+    // treating it as an upsert (or skipping it) corrupts the snapshot.
+    val validatedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"merge: unknown $opCol value '"),
+        coalesce(col(opCol), lit("<null>")),
+        lit("' (expected upsert|delete)"))))
     val ch = changes.select(
       keys.map(col) ++
         dataCols.map(c => col(c).as(s"__ch_$c")) :+
-        col(opCol).as("__op"): _*)
+        validatedOp.as("__op"): _*)
     target.join(ch, keys, "full_outer")
       .filter(col("__op").isNull || col("__op") =!= "delete")
       .select(target.columns.toSeq.map { c =>

@@ -66,10 +66,21 @@ object Quantiles {
     * @return one row of `c<PCT>` cut columns, for `broadcast` */
   def histogramCuts(df: DataFrame, v: Column,
       qs: Seq[(Int, Int)]): DataFrame = {
-    val hist = df.groupBy(v.as("__val")).agg(count(lit(1)).as("__k"))
+    val names = qs.map { case (num, den) => cutName(num, den) }
+    require(names.distinct.size == names.size,
+      s"quantile positions collide on percent-truncated cut names: " +
+        names.mkString(", "))
+    // NULLs are excluded up front (SQL percentile semantics, and what
+    // approx_percentile does) — counting them would drag every cut to
+    // the minimum, and Spark's NULLS FIRST vs DuckDB's NULLS LAST window
+    // order would diverge cross-engine. n derives from the histogram
+    // (sum of counts) — NOT a second scan of the input: the corpus is
+    // read once, everything after is value-cardinality-sized.
+    val hist = df.where(v.isNotNull)
+      .groupBy(v.as("__val")).agg(count(lit(1)).as("__k"))
     val cum = hist
       .withColumn("__cum", sum(col("__k")).over(Window.orderBy(col("__val"))))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .crossJoin(broadcast(hist.agg(sum(col("__k")).as("__n"))))
     val aggs = qs.map { case (num, den) =>
       min(when(col("__cum") * den >= col("__n") * num, col("__val")))
         .as(cutName(num, den))

@@ -157,13 +157,19 @@ object Sampling {
     * break by `id` so the cut is total even under collisions.
     *
     * @return input rows minus those over the cap (original columns) */
+  /** The salted 60-bit priority shared by [[capPerKey]], [[capPerKeyIds]],
+    * [[capPrioritySql]]'s oracle mirror and
+    * [[graft.sources.Partitioned.writeShuffled]] — ONE definition, so the
+    * equal-winners and oracle contracts cannot drift apart. */
+  def saltedPriority(id: Column, salt: String): Column =
+    Hash64.hash60(concat(lit(salt), lit("_"), id.cast("string")))
+
   def capPerKey(df: DataFrame, keyCol: Column, id: Column, k: Int,
       salt: String): DataFrame = {
     require(k >= 1, s"cap must be >= 1, got $k")
-    val pri = Hash64.hash60(concat(lit(salt), lit("_"), id.cast("string")))
     df.withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCol).orderBy(pri, id)))
+          .partitionBy(keyCol).orderBy(saltedPriority(id, salt), id)))
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
@@ -186,14 +192,17 @@ object Sampling {
     * per-source cap).
     *
     * Long scores on purpose: a double-scored buffer would corrupt the
-    * order of 60-bit hash priorities beyond 2⁵³. */
+    * order of 60-bit hash priorities beyond 2⁵³. Contract narrower than
+    * [[capPerKey]]'s: `idCol` must be integral (the typed aggregator
+    * buffers (Long, Long)) and non-null — a null id fails the tuple
+    * encoder at runtime. The window form has neither restriction; use it
+    * for exotic id types and pre-filter nulls here. */
   def capPerKeyIds(df: DataFrame, keyCol: String, idCol: String, k: Int,
       salt: String): DataFrame = {
     require(k >= 1, s"cap must be >= 1, got $k")
-    val pri = Hash64.hash60(
-      concat(lit(salt), lit("_"), col(idCol).cast("string")))
     graft.similarity.TopK.bottomKLongPerGroup(
-        df.select(col(keyCol), col(idCol), pri.as("__pri")),
+        df.select(col(keyCol), col(idCol),
+          saltedPriority(col(idCol), salt).as("__pri")),
         Seq(keyCol), idCol, "__pri", k)
       .select(col(keyCol), col(idCol))
   }

@@ -595,9 +595,10 @@ object Relational extends QueryModule {
       }.mkString(" + ")
       s"""WITH c AS (
         |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
-        |), h AS (SELECT cents AS val, count(*) AS k FROM c GROUP BY 1),
+        |), h AS (SELECT cents AS val, count(*) AS k FROM c
+        |         WHERE cents IS NOT NULL GROUP BY 1),
         |m AS (SELECT val, CAST(sum(k) OVER (ORDER BY val) AS BIGINT) AS cum FROM h),
-        |t AS (SELECT count(*) AS n FROM c),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM h),
         |q AS (
         |  SELECT $cuts
         |  FROM m, t)

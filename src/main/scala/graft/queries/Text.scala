@@ -670,6 +670,8 @@ object Text extends QueryModule {
         |FROM k""".stripMargin
     },
 
+    // LEFT JOIN back to documents: zero-token docs survive with
+    // (0, 0, '') — the Spark side's posexplode_outer contract.
     "q81_line_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |s AS (
@@ -684,12 +686,18 @@ object Text extends QueryModule {
         |         row_number() OVER (
         |           PARTITION BY ${graft.functions.Hash64.duckSql("line")}
         |           ORDER BY doc_id, st) AS rn
-        |  FROM d)
-        |SELECT doc_id,
-        |       count(*) AS n_lines,
-        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY st), '') AS kept_text
-        |FROM r GROUP BY 1""".stripMargin,
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |         count(*) AS n_lines,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY st), '') AS kept_text
+        |  FROM r GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(coalesce(g.n_lines, 0) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(g.kept_text, '') AS kept_text
+        |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
 
     "q82_domain_cap" ->
       s"""WITH r AS (

@@ -117,8 +117,7 @@ object Partitioned {
     * no global single-partition sort. */
   def writeShuffled(df: DataFrame, idCol: String, salt: String,
       path: String, numFiles: Int): Unit = {
-    val h = graft.functions.Hash64.hash60(
-      concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    val h = graft.ops.Sampling.saltedPriority(col(idCol), salt)
     df.withColumn("__h", h)
       .repartitionByRange(numFiles, col("__h"))
       .sortWithinPartitions(col("__h"), col(idCol))

@@ -102,22 +102,27 @@ object Segments {
     * @return (idCol, n_lines, n_kept, kept_text) */
   def lineDedupDocs(docs: DataFrame, idCol: String, textCol: String,
       per: Int): DataFrame = {
+    // posexplode_OUTER: a zero-token document must survive with
+    // (n_lines = 0, kept_text = "") like lineFilterDocs's contract, not
+    // vanish — the null-line rows it emits are excluded from every
+    // aggregate below (and share one harmless null hash partition).
     val exploded = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        posexplode(lineArrays(col("__toks"), per)).as(Seq("idx", "toks")))
+        posexplode_outer(lineArrays(col("__toks"), per)).as(Seq("idx", "toks")))
       .select(col(idCol), col("idx"),
         array_join(col("toks"), " ").as("line"))
     val firstWins = exploded.withColumn("__rn",
       row_number().over(Window.partitionBy(Hash64.hash60(col("line")))
         .orderBy(col(idCol), col("idx"))))
+    val keep = col("line").isNotNull && col("__rn") === 1
     firstWins.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      .agg(count(col("line")).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("__rn") === 1, struct(col("idx"), col("line"))))),
+              when(keep, struct(col("idx"), col("line"))))),
             x => x.getField("line")),
           " ").as("kept_text"))
   }

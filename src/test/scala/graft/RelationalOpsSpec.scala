@@ -348,4 +348,35 @@ class RelationalOpsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("name"))
   }
+
+  test("applyChanges fails loudly on unknown or null op values") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val target = Seq((1L, "a")).toDF("id", "name")
+    for (badOp <- Seq("DELETE", "remove", null)) {
+      val ch = Seq((1L, "x", badOp)).toDF("id", "name", "op")
+      val e = intercept[Exception] {
+        Merge.applyChanges(target, ch, Seq("id")).collect()
+      }
+      // raise_error surfaces as USER_RAISED_EXCEPTION wrapping our message
+      assert(e.getMessage.contains("unknown op value") ||
+        Option(e.getCause).exists(_.getMessage.contains("unknown op value")),
+        s"op=$badOp: ${e.getMessage}")
+    }
+  }
+
+  test("histogramCuts excludes NULLs and rejects colliding cut names") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    // 6 nulls + values 1..4: cuts must derive from the 4 real values only
+    val df = (Seq.fill(6)(Option.empty[Long]) ++
+      (1L to 4L).map(Some(_))).toDF("v")
+    val cuts = Quantiles.histogramCuts(df, col("v"), Seq((1, 2), (1, 1)))
+    val row = cuts.collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 4L) // median 2, max 4
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.histogramCuts(df, col("v"), Seq((1, 3), (33, 100)))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }

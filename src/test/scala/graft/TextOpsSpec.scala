@@ -299,6 +299,19 @@ class TextOpsSpec extends SparkSuite {
     assert(out.head.getString(3) == "a b")
   }
 
+  test("lineDedupDocs: zero-token documents survive with (0, 0, empty)") {
+    import graft.text.Segments
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "!!! ...")).toDF("doc_id", "text")
+    val out = Segments.lineDedupDocs(docs, "doc_id", "text", per = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // docs 2 and 3 tokenize to nothing: present, empty, and NOT deduped
+    // against each other (no phantom shared empty line)
+    assert(out(1L) == ((1L, 1L, "a b")))
+    assert(out(2L) == ((0L, 0L, "")))
+    assert(out(3L) == ((0L, 0L, "")))
+  }
+
   test("newlineSegments trims and drops blank lines") {
     import graft.text.Segments
     val df = Seq("  first line \n\n second \n\t\nthird").toDF("text")
