@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data profiling: per-column quality statistics (null count/fraction,
@@ -97,5 +97,25 @@ object Profiling {
          |       __min_$c AS min_val, __max_$c AS max_val FROM agg""".stripMargin)
     s"""WITH agg AS (SELECT count(*) AS n_rows, $aggs FROM $table)
       |${arms.mkString("\n UNION ALL\n")}""".stripMargin
+  }
+
+  /** Per-group min-max feature scaling of an integer column to [0, 1]:
+    * `(v − min) / (max − min)` with the min/max aggregated exactly as
+    * integers and ONE double division at the end (identical IEEE op on
+    * both engines — the [[graft.ops.Exact]] recipe applied to scaling).
+    * Constant groups pin to 0.5: a 0/0 NaN would rank above every
+    * double downstream (the zscore lesson). The per-group stats frame is
+    * group-cardinality-sized and broadcast — no window over the rows. */
+  def minMaxNormalize(df: DataFrame, grpCol: String, v: Column,
+      outCol: String): DataFrame = {
+    val stats = df.groupBy(col(grpCol))
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    df.join(broadcast(stats), grpCol)
+      .withColumn(outCol,
+        when(col("__mx") > col("__mn"),
+          (v - col("__mn")).cast("double") /
+            (col("__mx") - col("__mn")).cast("double"))
+          .otherwise(lit(0.5)))
+      .drop("__mn", "__mx")
   }
 }

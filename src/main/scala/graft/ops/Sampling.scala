@@ -157,6 +157,31 @@ object Sampling {
     * break by `id` so the cut is total even under collisions.
     *
     * @return input rows minus those over the cap (original columns) */
+  /** Weight-proportional deterministic sampling: row accepted iff
+    * `bucket(key) · maxW < w · mod` — realizes per-row rate
+    * `min(1, w/maxW)` (rows with `w ≥ maxW` always survive) with the
+    * same pure-integer, pure-expression machinery as [[mixSample]]'s
+    * acceptance test: no floats, no RNG, reproducible across
+    * runs/partitionings/engines, survives predicate pushdown. The
+    * quality-weighted corpus-sampling primitive ("keep better documents
+    * with higher probability") public pipelines apply between hard
+    * filtering and uniform sampling. Raising a row's weight can only
+    * keep it (additive, like every sampler here).
+    *
+    * `w` must be a non-negative integer column; `maxW` is the weight
+    * scale (caller-owned — a runtime max would make acceptance depend
+    * on unrelated rows). */
+  def weightedSample(df: DataFrame, key: Column, w: Column, maxW: Long,
+      salt: String, mod: Int = 10000): DataFrame = {
+    require(maxW >= 1, s"maxW must be >= 1, got $maxW")
+    df.filter(hashBucket(key, salt, mod).cast("long") * maxW < w * mod)
+  }
+
+  /** DuckDB predicate mirroring [[weightedSample]]. */
+  def weightedSampleSql(keyExpr: String, wExpr: String, maxW: Long,
+      salt: String, mod: Int = 10000): String =
+    s"${hashBucketSql(keyExpr, salt, mod)} * $maxW < ($wExpr) * $mod"
+
   /** The salted 60-bit priority shared by [[capPerKey]], [[capPerKeyIds]],
     * [[capPrioritySql]]'s oracle mirror and
     * [[graft.sources.Partitioned.writeShuffled]] — ONE definition, so the

@@ -50,6 +50,11 @@ object Text extends QueryModule {
     * cap genuinely cuts). */
   private val (capK, capSalt) = (15, "cap")
 
+  /** q93: weight-proportional sampling scale — n_chars/600, docs at
+    * ≥600 chars always kept (sf max is 553, so the cap arm is data-false
+    * but contract-true). */
+  private val (wtMaxW, wtSalt) = (600L, "wt")
+
   /** q91: the corpus is markup-free, so the query WRAPS each text in this
     * deterministic dirty shell (tags, entities, a doomed script block) on
     * BOTH engines — the strip is then genuinely exercised on every row
@@ -320,6 +325,22 @@ object Text extends QueryModule {
     "q92_bigrams" -> ((s, dir) =>
       graft.text.Spans.topBigrams(Tables(s, dir).documents,
         "doc_id", "text", topN = 20)),
+
+    // Weight-proportional deterministic sampling: survival rate
+    // n_chars/600 per doc — quality-weighted corpus thinning as a pure
+    // integer scan predicate (no RNG, no shuffle).
+    "q93_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(Tables(s, dir).documents,
+          col("doc_id"), col("n_chars"), wtMaxW, salt = wtSalt)
+        .select(col("doc_id"), col("n_chars"))),
+
+    // Per-source min-max feature scaling: exact integer min/max, one
+    // final double division; constant groups pin to 0.5.
+    "q94_minmax_norm" -> ((s, dir) =>
+      graft.ops.Profiling.minMaxNormalize(
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("n_chars"), "norm")),
 
     // Markup strip (C4 web-boilerplate stage): tags out, entities
     // decoded in the safe order, whitespace collapsed. Zero shuffles,
@@ -726,5 +747,19 @@ object Text extends QueryModule {
         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank,
         |       pair, freq
         |FROM top""".stripMargin,
+
+    "q93_weighted_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+        |WHERE ${graft.ops.Sampling.weightedSampleSql("doc_id", "n_chars", wtMaxW, wtSalt)}""".stripMargin,
+
+    "q94_minmax_norm" ->
+      """WITH s AS (
+        |  SELECT source, min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, doc_id, n_chars,
+        |       CASE WHEN mx > mn
+        |         THEN CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+        |         ELSE 0.5 END AS norm
+        |FROM documents d JOIN s USING (source)""".stripMargin,
   )
 }

@@ -320,6 +320,63 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental rollup maintenance — [[graft.ops.Rollups]]'s
+    * mergeable state folded micro-batch by micro-batch: each epoch
+    * merges its delta into the latest persisted state and writes a NEW
+    * versioned snapshot (`epoch=N`), never overwriting the input it is
+    * reading (a lazy read-then-overwrite of one dir would truncate the
+    * input mid-job). Replay-safe without a marker: a re-run of epoch N
+    * re-reads the newest state STRICTLY OLDER than N — its own partial
+    * output is never an input — and overwrites `epoch=N` idempotently.
+    * Epochs older than the previous one are pruned after a successful
+    * write, so storage is two snapshots, each bounded by key
+    * cardinality (not stream length).
+    *
+    * The batch analogue (and the merge-≡-recompute proof) is q89. */
+  def incrementalRollupSink(stream: DataFrame, keys: Seq[String],
+      vCol: String, stateDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    def epochDirs(): Seq[(Long, java.io.File)] = {
+      val base = new java.io.File(stateDir)
+      if (!base.exists()) Seq.empty
+      else base.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+        .map(f => f.getName.stripPrefix("epoch=").toLong -> f)
+        .sortBy(_._1)
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delta = graft.ops.Rollups.rollupState(batch, keys.map(col), col(vCol))
+          val prev = epochDirs().filter(_._1 < epochId).lastOption
+          val merged = prev match {
+            case Some((_, dir)) => graft.ops.Rollups.mergeStates(
+              spark.read.parquet(dir.getPath), delta, keys)
+            case None => delta
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$stateDir/epoch=$epochId")
+          for ((e, dir) <- epochDirs()
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            dir.listFiles().foreach(_.delete()); dir.delete()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Read the newest state snapshot written by [[incrementalRollupSink]]. */
+  def latestRollupState(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = new java.io.File(stateDir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .sortBy(_.getName.stripPrefix("epoch=").toLong)
+    spark.read.parquet(dirs.last.getPath)
+  }
+
   /** X3 TTL dedup on Spark 4's `transformWithState` — the arbitrary-state
     * API that supersedes `flatMapGroupsWithState` (same semantics as
     * [[ttlDedupWithState]], kept side-by-side as the migration pair).

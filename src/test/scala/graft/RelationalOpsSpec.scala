@@ -224,6 +224,36 @@ class RelationalOpsSpec extends SparkSuite {
     assert(capped.select("id").collect().map(_.getLong(0)).forall(wider))
   }
 
+  test("weightedSample: rate tracks weight, additive in the weight, zero drops all") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, (i % 4) * 100L)).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, col("id"), col("w"), 400L, "ws")
+      .groupBy("w").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0L)) // w=0 never survives
+    // survival fraction ≈ w/400 per stratum (1000 rows each)
+    assert(math.abs(kept(100L) - 250.0) < 80)
+    assert(math.abs(kept(200L) - 500.0) < 80)
+    assert(math.abs(kept(300L) - 750.0) < 80)
+    // additivity: every row kept at weight w survives at weight w+100
+    val at200 = Sampling.weightedSample(df.withColumn("w", lit(200L)),
+      col("id"), col("w"), 400L, "ws").select("id").collect().map(_.getLong(0)).toSet
+    val at300 = Sampling.weightedSample(df.withColumn("w", lit(300L)),
+      col("id"), col("w"), 400L, "ws").select("id").collect().map(_.getLong(0)).toSet
+    assert(at200.subsetOf(at300))
+  }
+
+  test("minMaxNormalize: exact [0,1] per group, constant group pins to 0.5") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    val df = Seq(("g1", 10L), ("g1", 20L), ("g1", 30L),
+      ("g2", 7L), ("g2", 7L)).toDF("grp", "v")
+    val out = Profiling.minMaxNormalize(df, "grp", col("v"), "norm")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("g1", 10L)) == 0.0 && out(("g1", 20L)) == 0.5 &&
+      out(("g1", 30L)) == 1.0)
+    assert(out(("g2", 7L)) == 0.5) // constant group: centered, not NaN
+  }
+
   test("capPerKeyIds: identical winners to the window form, no Window in the plan") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong, s"k${i % 5}")).toDF("id", "key")

@@ -254,6 +254,36 @@ class StreamsSpec extends SparkSuite {
     q1.stop(); q2.stop()
   }
 
+  test("incremental rollup sink: folded state equals the full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val ev = mem.toDF().toDF("key", "cents")
+    val (stateDir, ckp) = (tmp("roll-state"), tmp("roll-ckp"))
+
+    def run(): Unit = {
+      val q = Streams.incrementalRollupSink(ev, Seq("key"), "cents",
+        stateDir, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData(("a", 10L), ("a", 30L), ("b", 5L))
+    run()
+    mem.addData(("a", 20L), ("b", 100L), ("c", 7L))
+    run()
+    val state = Streams.latestRollupState(spark, stateDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // identical to rollupState over the concatenation of both batches
+    assert(state == Map(
+      "a" -> ((3L, 60L, 10L, 30L)),
+      "b" -> ((2L, 105L, 5L, 100L)),
+      "c" -> ((1L, 7L, 7L, 7L))))
+    // storage bounded: at most the current + previous snapshot survive
+    val epochs = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).sorted
+    assert(epochs.length <= 2, epochs.mkString(", "))
+  }
+
   test("incremental corpus dedup: batch two drops fingerprints that landed in batch one") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
