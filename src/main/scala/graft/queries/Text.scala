@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.NearDup
+import graft.functions.Hash64
 import graft.text.TextAnalysis
 
 /** Training-data text pipeline: token/char statistics, quality scoring,
@@ -352,6 +353,22 @@ object Text extends QueryModule {
             concat(lit(markupPrefix), col("text"), lit(markupSuffix)))
             .as("clean"))
         .withColumn("n_chars_clean", length(col("clean")).cast("long"))),
+
+    // Duplicated-span EXTENT: longest run of consecutive duplicated
+    // 7-gram positions per doc — q73 measures how much is duplicated,
+    // this how contiguous (the exact-substring-dedup signal). Islands
+    // over (doc, pos) after a composite-key join-back of positions to
+    // document frequencies.
+    "q95_dup_span_runs" -> ((s, dir) =>
+      graft.text.Spans.duplicatedSpanRuns(Tables(s, dir).documents,
+        "doc_id", "text", w = spanW, minDf = 2)),
+
+    // Bigram coherence: corpus-frequency-weighted mean of each doc's
+    // adjacent pairs — the word-order quality proxy q74's unigram
+    // rarity can't see. Integer-exact sums, one final division.
+    "q96_bigram_coherence" -> ((s, dir) =>
+      graft.text.Spans.bigramCoherence(Tables(s, dir).documents,
+        "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -761,5 +778,69 @@ object Text extends QueryModule {
         |         THEN CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
         |         ELSE 0.5 END AS norm
         |FROM documents d JOIN s USING (source)""".stripMargin,
+
+    // Positions come from generate_series over the shingle list (1-based
+    // in DuckDB — only ordering matters); islands mirror the Spark
+    // lag/cumsum windows row for row.
+    "q95_dup_span_runs" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${shinglesSql(spanW)} AS grams
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |), gp AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(grams))) AS pos,
+        |         grams FROM t
+        |), g AS (
+        |  SELECT doc_id, pos, ${Hash64.duckSql("grams[pos]")} AS h FROM gp
+        |), pg AS (
+        |  SELECT h, doc_id FROM g GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT h, doc_id, count(*) OVER (PARTITION BY h) AS df FROM pg
+        |), f AS (
+        |  SELECT g.doc_id, g.pos, wd.df >= 2 AS dup
+        |  FROM g JOIN wd ON g.h = wd.h AND g.doc_id = wd.doc_id
+        |), r AS (
+        |  SELECT doc_id, pos, dup,
+        |         CASE WHEN lag(dup) OVER w IS NULL
+        |                OR lag(dup) OVER w <> dup THEN 1 ELSE 0 END AS brk
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sgrp AS (
+        |  SELECT doc_id, dup,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM r
+        |), grps AS (
+        |  SELECT doc_id, grp, dup, count(*) AS len FROM sgrp GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(len) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |       CAST(coalesce(max(CASE WHEN dup THEN len END), 0) AS BIGINT)
+        |         AS max_run_grams,
+        |       CAST(CASE WHEN coalesce(max(CASE WHEN dup THEN len END), 0) > 0
+        |            THEN coalesce(max(CASE WHEN dup THEN len END), 0) + ${spanW - 1}
+        |            ELSE 0 END AS BIGINT) AS max_run_tokens
+        |FROM grps GROUP BY 1""".stripMargin,
+
+    "q96_bigram_coherence" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS h
+        |  FROM t WHERE len(toks) >= 2
+        |), pg AS (
+        |  SELECT h, doc_id, count(*) AS k FROM p GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, k, sum(k) OVER (PARTITION BY h) AS cf FROM pg
+        |), tot AS (
+        |  SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_total
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(k * cf) AS BIGINT) AS cf_sum,
+        |       CAST(sum(k * cf) AS DOUBLE)
+        |         / CAST(sum(k) * n_total AS DOUBLE) AS coherence
+        |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin,
   )
 }

@@ -66,6 +66,69 @@ object Spans {
       .withColumn("dup_frac",
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
 
+  /** Duplicated-span EXTENT — [[duplicatedSpans]] reports how MUCH of a
+    * document is duplicated; this reports how CONTIGUOUS it is: the
+    * longest run of consecutive w-gram positions whose shingle occurs in
+    * ≥ `minDf` documents. A run of r duplicated grams is a copied
+    * substring of r + w − 1 tokens (each gram extends the span by one
+    * token), so `max_run_tokens` approximates the longest duplicated
+    * substring — the signal exact-substring dedup (suffix-array
+    * pipelines) removes, computed with shuffle-friendly fixed-width
+    * grams instead of a suffix array. A doc with dup_frac 0.3 spread as
+    * noise and one with a verbatim 30% quote score the same in q73;
+    * only this tells them apart.
+    *
+    * Plan: posexplode grams → hash (8-byte shuffle keys, oracle computes
+    * identical buckets) → document frequency over distinct (gram, doc)
+    * exactly as [[duplicatedSpans]] (window partitions bounded by df) →
+    * join the per-position rows back on (gram, doc) — positions make the
+    * join-back unavoidable; its key is the composite (h, doc), so
+    * partitions stay hash-balanced even for boilerplate grams. The gram
+    * subtree is evaluated twice (two arms of a self-join, the q24 shape)
+    * — cheaper than persisting a corpus-sized intermediate. Then
+    * gaps-and-islands per document: run ids by cumulative break-sum over
+    * a (doc, pos) ROWS window (partition = one document's grams, the
+    * same bound tokenization already imposes), ONE (doc, run, dup)
+    * aggregation, ONE per-doc fold — no second corpus scan.
+    *
+    * @return (idCol, n_grams, n_runs, max_run_grams, max_run_tokens);
+    *         docs with no duplicated gram report 0/0/0. Docs shorter
+    *         than w tokens profile as one whole-text shingle
+    *         ([[NearDup.shingles]] semantics), so their reported span
+    *         (w tokens) overstates the true length — an upper bound,
+    *         consistent in both engines. */
+  def duplicatedSpanRuns(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 13, minDf: Int = 2,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(NearDup.shingles(col("__toks"), w)))
+      .select(col(idCol), col("pos"), hash(col("col")).as("h"))
+    val dfs = grams.groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("k"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .select(col("h"), col(idCol), col("df"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dfs, Seq("h", idCol))
+      .withColumn("dup", col("df") >= minDf)
+      .withColumn("brk",
+        when(lag(col("dup"), 1).over(byDoc).isNull
+          .or(lag(col("dup"), 1).over(byDoc) =!= col("dup")), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"), col("dup"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("len")).as("n_grams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_runs"),
+        coalesce(max(when(col("dup"), col("len"))), lit(0L))
+          .as("max_run_grams"))
+      .withColumn("max_run_tokens",
+        when(col("max_run_grams") > 0, col("max_run_grams") + lit(w.toLong - 1))
+          .otherwise(0L))
+  }
+
   /** Exact corpus vocabulary: the top `topN` tokens by total occurrence
     * count (deterministic tie-break: token ascending), with document
     * frequency — the exact companion to the CMS heavy-hitter sketch
@@ -152,5 +215,52 @@ object Spans {
         lit(1.0) - col("df_sum").cast("double") /
           (col("n_tokens") * col("__n_docs")).cast("double"))
       .drop("__n_docs")
+  }
+
+  /** Bigram coherence — the word-ORDER companion to [[tokenRarity]]'s
+    * unigram score: the corpus-frequency-weighted mean of a document's
+    * adjacent-pair occurrences, normalized by total corpus bigram mass
+    * to (0, 1]. Scrambled or word-salad text keeps its unigram profile
+    * (q74 can't see it) but its bigrams are corpus-rare → coherence ≈ 0;
+    * natural prose built from common collocations scores high. This is
+    * the role a bigram LM plays in public pipeline recipes, kept log-free
+    * so it stays integer-exact: collection frequencies are bigint sums
+    * (order-independent → bit-reproducible and oracle-able), one final
+    * division. The Σ k·cf accumulator needs cf·doc_len < 2⁶³ — beyond
+    * ~10⁹-occurrence collocations route it DECIMAL(38,0) as
+    * [[graft.ops.Exact.corrFromSums]] does.
+    *
+    * Plan: the [[tokenRarity]] 3-shuffle no-join shape over pairs —
+    * zero-shuffle pair construction ([[topBigrams]]'s shifted-slice
+    * zip_with), distinct-(pair, doc) aggregation, collection frequency
+    * as a sum window over the pair key, per-doc fold; the one-row total
+    * comes from a scan-side `size(tokens)` pass (no explode) and
+    * broadcasts.
+    *
+    * @return (idCol, n_bigrams, cf_sum, coherence); docs with < 2 tokens
+    *         have no bigrams and drop out */
+  def bigramCoherence(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    val pairs = toks.filter(n >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), n - 1),
+        slice(col("__toks"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))).as("h"))
+    val total = toks
+      .select(greatest(n.cast("long") - 1L, lit(0L)).as("__np"))
+      .agg(sum(col("__np")).as("__total")) // 1 row
+    pairs.groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("k"))
+      .withColumn("cf", sum(col("k")).over(Window.partitionBy(col("h"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("cf")).as("cf_sum"))
+      .crossJoin(broadcast(total))
+      .withColumn("coherence",
+        col("cf_sum").cast("double") /
+          (col("n_bigrams") * col("__total")).cast("double"))
+      .drop("__total")
   }
 }

@@ -179,6 +179,59 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L)._3 > out(2L)._3)
   }
 
+  test("duplicatedSpanRuns: contiguous copies beat scattered ones at equal dup mass") {
+    import graft.text.Spans
+    val docs = Seq(
+      // 1 and 2 share the verbatim 4-token span "p q r s": two
+      // CONSECUTIVE dup 3-gram positions -> one run of 2, span 4 tokens
+      (1L, "u1 p q r s u2 u3"),
+      (2L, "v1 v2 p q r s v3"),
+      // 3 repeats the shared gram "p q r" at both ends: SAME dup-gram
+      // count as doc 1 (2) but two runs of 1 -> extent tells them apart
+      (3L, "p q r z1 z2 p q r"),
+      (4L, "completely fresh words nobody else uses here")
+    ).toDF("doc_id", "text")
+    val out = Spans.duplicatedSpanRuns(docs, "doc_id", "text", w = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((5L, 1L, 2L, 4L)))
+    assert(out(2L) == ((5L, 1L, 2L, 4L)))
+    assert(out(3L) == ((6L, 2L, 1L, 3L)))
+    assert(out(4L) == ((5L, 0L, 0L, 0L))) // no dup grams -> zero extent
+  }
+
+  test("duplicatedSpanRuns: full copies are one doc-length run") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "exact copy of this sentence body"),
+      (2L, "exact copy of this sentence body")).toDF("doc_id", "text")
+    val out = Spans.duplicatedSpanRuns(docs, "doc_id", "text", w = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 6 tokens -> 4 gram positions, all dup, one run; span = whole doc
+    assert(out(1L) == ((4L, 1L, 4L, 6L)))
+    assert(out(2L) == out(1L))
+  }
+
+  test("bigramCoherence: scrambled word order scores below natural order") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "cat the sat"), // same unigrams as 1 -> q74-invisible
+      (4L, "solo")         // no bigrams -> drops out
+    ).toDF("doc_id", "text")
+    val out = Spans.bigramCoherence(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(4L))
+    // cf: 'the cat'=2, every other pair 1; total corpus bigrams = 6
+    assert(out(1L) == ((2L, 3L, 3.0 / 12)))
+    assert(out(2L) == ((2L, 3L, 3.0 / 12)))
+    assert(out(3L) == ((2L, 2L, 2.0 / 12)))
+    assert(out(3L)._3 < out(1L)._3)
+  }
+
   test("plan shapes: bm25 never shuffles the corpus; packing shuffles once by shard") {
     val docs = (0 until 200).map(i => (i.toLong, s"tok$i word $i")).toDF("doc_id", "text")
     val bm25Plan = Retrieval.bm25(docs, "doc_id", "text", Seq("word"))
