@@ -369,6 +369,13 @@ object Text extends QueryModule {
     "q96_bigram_coherence" -> ((s, dir) =>
       graft.text.Spans.bigramCoherence(Tables(s, dir).documents,
         "doc_id", "text")),
+
+    // Token-accounting mixture report: docs/token mass/corpus share per
+    // source — the dashboard feeding q66's mixing rates. Scan-side
+    // size(tokens), no explode; one shuffle + a group-cardinality window.
+    "q97_token_accounting" -> ((s, dir) =>
+      graft.text.Corpus.tokenAccounting(Tables(s, dir).documents,
+        "source", "text")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -842,5 +849,21 @@ object Text extends QueryModule {
         |       CAST(sum(k * cf) AS DOUBLE)
         |         / CAST(sum(k) * n_total AS DOUBLE) AS coherence
         |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin,
+
+    "q97_token_accounting" ->
+      s"""WITH t AS (SELECT source, len($toksSql) AS nt FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(n_docs AS DOUBLE)
+        |         / CAST(CAST(sum(n_docs) OVER () AS BIGINT) AS DOUBLE)
+        |         AS doc_share,
+        |       CAST(n_tokens AS DOUBLE)
+        |         / CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE)
+        |         AS token_share
+        |FROM g""".stripMargin,
   )
 }

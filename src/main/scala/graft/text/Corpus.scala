@@ -66,4 +66,34 @@ object Corpus {
       .agg(min_by(struct(newDocs.columns.map(col): _*), col(idCol)).as("r"))
       .select(col("r.*"))
   }
+
+  /** Token accounting — the mixture dashboard every corpus pipeline
+    * keeps: documents, token mass, and corpus share per group (source /
+    * language / split). This is the input to choosing q66's mixing rates
+    * and the evidence that applied rates landed where intended.
+    *
+    * Token counts come from a scan-side `size(tokens)` — the corpus is
+    * NEVER exploded (10¹¹ token rows for a 10⁸-doc corpus would dwarf
+    * the corpus itself); one map-side-combined aggregation is the only
+    * shuffle, and the share denominators come from an unpartitioned
+    * window over the ALREADY-AGGREGATED frame (one row per group — the
+    * dense-rollup trick, group cardinality not corpus size).
+    *
+    * @return (byCol, n_docs, n_tokens, doc_share, token_share),
+    *         shares exact to one final division */
+  def tokenAccounting(docs: DataFrame, byCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy() // group-cardinality rows by then
+    docs
+      .select(col(byCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(all).cast("double"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(all).cast("double"))
+  }
 }

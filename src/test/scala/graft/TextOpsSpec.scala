@@ -213,6 +213,23 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == out(1L))
   }
 
+  test("tokenAccounting: shares sum to 1 and reflect token mass, not doc count") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (1L, "web", "one two three four five six"),   // 6 tokens
+      (2L, "web", "seven eight"),                   // 2 tokens
+      (3L, "code", "x y"),                          // 2 tokens
+      (4L, "code", "")                              // 0 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.tokenAccounting(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("web") == ((2L, 8L, 0.5, 0.8)))
+    assert(out("code") == ((2L, 2L, 0.5, 0.2)))
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-15)
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-15)
+  }
+
   test("bigramCoherence: scrambled word order scores below natural order") {
     import graft.text.Spans
     val docs = Seq(
