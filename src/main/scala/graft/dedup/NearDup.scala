@@ -100,11 +100,7 @@ object NearDup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val banded = df.select(
-      col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)): _*)))
-      .toDF(idCol, "band", "band_key")
+    val banded = bandedKeys(df, idCol, sigCol, bands, rowsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -113,6 +109,68 @@ object NearDup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
+  }
+
+  /** (idCol, band, band_key) rows — one per LSH band per doc; the shared
+    * banding step of [[lshCandidatePairs]] and [[nearDupIncrement]]. */
+  private def bandedKeys(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .toDF(idCol, "band", "band_key")
+
+  /** Fraction of MinHash positions where two signatures agree — the
+    * unbiased Jaccard estimator the verify stage uses when the exact
+    * token sets are no longer at hand (e.g. a streaming history that
+    * keeps k longs per doc, not the text). */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** One ingestion step of incremental near-dup: which of `newSigs`' docs
+    * are MinHash near-dups — of the persisted corpus (`histSigs`) or of a
+    * LOWER-id doc in the same increment. LSH banding generates candidates
+    * (cross-frame for history, self-join within the increment), then
+    * [[sigAgreement]] ≥ `minAgree` verifies each candidate from the
+    * signatures alone — no text re-read, so history stays k longs per doc.
+    *
+    * Within-increment resolution is GREEDY: the higher id of every
+    * verified pair drops, so a chain a~b~c loses both b and c even though
+    * only adjacent pairs verified — the standard streaming-dedup
+    * trade-off (batch pipelines re-cluster exactly: q37 + q90). Docs too
+    * short/empty to produce a signature are absent from `newSigs` and so
+    * never flagged — callers keep them (nothing to near-dup against).
+    *
+    * Plan: every join is keyed by (band, band_key) or id — no broadcast
+    * of anything corpus-sized, history never self-joins (history-internal
+    * dups were resolved when those docs were ingested).
+    *
+    * @return the DROPPED ids, one column named `idCol` */
+  def nearDupIncrement(newSigs: DataFrame, histSigs: DataFrame,
+      idCol: String, bands: Int = 4, rowsPerBand: Int = 4,
+      minAgree: Double = 0.7): DataFrame = {
+    val sigOf = (df: DataFrame, side: String) =>
+      df.select(col(idCol).as(s"${side}_id"), col("sig").as(s"${side}_sig"))
+    val nb = bandedKeys(newSigs, idCol, "sig", bands, rowsPerBand)
+    val hb = bandedKeys(histSigs, idCol, "sig", bands, rowsPerBand)
+    val histHits = nb.as("a")
+      .join(hb.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col(s"a.$idCol").as("n_id"), col(s"b.$idCol").as("h_id"))
+      .distinct()
+      .join(sigOf(newSigs, "n"), "n_id").join(sigOf(histSigs, "h"), "h_id")
+      .filter(sigAgreement(col("n_sig"), col("h_sig")) >= minAgree)
+      .select(col("n_id").as(idCol))
+    val intraDrops = lshCandidatePairs(newSigs, idCol, "sig", bands, rowsPerBand)
+      .withColumnRenamed("d1", "n_id").withColumnRenamed("d2", "h_id")
+      .join(sigOf(newSigs, "n"), "n_id")
+      .join(sigOf(newSigs, "h"), "h_id")
+      .filter(sigAgreement(col("n_sig"), col("h_sig")) >= minAgree)
+      .select(col("h_id").as(idCol)) // d1 < d2: the higher id drops
+    histHits.union(intraDrops).distinct()
   }
 
   /** Exact token-set Jaccard for all pairs sharing a blocking key — the

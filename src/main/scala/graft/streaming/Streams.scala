@@ -320,6 +320,59 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental NEAR-dup — [[incrementalCorpusSink]]'s exact
+    * fingerprints upgraded to MinHash: each micro-batch computes k-long
+    * signatures, LSH-bands them against a PERSISTED signature history
+    * (k longs per historical doc, never the text), verifies candidates
+    * by signature agreement ([[graft.dedup.NearDup.nearDupIncrement]]),
+    * and drops verified near-dups — catching the re-crawls and
+    * boilerplate variants whose normalized md5 differs. Docs that
+    * produce no signature (empty/whitespace text) pass through: nothing
+    * to near-dup against.
+    *
+    * State is parquet for the same reasons as the corpus sink (corpus-
+    * scale, queryable, compactable, shared); the per-batch cost is the
+    * band join — keyed by (band, band_key), never a broadcast of
+    * history. Within-batch resolution is greedy lowest-id-wins (see
+    * [[graft.dedup.NearDup.nearDupIncrement]]); the replay contract is
+    * the corpus sink's: committed epochs never re-append; a crash
+    * between the two appends can duplicate output rows of the torn
+    * epoch, but the history append self-heals. */
+  def incrementalNearDupSink(docsStream: DataFrame, idCol: String,
+      textCol: String, historyDir: String, outDir: String,
+      markerDir: String, checkpoint: String,
+      w: Int = 3, k: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+      minAgree: Double = 0.7,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val guarded = idempotentSink(markerDir) { (_, batch, _) =>
+      val spark = batch.sparkSession
+      val sigs = graft.dedup.NearDup
+        .minhashSignatures(batch, idCol, textCol, w, k).persist()
+      try {
+        val history =
+          if (new java.io.File(historyDir).exists())
+            spark.read.parquet(historyDir)
+          else sigs.limit(0)
+        val dropped = graft.dedup.NearDup
+          .nearDupIncrement(sigs, history, idCol, bands, rowsPerBand, minAgree)
+        val survivors = batch.join(dropped, Seq(idCol), "left_anti").persist()
+        try {
+          survivors.write.mode("append").parquet(outDir)
+          sigs.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+            .write.mode("append").parquet(historyDir)
+        } finally { survivors.unpersist(); () }
+      } finally { sigs.unpersist(); () }
+    }
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) guarded("neardup", batch, epochId)
+      }
+      .start()
+  }
+
   /** Streaming incremental rollup maintenance — [[graft.ops.Rollups]]'s
     * mergeable state folded micro-batch by micro-batch: each epoch
     * merges its delta into the latest persisted state and writes a NEW

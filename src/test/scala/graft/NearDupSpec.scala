@@ -196,4 +196,43 @@ class NearDupSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(keepIds == Set(1L, 7L))
   }
+
+  test("nearDupIncrement: history hits, greedy intra-batch drops, decisions track sigAgreement") {
+    import spark.implicits._
+    val hist = NearDup.minhashSignatures(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different content about spark query engines here now"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val incr = Seq(
+      // exact token dup of history 100 -> agreement 1.0, dropped
+      (1L, "The QUICK brown fox jumps over the lazy dog again and again"),
+      // near-dup of history 100 (one token changed)
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      // fresh
+      (3L, "unrelated words nothing shared with others whatsoever truly"),
+      // intra-batch exact dup of 3 -> higher id drops greedily
+      (4L, "unrelated WORDS nothing shared with others whatsoever truly"))
+      .toDF("doc_id", "text")
+    val sigs = NearDup.minhashSignatures(incr, "doc_id", "text")
+    val minAgree = 0.7
+    val dropped = NearDup.nearDupIncrement(sigs, hist, "doc_id",
+        minAgree = minAgree)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped.contains(1L)) // identical tokens -> agreement 1.0
+    assert(dropped.contains(4L) && !dropped.contains(3L)) // lowest id wins
+    // doc 2's verdict must equal the agreement measurement itself —
+    // banding may or may not surface a 1-token-change candidate at
+    // (4 bands x 4 rows); if it does, the drop tracks sigAgreement
+    val agree2 = sigs.filter(col("doc_id") === 2L).as("a")
+      .crossJoin(hist.filter(col("doc_id") === 100L).as("b"))
+      .select(NearDup.sigAgreement(col("a.sig"), col("b.sig")).as("ag"))
+      .collect().head.getDouble(0)
+    if (dropped.contains(2L)) assert(agree2 >= minAgree)
+    // sanity: the estimator separates near-dup from unrelated
+    val agree3 = sigs.filter(col("doc_id") === 3L).as("a")
+      .crossJoin(hist.filter(col("doc_id") === 100L).as("b"))
+      .select(NearDup.sigAgreement(col("a.sig"), col("b.sig")).as("ag"))
+      .collect().head.getDouble(0)
+    assert(agree2 > agree3)
+  }
 }

@@ -317,6 +317,43 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(hist).distinct().count() == 3)
   }
 
+  test("incremental near-dup: signature history drops token-identical re-sends across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (hist, out, mark, ckp) =
+      (tmp("nd-hist"), tmp("nd-out"), tmp("nd-mark"), tmp("nd-ckp"))
+    Seq(hist, out).foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+
+    def run(): Unit = {
+      val q = Streams.incrementalNearDupSink(docs, "doc_id", "text",
+        hist, out, mark, ckp, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    // batch 1: d2 is a case/whitespace variant of d1 (identical token
+    // sequence -> identical signatures, agreement 1.0); d3 distinct
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "  The  QUICK brown fox jumps over the lazy dog AGAIN "),
+      (3L, "completely different content about spark query engines"))
+    run()
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+
+    // batch 2: d4 re-sends d3's token stream (cross-batch near-dup via
+    // the signature history, md5 fingerprints would differ); d5 fresh
+    mem.addData(
+      (4L, "Completely DIFFERENT content about spark query engines!"),
+      (5L, "entirely new document with its own words"))
+    run()
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 5L))
+    // history carries signatures for exactly the survivors
+    assert(spark.read.parquet(hist).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 5L))
+  }
+
   test("transformWithState TTL dedup matches the flatMapGroupsWithState semantics") {
     // Spark 4's arbitrary-state API; requires the RocksDB state store.
     implicit val sqlCtx = spark.sqlContext
