@@ -215,6 +215,25 @@ object Vectors extends QueryModule {
           transform(col("ev"), x => x * lit(1.01)).as("ev")))
       Similarity.cosineNearDupPairs(withDupes, dim = 64, minCosine = 0.95)
     }),
+
+    // SemDeDup composition: coarse cells (literal centroids, zero-shuffle
+    // assignment) -> within-cell exact-cosine pairs (keyed self-join;
+    // clustering bounds candidates at sum(cell^2), not n^2) -> connected
+    // components -> min-id representative per group. Same injected scaled
+    // copies as q33; full per-row verdict is the output.
+    "q98_semantic_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = base(t)
+      val withDupes = e.unionAll(e.filter(col("id") % 100 === 0)
+        .select((col("id") + 200000).as("id"),
+          transform(col("ev"), x => x * lit(1.01)).as("ev")))
+      val cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      Similarity.semanticDedup(withDupes, cents, minCosine = 0.95)
+    }),
   )
 
   private val toksSql =
@@ -587,5 +606,48 @@ object Vectors extends QueryModule {
         |)
         |SELECT vkey, count(*) AS n_copies, min(id) AS id
         |FROM keyed GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    // q36's nearest-centroid assignment + q33's exact-cosine verify
+    // (within cells) + q90's recursive-CTE reachability, joined back so
+    // every row carries its verdict.
+    "q98_semantic_dedup" ->
+      s"""WITH RECURSIVE b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), wd AS (
+        |  SELECT * FROM b
+        |  UNION ALL
+        |  SELECT id + 200000 AS id, list_transform(ev, x -> x * 1.01) AS ev
+        |  FROM b WHERE id % 100 = 0
+        |), c AS (
+        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT id, ev, cell FROM (
+        |    SELECT wd.id, wd.ev, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY wd.id
+        |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+        |    FROM wd CROSS JOIN c
+        |  ) WHERE arn = 1
+        |), fpairs AS (
+        |  SELECT a.id AS d1, b2.id AS d2
+        |  FROM assigned a JOIN assigned b2
+        |    ON a.cell = b2.cell AND a.id < b2.id
+        |  WHERE ${cosineSqlFor("a.ev", "b2.ev")} >= 0.95
+        |), sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM fpairs
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM fpairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+        |), clusters AS (
+        |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        |)
+        |SELECT a.id, a.cell,
+        |       coalesce(cl.cluster_id, a.id) AS cluster_id,
+        |       (cl.node IS NULL OR cl.cluster_id = a.id) AS keep
+        |FROM assigned a LEFT JOIN clusters cl ON a.id = cl.node""".stripMargin,
   )
 }

@@ -164,6 +164,54 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style semantic dedup (the embedding-space member of the
+    * dedup family: exact md5 < MinHash shingles < THIS — paraphrases and
+    * re-encodings share no n-grams but sit at cosine ≈ 1): cluster the
+    * corpus into coarse cells, verify exact cosine ≥ `minCosine` for
+    * within-cell pairs only, resolve duplicate groups, keep one
+    * representative per group.
+    *
+    * Scale shape: cell assignment is [[IVF.assign]] — literal centroids,
+    * pure codegen'd projection, NO shuffle; the verify self-join is keyed
+    * by cell, so candidate cost is Σ|cell|² not n² — the clustering is
+    * exactly what makes pairwise cosine tractable (with balanced cells,
+    * n²/C pairs; size `cents` so cells fit the budget). Group resolution
+    * is [[graft.dedup.NearDup.connectedComponents]] (pointer-doubling,
+    * O(log diameter) rounds); representatives are min-id (`keep`) — feed
+    * the output to [[graft.dedup.NearDup.clusterRepresentatives]] for a
+    * quality-scored pick instead.
+    *
+    * CACHING CONTRACT: the assigned frame persists internally (it feeds
+    * both self-join arms and the final label join); call
+    * `spark.catalog.clearCache()` between invocations in a long-lived
+    * session, as Bench/Verify do.
+    *
+    * Cross-cell near-dups at the cell boundary are missed by design
+    * (SemDeDup's stated trade-off); mitigate with more/better-trained
+    * centroids, not a wider join.
+    *
+    * @param base  (id, ev: array<double>) corpus
+    * @param cents literal centroids ([[IVF.collectCentroids]] /
+    *              [[KMeans.lloydStep]] output)
+    * @return (id, cell, cluster_id, keep) — every corpus row; singletons
+    *         keep with their own id as cluster_id */
+  def semanticDedup(base: DataFrame, cents: Seq[(Long, Seq[Double])],
+      minCosine: Double): DataFrame = {
+    val assigned = IVF.assign(base, cents).persist()
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosineNative(col("a.ev"), col("b.ev")) >= minCosine)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+    val clusters = graft.dedup.NearDup.connectedComponents(pairs)
+      .withColumnRenamed("node", "id")
+    assigned.select(col("id"), col("cell"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   /** ANN via LSH buckets: candidates = rows sharing the query's bucket,
     * reranked by exact cosine, top-k per query (two-phase — see
     * [[bruteForceTopK]]). Recall < 1 by construction; raise it with more

@@ -292,4 +292,25 @@ class SimilaritySpec extends SparkSuite {
       .groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reassigned == Map(0L -> 10L, 1L -> 10L))
   }
+
+  test("semanticDedup: scaled copies collapse to min-id groups, cross-cell pairs honestly missed") {
+    import spark.implicits._
+    // two well-separated directions; 1/2/3 are scaled copies of each
+    // other (cosine 1), 10 sits alone near the second axis, 11 is a
+    // scaled copy of 10
+    val pts = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(2.0, 0.02)), (3L, Seq(0.5, 0.005)),
+      (10L, Seq(0.01, 1.0)), (11L, Seq(0.03, 3.0)),
+      (20L, Seq(0.7, 0.7))) // equidistant-ish: dup of nobody
+      .toDF("id", "ev")
+    val cents = Seq((0L, Seq(1.0, 0.0): Seq[Double]), (1L, Seq(0.0, 1.0): Seq[Double]))
+    val out = Similarity.semanticDedup(pts, cents, minCosine = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)) && out(3L) == ((1L, false)))
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    assert(out(20L)._2) // singleton keeps, cluster = own id
+    assert(out.size == 6) // every input row carries a verdict
+  }
 }
