@@ -47,6 +47,15 @@ object Text extends QueryModule {
   private val (linePer, lineMinTokens) = (12, 5)
   private val vocabTopN = 50
 
+  /** q99: 16-token language-ID segments. q101: the split being audited. */
+  private val segPer = 16
+  private val leakSalt = "spl-leak"
+  private val leakSplits =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
   /** q82: at most 15 docs per source (sf sources hold 25 each, so the
     * cap genuinely cuts). */
   private val (capK, capSalt) = (15, "cap")
@@ -376,6 +385,27 @@ object Text extends QueryModule {
     "q97_token_accounting" -> ((s, dir) =>
       graft.text.Corpus.tokenAccounting(Tables(s, dir).documents,
         "source", "text")),
+
+    // Segment-level language mixing (code-switching detector): per-doc
+    // language profile from per-16-token-segment language ID — the
+    // granularity whole-doc q21 can't see. Zero-shuffle segmentation,
+    // two keyed aggs.
+    "q99_language_mix" -> ((s, dir) =>
+      graft.text.Segments.languageMix(Tables(s, dir).documents,
+        "doc_id", "text", segPer)),
+
+    // Tokenizer application: every token to its q78-vocabulary rank
+    // (OOV -> 0), long form (doc, pos, id). Corpus side never shuffles;
+    // the vocab join broadcasts.
+    "q100_token_ids" -> ((s, dir) =>
+      graft.text.Spans.encodeTokens(Tables(s, dir).documents,
+        "doc_id", "text", vocabTopN)),
+
+    // Split-leakage audit: normalized-fingerprint groups spanning the
+    // train split and any eval split. One scan-side md5 + one keyed agg.
+    "q101_split_leakage" -> ((s, dir) =>
+      graft.text.Corpus.splitLeakage(Tables(s, dir).documents,
+        "doc_id", "text", leakSalt, leakSplits)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -865,5 +895,86 @@ object Text extends QueryModule {
         |         / CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE)
         |         AS token_share
         |FROM g""".stripMargin,
+
+    // Per-segment language ID mirrors q21's CASE over each 16-token
+    // slice; the mode window and per-doc fold mirror languageMix.
+    "q99_language_mix" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, len(toks) - 1, $segPer)) AS st,
+        |         toks
+        |  FROM t WHERE len(toks) > 0
+        |), seg AS (
+        |  SELECT doc_id, list_slice(toks, st + 1, st + $segPer) AS ctoks FROM e
+        |), h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ctoks, t -> t IN ${inList(TextAnalysis.stopEn)})) AS en,
+        |    len(list_filter(ctoks, t -> t IN ${inList(TextAnalysis.stopEs)})) AS es,
+        |    len(list_filter(ctoks, t -> t IN ${inList(TextAnalysis.stopDe)})) AS de,
+        |    len(list_filter(ctoks, t -> t IN ${inList(TextAnalysis.stopFr)})) AS fr
+        |  FROM seg
+        |), l AS (
+        |  SELECT doc_id,
+        |         CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |              WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |              WHEN de >= fr AND de > 0 THEN 'de'
+        |              WHEN fr > 0 THEN 'fr'
+        |              ELSE 'und' END AS lang
+        |  FROM h
+        |), c AS (
+        |  SELECT doc_id, lang, count(*) AS k FROM l GROUP BY 1, 2
+        |), r AS (
+        |  SELECT doc_id, lang, k,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY k DESC, lang) AS rn
+        |  FROM c
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_segments,
+        |       count(*) AS n_langs,
+        |       max(CASE WHEN rn = 1 THEN lang END) AS main_lang,
+        |       CAST(max(CASE WHEN rn = 1 THEN k END) AS DOUBLE)
+        |         / CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) AS main_frac
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q78's vocabulary chain feeding a positional token join;
+    // list_zip(toks, range) is the q58 position idiom.
+    "q100_token_ids" ->
+      s"""WITH pd AS (
+        |  SELECT token, doc_id, count(*) AS k
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2
+        |), v0 AS (
+        |  SELECT token, CAST(sum(k) AS BIGINT) AS freq FROM pd GROUP BY 1
+        |), top AS (SELECT * FROM v0 ORDER BY freq DESC, token LIMIT $vocabTopN),
+        |v AS (
+        |  SELECT token,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM top
+        |), tok AS (
+        |  SELECT doc_id, pr[1] AS token, CAST(pr[2] AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, unnest(list_zip(toks, range(0, len(toks)))) AS pr
+        |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        |)
+        |SELECT t.doc_id, t.pos,
+        |       CAST(coalesce(v.rank, 0) AS BIGINT) AS token_id
+        |FROM tok t LEFT JOIN v USING (token)""".stripMargin,
+
+    "q101_split_leakage" ->
+      s"""WITH a AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        |         ${graft.ops.Sampling.splitCaseSql("doc_id", leakSalt, leakSplits)} AS split
+        |  FROM documents
+        |)
+        |SELECT fp,
+        |       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |       CAST(sum(CASE WHEN split = 'train' THEN 0 ELSE 1 END) AS BIGINT) AS n_eval,
+        |       min(CASE WHEN split = 'train' THEN doc_id END) AS train_id,
+        |       min(CASE WHEN split <> 'train' THEN doc_id END) AS eval_id
+        |FROM a GROUP BY 1
+        |HAVING sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+        |   AND sum(CASE WHEN split = 'train' THEN 0 ELSE 1 END) > 0""".stripMargin,
   )
 }

@@ -67,6 +67,37 @@ object Corpus {
       .select(col("r.*"))
   }
 
+  /** Train/eval split-leakage audit — the contamination check a split
+    * assignment needs AFTER the fact: normalized-fingerprint groups that
+    * span the train split and any eval split. A dedup pass before
+    * splitting prevents exact leakage, but pipelines that split first
+    * (or merge corpora post-split) re-introduce it; q55's
+    * decontamination catches n-gram overlap with EXTERNAL benchmarks,
+    * this catches the corpus leaking into its OWN eval splits.
+    *
+    * One fingerprint projection (scan-side md5) + one keyed aggregation
+    * with conditional counts — the same single-shuffle shape as exact
+    * dedup, so it runs at corpus scale as a routine audit.
+    *
+    * @param splits as [[graft.ops.Sampling.assignSplit]]; every
+    *               non-"train" label counts as eval
+    * @return (fp, n_train, n_eval, train_id, eval_id) — one row per
+    *         LEAKED fingerprint (present on both sides); the id pair is
+    *         the lowest-id example from each side for triage */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      salt: String, splits: Seq[(String, Double)]): DataFrame = {
+    val assigned = Sampling.assignSplit(
+      docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      col(idCol), salt, splits)
+    val isTrain = col("split") === "train"
+    assigned.groupBy(col("__fp").as("fp"))
+      .agg(sum(when(isTrain, 1L).otherwise(0L)).as("n_train"),
+        sum(when(isTrain, 0L).otherwise(1L)).as("n_eval"),
+        min(when(isTrain, col(idCol))).as("train_id"),
+        min(when(!isTrain, col(idCol))).as("eval_id"))
+      .filter(col("n_train") > 0 && col("n_eval") > 0)
+  }
+
   /** Token accounting — the mixture dashboard every corpus pipeline
     * keeps: documents, token mass, and corpus share per group (source /
     * language / split). This is the input to choosing q66's mixing rates

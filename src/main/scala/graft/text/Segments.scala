@@ -162,4 +162,43 @@ object Segments {
         size(col("__chunk")).cast("long").as("n_tokens"),
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
+
+  /** Segment-level language mixing (code-switching detector): documents
+    * that LOOK like one language at whole-doc granularity (q21) can be
+    * half-and-half at segment granularity — public pipelines run
+    * language ID per paragraph for exactly this reason (a mixed doc
+    * pollutes whichever monolingual bucket it lands in). Chunk into
+    * non-overlapping `segTokens`-token segments ([[chunkWithStride]] —
+    * zero shuffles), language-ID each segment
+    * ([[TextAnalysis.langId]] on the already-normalized chunk tokens),
+    * then fold to a per-doc profile. Two keyed aggregations; the mode
+    * window partitions by doc over ≤ |langs| rows.
+    *
+    * `n_langs` counts distinct segment verdicts INCLUDING 'und' —
+    * an unidentifiable segment inside an English doc is itself a
+    * mixing signal (code blocks, tables, boilerplate).
+    *
+    * @return (idCol, n_segments, n_langs, main_lang, main_frac);
+    *         main_lang = most frequent segment verdict, count ties
+    *         broken lexicographically on the code — deterministic
+    *         cross-engine. Token-free docs have no segments, drop out */
+  def languageMix(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = chunkWithStride(docs, idCol, textCol, segTokens, segTokens)
+      .withColumn("lang",
+        TextAnalysis.langId(split(col("chunk_text"), " ")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("k").desc, col("lang"))
+    segs.groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("k"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("main_lang"),
+        max(when(col("rn") === 1, col("k"))).as("__mk"))
+      .withColumn("main_frac",
+        col("__mk").cast("double") / col("n_segments").cast("double"))
+      .drop("__mk")
+  }
 }

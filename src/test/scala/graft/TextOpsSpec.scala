@@ -213,6 +213,67 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == out(1L))
   }
 
+  test("languageMix: half-and-half docs profile as mixed, monolingual docs as pure") {
+    import graft.text.Segments
+    val en16 = Seq.fill(8)("the cat").mkString(" ")   // 16 tokens, en
+    val es16 = Seq.fill(8)("el gato").mkString(" ")   // 16 tokens, es
+    val docs = Seq(
+      (1L, s"$en16 $es16"),             // 2 segments: en + es
+      (2L, "the quick brown fox is in the yard"), // 1 segment, en
+      (3L, "zzz qqq www rrr")            // no stopwords -> und
+    ).toDF("doc_id", "text")
+    val out = Segments.languageMix(docs, "doc_id", "text", segTokens = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    // count tie (1 en, 1 es) breaks lexicographically -> en
+    assert(out(1L) == ((2L, 2L, "en", 0.5)))
+    assert(out(2L) == ((1L, 1L, "en", 1.0)))
+    assert(out(3L) == ((1L, 1L, "und", 1.0)))
+  }
+
+  test("encodeTokens: ranks from the trained vocabulary, OOV to 0, positions preserved") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa aa bb zz")).toDF("doc_id", "text")
+    // freqs: aa=4, bb=2, cc=1, zz=1 -> top-2 vocab: aa=1, bb=2
+    val out = Spans.encodeTokens(docs, "doc_id", "text", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 0L)) == 1L && out((1L, 1L)) == 2L)
+    assert(out((1L, 2L)) == 1L && out((1L, 3L)) == 0L) // cc OOV
+    assert(out((2L, 3L)) == 0L)                         // zz OOV
+    assert(out.size == 8)
+  }
+
+  test("splitLeakage: flags exactly the fingerprint groups spanning train and eval") {
+    import graft.text.Corpus
+    import graft.ops.Sampling
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    // 40 docs: ids 0..19 share text A (whitespace variants), 20..29 share
+    // text B, 30..39 all distinct
+    val docs = ((0L until 20L).map(i => (i, if (i % 2 == 0) "shared text alpha" else " SHARED  text Alpha "))
+      ++ (20L until 30L).map(i => (i, "shared text beta"))
+      ++ (30L until 40L).map(i => (i, s"unique text number $i"))).toDF("doc_id", "text")
+    val out = Corpus.splitLeakage(docs, "doc_id", "text", "s1", splits)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent expectation: assign splits directly, group by fingerprint
+    val assigned = Sampling.assignSplit(
+        docs.withColumn("__fp", graft.text.TextAnalysis.fingerprint(col("text"))),
+        col("doc_id"), "s1", splits)
+      .select("__fp", "split", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = assigned.groupBy(_._1).collect {
+      case (fp, rows) if rows.exists(_._2 == "train") && rows.exists(_._2 != "train") =>
+        fp -> ((rows.count(_._2 == "train").toLong,
+          rows.count(_._2 != "train").toLong,
+          rows.filter(_._2 == "train").map(_._3).min,
+          rows.filter(_._2 != "train").map(_._3).min))
+    }.toMap
+    assert(expected.nonEmpty) // 20 copies can't all land in one side
+    assert(out == expected)
+  }
+
   test("tokenAccounting: shares sum to 1 and reflect token mass, not doc count") {
     import graft.text.Corpus
     val docs = Seq(
