@@ -112,6 +112,50 @@ object ScaleProbe {
       }
       skewed.unpersist()
 
+      // span runs: replicas make EVERY gram df >= 2 — worst case (all
+      // positions duplicated, maximal run lengths, the (h, doc) join at
+      // its largest); persist-internal, so clearCache after
+      val docs3 = replicate(t.documents, "doc_id", m).persist()
+      docs3.count()
+      time(s"span_runs_x$m") {
+        val n = text.Spans.duplicatedSpanRuns(docs3, "doc_id", "text", w = 7).count()
+        spark.catalog.clearCache(); n
+      }
+      docs3.unpersist()
+
+      // semantic dedup: replicas are exact copies (cosine 1 in every
+      // pair), so every dup group has m members — m² pair growth inside
+      // cells is the stress; centroid count scales with the corpus (the
+      // documented sizing rule: cells bound the self-join, so C must
+      // grow with n — 16 cells at 1x, 16·m at m×)
+      val emb2 = replicate(
+        t.embeddings.select(col("vec_id").as("id"),
+          similarity.Similarity.toDouble(col("embedding")).as("ev")), "id", m).persist()
+      emb2.count()
+      val cents2 = similarity.IVF.collectCentroids(
+        emb2.orderBy(col("id")).limit(16 * m)
+          .select(col("id").as("cid"), col("ev").as("cv")), "cid", "cv")
+      time(s"semantic_dedup_x$m") {
+        val n = similarity.Similarity.semanticDedup(emb2, cents2, 0.999).count()
+        spark.catalog.clearCache(); n
+      }
+      emb2.unpersist()
+
+      // streaming near-dup step: a FIXED 1x batch against a history that
+      // grows m× — the per-epoch cost curve a long-running stream sees
+      val histSigs = replicate(
+        dedup.NearDup.minhashSignatures(t.documents, "doc_id", "text",
+          hash = functions.Hash64.fast60), "doc_id", m).persist()
+      histSigs.count()
+      val batchSigs = dedup.NearDup.minhashSignatures(
+        t.documents.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000000L),
+        "doc_id", "text", hash = functions.Hash64.fast60)
+      time(s"neardup_increment_x$m") {
+        dedup.NearDup.nearDupIncrement(batchSigs, histSigs, "doc_id").count()
+      }
+      histSigs.unpersist()
+
       val ev = replicate(t.events.select("event_id", "user_id", "event_type", "ts"),
         "event_id", m).persist()
       ev.count()

@@ -406,6 +406,13 @@ object Text extends QueryModule {
     "q101_split_leakage" -> ((s, dir) =>
       graft.text.Corpus.splitLeakage(Tables(s, dir).documents,
         "doc_id", "text", leakSalt, leakSplits)),
+
+    // TF-IDF keyword extraction: top-5 tokens per doc by tf * N/df
+    // (linear idf — bm25's log-free bit-parity rationale). Three keyed
+    // shuffles; rank window partitions by doc.
+    "q102_tfidf_keywords" -> ((s, dir) =>
+      graft.text.Retrieval.tfidfKeywords(Tables(s, dir).documents,
+        "doc_id", "text", k = 5)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -976,5 +983,28 @@ object Text extends QueryModule {
         |FROM a GROUP BY 1
         |HAVING sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
         |   AND sum(CASE WHEN split = 'train' THEN 0 ELSE 1 END) > 0""".stripMargin,
+
+    "q102_tfidf_keywords" ->
+      s"""WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, token, tf,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM tf
+        |), nd AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |         CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE)
+        |           AS score
+        |  FROM wd, nd
+        |)
+        |SELECT doc_id, rn, token, tf, df, score FROM (
+        |  SELECT doc_id, token, tf, df, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, token) AS BIGINT) AS rn
+        |  FROM scored
+        |) WHERE rn <= 5""".stripMargin,
   )
 }

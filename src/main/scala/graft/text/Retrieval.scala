@@ -70,6 +70,44 @@ object Retrieval {
         score.as("score"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `k` tokens of each
+    * document by `tf · N/df` — [[bm25]] turned inward (rank a document's
+    * own terms instead of documents against a query). The idf is the
+    * LINEAR ratio N/df, log-free for the same cross-engine bit-parity
+    * reason as bm25's RSJ ratio; the hyperbolic df discount is what the
+    * ranking needs, the log only compresses it.
+    *
+    * Plan: one (token, doc) tf aggregation, df as a count window over
+    * the token key (partition = the token's df, the BM25/q73 bound), the
+    * one-row N broadcast back, then a per-doc rank window (partition =
+    * the document's distinct tokens — bounded by doc length, never
+    * corpus size). Three keyed shuffles, no joins of corpus-sized
+    * frames.
+    *
+    * @return (idCol, rn, token, tf, df, score) — rn 1..k by
+    *         (score desc, token asc), deterministic cross-engine */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(count(lit(1)).as("__n")) // 1 row
+    val tf = docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("__n").cast("double") /
+          col("df").cast("double"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("score").desc, col("token"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** The DuckDB oracle for [[bm25]], generated from the SAME constants and
     * term list so the arithmetic shape cannot drift between engines. */
   def bm25OracleSql(toksSql: String, terms: Seq[String],

@@ -213,6 +213,23 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == out(1L))
   }
 
+  test("tfidfKeywords: rare-but-frequent-in-doc tokens outrank ubiquitous ones") {
+    import graft.text.Retrieval
+    val docs = Seq(
+      (1L, "spark spark spark the the common"),
+      (2L, "the common words here"),
+      (3L, "the common other text")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1: 'spark' tf=3 df=1 -> score 9; 'the' tf=2 df=3 -> 2; 'common' 1
+    assert(out((1L, 1L)) == (("spark", 3L, 1L, 9.0)))
+    assert(out((1L, 2L)) == (("the", 2L, 3L, 2.0)))
+    // doc 2: hapaxes 'here'/'words' score 3, ties break on token asc
+    assert(out((2L, 1L))._1 == "here" && out((2L, 2L))._1 == "words")
+    assert(out.keySet.map(_._1) == Set(1L, 2L, 3L))
+  }
+
   test("languageMix: half-and-half docs profile as mixed, monolingual docs as pure") {
     import graft.text.Segments
     val en16 = Seq.fill(8)("the cat").mkString(" ")   // 16 tokens, en
