@@ -54,6 +54,41 @@ object Anomaly {
       .drop("__n", "__s", "__ss", "__sd")
   }
 
+  /** Robust per-group outliers — [[zscoreFilter]]'s 50%-breakdown
+    * sibling: mean/stddev are themselves dragged by the outliers they
+    * hunt (one 10⁹ value in a 10³ group shifts the mean past every real
+    * anomaly); the median and the Median Absolute Deviation move only
+    * when HALF the group does. Flag = |v − median| > k·MAD, all in
+    * integer cents arithmetic — no doubles anywhere, so the verdict is
+    * trivially exact cross-engine. Medians are [[Quantiles.exact]]'s
+    * DISCRETE rank-selected quantiles (the q40 determinism rationale).
+    *
+    * Plan: two grouped median passes (each one keyed window sort — the
+    * exactness cost, see [[Quantiles.exact]]; substitute
+    * [[Quantiles.approx]] cuts per group for the sketched 100 TB path)
+    * + two joins of group-cardinality stat frames (AQE broadcasts
+    * them). The deviation frame feeds the second median AND the final
+    * verdict — two evaluations of one scan+broadcast-join arm, cheaper
+    * than persisting a corpus-sized intermediate.
+    *
+    * Constant groups: MAD = 0, so ANY deviation (> k·0) flags — correct
+    * for "everything was X, suddenly Y". With MAD = 0 and v = median
+    * nothing flags. No NaN path exists (integer arithmetic only).
+    *
+    * @return df + (med, mad, is_outlier) */
+  def robustOutliers(df: DataFrame, grp: Seq[String], centsCol: String,
+      k: Long = 3L): DataFrame = {
+    val med = Quantiles.exact(df, grp.map(col), col(centsCol), Seq(0.5))
+      .withColumnRenamed("p50", "med")
+    val dev = df.join(med, grp)
+      .withColumn("__dev", abs(col(centsCol) - col("med")))
+    val mad = Quantiles.exact(dev, grp.map(col), col("__dev"), Seq(0.5))
+      .select((grp.map(col) :+ col("p50").as("mad")): _*)
+    dev.join(mad, grp)
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("mad"))
+      .drop("__dev")
+  }
+
   /** X1: deaths flag + KDA ratio with the div-by-zero guard (P7 `greatest`). */
   def kda(kills: Column, assists: Column, deaths: Column): Column =
     (kills + assists) / greatest(deaths, lit(1))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{AsOf, Exact, Quantiles, RangeJoin, Sampling}
+import graft.ops.{Anomaly, AsOf, Exact, Quantiles, RangeJoin, Sampling}
 
 /** Relational/OLAP surface beyond the reference: as-of join, bucketed
   * range join, exact+sketch quantiles, pivot, rollup grouping sets, and
@@ -62,6 +62,16 @@ object Relational extends QueryModule {
           sum(Exact.cents(col("value"))).as("sum_cents"))
         .withColumn("avg_value", Exact.avgFromCents(col("sum_cents"), col("n_events")))
         .drop("sum_cents")
+    }),
+
+    // Robust (median/MAD) outliers per event_type: the 50%-breakdown
+    // sibling of q07's z-score — integer cents arithmetic end to end,
+    // discrete rank-selected medians (q40's determinism).
+    "q103_robust_outliers" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("cents", Exact.cents(col("value")))
+        .select(col("event_id"), col("event_type"), col("cents"))
+      Anomaly.robustOutliers(ev, Seq("event_type"), "cents")
     }),
 
     // Exact discrete latency-style quantiles per event_type (rank
@@ -390,6 +400,32 @@ object Relational extends QueryModule {
         |FROM events e JOIN incidents i
         |  ON e.ts >= i.w_start AND e.ts < i.w_end
         |GROUP BY 1""".stripMargin,
+
+    "q103_robust_outliers" ->
+      s"""WITH e AS (
+        |  SELECT event_id, event_type, $centsSql AS cents FROM events
+        |), r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), med AS (
+        |  SELECT event_type, max(CASE WHEN rn = ceil(0.5 * n) THEN cents END) AS med
+        |  FROM r1 GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_id, e.event_type, e.cents, med.med,
+        |         abs(e.cents - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)
+        |), r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d
+        |), mad AS (
+        |  SELECT event_type, max(CASE WHEN rn = ceil(0.5 * n) THEN dev END) AS mad
+        |  FROM r2 GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.cents, d.med, mad.mad,
+        |       (d.dev > 3 * mad.mad) AS is_outlier
+        |FROM d JOIN mad USING (event_type)""".stripMargin,
 
     "q40_quantiles" ->
       s"""WITH ranked AS (

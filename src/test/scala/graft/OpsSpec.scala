@@ -161,4 +161,31 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == pr) // integer arithmetic: partitioning-independent
   }
+
+  test("robustOutliers catches what the dragged mean hides; constant groups flag nothing") {
+    import spark.implicits._
+    val df = (
+      // group a: mean 208, sd ~440 -> z(1000) ≈ 1.8 misses at 3σ;
+      // median 10, MAD 0 -> 1000 flags
+      Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+        (5L, "a", 1000L))
+      // group b: MAD > 0 — only the 100 exceeds 3·MAD around median 3
+      ++ Seq((6L, "b", 1L), (7L, "b", 2L), (8L, "b", 3L), (9L, "b", 4L),
+        (10L, "b", 100L))
+      // group c: constant -> MAD 0, zero deviation, nothing flags
+      ++ Seq((11L, "c", 5L), (12L, "c", 5L))
+    ).toDF("id", "g", "cents")
+    val out = Anomaly.robustOutliers(df, Seq("g"), "cents")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("med"), r.getAs[Long]("mad"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out(5L) == ((10L, 0L, true)))
+    assert((1L to 4L).forall(out(_) == ((10L, 0L, false))))
+    assert(out(10L) == ((3L, 1L, true)))
+    assert((6L to 9L).forall(!out(_)._3))
+    assert(out(11L) == ((5L, 0L, false)) && out(12L) == ((5L, 0L, false)))
+    // the z-score sibling genuinely misses group a's outlier at 3σ
+    val z = Anomaly.zscoreFilter(
+      df.filter(col("g") === "a").select(col("id"), col("cents")), "cents", 3.0)
+    assert(z.count() == 0)
+  }
 }
