@@ -60,6 +60,70 @@ object PageRank {
       (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
+  /** Synchronous label propagation — community detection, the
+    * modularity-flavored sibling of
+    * [[graft.dedup.NearDup.connectedComponents]]: CC fuses anything
+    * reachable; LPA keeps weakly-bridged regions apart because labels
+    * advance by NEIGHBOR MAJORITY, not mere reachability. The classic
+    * async sweep is visit-order-dependent (useless for reproducible
+    * pipelines); this is the synchronous variant with a TOTAL tie-break
+    * — per node take the most frequent neighbor label, count ties to
+    * the smallest label — so a fixed iteration count gives a
+    * deterministic, engine-portable labeling (the oracle unrolls the
+    * identical recurrence). Sync LPA can oscillate on bipartite
+    * structure; fixed small `iters` (the published mitigation) bounds
+    * that and the plan.
+    *
+    * Scale shape: per iteration ONE keyed edge×labels join + a
+    * map-side-combinable (node, lab) count + an argmax as
+    * `max(struct(c, −lab))` — no window over the corpus. Each
+    * generation is referenced once, so lineage grows linearly (the
+    * PageRank property, not CC's 3-way self-reference).
+    *
+    * @return (node, community) — every edge endpoint labeled */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    (1 to iters).foreach { _ =>
+      labels = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("b"))
+        .select(col("node"), (-col("b.nl")).as("lab"))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
+  /** DuckDB oracle for [[labelPropagation]], unrolled from the same
+    * recurrence. `edgeSql` must yield columns (src, dst). */
+  def labelPropagationOracleSql(edgeSql: String, iters: Int = 3): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT s.src AS node, l.lab, count(*) AS c
+         |  FROM sym s JOIN l${k - 1} l ON s.dst = l.node GROUP BY 1, 2
+         |), l$k AS (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, lab) AS rn
+         |    FROM c$k) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql)),
+      |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+      |$steps
+      |SELECT node, lab AS community FROM l$iters""".stripMargin
+  }
+
   /** DuckDB oracle for [[pageRank]], unrolled from the same constants.
     * `edgeSql` must yield columns (src, dst). */
   def pageRankOracleSql(edgeSql: String, iters: Int = 3,

@@ -247,6 +247,18 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRank(edges, "src", "dst")
     }),
 
+    // Synchronous label propagation over the same customer-supplier
+    // graph: majority-vote communities (reachability-blind, unlike q37's
+    // CC), deterministic via the total (count desc, label asc) tie-break.
+    "q104_label_prop" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      graft.ops.PageRank.labelPropagation(edges, "src", "dst")
+    }),
+
     // Z-order clustering key: Morton interleave as a native codegen'd
     // expression (the write path is Partitioned.writeZOrdered; this query
     // proves the key itself is engine-exact).
@@ -545,6 +557,11 @@ object Relational extends QueryModule {
 
     "q63_pagerank" ->
       graft.ops.PageRank.pageRankOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q104_label_prop" ->
+      graft.ops.PageRank.labelPropagationOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
 

@@ -162,6 +162,30 @@ class OpsSpec extends SparkSuite {
     assert(again == pr) // integer arithmetic: partitioning-independent
   }
 
+  test("labelPropagation separates weakly-bridged cliques that CC fuses") {
+    import spark.implicits._
+    // two 4-cliques joined by ONE bridge edge: connected components fuses
+    // them into one cluster; majority-vote LPA keeps them apart (each
+    // bridge endpoint has 3 in-clique neighbors vs 1 across)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L))
+      :+ ((4L, 10L))).toDF("s", "d")
+    val lpa = PageRank.labelPropagation(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Seq(1L, 2L, 3L, 4L).map(lpa)
+    val right = Seq(10L, 11L, 12L, 13L).map(lpa)
+    assert(left.distinct.size == 1 && right.distinct.size == 1)
+    assert(left.head != right.head)
+    val cc = graft.dedup.NearDup.connectedComponents(edges.toDF("d1", "d2"))
+      .select("cluster_id").distinct().count()
+    assert(cc == 1) // the contrast: reachability fuses what LPA separates
+    // determinism across partitionings (pure argmax recurrence)
+    val again = PageRank.labelPropagation(edges.repartition(7), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == lpa)
+  }
+
   test("robustOutliers catches what the dragged mean hides; constant groups flag nothing") {
     import spark.implicits._
     val df = (
