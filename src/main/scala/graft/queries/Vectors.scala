@@ -185,6 +185,19 @@ object Vectors extends QueryModule {
         .withColumn("pos", col("pos").cast("long"))
     }),
 
+    // Chunk -> document embedding mean-pooling: vec_id div 10 groups
+    // stand in for chunks of one document; exact quantized per-key mean
+    // (the lloydStep update with the doc as the key). Long-form output
+    // (the comparator cannot sort arrays).
+    "q105_embedding_pool" -> ((s, dir) => {
+      val grouped = base(Tables(s, dir))
+        .withColumn("doc", expr("id div 10"))
+      graft.similarity.KMeans.exactMeanByKey(grouped, "doc", "ev")
+        .select(col("doc"), col("n"),
+          posexplode(col("vec")).as(Seq("pos", "c")))
+        .withColumn("pos", col("pos").cast("long"))
+    }),
+
     // PQ encode: per-subspace argmin against literal sub-codebooks —
     // one codegen'd scan-projection, no shuffle; code emitted as a
     // comma-joined string (the comparator cannot sort arrays).
@@ -433,6 +446,23 @@ object Vectors extends QueryModule {
         |  FROM dims GROUP BY 1, 2
         |)
         |SELECT cell, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
+        |FROM sums""".stripMargin,
+
+    "q105_embedding_pool" ->
+      """WITH b AS (
+        |  SELECT vec_id // 10 AS doc,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT doc, CAST(pr[2] AS BIGINT) AS pos,
+        |         CAST(floor(pr[1] * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT doc, unnest(list_zip(ev, range(0, len(ev)))) AS pr
+        |        FROM b)
+        |), sums AS (
+        |  SELECT doc, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+        |  FROM dims GROUP BY 1, 2
+        |)
+        |SELECT doc, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
         |FROM sums""".stripMargin,
 
     "q75_pq_encode" ->

@@ -43,16 +43,32 @@ object KMeans {
       assign: (DataFrame, Seq[(Long, Seq[Double])], String) => DataFrame =
         IVF.assign(_, _, _)): DataFrame = {
     val assigned = assign(base, cents, vecCol)
-    val dims = assigned.select(col("cell"),
+    exactMeanByKey(assigned, "cell", vecCol, scale)
+      .select(col("cell"), col("n"), col("vec").as("centroid"))
+  }
+
+  /** Exact quantized per-key mean of a vector column — [[lloydStep]]'s
+    * centroid update factored out, because it IS the general embedding
+    * pooling operator: mean-pooling chunk embeddings back to document
+    * embeddings (the standard aggregation after chunked encoding) is the
+    * same per-key exact mean with the document as the key. Components
+    * quantize to integers before the one keyed sum (order-independent →
+    * bit-reproducible, oracle-able); dim× row fan-out is scan-bound and
+    * collapses map-side.
+    *
+    * @return (keyCol, n, vec: array<double>) — one row per key */
+  def exactMeanByKey(df: DataFrame, keyCol: String, vecCol: String,
+      scale: Double = 1e6): DataFrame = {
+    val dims = df.select(col(keyCol),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("cell"), col("pos").cast("long").as("pos"),
+      .select(col(keyCol), col("pos").cast("long").as("pos"),
         floor(col("x") * lit(scale)).as("q"))
-    dims.groupBy(col("cell"), col("pos"))
+    dims.groupBy(col(keyCol), col("pos"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .withColumn("m", col("s").cast("double") / col("n") / lit(scale))
-      .groupBy(col("cell"))
+      .groupBy(col(keyCol))
       .agg(max(col("n")).as("n"),
         transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          p => p.getField("m")).as("centroid"))
+          p => p.getField("m")).as("vec"))
   }
 }

@@ -293,6 +293,19 @@ class SimilaritySpec extends SparkSuite {
     assert(reassigned == Map(0L -> 10L, 1L -> 10L))
   }
 
+  test("exactMeanByKey pools chunk embeddings to exact quantized doc means") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(2.0, 1.0)), // doc 0
+      (10L, Seq(4.0, 4.0)))                     // doc 1
+      .toDF("id", "ev").withColumn("doc", expr("id div 10"))
+    val out = graft.similarity.KMeans.exactMeanByKey(pts, "doc", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Double](2).toVector)).toMap
+    assert(out(0L) == ((2L, Vector(1.5, 0.5))))
+    assert(out(1L) == ((1L, Vector(4.0, 4.0))))
+  }
+
   test("semanticDedup: scaled copies collapse to min-id groups, cross-cell pairs honestly missed") {
     import spark.implicits._
     // two well-separated directions; 1/2/3 are scaled copies of each
