@@ -64,10 +64,12 @@ object NearDup {
     * per shingle — not once per hash function — which is both the textbook
     * MinHash construction and 16x less md5 work.
     *
-    * Documents whose text yields no tokens (empty/whitespace-only) produce
-    * no shingle rows and so VANISH from the signature frame — harmless for
-    * candidate generation (nothing to pair), but left-join back to the doc
-    * frame if you need one row per document downstream.
+    * Documents whose text yields no tokens (empty/whitespace-only) all
+    * collapse to the single empty shingle ([[shingles]]' short-doc
+    * branch), so they carry the SAME signature and near-dup each other —
+    * by design for whole-corpus dedup (empty docs ARE duplicates), but
+    * filter them out before incremental flows where pass-through is
+    * wanted (see [[nearDupIncrement]]'s caller contract).
     *
     * @param hash 60-bit string hash: [[Hash64.hash60]] (md5, DuckDB-
     *             oracle-able, the default) or [[Hash64.fast60]] (xxhash64,
@@ -139,9 +141,13 @@ object NearDup {
     * Within-increment resolution is GREEDY: the higher id of every
     * verified pair drops, so a chain a~b~c loses both b and c even though
     * only adjacent pairs verified — the standard streaming-dedup
-    * trade-off (batch pipelines re-cluster exactly: q37 + q90). Docs too
-    * short/empty to produce a signature are absent from `newSigs` and so
-    * never flagged — callers keep them (nothing to near-dup against).
+    * trade-off (batch pipelines re-cluster exactly: q37 + q90).
+    *
+    * CALLER CONTRACT: exclude token-free docs from `newSigs`
+    * ([[minhashSignatures]] gives every empty/whitespace doc the SAME
+    * empty-shingle signature, so unfiltered they all near-dup each
+    * other and every one after the first is dropped). The streaming
+    * sink filters them before signing; do the same.
     *
     * Plan: every join is keyed by (band, band_key) or id — no broadcast
     * of anything corpus-sized, history never self-joins (history-internal

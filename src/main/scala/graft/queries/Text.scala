@@ -883,8 +883,9 @@ object Text extends QueryModule {
         |SELECT doc_id,
         |       CAST(sum(k) AS BIGINT) AS n_bigrams,
         |       CAST(sum(k * cf) AS BIGINT) AS cf_sum,
-        |       CAST(sum(k * cf) AS DOUBLE)
-        |         / CAST(sum(k) * n_total AS DOUBLE) AS coherence
+        |       CAST(CAST(sum(k * cf) AS BIGINT) AS DOUBLE)
+        |         / (CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
+        |            * CAST(n_total AS DOUBLE)) AS coherence
         |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin,
 
     "q97_token_accounting" ->

@@ -346,8 +346,17 @@ object Streams {
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
     val guarded = idempotentSink(markerDir) { (_, batch, _) =>
       val spark = batch.sparkSession
+      // Token-free docs are excluded from signature generation HERE —
+      // [[NearDup.minhashSignatures]] would otherwise give every
+      // empty/whitespace doc the identical empty-shingle signature and
+      // the increment would silently drop all but the first ever seen.
+      // Excluded docs never enter `dropped`, so they pass through; exact
+      // dedup of them is the corpus sink's job, not near-dup's.
       val sigs = graft.dedup.NearDup
-        .minhashSignatures(batch, idCol, textCol, w, k).persist()
+        .minhashSignatures(
+          batch.filter(org.apache.spark.sql.functions.size(
+            graft.text.TextAnalysis.tokens(col(textCol))) > 0),
+          idCol, textCol, w, k).persist()
       try {
         val history =
           if (new java.io.File(historyDir).exists())

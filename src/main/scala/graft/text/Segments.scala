@@ -140,7 +140,18 @@ object Segments {
     *
     * @return (idCol, chunk_idx, start_off, n_tokens, chunk_text) */
   def chunkWithStride(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int, stride: Int): DataFrame = {
+      chunkSize: Int, stride: Int): DataFrame =
+    chunkedTokens(docs, idCol, textCol, chunkSize, stride)
+      .select(col(idCol), col("chunk_idx"), col("start_off"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+
+  /** [[chunkWithStride]] stopped before the text re-join: one row per
+    * chunk with the token ARRAY (`__chunk`) — for consumers that work
+    * on tokens ([[languageMix]]), skipping a join-then-re-split
+    * round-trip over the corpus. Same zero-shuffle plan. */
+  private[text] def chunkedTokens(docs: DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1 && stride >= 1,
       s"chunkSize/stride must be >= 1, got $chunkSize/$stride")
     val n = size(col("__toks"))
@@ -158,9 +169,6 @@ object Segments {
         col("start_off"),
         slice(col("__toks"), (col("start_off") + lit(1L)).cast("int"),
           lit(chunkSize)).as("__chunk"))
-      .select(col(idCol), col("chunk_idx"), col("start_off"),
-        size(col("__chunk")).cast("long").as("n_tokens"),
-        array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
   /** Segment-level language mixing (code-switching detector): documents
@@ -185,9 +193,8 @@ object Segments {
   def languageMix(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val segs = chunkWithStride(docs, idCol, textCol, segTokens, segTokens)
-      .withColumn("lang",
-        TextAnalysis.langId(split(col("chunk_text"), " ")))
+    val segs = chunkedTokens(docs, idCol, textCol, segTokens, segTokens)
+      .withColumn("lang", TextAnalysis.langId(col("__chunk")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("k").desc, col("lang"))
     segs.groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("k"))

@@ -289,9 +289,13 @@ object Spans {
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("cf")).as("cf_sum"))
       .crossJoin(broadcast(total))
+      // denominator multiplies AFTER the double casts: n_bigrams·total
+      // in long arithmetic wraps past 2⁶³ (a 10⁶-bigram doc in a 10¹³-
+      // bigram corpus), and the oracle's HUGEINT would not — doubles
+      // lose ulps instead of flipping sign, identically on both engines
       .withColumn("coherence",
         col("cf_sum").cast("double") /
-          (col("n_bigrams") * col("__total")).cast("double"))
+          (col("n_bigrams").cast("double") * col("__total").cast("double")))
       .drop("__total")
   }
 }

@@ -342,14 +342,18 @@ class StreamsSpec extends SparkSuite {
       == Set(1L, 3L))
 
     // batch 2: d4 re-sends d3's token stream (cross-batch near-dup via
-    // the signature history, md5 fingerprints would differ); d5 fresh
+    // the signature history, md5 fingerprints would differ); d5 fresh;
+    // d6/d7 token-free — they must BOTH pass through (no signature, no
+    // near-dup verdict), not near-dup each other via the empty shingle
     mem.addData(
       (4L, "Completely DIFFERENT content about spark query engines!"),
-      (5L, "entirely new document with its own words"))
+      (5L, "entirely new document with its own words"),
+      (6L, ""), (7L, "   "))
     run()
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
-      == Set(1L, 3L, 5L))
-    // history carries signatures for exactly the survivors
+      == Set(1L, 3L, 5L, 6L, 7L))
+    // history carries signatures for exactly the SIGNED survivors —
+    // token-free docs never enter it
     assert(spark.read.parquet(hist).select("doc_id").as[Long].collect().toSet
       == Set(1L, 3L, 5L))
   }
