@@ -413,6 +413,13 @@ object Text extends QueryModule {
     "q102_tfidf_keywords" -> ((s, dir) =>
       graft.text.Retrieval.tfidfKeywords(Tables(s, dir).documents,
         "doc_id", "text", k = 5)),
+
+    // Collocation mining: top-20 within-3-token pairs by the log-free
+    // PMI ratio c_ab/(c_a*c_b), hapax pairs floored out. q92's bigrams
+    // generalized to a window; zero-shuffle pair construction.
+    "q106_collocations" -> ((s, dir) =>
+      graft.text.Spans.collocations(Tables(s, dir).documents,
+        "doc_id", "text", window = 3, minCount = 2L, topN = 20)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1007,5 +1014,36 @@ object Text extends QueryModule {
         |           ORDER BY score DESC, token) AS BIGINT) AS rn
         |  FROM scored
         |) WHERE rn <= 5""".stripMargin,
+
+    "q106_collocations" -> {
+      val unions = (1 until 3).map { j =>
+        s"""SELECT pr[1] AS a, pr[2] AS b FROM (
+           |    SELECT unnest(list_zip(
+           |      toks[1:greatest(len(toks) - $j, 0)],
+           |      toks[${j + 1}:len(toks)])) AS pr
+           |    FROM t WHERE len(toks) >= 2)""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        |p AS (
+        |  $unions
+        |), pc AS (
+        |  SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |), uni AS (
+        |  SELECT t2 AS tok, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS t2 FROM t) GROUP BY 1
+        |), scored AS (
+        |  SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |         CAST(pc.c_ab AS DOUBLE)
+        |           / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS score
+        |  FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok
+        |), top AS (
+        |  SELECT * FROM scored ORDER BY score DESC, a, b LIMIT 20
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, a, b) AS BIGINT)
+        |         AS rank,
+        |       a, b, c_ab, c_a, c_b, score
+        |FROM top""".stripMargin
+    },
   )
 }

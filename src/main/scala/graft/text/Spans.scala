@@ -222,6 +222,60 @@ object Spans {
       .select(col("rank"), col("pair"), col("freq"))
   }
 
+  /** Collocation mining: the top `topN` ordered token pairs co-occurring
+    * within `window` positions, ranked by the log-free PMI ratio
+    * c_ab / (c_a · c_b) — p(ab)/(p(a)p(b)) with the corpus-constant
+    * factors dropped (they rescale every pair identically, so the
+    * RANKING is textbook PMI; the log is omitted for the bm25 bit-parity
+    * reason). [[topBigrams]] generalized from adjacency to a window:
+    * "san francisco" is a bigram, "strong ~ tea" needs the window.
+    *
+    * `minCount` cuts hapax pairs BEFORE the unigram joins (a pair seen
+    * once has PMI noise-high by construction — the standard floor), so
+    * the joined frame is the filtered pair vocabulary, not the corpus.
+    *
+    * Plan: pair construction is `window−1` shifted-slice zip_withs over
+    * the materialized token array (zero corpus shuffle, the q92 shape);
+    * one map-side-combined pair count + one token count; two keyed
+    * vocabulary-sized joins; TakeOrdered top-N. The ratio divides in
+    * doubles — c_a·c_b in long arithmetic would wrap at corpus scale.
+    *
+    * @return (rank, a, b, c_ab, c_a, c_b, score) */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, minCount: Long = 2L, topN: Int = 20): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    // greatest(n−j, 0): docs shorter than the shift yield empty slices,
+    // not a negative slice length (error on Spark, from-the-END
+    // semantics in DuckDB — both engines get the explicit 0)
+    val pairCols = (1 until window).map { j =>
+      zip_with(
+        slice(col("__toks"), lit(1), greatest(n - j, lit(0))),
+        slice(col("__toks"), lit(1 + j), greatest(n - j, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))
+    }
+    val pairs = toks.filter(n >= 2)
+      .select(explode(flatten(array(pairCols: _*))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = toks.select(explode(col("__toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .withColumn("score",
+        col("c_ab").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+      .orderBy(col("score").desc, col("a"), col("b")).limit(topN)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("c_ab"),
+        col("c_a"), col("c_b"), col("score"))
+  }
+
   /** Corpus-relative token rarity — a log-free unigram-LM quality proxy
     * (the role KenLM perplexity plays in public pipeline recipes, minus
     * the external model): commonness = Σ_occurrences df(token) /

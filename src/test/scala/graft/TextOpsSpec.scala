@@ -213,6 +213,24 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == out(1L))
   }
 
+  test("collocations: window finds non-adjacent pairs, hapax pairs floored") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "strong black tea"),
+      (2L, "strong green tea"),
+      (3L, "x")). // single token: no pairs, no crash
+      toDF("doc_id", "text")
+    val out = Spans.collocations(docs, "doc_id", "text",
+      window = 3, minCount = 2L, topN = 20).collect()
+    // every adjacent pair occurs once (floored); only the distance-2
+    // (strong, tea) pair reaches c_ab = 2 — invisible to q92's bigrams
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6))
+      == ((1L, "strong", "tea", 2L, 2L, 2L, 0.5)))
+  }
+
   test("tfidfKeywords: rare-but-frequent-in-doc tokens outrank ubiquitous ones") {
     import graft.text.Retrieval
     val docs = Seq(
