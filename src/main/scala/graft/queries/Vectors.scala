@@ -120,6 +120,23 @@ object Vectors extends QueryModule {
           max(col("sz")).as("max_cluster_size"))
     }),
 
+    // Cross-source duplication-flow matrix: q27's near-dup pairs rolled
+    // up by (source, source) — which sources copy from which, the
+    // provenance view a mixing decision needs (intra-source dup is
+    // boilerplate; cross-source dup is syndication). Pair orientation
+    // canonicalized by source name so the matrix is triangular.
+    "q107_dup_flow" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5)
+      val src = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .groupBy(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // SimHash near-dup: 60-bit signature, pigeonhole banding (9 bands for
     // radius 8 — every pair within the advertised hamming radius is
     // guaranteed a candidate; round 2's fixed 4x15 banding only guaranteed
@@ -447,6 +464,18 @@ object Vectors extends QueryModule {
         |)
         |SELECT cell, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
         |FROM sums""".stripMargin,
+
+    "q107_dup_flow" ->
+      s"""WITH $minhashCtes, fpairs AS (
+        |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
+        |)
+        |SELECT least(a.source, b.source) AS source_a,
+        |       greatest(a.source, b.source) AS source_b,
+        |       count(*) AS n_pairs
+        |FROM fpairs
+        |JOIN documents a ON fpairs.d1 = a.doc_id
+        |JOIN documents b ON fpairs.d2 = b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q105_embedding_pool" ->
       """WITH b AS (
