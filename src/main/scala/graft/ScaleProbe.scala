@@ -96,6 +96,18 @@ object ScaleProbe {
       time(s"chunk_stride_x$m") {
         text.Segments.chunkWithStride(docs2, "doc_id", "text", 32, 16).count()
       }
+      // count-only token scan: regex-split HOF vs the native byte-scan
+      // expression (TokenCount) — the headroom measurement behind
+      // TextAnalysis.tokenCount's switch
+      time(s"tokcount_hof_x$m") {
+        docs2.agg(sum(org.apache.spark.sql.functions.size(
+          text.TextAnalysis.tokens(col("text"))).cast("long")))
+          .collect().head.getLong(0)
+      }
+      time(s"tokcount_native_x$m") {
+        docs2.agg(sum(graft.functions.TokenCount.tokenCount(col("text"))
+          .cast("long"))).collect().head.getLong(0)
+      }
       docs2.unpersist()
 
       // per-key cap under worst-case skew: ONE key owning every row —

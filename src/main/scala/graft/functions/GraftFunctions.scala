@@ -44,7 +44,16 @@ object GraftFunctions {
       MortonInterleave(exprs.head, exprs(1))
     })
 
-  private[functions] val all = Seq(dotProduct, hash60, mortonInterleave)
+  private[functions] val tokenCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_count"),
+    new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"token_count expects 1 argument, got ${exprs.length}")
+      TokenCount(exprs.head)
+    })
+
+  private[functions] val all = Seq(dotProduct, hash60, mortonInterleave, tokenCount)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

@@ -117,7 +117,7 @@ object Corpus {
     val all = Window.partitionBy() // group-cardinality rows by then
     docs
       .select(col(byCol),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__nt"))
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
       .groupBy(col(byCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
       .withColumn("doc_share",

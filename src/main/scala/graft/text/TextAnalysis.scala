@@ -20,8 +20,13 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Whitespace-ish token count (BPE-ish regex split). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count WITHOUT materializing the token array — the native
+    * [[graft.functions.TokenCount]] byte-scan (value-identical to
+    * `size(tokens(text))`, which remains the oracle formulation). Use
+    * when only the count is needed; when the tokens are already
+    * materialized for other columns, `size(toks)` is free. */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenCount.tokenCount(text)
 
   /** Exact average token length: integer sum of lengths / count, derived
     * in doubles (cross-engine exact — see graft.ops.Exact). */

@@ -213,6 +213,31 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == out(1L))
   }
 
+  test("native TokenCount equals the regex-split formulation on edge and random inputs") {
+    import graft.text.TextAnalysis
+    val edge = Seq("", "   ", "a", " a ", "a b", "A--B!!c", "ümlaut straße",
+      "Kelvin sign", "123 45x6 --7", "a" * 1000, "x\ny\tz",
+      "ONE two THREE's 4th")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ019 .,;!\t\näöKK"
+    val fuzz = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (edge ++ fuzz).toDF("text")
+      .withColumn("hof", size(TextAnalysis.tokens(col("text"))))
+      .withColumn("native", TextAnalysis.tokenCount(col("text")))
+    assert(df.filter(col("hof") =!= col("native")).count() == 0)
+    // SQL registration resolves to the same codegen'd expression
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("tc_in")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM tc_in WHERE token_count(text) <> hof")
+      .collect().head.getLong(0)
+    assert(viaSql == 0)
+    // interpreted eval path agrees with codegen
+    assert(graft.functions.TokenCount.count(
+      org.apache.spark.unsafe.types.UTF8String.fromString("A--b c1")) == 3)
+  }
+
   test("collocations: window finds non-adjacent pairs, hapax pairs floored") {
     import graft.text.Spans
     val docs = Seq(
