@@ -294,4 +294,104 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  private val tokenGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+  private val textGen = Gen.choose(1, 12)
+    .flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString(" "))
+
+  test("property: span runs bound n_grams; duplicating the corpus maxes every extent") {
+    import spark.implicits._
+    import graft.text.Spans
+    val gen = Gen.listOfN(6, textGen)
+    holds(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val base = Spans.duplicatedSpanRuns(docs, "doc_id", "text", w = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      spark.catalog.clearCache()
+      val bounds = base.values.forall { case (ng, nr, mx) =>
+        mx <= ng && nr <= ng && ((mx > 0) == (nr > 0))
+      }
+      // an exact copy of every doc makes every gram df >= 2: one run
+      // spanning the whole doc
+      val doubled = docs.unionAll(
+        docs.select((col("doc_id") + 100).as("doc_id"), col("text")))
+      val full = Spans.duplicatedSpanRuns(doubled, "doc_id", "text", w = 3)
+        .collect().forall(r => r.getLong(3) == r.getLong(1))
+      spark.catalog.clearCache()
+      bounds && full
+    })
+  }
+
+  test("property: robustOutliers equals a sequential median/MAD recomputation") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(0L, 40L)))
+    holds(Prop.forAll(gen) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.zipWithIndex
+          .map { case ((g, v), i) => (i.toLong, g, v) }
+          .toDF("id", "g", "cents")
+        val out = Anomaly.robustOutliers(df, Seq("g"), "cents", k = 3L)
+          .collect().map(r => r.getAs[Long]("id") ->
+            (r.getAs[Long]("med"), r.getAs[Long]("mad"),
+              r.getAs[Boolean]("is_outlier"))).toMap
+        // discrete median: element at rank ceil(n/2) of the sorted group
+        def med(vs: Seq[Long]) = vs.sorted.apply(((vs.size + 1) / 2) - 1)
+        rows.zipWithIndex.forall { case ((g, v), i) =>
+          val grp = rows.filter(_._1 == g).map(_._2)
+          val m = med(grp)
+          val mad = med(grp.map(x => math.abs(x - m)))
+          out(i.toLong) == ((m, mad, math.abs(v - m) > 3 * mad))
+        }
+      }
+    })
+  }
+
+  test("property: collocations match a brute-force window count") {
+    import spark.implicits._
+    import graft.text.Spans
+    val gen = Gen.listOfN(4, textGen)
+    holds(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Spans.collocations(docs, "doc_id", "text",
+          window = 3, minCount = 2L, topN = 1000)
+        .collect().map(r => (r.getString(1), r.getString(2)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val toks = texts.map(_.split(" ").toSeq)
+      val uni = toks.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val pairs = toks.flatMap(ts =>
+        (1 until 3).flatMap(j => ts.dropRight(j).zip(ts.drop(j))))
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+        .filter(_._2 >= 2L)
+      out == pairs.map { case ((a, b), c) => (a, b) -> ((c, uni(a), uni(b))) }
+    })
+  }
+
+  test("property: semanticDedup keeps exactly one representative per cluster") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    val gen = Gen.listOfN(8, Gen.zip(
+      Gen.choose(1, 4).map(_.toDouble), Gen.oneOf(0, 1)))
+    holds(Prop.forAll(gen) { vs =>
+      // axis-aligned scaled vectors: clean clusters along each axis
+      val pts = vs.zipWithIndex.map { case ((s, axis), i) =>
+        (i.toLong, if (axis == 0) Seq(s, 0.001 * s) else Seq(0.001 * s, s))
+      }.toDF("id", "ev")
+      val cents = Seq((0L, Seq(1.0, 0.0): Seq[Double]),
+        (1L, Seq(0.0, 1.0): Seq[Double]))
+      val out = Similarity.semanticDedup(pts, cents, minCosine = 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      spark.catalog.clearCache()
+      val perCluster = out.groupBy(_._2)
+      out.length == vs.length &&
+        perCluster.forall { case (cid, members) =>
+          members.count(_._3) == 1 &&                 // one keeper
+          members.filter(_._3).head._1 == cid &&      // it is the min id
+          members.forall(_._1 >= cid)
+        }
+    })
+  }
 }
