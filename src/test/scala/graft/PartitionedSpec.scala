@@ -148,4 +148,39 @@ class PartitionedSpec extends SparkSuite {
     val c = sequence(s"$dir/c", df, "epoch2")
     assert(a != c && a.sorted == c.sorted)
   }
+
+  test("jsonl/csv dead-letter readers split malformed lines, never drop or fail") {
+    import graft.sources.TextFiles
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("textfiles").toString
+
+    Files.write(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      java.util.Arrays.asList(
+        """{"id": 1, "name": "alice"}""",
+        """not json at all""",
+        """{"unrelated": true}""", // valid JSON, zero declared fields
+        """{"id": 3}"""))          // partial rows are good rows
+    val (jg, jb) = TextFiles.readJsonl(spark, s"$dir/d.jsonl", schema)
+    assert(jg.collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .toSet == Set((1L, Some("alice")), (3L, None)))
+    assert(jb.collect().map(_.getString(0)).toSet
+      == Set("not json at all", """{"unrelated": true}"""))
+
+    Files.write(java.nio.file.Paths.get(s"$dir/d.csv"),
+      java.util.Arrays.asList(
+        "id,name",       // header: dropped by literal match
+        "1,alice",
+        ",",             // every field null -> bad
+        "x,partial",     // type-mismatched id nulls out; row is good
+        "3,carol"))
+    val (cg, cb) = TextFiles.readCsv(spark, s"$dir/d.csv", schema)
+    assert(cg.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toSet == Set((Some(1L), "alice"), (None, "partial"), (Some(3L), "carol")))
+    assert(cb.collect().map(_.getString(0)).toSet == Set(","))
+    // conservation: every input line is in exactly one side
+    assert(jg.count() + jb.count() == 4 && cg.count() + cb.count() == 4)
+  }
 }
