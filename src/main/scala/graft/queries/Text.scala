@@ -420,6 +420,32 @@ object Text extends QueryModule {
     "q106_collocations" -> ((s, dir) =>
       graft.text.Spans.collocations(Tables(s, dir).documents,
         "doc_id", "text", window = 3, minCount = 2L, topN = 20)),
+
+    // Per-source quality distribution: q20's score quantized to integer
+    // micro-units (floor q*1e6 — identical doubles both engines, then
+    // exact integer arithmetic), exact discrete quartiles (q40) + an
+    // order-independent mean derived from the integer sum. The
+    // dashboard that sizes per-source quality thresholds and mixing.
+    "q108_quality_by_source" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val stopRatio = TextAnalysis.stopwordHits(toks, TextAnalysis.stopEn)
+        .cast("double") / greatest(size(toks), lit(1))
+      val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+      val punct = TextAnalysis.punctRatio(col("text"))
+      val quality = lenScore * lit(0.6) + (lit(1.0) - stopRatio) * lit(0.3) +
+        (lit(1.0) - punct) * lit(0.1)
+      val base = Tables(s, dir).documents.select(col("source"),
+        floor(quality * lit(1000000.0)).cast("long").as("qm"))
+      val quant = graft.ops.Quantiles.exact(base, Seq(col("source")),
+        col("qm"), Seq(0.25, 0.5, 0.75))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("__qsum"))
+        .join(quant, "source")
+        .select(col("source"), col("n_docs"),
+          (col("__qsum").cast("double") / col("n_docs") / lit(1000000.0))
+            .as("mean_q"),
+          col("p25"), col("p50"), col("p75"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1045,5 +1071,34 @@ object Text extends QueryModule {
         |       a, b, c_ab, c_a, c_b, score
         |FROM top""".stripMargin
     },
+
+    "q108_quality_by_source" ->
+      s"""WITH sc AS (
+        |  SELECT source,
+        |         CAST(floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+        |           + (1.0 - CAST(len(list_filter(toks, t -> t IN ${inList(TextAnalysis.stopEn)})) AS DOUBLE)
+        |               / greatest(len(toks), 1)) * 0.3
+        |           + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+        |               / greatest(length(text), 1)) * 0.1) * 1000000.0) AS BIGINT) AS qm
+        |  FROM (SELECT source, text, $toksSql AS toks FROM documents)
+        |), r AS (
+        |  SELECT source, qm,
+        |         row_number() OVER (PARTITION BY source ORDER BY qm) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM sc
+        |), qt AS (
+        |  SELECT source,
+        |         max(CASE WHEN rn = ceil(0.25 * n) THEN qm END) AS p25,
+        |         max(CASE WHEN rn = ceil(0.5 * n)  THEN qm END) AS p50,
+        |         max(CASE WHEN rn = ceil(0.75 * n) THEN qm END) AS p75
+        |  FROM r GROUP BY 1
+        |), st AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(qm) AS BIGINT) AS qsum
+        |  FROM sc GROUP BY 1
+        |)
+        |SELECT st.source, st.n_docs,
+        |       CAST(qsum AS DOUBLE) / n_docs / 1000000.0 AS mean_q,
+        |       p25, p50, p75
+        |FROM st JOIN qt USING (source)""".stripMargin,
   )
 }
