@@ -96,8 +96,11 @@ object PageRank {
         .groupBy(col("src").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
-        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("b"))
-        .select(col("node"), (-col("b.nl")).as("lab"))
+        // largest count, then smallest label: min over (-c, lab). `c` is
+        // always a long count so negating it is safe; `lab` stays in its
+        // own type (string node ids order correctly — no numeric cast).
+        .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("b"))
+        .select(col("node"), col("b.lab").as("lab"))
     }
     labels.select(col("node"), col("lab").as("community"))
   }

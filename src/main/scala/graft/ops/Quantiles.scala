@@ -94,14 +94,19 @@ object Quantiles {
     * [[histogramCuts]] for the exact gate, [[approx]] single-group for
     * the sketched 100 TB path — binning is indifferent to where the cuts
     * came from). Broadcast + per-row expression: no extra shuffle.
+    * NULL values get a NULL bin (guarded explicitly — `(v > cut)`
+    * alone would null-propagate through the sum, but only because the
+    * current cuts are non-null; the guard makes the contract explicit
+    * and engine-portable).
     *
-    * @return df plus `binCol` (0 .. #cuts) */
+    * @return df plus `binCol` (0 .. #cuts, or NULL for NULL values) */
   def binByCuts(df: DataFrame, v: Column, cuts: DataFrame,
       binCol: String = "bin"): DataFrame = {
     val cutCols = cuts.columns.toSeq
     df.crossJoin(broadcast(cuts))
       .withColumn(binCol,
-        cutCols.map(c => (v > col(c)).cast("long")).reduce(_ + _))
+        when(v.isNotNull,
+          cutCols.map(c => (v > col(c)).cast("long")).reduce(_ + _)))
       .drop(cutCols: _*)
   }
 }

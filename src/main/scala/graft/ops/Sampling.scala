@@ -141,22 +141,6 @@ object Sampling {
     s"${hashBucketSql(keyExpr, salt, mod)} * __n_s < ($targetS) * $mod"
   }
 
-  /** Per-key row cap: keep at most `k` rows per `keyCol`, selected by
-    * the salted-hash order of `id` — a deterministic reservoir (the same
-    * `k` rows win on every run, partitioning, and engine; the hash order
-    * makes the pick unbiased rather than prefix-biased). The per-source
-    * document cap every corpus-mixing recipe applies before rate
-    * balancing: [[mixSample]] shapes proportions, this bounds absolute
-    * volume.
-    *
-    * One shuffle, keyed by `keyCol`; the `row_number` sort is per-key.
-    * A pathological mega-key sorts its whole partition — for that shape,
-    * pre-thin with [[stratifiedSample]] at a rate that leaves ~k·fudge
-    * rows, then cap exactly (documented contract, same as the skew-salt
-    * preconditions in [[graft.ops.Skew]]). Ties on the 60-bit hash
-    * break by `id` so the cut is total even under collisions.
-    *
-    * @return input rows minus those over the cap (original columns) */
   /** Weight-proportional deterministic sampling: row accepted iff
     * `bucket(key) · maxW < w · mod` — realizes per-row rate
     * `min(1, w/maxW)` (rows with `w ≥ maxW` always survive) with the
@@ -189,6 +173,22 @@ object Sampling {
   def saltedPriority(id: Column, salt: String): Column =
     Hash64.hash60(concat(lit(salt), lit("_"), id.cast("string")))
 
+  /** Per-key row cap: keep at most `k` rows per `keyCol`, selected by
+    * the salted-hash order of `id` — a deterministic reservoir (the same
+    * `k` rows win on every run, partitioning, and engine; the hash order
+    * makes the pick unbiased rather than prefix-biased). The per-source
+    * document cap every corpus-mixing recipe applies before rate
+    * balancing: [[mixSample]] shapes proportions, this bounds absolute
+    * volume.
+    *
+    * One shuffle, keyed by `keyCol`; the `row_number` sort is per-key.
+    * A pathological mega-key sorts its whole partition — for that shape,
+    * pre-thin with [[stratifiedSample]] at a rate that leaves ~k·fudge
+    * rows, then cap exactly (documented contract, same as the skew-salt
+    * preconditions in [[graft.ops.Skew]]). Ties on the 60-bit hash
+    * break by `id` so the cut is total even under collisions.
+    *
+    * @return input rows minus those over the cap (original columns) */
   def capPerKey(df: DataFrame, keyCol: Column, id: Column, k: Int,
       salt: String): DataFrame = {
     require(k >= 1, s"cap must be >= 1, got $k")

@@ -655,7 +655,9 @@ object Relational extends QueryModule {
         |q AS (
         |  SELECT $cuts
         |  FROM m, t)
-        |SELECT event_id, cents, CAST($binSum AS BIGINT) AS bin
+        |SELECT event_id, cents,
+        |       CAST(CASE WHEN cents IS NULL THEN NULL
+        |                 ELSE $binSum END AS BIGINT) AS bin
         |FROM c, q""".stripMargin
     },
 

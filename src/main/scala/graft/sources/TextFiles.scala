@@ -48,17 +48,38 @@ object TextFiles {
   }
 
   /** CSV with dead-letter: @return (good rows, bad raw lines). With
-    * `header=true` the first line of EACH FILE is dropped by literal
-    * match against the expected header (a header line is also not data
-    * in any other reader; matching it explicitly keeps the text-scan
-    * plan). Type-mismatched fields null out and count as bad only when
+    * `header=true` the FIRST LINE of each file is dropped when it
+    * matches the expected header text — identified positionally (the
+    * min-monotonic-id row of the file's offset-0 block), so a
+    * legitimate data row that happens to equal the header text is kept,
+    * not silently removed. The header lookup is a per-file aggregate
+    * over offset-0 blocks (one row per file, broadcast anti-joined
+    * back) — the scan stays splittable, no corpus-wide shuffle.
+    * Type-mismatched fields null out and count as bad only when
     * EVERY field fails — pass required-field predicates downstream to
     * [[graft.streaming.Streams.qualityGate]] for stricter gates. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, sep: String = ","): (DataFrame, DataFrame) = {
     val lines0 = spark.read.text(path)
-    val headerLine = schema.fieldNames.mkString(sep)
-    val lines = if (header) lines0.filter(col("value") =!= headerLine) else lines0
+    val lines =
+      if (!header) lines0
+      else {
+        val headerLine = schema.fieldNames.mkString(sep)
+        // File-scan partitioning is deterministic for a fixed file set,
+        // so the monotonic ids agree between the two references to
+        // `tagged`; within a partition ids follow read order, so the
+        // min id among a file's offset-0-block rows IS its first line.
+        val tagged = lines0.select(col("value"),
+          col("_metadata.file_path").as("__f"),
+          col("_metadata.file_block_start").as("__b"),
+          monotonically_increasing_id().as("__i"))
+        val headers = tagged
+          .filter(col("__b") === 0 && col("value") === headerLine)
+          .groupBy(col("__f")).agg(min(col("__i")).as("__hi"))
+        tagged.join(broadcast(headers), Seq("__f"), "left")
+          .filter(col("__hi").isNull || col("__i") =!= col("__hi"))
+          .select(col("value"))
+      }
     split(lines,
       from_csv(col("value"), schema, Map("sep" -> sep)), schema)
   }

@@ -24,6 +24,33 @@ import graft.ops._
   */
 object Streams {
 
+  /** Filesystem handle for a state/history dir, resolved from the
+    * session's Hadoop configuration — the dirs these sinks manage live
+    * wherever the deployment points them (HDFS/S3/local); `java.io.File`
+    * would silently only work on the driver's local disk. */
+  private def stateFs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def stateDirExists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = stateFs(spark, dir)
+    fs.exists(p)
+  }
+
+  /** `epoch=N` snapshot dirs under `stateDir`, oldest first; empty if the
+    * dir doesn't exist yet (first epoch, or state never written). */
+  private def epochSnapshots(spark: SparkSession, stateDir: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val (fs, p) = stateFs(spark, stateDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(s => s.getPath.getName.stripPrefix("epoch=").toLong -> s.getPath)
+      .sortBy(_._1)
+  }
+
   /** O3+X3: keyed dedup with TTL'd state. Event-time watermark bounds the
     * state store; without it a 100 TB/day stream accumulates state forever. */
   def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
@@ -298,7 +325,7 @@ object Streams {
     val guarded = idempotentSink(markerDir) { (_, batch, _) =>
       val spark = batch.sparkSession
       val history =
-        if (new java.io.File(historyDir).exists())
+        if (stateDirExists(spark, historyDir))
           spark.read.parquet(historyDir).select(col("__fp"))
         else spark.emptyDataFrame
           .select(lit("").as("__fp")).filter(lit(false))
@@ -359,7 +386,7 @@ object Streams {
           idCol, textCol, w, k).persist()
       try {
         val history =
-          if (new java.io.File(historyDir).exists())
+          if (stateDirExists(spark, historyDir))
             spark.read.parquet(historyDir)
           else sigs.limit(0)
         val dropped = graft.dedup.NearDup
@@ -398,14 +425,6 @@ object Streams {
   def incrementalRollupSink(stream: DataFrame, keys: Seq[String],
       vCol: String, stateDir: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
-    def epochDirs(): Seq[(Long, java.io.File)] = {
-      val base = new java.io.File(stateDir)
-      if (!base.exists()) Seq.empty
-      else base.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-        .map(f => f.getName.stripPrefix("epoch=").toLong -> f)
-        .sortBy(_._1)
-    }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -414,29 +433,31 @@ object Streams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val delta = graft.ops.Rollups.rollupState(batch, keys.map(col), col(vCol))
-          val prev = epochDirs().filter(_._1 < epochId).lastOption
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
           val merged = prev match {
             case Some((_, dir)) => graft.ops.Rollups.mergeStates(
-              spark.read.parquet(dir.getPath), delta, keys)
+              spark.read.parquet(dir.toString), delta, keys)
             case None => delta
           }
           merged.write.mode("overwrite")
             .parquet(s"$stateDir/epoch=$epochId")
-          for ((e, dir) <- epochDirs()
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
                if e < prev.map(_._1).getOrElse(epochId)) {
-            dir.listFiles().foreach(_.delete()); dir.delete()
+            fs.delete(dir, true); ()
           }
         }
       }
       .start()
   }
 
-  /** Read the newest state snapshot written by [[incrementalRollupSink]]. */
+  /** Read the newest state snapshot written by [[incrementalRollupSink]].
+    * Fails with a clear message (not an NPE) when no snapshot exists. */
   def latestRollupState(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = new java.io.File(stateDir).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-      .sortBy(_.getName.stripPrefix("epoch=").toLong)
-    spark.read.parquet(dirs.last.getPath)
+    val dirs = epochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    spark.read.parquet(dirs.last._2.toString)
   }
 
   /** X3 TTL dedup on Spark 4's `transformWithState` — the arbitrary-state

@@ -184,6 +184,15 @@ class OpsSpec extends SparkSuite {
     val again = PageRank.labelPropagation(edges.repartition(7), "s", "d", iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == lpa)
+    // string node ids: the tie-break must not numeric-cast the label
+    // (a `-label` tie-break silently nulls out on strings and turns the
+    // argmax nondeterministic) — same structure, prefixed ids
+    val sEdges = edges.select(
+      concat(lit("n"), col("s")).as("s"), concat(lit("n"), col("d")).as("d"))
+    val sLpa = PageRank.labelPropagation(sEdges, "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = lpa.map { case (n, c) => s"n$n" -> s"n$c" }
+    assert(sLpa == expected)
   }
 
   test("robustOutliers catches what the dragged mean hides; constant groups flag nothing") {

@@ -170,7 +170,7 @@ class PartitionedSpec extends SparkSuite {
 
     Files.write(java.nio.file.Paths.get(s"$dir/d.csv"),
       java.util.Arrays.asList(
-        "id,name",       // header: dropped by literal match
+        "id,name",       // header: first line of the file, dropped
         "1,alice",
         ",",             // every field null -> bad
         "x,partial",     // type-mismatched id nulls out; row is good
@@ -182,5 +182,25 @@ class PartitionedSpec extends SparkSuite {
     assert(cb.collect().map(_.getString(0)).toSet == Set(","))
     // conservation: every input line is in exactly one side
     assert(jg.count() + jb.count() == 4 && cg.count() + cb.count() == 4)
+  }
+
+  test("readCsv drops only each file's FIRST line as header, keeps header-identical data rows") {
+    import graft.sources.TextFiles
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("csvheader").toString
+    // line 3 is a DATA row that happens to equal the header text — a
+    // corpus-wide literal filter would silently destroy it
+    Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      java.util.Arrays.asList("id,name", "1,alice", "id,name", "2,bob"))
+    // second file: no header at all (first line is data) — nothing dropped
+    Files.write(java.nio.file.Paths.get(s"$dir/b.csv"),
+      java.util.Arrays.asList("3,carol", "4,dan"))
+    val (good, bad) = TextFiles.readCsv(spark, dir, schema)
+    assert(bad.count() == 0)
+    assert(good.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("1", "alice"), ("id", "name"), ("2", "bob"),
+             ("3", "carol"), ("4", "dan")))
   }
 }

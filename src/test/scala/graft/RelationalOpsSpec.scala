@@ -287,6 +287,13 @@ class RelationalOpsSpec extends SparkSuite {
       Seq(10L, 10L, 10L).toDF("v"), col("v"), cuts)
       .select("bin").distinct().collect()
     assert(dup.length == 1 && dup.head.getLong(0) == 0L)
+    // NULL values get a NULL bin (explicit contract, matches the oracle's
+    // CASE WHEN ... IS NULL arm), not a null-propagated surprise
+    val withNull = Quantiles.binByCuts(
+      Seq(Some(10L), None, Some(95L)).toDF("v"), col("v"), cuts)
+      .orderBy(col("v").asc_nulls_first).select("bin").collect()
+    assert(withNull(0).isNullAt(0))
+    assert(withNull(1).getLong(0) == 0L && withNull(2).getLong(0) == 9L)
   }
 
   test("corrFromSums: exact ±1 on linear data, NULL on constant columns") {
