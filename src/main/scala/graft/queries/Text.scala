@@ -39,6 +39,11 @@ object Text extends QueryModule {
   /** q73: 7-gram spans (short enough that the sf-test docs overlap). */
   private val spanW = 7
 
+  /** q109: remove runs of ≥ 5 consecutive duplicated 7-grams (= verbatim
+    * spans of ≥ 11 tokens); shorter scattered dup mass survives. The sf
+    * corpora hold ~45 docs with ≥ 5-gram runs, so both arms fire. */
+  private val spanRemovalMinRun = 5
+
   /** q77: 32-token chunks every 16 (50% overlap); q80/q81: 12-token
     * "lines" (the span segmentation the single-line harness corpus
     * supports — see [[graft.text.Segments]]), ≥5-token minimum.
@@ -371,6 +376,15 @@ object Text extends QueryModule {
     "q95_dup_span_runs" -> ((s, dir) =>
       graft.text.Spans.duplicatedSpanRuns(Tables(s, dir).documents,
         "doc_id", "text", w = spanW, minDf = 2)),
+
+    // Exact-substring dedup REMOVAL: rewrite each doc dropping its
+    // ≥5-gram duplicated-span runs (verbatim ≥11-token spans), keeping
+    // scattered dup mass — the transform q95 only reports. Same island
+    // machinery folded to per-doc intervals + one join back to tokens.
+    "q109_span_removal" -> ((s, dir) =>
+      graft.text.Spans.removeDuplicatedSpans(Tables(s, dir).documents,
+        "doc_id", "text", w = spanW, minDf = 2,
+        minRunGrams = spanRemovalMinRun)),
 
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
     // adjacent pairs — the word-order quality proxy q74's unigram
@@ -897,6 +911,58 @@ object Text extends QueryModule {
         |            THEN coalesce(max(CASE WHEN dup THEN len END), 0) + ${spanW - 1}
         |            ELSE 0 END AS BIGINT) AS max_run_tokens
         |FROM grps GROUP BY 1""".stripMargin,
+
+    // q95's islands folded to 0-based token intervals (DuckDB positions
+    // are 1-based, so s = min(pos) − 1), then a NOT EXISTS re-filter of
+    // the exploded tokens and an ordered string_agg reassembly — row for
+    // row the Spark rewrite's interval/exists/array_join.
+    "q109_span_removal" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, ${shinglesSql(spanW)} AS grams
+        |  FROM (SELECT doc_id, toks FROM t)
+        |), gp AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(grams))) AS pos,
+        |         grams FROM sh
+        |), g AS (
+        |  SELECT doc_id, pos, ${Hash64.duckSql("grams[pos]")} AS h FROM gp
+        |), pg AS (
+        |  SELECT h, doc_id FROM g GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT h, doc_id, count(*) OVER (PARTITION BY h) AS df FROM pg
+        |), f AS (
+        |  SELECT g.doc_id, g.pos, wd.df >= 2 AS dup
+        |  FROM g JOIN wd ON g.h = wd.h AND g.doc_id = wd.doc_id
+        |), r AS (
+        |  SELECT doc_id, pos, dup,
+        |         CASE WHEN lag(dup) OVER w IS NULL
+        |                OR lag(dup) OVER w <> dup THEN 1 ELSE 0 END AS brk
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sgrp AS (
+        |  SELECT doc_id, pos, dup,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM r
+        |), iv AS (
+        |  SELECT doc_id, min(pos) - 1 AS s,
+        |         min(pos) - 1 + count(*) + ${spanW - 2} AS e
+        |  FROM sgrp WHERE dup GROUP BY doc_id, grp
+        |  HAVING count(*) >= $spanRemovalMinRun
+        |), tp AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+        |  FROM t WHERE len(toks) > 0
+        |), kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |    WHERE iv.doc_id = tp.doc_id AND tp.i - 1 BETWEEN iv.s AND iv.e)
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - count(k.tok) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS kept_text
+        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |GROUP BY t.doc_id, len(t.toks)""".stripMargin,
 
     "q96_bigram_coherence" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

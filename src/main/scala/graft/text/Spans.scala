@@ -134,6 +134,88 @@ object Spans {
           .otherwise(0L))
   }
 
+  /** Exact-substring dedup REMOVAL — the transform [[duplicatedSpanRuns]]
+    * only *reports*: rewrite each document dropping every duplicated-span
+    * run of at least `minRunGrams` consecutive duplicated w-gram
+    * positions (a run of r grams covers r + w − 1 tokens), the
+    * fixed-width-gram realization of suffix-array exact-substring dedup
+    * (Lee et al. 2022's "deduplicate-text-datasets" transform — theirs
+    * keys on ≥ 50-token verbatim spans; here `minRunGrams` plays that
+    * role as minRunGrams + w − 1 tokens). Scattered duplicated grams in
+    * runs SHORTER than `minRunGrams` are kept — boilerplate phrases are
+    * not plagiarism; only contiguous verbatim mass is cut. The span is
+    * removed from EVERY document containing it (the paper's ExactSubstr
+    * semantics — a canonical copy, if wanted, is a dedup-cluster-rep
+    * concern, [[NearDup]], not a span concern).
+    *
+    * Output text is reassembled from the SURVIVING tokens in original
+    * order, space-joined — normalized-token text (lowercased, punctuation
+    * stripped), the [[Segments.lineDedupDocs]] `kept_text` contract.
+    * Whole-short-doc shingles ([[NearDup.shingles]] semantics, docs with
+    * < w tokens) mean an exact short-doc copy removes ALL its tokens —
+    * the right verdict for a verbatim duplicate.
+    *
+    * Plan: [[duplicatedSpanRuns]]'s island machinery (3 keyed shuffles,
+    * persist shared across the two gram-frame arms) folded to per-doc
+    * removal INTERVALS (bounded by run count, not tokens), then ONE
+    * id-keyed join back to the token arrays and a per-row rewrite: each
+    * token index checks the doc's interval list (`exists` over
+    * run-count-bounded arrays — per-row, codegen'd, no further shuffle).
+    *
+    * @return (idCol, n_tokens, n_removed, kept_text); every input doc
+    *         appears, untouched docs report n_removed = 0 */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 13, minDf: Int = 2, minRunGrams: Int = 1,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRunGrams >= 1, s"minRunGrams must be >= 1, got $minRunGrams")
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // same caching contract as duplicatedSpanRuns: the gram frame feeds
+    // the df aggregation and the position join-back
+    val grams = toks
+      .select(col(idCol), posexplode(NearDup.shingles(col("__toks"), w)))
+      .select(col(idCol), col("pos"), hash(col("col")).as("h"))
+      .persist()
+    val dfs = grams.groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("k"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .select(col("h"), col(idCol), col("df"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val intervals = grams.join(dfs, Seq("h", idCol))
+      .withColumn("dup", col("df") >= minDf)
+      .withColumn("brk",
+        when(lag(col("dup"), 1).over(byDoc).isNull
+          .or(lag(col("dup"), 1).over(byDoc) =!= col("dup")), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"), col("dup"))
+      .agg(min(col("pos")).cast("long").as("s0"), count(lit(1)).as("len"))
+      .filter(col("dup") && col("len") >= minRunGrams)
+      // run [s0, s0+len) of grams covers tokens [s0, s0+len+w-2], 0-based
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s0").as("s"),
+        (col("s0") + col("len") + lit(w.toLong - 2)).as("e"))).as("__iv"))
+    val keptIdx = filter(
+      when(size(col("__toks")) > 0,
+        sequence(lit(0L), (size(col("__toks")) - 1).cast("long")))
+        .otherwise(array().cast("array<long>")),
+      i => !exists(col("__iv"),
+        iv => i >= iv.getField("s") && i <= iv.getField("e")))
+    toks.join(intervals, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__iv"),
+          array().cast("array<struct<s:long,e:long>>")).as("__iv"))
+      .withColumn("__kept", keptIdx)
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(transform(col("__kept"),
+          i => element_at(col("__toks"), (i + 1).cast("int"))), " ")
+          .as("kept_text"))
+  }
+
   /** Exact corpus vocabulary: the top `topN` tokens by total occurrence
     * count (deterministic tie-break: token ascending), with document
     * frequency — the exact companion to the CMS heavy-hitter sketch

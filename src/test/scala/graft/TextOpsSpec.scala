@@ -213,6 +213,50 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == out(1L))
   }
 
+  test("removeDuplicatedSpans: verbatim quote cut from every doc, scattered dup mass kept") {
+    import graft.text.Spans
+    val docs = Seq(
+      // ~38% of doc 1 is a verbatim 5-token quote shared with doc 2
+      // (3 consecutive dup 3-grams >= minRunGrams 3 -> removed); it ALSO
+      // shares the single gram "common phrase here" with doc 3 (run of
+      // 1 < 3 -> scattered dup mass, kept)
+      (1L, "a1 a2 the quick brown fox jumps a3 a4 common phrase here a5"),
+      (2L, "b1 the quick brown fox jumps b2 b3 b4"),
+      (3L, "c1 c2 common phrase here c3 c4 c5"),
+      (4L, "completely fresh words nobody else uses here4")
+    ).toDF("doc_id", "text")
+    val out = Spans.removeDuplicatedSpans(docs, "doc_id", "text",
+        w = 3, minDf = 2, minRunGrams = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the quote is removed from BOTH documents containing it
+    assert(out(1L) == ((13L, 5L, "a1 a2 a3 a4 common phrase here a5")))
+    assert(out(2L) == ((9L, 5L, "b1 b2 b3 b4")))
+    // scattered dup (one isolated dup gram) survives untouched
+    assert(out(3L) == ((8L, 0L, "c1 c2 common phrase here c3 c4 c5")))
+    assert(out(4L)._2 == 0L)
+    // at minRunGrams = 1 the scattered gram IS removed (w tokens' worth)
+    val strict = Spans.removeDuplicatedSpans(docs, "doc_id", "text",
+        w = 3, minDf = 2, minRunGrams = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict(3L) == 3L && strict(1L) == 8L)
+  }
+
+  test("removeDuplicatedSpans: exact short-doc copies empty out; rewrite is idempotent on clean docs") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "exact copy of this sentence body"),
+      (2L, "exact copy of this sentence body"),
+      (3L, "unrelated healthy document text stays whole")).toDF("doc_id", "text")
+    val out = Spans.removeDuplicatedSpans(docs, "doc_id", "text",
+        w = 3, minDf = 2, minRunGrams = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((6L, 6L, "")))  // whole-doc duplicate -> all cut
+    assert(out(2L) == ((6L, 6L, "")))
+    assert(out(3L) == ((6L, 0L, "unrelated healthy document text stays whole")))
+  }
+
   test("native TokenCount equals the regex-split formulation on edge and random inputs") {
     import graft.text.TextAnalysis
     val edge = Seq("", "   ", "a", " a ", "a b", "A--B!!c", "ümlaut straße",
