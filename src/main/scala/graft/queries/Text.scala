@@ -44,6 +44,10 @@ object Text extends QueryModule {
     * corpora hold ~45 docs with ≥ 5-gram runs, so both arms fire. */
   private val spanRemovalMinRun = 5
 
+  /** q110/q111: 16 BPE merges (the verdict's ≥16 bar); both the trained
+    * merge table and the encode replay derive from the same constant. */
+  private val bpeNMerges = 16
+
   /** q77: 32-token chunks every 16 (50% overlap); q80/q81: 12-token
     * "lines" (the span segmentation the single-line harness corpus
     * supports — see [[graft.text.Segments]]), ≥5-token minimum.
@@ -385,6 +389,24 @@ object Text extends QueryModule {
       graft.text.Spans.removeDuplicatedSpans(Tables(s, dir).documents,
         "doc_id", "text", w = spanW, minDf = 2,
         minRunGrams = spanRemovalMinRun)),
+
+    // BPE training: 16 merges, each round = pair count + 1-row argmax +
+    // per-row greedy replace; deterministic (freq desc, pair asc)
+    // tie-breaks. q92 is one step of this loop.
+    "q110_bpe_train" -> ((s, dir) =>
+      graft.text.Bpe.train(Tables(s, dir).documents,
+        "doc_id", "text", nMerges = bpeNMerges)),
+
+    // BPE encode: replay the trained merges in rank order over the
+    // corpus (Sennrich semantics) — the trained-tokenizer symbol stream
+    // that replaces q78's whole-token vocab for downstream packing.
+    "q111_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = graft.text.Bpe
+        .trainMerges(docs, "doc_id", "text", bpeNMerges)
+        .map(m => (m._2, m._3))
+      graft.text.Bpe.encode(docs, "doc_id", "text", merges)
+    }),
 
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
     // adjacent pairs — the word-order quality proxy q74's unigram
@@ -963,6 +985,14 @@ object Text extends QueryModule {
         |       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS kept_text
         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
         |GROUP BY t.doc_id, len(t.toks)""".stripMargin,
+
+    // Unrolled replay of the identical merge recurrence (the q63/q104
+    // oracle recipe), shared by train and encode.
+    "q110_bpe_train" -> graft.text.Bpe.trainOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents", bpeNMerges),
+
+    "q111_bpe_encode" -> graft.text.Bpe.encodeOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents", bpeNMerges),
 
     "q96_bigram_coherence" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -257,6 +257,32 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((6L, 0L, "unrelated healthy document text stays whole")))
   }
 
+  test("BPE: training recovers known merges in order; encode replays them; exhaustion stops early") {
+    import graft.text.Bpe
+    val docs = Seq(
+      (1L, "a b a b a b c d"),
+      (2L, "a b c d e"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", nMerges = 4)
+    // hand-derived: (a,b)x4; then a 3-way freq-2 tie broken pair-asc
+    // ("a b"<"c") -> (ab,ab); then (ab,c); then (abc,d)
+    assert(merges == Seq(
+      (1L, "a", "b", 4L),
+      (2L, "a b", "a b", 2L),
+      (3L, "a b", "c", 2L),
+      (4L, "a b c", "d", 2L)))
+    val enc = Bpe.encode(docs, "doc_id", "text", merges.map(m => (m._2, m._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._2).map(_._3).toSeq }
+    // greedy left-to-right: "a b a b a b" under (ab,ab) -> [abab, ab]
+    assert(enc(1L) == Seq("a b a b", "a b c d"))
+    assert(enc(2L) == Seq("a b c d", "e"))
+    assert(enc(3L) == Seq("x", "y")) // untouched by any merge
+    // single-token corpus has no pairs: the loop stops, honestly short
+    val lone = Seq((1L, "z")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(lone, "doc_id", "text", nMerges = 4).isEmpty)
+  }
+
   test("native TokenCount equals the regex-split formulation on edge and random inputs") {
     import graft.text.TextAnalysis
     val edge = Seq("", "   ", "a", " a ", "a b", "A--B!!c", "ümlaut straße",
