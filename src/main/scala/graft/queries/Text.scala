@@ -48,6 +48,43 @@ object Text extends QueryModule {
     * merge table and the encode replay derive from the same constant. */
   private val bpeNMerges = 16
 
+  /** q112: 64-bucket hashed-feature linear quality model — English
+    * stopwords weigh +3 (via their hash buckets), everything else −1,
+    * so natural English scores above token salad. ONE weight vector,
+    * built driver-side with the same hash both engines evaluate. */
+  private val (qmD, qmSalt) = (64, "qm")
+  private val qmWeights = graft.text.QualityModel.weightsFrom(qmD, qmSalt,
+    TextAnalysis.stopEn.map(_ -> 3L).toMap, default = -1L)
+
+  /** q113/q114: the corpus has no URL column, so the queries WRAP each
+    * doc in a deterministic dirty URL on BOTH engines (the q91 recipe):
+    * mixed-case scheme/host, rotating default/explicit ports, tracking
+    * params, a fragment. 7 hosts; 2 blocklisted; cap 40 per host. */
+  private val hostCapK = 40
+  private val hostCapSalt = "hostcap"
+  private val blockedHosts = Seq("www.site2.com", "www.site5.com")
+
+  /** The synthesized dirty URL, Spark side (explicit string casts —
+    * ANSI mode rejects implicit numeric-to-string concat). */
+  private def dirtyUrl: org.apache.spark.sql.Column = {
+    val m3 = col("doc_id") % 3
+    concat(
+      when(m3 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+      lit("WWW.Site"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+      when(m3 === 0, lit(":80")).when(m3 === 1, lit(":443"))
+        .otherwise(lit(":8080")),
+      lit("/Docs/"), col("source"), lit("/Page?utm_source=feed&id="),
+      col("doc_id").cast("string"), lit("&ref=x&keep=1#sec"))
+  }
+
+  /** The identical dirty URL, DuckDB side. */
+  private val dirtyUrlSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END || " +
+    "'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' || " +
+    "CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE ':8080' END || " +
+    "'/Docs/' || source || '/Page?utm_source=feed&id=' || " +
+    "CAST(doc_id AS VARCHAR) || '&ref=x&keep=1#sec'"
+
   /** q77: 32-token chunks every 16 (50% overlap); q80/q81: 12-token
     * "lines" (the span segmentation the single-line harness corpus
     * supports — see [[graft.text.Segments]]), ≥5-token minimum.
@@ -406,6 +443,40 @@ object Text extends QueryModule {
         .trainMerges(docs, "doc_id", "text", bpeNMerges)
         .map(m => (m._2, m._3))
       graft.text.Bpe.encode(docs, "doc_id", "text", merges)
+    }),
+
+    // Hashed-feature linear quality classifier (fastText-style
+    // inference): bucket-count vector x literal quantized weights via
+    // the native DotProduct — the learned-filter seam between q20's
+    // heuristics and a model server. Zero shuffles.
+    "q112_quality_classifier" -> ((s, dir) =>
+      graft.text.QualityModel.score(Tables(s, dir).documents,
+        "doc_id", "text", qmWeights, qmD, qmSalt)),
+
+    // Canonical URL normalization: scheme/host lowercase, default-port
+    // strip (non-default kept), utm_*/tracking-param removal with order
+    // preserved, fragment drop, empty path -> '/'. Pure per-row
+    // regexp/lambda expressions, zero shuffles.
+    "q113_url_canonical" -> ((s, dir) => {
+      val raw = dirtyUrl
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        graft.text.Urls.canonical(raw).as("url"),
+        graft.text.Urls.host(raw).as("host"))
+    }),
+
+    // Host-level curation: blocklist anti-join (broadcast, q46
+    // machinery) then the mega-key-safe per-host cap (q82's two-phase
+    // bounded-buffer form) over the canonical host.
+    "q114_host_curation" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val hosts = Tables(s, dir).documents
+        .select(col("doc_id"), graft.text.Urls.host(dirtyUrl).as("host"))
+        .join(broadcast(blockedHosts.toDF("host")), Seq("host"), "left_anti")
+      graft.ops.Sampling
+        .capPerKeyIds(hosts, "host", "doc_id", hostCapK, hostCapSalt)
+        .select(col("doc_id"), col("host"))
     }),
 
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
@@ -993,6 +1064,32 @@ object Text extends QueryModule {
 
     "q111_bpe_encode" -> graft.text.Bpe.encodeOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", bpeNMerges),
+
+    // The dot product re-associated as a per-token bucket-weight sum —
+    // identical integer-exact value, no 64-element unnest.
+    "q112_quality_classifier" -> graft.text.QualityModel.scoreOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents",
+      qmWeights, qmD, qmSalt),
+
+    "q113_url_canonical" ->
+      s"""SELECT doc_id,
+        |       ${graft.text.Urls.canonicalSql(s"($dirtyUrlSql)")} AS url,
+        |       ${graft.text.Urls.hostSql(s"($dirtyUrlSql)")} AS host
+        |FROM documents""".stripMargin,
+
+    "q114_host_curation" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, ${graft.text.Urls.hostSql(s"($dirtyUrlSql)")} AS host
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, host FROM h
+        |  WHERE host NOT IN ${inList(blockedHosts)}
+        |), r AS (
+        |  SELECT doc_id, host,
+        |         row_number() OVER (PARTITION BY host
+        |           ORDER BY ${graft.ops.Sampling.capPrioritySql("doc_id", hostCapSalt)}, doc_id) AS rn
+        |  FROM f)
+        |SELECT doc_id, host FROM r WHERE rn <= $hostCapK""".stripMargin,
 
     "q96_bigram_coherence" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DotProduct, Hash64}
+
+/** Hashed-feature linear quality classifier — fastText-style INFERENCE
+  * (Joulin et al. 2016: bag of hashed token features × a trained weight
+  * vector): each token hashes to one of `d` buckets (the hashing trick —
+  * no vocabulary lookup, collisions are the accepted approximation), the
+  * document becomes its bucket-count vector, and the score is the native
+  * codegen [[DotProduct]] of that vector with a LITERAL weight vector.
+  * This is the standard learned quality filter that sits between q20's
+  * hand-written heuristics and a full model server: weights are trained
+  * offline (anywhere), quantized to integers, and shipped as literals —
+  * inference is then pure per-row expression work, zero shuffles,
+  * scan-bound, and integer-exact (integer counts × integer weights in
+  * doubles are exact below 2^53), so the score is oracle-checkable.
+  *
+  * [[weightsFrom]] builds such a quantized vector from per-token weights
+  * driver-side, using the SAME 60-bit hash the expressions use (md5
+  * prefix — [[Hash64.hash60]]), so a token list like "stopwords score
+  * +3" lands in exactly the buckets the scorer reads.
+  */
+object QualityModel {
+
+  /** Driver-side mirror of [[Hash64.hash60]] (md5 hex prefix as long). */
+  def hash60Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Bucket of a token, identically computable driver-side, in Spark,
+    * and in DuckDB (`hash60(salt || '_' || t) % d`). */
+  def bucketOf(token: String, d: Int, salt: String): Int =
+    (hash60Local(s"${salt}_$token") % d).toInt
+
+  /** Quantized weight vector from per-token integer weights: bucket j
+    * collects `default` plus the weights of every listed token hashing
+    * to j (collisions between listed tokens sum — the hashing-trick
+    * contract). */
+  def weightsFrom(d: Int, salt: String, tokenWeights: Map[String, Long],
+      default: Long = 0L): Seq[Long] =
+    (0 until d).map { j =>
+      default + tokenWeights.collect {
+        case (t, w) if bucketOf(t, d, salt) == j => w
+      }.sum
+    }
+
+  private def bucketExpr(t: Column, d: Int, salt: String): Column =
+    Hash64.hash60(concat(lit(s"${salt}_"), t)) % d
+
+  /** Score documents: @return (idCol, n_tokens, raw, score) where
+    * raw = dot(bucket-count vector, weights) and score = raw / max(1,
+    * n_tokens) (length-normalized, so long docs don't dominate on mass).
+    * Token-free docs score 0.
+    *
+    * Plan: one projection materializes the token and bucket arrays
+    * (md5 runs ONCE per token), one builds the d-length count vector
+    * (integer compares over the materialized bucket array), then the
+    * codegen'd [[DotProduct]] — zero shuffles end to end. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], d: Int, salt: String): DataFrame = {
+    require(weights.length == d, s"need $d weights, got ${weights.length}")
+    val counts = transform(sequence(lit(0), lit(d - 1)),
+      j => size(filter(col("__b"), b => b === j)).cast("double"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        transform(col("__toks"), t => bucketExpr(t, d, salt)).as("__b"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
+        DotProduct.dot(counts,
+          typedLit(weights.map(_.toDouble))).as("raw"))
+      .withColumn("score", col("raw") / greatest(col("n_tokens"), lit(1L)))
+  }
+
+  /** DuckDB oracle for [[score]]: the dot product re-associated as a
+    * per-token weight-lookup sum (identical value — counts × weights =
+    * sum over occurrences of the occupant bucket's weight), so the
+    * oracle needs no 64-element unnest. `tokSql` must yield
+    * (doc_id, toks). */
+  def scoreOracleSql(tokSql: String, weights: Seq[Long], d: Int,
+      salt: String): String = {
+    val wList = weights.mkString("[", ", ", "]")
+    s"""WITH t AS ($tokSql)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(list_sum(list_transform(toks, tok ->
+      |         ($wList)[CAST(${Hash64.duckSql(s"'${salt}_' || tok")} % $d AS INT) + 1])),
+      |         0) AS DOUBLE) AS raw,
+      |       CAST(coalesce(list_sum(list_transform(toks, tok ->
+      |         ($wList)[CAST(${Hash64.duckSql(s"'${salt}_' || tok")} % $d AS INT) + 1])),
+      |         0) AS DOUBLE) / greatest(len(toks), 1) AS score
+      |FROM t""".stripMargin
+  }
+}

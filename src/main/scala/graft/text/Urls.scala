@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Canonical URL normalization for web-corpus curation — the
+  * highest-frequency cheap transforms a crawl pipeline applies before
+  * per-host capping, blocklisting, and URL-level dedup:
+  *  - scheme and host lowercase (path/query case is SIGNIFICANT per
+  *    RFC 3986 and stays),
+  *  - default ports stripped (`:80` for http, `:443` for https;
+  *    non-default ports are identity),
+  *  - tracking query parameters removed (`utm_*` prefix plus an
+  *    explicit list — the parameters that make one page crawl as
+  *    thousands of "distinct" URLs), remaining parameters kept in
+  *    original order (sorting would merge `?a=1&b=2` pages with
+  *    order-sensitive endpoints),
+  *  - fragment dropped (never sent to the server),
+  *  - empty path canonicalized to `/`.
+  *
+  * Everything is a composition of codegen'd built-ins (regexp_extract /
+  * lambda filter / concat) with an exact DuckDB mirror — per-row, zero
+  * shuffles, and URL-less rows yield NULL (no scheme ⇒ not a URL, the
+  * caller dead-letters). Per-host capping composes
+  * [[graft.ops.Sampling.capPerKeyIds]] on [[host]]; blocklisting is a
+  * broadcast anti-join on the same column.
+  */
+object Urls {
+
+  /** Parameters stripped by default, beyond the `utm_` prefix rule. */
+  val trackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "ref", "igshid")
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val queryRe = "\\?([^#]*)"
+
+  /** Lowercased host without the port — the per-host cap / blocklist /
+    * URL-dedup key. NULL when `url` has no scheme. */
+  def host(url: Column): Column = {
+    val hp = lower(regexp_extract(url, hostRe, 1))
+    when(regexp_extract(url, schemeRe, 1) =!= "",
+      regexp_replace(hp, ":[0-9]+$", ""))
+  }
+
+  /** The canonical form described above; NULL when `url` has no scheme. */
+  def canonical(url: Column,
+      strip: Seq[String] = trackingParams): Column = {
+    val sch = lower(regexp_extract(url, schemeRe, 1))
+    val hp = lower(regexp_extract(url, hostRe, 1))
+    val hp2 = when(sch === "http", regexp_replace(hp, ":80$", ""))
+      .when(sch === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    val path = regexp_extract(url, pathRe, 1)
+    val q = regexp_extract(url, queryRe, 1)
+    val keptParams = filter(split(q, "&"), p => {
+      val name = substring_index(p, "=", 1)
+      !name.isin(strip: _*) && !name.startsWith("utm_") && p =!= ""
+    })
+    val q2 = array_join(keptParams, "&")
+    when(sch =!= "",
+      concat(sch, lit("://"), hp2,
+        when(path === "", lit("/")).otherwise(path),
+        when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit(""))))
+  }
+
+  /** DuckDB mirror of [[host]]. */
+  def hostSql(urlExpr: String): String =
+    s"""CASE WHEN regexp_extract($urlExpr, '$schemeRe', 1) <> ''
+       |  THEN regexp_replace(lower(regexp_extract($urlExpr, '$hostRe', 1)),
+       |                      ':[0-9]+$$', '')
+       |END""".stripMargin
+
+  /** DuckDB mirror of [[canonical]]. */
+  def canonicalSql(urlExpr: String,
+      strip: Seq[String] = trackingParams): String = {
+    val stripList = strip.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""CASE WHEN lower(regexp_extract($urlExpr, '$schemeRe', 1)) <> '' THEN
+       |  lower(regexp_extract($urlExpr, '$schemeRe', 1)) || '://' ||
+       |  CASE lower(regexp_extract($urlExpr, '$schemeRe', 1))
+       |    WHEN 'http' THEN regexp_replace(
+       |      lower(regexp_extract($urlExpr, '$hostRe', 1)), ':80$$', '')
+       |    WHEN 'https' THEN regexp_replace(
+       |      lower(regexp_extract($urlExpr, '$hostRe', 1)), ':443$$', '')
+       |    ELSE lower(regexp_extract($urlExpr, '$hostRe', 1)) END ||
+       |  CASE WHEN regexp_extract($urlExpr, '$pathRe', 1) = '' THEN '/'
+       |       ELSE regexp_extract($urlExpr, '$pathRe', 1) END ||
+       |  CASE WHEN array_to_string(list_filter(
+       |         string_split(regexp_extract($urlExpr, '$queryRe', 1), '&'),
+       |         p -> split_part(p, '=', 1) NOT IN $stripList
+       |              AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+       |              AND p <> ''), '&') <> ''
+       |       THEN '?' || array_to_string(list_filter(
+       |         string_split(regexp_extract($urlExpr, '$queryRe', 1), '&'),
+       |         p -> split_part(p, '=', 1) NOT IN $stripList
+       |              AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+       |              AND p <> ''), '&')
+       |       ELSE '' END
+       |END""".stripMargin
+  }
+}

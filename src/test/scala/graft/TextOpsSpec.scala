@@ -283,6 +283,60 @@ class TextOpsSpec extends SparkSuite {
     assert(Bpe.trainMerges(lone, "doc_id", "text", nMerges = 4).isEmpty)
   }
 
+  test("QualityModel: planted high/low-quality docs order correctly; empty docs score 0") {
+    import graft.text.QualityModel
+    val (d, salt) = (64, "qmtest")
+    val planted = Map("good" -> 5L, "great" -> 5L, "spam" -> -7L, "junk" -> -7L)
+    // the test is only meaningful if the planted words occupy distinct
+    // buckets (deterministic hash, so this can't flake once green)
+    assert(planted.keySet.map(QualityModel.bucketOf(_, d, salt)).size == 4)
+    val w = QualityModel.weightsFrom(d, salt, planted, default = 0L)
+    assert(w.sum == planted.values.sum) // contributions land exactly once
+    val docs = Seq(
+      (1L, "good text with great words and good ideas"),
+      (2L, "plain words with no planted tokens at all"),
+      (3L, "spam junk spam junk spam"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = QualityModel.score(docs, "doc_id", "text", w, d, salt)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // raw: doc1 = 2*good + 1*great (+ collisions of unlisted words: only
+    // exact if none land in planted buckets — assert ordering, not value)
+    assert(out(1L)._3 > out(2L)._3 && out(2L)._3 > out(3L)._3)
+    assert(out(1L)._2 >= 15.0 - 7.0 && out(3L)._2 <= -21.0 + 5.0)
+    assert(out(4L) == ((0L, 0.0, 0.0)))
+    // integer-exactness: raw is a whole number (counts x integer weights)
+    assert(out.values.forall(v => v._2 == math.rint(v._2)))
+  }
+
+  test("Urls.canonical/host: case, default ports, tracking params, fragments, schemeless") {
+    import graft.text.Urls
+    val cases = Seq(
+      // scheme+host lowered, :443 stripped on https, path case KEPT,
+      // utm_* + ref stripped with order preserved, fragment dropped
+      ("HTTPS://WWW.Ex.COM:443/A/B?utm_source=x&id=9&ref=z&keep=1#frag",
+        "https://www.ex.com/A/B?id=9&keep=1", "www.ex.com"),
+      // :80 stripped on http; empty path -> '/'
+      ("HTTP://ex.com:80?x=1", "http://ex.com/?x=1", "ex.com"),
+      // non-default port survives canonical but not the host key
+      ("https://Ex.com:8080/p", "https://ex.com:8080/p", "ex.com"),
+      // :443 is NOT http's default -> kept
+      ("http://ex.com:443/p", "http://ex.com:443/p", "ex.com"),
+      // every param stripped -> no '?'
+      ("https://ex.com/p?utm_a=1&utm_b=2&fbclid=3", "https://ex.com/p", "ex.com"),
+      // no query, no fragment, bare host
+      ("https://ex.com", "https://ex.com/", "ex.com"))
+    val df = cases.map(_._1).toDF("u")
+      .select(Urls.canonical(col("u")).as("c"), Urls.host(col("u")).as("h"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == cases.map(c => (c._2, c._3)))
+    // schemeless input is not a URL: both NULL
+    val bad = Seq("notaurl", "www.ex.com/path", "").toDF("u")
+      .select(Urls.canonical(col("u")).as("c"), Urls.host(col("u")).as("h"))
+      .collect()
+    assert(bad.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("native TokenCount equals the regex-split formulation on edge and random inputs") {
     import graft.text.TextAnalysis
     val edge = Seq("", "   ", "a", " a ", "a b", "A--B!!c", "ümlaut straße",
