@@ -479,6 +479,15 @@ object Text extends QueryModule {
         .select(col("doc_id"), col("host"))
     }),
 
+    // Bin-packing layout: per-shard first-fit-decreasing into
+    // fixed-capacity bins — whole documents, q67's constants, bins
+    // never overflow. One keyed shuffle of (id, n) pairs; the FFD fold
+    // runs once per shard.
+    "q115_bin_packing" -> ((s, dir) =>
+      graft.ops.BinPack.packBinsFFD(Tables(s, dir).documents,
+        "doc_id", "text", capacity = packCapacity, shards = packShards,
+        salt = packSalt)),
+
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
     // adjacent pairs — the word-order quality proxy q74's unigram
     // rarity can't see. Integer-exact sums, one final division.
@@ -1076,6 +1085,16 @@ object Text extends QueryModule {
         |       ${graft.text.Urls.canonicalSql(s"($dirtyUrlSql)")} AS url,
         |       ${graft.text.Urls.hostSql(s"($dirtyUrlSql)")} AS host
         |FROM documents""".stripMargin,
+
+    // The identical FFD fold replayed as a recursive CTE, one doc per
+    // shard per round, carrying the bin-load list.
+    "q115_bin_packing" -> graft.ops.BinPack.ffdOracleSql(
+      s"""SELECT doc_id,
+         |       ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)} AS shard,
+         |       CAST(len($toksSql) AS BIGINT) AS n
+         |FROM documents
+         |WHERE len($toksSql) BETWEEN 1 AND $packCapacity""".stripMargin,
+      packCapacity),
 
     "q114_host_curation" ->
       s"""WITH h AS (

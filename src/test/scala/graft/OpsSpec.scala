@@ -195,6 +195,47 @@ class OpsSpec extends SparkSuite {
     assert(sLpa == expected)
   }
 
+  test("BinPack FFD: no bin overflows, every eligible doc packs once, beats greedy, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val sizes = (1L to 120L).map(i => i -> (1 + rnd.nextInt(15)))
+    val docs = sizes
+      .map { case (i, n) => (i, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val cap = 20
+    val out = BinPack.packBinsFFD(docs, "doc_id", "text",
+        capacity = cap, shards = 3, salt = "bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 120) // every doc (all fit) packed exactly once
+    assert(out.map(_._1).distinct.length == 120)
+    // the load-bearing invariant: no bin over capacity
+    val binLoads = out.groupBy(r => (r._2, r._4)).map(_._2.map(_._3).sum)
+    assert(binLoads.forall(_ <= cap))
+    // FFD uses no more bins (= no more padding) than the greedy
+    // sequential packer (id order, only the last bin open) most
+    // pipelines start with
+    val ffdBins = out.groupBy(_._2).map { case (_, rs) =>
+      rs.map(_._4).distinct.length }.sum
+    val greedyBins = out.groupBy(_._2).map { case (_, rs) =>
+      var (bins, load) = (0, 0L)
+      rs.sortBy(_._1).foreach { r =>
+        if (bins == 0 || load + r._3 > cap) { bins += 1; load = r._3 }
+        else load += r._3
+      }
+      bins
+    }.sum
+    assert(ffdBins < greedyBins, s"ffd=$ffdBins greedy=$greedyBins")
+    // oversize and empty docs are excluded by contract
+    val edge = Seq((200L, Seq.fill(25)("w").mkString(" ")), (201L, ""))
+      .toDF("doc_id", "text")
+    assert(BinPack.packBinsFFD(edge, "doc_id", "text", cap, 3, "bp").count() == 0)
+    // deterministic across partitionings (pure function of content)
+    val again = BinPack.packBinsFFD(docs.repartition(11), "doc_id", "text",
+        capacity = cap, shards = 3, salt = "bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("robustOutliers catches what the dragged mean hides; constant groups flag nothing") {
     import spark.implicits._
     val df = (
