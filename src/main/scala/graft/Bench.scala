@@ -35,6 +35,31 @@ object Bench {
             docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0),
             docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 === 0),
             "doc_id", "text", hashGrams = true)
+        }),
+      // Chain-once contract: materialize the minhash→LSH→CC table ONCE,
+      // then serve all four consumers (clusters, report, reps, flow
+      // matrix) from parquet. Compare against q37+q72+q90+q107, which
+      // re-derive the chain per query (the oracle-self-containment
+      // price). Timed region includes the write and every consumer.
+      "x37_cluster_table" ->
+        ((s, dir) => {
+          import org.apache.spark.sql.functions._
+          val tableDir = "/tmp/graft_cluster_table"
+          val pairs = queries.Vectors
+            .minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+            .filter(col("est_jaccard") >= 0.5)
+          dedup.NearDup.writeClusterTable(pairs, tableDir)
+          val cl = dedup.NearDup.readClusters(s, tableDir)
+          val ps = dedup.NearDup.readClusterPairs(s, tableDir)
+          dedup.NearDup.dedupReport(cl).count()
+          val docs = Tables(s, dir).documents
+          dedup.NearDup.clusterRepresentatives(cl,
+            docs.select(col("doc_id"),
+              size(text.TextAnalysis.tokens(col("text"))).cast("long")
+                .as("n_tokens")),
+            "doc_id", "n_tokens").count()
+          dedup.NearDup.dupFlowMatrix(ps, docs, "doc_id", "source").count()
+          cl
         }))
     // Untimed warmup: run EVERY query once at the tiny SF so each plan's
     // Janino/JIT compilation (the dominant 4-6 s first-evaluation noise,

@@ -406,6 +406,59 @@ object NearDup {
           .partitionBy(col("cluster_id"))
           .orderBy(col(scoreCol).desc, col(idCol))) === 1)
 
+  /** q72's aggregation as a composable op over a cluster frame
+    * ([[connectedComponents]] output or [[readClusters]]): docs in dup
+    * clusters, cluster count, removal count, biggest cluster. */
+  def dedupReport(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz")).as("n_docs_clustered"),
+        count(lit(1)).as("n_clusters"),
+        (sum(col("sz")) - count(lit(1))).as("n_removed"),
+        max(col("sz")).as("max_cluster_size"))
+
+  /** q107's aggregation as a composable op over a pair frame: near-dup
+    * pairs rolled up by (source, source), orientation canonicalized so
+    * the matrix is triangular. `docSources` carries (idCol, srcCol). */
+  def dupFlowMatrix(pairs: DataFrame, docSources: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
+    val src = docSources.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("d1"), col(srcCol).as("s1")), "d1")
+      .join(src.select(col(idCol).as("d2"), col(srcCol).as("s2")), "d2")
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Materialized dedup-chain contract: run the expensive
+    * minhash→LSH→verify chain ONCE, write its two products — the
+    * verified pair list and the resolved clusters — and let every
+    * consumer ([[dedupReport]], [[clusterRepresentatives]],
+    * [[dupFlowMatrix]], removal anti-joins) READ them instead of
+    * re-deriving the chain per query. The oracle gate keeps each query
+    * self-contained (q37/q72/q90/q107 recompute by design, priced in
+    * the bench's x37 chain-once entry); a production corpus pipeline
+    * runs THIS once per corpus version. The clusters are computed from
+    * the just-written pairs parquet, so the CC iterations also re-read
+    * a materialized leaf, never the minhash lineage.
+    *
+    * Layout: `dir/pairs` (d1, d2, + whatever rode in, e.g.
+    * est_jaccard), `dir/clusters` (node, cluster_id, keep). */
+  def writeClusterTable(pairs: DataFrame, dir: String): Unit = {
+    val spark = pairs.sparkSession
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    connectedComponents(readClusterPairs(spark, dir))
+      .write.mode("overwrite").parquet(s"$dir/clusters")
+  }
+
+  /** Read back [[writeClusterTable]]'s pair list. */
+  def readClusterPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(s"$dir/pairs")
+
+  /** Read back [[writeClusterTable]]'s resolved clusters. */
+  def readClusters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(s"$dir/clusters")
+
   /** Contiguous partition of `totalBits` signature bits into `bands`
     * near-equal spans, as (offset, width) per band. Pigeonhole contract:
     * a pair within hamming ≤ bands − 1 has too few differing bits to touch

@@ -112,12 +112,7 @@ object Vectors extends QueryModule {
     "q72_dedup_report" -> ((s, dir) => {
       val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
         .filter(col("est_jaccard") >= 0.5)
-      val clusters = NearDup.connectedComponents(pairs)
-      clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-        .agg(sum(col("sz")).as("n_docs_clustered"),
-          count(lit(1)).as("n_clusters"),
-          (sum(col("sz")) - count(lit(1))).as("n_removed"),
-          max(col("sz")).as("max_cluster_size"))
+      NearDup.dedupReport(NearDup.connectedComponents(pairs))
     }),
 
     // Cross-source duplication-flow matrix: q27's near-dup pairs rolled
@@ -128,13 +123,8 @@ object Vectors extends QueryModule {
     "q107_dup_flow" -> ((s, dir) => {
       val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
         .filter(col("est_jaccard") >= 0.5)
-      val src = Tables(s, dir).documents.select(col("doc_id"), col("source"))
-      pairs
-        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
-        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
-        .groupBy(least(col("s1"), col("s2")).as("source_a"),
-          greatest(col("s1"), col("s2")).as("source_b"))
-        .agg(count(lit(1)).as("n_pairs"))
+      NearDup.dupFlowMatrix(pairs, Tables(s, dir).documents,
+        "doc_id", "source")
     }),
 
     // SimHash near-dup: 60-bit signature, pigeonhole banding (9 bands for

@@ -80,6 +80,33 @@ class NearDupSpec extends SparkSuite {
       Set((2L, 2L), (10L, 10L), (20L, 20L)))
   }
 
+  test("cluster table: write-once round-trips, composed consumers match the inline forms") {
+    import spark.implicits._
+    val pairs = Seq(
+      (5L, 2L, 0.9), (2L, 7L, 0.8),      // chain -> cluster 2 (3 docs)
+      (10L, 11L, 1.0)                    // pair  -> cluster 10 (2 docs)
+    ).toDF("d1", "d2", "est_jaccard")
+    val dir = java.nio.file.Files.createTempDirectory("clustertable").toString
+    NearDup.writeClusterTable(pairs, dir)
+    // clusters read back = the inline CC of the same pairs
+    val fromTable = NearDup.readClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toSet
+    val inline = NearDup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toSet
+    assert(fromTable == inline && fromTable.nonEmpty)
+    // composed report over the table = the known totals
+    val rep = NearDup.dedupReport(NearDup.readClusters(spark, dir)).collect().head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3))
+      == ((5L, 2L, 3L, 3L))) // 5 docs, 2 clusters, 3 removed, max size 3
+    // composed flow matrix over the read-back pairs
+    val srcs = Seq((5L, "a"), (2L, "a"), (7L, "b"), (10L, "b"), (11L, "b"))
+      .toDF("doc_id", "source")
+    val flow = NearDup.dupFlowMatrix(
+        NearDup.readClusterPairs(spark, dir), srcs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(flow == Map(("a", "a") -> 1L, ("a", "b") -> 1L, ("b", "b") -> 1L))
+  }
+
   test("bandLayout partitions all 60 bits into near-equal contiguous spans") {
     for (bands <- Seq(1, 4, 9, 11, 17, 60)) {
       val layout = NearDup.bandLayout(bands)
