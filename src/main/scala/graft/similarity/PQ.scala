@@ -140,6 +140,54 @@ object PQ {
         (-col("__nadc")).cast("long").as("adc"), col("rn"))
   }
 
+  /** Element-wise `v − coarse[cell]`: the IVF-PQ RESIDUAL (the FAISS
+    * layout — PQ bits quantize what remains after coarse quantization,
+    * a far smaller-radius distribution than the raw corpus, which is
+    * where the recall at equal bytes comes from). Literal map lookup on
+    * the cell id; the zip_with lambda touches only its lambda vars. */
+  private def residualExpr(v: Column, cell: Column,
+      coarse: Seq[(Long, Seq[Double])]): Column = {
+    val centMap = map(coarse.flatMap { case (cid, cv) =>
+      Seq(lit(cid), array(cv.map(lit): _*)) }: _*)
+    zip_with(v, element_at(centMap, cell), (a, b) => a - b)
+  }
+
+  /** Corpus with `vecCol` replaced by its coarse residual (cell rides
+    * along) — the frame residual codebooks are sliced/trained on and
+    * [[ivfResidualAdcTopK]] encodes. Scan-projection, no shuffle; the
+    * residual lands in its own projection so the m·k code expressions
+    * downstream slice an attribute, not the zip_with subtree. */
+  def residuals(base: DataFrame, coarse: Seq[(Long, Seq[Double])],
+      vecCol: String = "ev"): DataFrame =
+    IVF.assign(base, coarse, vecCol)
+      .withColumn(vecCol, residualExpr(col(vecCol), col("cell"), coarse))
+
+  /** IVF-PQ with residual encoding: prune to nProbe coarse cells, then
+    * ADC-score residual codes against a PER-(query, cell) LUT — the
+    * query's residual differs in every probed cell, so the LUT moves
+    * inside the probe explode (nProbe LUTs per query; queries are
+    * broadcast-scale by contract, so the extra m·k work is on the tiny
+    * side of the join). `cb` must be sliced/trained on [[residuals]]
+    * output — a raw-vector codebook scores garbage here. */
+  def ivfResidualAdcTopK(base: DataFrame, queries: DataFrame,
+      coarse: Seq[(Long, Seq[Double])], cb: Codebook,
+      nProbe: Int, k: Int, vecCol: String = "ev",
+      idCol: String = "id"): DataFrame = {
+    val kc = cb.head.size
+    val enc = encode(residuals(base, coarse, vecCol), cb, vecCol)
+    val probes = queries
+      .select(col("qid"), col("qv"),
+        explode(IVF.probeExpr(col("qv"), coarse, nProbe)).as("cell"))
+      .withColumn("__qres", residualExpr(col("qv"), col("cell"), coarse))
+      .select(col("qid"), col("cell"), lutExpr(col("__qres"), cb).as("__lut"))
+    val scored = enc.join(broadcast(probes), Seq("cell"))
+      .withColumn("__nadc",
+        -adcExpr(col("code"), col("__lut"), cb.size, kc).cast("double"))
+    TopK.perGroup(scored, Seq("qid"), idCol, "__nadc", k)
+      .select(col("qid"), col(idCol),
+        (-col("__nadc")).cast("long").as("adc"), col("rn"))
+  }
+
   /** IVF-PQ: prune to the query's nProbe nearest coarse cells, ADC-score
     * only those — the standard billion-scale layout (coarse centroids ×
     * sub-codebooks are independent models). */

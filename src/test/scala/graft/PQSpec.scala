@@ -86,6 +86,35 @@ class PQSpec extends SparkSuite {
     assert(adcPlan.contains("BroadcastExchange"), adcPlan) // queries side only
   }
 
+  test("residual IVF-PQ beats raw-vector PQ recall@10 at equal bytes") {
+    val truth = l2TopK(10)
+    // raw path: the existing trained curve (m=8 subspaces, k=8 codes)
+    val trainedRaw = PQ.train(base, cb, iters = 2)
+    val rawGot = PQ.adcTopK(PQ.encode(base, trainedRaw), queries, trainedRaw, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (rawGot & truth).size.toDouble / truth.size
+    // residual path at the SAME code bytes: 64 coarse cells, codebook
+    // sliced+trained on residuals, nProbe = all cells so the comparison
+    // isolates the encoding benefit from pruning loss. The seed must
+    // avoid the coarse members — their residuals are zero vectors.
+    val coarse = IVF.collectCentroids(
+      base.filter(col("id") < 64).select(col("id").as("cid"), col("ev").as("cv")),
+      "cid", "cv")
+    val resBase = PQ.residuals(base, coarse)
+    val cbRes = PQ.train(resBase, PQ.sliceCodebook(
+      IVF.collectCentroids(
+        resBase.filter(col("id") >= 100 && col("id") < 108)
+          .select((col("id") - 100).as("cid"), col("ev").as("cv")),
+        "cid", "cv"), m = 8), iters = 2)
+    val resGot = PQ.ivfResidualAdcTopK(base, queries, coarse, cbRes,
+        nProbe = 64, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resRecall = (resGot & truth).size.toDouble / truth.size
+    info(f"recall@10 at m=8,k=8: raw $rawRecall%.2f, residual $resRecall%.2f")
+    assert(resRecall >= rawRecall + 0.1,
+      f"residual $resRecall%.2f not materially above raw $rawRecall%.2f")
+  }
+
   test("ivfAdcTopK prunes to probed cells and keeps self-retrieval") {
     val coarse = IVF.collectCentroids(
       base.filter(col("id") < 16).select(col("id").as("cid"), col("ev").as("cv")),
