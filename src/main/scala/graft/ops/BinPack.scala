@@ -46,9 +46,12 @@ object BinPack {
     val grouped = base.groupBy(col("shard"))
       .agg(array_sort(collect_list(struct(
         (-col("n")).as("negn"), col("id"), col("n")))).as("ds"))
+    // The fold accumulates BARE bin ids aligned with ds by position
+    // (zipped back after) — per-element array copies are 8-byte longs,
+    // not 24-byte structs, which is most of the fold's cost.
     val zero = struct(
       array().cast("array<bigint>").as("loads"),
-      array().cast("array<struct<id:bigint,n:bigint,bin:bigint>>").as("bins"))
+      array().cast("array<bigint>").as("bins"))
     val fold = aggregate(col("ds"), zero, (acc, d) => {
       val loads = acc.getField("loads")
       val n = d.getField("n")
@@ -64,13 +67,13 @@ object BinPack {
         .otherwise(transform(loads,
           (l, k) => when(k === fit - 1, l + n).otherwise(l)))
       struct(newLoads.as("loads"),
-        concat(acc.getField("bins"), array(struct(
-          d.getField("id").as("id"), n.as("n"), bin.as("bin")))).as("bins"))
+        concat(acc.getField("bins"), array(bin)).as("bins"))
     })
     grouped
-      .select(col("shard"), explode(fold.getField("bins")).as("b"))
-      .select(col("b.id").as(idCol), col("shard"),
-        col("b.n").as("n_tokens"), col("b.bin").as("bin"))
+      .select(col("shard"), col("ds"), fold.getField("bins").as("binids"))
+      .select(col("shard"), explode(arrays_zip(col("ds"), col("binids"))).as("e"))
+      .select(col("e.ds.id").as(idCol), col("shard"),
+        col("e.ds.n").as("n_tokens"), col("e.binids").as("bin"))
   }
 
   /** DuckDB oracle: the identical FFD fold as a recursive CTE stepping
