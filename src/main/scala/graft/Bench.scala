@@ -41,6 +41,21 @@ object Bench {
       // matrix) from parquet. Compare against q37+q72+q90+q107, which
       // re-derive the chain per query (the oracle-self-containment
       // price). Timed region includes the write and every consumer.
+      // Production-path encode: q111 re-trains its merges per run (the
+      // oracle-self-containment price, ~80% of its bench time). Here the
+      // merge table is trained ONCE — on the first (untimed warmup)
+      // invocation, exactly the train-on-a-sample contract — and the
+      // timed region is the pure zero-shuffle replace-chain encode.
+      "x111_bpe_encode_only" -> {
+        var trained: Seq[(String, String)] = null
+        (s: org.apache.spark.sql.SparkSession, dir: String) => {
+          val docs = Tables(s, dir).documents
+          if (trained == null)
+            trained = text.Bpe.trainMerges(docs, "doc_id", "text", 16)
+              .map(m => (m._2, m._3))
+          text.Bpe.encode(docs, "doc_id", "text", trained)
+        }
+      },
       "x37_cluster_table" ->
         ((s, dir) => {
           import org.apache.spark.sql.functions._
