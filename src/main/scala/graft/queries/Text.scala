@@ -48,6 +48,11 @@ object Text extends QueryModule {
     * merge table and the encode replay derive from the same constant. */
   private val bpeNMerges = 16
 
+  /** q116: LM trained on doc_id % 11 ≠ 0 (x55's held-in split — the
+    * held-out tenth plus junk docs pay unseen-bigram cost); bigrams
+    * seen once are pruned, exercising the model-size lever. */
+  private val (lmHoldMod, lmMinCount) = (11L, 2L)
+
   /** q112: 64-bucket hashed-feature linear quality model — English
     * stopwords weigh +3 (via their hash buckets), everything else −1,
     * so natural English scores above token salad. ONE weight vector,
@@ -487,6 +492,17 @@ object Text extends QueryModule {
       graft.ops.BinPack.packBinsFFD(Tables(s, dir).documents,
         "doc_id", "text", capacity = packCapacity, shards = packShards,
         salt = packSalt)),
+
+    // Bigram LM quality score (CCNet-style perplexity filter): train
+    // Laplace-smoothed bigram counts on the held-in split, score EVERY
+    // doc by mean model bits per bigram — integer bit-length
+    // quantization keeps the learned score oracle-exact.
+    "q116_lm_quality" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val (bi, uni, voc) = graft.text.LangModel.train(
+        docs.filter(col("doc_id") % lmHoldMod =!= 0), "text", lmMinCount)
+      graft.text.LangModel.score(docs, "doc_id", "text", bi, uni, voc)
+    }),
 
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
     // adjacent pairs — the word-order quality proxy q74's unigram
@@ -1073,6 +1089,14 @@ object Text extends QueryModule {
 
     "q111_bpe_encode" -> graft.text.Bpe.encodeOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", bpeNMerges),
+
+    // The identical integer bit-length recurrence: bits via
+    // length(bin(x)), exact on both engines.
+    "q116_lm_quality" -> graft.text.LangModel.scoreOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents",
+      s"SELECT doc_id, $toksSql AS toks FROM documents " +
+        s"WHERE doc_id % $lmHoldMod <> 0",
+      lmMinCount),
 
     // The dot product re-associated as a per-token bucket-weight sum —
     // identical integer-exact value, no 64-element unnest.

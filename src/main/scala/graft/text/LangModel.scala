@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model quality scoring — the CCNet-style learned
+  * perplexity filter (Wenzek et al. 2020): train adjacent-bigram counts
+  * on a reference corpus, score every document by its mean per-bigram
+  * model cost, keep/bucket documents by that score. This is the learned
+  * distributional filter between [[TextAnalysis]]'s surface heuristics
+  * (q20) and [[QualityModel]]'s supervised classifier (q112): it needs
+  * no labels, only a reference corpus to define "normal" text.
+  * Reference analogue: none — LLM-pipeline surface.
+  *
+  * SCORE SCALE (the cross-engine trick): model "bits" are integer bit
+  * lengths — `blog(x) = floor(log2 x) + 1 = length(bin(x))`, exact on
+  * both engines for BIGINT x ≥ 1 — so the per-bigram cost
+  * `blog(c1 + V) − blog(c12 + 1)` is an integer quantization (within
+  * ±1 bit per term) of the Laplace-smoothed cross-entropy
+  * `−log2((c12 + 1) / (c1 + V))`. [[Retrieval]] documents why a true
+  * `Math.log` can never be oracle-compared bit-wise; BM25 dropped the
+  * log because its rankings survive a monotone map, but an additive
+  * cross-entropy SUM does not — bit quantization keeps the logarithmic
+  * weighting of rare events (which linear ratios lose) while staying
+  * integer-exact end to end.
+  *
+  * Scale contract: training is two keyed aggregations over the
+  * reference corpus; at 100 TB one trains on a bounded sample
+  * ([[graft.ops.Sampling.stratifiedSample]] — bigram statistics
+  * converge long before corpus scale) with `minCount` pruning, which
+  * bounds the model to broadcast scale, so full-corpus scoring is
+  * broadcast-joined (AQE picks this up from the model's size) plus one
+  * per-document aggregation — a single shuffle over the data being
+  * scored. Documents with fewer than two tokens carry no bigram
+  * evidence and drop out (the q111 convention).
+  */
+object LangModel {
+
+  /** Integer bit length: `floor(log2 x) + 1` for x ≥ 1, via the binary
+    * string — `bin`/`length` agree exactly between Spark and DuckDB. */
+  private def blog(x: Column): Column = length(bin(x)).cast("long")
+
+  /** Adjacent bigram pairs of a token array (the q92/BPE slice-zip). */
+  private def bigramsOf(toks: Column): Column = {
+    val n = size(toks)
+    zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+  }
+
+  private def explodedBigrams(docs: DataFrame, textCol: String,
+      keep: Column*): DataFrame =
+    docs.select(keep :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 2) // slice needs n−1 ≥ 1; sub-bigram docs drop
+      .select(keep :+ explode(bigramsOf(col("__toks"))).as("p"): _*)
+      .select(keep :+ col("p.a").as("a") :+ col("p.b").as("b"): _*)
+
+  /** Train the model on `ref`: @return (bi, uni, vocab) where
+    *  - `bi(a, b, c12)` is the bigram count table, pruned to
+    *    `c12 ≥ minCount` (pruned bigrams score as unseen — the model-size
+    *    lever that makes the 100 TB model broadcast-scale);
+    *  - `uni(a, c1)` is the UNPRUNED left-context total (so pruning
+    *    shrinks the table without shifting the denominator);
+    *  - `vocab(v)` is one row: distinct right-context types, the Laplace
+    *    denominator offset.
+    * The reference scan is persisted for the three aggregations and
+    * released under the repo's caching contract (callers clearCache). */
+  def train(ref: DataFrame, textCol: String,
+      minCount: Long): (DataFrame, DataFrame, DataFrame) = {
+    val refb = explodedBigrams(ref, textCol)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c12"))
+      .persist()
+    val bi = refb.filter(col("c12") >= minCount)
+    val uni = refb.groupBy(col("a"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = refb.agg(count_distinct(col("b")).as("v"))
+    (bi, uni, vocab)
+  }
+
+  /** Score `docs` against a trained model: @return
+    * (idCol, n_bigrams, total_bits, mean_bits_micro) — integer total
+    * model bits, and mean bits per bigram in exact micro-units
+    * (`floor(total · 10⁶ / n)`: the product stays below 2⁵³ and IEEE
+    * division is correctly rounded on both engines, so the floor is
+    * bit-portable — the [[graft.ops.Exact]] rule). Lower = more like
+    * the reference corpus; junk and out-of-distribution text pay the
+    * unseen-bigram cost `blog(c1 + V) − 1` per hit. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      bi: DataFrame, uni: DataFrame, vocab: DataFrame): DataFrame = {
+    val cost = blog(coalesce(col("c12"), lit(0L)) + lit(1L))
+    val db = explodedBigrams(docs, textCol, col(idCol))
+    db.join(bi, Seq("a", "b"), "left")
+      .join(uni, Seq("a"), "left")
+      .join(broadcast(vocab)) // one-row Laplace offset: the stat-broadcast idiom
+      .select(col(idCol),
+        (blog(coalesce(col("c1"), lit(0L)) + col("v")) - cost).as("cost"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("total_bits"))
+      .withColumn("mean_bits_micro",
+        floor(col("total_bits").cast("double") * 1000000.0 /
+          col("n_bigrams")).cast("long"))
+  }
+
+  /** DuckDB oracle for train-on-`refTokSql`, score-`docsTokSql` (both
+    * must yield (doc_id, toks)) — the identical integer recurrence. */
+  def scoreOracleSql(docsTokSql: String, refTokSql: String,
+      minCount: Long): String =
+    s"""WITH refb AS (
+      |  SELECT toks[j] AS a, toks[j + 1] AS b, count(*) AS c12
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j
+      |        FROM ($refTokSql) WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2
+      |), bi AS (
+      |  SELECT a, b, c12 FROM refb WHERE c12 >= $minCount
+      |), uni AS (
+      |  SELECT a, CAST(sum(c12) AS BIGINT) AS c1 FROM refb GROUP BY 1
+      |), voc AS (
+      |  SELECT count(DISTINCT b) AS v FROM refb
+      |), db AS (
+      |  SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, len(toks) - 1)) AS j
+      |        FROM ($docsTokSql) WHERE len(toks) >= 2)
+      |), costs AS (
+      |  SELECT doc_id,
+      |         length(bin(coalesce(c1, 0) + v)) -
+      |         length(bin(coalesce(c12, 0) + 1)) AS cost
+      |  FROM db
+      |  LEFT JOIN bi USING (a, b)
+      |  LEFT JOIN uni USING (a)
+      |  CROSS JOIN voc
+      |)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(cost) AS BIGINT) AS total_bits,
+      |       CAST(floor(sum(cost) * 1000000.0 / count(*)) AS BIGINT)
+      |         AS mean_bits_micro
+      |FROM costs GROUP BY 1""".stripMargin
+}

@@ -679,4 +679,45 @@ class TextOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("lmScore: hand-derived integer bits, pruning, and unseen fallback") {
+    import graft.text.LangModel
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"))
+      .toDF("doc_id", "text")
+    // refb: (the,cat)=2 (kept), (cat,sat)=1, (cat,ran)=1 (pruned);
+    // uni: the=2, cat=2 (unpruned); V = |{cat, sat, ran}| = 3
+    val (bi, uni, voc) = LangModel.train(ref, "text", minCount = 2L)
+    val docs = Seq(
+      (10L, "the cat sat"), // seen + pruned-as-unseen bigram
+      (11L, "dog dog"),     // fully out-of-vocab context (c1 = 0)
+      (12L, "solo"),        // < 2 tokens: no bigram evidence, drops out
+      (13L, "")).toDF("doc_id", "text")
+    val out = LangModel.score(docs, "doc_id", "text", bi, uni, voc)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // d10: (the,cat) blog(2+3)−blog(2+1)=3−2=1; (cat,sat) pruned →
+    //      blog(2+3)−blog(0+1)=3−1=2 → total 3 of 2 bigrams
+    assert(out(10L) == ((2L, 3L, 1500000L)))
+    // d11: (dog,dog): blog(0+3)−blog(0+1)=2−1=1
+    assert(out(11L) == ((1L, 1L, 1000000L)))
+    assert(!out.contains(12L) && !out.contains(13L))
+    spark.catalog.clearCache()
+  }
+
+  test("lmScore ranks fluent in-distribution text below scrambled text") {
+    import graft.text.LangModel
+    val sent = "we hold these truths to be self evident that all men are created equal"
+    val ref = (1L to 20L).map(i => (i, sent)).toDF("doc_id", "text")
+    val (bi, uni, voc) = LangModel.train(ref, "text", minCount = 2L)
+    val docs = Seq(
+      (100L, sent), // every bigram seen 20×
+      // same tokens, scrambled: contexts are in-vocab (c1 = 20) but the
+      // adjacent pairs are unseen — the word-order signal
+      (101L, "truths we created be these men all hold to equal that evident are self"))
+      .toDF("doc_id", "text")
+    val m = LangModel.score(docs, "doc_id", "text", bi, uni, voc)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(100L) < m(101L), m.toString)
+    spark.catalog.clearCache()
+  }
 }
