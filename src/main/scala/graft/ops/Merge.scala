@@ -69,4 +69,64 @@ object Merge {
           .as(c)
       }: _*)
   }
+
+  /** [[applyChanges]]'s inverse — derive the change set instead of
+    * applying one: classify every key across two snapshot versions
+    * (Delta's CHANGE DATA FEED read, "what moved between yesterday's
+    * corpus and today's"). Rows compare by a precomputed digest column,
+    * never by payload: at 100 TB only 16-byte fingerprints ride the
+    * join while the documents stay on disk
+    * ([[graft.text.TextAnalysis.fingerprint]] computes one on the scan,
+    * so input projection prunes each side to keys + one digest).
+    *
+    * @param fpCol digest column present in BOTH snapshots; NULL digests
+    *   compare null-safely (two NULLs are `unchanged`)
+    * @return (keys..., status, fp_old, fp_new) with status ∈
+    *   added (key only in `newSnap`) | removed (only in `oldSnap`) |
+    *   changed | unchanged
+    *
+    * Scale: ONE full-outer equi-join on the keys — both sides shuffle
+    * (full-outer cannot broadcast), so the [[applyChanges]] note on
+    * key-partitioned layouts applies verbatim.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      fpCol: String): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    // Presence markers, not digest-NULLness, drive added/removed: a
+    // legitimately NULL digest must not read as a missing row.
+    val o = oldSnap.select(keys.map(col) :+ col(fpCol).as("fp_old") :+
+      lit(1).as("__in_old"): _*)
+    val n = newSnap.select(keys.map(col) :+ col(fpCol).as("fp_new") :+
+      lit(1).as("__in_new"): _*)
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("fp_old") <=> col("fp_new")), "changed")
+          .otherwise("unchanged").as("status") :+
+        col("fp_old") :+ col("fp_new"): _*)
+  }
+
+  /** Close the loop: turn a [[snapshotDiff]] result back into the
+    * change set [[applyChanges]] consumes, so
+    * `applyChanges(old, diffToChanges(diff, new, keys))` reproduces
+    * `new` exactly. Upserts fetch the new snapshot's full rows by
+    * semi-join — payload moves ONLY for keys that actually changed,
+    * which is the entire point of diffing digests first; deletes carry
+    * keys with NULL data columns. */
+  def diffToChanges(diff: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val dataCols = newSnap.columns.filterNot(keys.contains).toSeq
+    val upserts = newSnap
+      .join(diff.filter(col("status").isin("added", "changed"))
+          .select(keys.map(col): _*),
+        keys, "left_semi")
+      .withColumn(opCol, lit("upsert"))
+    val deletes = diff.filter(col("status") === "removed")
+      .select(keys.map(col) ++
+        dataCols.map(c =>
+          lit(null).cast(newSnap.schema(c).dataType).as(c)) :+
+        lit("delete").as(opCol): _*)
+    upserts.unionByName(deletes)
+  }
 }

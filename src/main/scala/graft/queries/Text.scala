@@ -53,6 +53,11 @@ object Text extends QueryModule {
     * seen once are pruned, exercising the model-size lever. */
   private val (lmHoldMod, lmMinCount) = (11L, 2L)
 
+  /** q117: snapshot v1 drops residue 3, v2 drops residue 7 (so both
+    * added and removed keys exist), and v2 edits every 9th doc (so
+    * `changed` is exercised alongside the untouched bulk). */
+  private val (snapKeyMod, snapEditMod) = (13L, 9L)
+
   /** q112: 64-bucket hashed-feature linear quality model — English
     * stopwords weigh +3 (via their hash buckets), everything else −1,
     * so natural English scores above token salad. ONE weight vector,
@@ -502,6 +507,23 @@ object Text extends QueryModule {
       val (bi, uni, voc) = graft.text.LangModel.train(
         docs.filter(col("doc_id") % lmHoldMod =!= 0), "text", lmMinCount)
       graft.text.LangModel.score(docs, "doc_id", "text", bi, uni, voc)
+    }),
+
+    // Corpus snapshot diff (CDC derive): classify every doc across two
+    // corpus versions as added/removed/changed/unchanged by comparing
+    // scan-computed fingerprints — 16-byte digests ride the one
+    // full-outer join, the text never leaves the scan.
+    "q117_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val v1 = docs.filter(col("doc_id") % snapKeyMod =!= 3)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val v2 = docs.filter(col("doc_id") % snapKeyMod =!= 7)
+        .select(col("doc_id"), TextAnalysis.fingerprint(
+          when(col("doc_id") % snapEditMod === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+          .as("fp"))
+      graft.ops.Merge.snapshotDiff(v1, v2, Seq("doc_id"), "fp")
     }),
 
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
@@ -1097,6 +1119,28 @@ object Text extends QueryModule {
       s"SELECT doc_id, $toksSql AS toks FROM documents " +
         s"WHERE doc_id % $lmHoldMod <> 0",
       lmMinCount),
+
+    // The identical full-outer classification; presence via the side's
+    // key (never fp-NULLness), digest equality via IS DISTINCT FROM.
+    "q117_snapshot_diff" ->
+      s"""WITH v1 AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % $snapKeyMod <> 3
+        |), v2 AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(
+        |           CASE WHEN doc_id % $snapEditMod = 0 THEN text || ' rev2'
+        |                ELSE text END), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % $snapKeyMod <> 7
+        |)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN v1.fp IS DISTINCT FROM v2.fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       v1.fp AS fp_old, v2.fp AS fp_new
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
 
     // The dot product re-associated as a per-token bucket-weight sum —
     // identical integer-exact value, no 64-element unnest.

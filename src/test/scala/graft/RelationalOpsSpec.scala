@@ -362,6 +362,41 @@ class RelationalOpsSpec extends SparkSuite {
       4L -> (("dave", 40.0)))) // inserted; 3 deleted, 9 never existed
   }
 
+  test("snapshotDiff classifies all four statuses and round-trips " +
+      "through diffToChanges + applyChanges") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val oldS = Seq((1L, "a", "fa"), (2L, "b", "fb"), (3L, "c", "fc"))
+      .toDF("id", "payload", "fp")
+    val newS = Seq((1L, "a", "fa"), (2L, "b2", "fb2"), (4L, "d", "fd"))
+      .toDF("id", "payload", "fp")
+    val diff = Merge.snapshotDiff(
+      oldS.select("id", "fp"), newS.select("id", "fp"), Seq("id"), "fp")
+    assert(diff.columns.toSeq == Seq("id", "status", "fp_old", "fp_new"))
+    val st = diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // The closing property: applying the derived change set to the old
+    // snapshot reproduces the new snapshot exactly.
+    val merged = Merge.applyChanges(
+      oldS, Merge.diffToChanges(diff, newS, Seq("id")), Seq("id"))
+    val asSet = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(asSet(merged) == asSet(newS))
+  }
+
+  test("snapshotDiff: NULL digests compare null-safe, not as missing rows") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val oldS = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "fp")
+    val newS = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "fp")
+    val st = Merge.snapshotDiff(oldS, newS, Seq("id"), "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
   test("applyChanges: NULL keys never match (SQL MERGE semantics)") {
     import spark.implicits._
     import graft.ops.Merge
