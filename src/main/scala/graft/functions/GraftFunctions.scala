@@ -53,7 +53,17 @@ object GraftFunctions {
       TokenCount(exprs.head)
     })
 
-  private[functions] val all = Seq(dotProduct, hash60, mortonInterleave, tokenCount)
+  private[functions] val deflateLen: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("deflate_len"),
+    new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"deflate_len expects 1 argument, got ${exprs.length}")
+      DeflateLen(exprs.head)
+    })
+
+  private[functions] val all =
+    Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

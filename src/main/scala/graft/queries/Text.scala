@@ -526,6 +526,21 @@ object Text extends QueryModule {
       graft.ops.Merge.snapshotDiff(v1, v2, Seq("doc_id"), "fp")
     }),
 
+    // Compression-ratio quality signal (native deflate_len expression):
+    // raw/compressed byte ratio in micro-units + the Gopher-style
+    // repetition flag. NO DuckDB oracle exists for deflate — rows-only
+    // driver check; semantics are pinned by TextOpsSpec invariants.
+    "q118_compress_ratio" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        octet_length(col("text")).as("raw_bytes"),
+        graft.functions.DeflateLen.deflateLen(col("text"))
+          .as("deflate_bytes"))
+      .withColumn("ratio_micro",
+        floor(col("raw_bytes").cast("double") * 1000000.0 /
+          col("deflate_bytes")).cast("long"))
+      .withColumn("repetitive", col("ratio_micro") >= 4000000L)),
+
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
     // adjacent pairs — the word-order quality proxy q74's unigram
     // rarity can't see. Integer-exact sums, one final division.

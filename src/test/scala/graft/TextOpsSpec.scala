@@ -680,6 +680,48 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("deflateLen: repetition compresses, entropy doesn't; Java and SQL " +
+      "routes agree") {
+    import graft.functions.DeflateLen
+    import org.apache.spark.unsafe.types.UTF8String
+    val rep = "the cat sat on the mat " * 40
+    // Deterministic letter salad of the same length (LCG, fixed seed):
+    // in-vocab alphabet, no repeated structure — barely compressible.
+    val junk = Iterator.iterate(123456789L)(x =>
+        x * 6364136223846793005L + 1442695040888963407L)
+      .map(x => ('a' + ((x >>> 33) % 26)).toChar).take(rep.length).mkString
+    val prose = ("we hold these truths to be self evident that all men " +
+      "are created equal and endowed with certain unalienable rights " +
+      "among these are life liberty and the pursuit of happiness ") * 5
+    val df = Seq(("rep", rep), ("junk", junk), ("prose", prose))
+      .toDF("kind", "text")
+      .withColumn("dl", DeflateLen.deflateLen(col("text")))
+      .withColumn("ratio",
+        octet_length(col("text")).cast("double") / col("dl"))
+    val m = df.collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    // The separation the quality filter relies on: template ≫ prose ≫ junk
+    assert(m("rep")._2 > 4.0, m.toString)
+    assert(m("prose")._2 > m("junk")._2, m.toString)
+    // Letter salad still Huffman-compresses ~1.6× (26 symbols in 8-bit
+    // bytes); the filter's signal is the gap to prose, not absolute 1.0.
+    assert(m("junk")._2 < 2.0, m.toString)
+    // Codegen path (DataFrame) agrees with the interpreted Java kernel
+    for ((k, s) <- Seq("rep" -> rep, "junk" -> junk, "prose" -> prose))
+      assert(m(k)._1 == DeflateLen.len(UTF8String.fromString(s)), k)
+    // Empty input still emits a positive block; NULL propagates
+    assert(DeflateLen.len(UTF8String.fromString("")) > 0)
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(DeflateLen.deflateLen(col("text"))).collect()
+    assert(nulls.head.isNullAt(0))
+    // SQL registration resolves to the same expression
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("dl_in")
+    assert(spark.sql(
+      "SELECT count(*) FROM dl_in WHERE deflate_len(text) <> dl")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("lmScore: hand-derived integer bits, pruning, and unseen fallback") {
     import graft.text.LangModel
     val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"))
