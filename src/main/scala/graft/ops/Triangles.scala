@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting — the clustering-coefficient /
+  * community-density primitive (co-purchase bundles, link-farm
+  * detection). Node-iterator with DEGREE-ORDERED edge orientation
+  * (Chiba–Nishizeki / "compact-forward"), the formulation that survives
+  * skew at scale:
+  *
+  * Every undirected edge is oriented from its lower- to its
+  * higher-ranked endpoint under the total order (degree, id). A
+  * triangle then has exactly ONE node with out-edges to the other two,
+  * so it is found exactly once: wedge (u→v, u→w) closed by v→w. The
+  * payoff is the wedge join's size — Σ out-deg² is O(m^1.5) under
+  * degree orientation, versus Σ deg² for naive id-orientation, where
+  * one celebrity hub (deg 10⁶) alone would generate 10¹² wedges. Hubs
+  * get HIGH rank, so almost everything points AT them and their
+  * out-degree stays ≤ O(√m).
+  *
+  * All three joins are equi-joins on node keys (shuffle-partitioned,
+  * AQE-planned); nothing is collected. The result is orientation-
+  * independent — any total order finds the same triangle set — which
+  * is what lets the DuckDB oracle use plain id-ordering while this
+  * implementation orders by degree.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts over an undirected graph
+    * given as (possibly duplicated, possibly bidirectional) edge pairs.
+    * Self-loops and NULL endpoints are dropped; parallel edges collapse.
+    * Nodes in no triangle drop out (count 0 is absence).
+    *
+    * @return (node, n_triangles) */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    // Canonical undirected edge set: (u < v), deduped, loop-free.
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Orient low rank → high rank under (degree, id). Persisted: it is
+    // read three times below (wedge legs + closing edge), and without
+    // materialization each read re-runs the whole scan → canonicalize →
+    // degree-join pipeline (repo caching contract — callers clearCache).
+    val o = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+      .persist()
+    // Wedge at the lowest-ranked corner, closed by the oriented edge
+    // between the two out-neighbors (exactly one orientation exists, so
+    // each triangle matches once — no wedge-pair ordering needed).
+    val tri = o.select(col("s"), col("t").as("b"))
+      .join(o.select(col("s"), col("t").as("c")), Seq("s"))
+      .filter(col("b") =!= col("c"))
+      .join(o.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("s"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

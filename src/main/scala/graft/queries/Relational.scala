@@ -259,6 +259,21 @@ object Relational extends QueryModule {
       graft.ops.PageRank.labelPropagation(edges, "src", "dst")
     }),
 
+    // Triangle counting over the part co-purchase graph (parts sharing
+    // an order): degree-ordered orientation, so wedge fan-out is bounded
+    // at the skewed hubs. The q63 customer-supplier graph is bipartite
+    // (triangle-free by construction) — co-purchase is the unipartite
+    // projection where density lives.
+    "q119_triangles" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Triangles.triangleCounts(edges, "src", "dst")
+    }),
+
     // Z-order clustering key: Morton interleave as a native codegen'd
     // expression (the write path is Partitioned.writeZOrdered; this query
     // proves the key itself is engine-exact).
@@ -564,6 +579,29 @@ object Relational extends QueryModule {
       graft.ops.PageRank.labelPropagationOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    // Same triangle set via plain id-ordering (a < b < c): orientation
+    // choice never changes WHICH triangles exist, only join sizes — so
+    // the oracle stays three self-joins on the canonical edge list.
+    "q119_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |                 AND a.l_partkey < b.l_partkey
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |)
+        |GROUP BY 1""".stripMargin,
 
     "q64_zorder_key" ->
       s"""SELECT event_id, user_id,

@@ -397,6 +397,28 @@ class RelationalOpsSpec extends SparkSuite {
     assert(st == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("triangleCounts: hand graph, canonicalization, and K5 closed form") {
+    import spark.implicits._
+    import graft.ops.Triangles
+    // Triangles {1,2,3} and {2,3,4}; (1,5) closes nothing. Noise: a
+    // reversed duplicate (2,1), a parallel edge (2,3) twice, a self-loop
+    // (3,3), and a NULL endpoint — all must collapse or drop.
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (1L, 5L),
+      (2L, 1L), (3L, 2L), (3L, 3L)).map { case (a, b) =>
+        (Option(a), Option(b)) } :+ ((Option(9L), Option.empty[Long]))
+    val out = Triangles.triangleCounts(e.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // K5: every node sits in C(4,2) = 6 triangles
+    val k5 = (for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val kc = Triangles.triangleCounts(k5, "src", "dst")
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(kc.length == 5 && kc.forall(_ == 6L))
+    spark.catalog.clearCache()
+  }
+
   test("applyChanges: NULL keys never match (SQL MERGE semantics)") {
     import spark.implicits._
     import graft.ops.Merge
