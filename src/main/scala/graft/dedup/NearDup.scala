@@ -259,8 +259,51 @@ object NearDup {
       array_distinct(shingles(col("__toks"), w)),
       idCol, blockCol, minJaccard, maxDfFrac)
 
+  /** Asymmetric token-set CONTAINMENT for all pairs sharing a blocking
+    * key: c1 = |A∩B|/|A|, c2 = |A∩B|/|B|. The doc-in-doc detector Jaccard
+    * structurally misses — a 40-token snippet quoted inside a 4000-token
+    * page has jaccard ≈ 0.01 but containment ≈ 1.0 from the snippet's
+    * side. Same keyed-shuffle plan and caching contract as
+    * [[tokenJaccardPairs]] (the df-cut is equally load-bearing here: a
+    * stopword-grade token still fans out O(df²) pair rows).
+    *
+    * Sizes are measured AFTER the df-cut, consistently with the
+    * intersection — so containment stays a true fraction in [0, 1].
+    *
+    * @return (d1, d2, inter, c1, c2) — pairs where EITHER side's
+    *         containment ≥ `minContainment`; d1 < d2 */
+  def tokenContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minContainment: Double,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    val (pairs, sizes) = pairCounts(docs,
+      array_distinct(TextAnalysis.tokens(col(textCol))), idCol, blockCol,
+      maxDfFrac)
+    pairs
+      .join(sizes.as("s1"), col("d1") === col(s"s1.$idCol"))
+      .join(sizes.as("s2"), col("d2") === col(s"s2.$idCol"))
+      .withColumn("c1", col("inter").cast("double") / col("s1.n"))
+      .withColumn("c2", col("inter").cast("double") / col("s2.n"))
+      .filter(greatest(col("c1"), col("c2")) >= minContainment)
+      .select(col("d1"), col("d2"), col("inter"), col("c1"), col("c2"))
+  }
+
   private def jaccardPairs(docs: DataFrame, units: Column, idCol: String,
       blockCol: String, minJaccard: Double, maxDfFrac: Double): DataFrame = {
+    val (pairs, sizes) = pairCounts(docs, units, idCol, blockCol, maxDfFrac)
+    pairs
+      .join(sizes.as("s1"), col("d1") === col(s"s1.$idCol"))
+      .join(sizes.as("s2"), col("d2") === col(s"s2.$idCol"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+  }
+
+  /** Shared core of [[jaccardPairs]] / [[tokenContainmentPairs]]: the
+    * df-cut token frame, self-joined within blocks into per-pair
+    * intersection counts, plus the per-doc (post-cut) set sizes. */
+  private def pairCounts(docs: DataFrame, units: Column, idCol: String,
+      blockCol: String, maxDfFrac: Double): (DataFrame, DataFrame) = {
     val tokAll = docs.select(
       col(idCol), col(blockCol), explode(units).as("token"))
     val tok0 =
@@ -284,13 +327,7 @@ object NearDup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("s1"), col("d1") === col(s"s1.$idCol"))
-      .join(sizes.as("s2"), col("d2") === col(s"s2.$idCol"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+    (pairs, sizes)
   }
 
   /** 60-bit SimHash over tokens: per bit, the sign of Σ(±1) across token

@@ -196,6 +196,19 @@ object Text extends QueryModule {
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
 
+    // Asymmetric containment, exercised on its distinctive case: 240-char
+    // snippet docs injected from every 13th document. Snippet→parent
+    // containment ≈ 1 while the pair's Jaccard is far below any dedup
+    // threshold — q24 structurally cannot see these.
+    "q120_containment" -> ((s, dir) => {
+      val base = Tables(s, dir).documents.select("doc_id", "text", "source")
+      val snippets = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          substring(col("text"), 1, 240).as("text"), col("source"))
+      NearDup.tokenContainmentPairs(base.unionAll(snippets),
+        "doc_id", "text", "source", minContainment = 0.9, maxDfFrac = 0.8)
+    }),
+
     // The flagship composition: sample → dedup → quality floor → split as
     // ONE declarative plan with a single shuffle, oracle-checked end to
     // end. Dups injected (doc_id%7, shifted ids) so the dedup stage has
@@ -696,6 +709,38 @@ object Text extends QueryModule {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
+
+    // Same injected-snippet corpus, same df-cut, asymmetric fractions.
+    "q120_containment" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000, substring(text, 1, 240), source
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), tok_all AS (
+        |  SELECT doc_id, source, unnest(list_distinct($toksSql)) AS token
+        |  FROM corpus
+        |), kept AS (
+        |  SELECT token FROM (SELECT token, count(*) AS df FROM tok_all GROUP BY 1)
+        |  WHERE df <= (SELECT count(*) FROM corpus) * 0.8
+        |), tok AS (
+        |  SELECT tok_all.* FROM tok_all JOIN kept USING (token)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tok a JOIN tok b
+        |    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, inter,
+        |       CAST(inter AS DOUBLE) / s1.n AS c1,
+        |       CAST(inter AS DOUBLE) / s2.n AS c2
+        |FROM pairs
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE greatest(CAST(inter AS DOUBLE) / s1.n,
+        |               CAST(inter AS DOUBLE) / s2.n) >= 0.9""".stripMargin,
 
     "q50_corpus" -> {
       val smp = graft.ops.Sampling.hashBucketSql("doc_id", "corp-smp")

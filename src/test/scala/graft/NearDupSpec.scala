@@ -131,6 +131,27 @@ class NearDupSpec extends SparkSuite {
     assert(!m.contains((4L, 5L)))
   }
 
+  test("containment: snippet-in-page found asymmetrically where jaccard misses") {
+    import spark.implicits._
+    // 6 is a strict token-subset of 7 (a quote inside a much longer page);
+    // 8 shares nothing. Jaccard(6,7) = 4/16 — invisible at any dedup
+    // threshold — but c1 = 4/4 = 1.0.
+    val corpus = Seq(
+      (6L, "alpha beta gamma delta", "s"),
+      (7L, "alpha beta gamma delta twelve more unique tokens " +
+        "one two three four five six seven eight", "s"),
+      (8L, "entirely disjoint vocabulary in this third document here", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = NearDup.tokenContainmentPairs(corpus, "doc_id", "text", "source", 0.9)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Double]("c1"), r.getAs[Double]("c2"))).toMap
+    assert(out.keySet == Set((6L, 7L)))
+    assert(out((6L, 7L))._1 == 1.0 && out((6L, 7L))._2 == 0.25)
+    val jac = NearDup.tokenJaccardPairs(corpus, "doc_id", "text", "source", 0.5)
+    assert(jac.collect().isEmpty) // the same pair is below any jaccard gate
+    spark.catalog.clearCache()
+  }
+
   test("Hash64.hash60 matches DuckDB's CAST('0x' || substr(md5(s),1,15) AS BIGINT)") {
     import spark.implicits._
     val v = Seq("abc").toDF("s")
