@@ -274,6 +274,20 @@ object Relational extends QueryModule {
       graft.ops.Triangles.triangleCounts(edges, "src", "dst")
     }),
 
+    // k-core over the same co-purchase graph: k = 70 sits inside the
+    // degree distribution at both test SFs, so the peel genuinely
+    // cascades (sf0.001: 185 → 153 nodes over the 4 rounds) instead of
+    // converging trivially in round one.
+    "q121_kcore" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.KCore.kCore(edges, "src", "dst", k = 70, rounds = 4)
+    }),
+
     // Z-order clustering key: Morton interleave as a native codegen'd
     // expression (the write path is Partitioned.writeZOrdered; this query
     // proves the key itself is engine-exact).
@@ -602,6 +616,13 @@ object Relational extends QueryModule {
         |  UNION ALL SELECT c FROM tri
         |)
         |GROUP BY 1""".stripMargin,
+
+    "q121_kcore" -> graft.ops.KCore.kCoreOracleSql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |              AND a.l_partkey < b.l_partkey""".stripMargin,
+      k = 70, rounds = 4),
 
     "q64_zorder_key" ->
       s"""SELECT event_id, user_id,

@@ -419,6 +419,26 @@ class RelationalOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("kCore: tail peels in cascade order; K4 core survives with exact degrees") {
+    import spark.implicits._
+    import graft.ops.KCore
+    // K4 on {1,2,3,4} plus a tail 4–5–6. 2-core = K4: node 6 (deg 1)
+    // peels in round 1, which drops 5 to deg 1 → peels in round 2.
+    // Noise: reversed dup (2,1), self-loop (3,3), NULL endpoint.
+    val e = (Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (2L, 1L), (3L, 3L))
+      .map { case (a, b) => (Option(a), Option(b)) } :+
+      ((Option.empty[Long], Option(9L)))).toDF("src", "dst")
+    def run(rounds: Int) = KCore.kCore(e, "src", "dst", k = 2, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // One round: 6 is gone but 5 (round-1 degree 2) still survives.
+    assert(run(1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // Two rounds reach the fixpoint; more rounds are stable.
+    val core = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    assert(run(2) == core && run(4) == core)
+  }
+
   test("applyChanges: NULL keys never match (SQL MERGE semantics)") {
     import spark.implicits._
     import graft.ops.Merge
