@@ -118,4 +118,32 @@ object Profiling {
           .otherwise(lit(0.5)))
       .drop("__mn", "__mx")
   }
+
+  /** k-anonymity AUDIT: quasi-identifier combinations shared by fewer
+    * than `k` rows — each is a re-identification risk (the released
+    * combination singles out < k individuals). The compliance check a
+    * training-data pipeline runs before publishing anything derived
+    * from user-linked records. One map-side-combinable aggregation;
+    * NULL quasi-identifier values group together, exactly as SQL
+    * GROUP BY does, so both engines see the same cells.
+    *
+    * @return (qidCols..., group_n) for every violating combination */
+  def kAnonymityViolations(df: DataFrame, qidCols: Seq[String],
+      k: Long): DataFrame =
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") < k)
+
+  /** k-anonymity SUPPRESSION: the enforcing transform — drop every row
+    * whose quasi-identifier combination has fewer than `k` occurrences,
+    * so each surviving row hides among ≥ k−1 identical-looking others.
+    * One keyed window (partitioned by the quasi-identifiers — a single
+    * shuffle, no join-back, no global ordering), schema preserved. */
+  def kAnonymize(df: DataFrame, qidCols: Seq[String], k: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCols.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= k)
+      .drop("__n")
+  }
 }

@@ -235,6 +235,14 @@ object Relational extends QueryModule {
     "q57_profile" -> ((s, dir) =>
       graft.ops.Profiling.profile(Tables(s, dir).events, profileCols)),
 
+    // k-anonymity audit on (nation, market segment) as the released
+    // quasi-identifier pair: every combination shared by fewer than 5
+    // customers is a re-identification risk. The suppression transform
+    // (Profiling.kAnonymize) is the enforcing sibling, spec-covered.
+    "q122_k_anonymity" -> ((s, dir) =>
+      graft.ops.Profiling.kAnonymityViolations(Tables(s, dir).customer,
+        Seq("c_nationkey", "c_mktsegment"), k = 5)),
+
     // PageRank in exact integer arithmetic over the customer→supplier
     // purchase graph — deterministic across partitionings and engines,
     // so the whole iterative computation hash-matches the oracle.
@@ -583,6 +591,12 @@ object Relational extends QueryModule {
 
     "q57_profile" ->
       graft.ops.Profiling.profileOracleSql("events", profileCols),
+
+    "q122_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(*) < 5""".stripMargin,
 
     "q63_pagerank" ->
       graft.ops.PageRank.pageRankOracleSql(

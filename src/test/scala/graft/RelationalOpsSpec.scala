@@ -419,6 +419,27 @@ class RelationalOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("kAnonymity: violations reported, suppression removes exactly those rows") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    // Groups: (us, a) ×3 — safe at k=3; (us, b) ×2 — violates; (de, a)
+    // ×1 — violates; (NULL, a) ×3 — NULLs group together, safe.
+    val rows = Seq(
+      (1L, Some("us"), "a"), (2L, Some("us"), "a"), (3L, Some("us"), "a"),
+      (4L, Some("us"), "b"), (5L, Some("us"), "b"),
+      (6L, Some("de"), "a"),
+      (7L, None, "a"), (8L, None, "a"), (9L, None, "a"))
+      .toDF("id", "region", "seg")
+    val viol = Profiling.kAnonymityViolations(rows, Seq("region", "seg"), 3)
+      .collect().map(r => (r.getAs[String]("region"), r.getString(1)) ->
+        r.getAs[Long]("group_n")).toMap
+    assert(viol == Map(("us", "b") -> 2L, ("de", "a") -> 1L))
+    val kept = Profiling.kAnonymize(rows, Seq("region", "seg"), 3)
+    assert(kept.columns.toSeq == Seq("id", "region", "seg"))
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 7L, 8L, 9L))
+  }
+
   test("kCore: tail peels in cascade order; K4 core survives with exact degrees") {
     import spark.implicits._
     import graft.ops.KCore
