@@ -15,7 +15,7 @@ import graft.text.TextAnalysis
 object Text extends QueryModule {
 
   /** Shared DuckDB tokenization fragment (mirrors TextAnalysis.tokens). */
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   /** q50's corpus config — oracle SQL derives from the same values. */
@@ -25,7 +25,7 @@ object Text extends QueryModule {
 
   /** q55/q56 config — shared by the Spark plan and the oracle SQL. */
   private val decontamW = 13
-  private val bm25Terms = Seq("hash", "join", "spark", "vector")
+  private[queries] val bm25Terms = Seq("hash", "join", "spark", "vector")
 
   /** q66: half the corpus, with src0/src1 at 30% each (src0/src1 hold
     * only 5% of docs each, so their rate caps at 1 — both behaviors

@@ -70,6 +70,25 @@ object Vectors extends QueryModule {
       Similarity.bruteForceTopK(base(t), queriesDf(t), 5)
     }),
 
+    // Hybrid retrieval: BM25 keyword ranking and embedding cosine
+    // ranking fused by reciprocal rank (integer-scaled, so the fused
+    // score is exact). Both top-50 legs run as bounded two-phase TopK
+    // aggregates — no global sort anywhere; the fuse join is 50-row.
+    "q123_hybrid_rrf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val kw = graft.text.Retrieval.bm25(
+          t.documents, "doc_id", "text", Text.bm25Terms)
+        .withColumn("__g", lit(1))
+      val kwRanks = graft.similarity.TopK
+        .perGroup(kw, Seq("__g"), "doc_id", "score", 50)
+        .select(col("doc_id"), col("rn").as("rank"))
+      val vecRanks = Similarity.bruteForceTopK(base(t),
+          queriesDf(t).filter(col("qid") === 0), 50)
+        .select(col("id").as("doc_id"), col("rn").as("rank"))
+      graft.text.Retrieval.rrfFuse(
+        Seq("kw" -> kwRanks, "vec" -> vecRanks), "doc_id")
+    }),
+
     // ANN scale path: random-hyperplane LSH bucketing + exact rerank.
     "q26_ann_lsh" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -371,6 +390,34 @@ object Vectors extends QueryModule {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
         |  FROM sims
         |) WHERE rn <= 5""".stripMargin,
+
+    // Same two rankings with plain window ranks (the 50-row scale makes
+    // that fine oracle-side), fused with DuckDB's integer division.
+    "q123_hybrid_rrf" ->
+      s"""WITH kw AS (
+        |  SELECT doc_id, rn AS rank_kw FROM (
+        |    SELECT doc_id,
+        |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+        |    FROM (${graft.text.Retrieval.bm25OracleSql(Text.toksSql, Text.bm25Terms)})
+        |  ) WHERE rn <= 50
+        |), b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), sims AS (
+        |  SELECT id, $cosineSql AS cosine FROM b CROSS JOIN q
+        |), vec AS (
+        |  SELECT id AS doc_id, rn AS rank_vec FROM (
+        |    SELECT id, CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT) AS rn
+        |    FROM sims
+        |  ) WHERE rn <= 50
+        |)
+        |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id, rank_kw, rank_vec,
+        |       coalesce(1000000000 // (60 + rank_kw), 0)
+        |     + coalesce(1000000000 // (60 + rank_vec), 0) AS rrf_score
+        |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id""".stripMargin,
 
     "q26_ann_lsh" ->
       s"""WITH b AS (

@@ -110,6 +110,37 @@ object Retrieval {
 
   /** The DuckDB oracle for [[bm25]], generated from the SAME constants and
     * term list so the arithmetic shape cannot drift between engines. */
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (keyword BM25 + embedding ANN feeding one ranked list, the shape
+    * every RAG stack runs): fused(d) = Σ_lists 1/(rrfK + rank_list(d)),
+    * robust to the lists' incomparable score scales because only RANKS
+    * enter. Computed in scaled INTEGER arithmetic — each contribution is
+    * `scale div (rrfK + rank)` — so the fused score is a sum of exact
+    * integers: order-independent, engine-portable, hash-matchable
+    * (double 1/(k+r) sums would differ by addition order across
+    * partitionings).
+    *
+    * Inputs are (idCol, rank) frames — top-m lists from
+    * [[graft.similarity.TopK.perGroup]] or any ranker; m bounds every
+    * frame, so the full-outer fuse joins are top-m-sized, never
+    * corpus-sized. A document absent from a list contributes 0.
+    *
+    * @param rankings (name, frame) pairs; each frame's rank column is
+    *                 named `rank`, emitted as `rank_<name>` (nullable)
+    * @return (idCol, rank_<name>..., rrf_score) */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rrfK: Int = 60, scale: Long = 1000000000L): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    val renamed = rankings.map { case (n, df) =>
+      df.select(col(idCol), col("rank").as(s"rank_$n")) }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings
+      .map { case (n, _) =>
+        coalesce(expr(s"$scale div ($rrfK + rank_$n)"), lit(0L)) }
+      .reduce(_ + _)
+    joined.withColumn("rrf_score", score)
+  }
+
   def bm25OracleSql(toksSql: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>

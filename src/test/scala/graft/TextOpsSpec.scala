@@ -74,6 +74,23 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.head.getLong(2) == 2L) // n_matched
   }
 
+  test("rrfFuse: exact integer contributions, absences contribute zero") {
+    // kw list: docs 1,2,3 at ranks 1,2,3; vec list: docs 3,4 at ranks 1,2.
+    val kw = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq("kw" -> kw, "vec" -> vec), "doc_id")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "rank_kw", "rank_vec", "rrf_score"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rrf_score")).toMap
+    val S = 1000000000L
+    // Doc 3 is in both lists (rank 3 + rank 1) and must outrank doc 1
+    // (kw rank 1 only) — the fusion property that motivates RRF.
+    assert(m == Map(
+      1L -> S / 61, 2L -> S / 62, 3L -> (S / 63 + S / 61), 4L -> S / 62))
+    assert(m(3L) > m(1L))
+  }
+
   test("tokenLinkPairs links dirty records to canonicals, blocked and unit-aware") {
     import graft.dedup.NearDup
     val canon = Seq(
