@@ -192,6 +192,19 @@ object Vectors extends QueryModule {
       graft.similarity.IVF.topK(base(t), queriesDf(t), cents, nProbe = 4, k = 5)
     }),
 
+    // Embedding outliers: vectors below cosine 0.08 to their nearest of
+    // 8 centroids — the ~5th percentile of the best-cos distribution at
+    // both test SFs, so the report isolates the genuine no-cluster tail.
+    "q124_embedding_outliers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      graft.similarity.IVF.outliers(base(t), cents, minCos = 0.08)
+    }),
+
     // One k-means Lloyd iteration: literal-centroid assignment (zero
     // corpus shuffle) + exact integer-quantized centroid update (one
     // map-side-combinable aggregation; order-independent sums so the
@@ -418,6 +431,23 @@ object Vectors extends QueryModule {
         |       coalesce(1000000000 // (60 + rank_kw), 0)
         |     + coalesce(1000000000 // (60 + rank_vec), 0) AS rrf_score
         |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id""".stripMargin,
+
+    "q124_embedding_outliers" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT id, cid, ${cosineSqlFor("ev", "cv")} AS cos
+        |  FROM b CROSS JOIN c
+        |), best AS (
+        |  SELECT id, cid AS cell, cos AS best_cos,
+        |         row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        |  FROM scored
+        |)
+        |SELECT id, cell, best_cos FROM best WHERE rn = 1 AND best_cos < 0.08""".stripMargin,
 
     "q26_ann_lsh" ->
       s"""WITH b AS (

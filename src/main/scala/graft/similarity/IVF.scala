@@ -74,6 +74,26 @@ object IVF {
       vecCol: String = "ev"): DataFrame =
     base.withColumn("cell", cellExpr(col(vecCol), cents))
 
+  /** Embedding-space outlier report: vectors whose cosine to their
+    * NEAREST centroid is below `minCos` — i.e. far from every cluster
+    * the model knows. The noise/contamination filter run before
+    * clustering-derived curation (SemDeDup cells, IVF search, per-cell
+    * sampling all silently degrade on cluster-less vectors). Same
+    * zero-shuffle shape as [[assign]]: centroids are plan literals,
+    * the corpus is touched by one codegen'd scan-project, and the
+    * argmax tie (best cosine, then lowest cid) matches the oracle's
+    * `ORDER BY cos DESC, cid`.
+    *
+    * @return (idCol, cell, best_cos) for vectors with best_cos < minCos */
+  def outliers(base: DataFrame, cents: Seq[(Long, Seq[Double])],
+      minCos: Double, idCol: String = "id",
+      vecCol: String = "ev"): DataFrame = {
+    val best = array_max(scoredCells(col(vecCol), cents))
+    base.select(col(idCol), (-best.getField("nc")).as("cell"),
+        best.getField("c").as("best_cos"))
+      .filter(col("best_cos") < minCos)
+  }
+
   /** IVF top-k: score only vectors in the query's `nProbe` nearest cells.
     * Output (qid, id, cosine, rn) — same contract as
     * [[Similarity.bruteForceTopK]], against which SimilaritySpec measures

@@ -47,6 +47,26 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(self.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("IVF.outliers flags cluster-less vectors only, shuffle-free") {
+    import spark.implicits._
+    import graft.similarity.IVF
+    // Centroids along x and y; ids 1-2 sit near them, 3 points along z —
+    // orthogonal to every centroid (best_cos 0) → the only outlier.
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+    val base = Seq(
+      (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.1, 0.9, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0))).toDF("id", "ev")
+    val out = IVF.outliers(base, cents, minCos = 0.5)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(rows.head.getAs[Double]("best_cos") == 0.0)
+    // The flagged vector's cell is still its argmax centroid (lowest cid
+    // on the tie: both centroids are at cosine 0).
+    assert(rows.head.getAs[Long]("cell") == 0L)
+  }
+
   test("cosineNearDupPairs catches scaled copies, not unrelated vectors") {
     import spark.implicits._
     val base = Seq(
