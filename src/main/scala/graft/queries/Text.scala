@@ -196,6 +196,25 @@ object Text extends QueryModule {
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
 
+    // Encoding-corruption report, exercised on injected damage: every
+    // 17th document gets the classic UTF-8-as-Latin-1 artifact ('a' →
+    // 'Ã¡'), and the three signals (mojibake marks, C0 controls, ASCII
+    // fraction) flag exactly those. The cleaning sibling
+    // (Scrub.stripControl) is spec-covered.
+    "q125_encoding_report" -> ((s, dir) => {
+      val corpus = Tables(s, dir).documents
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0,
+            regexp_replace(col("text"), "a", "Ã¡"))
+            .otherwise(col("text")))
+      corpus.select(col("doc_id"),
+          graft.text.Scrub.countMojibake(col("text")).as("n_moji"),
+          graft.text.Scrub.countControl(col("text")).as("n_ctrl"),
+          graft.text.Scrub.asciiFraction(col("text")).as("ascii_frac"))
+        .withColumn("corrupt",
+          (col("n_moji") > 0 || col("ascii_frac") < 0.9).cast("long"))
+    }),
+
     // Asymmetric containment, exercised on its distinctive case: 240-char
     // snippet docs injected from every 13th document. Snippet→parent
     // containment ≈ 1 while the pair's Jaccard is far below any dedup
@@ -709,6 +728,25 @@ object Text extends QueryModule {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
+
+    "q125_encoding_report" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 17 = 0
+        |              THEN regexp_replace(text, 'a', 'Ã¡', 'g')
+        |              ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_moji, n_ctrl, ascii_frac,
+        |       CAST(CASE WHEN n_moji > 0 OR ascii_frac < 0.9
+        |            THEN 1 ELSE 0 END AS BIGINT) AS corrupt
+        |FROM (
+        |  SELECT doc_id,
+        |         ${graft.text.Scrub.countMojibakeSql("text")} AS n_moji,
+        |         ${graft.text.Scrub.countControlSql("text")} AS n_ctrl,
+        |         ${graft.text.Scrub.asciiFractionSql("text")} AS ascii_frac
+        |  FROM corpus
+        |)""".stripMargin,
 
     // Same injected-snippet corpus, same df-cut, asymmetric fractions.
     "q120_containment" ->

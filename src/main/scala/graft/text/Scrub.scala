@@ -57,6 +57,47 @@ object Scrub {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Encoding-corruption signals — the cheap pre-filter for web text
+    * whose bytes survived a transcoding accident: UTF-8 read as Latin-1
+    * leaves marker characters (Ã, Â, â lead every double-encoded
+    * sequence), decoders leave U+FFFD, and binary spill leaves C0
+    * control characters. Patterns are spelled with `\x`/`\x{}` ESCAPES,
+    * never literal bytes, so the identical pattern string is valid in
+    * Java regex and RE2 and survives JSON/SQL transport (a literal NUL
+    * in a DuckDB string would be rejected). */
+  val mojibakeRe = "[\\xC3\\xC2\\xE2\\x{FFFD}]"
+  val controlRe = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  private val nonAsciiRe = "[^\\x00-\\x7F]"
+
+  def countMojibake(c: Column): Column =
+    size(regexp_extract_all(c, lit(mojibakeRe), lit(0))).cast("long")
+  def countControl(c: Column): Column =
+    size(regexp_extract_all(c, lit(controlRe), lit(0))).cast("long")
+
+  /** Fraction of ASCII characters, 1.0 for empty text; ONE double
+    * division of two exact integers (the cross-engine float recipe). */
+  def asciiFraction(c: Column): Column =
+    when(length(c) > 0,
+      lit(1.0) -
+        size(regexp_extract_all(c, lit(nonAsciiRe), lit(0))).cast("double") /
+        length(c).cast("double"))
+      .otherwise(lit(1.0))
+
+  /** The cleaning sibling: drop C0 control characters (tab/newline/CR
+    * survive — they are structure, not corruption). */
+  def stripControl(c: Column): Column = regexp_replace(c, controlRe, "")
+
+  /** DuckDB fragments computing the corruption signals identically. */
+  def countMojibakeSql(inner: String): String =
+    s"CAST(len(regexp_extract_all($inner, '$mojibakeRe')) AS BIGINT)"
+  def countControlSql(inner: String): String =
+    s"CAST(len(regexp_extract_all($inner, '$controlRe')) AS BIGINT)"
+  def asciiFractionSql(inner: String): String =
+    s"""CASE WHEN length($inner) > 0
+       |  THEN 1.0 - CAST(len(regexp_extract_all($inner, '$nonAsciiRe')) AS DOUBLE)
+       |             / CAST(length($inner) AS DOUBLE)
+       |  ELSE 1.0 END""".stripMargin
+
   /** DuckDB fragment computing [[stripMarkup]] identically (regexp_replace
     * needs the 'g' flag — DuckDB replaces first-match by default). */
   def stripMarkupSql(inner: String): String = {

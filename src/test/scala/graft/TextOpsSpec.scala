@@ -74,6 +74,31 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.head.getLong(2) == 2L) // n_matched
   }
 
+  test("encoding signals: mojibake counted, controls counted and stripped, " +
+      "ascii fraction exact") {
+    import graft.text.Scrub
+    // Row 2 is 'double-encoded': \u00C3\u00A1 (a acute read as Latin-1)
+    // plus \u00E2 — 20 chars, 3 non-ascii. Row 3 carries two C0 controls;
+    // the tab must survive both the count and the strip.
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "double\u00C3\u00A1encoded\u00E2here"),
+      (3L, "binary\u0001spill\u0002\ttab kept"),
+      (4L, "")).toDF("id", "t")
+    val out = df.select(col("id"),
+        Scrub.countMojibake(col("t")).as("moji"),
+        Scrub.countControl(col("t")).as("ctrl"),
+        Scrub.asciiFraction(col("t")).as("frac"),
+        Scrub.stripControl(col("t")).as("clean"))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("moji")).toSeq == Seq(0L, 2L, 0L, 0L))
+    assert(out.map(_.getAs[Long]("ctrl")).toSeq == Seq(0L, 0L, 2L, 0L))
+    assert(out(0).getAs[Double]("frac") == 1.0)
+    assert(out(1).getAs[Double]("frac") == 1.0 - 3.0 / 20.0)
+    assert(out(3).getAs[Double]("frac") == 1.0) // empty text pins to 1.0
+    assert(out(2).getAs[String]("clean") == "binaryspill\ttab kept")
+  }
+
   test("rrfFuse: exact integer contributions, absences contribute zero") {
     // kw list: docs 1,2,3 at ranks 1,2,3; vec list: docs 3,4 at ranks 1,2.
     val kw = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
