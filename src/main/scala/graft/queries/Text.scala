@@ -521,6 +521,32 @@ object Text extends QueryModule {
         .select(col("doc_id"), col("host"))
     }),
 
+    // Host-level link graph: each doc is wrapped in markup carrying two
+    // anchors — one clean-ish, one dirty (mixed case, default port,
+    // tracking param) — aimed at (doc_id+1)%7 and (doc_id+3)%7. Extract
+    // hrefs, normalize to hosts, aggregate weighted host→host edges:
+    // the input PageRank/k-core run on at web scale. One shuffle.
+    "q126_link_graph" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><p>"), col("text"),
+        lit("</p><a href=\"https://WWW.Site"),
+        ((col("doc_id") + 1) % 7).cast("string"),
+        lit(".COM/p/"), col("doc_id").cast("string"),
+        lit("\">x</a><a href=\"HTTP://www.site"),
+        ((col("doc_id") + 3) % 7).cast("string"),
+        lit(".com:80/q?utm_source=z&id="), col("doc_id").cast("string"),
+        lit("\">y</a></html>"))
+      Tables(s, dir).documents
+        .select(
+          concat(lit("www.site"), (col("doc_id") % 7).cast("string"),
+            lit(".com")).as("src_host"),
+          explode(graft.text.Urls.extractLinks(html)).as("link"))
+        .select(col("src_host"),
+          graft.text.Urls.host(col("link")).as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
     // Bin-packing layout: per-shard first-fit-decreasing into
     // fixed-capacity bins — whole documents, q67's constants, bins
     // never overflow. One keyed shuffle of (id, n) pairs; the FFD fold
@@ -1275,6 +1301,26 @@ object Text extends QueryModule {
         |           ORDER BY ${graft.ops.Sampling.capPrioritySql("doc_id", hostCapSalt)}, doc_id) AS rn
         |  FROM f)
         |SELECT doc_id, host FROM r WHERE rn <= $hostCapK""".stripMargin,
+
+    "q126_link_graph" ->
+      s"""WITH pages AS (
+        |  SELECT 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS src_host,
+        |         '<html><p>' || text ||
+        |         '</p><a href="https://WWW.Site' || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+        |         '.COM/p/' || CAST(doc_id AS VARCHAR) ||
+        |         '"><a href="HTTP://www.site' || CAST((doc_id + 3) % 7 AS VARCHAR) ||
+        |         '.com:80/q?utm_source=z&id=' || CAST(doc_id AS VARCHAR) ||
+        |         '">' AS html
+        |  FROM documents
+        |), links AS (
+        |  SELECT src_host,
+        |         unnest(${graft.text.Urls.extractLinksSql("html")}) AS link
+        |  FROM pages
+        |)
+        |SELECT src_host, ${graft.text.Urls.hostSql("link")} AS dst_host,
+        |       CAST(count(*) AS BIGINT) AS n_links
+        |FROM links
+        |GROUP BY 1, 2""".stripMargin,
 
     "q96_bigram_coherence" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

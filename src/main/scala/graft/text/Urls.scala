@@ -65,6 +65,21 @@ object Urls {
         when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit(""))))
   }
 
+  /** Outlink extraction — the first step of link-graph construction
+    * (host-level PageRank, link-farm isolation, crawl frontier): all
+    * `href="…"` targets of a markup document, in document order. The
+    * quote-bounded form is the portable-regex-subset one; unquoted or
+    * single-quoted attributes are out of scope (as in [[Scrub]], the
+    * PLUMBING is the contract — a production extractor swaps the
+    * pattern, not the plan). Compose with [[host]]/[[canonical]] per
+    * element, then explode into (src, dst) edges. */
+  def extractLinks(c: Column): Column =
+    regexp_extract_all(c, lit("href=\"([^\"]+)\""), lit(1))
+
+  /** DuckDB mirror of [[extractLinks]]. */
+  def extractLinksSql(inner: String): String =
+    s"""regexp_extract_all($inner, 'href="([^"]+)"', 1)"""
+
   /** DuckDB mirror of [[host]]. */
   def hostSql(urlExpr: String): String =
     s"""CASE WHEN regexp_extract($urlExpr, '$schemeRe', 1) <> ''

@@ -379,6 +379,20 @@ class TextOpsSpec extends SparkSuite {
     assert(bad.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("Urls.extractLinks: document order, quote-bounded, composes with host()") {
+    import graft.text.Urls
+    val html = """<a href="https://A.com/1">x</a> text href= noise
+      |<img href="HTTP://b.COM:80/p?x=1"><a href="">empty skipped</a>""".stripMargin
+    val out = Seq(html).toDF("t")
+      .select(explode(Urls.extractLinks(col("t"))).as("link"))
+      .select(col("link"), Urls.host(col("link")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // href="" does not match ([^"]+ needs one char); bare href= is noise
+    assert(out.toSeq == Seq(
+      ("https://A.com/1", "a.com"),
+      ("HTTP://b.COM:80/p?x=1", "b.com")))
+  }
+
   test("native TokenCount equals the regex-split formulation on edge and random inputs") {
     import graft.text.TextAnalysis
     val edge = Seq("", "   ", "a", " a ", "a b", "A--B!!c", "ümlaut straße",
