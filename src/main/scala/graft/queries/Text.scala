@@ -547,6 +547,21 @@ object Text extends QueryModule {
         .agg(count(lit(1)).as("n_links"))
     }),
 
+    // Boilerplate-line report, exercised on injected template text:
+    // every doc gets a source-specific 12-token header — aligned at
+    // line-grid position 0, so it is a LINE in every doc of its source
+    // (df = n_docs) while natural dup lines stay ≤ 8%. minFrac 0.5
+    // flags exactly the 20 headers.
+    "q127_boilerplate" -> ((s, dir) => {
+      val corpus = Tables(s, dir).documents
+        .withColumn("text", concat(
+          lit("welcome to "), col("source"),
+          lit(" home news about products downloads support faq contact legal "),
+          col("text")))
+      graft.text.Segments.boilerplateLines(corpus, "doc_id", "text",
+        "source", per = linePer, minFrac = 0.5)
+    }),
+
     // Bin-packing layout: per-shard first-fit-decreasing into
     // fixed-capacity bins — whole documents, q67's constants, bins
     // never overflow. One keyed shuffle of (id, n) pairs; the FFD fold
@@ -1301,6 +1316,34 @@ object Text extends QueryModule {
         |           ORDER BY ${graft.ops.Sampling.capPrioritySql("doc_id", hostCapSalt)}, doc_id) AS rn
         |  FROM f)
         |SELECT doc_id, host FROM r WHERE rn <= $hostCapK""".stripMargin,
+
+    "q127_boilerplate" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, source,
+        |         'welcome to ' || source ||
+        |         ' home news about products downloads support faq contact legal ' ||
+        |         text AS text
+        |  FROM documents
+        |), t AS (SELECT doc_id, source, $toksSql AS toks FROM corpus),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         unnest(generate_series(0, len(toks) - 1, $linePer)) AS st, toks
+        |  FROM t WHERE len(toks) > 0),
+        |d AS (
+        |  SELECT doc_id, source,
+        |         array_to_string(list_slice(toks, st + 1, st + $linePer), ' ') AS line
+        |  FROM s),
+        |nd AS (
+        |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |ldf AS (
+        |  SELECT source, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df
+        |  FROM d GROUP BY 1, 2)
+        |SELECT ldf.source, line, line_df, n_docs,
+        |       CAST(line_df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_frac
+        |FROM ldf JOIN nd ON ldf.source = nd.source
+        |WHERE line_df >= 2
+        |  AND CAST(line_df AS DOUBLE) >= 0.5 * CAST(n_docs AS DOUBLE)""".stripMargin,
 
     "q126_link_graph" ->
       s"""WITH pages AS (

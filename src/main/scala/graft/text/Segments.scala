@@ -127,6 +127,42 @@ object Segments {
           " ").as("kept_text"))
   }
 
+  /** Per-source boilerplate-line report: lines present in at least
+    * `minFrac` of a source's documents (and ≥ 2 of them) — navigation
+    * headers, footers, cookie banners: the template text that repeats
+    * WITHIN a site but is unique enough corpus-wide that whole-document
+    * near-dup never fires. [[lineDedupDocs]] keeps a duplicate line's
+    * first occurrence; this op instead NAMES the offenders per source so
+    * a pipeline can strip them everywhere (C4's heuristic cousin).
+    *
+    * Plan: one (source, line) distinct-doc count + the source-sized doc
+    * count joined in (source cardinality ≪ corpus — broadcast). Lines
+    * travel as text because the report emits them; the dedup transform
+    * is where the hashed-wire optimization lives.
+    *
+    * @return (srcCol, line, line_df, n_docs, doc_frac) */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, per: Int, minFrac: Double): DataFrame = {
+    val lines = docs
+      .select(col(idCol), col(srcCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(srcCol),
+        explode(lineArrays(col("__toks"), per)).as("__ltoks"))
+      .select(col(idCol), col(srcCol),
+        array_join(col("__ltoks"), " ").as("line"))
+    val nDocs = docs.groupBy(col(srcCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    lines.groupBy(col(srcCol), col("line"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+      .join(broadcast(nDocs), srcCol)
+      .filter(col("line_df") >= lit(2L) &&
+        col("line_df").cast("double") >=
+          lit(minFrac) * col("n_docs").cast("double"))
+      .select(col(srcCol), col("line"), col("line_df"), col("n_docs"),
+        (col("line_df").cast("double") / col("n_docs").cast("double"))
+          .as("doc_frac"))
+  }
+
   /** Sliding-window token chunking for training-sequence prep: windows of
     * `chunkSize` tokens starting every `stride` tokens (overlap =
     * chunkSize − stride). Start offsets are the multiples of `stride`

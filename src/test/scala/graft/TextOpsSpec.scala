@@ -645,6 +645,27 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((1L, 0L, ""))) // doc survives, empty — caller drops
   }
 
+  test("boilerplateLines: per-source threshold, singletons never reported") {
+    import graft.text.Segments
+    // Source A (3 docs): header [hdr a] opens every doc → df 3/3; line
+    // [x y] in 2/3 → df 0.67 ≥ 0.5 but also reported; [p q] once — never.
+    // Source B (2 docs): its own [hdr b] in both; A's header absent.
+    val docs = Seq(
+      (1L, "hdr a x y", "A"),
+      (2L, "hdr a x y", "A"),
+      (3L, "hdr a p q", "A"),
+      (4L, "hdr b m n", "B"),
+      (5L, "hdr b o o", "B")).toDF("doc_id", "text", "source")
+    val out = Segments.boilerplateLines(docs, "doc_id", "text", "source",
+        per = 2, minFrac = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("line_df"), r.getAs[Double]("doc_frac"))).toMap
+    assert(out.keySet == Set(("A", "hdr a"), ("A", "x y"), ("B", "hdr b")))
+    assert(out(("A", "hdr a")) == (3L, 1.0))
+    assert(out(("A", "x y")) == (2L, 2.0 / 3.0))
+    assert(out(("B", "hdr b")) == (2L, 1.0))
+  }
+
   test("lineDedupDocs: first occurrence wins corpus-wide, reassembly ordered") {
     import graft.text.Segments
     // per=2 lines: doc 1 = [a b][c d], doc 2 = [c d][e f], doc 3 = [a b].
