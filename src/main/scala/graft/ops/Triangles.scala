@@ -45,25 +45,30 @@ object Triangles {
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // Orient low rank → high rank under (degree, id). Persisted: it is
-    // read three times below (wedge legs + closing edge), and without
-    // materialization each read re-runs the whole scan → canonicalize →
-    // degree-join pipeline (repo caching contract — callers clearCache).
+    // Orient low rank → high rank under (degree, id), carrying the HEAD
+    // endpoint's rank (`rt`) so the wedge stage can order out-neighbor
+    // pairs without a re-join. Persisted: it is read three times below
+    // (wedge legs + closing edge), and without materialization each read
+    // re-runs the whole scan → canonicalize → degree-join pipeline (repo
+    // caching contract — callers clearCache).
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val o = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("u")).otherwise(col("v")).as("s"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("v")).otherwise(col("u")).as("t"))
+        when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"),
+        when(lower, struct(col("dv").as("d"), col("v").as("n")))
+          .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("rt"))
       .persist()
-    // Wedge at the lowest-ranked corner, closed by the oriented edge
-    // between the two out-neighbors (exactly one orientation exists, so
-    // each triangle matches once — no wedge-pair ordering needed).
-    val tri = o.select(col("s"), col("t").as("b"))
-      .join(o.select(col("s"), col("t").as("c")), Seq("s"))
-      .filter(col("b") =!= col("c"))
+    // Wedge at the lowest-ranked corner, generated rank-ORDERED
+    // (rank b < rank c): each unordered out-neighbor pair appears once,
+    // not twice — C(out-deg, 2) wedge rows instead of out-deg² — and the
+    // closing edge b→c (oriented low→high rank by construction) matches
+    // the wedge's ordering exactly, so each triangle still counts once.
+    val tri = o.select(col("s"), col("t").as("b"), col("rt").as("rb"))
+      .join(o.select(col("s"), col("t").as("c"), col("rt").as("rc")), Seq("s"))
+      .filter(col("rb") < col("rc"))
       .join(o.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
     tri.select(explode(array(col("s"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
