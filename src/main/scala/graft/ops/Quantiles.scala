@@ -47,6 +47,49 @@ object Quantiles {
     df.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Trimmed and winsorized per-group means — the robust dashboard
+    * aggregates between plain `avg` (outlier-dragged) and q103's
+    * median/MAD (throws away all magnitude information): drop
+    * (trimmed) or clamp (winsorized) the k most extreme values per
+    * side, k = ⌊num·n/den⌋ in PURE INTEGER arithmetic — no
+    * `ceil(p·n)`-in-doubles cross-engine trap, and single-row groups
+    * are correctly untrimmed. Clamp bounds are the kept extremes, so
+    * winsorized_sum = trimmed_sum + k_lo·min_kept + k_hi·max_kept in
+    * exact integers; the ONLY doubles are the two final divisions.
+    *
+    * Same one-keyed-window cost shape as [[exact]] (per-group sort is
+    * inherent to exact rank selection; the 100 TB alternative is
+    * clamping by [[approx]] cuts, which binByCuts composes).
+    *
+    * @param v long-typed exact units (e.g. cents)
+    * @return (grp..., n, n_kept, trimmed_mean, winsorized_mean) */
+  def trimmedStats(df: DataFrame, grp: Seq[Column], v: Column,
+      num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && 2 * num < den,
+      s"trim fraction $num/$den must be in [0, 1/2)")
+    val ranked = df
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(grp: _*).orderBy(v)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .withColumn("__k", expr(s"($num * __n) div $den"))
+    val keep = col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k")
+    ranked.groupBy(grp: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, v)).as("__tsum"),
+        min(when(keep, v)).as("__vlo"),
+        max(when(keep, v)).as("__vhi"),
+        max(col("__k")).as("__kk"))
+      .select(grp ++ Seq(
+        col("n"), col("n_kept"),
+        (col("__tsum").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"),
+        ((col("__tsum") + col("__kk") * (col("__vlo") + col("__vhi")))
+          .cast("double") / col("n").cast("double"))
+          .as("winsorized_mean")): _*)
+  }
+
   private def cutName(num: Int, den: Int): String =
     "c" + (num * 100 / den).toString
 

@@ -86,6 +86,19 @@ object Relational extends QueryModule {
         (col("p99") / 100.0).as("p99"))
     }),
 
+    // Robust means: 10%-per-side trimmed and winsorized averages of the
+    // event metric — exact integer rank arithmetic, doubles only at the
+    // two final divisions (q40's recipe applied to robust aggregation).
+    "q128_trimmed_mean" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("cents", Exact.cents(col("value")))
+      Quantiles.trimmedStats(ev, Seq(col("event_type")), col("cents"),
+          num = 1, den = 10)
+        .select(col("event_type"), col("n"), col("n_kept"),
+          (col("trimmed_mean") / 100.0).as("trimmed_mean"),
+          (col("winsorized_mean") / 100.0).as("winsorized_mean"))
+    }),
+
     // Pivot: per-user event-type counts as columns (explicit value list →
     // one hash aggregation, no per-value scans).
     "q41_pivot" -> ((s, dir) => {
@@ -488,6 +501,30 @@ object Relational extends QueryModule {
         |       max(CASE WHEN rn = ceil(0.95 * n) THEN cents END) / 100.0 AS p95,
         |       max(CASE WHEN rn = ceil(0.99 * n) THEN cents END) / 100.0 AS p99
         |FROM ranked GROUP BY 1""".stripMargin,
+
+    "q128_trimmed_mean" ->
+      s"""WITH r AS (
+        |  SELECT event_type, $centsSql AS cents,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY $centsSql) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), kd AS (
+        |  SELECT *, (1 * n) // 10 AS k FROM r
+        |), a AS (
+        |  SELECT event_type,
+        |         max(n) AS n,
+        |         CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         sum(CASE WHEN rn > k AND rn <= n - k THEN cents END) AS tsum,
+        |         min(CASE WHEN rn > k AND rn <= n - k THEN cents END) AS vlo,
+        |         max(CASE WHEN rn > k AND rn <= n - k THEN cents END) AS vhi,
+        |         max(k) AS kk
+        |  FROM kd GROUP BY 1
+        |)
+        |SELECT event_type, n, n_kept,
+        |       CAST(tsum AS DOUBLE) / CAST(n_kept AS DOUBLE) / 100.0 AS trimmed_mean,
+        |       CAST(tsum + kk * (vlo + vhi) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+        |         AS winsorized_mean
+        |FROM a""".stripMargin,
 
     // null (not 0) for absent combos, matching Spark's pivot cells; CAST
     // because DuckDB widens sum(int) to HUGEINT.

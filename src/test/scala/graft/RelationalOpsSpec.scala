@@ -419,6 +419,26 @@ class RelationalOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("trimmedStats: hand-computed trim/winsorize, single-row group untrimmed") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    // Group a: values 1..9 plus outlier 1000 (n=10, k=1): trimmed drops
+    // 1 and 1000 → mean of 2..9 = 5.5; winsorized clamps them to the
+    // kept extremes (2, 9) → (44 + 2 + 9) / 10 = 5.5. Group b: one row —
+    // k=0, nothing trimmed.
+    val df = ((1L to 9L) :+ 1000L).map(("a", _)) :+ (("b", 7L))
+    val out = Quantiles.trimmedStats(df.toDF("g", "v"),
+        Seq(col("g")), col("v"), num = 1, den = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("trimmed_mean"), r.getAs[Double]("winsorized_mean")))
+      .toMap
+    assert(out("a") == (10L, 8L, 5.5, 5.5))
+    assert(out("b") == (1L, 1L, 7.0, 7.0))
+    // The plain mean the outlier would have dragged to 104.5:
+    assert(out("a")._3 < 6.0)
+  }
+
   test("kAnonymity: violations reported, suppression removes exactly those rows") {
     import spark.implicits._
     import graft.ops.Profiling
