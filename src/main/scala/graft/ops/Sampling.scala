@@ -231,4 +231,100 @@ object Sampling {
         Seq(keyCol), idCol, "__pri", k)
       .select(col(keyCol), col(idCol))
   }
+
+  /** Water-filling token-budget allocation — the mixture PLANNER whose
+    * output [[mixSample]] executes: given per-source available tokens,
+    * target weights, and a total budget of `(budgetNum/budgetDen) ·
+    * Σavail`, allocate the budget proportionally to weight; a source
+    * whose proportional demand exceeds its supply is CAPPED (takes all
+    * it has) and its unused share re-floods the uncapped sources next
+    * round. Fixed synchronous `rounds` (capping cascades at most
+    * #sources times; 3 covers practical mixes) with an unrolled-replay
+    * oracle — the k-core recipe applied to budget arithmetic. PURE
+    * INTEGER throughout: demands are `wn·rem div remw` floor divisions,
+    * so allocations are engine-exact longs.
+    *
+    * Scale shape: the state frame is SOURCE-cardinality (≪ corpus);
+    * each round is one two-cell aggregate broadcast back — the corpus
+    * itself is only touched by whatever produced `availCol` (e.g.
+    * [[graft.text.Corpus.tokenAccounting]]'s one pass).
+    *
+    * @param weights  per-source weight numerators (any positive scale)
+    * @return (srcCol, avail, wn, capped: 0/1, alloc) — Σalloc ≤ budget,
+    *         alloc_i ≤ avail_i, uncapped allocs proportional to weight */
+  def waterFillAllocation(perSource: DataFrame, srcCol: String,
+      availCol: String, weights: Map[String, Long], defaultWeight: Long,
+      budgetNum: Long, budgetDen: Long, rounds: Int = 3): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      "budget must be a fraction of total supply in [0, 1]")
+    require(rounds >= 1 && defaultWeight >= 0 &&
+      weights.values.forall(_ >= 0))
+    val wn = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(srcCol) === k, lit(v)).otherwise(acc) }
+    val total = perSource.agg(sum(col(availCol)).as("__total"))
+    var st = perSource
+      .select(col(srcCol), col(availCol).cast("long").as("avail"))
+      .crossJoin(broadcast(total))
+      .withColumn("__b", expr(s"(__total * $budgetNum) div $budgetDen"))
+      .select(col(srcCol), col("avail"), wn.as("wn"), col("__b"),
+        lit(false).as("capped"), lit(0L).as("demand"))
+    (1 to rounds).foreach { _ =>
+      val rem = st.agg(
+        sum(when(col("capped"), col("avail")).otherwise(0L)).as("__used"),
+        sum(when(!col("capped"), col("wn")).otherwise(0L)).as("__remw"))
+      st = st.drop("demand").crossJoin(broadcast(rem))
+        .withColumn("demand",
+          when(col("capped"), col("avail"))
+            .when(col("__remw") > 0,
+              greatest(lit(0L), expr("wn * (__b - __used) div __remw")))
+            .otherwise(lit(0L)))
+        .withColumn("capped", col("capped") || col("demand") >= col("avail"))
+        .select(col(srcCol), col("avail"), col("wn"), col("__b"),
+          col("capped"), col("demand"))
+    }
+    st.select(col(srcCol), col("avail"), col("wn"),
+      col("capped").cast("long").as("capped"),
+      least(col("demand"), col("avail")).as("alloc"))
+  }
+
+  /** DuckDB oracle for [[waterFillAllocation]], unrolled from the same
+    * recurrence. `perSourceSql` must yield (source, avail); the weight
+    * CASE is generated from the same map. */
+  def waterFillOracleSql(perSourceSql: String, weights: Map[String, Long],
+      defaultWeight: Long, budgetNum: Long, budgetDen: Long,
+      rounds: Int = 3): String = {
+    val wCase =
+      if (weights.isEmpty) defaultWeight.toString
+      else weights.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN source = '$k' THEN $v" }
+        .mkString("CASE ", " ", s" ELSE $defaultWeight END")
+    val steps = (1 to rounds).map { r =>
+      s"""rem$r AS (
+         |  SELECT sum(CASE WHEN capped THEN avail ELSE 0 END) AS used,
+         |         sum(CASE WHEN NOT capped THEN wn ELSE 0 END) AS remw
+         |  FROM s${r - 1}
+         |), s$r AS (
+         |  SELECT source, avail, wn, b,
+         |         capped OR demand >= avail AS capped, demand
+         |  FROM (
+         |    SELECT s.*, CASE WHEN capped THEN avail
+         |                     WHEN remw > 0
+         |                       THEN greatest(0, wn * (b - used) // remw)
+         |                     ELSE 0 END AS demand
+         |    FROM (SELECT source, avail, wn, b, capped FROM s${r - 1}) s, rem$r)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ps AS (
+      |  SELECT source, avail, $wCase AS wn FROM ($perSourceSql)
+      |), s0 AS (
+      |  SELECT source, avail, wn,
+      |         (SELECT (sum(avail) * $budgetNum) // $budgetDen FROM ps) AS b,
+      |         FALSE AS capped, CAST(0 AS BIGINT) AS demand
+      |  FROM ps
+      |), $steps
+      |SELECT source, CAST(avail AS BIGINT) AS avail, CAST(wn AS BIGINT) AS wn,
+      |       CAST(capped AS BIGINT) AS capped,
+      |       CAST(least(demand, avail) AS BIGINT) AS alloc
+      |FROM s$rounds""".stripMargin
+  }
 }

@@ -27,6 +27,10 @@ object Text extends QueryModule {
   private val decontamW = 13
   private[queries] val bm25Terms = Seq("hash", "join", "spark", "vector")
 
+  /** q129: mixture-planner weights — heavy sources that must cap. */
+  private val budgetWeights =
+    Map("src0" -> 10L, "src1" -> 10L, "src2" -> 10L)
+
   /** q66: half the corpus, with src0/src1 at 30% each (src0/src1 hold
     * only 5% of docs each, so their rate caps at 1 — both behaviors
     * exercised). q67: 512-token windows over 4 shards. */
@@ -627,6 +631,20 @@ object Text extends QueryModule {
     "q97_token_accounting" -> ((s, dir) =>
       graft.text.Corpus.tokenAccounting(Tables(s, dir).documents,
         "source", "text")),
+
+    // Water-filling token-budget allocation: 60% of the corpus budgeted
+    // across sources with src0-2 weighted 10×. The heavy sources demand
+    // ~2.5× their supply → capped round 1; their shortfall re-floods
+    // the 17 light sources round 2. q97 measures, this PLANS, q66
+    // executes.
+    "q129_token_budget" -> ((s, dir) => {
+      val ps = Tables(s, dir).documents
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy(col("source")).agg(sum(col("__nt")).as("avail"))
+      graft.ops.Sampling.waterFillAllocation(ps, "source", "avail",
+        budgetWeights, defaultWeight = 1L, budgetNum = 3L, budgetDen = 5L)
+    }),
 
     // Segment-level language mixing (code-switching detector): per-doc
     // language profile from per-16-token-segment language ID — the
@@ -1387,6 +1405,11 @@ object Text extends QueryModule {
         |         / (CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
         |            * CAST(n_total AS DOUBLE)) AS coherence
         |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin,
+
+    "q129_token_budget" ->
+      graft.ops.Sampling.waterFillOracleSql(
+        s"SELECT source, sum(len($toksSql)) AS avail FROM documents GROUP BY 1",
+        budgetWeights, defaultWeight = 1L, budgetNum = 3L, budgetDen = 5L),
 
     "q97_token_accounting" ->
       s"""WITH t AS (SELECT source, len($toksSql) AS nt FROM documents),

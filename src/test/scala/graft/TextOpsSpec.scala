@@ -134,6 +134,26 @@ class TextOpsSpec extends SparkSuite {
     assert(links == Set((101L, 1L)))
   }
 
+  test("waterFillAllocation: caps cascade, shortfall re-floods, sums to budget") {
+    import graft.ops.Sampling
+    // avail a=100, b=100, c=10; weights a=b=1, c=8; budget = 3/5 · 210
+    // = 126. Round 1: c demands 8·126 div 10 = 100 ≥ 10 → capped.
+    // Round 2: used 10, remw 2 → a,b demand (126−10) div 2 = 58 each.
+    // Total allocation 58+58+10 = 126 = the budget exactly.
+    val ps = Seq(("a", 100L), ("b", 100L), ("c", 10L)).toDF("src", "avail")
+    val out = Sampling.waterFillAllocation(ps, "src", "avail",
+        Map("c" -> 8L), defaultWeight = 1L, budgetNum = 3L, budgetDen = 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("capped"), r.getAs[Long]("alloc"))).toMap
+    assert(out == Map("a" -> (0L, 58L), "b" -> (0L, 58L), "c" -> (1L, 10L)))
+    // Degenerate: budget 0 → nothing allocated, nothing capped... except
+    // zero-avail sources which cap vacuously (demand 0 >= avail 0).
+    val zero = Sampling.waterFillAllocation(ps, "src", "avail",
+        Map.empty, defaultWeight = 1L, budgetNum = 0L, budgetDen = 1L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(zero == Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+  }
+
   test("mixSample hits the target composition and caps scarce domains at rate 1") {
     import graft.ops.Sampling
     // 1000 "web" docs, 50 "code" docs; target: half the corpus, 60% code.
