@@ -295,6 +295,21 @@ object Relational extends QueryModule {
       graft.ops.Triangles.triangleCounts(edges, "src", "dst")
     }),
 
+    // Link prediction over repeat customer-supplier relationships
+    // (≥ 2 distinct orders): customer pairs scored by Adamic–Adar over
+    // shared suppliers — rare shared suppliers certify, ubiquitous ones
+    // barely count. Integer bit-length log keeps scores engine-exact.
+    "q130_link_predict" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .agg(countDistinct(col("o_orderkey")).as("__no"))
+        .filter(col("__no") >= 2).select(col("src"), col("dst"))
+      graft.ops.LinkPredict.adamicAdar(edges, "src", "dst",
+        minCommon = 3L, maxDeg = 100000L)
+    }),
+
     // k-core over the same co-purchase graph: k = 70 sits inside the
     // degree distribution at both test SFs, so the peel genuinely
     // cascades (sf0.001: 185 → 153 nodes over the 4 rounds) instead of
@@ -667,6 +682,24 @@ object Relational extends QueryModule {
         |  UNION ALL SELECT c FROM tri
         |)
         |GROUP BY 1""".stripMargin,
+
+    "q130_link_predict" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS c, l_suppkey AS z
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2
+        |), w AS (
+        |  SELECT z, 1000000 // length(bin(d)) AS w
+        |  FROM (SELECT z, count(*) AS d FROM e GROUP BY 1)
+        |  WHERE d <= 100000
+        |), ew AS (
+        |  SELECT e.c, e.z, w.w FROM e JOIN w USING (z)
+        |)
+        |SELECT a.c AS c1, b.c AS c2,
+        |       CAST(count(*) AS BIGINT) AS common,
+        |       CAST(sum(a.w) AS BIGINT) AS aa_score
+        |FROM ew a JOIN ew b ON a.z = b.z AND a.c < b.c
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q121_kcore" -> graft.ops.KCore.kCoreOracleSql(
       """SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -419,6 +419,24 @@ class RelationalOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("adamicAdar: exact bit-length weights, hub cut before pair generation") {
+    import spark.implicits._
+    import graft.ops.LinkPredict
+    // Customers 1,2 share suppliers 10 (deg 3) and 11 (deg 2); customer 3
+    // touches only 10. blog(3) = blog(2) = 2 → each weight 500000.
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),
+      (1L, 10L) /* parallel edge collapses */).toDF("src", "dst")
+    val out = LinkPredict.adamicAdar(e, "src", "dst", minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("aa_score"))).toMap
+    assert(out == Map((1L, 2L) -> (2L, 1000000L)))
+    // maxDeg = 2 cuts hub 10 entirely: (1,2) survive on 11 alone.
+    val cut = LinkPredict.adamicAdar(e, "src", "dst", minCommon = 1, maxDeg = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("common"))
+      .toMap
+    assert(cut == Map((1L, 2L) -> 1L))
+  }
+
   test("trimmedStats: hand-computed trim/winsorize, single-row group untrimmed") {
     import spark.implicits._
     import graft.ops.Quantiles
