@@ -632,6 +632,18 @@ object Text extends QueryModule {
       graft.text.Corpus.tokenAccounting(Tables(s, dir).documents,
         "source", "text")),
 
+    // Pre-tokenizer accounting: GPT-2-style unit counts next to the
+    // whitespace-word counts q97 budgets with — the ratio is the
+    // words-to-BPE-units inflation factor real token budgets need.
+    "q131_pretoken_count" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.preTokenCount(col("text")).as("pre_tokens"))
+        .withColumn("inflation",
+          when(col("ws_tokens") > 0,
+            col("pre_tokens").cast("double") / col("ws_tokens").cast("double")))),
+
     // Water-filling token-budget allocation: 60% of the corpus budgeted
     // across sources with src0-2 weighted 10×. The heavy sources demand
     // ~2.5× their supply → capped round 1; their shortfall re-floods
@@ -1405,6 +1417,16 @@ object Text extends QueryModule {
         |         / (CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
         |            * CAST(n_total AS DOUBLE)) AS coherence
         |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin,
+
+    "q131_pretoken_count" ->
+      s"""SELECT doc_id,
+        |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+        |       ${TextAnalysis.preTokenCountSql("text")} AS pre_tokens,
+        |       CASE WHEN len($toksSql) > 0
+        |            THEN CAST(${TextAnalysis.preTokenCountSql("text")} AS DOUBLE)
+        |                 / CAST(len($toksSql) AS BIGINT)
+        |            END AS inflation
+        |FROM documents""".stripMargin,
 
     "q129_token_budget" ->
       graft.ops.Sampling.waterFillOracleSql(

@@ -28,6 +28,31 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     graft.functions.TokenCount.tokenCount(text)
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the Java/RE2-
+    * identical subset: contraction suffixes, space-prefixed letter runs,
+    * space-prefixed digit runs, space-prefixed punctuation runs,
+    * whitespace runs. Two deliberate deviations from the published GPT-2
+    * pattern, both for portability: the trailing-space lookahead
+    * (`\\s+(?!\\S)`) is dropped (RE2 has no lookarounds), and `\\s` is
+    * spelled as the explicit class `[ \\t\\n\\r]` (Java's `\\s` includes
+    * `\\x0B`, RE2's does not — the explicit class is the intersection
+    * both engines read identically). Alternation order is load-bearing
+    * and identical on both engines (leftmost-first). */
+  val preTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\p{L}\\p{N}]+|[ \\t\\n\\r]+"
+
+  /** Pre-tokenizer unit count — the token-accounting unit that tracks a
+    * real BPE vocabulary's pre-tokenization far closer than whitespace
+    * or [a-z0-9] word counts (contractions split, punctuation runs and
+    * casing count, digits separate). */
+  def preTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(preTokenRe), lit(0))).cast("long")
+
+  /** DuckDB mirror of [[preTokenCount]] (single-quote doubling for SQL
+    * transport of the contraction apostrophe). */
+  def preTokenCountSql(inner: String): String =
+    s"CAST(len(regexp_extract_all($inner, '${preTokenRe.replace("'", "''")}')) AS BIGINT)"
+
   /** Exact average token length: integer sum of lengths / count, derived
     * in doubles (cross-engine exact — see graft.ops.Exact). */
   def avgTokenLen(toks: Column): Column =

@@ -134,6 +134,21 @@ class TextOpsSpec extends SparkSuite {
     assert(links == Set((101L, 1L)))
   }
 
+  test("preTokenCount: contractions, digit/punct runs, whitespace runs") {
+    import graft.text.TextAnalysis
+    val cases = Seq(
+      ("it's fine", 3L),        // it | 's | ␣fine
+      ("hello world 123", 3L),  // hello | ␣world | ␣123
+      ("a--b", 3L),             // a | -- | b
+      ("x  y", 3L),             // x | ␣␣ | ␣y
+      ("Price: $5.99!", 7L),    // Price | : | ␣$ | 5 | . | 99 | !
+      ("", 0L))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.preTokenCount(col("t")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
   test("waterFillAllocation: caps cascade, shortfall re-floods, sums to budget") {
     import graft.ops.Sampling
     // avail a=100, b=100, c=10; weights a=b=1, c=8; budget = 3/5 · 210
