@@ -345,6 +345,19 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           grouping_id().cast("long").as("gid"))),
 
+    // GROUPING SETS — the third of the multi-dimensional agg family
+    // (q42 ROLLUP, q68 CUBE): exactly the named dimension combinations,
+    // here the two one-dimension margins plus the grand total (what a
+    // dashboard wants; CUBE would also pay for the full cross).
+    "q132_grouping_sets" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .withColumn("cents", Exact.cents(col("l_extendedprice")))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          grouping_id().cast("long").as("gid"))),
+
     // Data-quality gate: row-level expectations in one pass, a verdict
     // row per check (the publish gate a pipeline runs before a table
     // goes live). value_in_range is INTENTIONALLY violated by design of
@@ -719,6 +732,13 @@ object Relational extends QueryModule {
         |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q132_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q71_expectations" ->
       graft.ops.Profiling.expectationsOracleSql("events", Seq(
