@@ -119,6 +119,84 @@ object Profiling {
       .drop("__mn", "__mx")
   }
 
+  /** Column-profile DRIFT between two snapshots of the same table — the
+    * data-drift monitor an ingestion pipeline runs per batch: null-rate
+    * shifts, distinct-cardinality blowups/collapses, and min/max range
+    * escapes, per column, from ONE [[profile]] pass per side joined on
+    * the (cols-cardinality) profile rows. Doubles derive from exact
+    * integers with identical operation order on both engines, so even
+    * the deltas hash-match.
+    *
+    * Flag semantics: |null_frac_cur − null_frac_ref| > maxNullDelta, or
+    * distinct cardinality changed by more than maxDistinctRatio in
+    * either direction (a reference cardinality of 0 flags iff the
+    * current one is nonzero), or the stringified min/max moved
+    * (null-safe — an all-NULL column's NULL extremes compare equal).
+    *
+    * @return (column, n_rows_ref, n_rows_cur, null_frac_ref,
+    *         null_frac_cur, null_frac_delta, n_distinct_ref,
+    *         n_distinct_cur, extremes_moved, drift) */
+  def profileDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+      maxNullDelta: Double, maxDistinctRatio: Double): DataFrame = {
+    require(maxNullDelta >= 0 && maxDistinctRatio >= 1.0)
+    def side(df: DataFrame, s: String) = profile(df, cols).select(
+      col("column"), col("n_rows").as(s"n_rows_$s"),
+      col("null_frac").as(s"null_frac_$s"),
+      col("n_distinct").as(s"n_distinct_$s"),
+      col("min_val").as(s"__min_$s"), col("max_val").as(s"__max_$s"))
+    val j = side(ref, "ref").join(side(cur, "cur"), "column")
+    val extremesMoved =
+      (!(col("__min_ref") <=> col("__min_cur")) ||
+        !(col("__max_ref") <=> col("__max_cur"))).cast("long")
+    val ratioDrift = when(col("n_distinct_ref") > 0,
+      col("n_distinct_cur").cast("double") >
+          col("n_distinct_ref").cast("double") * maxDistinctRatio ||
+        col("n_distinct_cur").cast("double") * maxDistinctRatio <
+          col("n_distinct_ref").cast("double"))
+      .otherwise(col("n_distinct_cur") > 0)
+    j.select(col("column"), col("n_rows_ref"), col("n_rows_cur"),
+        col("null_frac_ref"), col("null_frac_cur"),
+        (col("null_frac_cur") - col("null_frac_ref")).as("null_frac_delta"),
+        col("n_distinct_ref"), col("n_distinct_cur"),
+        extremesMoved.as("extremes_moved"),
+        (abs(col("null_frac_cur") - col("null_frac_ref")) > maxNullDelta ||
+          ratioDrift || extremesMoved === 1L).cast("long").as("drift"))
+  }
+
+  /** DuckDB oracle for [[profileDrift]]; `refSql`/`curSql` are table
+    * names or parenthesized subqueries for the two snapshots. */
+  def profileDriftOracleSql(refSql: String, curSql: String,
+      cols: Seq[String], maxNullDelta: Double,
+      maxDistinctRatio: Double): String = {
+    val ratioDrift =
+      s"""CASE WHEN n_distinct_ref > 0
+         |  THEN CAST(n_distinct_cur AS DOUBLE) >
+         |         CAST(n_distinct_ref AS DOUBLE) * $maxDistinctRatio
+         |    OR CAST(n_distinct_cur AS DOUBLE) * $maxDistinctRatio <
+         |         CAST(n_distinct_ref AS DOUBLE)
+         |  ELSE n_distinct_cur > 0 END""".stripMargin
+    val extremes =
+      """(__min_ref IS DISTINCT FROM __min_cur
+        | OR __max_ref IS DISTINCT FROM __max_cur)""".stripMargin
+    s"""WITH pr AS (${profileOracleSql(refSql, cols)}),
+      |pc AS (${profileOracleSql(curSql, cols)}),
+      |j AS (
+      |  SELECT pr."column", pr.n_rows AS n_rows_ref, pc.n_rows AS n_rows_cur,
+      |         pr.null_frac AS null_frac_ref, pc.null_frac AS null_frac_cur,
+      |         pr.n_distinct AS n_distinct_ref, pc.n_distinct AS n_distinct_cur,
+      |         pr.min_val AS __min_ref, pc.min_val AS __min_cur,
+      |         pr.max_val AS __max_ref, pc.max_val AS __max_cur
+      |  FROM pr JOIN pc USING ("column")
+      |)
+      |SELECT "column", n_rows_ref, n_rows_cur, null_frac_ref, null_frac_cur,
+      |       null_frac_cur - null_frac_ref AS null_frac_delta,
+      |       n_distinct_ref, n_distinct_cur,
+      |       CAST($extremes AS BIGINT) AS extremes_moved,
+      |       CAST(abs(null_frac_cur - null_frac_ref) > $maxNullDelta
+      |            OR ($ratioDrift) OR $extremes AS BIGINT) AS drift
+      |FROM j""".stripMargin
+  }
+
   /** k-anonymity AUDIT: quasi-identifier combinations shared by fewer
     * than `k` rows — each is a re-identification risk (the released
     * combination singles out < k individuals). The compliance check a

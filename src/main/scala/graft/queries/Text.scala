@@ -632,6 +632,24 @@ object Text extends QueryModule {
       graft.text.Corpus.tokenAccounting(Tables(s, dir).documents,
         "source", "text")),
 
+    // Profile-drift monitor, exercised on an injected bad batch: lang
+    // nulled on every 5th doc (null-rate drift), src0 renamed (min
+    // extreme moves). doc_id and n_chars are untouched controls —
+    // their rows must report drift 0.
+    "q133_profile_drift" -> ((s, dir) => {
+      val ref = Tables(s, dir).documents
+      val cur = ref
+        .withColumn("lang",
+          when(col("doc_id") % 5 === 0, lit(null: String))
+            .otherwise(col("lang")))
+        .withColumn("source",
+          when(col("source") === "src0", lit("src0x"))
+            .otherwise(col("source")))
+      graft.ops.Profiling.profileDrift(ref, cur,
+        Seq("doc_id", "lang", "source", "n_chars"),
+        maxNullDelta = 0.05, maxDistinctRatio = 2.0)
+    }),
+
     // Pre-tokenizer accounting: GPT-2-style unit counts next to the
     // whitespace-word counts q97 budgets with — the ratio is the
     // words-to-BPE-units inflation factor real token budgets need.
@@ -1417,6 +1435,17 @@ object Text extends QueryModule {
         |         / (CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
         |            * CAST(n_total AS DOUBLE)) AS coherence
         |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin,
+
+    "q133_profile_drift" ->
+      graft.ops.Profiling.profileDriftOracleSql(
+        "documents",
+        """(SELECT doc_id, text,
+          |        CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+          |        CASE WHEN source = 'src0' THEN 'src0x' ELSE source END AS source,
+          |        n_chars
+          | FROM documents)""".stripMargin,
+        Seq("doc_id", "lang", "source", "n_chars"),
+        maxNullDelta = 0.05, maxDistinctRatio = 2.0),
 
     "q131_pretoken_count" ->
       s"""SELECT doc_id,

@@ -419,6 +419,33 @@ class RelationalOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("profileDrift: null-rate, cardinality-ratio and extreme moves flag; " +
+      "stable columns don't") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    val ref = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, Some("d"), 40L))
+      .toDF("id", "cat", "v")
+    // cat: half nulled (null drift). v: one value pushed past the ref
+    // max (extreme move). id: untouched control.
+    val cur = Seq((1L, Option.empty[String], 10L), (2L, Option.empty[String], 20L),
+      (3L, Some("c"), 30L), (4L, Some("d"), 99L))
+      .toDF("id", "cat", "v")
+    val out = Profiling.profileDrift(ref, cur, Seq("id", "cat", "v"),
+        maxNullDelta = 0.1, maxDistinctRatio = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("extremes_moved"), r.getAs[Long]("drift"))).toMap
+    assert(out("id") == (0L, 0L))
+    assert(out("cat") == (1L, 1L)) // null delta 0.5 AND min moved (a → c)
+    assert(out("v") == (1L, 1L))
+    // cardinality collapse alone flags: 4 distinct -> 1 at ratio 3
+    val flat = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x")).toDF("id", "cat")
+    val rat = Profiling.profileDrift(ref.select("id", "cat"), flat,
+        Seq("cat"), maxNullDelta = 1.0, maxDistinctRatio = 3.0)
+      .collect().head
+    assert(rat.getAs[Long]("drift") == 1L)
+  }
+
   test("adamicAdar: exact bit-length weights, hub cut before pair generation") {
     import spark.implicits._
     import graft.ops.LinkPredict
