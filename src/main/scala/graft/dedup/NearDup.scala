@@ -85,6 +85,51 @@ object NearDup {
       .select(col(idCol),
         explode(array_distinct(shingles(col("__toks"), w))).as("sh"))
       .select(col(idCol), hash(col("sh")).as("h"))
+    minhashFromHashes(sh, idCol, k)
+  }
+
+  /** Character w-grams over lowercased, whitespace-folded text — the
+    * shingle unit for SPACE-FREE scripts (CJK, Thai) where
+    * [[TextAnalysis.tokens]]' `[a-z0-9]+` word splitting sees nothing.
+    * Sub-w texts fall back to one whole-text gram (the [[shingles]]
+    * short-doc contract). Caveat shared with every `lower()` in this
+    * codebase: ASCII case-folds identically everywhere; locale-special
+    * casings (Turkish İ) may differ between JVM and ICU. */
+  def charShingles(text: Column, w: Int): Column = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val t = regexp_replace(lower(text), "\\s+", " ")
+    when(length(t) >= w,
+      transform(sequence(lit(1), length(t) - lit(w - 1)),
+        i => t.substr(i, lit(w))))
+      .otherwise(array(t))
+  }
+
+  /** DuckDB mirror of [[charShingles]]; `inner` must already be the
+    * folded text expression. */
+  def duckCharShinglesSql(inner: String, w: Int): String =
+    s"""CASE WHEN length($inner) >= $w
+       |  THEN list_transform(generate_series(1, length($inner) - ${w - 1}),
+       |                      i -> substr($inner, i, $w))
+       |  ELSE [$inner] END""".stripMargin
+
+  /** [[minhashSignatures]] with character shingles — same signature
+    * contract (k longs), same downstream banding/agreement machinery;
+    * only the unit generator differs. Exclude empty/whitespace-only
+    * docs (same caller contract as [[nearDupIncrement]]: they all share
+    * the single-gram signature of " "). */
+  def minhashSignaturesChar(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, k: Int = 16,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    val sh = docs
+      .select(col(idCol),
+        explode(array_distinct(charShingles(col(textCol), w))).as("sh"))
+      .select(col(idCol), hash(col("sh")).as("h"))
+    minhashFromHashes(sh, idCol, k)
+  }
+
+  /** Shared k-seed min-aggregation tail of the signature builders. */
+  private def minhashFromHashes(sh: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(Hash64.mixed(i, col("h"))).as(s"m$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)

@@ -101,6 +101,21 @@ object Vectors extends QueryModule {
     // used three times (banding + two verify joins) → persist.
     "q27_minhash_lsh" -> (minhashLshPipeline(_, _, graft.functions.Hash64.hash60)),
 
+    // q27's pipeline with CHARACTER 5-gram shingles: the dedup unit for
+    // space-free scripts where word tokenization sees nothing. Same
+    // signature/banding/agreement machinery — only the unit differs.
+    "q134_char_minhash" -> ((s, dir) => {
+      val sig = NearDup.minhashSignaturesChar(
+        Tables(s, dir).documents.filter(length(col("text")) > 0),
+        "doc_id", "text").persist()
+      NearDup.lshCandidatePairs(sig, "doc_id", "sig")
+        .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("est_jaccard",
+          NearDup.sigAgreement(col("s1.sig"), col("s2.sig")))
+        .select(col("d1"), col("d2"), col("est_jaccard"))
+    }),
+
     // Dedup clusters: minhash pairs (est >= 0.5) → connected components →
     // per-doc cluster id + keep-one flag. The step a training-data dedup
     // actually executes between "candidate pairs" and "drop duplicates".
@@ -316,6 +331,36 @@ object Vectors extends QueryModule {
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(${NearDup.duckShinglesSql(3)})) AS sh
       |  FROM toks
+      |), hs AS (
+      |  SELECT doc_id, ${Hash64.duckSql("sh")} AS h FROM sh
+      |), sig AS (
+      |  SELECT doc_id, $minhashSigList AS sig FROM hs GROUP BY 1
+      |), banded AS (
+      |  SELECT doc_id, b.band AS band, sig[b.band*4+1 : b.band*4+4] AS band_key
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+      |), mpairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |), est AS (
+      |  SELECT d1, d2,
+      |         CAST(len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) AS DOUBLE) / 16.0
+      |           AS est_jaccard
+      |  FROM mpairs
+      |  JOIN sig s1 ON d1 = s1.doc_id
+      |  JOIN sig s2 ON d2 = s2.doc_id
+      |)""".stripMargin
+
+  /** [[minhashCtes]] with character 5-gram shingles over lowercased,
+    * whitespace-folded text (mirrors [[NearDup.charShingles]]). */
+  private val charMinhashCtes: String =
+    s"""t0 AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+      |  FROM documents WHERE length(text) > 0
+      |), sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(${NearDup.duckCharShinglesSql("t", 5)})) AS sh
+      |  FROM t0
       |), hs AS (
       |  SELECT doc_id, ${Hash64.duckSql("sh")} AS h FROM sh
       |), sig AS (
@@ -587,6 +632,9 @@ object Vectors extends QueryModule {
 
     "q27_minhash_lsh" ->
       s"WITH $minhashCtes\nSELECT d1, d2, est_jaccard FROM est",
+
+    "q134_char_minhash" ->
+      s"WITH $charMinhashCtes\nSELECT d1, d2, est_jaccard FROM est",
 
     // Clusters = connected components over the minhash near-dup pairs —
     // DuckDB recomputes the same min-reachable-label fixpoint with a

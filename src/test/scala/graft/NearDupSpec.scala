@@ -131,6 +131,32 @@ class NearDupSpec extends SparkSuite {
     assert(!m.contains((4L, 5L)))
   }
 
+  test("charShingles + char minhash: space-free near-dups found where " +
+      "word tokens see nothing") {
+    import spark.implicits._
+    // CJK-style: no spaces, so tokens() = [] for all three — word-level
+    // minhash is blind here. Doc 12 is an exact dup of 11; 13 unrelated.
+    val docs = Seq(
+      (11L, "大数据处理引擎测试文档内容"),
+      (12L, "大数据处理引擎测试文档内容"),
+      (13L, "完全不同的另一个主题文本例"))
+      .toDF("doc_id", "text")
+    assert(docs.select(TextAnalysis.tokens(col("text")).as("t"))
+      .collect().forall(_.getSeq[String](0).isEmpty))
+    // shingle count: length 13, w=5 → 9 grams; short text falls back
+    val sh = docs.select(size(NearDup.charShingles(col("text"), 5)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sh == Seq(9, 9, 9))
+    assert(Seq(("ab", 1)).toDF("t", "x")
+      .select(NearDup.charShingles(col("t"), 5).as("s"))
+      .collect().head.getSeq[String](0) == Seq("ab"))
+    val sig = NearDup.minhashSignaturesChar(docs, "doc_id", "text")
+    val pairs = NearDup.lshCandidatePairs(sig, "doc_id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((11L, 12L)))
+    assert(!pairs.contains((11L, 13L)) && !pairs.contains((12L, 13L)))
+  }
+
   test("containment: snippet-in-page found asymmetrically where jaccard misses") {
     import spark.implicits._
     // 6 is a strict token-subset of 7 (a quote inside a much longer page);
