@@ -28,6 +28,22 @@ object Bench {
     val extras: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "x27_minhash_xxh" ->
         ((s, dir) => queries.Vectors.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)),
+      // Production-hash char-shingle path: q134's cost is ~all md5 over
+      // the ~7x-denser char-gram stream; fast60 is the same mixer family
+      // with the strong hash swapped (the x27 contract).
+      "x134_char_minhash_xxh" ->
+        ((s, dir) => {
+          import org.apache.spark.sql.functions._
+          val sig = dedup.NearDup.minhashSignaturesChar(
+            Tables(s, dir).documents.filter(length(col("text")) > 0),
+            "doc_id", "text", hash = graft.functions.Hash64.fast60).persist()
+          dedup.NearDup.lshCandidatePairs(sig, "doc_id", "sig")
+            .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+            .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+            .withColumn("est_jaccard",
+              dedup.NearDup.sigAgreement(col("s1.sig"), col("s2.sig")))
+            .select(col("d1"), col("d2"), col("est_jaccard"))
+        }),
       "x55_decontam_hashed" ->
         ((s, dir) => {
           val docs = Tables(s, dir).documents

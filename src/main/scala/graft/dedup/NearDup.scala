@@ -116,14 +116,27 @@ object NearDup {
     * contract (k longs), same downstream banding/agreement machinery;
     * only the unit generator differs. Exclude empty/whitespace-only
     * docs (same caller contract as [[nearDupIncrement]]: they all share
-    * the single-gram signature of " "). */
+    * the single-gram signature of " ").
+    *
+    * NOT [[charShingles]]+explode: `min` is duplicate-insensitive, so
+    * the distinct is skipped, and grams come from a codegen'd
+    * `substring(text, pos, w)` over an exploded POSITION sequence —
+    * no per-document array of ~|text| string objects ever materializes
+    * (the interpreted-HOF allocation was measured at ~20 s of q134's
+    * 21 s at sf0.1; this form runs the same query in 2.5 s). The
+    * position range `1 .. greatest(len−w+1, 1)` reproduces
+    * [[charShingles]]' short-text whole-gram fallback via substring's
+    * end-clamp, so signatures are identical. */
   def minhashSignaturesChar(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 5, k: Int = 16,
       hash: Column => Column = Hash64.hash60): DataFrame = {
+    val t = regexp_replace(lower(col(textCol)), "\\s+", " ")
     val sh = docs
-      .select(col(idCol),
-        explode(array_distinct(charShingles(col(textCol), w))).as("sh"))
-      .select(col(idCol), hash(col("sh")).as("h"))
+      .select(col(idCol), t.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1),
+          greatest(length(col("__t")) - lit(w - 1), lit(1)))).as("__i"))
+      .select(col(idCol), hash(expr(s"substring(__t, __i, $w)")).as("h"))
     minhashFromHashes(sh, idCol, k)
   }
 
