@@ -345,6 +345,67 @@ object NearDup {
       .select(col("d1"), col("d2"), col("inter"), col("c1"), col("c2"))
   }
 
+  /** Prefix-filter similarity join (AllPairs / PPJoin family, Bayardo et
+    * al. 2007): ALL pairs with token-set Jaccard ≥ num/den, with a
+    * COMPLETENESS GUARANTEE — unlike MinHash LSH (probabilistic recall)
+    * and the [[tokenJaccardPairs]] df-cut (drops pairs living in common
+    * tokens), every qualifying pair is produced.
+    *
+    * Why it's not O(n²): tokens are globally ordered by ascending
+    * document frequency (rarest first, ties by token), and a document
+    * with n distinct tokens exposes only its first n − ceil(t·n) + 1
+    * tokens in that order as join keys. Pigeonhole: J(A,B) ≥ t implies
+    * the overlap ≥ ceil(t·max(|A|,|B|)), too large to hide entirely in
+    * either doc's skipped suffix, so a qualifying pair ALWAYS collides
+    * on a prefix token. Fan-out is bounded by the df of the rarest
+    * ~(1−t) fraction of each doc's tokens — the cheap end of the df
+    * distribution; the stopword-grade tokens that make the naive token
+    * self-join quadratic sort to the suffix and never join.
+    *
+    * The threshold is a rational num/den and the accept test is pure
+    * integer cross-multiplication (`den·inter ≥ num·(n1+n2−inter)`), so
+    * the cut is exact on both engines; `jaccard` emits as one final
+    * double division.
+    *
+    * Plan: tokens persist (prefix arm + two verify arms + sizes); one
+    * per-doc window (partition = one document's tokens — bounded);
+    * candidate join keyed by prefix token; verify join keyed by id.
+    *
+    * @return (d1, d2, inter, jaccard), d1 < d2, Jaccard ≥ num/den */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, num: Int, den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"threshold $num/$den outside (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .persist()
+    val dfs = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfs, "tok")
+      .withColumn("r", row_number().over(
+        w.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(w.partitionBy(col("id"))))
+    // prefix length n − ceil(num·n/den) + 1; ceil via integer-exact floor
+    val pref = ranked.filter(col("r") <=
+      col("n") - floor((lit(num) * col("n") + lit(den - 1)) / lit(den)) + 1)
+      .select(col("id"), col("tok"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    cands
+      .join(tok.as("t1"), col("d1") === col("t1.id"))
+      .join(tok.as("t2"),
+        col("d2") === col("t2.id") && col("t1.tok") === col("t2.tok"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.as("s1"), col("d1") === col("s1.id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.id"))
+      .filter(lit(den) * col("inter") >=
+        lit(num) * (col("s1.n") + col("s2.n") - col("inter")))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+  }
+
   private def jaccardPairs(docs: DataFrame, units: Column, idCol: String,
       blockCol: String, minJaccard: Double, maxDfFrac: Double): DataFrame = {
     val (pairs, sizes) = pairCounts(docs, units, idCol, blockCol, maxDfFrac)
@@ -523,6 +584,33 @@ object NearDup {
       .groupBy(least(col("s1"), col("s2")).as("source_a"),
         greatest(col("s1"), col("s2")).as("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Cluster-aware train/val/test split: the deterministic hash split
+    * ([[graft.ops.Sampling.assignSplit]]) keyed by near-dup CLUSTER id
+    * instead of document id, so every member of a cluster lands in the
+    * SAME split. A per-doc split silently violates the leakage guarantee
+    * the split exists for — two near-identical documents straddling
+    * train/test leak the test set into training (Lee et al. 2022 measure
+    * exactly this in C4). Docs in no cluster key by their own id, which
+    * preserves the per-doc split's uniformity for the non-dup mass.
+    *
+    * Scale shape: the cluster frame is |clustered docs| ≪ corpus and
+    * joins back keyed by id (broadcast when small); the split itself is
+    * a pure scan-side expression — no extra shuffle beyond the join.
+    *
+    * @param pairs near-dup pairs (d1, d2) — [[lshCandidatePairs]]
+    *              verified output or [[readClusterPairs]]
+    * @return (idCol, cluster_key, split) one row per input doc */
+  def clusterSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      salt: String, fracs: Seq[(String, Double)]): DataFrame = {
+    val clusters = connectedComponents(pairs)
+      .select(col("node").as(idCol), col("cluster_id"))
+    val keyed = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left_outer")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col(idCol)))
+      .select(col(idCol), col("cluster_key"))
+    graft.ops.Sampling.assignSplit(keyed, col("cluster_key"), salt, fracs)
   }
 
   /** Materialized dedup-chain contract: run the expensive

@@ -131,6 +131,26 @@ object Quantiles {
     cum.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group ADAPTIVE quality gate (the CCNet pattern, Wenzek et al.
+    * 2020: per-language perplexity percentiles): keep rows whose metric
+    * sits at or above their OWN group's p-quantile, instead of one
+    * global threshold that over-filters some groups and under-filters
+    * others. `>=` semantics: rows tied with the cut survive, so a
+    * constant-valued group keeps everything (a global-threshold gate
+    * would flip between all and nothing).
+    *
+    * Cost: [[exact]]'s per-group window (group-bounded sort) producing
+    * a groups-sized cut frame, broadcast back — one shuffle over the
+    * corpus plus a scan-side filter.
+    *
+    * @return surviving input rows plus their group's `cut` */
+  def percentileGate(df: DataFrame, grpName: String, v: Column,
+      p: Double): DataFrame = {
+    val cuts = exact(df, Seq(col(grpName)), v, Seq(p))
+      .withColumnRenamed(colName(p), "cut")
+    df.join(broadcast(cuts), Seq(grpName)).filter(v >= col("cut"))
+  }
+
   /** Equal-frequency binning against precomputed cut points: bin =
     * number of cuts strictly below the value (ties share a bin,
     * deterministically). `cuts` is a one-row frame (e.g.

@@ -287,6 +287,61 @@ object Sampling {
       least(col("demand"), col("avail")).as("alloc"))
   }
 
+  /** Temperature-scaled (α-sampling) mixture allocation — the
+    * multilingual-pretraining standard (mBERT/XLM-R style): per-source
+    * sampling mass ∝ n^α with α = 1/2, which flattens the mixture so
+    * small sources (low-resource languages, niche domains) are not
+    * drowned by the crawl's head. [[waterFillAllocation]] takes
+    * CALLER-CHOSEN weights; this derives them FROM the supply itself.
+    *
+    * α = 1/2 realizes as integer sqrt: `floor(sqrt(n))` — IEEE sqrt is
+    * correctly rounded and n < 2⁵² is exactly representable, so the
+    * floor is bit-identical on both engines (the one non-rational α
+    * that stays engine-exact; other α would need float pow). Pass
+    * `weightOf` to swap the weight map (identity = proportional
+    * sampling — the degenerate check in the spec).
+    *
+    * All integer: budget = (Σn · num) div den; alloc = (budget · w) div
+    * Σw; `alloc_capped` additionally bounds by supply (α-flattening
+    * UPsamples small sources — replication beyond supply is a separate,
+    * explicit step, the [[mixSample]] convention).
+    *
+    * Scale shape: source-cardinality frame + two one-row broadcasts.
+    *
+    * @return (srcCol, n, w, alloc, alloc_capped) */
+  def temperatureAllocation(perSource: DataFrame, srcCol: String,
+      nCol: String, budgetNum: Long, budgetDen: Long,
+      weightOf: Column => Column = c => floor(sqrt(c)).cast("long"))
+      : DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      "budget must be a fraction of total supply in [0, 1]")
+    val base = perSource
+      .select(col(srcCol), col(nCol).cast("long").as("n"))
+      .withColumn("w", weightOf(col("n")))
+    val tot = base.agg(sum(col("n")).as("__tn"), sum(col("w")).as("__tw"))
+    base.crossJoin(broadcast(tot)) // one row — the stat-broadcast idiom
+      .withColumn("alloc",
+        expr(s"((__tn * $budgetNum) div $budgetDen) * w div __tw"))
+      .select(col(srcCol), col("n"), col("w"), col("alloc"),
+        least(col("alloc"), col("n")).as("alloc_capped"))
+  }
+
+  /** DuckDB oracle for [[temperatureAllocation]]'s default α = 1/2.
+    * `perSourceSql` must yield (source, n). */
+  def temperatureOracleSql(perSourceSql: String, budgetNum: Long,
+      budgetDen: Long): String =
+    s"""WITH ps AS ($perSourceSql),
+      |b AS (
+      |  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM ps
+      |), tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(w) AS BIGINT) AS tw
+      |  FROM b
+      |)
+      |SELECT source, n, w,
+      |       ((tn * $budgetNum) // $budgetDen) * w // tw AS alloc,
+      |       least(((tn * $budgetNum) // $budgetDen) * w // tw, n) AS alloc_capped
+      |FROM b, tot""".stripMargin
+
   /** DuckDB oracle for [[waterFillAllocation]], unrolled from the same
     * recurrence. `perSourceSql` must yield (source, avail); the weight
     * CASE is generated from the same map. */

@@ -40,6 +40,15 @@ object Text extends QueryModule {
   private val mixSalt = "mix"
   private val (packCapacity, packShards, packSalt) = (512, 4, "pack")
 
+  /** q137: prefix-filter join threshold 3/5 — a rational so the accept
+    * test stays pure-integer on both engines. */
+  private val (prefixNum, prefixDen) = (3, 5)
+
+  /** q139: DSIR target = the q129 budget-weighted "curated" sources;
+    * 2¹² hashed-feature buckets. */
+  private val dsirTarget = Seq("src0", "src1", "src2")
+  private val dsirBuckets = 4096
+
   /** q73: 7-gram spans (short enough that the sf-test docs overlap). */
   private val spanW = 7
 
@@ -199,6 +208,55 @@ object Text extends QueryModule {
     "q24_token_jaccard" -> ((s, dir) =>
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
+
+    // Corpus novelty: fraction of each doc's 7-gram positions whose
+    // shingle FIRST appears in that doc (doc_id = ingestion order) —
+    // the directional signal q73's symmetric dup_frac can't give:
+    // originals stay novel, later copies pay.
+    "q142_novelty" -> ((s, dir) =>
+      graft.text.Spans.noveltyProfile(Tables(s, dir).documents,
+        "doc_id", "text", w = spanW)),
+
+    // Per-source ADAPTIVE quality gate (CCNet's per-language percentile
+    // pattern): each source keeps docs at/above its OWN 25th-percentile
+    // length — a global cut would gut short-form sources and pass
+    // everything in long-form ones. Exact integer rank cut, broadcast
+    // back, scan-side filter.
+    "q140_adaptive_gate" -> ((s, dir) =>
+      graft.ops.Quantiles.percentileGate(
+          Tables(s, dir).documents.select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", col("n_chars"), 0.25)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cut"))),
+
+    // Temperature-scaled (alpha = 1/2) mixture allocation: per-source
+    // budget ∝ floor(sqrt(n)) — the multilingual flattening q129's
+    // caller-chosen weights can't derive. Same 60% budget as q129.
+    "q141_temp_mixture" -> ((s, dir) => {
+      val ps = Tables(s, dir).documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Sampling.temperatureAllocation(ps, "source", "n",
+        budgetNum = 3L, budgetDen = 5L)
+    }),
+
+    // DSIR importance weights: hashed-unigram models of the curated
+    // sources (target) vs the whole corpus (raw); integer bit-length
+    // log-ratio per doc + the keep verdict. The classifier-free "steer
+    // the crawl toward the reference" selector.
+    "q139_dsir_weights" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.text.Dsir.importanceWeights(docs, "doc_id", "text",
+        target = docs.filter(col("source").isin(dsirTarget: _*)),
+        raw = docs, buckets = dsirBuckets)
+    }),
+
+    // Prefix-filter (AllPairs) similarity join: EVERY pair with Jaccard
+    // ≥ 0.6, no blocking key, no df-cut, no LSH false negatives — the
+    // completeness-guaranteed exact join. Candidates only collide on
+    // each doc's rarest (1-t)-fraction tokens in global df order.
+    "q137_prefix_join" -> ((s, dir) =>
+      NearDup.prefixFilterJaccardPairs(Tables(s, dir).documents,
+        "doc_id", "text", num = prefixNum, den = prefixDen)),
 
     // Encoding-corruption report, exercised on injected damage: every
     // 17th document gets the classic UTF-8-as-Latin-1 artifact ('a' →
@@ -411,6 +469,21 @@ object Text extends QueryModule {
     "q81_line_dedup" -> ((s, dir) =>
       graft.text.Segments.lineDedupDocs(Tables(s, dir).documents,
         "doc_id", "text", linePer)),
+
+    // WITHIN-doc line dedup (self-repetition removal), exercised on an
+    // injected self-repetitive corpus: each doc truncated to a whole
+    // number of lines then self-concatenated, so every second line is a
+    // repeat. Zero shuffles — first-occurrence is a pure array
+    // expression; q81 is the corpus-wide (shuffling) sibling.
+    "q136_selfrep_dedup" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val whole = size(toks) - pmod(size(toks), lit(linePer))
+      val head = slice(toks, lit(1), whole)
+      val selfRep = Tables(s, dir).documents.select(col("doc_id"),
+        array_join(concat(head, head), " ").as("text"))
+      graft.text.Segments.lineDedupWithinDoc(selfRep, "doc_id", "text",
+        linePer)
+    }),
 
     // Per-source document cap: deterministic hash-order reservoir — the
     // absolute-volume bound corpus mixing applies before q66's rate
@@ -818,6 +891,87 @@ object Text extends QueryModule {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
 
+    // q73's gram lineage with the df window swapped for min(doc_id).
+    "q142_novelty" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, ${graft.functions.Hash64.duckSql("gram")} AS h
+        |  FROM (SELECT doc_id, unnest(${shinglesSql(spanW)}) AS gram
+        |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+        |), pg AS (
+        |  SELECT h, doc_id, count(*) AS k FROM g GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, k, min(doc_id) OVER (PARTITION BY h) AS first_doc
+        |  FROM pg
+        |), a AS (
+        |  SELECT doc_id,
+        |         CAST(sum(k) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN first_doc = doc_id THEN k ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM wd GROUP BY 1
+        |)
+        |SELECT doc_id, n_grams, n_novel,
+        |       CAST(floor(CAST(n_novel AS DOUBLE) * 1000000.0
+        |         / CAST(n_grams AS DOUBLE)) AS BIGINT) AS novelty_micro
+        |FROM a""".stripMargin,
+
+    // q40's rank-cut recipe scoped per source, >= keeps cut ties.
+    "q140_adaptive_gate" ->
+      s"""WITH r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, max(CASE WHEN rn = ceil(0.25 * n) THEN n_chars END) AS cut
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars, c.cut
+        |FROM documents d JOIN c USING (source)
+        |WHERE d.n_chars >= c.cut""".stripMargin,
+
+    "q141_temp_mixture" -> graft.ops.Sampling.temperatureOracleSql(
+      "SELECT source, count(*) AS n FROM documents GROUP BY 1",
+      budgetNum = 3L, budgetDen = 5L),
+
+    "q139_dsir_weights" -> graft.text.Dsir.importanceOracleSql(
+      docsSql = s"SELECT doc_id, $toksSql AS toks FROM documents",
+      targetSql = s"""SELECT doc_id, $toksSql AS toks FROM documents
+                     | WHERE source IN (${dsirTarget.map(s => s"'$s'").mkString(", ")})""".stripMargin,
+      rawSql = s"SELECT doc_id, $toksSql AS toks FROM documents",
+      buckets = dsirBuckets),
+
+    // Same df-ascending order, prefix cut, integer cross-multiplied
+    // accept test. ceil(num·n/den) = (num·n + den − 1) // den.
+    "q137_prefix_join" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id AS id, unnest(list_distinct($toksSql)) AS tok
+        |  FROM documents
+        |), dfs AS (
+        |  SELECT tok, count(*) AS df FROM tk GROUP BY 1
+        |), rk AS (
+        |  SELECT id, tok,
+        |         row_number() OVER (PARTITION BY id ORDER BY df, tok) AS r,
+        |         count(*) OVER (PARTITION BY id) AS n
+        |  FROM tk JOIN dfs USING (tok)
+        |), pf AS (
+        |  SELECT id, tok FROM rk
+        |  WHERE r <= n - (($prefixNum * n + ${prefixDen - 1}) // $prefixDen) + 1
+        |), cd AS (
+        |  SELECT DISTINCT a.id AS d1, b.id AS d2
+        |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.id < b.id
+        |), sz AS (
+        |  SELECT id, count(*) AS n FROM tk GROUP BY 1
+        |), iv AS (
+        |  SELECT d1, d2, count(*) AS inter
+        |  FROM cd
+        |  JOIN tk t1 ON d1 = t1.id
+        |  JOIN tk t2 ON d2 = t2.id AND t1.tok = t2.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, inter,
+        |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+        |FROM iv JOIN sz s1 ON d1 = s1.id JOIN sz s2 ON d2 = s2.id
+        |WHERE $prefixDen * inter >= $prefixNum * (s1.n + s2.n - inter)""".stripMargin,
+
     "q125_encoding_report" ->
       s"""WITH corpus AS (
         |  SELECT doc_id,
@@ -1154,6 +1308,37 @@ object Text extends QueryModule {
         |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(g.kept_text, '') AS kept_text
         |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // Mirrors the injection (truncate-to-whole-lines, self-concat) then
+    // q81's window machinery with the partition key scoped to the doc.
+    "q136_selfrep_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_slice(tk, 1, len(tk) - (len(tk) % $linePer)) AS hd
+        |  FROM t),
+        |t2 AS (SELECT doc_id, hd || hd AS toks FROM h),
+        |s AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1, $linePer)) AS st, toks
+        |  FROM t2 WHERE len(toks) > 0),
+        |d AS (
+        |  SELECT doc_id, st,
+        |         array_to_string(list_slice(toks, st + 1, st + $linePer), ' ') AS line
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, st, line,
+        |         row_number() OVER (PARTITION BY doc_id, line ORDER BY st) AS rn
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |         count(*) AS n_lines,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY st), '') AS kept_text
+        |  FROM r GROUP BY 1)
+        |SELECT t2.doc_id,
+        |       CAST(coalesce(g.n_lines, 0) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(g.kept_text, '') AS kept_text
+        |FROM t2 LEFT JOIN g USING (doc_id)""".stripMargin,
 
     "q82_domain_cap" ->
       s"""WITH r AS (

@@ -161,6 +161,52 @@ object Vectors extends QueryModule {
         "doc_id", "source")
     }),
 
+    // Johnson-Lindenstrauss projection 64→16: the byte-volume reducer
+    // before ANN/clustering sweeps. Long form + micro quantization so
+    // the comparator sees integers; zero shuffles.
+    "q145_jl_project" -> ((s, dir) =>
+      Similarity.randomProject(base(Tables(s, dir)),
+        "id", "ev", dim = 64, outDims = 16)),
+
+    // Contrastive hard-negative mining: the 8 most similar vectors
+    // BELOW cosine 0.9 per query — "close but wrong" training pairs
+    // (DPR/Contriever recipe); the band filter runs scan-side, the
+    // top-k is the two-phase bounded buffer (never a corpus window).
+    "q144_hard_negatives" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.hardNegatives(base(t), queriesDf(t), k = 8,
+        maxCosine = 0.9)
+    }),
+
+    // Split-contamination audit: near-dup pairs STRADDLING splits under
+    // the naive per-doc hash split (same salt/fractions as q135) — the
+    // leakage q135's cluster keying eliminates, quantified. The audit a
+    // pipeline runs BEFORE trusting an inherited split.
+    "q143_split_leak_pairs" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5)
+      val split = graft.ops.Sampling.assignSplit(
+        Tables(s, dir).documents.select(col("doc_id")), col("doc_id"),
+        clusterSplitSalt, clusterSplitFracs)
+      pairs
+        .join(split.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
+        .join(split.select(col("doc_id").as("d2"), col("split").as("split2")), "d2")
+        .filter(col("split1") =!= col("split2"))
+        .select(col("d1"), col("d2"), col("split1"), col("split2"),
+          col("est_jaccard"))
+    }),
+
+    // Cluster-aware split: q43's hash split keyed by the q37 cluster id
+    // (singletons by their own id) so near-dups NEVER straddle
+    // train/eval — the leakage guarantee a per-doc split silently
+    // violates. One small-frame join; the split is scan-side.
+    "q135_cluster_split" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5)
+      NearDup.clusterSplit(Tables(s, dir).documents, pairs, "doc_id",
+        clusterSplitSalt, clusterSplitFracs)
+    }),
+
     // SimHash near-dup: 60-bit signature, pigeonhole banding (9 bands for
     // radius 8 — every pair within the advertised hamming radius is
     // guaranteed a candidate; round 2's fixed 4x15 banding only guaranteed
@@ -168,6 +214,23 @@ object Vectors extends QueryModule {
     "q28_simhash" -> ((s, dir) => {
       val sigs = NearDup.simhash(Tables(s, dir).documents, "doc_id", "text")
       NearDup.simhashPairs(sigs, "doc_id", maxHamming = simhashRadius)
+    }),
+
+    // Embedding BIT-SIGNATURE near-dup: 60 hyperplane sign bits packed
+    // into one long (the 64x-compression store-and-sweep form — 8 bytes
+    // per vector instead of 256 floats), pigeonhole-banded Hamming
+    // pairs (q28's machinery over embedding space), exact cosine
+    // verified on the survivors. Radius 4/60 ≈ cosine 0.98 shells.
+    "q138_embed_bitsig" -> ((s, dir) => {
+      val e = base(Tables(s, dir))
+      val sigs = e.select(col("id"),
+        Similarity.lshBucket(col("ev"), dim = 64, bits = 60, band = 0)
+          .as("simhash"))
+      NearDup.simhashPairs(sigs, "id", maxHamming = embSigRadius)
+        .join(e.as("e1"), col("d1") === col("e1.id"))
+        .join(e.as("e2"), col("d2") === col("e2.id"))
+        .select(col("d1"), col("d2"), col("hamming"),
+          Similarity.cosine(col("e1.ev"), col("e2.ev")).as("cosine"))
     }),
 
     // Embedding near-dup via quantized-vector fingerprint (exact dup after
@@ -309,6 +372,12 @@ object Vectors extends QueryModule {
   /** q28's radius; bands = radius + 1 (pigeonhole guarantee). */
   private val simhashRadius = 8
 
+  /** q135's split config: salt + fractions shared by the Spark plan and
+    * the generated oracle CASE so the engines cannot drift. */
+  private val clusterSplitSalt = "csplit6"
+  private val clusterSplitFracs =
+    Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)
+
   /** DuckDB VALUES list mirroring [[NearDup.bandLayout]] for q28's band
     * count — generated from the same Scala layout so engines can't drift. */
   private val simhashBandsSql: String =
@@ -381,15 +450,26 @@ object Vectors extends QueryModule {
       |  JOIN sig s2 ON d2 = s2.doc_id
       |)""".stripMargin
 
-  /** Random-hyperplane LSH bucket of a double-list column (mirrors
-    * [[Similarity.lshBucket]]: 8 planes over 64 dims, sequential fold). */
-  private def bucketSql(vecCol: String): String = {
+  /** Random-hyperplane sign-bit pack of a double-list column (mirrors
+    * [[Similarity.lshBucket]] band 0 at the given width: `bits` planes
+    * over 64 dims, sequential fold). */
+  private def bitsigSql(vecCol: String, bits: Int): String = {
     val plane =
       s"((${Hash64.duckSql("CAST(p AS VARCHAR) || '_' || CAST(pr[2] AS VARCHAR)")} % 1000) / 1000.0 - 0.5)"
     val proj =
       s"list_reduce(list_transform(list_zip($vecCol, range(0, 64)), pr -> pr[1] * $plane), (a, x) -> a + x)"
-    s"CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"
+    s"CAST(list_sum(list_transform(range(0, $bits), p -> CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"
   }
+
+  /** Random-hyperplane LSH bucket (8 planes — the q26/q33 width). */
+  private def bucketSql(vecCol: String): String = bitsigSql(vecCol, 8)
+
+  /** q138: 60-bit embedding signature, pigeonhole-banded at radius 4. */
+  private val embSigRadius = 4
+  private val embSigBandsSql: String =
+    NearDup.bandLayout(embSigRadius + 1).zipWithIndex
+      .map { case ((off, w), b) => s"($b, $off, ${(1L << w) - 1})" }
+      .mkString("(VALUES ", ", ", ") AS bd(band, boff, bmask)")
 
   private def cosineSqlFor(x: String, y: String): String =
     s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (a, v) -> a + v)
@@ -655,6 +735,77 @@ object Vectors extends QueryModule {
         |       (min(lab) = node) AS keep
         |FROM reach GROUP BY node""".stripMargin,
 
+    // Plane values recomputed from the portable hash, same sequential
+    // fold as the Spark literal-array aggregate, floor-micro quantized.
+    "q145_jl_project" -> {
+      val plane =
+        s"((${Hash64.duckSql("CAST(k AS VARCHAR) || '_' || CAST(pr[2] AS VARCHAR)")} % 1000) / 1000.0 - 0.5)"
+      val proj =
+        s"list_reduce(list_transform(list_zip(ev, range(0, 64)), pr -> pr[1] * $plane), (a, x) -> a + x)"
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), ks AS (SELECT unnest(range(0, 16)) AS k)
+        |SELECT id, k, CAST(floor($proj * 1000000.0) AS BIGINT) AS v_micro
+        |FROM b CROSS JOIN ks""".stripMargin
+    },
+
+    // q25's ranked-cosine oracle with the band filter before the rank.
+    "q144_hard_negatives" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), sims AS (
+        |  SELECT qid, id,
+        |         $cosineSql AS cosine
+        |  FROM b CROSS JOIN q
+        |  WHERE id <> qid
+        |)
+        |SELECT qid, id, cosine, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
+        |  FROM sims WHERE cosine < 0.9
+        |) WHERE rn <= 8""".stripMargin,
+
+    // Naive per-doc split CASE joined to both pair sides.
+    "q143_split_leak_pairs" ->
+      s"""WITH $minhashCtes, sp AS (
+        |  SELECT doc_id,
+        |         ${graft.ops.Sampling.splitCaseSql("doc_id",
+             clusterSplitSalt, clusterSplitFracs)} AS split
+        |  FROM documents
+        |)
+        |SELECT d1, d2, s1.split AS split1, s2.split AS split2, est_jaccard
+        |FROM est
+        |JOIN sp s1 ON d1 = s1.doc_id
+        |JOIN sp s2 ON d2 = s2.doc_id
+        |WHERE est_jaccard >= 0.5 AND s1.split <> s2.split""".stripMargin,
+
+    // Same recursive-closure clusters as q37; docs outside every cluster
+    // key the split CASE by their own id (the coalesce).
+    "q135_cluster_split" ->
+      s"""WITH RECURSIVE $minhashCtes, fpairs AS (
+        |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
+        |), sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM fpairs
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM fpairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+        |), clusters AS (
+        |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(c.cluster_id, d.doc_id) AS cluster_key,
+        |       ${graft.ops.Sampling.splitCaseSql(
+             "coalesce(c.cluster_id, d.doc_id)", clusterSplitSalt,
+             clusterSplitFracs)} AS split
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node""".stripMargin,
+
     "q90_cluster_reps" ->
       s"""WITH RECURSIVE $minhashCtes, fpairs AS (
         |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
@@ -727,6 +878,32 @@ object Vectors extends QueryModule {
         |    ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
         |)
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= $simhashRadius""".stripMargin,
+
+    // Same planes as the Spark literal arrays (plane value recomputed
+    // from the portable hash), q28's band VALUES re-aliased for the
+    // embedding CTE namespace, exact-cosine verify on survivors.
+    "q138_embed_bitsig" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), sigs AS (
+        |  SELECT id, ${bitsigSql("ev", 60)} AS simhash FROM b
+        |), banded AS (
+        |  SELECT id, simhash, bd.band AS band,
+        |         (simhash >> bd.boff) & bd.bmask AS band_bits
+        |  FROM sigs, $embSigBandsSql
+        |), pairs AS (
+        |  SELECT DISTINCT x.id AS d1, y.id AS d2,
+        |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.band_bits = y.band_bits AND x.id < y.id
+        |)
+        |SELECT d1, d2, hamming,
+        |       ${cosineSqlFor("e1.ev", "e2.ev")} AS cosine
+        |FROM pairs
+        |JOIN b e1 ON d1 = e1.id
+        |JOIN b e2 ON d2 = e2.id
+        |WHERE hamming <= $embSigRadius""".stripMargin,
 
     "q33_cosine_neardup" ->
       s"""WITH b AS (

@@ -80,6 +80,27 @@ object Similarity {
       .select(col("qid"), col("id"), col("cosine"), col("rn"))
   }
 
+  /** Contrastive hard-negative mining: for each query, the k MOST
+    * similar corpus vectors strictly BELOW the positive threshold — the
+    * "close but wrong" examples embedding-model training (DPR/Contriever
+    * recipes) needs; random negatives are too easy and same-document
+    * positives too equal for a useful gradient. The threshold keeps
+    * true positives/duplicates out of the negative pool (label noise).
+    *
+    * Same two-phase bounded-buffer shape as [[bruteForceTopK]] — the
+    * band filter runs scan-side BEFORE the ≤k buffers, so the shuffle
+    * still carries |queries|·|tasks|·k rows, never the corpus.
+    *
+    * @return (qid, id, cosine, rn) — rn 1..k, hardest first */
+  def hardNegatives(base: DataFrame, queries: DataFrame, k: Int,
+      maxCosine: Double): DataFrame = {
+    val scored = base.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosineNative(col("qv"), col("ev")))
+      .filter(col("cosine") < maxCosine && col("id") =!= col("qid"))
+    TopK.perGroup(scored, Seq("qid"), "id", "cosine", k)
+      .select(col("qid"), col("id"), col("cosine"), col("rn"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim),
     * in [-0.5, 0.5): the same value `Hash64.hash60("<plane>_<dim>") % 1000
     * / 1000.0 - 0.5` yields in either engine, evaluated once at plan-build
@@ -116,6 +137,33 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions,
+    * using the same deterministic literal hyperplanes as [[lshBucket]]
+    * (plane p = output dim p) but keeping the RAW projections instead
+    * of sign bits. The dimension-reduction step before ANN/clustering
+    * at scale: 64→16 dims is 4× less shuffle/store byte volume for
+    * every downstream distance computation, with JL's distance
+    * distortion bound (ε ~ sqrt(ln n / k)). Linear, so exact-duplicate
+    * and scaled-copy structure is preserved exactly.
+    *
+    * Output is LONG FORM (id, k, v_micro) with the floor-micro
+    * quantization — array columns can't cross the oracle comparator,
+    * and the projection is the same literal-fold the q26/q33 oracles
+    * already recompute. Zero shuffles: pure scan-side expressions.
+    *
+    * @return (idCol, k: 0..outDims-1, v_micro) */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDims: Int): DataFrame = {
+    val projections = array((0 until outDims).map { p =>
+      val planeArr = array((0 until dim).map(i => lit(planeVal(p, i))): _*)
+      aggregate(zip_with(col(vecCol), planeArr, (x, c) => x * c),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    df.select(col(idCol), posexplode(projections).as(Seq("k", "__v")))
+      .select(col(idCol), col("k").cast("long").as("k"),
+        floor(col("__v") * 1000000.0).cast("long").as("v_micro"))
+  }
 
   /** (band, bucket) pairs for the OR-construction: one row per band, keyed
     * for the banded self/probe join. */

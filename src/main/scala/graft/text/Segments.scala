@@ -127,6 +127,36 @@ object Segments {
           " ").as("kept_text"))
   }
 
+  /** WITHIN-document line dedup (self-repetition removal): a duplicate
+    * line keeps only its first occurrence INSIDE its own document —
+    * the repeated-paragraph pathology (scraper loops, templated
+    * listings, chat transcripts quoting themselves) that corpus-wide
+    * [[lineDedupDocs]] also catches but only by paying a corpus-keyed
+    * shuffle. Self-repetition needs no cross-document state, so this
+    * form is ZERO-shuffle: the first-occurrence test is a pure array
+    * expression (`array_position` over the line prefix), scan-bound at
+    * any corpus size. Quadratic only in lines-per-document (tens), not
+    * corpus size.
+    *
+    * @return (idCol, n_lines, n_kept, kept_text) — [[lineDedupDocs]]'s
+    *         contract, so the two compose/swap freely */
+  def lineDedupWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+      per: Int): DataFrame = {
+    val lines = transform(
+      lineArrays(TextAnalysis.tokens(col(textCol)), per),
+      a => array_join(a, " "))
+    docs
+      .select(col(idCol), lines.as("__lines"))
+      .select(col(idCol), col("__lines"),
+        filter(col("__lines"), (x, i) =>
+          array_position(slice(col("__lines"), lit(1), i), x) === 0)
+          .as("__kept"))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("kept_text"))
+  }
+
   /** Per-source boilerplate-line report: lines present in at least
     * `minFrac` of a source's documents (and ≥ 2 of them) — navigation
     * headers, footers, cookie banners: the template text that repeats

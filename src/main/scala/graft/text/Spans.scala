@@ -66,6 +66,42 @@ object Spans {
       .withColumn("dup_frac",
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
 
+  /** Corpus NOVELTY profile: the fraction of a document's w-gram
+    * positions whose shingle first appears in THIS document, taking
+    * `idCol` order as ingestion order. [[duplicatedSpans]] is
+    * symmetric — both copies of a duplicated gram score "duplicated";
+    * this is the directional version a growing corpus wants: the first
+    * copy stays novel, every later copy pays. Late documents assembled
+    * from earlier text (template farms, syndication, scraper loops)
+    * score near 0 even when each individual source gram is rare enough
+    * to dodge `minDf` thresholds.
+    *
+    * Same three-keyed-shuffle lineage as [[duplicatedSpans]] with the
+    * df window swapped for a `min(idCol)` window; `novelty_micro` is
+    * the [[graft.ops.Exact]] floor-micro rule (integer counts, one
+    * correctly-rounded division).
+    *
+    * @return (idCol, n_grams, n_novel, novelty_micro) */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 7, hash: Column => Column = Hash64.hash60): DataFrame = {
+    val perDocUnit = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(NearDup.shingles(col("__toks"), w)).as("g"))
+      .select(col(idCol), hash(col("g")).as("h"))
+      .groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("k"))
+    perDocUnit
+      .withColumn("first_doc",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(when(col("first_doc") === col(idCol), col("k")).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micro",
+        floor(col("n_novel").cast("double") * 1000000.0 /
+          col("n_grams").cast("double")).cast("long"))
+  }
+
   /** Duplicated-span EXTENT — [[duplicatedSpans]] reports how MUCH of a
     * document is duplicated; this reports how CONTIGUOUS it is: the
     * longest run of consecutive w-gram positions whose shingle occurs in

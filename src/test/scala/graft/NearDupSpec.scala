@@ -309,4 +309,55 @@ class NearDupSpec extends SparkSuite {
       .collect().head.getDouble(0)
     assert(agree2 > agree3)
   }
+
+  test("prefixFilterJaccardPairs: exactly the qualifying pairs, verified against brute force") {
+    import spark.implicits._
+    // 40 docs over a tiny vocabulary → dense overlap structure, including
+    // pairs sharing ONLY ubiquitous tokens (the case a df-cut drops and
+    // the prefix filter must keep when they qualify).
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0 until 40).map { i =>
+      val toks = (0 until 4 + i % 5).map(j => vocab((i * 3 + j * (1 + i % 3)) % vocab.size)).distinct
+      (i.toLong, toks.mkString(" "))
+    }
+    val out = NearDup.prefixFilterJaccardPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", num = 3, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth with the same integer accept test
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }
+    val truth = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size
+      if 5 * inter >= 3 * (a.size + b.size - inter)
+    } yield (i, j)).toSet
+    assert(truth.nonEmpty) // the fixture actually exercises the join
+    assert(out == truth)   // complete AND precise
+  }
+
+  test("clusterSplit: cluster members share one split; singletons keep per-doc assignment") {
+    import spark.implicits._
+    // two disjoint clusters {1,2,3} and {10,11} plus 200 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L) ++ (100L until 300L)
+    val docs = ids.toDF("doc_id")
+    val fracs = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val out = NearDup.clusterSplit(docs, pairs, "doc_id", "cs_test", fracs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == ids.size) // every doc assigned exactly once
+    // cluster members: same cluster key (the min id) and the SAME split
+    assert(Set(1L, 2L, 3L).map(out(_)._1) == Set(1L))
+    assert(Set(1L, 2L, 3L).map(out(_)._2).size == 1)
+    assert(Set(10L, 11L).map(out(_)._1) == Set(10L))
+    assert(Set(10L, 11L).map(out(_)._2).size == 1)
+    // singletons key by their own id and match the plain per-doc split
+    val plain = graft.ops.Sampling.assignSplit(
+        (100L until 300L).toDF("doc_id"), col("doc_id"), "cs_test", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (100L until 300L).foreach { id =>
+      assert(out(id)._1 == id && out(id)._2 == plain(id))
+    }
+    // the hash split actually uses all three labels on 200 singletons
+    assert(plain.values.toSet == Set("train", "validation", "test"))
+  }
 }

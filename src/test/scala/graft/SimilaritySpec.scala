@@ -282,6 +282,64 @@ class SimilaritySpec extends SparkSuite {
       api.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("randomProject: linear (scaled input = scaled output), deterministic, shuffle-free") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => math.cos(i * 0.9) * (1 + i % 3))
+    val df = Seq(1L -> v, 2L -> v.map(_ * 2.0)).toDF("id", "ev")
+    val out = Similarity.randomProject(df, "id", "ev", dim = 64, outDims = 16)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 32)
+    (0L until 16L).foreach { k =>
+      val a = rows((1L, k)); val b = rows((2L, k))
+      // exact linearity: doubling the vector doubles every projection
+      // (power-of-two scaling is exact in IEEE; floor-micro of 2x vs x
+      // can differ by at most the quantization — check the raw relation)
+      assert(math.abs(b - 2 * a) <= 1, s"k=$k a=$a b=$b")
+    }
+    // projections are not degenerate: some coordinate differs from others
+    assert((0L until 16L).map(k => rows((1L, k))).distinct.size > 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("hardNegatives: duplicates excluded by the band, hardest-first ranking, self excluded") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(2.0, 0.0, 0.0)),   // scaled dup of q: cosine 1 → excluded
+      (3L, Seq(0.9, 0.5, 0.0)),   // hard negative (cosine ≈ 0.874)
+      (4L, Seq(0.5, 0.9, 0.0)),   // easier negative
+      (5L, Seq(0.0, 0.0, 1.0)))   // orthogonal
+      .toDF("id", "ev")
+    val queries = Seq((1L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.hardNegatives(base, queries, k = 2, maxCosine = 0.9)
+      .orderBy("rn").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 4L)) // hardest first, k=2 cuts 5
+    assert(out.forall(_.getDouble(2) < 0.9))           // dup and self never leak in
+  }
+
+  test("60-bit embedding signature: scale-invariant, negation flips every bit, banding finds near pairs") {
+    import spark.implicits._
+    import graft.dedup.NearDup
+    val dim = 64
+    val v = (0 until dim).map(i => math.sin(i * 1.7) + 0.1)
+    val rows = Seq(
+      1L -> v,
+      2L -> v.map(_ * 3.0),          // positive scale: identical signature
+      3L -> v.map(-_),               // negation: every sign flips
+      4L -> v.updated(0, v(0) + 0.05)) // tiny nudge: hamming small
+    val sigs = rows.toDF("id", "ev").select(col("id"),
+      Similarity.lshBucket(col("ev"), dim, bits = 60, band = 0).as("simhash"))
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) == 60)
+    assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) <= 4)
+    val pairs = NearDup.simhashPairs(sigs, "id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("lshBucket is deterministic across evaluations") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(d => (i + d) * 0.3))).toDF("id", "ev")

@@ -717,6 +717,103 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((1L, 0L, "")))
   }
 
+  test("noveltyProfile: originals stay novel, later copies pay, direction follows doc_id") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "a b c d e f"),   // 4 trigrams, all first here → novelty 1
+      (2L, "a b c d e f"),   // exact copy → novelty 0
+      (3L, "a b c d x y z")) // 2 of 5 trigrams copied from doc 1
+      .toDF("doc_id", "text")
+    val out = Spans.noveltyProfile(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 4L, 1000000L)))
+    assert(out(2L) == ((4L, 0L, 0L)))
+    assert(out(3L) == ((5L, 3L, 600000L)))
+  }
+
+  test("percentileGate: per-group adaptive cut keeps the top (1-p) mass, constant groups keep all") {
+    import graft.ops.Quantiles
+    val rows = (1L to 8L).map(v => ("A", v, v * 10)) ++
+      (101L to 104L).map(v => ("B", v, 70L)) // constant metric group
+    val df = rows.toDF("source", "doc_id", "m")
+    val out = Quantiles.percentileGate(df, "source", col("m"), 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // A: p25 = rank ceil(0.25*8)=2 → cut 20 → doc 1 drops, 2..8 keep
+    assert(!out.contains(("A", 1L)))
+    assert((2L to 8L).forall(d => out.contains(("A", d))))
+    // B: every value equals the cut → all keep (>= semantics)
+    assert((101L to 104L).forall(d => out.contains(("B", d))))
+  }
+
+  test("temperatureAllocation: alpha=1/2 flattens the mixture toward small sources") {
+    import graft.ops.Sampling
+    // 10000 vs 100 docs: raw share 99% vs 1%; sqrt share 100:10 → ~91%/9%.
+    val per = Seq(("big", 10000L), ("small", 100L)).toDF("src", "n_docs")
+    val out = Sampling.temperatureAllocation(per, "src", "n_docs",
+        budgetNum = 1L, budgetDen = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nb, wb, ab, cb) = out("big")
+    val (ns, ws, as_, cs) = out("small")
+    assert(wb == 100L && ws == 10L)               // integer sqrt weights
+    assert(ab + as_ <= 5050L)                     // never exceeds budget
+    // small source's allocated share (~9%) far above its raw share (~1%)
+    assert(as_ * 100L > (ab + as_) * 5L)
+    assert(cb <= nb && cs <= ns)                  // capped alloc is feasible
+    // alpha=1 (identity weights) degenerates to proportional sampling
+    val prop = Sampling.temperatureAllocation(per, "src", "n_docs",
+        budgetNum = 1L, budgetDen = 2L, weightOf = c => c)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prop("big") == 5000L && prop("small") == 50L)
+  }
+
+  test("Dsir.importanceWeights: target-like docs score above off-distribution docs") {
+    import graft.text.Dsir
+    // target vocabulary: clean prose words; raw adds junk vocabulary
+    val target = (1L to 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val junk = (31L to 60L).map(i =>
+      (i, "zxq7 qqwz kline9 vbnm0 asdf8 poiu7 zzzz9 xxxy2 wwww3 qqqq4"))
+      .toDF("doc_id", "text")
+    val raw = target.union(junk)
+    val score = Seq(
+      (100L, "the quick brown fox near the river"),       // target-like
+      (101L, "zxq7 qqwz vbnm0 asdf8 zzzz9 xxxy2"))        // junk-like
+      .toDF("doc_id", "text")
+    val out = Dsir.importanceWeights(score, "doc_id", "text", target, raw)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(100L)._1 > out(101L)._1)
+    assert(out(100L)._2 && !out(101L)._2) // keep verdict tracks the sign
+    // zero-token docs drop (no evidence), like LangModel.score
+    val empty = Dsir.importanceWeights(
+      Seq((1L, "...")).toDF("doc_id", "text"), "doc_id", "text", target, raw)
+    assert(empty.count() == 0)
+  }
+
+  test("lineDedupWithinDoc: repeats drop inside a doc, cross-doc repeats survive") {
+    import graft.text.Segments
+    // per=2: doc 1 = [a b][c d][a b][a b] → keeps [a b][c d]; doc 2
+    // repeats doc 1's lines but has none of its own repeated → keeps all
+    // (the contract difference vs corpus-wide lineDedupDocs); doc 3
+    // tokenizes to nothing and survives empty.
+    val docs = Seq(
+      (1L, "a b c d a b a b"),
+      (2L, "a b c d"),
+      (3L, "...")).toDF("doc_id", "text")
+    val out = Segments.lineDedupWithinDoc(docs, "doc_id", "text", per = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((4L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 2L, "a b c d")))
+    assert(out(3L) == ((0L, 0L, "")))
+    // zero-shuffle contract: the plan must contain no Exchange
+    val plan = Segments.lineDedupWithinDoc(docs, "doc_id", "text", per = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lineDedupDocs: intra-document duplicate lines also collapse to the first") {
     import graft.text.Segments
     val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
