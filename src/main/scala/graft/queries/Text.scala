@@ -41,8 +41,9 @@ object Text extends QueryModule {
   private val (packCapacity, packShards, packSalt) = (512, 4, "pack")
 
   /** q137: prefix-filter join threshold 3/5 — a rational so the accept
-    * test stays pure-integer on both engines. */
+    * test stays pure-integer on both engines; 3-gram shingle units. */
   private val (prefixNum, prefixDen) = (3, 5)
+  private val prefixW = 3
 
   /** q139: DSIR target = the q129 budget-weighted "curated" sources;
     * 2¹² hashed-feature buckets. */
@@ -250,13 +251,14 @@ object Text extends QueryModule {
         raw = docs, buckets = dsirBuckets)
     }),
 
-    // Prefix-filter (AllPairs) similarity join: EVERY pair with Jaccard
-    // ≥ 0.6, no blocking key, no df-cut, no LSH false negatives — the
-    // completeness-guaranteed exact join. Candidates only collide on
-    // each doc's rarest (1-t)-fraction tokens in global df order.
+    // Prefix-filter (AllPairs/PPJoin) similarity join: EVERY pair with
+    // 3-gram shingle Jaccard ≥ 0.6, no blocking key, no df-cut, no LSH
+    // false negatives — the completeness-guaranteed exact join.
+    // Candidates collide only on each doc's rarest (1-t)-fraction
+    // shingles in global df order, pruned by length + position filters.
     "q137_prefix_join" -> ((s, dir) =>
       NearDup.prefixFilterJaccardPairs(Tables(s, dir).documents,
-        "doc_id", "text", num = prefixNum, den = prefixDen)),
+        "doc_id", "text", num = prefixNum, den = prefixDen, w = prefixW)),
 
     // Encoding-corruption report, exercised on injected damage: every
     // 17th document gets the classic UTF-8-as-Latin-1 artifact ('a' →
@@ -943,8 +945,9 @@ object Text extends QueryModule {
     // accept test. ceil(num·n/den) = (num·n + den − 1) // den.
     "q137_prefix_join" ->
       s"""WITH tk AS (
-        |  SELECT doc_id AS id, unnest(list_distinct($toksSql)) AS tok
-        |  FROM documents
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct(${NearDup.duckShinglesSql(prefixW)})) AS tok
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         |), dfs AS (
         |  SELECT tok, count(*) AS df FROM tk GROUP BY 1
         |), rk AS (

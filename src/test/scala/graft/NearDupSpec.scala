@@ -322,7 +322,8 @@ class NearDupSpec extends SparkSuite {
       (i.toLong, toks.mkString(" "))
     }
     val out = NearDup.prefixFilterJaccardPairs(
-        docs.toDF("doc_id", "text"), "doc_id", "text", num = 3, den = 5)
+        docs.toDF("doc_id", "text"), "doc_id", "text", num = 3, den = 5,
+        w = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute-force ground truth with the same integer accept test
     val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }
@@ -333,6 +334,20 @@ class NearDupSpec extends SparkSuite {
     } yield (i, j)).toSet
     assert(truth.nonEmpty) // the fixture actually exercises the join
     assert(out == truth)   // complete AND precise
+  }
+
+  test("prefixFilterJaccardPairs: shingle mode finds order-preserving near-dups, not reorderings") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // 1-token edit
+      (3L, "today dog lazy the over jumps fox brown quick the"),   // same tokens reordered
+      (4L, "entirely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.prefixFilterJaccardPairs(d, "doc_id", "text",
+        num = 3, den = 5, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // reordering shares tokens but few shingles
   }
 
   test("clusterSplit: cluster members share one split; singletons keep per-doc assignment") {
