@@ -45,6 +45,10 @@ object Text extends QueryModule {
   private val (prefixNum, prefixDen) = (3, 5)
   private val prefixW = 3
 
+  /** q147: a DELIBERATELY small vocabulary — the corpus has ~31 token
+    * types, so top-16 leaves a real OOV tail to measure. */
+  private val oovVocabN = 16
+
   /** q139: DSIR target = the q129 budget-weighted "curated" sources;
     * 2¹² hashed-feature buckets. */
   private val dsirTarget = Seq("src0", "src1", "src2")
@@ -209,6 +213,86 @@ object Text extends QueryModule {
     "q24_token_jaccard" -> ((s, dir) =>
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
+
+    // Decontamination REMOVAL: the q55 report's enforcing transform —
+    // the train split (doc_id % 11 != 0) minus every doc sharing a
+    // 13-gram with the held-out bench split. One anti-join on the
+    // report's plan; what actually ships to training.
+    "q148_decontam_removal" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.text.Decontaminate.removeContaminated(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", w = decontamW)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // Per-doc curation DECISION RECORD: one pass assigning each doc its
+    // first-failing gate — encoding (q125 signals) → language (q21
+    // heuristic) → quality (q140's per-source p25 length cut) →
+    // exact-duplicate (q23 fingerprint first-wins) → kept. The audit
+    // table a production pipeline logs so every drop is explainable;
+    // plan = one fingerprint window + a broadcast cut join, scan-side
+    // CASE otherwise.
+    "q149_curation_record" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val moji = graft.text.Scrub.countMojibake(col("text"))
+      val ascii = graft.text.Scrub.asciiFraction(col("text"))
+      val lang = TextAnalysis.langId(TextAnalysis.tokens(col("text")))
+      val cuts = graft.ops.Quantiles.exact(docs, Seq(col("source")),
+          col("n_chars"), Seq(0.25))
+        .withColumnRenamed("p25", "cut")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextAnalysis.fingerprint(col("text")))
+        .orderBy(col("doc_id"))
+      docs
+        .withColumn("__rn", row_number().over(w))
+        .join(broadcast(cuts), "source")
+        .select(col("doc_id"), col("source"),
+          when(moji > 0 || ascii < 0.9, "encoding")
+            .when(lang =!= "en", "language")
+            .when(col("n_chars") < col("cut"), "quality")
+            .when(col("__rn") > 1, "duplicate")
+            .otherwise("kept").as("verdict"))
+    }),
+
+    // Per-source tokenizer fertility: aggregate pre-tokens per
+    // whitespace token BY SOURCE — q131 measures the inflation per doc;
+    // mixture-level token budgeting (q129/q141) needs it per source.
+    // Integer sums, one final division.
+    "q146_fertility" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__ws"),
+          TextAnalysis.preTokenCount(col("text")).as("__pre"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("__pre")).as("pre_tokens"))
+        .withColumn("fertility",
+          when(col("ws_tokens") > 0,
+            col("pre_tokens").cast("double") /
+              col("ws_tokens").cast("double")))),
+
+    // Per-source OOV rate against the q78-style frequency vocabulary
+    // (top-16 here, small enough that the tail is genuinely OOV): which
+    // sources will inflate a fixed tokenizer's unknown-token mass. One
+    // corpus scan + a broadcast vocab join.
+    "q147_oov_rate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val vocab = graft.text.Spans.vocabulary(docs, "doc_id", "text",
+          oovVocabN)
+        .select(col("token"), lit(1L).as("__in"))
+      docs.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_micro",
+          floor(col("n_oov").cast("double") * 1000000.0 /
+            col("n_tokens").cast("double")).cast("long"))
+    }),
 
     // Corpus novelty: fraction of each doc's 7-gram positions whose
     // shingle FIRST appears in that doc (doc_id = ingestion order) —
@@ -892,6 +976,91 @@ object Text extends QueryModule {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
+
+    // q55's CTE chain + NOT IN — the survivors instead of the hits.
+    "q148_decontam_removal" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_distinct(${shinglesSql(decontamW)})) AS g
+        |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        |  ) WHERE g <> ''
+        |), bench AS (
+        |  SELECT DISTINCT g FROM sh WHERE doc_id % 11 = 0
+        |), hit AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (g)
+        |  WHERE s.doc_id % 11 <> 0
+        |)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id % 11 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+    // Gate CASE with the q125/q21/q40 fragments; fingerprint first-wins
+    // ties on doc_id exactly as the Spark window.
+    "q149_curation_record" ->
+      s"""WITH c AS (
+        |  SELECT source,
+        |         max(CASE WHEN rn = ceil(0.25 * n) THEN n_chars END) AS cut
+        |  FROM (
+        |    SELECT source, n_chars,
+        |           row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |           count(*) OVER (PARTITION BY source) AS n
+        |    FROM documents) GROUP BY 1
+        |), r AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |         len(list_filter($toksSql, t -> t IN ('the','a','and','of','to','in','is','it'))) AS en,
+        |         len(list_filter($toksSql, t -> t IN ('el','la','de','y','que','los','en','un'))) AS es,
+        |         len(list_filter($toksSql, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
+        |         len(list_filter($toksSql, t -> t IN ('le','les','des','et','est','une','dans','pour'))) AS fr,
+        |         row_number() OVER (
+        |           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        |           ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source,
+        |       CASE WHEN ${graft.text.Scrub.countMojibakeSql("r.text")} > 0
+        |                 OR ${graft.text.Scrub.asciiFractionSql("r.text")} < 0.9
+        |            THEN 'encoding'
+        |            WHEN (CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |                       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |                       WHEN de >= fr AND de > 0 THEN 'de'
+        |                       WHEN fr > 0 THEN 'fr'
+        |                       ELSE 'und' END) <> 'en'
+        |            THEN 'language'
+        |            WHEN r.n_chars < c.cut THEN 'quality'
+        |            WHEN r.rn > 1 THEN 'duplicate'
+        |            ELSE 'kept' END AS verdict
+        |FROM r JOIN c USING (source)""".stripMargin,
+
+    "q146_fertility" ->
+      s"""SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len($toksSql)) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(${TextAnalysis.preTokenCountSql("text")}) AS BIGINT) AS pre_tokens,
+        |       CASE WHEN sum(len($toksSql)) > 0
+        |            THEN CAST(sum(${TextAnalysis.preTokenCountSql("text")}) AS DOUBLE)
+        |                 / CAST(sum(len($toksSql)) AS DOUBLE)
+        |            END AS fertility
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // q100's vocabulary chain, truncated to the OOV-test size, LEFT
+    // JOINed per token occurrence.
+    "q147_oov_rate" ->
+      s"""WITH pd AS (
+        |  SELECT token, doc_id, count(*) AS k
+        |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+        |  GROUP BY 1, 2
+        |), v0 AS (
+        |  SELECT token, CAST(sum(k) AS BIGINT) AS freq FROM pd GROUP BY 1
+        |), top AS (SELECT token FROM v0 ORDER BY freq DESC, token LIMIT $oovVocabN),
+        |tok AS (
+        |  SELECT source, unnest($toksSql) AS token FROM documents
+        |)
+        |SELECT t.source,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(floor(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS oov_micro
+        |FROM tok t LEFT JOIN top v USING (token) GROUP BY 1""".stripMargin,
 
     // q73's gram lineage with the df window swapped for min(doc_id).
     "q142_novelty" ->

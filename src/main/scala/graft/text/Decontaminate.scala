@@ -53,4 +53,24 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The enforcing TRANSFORM for [[overlap]]'s report (the q109-vs-q95
+    * relationship): the corpus with every contaminated document REMOVED
+    * — what a pipeline actually ships to training. One anti-join keyed
+    * by id on top of [[overlap]]'s plan; all corpus columns survive.
+    *
+    * Document-level removal is the published convention (drop the doc,
+    * don't surgically cut the shingle — a doc quoting benchmark text
+    * is suspect wholesale); span-level surgery is [[Spans
+    * .removeDuplicatedSpans]]'s job if wanted.
+    *
+    * @return corpus rows whose document shares NO w-shingle with the
+    *         benchmark */
+  def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, w: Int = 13,
+      hashGrams: Boolean = false): DataFrame = {
+    val hit = overlap(corpus, benchmark, idCol, textCol, w, hashGrams)
+      .select(col(idCol))
+    corpus.join(hit, Seq(idCol), "left_anti")
+  }
 }

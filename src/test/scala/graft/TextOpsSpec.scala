@@ -717,6 +717,25 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((1L, 0L, "")))
   }
 
+  test("OOV-rate composition: occurrences outside the top-N vocabulary count per source") {
+    import graft.text.Spans
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "s1", "a a a b"), (2L, "s1", "a a b b"), (3L, "s2", "a a a a"))
+      .toDF("doc_id", "source", "text")
+    val vocab = Spans.vocabulary(docs, "doc_id", "text", topN = 1)
+      .select(col("token"), lit(1L).as("__in"))
+    val out = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // top-1 vocab = "a" (9 a's vs 3 b's); s1 has all 3 b occurrences
+    assert(out("s1") == ((8L, 3L)))
+    assert(out("s2") == ((4L, 0L)))
+  }
+
   test("noveltyProfile: originals stay novel, later copies pay, direction follows doc_id") {
     import graft.text.Spans
     val docs = Seq(
