@@ -326,6 +326,44 @@ object Sampling {
         least(col("alloc"), col("n")).as("alloc_capped"))
   }
 
+  /** EXACT-count replication/downsampling to per-group targets: emit
+    * exactly `alloc` rows per group — `alloc > n` replicates (the
+    * upsampling [[temperatureAllocation]] and [[mixSample]] explicitly
+    * leave to a separate step), `alloc < n` keeps exactly `alloc`
+    * deterministically-chosen docs, `alloc = n` is identity. Every doc
+    * gets `alloc div n` copies; the first `alloc mod n` docs in
+    * salted-hash order get one more — so group totals hit the target
+    * EXACTLY (rate-based samplers only hit it in expectation) and the
+    * copy spread is maximally even (no doc is ever two copies ahead of
+    * another).
+    *
+    * Deterministic: the extra-copy winners are the [[saltedPriority]]
+    * order (ties by id), the same reservoir order [[capPerKey]] uses —
+    * reruns, repartitions and engines agree. One per-group window
+    * (bounded by group size — the [[capPerKey]] mega-key contract
+    * applies) + two broadcast-scale joins; the explode emits target
+    * rows, which is the job's output size.
+    *
+    * @param targets (srcCol, alloc) — group-cardinality frame
+    * @return (idCol, srcCol, copy_idx) with copy_idx 1..k per doc */
+  def replicateExact(df: DataFrame, srcCol: String, idCol: String,
+      targets: DataFrame, salt: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(saltedPriority(col(idCol), salt), col(idCol)))
+    df.select(col(idCol), col(srcCol))
+      .join(broadcast(targets), srcCol)
+      .join(broadcast(counts), srcCol)
+      .withColumn("__rn", rn)
+      .withColumn("__k",
+        expr("alloc div __n") +
+          when(col("__rn") <= col("alloc") % col("__n"), 1L).otherwise(0L))
+      .filter(col("__k") >= 1L)
+      .select(col(idCol), col(srcCol),
+        explode(sequence(lit(1L), col("__k"))).as("copy_idx"))
+  }
+
   /** DuckDB oracle for [[temperatureAllocation]]'s default α = 1/2.
     * `perSourceSql` must yield (source, n). */
   def temperatureOracleSql(perSourceSql: String, budgetNum: Long,

@@ -49,6 +49,9 @@ object Text extends QueryModule {
     * types, so top-16 leaves a real OOV tail to measure. */
   private val oovVocabN = 16
 
+  /** q150: extra-copy winner salt. */
+  private val replSalt = "repl6"
+
   /** q139: DSIR target = the q129 budget-weighted "curated" sources;
     * 2¹² hashed-feature buckets. */
   private val dsirTarget = Seq("src0", "src1", "src2")
@@ -213,6 +216,22 @@ object Text extends QueryModule {
     "q24_token_jaccard" -> ((s, dir) =>
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
+
+    // Exact-count replicate/downsample: src0 doubled (upsampling —
+    // the step q141/q66 leave explicit), src1 identity, the rest cut
+    // to exactly 40% — group totals hit targets EXACTLY, copies spread
+    // evenly, extra-copy winners in deterministic salted-hash order.
+    "q150_exact_replicate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val targets = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("__n0"))
+        .select(col("source"),
+          when(col("source") === "src0", col("__n0") * 2)
+            .when(col("source") === "src1", col("__n0"))
+            .otherwise(expr("(2 * __n0) div 5")).as("alloc"))
+      graft.ops.Sampling.replicateExact(docs, "source", "doc_id",
+        targets, replSalt)
+    }),
 
     // Decontamination REMOVAL: the q55 report's enforcing transform —
     // the train split (doc_id % 11 != 0) minus every doc sharing a
@@ -976,6 +995,30 @@ object Text extends QueryModule {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
+
+    // Same integer recurrence: base copies alloc // n, the alloc % n
+    // earliest docs in salted order get one more.
+    "q150_exact_replicate" ->
+      s"""WITH n AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT source, n,
+        |         CASE WHEN source = 'src0' THEN n * 2
+        |              WHEN source = 'src1' THEN n
+        |              ELSE (2 * n) // 5 END AS alloc
+        |  FROM n
+        |), r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ${graft.ops.Sampling.capPrioritySql("doc_id", replSalt)}, doc_id) AS rn
+        |  FROM documents
+        |), c AS (
+        |  SELECT r.doc_id, r.source,
+        |         (t.alloc // t.n) + CASE WHEN r.rn <= t.alloc % t.n THEN 1 ELSE 0 END AS k
+        |  FROM r JOIN t USING (source)
+        |)
+        |SELECT doc_id, source, unnest(range(1, k + 1)) AS copy_idx
+        |FROM c WHERE k >= 1""".stripMargin,
 
     // q55's CTE chain + NOT IN — the survivors instead of the hits.
     "q148_decontam_removal" ->

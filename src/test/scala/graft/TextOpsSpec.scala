@@ -765,6 +765,33 @@ class TextOpsSpec extends SparkSuite {
     assert((101L to 104L).forall(d => out.contains(("B", d))))
   }
 
+  test("replicateExact: group totals hit targets exactly across up/identity/down regimes") {
+    import graft.ops.Sampling
+    val docs = (1L to 10L).map(i => (i, "up")) ++
+      (11L to 20L).map(i => (i, "same")) ++
+      (21L to 30L).map(i => (i, "down"))
+    val df = docs.toDF("doc_id", "src")
+    val targets = Seq(("up", 25L), ("same", 10L), ("down", 4L))
+      .toDF("src", "alloc")
+    val out = Sampling.replicateExact(df, "src", "doc_id", targets, "rx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2)
+    // exact totals: 25 = 2 copies x 10 docs + 5 extras; 10 identity; 4 kept
+    assert(bySrc("up").length == 25 && bySrc("same").length == 10 &&
+      bySrc("down").length == 4)
+    // even spread: every "up" doc has 2 or 3 copies, never 1 or 4
+    val upCopies = bySrc("up").groupBy(_._1).map(_._2.length).toSet
+    assert(upCopies == Set(2, 3))
+    // downsample keeps 4 DISTINCT docs, one copy each
+    assert(bySrc("down").map(_._1).distinct.length == 4)
+    assert(bySrc("down").forall(_._3 == 1L))
+    // deterministic: a second run picks the same rows
+    val again = Sampling.replicateExact(df, "src", "doc_id", targets, "rx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(x => (x._2, x._1, x._3)).toSeq ==
+      again.sortBy(x => (x._2, x._1, x._3)).toSeq)
+  }
+
   test("temperatureAllocation: alpha=1/2 flattens the mixture toward small sources") {
     import graft.ops.Sampling
     // 10000 vs 100 docs: raw share 99% vs 1%; sqrt share 100:10 → ~91%/9%.
