@@ -394,4 +394,48 @@ class PropertySpec extends SparkSuite {
         }
     })
   }
+
+  test("property: prefix-filter join equals brute-force token Jaccard on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx")
+    val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0, 6), Gen.listOfN(6, word)))
+    holds(Prop.forAll(gen) { raw =>
+      val docs = raw.zipWithIndex.map { case ((_, ws), i) =>
+        (i.toLong, ws.mkString(" ")) }
+      docs.nonEmpty ==> {
+        val out = graft.dedup.NearDup.prefixFilterJaccardPairs(
+            docs.toDF("doc_id", "text"), "doc_id", "text",
+            num = 1, den = 2, w = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }
+        val truth = (for {
+          (i, a) <- sets; (j, b) <- sets if i < j
+          inter = (a & b).size
+          if 2 * inter >= 1 * (a.size + b.size - inter)
+        } yield (i, j)).toSet
+        out == truth
+      }
+    })
+  }
+
+  test("property: replicateExact group totals always equal the targets") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.choose(1, 12),  // docs in group
+      Gen.choose(0, 30))  // target alloc (0 = drop everything)
+    holds(Prop.forAll(Gen.listOfN(3, gen)) { groups =>
+      groups.nonEmpty ==> {
+        val docs = groups.zipWithIndex.flatMap { case ((n, _), g) =>
+          (1 to n).map(i => ((g * 100 + i).toLong, s"g$g")) }
+        val targets = groups.zipWithIndex.map { case ((_, a), g) =>
+          (s"g$g", a.toLong) }
+        val out = graft.ops.Sampling.replicateExact(
+            docs.toDF("doc_id", "src"), "src", "doc_id",
+            targets.toDF("src", "alloc"), "prop")
+          .collect().map(r => r.getString(1))
+        val got = out.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+        targets.forall { case (s, a) => got.getOrElse(s, 0L) == a }
+      }
+    })
+  }
 }
