@@ -20,7 +20,13 @@ object Verify {
     // DuckDB compare) — query outputs at gate SFs are small. No production
     // path coalesces; set SPARK_GRAFT_NO_COALESCE=1 for large-SF probes.
     val coalesce1 = !sys.env.contains("SPARK_GRAFT_NO_COALESCE")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names), mirroring Bench's:
+    // the driver never sets it, so the gate always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val out = fn(spark, sfDir)
         (if (coalesce1) out.coalesce(1) else out).write.mode("overwrite")

@@ -105,6 +105,98 @@ object PageRank {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in EXACT integer
+    * arithmetic — the link-analysis pair PageRank doesn't give:
+    * PageRank scores a page's overall endorsement mass; HITS separates
+    * CURATORS (hubs: pages pointing at many good authorities) from
+    * CONTENT (authorities: pages pointed at by many good hubs), which is
+    * the right lens on bipartite-ish web/curation graphs.
+    *
+    * The published algorithm L2-normalizes each round — irreproducible
+    * across engines (float accumulation order). Here scores are
+    * quantized longs and each round max-normalizes by integer division:
+    *   hₖ(u) = ⌊scale · Σ_{u→v} aₖ₋₁(v) / max_u'(Σ ...)⌋
+    *   aₖ(v) = ⌊scale · Σ_{u→v} hₖ(u)   / max_v'(Σ ...)⌋
+    * Max-normalization keeps the argmax and relative ordering (what HITS
+    * is used for) while making every intermediate a deterministic long:
+    * the oracle (q151) replays the identical recurrence bit-for-bit.
+    *
+    * Overflow bound: sum·scale < 2⁶³ requires deg_max·scale² < 2⁶³ —
+    * at the default scale 10⁶ that allows deg_max ≈ 9·10⁶; larger hubs
+    * need a smaller scale.
+    *
+    * Scale shape: per round TWO keyed edge×score joins with map-side
+    * combinable sums, and two ONE-ROW max aggregates joined back via
+    * broadcast (the stat-broadcast idiom — never a collect). Each
+    * generation is referenced once; lineage grows linearly.
+    *
+    * @return (node, hub_q, auth_q, hub, auth) — quantized longs + readout */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    var auth = nodes.withColumn("a", lit(scale))
+    var hub: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("hs"))
+      val hMax = hRaw.agg(max(col("hs")).as("hmax"))
+      hub = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node"),
+          expr(s"(coalesce(hs, 0L) * $scale) div hmax").as("h"))
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("as_"))
+      val aMax = aRaw.agg(max(col("as_")).as("amax"))
+      auth = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"),
+          expr(s"(coalesce(as_, 0L) * $scale) div amax").as("a"))
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"),
+        (col("h").cast("double") / lit(scale.toDouble)).as("hub"),
+        (col("a").cast("double") / lit(scale.toDouble)).as("auth"))
+  }
+
+  /** DuckDB oracle for [[hits]], unrolled from the same recurrence.
+    * `edgeSql` must yield columns (src, dst). */
+  def hitsOracleSql(edgeSql: String, iters: Int = 2,
+      scale: Long = 1000000L): String = {
+    val steps = (1 to iters).map { k =>
+      s"""hr$k AS (
+         |  SELECT e.src AS node, sum(a) AS hs
+         |  FROM e JOIN a${k - 1} ON e.dst = a${k - 1}.node GROUP BY 1
+         |), h$k AS (
+         |  SELECT n.node,
+         |         CAST((coalesce(hs, 0) * $scale)
+         |              // (SELECT max(hs) FROM hr$k) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$k USING (node)
+         |), ar$k AS (
+         |  SELECT e.dst AS node, sum(h) AS as_
+         |  FROM e JOIN h$k ON e.src = h$k.node GROUP BY 1
+         |), a$k AS (
+         |  SELECT n.node,
+         |         CAST((coalesce(as_, 0) * $scale)
+         |              // (SELECT max(as_) FROM ar$k) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$k USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql)),
+      |nodes AS (
+      |  SELECT DISTINCT node FROM
+      |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      |), a0 AS (SELECT node, CAST($scale AS BIGINT) AS a FROM nodes),
+      |$steps
+      |SELECT h$iters.node, h AS hub_q, a AS auth_q,
+      |       CAST(h AS DOUBLE) / $scale.0 AS hub,
+      |       CAST(a AS DOUBLE) / $scale.0 AS auth
+      |FROM h$iters JOIN a$iters USING (node)""".stripMargin
+  }
+
   /** DuckDB oracle for [[labelPropagation]], unrolled from the same
     * recurrence. `edgeSql` must yield columns (src, dst). */
   def labelPropagationOracleSql(edgeSql: String, iters: Int = 3): String = {

@@ -268,6 +268,20 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRank(edges, "src", "dst")
     }),
 
+    // HITS hubs & authorities over the same customer-supplier graph:
+    // hubs = customers whose orders concentrate on well-endorsed
+    // suppliers, authorities = those suppliers — the curator/content
+    // split PageRank's single score conflates. Integer max-normalized
+    // recurrence, so the 2-round fixpoint approximation hash-matches.
+    "q151_hits" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      graft.ops.PageRank.hits(edges, "src", "dst")
+    }),
+
     // Synchronous label propagation over the same customer-supplier
     // graph: majority-vote communities (reachability-blind, unlike q37's
     // CC), deterministic via the total (count desc, label asc) tie-break.
@@ -665,6 +679,11 @@ object Relational extends QueryModule {
 
     "q63_pagerank" ->
       graft.ops.PageRank.pageRankOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q151_hits" ->
+      graft.ops.PageRank.hitsOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
 

@@ -321,6 +321,14 @@ object Text extends QueryModule {
       graft.text.Spans.noveltyProfile(Tables(s, dir).documents,
         "doc_id", "text", w = spanW)),
 
+    // Per-source n-gram diversity: distinct-trigram ratio + top-10-gram
+    // concentration — the CROSS-document mode-collapse signal per-doc
+    // repetition (q54) can't see: a generator that never repeats inside
+    // a doc but reuses phrasings across docs lights up only here.
+    "q152_ngram_diversity" -> ((s, dir) =>
+      graft.text.Spans.ngramDiversity(Tables(s, dir).documents,
+        "source", "text")),
+
     // Per-source ADAPTIVE quality gate (CCNet's per-language percentile
     // pattern): each source keeps docs at/above its OWN 25th-percentile
     // length — a global cut would gut short-form sources and pass
@@ -1126,6 +1134,33 @@ object Text extends QueryModule {
         |       CAST(floor(CAST(n_novel AS DOUBLE) * 1000000.0
         |         / CAST(n_grams AS DOUBLE)) AS BIGINT) AS novelty_micro
         |FROM a""".stripMargin,
+
+    "q152_ngram_diversity" ->
+      s"""WITH g AS (
+        |  SELECT source, ${graft.functions.Hash64.duckSql("gram")} AS h
+        |  FROM (SELECT source, unnest(${shinglesSql(3)}) AS gram
+        |        FROM (SELECT source, $toksSql AS toks FROM documents))
+        |), c AS (
+        |  SELECT source, h, count(*) AS c FROM g GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_grams
+        |  FROM c GROUP BY 1
+        |), r AS (
+        |  SELECT source, c,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY c DESC, h) AS rn
+        |  FROM c
+        |), k AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS topk_grams
+        |  FROM r WHERE rn <= 10 GROUP BY 1
+        |)
+        |SELECT t.source, n_grams, n_distinct_grams, topk_grams,
+        |       CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |         AS distinct_ratio,
+        |       CAST(topk_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |         AS topk_share
+        |FROM t JOIN k USING (source)""".stripMargin,
 
     // q40's rank-cut recipe scoped per source, >= keeps cut ties.
     "q140_adaptive_gate" ->

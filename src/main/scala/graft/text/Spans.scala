@@ -470,4 +470,64 @@ object Spans {
           (col("n_bigrams").cast("double") * col("__total").cast("double")))
       .drop("__total")
   }
+
+  /** Per-group n-gram DIVERSITY profile — the mode-collapse detector for
+    * synthetic / model-generated text. Two complementary signals over a
+    * group's pooled w-gram stream:
+    *
+    *  - `distinct_ratio` = distinct grams / gram positions (type–token
+    *    ratio at gram granularity; Self-BLEU's cheap exact cousin):
+    *    collapsed generators re-emit the same phrasings, so the ratio
+    *    falls far below organic text's;
+    *  - `topk_share` = mass of the group's `topK` most frequent grams:
+    *    template-driven sources concentrate probability on a few grams
+    *    even when the long tail keeps the distinct ratio up.
+    *
+    * Per-doc repetition (q54) can't see CROSS-document collapse — a
+    * generator that never repeats within a doc but reuses phrasings
+    * across docs profiles clean there and lights up here.
+    *
+    * Scale shape: grams are hashed to 8-byte keys; ONE (group, gram)
+    * count aggregation feeds both signals. The top-k is found by
+    * two-phase bounded rank — a window over (group, salt) partitions
+    * keeps ≤ topK rows per salt, then a window over the ≤ 64·topK
+    * survivors per group — never a corpus-wide sort within one group
+    * partition (the per-key-cap lesson: a single mega-group would
+    * otherwise serialize on one task). Ties break by gram hash, so the
+    * k-th-place cut is total and engine-portable.
+    *
+    * @return (groupCol, n_grams, n_distinct_grams, topk_grams,
+    *         distinct_ratio, topk_share) */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+      w: Int = 3, topK: Int = 10,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1)
+    val counts = docs
+      .select(col(groupCol).as("g"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("g"), explode(NearDup.shingles(col("__toks"), w)).as("u"))
+      .select(col("g"), hash(col("u")).as("h"))
+      .groupBy(col("g"), col("h")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"))
+    val partial = counts
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("g"), pmod(col("h"), lit(64)))
+        .orderBy(col("c").desc, col("h"))))
+      .filter(col("rn") <= topK)
+    val top = partial
+      .withColumn("rn2", row_number().over(Window
+        .partitionBy(col("g")).orderBy(col("c").desc, col("h"))))
+      .filter(col("rn2") <= topK)
+      .groupBy(col("g")).agg(sum(col("c")).as("topk_grams"))
+    totals.join(top, Seq("g"))
+      .select(col("g").as(groupCol), col("n_grams"),
+        col("n_distinct_grams"), col("topk_grams"),
+        (col("n_distinct_grams").cast("double") /
+          col("n_grams").cast("double")).as("distinct_ratio"),
+        (col("topk_grams").cast("double") /
+          col("n_grams").cast("double")).as("topk_share"))
+  }
 }

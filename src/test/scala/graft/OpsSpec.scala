@@ -195,6 +195,32 @@ class OpsSpec extends SparkSuite {
     assert(sLpa == expected)
   }
 
+  test("hits: curators and content separate, scores max-normalize, runs are bit-identical") {
+    import spark.implicits._
+    // bipartite curation graph: hub 1 endorses all three authorities,
+    // hubs 2/3 endorse one each; authorities 101/102 have fan-in 2,
+    // 103 fan-in 1
+    val edges = Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L),
+      (3L, 102L)).toDF("s", "d")
+    val r = PageRank.hits(edges, "s", "d", iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val hub = r.view.mapValues(_._1).toMap
+    val auth = r.view.mapValues(_._2).toMap
+    // the broadest curator is the top hub (max-normalized to scale)
+    assert(hub(1L) == 1000000L && hub(2L) == hub(3L) && hub(2L) > 0)
+    assert(hub(1L) > hub(2L))
+    // pure authorities have zero hub score; pure hubs zero authority
+    assert(Seq(101L, 102L, 103L).forall(hub(_) == 0L))
+    assert(Seq(1L, 2L, 3L).forall(auth(_) == 0L))
+    // fan-in 2 authorities tie at the top; fan-in-1 strictly below
+    assert(auth(101L) == auth(102L) && auth(101L) == 1000000L)
+    assert(auth(103L) > 0 && auth(103L) < auth(101L))
+    // integer arithmetic: partitioning-independent
+    val again = PageRank.hits(edges.repartition(7), "s", "d", iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(again == r)
+  }
+
   test("BinPack FFD: no bin overflows, every eligible doc packs once, beats greedy, deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -1017,4 +1017,44 @@ class TextOpsSpec extends SparkSuite {
     assert(m(100L) < m(101L), m.toString)
     spark.catalog.clearCache()
   }
+
+  test("ngramDiversity: cross-doc mode collapse lowers distinct ratio and concentrates top-k mass") {
+    import graft.text.Spans
+    // organic: every doc distinct phrasing, no gram shared across docs.
+    // collapsed: docs NEVER repeat within themselves (per-doc repetition
+    // is blind to this) but all reuse the same template phrasing.
+    val organic = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six",
+      "red green blue cyan magenta yellow",
+      "north south east west up down")
+    val collapsed = Seq.tabulate(4)(i =>
+      s"as a large language model i cannot help with item$i")
+    val docs = (organic.map(("organic", _)) ++ collapsed.map(("collapsed", _)))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val r = Spans.ngramDiversity(docs, "source", "text", w = 3, topK = 5)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(4), x.getDouble(5))).toMap
+    val (orgN, orgD, orgRatio, orgShare) = r("organic")
+    val (colN, colD, colRatio, colShare) = r("collapsed")
+    // organic: 4 docs x 4 trigram positions, all distinct
+    assert(orgN == 16L && orgD == 16L && orgRatio == 1.0)
+    // collapsed: 4 docs x 8 positions; 7 template trigrams shared by all
+    // 4 docs + 1 per-doc tail gram -> 11 distinct of 32
+    assert(colN == 32L && colD == 11L)
+    assert(colRatio < orgRatio)
+    // top-5 grams each occur 4x -> 20/32 of the mass (tie-break at the
+    // cut is between equal counts, so the mass is tie-invariant)
+    assert(colShare == 20.0 / 32.0 && colShare > orgShare)
+    // two-phase bounded rank == brute-force top-k mass
+    val brute = docs.filter($"source" === "collapsed")
+      .select(explode(graft.dedup.NearDup.shingles(
+        graft.text.TextAnalysis.tokens($"text"), 3)).as("g"))
+      .groupBy("g").count().orderBy($"count".desc, $"g")
+      .limit(5).agg(sum("count")).collect().head.getLong(0)
+    val topkGrams = Spans.ngramDiversity(docs, "source", "text", w = 3, topK = 5)
+      .filter($"source" === "collapsed").collect().head.getLong(3)
+    assert(topkGrams == brute)
+  }
 }
