@@ -89,6 +89,50 @@ object Anomaly {
       .drop("__dev")
   }
 
+  /** One-sided upper CUSUM change-point alarms (Page 1954) per series —
+    * the SEQUENTIAL drift detector the pointwise z-score (q07) and
+    * median/MAD (q103) gates can't be: a sustained small shift never
+    * trips a pointwise threshold but accumulates here.
+    *
+    * The textbook recurrence S_i = max(0, S_{i−1} + (x_i − target − slack))
+    * is not window-expressible; the identity S_i = P_i − min(0, min_{j≤i} P_j)
+    * (P = the plain prefix sum of deviations) is — two cumulative frames
+    * over ONE per-series window, all in exact integer cents, so alarms
+    * are deterministic across partitionings and engines. An alarm row is
+    * emitted at each upward CROSSING of the threshold (S goes above h
+    * with the previous S at/below), not for every excursion row.
+    *
+    * `target` is the series' own integer-mean (sum div n) — the
+    * retrospective formulation; pass precomputed targets by joining a
+    * `target` column and using [[cusumAlarmsWithTarget]] semantics if
+    * monitoring against SLOs. Per-series mean join is aggregate-sized.
+    *
+    * Scale: the window partitions by the series key — series cardinality
+    * (user, sensor, metric id) must exceed core count, the same contract
+    * as every per-key sequence op (W3). NOT for 5-value dimension keys.
+    *
+    * @return (keyCol, tsCol, tieCol, x, target, s) — alarm crossings only */
+  def cusumAlarms(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCents: Column, slackCents: Long,
+      thresholdCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol), col(tsCol), col(tieCol),
+      valueCents.as("x"))
+    val target = base.groupBy(col(keyCol))
+      .agg(expr("sum(x) div count(1)").as("target"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(target, keyCol)
+      .withColumn("__d", col("x") - col("target") - lit(slackCents))
+      .withColumn("__p", sum(col("__d")).over(cum))
+      .withColumn("s",
+        col("__p") - least(min(col("__p")).over(cum), lit(0L)))
+      .withColumn("__sp", lag(col("s"), 1, 0L).over(w))
+      .filter(col("s") > thresholdCents && col("__sp") <= thresholdCents)
+      .drop("__d", "__p", "__sp")
+  }
+
   /** X1: deaths flag + KDA ratio with the div-by-zero guard (P7 `greatest`). */
   def kda(kills: Column, assists: Column, deaths: Column): Column =
     (kills + assists) / greatest(deaths, lit(1))

@@ -105,6 +105,33 @@ object Rollups {
       .join(sparse, "window_start" +: dimNames, "left")
   }
 
+  /** Forward-fill (last-observation-carried-forward) over a dense time
+    * spine: each GAUGE column's null buckets take the most recent non-null
+    * value within their dim partition; the `filled` flag marks carried
+    * rows so downstream consumers can distinguish observation from
+    * imputation. COUNTER columns are a different contract — a missing
+    * bucket means zero events, not "same as before" — so callers 0-fill
+    * those with `na.fill` and pass only gauges here.
+    *
+    * Plan: ONE window per dim partition ordered by the spine column,
+    * unbounded-preceding `last(ignoreNulls)` frames for every gauge in
+    * the same pass (Catalyst fuses same-window functions into one
+    * WindowExec). Partition = the dim combination, which is
+    * dashboard-cardinality; the spine is bucket-count long, so no
+    * mega-partition risk at any corpus size.
+    *
+    * @param probeCol a column that is null exactly on spine-only rows
+    *                 (any aggregate output column pre-fill) */
+  def forwardFill(dense: DataFrame, dims: Seq[String], orderCol: String,
+      gauges: Seq[String], probeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = dense.withColumn("filled", col(probeCol).isNull)
+    gauges.foldLeft(marked)((acc, g) =>
+      acc.withColumn(g, last(col(g), ignoreNulls = true).over(w)))
+  }
+
   /** A4+O1: inverse-average difficulty score per dimension, ordered. */
   def difficulty(df: DataFrame, dim: Column, qtyCents: Column, priceCents: Column): DataFrame =
     df.groupBy(dim)

@@ -157,6 +157,30 @@ object Analytics extends QueryModule {
       Rollups.densify(sparse, "1 hour")
     }),
 
+    // q35's dense spine + LOCF imputation: gauges (avg/last value) carry
+    // the most recent observation forward per dim, counters 0-fill, and
+    // `filled` marks imputed rows — the gap-fill contract dashboards and
+    // feature pipelines actually want (a null gauge is "sensor silent",
+    // not "value unknown").
+    "q156_gap_fill" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.filter(col("value") > 195)
+      val sparse = Rollups.windowAgg(ev, col("ts"), "1 hour", Seq(col("event_type")),
+        col("value"), Exact.cents(col("value")), col("event_id")).persist()
+      Rollups.forwardFill(Rollups.densify(sparse, "1 hour"),
+          Seq("event_type"), "window_start",
+          Seq("avg_value", "last_value"), "n_events")
+        .na.fill(0L, Seq("n_events"))
+    }),
+
+    // Per-user one-sided CUSUM drift alarms over event values: the
+    // prefix-sum/running-min identity makes Page's sequential recurrence
+    // window-expressible in exact integer cents — sustained small drifts
+    // that never trip q07's pointwise z-gate accumulate past h here.
+    "q157_cusum" -> ((s, dir) =>
+      graft.ops.Anomaly.cusumAlarms(Tables(s, dir).events,
+        "user_id", "ts", "event_id", Exact.cents(col("value")),
+        slackCents = 1000L, thresholdCents = 20000L)),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -323,6 +347,64 @@ object Analytics extends QueryModule {
         |FROM spine s CROSS JOIN dims d
         |LEFT JOIN sparse sp
         |  ON sp.window_start = s.window_start AND sp.event_type = d.event_type""".stripMargin,
+
+    "q156_gap_fill" ->
+      """WITH sparse AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_value,
+        |         max_by(value, event_id) AS last_value
+        |  FROM events WHERE value > 195 GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(window_start) AS lo, max(window_start) AS hi FROM sparse
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start FROM bounds
+        |), dims AS (
+        |  SELECT DISTINCT event_type FROM sparse
+        |), dense AS (
+        |  SELECT s.window_start, d.event_type, sp.n_events, sp.avg_value, sp.last_value
+        |  FROM spine s CROSS JOIN dims d
+        |  LEFT JOIN sparse sp
+        |    ON sp.window_start = s.window_start AND sp.event_type = d.event_type
+        |)
+        |SELECT window_start, event_type,
+        |       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        |       last_value(avg_value IGNORE NULLS) OVER w AS avg_value,
+        |       last_value(dense.last_value IGNORE NULLS) OVER w AS last_value,
+        |       n_events IS NULL AS filled
+        |FROM dense
+        |WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q157_cusum" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |), t AS (
+        |  SELECT user_id, sum(x) // count(*) AS target FROM base GROUP BY 1
+        |), d AS (
+        |  SELECT b.user_id, b.ts, b.event_id, b.x, CAST(t.target AS BIGINT) AS target,
+        |         b.x - t.target - 1000 AS dev
+        |  FROM base b JOIN t USING (user_id)
+        |), p1 AS (
+        |  SELECT *, sum(dev) OVER w AS pre
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), p2 AS (
+        |  SELECT *, pre - least(min(pre) OVER w, 0) AS s
+        |  FROM p1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, ts, event_id, x, target, CAST(s AS BIGINT) AS s
+        |FROM (
+        |  SELECT *, coalesce(lag(s) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id), 0) AS sp
+        |  FROM p2
+        |)
+        |WHERE s > 20000 AND sp <= 20000""".stripMargin,
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",

@@ -221,6 +221,26 @@ class OpsSpec extends SparkSuite {
     assert(again == r)
   }
 
+  test("cusumAlarms: sustained shift crosses once at onset, flat series never alarms, runs are bit-identical") {
+    import spark.implicits._
+    // user 1: 10 points at 0 then 10 at 100 (mean target 50) — deviations
+    // −50×10 then +50×10; S = max(0, ...) stays 0 through the low
+    // segment, then climbs 50/point: crosses h=120 exactly at i=13
+    // (S=150) and never re-crosses. user 2: constant — no alarm ever.
+    val rows = ((1 to 10).map(i => (1L, i.toLong, i.toLong, 0L)) ++
+      (11 to 20).map(i => (1L, i.toLong, i.toLong, 100L)) ++
+      (1 to 20).map(i => (2L, i.toLong, i.toLong, 7L)))
+      .toDF("user_id", "ts", "event_id", "v")
+    val out = Anomaly.cusumAlarms(rows, "user_id", "ts", "event_id",
+        col("v"), slackCents = 0L, thresholdCents = 120L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 13L, 150L)))
+    val again = Anomaly.cusumAlarms(rows.repartition(7), "user_id", "ts",
+        "event_id", col("v"), 0L, 120L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("BinPack FFD: no bin overflows, every eligible doc packs once, beats greedy, deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

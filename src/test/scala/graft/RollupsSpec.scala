@@ -86,4 +86,29 @@ class RollupsSpec extends SparkSuite {
       assert(got == full)
     }
   }
+
+  test("forwardFill: gauges carry last observation per dim, leading gaps stay null, filled flags imputed rows") {
+    import spark.implicits._
+    import graft.ops.Rollups
+    // dense spine for two dims; nulls = spine-only buckets
+    val dense = Seq(
+      // dim a: observation at t1 and t3; t2 gap carries t1's gauge
+      (1L, "a", Option(2L), Option(10.0)),
+      (2L, "a", None, None),
+      (3L, "a", Option(1L), Option(30.0)),
+      // dim b: LEADING gap has nothing to carry -> stays null
+      (1L, "b", None, None),
+      (2L, "b", Option(4L), Option(99.0)))
+      .toDF("t", "dim", "n", "gauge")
+    val out = Rollups.forwardFill(dense, Seq("dim"), "t",
+        Seq("gauge"), "n").na.fill(0L, Seq("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4))).toMap
+    assert(out((1L, "a")) == ((2L, Some(10.0), false)))
+    assert(out((2L, "a")) == ((0L, Some(10.0), true)))  // carried + flagged
+    assert(out((3L, "a")) == ((1L, Some(30.0), false))) // new observation wins
+    assert(out((1L, "b")) == ((0L, None, true)))        // nothing to carry
+    assert(out((2L, "b")) == ((4L, Some(99.0), false)))
+  }
 }
