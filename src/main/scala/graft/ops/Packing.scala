@@ -43,4 +43,43 @@ object Packing {
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("window", expr(s"start_off div $capacity"))
   }
+
+  /** Length-bucketed BATCHING — the padding-minimizing layout for
+    * inference / finetuning, where documents must stay whole (unlike
+    * [[packIntoWindows]]'s concat-and-chunk, which splits them): docs
+    * group into power-of-2 length buckets (`bucket` = bit-length of the
+    * token count, the integer log₂ both engines share), and each batch
+    * of `batchSize` same-bucket docs pads only to ITS OWN max — a short
+    * doc never pays for the corpus' longest. Batches form in
+    * (len desc, id) order within a bucket shard, so near-equal lengths
+    * batch together and the per-batch max hugs the members.
+    *
+    * Scale shape: like [[packIntoWindows]], the window partitions by
+    * (bucket, hash shard) — never by bucket alone, which at corpus scale
+    * would serialize ~60 mega-partitions on ~60 tasks; `shards` is the
+    * knob that bounds the biggest sort a task holds. The padding cost of
+    * sharding is marginal (each shard still batches sorted lengths).
+    *
+    * @return one row per batch: (bucket, shard, batch, n_docs,
+    *         batch_tokens, batch_max, padding) */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, shards: Int, salt: String): DataFrame = {
+    require(batchSize > 0 && shards > 0)
+    val key: Column = col(idCol)
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens").desc, key)
+    docs.select(key,
+        Sampling.hashBucket(key, salt, shards).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("long"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(__rn - 1L) div $batchSize"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        max(col("n_tokens")).as("batch_max"))
+      .withColumn("padding",
+        col("n_docs") * col("batch_max") - col("batch_tokens"))
+  }
 }

@@ -527,6 +527,15 @@ object Text extends QueryModule {
         "doc_id", "text", capacity = packCapacity, shards = packShards,
         salt = packSalt)),
 
+    // Length-bucketed batching (the keep-docs-whole alternative to q67's
+    // concat-and-chunk): power-of-2 length buckets, batches pad only to
+    // their own max — per-batch padding accounting for inference and
+    // finetuning layouts.
+    "q158_length_batches" -> ((s, dir) =>
+      graft.ops.Packing.lengthBucketedBatches(Tables(s, dir).documents,
+        "doc_id", "text", batchSize = 32, shards = packShards,
+        salt = packSalt)),
+
     // Record linkage: a deterministically-dirtied slice (first token
     // dropped, shifted ids) matched back to the canonical corpus by
     // blocked 3-shingle Jaccard — entity resolution across two tables
@@ -1445,6 +1454,26 @@ object Text extends QueryModule {
         |  PARTITION BY ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)}
         |  ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q158_length_batches" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |         ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)} AS shard,
+        |         CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         length(bin(n_tokens)) AS bucket,
+        |         row_number() OVER (PARTITION BY length(bin(n_tokens)), shard
+        |           ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM base WHERE n_tokens >= 1
+        |)
+        |SELECT bucket, shard, CAST((rn - 1) // 32 AS BIGINT) AS batch,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+        |       max(n_tokens) AS batch_max,
+        |       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     "q73_dup_spans" ->
       s"""WITH g AS (

@@ -221,6 +221,37 @@ class OpsSpec extends SparkSuite {
     assert(again == r)
   }
 
+  test("lengthBucketedBatches: batches bounded, padding exact and below fixed-maxlen, empty docs drop, deterministic") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val rnd = new scala.util.Random(11)
+    val docs = ((1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    } :+ ((999L, ""))).toDF("doc_id", "text") // empty doc must drop
+    val out = Packing.lengthBucketedBatches(docs, "doc_id", "text",
+      batchSize = 8, shards = 2, salt = "t")
+    val rows = out.collect().map(r => (r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)))
+    assert(rows.forall(_._1 <= 8L)) // no batch over batchSize
+    // padding identity: n_docs*batch_max - batch_tokens, non-negative
+    assert(rows.forall { case (n, tok, mx, pad) => pad == n * mx - tok && pad >= 0 })
+    assert(rows.map(_._1).sum == 200L) // every non-empty doc in exactly one batch
+    // total bucketed padding beats padding to the corpus max
+    val lens = docs.filter($"doc_id" =!= 999L)
+      .select(graft.text.TextAnalysis.tokenCount($"text").cast("long"))
+      .collect().map(_.getLong(0))
+    val fixedPad = lens.map(lens.max - _).sum
+    assert(rows.map(_._4).sum < fixedPad)
+    val again = Packing.lengthBucketedBatches(docs.repartition(7), "doc_id",
+      "text", batchSize = 8, shards = 2, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).sorted
+    val first = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).sorted
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("cusumAlarms: sustained shift crosses once at onset, flat series never alarms, runs are bit-identical") {
     import spark.implicits._
     // user 1: 10 points at 0 then 10 at 100 (mean target 50) — deviations
