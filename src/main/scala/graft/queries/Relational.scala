@@ -268,6 +268,20 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRank(edges, "src", "dst")
     }),
 
+    // Bloom-filter semi-join reduction: lineitem ⋉ urgent orders with
+    // the fact scan pre-filtered by a 16 KB literal bitset (portable
+    // hash family, codegen'd bit probes) — the confirm join removes
+    // false positives, so the result is EXACTLY the semi join while the
+    // shuffle carries only candidates. AQE's runtime filter as a
+    // composable, engine-checkable operator.
+    "q153_bloom_semi" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.ops.Bloom.semiJoinReduce(
+        t.lineitem, "l_orderkey",
+        t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        "o_orderkey")
+    }),
+
     // HITS hubs & authorities over the same customer-supplier graph:
     // hubs = customers whose orders concentrate on well-endorsed
     // suppliers, authorities = those suppliers — the curator/content
@@ -681,6 +695,14 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    // The bloom prefilter is an implementation detail; the CONTRACT is
+    // the exact semi join, which is what the oracle states.
+    "q153_bloom_semi" ->
+      """SELECT * FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')""".stripMargin,
 
     "q151_hits" ->
       graft.ops.PageRank.hitsOracleSql(

@@ -221,6 +221,30 @@ class OpsSpec extends SparkSuite {
     assert(again == r)
   }
 
+  test("Bloom: zero false negatives, real pruning, reduction equals exact semi join, empty set rejects all") {
+    import spark.implicits._
+    import graft.ops.Bloom
+    val members = (1L to 500L).map(_ * 3).toDF("k")
+    val words = Bloom.build(members, "k", mBits = 1 << 14, k = 5)
+    // no false negatives: every member probes true
+    assert(members.filter(!Bloom.mightContain(col("k"), words)).count() == 0)
+    // pruning: non-members (disjoint range) mostly rejected — at
+    // n=500, m=2^14, k=5 the FP rate is ~0.4%; allow 5% slack
+    val nonMembers = (100001L to 102000L).toDF("k")
+    val fp = nonMembers.filter(Bloom.mightContain(col("k"), words)).count()
+    assert(fp < 100, s"fp=$fp of 2000")
+    // composed reduction == exact semi join (FPs confirmed away)
+    val big = (1L to 3000L).map(i => (i, s"row$i")).toDF("k", "v")
+    val got = Bloom.semiJoinReduce(big, "k", members, "k", 1 << 14)
+      .collect().map(_.getLong(0)).sorted
+    val exact = big.join(members, Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == exact.toSeq && got.nonEmpty)
+    // empty key set: all-zero bitset rejects everything
+    val empty = Bloom.build(members.filter(col("k") < 0), "k", 1 << 10)
+    assert(big.filter(Bloom.mightContain(col("k"), empty)).count() == 0)
+  }
+
   test("lengthBucketedBatches: batches bounded, padding exact and below fixed-maxlen, empty docs drop, deterministic") {
     import spark.implicits._
     import graft.ops.Packing
