@@ -362,6 +362,18 @@ object Text extends QueryModule {
         raw = docs, buckets = dsirBuckets)
     }),
 
+    // Trained multinomial Naive Bayes (hashed features, Dsir's model
+    // shape): per-class token-count tables learned from the labeled
+    // corpus, every doc classified by integer bit-length surprisal —
+    // the learned step up from q21's fixed heuristic langid.
+    "q155_naive_bayes" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      graft.text.NaiveBayes
+        .trainAndClassify(d, "lang", "text", d, "doc_id")
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("correct", col("pred_label") === col("lang"))
+    }),
+
     // Prefix-filter (AllPairs/PPJoin) similarity join: EVERY pair with
     // 3-gram shingle Jaccard ≥ 0.6, no blocking key, no df-cut, no LSH
     // false negatives — the completeness-guaranteed exact join.
@@ -1189,6 +1201,16 @@ object Text extends QueryModule {
     "q141_temp_mixture" -> graft.ops.Sampling.temperatureOracleSql(
       "SELECT source, count(*) AS n FROM documents GROUP BY 1",
       budgetNum = 3L, budgetDen = 5L),
+
+    "q155_naive_bayes" -> {
+      val pred = graft.text.NaiveBayes.classifyOracleSql(
+        trainSql = s"SELECT lang AS lab, $toksSql AS toks FROM documents",
+        docsSql = s"SELECT doc_id, $toksSql AS toks FROM documents")
+      s"""WITH pred AS ($pred)
+        |SELECT p.doc_id, p.pred_label, p.cost_bits, p.n_tokens, d.lang,
+        |       p.pred_label = d.lang AS correct
+        |FROM pred p JOIN documents d USING (doc_id)""".stripMargin
+    },
 
     "q139_dsir_weights" -> graft.text.Dsir.importanceOracleSql(
       docsSql = s"SELECT doc_id, $toksSql AS toks FROM documents",

@@ -1018,6 +1018,29 @@ class TextOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("NaiveBayes: held-out docs recover planted classes, mixed doc goes to majority vocab, empty drops") {
+    import graft.text.NaiveBayes
+    val train = (
+      (1 to 10).map(i => ("sport", s"goal match team score win game$i")) ++
+      (1 to 10).map(i => ("tech", s"code server deploy bug compile build$i")))
+      .toDF("label", "text")
+    val docs = Seq(
+      (1L, "team score goal win"),           // pure sport vocab
+      (2L, "server bug deploy compile"),     // pure tech vocab
+      (3L, "goal match team server"),        // 3:1 sport majority
+      (4L, "")).toDF("doc_id", "text")       // no evidence: drops
+    val out = NaiveBayes.trainAndClassify(train, "label", "text",
+        docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "sport" && out(2L) == "tech" && out(3L) == "sport")
+    assert(!out.contains(4L))
+    // deterministic across partitionings (integer costs, total tie-break)
+    val again = NaiveBayes.trainAndClassify(train.repartition(7), "label",
+        "text", docs.repartition(5), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("ngramDiversity: cross-doc mode collapse lowers distinct ratio and concentrates top-k mass") {
     import graft.text.Spans
     // organic: every doc distinct phrasing, no gram shared across docs.
