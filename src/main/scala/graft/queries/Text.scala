@@ -362,10 +362,22 @@ object Text extends QueryModule {
         raw = docs, buckets = dsirBuckets)
     }),
 
+    // Content-defined chunking dedup profile: rolling-window boundaries
+    // (hash of trailing 8 chars ≡ 0 mod 64) make chunk identity survive
+    // prefix edits — the shift-resilient dedup signal whole-doc
+    // fingerprints (q23) and positionless gram fractions (q73) miss.
+    "q154_cdc_chunks" -> ((s, dir) =>
+      graft.text.Cdc.chunkDedupProfile(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // Trained multinomial Naive Bayes (hashed features, Dsir's model
     // shape): per-class token-count tables learned from the labeled
     // corpus, every doc classified by integer bit-length surprisal —
-    // the learned step up from q21's fixed heuristic langid.
+    // the learned step up from q21's fixed heuristic langid. NOTE: the
+    // synthetic corpus draws every doc's text from ONE shared vocabulary
+    // regardless of its lang label, so the learned verdict here is
+    // (correctly) the majority class for all docs — separable classes
+    // are exercised by the TextOpsSpec planted-vocab case.
     "q155_naive_bayes" -> ((s, dir) => {
       val d = Tables(s, dir).documents
       graft.text.NaiveBayes
@@ -1201,6 +1213,9 @@ object Text extends QueryModule {
     "q141_temp_mixture" -> graft.ops.Sampling.temperatureOracleSql(
       "SELECT source, count(*) AS n FROM documents GROUP BY 1",
       budgetNum = 3L, budgetDen = 5L),
+
+    "q154_cdc_chunks" -> graft.text.Cdc.profileOracleSql(
+      "SELECT doc_id, text FROM documents"),
 
     "q155_naive_bayes" -> {
       val pred = graft.text.NaiveBayes.classifyOracleSql(

@@ -1018,6 +1018,39 @@ class TextOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("Cdc: chunks reassemble exactly, boundaries survive prefix edits, dup profile pins copies") {
+    import graft.text.Cdc
+    val rnd = new scala.util.Random(13)
+    val body = Seq.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, body),
+      (2L, "PREFIX-EDIT: " + body), // shifted copy
+      (3L, body),                   // verbatim copy of 1
+      (4L, "short"),                // below the window: one whole chunk
+      (5L, "")).toDF("doc_id", "text")
+    val ch = Cdc.chunks(docs, "doc_id", "text")
+    // chunks reassemble to the exact original text, in start order
+    val re = ch.orderBy($"doc_id", $"start")
+      .groupBy($"doc_id").agg(concat_ws("", collect_list($"chunk")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re(1L) == body && re(2L) == "PREFIX-EDIT: " + body && re(4L) == "short")
+    assert(!re.contains(5L)) // empty text: nothing to chunk
+    // shift resilience: the prefix-edited copy shares all but its first
+    // chunk with the original — fixed-size chunking would share none
+    val c1 = ch.filter($"doc_id" === 1L).collect().map(_.getString(3)).toSet
+    val c2 = ch.filter($"doc_id" === 2L).orderBy($"start")
+      .collect().map(_.getString(3))
+    assert(c2.length >= 3, s"want multiple chunks, got ${c2.length}")
+    assert(c2.tail.forall(c1.contains), "all post-edit chunks re-align")
+    assert(!c1.contains(c2.head)) // the edited head chunk differs
+    // dup profile: verbatim copies fully duplicated; unique short doc 0
+    val prof = Cdc.chunkDedupProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(5))).toMap
+    assert(prof(1L)._2 == 1.0 && prof(3L)._2 == 1.0)
+    assert(prof(2L)._2 > 0.8) // shifted copy: everything after the head
+    assert(prof(4L) == ((1L, 0.0)))
+  }
+
   test("NaiveBayes: held-out docs recover planted classes, mixed doc goes to majority vocab, empty drops") {
     import graft.text.NaiveBayes
     val train = (
