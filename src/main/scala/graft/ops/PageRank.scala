@@ -197,6 +197,72 @@ object PageRank {
       |FROM h$iters JOIN a$iters USING (node)""".stripMargin
   }
 
+  /** Degree assortativity — Pearson correlation of endpoint degrees over
+    * the undirected edge list (Newman 2002): positive = hubs link hubs
+    * (social graphs), negative = hubs link leaves (web/biological). The
+    * one-number topology summary that tells a curation pipeline whether
+    * its link graph is hub-and-spoke (cap the hubs) or core-periphery
+    * (sample the core). Exact integer sums through
+    * [[Exact.corrFromSums]]' fixed IEEE readout, so the verdict is
+    * bit-portable (built-in `corr` never is).
+    *
+    * Scale shape: one distinct, one degree aggregation, two keyed joins
+    * of the edge list against the aggregate-sized degree frame, one
+    * global 6-sum fold. No windows.
+    *
+    * @return one row: (n_nodes, n_edges, r) — `n_edges` counts each
+    *         undirected edge once; r NULL on degree-constant graphs */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("node").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dv")), "dst")
+    pairs.agg(count(lit(1)).as("n2"),
+        countDistinct(col("src")).as("n_nodes"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+      .select(col("n_nodes"), expr("n2 div 2").as("n_edges"),
+        Exact.corrFromSums(col("n2"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("r"))
+  }
+
+  /** DuckDB oracle for [[degreeAssortativity]]; `edgeSql` must yield
+    * (src, dst). */
+  def assortativityOracleSql(edgeSql: String): String =
+    s"""WITH e AS (
+      |  SELECT DISTINCT src, dst FROM ($edgeSql) WHERE src <> dst
+      |), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+      |p AS (
+      |  SELECT du.deg AS du, dv.deg AS dv, sym.src
+      |  FROM sym JOIN deg du ON sym.src = du.node
+      |           JOIN deg dv ON sym.dst = dv.node
+      |), s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n2,
+      |         CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+      |         CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+      |         CAST(sum(du * du) AS BIGINT) AS sxx,
+      |         CAST(sum(dv * dv) AS BIGINT) AS syy,
+      |         CAST(sum(du * dv) AS BIGINT) AS sxy
+      |  FROM p
+      |)
+      |SELECT n_nodes, n2 // 2 AS n_edges,
+      |       CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n2 > 0
+      |             AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n2 > 0
+      |       THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n2)
+      |            / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n2)
+      |               * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n2))
+      |       END AS r
+      |FROM s""".stripMargin
+
   /** DuckDB oracle for [[labelPropagation]], unrolled from the same
     * recurrence. `edgeSql` must yield columns (src, dst). */
   def labelPropagationOracleSql(edgeSql: String, iters: Int = 3): String = {

@@ -296,6 +296,19 @@ object Relational extends QueryModule {
       graft.ops.PageRank.hits(edges, "src", "dst")
     }),
 
+    // Degree assortativity of the same graph: do high-degree customers
+    // concentrate on high-degree suppliers? One exact-integer Pearson
+    // over endpoint degrees — the topology summary that decides whether
+    // curation should cap hubs or sample the core.
+    "q161_assortativity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      graft.ops.PageRank.degreeAssortativity(edges, "src", "dst")
+    }),
+
     // Synchronous label propagation over the same customer-supplier
     // graph: majority-vote communities (reachability-blind, unlike q37's
     // CC), deterministic via the total (count desc, label asc) tie-break.
@@ -706,6 +719,11 @@ object Relational extends QueryModule {
 
     "q151_hits" ->
       graft.ops.PageRank.hitsOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q161_assortativity" ->
+      graft.ops.PageRank.assortativityOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
 

@@ -575,6 +575,23 @@ object Text extends QueryModule {
         minJaccard = 0.7, w = 3)
     }),
 
+    // Sorted-neighborhood blocking over the same dirty slice q70 links
+    // by shingle overlap: records sort by a fabricated key (first three
+    // distinct tokens, sorted — robust to q70's dropped-head-token
+    // dirt), candidates are the ≤9 neighbors in key order per bucket —
+    // O(n·window) pairs however skewed any blocking value is.
+    "q162_sorted_neighborhood" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val dirty = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionAll(dirty)
+      val key = concat_ws(" ", slice(sort_array(array_distinct(
+        graft.text.TextAnalysis.tokens(col("text")))), 1, 3))
+      NearDup.sortedNeighborhoodPairs(all, "doc_id", "text", key,
+        window = 10, minJaccardNum = 7, minJaccardDen = 10)
+    }),
+
     // Duplicated-span profile: fraction of each doc's 7-gram positions
     // whose shingle appears in >= 2 documents — the partial-copy signal
     // document-level dedup misses. Hashed grams (portable) on the wire.
@@ -1451,6 +1468,35 @@ object Text extends QueryModule {
         |FROM documents JOIN counts USING (source), tot
         |WHERE ${graft.ops.Sampling.mixPredicateSql("doc_id", "source",
             mixTargets, mixDefault, mixTotalNum, mixTotalDen, mixSalt)}""".stripMargin,
+
+    "q162_sorted_neighborhood" ->
+      s"""WITH all_recs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, '^\\S+\\s*', '') AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS key,
+        |         list_distinct(toks) AS s
+        |  FROM (SELECT doc_id, $toksSql AS toks FROM all_recs)
+        |), rn AS (
+        |  SELECT doc_id, key, s, substr(key, 1, 2) AS bkt,
+        |         row_number() OVER (PARTITION BY substr(key, 1, 2)
+        |           ORDER BY key, doc_id) AS rn
+        |  FROM base
+        |), p AS (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+        |         len(a.s) + len(b.s) AS sz
+        |  FROM rn a JOIN rn b
+        |    ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 9
+        |)
+        |SELECT left_id, right_id, inter,
+        |       CAST(inter AS DOUBLE) / (sz - inter) AS jaccard
+        |FROM p
+        |WHERE sz - inter > 0 AND 10 * inter >= 7 * (sz - inter)""".stripMargin,
 
     "q70_record_link" ->
       s"""WITH dirty AS (

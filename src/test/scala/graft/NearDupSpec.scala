@@ -375,4 +375,33 @@ class NearDupSpec extends SparkSuite {
     // the hash split actually uses all three labels on 200 singletons
     assert(plain.values.toSet == Set("train", "validation", "test"))
   }
+
+  test("sortedNeighborhoodPairs: neighbors link, pair count is O(n·window), bucket-split match is the documented miss") {
+    import spark.implicits._
+    val key = concat_ws(" ", slice(sort_array(array_distinct(
+      TextAnalysis.tokens(col("text")))), 1, 3))
+    val recs = (Seq(
+      (1L, "alpha beta gamma delta common stuff"),
+      (2L, "alpha beta gamma delta common stuff extra"), // near-dup of 1
+      // true match whose dirt changes the FIRST sorted token: lands in
+      // another bucket — the single-pass miss multi-pass would recover
+      (50L, "apple zebra yankee xray"),
+      (51L, "zebra yankee xray"),
+      (99L, "")) ++
+      (100L to 140L).map(i => (i.toLong, s"unique$i wholly distinct row$i")))
+      .toDF("doc_id", "text")
+    val out = NearDup.sortedNeighborhoodPairs(recs, "doc_id", "text", key,
+        window = 10, minJaccardNum = 7, minJaccardDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L))) // same key prefix -> adjacent -> linked
+    assert(!out.exists(p => Set(p._1, p._2) == Set(50L, 51L))) // bucket split
+    assert(!out.exists(p => p._1 == 99L || p._2 == 99L)) // empty: no verdict
+    // candidate bound holds even though many records share buckets
+    assert(out.length <= recs.count().toInt * 9)
+    val again = NearDup.sortedNeighborhoodPairs(recs.repartition(7), "doc_id",
+        "text", key, 10, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    spark.catalog.clearCache()
+  }
 }

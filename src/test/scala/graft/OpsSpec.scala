@@ -195,6 +195,20 @@ class OpsSpec extends SparkSuite {
     assert(sLpa == expected)
   }
 
+  test("degreeAssortativity: star is perfectly disassortative, regular graph has no verdict, self-loops drop") {
+    import spark.implicits._
+    // star: hub 0 -> leaves 1..5 (self-loop must be ignored); every
+    // endpoint pair is (5,1) or (1,5) -> r = -1 exactly
+    val star = ((1L to 5L).map((0L, _)) :+ ((0L, 0L))).toDF("s", "d")
+    val r1 = PageRank.degreeAssortativity(star, "s", "d").collect().head
+    assert(r1.getLong(0) == 6L && r1.getLong(1) == 5L)
+    assert(math.abs(r1.getDouble(2) - (-1.0)) < 1e-12)
+    // 4-cycle: all degrees 2, zero variance -> NULL verdict, not NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val r2 = PageRank.degreeAssortativity(cyc, "s", "d").collect().head
+    assert(r2.isNullAt(2) && r2.getLong(1) == 4L)
+  }
+
   test("hits: curators and content separate, scores max-normalize, runs are bit-identical") {
     import spark.implicits._
     // bipartite curation graph: hub 1 endorses all three authorities,
