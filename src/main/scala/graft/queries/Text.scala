@@ -575,6 +575,25 @@ object Text extends QueryModule {
         minJaccard = 0.7, w = 3)
     }),
 
+    // Per-target-host anchor-text profile over q126's synthetic crawl:
+    // what OTHER pages call a host (the original web-ranking signal),
+    // top-3 tokens by two-phase bounded rank.
+    "q160_anchor_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>"), col("text"),
+        lit("</p><a href=\"https://www.site"),
+        ((col("doc_id") + 1) % 7).cast("string"),
+        lit(".com/p\">"), substring(col("text"), 1, 30),
+        lit("</a><a href=\"http://www.site"),
+        ((col("doc_id") + 3) % 7).cast("string"),
+        lit(".com/q\">read more "), col("source"), lit("</a>"))
+      val pairs = Tables(s, dir).documents
+        .select(explode(graft.text.Urls.extractAnchors(html)).as("__pr"))
+        .select(graft.text.Urls.host(col("__pr.href")).as("dst_host"),
+          col("__pr.anchor"))
+      graft.text.Urls.anchorProfile(pairs, "dst_host", "anchor", k = 3)
+    }),
+
     // Sorted-neighborhood blocking over the same dirty slice q70 links
     // by shingle overlap: records sort by a fabricated key (first three
     // distinct tokens, sorted — robust to q70's dropped-head-token
@@ -1468,6 +1487,37 @@ object Text extends QueryModule {
         |FROM documents JOIN counts USING (source), tot
         |WHERE ${graft.ops.Sampling.mixPredicateSql("doc_id", "source",
             mixTargets, mixDefault, mixTotalNum, mixTotalDen, mixSalt)}""".stripMargin,
+
+    "q160_anchor_text" -> {
+      val (hrefsSql, anchorsSql) = graft.text.Urls.extractAnchorsSql("html")
+      s"""WITH pages AS (
+        |  SELECT '<p>' || text || '</p><a href="https://www.site' ||
+        |         CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/p">' ||
+        |         substr(text, 1, 30) ||
+        |         '</a><a href="http://www.site' ||
+        |         CAST((doc_id + 3) % 7 AS VARCHAR) ||
+        |         '.com/q">read more ' || source || '</a>' AS html
+        |  FROM documents
+        |), an AS (
+        |  SELECT unnest($hrefsSql) AS href,
+        |         unnest($anchorsSql) AS anchor
+        |  FROM pages
+        |), tok AS (
+        |  SELECT ${graft.text.Urls.hostSql("href")} AS dst_host,
+        |         unnest(list_filter(
+        |           string_split_regex(lower(anchor), '[^a-z0-9]+'),
+        |           x -> x <> '')) AS token
+        |  FROM an
+        |), c AS (
+        |  SELECT dst_host, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2
+        |)
+        |SELECT dst_host, token, c, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY dst_host
+        |    ORDER BY c DESC, token) AS BIGINT) AS rank
+        |  FROM c
+        |) WHERE rank <= 3""".stripMargin
+    },
 
     "q162_sorted_neighborhood" ->
       s"""WITH all_recs AS (

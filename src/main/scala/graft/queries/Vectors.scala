@@ -70,6 +70,14 @@ object Vectors extends QueryModule {
       Similarity.bruteForceTopK(base(t), queriesDf(t), 5)
     }),
 
+    // Ratio-margin NN scoring (the bitext-mining accept rule): a match
+    // counts when it STANDS OUT from its neighborhood, not when its raw
+    // cosine is high — hubs score ~1, isolated true pairs well above.
+    "q159_margin_knn" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.marginTopMatch(base(t), queriesDf(t), k = 8)
+    }),
+
     // Hybrid retrieval: BM25 keyword ranking and embedding cosine
     // ranking fused by reciprocal rank (integer-scaled, so the fused
     // score is exact). Both top-50 legs run as bounded two-phase TopK
@@ -528,6 +536,37 @@ object Vectors extends QueryModule {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
         |  FROM sims
         |) WHERE rn <= 5""".stripMargin,
+
+    // The left-fold list_reduce mirrors Spark's aggregate(0.0, +) —
+    // list_reduce seeds with the first element, but 0.0 + c1 == c1 in
+    // IEEE, so both sums are the same fixed sequence.
+    "q159_margin_knn" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), sims AS (
+        |  SELECT qid, id, $cosineSql AS cosine
+        |  FROM b CROSS JOIN q WHERE id <> qid
+        |), top AS (
+        |  SELECT qid, id, cosine, rn FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, id) AS BIGINT) AS rn
+        |    FROM sims
+        |  ) WHERE rn <= 8
+        |), a AS (
+        |  SELECT qid,
+        |         max(CASE WHEN rn = 1 THEN id END) AS nn_id,
+        |         max(CASE WHEN rn = 1 THEN cosine END) AS cosine,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) AS s
+        |  FROM top GROUP BY 1
+        |)
+        |SELECT qid, nn_id, cosine, n,
+        |       cosine / (s / CAST(n AS DOUBLE)) AS margin
+        |FROM a""".stripMargin,
 
     // Same two rankings with plain window ranks (the 50-row scale makes
     // that fine oracle-side), fused with DuckDB's integer division.

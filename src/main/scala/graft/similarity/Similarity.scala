@@ -101,6 +101,46 @@ object Similarity {
       .select(col("qid"), col("id"), col("cosine"), col("rn"))
   }
 
+  /** Ratio-margin nearest-neighbor scoring (Artetxe & Schwenk 2019, the
+    * bitext-mining / cross-lingual alignment criterion): a match is
+    * trusted not when its cosine is HIGH but when it STANDS OUT from
+    * the query's neighborhood — margin = cos(q, nn1) / mean-of-top-k
+    * cos. Dense regions (hubs) score near 1 however similar they are;
+    * an isolated true pair scores well above. This is the accept rule
+    * raw-threshold mining (q33's fixed minCosine) gets wrong in hubby
+    * embedding spaces.
+    *
+    * Exactness: the top-k leg is [[bruteForceTopK]] (bit-portable
+    * cosines); the neighborhood mean folds the rn-sorted cosine list
+    * LEFT-TO-RIGHT (`aggregate` here, `list_reduce` in the oracle), so
+    * the double sum is one fixed IEEE sequence on both engines — a
+    * groupBy `avg()` would be partition-order noise.
+    *
+    * @return (qid, nn_id, cosine, n, margin) — one row per query;
+    *         margin = cosine / (Σtopk / n), n = |neighborhood| ≤ k */
+  def marginTopMatch(base: DataFrame, queries: DataFrame,
+      k: Int = 8): DataFrame = {
+    require(k >= 2)
+    // self-pairs are excluded scan-side: a vector is trivially its own
+    // nn1 and would pin every margin at cos=1 over its own neighborhood
+    val scored = base.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosineNative(col("qv"), col("ev")))
+      .filter(col("id") =!= col("qid"))
+    val tk = TopK.perGroup(scored, Seq("qid"), "id", "cosine", k)
+    tk.groupBy(col("qid"))
+      .agg(sort_array(collect_list(
+        struct(col("rn"), col("id"), col("cosine")))).as("__a"))
+      .select(col("qid"),
+        col("__a").getItem(0).getField("id").as("nn_id"),
+        col("__a").getItem(0).getField("cosine").as("cosine"),
+        size(col("__a")).cast("long").as("n"),
+        aggregate(transform(col("__a"), x => x.getField("cosine")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+      .withColumn("margin",
+        col("cosine") / (col("__s") / col("n").cast("double")))
+      .drop("__s")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim),
     * in [-0.5, 0.5): the same value `Hash64.hash60("<plane>_<dim>") % 1000
     * / 1000.0 - 0.5` yields in either engine, evaluated once at plan-build

@@ -1,7 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.Hash64
 
 /** Canonical URL normalization for web-corpus curation — the
   * highest-frequency cheap transforms a crawl pipeline applies before
@@ -79,6 +81,61 @@ object Urls {
   /** DuckDB mirror of [[extractLinks]]. */
   def extractLinksSql(inner: String): String =
     s"""regexp_extract_all($inner, 'href="([^"]+)"', 1)"""
+
+  private val anchorPat = "<a href=\"([^\"]+)\"[^>]*>([^<]*)</a>"
+
+  /** (href, anchor-text) pairs of a markup document, in document order —
+    * the link CONTEXT [[extractLinks]] drops. Anchor text is the
+    * classic relevance signal: what OTHER pages call a target is often a
+    * better description than the target's own text (the original
+    * web-search ranking insight), and per-host anchor profiles feed
+    * both retrieval and crawl prioritization. Same portable-regex-subset
+    * contract as [[extractLinks]]: double-quoted hrefs, non-nested
+    * anchor bodies; a production extractor swaps the pattern, not the
+    * plan. Two group extractions zip positionally — both engines index
+    * capture groups identically. */
+  def extractAnchors(c: Column): Column =
+    zip_with(
+      regexp_extract_all(c, lit(anchorPat), lit(1)),
+      regexp_extract_all(c, lit(anchorPat), lit(2)),
+      (h, a) => struct(h.as("href"), a.as("anchor")))
+
+  /** DuckDB mirror of [[extractAnchors]] — two fragments to unnest in
+    * parallel (DuckDB zips same-length unnests row-wise). */
+  def extractAnchorsSql(inner: String): (String, String) =
+    (s"regexp_extract_all($inner, '$anchorPat', 1)",
+      s"regexp_extract_all($inner, '$anchorPat', 2)")
+
+  /** Per-target-host anchor-text profile: the `k` most frequent anchor
+    * tokens pointing AT each host. Top-k by two-phase bounded rank
+    * (salted partial top-k, then top-k of ≤64·k survivors per host —
+    * the [[Spans.ngramDiversity]] shape: never a corpus-wide sort
+    * within one host partition; a popular host accumulates anchors from
+    * the whole crawl). Ties break (count desc, token asc) — total and
+    * engine-portable.
+    *
+    * @param pairs (hostCol, anchorCol) rows — compose from
+    *              [[extractAnchors]] + [[host]]
+    * @return (hostCol, token, c, rank) with rank 1..k */
+  def anchorProfile(pairs: DataFrame, hostCol: String, anchorCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val counts = pairs
+      .select(col(hostCol).as("__h"),
+        explode(TextAnalysis.tokens(col(anchorCol))).as("token"))
+      .groupBy(col("__h"), col("token")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("__h"), pmod(Hash64.hash60(col("token")), lit(64)))
+        .orderBy(col("c").desc, col("token"))))
+      .filter(col("__rn") <= k)
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("__h")).orderBy(col("c").desc, col("token")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__h").as(hostCol), col("token"), col("c"), col("rank"))
+  }
 
   /** DuckDB mirror of [[host]]. */
   def hostSql(urlExpr: String): String =

@@ -404,4 +404,29 @@ class SimilaritySpec extends SparkSuite {
     assert(out(20L)._2) // singleton keeps, cluster = own id
     assert(out.size == 6) // every input row carries a verdict
   }
+
+  test("marginTopMatch: hub members score ~1, isolated pairs stand out, self excluded") {
+    import spark.implicits._
+    val base = (
+      // dense hub: six identical vectors (ids 10..15) — any member's
+      // neighborhood is all-cos-1, so its margin is exactly 1
+      (10L to 15L).map(i => (i, Seq(1f, 0f, 0f, 0f))) ++ Seq(
+        // isolated pair: 2 and 20 nearly aligned, orthogonal to the hub
+        (2L, Seq(0f, 1f, 0f, 0f)),
+        (20L, Seq(0f, 0.99f, 0.1f, 0f)),
+        (30L, Seq(0f, 0f, 0f, 1f)), // background
+        (31L, Seq(0f, 0f, 1f, 0f))))
+      .toDF("id", "embedding")
+      .select($"id", Similarity.toDouble($"embedding").as("ev"))
+    val queries = base.filter($"id" === 10L || $"id" === 2L)
+      .select($"id".as("qid"), $"ev".as("qv"))
+    val out = Similarity.marginTopMatch(base, queries, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val (hubNn, hubCos, hubMargin) = out(10L)
+    assert(hubNn != 10L && hubCos == 1.0 && hubMargin == 1.0)
+    val (pairNn, pairCos, pairMargin) = out(2L)
+    assert(pairNn == 20L && pairCos > 0.9)
+    assert(pairMargin > 2.0, s"isolated match must stand out: $pairMargin")
+  }
 }

@@ -1018,6 +1018,29 @@ class TextOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("extractAnchors + anchorProfile: href/anchor pairs zip in order, per-host top-k ranks by count then token") {
+    import graft.text.Urls
+    val html = Seq(
+      (1L, """<a href="https://A.com/x">best spark guide</a> text <a href="http://b.com/y">spark tips</a>"""),
+      (2L, """<a href="https://a.com/z">spark guide</a><a href="https://a.com/w" class="c">guide</a>"""),
+      (3L, "no links here")).toDF("id", "html")
+    val pairs = html
+      .select(explode(Urls.extractAnchors($"html")).as("pr"))
+      .select(Urls.host($"pr.href").as("h"), $"pr.anchor".as("a"))
+    val got = pairs.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq(("a.com", "best spark guide"), ("a.com", "guide"),
+      ("a.com", "spark guide"), ("b.com", "spark tips")))
+    val prof = Urls.anchorProfile(pairs, "h", "a", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // a.com tokens: guide x3, spark x2, best x1 -> top2 = guide, spark
+    assert(prof.filter(_._1 == "a.com").sortBy(_._4).toSeq ==
+      Seq(("a.com", "guide", 3L, 1L), ("a.com", "spark", 2L, 2L)))
+    // b.com: spark and tips tie at 1 -> token asc breaks the tie
+    assert(prof.filter(_._1 == "b.com").sortBy(_._4).toSeq ==
+      Seq(("b.com", "spark", 1L, 1L), ("b.com", "tips", 1L, 2L)))
+  }
+
   test("Cdc: chunks reassemble exactly, boundaries survive prefix edits, dup profile pins copies") {
     import graft.text.Cdc
     val rnd = new scala.util.Random(13)
