@@ -755,11 +755,23 @@ object NearDup {
       .withColumn("__bkt", substring(col("__key"), 1, bucketLen))
       .withColumn("__rn", row_number().over(
         partitionBy(col("__bkt")).orderBy(col("__key"), col(idCol))))
+      // rn-bands of `window` rows: a within-window pair sits in the same
+      // band or adjacent bands, so the self-join can be EQUI on
+      // (bucket, band) — without the band key, a skewed bucket (low-
+      // entropy keys) degenerates to an O(|bucket|²) nested-loop with
+      // the rn-range as a mere post-filter (measured 245 s at sf0.1 on
+      // this corpus' 31-type vocabulary; banded: ~1 s)
+      .withColumn("__blk", expr(s"(__rn - 1) div $window"))
       .persist() // feeds both self-join arms
-    val pairs = base.as("a").join(base.as("b"),
-        col("a.__bkt") === col("b.__bkt") &&
-          col("b.__rn") > col("a.__rn") &&
-          col("b.__rn") <= col("a.__rn") + lit(window - 1))
+    val sameBlk = base.as("a").join(base.as("b"),
+      col("a.__bkt") === col("b.__bkt") &&
+        col("a.__blk") === col("b.__blk") &&
+        col("b.__rn") > col("a.__rn"))
+    val nextBlk = base.as("a").join(base.as("b"),
+      col("a.__bkt") === col("b.__bkt") &&
+        col("b.__blk") === col("a.__blk") + 1L &&
+        col("b.__rn") <= col("a.__rn") + lit(window - 1))
+    val pairs = sameBlk.unionAll(nextBlk)
       .select(col(s"a.$idCol").as("left_id"),
         col(s"b.$idCol").as("right_id"),
         size(array_intersect(col("a.__set"), col("b.__set")))
