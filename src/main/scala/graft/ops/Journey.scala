@@ -116,4 +116,52 @@ object Journey {
               struct(col(tsCol), col(tieCol), col(actionCol).as("__a")))),
             x => x.getField("__a")),
           sep).as("seq"))
+
+  /** Inter-event GAP profile with the Goh–Barabási burstiness parameter
+    * B = (σ−μ)/(σ+μ) over each user's gap distribution (gaps in whole
+    * seconds): B → −1 is metronome-periodic (cron jobs, heartbeats),
+    * B ≈ 0 memoryless/Poisson (organic usage), B → 1 bursty (sessions,
+    * scrapers firing in volleys). The bot/automation signal per-event
+    * rate thresholds miss — a slow cron and a human can share a rate
+    * but never a B.
+    *
+    * Exactness: gaps are integer seconds (`Δmicros div 10⁶`), profiled
+    * through exact integer (n, Σg, Σg²) with population σ derived by
+    * one fixed IEEE sequence — the [[Exact.stddevFromSums]] recipe.
+    * Σg² bound: gaps < 2⁶³ᐟ²·√n seconds — unreachable.
+    *
+    * Scale: one per-user lag window + one keyed aggregation; user
+    * cardinality must exceed cores (the W3 contract).
+    *
+    * @return (userCol, n_gaps, s_gap, ss_gap, mean_gap, gap_sigma,
+    *         burstiness) — users with < 2 gaps carry no dispersion
+    *         verdict and drop; all-zero-gap users read B = NULL */
+  def burstiness(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    // order by the derived micros (monotone in tsCol) — the projection
+    // below drops the original timestamp column
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__m"), col(tieCol))
+    // cast: parquet TIMESTAMP_NTZ → session-zone timestamp (sessions
+    // run UTC, so the micros value is identity) — unix_micros rejects NTZ
+    val gaps = events
+      .select(col(userCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("__m"), col(tieCol))
+      .withColumn("__prev", lag(col("__m"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__g", expr("(__m - __prev) div 1000000"))
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("s_gap"),
+        sum(col("__g") * col("__g")).as("ss_gap"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("mean_gap", col("s_gap").cast("double") / col("n_gaps"))
+      .withColumn("gap_sigma", sqrt(
+        (col("ss_gap").cast("double") -
+          col("s_gap").cast("double") * col("s_gap").cast("double") /
+            col("n_gaps")) / col("n_gaps")))
+      .withColumn("burstiness",
+        when(col("gap_sigma") + col("mean_gap") > 0,
+          (col("gap_sigma") - col("mean_gap")) /
+            (col("gap_sigma") + col("mean_gap"))))
+  }
 }

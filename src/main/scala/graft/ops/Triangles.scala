@@ -73,4 +73,33 @@ object Triangles {
     tri.select(explode(array(col("s"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficients: cc(v) = triangles(v) / C(deg v, 2)
+    * — "how much of v's neighborhood is itself connected", the
+    * community-density readout on top of [[triangleCounts]]. cc = 1 is
+    * a clique member, cc ≈ 0 a star center; link farms and bot rings
+    * sit near 1 while organic hubs sit low. Degree-1 nodes have no
+    * pair to close and read NULL (no verdict), not 0.
+    *
+    * The double derives from one integer division pair —
+    * `2·t / (d·(d−1))` both cast once — so it is bit-portable.
+    *
+    * @return (node, deg, n_triangles, cc) over every non-isolated node */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc", when(col("deg") >= 2,
+        (lit(2L) * col("n_triangles")).cast("double") /
+          (col("deg") * (col("deg") - 1L)).cast("double")))
+  }
 }

@@ -44,4 +44,28 @@ object Windows {
       d.withColumn(s"mov_sum_$c", sum(col(c)).over(frame))
     }
   }
+
+  /** Rolling LOWER MEDIAN over the trailing `lookback+1`-row frame —
+    * the robust smoother [[movingFrame]]'s mean is not: one spike
+    * shifts a 5-row mean by spike/5 for 5 rows; the median ignores it
+    * entirely (the q103 median/MAD argument, applied pointwise along a
+    * series). The frame's value list materializes per row (bounded by
+    * the frame, not the partition), sorts, and indexes the lower middle
+    * — `sorted[(n+1) div 2]` — so the result is an EXACT input value:
+    * no float averaging of middle pairs, bit-portable by construction.
+    *
+    * Scale: [[movingFrame]]'s contract — one shuffle + per-key sort;
+    * series keys must outnumber cores.
+    *
+    * @return df + (seq, med) — `med` over min(seq, lookback+1) rows */
+  def rollingMedian(df: DataFrame, key: Column, order: Seq[Column],
+      centsCol: String, lookback: Int = 4): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val frame = w.rowsBetween(-lookback, 0)
+    df.withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("__arr", sort_array(collect_list(col(centsCol)).over(frame)))
+      .withColumn("med",
+        expr("element_at(__arr, cast((size(__arr) + 1) div 2 as int))"))
+      .drop("__arr")
+  }
 }

@@ -172,6 +172,24 @@ object Analytics extends QueryModule {
         .na.fill(0L, Seq("n_events"))
     }),
 
+    // Rolling 5-row LOWER MEDIAN per user — q05's moving average with
+    // the q103 robustness argument applied pointwise: one spike never
+    // moves it, and the lower-median convention keeps every output an
+    // exact input value (bit-portable, no middle-pair float averaging).
+    "q164_rolling_median" -> ((s, dir) =>
+      graft.ops.Windows.rollingMedian(
+        Tables(s, dir).events.select(col("user_id"), col("ts"),
+          col("event_id"), Exact.cents(col("value")).as("cents")),
+        col("user_id"), Seq(col("ts"), col("event_id")), "cents")),
+
+    // Goh-Barabasi burstiness per user: B = (sigma-mu)/(sigma+mu) over
+    // integer-second inter-event gaps — periodic automation reads -1,
+    // Poisson ~0, volley-firing scrapers +; the bot signal rate
+    // thresholds miss.
+    "q165_burstiness" -> ((s, dir) =>
+      graft.ops.Journey.burstiness(Tables(s, dir).events,
+        "user_id", "ts", "event_id")),
+
     // Per-user one-sided CUSUM drift alarms over event values: the
     // prefix-sum/running-min identity makes Page's sequential recurrence
     // window-expressible in exact integer cents — sustained small drifts
@@ -375,6 +393,50 @@ object Analytics extends QueryModule {
         |FROM dense
         |WINDOW w AS (PARTITION BY event_type ORDER BY window_start
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q164_rolling_median" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), w AS (
+        |  SELECT *, CAST(row_number() OVER win AS BIGINT) AS seq,
+        |         list_sort(list(cents) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, ts, event_id, cents, seq,
+        |       arr[(len(arr) + 1) // 2] AS med
+        |FROM w""".stripMargin,
+
+    "q165_burstiness" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS m, event_id, ts FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |         (m - lag(m) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id)) // 1000000 AS g
+        |  FROM m
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(g) AS BIGINT) AS s_gap,
+        |         CAST(sum(g * g) AS BIGINT) AS ss_gap
+        |  FROM g WHERE g IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |), d AS (
+        |  SELECT *, CAST(s_gap AS DOUBLE) / n_gaps AS mean_gap,
+        |         sqrt((CAST(ss_gap AS DOUBLE)
+        |           - CAST(s_gap AS DOUBLE) * CAST(s_gap AS DOUBLE) / n_gaps)
+        |           / n_gaps) AS gap_sigma
+        |  FROM a
+        |)
+        |SELECT user_id, n_gaps, s_gap, ss_gap, mean_gap, gap_sigma,
+        |       CASE WHEN gap_sigma + mean_gap > 0
+        |         THEN (gap_sigma - mean_gap) / (gap_sigma + mean_gap)
+        |       END AS burstiness
+        |FROM d""".stripMargin,
 
     "q157_cusum" ->
       """WITH base AS (

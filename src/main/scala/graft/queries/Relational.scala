@@ -351,6 +351,22 @@ object Relational extends QueryModule {
         minCommon = 3L, maxDeg = 100000L)
     }),
 
+    // Local clustering coefficients over the REPEATED co-purchase graph
+    // (parts sharing >= 2 orders — 2.4k-3.9k edges at every SF, so the
+    // bench doesn't re-pay q119's full wedge join): clique members read
+    // 1, star centers ~0 — the link-farm/bot-ring density signal.
+    "q163_clustering_coef" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+        .select(col("src"), col("dst"))
+      graft.ops.Triangles.clusteringCoefficients(edges, "src", "dst")
+    }),
+
     // k-core over the same co-purchase graph: k = 70 sits inside the
     // degree distribution at both test SFs, so the peel genuinely
     // cascades (sf0.001: 185 → 153 nodes over the 4 rounds) instead of
@@ -754,6 +770,39 @@ object Relational extends QueryModule {
         |  UNION ALL SELECT c FROM tri
         |)
         |GROUP BY 1""".stripMargin,
+
+    "q163_clustering_coef" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |                 AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), t AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri
+        |  )
+        |  GROUP BY 1
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1
+        |)
+        |SELECT deg.node, deg,
+        |       coalesce(t.n_triangles, 0) AS n_triangles,
+        |       CASE WHEN deg >= 2 THEN
+        |         CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+        |           / CAST(deg * (deg - 1) AS DOUBLE)
+        |       END AS cc
+        |FROM deg LEFT JOIN t USING (node)""".stripMargin,
 
     "q130_link_predict" ->
       """WITH e AS (

@@ -290,6 +290,52 @@ class OpsSpec extends SparkSuite {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("clusteringCoefficients: clique corners read 1, bridge reads 1/3, pendant has no verdict") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 hanging off 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val out = Triangles.clusteringCoefficients(edges, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((2L, 1L, Some(1.0))))
+    assert(out(2L) == ((2L, 1L, Some(1.0))))
+    assert(out(3L) == ((3L, 1L, Some(1.0 / 3.0))))
+    assert(out(4L) == ((1L, 0L, None))) // degree 1: no pair to close
+  }
+
+  test("rollingMedian: spikes never move the lower median, every output is an input value") {
+    import spark.implicits._
+    import graft.ops.Windows
+    val rows = Seq(10L, 100L, 10L, 10L, 1000L, 10L).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "id", "cents")
+    val out = Windows.rollingMedian(rows, col("k"), Seq(col("ts"), col("id")),
+        "cents", lookback = 4)
+      .collect().map(r => r.getLong(4) -> r.getLong(5)).toMap
+    // the two spikes (100 at seq2, 1000 at seq5) never surface
+    assert((1L to 6L).forall(out(_) == 10L), out.toString)
+    // contrast: the 5-row moving MEAN at seq 5 would read 226
+  }
+
+  test("burstiness: periodic reads -1, volley-firing reads positive, singletons drop") {
+    import spark.implicits._
+    import graft.ops.Journey
+    def ev(u: Long, ss: Seq[Long]) = ss.zipWithIndex.map { case (s, i) =>
+      (u, s, u * 1000 + i)
+    }
+    val events = (ev(1L, Seq(0L, 10L, 20L, 30L, 40L)) ++ // metronome
+      ev(2L, Seq(0L, 1L, 2L, 3L, 4L, 5L, 500L)) ++ // one long volley + jump
+      ev(3L, Seq(5L)))                                   // one event: no gap
+      .toDF("user_id", "s", "event_id")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id")
+    val out = Journey.burstiness(events, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(6)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == Some(-1.0)) // sigma 0, exact
+    assert(out(2L)._2.exists(_ > 0.3), out.toString)     // bursty
+    assert(!out.contains(3L))
+  }
+
   test("cusumAlarms: sustained shift crosses once at onset, flat series never alarms, runs are bit-identical") {
     import spark.implicits._
     // user 1: 10 points at 0 then 10 at 100 (mean target 50) — deviations
