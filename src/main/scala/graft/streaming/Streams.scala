@@ -279,6 +279,52 @@ object Streams {
       }
   }
 
+  case class MetricEvent(key: String, v: Long, ts: java.sql.Timestamp)
+  case class CusumAlarm(key: String, s: Long, ts: java.sql.Timestamp)
+
+  /** Streaming one-sided CUSUM drift alarms — the LIVE form of
+    * [[graft.ops.Anomaly.cusumAlarms]]: where the batch operator needs
+    * the prefix-sum/running-min window identity (no sequential state in
+    * a scan), a stream HAS sequential state, so this runs Page's
+    * recurrence directly: per key S ← max(0, S + (v − target − slack)),
+    * one long of state, alarm emitted at each upward crossing of
+    * `threshold` (S above with previous S at/below — crossings survive
+    * micro-batch boundaries because S persists in the store).
+    * `target`/`slack`/`threshold` are fixed integers (the monitor-
+    * against-an-SLO contract; the batch op derives retrospective
+    * targets).
+    *
+    * Same per-batch ordering caveat as [[ttlDedupWithState]]: the
+    * recurrence needs event-time order, so each key's micro-batch group
+    * sorts in memory; store state is one long per key, reclaimed by
+    * event-time timeout `ttlMs` after the key goes quiet. */
+  def cusumAlarmsStream(events: Dataset[MetricEvent], delay: String,
+      target: Long, slack: Long, threshold: Long,
+      ttlMs: Long = 3600000L): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (s, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
+            val alarms = Seq.newBuilder[CusumAlarm]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val next = math.max(0L, s + (e.v - target - slack))
+              if (next > threshold && s <= threshold)
+                alarms += CusumAlarm(key, next, e.ts)
+              s = next
+              lastTs = math.max(lastTs, e.ts.getTime)
+            }
+            state.update((s, lastTs))
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            alarms.result().iterator
+          }
+      }
+  }
+
   /** Row-level quality gate for a stream (or batch) frame: split into
     * (pass, quarantine) on named expectations — the streaming use of
     * [[graft.ops.Profiling.expectations]]'s predicates, with the same

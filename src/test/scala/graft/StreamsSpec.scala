@@ -229,6 +229,36 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("cusumAlarmsStream: drift crossing fires once, survives micro-batch boundaries, flat keys stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.MetricEvent]
+    // target 100, slack 0, threshold 120: sustained +50 drift crosses at
+    // the third drifted point (S = 150) — which arrives in the SECOND
+    // micro-batch, so the crossing only fires if S persists in state
+    val out = Streams.cusumAlarmsStream(mem.toDS(), "0 seconds",
+      target = 100L, slack = 0L, threshold = 120L)
+    val q = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.MetricEvent("drift", 100L, ts("10:00:00")),
+      Streams.MetricEvent("drift", 150L, ts("10:00:10")),
+      Streams.MetricEvent("drift", 150L, ts("10:00:20")), // S=100
+      Streams.MetricEvent("flat", 100L, ts("10:00:00")),
+      Streams.MetricEvent("flat", 100L, ts("10:00:20")))
+    q.processAllAvailable()
+    assert(spark.table("cusum_out").isEmpty) // S=100 <= 120: not yet
+    mem.addData(
+      Streams.MetricEvent("drift", 150L, ts("10:00:30")), // S=150: crossing
+      Streams.MetricEvent("drift", 150L, ts("10:00:40")), // S=200: no re-fire
+      Streams.MetricEvent("flat", 100L, ts("10:00:40")))
+    q.processAllAvailable()
+    val got = spark.table("cusum_out").as[Streams.CusumAlarm].collect()
+    assert(got.toSeq == Seq(
+      Streams.CusumAlarm("drift", 150L, ts("10:00:30"))))
+    q.stop()
+  }
+
   test("qualityGate splits a stream into pass and replayable quarantine") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
