@@ -743,15 +743,16 @@ object NearDup {
     *        rational: keep pairs with den·|∩| ≥ num·|∪|
     * @return (left_id, right_id, inter, jaccard) — left_id is the
     *         neighborhood-earlier record */
-  def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
-      textCol: String, sortKey: Column, window: Int,
-      minJaccardNum: Long, minJaccardDen: Long,
-      bucketLen: Int = 2): DataFrame = {
-    require(window >= 2 && bucketLen >= 1 && minJaccardDen > 0)
+  /** Shared SN candidate generator: (left_id, right_id, __pa, __pb) —
+    * the ≤`window−1` in-order neighbors per record, with `payload`
+    * carried through for the caller's verifier. See
+    * [[sortedNeighborhoodPairs]] for the banding rationale. */
+  private def snCandidates(records: DataFrame, idCol: String,
+      payload: Column, sortKey: Column, window: Int,
+      bucketLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window.partitionBy
     val base = records
-      .select(col(idCol), sortKey.as("__key"),
-        array_distinct(TextAnalysis.tokens(col(textCol))).as("__set"))
+      .select(col(idCol), sortKey.as("__key"), payload.as("__p"))
       .withColumn("__bkt", substring(col("__key"), 1, bucketLen))
       .withColumn("__rn", row_number().over(
         partitionBy(col("__bkt")).orderBy(col("__key"), col(idCol))))
@@ -771,12 +772,24 @@ object NearDup {
       col("a.__bkt") === col("b.__bkt") &&
         col("b.__blk") === col("a.__blk") + 1L &&
         col("b.__rn") <= col("a.__rn") + lit(window - 1))
-    val pairs = sameBlk.unionAll(nextBlk)
+    sameBlk.unionAll(nextBlk)
       .select(col(s"a.$idCol").as("left_id"),
         col(s"b.$idCol").as("right_id"),
-        size(array_intersect(col("a.__set"), col("b.__set")))
+        col("a.__p").as("__pa"), col("b.__p").as("__pb"))
+  }
+
+  def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
+      textCol: String, sortKey: Column, window: Int,
+      minJaccardNum: Long, minJaccardDen: Long,
+      bucketLen: Int = 2): DataFrame = {
+    require(window >= 2 && bucketLen >= 1 && minJaccardDen > 0)
+    val pairs = snCandidates(records, idCol,
+        array_distinct(TextAnalysis.tokens(col(textCol))), sortKey,
+        window, bucketLen)
+      .select(col("left_id"), col("right_id"),
+        size(array_intersect(col("__pa"), col("__pb")))
           .cast("long").as("inter"),
-        (size(col("a.__set")) + size(col("b.__set"))).cast("long").as("__sz"))
+        (size(col("__pa")) + size(col("__pb"))).cast("long").as("__sz"))
       // the union-size guard also rejects empty-vs-empty pairs (0/0 has
       // no similarity verdict, and the double would be NaN)
       .filter(col("__sz") - col("inter") > 0 &&
@@ -785,5 +798,26 @@ object NearDup {
     pairs.withColumn("jaccard",
         col("inter").cast("double") / (col("__sz") - col("inter")))
       .select(col("left_id"), col("right_id"), col("inter"), col("jaccard"))
+  }
+
+  /** [[sortedNeighborhoodPairs]] with EDIT-DISTANCE verification — the
+    * character-level linkage rule for dirt token sets can't see
+    * (transposed letters, OCR confusions, truncation): candidates from
+    * the same banded SN pass, accepted when `levenshtein ≤ maxDist`.
+    * Spark evaluates the THRESHOLDED form (O(len·maxDist) with early
+    * abandon instead of O(len²)); the accepted distances are identical
+    * to the full computation, which is what the oracle runs. Verify on
+    * a bounded payload (e.g. a prefix) when corpus strings are long —
+    * the verifier cost is per-candidate, not per-corpus.
+    *
+    * @return (left_id, right_id, dist) */
+  def sortedNeighborhoodEditPairs(records: DataFrame, idCol: String,
+      payload: Column, sortKey: Column, window: Int, maxDist: Int,
+      bucketLen: Int = 2): DataFrame = {
+    require(window >= 2 && bucketLen >= 1 && maxDist >= 0)
+    snCandidates(records, idCol, payload, sortKey, window, bucketLen)
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("__pa"), col("__pb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0L) // -1 = threshold exceeded
   }
 }

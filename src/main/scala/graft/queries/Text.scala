@@ -611,6 +611,22 @@ object Text extends QueryModule {
         window = 10, minJaccardNum = 7, minJaccardDen = 10)
     }),
 
+    // q162's SN candidates verified by EDIT DISTANCE on the 80-char
+    // prefix — the character-level rule token sets can't see; Spark
+    // runs the thresholded O(len·maxDist) form, the oracle the full
+    // matrix (identical accepted distances).
+    "q166_sn_edit_distance" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val dirty = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionAll(dirty)
+      val key = concat_ws(" ", slice(sort_array(array_distinct(
+        graft.text.TextAnalysis.tokens(col("text")))), 1, 3))
+      NearDup.sortedNeighborhoodEditPairs(all, "doc_id",
+        substring(col("text"), 1, 80), key, window = 10, maxDist = 25)
+    }),
+
     // Duplicated-span profile: fraction of each doc's 7-gram positions
     // whose shingle appears in >= 2 documents — the partial-copy signal
     // document-level dedup misses. Hashed grams (portable) on the wire.
@@ -1518,6 +1534,30 @@ object Text extends QueryModule {
         |  FROM c
         |) WHERE rank <= 3""".stripMargin
     },
+
+    "q166_sn_edit_distance" ->
+      s"""WITH all_recs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, '^\\S+\\s*', '') AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS key,
+        |         substr(text, 1, 80) AS p
+        |  FROM (SELECT doc_id, text, $toksSql AS toks FROM all_recs)
+        |), rn AS (
+        |  SELECT doc_id, key, p, substr(key, 1, 2) AS bkt,
+        |         row_number() OVER (PARTITION BY substr(key, 1, 2)
+        |           ORDER BY key, doc_id) AS rn
+        |  FROM base
+        |)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM rn a JOIN rn b
+        |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 9
+        |WHERE levenshtein(a.p, b.p) <= 25""".stripMargin,
 
     "q162_sorted_neighborhood" ->
       s"""WITH all_recs AS (

@@ -404,4 +404,27 @@ class NearDupSpec extends SparkSuite {
     assert(again.sorted.toSeq == out.sorted.toSeq)
     spark.catalog.clearCache()
   }
+
+  test("sortedNeighborhoodEditPairs: transposed-letter dirt links by edit distance where token Jaccard rejects") {
+    import spark.implicits._
+    val key = concat_ws(" ", slice(sort_array(array_distinct(
+      TextAnalysis.tokens(col("text")))), 1, 3))
+    // two transposed words: token Jaccard 4/8 = 0.5 (< 0.7, rejected),
+    // edit distance 4; the sorted first-3 tokens are untouched so both
+    // land in the same neighborhood
+    val recs = Seq(
+      (1L, "the quick brown fox zebra zulu"),
+      (2L, "the quick brown fox zbera zluu"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    val jac = NearDup.sortedNeighborhoodPairs(recs, "doc_id", "text", key,
+        window = 10, minJaccardNum = 7, minJaccardDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)))
+    val ed = NearDup.sortedNeighborhoodEditPairs(recs, "doc_id",
+        col("text"), key, window = 10, maxDist = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(ed.get((1L, 2L)) == Some(4L))
+    assert(!ed.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    spark.catalog.clearCache()
+  }
 }
