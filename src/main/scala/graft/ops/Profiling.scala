@@ -119,6 +119,34 @@ object Profiling {
       .drop("__mn", "__mx")
   }
 
+  /** Per-group PERCENT-RANK normalization — [[minMaxNormalize]]'s
+    * outlier-immune sibling: a value maps to its rank position
+    * (rank−1)/(n−1) ∈ [0,1] within its group, so one extreme value
+    * can't compress everyone else into a sliver of the range (min-max's
+    * failure mode) and the output distribution is uniform by
+    * construction — the feature-scaling contract rank-based models and
+    * mixture dashboards want. Ties break by `tieCol` (row_number, not
+    * SQL percent_rank's shared ranks), making the map total,
+    * deterministic, and engine-portable. Singleton groups have no
+    * spread and read NULL.
+    *
+    * One window per group partition + the derived double from one
+    * integer division pair.
+    *
+    * @return df + (outCol) */
+  def percentRankNormalize(df: DataFrame, grpCol: String, v: Column,
+      tieCol: Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grpCol)).orderBy(v, tieCol)
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col(grpCol))))
+      .withColumn(outCol, when(col("__n") > 1,
+        (col("__rk") - 1L).cast("double") /
+          (col("__n") - 1L).cast("double")))
+      .drop("__rk", "__n")
+  }
+
   /** Column-profile DRIFT between two snapshots of the same table — the
     * data-drift monitor an ingestion pipeline runs per batch: null-rate
     * shifts, distinct-cardinality blowups/collapses, and min/max range

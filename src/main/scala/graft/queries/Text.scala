@@ -715,6 +715,15 @@ object Text extends QueryModule {
           .select(col("doc_id"), col("source"), col("n_chars")),
         "source", col("n_chars"), "norm")),
 
+    // q94's outlier-immune sibling: rank-position scaling — one extreme
+    // doc can't compress its source's whole range; output uniform by
+    // construction.
+    "q167_rank_normalize" -> ((s, dir) =>
+      graft.ops.Profiling.percentRankNormalize(
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("n_chars"), col("doc_id"), "norm")),
+
     // Markup strip (C4 web-boilerplate stage): tags out, entities
     // decoded in the safe order, whitespace collapsed. Zero shuffles,
     // codegen'd regex chain.
@@ -1833,6 +1842,19 @@ object Text extends QueryModule {
         |         THEN CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
         |         ELSE 0.5 END AS norm
         |FROM documents d JOIN s USING (source)""".stripMargin,
+
+    "q167_rank_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |       CASE WHEN n > 1
+        |         THEN CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |       END AS norm
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents
+        |)""".stripMargin,
 
     // Positions come from generate_series over the shingle list (1-based
     // in DuckDB — only ordering matters); islands mirror the Spark

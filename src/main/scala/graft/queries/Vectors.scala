@@ -70,6 +70,25 @@ object Vectors extends QueryModule {
       Similarity.bruteForceTopK(base(t), queriesDf(t), 5)
     }),
 
+    // Rank-biased overlap between q123's two legs: how much the cheap
+    // BM25 ranking agrees with the embedding ranking, top-weighted —
+    // the route-to-the-cheap-ranker decision metric Kendall/Spearman
+    // get wrong on partially-overlapping retrieval lists.
+    "q168_rbo" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val kw = graft.text.Retrieval.bm25(
+          t.documents, "doc_id", "text", Text.bm25Terms)
+        .withColumn("__g", lit(1))
+      val kwRanks = graft.similarity.TopK
+        .perGroup(kw, Seq("__g"), "doc_id", "score", 50)
+        .select(col("doc_id"), col("rn").as("rank"))
+      val vecRanks = Similarity.bruteForceTopK(base(t),
+          queriesDf(t).filter(col("qid") === 0), 50)
+        .select(col("id").as("doc_id"), col("rn").as("rank"))
+      graft.text.Retrieval.rboCurve(kwRanks, vecRanks, "doc_id", "rank",
+        depth = 50)
+    }),
+
     // Ratio-margin NN scoring (the bitext-mining accept rule): a match
     // counts when it STANDS OUT from its neighborhood, not when its raw
     // cosine is high — hubs score ~1, isolated true pairs well above.
@@ -570,6 +589,25 @@ object Vectors extends QueryModule {
 
     // Same two rankings with plain window ranks (the 50-row scale makes
     // that fine oracle-side), fused with DuckDB's integer division.
+    "q168_rbo" -> graft.text.Retrieval.rboOracleSql(
+      aSql = s"""SELECT doc_id, rn AS rank FROM (
+        |    SELECT doc_id,
+        |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+        |    FROM (${graft.text.Retrieval.bm25OracleSql(Text.toksSql, Text.bm25Terms)})
+        |  ) WHERE rn <= 50""".stripMargin,
+      bSql = s"""SELECT id AS doc_id, rn AS rank FROM (
+        |    SELECT id, CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT) AS rn
+        |    FROM (
+        |      SELECT id, $cosineSql AS cosine
+        |      FROM (SELECT vec_id AS id,
+        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |            FROM embeddings) b
+        |      CROSS JOIN (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |                  FROM embeddings WHERE vec_id = 0) q
+        |    )
+        |  ) WHERE rn <= 50""".stripMargin,
+      depth = 50),
+
     "q123_hybrid_rrf" ->
       s"""WITH kw AS (
         |  SELECT doc_id, rn AS rank_kw FROM (

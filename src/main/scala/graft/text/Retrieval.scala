@@ -141,6 +141,95 @@ object Retrieval {
     joined.withColumn("rrf_score", score)
   }
 
+  /** The (1−p)·p^{d−1} weight table both [[rboCurve]] and its oracle
+    * inline as LITERALS — computed once here, so neither engine ever
+    * calls pow() (whose last-ulp could differ) at query time. */
+  def rboWeights(depth: Int, p: Double): Seq[Double] = {
+    require(depth >= 1 && p > 0 && p < 1)
+    Seq.iterate(1.0 - p, depth)(_ * p)
+  }
+
+  /** Truncated rank-biased overlap curve (Webber et al. 2010) between
+    * two top-`depth` rankings: RBO@d = Σ_{i≤d} w_i · X_i / i with
+    * X_i = |A[1..i] ∩ B[1..i]| and w_i = (1−p)p^{i−1} — the ranking-
+    * agreement measure Kendall/Spearman get wrong for retrieval, where
+    * the TOP of the list is what matters and the lists only partially
+    * overlap. Use: quantify how much a cheap ranking (BM25) agrees with
+    * an expensive one (embeddings) before routing traffic to the cheap
+    * one; compare index versions; regression-test rankers.
+    *
+    * Exactness: X_i is integer (overlap counts via one join + a
+    * cumulative count over the depth spine); weights are shared
+    * literals ([[rboWeights]]); each term `(w · X) / d` is computed
+    * bit-identically per row, then QUANTIZED to integer femto-units
+    * (`floor(term · 10¹⁵)`) so the running sum is an integer window
+    * aggregate — exact under ANY association. Neither engine's running
+    * double sum is sequential (Spark incremental, DuckDB segment-tree;
+    * even DuckDB's `list_reduce` reassociates — measured one-ulp
+    * drift), so a float accumulation can never hash-match; the 10⁻¹⁵
+    * quantization is far below any decision threshold RBO feeds.
+    *
+    * The depth spine is `depth` rows by construction, so the global
+    * window is bounded — this is an eval-sized op, not a corpus op.
+    *
+    * @param a/@param b (idCol, rankCol) frames, ranks 1..depth
+    * @return (d, x_d, rbo) for d = 1..depth; rbo at `depth` is the
+    *         headline RBO@depth */
+  def rboCurve(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String, depth: Int, p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = typedlit(rboWeights(depth, p))
+    val joined = a.select(col(idCol), col(rankCol).as("__ra"))
+      .join(b.select(col(idCol), col(rankCol).as("__rb")), idCol)
+      .select(greatest(col("__ra"), col("__rb")).as("__mr"))
+      .groupBy(col("__mr")).agg(count(lit(1)).as("__c"))
+    val spine = a.sparkSession.range(1, depth + 1)
+      .select(col("id").as("d"))
+    val cum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(joined.withColumnRenamed("__mr", "d"), Seq("d"), "left")
+      .withColumn("x_d", sum(coalesce(col("__c"), lit(0L))).over(cum))
+      .withColumn("__term",
+        element_at(w, col("d").cast("int")) * col("x_d").cast("double") /
+          col("d").cast("double"))
+      .withColumn("__tq", floor(col("__term") * lit(1e15)).cast("long"))
+      .withColumn("rbo_q", sum(col("__tq")).over(cum))
+      .withColumn("rbo", col("rbo_q").cast("double") / lit(1e15))
+      .select(col("d"), col("x_d"), col("rbo_q"), col("rbo"))
+  }
+
+  /** DuckDB oracle for [[rboCurve]]; `aSql`/`bSql` must yield
+    * (doc_id, rank). */
+  def rboOracleSql(aSql: String, bSql: String, depth: Int,
+      p: Double = 0.9): String = {
+    val ws = rboWeights(depth, p).mkString("[", ", ", "]")
+    s"""WITH ja AS ($aSql), jb AS ($bSql),
+      |mr AS (
+      |  SELECT greatest(ja.rank, jb.rank) AS mr
+      |  FROM ja JOIN jb USING (doc_id)
+      |), c AS (SELECT mr AS d, CAST(count(*) AS BIGINT) AS c FROM mr GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series(1, $depth)) AS d
+      |), x AS (
+      |  SELECT spine.d,
+      |         CAST(sum(coalesce(c.c, 0)) OVER w AS BIGINT) AS x_d
+      |  FROM spine LEFT JOIN c USING (d)
+      |  WINDOW w AS (ORDER BY spine.d
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), t AS (
+      |  SELECT d, x_d,
+      |         CAST(floor(($ws)[CAST(d AS INT)] * CAST(x_d AS DOUBLE)
+      |           / CAST(d AS DOUBLE) * 1000000000000000.0) AS BIGINT) AS tq
+      |  FROM x
+      |)
+      |SELECT d, x_d,
+      |       CAST(sum(tq) OVER w2 AS BIGINT) AS rbo_q,
+      |       CAST(sum(tq) OVER w2 AS DOUBLE) / 1000000000000000.0 AS rbo
+      |FROM t
+      |WINDOW w2 AS (ORDER BY d
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
   def bm25OracleSql(toksSql: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>

@@ -1018,6 +1018,30 @@ class TextOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("rboCurve: identical lists read 1-p^d exactly, disjoint read 0, partial overlap matches hand fold") {
+    import graft.text.Retrieval
+    val a = (1L to 5L).map(i => (i, i)).toDF("doc_id", "rank")
+    // identical rankings, p = 1/2: X_d = d so RBO@d = 1 - 2^-d, up to
+    // the femto quantization of each term
+    val same = Retrieval.rboCurve(a, a, "doc_id", "rank", depth = 5, p = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    (1 to 5).foreach(d =>
+      assert(math.abs(same(d.toLong) - (1.0 - math.pow(0.5, d))) < 1e-12))
+    // disjoint rankings: zero overlap at every depth, exactly
+    val b = (1L to 5L).map(i => (i + 100, i)).toDF("doc_id", "rank")
+    val none = Retrieval.rboCurve(a, b, "doc_id", "rank", 5, 0.5)
+      .collect().map(_.getDouble(3))
+    assert(none.forall(_ == 0.0))
+    // partial overlap: docs 1 (mr 1) and 2 (mr 3) -> X = [1, 1, 2]
+    val c = Seq((1L, 1L), (9L, 2L), (2L, 3L)).toDF("doc_id", "rank")
+    val part = Retrieval.rboCurve(a, c, "doc_id", "rank", 3, 0.5)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(part.map(_._1).toSeq == Seq(1L, 1L, 2L))
+    val expect = 0.5 * 1 / 1 + (0.25 * 1 / 2 + 0.125 * 2.0 / 3.0)
+    assert(math.abs(part.last._2 - expect) < 1e-12)
+  }
+
   test("extractAnchors + anchorProfile: href/anchor pairs zip in order, per-host top-k ranks by count then token") {
     import graft.text.Urls
     val html = Seq(
