@@ -252,4 +252,124 @@ object Profiling {
       .filter(col("__n") >= k)
       .drop("__n")
   }
+
+  /** Referential-integrity audit: for each declared foreign key, how many
+    * child rows point at a parent key that does not exist. The
+    * load-order / partial-load detector a warehouse runs after ingest
+    * (facts landing before their dimension, CDC deletes orphaning
+    * children).
+    *
+    * SQL-standard FK semantics: a NULL foreign key does not violate the
+    * constraint — nulls are counted separately, never as orphans.
+    *
+    * Scale shape: the child side is aggregated to DISTINCT keys (with
+    * multiplicities) BEFORE the existence probe, so the anti-join
+    * shuffles |distinct child keys| rows, not |child| — for a fact table
+    * with thousands of rows per key that is the difference between
+    * shuffling the key directory and shuffling the corpus. The probe
+    * itself is a left-anti equi-join that distributes by key.
+    *
+    * @param fks (name, child, childKeyCol, parent, parentKeyCol)
+    * @return (fk, n_child, n_null_keys, n_orphans, pass) per declared FK
+    */
+  def fkAudit(fks: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(fks.nonEmpty, "need at least one foreign key to audit")
+    fks.map { case (name, child, ck, parent, pk) =>
+      val keyed = child.groupBy(col(ck).as("__k"))
+        .agg(count(lit(1)).as("__n"))
+      val stats = keyed.agg(
+        coalesce(sum("__n"), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("__k").isNull, col("__n"))), lit(0L))
+          .as("n_null_keys"))
+      val orphans = keyed.filter(col("__k").isNotNull)
+        .join(parent.select(col(pk).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .agg(coalesce(sum("__n"), lit(0L)).as("n_orphans"))
+      stats.crossJoin(orphans)   // two one-row frames
+        .select(lit(name).as("fk"), col("n_child"), col("n_null_keys"),
+          col("n_orphans"), (col("n_orphans") === 0L).as("pass"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB oracle for [[fkAudit]]: same distinct-key anti-join counts,
+    * from `(name, childTable, childKey, parentTable, parentKey)`. */
+  def fkAuditOracleSql(fks: Seq[(String, String, String, String, String)])
+      : String =
+    fks.map { case (name, ct, ck, pt, pk) =>
+      s"""SELECT '$name' AS fk,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $ct) AS n_child,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $ct WHERE $ck IS NULL)
+         |    AS n_null_keys,
+         |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+         |     SELECT k.$ck, k.n FROM (
+         |       SELECT $ck, count(*) AS n FROM $ct
+         |       WHERE $ck IS NOT NULL GROUP BY 1) k
+         |     WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = k.$ck)))
+         |    AS n_orphans,
+         |  (SELECT coalesce(sum(n), 0) FROM (
+         |     SELECT k.$ck, k.n FROM (
+         |       SELECT $ck, count(*) AS n FROM $ct
+         |       WHERE $ck IS NOT NULL GROUP BY 1) k
+         |     WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = k.$ck)))
+         |    = 0 AS pass""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Benford first-significant-digit audit of a positive exact-integer
+    * metric column: observed digit frequencies against the Benford
+    * expectation log10(1 + 1/d) — the classic fabricated-data /
+    * truncated-distribution screen for financial-style metrics spanning
+    * several orders of magnitude.
+    *
+    * Exactness: digit counts are integers; the observed fraction and
+    * deviation are derived with one fixed IEEE sequence
+    * (`n/total − expected`) from integer counts and LITERAL expected
+    * constants, so both engines produce bit-equal doubles (log10 itself
+    * is not correctly-rounded portable — the literals are).
+    *
+    * Scale shape: one map-side-combinable digit aggregation (9 groups),
+    * total re-derived by summing the 9-row digit frame and broadcast back
+    * (the sanctioned one-row stat-broadcast idiom — never a collect).
+    *
+    * @param cents positive exact-integer column (zero/negative rows are
+    *              excluded — they have no first significant digit)
+    */
+  def benfordAudit(df: DataFrame, cents: Column): DataFrame = {
+    val digits = df.filter(cents > 0)
+      .groupBy(substring(cents.cast("string"), 1, 1).as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    val expected = benfordExpected.tail.zipWithIndex.foldLeft(
+      when(col("digit") === "1", lit(benfordExpected.head))) {
+        case (acc, (e, i)) => acc.when(col("digit") === (i + 2).toString, lit(e))
+      }
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total")).as("obs_frac"),
+        expected.as("expected"))
+      .withColumn("deviation", abs(col("obs_frac") - col("expected")))
+  }
+
+  /** Benford expected fractions log10(1+1/d), d = 1..9, as fixed literals
+    * (17 significant digits — both engines parse to the identical double). */
+  val benfordExpected: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** DuckDB oracle for [[benfordAudit]] over `table.centsExpr`. */
+  def benfordOracleSql(table: String, centsExpr: String): String = {
+    val values = benfordExpected.zipWithIndex
+      .map { case (e, i) => s"('${i + 1}', $e)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT substr(CAST($centsExpr AS VARCHAR), 1, 1) AS digit,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM $table WHERE $centsExpr > 0 GROUP BY 1
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+       |e(digit, expected) AS (VALUES $values)
+       |SELECT d.digit, d.n, CAST(d.n AS DOUBLE) / t.total AS obs_frac,
+       |       e.expected,
+       |       abs(CAST(d.n AS DOUBLE) / t.total - e.expected) AS deviation
+       |FROM d CROSS JOIN t JOIN e ON e.digit = d.digit""".stripMargin
+  }
 }

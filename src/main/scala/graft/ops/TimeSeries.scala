@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence analytics over keyed series: Markov transition
+  * matrices (what follows what), lagged autocorrelation (does the series
+  * remember itself), and the Mann-Kendall trend test (is it monotonically
+  * drifting) — the behavioral / drift questions an event-log pipeline
+  * answers after the rollups (A3/A6) have compressed raw events into
+  * per-key series.
+  *
+  * Scale shape: everything here operates on either (a) per-key windows
+  * partitioned by the series key — one shuffle, no global ordering — or
+  * (b) equi-joins of a PRE-AGGREGATED series frame against itself, where
+  * the series length is bounded by the CALENDAR (hours in the retention
+  * window), not the corpus: 100× more events is 100× denser cells, not
+  * longer series, so the O(n·lag) / O(n²) pair counts are constants of
+  * the deployment, not of the data volume.
+  *
+  * Exactness: counts, sign sums and micro-probabilities are integers;
+  * the float statistics (autocorrelation, MK z) derive from integer sums
+  * with one fixed IEEE sequence (see [[Exact]]).
+  */
+object TimeSeries {
+
+  /** First-order Markov transition matrix of `typeCol` per `keyCol`
+    * sequence (ordered by `orderCols`): for every observed (prev → next)
+    * pair, its count, the total out of `prev`, and the integer
+    * micro-probability `n·1e6 div from_total` (row-stochastic up to
+    * integer truncation).
+    *
+    * One keyed window (lag) + one hash aggregation; the matrix is
+    * |types|² rows, so the final per-prev total window runs over a
+    * type-cardinality-bounded frame, never the corpus.
+    *
+    * @return (prev_type, next_type, n, from_total, p_micro)
+    */
+  def transitionMatrix(df: DataFrame, keyCol: Column, typeCol: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val pairs = df
+      .select(typeCol.as("next_type"),
+        lag(typeCol, 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum("n").over(Window.partitionBy(col("prev_type"))))
+      // integer div, not double-divide-then-cast: a correctly-rounded
+      // double quotient can land ON the next integer and truncate high
+      .withColumn("p_micro", expr("(n * 1000000) div from_total"))
+  }
+
+  /** Lag-`lag` autocorrelation of a keyed integer series `(key, t, x)`:
+    * Pearson correlation of the exact pairs (x_t, x_{t−lag}), formed by
+    * an equi-join of the series against itself shifted by `lag` — gap
+    * positions simply produce no pair (never a silent shorter-lag pair,
+    * which a window `lag()` over observed rows would fabricate).
+    *
+    * The join is an equi-join on (key, t) of two series-sized frames —
+    * calendar-bounded, see the object doc. NULL when the series is
+    * constant on either leg (no correlation verdict; see
+    * [[Exact.corrFromSums]]).
+    *
+    * @param series pre-aggregated frame: keyCols ++ (tCol: long,
+    *               xCol: long)
+    * @return keyCols ++ (n_pairs, s_x, s_y, acf)
+    */
+  def autocorr(series: DataFrame, keyCols: Seq[String], tCol: String,
+      xCol: String, lagSteps: Long): DataFrame = {
+    require(lagSteps >= 1, s"lag must be >= 1, got $lagSteps")
+    val cur = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t"), col(xCol).as("__x")): _*)
+    val prev = series.select(
+      keyCols.map(col) ++
+        Seq((col(tCol) + lit(lagSteps)).as("__t"), col(xCol).as("__y")): _*)
+    cur.join(prev, keyCols :+ "__t")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("__x").as("s_x"), sum("__y").as("s_y"),
+        sum(col("__x") * col("__x")).as("s_xx"),
+        sum(col("__y") * col("__y")).as("s_yy"),
+        sum(col("__x") * col("__y")).as("s_xy"))
+      .withColumn("acf", Exact.corrFromSums(col("n_pairs"),
+        col("s_x"), col("s_y"), col("s_xx"), col("s_yy"), col("s_xy")))
+      .select(keyCols.map(col) ++
+        Seq(col("n_pairs"), col("s_x"), col("s_y"), col("acf")): _*)
+  }
+
+  /** Mann-Kendall monotone-trend test per key over an integer series
+    * `(key, t, x)`: S = Σ_{i<j} sign(x_j − x_i) via the exact pairwise
+    * self-join (calendar-bounded n ⇒ bounded n²; see the object doc),
+    * the no-ties variance `Var·18 = n(n−1)(2n+5)` as an exact integer,
+    * and the continuity-corrected z = (S∓1)/sqrt(Var18/18.0) in one
+    * fixed IEEE sequence. The non-parametric drift detector: immune to
+    * outliers and level, it asks only "do later points tend to exceed
+    * earlier ones".
+    *
+    * @return keyCols ++ (n, s_stat, var18, z, trend) — trend ∈
+    *         {increasing, decreasing, no_trend} at the two-sided 5% level
+    */
+  def mannKendall(series: DataFrame, keyCols: Seq[String], tCol: String,
+      xCol: String): DataFrame = {
+    val a = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t1"), col(xCol).as("__x1")): _*)
+    val b = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t2"), col(xCol).as("__x2")): _*)
+    val pairs = a.join(b, keyCols).filter(col("__t1") < col("__t2"))
+    val stats = pairs.groupBy(keyCols.map(col): _*)
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    // recover n from n_pairs = n(n-1)/2 exactly — avoids a second scan
+    // of the series frame: n = (1 + sqrt(1 + 8·n_pairs)) / 2
+    val n = ((lit(1.0) + sqrt(lit(1.0) + col("n_pairs") * lit(8.0)))
+      / lit(2.0)).cast("long")
+    val withN = stats.withColumn("n", n)
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5))
+    val denom = sqrt(col("var18").cast("double") / lit(18.0))
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - lit(1)).cast("double") / denom)
+      .when(col("s_stat") < 0,
+        (col("s_stat") + lit(1)).cast("double") / denom)
+      .otherwise(lit(0.0))
+    withN.withColumn("z", z)
+      .withColumn("trend",
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("no_trend")))
+      .select(keyCols.map(col) ++ Seq(col("n"), col("s_stat"),
+        col("var18"), col("z"), col("trend")): _*)
+  }
+}

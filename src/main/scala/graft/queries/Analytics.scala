@@ -199,6 +199,47 @@ object Analytics extends QueryModule {
         "user_id", "ts", "event_id", Exact.cents(col("value")),
         slackCents = 1000L, thresholdCents = 20000L)),
 
+    // First-order Markov transition matrix of event types per user
+    // journey: observed (prev → next) counts + integer micro
+    // transition probabilities. The behavioral fingerprint session
+    // models and next-event predictors start from.
+    "q173_markov" -> ((s, dir) =>
+      graft.ops.TimeSeries.transitionMatrix(Tables(s, dir).events,
+        col("user_id"), col("event_type"), Seq(col("ts"), col("event_id")))),
+
+    // Lag-1 autocorrelation of the hourly event-count series per type:
+    // pairs formed by an equi-join on (type, hour = hour+1) — gaps
+    // produce no pair — with the correlation derived from exact integer
+    // sums (the q161 fixed-IEEE-readout recipe). Series length is
+    // calendar-bounded: 100x the events is denser cells, not longer
+    // series.
+    "q174_autocorr" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          // NTZ → session-zone ts (sessions run UTC: identity), then
+          // epoch hour by integer div — matches epoch_us//1e6//3600
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.TimeSeries.autocorr(hourly, Seq("event_type"), "h", "c", 1)
+    }),
+
+    // Mann-Kendall monotone-trend verdict per event type over the same
+    // hourly series: exact pairwise sign sums (calendar-bounded n²),
+    // integer variance, continuity-corrected z. The non-parametric
+    // "is traffic drifting" test — outlier-immune where a fitted slope
+    // is not.
+    "q175_mann_kendall" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          // NTZ → session-zone ts (sessions run UTC: identity), then
+          // epoch hour by integer div — matches epoch_us//1e6//3600
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.TimeSeries.mannKendall(hourly, Seq("event_type"), "h", "c")
+    }),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -467,6 +508,91 @@ object Analytics extends QueryModule {
         |  FROM p2
         |)
         |WHERE s > 20000 AND sp <= 20000""".stripMargin,
+
+    "q173_markov" ->
+      """WITH p AS (
+        |  SELECT event_type AS next_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), m AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |       CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |         AS from_total,
+        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type)
+        |         AS BIGINT) AS p_micro
+        |FROM m""".stripMargin,
+
+    "q174_autocorr" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type, a.c AS x, b.c AS y
+        |  FROM s a JOIN s b ON a.event_type = b.event_type AND a.h = b.h + 1
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+        |         CAST(sum(x * x) AS BIGINT) AS s_xx,
+        |         CAST(sum(y * y) AS BIGINT) AS s_yy,
+        |         CAST(sum(x * y) AS BIGINT) AS s_xy
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT event_type, n_pairs, s_x, s_y,
+        |       CASE WHEN (CAST(s_xx AS DOUBLE)
+        |                  - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) / n_pairs) > 0
+        |             AND (CAST(s_yy AS DOUBLE)
+        |                  - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) / n_pairs) > 0
+        |         THEN (CAST(s_xy AS DOUBLE)
+        |               - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE) / n_pairs)
+        |              / (sqrt(CAST(s_xx AS DOUBLE)
+        |                  - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) / n_pairs)
+        |                 * sqrt(CAST(s_yy AS DOUBLE)
+        |                  - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) / n_pairs))
+        |       END AS acf
+        |FROM g""".stripMargin,
+
+    "q175_mann_kendall" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type, CAST(sign(b.c - a.c) AS BIGINT) AS sg
+        |  FROM s a JOIN s b ON a.event_type = b.event_type AND a.h < b.h
+        |), g AS (
+        |  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM p GROUP BY 1
+        |), w AS (
+        |  SELECT event_type, s_stat,
+        |         CAST(trunc((1.0 + sqrt(1.0 + n_pairs * 8.0)) / 2.0)
+        |           AS BIGINT) AS n
+        |  FROM g
+        |), v AS (
+        |  SELECT event_type, n, s_stat,
+        |         CAST(n * (n - 1) * (2 * n + 5) AS BIGINT) AS var18
+        |  FROM w
+        |), z AS (
+        |  SELECT *,
+        |         CASE WHEN s_stat > 0 THEN
+        |                CAST(s_stat - 1 AS DOUBLE)
+        |                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |              WHEN s_stat < 0 THEN
+        |                CAST(s_stat + 1 AS DOUBLE)
+        |                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |              ELSE 0.0 END AS z
+        |  FROM v
+        |)
+        |SELECT event_type, n, s_stat, var18, z,
+        |       CASE WHEN z > 1.96 THEN 'increasing'
+        |            WHEN z < -1.96 THEN 'decreasing'
+        |            ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",

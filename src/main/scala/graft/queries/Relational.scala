@@ -415,6 +415,65 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           grouping_id().cast("long").as("gid"))),
 
+    // PIVOT: per-user event-type profile as wide columns (count + exact
+    // cents per type). The pivot values are the DECLARED domain — never
+    // the two-pass infer-distinct form, which at 100 TB adds a full scan
+    // and makes the schema data-dependent. One hash aggregation; absent
+    // (user, type) cells are count 0 / sum NULL on both engines.
+    "q169_pivot" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("cents", Exact.cents(col("value")))
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = ev.groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      types.foldLeft(wide)((d, t) =>
+        d.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L))))
+    }),
+
+    // UNPIVOT/melt: the inverse reshape — per-lineitem metric columns to
+    // long (metric, cents) form, the layout feature stores and plotting
+    // stacks want. Pure projection + generator: zero shuffles, output
+    // rows = 4× input by construction.
+    "q170_unpivot" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Exact.cents(col("l_quantity")).as("quantity"),
+        Exact.cents(col("l_extendedprice")).as("extendedprice"),
+        Exact.cents(col("l_discount")).as("discount"),
+        Exact.cents(col("l_tax")).as("tax"))
+      li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"),
+          col("tax")),
+        "metric", "cents")
+    }),
+
+    // Referential-integrity audit over the star schema's declared FKs:
+    // child keys aggregated to distinct-with-multiplicity BEFORE the
+    // anti-join existence probe (shuffle the key directory, not the
+    // fact table). TPC-H-consistent data ⇒ all four pass — the audit
+    // proving that is the product.
+    "q171_fk_orphans" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.ops.Profiling.fkAudit(Seq(
+        ("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey",
+          t.orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", t.lineitem, "l_partkey",
+          t.part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t.lineitem, "l_suppkey",
+          t.supplier, "s_suppkey"),
+        ("orders.o_custkey->customer", t.orders, "o_custkey",
+          t.customer, "c_custkey")))
+    }),
+
+    // Benford first-digit audit on order totals (a metric spanning
+    // magnitudes): observed digit fractions vs the literal Benford
+    // expectation, integer counts + one fixed IEEE derivation sequence.
+    "q172_benford" -> ((s, dir) =>
+      graft.ops.Profiling.benfordAudit(Tables(s, dir).orders,
+        Exact.cents(col("o_totalprice")))),
+
     // Data-quality gate: row-level expectations in one pass, a verdict
     // row per check (the publish gate a pipeline runs before a table
     // goes live). value_in_range is INTENTIONALLY violated by design of
@@ -847,6 +906,44 @@ object Relational extends QueryModule {
         |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q169_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"""CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS ${t}_n,
+           |       CAST(sum(cents) FILTER (WHERE event_type = '$t') AS BIGINT) AS ${t}_cents""".stripMargin)
+        .mkString(",\n       ")
+      s"""SELECT user_id,
+         |       $cols
+         |FROM (SELECT user_id, event_type,
+         |             CAST(round(value * 100) AS BIGINT) AS cents
+         |      FROM events)
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q170_unpivot" -> {
+      val metrics = Seq("quantity" -> "l_quantity",
+        "extendedprice" -> "l_extendedprice", "discount" -> "l_discount",
+        "tax" -> "l_tax")
+      metrics.map { case (m, c) =>
+        s"""SELECT l_orderkey, l_linenumber, '$m' AS metric,
+           |       CAST(round($c * 100) AS BIGINT) AS cents
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
+    "q171_fk_orphans" -> graft.ops.Profiling.fkAuditOracleSql(Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))),
+
+    "q172_benford" -> graft.ops.Profiling.benfordOracleSql(
+      "orders", "CAST(round(o_totalprice * 100) AS BIGINT)"),
 
     "q71_expectations" ->
       graft.ops.Profiling.expectationsOracleSql("events", Seq(

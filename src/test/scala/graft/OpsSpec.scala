@@ -423,4 +423,57 @@ class OpsSpec extends SparkSuite {
       df.filter(col("g") === "a").select(col("id"), col("cents")), "cents", 3.0)
     assert(z.count() == 0)
   }
+
+  test("transitionMatrix: hand sequence counts, row-stochastic micro " +
+      "probs, first event never a target") {
+    import spark.implicits._
+    // user 1: a a b a  → (a,a) (a,b) (b,a); user 2: b b → (b,b)
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a"),
+      (2L, 1L, "b"), (2L, 2L, "b")).toDF("u", "t", "e")
+    val m = TimeSeries.transitionMatrix(ev, col("u"), col("e"),
+      Seq(col("t")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(("a", "a")) == ((1L, 2L, 500000L)))
+    assert(m(("a", "b")) == ((1L, 2L, 500000L)))
+    assert(m(("b", "a")) == ((1L, 2L, 500000L)))
+    assert(m(("b", "b")) == ((1L, 2L, 500000L)))
+    assert(m.size == 4)
+  }
+
+  test("autocorr: alternating series reads -1, constant reads NULL, " +
+      "gaps form no pair") {
+    import spark.implicits._
+    val series = (
+      (1L to 10L).map(t => ("alt", t, if (t % 2 == 0) 10L else 20L)) ++
+      (1L to 10L).map(t => ("const", t, 7L)) ++
+      // gapped: only t = 1, 3, 5 — no consecutive pair exists at lag 1
+      Seq(("gap", 1L, 1L), ("gap", 3L, 2L), ("gap", 5L, 3L))
+    ).toDF("k", "t", "x")
+    val out = TimeSeries.autocorr(series, Seq("k"), "t", "x", 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    assert(out("alt")._1 == 9L && math.abs(out("alt")._2.get + 1.0) < 1e-12)
+    assert(out("const") == ((9L, None)))
+    assert(!out.contains("gap")) // zero pairs → no group row
+  }
+
+  test("mannKendall: monotone series hit ±max S, shuffled-flat reads " +
+      "no_trend, n recovered exactly") {
+    import spark.implicits._
+    val series = (
+      (1L to 20L).map(t => ("up", t, t * 3)) ++
+      (1L to 20L).map(t => ("down", t, 100L - t)) ++
+      (1L to 20L).map(t => ("flat", t, 5L))
+    ).toDF("k", "t", "x")
+    val out = TimeSeries.mannKendall(series, Seq("k"), "t", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    val maxS = 20L * 19L / 2L
+    val var18 = 20L * 19L * 45L
+    assert(out("up") == ((20L, maxS, var18, "increasing")))
+    assert(out("down") == ((20L, -maxS, var18, "decreasing")))
+    assert(out("flat") == ((20L, 0L, var18, "no_trend")))
+  }
 }

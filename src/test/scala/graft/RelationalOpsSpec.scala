@@ -579,4 +579,49 @@ class RelationalOpsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("fkAudit: planted orphans counted with multiplicity, NULL keys " +
+      "separate, clean FK passes") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    // key 9 is an orphan appearing twice; two NULL keys are not orphans
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None, None)
+      .toDF("fk_col")
+    val out = Profiling.fkAudit(Seq(
+      ("dirty", child, "fk_col", parent, "pk"),
+      ("clean", child.filter(col("fk_col") <= 2), "fk_col", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("dirty") == ((6L, 2L, 2L, false)))
+    assert(out("clean") == ((2L, 0L, 0L, true)))
+  }
+
+  test("benfordAudit: digit counts exact, fractions sum to 1, " +
+      "zero/negative rows excluded") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    // 1, 19, 123 → digit 1 ×3; 25 → 2; 9 → 9; 0 and -5 excluded
+    val df = Seq(1L, 19L, 123L, 25L, 9L, 0L, -5L).toDF("cents")
+    val rows = Profiling.benfordAudit(df, col("cents")).collect()
+    val byDigit = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDigit == Map("1" -> 3L, "2" -> 1L, "9" -> 1L))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    val d1 = rows.find(_.getString(0) == "1").get
+    assert(d1.getDouble(3) == Profiling.benfordExpected.head)
+    assert(d1.getDouble(4) == math.abs(3.0 / 5 - Profiling.benfordExpected.head))
+  }
+
+  test("pivot/unpivot round-trip: melted metrics regroup to the original " +
+      "wide row") {
+    import spark.implicits._
+    val wide = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "m_a", "m_b")
+    val long = wide.unpivot(Array(col("id")),
+      Array(col("m_a"), col("m_b")), "metric", "v")
+    assert(long.count() == 4)
+    val back = long.groupBy("id").pivot("metric", Seq("m_a", "m_b"))
+      .agg(first("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == Set((1L, 10L, 20L), (2L, 30L, 40L)))
+  }
 }
