@@ -180,6 +180,33 @@ object Text extends QueryModule {
           (lit(1.0) - punct) * lit(0.1)).as("quality"))
     }),
 
+    // Character-distribution entropy per doc: gibberish / encoded-blob
+    // detector in exact bit-length-log integers (single-agg identity
+    // h_q = n*blog(n) - sum k*blog(k); codegen substring over exploded
+    // positions, never a per-doc char array).
+    "q176_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables(s, dir).documents, "doc_id", "text")),
+
+    // Zipf decay slope per source over top-64 token ranks: corpus-health
+    // scalar (natural language vs template spam), bit-length log-log
+    // least squares on exact integer sums; q152's two-phase bounded rank.
+    "q177_zipf" -> ((s, dir) =>
+      graft.text.Spans.zipfSlope(Tables(s, dir).documents, "source",
+        "text", topR = 64)),
+
+    // Flesch-Kincaid readability: words/sentences/vowel-group syllables
+    // as integer run counts (collapse-minus-delete identity), grade in
+    // one fixed IEEE sequence.
+    "q178_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
+
+    // Middle-out truncation to a 64-token budget (keep 32 head + 16
+    // tail): the context-window-fitting transform, pure per-row array
+    // expression with kept/dropped accounting.
+    "q179_truncate" -> ((s, dir) =>
+      graft.text.Segments.truncateMiddleOut(Tables(s, dir).documents,
+        "doc_id", "text", maxTokens = 64, headTokens = 32, tailTokens = 16)),
+
     // Language ID: stopword-hit argmax heuristic.
     "q21_lang_id" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -1041,6 +1068,19 @@ object Text extends QueryModule {
         |         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score
         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
         |)""".stripMargin,
+
+    "q176_char_entropy" -> TextAnalysis.charEntropyOracleSql(
+      "documents", "doc_id", "text"),
+
+    "q177_zipf" -> graft.text.Spans.zipfSlopeOracleSql(
+      "documents", "source", toksSql, topR = 64),
+
+    "q178_readability" -> TextAnalysis.readabilityOracleSql(
+      "documents", "doc_id", "text"),
+
+    "q179_truncate" -> graft.text.Segments.truncateMiddleOutOracleSql(
+      "documents", "doc_id", toksSql, maxTokens = 64, headTokens = 32,
+      tailTokens = 16),
 
     "q21_lang_id" ->
       s"""SELECT doc_id,

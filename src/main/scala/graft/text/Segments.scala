@@ -274,4 +274,66 @@ object Segments {
         col("__mk").cast("double") / col("n_segments").cast("double"))
       .drop("__mk")
   }
+
+  /** Middle-out truncation to a token budget: documents over `maxTokens`
+    * keep their first `headTokens` and last `tailTokens` tokens with an
+    * ellipsis marker between — the context-window-fitting transform
+    * serving pipelines apply (head + tail carry the instruction and the
+    * answer; the middle is the cheapest cut). Documents within budget
+    * pass through with their tokens joined unchanged.
+    *
+    * Pure per-row array expression — zero shuffles, zero joins; the
+    * output is the serialized token text (never a LIST column), plus the
+    * kept/dropped accounting the token-budget planner (q129) consumes.
+    *
+    * @return (idCol, n_tokens, kept_tokens, dropped_tokens, truncated,
+    *         out_text)
+    */
+  def truncateMiddleOut(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, headTokens: Int, tailTokens: Int,
+      marker: String = "..."): DataFrame = {
+    require(headTokens + tailTokens <= maxTokens,
+      s"head $headTokens + tail $tailTokens exceed budget $maxTokens")
+    require(headTokens >= 1 && tailTokens >= 1)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val kept = when(col("n_tokens") <= maxTokens, col("n_tokens"))
+      .otherwise(lit(headTokens.toLong + tailTokens))
+    docs.select(col(idCol), toks.as("__toks"),
+        size(toks).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"), kept.as("kept_tokens"),
+        (col("n_tokens") - kept).as("dropped_tokens"),
+        (col("n_tokens") > maxTokens).as("truncated"),
+        when(col("n_tokens") <= maxTokens,
+            array_join(col("__toks"), " "))
+          .otherwise(concat(
+            array_join(slice(col("__toks"), 1, headTokens), " "),
+            lit(" " + marker + " "),
+            array_join(slice(col("__toks"), -tailTokens, tailTokens), " ")))
+          .as("out_text"))
+  }
+
+  /** DuckDB oracle for [[truncateMiddleOut]]; `toksSql` mirrors
+    * [[TextAnalysis.tokens]]. DuckDB lists are 1-based like Spark slice;
+    * `arr[a:b]` is inclusive-end sublist. */
+  def truncateMiddleOutOracleSql(table: String, idCol: String,
+      toksSql: String, maxTokens: Int, headTokens: Int, tailTokens: Int,
+      marker: String = "..."): String =
+    s"""WITH t AS (
+       |  SELECT $idCol, $toksSql AS toks,
+       |         CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM $table
+       |)
+       |SELECT $idCol, n_tokens,
+       |       CASE WHEN n_tokens <= $maxTokens THEN n_tokens
+       |            ELSE ${headTokens + tailTokens} END AS kept_tokens,
+       |       n_tokens - (CASE WHEN n_tokens <= $maxTokens THEN n_tokens
+       |            ELSE ${headTokens + tailTokens} END) AS dropped_tokens,
+       |       n_tokens > $maxTokens AS truncated,
+       |       CASE WHEN n_tokens <= $maxTokens
+       |         THEN array_to_string(toks, ' ')
+       |         ELSE array_to_string(toks[1:$headTokens], ' ')
+       |              || ' $marker '
+       |              || array_to_string(toks[-$tailTokens:], ' ')
+       |       END AS out_text
+       |FROM t""".stripMargin
 }

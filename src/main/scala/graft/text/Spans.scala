@@ -530,4 +530,91 @@ object Spans {
         (col("topk_grams").cast("double") /
           col("n_grams").cast("double")).as("topk_share"))
   }
+
+  /** Per-group Zipf decay slope: least-squares fit of bit-length
+    * log-frequency against bit-length log-rank over the group's top
+    * `topR` token ranks — the corpus-health scalar that separates
+    * natural language (slope ≈ −1 in true logs) from template spam
+    * (flat head, slope ≈ 0) and near-constant streams (cliff). Bit-length
+    * quantization (blog(x) = ⌊log2 x⌋+1, the [[graft.text.LangModel]]
+    * idiom) keeps x, y and all five regression sums exact integers; the
+    * slope `(n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)` is one fixed IEEE
+    * division. A quantized-log fit is coarser than a real lm() — but
+    * engine-exact, and the ordering across sources (what the health
+    * dashboard compares) is preserved.
+    *
+    * Ranks come from the q152 two-phase bounded rank (salted partials,
+    * then ≤64·topR survivors rank globally per group) — never a corpus
+    * sort inside one group. Ties break (freq desc, token asc), total and
+    * portable.
+    *
+    * @return (groupCol, n_ranks, sum_x, sum_y, sum_xx, sum_xy, slope)
+    */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String,
+      topR: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topR >= 2, s"need >= 2 ranks to fit, got $topR")
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    val counts = docs
+      .select(col(groupCol).as("g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("c"))
+    val partial = counts
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("g"), pmod(hash(col("token")), lit(64)))
+        .orderBy(col("c").desc, col("token"))))
+      .filter(col("rn") <= topR)
+    val ranked = partial
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("g")).orderBy(col("c").desc, col("token")))
+        .cast("long"))
+      .filter(col("rank") <= topR)
+      .select(col("g"), blog(col("rank")).as("x"), blog(col("c")).as("y"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .withColumn("slope",
+        when(col("n_ranks") * col("sum_xx") - col("sum_x") * col("sum_x") > 0,
+          (col("n_ranks") * col("sum_xy") - col("sum_x") * col("sum_y"))
+            .cast("double") /
+          (col("n_ranks") * col("sum_xx") - col("sum_x") * col("sum_x"))
+            .cast("double")))
+      .select(col("g").as(groupCol), col("n_ranks"), col("sum_x"),
+        col("sum_y"), col("sum_xx"), col("sum_xy"), col("slope"))
+  }
+
+  /** DuckDB oracle for [[zipfSlope]]: same ranks by a plain window (the
+    * two-phase form is a Spark-side scale tactic; the winners are
+    * identical). `toksSql` must mirror [[TextAnalysis.tokens]]. */
+  def zipfSlopeOracleSql(table: String, groupCol: String, toksSql: String,
+      topR: Int = 64): String =
+    s"""WITH tok AS (
+       |  SELECT $groupCol AS g, unnest($toksSql) AS token FROM $table
+       |), c AS (
+       |  SELECT g, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2
+       |), r AS (
+       |  SELECT g, c, CAST(row_number() OVER (PARTITION BY g
+       |           ORDER BY c DESC, token) AS BIGINT) AS rank
+       |  FROM c QUALIFY rank <= $topR
+       |), xy AS (
+       |  SELECT g, CAST(length(bin(rank)) AS BIGINT) AS x,
+       |         CAST(length(bin(c)) AS BIGINT) AS y
+       |  FROM r
+       |), s AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_ranks,
+       |         CAST(sum(x) AS BIGINT) AS sum_x,
+       |         CAST(sum(y) AS BIGINT) AS sum_y,
+       |         CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       |         CAST(sum(x * y) AS BIGINT) AS sum_xy
+       |  FROM xy GROUP BY 1
+       |)
+       |SELECT g AS $groupCol, n_ranks, sum_x, sum_y, sum_xx, sum_xy,
+       |       CASE WHEN n_ranks * sum_xx - sum_x * sum_x > 0 THEN
+       |         CAST(n_ranks * sum_xy - sum_x * sum_y AS DOUBLE)
+       |           / CAST(n_ranks * sum_xx - sum_x * sum_x AS DOUBLE)
+       |       END AS slope
+       |FROM s""".stripMargin
 }

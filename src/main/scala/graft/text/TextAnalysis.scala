@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline extensions:
@@ -93,4 +93,128 @@ object TextAnalysis {
     * portable oracle; the streaming rolling hash lives in NearDup). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Per-document character-distribution entropy — the gibberish /
+    * binary-spill / base64-blob detector: natural prose sits in a narrow
+    * entropy band, key mashes and encoded blobs sit far above it,
+    * aaaa-runs far below.
+    *
+    * Exact integer formulation (the [[graft.text.LangModel]] bit-length
+    * quantization): with per-char counts k and doc total n, the
+    * quantized entropy mass is `h_q = Σ_c k_c · (blog(n) − blog(k_c))`
+    * where blog(x) = |bin(x)| = ⌊log2 x⌋+1 — order-preserving in the
+    * true Σ k·log2(n/k), integer-exact on both engines. Since blog(n)
+    * is constant per doc, the identity `h_q = n·blog(n) − Σ k·blog(k)`
+    * computes it in ONE aggregation (no per-doc total window);
+    * `h_per_char` divides by n in one fixed IEEE step.
+    *
+    * Plan shape: chars come from a codegen'd `substring(text, pos, 1)`
+    * over an exploded POSITION sequence (the measured-8× q134 recipe —
+    * no per-document array of |text| single-char strings materializes),
+    * then one (doc, char) hash aggregation and one per-doc rollup, both
+    * map-side combinable.
+    *
+    * @return (idCol, n_chars_counted, n_distinct_chars, h_q, h_per_char)
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    val counts = docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), length(col("__t")))).as("__pos"))
+      .select(col(idCol), col("__t").substr(col("__pos"), lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("k"))
+    counts
+      .groupBy(col(idCol))
+      .agg(sum("k").as("n_chars_counted"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("k") * blog(col("k"))).as("__s"))
+      .withColumn("h_q",
+        col("n_chars_counted") * blog(col("n_chars_counted")) - col("__s"))
+      .withColumn("h_per_char",
+        col("h_q").cast("double") / col("n_chars_counted"))
+      .drop("__s")
+  }
+
+  /** DuckDB oracle for [[charEntropy]] over `table(idCol, textCol)`. */
+  def charEntropyOracleSql(table: String, idCol: String, textCol: String)
+      : String =
+    s"""WITH pos AS (
+       |  SELECT $idCol, $textCol AS t,
+       |         unnest(generate_series(1, length($textCol))) AS p
+       |  FROM $table WHERE length($textCol) >= 1
+       |), k AS (
+       |  SELECT $idCol, substr(t, p, 1) AS c, CAST(count(*) AS BIGINT) AS k
+       |  FROM pos GROUP BY 1, 2
+       |), g AS (
+       |  SELECT $idCol, CAST(sum(k) AS BIGINT) AS n_chars_counted,
+       |         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       |         CAST(sum(k * length(bin(k))) AS BIGINT) AS s
+       |  FROM k GROUP BY 1
+       |)
+       |SELECT $idCol, n_chars_counted, n_distinct_chars,
+       |       CAST(n_chars_counted * length(bin(n_chars_counted)) - s
+       |         AS BIGINT) AS h_q,
+       |       CAST(n_chars_counted * length(bin(n_chars_counted)) - s
+       |         AS DOUBLE) / n_chars_counted AS h_per_char
+       |FROM g""".stripMargin
+
+  /** Flesch-Kincaid grade level from three integer counts — words
+    * ([[tokens]] runs), sentences (runs of `[.!?]`, floored at 1), and
+    * syllables (vowel-group runs per the standard heuristic: a run of
+    * `[aeiouy]` is one syllable nucleus). The classic readability gate a
+    * curation pipeline uses to window out both word-salad and
+    * legalese-density extremes.
+    *
+    * Run counting is the collapse-minus-delete identity
+    * `|replace(t, pat, "x")| − |replace(t, pat, "")|` — each run
+    * contributes exactly one surviving char — which both engines'
+    * global regexp_replace compute identically. The grade derives from
+    * the three integers in one fixed IEEE sequence
+    * (`0.39·w/s + 11.8·y/w − 15.59`); NULL when there are no words.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, fk_grade)
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = lower(col(textCol))
+    val runs = (pat: String) =>
+      (length(regexp_replace(t, pat, "x")) -
+        length(regexp_replace(t, pat, ""))).cast("long")
+    docs.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        greatest(runs("[.!?]+"), lit(1L)).as("n_sentences"),
+        runs("[aeiouy]+").as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+            + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+            - lit(15.59)))
+  }
+
+  /** DuckDB oracle for [[readability]]. */
+  def readabilityOracleSql(table: String, idCol: String, textCol: String)
+      : String = {
+    def runs(pat: String) =
+      s"""(length(regexp_replace(lower($textCol), '$pat', 'x', 'g'))
+         | - length(regexp_replace(lower($textCol), '$pat', '', 'g')))""".stripMargin
+    s"""SELECT $idCol,
+       |  CAST(len(list_filter(string_split_regex(lower($textCol),
+       |    '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_words,
+       |  CAST(greatest(${runs("[.!?]+")}, 1) AS BIGINT) AS n_sentences,
+       |  CAST(${runs("[aeiouy]+")} AS BIGINT) AS n_syllables,
+       |  CASE WHEN len(list_filter(string_split_regex(lower($textCol),
+       |    '[^a-z0-9]+'), x -> x <> '')) > 0 THEN
+       |    0.39 * (CAST(len(list_filter(string_split_regex(lower($textCol),
+       |      '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE)
+       |      / greatest(${runs("[.!?]+")}, 1))
+       |    + 11.8 * (CAST(${runs("[aeiouy]+")} AS DOUBLE)
+       |      / len(list_filter(string_split_regex(lower($textCol),
+       |        '[^a-z0-9]+'), x -> x <> '')))
+       |    - 15.59
+       |  END AS fk_grade
+       |FROM $table""".stripMargin
+  }
 }

@@ -1160,4 +1160,71 @@ class TextOpsSpec extends SparkSuite {
       .filter($"source" === "collapsed").collect().head.getLong(3)
     assert(topkGrams == brute)
   }
+
+  test("charEntropy: constant text reads 0, uniform 16-char text reads " +
+      "exactly 64 quantized bits, empty docs drop") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "aaaaaaaa"),                    // 1 distinct → h_q = 0
+      (2L, "abcdefghijklmnop"),            // 16 distinct × 1 → 16·5 − 16·1
+      (3L, "")                             // no chars → no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((8L, 1L, 0L, 0.0)))
+    assert(out(2L) == ((16L, 16L, 64L, 4.0)))
+    assert(!out.contains(3L))
+  }
+
+  test("zipfSlope: hand-built 32/8/2/1 frequencies fit slope -2.5 " +
+      "exactly; single-rank group has no fit") {
+    import graft.text.Spans
+    // x = blog(rank 1..4) = 1,2,2,3; y = blog(32,8,2,1) = 6,4,2,1
+    // slope = (4·21 − 8·13) / (4·18 − 64) = −20/8 = −2.5
+    val text = (Seq.fill(32)("aa") ++ Seq.fill(8)("bb") ++
+      Seq.fill(2)("cc") ++ Seq("dd")).mkString(" ")
+    val docs = Seq(("zipf", text), ("single", "solo solo")).toDF("source", "text")
+    val out = Spans.zipfSlope(docs, "source", "text", topR = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(6)) None else Some(r.getDouble(6)))))
+      .toMap
+    assert(out("zipf") == ((4L, Some(-2.5))))
+    assert(out("single") == ((1L, None))) // degenerate: no x variance
+  }
+
+  test("readability: hand counts for words/sentences/syllables, " +
+      "wordless doc gets NULL grade and sentence floor 1") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat. it ran fast!"),
+      (2L, "?!.")                          // no words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // 6 words, 2 sentence runs, 6 vowel groups (e,a,a,i,a,a)
+    assert(out(1L) ==
+      ((6L, 2L, 6L, Some(0.39 * (6.0 / 2) + 11.8 * (6.0 / 6) - 15.59))))
+    assert(out(2L) == ((0L, 1L, 0L, None)))
+  }
+
+  test("truncateMiddleOut: over-budget docs keep head+tail around the " +
+      "marker, in-budget docs pass through verbatim") {
+    import graft.text.Segments
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),   // 10 > 6 → truncate
+      (2L, "a b c d e f"),                      // exactly 6 → untouched
+      (3L, "short one")
+    ).toDF("doc_id", "text")
+    val out = Segments.truncateMiddleOut(docs, "doc_id", "text",
+      maxTokens = 6, headTokens = 3, tailTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getString(5)))).toMap
+    assert(out(1L) == ((10L, 5L, 5L, true, "t1 t2 t3 ... t9 t10")))
+    assert(out(2L) == ((6L, 6L, 0L, false, "a b c d e f")))
+    assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
+  }
 }
