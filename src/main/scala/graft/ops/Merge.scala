@@ -129,4 +129,69 @@ object Merge {
         lit("delete").as(opCol): _*)
     upserts.unionByName(deletes)
   }
+
+  /** Golden-record construction (survivorship): collapse each duplicate
+    * CLUSTER to one synthetic best record, field by field — every field
+    * independently takes its cluster-modal non-NULL value (count desc,
+    * value asc tie-break), so the golden record may combine fields from
+    * different members. The master-data step after identity resolution
+    * (exact fingerprints, q37's near-dup clusters, or q162/q166 linkage)
+    * has linked the duplicates.
+    *
+    * Scale shape: one (cluster, field-value) count aggregation + one
+    * cluster-keyed bounded window PER FIELD (frames are
+    * |distinct values within cluster| rows — duplicate-bounded, like
+    * q90's representative pick), then a |fields|-way equi-join of
+    * cluster-sized frames. NULL wins only when a field is NULL across
+    * the whole cluster.
+    *
+    * @param fields value columns to survive independently (orderable
+    *               types — the tie-break sorts them)
+    * @return (clusterCol, n_members, golden_<field>...)
+    */
+  def goldenRecords(df: DataFrame, clusterCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to survive")
+    import org.apache.spark.sql.expressions.Window
+    val members = df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"))
+    fields.foldLeft(members) { (acc, f) =>
+      val w = Window.partitionBy(col(clusterCol))
+        .orderBy(col("__c").desc, col(f).asc)
+      val winner = df.filter(col(f).isNotNull)
+        .groupBy(col(clusterCol), col(f))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(clusterCol), col(f).as(s"golden_$f"))
+      acc.join(winner, Seq(clusterCol), "left")
+    }
+  }
+
+  /** DuckDB oracle for [[goldenRecords]]. */
+  def goldenRecordsOracleSql(innerSql: String, clusterCol: String,
+      fields: Seq[String]): String = {
+    val winners = fields.map(f =>
+      s"""w_$f AS (
+         |  SELECT $clusterCol, $f AS golden_$f
+         |  FROM (
+         |    SELECT $clusterCol, $f, row_number() OVER (
+         |      PARTITION BY $clusterCol
+         |      ORDER BY count(*) DESC, $f ASC) AS rn
+         |    FROM ($innerSql) WHERE $f IS NOT NULL
+         |    GROUP BY $clusterCol, $f
+         |  ) WHERE rn = 1
+         |)""".stripMargin).mkString(",\n")
+    val joins = fields.map(f =>
+      s"LEFT JOIN w_$f USING ($clusterCol)").mkString("\n")
+    val sel = fields.map(f => s"golden_$f").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT $clusterCol, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM ($innerSql) GROUP BY 1
+       |),
+       |$winners
+       |SELECT $clusterCol, n_members, $sel
+       |FROM m
+       |$joins""".stripMargin
+  }
 }

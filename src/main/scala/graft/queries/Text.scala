@@ -223,6 +223,30 @@ object Text extends QueryModule {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // Pairwise source vocabulary overlap: the redundancy map a mixture
+    // planner reads before weighting sources; token-keyed self-join
+    // with per-token fan-out bounded by |sources|.
+    "q180_vocab_overlap" -> ((s, dir) =>
+      graft.text.Corpus.vocabOverlap(Tables(s, dir).documents,
+        "source", "text")),
+
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions over the fixed 4096-bucket hash space — exact
+    // integer micro-probabilities + bit-length logs.
+    "q181_js_divergence" -> ((s, dir) =>
+      graft.text.Corpus.sourceDivergence(Tables(s, dir).documents,
+        "source", "text", buckets = 4096)),
+
+    // Golden-record survivorship over exact-dup clusters: per cluster
+    // the field-wise modal source/lang + earliest member id — the
+    // master-data collapse after identity resolution.
+    "q183_golden_record" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      graft.ops.Merge.goldenRecords(docs, "fp",
+        Seq("source", "lang", "doc_id"))
+    }),
+
     // Exact dedup: hash-groupBy over content fingerprint. Duplicates are
     // injected (10% resample) since the corpus has none — the query must
     // collapse them back to one group per distinct text.
@@ -1104,6 +1128,17 @@ object Text extends QueryModule {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q180_vocab_overlap" -> graft.text.Corpus.vocabOverlapOracleSql(
+      "documents", "source", toksSql),
+
+    "q181_js_divergence" -> graft.text.Corpus.sourceDivergenceOracleSql(
+      "documents", "source", toksSql, buckets = 4096),
+
+    "q183_golden_record" -> graft.ops.Merge.goldenRecordsOracleSql(
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       source, lang, doc_id FROM documents""".stripMargin,
+      "fp", Seq("source", "lang", "doc_id")),
 
     "q23_dedup_docs" ->
       """WITH all_docs AS (

@@ -260,6 +260,13 @@ object Vectors extends QueryModule {
           Similarity.cosine(col("e1.ev"), col("e2.ev")).as("cosine"))
     }),
 
+    // Label-centroid cosine matrix: which classes are embedding-space
+    // neighbors — exact means re-quantized to integer milli components,
+    // pair dots/norms as exact integer sums, cosine one IEEE step.
+    "q182_centroid_cosine" -> ((s, dir) =>
+      graft.similarity.KMeans.centroidCosineMatrix(
+        Tables(s, dir).embeddings, "label", "embedding")),
+
     // Embedding near-dup via quantized-vector fingerprint (exact dup after
     // floor(x*1000) quantization; dups injected as in q23).
     "q29_embedding_dupkey" -> ((s, dir) => {
@@ -1018,6 +1025,9 @@ object Vectors extends QueryModule {
         |       CAST((fingerprint // 7) % 1080 + 1 AS INTEGER) AS height,
         |       CAST(CASE WHEN kind = 'video' THEN n_bytes % 240 + 1 ELSE 1 END AS INTEGER) AS frames
         |FROM m""".stripMargin,
+
+    "q182_centroid_cosine" -> graft.similarity.KMeans.centroidCosineOracleSql(
+      "embeddings", "label", "embedding"),
 
     "q29_embedding_dupkey" ->
       """WITH e AS (

@@ -71,4 +71,82 @@ object KMeans {
         transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m")).as("vec"))
   }
+
+  /** Pairwise cosine similarity between per-group centroids — the
+    * cluster/label geometry report (which classes are embedding-space
+    * neighbors, which sources cover the same semantic region). The
+    * centroid-level sibling of SemDeDup's member-level question.
+    *
+    * Exactness: centroids are the [[exactMeanByKey]] exact means,
+    * RE-quantized to integer milli components (`floor(m·1000)` — floor
+    * of a bit-identical double is bit-portable), so the pair dot
+    * products and norms are exact integer sums (|c| ≤ scale·1000 keeps
+    * every product far inside int64) and the cosine is one fixed IEEE
+    * sequence. The milli grid costs ~1e-3 relative precision — nothing
+    * at similarity-matrix granularity — and buys engine-exact output.
+    *
+    * Scale shape: everything after the one exactMeanByKey aggregation
+    * operates on |groups|·dim rows; the pair join is position-keyed
+    * with |groups| fan-out per position.
+    *
+    * @return (group_a, group_b, dot_q, norm_a_q, norm_b_q, cosine)
+    */
+  def centroidCosineMatrix(df: DataFrame, keyCol: String, vecCol: String)
+      : DataFrame = {
+    val cents = exactMeanByKey(df, keyCol, vecCol)
+      .select(col(keyCol).as("g"),
+        posexplode(col("vec")).as(Seq("pos", "m")))
+      .select(col("g"), col("pos"),
+        floor(col("m") * lit(1000.0)).cast("long").as("c"))
+    val norms = cents.groupBy(col("g"))
+      .agg(sum(col("c") * col("c")).as("nq"))
+    val dots = cents.as("a")
+      .join(cents.as("b"), Seq("pos"))
+      .filter(col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot_q"))
+    dots
+      .join(broadcast(norms.select(col("g").as("group_a"),
+        col("nq").as("norm_a_q"))), Seq("group_a"))
+      .join(broadcast(norms.select(col("g").as("group_b"),
+        col("nq").as("norm_b_q"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("dot_q"),
+        col("norm_a_q"), col("norm_b_q"),
+        when(col("norm_a_q") > 0 && col("norm_b_q") > 0,
+          col("dot_q").cast("double") /
+            (sqrt(col("norm_a_q").cast("double")) *
+              sqrt(col("norm_b_q").cast("double")))).as("cosine"))
+  }
+
+  /** DuckDB oracle for [[centroidCosineMatrix]] over
+    * `table(keyCol, vecCol)`. */
+  def centroidCosineOracleSql(table: String, keyCol: String,
+      vecCol: String, scale: Double = 1e6): String =
+    s"""WITH dims AS (
+       |  SELECT $keyCol AS g, CAST(pr[2] AS BIGINT) AS pos,
+       |         CAST(floor(pr[1] * $scale) AS BIGINT) AS q
+       |  FROM (SELECT $keyCol, unnest(list_zip($vecCol,
+       |          range(0, len($vecCol)))) AS pr FROM $table)
+       |), mean AS (
+       |  SELECT g, pos,
+       |         CAST(sum(q) AS DOUBLE) / count(*) / $scale AS m
+       |  FROM dims GROUP BY 1, 2
+       |), cq AS (
+       |  SELECT g, pos, CAST(floor(m * 1000.0) AS BIGINT) AS c FROM mean
+       |), nrm AS (
+       |  SELECT g, CAST(sum(c * c) AS BIGINT) AS nq FROM cq GROUP BY 1
+       |), dot AS (
+       |  SELECT a.g AS group_a, b.g AS group_b,
+       |         CAST(sum(a.c * b.c) AS BIGINT) AS dot_q
+       |  FROM cq a JOIN cq b ON a.pos = b.pos AND a.g < b.g
+       |  GROUP BY 1, 2
+       |)
+       |SELECT group_a, group_b, dot_q, na.nq AS norm_a_q, nb.nq AS norm_b_q,
+       |       CASE WHEN na.nq > 0 AND nb.nq > 0 THEN
+       |         CAST(dot_q AS DOUBLE)
+       |           / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+       |       END AS cosine
+       |FROM dot
+       |JOIN nrm na ON na.g = group_a
+       |JOIN nrm nb ON nb.g = group_b""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hash64
 import graft.ops.Sampling
 
 /** End-to-end training-corpus builder — the composition a data pipeline
@@ -127,4 +128,151 @@ object Corpus {
         col("n_tokens").cast("double") /
           sum(col("n_tokens")).over(all).cast("double"))
   }
+
+  /** Pairwise VOCABULARY Jaccard between groups (sources): how much of
+    * each pair's distinct-token sets overlap — the redundancy map a
+    * mixture planner reads before weighting sources (two crawls of the
+    * same sites earn one budget, not two).
+    *
+    * Scale shape: one distinct-token aggregation, then a token-keyed
+    * self-join whose per-token fan-out is bounded by |groups| (≤ m²
+    * pair rows per token, m = number of groups carrying it — never a
+    * corpus×corpus join); group vocabulary sizes join back broadcast
+    * (|groups| rows). Pairs sharing zero tokens produce no row.
+    *
+    * @return (group_a, group_b, inter, n_a, n_b, jaccard), group_a <
+    *         group_b lexicographically
+    */
+  def vocabOverlap(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs
+      .select(col(groupCol).as("g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .distinct()
+    val sizes = toks.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val pairs = toks.as("a")
+      .join(toks.as("b"),
+        col("a.t") === col("b.t") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))),
+        Seq("group_a"))
+      .join(broadcast(sizes.select(col("g").as("group_b"), col("n").as("n_b"))),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("inter"), col("n_a"),
+        col("n_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[vocabOverlap]]; `toksSql` mirrors
+    * [[TextAnalysis.tokens]]. */
+  def vocabOverlapOracleSql(table: String, groupCol: String,
+      toksSql: String): String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT $groupCol AS g, unnest($toksSql) AS t FROM $table
+       |), sz AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+       |), pr AS (
+       |  SELECT a.g AS group_a, b.g AS group_b,
+       |         CAST(count(*) AS BIGINT) AS inter
+       |  FROM tok a JOIN tok b ON a.t = b.t AND a.g < b.g
+       |  GROUP BY 1, 2
+       |)
+       |SELECT group_a, group_b, inter, sa.n AS n_a, sb.n AS n_b,
+       |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+       |         AS jaccard
+       |FROM pr
+       |JOIN sz sa ON sa.g = group_a
+       |JOIN sz sb ON sb.g = group_b""".stripMargin
+
+  /** Pairwise Jensen-Shannon divergence between group unigram
+    * DISTRIBUTIONS over hashed token buckets — the distributional
+    * complement of [[vocabOverlap]] (two sources can share vocabulary
+    * yet use it at wildly different rates). The mixture-design /
+    * domain-shift dashboard number.
+    *
+    * Everything is exact integers: per-group bucket probabilities
+    * quantize to micro units (`k·1e6 div n` — integer div), and each
+    * bucket's JS contribution uses the bit-length log
+    * (blog(2p) − blog(p+q) for the P side, symmetrically for Q —
+    * p = 0 or q = 0 contribute only from the live side, exactly the
+    * limit of the true formula). `js_q` is the summed quantized mass
+    * (÷2e6 ≈ bits); scaled to `js_bits` in one IEEE step.
+    *
+    * Scale shape: the bucket space is FIXED (`buckets`, default 4096),
+    * so the per-group distribution frame is |groups|·buckets rows
+    * regardless of corpus size; the pair join is on the bucket key with
+    * |groups| fan-out per bucket. Token mass aggregates map-side before
+    * any of this.
+    *
+    * @return (group_a, group_b, js_q, js_bits)
+    */
+  def sourceDivergence(docs: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    val sparse = docs
+      .select(col(groupCol).as("g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col("g"), (Hash64.hash60(col("__t")) % buckets).as("bkt"))
+      .groupBy(col("g"), col("bkt")).agg(count(lit(1)).as("k"))
+      .withColumn("n", sum("k").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .withColumn("p", expr("(k * 1000000) div n"))
+      .select(col("g"), col("bkt"), col("p"))
+    // densify over the FIXED bucket space (|groups|·buckets rows — a
+    // constant of the config, not the corpus) so absent buckets carry
+    // p = 0 and the pair join needs no anti-legs
+    val dense = sparse.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0L),
+        lit(buckets.toLong - 1))).as("bkt"))
+      .join(sparse, Seq("g", "bkt"), "left")
+      .select(col("g"), col("bkt"), coalesce(col("p"), lit(0L)).as("p"))
+    val terms = dense.as("a")
+      .join(dense.as("b"), Seq("bkt"))
+      .filter(col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"),
+        col("a.p").as("p"), col("b.p").as("q"))
+      .withColumn("m", col("p") + col("q"))
+      .withColumn("c",
+        when(col("p") > 0, col("p") * (blog(col("p") * 2) - blog(col("m"))))
+          .otherwise(lit(0L)) +
+        when(col("q") > 0, col("q") * (blog(col("q") * 2) - blog(col("m"))))
+          .otherwise(lit(0L)))
+    terms.groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg(sum(col("c")).as("js_q"))
+      .withColumn("js_bits", col("js_q").cast("double") / lit(2000000.0))
+  }
+
+  /** DuckDB oracle for [[sourceDivergence]]. */
+  def sourceDivergenceOracleSql(table: String, groupCol: String,
+      toksSql: String, buckets: Int = 4096): String =
+    s"""WITH tok AS (
+       |  SELECT $groupCol AS g, ${Hash64.duckSql("t")} % $buckets AS bkt
+       |  FROM (SELECT $groupCol, unnest($toksSql) AS t FROM $table)
+       |), cnt AS (
+       |  SELECT g, bkt, CAST(count(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2
+       |), prob AS (
+       |  SELECT g, bkt,
+       |         CAST(k * 1000000 // CAST(sum(k) OVER (PARTITION BY g)
+       |           AS BIGINT) AS BIGINT) AS p
+       |  FROM cnt
+       |), dense AS (
+       |  SELECT gs.g, bs.bkt, coalesce(prob.p, 0) AS p
+       |  FROM (SELECT DISTINCT g FROM prob) gs
+       |  CROSS JOIN (SELECT unnest(range(0, $buckets)) AS bkt) bs
+       |  LEFT JOIN prob ON prob.g = gs.g AND prob.bkt = bs.bkt
+       |), t AS (
+       |  SELECT a.g AS group_a, b.g AS group_b,
+       |         (CASE WHEN a.p > 0 THEN a.p * (length(bin(a.p * 2))
+       |            - length(bin(a.p + b.p))) ELSE 0 END
+       |          + CASE WHEN b.p > 0 THEN b.p * (length(bin(b.p * 2))
+       |            - length(bin(a.p + b.p))) ELSE 0 END) AS c
+       |  FROM dense a JOIN dense b ON a.bkt = b.bkt AND a.g < b.g
+       |)
+       |SELECT group_a, group_b, CAST(sum(c) AS BIGINT) AS js_q,
+       |       CAST(sum(c) AS DOUBLE) / 2000000.0 AS js_bits
+       |FROM t GROUP BY 1, 2""".stripMargin
 }

@@ -612,6 +612,27 @@ class RelationalOpsSpec extends SparkSuite {
     assert(d1.getDouble(4) == math.abs(3.0 / 5 - Profiling.benfordExpected.head))
   }
 
+  test("goldenRecords: field-wise modal survivorship, count ties break " +
+      "ascending, all-NULL fields stay NULL") {
+    import spark.implicits._
+    import graft.ops.Merge
+    // cluster c1: modal src = x (2 of 3); lang en/fr tie 1-1 → asc
+    // tie-break picks en; note NULL across the cluster stays NULL;
+    // cluster c2: singleton survives as itself
+    val df = Seq[(String, Option[String], Option[String], Option[String])](
+      ("c1", Some("x"), Some("fr"), None),
+      ("c1", Some("x"), Some("en"), None),
+      ("c1", Some("y"), None, None),
+      ("c2", Some("z"), None, Some("note2")))
+      .toDF("cl", "src", "lang", "note")
+    val out = Merge.goldenRecords(df, "cl", Seq("src", "lang", "note"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(out("c1") == ((3L, "x", "en", null)))
+    assert(out("c2") == ((1L, "z", null, "note2")))
+  }
+
   test("pivot/unpivot round-trip: melted metrics regroup to the original " +
       "wide row") {
     import spark.implicits._

@@ -429,4 +429,24 @@ class SimilaritySpec extends SparkSuite {
     assert(pairNn == 20L && pairCos > 0.9)
     assert(pairMargin > 2.0, s"isolated match must stand out: $pairMargin")
   }
+
+  test("centroidCosineMatrix: orthogonal labels read 0, aligned labels " +
+      "read 1, mean pooling precedes the pair geometry") {
+    import spark.implicits._
+    import graft.similarity.KMeans
+    val df = Seq(
+      // label a: two vectors averaging to (1, 0)
+      (1L, Seq(1.0f, 0.0f), 0L), (2L, Seq(1.0f, 0.0f), 0L),
+      // label b: (0, 1)
+      (3L, Seq(0.0f, 1.0f), 1L),
+      // label c: members (2,0) and (0,0) → centroid (1,0), aligned with a
+      (4L, Seq(2.0f, 0.0f), 2L), (5L, Seq(0.0f, 0.0f), 2L))
+      .toDF("vec_id", "embedding", "label")
+    val out = KMeans.centroidCosineMatrix(df, "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(out((0L, 1L)) == Some(0.0))
+    assert(out((0L, 2L)) == Some(1.0))
+    assert(out((1L, 2L)) == Some(0.0))
+  }
 }

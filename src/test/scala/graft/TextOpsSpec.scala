@@ -1210,6 +1210,38 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((0L, 1L, 0L, None)))
   }
 
+  test("vocabOverlap: planted half-overlap pair exact, disjoint pair " +
+      "produces no row") {
+    import graft.text.Corpus
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta"),
+      ("s2", "gamma delta epsilon zeta"),
+      ("s3", "omega psi")).toDF("source", "text")
+    val out = Corpus.vocabOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("s1", "s2")) == ((2L, 4L, 4L, 2.0 / 6.0)))
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
+  test("sourceDivergence: identical distributions read exactly 0, " +
+      "disjoint vocabularies read maximal, order preserved") {
+    import graft.text.Corpus
+    val docs = Seq(
+      ("a", "one two three one two three"),
+      ("b", "one two three one two three"),   // identical dist to a
+      ("c", "four five six four five six"),   // disjoint from a
+      ("d", "one two three four five six")    // half-way
+    ).toDF("source", "text")
+    val out = Corpus.sourceDivergence(docs, "source", "text", buckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("a", "b")) == 0L)              // p = q ⇒ blog(2p) = blog(p+q)
+    assert(out(("a", "c")) > 0L)
+    assert(out(("a", "d")) > 0L)
+    assert(out(("a", "c")) > out(("a", "d")))  // disjoint beats half-way
+  }
+
   test("truncateMiddleOut: over-budget docs keep head+tail around the " +
       "marker, in-budget docs pass through verbatim") {
     import graft.text.Segments
