@@ -148,4 +148,41 @@ object Anomaly {
       .when(kills >= 15 || damage >= 2500 || anyZ(3.0), "MEDIUM")
       .otherwise("LOW")
   }
+
+  /** Seasonal-baseline anomalies: score each observation cell against
+    * the mean/σ of its OWN season group (e.g. hour-of-day × metric key)
+    * rather than a global baseline — Monday 3am traffic is compared to
+    * other 3ams, so the daily cycle stops masquerading as anomaly and
+    * quiet-hour incidents stop hiding under the busy-hour σ. The
+    * deseasonalized sibling of [[zscoreFilter]].
+    *
+    * Same exactness/scale recipe as the global form: integer (n, Σx,
+    * Σx²) per season group, mean/σ by one fixed IEEE sequence
+    * ([[Exact.stddevFromSums]]), baselines joined back BROADCAST
+    * (season-cardinality rows, never a collect). Input is the
+    * pre-aggregated cell frame (one row per observation cell).
+    *
+    * @param cells     observation frame with integer `xCol`
+    * @param seasonCols season-group key (e.g. metric key + hour-of-day)
+    * @param threshold flag cells with |z| ≥ threshold (σ > 0 groups only)
+    * @return flagged cells + (n_obs, mean_x, sd_x, z)
+    */
+  def seasonalZ(cells: DataFrame, seasonCols: Seq[String], xCol: String,
+      threshold: Double): DataFrame = {
+    val stats = cells.groupBy(seasonCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col(xCol)).as("__s"),
+        sum(col(xCol) * col(xCol)).as("__ss"))
+      .withColumn("mean_x", col("__s").cast("double") / col("n_obs"))
+      // n = 1 would 0/0 into NaN, and NaN orders DIFFERENTLY across
+      // engines (DuckDB sorts it above every double) — guard to NULL
+      .withColumn("sd_x", when(col("n_obs") >= 2,
+        Exact.stddevFromSums(col("__s"), col("__ss"), col("n_obs"))))
+      .drop("__s", "__ss")
+    cells.join(broadcast(stats), seasonCols)
+      .withColumn("z",
+        when(col("sd_x") > 0,
+          (col(xCol).cast("double") - col("mean_x")) / col("sd_x")))
+      .filter(abs(col("z")) >= threshold)
+  }
 }

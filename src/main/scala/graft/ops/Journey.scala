@@ -164,4 +164,46 @@ object Journey {
           (col("gap_sigma") - col("mean_gap")) /
             (col("gap_sigma") + col("mean_gap"))))
   }
+
+  /** Batch sessionization: split each user's event stream at inactivity
+    * gaps > `gapSeconds`, one output row per SESSION with its span and
+    * size — the batch sibling of the streaming session window
+    * ([[graft.streaming.Streams]] S-ops), and the input the funnel /
+    * burstiness / Markov family refines.
+    *
+    * The classic two-window formulation: a lag gap flags session starts,
+    * a running sum of flags numbers sessions (both over the same
+    * (user, ts, tie) keyed order — ONE shuffle, Spark fuses the
+    * windows), then one keyed aggregation per (user, session). Gaps are
+    * exact integer seconds (`Δmicros div 10⁶`, the [[burstiness]]
+    * contract).
+    *
+    * @return (userCol, session_idx, n_events, first_ts, last_ts,
+    *         duration_sec)
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, s"gap must be >= 1s, got $gapSeconds")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__m"), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol).as("__ts"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__m"), col(tieCol))
+      .withColumn("__prev", lag(col("__m"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          expr("(__m - __prev) div 1000000") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ts")).as("first_ts"),
+        max(col("__ts")).as("last_ts"),
+        min(col("__m")).as("__m0"), max(col("__m")).as("__m1"))
+      // integer div, never double-divide-then-cast (rounding can land
+      // on the next integer)
+      .withColumn("duration_sec", expr("(__m1 - __m0) div 1000000"))
+      .drop("__m0", "__m1")
+  }
 }

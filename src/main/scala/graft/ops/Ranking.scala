@@ -71,4 +71,34 @@ object Ranking {
     */
   def topK(df: DataFrame, scoreCol: String, tieBreak: String, k: Int): DataFrame =
     df.orderBy(col(scoreCol).desc, col(tieBreak).asc).limit(k)
+
+  /** Global contiguous 1-based ordinals in (shardCol, orderCols) order
+    * WITHOUT a global sort: per-shard counts roll into prefix offsets
+    * (a window over |shards| rows — shard-cardinality-bounded, like the
+    * q84 cut derivation), offsets broadcast back, and each row's ordinal
+    * is its within-shard rank plus its shard's offset. The stable-id
+    * assignment a training-order writer needs (resume-safe, identical
+    * on every run) where `row_number() OVER (ORDER BY ...)` would funnel
+    * the corpus through ONE sorted partition.
+    *
+    * Requires `orderCols` to totally order rows within a shard (pass an
+    * id as the last column).
+    *
+    * @return df plus `ordinal` — identical to the global row_number in
+    *         (shardCol, orderCols...) order
+    */
+  def globalOrdinals(df: DataFrame, shardCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val offsets = df.groupBy(col(shardCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(col(shardCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val within = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
+    df.join(broadcast(offsets), Seq(shardCol))
+      .withColumn("ordinal",
+        (col("__off") + row_number().over(within)).cast("long"))
+      .drop("__off")
+  }
 }

@@ -240,6 +240,60 @@ object Analytics extends QueryModule {
       graft.ops.TimeSeries.mannKendall(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Batch sessionization: 30-min inactivity gap splits per-user
+    // streams into sessions (lag flag + running flag-sum, one keyed
+    // shuffle), one row per session with span stats in exact integer
+    // seconds.
+    "q184_sessionize" -> ((s, dir) =>
+      graft.ops.Journey.sessionize(Tables(s, dir).events,
+        "user_id", "ts", "event_id", gapSeconds = 1800L)),
+
+    // RFM segmentation: per-purchaser recency/frequency/monetary quintile
+    // scores via the q84 histogram-cut machinery (value-cardinality-
+    // bounded cut derivation + broadcast bin expressions) — NOT a global
+    // ntile window, which would funnel every user through one sorted
+    // partition at scale.
+    "q186_rfm" -> ((s, dir) => {
+      val qs = Seq((1, 5), (2, 5), (3, 5), (4, 5))
+      val p = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("m"),
+          Exact.cents(col("value")).as("cents"))
+        .groupBy(col("user_id"))
+        .agg(max(col("m")).as("last_m"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("monetary_cents"))
+        .persist() // read 4× below (3 cut derivations + the binned base)
+      val rCuts = Quantiles.histogramCuts(p, col("last_m"), qs)
+      val fCuts = Quantiles.histogramCuts(p, col("freq"), qs)
+      val mCuts = Quantiles.histogramCuts(p, col("monetary_cents"), qs)
+      val binned = Quantiles.binByCuts(
+        Quantiles.binByCuts(
+          Quantiles.binByCuts(p, col("last_m"), rCuts, "r0"),
+          col("freq"), fCuts, "f0"),
+        col("monetary_cents"), mCuts, "m0")
+      binned.select(col("user_id"), col("last_m"), col("freq"),
+        col("monetary_cents"),
+        (col("r0") + 1).as("r"), (col("f0") + 1).as("f"),
+        (col("m0") + 1).as("m"),
+        ((col("r0") + 1) * 100 + (col("f0") + 1) * 10 + col("m0") + 1)
+          .as("rfm_code"))
+    }),
+
+    // Seasonal-baseline anomalies: hourly cells scored against their
+    // OWN (event_type, hour-of-day) baseline — the daily cycle stops
+    // masquerading as anomaly. Exact integer sums, broadcast baselines.
+    "q187_seasonal_anomaly" -> ((s, dir) => {
+      val cells = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("hod", pmod(col("h"), lit(24L)))
+      graft.ops.Anomaly.seasonalZ(cells,
+        Seq("event_type", "hod"), "c", threshold = 2.0)
+    }),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -593,6 +647,94 @@ object Analytics extends QueryModule {
         |            WHEN z < -1.96 THEN 'decreasing'
         |            ELSE 'no_trend' END AS trend
         |FROM z""".stripMargin,
+
+    "q184_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS m FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(m) OVER w IS NULL
+        |                 OR (m - lag(m) OVER w) // 1000000 > 1800
+        |            THEN 1 ELSE 0 END AS nw
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY m, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |      ORDER BY m, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS first_ts, max(ts) AS last_ts,
+        |       CAST((max(m) - min(m)) // 1000000 AS BIGINT) AS duration_sec
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q186_rfm" -> {
+      val qs = Seq((1, 5), (2, 5), (3, 5), (4, 5))
+      def cuts(valCol: String) = {
+        val sel = qs.map { case (num, den) =>
+          s"min(CASE WHEN cum * $den >= n * $num THEN val END) AS c${num * 100 / den}"
+        }.mkString(", ")
+        s"""SELECT $sel FROM (
+           |  SELECT val, CAST(sum(k) OVER (ORDER BY val) AS BIGINT) AS cum
+           |  FROM (SELECT $valCol AS val, count(*) AS k FROM p
+           |        WHERE $valCol IS NOT NULL GROUP BY 1)
+           |), (SELECT CAST(count(*) AS BIGINT) AS n FROM p
+           |    WHERE $valCol IS NOT NULL)""".stripMargin
+      }
+      def bin(valCol: String, pfx: String) = qs.map { case (num, den) =>
+        s"(CASE WHEN $valCol > $pfx.c${num * 100 / den} THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_m,
+         |         CAST(count(*) AS BIGINT) AS freq,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |           AS monetary_cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), rc AS (${cuts("last_m")}
+         |), fc AS (${cuts("freq")}
+         |), mc AS (${cuts("monetary_cents")})
+         |SELECT user_id, last_m, freq, monetary_cents,
+         |       CAST(${bin("last_m", "rc")} + 1 AS BIGINT) AS r,
+         |       CAST(${bin("freq", "fc")} + 1 AS BIGINT) AS f,
+         |       CAST(${bin("monetary_cents", "mc")} + 1 AS BIGINT) AS m,
+         |       CAST((${bin("last_m", "rc")} + 1) * 100
+         |            + (${bin("freq", "fc")} + 1) * 10
+         |            + ${bin("monetary_cents", "mc")} + 1 AS BIGINT)
+         |         AS rfm_code
+         |FROM p, rc, fc, mc""".stripMargin
+    },
+
+    "q187_seasonal_anomaly" ->
+      """WITH cells AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), hc AS (
+        |  SELECT *, h % 24 AS hod FROM cells
+        |), st AS (
+        |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_obs,
+        |         CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM hc GROUP BY 1, 2
+        |), base AS (
+        |  SELECT event_type, hod, n_obs,
+        |         CAST(s AS DOUBLE) / n_obs AS mean_x,
+        |         CASE WHEN n_obs >= 2 THEN
+        |           sqrt((CAST(ss AS DOUBLE)
+        |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_obs)
+        |             / (n_obs - 1))
+        |         END AS sd_x
+        |  FROM st
+        |)
+        |SELECT hc.event_type, hc.h, hc.c, hc.hod, b.n_obs, b.mean_x, b.sd_x,
+        |       CASE WHEN b.sd_x > 0
+        |         THEN (CAST(hc.c AS DOUBLE) - b.mean_x) / b.sd_x
+        |       END AS z
+        |FROM hc JOIN base b ON b.event_type = hc.event_type AND b.hod = hc.hod
+        |WHERE abs(CASE WHEN b.sd_x > 0
+        |         THEN (CAST(hc.c AS DOUBLE) - b.mean_x) / b.sd_x END) >= 2.0
+        |""".stripMargin,
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",

@@ -474,6 +474,13 @@ object Relational extends QueryModule {
       graft.ops.Profiling.benfordAudit(Tables(s, dir).orders,
         Exact.cents(col("o_totalprice")))),
 
+    // Market-basket association rules over order line items: pair
+    // support/confidence/lift, fan-out bounded by basket size (never
+    // corpus²), min-support prune before the stats join.
+    "q185_basket_rules" -> ((s, dir) =>
+      graft.ops.Basket.associationRules(Tables(s, dir).lineitem,
+        "l_orderkey", "l_partkey", minSupport = 2L)),
+
     // Data-quality gate: row-level expectations in one pass, a verdict
     // row per check (the publish gate a pipeline runs before a table
     // goes live). value_in_range is INTENTIONALLY violated by design of
@@ -944,6 +951,9 @@ object Relational extends QueryModule {
 
     "q172_benford" -> graft.ops.Profiling.benfordOracleSql(
       "orders", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+
+    "q185_basket_rules" -> graft.ops.Basket.associationRulesOracleSql(
+      "lineitem", "l_orderkey", "l_partkey", minSupport = 2L),
 
     "q71_expectations" ->
       graft.ops.Profiling.expectationsOracleSql("events", Seq(

@@ -223,6 +223,15 @@ object Text extends QueryModule {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // Stable global ordinal assignment in (source, doc_id) order WITHOUT
+    // a global sort: per-shard counts → bounded prefix-offset window →
+    // broadcast offsets + keyed within-shard rank. Identical output to
+    // the single-partition row_number the oracle spells.
+    "q188_global_ordinals" -> ((s, dir) =>
+      graft.ops.Ranking.globalOrdinals(
+        Tables(s, dir).documents.select(col("doc_id"), col("source")),
+        "source", Seq("doc_id"))),
+
     // Pairwise source vocabulary overlap: the redundancy map a mixture
     // planner reads before weighting sources; token-keyed self-join
     // with per-token fan-out bounded by |sources|.
@@ -1127,6 +1136,12 @@ object Text extends QueryModule {
     "q22_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q188_global_ordinals" ->
+      """SELECT doc_id, source,
+        |       CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
+        |         AS ordinal
         |FROM documents""".stripMargin,
 
     "q180_vocab_overlap" -> graft.text.Corpus.vocabOverlapOracleSql(

@@ -61,4 +61,31 @@ class JourneySpec extends SparkSuite {
     assert(byId(11L).contains(ts("01 11:00:00"))) // closed by the tied row
     assert(byId(12L).isEmpty && byId(20L).isEmpty)
   }
+
+  test("sessionize: gap > threshold opens a new session, boundary gap " +
+      "does not, durations are exact seconds") {
+    def t(s: String) = Timestamp.valueOf(s"2024-01-0$s")
+    val ev = Seq(
+      // user 1: 3 events 10 min apart, then a 2-hour gap, then 1 event
+      (1L, t("1 09:00:00"), 1L), (1L, t("1 09:10:00"), 2L),
+      (1L, t("1 09:20:00"), 3L), (1L, t("1 11:20:00"), 4L),
+      // user 2: gap of EXACTLY the 1800s threshold → same session
+      (2L, t("1 09:00:00"), 5L), (2L, t("1 09:30:00"), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Journey.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    assert(out((1L, 1L)) == ((3L, 1200L)))  // 3 events over 20 min
+    assert(out((1L, 2L)) == ((1L, 0L)))     // the post-gap singleton
+    assert(out((2L, 1L)) == ((2L, 1800L)))  // boundary gap stays inside
+    assert(out.size == 3)
+  }
+
+  test("sessionize rejects a non-positive gap") {
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id")
+    intercept[IllegalArgumentException] {
+      Journey.sessionize(ev, "user_id", "ts", "event_id", 0L)
+    }
+  }
 }

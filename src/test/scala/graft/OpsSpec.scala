@@ -459,6 +459,50 @@ class OpsSpec extends SparkSuite {
     assert(!out.contains("gap")) // zero pairs → no group row
   }
 
+  test("associationRules: hand baskets give exact support/confidence/" +
+      "lift, within-basket duplicates collapse, min-support prunes") {
+    import spark.implicits._
+    // baskets: {A,B,C}, {A,B}, {A,B,B}, {C} → AB pair in 3 of 4 baskets
+    val rows = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "B"), (4L, "C")).toDF("b", "i")
+    val out = Basket.associationRules(rows, "b", "i", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    // AC and BC each co-occur once → pruned at minSupport 2
+    assert(out.keySet == Set(("A", "B")))
+    val (nPair, nA, nB, nBaskets, confAB, confBA, lift) = out(("A", "B"))
+    assert((nPair, nA, nB, nBaskets) == ((3L, 3L, 3L, 4L)))
+    assert(confAB == 1.0 && confBA == 1.0)
+    assert(lift == 3.0 * 4 / 3 / 3) // > 1: genuinely associated
+  }
+
+  test("seasonalZ: planted off-season spike flags, in-season equals " +
+      "baseline, singleton season groups never NaN-compare") {
+    import spark.implicits._
+    // season key "h": 10 cells at 100, one spiked cell at 200
+    val cells = ((1L to 10L).map(d => ("m1", 0L, d, 100L)) :+
+      ("m1", 0L, 11L, 200L)) ++
+      Seq(("m2", 5L, 1L, 42L)) // singleton group: sd undefined
+    val out = Anomaly.seasonalZ(cells.toDF("k", "hod", "day", "c"),
+      Seq("k", "hod"), "c", threshold = 2.0)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("day")))
+    assert(out.toSet == Set(("m1", 11L))) // only the spike fires
+  }
+
+  test("globalOrdinals: identical to the single-partition row_number, " +
+      "dense 1..n, stable across repartitioning") {
+    import spark.implicits._
+    val df = Seq(("s2", 5L), ("s1", 9L), ("s1", 2L), ("s3", 1L),
+      ("s2", 3L), ("s1", 4L)).toDF("src", "id").repartition(5)
+    val out = Ranking.globalOrdinals(df, "src", Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expected = Seq(("s1", 2L), ("s1", 4L), ("s1", 9L), ("s2", 3L),
+      ("s2", 5L), ("s3", 1L)).zipWithIndex.map { case (k, i) => k -> (i + 1L) }
+    assert(out == expected.toMap)
+  }
+
   test("mannKendall: monotone series hit ±max S, shuffled-flat reads " +
       "no_trend, n recovered exactly") {
     import spark.implicits._
