@@ -232,6 +232,13 @@ object Text extends QueryModule {
         Tables(s, dir).documents.select(col("doc_id"), col("source")),
         "source", Seq("doc_id"))),
 
+    // Per-source corpus datasheet: volume, language profile and exact-
+    // duplication rate in one |sources|-row card — the dataset-card
+    // summary a corpus release publishes.
+    "q190_datasheet" -> ((s, dir) =>
+      graft.text.Corpus.datasheet(Tables(s, dir).documents,
+        "source", "doc_id", "text", "lang")),
+
     // Pairwise source vocabulary overlap: the redundancy map a mixture
     // planner reads before weighting sources; token-keyed self-join
     // with per-token fan-out bounded by |sources|.
@@ -1143,6 +1150,9 @@ object Text extends QueryModule {
         |       CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
         |         AS ordinal
         |FROM documents""".stripMargin,
+
+    "q190_datasheet" -> graft.text.Corpus.datasheetOracleSql(
+      "documents", "source", "doc_id", "text", "lang"),
 
     "q180_vocab_overlap" -> graft.text.Corpus.vocabOverlapOracleSql(
       "documents", "source", toksSql),

@@ -267,6 +267,26 @@ object Vectors extends QueryModule {
       graft.similarity.KMeans.centroidCosineMatrix(
         Tables(s, dir).embeddings, "label", "embedding")),
 
+    // int8 quantization calibration + per-label reconstruction-error
+    // report: per-dim min/max affine codes, errors quantized to integer
+    // micros BEFORE summation, rail-saturation counts.
+    "q189_int8_quant" -> ((s, dir) =>
+      graft.similarity.Quantize.quantizeError(
+        Tables(s, dir).embeddings, "label", "embedding")),
+
+    // Exact covariance matrix (upper triangle): per-row nested position
+    // explode feeding one map-side-combinable Gram aggregation — no
+    // vector self-join; covariance derived from exact integer sums.
+    "q191_covariance" -> ((s, dir) =>
+      graft.similarity.Covariance.covarianceMatrix(
+        Tables(s, dir).embeddings, "embedding", dim = 64)),
+
+    // StandardScaler: per-dim z-normalization from exact micro sums,
+    // long-form output, constant dims yield NULL.
+    "q192_standardize" -> ((s, dir) =>
+      graft.similarity.Covariance.standardize(
+        Tables(s, dir).embeddings, "vec_id", "embedding")),
+
     // Embedding near-dup via quantized-vector fingerprint (exact dup after
     // floor(x*1000) quantization; dups injected as in q23).
     "q29_embedding_dupkey" -> ((s, dir) => {
@@ -1028,6 +1048,15 @@ object Vectors extends QueryModule {
 
     "q182_centroid_cosine" -> graft.similarity.KMeans.centroidCosineOracleSql(
       "embeddings", "label", "embedding"),
+
+    "q189_int8_quant" -> graft.similarity.Quantize.quantizeErrorOracleSql(
+      "embeddings", "label", "embedding"),
+
+    "q191_covariance" -> graft.similarity.Covariance.covarianceOracleSql(
+      "embeddings", "embedding", dim = 64),
+
+    "q192_standardize" -> graft.similarity.Covariance.standardizeOracleSql(
+      "embeddings", "vec_id", "embedding"),
 
     "q29_embedding_dupkey" ->
       """WITH e AS (

@@ -246,6 +246,84 @@ object Corpus {
       .withColumn("js_bits", col("js_q").cast("double") / lit(2000000.0))
   }
 
+  /** Per-source corpus DATASHEET: the one-row-per-source summary a
+    * dataset card publishes — volume (docs/tokens/chars), language
+    * profile (distinct + modal language), and exact-duplication rate
+    * (docs whose normalized fingerprint already appeared under a lower
+    * id, [[graft.text.TextAnalysis.fingerprint]] first-wins — the q23
+    * convention). Three aggregations joined on the source key
+    * (|sources| rows); the fingerprint leg is the only shuffle that
+    * sees the corpus twice (window + regroup), both keyed.
+    *
+    * @return (source, n_docs, n_tokens, n_chars, n_langs, top_lang,
+    *         n_dup_docs, dup_frac)
+    */
+  def datasheet(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vol = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+    val langW = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__k").desc, col(langCol))
+    val langs = docs.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__k"))
+      .withColumn("__rn", row_number().over(langW))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_langs"),
+        max(when(col("__rn") === 1, col(langCol))).as("top_lang"))
+    val dups = docs
+      .select(col(sourceCol), col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("__first", min(col(idCol)).over(
+        Window.partitionBy(col("__fp"))))
+      .groupBy(col(sourceCol))
+      .agg(sum(when(col(idCol) =!= col("__first"), 1L).otherwise(0L))
+        .as("n_dup_docs"))
+    vol.join(langs, Seq(sourceCol)).join(dups, Seq(sourceCol))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast("double") / col("n_docs"))
+  }
+
+  /** DuckDB oracle for [[datasheet]]. */
+  def datasheetOracleSql(table: String, sourceCol: String, idCol: String,
+      textCol: String, langCol: String): String =
+    s"""WITH vol AS (
+       |  SELECT $sourceCol, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(list_filter(string_split_regex(lower($textCol),
+       |           '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+       |         CAST(sum(length($textCol)) AS BIGINT) AS n_chars
+       |  FROM $table GROUP BY 1
+       |), lc AS (
+       |  SELECT $sourceCol, $langCol, count(*) AS k,
+       |         row_number() OVER (PARTITION BY $sourceCol
+       |           ORDER BY count(*) DESC, $langCol) AS rn
+       |  FROM $table GROUP BY $sourceCol, $langCol
+       |), langs AS (
+       |  SELECT $sourceCol, CAST(count(*) AS BIGINT) AS n_langs,
+       |         max(CASE WHEN rn = 1 THEN $langCol END) AS top_lang
+       |  FROM lc GROUP BY 1
+       |), fp AS (
+       |  SELECT $sourceCol, $idCol,
+       |         min($idCol) OVER (PARTITION BY
+       |           md5(trim(regexp_replace(lower($textCol), '\\s+', ' ', 'g'))))
+       |           AS first_id
+       |  FROM $table
+       |), dups AS (
+       |  SELECT $sourceCol,
+       |         CAST(sum(CASE WHEN $idCol <> first_id THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_dup_docs
+       |  FROM fp GROUP BY 1
+       |)
+       |SELECT $sourceCol, n_docs, n_tokens, n_chars, n_langs, top_lang,
+       |       n_dup_docs,
+       |       CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_frac
+       |FROM vol
+       |JOIN langs USING ($sourceCol)
+       |JOIN dups USING ($sourceCol)""".stripMargin
+
   /** DuckDB oracle for [[sourceDivergence]]. */
   def sourceDivergenceOracleSql(table: String, groupCol: String,
       toksSql: String, buckets: Int = 4096): String =

@@ -430,6 +430,57 @@ class SimilaritySpec extends SparkSuite {
     assert(pairMargin > 2.0, s"isolated match must stand out: $pairMargin")
   }
 
+  test("quantizeError: rail values reconstruct exactly, midpoints carry " +
+      "bounded error, constant dims contribute zero") {
+    import spark.implicits._
+    import graft.similarity.Quantize
+    val df = Seq(
+      // dim 1 spans [0,1]; dim 2 constant 5.0
+      (0L, Seq(0.0f, 5.0f)), (0L, Seq(1.0f, 5.0f)),
+      (1L, Seq(0.5f, 5.0f)))
+      .toDF("label", "embedding")
+    val out = Quantize.quantizeError(df, "label", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // label 0: dim-1 values sit ON the rails (codes 0 and 255, exact);
+    // dim-2 constant → code 0, zero error. 2 of its 4 cells saturate.
+    assert(out(0L) == ((4L, 2L, 0L)))
+    // label 1: 0.5 → code floor(127.5) = 127, recon 127/255 ≈ 0.498
+    val (n1, sat1, err1) = out(1L)
+    assert(n1 == 2L && sat1 == 0L)
+    assert(err1 > 0L && err1 < 4000L, s"mid-scale error ~2e-3: $err1")
+  }
+
+  test("covarianceMatrix: hand 2-dim data gives the textbook matrix, " +
+      "gram sums exact") {
+    import spark.implicits._
+    import graft.similarity.Covariance
+    // x = (1,3,5), y = (2,4,6): var = 4, cov = 4 everywhere
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f))
+      .toDF("embedding")
+    val out = Covariance.covarianceMatrix(df, "embedding", dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((1L, 1L)) == ((3L, 35L * 1000000000000L, 4.0)))
+    assert(out((1L, 2L)) == ((3L, 44L * 1000000000000L, 4.0)))
+    assert(out((2L, 2L)) == ((3L, 56L * 1000000000000L, 4.0)))
+    assert(out.size == 3) // upper triangle only
+  }
+
+  test("standardize: exact z against hand mean/sigma, constant dim NULL") {
+    import spark.implicits._
+    import graft.similarity.Covariance
+    // dim 1: (1,3,5) → mu 3, sigma 2; dim 2 constant
+    val df = Seq((1L, Seq(1.0f, 7.0f)), (2L, Seq(3.0f, 7.0f)),
+      (3L, Seq(5.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = Covariance.standardize(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out((1L, 1L)) == Some(-1.0) && out((1L, 2L)) == Some(0.0) &&
+      out((1L, 3L)) == Some(1.0))
+    assert(Seq(1L, 2L, 3L).forall(id => out((2L, id)).isEmpty))
+  }
+
   test("centroidCosineMatrix: orthogonal labels read 0, aligned labels " +
       "read 1, mean pooling precedes the pair geometry") {
     import spark.implicits._

@@ -1210,6 +1210,26 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((0L, 1L, 0L, None)))
   }
 
+  test("datasheet: volumes, modal language with tie-break, cross-source " +
+      "dup counted against the later id only") {
+    import graft.text.Corpus
+    val docs = Seq(
+      (1L, "alpha beta", "en", "s1"),
+      (2L, "gamma delta", "fr", "s1"),
+      (3L, "ALPHA   beta", "en", "s2"),   // normalized dup of doc 1
+      (4L, "unique text here", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.datasheet(docs, "source", "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getString(5),
+          r.getLong(6)))).toMap
+    // s1: 2 docs, 4 tokens, langs {en, fr} tie → en, no dups (doc 1 is
+    // the FIRST of its fingerprint)
+    assert(out("s1") == ((2L, 4L, 2L, "en", 0L)))
+    // s2: doc 3 duplicates doc 1 → 1 dup; modal lang tie en/de → de
+    assert(out("s2") == ((2L, 5L, 2L, "de", 1L)))
+  }
+
   test("vocabOverlap: planted half-overlap pair exact, disjoint pair " +
       "produces no row") {
     import graft.text.Corpus
