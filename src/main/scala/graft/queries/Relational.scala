@@ -431,23 +431,25 @@ object Relational extends QueryModule {
         d.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L))))
     }),
 
-    // UNPIVOT/melt: the inverse reshape — per-lineitem metric columns to
-    // long (metric, cents) form, the layout feature stores and plotting
-    // stacks want. Pure projection + generator: zero shuffles, output
-    // rows = 4× input by construction.
-    "q170_unpivot" -> ((s, dir) => {
-      val li = Tables(s, dir).lineitem.select(
-        col("l_orderkey"), col("l_linenumber"),
-        Exact.cents(col("l_quantity")).as("quantity"),
-        Exact.cents(col("l_extendedprice")).as("extendedprice"),
-        Exact.cents(col("l_discount")).as("discount"),
-        Exact.cents(col("l_tax")).as("tax"))
-      li.unpivot(
-        Array(col("l_orderkey"), col("l_linenumber")),
-        Array(col("quantity"), col("extendedprice"), col("discount"),
-          col("tax")),
-        "metric", "cents")
-    }),
+    // Id-space continuity audit: per fixed-width key bucket, how many
+    // ids inside the bucket's OBSERVED span are missing — the dropped-
+    // event / partial-load detector for sequence-keyed feeds, here run
+    // on the fulfilled-order stream (the landed subset whose holes are
+    // the rows an export would silently lose). Pure bucketed
+    // aggregation: bucket-local spans keyed by `id div width` scale
+    // embarrassingly, where the islands-and-gaps row_number trick would
+    // global-sort the key space.
+    "q170_id_gaps" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"))
+        .withColumn("bucket", expr("k div 256"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("present"),
+          min(col("k")).as("span_min"), max(col("k")).as("span_max"))
+        .withColumn("span", col("span_max") - col("span_min") + 1)
+        .withColumn("missing_in_span", col("span") - col("present"))
+        .filter(col("missing_in_span") > 0)),
 
     // Referential-integrity audit over the star schema's declared FKs:
     // child keys aggregated to distinct-with-multiplicity BEFORE the
@@ -928,16 +930,21 @@ object Relational extends QueryModule {
          |GROUP BY 1""".stripMargin
     },
 
-    "q170_unpivot" -> {
-      val metrics = Seq("quantity" -> "l_quantity",
-        "extendedprice" -> "l_extendedprice", "discount" -> "l_discount",
-        "tax" -> "l_tax")
-      metrics.map { case (m, c) =>
-        s"""SELECT l_orderkey, l_linenumber, '$m' AS metric,
-           |       CAST(round($c * 100) AS BIGINT) AS cents
-           |FROM lineitem""".stripMargin
-      }.mkString("\nUNION ALL\n")
-    },
+    "q170_id_gaps" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderkey // 256 AS bucket FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |), g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS present,
+        |         CAST(min(k) AS BIGINT) AS span_min,
+        |         CAST(max(k) AS BIGINT) AS span_max
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bucket, present, span_min, span_max,
+        |       span_max - span_min + 1 AS span,
+        |       span_max - span_min + 1 - present AS missing_in_span
+        |FROM g
+        |WHERE span_max - span_min + 1 - present > 0""".stripMargin,
 
     "q171_fk_orphans" -> graft.ops.Profiling.fkAuditOracleSql(Seq(
       ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
