@@ -350,6 +350,109 @@ object Profiling {
       .withColumn("deviation", abs(col("obs_frac") - col("expected")))
   }
 
+  /** Population Stability Index between a reference and a current batch
+    * of an integer metric, over equal-frequency bins derived from the
+    * REFERENCE distribution ([[Quantiles.histogramCuts]] — the bins are
+    * the baseline's coordinates, which is what makes PSI comparable
+    * release-over-release). THE standard ML-monitoring drift number:
+    * < 0.1 stable, 0.1–0.25 shifting, > 0.25 retrain.
+    *
+    * Exact integer formulation: per-bin counts Laplace-smoothed (+1, so
+    * empty bins never hit a log singularity — standard PSI practice),
+    * converted to micro-probabilities by integer division, and each
+    * bin's `(P−Q)·ln(P/Q)` term quantized as `(P−Q)·(blog(P)−blog(Q))`
+    * with the bit-length log (blog = ⌊log2⌋+1 — order-preserving, so
+    * every term keeps PSI's non-negativity). `term_q` sums to the
+    * quantized PSI in micro-log2 units; ÷1e6 ≈ log2-PSI.
+    *
+    * Scale shape: cut derivation is value-cardinality-bounded (the q84
+    * machinery), both batches then take one bin aggregation each, and
+    * the comparison frame is |bins| rows.
+    *
+    * @return (bin, ref_n, cur_n, p_ref_micro, p_cur_micro, term_q) —
+    *         one row per bin present in either batch
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, v: Column,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    val cuts = Quantiles.histogramCuts(ref, v, qs)
+    def binCounts(df: DataFrame, cname: String): DataFrame =
+      Quantiles.binByCuts(df.select(v.as("__v")), col("__v"), cuts)
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as(cname))
+    val joined = binCounts(ref, "ref_n")
+      .join(binCounts(cur, "cur_n"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val nBins = qs.size + 1
+    val withP = joined
+      .withColumn("__tr", sum("ref_n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__tc", sum("cur_n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("p_ref_micro",
+        expr(s"((ref_n + 1) * 1000000) div (__tr + $nBins)"))
+      .withColumn("p_cur_micro",
+        expr(s"((cur_n + 1) * 1000000) div (__tc + $nBins)"))
+    withP
+      .withColumn("term_q",
+        (col("p_cur_micro") - col("p_ref_micro")) *
+          (blog(col("p_cur_micro")) - blog(col("p_ref_micro"))))
+      .drop("__tr", "__tc")
+  }
+
+  /** DuckDB oracle for [[psiDrift]]: `refSql`/`curSql` must each yield
+    * a single integer column `v`; cut/bin fragments mirror the q84
+    * oracle recipe. */
+  def psiDriftOracleSql(refSql: String, curSql: String,
+      qs: Seq[(Int, Int)]): String = {
+    val cutSel = qs.map { case (num, den) =>
+      s"min(CASE WHEN cum * $den >= n * $num THEN val END) AS c${num * 100 / den}"
+    }.mkString(", ")
+    val binSum = qs.map { case (num, den) =>
+      s"(CASE WHEN v > c${num * 100 / den} THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    val nBins = qs.size + 1
+    s"""WITH refv AS ($refSql), curv AS ($curSql),
+       |cuts AS (
+       |  SELECT $cutSel FROM (
+       |    SELECT val, CAST(sum(k) OVER (ORDER BY val) AS BIGINT) AS cum
+       |    FROM (SELECT v AS val, count(*) AS k FROM refv
+       |          WHERE v IS NOT NULL GROUP BY 1)
+       |  ), (SELECT CAST(count(*) AS BIGINT) AS n FROM refv
+       |      WHERE v IS NOT NULL)
+       |), rb AS (
+       |  SELECT CAST($binSum AS BIGINT) AS bin,
+       |         CAST(count(*) AS BIGINT) AS ref_n
+       |  FROM refv, cuts WHERE v IS NOT NULL GROUP BY 1
+       |), cb AS (
+       |  SELECT CAST($binSum AS BIGINT) AS bin,
+       |         CAST(count(*) AS BIGINT) AS cur_n
+       |  FROM curv, cuts WHERE v IS NOT NULL GROUP BY 1
+       |), j AS (
+       |  SELECT coalesce(rb.bin, cb.bin) AS bin,
+       |         coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+       |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+       |), t AS (
+       |  SELECT *, CAST(sum(ref_n) OVER () AS BIGINT) AS tr,
+       |         CAST(sum(cur_n) OVER () AS BIGINT) AS tc
+       |  FROM j
+       |), p AS (
+       |  SELECT bin, ref_n, cur_n,
+       |         CAST((ref_n + 1) * 1000000 // (tr + $nBins) AS BIGINT)
+       |           AS p_ref_micro,
+       |         CAST((cur_n + 1) * 1000000 // (tc + $nBins) AS BIGINT)
+       |           AS p_cur_micro
+       |  FROM t
+       |)
+       |SELECT bin, ref_n, cur_n, p_ref_micro, p_cur_micro,
+       |       CAST((p_cur_micro - p_ref_micro)
+       |         * (length(bin(p_cur_micro)) - length(bin(p_ref_micro)))
+       |         AS BIGINT) AS term_q
+       |FROM p""".stripMargin
+  }
+
   /** Benford expected fractions log10(1+1/d), d = 1..9, as fixed literals
     * (17 significant digits — both engines parse to the identical double). */
   val benfordExpected: Seq[Double] = Seq(

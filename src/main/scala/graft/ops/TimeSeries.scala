@@ -132,4 +132,75 @@ object TimeSeries {
       .select(keyCols.map(col) ++ Seq(col("n"), col("s_stat"),
         col("var18"), col("z"), col("trend")): _*)
   }
+
+  /** Half-life time-decayed sum per key: each event contributes
+    * `x · 2^(−age/halflife)` with age bucketed to whole half-lives —
+    * the "recent popularity" score every trending/ranking surface wants
+    * (yesterday counts half of today), as ONE map-side-combinable
+    * aggregation.
+    *
+    * EXACT: ages quantize to half-life buckets `b = age div halflife`
+    * (integer), each event contributes the integer
+    * `x · 2^(maxBuckets − b)` (a left shift — exact), and the final
+    * score divides once by `2^maxBuckets` — a power-of-two double scale,
+    * which is exact in IEEE. No per-row `exp()` (not correctly-rounded
+    * portable), no order-dependent double summation. Events older than
+    * `maxBuckets` half-lives contribute 0 (2⁻³⁰ of an event is noise —
+    * and the cutoff is what bounds the shift).
+    *
+    * Overflow bound: Σx per (key, bucket) · 2^maxBuckets must stay
+    * inside int64 — with maxBuckets = 30 that is Σx < 8.5·10⁹ per key,
+    * scale `x` or lower maxBuckets for heavier keys.
+    *
+    * @param asOfMicros decay reference instant (epoch micros; pass the
+    *                   corpus max or the wall clock)
+    * @return (keyCols..., n_events, n_live, decayed) — n_live counts
+    *         events inside the decay horizon
+    */
+  def decayedSum(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      xCol: String, asOfMicros: Long, halflifeSeconds: Long,
+      maxBuckets: Int = 30): DataFrame = {
+    require(halflifeSeconds >= 1 && maxBuckets >= 1 && maxBuckets <= 60)
+    val age = lit(asOfMicros) - unix_micros(col(tsCol).cast("timestamp"))
+    // clamp future events (negative age) to bucket 0 — an unguarded
+    // negative bucket would shift past 60 bits and overflow
+    val b = greatest(expr(s"(__age div 1000000) div $halflifeSeconds"),
+      lit(0L))
+    df.withColumn("__age", age)
+      .withColumn("__b", b)
+      .withColumn("__w",
+        when(col("__b") < maxBuckets,
+          col(xCol) *
+            expr(s"shiftleft(1L, CAST($maxBuckets - __b AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__b") < maxBuckets, 1L).otherwise(0L)).as("n_live"),
+        sum(col("__w")).as("__sw"))
+      .withColumn("decayed",
+        col("__sw").cast("double") / lit(math.pow(2.0, maxBuckets)))
+      .drop("__sw")
+  }
+
+  /** DuckDB oracle for [[decayedSum]] over `table` with `xExpr`. */
+  def decayedSumOracleSql(table: String, keyCols: Seq[String],
+      tsCol: String, xExpr: String, asOfMicros: Long,
+      halflifeSeconds: Long, maxBuckets: Int = 30): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH b AS (
+       |  SELECT $keys,
+       |         greatest((($asOfMicros - epoch_us($tsCol)) // 1000000)
+       |           // $halflifeSeconds, 0) AS bkt,
+       |         $xExpr AS x
+       |  FROM $table
+       |)
+       |SELECT $keys, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CASE WHEN bkt < $maxBuckets THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_live,
+       |       CAST(sum(CASE WHEN bkt < $maxBuckets
+       |         THEN x * (1::BIGINT << ($maxBuckets - CAST(bkt AS INTEGER)))
+       |         ELSE 0 END) AS DOUBLE) / ${math.pow(2.0, maxBuckets)}
+       |         AS decayed
+       |FROM b GROUP BY $keys""".stripMargin
+  }
 }

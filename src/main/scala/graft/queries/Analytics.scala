@@ -294,6 +294,64 @@ object Analytics extends QueryModule {
         Seq("event_type", "hod"), "c", threshold = 2.0)
     }),
 
+    // Half-life decayed popularity: value-weighted recency score per
+    // event type (1-day half-life, fixed as-of instant) — EXACT via
+    // half-life bucketing + power-of-two integer weights; no exp(), no
+    // order-dependent double sums.
+    "q193_decayed_popularity" -> ((s, dir) =>
+      graft.ops.TimeSeries.decayedSum(
+        Tables(s, dir).events.withColumn("cents", Exact.cents(col("value"))),
+        Seq("event_type"), "ts", "cents",
+        asOfMicros = 1706659200000000L, // 2024-01-31T00:00:00Z
+        halflifeSeconds = 86400L, maxBuckets = 20)),
+
+    // A/B readout: deterministic unit split (user_id parity — the
+    // hash-bucket arm assignment real frameworks use), two-sample pooled
+    // proportion z per event type, two-sided 5% verdict.
+    "q194_ab_test" -> ((s, dir) =>
+      graft.ops.ABTest.proportionTest(Tables(s, dir).events,
+        Seq("event_type"), pmod(col("user_id"), lit(2)) === 1,
+        col("value") > 150)),
+
+    // Cross-metric correlation matrix: which event types' hourly count
+    // series move together — pair join on the hour key (series are
+    // calendar-bounded), correlation from exact integer sums.
+    "q195_metric_corr" -> ((s, dir) => {
+      val cells = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = cells.as("a")
+        .join(cells.as("b"), Seq("h"))
+        .filter(col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.c").as("x"), col("b.c").as("y"))
+      pairs.groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum("x").as("s_x"), sum("y").as("s_y"),
+          sum(col("x") * col("x")).as("s_xx"),
+          sum(col("y") * col("y")).as("s_yy"),
+          sum(col("x") * col("y")).as("s_xy"))
+        .withColumn("corr", Exact.corrFromSums(col("n_hours"),
+          col("s_x"), col("s_y"), col("s_xx"), col("s_yy"), col("s_xy")))
+        .select(col("type_a"), col("type_b"), col("n_hours"), col("corr"))
+    }),
+
+    // PSI drift between the month's two halves over reference-derived
+    // decile bins: the standard ML-monitoring drift number, quantized
+    // to exact integers (Laplace-smoothed micro-probs + bit-length
+    // logs).
+    "q196_psi_drift" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("cents", Exact.cents(col("value")))
+      val refB = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      val curB = ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+      graft.ops.Profiling.psiDrift(refB, curB, col("cents"),
+        (1 to 9).map(i => (i, 10)))
+    }),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -735,6 +793,53 @@ object Analytics extends QueryModule {
         |WHERE abs(CASE WHEN b.sd_x > 0
         |         THEN (CAST(hc.c AS DOUBLE) - b.mean_x) / b.sd_x END) >= 2.0
         |""".stripMargin,
+
+    "q193_decayed_popularity" -> graft.ops.TimeSeries.decayedSumOracleSql(
+      "events", Seq("event_type"), "ts",
+      "CAST(round(value * 100) AS BIGINT)",
+      asOfMicros = 1706659200000000L, halflifeSeconds = 86400L,
+      maxBuckets = 20),
+
+    "q194_ab_test" -> graft.ops.ABTest.proportionTestOracleSql(
+      "events", Seq("event_type"), "user_id % 2 = 1", "value > 150"),
+
+    "q195_metric_corr" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         a.c AS x, b.c AS y
+        |  FROM s a JOIN s b ON a.h = b.h AND a.event_type < b.event_type
+        |), g AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_hours,
+        |         CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+        |         CAST(sum(x * x) AS BIGINT) AS s_xx,
+        |         CAST(sum(y * y) AS BIGINT) AS s_yy,
+        |         CAST(sum(x * y) AS BIGINT) AS s_xy
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_hours,
+        |       CASE WHEN (CAST(s_xx AS DOUBLE)
+        |                  - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) / n_hours) > 0
+        |             AND (CAST(s_yy AS DOUBLE)
+        |                  - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) / n_hours) > 0
+        |         THEN (CAST(s_xy AS DOUBLE)
+        |               - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE) / n_hours)
+        |              / (sqrt(CAST(s_xx AS DOUBLE)
+        |                  - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) / n_hours)
+        |                 * sqrt(CAST(s_yy AS DOUBLE)
+        |                  - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE) / n_hours))
+        |       END AS corr
+        |FROM g""".stripMargin,
+
+    "q196_psi_drift" -> graft.ops.Profiling.psiDriftOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      (1 to 9).map(i => (i, 10))),
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",

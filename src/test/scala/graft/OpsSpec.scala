@@ -503,6 +503,65 @@ class OpsSpec extends SparkSuite {
     assert(out == expected.toMap)
   }
 
+  test("decayedSum: exact power-of-two weights per half-life bucket, " +
+      "horizon cutoff, future events clamp to full weight") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val asOf = Timestamp.valueOf("2024-01-10 00:00:00")
+    val asOfMicros = asOf.getTime * 1000L
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      ("k", t("2024-01-09 23:59:59"), 100L),  // bucket 0 → weight 1
+      ("k", t("2024-01-08 23:59:59"), 100L),  // 1 day + 1s → bucket 1 → 1/2
+      ("k", t("2023-12-01 00:00:00"), 100L),  // 40 days → beyond horizon
+      ("k", t("2024-01-10 05:00:00"), 100L))  // future → clamp bucket 0
+      .toDF("key", "ts", "cents")
+    val out = graft.ops.TimeSeries.decayedSum(ev, Seq("key"), "ts",
+      "cents", asOfMicros, halflifeSeconds = 86400L, maxBuckets = 20)
+      .collect().head
+    assert(out.getAs[Long]("n_events") == 4L)
+    assert(out.getAs[Long]("n_live") == 3L)
+    assert(out.getAs[Double]("decayed") == 100.0 + 50.0 + 0.0 + 100.0)
+  }
+
+  test("proportionTest: hand counts give the textbook z, empty and " +
+      "all-converting cells yield NULL verdicts") {
+    import spark.implicits._
+    // group g: arm A 4 trials 1 conv, arm B 4 trials 3 conv
+    val rows =
+      (1 to 4).map(i => ("g", false, i == 1)) ++
+      (1 to 4).map(i => ("g", true, i <= 3)) ++
+      // group empty_b: only arm A rows
+      (1 to 3).map(_ => ("empty_b", false, true)) ++
+      // group all_conv: both arms convert 100% → zero pooled variance
+      Seq(("all_conv", false, true), ("all_conv", true, true))
+    val out = ABTest.proportionTest(rows.toDF("g", "b", "c"),
+      Seq("g"), col("b"), col("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    val (na, ca, nb, cb, z) = out("g")
+    assert((na, ca, nb, cb) == ((4L, 1L, 4L, 3L)))
+    // pooled p = 0.5 → se = sqrt(0.25 * 0.5) ≈ 0.35355; z = 0.5/se
+    assert(math.abs(z.get - 0.5 / math.sqrt(0.125)) < 1e-12)
+    assert(out("empty_b")._5.isEmpty && out("all_conv")._5.isEmpty)
+  }
+
+  test("psiDrift: identical batches read zero PSI, a planted shift " +
+      "reads positive, empty bins survive via smoothing") {
+    import spark.implicits._
+    val ref = (1L to 1000L).toDF("v")
+    val same = (1L to 1000L).toDF("v")
+    // shifted: all mass in the top decile of the reference range
+    val shifted = (901L to 1000L).map(v => Seq.fill(10)(v)).flatten.toDF("v")
+    val qs = (1 to 9).map(i => (i, 10))
+    def psi(cur: org.apache.spark.sql.DataFrame) =
+      Profiling.psiDrift(ref, cur, col("v"), qs)
+        .agg(sum("term_q")).collect().head.getLong(0)
+    assert(psi(same) == 0L)
+    assert(psi(shifted) > 1000000L, s"shift must dominate: ${psi(shifted)}")
+  }
+
   test("mannKendall: monotone series hit ±max S, shuffled-flat reads " +
       "no_trend, n recovered exactly") {
     import spark.implicits._
