@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-hop breadth-first distances from a seed set — the blast-radius /
+  * reachability query (which nodes sit within k hops of the flagged
+  * accounts, which documents are k links from a known-bad host). Runs a
+  * FIXED number of synchronous frontier expansions, so the recurrence is
+  * deterministic and the DuckDB oracle unrolls the identical rounds (the
+  * q63/q104/q121 pattern); nodes further than `hops` are absent — the
+  * honest "not reached within the horizon" verdict, never an invented
+  * ∞.
+  *
+  * Scale shape: each round is ONE keyed equi-join of the current
+  * distance frame against the edge list plus a min-aggregation — the
+  * frontier never leaves the cluster, nothing is collected or
+  * broadcast. Per-generation `localCheckpoint` truncates the doubling
+  * plan lineage (the measured CC/k-core failure mode). Frontier size is
+  * bounded by the k-hop neighborhood, the quantity the query is ABOUT.
+  */
+object Bfs {
+
+  /** Undirected k-hop distances.
+    *
+    * @param seeds one-column frame of seed node ids (distance 0)
+    * @return (node, dist) for every node within `hops` of a seed —
+    *         dist = length of the shortest such path
+    */
+  def kHopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 16, s"hops must be in [1,16], got $hops")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.toDF("node").distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    (1 to hops).foreach { r =>
+      val next = dist.filter(col("dist") === (r - 1))
+        .join(und, col("node") === col("u"))
+        .select(col("v").as("node"), lit(r.toLong).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** DuckDB oracle for [[kHopDistances]], unrolled from the same
+    * recurrence. `edgeSql` yields (src, dst); `seedSql` yields (node). */
+  def kHopOracleSql(edgeSql: String, seedSql: String, hops: Int): String = {
+    val steps = (1 to hops).map { r =>
+      s"""d$r AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, ${r} AS dist
+         |    FROM d${r - 1} f JOIN und e ON e.u = f.node
+         |    WHERE f.dist = ${r - 1}
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT src AS u, dst AS v FROM ($edgeSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), und AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)
+       |), d0 AS (
+       |  SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ($seedSql)
+       |), $steps
+       |SELECT node, dist FROM d$hops""".stripMargin
+  }
+}

@@ -476,6 +476,25 @@ object Relational extends QueryModule {
       graft.ops.Profiling.benfordAudit(Tables(s, dir).orders,
         Exact.cents(col("o_totalprice")))),
 
+    // k-hop BFS blast radius on the co-purchase graph: every part
+    // within 3 hops of the seeded part set, with exact shortest-hop
+    // distance — fixed synchronous frontier rounds, unrolled oracle.
+    "q197_khop_bfs" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val seeds = Tables(s, dir).part
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"))
+      graft.ops.Bfs.kHopDistances(edges, "src", "dst", seeds, hops = 3)
+    }),
+
     // Market-basket association rules over order line items: pair
     // support/confidence/lift, fan-out bounded by basket size (never
     // corpus²), min-support prune before the stats join.
@@ -961,6 +980,15 @@ object Relational extends QueryModule {
 
     "q185_basket_rules" -> graft.ops.Basket.associationRulesOracleSql(
       "lineitem", "l_orderkey", "l_partkey", minSupport = 2L),
+
+    "q197_khop_bfs" -> graft.ops.Bfs.kHopOracleSql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |              AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      "SELECT p_partkey AS node FROM part WHERE p_partkey % 50 = 0",
+      hops = 3),
 
     "q71_expectations" ->
       graft.ops.Profiling.expectationsOracleSql("events", Seq(

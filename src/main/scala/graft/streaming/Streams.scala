@@ -325,6 +325,66 @@ object Streams {
       }
   }
 
+  case class EwmaAlarm(key: String, v: Long, ewma: Long,
+    ts: java.sql.Timestamp)
+
+  /** Streaming EWMA control chart: per-key exponentially-weighted mean
+    * and variance maintained in state, alarm when an observation leaves
+    * the ±k·σ band — the adaptive-baseline sibling of
+    * [[cusumAlarmsStream]] (CUSUM finds sustained small drifts; EWMA-σ
+    * finds single excursions against a FOLLOWING baseline, so slow
+    * seasonal level changes never accumulate into false alarms).
+    *
+    * A genuinely sequential recurrence — each step rescales the
+    * previous state, which no batch window expresses exactly — run
+    * where the sequential state lives: flatMapGroupsWithState.
+    *
+    * Exact integer arithmetic: α = 1/2^`alphaShift`, mean and variance
+    * both scaled by 2^alphaShift (`m += (x·2^a − m) >> a`;
+    * `var += (dev²·2^a − var) >> a`), and the band check compares
+    * dev²·2^a against k²·var in the same scaled space — no floats
+    * anywhere, so runs are bit-identical. Warm-up: the first `warmup`
+    * events per key seed the baseline and never alarm.
+    *
+    * State: three longs + counter per key, event-time timeout reclaims
+    * quiet keys. Same per-batch in-memory ordering caveat as
+    * [[cusumAlarmsStream]].
+    */
+  def ewmaAlarmsStream(events: Dataset[MetricEvent], delay: String,
+      alphaShift: Int, kSquared: Long, warmup: Int = 5,
+      ttlMs: Long = 3600000L): Dataset[EwmaAlarm] = {
+    require(alphaShift >= 1 && alphaShift <= 20)
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), EwmaAlarm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (m, varS, n, lastTs) =
+              state.getOption.getOrElse((0L, 0L, 0L, Long.MinValue))
+            val alarms = Seq.newBuilder[EwmaAlarm]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              if (n == 0L) m = e.v << alphaShift
+              else {
+                val dev = e.v - (m >> alphaShift)
+                if (n >= warmup &&
+                    (dev * dev << alphaShift) > kSquared * varS)
+                  alarms += EwmaAlarm(key, e.v, m >> alphaShift, e.ts)
+                m += ((e.v << alphaShift) - m) >> alphaShift
+                varS += ((dev * dev << alphaShift) - varS) >> alphaShift
+              }
+              n += 1
+              lastTs = math.max(lastTs, e.ts.getTime)
+            }
+            state.update((m, varS, n, lastTs))
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            alarms.result().iterator
+          }
+      }
+  }
+
   /** Row-level quality gate for a stream (or batch) frame: split into
     * (pass, quarantine) on named expectations — the streaming use of
     * [[graft.ops.Profiling.expectations]]'s predicates, with the same

@@ -503,6 +503,19 @@ class OpsSpec extends SparkSuite {
     assert(out == expected.toMap)
   }
 
+  test("kHopDistances: path graph truncates at the horizon, diamond " +
+      "takes the shortest route, disconnected nodes absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5, diamond shortcut 1-6, 6-4, island 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (6L, 4L), (9L, 10L)).toDF("src", "dst")
+    val out = Bfs.kHopDistances(edges, "src", "dst",
+      Seq(1L).toDF("node"), hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is reachable in 2 via the diamond (1-6-4), not 3 via the path
+    assert(out == Map(1L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("decayedSum: exact power-of-two weights per half-life bucket, " +
       "horizon cutoff, future events clamp to full weight") {
     import spark.implicits._

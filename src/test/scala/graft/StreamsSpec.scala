@@ -259,6 +259,33 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("ewmaAlarmsStream: spike against a settled baseline fires, " +
+      "warm-up stays silent, baseline follows level cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.MetricEvent]
+    // alpha = 1/4, band k² = 16 (±4σ), warmup 5
+    val out = Streams.ewmaAlarmsStream(mem.toDS(), "0 seconds",
+      alphaShift = 2, kSquared = 16L, warmup = 5)
+    val q = out.writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    // batch 1: settle at 100 ± 2 (6 events, past warmup) — no alarms
+    val base = Seq(100L, 102L, 98L, 100L, 102L, 98L, 100L)
+    mem.addData(base.zipWithIndex.map { case (v, i) =>
+      Streams.MetricEvent("k", v, ts(f"10:00:${i}%02d")) }: _*)
+    q.processAllAvailable()
+    assert(spark.table("ewma_out").isEmpty)
+    // batch 2: a 10x spike — fires only if the settled baseline and
+    // variance survived the micro-batch boundary in state
+    mem.addData(Streams.MetricEvent("k", 1000L, ts("10:00:30")))
+    q.processAllAvailable()
+    val got = spark.table("ewma_out").as[Streams.EwmaAlarm].collect()
+    assert(got.length == 1 && got.head.v == 1000L)
+    assert(math.abs(got.head.ewma - 100L) <= 2,
+      s"baseline should sit at the settled level: ${got.head.ewma}")
+    q.stop()
+  }
+
   test("qualityGate splits a stream into pass and replayable quarantine") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
