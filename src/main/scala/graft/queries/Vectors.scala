@@ -287,6 +287,14 @@ object Vectors extends QueryModule {
       graft.similarity.Covariance.standardize(
         Tables(s, dir).embeddings, "vec_id", "embedding")),
 
+    // PCA PC1 projection: fixed-round integer power iteration on the
+    // portable nano-quantized covariance — the iteration never touches
+    // the corpus (dim² matrix rows), only the covariance pass and the
+    // final projection do.
+    "q198_pca_pc1" -> ((s, dir) =>
+      graft.similarity.Pca.pc1Projection(
+        Tables(s, dir).embeddings, "vec_id", "embedding", dim = 64)),
+
     // Embedding near-dup via quantized-vector fingerprint (exact dup after
     // floor(x*1000) quantization; dups injected as in q23).
     "q29_embedding_dupkey" -> ((s, dir) => {
@@ -1057,6 +1065,9 @@ object Vectors extends QueryModule {
 
     "q192_standardize" -> graft.similarity.Covariance.standardizeOracleSql(
       "embeddings", "vec_id", "embedding"),
+
+    "q198_pca_pc1" -> graft.similarity.Pca.pc1OracleSql(
+      "embeddings", "vec_id", "embedding", dim = 64),
 
     "q29_embedding_dupkey" ->
       """WITH e AS (

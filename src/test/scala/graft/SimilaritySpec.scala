@@ -481,6 +481,28 @@ class SimilaritySpec extends SparkSuite {
     assert(Seq(1L, 2L, 3L).forall(id => out((2L, id)).isEmpty))
   }
 
+  test("pc1Projection: recovers a planted dominant axis — projections " +
+      "monotone in the planted coordinate, bit-identical reruns") {
+    import spark.implicits._
+    import graft.similarity.Pca
+    // dominant variance along e1 (t = -20..20), small fixed wiggle on e2
+    val vecs = (-20 to 20).map { t =>
+      (t.toLong + 100L, Seq(t.toFloat / 100f, (t % 3).toFloat / 1000f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Pca.pc1Projection(df, "vec_id", "embedding", dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val proj = (-20 to 20).map(t => out(t.toLong + 100L))
+    // monotone in t up to global sign
+    val diffs = proj.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ >= 0) || diffs.forall(_ <= 0),
+      s"PC1 must order by the planted axis: $proj")
+    assert(proj.last != proj.head, "projection must not collapse")
+    val out2 = Pca.pc1Projection(df, "vec_id", "embedding", dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out) // deterministic end to end
+  }
+
   test("centroidCosineMatrix: orthogonal labels read 0, aligned labels " +
       "read 1, mean pooling precedes the pair geometry") {
     import spark.implicits._
