@@ -165,6 +165,62 @@ object Journey {
             (col("gap_sigma") + col("mean_gap"))))
   }
 
+  /** Observed-lifetime survival curve: for each whole-day lifetime d,
+    * how many users stayed active at least d days (first-to-last event
+    * span) and what fraction of the cohort that is — the product
+    * analyst's engagement-decay read (NOT a censoring-corrected
+    * Kaplan-Meier: within a fixed observation window, span IS the
+    * observable; document the window with the result).
+    *
+    * Exact: spans in integer days (`Δmicros div 86400·10⁶`), the
+    * survival counts a DESCENDING cumulative sum over the lifetime
+    * HISTOGRAM — day-cardinality-bounded (the retention window's
+    * calendar, not the user count), with the cohort total broadcast
+    * back as one row.
+    *
+    * @return (lifetime_days, n_users, n_at_least, survival_frac) — one
+    *         row per observed lifetime value
+    */
+  def lifetimeSurvival(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val spans = events
+      .select(col(userCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("__m"))
+      .groupBy(col(userCol))
+      .agg(min(col("__m")).as("__m0"), max(col("__m")).as("__m1"))
+      .withColumn("lifetime_days", expr("(__m1 - __m0) div 86400000000"))
+    val hist = spans.groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val wDesc = Window.orderBy(col("lifetime_days").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n_at_least", sum(col("n_users")).over(wDesc))
+      .withColumn("survival_frac",
+        col("n_at_least").cast("double") /
+          sum(col("n_users")).over(Window.partitionBy()))
+  }
+
+  /** DuckDB oracle for [[lifetimeSurvival]]. */
+  def lifetimeSurvivalOracleSql(table: String, userCol: String,
+      tsCol: String): String =
+    s"""WITH s AS (
+       |  SELECT $userCol,
+       |         (max(epoch_us($tsCol)) - min(epoch_us($tsCol)))
+       |           // 86400000000 AS lifetime_days
+       |  FROM $table GROUP BY 1
+       |), h AS (
+       |  SELECT lifetime_days, CAST(count(*) AS BIGINT) AS n_users
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT lifetime_days, n_users,
+       |       CAST(sum(n_users) OVER (ORDER BY lifetime_days DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS n_at_least,
+       |       CAST(sum(n_users) OVER (ORDER BY lifetime_days DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS DOUBLE) / sum(n_users) OVER () AS survival_frac
+       |FROM h""".stripMargin
+
   /** Batch sessionization: split each user's event stream at inactivity
     * gaps > `gapSeconds`, one output row per SESSION with its span and
     * size — the batch sibling of the streaming session window

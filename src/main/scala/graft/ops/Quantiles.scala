@@ -93,6 +93,71 @@ object Quantiles {
   private def cutName(num: Int, den: Int): String =
     "c" + (num * 100 / den).toString
 
+  /** Per-group Gini concentration of an integer metric — the
+    * inequality scalar (0 = everyone equal, → 1 = one key holds all the
+    * mass) behind "do whales dominate this event type" and "is one
+    * source supplying the whole corpus" dashboards.
+    *
+    * Exact histogram formulation: with distinct values v ascending,
+    * per-value counts k, cumulative count/sum BELOW each value (cb,
+    * sb), the total pairwise |difference| is `T = 2·Σ k·(cb·v − sb)` —
+    * all integers — and Gini = T / (2·n·S) in one fixed IEEE division.
+    * The windows run over the per-group VALUE HISTOGRAM
+    * (value-cardinality-bounded, the q84 argument), never per-row.
+    *
+    * @param values (groupCols..., vCol) rows, vCol a non-negative
+    *               integer metric
+    * @return (groupCols..., n, total, gini) — NULL gini when the group
+    *         total is 0 (no mass to concentrate)
+    */
+  def giniByGroup(values: DataFrame, groupCols: Seq[String],
+      vCol: String): DataFrame = {
+    val hist = values.groupBy(groupCols.map(col) :+ col(vCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__k"), sum(col(vCol)).as("__kv"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = hist
+      .withColumn("__cb", coalesce(sum(col("__k")).over(w), lit(0L)))
+      .withColumn("__sb", coalesce(sum(col("__kv")).over(w), lit(0L)))
+      .withColumn("__t",
+        lit(2L) * col("__k") * (col("__cb") * col("__v") - col("__sb")))
+    withCum.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__k")).as("n"), sum(col("__kv")).as("total"),
+        sum(col("__t")).as("__T"))
+      .withColumn("gini",
+        when(col("total") > 0,
+          col("__T").cast("double") /
+            (lit(2.0) * col("n") * col("total"))))
+      .drop("__T")
+  }
+
+  /** DuckDB oracle for [[giniByGroup]]: `innerSql` yields
+    * (groupCols..., v). */
+  def giniOracleSql(innerSql: String, groupCols: Seq[String]): String = {
+    val keys = groupCols.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT $keys, v, CAST(count(*) AS BIGINT) AS k,
+       |         CAST(sum(v) AS BIGINT) AS kv
+       |  FROM ($innerSql) GROUP BY $keys, v
+       |), c AS (
+       |  SELECT *,
+       |    CAST(coalesce(sum(k) OVER (PARTITION BY $keys ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cb,
+       |    CAST(coalesce(sum(kv) OVER (PARTITION BY $keys ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS sb
+       |  FROM h
+       |)
+       |SELECT $keys, CAST(sum(k) AS BIGINT) AS n,
+       |       CAST(sum(kv) AS BIGINT) AS total,
+       |       CASE WHEN sum(kv) > 0 THEN
+       |         CAST(sum(2 * k * (cb * v - sb)) AS DOUBLE)
+       |           / (2.0 * sum(k) * sum(kv))
+       |       END AS gini
+       |FROM c GROUP BY $keys""".stripMargin
+  }
+
   /** GLOBAL exact quantile cut points from the value HISTOGRAM (the
     * skew-report quantile trick generalized): aggregate to distinct
     * values with counts, cumulative-sum over the sorted distinct values,

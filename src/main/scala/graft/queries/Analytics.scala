@@ -352,6 +352,23 @@ object Analytics extends QueryModule {
         (1 to 9).map(i => (i, 10)))
     }),
 
+    // Observed-lifetime survival curve: engagement decay over whole-day
+    // first-to-last spans; descending cumulative over the calendar-
+    // bounded lifetime histogram.
+    "q200_survival" -> ((s, dir) =>
+      graft.ops.Journey.lifetimeSurvival(Tables(s, dir).events,
+        "user_id", "ts")),
+
+    // Gini concentration of per-user event counts by type: the
+    // whale-dominance scalar, exact via the value-histogram pairwise-
+    // difference identity.
+    "q201_gini" -> ((s, dir) => {
+      val activity = Tables(s, dir).events
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.Quantiles.giniByGroup(activity, Seq("event_type"), "c")
+    }),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -840,6 +857,14 @@ object Analytics extends QueryModule {
       """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
         |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
       (1 to 9).map(i => (i, 10))),
+
+    "q200_survival" -> graft.ops.Journey.lifetimeSurvivalOracleSql(
+      "events", "user_id", "ts"),
+
+    "q201_gini" -> graft.ops.Quantiles.giniOracleSql(
+      """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type")),
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",

@@ -287,6 +287,12 @@ object Vectors extends QueryModule {
       graft.similarity.Covariance.standardize(
         Tables(s, dir).embeddings, "vec_id", "embedding")),
 
+    // Diagonal-Mahalanobis outlier score: Σz² over portable trunc'd
+    // milli z-scores — the per-axis outlier read the norm misses.
+    "q199_mahalanobis" -> ((s, dir) =>
+      graft.similarity.Covariance.mahalanobisDiag(
+        Tables(s, dir).embeddings, "vec_id", "embedding")),
+
     // PCA PC1 projection: fixed-round integer power iteration on the
     // portable nano-quantized covariance — the iteration never touches
     // the corpus (dim² matrix rows), only the covariance pass and the
@@ -1068,6 +1074,9 @@ object Vectors extends QueryModule {
 
     "q198_pca_pc1" -> graft.similarity.Pca.pc1OracleSql(
       "embeddings", "vec_id", "embedding", dim = 64),
+
+    "q199_mahalanobis" -> graft.similarity.Covariance
+      .mahalanobisDiagOracleSql("embeddings", "vec_id", "embedding"),
 
     "q29_embedding_dupkey" ->
       """WITH e AS (

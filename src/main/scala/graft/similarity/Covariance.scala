@@ -123,6 +123,40 @@ object Covariance {
           (col("x") - col("__mu")) / col("__sigma")).as("z"))
   }
 
+  /** Diagonal-Mahalanobis outlier score: Σᵢ zᵢ² over [[standardize]]'s
+    * per-dimension z-scores — the feature-space outlier detector
+    * (corrupt vectors, wrong-model embeddings, unit mix-ups) that the
+    * norm alone misses because a vector can be ordinary in length yet
+    * extreme on one axis.
+    *
+    * Portability: z doubles are bit-identical cross-engine (fixed IEEE
+    * from exact sums), so `trunc(z·1000)` is a portable integer;
+    * squares then sum exactly in any order. Constant dimensions (NULL
+    * z) contribute nothing and are counted out via `n_dims_scored`.
+    *
+    * @return (idCol, n_dims_scored, maha_q) — maha_q in milli² units;
+    *         maha_q/1e6/n_dims_scored ≈ mean squared z
+    */
+  def mahalanobisDiag(df: DataFrame, idCol: String, vecCol: String,
+      scale: Double = 1e6): DataFrame = {
+    val z = standardize(df, idCol, vecCol, scale)
+      .filter(col("z").isNotNull)
+      .withColumn("__zq",
+        (col("z") * lit(1000.0)).cast("long")) // trunc — both engines
+    z.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dims_scored"),
+        sum(col("__zq") * col("__zq")).as("maha_q"))
+  }
+
+  /** DuckDB oracle for [[mahalanobisDiag]]. */
+  def mahalanobisDiagOracleSql(table: String, idCol: String,
+      vecCol: String, scale: Double = 1e6): String =
+    s"""WITH zz AS (${standardizeOracleSql(table, idCol, vecCol, scale)})
+       |SELECT $idCol, CAST(count(*) AS BIGINT) AS n_dims_scored,
+       |       CAST(sum(CAST(trunc(z * 1000.0) AS BIGINT)
+       |         * CAST(trunc(z * 1000.0) AS BIGINT)) AS BIGINT) AS maha_q
+       |FROM zz WHERE z IS NOT NULL GROUP BY 1""".stripMargin
+
   /** DuckDB oracle for [[standardize]]. */
   def standardizeOracleSql(table: String, idCol: String, vecCol: String,
       scale: Double = 1e6): String =

@@ -503,6 +503,42 @@ class OpsSpec extends SparkSuite {
     assert(out == expected.toMap)
   }
 
+  test("giniByGroup: uniform reads 0, single-holder reads (n-1)/n, " +
+      "zero-mass group gets NULL") {
+    import spark.implicits._
+    val rows =
+      (1L to 8L).map(u => ("uniform", u, 5L)) ++
+      (("mono", 1L, 80L) +: (2L to 8L).map(u => ("mono", u, 0L))) ++
+      (1L to 4L).map(u => ("zero", u, 0L))
+    val out = Quantiles.giniByGroup(rows.toDF("g", "u", "v"), Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(out("uniform") == ((8L, Some(0.0))))
+    assert(out("mono") == ((8L, Some(7.0 / 8.0))))
+    assert(out("zero") == ((4L, None)))
+  }
+
+  test("lifetimeSurvival: hand spans produce the descending cumulative " +
+      "curve with exact fractions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: 0-day span; users 2,3: 2-day span; user 4: 5-day span
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (2L, t("2024-01-01 00:00:00")), (2L, t("2024-01-03 00:00:00")),
+      (3L, t("2024-01-02 08:00:00")), (3L, t("2024-01-04 08:00:00")),
+      (4L, t("2024-01-01 00:00:00")), (4L, t("2024-01-06 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = Journey.lifetimeSurvival(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((1L, 4L, 1.0)))
+    assert(out(2L) == ((2L, 3L, 0.75)))
+    assert(out(5L) == ((1L, 1L, 0.25)))
+  }
+
   test("kHopDistances: path graph truncates at the horizon, diamond " +
       "takes the shortest route, disconnected nodes absent") {
     import spark.implicits._

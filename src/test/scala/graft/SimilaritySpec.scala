@@ -481,6 +481,23 @@ class SimilaritySpec extends SparkSuite {
     assert(Seq(1L, 2L, 3L).forall(id => out((2L, id)).isEmpty))
   }
 
+  test("mahalanobisDiag: planted single-axis outlier tops the scores, " +
+      "constant dims counted out") {
+    import spark.implicits._
+    import graft.similarity.Covariance
+    // 20 inliers near the origin on dim 1, one far outlier; dim 2 constant
+    val df = ((1L to 20L).map(i =>
+        (i, Seq((i % 5).toFloat / 100f, 3.0f))) :+
+      (99L, Seq(5.0f, 3.0f))).toDF("vec_id", "embedding")
+    val rows = Covariance.mahalanobisDiag(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows.values.forall(_._1 == 1L)) // constant dim 2 dropped
+    val top = rows.maxBy(_._2._2)
+    assert(top._1 == 99L, s"outlier must top the scores: $rows")
+    assert(top._2._2 > 10 * rows(1L)._2)
+  }
+
   test("pc1Projection: recovers a planted dominant axis — projections " +
       "monotone in the planted coordinate, bit-identical reruns") {
     import spark.implicits._
