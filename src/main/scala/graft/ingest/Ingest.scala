@@ -126,4 +126,34 @@ object Ingest {
       .select(col(valueCol).cast("string").as("raw_value"))
     (good, bad)
   }
+
+  /** Semi-structured schema discovery: top-level key frequency over a
+    * JSON string column — the first question against a new feed ("what
+    * fields actually arrive, and how often"), which a declared
+    * `from_json` schema presupposes an answer to. One explode + one
+    * hash aggregation; the row total broadcasts back (the one-row
+    * stat idiom).
+    *
+    * @return (key, n_rows_with_key, n_rows, frac) per top-level key
+    */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    df.filter(col(jsonCol).isNotNull)
+      .select(explode(json_object_keys(col(jsonCol))).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_rows_with_key"))
+      .crossJoin(broadcast(total))
+      .withColumn("frac",
+        col("n_rows_with_key").cast("double") / col("n_rows"))
+  }
+
+  /** DuckDB oracle for [[jsonKeyProfile]]. */
+  def jsonKeyProfileOracleSql(table: String, jsonCol: String): String =
+    s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM $table),
+       |k AS (
+       |  SELECT unnest(json_keys($jsonCol)) AS key
+       |  FROM $table WHERE $jsonCol IS NOT NULL
+       |)
+       |SELECT key, CAST(count(*) AS BIGINT) AS n_rows_with_key, t.n_rows,
+       |       CAST(count(*) AS DOUBLE) / t.n_rows AS frac
+       |FROM k, t GROUP BY key, t.n_rows""".stripMargin
 }

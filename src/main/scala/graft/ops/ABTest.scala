@@ -56,6 +56,86 @@ object ABTest {
         when(col("z").isNotNull, abs(col("z")) > 1.96))
   }
 
+  /** Chi-square independence test over a two-way contingency table —
+    * "are these two categoricals related" (source × language, segment ×
+    * outcome), the categorical sibling of [[proportionTest]].
+    *
+    * One contingency aggregation; row/column margins re-derive FROM the
+    * table (|rows|+|cols| rows, broadcast back — the corpus is scanned
+    * once). Per-cell terms `(o − e)²/e` are bit-identical doubles, so
+    * `trunc(term·10⁶)` is a portable integer and the statistic sums
+    * exactly in any order (a raw double Σ would be partition-order-
+    * dependent). Returns the quantized statistic + dof; compare against
+    * the critical value for your α downstream.
+    *
+    * @return one row: (n, n_a_levels, n_b_levels, dof, chi2_q, chi2) —
+    *         chi2 = chi2_q / 1e6
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy(col("__a")).agg(sum("o").as("ra"))
+    val colM = cells.groupBy(col("__b")).agg(sum("o").as("cb"))
+    val total = cells.agg(sum("o").as("n"))
+    // densify over the level cross: an unobserved cell contributes
+    // (0 − e)²/e = e, and dropping it (observed-only groupBy) would
+    // systematically understate the statistic
+    val terms = rowM.crossJoin(colM)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("__e",
+        col("ra").cast("double") * col("cb") / col("n"))
+      .withColumn("__t",
+        ((col("o").cast("double") - col("__e")) *
+          (col("o").cast("double") - col("__e")) / col("__e") *
+          lit(1000000.0)).cast("long"))
+    terms.agg(
+        max(col("n")).as("n"),
+        count_distinct(col("__a")).as("n_a_levels"),
+        count_distinct(col("__b")).as("n_b_levels"),
+        sum(col("__t")).as("chi2_q"))
+      .withColumn("dof",
+        (col("n_a_levels") - 1) * (col("n_b_levels") - 1))
+      .withColumn("chi2", col("chi2_q").cast("double") / lit(1000000.0))
+      .select(col("n"), col("n_a_levels"), col("n_b_levels"), col("dof"),
+        col("chi2_q"), col("chi2"))
+  }
+
+  /** DuckDB oracle for [[chiSquareIndependence]]. */
+  def chiSquareOracleSql(table: String, aCol: String, bCol: String)
+      : String =
+    s"""WITH cells AS (
+       |  SELECT $aCol AS a, $bCol AS b, CAST(count(*) AS BIGINT) AS o
+       |  FROM $table GROUP BY 1, 2
+       |), rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+       |cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       |dense AS (
+       |  SELECT rm.a, cm.b, rm.ra, cm.cb, coalesce(cells.o, 0) AS o
+       |  FROM rm CROSS JOIN cm
+       |  LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b
+       |),
+       |terms AS (
+       |  SELECT o, ra, cb, t.n,
+       |         CAST(trunc(((CAST(o AS DOUBLE)
+       |            - CAST(ra AS DOUBLE) * cb / n)
+       |           * (CAST(o AS DOUBLE)
+       |            - CAST(ra AS DOUBLE) * cb / n)
+       |           / (CAST(ra AS DOUBLE) * cb / n)) * 1000000.0)
+       |           AS BIGINT) AS tq
+       |  FROM dense CROSS JOIN t
+       |)
+       |SELECT max(n) AS n,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM rm) AS n_a_levels,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cm) AS n_b_levels,
+       |       ((SELECT count(*) FROM rm) - 1)
+       |         * ((SELECT count(*) FROM cm) - 1) AS dof,
+       |       CAST(sum(tq) AS BIGINT) AS chi2_q,
+       |       CAST(sum(tq) AS DOUBLE) / 1000000.0 AS chi2
+       |FROM terms""".stripMargin
+
   /** DuckDB oracle for [[proportionTest]]; `armBSql`/`convertSql` are
     * boolean SQL expressions over `table`'s rows. */
   def proportionTestOracleSql(table: String, groupCols: Seq[String],

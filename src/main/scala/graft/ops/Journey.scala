@@ -221,6 +221,56 @@ object Journey {
        |         AS DOUBLE) / sum(n_users) OVER () AS survival_frac
        |FROM h""".stripMargin
 
+  /** DAU / trailing-WAU stickiness per day — the engagement-intensity
+    * ratio (what share of the weekly audience shows up daily) product
+    * dashboards headline.
+    *
+    * Rolling DISTINCT users is not window-expressible (distinct does
+    * not decompose over frames); instead each (user, day) activity row
+    * CONTRIBUTES itself to the 7 trailing report days (`explode` of a
+    * 7-element day sequence — a fixed fan-out, the q35 densify spirit),
+    * then one distinct + one count per report day. Report days are
+    * restricted to observed days (a day with zero activity has no DAU
+    * row — honest, not a 0/0).
+    *
+    * @return (day, dau, wau, stickiness) — day = epoch days
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val userDays = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
+          .as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("u"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")) // inner: only observed days report
+      .withColumn("stickiness", col("dau").cast("double") / col("wau"))
+  }
+
+  /** DuckDB oracle for [[stickiness]]. */
+  def stickinessOracleSql(table: String, userCol: String, tsCol: String)
+      : String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT $userCol AS u,
+       |         epoch_us($tsCol) // 86400000000 AS day
+       |  FROM $table
+       |), dau AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+       |), wau AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+       |    SELECT DISTINCT u, day + off AS day
+       |    FROM ud, (SELECT unnest(range(0, 7)) AS off)
+       |  ) GROUP BY 1
+       |)
+       |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+       |FROM dau JOIN wau USING (day)""".stripMargin
+
   /** Batch sessionization: split each user's event stream at inactivity
     * gaps > `gapSeconds`, one output row per SESSION with its span and
     * size — the batch sibling of the streaming session window

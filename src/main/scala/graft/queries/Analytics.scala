@@ -369,6 +369,28 @@ object Analytics extends QueryModule {
       graft.ops.Quantiles.giniByGroup(activity, Seq("event_type"), "c")
     }),
 
+    // Semi-structured schema discovery: top-level JSON key frequency
+    // over the props feed — what fields actually arrive, before any
+    // from_json schema is declared.
+    "q202_json_schema" -> ((s, dir) =>
+      graft.ingest.Ingest.jsonKeyProfile(Tables(s, dir).events, "props")),
+
+    // DAU / trailing-WAU stickiness: rolling distinct is not window-
+    // expressible, so each (user, day) contributes itself to its 7
+    // trailing report days (fixed fan-out) before one distinct+count.
+    "q203_stickiness" -> ((s, dir) =>
+      graft.ops.Journey.stickiness(Tables(s, dir).events,
+        "user_id", "ts")),
+
+    // Chi-square independence: is event_type related to the user's
+    // parity cohort — contingency margins re-derived and broadcast,
+    // per-cell terms trunc'd to portable integers before the sum.
+    "q204_chi_square" -> ((s, dir) =>
+      graft.ops.ABTest.chiSquareIndependence(
+        Tables(s, dir).events
+          .withColumn("cohort", pmod(col("user_id"), lit(3))),
+        "event_type", "cohort")),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -865,6 +887,16 @@ object Analytics extends QueryModule {
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q202_json_schema" ->
+      graft.ingest.Ingest.jsonKeyProfileOracleSql("events", "props"),
+
+    "q203_stickiness" ->
+      graft.ops.Journey.stickinessOracleSql("events", "user_id", "ts"),
+
+    "q204_chi_square" -> graft.ops.ABTest.chiSquareOracleSql(
+      "(SELECT event_type, user_id % 3 AS cohort FROM events)",
+      "event_type", "cohort"),
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",

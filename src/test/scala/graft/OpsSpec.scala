@@ -503,6 +503,65 @@ class OpsSpec extends SparkSuite {
     assert(out == expected.toMap)
   }
 
+  test("jsonKeyProfile: key frequencies over ragged JSON, null rows in " +
+      "the denominator only") {
+    import spark.implicits._
+    val df = Seq(Some("""{"a": 1, "b": 2}"""), Some("""{"a": 3}"""),
+      Some("""{"c": {"x": 1}}"""), None).toDF("js")
+    val out = graft.ingest.Ingest.jsonKeyProfile(df, "js")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      "a" -> ((2L, 4L, 0.5)), "b" -> ((1L, 4L, 0.25)),
+      "c" -> ((1L, 4L, 0.25)))) // nested keys are NOT flattened
+  }
+
+  test("stickiness: daily user reads 1.0 once the week fills, one-shot " +
+      "users dilute the trailing WAU") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user 1 active on days 0..9; user 2 only on day 3
+    val ev = ((0 to 9).map(d => (1L, Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"))) :+
+      (2L, Timestamp.valueOf("2024-01-04 12:00:00"))).toDF("user_id", "ts")
+    val out = Journey.stickiness(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val day0 = out.keys.min
+    assert(out(day0) == ((1L, 1L, 1.0)))        // only user 1 so far
+    assert(out(day0 + 3) == ((2L, 2L, 1.0)))    // both active that day
+    assert(out(day0 + 4) == ((1L, 2L, 0.5)))    // user 2 lingers in WAU
+    assert(out(day0 + 9) == ((1L, 2L, 0.5)))    // day 3 + 6 = day 9: still in
+  }
+
+  test("stickiness: one-shot user leaves the trailing window after 7 days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = ((0 to 10).map(d =>
+      (1L, Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"))) :+
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00"))).toDF("user_id", "ts")
+    val out = Journey.stickiness(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val day0 = out.keys.min
+    assert(out(day0 + 6) == 2L)  // last day user 2 still counts
+    assert(out(day0 + 7) == 1L)  // aged out
+  }
+
+  test("chiSquareIndependence: independent table reads ~0, determined " +
+      "table reads n·min(r,c expansion), dof exact") {
+    import spark.implicits._
+    // independent: every (a, b) cell has the same count
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 10 } yield (a, b)).toDF("a", "b")
+    val i = ABTest.chiSquareIndependence(ind, "a", "b").collect().head
+    assert(i.getAs[Long]("dof") == 1L && i.getAs[Long]("chi2_q") == 0L)
+    // fully determined 2x2: chi2 = n
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val d = ABTest.chiSquareIndependence(dep, "a", "b").collect().head
+    assert(d.getAs[Long]("n") == 20L)
+    assert(math.abs(d.getAs[Double]("chi2") - 20.0) < 1e-6)
+  }
+
   test("giniByGroup: uniform reads 0, single-holder reads (n-1)/n, " +
       "zero-mass group gets NULL") {
     import spark.implicits._
