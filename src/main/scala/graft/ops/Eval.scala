@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation at corpus scale: ROC AUC and the calibration
+  * curve/ECE — the two numbers that decide whether a scoring model
+  * (quality classifier, risk score, relevance ranker) is usable, both
+  * computed WITHOUT a global sort of the scores.
+  *
+  * The shared trick is the q84 histogram argument: group by the (integer)
+  * score VALUE, and every rank-flavored quantity becomes a cumulative
+  * window over the score histogram — bounded by score cardinality, not
+  * row count. All counts are exact integers; each final ratio is one
+  * fixed IEEE division.
+  */
+object Eval {
+
+  /** ROC AUC by the Mann-Whitney identity: AUC = P(score⁺ > score⁻)
+    * + ½·P(score⁺ = score⁻), computed from the per-score-value
+    * (positives, negatives) histogram as
+    * `(2·Σ neg_below·pos_at + Σ pos_at·neg_at) / (2·P·N)` — exact
+    * integers until the one division. NULL when either class is empty
+    * (AUC undefined).
+    *
+    * @param score integer score column (quantize doubles first — the
+    *              resolution knob is the caller's)
+    * @param label boolean/0-1 positive indicator
+    * @return one row: (n, n_pos, n_neg, auc_num2, auc) —
+    *         auc_num2 = 2·P·N·AUC (the exact integer numerator)
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val hist = df
+      .select(score.as("__s"), label.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("pos_at"),
+        sum(lit(1L) - col("__y")).as("neg_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("neg_below",
+      coalesce(sum(col("neg_at")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("pos_at") + col("neg_at")).as("n"),
+        sum(col("pos_at")).as("n_pos"),
+        sum(col("neg_at")).as("n_neg"),
+        sum(lit(2L) * col("neg_below") * col("pos_at") +
+          col("pos_at") * col("neg_at")).as("auc_num2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc_num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))))
+  }
+
+  /** DuckDB oracle for [[rocAuc]]: `innerSql` yields (s, y). */
+  def rocAucOracleSql(innerSql: String): String =
+    s"""WITH h AS (
+       |  SELECT s, CAST(sum(y) AS BIGINT) AS pos_at,
+       |         CAST(sum(1 - y) AS BIGINT) AS neg_at
+       |  FROM ($innerSql) WHERE s IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), c AS (
+       |  SELECT *, CAST(coalesce(sum(neg_at) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS neg_below
+       |  FROM h
+       |)
+       |SELECT CAST(sum(pos_at + neg_at) AS BIGINT) AS n,
+       |       CAST(sum(pos_at) AS BIGINT) AS n_pos,
+       |       CAST(sum(neg_at) AS BIGINT) AS n_neg,
+       |       CAST(sum(2 * neg_below * pos_at + pos_at * neg_at) AS BIGINT)
+       |         AS auc_num2,
+       |       CASE WHEN sum(pos_at) > 0 AND sum(neg_at) > 0 THEN
+       |         CAST(sum(2 * neg_below * pos_at + pos_at * neg_at) AS DOUBLE)
+       |           / (2.0 * sum(pos_at) * sum(neg_at))
+       |       END AS auc
+       |FROM c""".stripMargin
+
+  /** Calibration curve over score bins: per bin, predicted-probability
+    * mass vs observed outcome rate, plus each bin's contribution to the
+    * Expected Calibration Error `ECE = Σ (n_b/N)·|acc_b − conf_b|` —
+    * quantized to exact integer micros per bin so the scalar sums
+    * exactly (`Σ ece_q / N / 1e6` downstream).
+    *
+    * `scoreMicro` is the model's probability in integer micros
+    * (0..1e6); bins are equal-WIDTH in probability space (the standard
+    * reliability-diagram convention — equal-frequency bins would hide
+    * exactly the sparse high-confidence region calibration cares
+    * about).
+    *
+    * @return (bin, n, sum_conf_micro, n_pos, conf, acc, ece_q) per
+    *         non-empty bin
+    */
+  def calibrationCurve(df: DataFrame, scoreMicro: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val binned = df
+      .select(scoreMicro.as("__p"), label.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      // clamp 1e6 into the top bin: p = 1.0 belongs to [0.9, 1.0]
+      .withColumn("bin",
+        least(expr(s"(__p * $bins) div 1000000"), lit(bins - 1L)))
+    val g = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p")).as("sum_conf_micro"),
+        sum(col("__y")).as("n_pos"))
+      .withColumn("conf",
+        col("sum_conf_micro").cast("double") / col("n") / lit(1000000.0))
+      .withColumn("acc", col("n_pos").cast("double") / col("n"))
+    // per-bin ECE contribution in micro units: n_b·|acc − conf| exactly
+    // = |n_b·n_pos·1e6 − n_b·sum_conf| / (n_b) scaled — keep integers:
+    // |1e6·n_pos − sum_conf| is n_b·1e6·|acc − conf|
+    g.withColumn("ece_q",
+      abs(lit(1000000L) * col("n_pos") - col("sum_conf_micro")))
+  }
+
+  /** DuckDB oracle for [[calibrationCurve]]: `innerSql` yields (p, y). */
+  def calibrationOracleSql(innerSql: String, bins: Int = 10): String =
+    s"""WITH b AS (
+       |  SELECT least((p * $bins) // 1000000, ${bins - 1}) AS bin, p, y
+       |  FROM ($innerSql) WHERE p IS NOT NULL AND y IS NOT NULL
+       |), g AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(p) AS BIGINT) AS sum_conf_micro,
+       |         CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT CAST(bin AS BIGINT) AS bin, n, sum_conf_micro, n_pos,
+       |       CAST(sum_conf_micro AS DOUBLE) / n / 1000000.0 AS conf,
+       |       CAST(n_pos AS DOUBLE) / n AS acc,
+       |       CAST(abs(1000000 * n_pos - sum_conf_micro) AS BIGINT)
+       |         AS ece_q
+       |FROM g""".stripMargin
+}

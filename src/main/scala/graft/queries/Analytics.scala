@@ -391,6 +391,14 @@ object Analytics extends QueryModule {
           .withColumn("cohort", pmod(col("user_id"), lit(3))),
         "event_type", "cohort")),
 
+    // ROC AUC without a global score sort: Mann-Whitney over the score
+    // histogram (cardinality-bounded cumulative), exact integer
+    // numerator, one final division.
+    "q205_roc_auc" -> ((s, dir) =>
+      graft.ops.Eval.rocAuc(Tables(s, dir).events,
+        Exact.cents(col("value")),
+        (col("event_type") === "purchase").cast("long"))),
+
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -887,6 +895,11 @@ object Analytics extends QueryModule {
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q205_roc_auc" -> graft.ops.Eval.rocAucOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |FROM events""".stripMargin),
 
     "q202_json_schema" ->
       graft.ingest.Ingest.jsonKeyProfileOracleSql("events", "props"),

@@ -232,6 +232,25 @@ object Text extends QueryModule {
         Tables(s, dir).documents.select(col("doc_id"), col("source")),
         "source", Seq("doc_id"))),
 
+    // Calibration curve + per-bin ECE of the q20 quality score against
+    // an English-language outcome: equal-width probability bins (the
+    // reliability-diagram convention), confidence mass and ECE terms as
+    // exact integer micros. The q20 doubles are bit-identical
+    // cross-engine, so trunc(q*1e6) is a portable integer score.
+    "q206_calibration" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val stopRatio = TextAnalysis.stopwordHits(toks, TextAnalysis.stopEn)
+        .cast("double") / greatest(size(toks), lit(1))
+      val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+      val punct = TextAnalysis.punctRatio(col("text"))
+      val quality = lenScore * lit(0.6) + (lit(1.0) - stopRatio) * lit(0.3) +
+        (lit(1.0) - punct) * lit(0.1)
+      val scored = Tables(s, dir).documents.select(
+        (quality * lit(1000000.0)).cast("long").as("p"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.ops.Eval.calibrationCurve(scored, col("p"), col("y"))
+    }),
+
     // Per-source corpus datasheet: volume, language profile and exact-
     // duplication rate in one |sources|-row card — the dataset-card
     // summary a corpus release publishes.
@@ -1150,6 +1169,16 @@ object Text extends QueryModule {
         |       CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
         |         AS ordinal
         |FROM documents""".stripMargin,
+
+    "q206_calibration" -> graft.ops.Eval.calibrationOracleSql(
+      s"""SELECT CAST(trunc((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+         |  + (1.0 - CAST(len(list_filter(toks,
+         |      t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         |      / greatest(len(toks), 1)) * 0.3
+         |  + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1)) * 0.1) * 1000000.0) AS BIGINT) AS p,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |FROM (SELECT text, lang, $toksSql AS toks FROM documents)""".stripMargin),
 
     "q190_datasheet" -> graft.text.Corpus.datasheetOracleSql(
       "documents", "source", "doc_id", "text", "lang"),

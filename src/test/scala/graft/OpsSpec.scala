@@ -562,6 +562,40 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(d.getAs[Double]("chi2") - 20.0) < 1e-6)
   }
 
+  test("rocAuc: separation 1.0, reversal 0.0, all-ties 0.5, " +
+      "single-class NULL — all exact") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): Option[Double] = {
+      val r = Eval.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      if (r.isNullAt(4)) None else Some(r.getDouble(4))
+    }
+    val pos = (11L to 15L).map((_, 1L)); val neg = (1L to 5L).map((_, 0L))
+    assert(auc(pos ++ neg) == Some(1.0))
+    assert(auc(pos.map { case (s, _) => (s, 0L) } ++
+      neg.map { case (s, _) => (s, 1L) }) == Some(0.0))
+    assert(auc(Seq((7L, 1L), (7L, 0L), (7L, 1L), (7L, 0L))) == Some(0.5))
+    assert(auc(Seq((1L, 1L), (2L, 1L))).isEmpty)
+  }
+
+  test("calibrationCurve: perfectly calibrated bins read ece 0, an " +
+      "overconfident bin pays exactly its gap, p=1.0 lands in the top bin") {
+    import spark.implicits._
+    val rows =
+      // bin 2 (p=0.25): 4 rows, 1 positive → acc = conf = 0.25
+      Seq.fill(3)((250000L, 0L)) ++ Seq(((250000L, 1L))) ++
+      // bin 9 via clamp (p=1.0): 2 rows, 1 positive → overconfident
+      Seq((1000000L, 1L), (1000000L, 0L))
+    val out = Eval.calibrationCurve(rows.toDF("p", "y"), col("p"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(out(2L) == ((4L, 0.25, 0.25, 0L)))
+    // |1e6·1 − 2e6| = 1e6 = n_b·1e6·|0.5 − 1.0|
+    assert(out(9L) == ((2L, 1.0, 0.5, 1000000L)))
+    assert(out.keySet == Set(2L, 9L))
+  }
+
   test("giniByGroup: uniform reads 0, single-holder reads (n-1)/n, " +
       "zero-mass group gets NULL") {
     import spark.implicits._
