@@ -76,6 +76,76 @@ object Eval {
        |       END AS auc
        |FROM c""".stripMargin
 
+  /** Precision/recall/F1 at every decision threshold — the curve that
+    * picks the operating point after [[rocAuc]] says the ranking is
+    * good. One row per DISTINCT score value t (predict positive at
+    * s ≥ t): TP/FP are descending cumulatives over the same score
+    * histogram (cardinality-bounded, no global sort); P/R/F1 derive in
+    * fixed IEEE sequences.
+    *
+    * @return (threshold, tp, fp, fn, tn, precision, recall, f1) —
+    *         f1 NULL when precision+recall is 0
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val hist = df
+      .select(score.as("threshold"), label.cast("long").as("__y"))
+      .filter(col("threshold").isNotNull && col("__y").isNotNull)
+      .groupBy(col("threshold"))
+      .agg(sum(col("__y")).as("pos_at"),
+        sum(lit(1L) - col("__y")).as("neg_at"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = hist
+      .withColumn("tp", sum(col("pos_at")).over(wDesc))
+      .withColumn("fp", sum(col("neg_at")).over(wDesc))
+      .withColumn("__P", sum(col("pos_at")).over(wAll))
+      .withColumn("__N", sum(col("neg_at")).over(wAll))
+    val precision = col("tp").cast("double") / (col("tp") + col("fp"))
+    val recall = when(col("__P") > 0, col("tp").cast("double") / col("__P"))
+    cum
+      .withColumn("fn", col("__P") - col("tp"))
+      .withColumn("tn", col("__N") - col("fp"))
+      .withColumn("precision", precision)
+      .withColumn("recall", recall)
+      .withColumn("f1",
+        when(precision + recall > 0,
+          lit(2.0) * precision * recall / (precision + recall)))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"), col("precision"), col("recall"), col("f1"))
+  }
+
+  /** DuckDB oracle for [[prCurve]]: `innerSql` yields (s, y). */
+  def prCurveOracleSql(innerSql: String): String = {
+    val prec = "CAST(tp AS DOUBLE) / (tp + fp)"
+    val rec = "CASE WHEN P > 0 THEN CAST(tp AS DOUBLE) / P END"
+    s"""WITH h AS (
+       |  SELECT s AS threshold, CAST(sum(y) AS BIGINT) AS pos_at,
+       |         CAST(sum(1 - y) AS BIGINT) AS neg_at
+       |  FROM ($innerSql) WHERE s IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), c AS (
+       |  SELECT threshold,
+       |    CAST(sum(pos_at) OVER (ORDER BY threshold DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS tp,
+       |    CAST(sum(neg_at) OVER (ORDER BY threshold DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS fp,
+       |    CAST(sum(pos_at) OVER () AS BIGINT) AS P,
+       |    CAST(sum(neg_at) OVER () AS BIGINT) AS N
+       |  FROM h
+       |)
+       |SELECT threshold, tp, fp, P - tp AS fn, N - fp AS tn,
+       |       $prec AS precision,
+       |       $rec AS recall,
+       |       CASE WHEN $prec + $rec > 0 THEN
+       |         2.0 * ($prec) * ($rec) / ($prec + $rec)
+       |       END AS f1
+       |FROM c""".stripMargin
+  }
+
   /** Calibration curve over score bins: per bin, predicted-probability
     * mass vs observed outcome rate, plus each bin's contribution to the
     * Expected Calibration Error `ECE = Σ (n_b/N)·|acc_b − conf_b|` —

@@ -391,6 +391,14 @@ object Analytics extends QueryModule {
           .withColumn("cohort", pmod(col("user_id"), lit(3))),
         "event_type", "cohort")),
 
+    // Precision/recall/F1 at every distinct threshold: descending
+    // cumulatives over the same score histogram AUC uses — the
+    // operating-point picker, no global sort.
+    "q207_pr_curve" -> ((s, dir) =>
+      graft.ops.Eval.prCurve(Tables(s, dir).events,
+        Exact.cents(col("value")),
+        (col("event_type") === "purchase").cast("long"))),
+
     // ROC AUC without a global score sort: Mann-Whitney over the score
     // histogram (cardinality-bounded cumulative), exact integer
     // numerator, one final division.
@@ -895,6 +903,11 @@ object Analytics extends QueryModule {
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q207_pr_curve" -> graft.ops.Eval.prCurveOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |FROM events""".stripMargin),
 
     "q205_roc_auc" -> graft.ops.Eval.rocAucOracleSql(
       """SELECT CAST(round(value * 100) AS BIGINT) AS s,

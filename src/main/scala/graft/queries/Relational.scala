@@ -476,6 +476,23 @@ object Relational extends QueryModule {
       graft.ops.Profiling.benfordAudit(Tables(s, dir).orders,
         Exact.cents(col("o_totalprice")))),
 
+    // Deterministic negative-edge sampling on the co-purchase graph:
+    // hash-chosen non-neighbors per node via the dense-index recipe,
+    // existing edges anti-joined out — the contrast set link-prediction
+    // training needs, reproducible on every run.
+    "q208_negative_samples" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      graft.ops.LinkPredict.negativeSamples(edges, "src", "dst", k = 3)
+    }),
+
     // k-hop BFS blast radius on the co-purchase graph: every part
     // within 3 hops of the seeded part set, with exact shortest-hop
     // distance — fixed synchronous frontier rounds, unrolled oracle.
@@ -980,6 +997,14 @@ object Relational extends QueryModule {
 
     "q185_basket_rules" -> graft.ops.Basket.associationRulesOracleSql(
       "lineitem", "l_orderkey", "l_partkey", minSupport = 2L),
+
+    "q208_negative_samples" -> graft.ops.LinkPredict
+      .negativeSamplesOracleSql(
+        """SELECT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM lineitem a
+          |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          |              AND a.l_partkey < b.l_partkey
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin, k = 3),
 
     "q197_khop_bfs" -> graft.ops.Bfs.kHopOracleSql(
       """SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -232,6 +232,19 @@ object Text extends QueryModule {
         Tables(s, dir).documents.select(col("doc_id"), col("source")),
         "source", Seq("doc_id"))),
 
+    // KWIC snippets around the first "spark" occurrence: the result-
+    // page context view next to the q56 BM25 score; pure per-row array
+    // expressions.
+    "q209_kwic" -> ((s, dir) =>
+      graft.text.Retrieval.kwicSnippets(Tables(s, dir).documents,
+        "doc_id", "text", term = "spark", window = 3)),
+
+    // Bigram-LM next-token top-1 accuracy: the cheapest LM eval —
+    // weighted hits of each left-context's modal successor.
+    "q210_next_token_acc" -> ((s, dir) =>
+      graft.text.LangModel.nextTokenAccuracy(
+        Tables(s, dir).documents, "text")),
+
     // Calibration curve + per-bin ECE of the q20 quality score against
     // an English-language outcome: equal-width probability bins (the
     // reliability-diagram convention), confidence mass and ECE terms as
@@ -1169,6 +1182,12 @@ object Text extends QueryModule {
         |       CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
         |         AS ordinal
         |FROM documents""".stripMargin,
+
+    "q209_kwic" -> graft.text.Retrieval.kwicOracleSql(
+      "documents", "doc_id", toksSql, term = "spark", window = 3),
+
+    "q210_next_token_acc" -> graft.text.LangModel.nextTokenAccuracyOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents"),
 
     "q206_calibration" -> graft.ops.Eval.calibrationOracleSql(
       s"""SELECT CAST(trunc((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6

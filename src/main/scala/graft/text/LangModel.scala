@@ -47,6 +47,58 @@ object LangModel {
       (a, b) => struct(a.as("a"), b.as("b")))
   }
 
+  /** Next-token top-1 accuracy of the bigram model on its own corpus —
+    * the cheapest LM eval there is, and the one that catches a broken
+    * tokenizer or a mode-collapsed corpus instantly (organic text sits
+    * in a characteristic band; templated text scores suspiciously
+    * high). Per left-context argmax (count desc, token asc — total,
+    * portable), then one weighted hit count: a bigram (a, b) counts as
+    * correct `c12` times iff b is a's modal successor.
+    *
+    * Scale shape: the argmax window partitions by the left token over
+    * its successor list (successor-diversity-bounded, never the
+    * corpus); everything else is two hash aggregations.
+    *
+    * @return one row: (n_bigrams, n_contexts, n_correct, top1_acc)
+    */
+  def nextTokenAccuracy(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = explodedBigrams(docs, textCol)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("c12").desc, col("b"))
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .agg(sum(col("c12")).as("n_bigrams"),
+        count_distinct(col("a")).as("n_contexts"),
+        sum(when(col("__rn") === 1, col("c12")).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("top1_acc",
+        col("n_correct").cast("double") / col("n_bigrams"))
+  }
+
+  /** DuckDB oracle for [[nextTokenAccuracy]]: `tokSql` yields
+    * (doc_id, toks). */
+  def nextTokenAccuracyOracleSql(tokSql: String): String =
+    s"""WITH bg AS (
+       |  SELECT toks[i] AS a, toks[i + 1] AS b
+       |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+       |        FROM ($tokSql) WHERE len(toks) >= 2)
+       |), c AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a
+       |    ORDER BY c12 DESC, b) AS rn
+       |  FROM c
+       |)
+       |SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams,
+       |       CAST(count(DISTINCT a) AS BIGINT) AS n_contexts,
+       |       CAST(sum(CASE WHEN rn = 1 THEN c12 ELSE 0 END) AS BIGINT)
+       |         AS n_correct,
+       |       CAST(sum(CASE WHEN rn = 1 THEN c12 ELSE 0 END) AS DOUBLE)
+       |         / sum(c12) AS top1_acc
+       |FROM r""".stripMargin
+
   private def explodedBigrams(docs: DataFrame, textCol: String,
       keep: Column*): DataFrame =
     docs.select(keep :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)

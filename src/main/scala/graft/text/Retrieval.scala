@@ -259,4 +259,46 @@ object Retrieval {
       |       $termScores AS score
       |FROM g WHERE $anyMatch""".stripMargin
   }
+
+  /** KWIC (keyword-in-context) snippets: for documents containing
+    * `term`, the ±`window`-token context around its FIRST occurrence —
+    * the result-page snippet a retrieval stack renders next to the
+    * BM25 score, and the audit view for "why did this doc match".
+    * Pure per-row array expressions (array_position + clamped slice,
+    * serialized to text — never a LIST output); non-matching docs drop.
+    *
+    * @return (idCol, pos, snippet) — pos the 1-based token position
+    */
+  def kwicSnippets(docs: DataFrame, idCol: String, textCol: String,
+      term: String, window: Int = 3): DataFrame = {
+    require(window >= 1)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val framed = docs
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("pos", array_position(col("__toks"), term))
+      .filter(col("pos") > 0)
+    val start = greatest(col("pos") - window, lit(1L))
+    val stop = least(col("pos") + window, size(col("__toks")).cast("long"))
+    framed.select(col(idCol), col("pos"),
+      array_join(
+        slice(col("__toks"), start.cast("int"),
+          (stop - start + 1).cast("int")), " ").as("snippet"))
+  }
+
+  /** DuckDB oracle for [[kwicSnippets]]; `toksSql` mirrors
+    * [[TextAnalysis.tokens]]. */
+  def kwicOracleSql(table: String, idCol: String, toksSql: String,
+      term: String, window: Int = 3): String =
+    s"""WITH f AS (
+       |  SELECT $idCol, toks,
+       |         CAST(list_position(toks, '$term') AS BIGINT) AS pos
+       |  FROM (SELECT $idCol, $toksSql AS toks FROM $table)
+       |  WHERE list_position(toks, '$term') > 0
+       |)
+       |SELECT $idCol, pos,
+       |       array_to_string(toks[
+       |         CAST(greatest(pos - $window, 1) AS INTEGER) :
+       |         CAST(least(pos + $window, len(toks)) AS INTEGER)], ' ')
+       |         AS snippet
+       |FROM f""".stripMargin
 }

@@ -578,6 +578,38 @@ class OpsSpec extends SparkSuite {
     assert(auc(Seq((1L, 1L), (2L, 1L))).isEmpty)
   }
 
+  test("prCurve: perfect separation sweeps precision 1.0, recall " +
+      "steps by class mass, F1 peaks at the boundary") {
+    import spark.implicits._
+    val rows = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L))
+    val out = Eval.prCurve(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out(10L) == ((1L, 0L, 1.0, 0.5)))
+    assert(out(9L) == ((2L, 0L, 1.0, 1.0)))   // the perfect threshold
+    assert(out(1L) == ((2L, 2L, 0.5, 1.0)))   // everything predicted +
+  }
+
+  test("negativeSamples: never an existing edge or self, within the " +
+      "node set, deterministic across runs") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val edgeSet = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    def run() = LinkPredict.negativeSamples(edges, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, i) =>
+      assert(a != b && i >= 1 && i <= 3)
+      val key = (math.min(a, b), math.max(a, b))
+      assert(!edgeSet.contains(key), s"sampled a real edge: $key")
+      assert((1L to 6L).contains(b))
+    }
+    assert(run().toSet == out.toSet) // reproducible
+  }
+
   test("calibrationCurve: perfectly calibrated bins read ece 0, an " +
       "overconfident bin pays exactly its gap, p=1.0 lands in the top bin") {
     import spark.implicits._

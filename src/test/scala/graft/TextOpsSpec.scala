@@ -1210,6 +1210,36 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((0L, 1L, 0L, None)))
   }
 
+  test("kwicSnippets: mid-doc window, clamped edges, first occurrence " +
+      "wins, non-matching docs drop") {
+    import graft.text.Retrieval
+    val docs = Seq(
+      (1L, "a b c TARGET d e f"),        // centered window
+      (2L, "TARGET x y z w"),            // left-clamped
+      (3L, "p q target TARGET target r") // first (case-folded) match at 3
+      , (4L, "nothing here")).toDF("doc_id", "text")
+    val out = Retrieval.kwicSnippets(docs, "doc_id", "text", "target", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out(1L) == ((4L, "b c target d e")))
+    assert(out(2L) == ((1L, "target x y")))
+    assert(out(3L) == ((3L, "p q target target target")))
+    assert(!out.contains(4L))
+  }
+
+  test("nextTokenAccuracy: modal successor hits count weighted, " +
+      "deterministic tie-break") {
+    import graft.text.LangModel
+    // "a b" x2, "a c" x1 → contexts: a (modal b, 2/3 correct);
+    // b→a, c→a chains add always-correct bigrams
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = LangModel.nextTokenAccuracy(docs, "text").collect().head
+    // bigrams: ab, ba, ab, ba, ac → ab×2 ac×1 ba×2
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L) // ab×2 + ba×2 correct; ac misses
+    assert(r.getDouble(3) == 4.0 / 5)
+  }
+
   test("datasheet: volumes, modal language with tie-break, cross-source " +
       "dup counted against the later id only") {
     import graft.text.Corpus
