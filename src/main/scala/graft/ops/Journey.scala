@@ -271,6 +271,73 @@ object Journey {
        |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
        |FROM dau JOIN wau USING (day)""".stripMargin
 
+  /** A-then-B-within-T conversion: per user, how many trigger events
+    * (type A) were followed by an outcome event (type B) STRICTLY after
+    * them and within `windowSeconds` — the time-constrained funnel step
+    * ("purchased within an hour of the click") that the unconstrained
+    * [[funnel]] cannot express.
+    *
+    * Plan: both legs filter at the scan, join on the USER key with the
+    * time range as a join-side predicate — per-user fan-out is
+    * A-count × B-count for that user (activity-bounded, the
+    * sessionization bound; cap whales first with
+    * [[Sampling.capPerKey]]). Conversion = EXISTS, realized as a
+    * left-semi count per trigger, then one per-user rollup.
+    *
+    * @return (userCol, n_triggers, n_converted, conversion) per user
+    *         with ≥ 1 trigger
+    */
+  def withinWindowConversion(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      triggerType: String, outcomeType: String, windowSeconds: Long)
+      : DataFrame = {
+    require(windowSeconds >= 1)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val a = events.filter(col(typeCol) === triggerType)
+      .select(col(userCol).as("__u"), m.as("__am"), col(tieCol).as("__aid"))
+    val b = events.filter(col(typeCol) === outcomeType)
+      .select(col(userCol).as("__u"), m.as("__bm"))
+    val aa = a.as("a"); val bb = b.as("b")
+    val conv = aa.join(bb,
+        col("a.__u") === col("b.__u") &&
+          col("b.__bm") > col("a.__am") &&
+          col("b.__bm") <= col("a.__am") + lit(windowSeconds * 1000000L),
+        "left_semi")
+      .groupBy(col("__u")).agg(count(lit(1)).as("n_converted"))
+    val triggers = a.groupBy(col("__u")).agg(count(lit(1)).as("n_triggers"))
+    triggers.join(conv, Seq("__u"), "left")
+      .select(col("__u").as(userCol), col("n_triggers"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        (coalesce(col("n_converted"), lit(0L)).cast("double") /
+          col("n_triggers")).as("conversion"))
+  }
+
+  /** DuckDB oracle for [[withinWindowConversion]]. */
+  def withinWindowOracleSql(table: String, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      triggerType: String, outcomeType: String, windowSeconds: Long)
+      : String =
+    s"""WITH a AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS am, $tieCol AS aid
+       |  FROM $table WHERE $typeCol = '$triggerType'
+       |), b AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS bm
+       |  FROM $table WHERE $typeCol = '$outcomeType'
+       |), conv AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS n_converted FROM a
+       |  WHERE EXISTS (SELECT 1 FROM b
+       |                WHERE b.u = a.u AND b.bm > a.am
+       |                  AND b.bm <= a.am + ${windowSeconds * 1000000L})
+       |  GROUP BY 1
+       |), trig AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS n_triggers FROM a GROUP BY 1
+       |)
+       |SELECT trig.u AS $userCol, n_triggers,
+       |       coalesce(n_converted, 0) AS n_converted,
+       |       CAST(coalesce(n_converted, 0) AS DOUBLE) / n_triggers
+       |         AS conversion
+       |FROM trig LEFT JOIN conv ON conv.u = trig.u""".stripMargin
+
   /** Batch sessionization: split each user's event stream at inactivity
     * gaps > `gapSeconds`, one output row per SESSION with its span and
     * size — the batch sibling of the streaming session window

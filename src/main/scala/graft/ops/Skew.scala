@@ -119,4 +119,75 @@ object Skew {
         java.util.Arrays.asList(rows: _*), out.schema)
     } finally counts.unpersist()
   }
+
+  /** Join-explosion pre-flight: the EXACT output cardinality a key
+    * equi-join would produce (`Σ_k c_left(k)·c_right(k)`) plus the top
+    * contributing keys — the planner check that catches "this join
+    * multiplies to 10¹²" BEFORE the cluster finds out, and names the
+    * keys to salt ([[saltedJoin]]) or filter.
+    *
+    * Cost: two key-count aggregations + one join of the KEY
+    * DIRECTORIES (distinct keys, not rows) — the same frame the real
+    * join would shuffle, read once. Top keys by two-phase bounded rank
+    * (salted partials, then ≤64·topK survivors — the q152 recipe).
+    *
+    * @return (key, left_rows, right_rows, out_rows, rank) for the topK
+    *         keys by output contribution, plus one TOTAL row
+    *         (key = NULL) with the full predicted cardinality
+    */
+  def joinExplosionReport(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("left_rows"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("right_rows"))
+    val joined = lc.join(rc, Seq("key"))
+      .withColumn("out_rows", col("left_rows") * col("right_rows"))
+    val partial = joined
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(pmod(hash(col("key")), lit(64)))
+        .orderBy(col("out_rows").desc, col("key"))))
+      .filter(col("__rn") <= topK)
+    val top = partial
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("out_rows").desc, col("key"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("key"), col("left_rows"), col("right_rows"),
+        col("out_rows"), col("rank"))
+    val total = joined.agg(
+        sum(col("left_rows")).as("left_rows"),
+        sum(col("right_rows")).as("right_rows"),
+        sum(col("out_rows")).as("out_rows"))
+      .select(lit(null).cast(top.schema("key").dataType).as("key"),
+        col("left_rows"), col("right_rows"), col("out_rows"),
+        lit(0L).as("rank"))
+    top.unionByName(total)
+  }
+
+  /** DuckDB oracle for [[joinExplosionReport]]. */
+  def joinExplosionOracleSql(leftTable: String, leftKey: String,
+      rightTable: String, rightKey: String, topK: Int = 10): String =
+    s"""WITH lc AS (
+       |  SELECT $leftKey AS key, CAST(count(*) AS BIGINT) AS left_rows
+       |  FROM $leftTable GROUP BY 1
+       |), rc AS (
+       |  SELECT $rightKey AS key, CAST(count(*) AS BIGINT) AS right_rows
+       |  FROM $rightTable GROUP BY 1
+       |), j AS (
+       |  SELECT lc.key, left_rows, right_rows,
+       |         left_rows * right_rows AS out_rows
+       |  FROM lc JOIN rc ON lc.key = rc.key
+       |), top AS (
+       |  SELECT key, left_rows, right_rows, out_rows,
+       |         CAST(row_number() OVER (ORDER BY out_rows DESC, key)
+       |           AS BIGINT) AS rank
+       |  FROM j QUALIFY rank <= $topK
+       |)
+       |SELECT * FROM top
+       |UNION ALL
+       |SELECT NULL AS key, CAST(sum(left_rows) AS BIGINT),
+       |       CAST(sum(right_rows) AS BIGINT),
+       |       CAST(sum(out_rows) AS BIGINT), CAST(0 AS BIGINT) AS rank
+       |FROM j""".stripMargin
 }

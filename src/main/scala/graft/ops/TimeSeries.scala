@@ -133,6 +133,63 @@ object TimeSeries {
         col("var18"), col("z"), col("trend")): _*)
   }
 
+  /** Time-weighted average (TWAP) per key: each observation weighted by
+    * how long it REMAINED the current value (till the next observation)
+    * — the correct average for irregularly-sampled gauges, where the
+    * plain mean over-weights chatty periods. The last observation has
+    * no successor and carries no weight (the standard
+    * until-next-reading convention; pass a sentinel end-of-window row
+    * to close it out).
+    *
+    * Exact: durations in integer micros (lead window), value·duration
+    * products exact integers (ledger: |v|·span_micros per key must fit
+    * int64 — cents × a month of micros ≈ 10¹⁷, fine), one final
+    * division.
+    *
+    * @return (keyCols..., n_intervals, span_micros, vdt_sum, twap) —
+    *         keys with a single observation have no interval and drop
+    */
+  def twap(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, xCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__m"), col(tieCol))
+    df.select(keyCols.map(col) ++ Seq(
+        unix_micros(col(tsCol).cast("timestamp")).as("__m"),
+        col(tieCol), col(xCol).as("__x")): _*)
+      .withColumn("__next", lead(col("__m"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__dt", col("__next") - col("__m"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dt")).as("span_micros"),
+        sum(col("__x") * col("__dt")).as("vdt_sum"))
+      .withColumn("twap",
+        when(col("span_micros") > 0,
+          col("vdt_sum").cast("double") / col("span_micros")))
+  }
+
+  /** DuckDB oracle for [[twap]]: `xExpr` the integer value expression. */
+  def twapOracleSql(table: String, keyCols: Seq[String], tsCol: String,
+      tieCol: String, xExpr: String): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH b AS (
+       |  SELECT $keys, epoch_us($tsCol) AS m, $tieCol AS tie,
+       |         $xExpr AS x
+       |  FROM $table
+       |), d AS (
+       |  SELECT $keys, x,
+       |         lead(m) OVER (PARTITION BY $keys ORDER BY m, tie) - m AS dt
+       |  FROM b
+       |)
+       |SELECT $keys, CAST(count(*) AS BIGINT) AS n_intervals,
+       |       CAST(sum(dt) AS BIGINT) AS span_micros,
+       |       CAST(sum(x * dt) AS BIGINT) AS vdt_sum,
+       |       CASE WHEN sum(dt) > 0 THEN
+       |         CAST(sum(x * dt) AS DOUBLE) / sum(dt)
+       |       END AS twap
+       |FROM d WHERE dt IS NOT NULL GROUP BY $keys""".stripMargin
+  }
+
   /** Half-life time-decayed sum per key: each event contributes
     * `x · 2^(−age/halflife)` with age bucketed to whole half-lives —
     * the "recent popularity" score every trending/ranking surface wants

@@ -391,6 +391,23 @@ object Analytics extends QueryModule {
           .withColumn("cohort", pmod(col("user_id"), lit(3))),
         "event_type", "cohort")),
 
+    // TWAP: duration-weighted mean value per user — the correct average
+    // for irregular sampling, where the plain mean over-weights chatty
+    // periods. Exact micro-duration × cents products.
+    "q212_twap" -> ((s, dir) =>
+      graft.ops.TimeSeries.twap(
+        Tables(s, dir).events.withColumn("cents", Exact.cents(col("value"))),
+        Seq("user_id"), "ts", "event_id", "cents")),
+
+    // A-then-B-within-T: purchases within one hour of a click, per
+    // user — the time-constrained funnel step; user-keyed join with the
+    // range as a join predicate, fan-out activity-bounded.
+    "q213_within_window" -> ((s, dir) =>
+      graft.ops.Journey.withinWindowConversion(Tables(s, dir).events,
+        "user_id", "event_type", "ts", "event_id",
+        triggerType = "click", outcomeType = "purchase",
+        windowSeconds = 3600L)),
+
     // Precision/recall/F1 at every distinct threshold: descending
     // cumulatives over the same score histogram AUC uses — the
     // operating-point picker, no global sort.
@@ -903,6 +920,15 @@ object Analytics extends QueryModule {
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q212_twap" -> graft.ops.TimeSeries.twapOracleSql(
+      "events", Seq("user_id"), "ts", "event_id",
+      "CAST(round(value * 100) AS BIGINT)"),
+
+    "q213_within_window" -> graft.ops.Journey.withinWindowOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
+      triggerType = "click", outcomeType = "purchase",
+      windowSeconds = 3600L),
 
     "q207_pr_curve" -> graft.ops.Eval.prCurveOracleSql(
       """SELECT CAST(round(value * 100) AS BIGINT) AS s,

@@ -476,6 +476,16 @@ object Relational extends QueryModule {
       graft.ops.Profiling.benfordAudit(Tables(s, dir).orders,
         Exact.cents(col("o_totalprice")))),
 
+    // Join-explosion pre-flight: exact output cardinality of the
+    // lineitem part-key self-join plus the keys that dominate it —
+    // the "will this join multiply to 10^12" check, priced at two key
+    // directories.
+    "q211_join_explosion" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      graft.ops.Skew.joinExplosionReport(li, "l_partkey", li, "l_partkey",
+        topK = 10)
+    }),
+
     // Deterministic negative-edge sampling on the co-purchase graph:
     // hash-chosen non-neighbors per node via the dense-index recipe,
     // existing edges anti-joined out — the contrast set link-prediction
@@ -997,6 +1007,9 @@ object Relational extends QueryModule {
 
     "q185_basket_rules" -> graft.ops.Basket.associationRulesOracleSql(
       "lineitem", "l_orderkey", "l_partkey", minSupport = 2L),
+
+    "q211_join_explosion" -> graft.ops.Skew.joinExplosionOracleSql(
+      "lineitem", "l_partkey", "lineitem", "l_partkey", topK = 10),
 
     "q208_negative_samples" -> graft.ops.LinkPredict
       .negativeSamplesOracleSql(

@@ -578,6 +578,67 @@ class OpsSpec extends SparkSuite {
     assert(auc(Seq((1L, 1L), (2L, 1L))).isEmpty)
   }
 
+  test("joinExplosionReport: exact multiplied cardinality per key plus " +
+      "the TOTAL row, keys missing on one side contribute nothing") {
+    import spark.implicits._
+    val left = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("orphan"))
+      .toDF("k")
+    val right = (Seq.fill(4)("a") ++ Seq.fill(5)("b")).toDF("k")
+    val out = Skew.joinExplosionReport(left, "k", right, "k", topK = 5)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("a") == ((3L, 4L, 12L, 1L)))
+    assert(out("b") == ((2L, 5L, 10L, 2L)))
+    assert(out(null) == ((5L, 9L, 22L, 0L))) // orphan never joins
+  }
+
+  test("twap: duration weighting beats the chatty-period mean, last " +
+      "observation carries no weight, singletons drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    // value 100 holds for 9s, then three rapid 0s in the last second
+    val ev = Seq(
+      ("u", t("10:00:00"), 1L, 100L), ("u", t("10:00:09"), 2L, 0L),
+      ("u", t("10:00:09.5"), 3L, 0L), ("u", t("10:00:10"), 4L, 0L),
+      ("solo", t("10:00:00"), 9L, 42L))
+      .toDF("k", "ts", "tie", "x")
+    val out = graft.ops.TimeSeries.twap(ev, Seq("k"), "ts", "tie", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    // vdt = 100·9e6; span = 10e6 → twap = 90 (plain mean would be 25)
+    assert(out("u") == ((3L, 10000000L, 90.0)))
+    assert(!out.contains("solo"))
+  }
+
+  test("withinWindowConversion: strict lower bound, inclusive upper " +
+      "bound, per-trigger counting") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      // u1: click at 10:00 converts (purchase 10:30 ≤ +1h);
+      //     click at 12:00 does NOT (purchase at exactly 12:00 is not
+      //     strictly after; next purchase 13:30 beyond the hour)
+      (1L, "click", t("10:00:00"), 1L), (1L, "purchase", t("10:30:00"), 2L),
+      (1L, "click", t("12:00:00"), 3L), (1L, "purchase", t("12:00:00"), 4L),
+      (1L, "purchase", t("13:30:00"), 5L),
+      // u2: boundary exactly +1h converts (inclusive)
+      (2L, "click", t("09:00:00"), 6L), (2L, "purchase", t("10:00:00"), 7L),
+      // u3: clicks, never purchases
+      (3L, "click", t("09:00:00"), 8L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Journey.withinWindowConversion(ev, "user_id", "event_type",
+      "ts", "event_id", "click", "purchase", 3600L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
   test("prCurve: perfect separation sweeps precision 1.0, recall " +
       "steps by class mass, F1 peaks at the boundary") {
     import spark.implicits._
