@@ -93,6 +93,70 @@ object Quantiles {
   private def cutName(num: Int, den: Int): String =
     "c" + (num * 100 / den).toString
 
+  /** Quantile mapping (quantile normalization): re-express each current
+    * value as the REFERENCE distribution's value at the same quantile
+    * position — the batch-effect / source-bias correction that makes
+    * per-source metrics comparable when sources measure on different
+    * scales. Each row bins by the CURRENT batch's own cuts, then takes
+    * the reference cut bounding the same bin (monotone by
+    * construction; the mapped distribution's quantiles are the
+    * reference's).
+    *
+    * Both cut derivations are the value-cardinality-bounded
+    * [[histogramCuts]] machinery; the mapping itself is a broadcast +
+    * per-row CASE. `qs` are the INTERIOR positions (e.g. deciles
+    * (1,10)..(9,10)); the top bin maps to the reference maximum (the
+    * (1,1) cut).
+    *
+    * @return cur plus (bin, mapped)
+    */
+  def quantileMap(ref: DataFrame, cur: DataFrame, v: Column,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty)
+    val refCuts = histogramCuts(ref, v, qs :+ ((1, 1)))
+    val refNames = (qs :+ ((1, 1))).map { case (n, d) => cutName(n, d) }
+    val renamed = refCuts.select(
+      refNames.map(c => col(c).as(s"__r_$c")): _*)
+    val curCuts = histogramCuts(cur, v, qs)
+    val binned = binByCuts(cur, v, curCuts, "bin")
+      .crossJoin(broadcast(renamed))
+    val mapped = refNames.zipWithIndex.tail.foldLeft(
+      when(col("bin") === 0, col(s"__r_${refNames.head}"))) {
+        case (acc, (c, i)) => acc.when(col("bin") === i, col(s"__r_$c"))
+      }
+    binned.withColumn("mapped", mapped)
+      .drop(refNames.map(c => s"__r_$c"): _*)
+  }
+
+  /** DuckDB oracle for [[quantileMap]]: `refSql`/`curSql` yield rows
+    * with an integer `v` (plus any id columns in `curSql`, echoed). */
+  def quantileMapOracleSql(refSql: String, curSql: String,
+      curCols: Seq[String], qs: Seq[(Int, Int)]): String = {
+    def cutsSel(qq: Seq[(Int, Int)]) = qq.map { case (num, den) =>
+      s"min(CASE WHEN cum * $den >= n * $num THEN val END) AS c${num * 100 / den}"
+    }.mkString(", ")
+    def cutsCte(src: String, qq: Seq[(Int, Int)]) =
+      s"""SELECT ${cutsSel(qq)} FROM (
+         |  SELECT val, CAST(sum(k) OVER (ORDER BY val) AS BIGINT) AS cum
+         |  FROM (SELECT v AS val, count(*) AS k FROM $src
+         |        WHERE v IS NOT NULL GROUP BY 1)
+         |), (SELECT CAST(count(*) AS BIGINT) AS n FROM $src
+         |    WHERE v IS NOT NULL)""".stripMargin
+    val binSum = qs.map { case (num, den) =>
+      s"(CASE WHEN v > cc.c${num * 100 / den} THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    val names = (qs :+ ((1, 1))).map { case (n, d) => s"c${n * 100 / d}" }
+    val arms = names.zipWithIndex.map { case (c, i) =>
+      s"WHEN $binSum = $i THEN rc.$c" }.mkString(" ")
+    val cols = curCols.mkString(", ")
+    s"""WITH refv AS ($refSql), curv AS ($curSql),
+       |rc AS (${cutsCte("refv", qs :+ ((1, 1)))}),
+       |cc AS (${cutsCte("curv", qs)})
+       |SELECT $cols, CAST($binSum AS BIGINT) AS bin,
+       |       CAST(CASE $arms END AS BIGINT) AS mapped
+       |FROM curv, rc, cc""".stripMargin
+  }
+
   /** Per-group Gini concentration of an integer metric — the
     * inequality scalar (0 = everyone equal, → 1 = one key holds all the
     * mass) behind "do whales dominate this event type" and "is one

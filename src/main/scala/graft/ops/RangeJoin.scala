@@ -22,6 +22,63 @@ import org.apache.spark.sql.functions._
   * join (q39). */
 object RangeJoin {
 
+  /** Interval COALESCING: merge overlapping/touching validity intervals
+    * per key into maximal islands — downtime consolidation, on-call
+    * shift merging, SCD validity clean-up. The gaps-and-islands
+    * recurrence over intervals: a new island starts where `start`
+    * exceeds the running max of all previous `end`s; two fused per-key
+    * windows + one keyed aggregation, nothing global. Touching
+    * intervals (start = prev end) MERGE (closed-interval convention —
+    * adjacent downtime is one outage).
+    *
+    * @return (keyCols..., island, merged_start, merged_end, n_intervals)
+    */
+  def intervalMerge(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df
+      .withColumn("__maxEnd", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        when(col("__maxEnd").isNull || col(startCol) > col("__maxEnd"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__new")).over(wRun))
+      .groupBy(keyCols.map(col) :+ col("island"): _*)
+      .agg(min(col(startCol)).as("merged_start"),
+        max(col(endCol)).as("merged_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** DuckDB oracle for [[intervalMerge]]: `innerSql` yields
+    * (keyCols..., s, e) as integers. */
+  def intervalMergeOracleSql(innerSql: String, keyCols: Seq[String])
+      : String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH b AS ($innerSql), f AS (
+       |  SELECT *, CASE WHEN max(e) OVER (PARTITION BY $keys
+       |      ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |    OR s > max(e) OVER (PARTITION BY $keys ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS nw
+       |  FROM b
+       |), isl AS (
+       |  SELECT *, CAST(sum(nw) OVER (PARTITION BY $keys ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS island
+       |  FROM f
+       |)
+       |SELECT $keys, island, CAST(min(s) AS BIGINT) AS merged_start,
+       |       CAST(max(e) AS BIGINT) AS merged_end,
+       |       CAST(count(*) AS BIGINT) AS n_intervals
+       |FROM isl GROUP BY $keys, island""".stripMargin
+  }
+
   /** @param grain a `date_trunc` unit that is also a valid 1-unit
     *              interval: "hour", "day", "minute". */
   def pointInInterval(points: DataFrame, intervals: DataFrame,

@@ -232,6 +232,34 @@ object Text extends QueryModule {
         Tables(s, dir).documents.select(col("doc_id"), col("source")),
         "source", Seq("doc_id"))),
 
+    // Interval coalescing: overlapping per-user activity intervals
+    // (event start + value-seconds duration) merged into maximal
+    // islands — gaps-and-islands over intervals, two fused keyed
+    // windows.
+    "q214_interval_merge" -> ((s, dir) => {
+      val iv = Tables(s, dir).events.select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("s"),
+        // floor, not round: a 2-decimal value can sit exactly on .5,
+        // where Spark rounds HALF_UP and DuckDB rounds half-even
+        expr("CAST(floor(value) AS LONG)").as("__dur"))
+        .withColumn("e", col("s") + col("__dur")).drop("__dur")
+      graft.ops.RangeJoin.intervalMerge(iv, Seq("user_id"), "s", "e")
+    }),
+
+    // Quantile mapping: src0's length distribution re-expressed in the
+    // whole-corpus distribution's coordinates — the source-bias
+    // correction; cuts from both sides via the bounded histogram
+    // machinery, per-row CASE mapping.
+    "q215_quantile_map" -> ((s, dir) => {
+      val all = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+      val cur = Tables(s, dir).documents
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+      graft.ops.Quantiles.quantileMap(all, cur, col("v"),
+        (1 to 9).map(i => (i, 10)))
+    }),
+
     // KWIC snippets around the first "spark" occurrence: the result-
     // page context view next to the q56 BM25 score; pure per-row array
     // expressions.
@@ -1182,6 +1210,18 @@ object Text extends QueryModule {
         |       CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
         |         AS ordinal
         |FROM documents""".stripMargin,
+
+    "q214_interval_merge" -> graft.ops.RangeJoin.intervalMergeOracleSql(
+      """SELECT user_id, epoch_us(ts) // 1000000 AS s,
+        |       epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
+        |FROM events""".stripMargin,
+      Seq("user_id")),
+
+    "q215_quantile_map" -> graft.ops.Quantiles.quantileMapOracleSql(
+      "SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+        |WHERE source = 'src0'""".stripMargin,
+      Seq("doc_id", "v"), (1 to 9).map(i => (i, 10))),
 
     "q209_kwic" -> graft.text.Retrieval.kwicOracleSql(
       "documents", "doc_id", toksSql, term = "spark", window = 3),

@@ -612,6 +612,42 @@ class RelationalOpsSpec extends SparkSuite {
     assert(d1.getDouble(4) == math.abs(3.0 / 5 - Profiling.benfordExpected.head))
   }
 
+  test("intervalMerge: overlap and touch fuse, gaps split, islands " +
+      "numbered in order") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val iv = Seq(
+      ("k", 0L, 10L), ("k", 5L, 15L),   // overlap → one island
+      ("k", 15L, 20L),                  // touches → same island
+      ("k", 30L, 40L),                  // gap → new island
+      ("z", 100L, 110L))                // other key independent
+      .toDF("g", "s", "e")
+    val out = RangeJoin.intervalMerge(iv, Seq("g"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("k", 1L)) == ((0L, 20L, 3L)))
+    assert(out(("k", 2L)) == ((30L, 40L, 1L)))
+    assert(out(("z", 1L)) == ((100L, 110L, 1L)))
+  }
+
+  test("quantileMap: identical distributions map onto their own decile " +
+      "bounds; a shifted batch lands on the reference's coordinates") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    val ref = (1L to 100L).toDF("v")
+    val sameOut = Quantiles.quantileMap(ref, (1L to 100L).toDF("v"),
+        col("v"), (1 to 9).map(i => (i, 10)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // value 5 sits in decile bin 0 → mapped to ref c10 = 10
+    assert(sameOut(5L) == 10L && sameOut(95L) == 100L)
+    // shifted batch (+1000): same ranks, so same mapped values
+    val shifted = Quantiles.quantileMap(ref,
+        (1L to 100L).map(_ + 1000L).toDF("v"), col("v"),
+        (1 to 9).map(i => (i, 10)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shifted(1005L) == 10L && shifted(1095L) == 100L)
+  }
+
   test("goldenRecords: field-wise modal survivorship, count ties break " +
       "ascending, all-NULL fields stay NULL") {
     import spark.implicits._
