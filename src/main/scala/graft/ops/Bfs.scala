@@ -51,6 +51,73 @@ object Bfs {
     dist
   }
 
+  /** WEIGHTED shortest distances within `hops` relaxation rounds —
+    * Bellman-Ford's synchronous form: each round every known distance
+    * relaxes across every out-edge and nodes keep their minimum. After
+    * R rounds, distances are exact for all shortest paths of ≤ R edges
+    * (the bounded-horizon contract [[kHopDistances]] has, with weights).
+    * Non-negative integer weights keep everything exact.
+    *
+    * Same scale shape and lineage discipline as the unweighted form:
+    * one keyed join + one min-aggregation per round, localCheckpoint
+    * per generation.
+    *
+    * @return (node, dist) — dist the minimal weighted distance over
+    *         paths of at most `hops` edges
+    */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 16, s"hops must be in [1,16], got $hops")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol) && col(weightCol) >= 0)
+      .select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(weightCol).as("w"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = seeds.toDF("node").distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val relaxed = dist.join(und, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** DuckDB oracle for [[weightedDistances]], unrolled rounds.
+    * `edgeSql` yields (src, dst, w); `seedSql` yields (node). */
+  def weightedOracleSql(edgeSql: String, seedSql: String, hops: Int)
+      : String = {
+    val steps = (1 to hops).map { r =>
+      s"""d$r AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, f.dist + e.w AS dist
+         |    FROM d${r - 1} f JOIN und e ON e.u = f.node
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT src AS u, dst AS v, w FROM ($edgeSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |    AND w >= 0
+       |), und AS (
+       |  SELECT u, v, CAST(min(w) AS BIGINT) AS w FROM (
+       |    SELECT u, v, w FROM e UNION ALL SELECT v AS u, u AS v, w FROM e)
+       |  GROUP BY 1, 2
+       |), d0 AS (
+       |  SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ($seedSql)
+       |), $steps
+       |SELECT node, dist FROM d$hops""".stripMargin
+  }
+
   /** DuckDB oracle for [[kHopDistances]], unrolled from the same
     * recurrence. `edgeSql` yields (src, dst); `seedSql` yields (node). */
   def kHopOracleSql(edgeSql: String, seedSql: String, hops: Int): String = {

@@ -315,6 +315,43 @@ object Profiling {
          |    = 0 AS pass""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Functional-dependency audit: does `lhs` determine `rhsCol`? Lists
+    * every violating LHS value (more than one distinct RHS) with its
+    * cardinality — the schema-inference / key-discovery primitive
+    * ("can part_key serve as the lookup key for supplier"), and the
+    * data-quality check behind "one customer, one segment" claims.
+    * One aggregation; the violation frame is LHS-cardinality-bounded.
+    *
+    * NULL RHS values count as one distinct value (the SQL GROUP BY
+    * convention the engines share): an LHS mapping to {x, NULL} IS a
+    * violation.
+    *
+    * @return (lhs..., n_rows, n_rhs_values) per violating LHS value
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhsCol: String)
+      : DataFrame = {
+    require(lhs.nonEmpty)
+    df.groupBy(lhs.map(col) :+ col(rhsCol).as("__r"): _*)
+      .agg(count(lit(1)).as("__k"))
+      .groupBy(lhs.map(col): _*)
+      .agg(sum(col("__k")).as("n_rows"),
+        count(lit(1)).as("n_rhs_values"))
+      .filter(col("n_rhs_values") > 1)
+  }
+
+  /** DuckDB oracle for [[fdViolations]]. */
+  def fdViolationsOracleSql(table: String, lhs: Seq[String],
+      rhsCol: String): String = {
+    val keys = lhs.mkString(", ")
+    s"""WITH g AS (
+       |  SELECT $keys, $rhsCol AS r, CAST(count(*) AS BIGINT) AS k
+       |  FROM $table GROUP BY $keys, $rhsCol
+       |)
+       |SELECT $keys, CAST(sum(k) AS BIGINT) AS n_rows,
+       |       CAST(count(*) AS BIGINT) AS n_rhs_values
+       |FROM g GROUP BY $keys HAVING count(*) > 1""".stripMargin
+  }
+
   /** Benford first-significant-digit audit of a positive exact-integer
     * metric column: observed digit frequencies against the Benford
     * expectation log10(1 + 1/d) — the classic fabricated-data /

@@ -133,6 +133,143 @@ object TimeSeries {
         col("var18"), col("z"), col("trend")): _*)
   }
 
+  /** Per-key least-squares trend line over an integer series — slope
+    * and intercept from the five exact integer sums, the parametric
+    * sibling of [[mannKendall]] (MK answers "is it drifting", the fit
+    * answers "how fast"). One aggregation; NULL fit for degenerate
+    * series (constant x). Unlike [[graft.text.Spans.zipfSlope]]'s
+    * bit-length quantization, the inputs here are already integers, so
+    * the regression sums are EXACT — only the two final divisions are
+    * floating point, in one fixed sequence each.
+    *
+    * @return keyCols ++ (n, slope, intercept)
+    */
+  def linearTrend(series: DataFrame, keyCols: Seq[String], tCol: String,
+      xCol: String): DataFrame = {
+    val s = series.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(tCol)).as("sx"), sum(col(xCol)).as("sy"),
+        sum(col(tCol) * col(tCol)).as("sxx"),
+        sum(col(tCol) * col(xCol)).as("sxy"))
+    val det = s("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / det.cast("double")
+    s.withColumn("slope", when(det > 0, slope))
+      .withColumn("intercept",
+        when(det > 0,
+          (col("sy").cast("double") - slope * col("sx")) / col("n")))
+      .select(keyCols.map(col) ++
+        Seq(col("n"), col("slope"), col("intercept")): _*)
+  }
+
+  /** DuckDB oracle for [[linearTrend]]: `innerSql` yields
+    * (keyCols..., t, x). */
+  def linearTrendOracleSql(innerSql: String, keyCols: Seq[String])
+      : String = {
+    val keys = keyCols.mkString(", ")
+    val det = "(n * sxx - sx * sx)"
+    val slope = s"CAST(n * sxy - sx * sy AS DOUBLE) / CAST($det AS DOUBLE)"
+    s"""WITH g AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(t) AS BIGINT) AS sx, CAST(sum(x) AS BIGINT) AS sy,
+       |         CAST(sum(t * t) AS BIGINT) AS sxx,
+       |         CAST(sum(t * x) AS BIGINT) AS sxy
+       |  FROM ($innerSql) GROUP BY $keys
+       |)
+       |SELECT $keys, n,
+       |       CASE WHEN $det > 0 THEN $slope END AS slope,
+       |       CASE WHEN $det > 0 THEN
+       |         (CAST(sy AS DOUBLE) - ($slope) * sx) / n
+       |       END AS intercept
+       |FROM g""".stripMargin
+  }
+
+  /** Single changepoint detection per key (binary segmentation, one
+    * split): the boundary b that minimizes the two-segment squared
+    * error over an integer series — "WHEN did the level shift", where
+    * [[graft.ops.Anomaly.cusumAlarms]] answers "that it shifted, as it
+    * happened". Offline and exact-input: per-candidate costs derive
+    * from running (n, Σ, Σ²) prefix windows over the calendar-bounded
+    * series, the argmin breaks ties on the earlier boundary, and the
+    * variance-reduction ratio says whether the split is real.
+    *
+    * Cost algebra: segment SSE = Σy² − (Σy)²/n, summed over both
+    * sides — Σ-terms are exact integers; each candidate's cost is one
+    * fixed IEEE expression, so the argmin row_number (cost asc, b asc)
+    * orders identically cross-engine.
+    *
+    * @return keyCols ++ (b, n, cost_split, cost_flat, gain_frac) — b
+    *         the last index of the left segment (1-based position in
+    *         series order)
+    */
+  def changepoint(series: DataFrame, keyCols: Seq[String], tCol: String,
+      xCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val pre = series
+      .withColumn("b", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col(xCol)).over(wRun))
+      .withColumn("css", sum(col(xCol) * col(xCol)).over(wRun))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ts", sum(col(xCol)).over(wAll))
+      .withColumn("tss", sum(col(xCol) * col(xCol)).over(wAll))
+      .filter(col("b") < col("n")) // both segments non-empty
+    def sse(ss: Column, s: Column, k: Column) =
+      ss.cast("double") - s.cast("double") * s.cast("double") / k
+    val costSplit = sse(col("css"), col("cs"), col("b")) +
+      sse(col("tss") - col("css"), col("ts") - col("cs"),
+        col("n") - col("b"))
+    val costFlat = sse(col("tss"), col("ts"), col("n"))
+    val scored = pre
+      .withColumn("cost_split", costSplit)
+      .withColumn("cost_flat", costFlat)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("cost_split"), col("b"))))
+      .filter(col("__rn") === 1)
+    scored.select(keyCols.map(col) ++ Seq(col("b"), col("n"),
+        col("cost_split"), col("cost_flat"),
+        when(col("cost_flat") > 0,
+          (col("cost_flat") - col("cost_split")) / col("cost_flat"))
+          .as("gain_frac")): _*)
+  }
+
+  /** DuckDB oracle for [[changepoint]]: `innerSql` yields
+    * (keyCols..., t, x). */
+  def changepointOracleSql(innerSql: String, keyCols: Seq[String])
+      : String = {
+    val keys = keyCols.mkString(", ")
+    def sse(ss: String, s: String, k: String) =
+      s"(CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / ($k))"
+    val costSplit = sse("css", "cs", "b") +
+      " + " + sse("tss - css", "ts - cs", "n - b")
+    val costFlat = sse("tss", "ts", "n")
+    s"""WITH pre AS (
+       |  SELECT $keys,
+       |    CAST(row_number() OVER w AS BIGINT) AS b,
+       |    CAST(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cs,
+       |    CAST(sum(x * x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS css,
+       |    CAST(count(*) OVER (PARTITION BY $keys) AS BIGINT) AS n,
+       |    CAST(sum(x) OVER (PARTITION BY $keys) AS BIGINT) AS ts,
+       |    CAST(sum(x * x) OVER (PARTITION BY $keys) AS BIGINT) AS tss
+       |  FROM ($innerSql)
+       |  WINDOW w AS (PARTITION BY $keys ORDER BY t)
+       |), cand AS (
+       |  SELECT *, $costSplit AS cost_split, $costFlat AS cost_flat,
+       |         row_number() OVER (PARTITION BY $keys
+       |           ORDER BY $costSplit, b) AS rn
+       |  FROM pre WHERE b < n
+       |)
+       |SELECT $keys, b, n, cost_split, cost_flat,
+       |       CASE WHEN cost_flat > 0 THEN
+       |         (cost_flat - cost_split) / cost_flat
+       |       END AS gain_frac
+       |FROM cand WHERE rn = 1""".stripMargin
+  }
+
   /** Time-weighted average (TWAP) per key: each observation weighted by
     * how long it REMAINED the current value (till the next observation)
     * — the correct average for irregularly-sampled gauges, where the

@@ -391,6 +391,30 @@ object Analytics extends QueryModule {
           .withColumn("cohort", pmod(col("user_id"), lit(3))),
         "event_type", "cohort")),
 
+    // Least-squares trend line per event type over the hourly series:
+    // slope/intercept from five exact integer sums — "how fast is it
+    // drifting" where q175 answers "is it".
+    "q216_linear_trend" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.TimeSeries.linearTrend(hourly, Seq("event_type"), "h", "c")
+    }),
+
+    // Single changepoint per event type: the split minimizing two-
+    // segment squared error from prefix-sum windows over the calendar-
+    // bounded series — "WHEN did the level shift", offline and exact.
+    "q218_changepoint" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.TimeSeries.changepoint(hourly, Seq("event_type"), "h", "c")
+    }),
+
     // TWAP: duration-weighted mean value per user — the correct average
     // for irregular sampling, where the plain mean over-weights chatty
     // periods. Exact micro-duration × cents products.
@@ -918,6 +942,18 @@ object Analytics extends QueryModule {
 
     "q201_gini" -> graft.ops.Quantiles.giniOracleSql(
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type")),
+
+    "q216_linear_trend" -> graft.ops.TimeSeries.linearTrendOracleSql(
+      """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type")),
+
+    "q218_changepoint" -> graft.ops.TimeSeries.changepointOracleSql(
+      """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
 

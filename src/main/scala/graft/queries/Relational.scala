@@ -503,6 +503,34 @@ object Relational extends QueryModule {
       graft.ops.LinkPredict.negativeSamples(edges, "src", "dst", k = 3)
     }),
 
+    // Bellman-Ford weighted distances on the co-purchase graph
+    // (closeness weight = 1000 div shared-order count): exact shortest
+    // weighted paths within the 3-round horizon, unrolled oracle.
+    "q217_weighted_paths" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+        .select(col("src"), col("dst"),
+          expr("1000 div shared").as("w"))
+      val seeds = Tables(s, dir).part
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"))
+      graft.ops.Bfs.weightedDistances(edges, "src", "dst", "w", seeds,
+        hops = 3)
+    }),
+
+    // Functional-dependency audit: part → supplier violations (TPC-H
+    // parts ship from several suppliers by design — the audit lists
+    // every such part with its supplier cardinality).
+    "q219_fd_violations" -> ((s, dir) =>
+      graft.ops.Profiling.fdViolations(Tables(s, dir).lineitem,
+        Seq("l_partkey"), "l_suppkey")),
+
     // k-hop BFS blast radius on the co-purchase graph: every part
     // within 3 hops of the seeded part set, with exact shortest-hop
     // distance — fixed synchronous frontier rounds, unrolled oracle.
@@ -1018,6 +1046,19 @@ object Relational extends QueryModule {
           |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
           |              AND a.l_partkey < b.l_partkey
           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin, k = 3),
+
+    "q217_weighted_paths" -> graft.ops.Bfs.weightedOracleSql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |       1000 // count(*) AS w
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |              AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      "SELECT p_partkey AS node FROM part WHERE p_partkey % 50 = 0",
+      hops = 3),
+
+    "q219_fd_violations" -> graft.ops.Profiling.fdViolationsOracleSql(
+      "lineitem", Seq("l_partkey"), "l_suppkey"),
 
     "q197_khop_bfs" -> graft.ops.Bfs.kHopOracleSql(
       """SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -725,6 +725,61 @@ class OpsSpec extends SparkSuite {
     assert(out(5L) == ((1L, 1L, 0.25)))
   }
 
+  test("linearTrend: exact fit on a noiseless line, degenerate single " +
+      "point yields NULL") {
+    import spark.implicits._
+    val series = ((1L to 10L).map(t => ("line", t, 3 * t + 7)) :+
+      ("pt", 5L, 42L)).toDF("k", "t", "x")
+    val out = TimeSeries.linearTrend(series, Seq("k"), "t", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("line") == ((10L, Some(3.0), Some(7.0))))
+    assert(out("pt") == ((1L, None, None)))
+  }
+
+  test("changepoint: planted level shift found at its exact boundary " +
+      "with near-total gain; flat-noise series gains little") {
+    import spark.implicits._
+    // 20 points at 100, then 20 at 500 → boundary b = 20
+    val series = (((1L to 20L).map(t => ("shift", t, 100L)) ++
+      (21L to 40L).map(t => ("shift", t, 500L))) ++
+      (1L to 40L).map(t => ("flat", t, 100L + (t % 2)))).toDF("k", "t", "x")
+    val out = TimeSeries.changepoint(series, Seq("k"), "t", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(5)))).toMap
+    assert(out("shift")._1 == 20L)
+    assert(out("shift")._2 > 0.999)
+    assert(out("flat")._2 < 0.1)
+  }
+
+  test("weightedDistances: a heavier direct edge loses to a lighter " +
+      "two-hop route within the horizon") {
+    import spark.implicits._
+    // 1-3 direct costs 10; 1-2-3 costs 2+3 = 5
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("src", "dst", "w")
+    val out = Bfs.weightedDistances(edges, "src", "dst", "w",
+      Seq(1L).toDF("node"), hops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("fdViolations: multi-valued RHS flagged with NULL counted as a " +
+      "value, clean keys silent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a")), (1L, Some("a")),          // clean
+      (2L, Some("a")), (2L, Some("b")),          // violation: 2 values
+      (3L, Some("x")), (3L, None)                // violation: {x, NULL}
+    ).toDF("k", "r")
+    val out = Profiling.fdViolations(df, Seq("k"), "r")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
+  }
+
   test("kHopDistances: path graph truncates at the horizon, diamond " +
       "takes the shortest route, disconnected nodes absent") {
     import spark.implicits._
