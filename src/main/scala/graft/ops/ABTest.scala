@@ -56,6 +56,89 @@ object ABTest {
         when(col("z").isNotNull, abs(col("z")) > 1.96))
   }
 
+  /** Difference-in-differences: the causal-effect estimate when
+    * treatment was NOT randomized but a before/after boundary exists —
+    * (treated post − treated pre) − (control post − control pre), the
+    * parallel-trends workhorse [[proportionTest]] (which assumes
+    * randomized arms) cannot replace.
+    *
+    * One pass, four conditional (Σy, n) cells in exact integers; each
+    * cell mean is one fixed IEEE division and the estimate is three
+    * fixed subtractions — bit-portable. NULL when any cell is empty
+    * (the design is broken, not zero).
+    *
+    * @param treated boolean per-row treatment-group indicator
+    * @param post    boolean per-row after-boundary indicator
+    * @param y       exact integer outcome ([[Exact.cents]])
+    * @return one row: (n_t0, n_t1, n_c0, n_c1, mean_t0, mean_t1,
+    *         mean_c0, mean_c1, did)
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+      y: Column): DataFrame = {
+    val cells = df
+      .select(treated.as("__t"), post.as("__p"), y.as("__y"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__y").isNotNull)
+      .agg(
+        sum(when(col("__t") && !col("__p"), 1L).otherwise(0L)).as("n_t0"),
+        sum(when(col("__t") && col("__p"), 1L).otherwise(0L)).as("n_t1"),
+        sum(when(!col("__t") && !col("__p"), 1L).otherwise(0L)).as("n_c0"),
+        sum(when(!col("__t") && col("__p"), 1L).otherwise(0L)).as("n_c1"),
+        sum(when(col("__t") && !col("__p"), col("__y")).otherwise(0L))
+          .as("__st0"),
+        sum(when(col("__t") && col("__p"), col("__y")).otherwise(0L))
+          .as("__st1"),
+        sum(when(!col("__t") && !col("__p"), col("__y")).otherwise(0L))
+          .as("__sc0"),
+        sum(when(!col("__t") && col("__p"), col("__y")).otherwise(0L))
+          .as("__sc1"))
+    def mean(s: String, n: String) =
+      when(col(n) > 0, col(s).cast("double") / col(n))
+    cells
+      .withColumn("mean_t0", mean("__st0", "n_t0"))
+      .withColumn("mean_t1", mean("__st1", "n_t1"))
+      .withColumn("mean_c0", mean("__sc0", "n_c0"))
+      .withColumn("mean_c1", mean("__sc1", "n_c1"))
+      .withColumn("did",
+        (col("mean_t1") - col("mean_t0")) -
+          (col("mean_c1") - col("mean_c0")))
+      .drop("__st0", "__st1", "__sc0", "__sc1")
+  }
+
+  /** DuckDB oracle for [[diffInDiff]]: `innerSql` yields (t, p, y). */
+  def diffInDiffOracleSql(innerSql: String): String =
+    s"""WITH b AS (
+       |  SELECT t, p, y FROM ($innerSql)
+       |  WHERE t IS NOT NULL AND p IS NOT NULL AND y IS NOT NULL
+       |), g AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t0,
+       |    CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t1,
+       |    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c0,
+       |    CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c1,
+       |    CAST(sum(CASE WHEN t AND NOT p THEN y ELSE 0 END) AS BIGINT)
+       |      AS st0,
+       |    CAST(sum(CASE WHEN t AND p THEN y ELSE 0 END) AS BIGINT) AS st1,
+       |    CAST(sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END) AS BIGINT)
+       |      AS sc0,
+       |    CAST(sum(CASE WHEN NOT t AND p THEN y ELSE 0 END) AS BIGINT)
+       |      AS sc1
+       |  FROM b
+       |), mm AS (
+       |  SELECT n_t0, n_t1, n_c0, n_c1,
+       |    CASE WHEN n_t0 > 0 THEN CAST(st0 AS DOUBLE) / n_t0 END AS mean_t0,
+       |    CASE WHEN n_t1 > 0 THEN CAST(st1 AS DOUBLE) / n_t1 END AS mean_t1,
+       |    CASE WHEN n_c0 > 0 THEN CAST(sc0 AS DOUBLE) / n_c0 END AS mean_c0,
+       |    CASE WHEN n_c1 > 0 THEN CAST(sc1 AS DOUBLE) / n_c1 END AS mean_c1
+       |  FROM g
+       |)
+       |SELECT *, (mean_t1 - mean_t0) - (mean_c1 - mean_c0) AS did
+       |FROM mm""".stripMargin
+
   /** Chi-square independence test over a two-way contingency table —
     * "are these two categoricals related" (source × language, segment ×
     * outcome), the categorical sibling of [[proportionTest]].

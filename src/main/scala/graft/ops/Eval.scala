@@ -201,4 +201,171 @@ object Eval {
        |       CAST(abs(1000000 * n_pos - sum_conf_micro) AS BIGINT)
        |         AS ece_q
        |FROM g""".stripMargin
+
+  /** nDCG@k per query — the GRADED-relevance ranking metric [[rocAuc]]
+    * (binary, rank-free) and RBO (relevance-free) both miss: how much of
+    * the best achievable discounted gain does the system's ordering
+    * capture in the top k?
+    *
+    * Published DCG divides by `log2(pos+1)` — a float whose last ulp
+    * differs across engines. Here the discount is the integer
+    * `1e6 // blog(pos+1)` with `blog(x) = length(bin(x)) = ⌊log2 x⌋+1`
+    * (the q130 Adamic–Adar bit-length-log device): positions 1 share a
+    * discount of 1e6, 2–3 of 5·10⁵, 4–7 of 2.5·10⁵ … — the same
+    * staircase coarsening on both the system and the ideal ranking, so
+    * the RATIO keeps its meaning while every intermediate is an exact
+    * long. Ties: system order breaks by ascending item id (a total
+    * order); ideal order by (relevance desc, item) — both engine-stable.
+    *
+    * Scale shape: two row_number windows keyed by query (per-query
+    * fan-out, never global), one keyed aggregation. No collect, no
+    * global sort.
+    *
+    * @param rel graded integer relevance ≥ 0
+    * @return per query: (n_items, dcg_q, idcg_q, ndcg) —
+    *         ndcg NULL when every item has zero relevance */
+  def ndcgAtK(df: DataFrame, queryCol: String, item: Column, rel: Column,
+      score: Column, k: Int = 10): DataFrame = {
+    require(k >= 1)
+    val base = df.select(col(queryCol), item.as("__i"), rel.as("__r"),
+        score.as("__s"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__s").isNotNull)
+    val wSys = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("__s").desc, col("__i"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("__r").desc, col("__i"))
+    base
+      .withColumn("__ps", row_number().over(wSys).cast("long"))
+      .withColumn("__pi", row_number().over(wIdeal).cast("long"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__ps") <= k,
+          col("__r") * expr("1000000 div length(bin(__ps + 1))"))
+          .otherwise(0L)).as("dcg_q"),
+        sum(when(col("__pi") <= k,
+          col("__r") * expr("1000000 div length(bin(__pi + 1))"))
+          .otherwise(0L)).as("idcg_q"))
+      .withColumn("ndcg",
+        when(col("idcg_q") > 0,
+          col("dcg_q").cast("double") / col("idcg_q")))
+  }
+
+  /** Decile lift & cumulative-gains table — the campaign-targeting view
+    * of the same histogram [[rocAuc]] folds to one number: per score
+    * tile (descending score), the response rate, its LIFT over the base
+    * rate, and the cumulative share of all positives captured down to
+    * that tile ("mail the top 2 deciles, reach 53 % of responders").
+    *
+    * Tiles come from the score-value histogram, not a global row sort:
+    * a value's tile is where its first row lands in the descending
+    * cumulative row count — all rows of one score value share a tile
+    * (the q84 tie convention; a row-level ntile would split ties
+    * nondeterministically anyway). Rates/lift/gain are fixed IEEE
+    * sequences over exact longs.
+    *
+    * @return per non-empty tile (0 = highest scores):
+    *         (tile, n, n_pos, rate, lift, cum_pos, gain)
+    */
+  def liftTable(df: DataFrame, score: Column, label: Column,
+      tiles: Int = 10): DataFrame = {
+    require(tiles >= 2)
+    val hist = df
+      .select(score.as("__s"), label.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_at"), sum(col("__y")).as("pos_at"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tiled = hist
+      .withColumn("__before", coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+      .withColumn("__N", sum(col("n_at")).over(wAll))
+      .withColumn("__P", sum(col("pos_at")).over(wAll))
+      .withColumn("tile",
+        least(expr(s"(__before * $tiles) div __N"), lit(tiles - 1L)))
+    val g = tiled.groupBy(col("tile"))
+      .agg(sum(col("n_at")).as("n"), sum(col("pos_at")).as("n_pos"),
+        max(col("__N")).as("__N"), max(col("__P")).as("__P"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    val rate = col("n_pos").cast("double") / col("n")
+    val baseRate = col("__P").cast("double") / col("__N")
+    g
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("rate", rate)
+      .withColumn("lift", when(col("__P") > 0, rate / baseRate))
+      .withColumn("gain",
+        when(col("__P") > 0, col("cum_pos").cast("double") / col("__P")))
+      .select(col("tile"), col("n"), col("n_pos"), col("rate"),
+        col("lift"), col("cum_pos"), col("gain"))
+  }
+
+  /** DuckDB oracle for [[liftTable]]: `innerSql` yields (s, y). */
+  def liftTableOracleSql(innerSql: String, tiles: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_at,
+       |         CAST(sum(y) AS BIGINT) AS pos_at
+       |  FROM ($innerSql) WHERE s IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), c AS (
+       |  SELECT *,
+       |    CAST(coalesce(sum(n_at) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS bef,
+       |    CAST(sum(n_at) OVER () AS BIGINT) AS N,
+       |    CAST(sum(pos_at) OVER () AS BIGINT) AS P
+       |  FROM h
+       |), t AS (
+       |  SELECT least((bef * $tiles) // N, ${tiles - 1}) AS tile,
+       |         n_at, pos_at, N, P
+       |  FROM c
+       |), g AS (
+       |  SELECT CAST(tile AS BIGINT) AS tile,
+       |         CAST(sum(n_at) AS BIGINT) AS n,
+       |         CAST(sum(pos_at) AS BIGINT) AS n_pos,
+       |         max(N) AS N, max(P) AS P
+       |  FROM t GROUP BY 1
+       |)
+       |SELECT tile, n, n_pos,
+       |       CAST(n_pos AS DOUBLE) / n AS rate,
+       |       CASE WHEN P > 0 THEN (CAST(n_pos AS DOUBLE) / n)
+       |         / (CAST(P AS DOUBLE) / N) END AS lift,
+       |       CAST(sum(n_pos) OVER (ORDER BY tile
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS cum_pos,
+       |       CASE WHEN P > 0 THEN CAST(sum(n_pos) OVER (ORDER BY tile
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS DOUBLE) / P END AS gain
+       |FROM g""".stripMargin
+
+  /** DuckDB oracle for [[ndcgAtK]]: `innerSql` yields
+    * (`qName`, i, r, s). */
+  def ndcgOracleSql(innerSql: String, qName: String, k: Int = 10): String =
+    s"""WITH b AS (
+       |  SELECT $qName, i, r, s FROM ($innerSql)
+       |  WHERE i IS NOT NULL AND r IS NOT NULL AND s IS NOT NULL
+       |), p AS (
+       |  SELECT $qName, r,
+       |    row_number() OVER (PARTITION BY $qName ORDER BY s DESC, i) AS ps,
+       |    row_number() OVER (PARTITION BY $qName ORDER BY r DESC, i) AS pi
+       |  FROM b
+       |), g AS (
+       |  SELECT $qName, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(CASE WHEN ps <= $k
+       |      THEN r * (1000000 // length(bin(ps + 1))) ELSE 0 END)
+       |      AS BIGINT) AS dcg_q,
+       |    CAST(sum(CASE WHEN pi <= $k
+       |      THEN r * (1000000 // length(bin(pi + 1))) ELSE 0 END)
+       |      AS BIGINT) AS idcg_q
+       |  FROM p GROUP BY 1
+       |)
+       |SELECT $qName, n_items, dcg_q, idcg_q,
+       |       CASE WHEN idcg_q > 0
+       |         THEN CAST(dcg_q AS DOUBLE) / idcg_q END AS ndcg
+       |FROM g""".stripMargin
 }

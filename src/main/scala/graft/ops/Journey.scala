@@ -338,6 +338,88 @@ object Journey {
        |         AS conversion
        |FROM trig LEFT JOIN conv ON conv.u = trig.u""".stripMargin
 
+  /** Multi-touch attribution: distribute each conversion's credit over
+    * the user's touches in the lookback window, under the three
+    * standard models AT ONCE — first-touch, last-touch, linear — so the
+    * model disagreement (the actual analyst question: "does paid search
+    * only close or also open?") is one frame, not three pipeline runs.
+    *
+    * Credit is integer micros per conversion (1e6 split per model;
+    * linear truncates `1e6 div n` per touch — up to n−1 micros of a
+    * conversion evaporate, documented bias, exactness over prettiness).
+    * First/last are total-order picks: (ts, tie) ascending/descending.
+    * Conversions with no in-window touch carry no credit anywhere.
+    *
+    * Plan: both legs filter at the scan, one USER-keyed join with the
+    * time range as a join predicate (activity-bounded fan-out, the q213
+    * shape), two fused per-conversion windows, one channel rollup.
+    *
+    * @return (channel, n_touches, first_micro, last_micro,
+    *         linear_micro) per touch channel (= `typeCol` value)
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, conversionType: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), m.as("__cm"), col(tieCol).as("__cid"))
+      .as("c")
+    val touch = events.filter(col(typeCol) =!= conversionType)
+      .select(col(userCol).as("__u"), m.as("__tm"), col(tieCol).as("__tid"),
+        col(typeCol).as("channel"))
+      .as("t")
+    val pairs = touch.join(conv,
+      col("t.__u") === col("c.__u") &&
+        col("t.__tm") < col("c.__cm") &&
+        col("t.__tm") >= col("c.__cm") - lit(windowSeconds * 1000000L))
+    val wConv = Window.partitionBy(col("c.__u"), col("c.__cid"))
+    val rFirst = row_number()
+      .over(wConv.orderBy(col("t.__tm"), col("t.__tid")))
+    val rLast = row_number()
+      .over(wConv.orderBy(col("t.__tm").desc, col("t.__tid").desc))
+    pairs
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("__first", when(rFirst === 1, lit(1000000L)).otherwise(0L))
+      .withColumn("__last", when(rLast === 1, lit(1000000L)).otherwise(0L))
+      .withColumn("__linear", expr("1000000 div __n"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__first")).as("first_micro"),
+        sum(col("__last")).as("last_micro"),
+        sum(col("__linear")).as("linear_micro"))
+  }
+
+  /** DuckDB oracle for [[attribution]]. */
+  def attributionOracleSql(table: String, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      conversionType: String, windowSeconds: Long): String =
+    s"""WITH c AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS cm, $tieCol AS cid
+       |  FROM $table WHERE $typeCol = '$conversionType'
+       |), t AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS tm, $tieCol AS tid,
+       |         $typeCol AS channel
+       |  FROM $table WHERE $typeCol <> '$conversionType'
+       |), p AS (
+       |  SELECT t.channel, c.u, c.cid, t.tm, t.tid
+       |  FROM t JOIN c ON t.u = c.u AND t.tm < c.cm
+       |    AND t.tm >= c.cm - ${windowSeconds * 1000000L}
+       |), w AS (
+       |  SELECT channel,
+       |    CASE WHEN row_number() OVER (PARTITION BY u, cid
+       |      ORDER BY tm, tid) = 1 THEN 1000000 ELSE 0 END AS f,
+       |    CASE WHEN row_number() OVER (PARTITION BY u, cid
+       |      ORDER BY tm DESC, tid DESC) = 1 THEN 1000000 ELSE 0 END AS l,
+       |    1000000 // count(*) OVER (PARTITION BY u, cid) AS lin
+       |  FROM p
+       |)
+       |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       |       CAST(sum(f) AS BIGINT) AS first_micro,
+       |       CAST(sum(l) AS BIGINT) AS last_micro,
+       |       CAST(sum(lin) AS BIGINT) AS linear_micro
+       |FROM w GROUP BY 1""".stripMargin
+
   /** Batch sessionization: split each user's event stream at inactivity
     * gaps > `gapSeconds`, one output row per SESSION with its span and
     * size — the batch sibling of the streaming session window

@@ -263,6 +263,106 @@ object PageRank {
       |       END AS r
       |FROM s""".stripMargin
 
+  /** Newman modularity of the [[labelPropagation]] partition — the
+    * number that says whether LPA's communities are real structure or
+    * noise (Q ≈ 0): Q = Σ_c [ m_c/m − (d_c/2m)² ] over the undirected
+    * simple graph, where m = edges, m_c = intra-community edges,
+    * d_c = total degree of community c.
+    *
+    * Exact-rational form: each community's contribution numerator is
+    * the integer `q_num = 4·m·m_c − d_c²` (so Q = Σ q_num / (4m²)) —
+    * integers end-to-end, ONE fixed IEEE division per row for the
+    * readout, and the whole LPA+modularity composition hash-matches the
+    * unrolled oracle. Overflow bound: 4·m·m_c < 2⁶³ needs m < 1.5·10⁹
+    * undirected edges; beyond that drop to a sampled m or 128-bit
+    * decimal.
+    *
+    * Scale shape: LPA's per-iteration keyed joins (see above), then one
+    * distinct over canonicalized edges, two label joins keyed by node,
+    * two keyed aggregations, and the one-row m broadcast (stat-broadcast
+    * idiom, never a collect).
+    *
+    * @return per community: (community, n_nodes, d_c, m_c, q_num,
+    *         contribution) — Σ contribution is the graph's modularity */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val labels = labelPropagation(edges, srcCol, dstCol, iters)
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val lu = labels.select(col("node").as("u"), col("community").as("cu"))
+    val lv = labels.select(col("node").as("v"), col("community").as("cv"))
+    val mc = und.join(lu, "u").join(lv, "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("m_c"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+    dc.join(mc, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"), col("d_c"),
+        coalesce(col("m_c"), lit(0L)).as("m_c"), col("m"))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("m_c") - col("d_c") * col("d_c"))
+      .withColumn("contribution",
+        col("q_num").cast("double") /
+          (lit(4.0) * col("m") * col("m")))
+      .drop("m")
+  }
+
+  /** DuckDB oracle for [[modularity]], embedding the unrolled
+    * [[labelPropagation]] recurrence. `edgeSql` must yield (src, dst). */
+  def modularityOracleSql(edgeSql: String, iters: Int = 3): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT s.src AS node, l.lab, count(*) AS c
+         |  FROM sym s JOIN l${k - 1} l ON s.dst = l.node GROUP BY 1, 2
+         |), l$k AS (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, lab) AS rn
+         |    FROM c$k) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT src, dst FROM ($edgeSql)),
+      |ed AS (SELECT DISTINCT src, dst FROM e),
+      |sym AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+      |$steps,
+      |und AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM e WHERE src <> dst
+      |), mrow AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      |mc AS (
+      |  SELECT lu.lab AS community, CAST(count(*) AS BIGINT) AS m_c
+      |  FROM und JOIN l$iters lu ON und.u = lu.node
+      |           JOIN l$iters lv ON und.v = lv.node
+      |  WHERE lu.lab = lv.lab GROUP BY 1
+      |), deg AS (
+      |  SELECT node, count(*) AS deg FROM
+      |    (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY 1
+      |), dc AS (
+      |  SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+      |         CAST(sum(deg) AS BIGINT) AS d_c
+      |  FROM deg JOIN l$iters ON deg.node = l$iters.node GROUP BY 1
+      |)
+      |SELECT community, n_nodes, d_c,
+      |       CAST(coalesce(m_c, 0) AS BIGINT) AS m_c,
+      |       CAST(4 * m * coalesce(m_c, 0) - d_c * d_c AS BIGINT) AS q_num,
+      |       CAST(4 * m * coalesce(m_c, 0) - d_c * d_c AS DOUBLE)
+      |         / (4.0 * m * m) AS contribution
+      |FROM dc LEFT JOIN mc USING (community) CROSS JOIN mrow""".stripMargin
+  }
+
   /** DuckDB oracle for [[labelPropagation]], unrolled from the same
     * recurrence. `edgeSql` must yield columns (src, dst). */
   def labelPropagationOracleSql(edgeSql: String, iters: Int = 3): String = {

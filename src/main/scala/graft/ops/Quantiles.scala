@@ -292,6 +292,71 @@ object Quantiles {
     * and engine-portable).
     *
     * @return df plus `binCol` (0 .. #cuts, or NULL for NULL values) */
+  /** ABC (Pareto 80/95) classification: items ranked by contribution,
+    * class A = the head that carries the first 80 % of total value, B =
+    * the next 15 %, C = the tail — the inventory/revenue-concentration
+    * classifier that turns q201's one-number Gini into an actionable
+    * per-item label ("manage A closely, automate C").
+    *
+    * Rank-free form (the q84/q205 histogram argument): cumulative value
+    * share is a descending running sum over the DISTINCT-value histogram
+    * — all items with the same value share one cumulative position and
+    * therefore one class (documented tie convention; per-item sort
+    * orders within a tie are arbitrary anyway). Class tests are
+    * integer cross-multiplications (`cum·5 ≤ total·4` for 80 %,
+    * `cum·20 ≤ total·19` for 95 %) — no division, no floats, no global
+    * row sort: the one window runs over distinct values
+    * (histogram-sized), then items join back by value.
+    *
+    * Overflow bound: cum·20 < 2⁶³ needs total value < 4.6·10¹⁷ units.
+    *
+    * @param value exact integer contribution ≥ 0 per item
+    * @return (idCol, `value` under its input name, cum, abc_class)
+    */
+  def abcClassify(df: DataFrame, idCol: String, valueCol: String)
+      : DataFrame = {
+    val items = df.select(col(idCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+    val hist = items.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__n"))
+    val wRun = Window.orderBy(col(valueCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val classed = hist
+      .withColumn("cum", sum(col(valueCol) * col("__n")).over(wRun))
+      .withColumn("__total", sum(col(valueCol) * col("__n")).over(wAll))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("__total") * 4, "A")
+          .when(col("cum") * 20 <= col("__total") * 19, "B")
+          .otherwise("C"))
+      .select(col(valueCol), col("cum"), col("abc_class"))
+    items.join(classed, valueCol)
+  }
+
+  /** DuckDB oracle for [[abcClassify]]: `innerSql` yields
+    * (`idName`, `valueName`). */
+  def abcClassifyOracleSql(innerSql: String, idName: String,
+      valueName: String): String =
+    s"""WITH b AS (
+       |  SELECT $idName, $valueName FROM ($innerSql)
+       |  WHERE $valueName IS NOT NULL
+       |), h AS (
+       |  SELECT $valueName, CAST(count(*) AS BIGINT) AS n
+       |  FROM b GROUP BY 1
+       |), c AS (
+       |  SELECT $valueName,
+       |    CAST(sum($valueName * n) OVER (ORDER BY $valueName DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum($valueName * n) OVER () AS BIGINT) AS total
+       |  FROM h
+       |)
+       |SELECT $idName, b.$valueName, cum,
+       |       CASE WHEN cum * 5 <= total * 4 THEN 'A'
+       |            WHEN cum * 20 <= total * 19 THEN 'B'
+       |            ELSE 'C' END AS abc_class
+       |FROM b JOIN c ON b.$valueName = c.$valueName""".stripMargin
+
   def binByCuts(df: DataFrame, v: Column, cuts: DataFrame,
       binCol: String = "bin"): DataFrame = {
     val cutCols = cuts.columns.toSeq

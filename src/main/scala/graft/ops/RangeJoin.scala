@@ -79,6 +79,52 @@ object RangeJoin {
        |FROM isl GROUP BY $keys, island""".stripMargin
   }
 
+  /** Interval GAPS — the complement of [[intervalMerge]]: per key, the
+    * uncovered stretches between consecutive merged islands (coverage
+    * holes, downtime-free windows, sensor blackouts). Composes the
+    * island merge with one `lead` over the per-key island sequence;
+    * islands are maximal and disjoint, so every consecutive pair bounds
+    * exactly one gap of positive length.
+    *
+    * Scale shape: [[intervalMerge]]'s two fused per-key windows + keyed
+    * aggregation, then one more per-key window over the (already
+    * island-sized) merged frame. Nothing global.
+    *
+    * @return (keyCols..., gap_start, gap_end, gap_len) — gap_start is
+    *         the end of one island, gap_end the start of the next
+    */
+  def intervalGaps(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val merged = intervalMerge(df, keyCols, startCol, endCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("merged_start"))
+    merged
+      .withColumn("gap_end", lead(col("merged_start"), 1).over(w))
+      .filter(col("gap_end").isNotNull)
+      .select(keyCols.map(col) :+
+        col("merged_end").as("gap_start") :+
+        col("gap_end") :+
+        (col("gap_end") - col("merged_end")).as("gap_len"): _*)
+  }
+
+  /** DuckDB oracle for [[intervalGaps]]: same contract as
+    * [[intervalMergeOracleSql]] — `innerSql` yields (keyCols..., s, e)
+    * as integers. */
+  def intervalGapsOracleSql(innerSql: String, keyCols: Seq[String])
+      : String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH m AS (${intervalMergeOracleSql(innerSql, keyCols)}),
+       |g AS (
+       |  SELECT $keys, merged_end AS gap_start,
+       |         lead(merged_start) OVER (PARTITION BY $keys
+       |           ORDER BY merged_start) AS gap_end
+       |  FROM m
+       |)
+       |SELECT $keys, gap_start, gap_end, gap_end - gap_start AS gap_len
+       |FROM g WHERE gap_end IS NOT NULL""".stripMargin
+  }
+
   /** @param grain a `date_trunc` unit that is also a valid 1-unit
     *              interval: "hour", "day", "minute". */
   def pointInInterval(points: DataFrame, intervals: DataFrame,

@@ -501,6 +501,51 @@ object Analytics extends QueryModule {
         ev.filter(col("event_id") % 3 =!= 0), keys, col("cents"))
       Rollups.mergeStates(prev, delta, Seq("event_type"))
     }),
+
+    // nDCG@10 per user: graded-relevance ranking quality of the
+    // value-ordered event list (relevance = event_id mod 4 as the
+    // synthetic grade) — integer bit-length discount, so the whole
+    // rank-discount-sum chain hash-matches the oracle.
+    "q220_ndcg" -> ((s, dir) =>
+      Eval.ndcgAtK(
+        Tables(s, dir).events.select(col("user_id"), col("event_id"),
+          pmod(col("event_id"), lit(4L)).as("rel"),
+          Exact.cents(col("value")).as("score")),
+        "user_id", col("event_id"), col("rel"), col("score"), k = 10)),
+
+    // Leave-one-out target encoding of event_type against the value
+    // target — the high-cardinality categorical encoding with the
+    // self-label leak subtracted out; exact integer (Σ−y)/(n−1).
+    "q223_target_encode" -> ((s, dir) =>
+      Features.targetEncodeLoo(
+        Tables(s, dir).events.select(col("event_id"), col("event_type"),
+          Exact.cents(col("value")).as("y")),
+        "event_type", "event_id", col("y"))),
+
+    // Multi-touch attribution: purchase credit split over the user's
+    // preceding 2h touches under first/last/linear AT ONCE — integer
+    // micros per conversion, user-keyed join, two fused windows.
+    "q226_attribution" -> ((s, dir) =>
+      Journey.attribution(Tables(s, dir).events, "user_id", "event_type",
+        "ts", "event_id", conversionType = "purchase",
+        windowSeconds = 7200L)),
+
+    // Difference-in-differences: odd-uid "treated" cohort vs even,
+    // before/after the mid-month boundary — four exact integer cells,
+    // three fixed subtractions; the non-randomized sibling of q194.
+    "q228_did" -> ((s, dir) =>
+      ABTest.diffInDiff(Tables(s, dir).events,
+        treated = pmod(col("user_id"), lit(2L)) === 1L,
+        post = col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
+        y = Exact.cents(col("value")))),
+
+    // Decile lift & cumulative gains of the value score against the
+    // purchase outcome — the targeting table ROC AUC (q205) folds away;
+    // tiles from the score histogram, never a global row sort.
+    "q229_lift_gains" -> ((s, dir) =>
+      Eval.liftTable(Tables(s, dir).events,
+        Exact.cents(col("value")),
+        (col("event_type") === "purchase").cast("long"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1073,5 +1118,32 @@ object Analytics extends QueryModule {
         |       min(CAST(round(value * 100) AS BIGINT)) AS min_v,
         |       max(CAST(round(value * 100) AS BIGINT)) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q220_ndcg" -> Eval.ndcgOracleSql(
+      """SELECT user_id, event_id AS i, event_id % 4 AS r,
+        |       CAST(round(value * 100) AS BIGINT) AS s
+        |FROM events""".stripMargin,
+      "user_id", k = 10),
+
+    "q223_target_encode" -> Features.targetEncodeLooOracleSql(
+      """SELECT event_id, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin,
+      "event_type", "event_id"),
+
+    "q226_attribution" -> Journey.attributionOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
+      conversionType = "purchase", windowSeconds = 7200L),
+
+    "q228_did" -> ABTest.diffInDiffOracleSql(
+      """SELECT user_id % 2 = 1 AS t,
+        |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+        |       CAST(round(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin),
+
+    "q229_lift_gains" -> Eval.liftTableOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |FROM events""".stripMargin),
   )
 }

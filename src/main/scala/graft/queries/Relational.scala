@@ -667,6 +667,40 @@ object Relational extends QueryModule {
           Exact.corrFromSums(col("n"), col("sx"), col("sy"),
             col("sxx"), col("syy"), col("sxy")).as("corr_qty_price"))
     }),
+
+    // Customer value frontier: customers no one beats on BOTH order
+    // count and total spend — the two-criteria shortlist q04's weighted
+    // score can't give without baking in a trade-off rate. Dominance
+    // scan over the distinct-(x,y) histogram, never a global row sort.
+    "q221_skyline" -> ((s, dir) => {
+      val per = Tables(s, dir).orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Exact.cents(col("o_totalprice"))).as("spend_cents"))
+      graft.ops.Pareto.skylineMax(per, "n_orders", "spend_cents")
+    }),
+
+    // Modularity of the q104 label-propagation communities over the
+    // same customer-supplier graph: are those communities structure or
+    // noise? Exact-rational per-community q_num = 4·m·m_c − d_c², one
+    // IEEE division readout — LPA + modularity hash-match end-to-end.
+    "q222_modularity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      graft.ops.PageRank.modularity(edges, "src", "dst")
+    }),
+
+    // ABC classification of parts by revenue: A = head carrying 80 % of
+    // total, B = next 15 %, C = tail — q201's Gini says "concentrated",
+    // this says WHICH parts are the concentration. Integer
+    // cross-multiplied class tests over the distinct-revenue histogram.
+    "q225_abc_class" -> ((s, dir) => {
+      val rev = Tables(s, dir).lineitem.groupBy(col("l_partkey"))
+        .agg(sum(Exact.cents(col("l_extendedprice"))).as("rev_cents"))
+      graft.ops.Quantiles.abcClassify(rev, "l_partkey", "rev_cents")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1206,5 +1240,23 @@ object Relational extends QueryModule {
         |       CAST(ntile(4) OVER (PARTITION BY event_type
         |         ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT) AS quartile
         |FROM events""".stripMargin,
+
+    "q221_skyline" -> graft.ops.Pareto.skylineMaxOracleSql(
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS spend_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+      "n_orders", "spend_cents"),
+
+    "q222_modularity" -> graft.ops.PageRank.modularityOracleSql(
+      s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q225_abc_class" -> graft.ops.Quantiles.abcClassifyOracleSql(
+      """SELECT l_partkey,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS rev_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+      "l_partkey", "rev_cents"),
   )
 }

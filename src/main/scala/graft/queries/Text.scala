@@ -246,6 +246,17 @@ object Text extends QueryModule {
       graft.ops.RangeJoin.intervalMerge(iv, Seq("user_id"), "s", "e")
     }),
 
+    // Interval GAPS — q214's complement: the uncovered stretches
+    // between a user's merged activity islands (blackout windows),
+    // one per-key lead over the island-sized merged frame.
+    "q224_interval_gaps" -> ((s, dir) => {
+      val iv = Tables(s, dir).events.select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("s"),
+        expr("CAST(floor(value) AS LONG)").as("__dur"))
+        .withColumn("e", col("s") + col("__dur")).drop("__dur")
+      graft.ops.RangeJoin.intervalGaps(iv, Seq("user_id"), "s", "e")
+    }),
+
     // Quantile mapping: src0's length distribution re-expressed in the
     // whole-corpus distribution's coordinates — the source-bias
     // correction; cuts from both sides via the bounded histogram
@@ -1212,6 +1223,12 @@ object Text extends QueryModule {
         |FROM documents""".stripMargin,
 
     "q214_interval_merge" -> graft.ops.RangeJoin.intervalMergeOracleSql(
+      """SELECT user_id, epoch_us(ts) // 1000000 AS s,
+        |       epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
+        |FROM events""".stripMargin,
+      Seq("user_id")),
+
+    "q224_interval_gaps" -> graft.ops.RangeJoin.intervalGapsOracleSql(
       """SELECT user_id, epoch_us(ts) // 1000000 AS s,
         |       epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
         |FROM events""".stripMargin,

@@ -869,4 +869,106 @@ class OpsSpec extends SparkSuite {
     assert(out("down") == ((20L, -maxS, var18, "decreasing")))
     assert(out("flat") == ((20L, 0L, var18, "no_trend")))
   }
+
+  test("ndcgAtK: perfect ranking 1.0, worst ranking below it, " +
+      "zero-relevance NULL, k truncates") {
+    import spark.implicits._
+    // qA: score order == relevance order → dcg = idcg.
+    // qB: score order EXACTLY inverts relevance → dcg < idcg.
+    // qC: all relevance 0 → idcg 0 → ndcg NULL.
+    val rows = Seq(
+      ("qA", 1L, 3L, 30L), ("qA", 2L, 2L, 20L), ("qA", 3L, 0L, 10L),
+      ("qB", 1L, 3L, 10L), ("qB", 2L, 2L, 20L), ("qB", 3L, 0L, 30L),
+      ("qC", 1L, 0L, 5L), ("qC", 2L, 0L, 4L))
+      .toDF("q", "i", "r", "s")
+    val out = Eval.ndcgAtK(rows, "q", col("i"), col("r"), col("s"), k = 10)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(2), x.getLong(3), Option(x.get(4))))).toMap
+    assert(out("qA")._1 == out("qA")._2 && out("qA")._3.contains(1.0))
+    assert(out("qB")._1 < out("qB")._2)
+    assert(out("qC") == ((0L, 0L, None)))
+    // k=1 keeps only the top position: qA dcg = 3 * (1e6 div blog(2))
+    val k1 = Eval.ndcgAtK(rows, "q", col("i"), col("r"), col("s"), k = 1)
+      .filter(col("q") === "qA").head()
+    assert(k1.getLong(2) == 3L * (1000000L / 2L))
+  }
+
+  test("skylineMax: dominated points drop, frontier is the staircase, " +
+      "equal-x collapses to max y with multiplicity") {
+    import spark.implicits._
+    val pts = Seq(
+      (5L, 10L), (5L, 7L),  // (5,7) dominated at equal x
+      (3L, 20L),            // frontier: more y, less x
+      (4L, 15L), (2L, 19L), // dominated by (5,10)? no — (4,15) has
+                            // y>10: frontier; (2,19) dominated by (3,20)
+      (5L, 10L),            // duplicate frontier point → n_at 2
+      (1L, 1L))             // dominated
+      .toDF("x", "y")
+    val out = Pareto.skylineMax(pts, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((5L, 10L, 2L), (4L, 15L, 1L), (3L, 20L, 1L)))
+  }
+
+  test("modularity: two disjoint triangles score Q = 0.5, " +
+      "one clique scores Q = 0") {
+    import spark.implicits._
+    val twoTriangles = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val out = PageRank.modularity(twoTriangles, "src", "dst")
+      .collect()
+    // LPA on a triangle converges to the min label per component;
+    // m = 6, per community m_c = 3, d_c = 6 → q_num = 72 − 36 = 36,
+    // contribution 36/144 = 0.25 each, Q = 0.5.
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(1) == 3L && r.getLong(2) == 6L &&
+      r.getLong(3) == 3L && r.getLong(4) == 36L))
+    assert(math.abs(out.map(_.getDouble(5)).sum - 0.5) < 1e-12)
+    // One community holding everything: Q = m_c/m − 1 = 0 exactly.
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val one = PageRank.modularity(clique, "src", "dst").collect()
+    assert(one.length == 1 && one.head.getLong(4) == 0L)
+  }
+
+  test("targetEncodeLoo: self excluded from the mean, singleton NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L))
+      .toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(rows, "cat", "id", col("y"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("loo_mean"))).toMap
+    assert(out(1L).contains(25.0)) // (20+30)/2
+    assert(out(2L).contains(20.0)) // (10+30)/2
+    assert(out(3L).contains(15.0)) // (10+20)/2
+    assert(out(4L).isEmpty)        // singleton category
+  }
+
+  test("intervalGaps: one gap per island pair, overlapping inputs merge " +
+      "first, fully-covered key yields no rows") {
+    import spark.implicits._
+    val iv = Seq(
+      ("u1", 0L, 10L), ("u1", 5L, 12L), ("u1", 20L, 30L), ("u1", 40L, 41L),
+      ("u2", 0L, 5L), ("u2", 5L, 9L)) // touching → one island, no gap
+      .toDF("k", "s", "e")
+    val out = RangeJoin.intervalGaps(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("u1", 12L, 20L, 8L), ("u1", 30L, 40L, 10L)))
+  }
+
+  test("abcClassify: 80/95 head-share classes, ties share a class") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 80L),          // cum 80/100 → A (boundary inclusive)
+      (2L, 15L),          // cum 95/100 → B (boundary inclusive)
+      (3L, 3L), (4L, 1L), (5L, 1L)) // tail → C; ties (1,1) same class
+      .toDF("id", "v")
+    val out = Quantiles.abcClassify(rows, "id", "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("abc_class")).toMap
+    assert(out == Map(1L -> "A", 2L -> "B", 3L -> "C", 4L -> "C",
+      5L -> "C"))
+  }
 }
