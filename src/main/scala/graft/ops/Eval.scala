@@ -321,26 +321,28 @@ object Eval {
        |    CAST(sum(pos_at) OVER () AS BIGINT) AS P
        |  FROM h
        |), t AS (
+       |  -- nn/pp, not N/P: DuckDB identifiers are case-insensitive, so
+       |  -- a total aliased N would collide with the per-tile n below
        |  SELECT least((bef * $tiles) // N, ${tiles - 1}) AS tile,
-       |         n_at, pos_at, N, P
+       |         n_at, pos_at, N AS nn, P AS pp
        |  FROM c
        |), g AS (
        |  SELECT CAST(tile AS BIGINT) AS tile,
        |         CAST(sum(n_at) AS BIGINT) AS n,
        |         CAST(sum(pos_at) AS BIGINT) AS n_pos,
-       |         max(N) AS N, max(P) AS P
+       |         max(nn) AS nn, max(pp) AS pp
        |  FROM t GROUP BY 1
        |)
        |SELECT tile, n, n_pos,
        |       CAST(n_pos AS DOUBLE) / n AS rate,
-       |       CASE WHEN P > 0 THEN (CAST(n_pos AS DOUBLE) / n)
-       |         / (CAST(P AS DOUBLE) / N) END AS lift,
+       |       CASE WHEN pp > 0 THEN (CAST(n_pos AS DOUBLE) / n)
+       |         / (CAST(pp AS DOUBLE) / nn) END AS lift,
        |       CAST(sum(n_pos) OVER (ORDER BY tile
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |         AS BIGINT) AS cum_pos,
-       |       CASE WHEN P > 0 THEN CAST(sum(n_pos) OVER (ORDER BY tile
+       |       CASE WHEN pp > 0 THEN CAST(sum(n_pos) OVER (ORDER BY tile
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |         AS DOUBLE) / P END AS gain
+       |         AS DOUBLE) / pp END AS gain
        |FROM g""".stripMargin
 
   /** DuckDB oracle for [[ndcgAtK]]: `innerSql` yields

@@ -257,6 +257,14 @@ object Text extends QueryModule {
       graft.ops.RangeJoin.intervalGaps(iv, Seq("user_id"), "s", "e")
     }),
 
+    // Rendezvous-hash shard stability: assign every document to 8 and
+    // to 9 shards by highest-random-weight and measure the moved
+    // fraction per old shard (~1/9 by construction, vs ~8/9 under
+    // mod-n) — the stable-sharding contract incremental rebuilds need.
+    "q230_rendezvous" -> ((s, dir) =>
+      graft.ops.Sharding.rendezvousStability(
+        Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
+
     // Quantile mapping: src0's length distribution re-expressed in the
     // whole-corpus distribution's coordinates — the source-bias
     // correction; cuts from both sides via the bounded histogram
@@ -1233,6 +1241,9 @@ object Text extends QueryModule {
         |       epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
         |FROM events""".stripMargin,
       Seq("user_id")),
+
+    "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
+      "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
 
     "q215_quantile_map" -> graft.ops.Quantiles.quantileMapOracleSql(
       "SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents",

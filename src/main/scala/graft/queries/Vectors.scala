@@ -432,6 +432,14 @@ object Vectors extends QueryModule {
         "cid", "cv")
       Similarity.semanticDedup(withDupes, cents, minCosine = 0.95)
     }),
+
+    // Greedy k-center (farthest-point) coreset selection: 5 points
+    // covering the embedding space, each round one single-row broadcast
+    // + argmin — the diversity-driven pruning step similarity top-k
+    // (q25) inverts. Deterministic: fixed fold order + id tie-breaks.
+    "q227_kcenter" -> ((s, dir) =>
+      graft.similarity.Select.kCenterGreedy(
+        base(Tables(s, dir)), "id", "ev", k = 5)),
   )
 
   private val toksSql =
@@ -1136,5 +1144,11 @@ object Vectors extends QueryModule {
         |       coalesce(cl.cluster_id, a.id) AS cluster_id,
         |       (cl.node IS NULL OR cl.cluster_id = a.id) AS keep
         |FROM assigned a LEFT JOIN clusters cl ON a.id = cl.node""".stripMargin,
+
+    "q227_kcenter" -> graft.similarity.Select.kCenterOracleSql(
+      """SELECT vec_id AS id,
+        |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings""".stripMargin,
+      k = 5),
   )
 }

@@ -958,6 +958,76 @@ class OpsSpec extends SparkSuite {
     assert(out == Set(("u1", 12L, 20L, 8L), ("u1", 30L, 40L, 10L)))
   }
 
+  test("attribution: first/last to the right touches, linear splits, " +
+      "out-of-window touch ignored") {
+    import spark.implicits._
+    // u1: touches A@1s B@2s, conversion @3s (window 10s) → n=2;
+    // an A@-100s touch is outside the window; u2: single touch C.
+    val ev = Seq(
+      (11L, "A", "2024-01-01 00:00:01", 1L),
+      (12L, "B", "2024-01-01 00:00:02", 1L),
+      (13L, "buy", "2024-01-01 00:00:03", 1L),
+      (10L, "A", "2023-12-31 23:00:00", 1L),
+      (21L, "C", "2024-01-01 00:00:05", 2L),
+      (22L, "buy", "2024-01-01 00:00:06", 2L))
+      .toDF("id", "typ", "ts", "uid")
+      .select(col("uid"), col("typ"), col("ts").cast("timestamp").as("ts"),
+        col("id"))
+    val out = Journey.attribution(ev, "uid", "typ", "ts", "id",
+        conversionType = "buy", windowSeconds = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") == ((1L, 1000000L, 0L, 500000L)))
+    assert(out("B") == ((1L, 0L, 1000000L, 500000L)))
+    assert(out("C") == ((1L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("diffInDiff: planted cell means recover the known effect, " +
+      "empty cell nulls the estimate") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(3)((true, false, 10L)) ++ Seq.fill(3)((true, true, 25L)) ++
+      Seq.fill(2)((false, false, 5L)) ++ Seq.fill(2)((false, true, 8L))
+    val out = ABTest.diffInDiff(rows.toDF("t", "p", "y"),
+      col("t"), col("p"), col("y")).head()
+    assert(out.getAs[Double]("mean_t1") == 25.0 &&
+      out.getAs[Double]("mean_c0") == 5.0)
+    assert(out.getAs[Double]("did") == 12.0) // (25−10) − (8−5)
+    val missing = ABTest.diffInDiff(
+      rows.filterNot(r => r._1 && r._2).toDF("t", "p", "y"),
+      col("t"), col("p"), col("y")).head()
+    assert(missing.isNullAt(missing.fieldIndex("did")))
+  }
+
+  test("liftTable: two-tile planted lift/gain, base rate recovers") {
+    import spark.implicits._
+    val rows = (1 to 10).map(i => (100L, if (i <= 8) 1L else 0L)) ++
+      (1 to 10).map(i => (50L, if (i <= 2) 1L else 0L))
+    val out = Eval.liftTable(rows.toDF("s", "y"), col("s"), col("y"),
+        tiles = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(out(0L) == ((10L, 8L, 0.8, 1.6, 8L, 0.8)))
+    assert(out(1L) == ((10L, 2L, 0.2, 0.4, 10L, 1.0)))
+  }
+
+  test("rendezvousAssign: in-range, deterministic under repartitioning; " +
+      "stability moves roughly 1/9 on 8 to 9") {
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("id")
+    val a = Sharding.rendezvousAssign(ids, "id", 8)
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val b = Sharding.rendezvousAssign(ids.repartition(7), "id", 8)
+    assert(a.join(b.withColumnRenamed("shard", "s2"), "id")
+      .filter(col("shard") =!= col("s2")).count() == 0)
+    val stab = Sharding.rendezvousStability(ids, "id", 8, 9)
+      .agg(sum("n_docs"), sum("n_moved")).head()
+    assert(stab.getLong(0) == 1000L)
+    val moved = stab.getLong(1)
+    assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
+  }
+
   test("abcClassify: 80/95 head-share classes, ties share a class") {
     import spark.implicits._
     val rows = Seq(

@@ -539,4 +539,25 @@ class SimilaritySpec extends SparkSuite {
     assert(out((0L, 2L)) == Some(1.0))
     assert(out((1L, 2L)) == Some(0.0))
   }
+
+  test("kCenterGreedy: seed is min id, then farthest-first order, " +
+      "near-duplicate picked last") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.01)),  // near-dup of 1 → never an early pick
+      (3L, Seq(0.0, 1.0)),   // orthogonal to seed → round 2
+      (4L, Seq(0.7, 0.7)))   // diagonal → round 3
+      .toDF("id", "ev")
+    val out = graft.similarity.Select.kCenterGreedy(vecs, "id", "ev", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L)._1 == 1L && out(1L)._2.isEmpty)
+    assert(out(2L)._1 == 3L)   // ms 0.0 vs near-dup's ~0.99995
+    assert(out(3L)._1 == 4L)
+    // the round-3 pick's maxsim is its cosine to the closer of {1, 3}
+    assert(out(3L)._2.exists(m =>
+      math.abs(m.asInstanceOf[Double] - 0.7 / math.sqrt(0.98)) < 1e-12))
+  }
 }
