@@ -240,6 +240,25 @@ object Profiling {
       .agg(count(lit(1)).as("group_n"))
       .filter(col("group_n") < k)
 
+  /** l-diversity audit — the attack [[kAnonymityViolations]] misses:
+    * a quasi-identifier group can hide k rows yet still leak if they
+    * all share ONE sensitive value (homogeneity attack — "every
+    * 35-year-old in 94305 has the same diagnosis"). Flags groups whose
+    * sensitive column carries fewer than `l` DISTINCT values.
+    *
+    * One keyed aggregation with an exact distinct count (the audit is a
+    * correctness gate — approximate HLL counting would certify leaking
+    * groups; see [[graft.ops.Sketches]] for when approx is fine).
+    *
+    * @return violating groups: (qidCols..., group_n, n_sensitive)
+    */
+  def lDiversityViolations(df: DataFrame, qidCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame =
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+
   /** k-anonymity SUPPRESSION: the enforcing transform — drop every row
     * whose quasi-identifier combination has fewer than `k` occurrences,
     * so each surviving row hides among ≥ k−1 identical-looking others.

@@ -420,4 +420,65 @@ object Sampling {
       |       CAST(least(demand, avail) AS BIGINT) AS alloc
       |FROM s$rounds""".stripMargin
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split an integer
+    * budget of `seats` across groups proportionally to `weightCol`,
+    * with Σ seats EXACT — floors first, then one extra seat to the
+    * largest remainders. The integer-exact answer to "how many
+    * sampled docs / training tokens / shard slots does each source
+    * get" that per-group `round(share·S)` gets wrong (its sum drifts
+    * off S by up to |groups|/2).
+    *
+    * Total order on the remainder ranking: (remainder desc, weight
+    * desc, group asc) — deterministic under every partitioning, and the
+    * oracle replays it exactly. Overflow bound: seats·weight < 2⁶³.
+    *
+    * Input contract: ONE row per group (aggregate upstream). All
+    * windows run over the |groups|-sized frame, never a corpus.
+    *
+    * @return (groupCol, weight, base_seats, remainder, seats)
+    */
+  def apportion(df: DataFrame, groupCol: String, weightCol: String,
+      seats: Long): DataFrame = {
+    require(seats >= 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("remainder").desc, col("weight").desc, col(groupCol))
+    df.select(col(groupCol), col(weightCol).as("weight"))
+      .withColumn("__W", sum(col("weight")).over(wAll))
+      .withColumn("base_seats", expr(s"($seats * weight) div __W"))
+      .withColumn("remainder", expr(s"($seats * weight) % __W"))
+      .withColumn("__extra", lit(seats) - sum(col("base_seats")).over(wAll))
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("seats",
+        col("base_seats") + when(col("__r") <= col("__extra"), 1L)
+          .otherwise(0L))
+      .select(col(groupCol), col("weight"), col("base_seats"),
+        col("remainder"), col("seats"))
+  }
+
+  /** DuckDB oracle for [[apportion]]: `innerSql` yields
+    * (`groupName`, w) one row per group. */
+  def apportionOracleSql(innerSql: String, groupName: String,
+      seats: Long): String =
+    s"""WITH b AS (
+       |  SELECT $groupName, w AS weight FROM ($innerSql)
+       |), f0 AS (
+       |  SELECT *,
+       |    CAST(($seats * weight) // sum(weight) OVER () AS BIGINT)
+       |      AS base_seats,
+       |    CAST(($seats * weight) % (sum(weight) OVER ()) AS BIGINT)
+       |      AS remainder
+       |  FROM b
+       |), f AS (
+       |  SELECT *, CAST($seats - sum(base_seats) OVER () AS BIGINT) AS extra
+       |  FROM f0
+       |), r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY remainder DESC,
+       |    weight DESC, $groupName) AS BIGINT) AS rk
+       |  FROM f
+       |)
+       |SELECT $groupName, weight, base_seats, remainder,
+       |       base_seats + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS seats
+       |FROM r""".stripMargin
 }

@@ -397,4 +397,132 @@ object TimeSeries {
        |         AS decayed
        |FROM b GROUP BY $keys""".stripMargin
   }
+
+  /** Theil–Sen slope: the MEDIAN of all pairwise slopes per key — the
+    * robust sibling of [[linearTrend]]'s least squares (one wild outlier
+    * hour drags OLS arbitrarily; Theil–Sen tolerates up to ~29 %
+    * contamination), and the magnitude [[mannKendall]]'s yes/no trend
+    * verdict lacks.
+    *
+    * Each pairwise slope is ONE IEEE division of exact integer deltas
+    * (bit-portable); the median is the DISCRETE rank-⌈n/2⌉ element
+    * (the q40 convention — value-only sort, ties interchangeable, no
+    * interpolation), picked by a per-key window over the pair frame.
+    *
+    * Scale shape: the same calendar-bounded self-join as
+    * [[mannKendall]] (n hours ⇒ n² pairs per key, bounded by the
+    * calendar, not the corpus) + one keyed window.
+    *
+    * @return (keyCols..., n_pairs, ts_slope)
+    */
+  def theilSen(series: DataFrame, keyCols: Seq[String], tCol: String,
+      xCol: String): DataFrame = {
+    val a = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t1"), col(xCol).as("__x1")): _*)
+    val b = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t2"), col(xCol).as("__x2")): _*)
+    val pairs = a.join(b, keyCols).filter(col("__t1") < col("__t2"))
+      .withColumn("slope",
+        (col("__x2") - col("__x1")).cast("double") /
+          (col("__t2") - col("__t1")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("slope"))
+    pairs
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(keyCols.map(col) ++
+        Seq(col("__n").as("n_pairs"), col("slope").as("ts_slope")): _*)
+  }
+
+  /** DuckDB oracle for [[theilSen]]: `innerSql` yields
+    * (keyCols..., t, x) as integers. */
+  def theilSenOracleSql(innerSql: String, keyCols: Seq[String]): String = {
+    val keys = keyCols.mkString(", ")
+    val eq = keyCols.map(k => s"i.$k = j.$k").mkString(" AND ")
+    val ik = keyCols.map(k => s"i.$k").mkString(", ")
+    s"""WITH b AS ($innerSql), p AS (
+       |  SELECT $ik,
+       |         CAST(j.x - i.x AS DOUBLE) / CAST(j.t - i.t AS DOUBLE)
+       |           AS slope
+       |  FROM b i JOIN b j ON $eq AND i.t < j.t
+       |), r AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY $keys ORDER BY slope)
+       |      AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY $keys) AS BIGINT) AS n
+       |  FROM p
+       |)
+       |SELECT $keys, n AS n_pairs, slope AS ts_slope
+       |FROM r WHERE rn = (n + 1) // 2""".stripMargin
+  }
+
+  /** MASE backtest of the SEASONAL-NAIVE forecast: on the test span,
+    * predict x(t) = x(t − season) and score the mean absolute error
+    * SCALED by the train span's one-step-naive MAE — the
+    * scale-free forecast quality number (MASE < 1 = beats naive;
+    * Hyndman & Koehler 2006) that decides whether a fancier model is
+    * worth shipping.
+    *
+    * Both error legs are keyed self-joins on exact lag keys (t−season /
+    * t−1) — series gaps simply contribute no pair (documented; dense
+    * series give the textbook MASE). Absolute errors sum as exact
+    * longs; the two means and their ratio are fixed IEEE steps.
+    *
+    * @param cutoff first `tCol` value of the TEST span
+    * @return (keyCols..., n_test, sae_test, n_naive, sae_naive, mase) —
+    *         mase NULL when either leg is empty or train MAE is zero
+    */
+  def maseBacktest(series: DataFrame, keyCols: Seq[String], tCol: String,
+      xCol: String, season: Long, cutoff: Long): DataFrame = {
+    require(season >= 1)
+    val s = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t"), col(xCol).as("__x")): _*)
+    def lagErrors(lag: Long, keep: org.apache.spark.sql.Column,
+        nName: String, saeName: String) = {
+      val cur = s.select(
+        keyCols.map(col) ++ Seq(col("__t"), col("__x")): _*)
+      val prev = s.select(
+        keyCols.map(col) ++ Seq((col("__t") + lag).as("__t"),
+          col("__x").as("__xp")): _*)
+      cur.join(prev, keyCols :+ "__t").filter(keep)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as(nName),
+          sum(abs(col("__x") - col("__xp"))).as(saeName))
+    }
+    val test = lagErrors(season, col("__t") >= cutoff, "n_test", "sae_test")
+    val train = lagErrors(1L, col("__t") < cutoff, "n_naive", "sae_naive")
+    test.join(train, keyCols)
+      .withColumn("mase",
+        when(col("n_test") > 0 && col("sae_naive") > 0,
+          (col("sae_test").cast("double") / col("n_test")) /
+            (col("sae_naive").cast("double") / col("n_naive"))))
+  }
+
+  /** DuckDB oracle for [[maseBacktest]]: `innerSql` yields
+    * (keyCols..., t, x) as integers. */
+  def maseOracleSql(innerSql: String, keyCols: Seq[String], season: Long,
+      cutoff: Long): String = {
+    val keys = keyCols.mkString(", ")
+    val eq = keyCols.map(k => s"c.$k = p.$k").mkString(" AND ")
+    val ck = keyCols.map(k => s"c.$k").mkString(", ")
+    s"""WITH b AS ($innerSql), test AS (
+       |  SELECT $ck, CAST(count(*) AS BIGINT) AS n_test,
+       |         CAST(sum(abs(c.x - p.x)) AS BIGINT) AS sae_test
+       |  FROM b c JOIN b p ON $eq AND c.t = p.t + $season
+       |  WHERE c.t >= $cutoff GROUP BY $ck
+       |), train AS (
+       |  SELECT $ck, CAST(count(*) AS BIGINT) AS n_naive,
+       |         CAST(sum(abs(c.x - p.x)) AS BIGINT) AS sae_naive
+       |  FROM b c JOIN b p ON $eq AND c.t = p.t + 1
+       |  WHERE c.t < $cutoff GROUP BY $ck
+       |)
+       |SELECT $keys, n_test, sae_test, n_naive, sae_naive,
+       |       CASE WHEN n_test > 0 AND sae_naive > 0 THEN
+       |         (CAST(sae_test AS DOUBLE) / n_test)
+       |           / (CAST(sae_naive AS DOUBLE) / n_naive) END AS mase
+       |FROM test JOIN train USING ($keys)""".stripMargin
+  }
 }

@@ -546,6 +546,32 @@ object Analytics extends QueryModule {
       Eval.liftTable(Tables(s, dir).events,
         Exact.cents(col("value")),
         (col("event_type") === "purchase").cast("long"))),
+
+    // Theil–Sen robust slope per event type over the hourly series —
+    // the outlier-proof magnitude between q216's OLS fit and q175's
+    // yes/no Mann–Kendall; median pairwise slope by discrete rank.
+    "q234_theil_sen" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
+    }),
+
+    // MASE backtest: seasonal-naive (24h) forecast on the back half of
+    // the month, scaled by the train half's one-step naive MAE — the
+    // scale-free "is a model even worth it" number per event type.
+    "q235_mase" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      // 473712 = epoch-hour of 2024-01-16T00:00Z (the q196/q228 boundary)
+      TimeSeries.maseBacktest(hourly, Seq("event_type"), "h", "c",
+        season = 24L, cutoff = 473712L)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1145,5 +1171,17 @@ object Analytics extends QueryModule {
       """SELECT CAST(round(value * 100) AS BIGINT) AS s,
         |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         |FROM events""".stripMargin),
+
+    "q234_theil_sen" -> TimeSeries.theilSenOracleSql(
+      """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type")),
+
+    "q235_mase" -> TimeSeries.maseOracleSql(
+      """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type"), season = 24L, cutoff = 473712L),
   )
 }

@@ -692,6 +692,16 @@ object Relational extends QueryModule {
       graft.ops.PageRank.modularity(edges, "src", "dst")
     }),
 
+    // l-diversity audit on top of q122's k-anonymity: quasi-identifier
+    // groups whose "balance band" sensitive value is near-homogeneous —
+    // the homogeneity attack k-anonymity alone cannot see.
+    "q232_l_diversity" -> ((s, dir) =>
+      graft.ops.Profiling.lDiversityViolations(
+        Tables(s, dir).customer
+          .withColumn("bal_band",
+            expr("CAST(floor(c_acctbal / 1000) AS LONG)")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 5L)),
+
     // ABC classification of parts by revenue: A = head carrying 80 % of
     // total, B = next 15 %, C = tail — q201's Gini says "concentrated",
     // this says WHICH parts are the concentration. Integer
@@ -1251,6 +1261,16 @@ object Relational extends QueryModule {
     "q222_modularity" -> graft.ops.PageRank.modularityOracleSql(
       s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q232_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS group_n,
+        |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |         AS BIGINT) AS n_sensitive
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 5
+        |""".stripMargin,
 
     "q225_abc_class" -> graft.ops.Quantiles.abcClassifyOracleSql(
       """SELECT l_partkey,

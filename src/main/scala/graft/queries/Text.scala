@@ -265,6 +265,15 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Largest-remainder apportionment of a (prime) sampling budget
+    // across sources by char mass — Σ seats EXACTLY the budget, the
+    // integer-exact mixture planning q129's cap cascade refines.
+    "q233_apportion" -> ((s, dir) =>
+      graft.ops.Sampling.apportion(
+        Tables(s, dir).documents.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("w")),
+        "source", "w", seats = 1000003L)),
+
     // Quantile mapping: src0's length distribution re-expressed in the
     // whole-corpus distribution's coordinates — the source-bias
     // correction; cuts from both sides via the bounded histogram
@@ -1244,6 +1253,11 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q233_apportion" -> graft.ops.Sampling.apportionOracleSql(
+      """SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+        |FROM documents GROUP BY 1""".stripMargin,
+      "source", seats = 1000003L),
 
     "q215_quantile_map" -> graft.ops.Quantiles.quantileMapOracleSql(
       "SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents",

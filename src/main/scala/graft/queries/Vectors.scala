@@ -440,6 +440,24 @@ object Vectors extends QueryModule {
     "q227_kcenter" -> ((s, dir) =>
       graft.similarity.Select.kCenterGreedy(
         base(Tables(s, dir)), "id", "ev", k = 5)),
+
+    // MMR diversity re-rank of each query's cosine top-8 (λ = 0.5):
+    // pick 3 of 8 trading relevance against similarity to what's
+    // already picked — per-query keyed windows only, candidate sets
+    // ANN-sized. The within-results sibling of q227.
+    "q231_mmr" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w8 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rel").desc, col("id"))
+      val cands = queriesDf(t).crossJoin(base(t))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("rel", Similarity.cosine(col("qv"), col("ev")))
+        .withColumn("__rn", row_number().over(w8))
+        .filter(col("__rn") <= 8)
+        .select(col("qid"), col("id"), col("ev").as("v"), col("rel"))
+      graft.similarity.Select.mmrRerank(cands, "qid", "id", "v", "rel",
+        k = 3)
+    }),
   )
 
   private val toksSql =
@@ -1150,5 +1168,22 @@ object Vectors extends QueryModule {
         |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings""".stripMargin,
       k = 5),
+
+    "q231_mmr" -> graft.similarity.Select.mmrOracleSql(
+      {
+        val qv = "list_transform(q.embedding, x -> CAST(x AS DOUBLE))"
+        val ev = "list_transform(b.embedding, x -> CAST(x AS DOUBLE))"
+        s"""SELECT qid, id, v, rel FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY rel DESC, id) AS rn
+           |  FROM (
+           |    SELECT q.vec_id AS qid, b.vec_id AS id, $ev AS v,
+           |           ${graft.similarity.Select.cosSql(qv, ev)} AS rel
+           |    FROM embeddings b CROSS JOIN embeddings q
+           |    WHERE q.vec_id < 3 AND b.vec_id <> q.vec_id
+           |  )
+           |) WHERE rn <= 8""".stripMargin
+      },
+      "qid", k = 3),
   )
 }

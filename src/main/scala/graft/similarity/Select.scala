@@ -63,9 +63,115 @@ object Select {
     picks
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * re-ranking: from each query's candidate set, greedily pick the
+    * item maximizing `λ·relevance − (1−λ)·max-sim-to-already-picked` —
+    * the standard diversity re-rank between ANN retrieval (q25/q26) and
+    * the result page, killing the near-duplicate top-k
+    * [[kCenterGreedy]] kills corpus-wide, but PER QUERY and
+    * relevance-weighted.
+    *
+    * λ is integer micros (`lambdaMicro`/1e6); scores are
+    * `λµ·rel − (1e6−λµ)·ms` in fixed IEEE sequences (integer literals
+    * render exactly in the oracle), argmax ties break by id. Round 1
+    * picks pure relevance (no diversity term yet; score NULL).
+    *
+    * Scale shape: candidate sets are per-query and small (the ANN
+    * top-n), so every round is ONE keyed window over |queries|·n rows —
+    * no broadcast, no global state. The candidate frame is persisted
+    * (referenced every round — the q27 caching contract).
+    *
+    * @param cands (qidCol, idCol, vecCol, relCol) — one row per
+    *              (query, candidate)
+    * @return (qidCol, round, id, rel, mmr_score) — k rows per query
+    */
+  def mmrRerank(cands: DataFrame, qidCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambdaMicro: Long = 500000L): DataFrame = {
+    require(k >= 2 && lambdaMicro >= 0 && lambdaMicro <= 1000000L)
+    val base = cands.select(col(qidCol), col(idCol).as("id"),
+      col(vecCol).as("v"), col(relCol).as("rel")).persist()
+    val wRel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("rel").desc, col("id"))
+    val s1 = base.withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") === 1).drop("__rn")
+    var picks = s1.select(col(qidCol), lit(1L).as("round"), col("id"),
+      col("rel"), lit(null).cast("double").as("mmr_score"))
+    var state = base.join(
+        s1.select(col(qidCol), col("id").as("__sid"), col("v").as("__sv")),
+        qidCol)
+      .filter(col("id") =!= col("__sid"))
+      .select(col(qidCol), col("id"), col("v"), col("rel"),
+        Similarity.cosine(col("v"), col("__sv")).as("ms"))
+      .persist()
+    val score = lit(lambdaMicro.toDouble) * col("rel") -
+      lit((1000000L - lambdaMicro).toDouble) * col("ms")
+    (2 to k).foreach { r =>
+      val wScore = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(qidCol)).orderBy(score.desc, col("id"))
+      val sr = state.withColumn("__rn", row_number().over(wScore))
+        .filter(col("__rn") === 1).drop("__rn")
+      picks = picks.unionAll(sr.select(col(qidCol), lit(r.toLong).as("round"),
+        col("id"), col("rel"), score.as("mmr_score")))
+      state = state.join(
+          sr.select(col(qidCol), col("id").as("__sid"), col("v").as("__sv")),
+          qidCol)
+        .filter(col("id") =!= col("__sid"))
+        .select(col(qidCol), col("id"), col("v"), col("rel"),
+          greatest(col("ms"),
+            Similarity.cosine(col("v"), col("__sv"))).as("ms"))
+        .persist()
+    }
+    picks
+  }
+
+  /** DuckDB oracle for [[mmrRerank]], unrolled: `innerSql` yields
+    * (`qidName`, id, v: DOUBLE[], rel). */
+  def mmrOracleSql(innerSql: String, qidName: String, k: Int,
+      lambdaMicro: Long = 500000L): String = {
+    require(k >= 2)
+    val lam = lambdaMicro.toDouble.toString
+    val oneMinus = (1000000L - lambdaMicro).toDouble.toString
+    def scoreExpr = s"CAST($lam AS DOUBLE) * rel - CAST($oneMinus AS DOUBLE) * ms"
+    val rounds = (2 to k).map { r =>
+      val prev = s"t${r - 1}"
+      s"""s$r AS (
+         |  SELECT $qidName, id, v, rel, ms, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY $qidName
+         |      ORDER BY score DESC, id) AS rn
+         |    FROM (SELECT *, $scoreExpr AS score FROM $prev)
+         |  ) WHERE rn = 1
+         |), t$r AS (
+         |  SELECT $prev.$qidName, $prev.id, $prev.v, $prev.rel,
+         |         greatest($prev.ms, ${cosSql(s"$prev.v", s"s$r.v")}) AS ms
+         |  FROM $prev JOIN s$r ON $prev.$qidName = s$r.$qidName
+         |    AND $prev.id <> s$r.id
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = (2 to k).map { r =>
+      s"SELECT $qidName, CAST($r AS BIGINT) AS round, id, rel, score AS mmr_score FROM s$r"
+    }.mkString("\n|UNION ALL ")
+    s"""WITH cand AS ($innerSql),
+       |s1 AS (
+       |  SELECT $qidName, id, v, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $qidName
+       |      ORDER BY rel DESC, id) AS rn
+       |    FROM cand
+       |  ) WHERE rn = 1
+       |), t1 AS (
+       |  SELECT cand.$qidName, cand.id, cand.v, cand.rel,
+       |         ${cosSql("cand.v", "s1.v")} AS ms
+       |  FROM cand JOIN s1 ON cand.$qidName = s1.$qidName
+       |    AND cand.id <> s1.id
+       |), $rounds
+       |SELECT $qidName, CAST(1 AS BIGINT) AS round, id, rel,
+       |       CAST(NULL AS DOUBLE) AS mmr_score FROM s1
+       |UNION ALL $out""".stripMargin
+  }
+
   /** The q25 portable cosine: left-fold `list_reduce` sums matching
     * Spark's `aggregate(0.0, +)` bit-for-bit. */
-  private def cosSql(x: String, y: String): String =
+  def cosSql(x: String, y: String): String =
     s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (a, v) -> a + v)
        | / sqrt(list_reduce(list_transform($x, e -> e * e), (a, v) -> a + v))
        | / sqrt(list_reduce(list_transform($y, e -> e * e), (a, v) -> a + v))""".stripMargin

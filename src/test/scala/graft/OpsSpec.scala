@@ -1028,6 +1028,56 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("theilSen: one wild outlier leaves the median slope untouched") {
+    import spark.implicits._
+    val series = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 1000L)).toDF("k", "t", "x")
+    val out = TimeSeries.theilSen(series, Seq("k"), "t", "x").head()
+    // pairwise slopes [10,10,10,330,490,970] → rank-3 median = 10
+    assert(out.getLong(1) == 6L && out.getDouble(2) == 10.0)
+    val ols = TimeSeries.linearTrend(series, Seq("k"), "t", "x").head()
+    assert(ols.getAs[Double]("slope") > 100.0) // OLS dragged by outlier
+  }
+
+  test("maseBacktest: perfectly seasonal series scores MASE 0") {
+    import spark.implicits._
+    val series = (0L to 71L).map(t => ("a", t, t % 24)).toDF("k", "t", "x")
+    val out = TimeSeries.maseBacktest(series, Seq("k"), "t", "x",
+      season = 24L, cutoff = 48L).head()
+    assert(out.getAs[Long]("n_test") == 24L &&
+      out.getAs[Long]("sae_test") == 0L)
+    assert(out.getAs[Long]("sae_naive") == 69L) // 46·1 + |0−23|·1
+    assert(out.getAs[Double]("mase") == 0.0)
+  }
+
+  test("apportion: seats sum exactly, largest remainders win, " +
+      "ties break by weight then group") {
+    import spark.implicits._
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 3L)).toDF("g", "w")
+    val out = Sampling.apportion(w, "g", "w", seats = 10L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("seats")).toMap
+    assert(out == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // exactness property on awkward weights
+    val w2 = Seq(("x", 1L), ("y", 1L), ("z", 1L), ("u", 4L))
+      .toDF("g", "w")
+    val total = Sampling.apportion(w2, "g", "w", seats = 101L)
+      .agg(sum("seats")).head().getLong(0)
+    assert(total == 101L)
+  }
+
+  test("lDiversityViolations: homogeneous group flagged even when " +
+      "k-anonymous, diverse group passes") {
+    import spark.implicits._
+    val rows = Seq(("g1", "A", 1L), ("g1", "A", 2L), ("g1", "A", 3L),
+      ("g2", "A", 4L), ("g2", "B", 5L), ("g2", "C", 6L))
+      .toDF("qid", "sens", "id")
+    assert(Profiling.kAnonymityViolations(rows, Seq("qid"), 3).count() == 0)
+    val v = Profiling.lDiversityViolations(rows, Seq("qid"), "sens", 2L)
+      .collect()
+    assert(v.length == 1 && v.head.getString(0) == "g1" &&
+      v.head.getAs[Long]("n_sensitive") == 1L)
+  }
+
   test("abcClassify: 80/95 head-share classes, ties share a class") {
     import spark.implicits._
     val rows = Seq(

@@ -560,4 +560,20 @@ class SimilaritySpec extends SparkSuite {
     assert(out(3L)._2.exists(m =>
       math.abs(m.asInstanceOf[Double] - 0.7 / math.sqrt(0.98)) < 1e-12))
   }
+
+  test("mmrRerank: relevance wins round 1, diversity beats a " +
+      "higher-relevance near-duplicate in round 2") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 11L, Seq(1.0, 0.0), 0.9),
+      (1L, 12L, Seq(1.0, 0.001), 0.89), // near-dup of 11 — suppressed
+      (1L, 13L, Seq(0.0, 1.0), 0.5))    // diverse — picked round 2
+      .toDF("qid", "id", "v", "rel")
+    val out = graft.similarity.Select
+      .mmrRerank(cands, "qid", "id", "v", "rel", k = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) == 11L)
+    assert(out(2L) == 13L)
+  }
 }
