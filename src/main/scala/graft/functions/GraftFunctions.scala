@@ -62,8 +62,25 @@ object GraftFunctions {
       DeflateLen(exprs.head)
     })
 
+  private[functions] val jumpHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jump_hash"),
+    new ExpressionInfo(classOf[JumpHash].getName, "jump_hash"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"jump_hash expects 2 arguments, got ${exprs.length}")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+          v.toInt
+        case _ => throw new IllegalArgumentException(
+          "jump_hash: n must be an integer literal")
+      }
+      JumpHash(exprs.head, n)
+    })
+
   private[functions] val all =
-    Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen)
+    Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen,
+      jumpHash)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

@@ -105,6 +105,107 @@ object PageRank {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** Incremental PageRank: REFINE stored ranks after a small edge
+    * delta instead of recomputing the world — the graph sibling of the
+    * q89 incremental rollup contract. Runs [[pageRank]]'s recurrence
+    * `iters` times on the base edges (standing in for the stored rank
+    * table), then ONE refinement sweep over base ∪ delta starting from
+    * those ranks; nodes the delta introduces start at `scale` (the cold
+    * prior). The report shows where rank mass actually moved — which is
+    * the signal that decides whether more sweeps are worth running.
+    *
+    * Scale shape: the refinement costs exactly one [[pageRank]]
+    * iteration (one keyed join + keyed sum + left join) regardless of
+    * how many iterations built the base — that asymmetry is the whole
+    * point. Same integer arithmetic, so old, new and moved all
+    * hash-match the unrolled oracle.
+    *
+    * @return (node, r_prev, r_new, moved) — r_prev NULL for nodes the
+    *         delta introduced; moved = r_new − coalesce(r_prev, scale)
+    */
+  def incrementalPageRank(baseEdges: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String, iters: Int = 3,
+      scale: Long = 1000000000L, alphaNum: Long = 17L,
+      alphaDen: Long = 20L): DataFrame = {
+    val prev = pageRank(baseEdges, srcCol, dstCol, iters, scale,
+      alphaNum, alphaDen).select(col("node"), col("r").as("r_prev"))
+    val all = baseEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(deltaEdges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst")))
+      .distinct()
+    val nodes = all.select(col("src").as("node"))
+      .unionAll(all.select(col("dst").as("node"))).distinct()
+    val outdeg = all.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ranks0 = nodes.join(prev, Seq("node"), "left")
+      .select(col("node"), col("r_prev"),
+        coalesce(col("r_prev"), lit(scale)).as("r"))
+    val base = scale * (alphaDen - alphaNum) / alphaDen
+    val inflow = all.join(outdeg, "src")
+      .join(ranks0.select(col("node").as("src"), col("r")), "src")
+      .select(col("dst").as("node"), expr("r div deg").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+    ranks0.join(inflow, Seq("node"), "left")
+      .select(col("node"), col("r_prev"),
+        (lit(base) +
+          expr(s"($alphaNum * coalesce(inflow, 0L)) div $alphaDen"))
+          .as("r_new"))
+      .withColumn("moved",
+        col("r_new") - coalesce(col("r_prev"), lit(scale)))
+  }
+
+  /** DuckDB oracle for [[incrementalPageRank]]: the [[pageRankOracleSql]]
+    * unroll plus one refinement CTE over base ∪ delta. */
+  def incrementalPageRankOracleSql(edgeSql: String, deltaSql: String,
+      iters: Int = 3, scale: Long = 1000000000L, alphaNum: Long = 17L,
+      alphaDen: Long = 20L): String = {
+    val base = scale * (alphaDen - alphaNum) / alphaDen
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, sum(r${k - 1}.r // deg) AS inflow
+         |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |  JOIN outdeg USING (src) GROUP BY 1
+         |), r$k AS (
+         |  SELECT n.node,
+         |         CAST($base + ($alphaNum * coalesce(c$k.inflow, 0)) // $alphaDen
+         |              AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql)),
+      |nodes AS (
+      |  SELECT DISTINCT node FROM
+      |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      |), outdeg AS (
+      |  SELECT src, count(*) AS deg FROM e GROUP BY 1
+      |), r0 AS (
+      |  SELECT node, CAST($scale AS BIGINT) AS r FROM nodes
+      |), $steps,
+      |allE AS (
+      |  SELECT DISTINCT src, dst FROM
+      |    (SELECT src, dst FROM ($edgeSql)
+      |     UNION ALL SELECT src, dst FROM ($deltaSql))
+      |), allNodes AS (
+      |  SELECT DISTINCT node FROM
+      |    (SELECT src AS node FROM allE UNION ALL SELECT dst FROM allE)
+      |), allDeg AS (
+      |  SELECT src, count(*) AS deg FROM allE GROUP BY 1
+      |), rk0 AS (
+      |  SELECT n.node, r$iters.r AS r_prev,
+      |         CAST(coalesce(r$iters.r, $scale) AS BIGINT) AS r
+      |  FROM allNodes n LEFT JOIN r$iters USING (node)
+      |), flow AS (
+      |  SELECT allE.dst AS node, sum(rk0.r // deg) AS inflow
+      |  FROM allE JOIN rk0 ON allE.src = rk0.node
+      |  JOIN allDeg USING (src) GROUP BY 1
+      |)
+      |SELECT rk0.node, rk0.r_prev,
+      |       CAST($base + ($alphaNum * coalesce(flow.inflow, 0)) // $alphaDen
+      |            AS BIGINT) AS r_new,
+      |       CAST($base + ($alphaNum * coalesce(flow.inflow, 0)) // $alphaDen
+      |            AS BIGINT) - coalesce(rk0.r_prev, $scale) AS moved
+      |FROM rk0 LEFT JOIN flow USING (node)""".stripMargin
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) in EXACT integer
     * arithmetic — the link-analysis pair PageRank doesn't give:
     * PageRank scores a page's overall endorsement mass; HITS separates

@@ -61,6 +61,54 @@ object Sharding {
         col("n_moved").cast("double") / col("n_docs"))
   }
 
+  /** Jump-consistent assignment — the [[rendezvousAssign]] scale path
+    * (O(ln n) per key, no per-shard fan-out) via the native
+    * [[graft.functions.JumpHash]] expression, seeded with the portable
+    * [[Hash64.hash60]] of the id. Same stability guarantee; use beyond
+    * ~hundreds of shards.
+    *
+    * @return (idCol, shard) — shard ∈ [0, nShards) */
+  def jumpAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.JumpHash.jumpHash(
+        Hash64.hash60(col(idCol).cast("string")), nShards).as("shard"))
+
+  /** Stability report for [[jumpAssign]] under `nA → nB`, same shape as
+    * [[rendezvousStability]]. */
+  def jumpStability(df: DataFrame, idCol: String, nA: Int, nB: Int)
+      : DataFrame = {
+    val a = jumpAssign(df, idCol, nA).withColumnRenamed("shard", "shard_a")
+    val b = jumpAssign(df, idCol, nB).withColumnRenamed("shard", "shard_b")
+    a.join(b, idCol)
+      .groupBy(col("shard_a"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_a") =!= col("shard_b"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_frac",
+        col("n_moved").cast("double") / col("n_docs"))
+  }
+
+  /** DuckDB oracle for [[jumpStability]]: the [[JumpHash.duckSql]]
+    * recursive-CTE replay, twice. `innerSql` yields one `idName`
+    * column. */
+  def jumpStabilityOracleSql(innerSql: String, idName: String, nA: Int,
+      nB: Int): String = {
+    val keyed =
+      s"""SELECT $idName,
+         |       ${Hash64.duckSql(s"CAST($idName AS VARCHAR)")} AS key
+         |FROM ($innerSql)""".stripMargin
+    def assign(n: Int) = graft.functions.JumpHash.duckSql(keyed, idName, n)
+    s"""WITH a AS (${assign(nA)}),
+       |b AS (${assign(nB)})
+       |SELECT a.bucket AS shard_a, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN a.bucket <> b.bucket THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_moved,
+       |       CAST(sum(CASE WHEN a.bucket <> b.bucket THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / count(*) AS moved_frac
+       |FROM a JOIN b USING ($idName)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB fragment: (id, shard) assignment for [[rendezvousAssign]];
     * `innerSql` yields one `idName` column, id rendered as VARCHAR for
     * the hash exactly like the Spark cast. */

@@ -559,6 +559,18 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Mutual-information feature ranking: which derived categorical
+    // (hour-of-day, user cohort, value band) carries the most signal
+    // about event_type — the bit-length-log MI device, exact longs,
+    // ranking-faithful; q204 says "dependent", this says how much.
+    "q238_mi_ranking" -> ((s, dir) =>
+      Features.miRanking(Tables(s, dir).events, col("event_type"),
+        Seq(
+          "hour" -> expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600 % 24"),
+          "cohort" -> pmod(col("user_id"), lit(10L)),
+          "value_band" -> expr("CAST(floor(value / 50) AS LONG)")))),
+
     // MASE backtest: seasonal-naive (24h) forecast on the back half of
     // the month, scaled by the train half's one-step naive MAE — the
     // scale-free "is a model even worth it" number per event type.
@@ -1177,6 +1189,13 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q238_mi_ranking" -> Features.miRankingOracleSql(
+      "events", "event_type",
+      Seq(
+        "hour" -> "epoch_us(ts) // 1000000 // 3600 % 24",
+        "cohort" -> "user_id % 10",
+        "value_band" -> "CAST(floor(value / 50) AS BIGINT)")),
 
     "q235_mase" -> TimeSeries.maseOracleSql(
       """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,

@@ -692,6 +692,22 @@ object Relational extends QueryModule {
       graft.ops.PageRank.modularity(edges, "src", "dst")
     }),
 
+    // Incremental PageRank: refine the stored 3-iteration ranks with
+    // ONE sweep after adding reversed urgent-order edges — the graph
+    // face of the q89 incremental-maintenance contract; the refinement
+    // costs one iteration no matter how many built the base.
+    "q237_incr_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val joined = t.orders.join(t.lineitem,
+        col("o_orderkey") === col("l_orderkey"))
+      val edges = joined.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val delta = joined.filter(col("o_orderpriority") === "1-URGENT")
+        .select((col("l_suppkey") + supplierNodeOffset).as("src"),
+          col("o_custkey").as("dst"))
+      graft.ops.PageRank.incrementalPageRank(edges, delta, "src", "dst")
+    }),
+
     // l-diversity audit on top of q122's k-anonymity: quasi-identifier
     // groups whose "balance band" sensitive value is near-homogeneous —
     // the homogeneity attack k-anonymity alone cannot see.
@@ -1261,6 +1277,14 @@ object Relational extends QueryModule {
     "q222_modularity" -> graft.ops.PageRank.modularityOracleSql(
       s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q237_incr_pagerank" ->
+      graft.ops.PageRank.incrementalPageRankOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        s"""SELECT l_suppkey + $supplierNodeOffset AS src, o_custkey AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_orderpriority = '1-URGENT'""".stripMargin),
 
     "q232_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -265,6 +265,14 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Jump-consistent sharding (native codegen expression #6): O(ln n)
+    // per key with rendezvous-grade stability — the q230 scale path at
+    // big shard counts; 64→65 moves ~1/65 of docs. Oracle replays the
+    // wrapping-multiply recurrence in a recursive CTE, bit-for-bit.
+    "q236_jump_shards" -> ((s, dir) =>
+      graft.ops.Sharding.jumpStability(
+        Tables(s, dir).documents, "doc_id", nA = 64, nB = 65)),
+
     // Largest-remainder apportionment of a (prime) sampling budget
     // across sources by char mass — Σ seats EXACTLY the budget, the
     // integer-exact mixture planning q129's cap cascade refines.
@@ -1253,6 +1261,9 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q236_jump_shards" -> graft.ops.Sharding.jumpStabilityOracleSql(
+      "SELECT doc_id FROM documents", "doc_id", nA = 64, nB = 65),
 
     "q233_apportion" -> graft.ops.Sampling.apportionOracleSql(
       """SELECT source, CAST(sum(n_chars) AS BIGINT) AS w

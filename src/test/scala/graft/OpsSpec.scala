@@ -1028,6 +1028,58 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("jumpHash: in-range, n=1 pins to 0, and keys move ONLY to the " +
+      "new bucket when n grows (the consistency guarantee)") {
+    val keys = (1 to 1000).map(i =>
+      graft.functions.Hash60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"k$i")))
+    assert(keys.forall(k => graft.functions.JumpHash.hash(k, 1) == 0L))
+    var moved = 0
+    keys.foreach { k =>
+      val b8 = graft.functions.JumpHash.hash(k, 64)
+      val b9 = graft.functions.JumpHash.hash(k, 65)
+      assert(b8 >= 0 && b8 < 64)
+      if (b9 != b8) { assert(b9 == 64L); moved += 1 }
+    }
+    // expected ~ 1000/65 ≈ 15
+    assert(moved > 0 && moved < 60, s"moved=$moved")
+    // SQL registration routes to the same codegen expression
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT jump_hash(CAST(${keys.head} AS BIGINT), 64) AS b")
+      .head().getLong(0)
+    assert(viaSql == graft.functions.JumpHash.hash(keys.head, 64))
+  }
+
+  test("incrementalPageRank: empty delta equals one extra full " +
+      "iteration; a new node starts cold with NULL r_prev") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val inc = PageRank.incrementalPageRank(e, e.limit(0), "src", "dst",
+        iters = 2)
+      .select(col("node"), col("r_new"))
+    val full = PageRank.pageRank(e, "src", "dst", iters = 3)
+      .select(col("node"), col("r"))
+    assert(inc.join(full, "node").filter(col("r_new") =!= col("r"))
+      .count() == 0)
+    val delta = Seq((3L, 9L)).toDF("src", "dst")
+    val withNew = PageRank.incrementalPageRank(e, delta, "src", "dst",
+      iters = 2).collect().map(r => r.getLong(0) -> r).toMap
+    assert(withNew(9L).isNullAt(1)) // r_prev NULL for the new node
+    assert(withNew(1L).getLong(1) > 0L)
+  }
+
+  test("miRanking: a label-identical feature scores positive, a " +
+      "constant feature scores exactly zero") {
+    import spark.implicits._
+    val rows = (1L to 64L).map(i => (i, s"t${i % 4}")).toDF("id", "lab")
+    val out = Features.miRanking(rows, col("lab"),
+      Seq("perfect" -> col("lab"), "constant" -> lit(1L)))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("mi_q")).toMap
+    assert(out("perfect") > 0L)
+    assert(out("constant") == 0L)
+  }
+
   test("theilSen: one wild outlier leaves the median slope untouched") {
     import spark.implicits._
     val series = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
