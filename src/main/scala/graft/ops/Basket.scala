@@ -84,4 +84,73 @@ object Basket {
        |JOIN sup sa ON sa.i = item_a
        |JOIN sup sb ON sb.i = item_b
        |CROSS JOIN nb""".stripMargin
+
+  /** Item-item cosine neighborhoods ("people who bought X also
+    * bought"): over binary basket-membership vectors,
+    * `cos(i,j) = co(i,j) / √(n_i·n_j)` — the normalized sibling of
+    * [[associationRules]]' lift (lift rewards rare coincidences;
+    * cosine is symmetric and bounded, the standard item-CF
+    * neighborhood weight). Top-k neighbors per item, BOTH directions
+    * (the pair is materialized once, emitted twice).
+    *
+    * Scale shape: co-occurrence only through shared baskets (the q119
+    * orientation argument: fan-out is basket-size-bounded, never
+    * item-pair-quadratic), two aggregate-sized support joins, one
+    * per-item window over each item's neighbor list.
+    *
+    * @return (item, neighbor, co, n_item, n_neighbor, cosine, rn) —
+    *         rn ≤ k ordered by (cosine desc, neighbor)
+    */
+  def itemCosineTopK(baskets: DataFrame, basketCol: String,
+      itemCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val m = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sup = m.groupBy(col("__i")).agg(count(lit(1)).as("n"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("ia"), col("b.__i").as("ib"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.unionAll(pairs.select(col("ib").as("ia"),
+      col("ia").as("ib"), col("co")))
+    val scored = sym
+      .join(sup.select(col("__i").as("ia"), col("n").as("n_item")), "ia")
+      .join(sup.select(col("__i").as("ib"), col("n").as("n_neighbor")), "ib")
+      .withColumn("cosine",
+        col("co").cast("double") /
+          sqrt((col("n_item") * col("n_neighbor")).cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ia")).orderBy(col("cosine").desc, col("ib"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("ia").as("item"), col("ib").as("neighbor"), col("co"),
+        col("n_item"), col("n_neighbor"), col("cosine"), col("rn"))
+  }
+
+  /** DuckDB oracle for [[itemCosineTopK]]: `innerSql` yields (b, i). */
+  def itemCosineOracleSql(innerSql: String, k: Int = 5): String =
+    s"""WITH m AS (SELECT DISTINCT b, i FROM ($innerSql)),
+       |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+       |pr AS (
+       |  SELECT a.i AS ia, bb.i AS ib, CAST(count(*) AS BIGINT) AS co
+       |  FROM m a JOIN m bb ON a.b = bb.b AND a.i < bb.i
+       |  GROUP BY 1, 2
+       |), sym AS (
+       |  SELECT ia, ib, co FROM pr
+       |  UNION ALL SELECT ib AS ia, ia AS ib, co FROM pr
+       |), scored AS (
+       |  SELECT sym.ia, sym.ib, sym.co, sa.n AS n_item,
+       |         sb.n AS n_neighbor,
+       |         CAST(sym.co AS DOUBLE)
+       |           / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cosine
+       |  FROM sym JOIN sup sa ON sa.i = sym.ia
+       |           JOIN sup sb ON sb.i = sym.ib
+       |)
+       |SELECT ia AS item, ib AS neighbor, co, n_item, n_neighbor,
+       |       cosine, rn
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY ia
+       |    ORDER BY cosine DESC, ib) AS BIGINT) AS rn
+       |  FROM scored
+       |) WHERE rn <= $k""".stripMargin
 }

@@ -52,4 +52,15 @@ object Exact {
     val vy = syy.cast("double") - sy.cast("double") * sy.cast("double") / n
     when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
   }
+
+  /** DuckDB rendering of [[corrFromSums]] — the identical IEEE
+    * sequence, for oracle generators (the q161 formulation). */
+  def corrFromSumsSql(n: String, sx: String, sy: String,
+      sxx: String, syy: String, sxy: String): String = {
+    val cov = s"CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE) / $n"
+    val vx = s"CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE) / $n"
+    val vy = s"CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE) / $n"
+    s"""CASE WHEN $vx > 0 AND $vy > 0
+       |  THEN ($cov) / (sqrt($vx) * sqrt($vy)) END""".stripMargin
+  }
 }

@@ -420,6 +420,83 @@ object Journey {
        |       CAST(sum(lin) AS BIGINT) AS linear_micro
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Time-to-convert distribution: per user, FIRST trigger → first
+    * outcome after it; discrete quantiles of the lag in seconds — the
+    * "how long does the funnel take" number
+    * [[withinWindowConversion]]'s fixed-window rate can't give (it
+    * answers "how many convert within T", this answers "what T
+    * covers the median / the p90").
+    *
+    * Quantiles come from the lag-value histogram (cumulative counts
+    * over DISTINCT lag values — the q84 device), so there is no global
+    * row sort; rank ⌈p·n⌉ discrete selection, the q40 convention.
+    *
+    * @param ps quantiles as (num, den) rationals, e.g. (1,2) → p50
+    * @return one row: (n_converted, p50_sec, p90_sec, ...) per `ps`
+    */
+  def conversionLag(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, triggerType: String, outcomeType: String,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10))): DataFrame = {
+    require(ps.nonEmpty)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val trig = events.filter(col(typeCol) === triggerType)
+      .groupBy(col(userCol).as("__u")).agg(min(m).as("__tm"))
+    val outc = events.filter(col(typeCol) === outcomeType)
+      .select(col(userCol).as("__u"), m.as("__om"))
+    val deltas = trig.join(outc, "__u")
+      .filter(col("__om") > col("__tm"))
+      .groupBy(col("__u"), col("__tm")).agg(min(col("__om")).as("__om"))
+      .select(expr("(__om - __tm) div 1000000").as("d"))
+    val hist = deltas.groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("__N", sum(col("c")).over(wAll))
+    val qs = ps.map { case (num, den) =>
+      min(when(col("cum") * den >= col("__N") * num, col("d")))
+        .as(s"p${num * 100 / den}_sec")
+    }
+    val aggs = max(col("__N")).as("n_converted") +: qs
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB oracle for [[conversionLag]]. */
+  def conversionLagOracleSql(table: String, userCol: String,
+      typeCol: String, tsCol: String, triggerType: String,
+      outcomeType: String,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10))): String = {
+    val qs = ps.map { case (num, den) =>
+      s"""min(CASE WHEN cum * $den >= nn * $num THEN d END)
+         |  AS p${num * 100 / den}_sec""".stripMargin
+    }.mkString(",\n|       ")
+    s"""WITH trig AS (
+       |  SELECT $userCol AS u, min(epoch_us($tsCol)) AS tm
+       |  FROM $table WHERE $typeCol = '$triggerType' GROUP BY 1
+       |), outc AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS om
+       |  FROM $table WHERE $typeCol = '$outcomeType'
+       |), d0 AS (
+       |  SELECT (min(om) - tm) // 1000000 AS d
+       |  FROM trig JOIN outc USING (u) WHERE om > tm
+       |  GROUP BY u, tm
+       |), h AS (
+       |  SELECT d, CAST(count(*) AS BIGINT) AS c FROM d0 GROUP BY 1
+       |), cc AS (
+       |  SELECT d,
+       |    CAST(sum(c) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(c) OVER () AS BIGINT) AS nn
+       |  FROM h
+       |)
+       |SELECT max(nn) AS n_converted,
+       |       $qs
+       |FROM cc""".stripMargin
+  }
+
   /** Batch sessionization: split each user's event stream at inactivity
     * gaps > `gapSeconds`, one output row per SESSION with its span and
     * size — the batch sibling of the streaming session window

@@ -194,4 +194,63 @@ object Merge {
        |FROM m
        |$joins""".stripMargin
   }
+
+  /** Column-level reconciliation: for keys present in BOTH snapshots,
+    * the per-COLUMN mismatch rate — the "which fields drifted" answer
+    * [[snapshotDiff]]'s row-level changed/unchanged verdict folds away,
+    * and the first artifact any migration/backfill review asks for.
+    *
+    * Null-safe comparison (`IS DISTINCT FROM` semantics: NULL vs value
+    * counts as a diff, NULL vs NULL doesn't). One keyed join, ONE
+    * aggregation computing every column's diff count simultaneously,
+    * then a literal-array explode to long form — the corpus is scanned
+    * once regardless of column count.
+    *
+    * @return one row per compared column:
+    *         (column, n_matched, n_diff, diff_frac)
+    */
+  def fieldDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty)
+    val o = oldSnap.select((keys ++ compareCols).map(c =>
+      col(c).as(s"__o_$c")): _*)
+    val n = newSnap.select((keys ++ compareCols).map(c =>
+      col(c).as(s"__n_$c")): _*)
+    val joined = o.join(n,
+      keys.map(c => col(s"__o_$c") === col(s"__n_$c")).reduce(_ && _))
+    val aggs = count(lit(1)).as("n_matched") +:
+      compareCols.map(c =>
+        sum((!(col(s"__o_$c") <=> col(s"__n_$c"))).cast("long"))
+          .as(s"__d_$c"))
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    one.select(col("n_matched"), explode(array(compareCols.map(c =>
+        struct(lit(c).as("column"), col(s"__d_$c").as("n_diff"))): _*))
+        .as("__e"))
+      .select(col("__e.column").as("column"), col("n_matched"),
+        col("__e.n_diff").as("n_diff"),
+        (col("__e.n_diff").cast("double") / col("n_matched"))
+          .as("diff_frac"))
+  }
+
+  /** DuckDB oracle for [[fieldDiff]]: `oldSql`/`newSql` yield the key
+    * and compared columns under their own names. */
+  def fieldDiffOracleSql(oldSql: String, newSql: String,
+      keys: Seq[String], compareCols: Seq[String]): String = {
+    val on = keys.map(c => s"o.$c = n2.$c").mkString(" AND ")
+    val sums = compareCols.map(c =>
+      s"""CAST(sum(CASE WHEN o.$c IS DISTINCT FROM n2.$c
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS d_$c""".stripMargin)
+      .mkString(",\n|         ")
+    val legs = compareCols.map(c =>
+      s"""SELECT '$c' AS "column", n_matched, d_$c AS n_diff,
+         |       CAST(d_$c AS DOUBLE) / n_matched AS diff_frac FROM g"""
+        .stripMargin)
+      .mkString("\n|UNION ALL ")
+    s"""WITH g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       |         $sums
+       |  FROM ($oldSql) o JOIN ($newSql) n2 ON $on
+       |)
+       |$legs""".stripMargin
+  }
 }

@@ -459,6 +459,141 @@ object TimeSeries {
        |FROM r WHERE rn = (n + 1) // 2""".stripMargin
   }
 
+  /** Cross-correlation function (CCF) between two series at lags
+    * −maxLag..+maxLag: does A LEAD B (peak at positive lag), lag it, or
+    * just co-move — the lead-lag question [[autocorr]] answers only for
+    * a series against itself. Positive lag correlates a(t) with
+    * b(t + lag).
+    *
+    * Per lag one exact-integer 6-sum fold through
+    * [[Exact.corrFromSums]]' fixed IEEE readout. The lag fan-out is a
+    * literal (2·maxLag+1)-element generator on the (calendar-bounded)
+    * series frame — the join stays keyed on the shifted time.
+    *
+    * @return (lag, n, r) — r NULL where either series is constant on
+    *         the overlap
+    */
+  def crossCorrelation(a: DataFrame, b: DataFrame, tCol: String,
+      xCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0)
+    val aa = a.select(col(tCol).as("__t"), col(xCol).as("__xa"))
+      .withColumn("lag",
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))))
+      .withColumn("__tb", col("__t") + col("lag"))
+    val bb = b.select(col(tCol).as("__tb"), col(xCol).as("__xb"))
+    aa.join(bb, Seq("__tb"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xa")).as("sx"), sum(col("__xb")).as("sy"),
+        sum(col("__xa") * col("__xa")).as("sxx"),
+        sum(col("__xb") * col("__xb")).as("syy"),
+        sum(col("__xa") * col("__xb")).as("sxy"))
+      .select(col("lag"), col("n"),
+        Exact.corrFromSums(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("r"))
+  }
+
+  /** DuckDB oracle for [[crossCorrelation]]: `aSql`/`bSql` yield
+    * (t, x) as integers. */
+  def crossCorrelationOracleSql(aSql: String, bSql: String,
+      maxLag: Int): String =
+    s"""WITH a AS ($aSql), b AS ($bSql), p AS (
+       |  SELECT l.lag, a.x AS xa, b.x AS xb
+       |  FROM a
+       |  CROSS JOIN (SELECT unnest(range(${-maxLag}, ${maxLag + 1}))
+       |              AS lag) l
+       |  JOIN b ON b.t = a.t + l.lag
+       |), s AS (
+       |  SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+       |         CAST(sum(xa * xa) AS BIGINT) AS sxx,
+       |         CAST(sum(xb * xb) AS BIGINT) AS syy,
+       |         CAST(sum(xa * xb) AS BIGINT) AS sxy
+       |  FROM p GROUP BY 1
+       |)
+       |SELECT lag, n, ${Exact.corrFromSumsSql("n", "sx", "sy", "sxx",
+      "syy", "sxy")} AS r
+       |FROM s""".stripMargin
+
+  /** Seasonality STRENGTH: the fraction of a series' variance explained
+    * by its seasonal profile, `1 − SS_within / SS_total` over
+    * season-position groups (hour-of-day for daily seasonality) — the
+    * one-number "is this series actually seasonal" gate that decides
+    * whether [[maseBacktest]]'s seasonal-naive is even the right
+    * baseline; q187 FLAGS deviations from the profile, this scores the
+    * profile itself.
+    *
+    * Group sums stay exact longs; each group's within-variance term
+    * `ss_h − s_h²/n_h` is quantized to integer micros (the q204
+    * chi-square trunc device) so the cross-group sum is
+    * partition-order-free; SS_total gets the same treatment. One final
+    * fixed IEEE division.
+    *
+    * @return (keyCols..., n, ss_total_q, ss_within_q, strength) —
+    *         strength NULL on constant series
+    */
+  def seasonalityStrength(series: DataFrame, keyCols: Seq[String],
+      tCol: String, xCol: String, season: Long = 24L): DataFrame = {
+    require(season >= 2)
+    val withPos = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t"), col(xCol).as("__x")): _*)
+      .withColumn("__pos", pmod(col("__t"), lit(season)))
+    val perPos = withPos
+      .groupBy((keyCols.map(col) :+ col("__pos")): _*)
+      .agg(count(lit(1)).as("nh"), sum(col("__x")).as("sh"),
+        sum(col("__x") * col("__x")).as("ssh"))
+      .withColumn("within_q",
+        floor((col("ssh").cast("double") -
+          col("sh").cast("double") * col("sh") / col("nh")) *
+          lit(1000000.0)).cast("long"))
+    val tot = withPos.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("s"),
+        sum(col("__x") * col("__x")).as("ss"))
+      .withColumn("ss_total_q",
+        floor((col("ss").cast("double") -
+          col("s").cast("double") * col("s") / col("n")) *
+          lit(1000000.0)).cast("long"))
+    val within = perPos.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("within_q")).as("ss_within_q"))
+    tot.join(within, keyCols)
+      .select(keyCols.map(col) ++ Seq(col("n"), col("ss_total_q"),
+        col("ss_within_q"),
+        when(col("ss_total_q") > 0,
+          lit(1.0) - col("ss_within_q").cast("double") /
+            col("ss_total_q")).as("strength")): _*)
+  }
+
+  /** DuckDB oracle for [[seasonalityStrength]]: `innerSql` yields
+    * (keyCols..., t, x) as integers. */
+  def seasonalityStrengthOracleSql(innerSql: String,
+      keyCols: Seq[String], season: Long = 24L): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH b AS ($innerSql), pp AS (
+       |  SELECT $keys, t % $season AS pos,
+       |         CAST(count(*) AS BIGINT) AS nh,
+       |         CAST(sum(x) AS BIGINT) AS sh,
+       |         CAST(sum(x * x) AS BIGINT) AS ssh
+       |  FROM b GROUP BY ${(1 to keyCols.length + 1).mkString(", ")}
+       |), wq AS (
+       |  SELECT $keys,
+       |         CAST(sum(CAST(floor((CAST(ssh AS DOUBLE)
+       |           - CAST(sh AS DOUBLE) * sh / nh) * 1000000.0) AS BIGINT))
+       |           AS BIGINT) AS ss_within_q
+       |  FROM pp GROUP BY $keys
+       |), tt AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(floor((CAST(sum(x * x) AS DOUBLE)
+       |           - CAST(sum(x) AS DOUBLE) * sum(x) / count(*)) * 1000000.0)
+       |           AS BIGINT) AS ss_total_q
+       |  FROM b GROUP BY $keys
+       |)
+       |SELECT $keys, n, ss_total_q, ss_within_q,
+       |       CASE WHEN ss_total_q > 0 THEN
+       |         1.0 - CAST(ss_within_q AS DOUBLE) / ss_total_q END
+       |         AS strength
+       |FROM tt JOIN wq USING ($keys)""".stripMargin
+  }
+
   /** MASE backtest of the SEASONAL-NAIVE forecast: on the test span,
     * predict x(t) = x(t − season) and score the mean absolute error
     * SCALED by the train span's one-step-naive MAE — the

@@ -559,6 +559,41 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Cross-correlation at lags ±3h between the click and purchase
+    // hourly series: does clicking LEAD buying — the lead-lag question
+    // q174's autocorrelation answers only within one series.
+    "q241_ccf" -> ((s, dir) => {
+      def hourly(typ: String) = Tables(s, dir).events
+        .filter(col("event_type") === typ)
+        .groupBy(expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+          .as("t"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.crossCorrelation(hourly("click"), hourly("purchase"),
+        "t", "x", maxLag = 3)
+    }),
+
+    // Seasonality strength: variance share explained by the
+    // hour-of-day profile per event type — the gate that decides
+    // whether q235's seasonal-naive baseline is even meaningful.
+    "q242_seasonality" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      TimeSeries.seasonalityStrength(hourly, Seq("event_type"), "h", "c",
+        season = 24L)
+    }),
+
+    // Time-to-convert: per-user first click → first purchase after it,
+    // p50/p90 of the lag from the lag-value histogram — "what window
+    // covers the median converter", q213's missing complement.
+    "q243_conversion_lag" -> ((s, dir) =>
+      Journey.conversionLag(Tables(s, dir).events, "user_id",
+        "event_type", "ts", triggerType = "click",
+        outcomeType = "purchase")),
+
     // Mutual-information feature ranking: which derived categorical
     // (hour-of-day, user cohort, value band) carries the most signal
     // about event_type — the bit-length-log MI device, exact longs,
@@ -1189,6 +1224,25 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q241_ccf" -> TimeSeries.crossCorrelationOracleSql(
+      """SELECT epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+      """SELECT epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+      maxLag = 3),
+
+    "q242_seasonality" -> TimeSeries.seasonalityStrengthOracleSql(
+      """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type"), season = 24L),
+
+    "q243_conversion_lag" -> Journey.conversionLagOracleSql(
+      "events", "user_id", "event_type", "ts",
+      triggerType = "click", outcomeType = "purchase"),
 
     "q238_mi_ranking" -> Features.miRankingOracleSql(
       "events", "event_type",

@@ -692,6 +692,16 @@ object Relational extends QueryModule {
       graft.ops.PageRank.modularity(edges, "src", "dst")
     }),
 
+    // Item-item cosine neighborhoods over order baskets: top-5 "also
+    // bought" parts per part — the normalized neighbor weight q185's
+    // lift distorts toward rare coincidences; co-occurrence only
+    // through shared orders (basket-size-bounded fan-out).
+    "q239_item_item" -> ((s, dir) =>
+      graft.ops.Basket.itemCosineTopK(
+        Tables(s, dir).lineitem.select(col("l_orderkey"),
+          col("l_partkey")),
+        "l_orderkey", "l_partkey", k = 5)),
+
     // Incremental PageRank: refine the stored 3-iteration ranks with
     // ONE sweep after adding reversed urgent-order edges — the graph
     // face of the q89 incremental-maintenance contract; the refinement
@@ -1277,6 +1287,9 @@ object Relational extends QueryModule {
     "q222_modularity" -> graft.ops.PageRank.modularityOracleSql(
       s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
+      "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
 
     "q237_incr_pagerank" ->
       graft.ops.PageRank.incrementalPageRankOracleSql(

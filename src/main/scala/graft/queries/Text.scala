@@ -265,6 +265,22 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Column-level reconciliation of a perturbed snapshot: per-field
+    // mismatch rates among matched keys — WHICH columns drifted, the
+    // answer q117's row-level changed verdict folds away. One scan,
+    // every column's diff counted simultaneously.
+    "q240_field_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val v2 = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang"))
+          .as("lang"),
+        col("source"))
+      graft.ops.Merge.fieldDiff(docs, v2, Seq("doc_id"),
+        Seq("text", "lang", "source"))
+    }),
+
     // Jump-consistent sharding (native codegen expression #6): O(ln n)
     // per key with rendezvous-grade stability — the q230 scale path at
     // big shard counts; 64→65 moves ~1/65 of docs. Oracle replays the
@@ -1261,6 +1277,16 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q240_field_diff" -> graft.ops.Merge.fieldDiffOracleSql(
+      "SELECT doc_id, text, lang, source FROM documents",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |            ELSE text END AS text,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |       source
+        |FROM documents""".stripMargin,
+      Seq("doc_id"), Seq("text", "lang", "source")),
 
     "q236_jump_shards" -> graft.ops.Sharding.jumpStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 64, nB = 65),

@@ -1028,6 +1028,75 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("itemCosineTopK: planted baskets give known cosines, " +
+      "neighborhoods symmetric, k truncates") {
+    import spark.implicits._
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L)).toDF("b", "i")
+    val out = Basket.itemCosineTopK(baskets, "b", "i", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(6)) ->
+        ((r.getLong(1), r.getDouble(5)))).toMap
+    // item 1: co(1,2)=2, n1=3, n2=2 → 2/√6; co(1,3)=1, n3=1 → 1/√3
+    assert(out((1L, 1L))._1 == 2L &&
+      math.abs(out((1L, 1L))._2 - 2.0 / math.sqrt(6.0)) < 1e-12)
+    assert(out((1L, 2L))._1 == 3L)
+    assert(out((2L, 1L))._1 == 1L) // symmetric: 1 is 2's best neighbor
+  }
+
+  test("fieldDiff: per-column mismatch counts, NULL-safe comparison") {
+    import spark.implicits._
+    val o = Seq((1L, Some("a"), Some(10L)), (2L, None, Some(20L)),
+      (3L, Some("c"), None)).toDF("id", "s", "v")
+    val n = Seq((1L, Some("a"), Some(11L)), (2L, Some("b"), Some(20L)),
+      (3L, Some("c"), None)).toDF("id", "s", "v")
+    val out = Merge.fieldDiff(o, n, Seq("id"), Seq("s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("s") == ((3L, 1L))) // NULL→'b' diffs; NULL=NULL doesn't
+    assert(out("v") == ((3L, 1L)))
+  }
+
+  test("crossCorrelation: a series leading by 2 peaks at lag +2 " +
+      "with r = 1") {
+    import spark.implicits._
+    val a = (1L to 10L).map(t => (t, t * t)).toDF("t", "x")
+    val b = (3L to 12L).map(t => (t, (t - 2) * (t - 2))).toDF("t", "x")
+    val out = TimeSeries.crossCorrelation(a, b, "t", "x", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(2L).contains(1.0))
+    assert(out(0L).exists(_.asInstanceOf[Double] < 1.0))
+  }
+
+  test("seasonalityStrength: perfect daily profile scores 1, " +
+      "constant series is NULL") {
+    import spark.implicits._
+    val s = (0L to 95L).map(t => ("p", t, t % 24)) ++
+      (0L to 95L).map(t => ("flat", t, 7L))
+    val out = TimeSeries.seasonalityStrength(s.toDF("k", "t", "x"),
+        Seq("k"), "t", "x", season = 24L)
+      .collect().map(r => r.getString(0) -> Option(r.get(4))).toMap
+    assert(out("p").contains(1.0))
+    assert(out("flat").isEmpty)
+  }
+
+  test("conversionLag: discrete p50/p90 of first-trigger-to-first-" +
+      "outcome lags, non-converters excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 0L), (1L, "purchase", 10L), (1L, "purchase", 99L),
+      (2L, "click", 0L), (2L, "purchase", 20L),
+      (3L, "click", 0L), (3L, "purchase", 30L),
+      (4L, "click", 0L)) // never converts
+      .map { case (u, ty, sec) => (u, ty,
+        new java.sql.Timestamp(1700000000000L + sec * 1000L)) }
+      .toDF("uid", "typ", "ts")
+    val out = Journey.conversionLag(ev, "uid", "typ", "ts",
+      "click", "purchase").head()
+    assert(out.getLong(0) == 3L)
+    assert(out.getAs[Long]("p50_sec") == 20L)
+    assert(out.getAs[Long]("p90_sec") == 30L)
+  }
+
   test("jumpHash: in-range, n=1 pins to 0, and keys move ONLY to the " +
       "new bucket when n grows (the consistency guarantee)") {
     val keys = (1 to 1000).map(i =>
