@@ -56,6 +56,140 @@ object ABTest {
         when(col("z").isNotNull, abs(col("z")) > 1.96))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013): adjust the experiment
+    * metric by its pre-experiment covariate,
+    * `y' = y − θ·(x_pre − x̄_pre)` with `θ = cov(x,y)/var(x)`, then
+    * compare arm means of y' — same expectation as the raw diff, often
+    * 30-60 % less variance, i.e. the same experiment decides in half
+    * the traffic. The modern default in front of [[proportionTest]]'s
+    * style of readout.
+    *
+    * Determinism: θ and x̄ are fixed IEEE readouts of exact integer
+    * sums (one-row broadcast, never a collect); each row's adjusted
+    * value is quantized to integer CENTI-units (`⌊y'·100⌋`) before any
+    * cross-row sum, so arm means and variances are partition-order-free
+    * (the q204 trunc device). Overflow ledger: Σ(y'·100)² needs
+    * rows·(100·|y|)² < 2⁶³ — at cents ≤ 10⁶ that allows ~10⁶ rows per
+    * call; quantize coarser beyond.
+    *
+    * @param armB boolean treatment indicator
+    * @param y    exact integer metric ([[Exact.cents]])
+    * @param xPre exact integer pre-period covariate
+    * @return one row: (n_a, n_b, theta, diff_raw, diff_cuped,
+    *         var_y, var_adj, var_reduction)
+    */
+  def cuped(df: DataFrame, armB: Column, y: Column,
+      xPre: Column): DataFrame = {
+    val base = df.select(armB.as("__b"), y.as("__y"), xPre.as("__x"))
+      .filter(col("__b").isNotNull && col("__y").isNotNull &&
+        col("__x").isNotNull)
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x") * col("__y")).as("sxy"))
+      .withColumn("theta",
+        (col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy") / col("n")) /
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("n")))
+      .withColumn("xmean", col("sx").cast("double") / col("n"))
+    val adj = base.crossJoin(broadcast(g.select(col("theta"),
+        col("xmean"))))
+      .withColumn("adj_q",
+        floor((col("__y") - col("theta") * (col("__x") - col("xmean"))) *
+          lit(100.0)).cast("long"))
+      .withColumn("y_q", col("__y") * 100L)
+    val arms = adj.agg(
+      sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__b"), col("__y")).otherwise(0L)).as("sya"),
+      sum(when(col("__b"), col("__y")).otherwise(0L)).as("syb"),
+      sum(when(!col("__b"), col("adj_q")).otherwise(0L)).as("saa"),
+      sum(when(col("__b"), col("adj_q")).otherwise(0L)).as("sab"),
+      sum(col("y_q")).as("sq"), sum(col("y_q") * col("y_q")).as("sq2"),
+      sum(col("adj_q")).as("aq"),
+      sum(col("adj_q") * col("adj_q")).as("aq2"),
+      count(lit(1)).as("n"))
+    val varY = col("sq2").cast("double") / col("n") -
+      (col("sq").cast("double") / col("n")) *
+        (col("sq").cast("double") / col("n"))
+    val varA = col("aq2").cast("double") / col("n") -
+      (col("aq").cast("double") / col("n")) *
+        (col("aq").cast("double") / col("n"))
+    arms.crossJoin(broadcast(g.select(col("theta"))))
+      .select(col("n_a"), col("n_b"), col("theta"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("syb").cast("double") / col("n_b") -
+            col("sya").cast("double") / col("n_a")).as("diff_raw"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("sab").cast("double") / col("n_b") -
+            col("saa").cast("double") / col("n_a")) / 100.0)
+          .as("diff_cuped"),
+        varY.as("var_y"), varA.as("var_adj"),
+        when(varY > 0, varA / varY).as("var_reduction"))
+  }
+
+  /** DuckDB oracle for [[cuped]]: `innerSql` yields (b, y, x). */
+  def cupedOracleSql(innerSql: String): String =
+    s"""WITH b0 AS (
+       |  SELECT b, y, x FROM ($innerSql)
+       |  WHERE b IS NOT NULL AND y IS NOT NULL AND x IS NOT NULL
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM b0
+       |), th AS (
+       |  SELECT n,
+       |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+       |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+       |      AS theta,
+       |    CAST(sx AS DOUBLE) / n AS xmean
+       |  FROM g
+       |), adj AS (
+       |  SELECT b0.b, b0.y,
+       |         CAST(floor((b0.y - th.theta * (b0.x - th.xmean)) * 100.0)
+       |           AS BIGINT) AS adj_q,
+       |         b0.y * 100 AS y_q, th.theta
+       |  FROM b0 CROSS JOIN th
+       |), arms AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN NOT b THEN y ELSE 0 END) AS BIGINT) AS sya,
+       |    CAST(sum(CASE WHEN b THEN y ELSE 0 END) AS BIGINT) AS syb,
+       |    CAST(sum(CASE WHEN NOT b THEN adj_q ELSE 0 END) AS BIGINT)
+       |      AS saa,
+       |    CAST(sum(CASE WHEN b THEN adj_q ELSE 0 END) AS BIGINT) AS sab,
+       |    CAST(sum(y_q) AS BIGINT) AS sq,
+       |    CAST(sum(y_q * y_q) AS BIGINT) AS sq2,
+       |    CAST(sum(adj_q) AS BIGINT) AS aq,
+       |    CAST(sum(adj_q * adj_q) AS BIGINT) AS aq2,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    max(theta) AS theta
+       |  FROM adj
+       |)
+       |SELECT n_a, n_b, theta,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(syb AS DOUBLE) / n_b - CAST(sya AS DOUBLE) / n_a
+       |  END AS diff_raw,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    (CAST(sab AS DOUBLE) / n_b - CAST(saa AS DOUBLE) / n_a) / 100.0
+       |  END AS diff_cuped,
+       |  CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+       |    * (CAST(sq AS DOUBLE) / n) AS var_y,
+       |  CAST(aq2 AS DOUBLE) / n - (CAST(aq AS DOUBLE) / n)
+       |    * (CAST(aq AS DOUBLE) / n) AS var_adj,
+       |  CASE WHEN CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+       |    * (CAST(sq AS DOUBLE) / n) > 0 THEN
+       |    (CAST(aq2 AS DOUBLE) / n - (CAST(aq AS DOUBLE) / n)
+       |      * (CAST(aq AS DOUBLE) / n))
+       |    / (CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+       |      * (CAST(sq AS DOUBLE) / n))
+       |  END AS var_reduction
+       |FROM arms""".stripMargin
+
   /** Difference-in-differences: the causal-effect estimate when
     * treatment was NOT randomized but a before/after boundary exists —
     * (treated post − treated pre) − (control post − control pre), the

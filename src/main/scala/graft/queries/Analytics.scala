@@ -559,6 +559,18 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // CUPED variance reduction: value adjusted by a correlated
+    // pre-metric before the arm comparison — same expectation, less
+    // variance; per-row adjustments quantized to centi-units so every
+    // cross-row sum is partition-order-free.
+    "q244_cuped" -> ((s, dir) =>
+      ABTest.cuped(
+        Tables(s, dir).events.withColumn("cents",
+          Exact.cents(col("value"))),
+        armB = pmod(col("user_id"), lit(2L)) === 1L,
+        y = col("cents"),
+        xPre = expr("cents div 2") + pmod(col("event_id"), lit(50L)))),
+
     // Cross-correlation at lags ±3h between the click and purchase
     // hourly series: does clicking LEAD buying — the lead-lag question
     // q174's autocorrelation answers only within one series.
@@ -1224,6 +1236,13 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q244_cuped" -> ABTest.cupedOracleSql(
+      """SELECT user_id % 2 = 1 AS b,
+        |       CAST(round(value * 100) AS BIGINT) AS y,
+        |       CAST(round(value * 100) AS BIGINT) // 2 + event_id % 50
+        |         AS x
+        |FROM events""".stripMargin),
 
     "q241_ccf" -> TimeSeries.crossCorrelationOracleSql(
       """SELECT epoch_us(ts) // 1000000 // 3600 AS t,

@@ -265,6 +265,13 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // RAKE keyphrases: top multi-word phrases from stopword-free token
+    // runs, word deg/freq scoring in integer micros — the phrase-level
+    // keyword surface q102's TF-IDF unigrams can't produce.
+    "q245_rake" -> ((s, dir) =>
+      graft.text.Retrieval.rakeKeyphrases(Tables(s, dir).documents,
+        "doc_id", "text", graft.text.TextAnalysis.stopEn)),
+
     // Column-level reconciliation of a perturbed snapshot: per-field
     // mismatch rates among matched keys — WHICH columns drifted, the
     // answer q117's row-level changed verdict folds away. One scan,
@@ -1277,6 +1284,10 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q245_rake" -> graft.text.Retrieval.rakeOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id",
+      graft.text.TextAnalysis.stopEn),
 
     "q240_field_diff" -> graft.ops.Merge.fieldDiffOracleSql(
       "SELECT doc_id, text, lang, source FROM documents",

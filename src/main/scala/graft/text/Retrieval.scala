@@ -301,4 +301,101 @@ object Retrieval {
        |         CAST(least(pos + $window, len(toks)) AS INTEGER)], ' ')
        |         AS snippet
        |FROM f""".stripMargin
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs (≤ `maxLen` words); each
+    * WORD scores `deg/freq` over the candidate set (deg = summed length
+    * of phrases containing it — favors words that live in long
+    * phrases); a PHRASE scores the sum of its words. The multi-word
+    * keyphrases TF-IDF unigrams (q102) structurally cannot produce.
+    *
+    * Integer exact: word scores are `deg·1e6 div freq` micros, phrase
+    * scores exact sums of those. Phrase text rebuilds by position sort
+    * inside the phrase group (deterministic, mirrors `string_agg ...
+    * ORDER BY`). Corpus top-k via the fused sort-limit
+    * (TakeOrderedAndProject — the sanctioned global top-k).
+    *
+    * Scale shape: one posexplode, two fused per-doc windows (boundary
+    * running-sum + phrase length), one token-keyed stats aggregation
+    * joined back on the token, one phrase aggregation. Everything
+    * keyed; the only global op is the top-k.
+    *
+    * @return (phrase, n, score) — top `topK` by (score desc, phrase)
+    */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxLen: Int = 3, topK: Int = 20)
+      : DataFrame = {
+    require(maxLen >= 1 && topK >= 1 && stopwords.nonEmpty)
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+      .withColumn("__stop",
+        col("tok").isin(stopwords.map(x => x: Any): _*))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wPhrase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"), col("pidx"))
+    val members = toks
+      .withColumn("pidx", sum(col("__stop").cast("long")).over(wDoc))
+      .filter(!col("__stop"))
+      .withColumn("plen", count(lit(1)).over(wPhrase))
+      .filter(col("plen") <= maxLen)
+    val wordScores = members.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("(deg * 1000000) div freq"))
+    val phrases = members
+      .join(wordScores.select(col("tok"), col("wscore")), "tok")
+      .groupBy(col("__id"), col("pidx"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        sum(col("wscore")).as("score"))
+    phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[rakeKeyphrases]]: `tokSql` yields
+    * (`idName`, toks). */
+  def rakeOracleSql(tokSql: String, idName: String,
+      stopwords: Seq[String], maxLen: Int = 3, topK: Int = 20): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT $idName, i AS pos, toks[i] AS tok,
+       |         toks[i] IN ($stops) AS stop
+       |  FROM (SELECT $idName, toks, unnest(range(1, len(toks) + 1)) AS i
+       |        FROM ($tokSql))
+       |), px AS (
+       |  SELECT *, CAST(sum(CASE WHEN stop THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY $idName ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS pidx
+       |  FROM tok
+       |), mem AS (
+       |  SELECT * FROM (
+       |    SELECT $idName, pos, tok, pidx,
+       |           CAST(count(*) OVER (PARTITION BY $idName, pidx)
+       |             AS BIGINT) AS plen
+       |    FROM px WHERE NOT stop
+       |  ) WHERE plen <= $maxLen
+       |), ws AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum(plen) AS BIGINT) AS deg
+       |  FROM mem GROUP BY 1
+       |), scored AS (
+       |  SELECT mem.$idName, mem.pidx,
+       |         string_agg(mem.tok, ' ' ORDER BY mem.pos) AS phrase,
+       |         CAST(sum((ws.deg * 1000000) // ws.freq) AS BIGINT)
+       |           AS score
+       |  FROM mem JOIN ws ON mem.tok = ws.tok
+       |  GROUP BY 1, 2
+       |)
+       |SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+       |       max(score) AS score
+       |FROM scored GROUP BY 1
+       |ORDER BY score DESC, phrase LIMIT $topK""".stripMargin
+  }
 }

@@ -1028,6 +1028,37 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("cuped: correlated covariate shrinks variance, arm difference " +
+      "is preserved") {
+    import spark.implicits._
+    // y ≈ 2x + 5·arm: x explains most in-arm variance
+    val rows = Seq((false, 20L, 10L), (false, 40L, 20L),
+      (false, 61L, 30L), (true, 25L, 10L), (true, 45L, 20L),
+      (true, 66L, 30L))
+    val out = ABTest.cuped(rows.toDF("b", "y", "x"),
+      col("b"), col("y"), col("x")).head()
+    val diffRaw = out.getAs[Double]("diff_raw")
+    val diffCuped = out.getAs[Double]("diff_cuped")
+    assert(math.abs(diffRaw - 5.0) < 0.4)
+    assert(math.abs(diffCuped - 5.0) < 0.4)
+    assert(out.getAs[Double]("var_reduction") < 0.2) // x soaks variance
+  }
+
+  test("rakeKeyphrases: stopword-split phrases, deg/freq scoring, " +
+      "repeat phrase counted") {
+    import spark.implicits._
+    val docs = Seq((1L, "the big red car and the big red car"),
+      (2L, "a tiny dog")).toDF("doc_id", "text")
+    val out = graft.text.Retrieval.rakeKeyphrases(docs, "doc_id",
+        "text", graft.text.TextAnalysis.stopEn, maxLen = 3, topK = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // big/red/car: freq 2, deg 6 → wscore 3e6 each → phrase 9e6
+    assert(out("big red car") == ((2L, 9000000L)))
+    // tiny/dog: freq 1, deg 2 → phrase 4e6
+    assert(out("tiny dog") == ((1L, 4000000L)))
+  }
+
   test("itemCosineTopK: planted baskets give known cosines, " +
       "neighborhoods symmetric, k truncates") {
     import spark.implicits._
