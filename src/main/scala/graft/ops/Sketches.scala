@@ -93,4 +93,68 @@ object Sketches {
     rollup.groupBy(grp: _*)
       .agg(sum(col("n")).as("n"),
         hll_sketch_estimate(hll_union_agg(col("dv_sketch"))).as("est_distinct"))
+
+  /** KMV (k-minimum-values) distinct-count sketch — the ORACLE-ABLE
+    * approximate distinct counter: unlike the HLL path above (opaque
+    * engine-specific sketch bytes, spec-bounded only), the KMV estimate
+    * `(k−1)·2⁶⁰ div h_k` is pure integer arithmetic over the portable
+    * [[graft.functions.Hash64.hash60]] order statistics, so it
+    * hash-matches a DuckDB replay exactly AND is mergeable (union =
+    * merge the k-smallest sets). Standard error ~1/√(k−2). The readout
+    * `(k−1)·(2⁶⁰/h_k)` is two fixed IEEE steps over exact integers
+    * (2⁶⁰ is a power of two — exactly representable; an all-integer
+    * `(k−1)·2⁶⁰ div h_k` would overflow past k = 8).
+    *
+    * Groups with fewer than k distinct values return the EXACT count
+    * (the sketch holds every value — no estimation error to accept).
+    *
+    * Scale shape: one distinct aggregation, one keyed window bounded to
+    * the k smallest per group (rank ≤ k survives; see
+    * [[Sampling.capPerKeyIds]] for the bounded-buffer form if a single
+    * group's distinct set dwarfs memory).
+    *
+    * @return (grpCol, n_kept, kth_hash, est_distinct)
+    */
+  def kmvDistinct(df: DataFrame, grpCol: String, v: Column, k: Int)
+      : DataFrame = {
+    require(k >= 3)
+    val hashed = df.select(col(grpCol),
+        graft.functions.Hash64.hash60(v.cast("string")).as("__h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol)).orderBy(col("__h"))
+    hashed
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .filter(col("__rn") <= k)
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            (lit(1152921504606846976.0) / col("kth_hash").cast("double"))))
+  }
+
+  /** DuckDB oracle for [[kmvDistinct]]: `innerSql` yields
+    * (`grpName`, v) with v already rendered as VARCHAR. */
+  def kmvOracleSql(innerSql: String, grpName: String, k: Int): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT $grpName,
+       |         ${graft.functions.Hash64.duckSql("v")} AS hh
+       |  FROM ($innerSql)
+       |), r AS (
+       |  SELECT $grpName, hh,
+       |         row_number() OVER (PARTITION BY $grpName ORDER BY hh)
+       |           AS rn
+       |  FROM h
+       |), g AS (
+       |  SELECT $grpName, CAST(count(*) AS BIGINT) AS n_kept,
+       |         CAST(max(hh) AS BIGINT) AS kth_hash
+       |  FROM r WHERE rn <= $k GROUP BY 1
+       |)
+       |SELECT $grpName, n_kept, kth_hash,
+       |       CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |         ELSE CAST(${(k - 1).toDouble} AS DOUBLE)
+       |           * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
+       |       END AS est_distinct
+       |FROM g""".stripMargin
 }

@@ -559,6 +559,14 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // KMV distinct-count sketch: per event type, distinct users
+    // estimated from the 64 smallest portable hashes — the ORACLE-ABLE
+    // approximate counter (HLL's sketch bytes never hash-match; KMV's
+    // order statistics do), mergeable, ~12% error at k=64.
+    "q247_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(Tables(s, dir).events, "event_type",
+        col("user_id"), k = 64)),
+
     // CUPED variance reduction: value adjusted by a correlated
     // pre-metric before the arm comparison — same expectation, less
     // variance; per-row adjustments quantized to centi-units so every
@@ -1236,6 +1244,10 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q247_kmv_distinct" -> Sketches.kmvOracleSql(
+      "SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events",
+      "event_type", k = 64),
 
     "q244_cuped" -> ABTest.cupedOracleSql(
       """SELECT user_id % 2 = 1 AS b,

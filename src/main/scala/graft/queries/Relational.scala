@@ -31,6 +31,13 @@ object Relational extends QueryModule {
   /** q63: suppliers join the node space above every custkey. */
   private val supplierNodeOffset = 1000000L
 
+  /** q246's field model — ONE definition feeds both the Spark plan and
+    * the oracle SQL, so the micro-log2 weight literals agree. */
+  private val fsFields = Seq(
+    graft.ops.Linkage.FsField("name", m = 0.9, u = 0.001),
+    graft.ops.Linkage.FsField("seg", m = 0.9, u = 0.2),
+    graft.ops.Linkage.FsField("band", m = 0.8, u = 0.1))
+
   /** q84: decile cut positions as integer rationals (i/10). */
   private val decileQs: Seq[(Int, Int)] = (1 to 9).map(i => (i, 10))
 
@@ -692,6 +699,30 @@ object Relational extends QueryModule {
       graft.ops.PageRank.modularity(edges, "src", "dst")
     }),
 
+    // Fellegi–Sunter probabilistic linkage: a perturbed customer slice
+    // re-linked against the base by summed per-field log-odds weights
+    // (phone rare → heavy, segment common → light), nation-blocked;
+    // only pairs above threshold surface. The principled upgrade over
+    // q70's single-similarity gate.
+    "q246_fs_linkage" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      def prep(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("id"), col("blk"), col("name"), col("seg"), col("band"))
+      val clean = prep(c.select(col("c_custkey").as("id"),
+        col("c_nationkey").as("blk"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal / 1000) AS LONG)").as("band")))
+      val dirty = prep(c.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          col("c_nationkey").as("blk"), col("c_name").as("name"),
+          when(col("c_custkey") % 20 === 0, lit("NOSEG"))
+            .otherwise(col("c_mktsegment")).as("seg"),
+          expr("CAST(floor(c_acctbal / 1000) AS LONG)").as("band")))
+      graft.ops.Linkage.fellegiSunter(dirty, clean, "id", "blk",
+          fsFields, thresholdMicro = 8000000L)
+        .filter(col("is_match"))
+    }),
+
     // Item-item cosine neighborhoods over order baskets: top-5 "also
     // bought" parts per part — the normalized neighbor weight q185's
     // lift distorts toward rare coincidences; co-occurrence only
@@ -1287,6 +1318,25 @@ object Relational extends QueryModule {
     "q222_modularity" -> graft.ops.PageRank.modularityOracleSql(
       s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q246_fs_linkage" -> {
+      val aSql =
+        """SELECT c_custkey + 1000000 AS id, c_nationkey AS blk,
+          |       c_name AS name,
+          |       CASE WHEN c_custkey % 20 = 0 THEN 'NOSEG'
+          |            ELSE c_mktsegment END AS seg,
+          |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+          |FROM customer WHERE c_custkey % 10 = 0""".stripMargin
+      val bSql =
+        """SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name,
+          |       c_mktsegment AS seg,
+          |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+          |FROM customer""".stripMargin
+      s"""SELECT * FROM (
+         |${graft.ops.Linkage.fellegiSunterOracleSql(aSql, bSql, "id",
+              fsFields, 8000000L)}
+         |) WHERE is_match""".stripMargin
+    },
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),

@@ -441,6 +441,20 @@ object Vectors extends QueryModule {
       graft.similarity.Select.kCenterGreedy(
         base(Tables(s, dir)), "id", "ev", k = 5)),
 
+    // Per-dimension embedding drift between the even/odd vec_id slices:
+    // exact-quantized means/variances per dim + two-sample z of the
+    // mean shift — the swapped-encoder monitor; order by |z| for the
+    // offending dims.
+    "q248_embedding_drift" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.similarity.Covariance.dimDrift(
+        t.embeddings.filter(col("vec_id") % 2 === 0)
+          .select(col("embedding").as("v")),
+        t.embeddings.filter(col("vec_id") % 2 === 1)
+          .select(col("embedding").as("v")),
+        "v")
+    }),
+
     // MMR diversity re-rank of each query's cosine top-8 (λ = 0.5):
     // pick 3 of 8 trading relevance against similarity to what's
     // already picked — per-query keyed windows only, candidate sets
@@ -1168,6 +1182,12 @@ object Vectors extends QueryModule {
         |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings""".stripMargin,
       k = 5),
+
+    "q248_embedding_drift" -> graft.similarity.Covariance.dimDriftOracleSql(
+      """SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin,
+      """SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE vec_id % 2 = 1""".stripMargin),
 
     "q231_mmr" -> graft.similarity.Select.mmrOracleSql(
       {

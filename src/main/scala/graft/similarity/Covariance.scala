@@ -157,6 +157,80 @@ object Covariance {
        |         * CAST(trunc(z * 1000.0) AS BIGINT)) AS BIGINT) AS maha_q
        |FROM zz WHERE z IS NOT NULL GROUP BY 1""".stripMargin
 
+  /** Per-dimension embedding DRIFT between two corpus slices (model
+    * version, time window, source): for every dimension, both slices'
+    * exact-quantized means/variances and the two-sample z of the mean
+    * shift — the embedding-space monitor that catches a silently
+    * swapped encoder or preprocessing change long before downstream
+    * retrieval metrics move. Top offending dims fall out by ordering
+    * on |z|.
+    *
+    * Same micro-quantized ledger as [[standardize]]: components
+    * `⌊x·scale⌋` sum exactly, readouts are fixed IEEE:
+    * `z = (μ_b − μ_a) / √(σ²_a/n_a + σ²_b/n_b)`.
+    *
+    * @return per dim: (pos, n_a, n_b, mean_a, mean_b, z) — z NULL when
+    *         either slice is constant on the dim
+    */
+  def dimDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      scale: Double = 1e6): DataFrame = {
+    def stats(df: DataFrame, suffix: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as(s"n_$suffix"), sum(col("q")).as(s"s_$suffix"),
+        sum(col("q") * col("q")).as(s"ss_$suffix"))
+    def mu(s: String, n: String) =
+      col(s).cast("double") / col(n) / lit(scale)
+    def varr(s: String, ss: String, n: String) =
+      (col(ss).cast("double") -
+        col(s).cast("double") * col(s).cast("double") / col(n)) /
+        (col(n) - 1) / lit(scale) / lit(scale)
+    val joined = stats(a, "a").join(stats(b, "b"), "pos")
+    val va = varr("s_a", "ss_a", "n_a")
+    val vb = varr("s_b", "ss_b", "n_b")
+    joined.select(col("pos"), col("n_a"), col("n_b"),
+      mu("s_a", "n_a").as("mean_a"), mu("s_b", "n_b").as("mean_b"),
+      when(va + vb > 0,
+        (mu("s_b", "n_b") - mu("s_a", "n_a")) /
+          sqrt(va / col("n_a") + vb / col("n_b"))).as("z"))
+  }
+
+  /** DuckDB oracle for [[dimDrift]]: `aSql`/`bSql` yield one `v`
+    * embedding-list column. */
+  def dimDriftOracleSql(aSql: String, bSql: String,
+      scale: Double = 1e6): String = {
+    def statsCte(src: String, sfx: String) =
+      s"""SELECT CAST(pr[2] AS BIGINT) + 1 AS pos,
+         |       CAST(count(*) AS BIGINT) AS n_$sfx,
+         |       CAST(sum(CAST(floor(CAST(pr[1] AS DOUBLE) * $scale)
+         |         AS BIGINT)) AS BIGINT) AS s_$sfx,
+         |       CAST(sum(CAST(floor(CAST(pr[1] AS DOUBLE) * $scale)
+         |         AS BIGINT) * CAST(floor(CAST(pr[1] AS DOUBLE) * $scale)
+         |         AS BIGINT)) AS BIGINT) AS ss_$sfx
+         |FROM (SELECT unnest(list_zip(v, range(0, len(v)))) AS pr
+         |      FROM ($src))
+         |GROUP BY 1""".stripMargin
+    def mu(s: String, n: String) = s"CAST($s AS DOUBLE) / $n / $scale"
+    def varr(s: String, ss: String, n: String) =
+      s"""(CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE)
+         | / $n) / ($n - 1) / $scale / $scale""".stripMargin
+        .replace("\n", "")
+    val va = varr("s_a", "ss_a", "n_a")
+    val vb = varr("s_b", "ss_b", "n_b")
+    s"""WITH sa AS (${statsCte(aSql, "a")}),
+       |sb AS (${statsCte(bSql, "b")})
+       |SELECT sa.pos, n_a, n_b,
+       |       ${mu("s_a", "n_a")} AS mean_a,
+       |       ${mu("s_b", "n_b")} AS mean_b,
+       |       CASE WHEN $va + $vb > 0 THEN
+       |         (${mu("s_b", "n_b")} - ${mu("s_a", "n_a")})
+       |           / sqrt(($va) / n_a + ($vb) / n_b)
+       |       END AS z
+       |FROM sa JOIN sb ON sa.pos = sb.pos""".stripMargin
+  }
+
   /** DuckDB oracle for [[standardize]]. */
   def standardizeOracleSql(table: String, idCol: String, vecCol: String,
       scale: Double = 1e6): String =

@@ -1028,6 +1028,40 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("fellegiSunter: rare-field agreement outweighs common fields, " +
+      "weights are exact micro-log2 of the odds") {
+    import spark.implicits._
+    // log2(0.5/0.25) = 1 → exactly 1e6 micros
+    assert(Linkage.FsField("f", 0.5, 0.25).wAgree == 1000000L)
+    val a = Seq((101L, 1L, "alice", "A"), (102L, 1L, "zed", "B"))
+      .toDF("id", "blk", "name", "seg")
+    val b = Seq((1L, 1L, "alice", "B"), (2L, 1L, "bob", "A"))
+      .toDF("id", "blk", "name", "seg")
+    val fields = Seq(Linkage.FsField("name", 0.9, 0.001),
+      Linkage.FsField("seg", 0.9, 0.25))
+    val out = Linkage.fellegiSunter(a, b, "id", "blk", fields,
+        thresholdMicro = 5000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getBoolean(3)).toMap
+    assert(out((101L, 1L))) // name agrees → far above threshold
+    assert(!out((101L, 2L)) && !out((102L, 1L)) && !out((102L, 2L)))
+  }
+
+  test("kmvDistinct: small groups exact, large groups within KMV " +
+      "error, deterministic under repartitioning") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => ("big", i)) ++
+      (1L to 10L).map(i => ("small", i))
+    val df = rows.toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("small") == 10.0) // < k → exact
+    assert(math.abs(out("big") - 2000.0) / 2000.0 < 0.3)
+    val out2 = Sketches.kmvDistinct(df.repartition(13), "g", col("v"),
+      k = 64).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out2 == out)
+  }
+
   test("cuped: correlated covariate shrinks variance, arm difference " +
       "is preserved") {
     import spark.implicits._

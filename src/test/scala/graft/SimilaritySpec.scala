@@ -561,6 +561,20 @@ class SimilaritySpec extends SparkSuite {
       math.abs(m.asInstanceOf[Double] - 0.7 / math.sqrt(0.98)) < 1e-12))
   }
 
+  test("dimDrift: shifted dimension flagged with large |z|, identical " +
+      "dimension near zero, constant dimension NULL") {
+    import spark.implicits._
+    val a = (1 to 40).map(i =>
+      Tuple1(Seq(i.toDouble / 10, 5.0, 1.0))).toDF("v")
+    val b = (1 to 40).map(i =>
+      Tuple1(Seq(i.toDouble / 10 + 3.0, 5.0, 1.0 + i / 40.0))).toDF("v")
+    val out = graft.similarity.Covariance.dimDrift(a, b, "v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(5))).toMap
+    assert(out(1L).exists(z => math.abs(z.asInstanceOf[Double]) > 5.0))
+    assert(out(2L).isEmpty) // constant in both slices → NULL z
+    assert(out(3L).isDefined)
+  }
+
   test("mmrRerank: relevance wins round 1, diversity beats a " +
       "higher-relevance near-duplicate in round 2") {
     import spark.implicits._
