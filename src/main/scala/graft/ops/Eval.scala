@@ -251,6 +251,63 @@ object Eval {
           col("dcg_q").cast("double") / col("idcg_q")))
   }
 
+  /** Multi-class confusion matrix with margins and diagonal
+    * precision/recall — the sliced view behind every classifier
+    * accuracy number (language-ID vs declared language, predicted vs
+    * actual segment): WHICH classes bleed into which, not just how
+    * often.
+    *
+    * One contingency aggregation + two margin re-aggregations joined
+    * back (aggregate-sized, broadcast); rates are single IEEE divisions
+    * of exact counts, populated on diagonal cells (precision/recall are
+    * per-CLASS numbers — stamping them on off-diagonal cells would
+    * repeat each class's value |classes| times).
+    *
+    * @return (actual, predicted, n, n_actual, n_predicted, precision,
+    *         recall) per observed cell
+    */
+  def confusionMatrix(df: DataFrame, actual: Column,
+      predicted: Column): DataFrame = {
+    val cells = df.select(actual.as("actual"), predicted.as("predicted"))
+      .filter(col("actual").isNotNull && col("predicted").isNotNull)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy(col("actual"))
+      .agg(sum(col("n")).as("n_actual"))
+    val colM = cells.groupBy(col("predicted"))
+      .agg(sum(col("n")).as("n_predicted"))
+    cells.join(broadcast(rowM), "actual")
+      .join(broadcast(colM), "predicted")
+      .withColumn("precision",
+        when(col("actual") === col("predicted"),
+          col("n").cast("double") / col("n_predicted")))
+      .withColumn("recall",
+        when(col("actual") === col("predicted"),
+          col("n").cast("double") / col("n_actual")))
+  }
+
+  /** DuckDB oracle for [[confusionMatrix]]: `innerSql` yields (a, p). */
+  def confusionMatrixOracleSql(innerSql: String): String =
+    s"""WITH cells AS (
+       |  SELECT a AS actual, p AS predicted,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM ($innerSql) WHERE a IS NOT NULL AND p IS NOT NULL
+       |  GROUP BY 1, 2
+       |), rm AS (
+       |  SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual
+       |  FROM cells GROUP BY 1
+       |), cm AS (
+       |  SELECT predicted, CAST(sum(n) AS BIGINT) AS n_predicted
+       |  FROM cells GROUP BY 1
+       |)
+       |SELECT cells.actual, cells.predicted, n, n_actual, n_predicted,
+       |       CASE WHEN cells.actual = cells.predicted
+       |         THEN CAST(n AS DOUBLE) / n_predicted END AS precision,
+       |       CASE WHEN cells.actual = cells.predicted
+       |         THEN CAST(n AS DOUBLE) / n_actual END AS recall
+       |FROM cells JOIN rm ON cells.actual = rm.actual
+       |          JOIN cm ON cells.predicted = cm.predicted""".stripMargin
+
   /** Decile lift & cumulative-gains table — the campaign-targeting view
     * of the same histogram [[rocAuc]] folds to one number: per score
     * tile (descending score), the response rate, its LIFT over the base

@@ -459,6 +459,92 @@ object TimeSeries {
        |FROM r WHERE rn = (n + 1) // 2""".stripMargin
   }
 
+  /** DETRENDED outlier detection: z-score each point against the
+    * residuals of its key's OLS trend line — a spike on a steep ramp
+    * stops hiding inside the ramp's variance (the q07 global z false
+    * negative), and a ramp stops reading as all-outliers (its false
+    * positive). [[linearTrend]] says where the line is; this says who
+    * is off it.
+    *
+    * Two passes over the (calendar-bounded) series: the 5-sum OLS fold,
+    * then residuals quantized to integer millis (the q204 trunc device
+    * — cross-row moments must not sum raw doubles) feeding a per-key
+    * mean/sd and one fixed z readout.
+    *
+    * @return flagged rows: (keyCols..., t, x, resid_milli, z) where
+    *         |z| ≥ zThreshold
+    */
+  def detrendedOutliers(series: DataFrame, keyCols: Seq[String],
+      tCol: String, xCol: String, zThreshold: Double = 3.0): DataFrame = {
+    val fit = linearTrend(series, keyCols, tCol, xCol)
+      .filter(col("slope").isNotNull)
+      .select(keyCols.map(col) :+ col("slope") :+ col("intercept"): _*)
+    val resid = series
+      .select(keyCols.map(col) ++
+        Seq(col(tCol).as("__t"), col(xCol).as("__x")): _*)
+      .join(broadcast(fit), keyCols)
+      .withColumn("__r",
+        col("__x") - (col("intercept") + col("slope") * col("__t")))
+      .withColumn("resid_milli", (col("__r") * lit(1000.0)).cast("long"))
+    val stats = resid.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("resid_milli")).as("__s"),
+        sum(col("resid_milli") * col("resid_milli")).as("__ss"))
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__sigma",
+        Exact.stddevFromSums(col("__s"), col("__ss"), col("__n")))
+      .select(keyCols.map(col) :+ col("__mu") :+ col("__sigma"): _*)
+    resid.join(broadcast(stats), keyCols)
+      .withColumn("z",
+        when(col("__sigma") > 0,
+          (col("resid_milli") - col("__mu")) / col("__sigma")))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(keyCols.map(col) ++ Seq(col("__t").as(tCol),
+        col("__x").as(xCol), col("resid_milli"), col("z")): _*)
+  }
+
+  /** DuckDB oracle for [[detrendedOutliers]]: `innerSql` yields
+    * (keyCols..., t, x) as integers. */
+  def detrendedOutliersOracleSql(innerSql: String, keyCols: Seq[String],
+      zThreshold: Double = 3.0): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH b AS ($innerSql), f AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(t) AS BIGINT) AS sx, CAST(sum(x) AS BIGINT) AS sy,
+       |         CAST(sum(t * t) AS BIGINT) AS sxx,
+       |         CAST(sum(t * x) AS BIGINT) AS sxy
+       |  FROM b GROUP BY $keys
+       |), fit AS (
+       |  SELECT $keys,
+       |    CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |    (CAST(sy AS DOUBLE)
+       |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n
+       |      AS intercept
+       |  FROM f WHERE n * sxx - sx * sx > 0
+       |), r AS (
+       |  SELECT b.*, CAST(trunc((x - (intercept + slope * t)) * 1000.0)
+       |    AS BIGINT) AS resid_milli
+       |  FROM b JOIN fit USING ($keys)
+       |), st AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(resid_milli) AS BIGINT) AS s,
+       |         CAST(sum(resid_milli * resid_milli) AS BIGINT) AS ss
+       |  FROM r GROUP BY $keys
+       |), ms AS (
+       |  SELECT $keys, CAST(s AS DOUBLE) / n AS mu,
+       |         sqrt((CAST(ss AS DOUBLE)
+       |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+       |           AS sigma
+       |  FROM st
+       |)
+       |SELECT ${keyCols.map(k => s"r.$k").mkString(", ")}, t, x,
+       |       resid_milli, (resid_milli - mu) / sigma AS z
+       |FROM r JOIN ms USING ($keys)
+       |WHERE sigma > 0 AND abs((resid_milli - mu) / sigma)
+       |  >= $zThreshold""".stripMargin
+  }
+
   /** Cross-correlation function (CCF) between two series at lags
     * −maxLag..+maxLag: does A LEAD B (peak at positive lag), lag it, or
     * just co-move — the lead-lag question [[autocorr]] answers only for

@@ -559,6 +559,19 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Detrended outliers: hourly counts z-scored against each type's
+    // OLS trend residuals — spikes on ramps stop hiding inside the
+    // ramp's variance (q07's global-z false negative).
+    "q251_detrended" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("t"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.detrendedOutliers(hourly, Seq("event_type"), "t", "x",
+        zThreshold = 2.5)
+    }),
+
     // KMV distinct-count sketch: per event type, distinct users
     // estimated from the 64 smallest portable hashes — the ORACLE-ABLE
     // approximate counter (HLL's sketch bytes never hash-match; KMV's
@@ -1244,6 +1257,12 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q251_detrended" -> TimeSeries.detrendedOutliersOracleSql(
+      """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type"), zThreshold = 2.5),
 
     "q247_kmv_distinct" -> Sketches.kmvOracleSql(
       "SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events",

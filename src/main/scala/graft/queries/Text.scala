@@ -265,6 +265,29 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Language confusion matrix: declared lang vs q21's detected lang,
+    // with margins and diagonal precision/recall — WHICH languages
+    // bleed into which, the sliced view behind the lang-ID accuracy.
+    "q249_lang_confusion" -> ((s, dir) =>
+      graft.ops.Eval.confusionMatrix(
+        Tables(s, dir).documents,
+        actual = col("lang"),
+        predicted = graft.text.TextAnalysis.langId(
+          graft.text.TextAnalysis.tokens(col("text"))))),
+
+    // Boilerplate REMOVAL over q127's injected template corpus: the
+    // transform the report only points at — nav-bar lines dropped from
+    // EVERY doc (no first-occurrence survivor), payload reassembled.
+    "q250_deboilerplate" -> ((s, dir) => {
+      val corpus = Tables(s, dir).documents
+        .withColumn("text", concat(
+          lit("welcome to "), col("source"),
+          lit(" home news about products downloads support faq contact legal "),
+          col("text")))
+      graft.text.Segments.removeBoilerplate(corpus, "doc_id", "text",
+        "source", per = linePer, minFrac = 0.5)
+    }),
+
     // RAKE keyphrases: top multi-word phrases from stopword-free token
     // runs, word deg/freq scoring in integer micros — the phrase-level
     // keyword surface q102's TF-IDF unigrams can't produce.
@@ -1284,6 +1307,31 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q249_lang_confusion" -> graft.ops.Eval.confusionMatrixOracleSql(
+      s"""SELECT lang AS a,
+         |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |       WHEN de >= fr AND de > 0 THEN 'de'
+         |       WHEN fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS p
+         |FROM (
+         |  SELECT lang,
+         |         len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS en,
+         |         len(list_filter(toks, t -> t IN ('el','la','de','y','que','los','en','un'))) AS es,
+         |         len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
+         |         len(list_filter(toks, t -> t IN ('le','les','des','et','est','une','dans','pour'))) AS fr
+         |  FROM (SELECT lang, $toksSql AS toks FROM documents)
+         |)""".stripMargin),
+
+    "q250_deboilerplate" -> graft.text.Segments.removeBoilerplateOracleSql(
+      s"""SELECT doc_id, source,
+         |       list_filter(string_split_regex(lower(
+         |         'welcome to ' || source ||
+         |         ' home news about products downloads support faq contact legal ' ||
+         |         text), '[^a-z0-9]+'), x -> x <> '') AS toks
+         |FROM documents""".stripMargin,
+      "doc_id", "source", per = linePer, minFrac = 0.5),
 
     "q245_rake" -> graft.text.Retrieval.rakeOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id",

@@ -193,6 +193,95 @@ object Segments {
           .as("doc_frac"))
   }
 
+  /** Boilerplate REMOVAL — the transform [[boilerplateLines]] only
+    * reports: rewrite each document dropping lines whose per-source
+    * document frequency crosses `minFrac` (nav bars, footers, cookie
+    * banners — the CCNet/Dolma pre-dedup cleanup). Unlike
+    * [[lineDedupDocs]] (first occurrence SURVIVES), template lines are
+    * dropped from EVERY document including the first — a nav bar is
+    * noise everywhere.
+    *
+    * Scale shape: the detection aggregation (line-keyed, map-side
+    * combinable), then the small high-df line set broadcast against the
+    * exploded corpus, one per-doc reassembly aggregation. Zero-token
+    * documents survive with empty text (the [[lineFilterDocs]]
+    * contract).
+    *
+    * @return (idCol, n_lines, n_kept, kept_text)
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, per: Int, minFrac: Double): DataFrame = {
+    val bp = boilerplateLines(docs, idCol, textCol, srcCol, per, minFrac)
+      .select(col(srcCol).as("__bsrc"), col("line").as("__bline"))
+    val exploded = docs
+      .select(col(idCol), col(srcCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(srcCol),
+        posexplode_outer(lineArrays(col("__toks"), per))
+          .as(Seq("idx", "toks")))
+      .select(col(idCol), col(srcCol), col("idx"),
+        array_join(col("toks"), " ").as("line"))
+    val flagged = exploded.join(broadcast(bp),
+      col(srcCol) === col("__bsrc") && col("line") === col("__bline"),
+      "left")
+    val keep = col("line").isNotNull && col("__bline").isNull
+    flagged.groupBy(col(idCol))
+      .agg(count(col("line")).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(keep, struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("kept_text"))
+  }
+
+  /** DuckDB oracle for [[removeBoilerplate]]: `docsTokSql` yields
+    * (`idName`, `srcName`, toks). */
+  def removeBoilerplateOracleSql(docsTokSql: String, idName: String,
+      srcName: String, per: Int, minFrac: Double): String =
+    s"""WITH t AS ($docsTokSql),
+       |s AS (
+       |  SELECT $idName, $srcName,
+       |         unnest(generate_series(0, len(toks) - 1, $per)) AS st,
+       |         toks
+       |  FROM t WHERE len(toks) > 0),
+       |d AS (
+       |  SELECT $idName, $srcName, st,
+       |         array_to_string(list_slice(toks, st + 1, st + $per), ' ')
+       |           AS line
+       |  FROM s),
+       |nd AS (
+       |  SELECT $srcName, CAST(count(DISTINCT $idName) AS BIGINT)
+       |           AS n_docs
+       |  FROM t GROUP BY 1),
+       |bp AS (
+       |  SELECT d.$srcName, line
+       |  FROM (SELECT $srcName, line,
+       |          CAST(count(DISTINCT $idName) AS BIGINT) AS line_df
+       |        FROM d GROUP BY 1, 2) d
+       |  JOIN nd ON d.$srcName = nd.$srcName
+       |  WHERE line_df >= 2
+       |    AND CAST(line_df AS DOUBLE) >= $minFrac * CAST(n_docs AS DOUBLE)),
+       |r AS (
+       |  SELECT d.$idName, d.st, d.line,
+       |         bp.line IS NOT NULL AS isbp
+       |  FROM d LEFT JOIN bp
+       |    ON d.$srcName = bp.$srcName AND d.line = bp.line),
+       |g AS (
+       |  SELECT $idName,
+       |         count(*) AS n_lines,
+       |         CAST(sum(CASE WHEN NOT isbp THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_kept,
+       |         coalesce(string_agg(CASE WHEN NOT isbp THEN line END,
+       |           ' ' ORDER BY st), '') AS kept_text
+       |  FROM r GROUP BY 1)
+       |SELECT t.$idName,
+       |       CAST(coalesce(g.n_lines, 0) AS BIGINT) AS n_lines,
+       |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+       |       coalesce(g.kept_text, '') AS kept_text
+       |FROM t LEFT JOIN g USING ($idName)""".stripMargin
+
   /** Sliding-window token chunking for training-sequence prep: windows of
     * `chunkSize` tokens starting every `stride` tokens (overlap =
     * chunkSize − stride). Start offsets are the multiples of `stride`

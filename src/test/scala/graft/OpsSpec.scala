@@ -1028,6 +1028,32 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("confusionMatrix: cells, margins, diagonal precision/recall") {
+    import spark.implicits._
+    val rows = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("y", "p")
+    val out = Eval.confusionMatrix(rows, col("y"), col("p"))
+      .collect().map(r => (r.getAs[String]("actual"),
+        r.getAs[String]("predicted")) ->
+        ((r.getAs[Long]("n"), Option(r.getAs[Any]("precision")),
+          Option(r.getAs[Any]("recall"))))).toMap
+    assert(out(("a", "a")) == ((1L, Some(1.0), Some(0.5))))
+    assert(out(("b", "b")) == ((1L, Some(0.5), Some(1.0))))
+    assert(out(("a", "b")) == ((1L, None, None)))
+  }
+
+  test("detrendedOutliers: a spike on a steep ramp is flagged, the " +
+      "ramp itself is not") {
+    import spark.implicits._
+    val series = (1L to 20L).map(t =>
+      ("k", t, if (t == 10L) 10 * t + 1000L else 10 * t)).toDF("k", "t", "x")
+    val out = TimeSeries.detrendedOutliers(series, Seq("k"), "t", "x",
+      zThreshold = 3.0).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 10L)
+    // global z over the ramp would flag the endpoints instead:
+    // sanity — endpoints are NOT in the detrended output (checked above
+    // by the single-row assertion)
+  }
+
   test("fellegiSunter: rare-field agreement outweighs common fields, " +
       "weights are exact micro-log2 of the odds") {
     import spark.implicits._

@@ -1309,4 +1309,22 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((6L, 6L, 0L, false, "a b c d e f")))
     assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
   }
+
+  test("removeBoilerplate: template line dropped from EVERY doc " +
+      "(no first-occurrence survivor), payloads kept") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar uniq1 payload", "s"),
+      (2L, "nav bar uniq2 payload", "s"),
+      (3L, "nav bar uniq3 payload", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.text.Segments.removeBoilerplate(docs, "doc_id", "text",
+        "source", per = 2, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "uniq1 payload"))) // first doc too
+    assert(out(2L) == ((2L, 1L, "uniq2 payload")))
+    assert(out(3L) == ((2L, 1L, "uniq3 payload")))
+  }
 }
