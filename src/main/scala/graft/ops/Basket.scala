@@ -101,9 +101,10 @@ object Basket {
     * @return (item, neighbor, co, n_item, n_neighbor, cosine, rn) —
     *         rn ≤ k ordered by (cosine desc, neighbor)
     */
-  def itemCosineTopK(baskets: DataFrame, basketCol: String,
-      itemCol: String, k: Int = 5): DataFrame = {
-    require(k >= 1)
+  /** The (item, item) cosine-scored symmetric pair frame both
+    * [[itemCosineTopK]] and [[recListAudit]] build on. */
+  private def scoredItemPairs(baskets: DataFrame, basketCol: String,
+      itemCol: String): DataFrame = {
     val m = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
     val sup = m.groupBy(col("__i")).agg(count(lit(1)).as("n"))
@@ -113,12 +114,18 @@ object Basket {
       .agg(count(lit(1)).as("co"))
     val sym = pairs.unionAll(pairs.select(col("ib").as("ia"),
       col("ia").as("ib"), col("co")))
-    val scored = sym
+    sym
       .join(sup.select(col("__i").as("ia"), col("n").as("n_item")), "ia")
       .join(sup.select(col("__i").as("ib"), col("n").as("n_neighbor")), "ib")
       .withColumn("cosine",
         col("co").cast("double") /
           sqrt((col("n_item") * col("n_neighbor")).cast("double")))
+  }
+
+  def itemCosineTopK(baskets: DataFrame, basketCol: String,
+      itemCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val scored = scoredItemPairs(baskets, basketCol, itemCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ia")).orderBy(col("cosine").desc, col("ib"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -127,9 +134,60 @@ object Basket {
         col("n_item"), col("n_neighbor"), col("cosine"), col("rn"))
   }
 
-  /** DuckDB oracle for [[itemCosineTopK]]: `innerSql` yields (b, i). */
-  def itemCosineOracleSql(innerSql: String, k: Int = 5): String =
-    s"""WITH m AS (SELECT DISTINCT b, i FROM ($innerSql)),
+  /** Recommendation-list AUDIT over [[itemCosineTopK]]'s neighborhoods:
+    * the two numbers that catch a degenerate recommender before launch —
+    * catalog COVERAGE (how much of the catalog ever gets recommended;
+    * popularity-collapsed lists score low) and INTRA-LIST SIMILARITY
+    * (mean pairwise cosine inside a list; near-duplicate lists score
+    * high). Ziegler et al. 2005's diversification diagnostics.
+    *
+    * Determinism: list-pair cosines are bit-identical doubles, so
+    * `trunc(cos·1e6)` integers sum in any order; missing pairs (never
+    * co-bought) contribute exactly 0. The scored pair frame is persisted
+    * — it feeds the top-k AND the pair lookup (the q27 caching
+    * contract).
+    *
+    * @return one row: (n_lists, catalog_size, n_recommended, coverage,
+    *         n_list_pairs, ils_micro_sum, ils)
+    */
+  def recListAudit(baskets: DataFrame, basketCol: String,
+      itemCol: String, k: Int = 5): DataFrame = {
+    val scored = scoredItemPairs(baskets, basketCol, itemCol).persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ia")).orderBy(col("cosine").desc, col("ib"))
+    val topk = scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("ia").as("item"), col("ib").as("nbr")).persist()
+    val catalog = baskets.select(col(itemCol).as("__i")).distinct()
+      .agg(count(lit(1)).as("catalog_size"))
+    val listPairs = topk.as("t1").join(topk.as("t2"),
+        col("t1.item") === col("t2.item") && col("t1.nbr") < col("t2.nbr"))
+      .select(col("t1.item").as("item"), col("t1.nbr").as("n1"),
+        col("t2.nbr").as("n2"))
+    val withCos = listPairs.join(
+        scored.select(col("ia").as("n1"), col("ib").as("n2"),
+          col("cosine")),
+        Seq("n1", "n2"), "left")
+      .withColumn("cmicro",
+        coalesce((col("cosine") * lit(1000000.0)).cast("long"), lit(0L)))
+    val lists = topk.agg(countDistinct(col("item")).as("n_lists"),
+      countDistinct(col("nbr")).as("n_recommended"))
+    val ils = withCos.agg(count(lit(1)).as("n_list_pairs"),
+      coalesce(sum(col("cmicro")), lit(0L)).as("ils_micro_sum"))
+    lists.crossJoin(broadcast(catalog)).crossJoin(broadcast(ils))
+      .select(col("n_lists"), col("catalog_size"), col("n_recommended"),
+        (col("n_recommended").cast("double") / col("catalog_size"))
+          .as("coverage"),
+        col("n_list_pairs"), col("ils_micro_sum"),
+        when(col("n_list_pairs") > 0,
+          col("ils_micro_sum").cast("double") / col("n_list_pairs") /
+            lit(1000000.0)).as("ils"))
+  }
+
+  /** Shared CTE prefix (`m`/`sup`/`pr`/`sym`/`scored`) for the
+    * item-cosine oracle family; `innerSql` yields (b, i). */
+  private def scoredPairsCtes(innerSql: String): String =
+    s"""m AS (SELECT DISTINCT b, i FROM ($innerSql)),
        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
        |pr AS (
        |  SELECT a.i AS ia, bb.i AS ib, CAST(count(*) AS BIGINT) AS co
@@ -145,7 +203,11 @@ object Basket {
        |           / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cosine
        |  FROM sym JOIN sup sa ON sa.i = sym.ia
        |           JOIN sup sb ON sb.i = sym.ib
-       |)
+       |)""".stripMargin
+
+  /** DuckDB oracle for [[itemCosineTopK]]: `innerSql` yields (b, i). */
+  def itemCosineOracleSql(innerSql: String, k: Int = 5): String =
+    s"""WITH ${scoredPairsCtes(innerSql)}
        |SELECT ia AS item, ib AS neighbor, co, n_item, n_neighbor,
        |       cosine, rn
        |FROM (
@@ -153,4 +215,40 @@ object Basket {
        |    ORDER BY cosine DESC, ib) AS BIGINT) AS rn
        |  FROM scored
        |) WHERE rn <= $k""".stripMargin
+
+  /** DuckDB oracle for [[recListAudit]]: `innerSql` yields (b, i). */
+  def recListAuditOracleSql(innerSql: String, k: Int = 5): String =
+    s"""WITH ${scoredPairsCtes(innerSql)},
+       |topk AS (
+       |  SELECT ia AS item, ib AS nbr FROM (
+       |    SELECT ia, ib, CAST(row_number() OVER (PARTITION BY ia
+       |      ORDER BY cosine DESC, ib) AS BIGINT) AS rn
+       |    FROM scored
+       |  ) WHERE rn <= $k
+       |), lp AS (
+       |  SELECT t1.item, t1.nbr AS n1, t2.nbr AS n2
+       |  FROM topk t1 JOIN topk t2
+       |    ON t1.item = t2.item AND t1.nbr < t2.nbr
+       |), wc AS (
+       |  SELECT lp.*, coalesce(CAST(trunc(s.cosine * 1000000.0)
+       |    AS BIGINT), 0) AS cmicro
+       |  FROM lp LEFT JOIN scored s ON s.ia = lp.n1 AND s.ib = lp.n2
+       |), cat AS (
+       |  SELECT CAST(count(DISTINCT i) AS BIGINT) AS catalog_size FROM m
+       |), ls AS (
+       |  SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_lists,
+       |         CAST(count(DISTINCT nbr) AS BIGINT) AS n_recommended
+       |  FROM topk
+       |), il AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_list_pairs,
+       |         CAST(coalesce(sum(cmicro), 0) AS BIGINT) AS ils_micro_sum
+       |  FROM wc
+       |)
+       |SELECT n_lists, catalog_size, n_recommended,
+       |       CAST(n_recommended AS DOUBLE) / catalog_size AS coverage,
+       |       n_list_pairs, ils_micro_sum,
+       |       CASE WHEN n_list_pairs > 0 THEN
+       |         CAST(ils_micro_sum AS DOUBLE) / n_list_pairs / 1000000.0
+       |       END AS ils
+       |FROM ls CROSS JOIN cat CROSS JOIN il""".stripMargin
 }

@@ -251,6 +251,50 @@ object Eval {
           col("dcg_q").cast("double") / col("idcg_q")))
   }
 
+  /** MRR — mean reciprocal rank's per-query ingredient: the rank of the
+    * FIRST relevant item in the system ordering, and its reciprocal as
+    * the exact integer `1e6 div rank` (micros — so the corpus mean is
+    * `Σ rr_micro / n / 1e6`, partition-order-free; a raw `1.0/rank`
+    * double sum is not). The "how deep must the user scroll" number
+    * [[ndcgAtK]]'s graded sum hides.
+    *
+    * Queries with NO relevant item are absent from the output (MRR
+    * convention: they contribute 0 — count them upstream via the query
+    * universe).
+    *
+    * @return per query: (queryCol, first_rel_rank, rr_micro)
+    */
+  def mrr(df: DataFrame, queryCol: String, item: Column, rel: Column,
+      score: Column): DataFrame = {
+    val base = df.select(col(queryCol), item.as("__i"), rel.as("__r"),
+        score.as("__s"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__s").isNotNull)
+    val wSys = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("__s").desc, col("__i"))
+    base
+      .withColumn("__rank", row_number().over(wSys).cast("long"))
+      .filter(col("__r") > 0)
+      .groupBy(col(queryCol))
+      .agg(min(col("__rank")).as("first_rel_rank"))
+      .withColumn("rr_micro", expr("1000000 div first_rel_rank"))
+  }
+
+  /** DuckDB oracle for [[mrr]]: `innerSql` yields (`qName`, i, r, s). */
+  def mrrOracleSql(innerSql: String, qName: String): String =
+    s"""WITH b AS (
+       |  SELECT $qName, i, r, s FROM ($innerSql)
+       |  WHERE i IS NOT NULL AND r IS NOT NULL AND s IS NOT NULL
+       |), p AS (
+       |  SELECT $qName, r,
+       |    CAST(row_number() OVER (PARTITION BY $qName
+       |      ORDER BY s DESC, i) AS BIGINT) AS rk
+       |  FROM b
+       |)
+       |SELECT $qName, min(rk) AS first_rel_rank,
+       |       CAST(1000000 // min(rk) AS BIGINT) AS rr_micro
+       |FROM p WHERE r > 0 GROUP BY 1""".stripMargin
+
   /** Multi-class confusion matrix with margins and diagonal
     * precision/recall — the sliced view behind every classifier
     * accuracy number (language-ID vs declared language, predicted vs

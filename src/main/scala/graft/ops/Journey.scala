@@ -420,6 +420,52 @@ object Journey {
        |       CAST(sum(lin) AS BIGINT) AS linear_micro
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Windowed co-occurrence matrix: for EVERY ordered event-type pair
+    * (a, b), how often b follows a within `windowSeconds` on the same
+    * user — the all-pairs generalization of [[withinWindowConversion]]
+    * (one chosen pair) and the q173 Markov matrix (adjacent steps
+    * only): "what tends to happen within the hour after X", per X.
+    *
+    * Scale shape: ONE user-keyed self-join with the time range as a
+    * join predicate (per-user fan-out activity-bounded — cap whales
+    * with [[Sampling.capPerKey]] first), one pair aggregation. Distinct
+    * users via exact count (the matrix is |types|² rows).
+    *
+    * @return (type_a, type_b, n_pairs, n_users) — ordered pairs,
+    *         a ≠ b, strictly later b
+    */
+  def cooccurrenceWindow(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val a = events.select(col(userCol).as("__u"), col(typeCol).as("ta"),
+      m.as("__ma"))
+    val b = events.select(col(userCol).as("__u2"), col(typeCol).as("tb"),
+      m.as("__mb"))
+    a.join(b,
+        col("__u") === col("__u2") &&
+          col("ta") =!= col("tb") &&
+          col("__mb") > col("__ma") &&
+          col("__mb") <= col("__ma") + lit(windowSeconds * 1000000L))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("__u")).as("n_users"))
+  }
+
+  /** DuckDB oracle for [[cooccurrenceWindow]]. */
+  def cooccurrenceOracleSql(table: String, userCol: String,
+      typeCol: String, tsCol: String, windowSeconds: Long): String =
+    s"""WITH e AS (
+       |  SELECT $userCol AS u, $typeCol AS ty, epoch_us($tsCol) AS m
+       |  FROM $table
+       |)
+       |SELECT a.ty AS type_a, b.ty AS type_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+       |FROM e a JOIN e b ON a.u = b.u AND a.ty <> b.ty
+       |  AND b.m > a.m AND b.m <= a.m + ${windowSeconds * 1000000L}
+       |GROUP BY 1, 2""".stripMargin
+
   /** Time-to-convert distribution: per user, FIRST trigger → first
     * outcome after it; discrete quantiles of the lag in seconds — the
     * "how long does the funnel take" number

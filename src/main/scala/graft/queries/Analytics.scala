@@ -559,6 +559,25 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // MRR ingredients: per user, the rank of the first relevant item
+    // under the value ordering, reciprocal in exact integer micros —
+    // the "how deep does the user scroll" number q220's graded nDCG
+    // hides; Σ rr_micro/n/1e6 is the corpus MRR, order-free.
+    "q252_mrr" -> ((s, dir) =>
+      Eval.mrr(
+        Tables(s, dir).events.select(col("user_id"), col("event_id"),
+          pmod(col("event_id"), lit(4L)).as("rel"),
+          Exact.cents(col("value")).as("score")),
+        "user_id", col("event_id"), col("rel"), col("score"))),
+
+    // All-pairs windowed co-occurrence: for every ordered type pair,
+    // how often b follows a within the hour on the same user — q213
+    // generalized from one chosen pair, q173's Markov freed from
+    // adjacency.
+    "q253_cooccurrence" -> ((s, dir) =>
+      Journey.cooccurrenceWindow(Tables(s, dir).events, "user_id",
+        "event_type", "ts", windowSeconds = 3600L)),
+
     // Detrended outliers: hourly counts z-scored against each type's
     // OLS trend residuals — spikes on ramps stop hiding inside the
     // ramp's variance (q07's global-z false negative).
@@ -1257,6 +1276,15 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q252_mrr" -> Eval.mrrOracleSql(
+      """SELECT user_id, event_id AS i, event_id % 4 AS r,
+        |       CAST(round(value * 100) AS BIGINT) AS s
+        |FROM events""".stripMargin,
+      "user_id"),
+
+    "q253_cooccurrence" -> Journey.cooccurrenceOracleSql(
+      "events", "user_id", "event_type", "ts", windowSeconds = 3600L),
 
     "q251_detrended" -> TimeSeries.detrendedOutliersOracleSql(
       """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,

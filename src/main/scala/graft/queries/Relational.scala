@@ -723,6 +723,15 @@ object Relational extends QueryModule {
         .filter(col("is_match"))
     }),
 
+    // Recommendation-list audit over q239's neighborhoods: catalog
+    // coverage + intra-list similarity — the two degenerate-recommender
+    // detectors (popularity collapse, near-duplicate lists).
+    "q254_rec_audit" -> ((s, dir) =>
+      graft.ops.Basket.recListAudit(
+        Tables(s, dir).lineitem.select(col("l_orderkey"),
+          col("l_partkey")),
+        "l_orderkey", "l_partkey", k = 5)),
+
     // Item-item cosine neighborhoods over order baskets: top-5 "also
     // bought" parts per part — the normalized neighbor weight q185's
     // lift distorts toward rare coincidences; co-occurrence only
@@ -1339,6 +1348,9 @@ object Relational extends QueryModule {
     },
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
+      "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
+
+    "q254_rec_audit" -> graft.ops.Basket.recListAuditOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
 
     "q237_incr_pagerank" ->

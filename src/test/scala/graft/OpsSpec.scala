@@ -1028,6 +1028,51 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("mrr: first-relevant rank exact, reciprocal in integer micros, " +
+      "relevance-free queries absent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("qA", 1L, 0L, 30L), ("qA", 2L, 0L, 20L), ("qA", 3L, 1L, 10L),
+      ("qB", 4L, 1L, 9L), ("qB", 5L, 0L, 8L),
+      ("qC", 6L, 0L, 7L))
+      .toDF("q", "i", "r", "s")
+    val out = Eval.mrr(rows, "q", col("i"), col("r"), col("s"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2)))).toMap
+    assert(out("qA") == ((3L, 333333L)))
+    assert(out("qB") == ((1L, 1000000L)))
+    assert(!out.contains("qC"))
+  }
+
+  test("cooccurrenceWindow: in-window ordered pair counted once, " +
+      "out-of-window and same-type pairs excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", "2024-01-01 00:00:00"),
+      (1L, "B", "2024-01-01 00:30:00"),
+      (1L, "C", "2024-01-01 02:00:00"),
+      (1L, "A", "2024-01-01 00:10:00")) // A→A excluded by type
+      .toDF("uid", "typ", "ts")
+      .select(col("uid"), col("typ"), col("ts").cast("timestamp").as("ts"))
+    val out = Journey.cooccurrenceWindow(ev, "uid", "typ", "ts", 3600L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(("A", "B") -> ((2L, 1L)))) // both A's precede B
+  }
+
+  test("recListAudit: full coverage on the planted catalog, " +
+      "uncoupled list pair contributes zero similarity") {
+    import spark.implicits._
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L)).toDF("b", "i")
+    val out = Basket.recListAudit(baskets, "b", "i", k = 2).head()
+    spark.catalog.clearCache()
+    assert(out.getAs[Long]("n_lists") == 3L)
+    assert(out.getAs[Double]("coverage") == 1.0)
+    assert(out.getAs[Long]("n_list_pairs") == 1L) // item1's (2,3)
+    assert(out.getAs[Long]("ils_micro_sum") == 0L) // 2,3 never co-occur
+  }
+
   test("confusionMatrix: cells, margins, diagonal precision/recall") {
     import spark.implicits._
     val rows = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("y", "p")
