@@ -421,6 +421,79 @@ object Sampling {
       |FROM s$rounds""".stripMargin
   }
 
+  /** Poisson(1) CDF as literal 60-bit hash cutoffs — decimal constants
+    * baked here ONCE, so the identical longs land in the Spark plan and
+    * the oracle (no cross-engine `exp()` ever runs). Draws > 6 collapse
+    * to 7 (P ≈ 8·10⁻⁵ — bias far below bootstrap noise). */
+  private val poissonCum = Seq(0.36787944117144233, 0.7357588823428846,
+    0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+    0.9994058151824183, 0.9999167588507119)
+  private[ops] val poissonCuts: Seq[Long] =
+    poissonCum.map(c => (c * 1152921504606846976.0).toLong)
+
+  /** Deterministic POISSON BOOTSTRAP (the map-reduce bootstrap of
+    * Chamandy et al. 2012): resample `b` times by giving each row a
+    * Poisson(1) weight drawn from the portable hash of (id, replicate)
+    * — no RNG state, no shuffling rows into resamples, identical
+    * replicates on every engine/run/partitioning, which is what makes a
+    * CI auditable. One pass regardless of `b` (the replicate fan-out is
+    * a generator), exact integer (Σw, Σw·y) per replicate, one IEEE
+    * division per mean. Feed the `b` means to the q40 quantile
+    * machinery for the interval.
+    *
+    * @param y exact integer metric ([[Exact.cents]])
+    * @return per replicate: (rep, n_eff, sum_wy, mean)
+    */
+  def bootstrapMeans(df: DataFrame, idCol: String, y: Column,
+      b: Int = 32): DataFrame = {
+    require(b >= 2)
+    val cuts = poissonCuts
+    val h = graft.functions.Hash64.hash60(
+      concat(col(idCol).cast("string"), lit(":"),
+        col("rep").cast("string")))
+    val draw = cuts.zipWithIndex.foldRight(lit(cuts.length.toLong)) {
+      case ((cut, k), elseCol) => when(h < cut, k.toLong).otherwise(elseCol)
+    }
+    df.select(col(idCol), y.as("__y"))
+      .filter(col("__y").isNotNull)
+      .withColumn("rep", explode(sequence(lit(0L), lit(b.toLong - 1))))
+      .withColumn("__w", draw)
+      .groupBy(col("rep"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__y")).as("sum_wy"))
+      .withColumn("mean",
+        when(col("n_eff") > 0,
+          col("sum_wy").cast("double") / col("n_eff")))
+  }
+
+  /** DuckDB oracle for [[bootstrapMeans]]: `innerSql` yields
+    * (`idName`, y). */
+  def bootstrapOracleSql(innerSql: String, idName: String,
+      b: Int = 32): String = {
+    val h = graft.functions.Hash64.duckSql(
+      s"CAST($idName AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")
+    val draw = poissonCuts.zipWithIndex.reverse
+      .foldLeft(s"${poissonCuts.length}") {
+        case (elseExpr, (cut, k)) =>
+          s"CASE WHEN $h < $cut THEN $k ELSE $elseExpr END"
+      }
+    s"""WITH base AS (
+       |  SELECT $idName, y FROM ($innerSql) WHERE y IS NOT NULL
+       |), r AS (
+       |  SELECT $idName, y, rep, CAST($draw AS BIGINT) AS w
+       |  FROM base
+       |  CROSS JOIN (SELECT unnest(range(0, $b)) AS rep)
+       |), g AS (
+       |  SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+       |         CAST(sum(w * y) AS BIGINT) AS sum_wy
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT rep, n_eff, sum_wy,
+       |       CASE WHEN n_eff > 0
+       |         THEN CAST(sum_wy AS DOUBLE) / n_eff END AS mean
+       |FROM g""".stripMargin
+  }
+
   /** Largest-remainder (Hamilton) apportionment: split an integer
     * budget of `seats` across groups proportionally to `weightCol`,
     * with Σ seats EXACT — floors first, then one extra seat to the

@@ -68,4 +68,59 @@ object Windows {
         expr("element_at(__arr, cast((size(__arr) + 1) div 2 as int))"))
       .drop("__arr")
   }
+
+  /** Peak burst rate per key: the MAXIMUM event count inside any
+    * `windowSeconds`-wide sliding window of the key's stream — the
+    * rate-limit/abuse signal a fixed-bucket rollup (q08) understates by
+    * up to 2× (a burst straddling a bucket boundary splits). Every
+    * window start coincides with an event (the optimum always does), so
+    * one RANGE frame anchored at each event is exhaustive — the frame
+    * is VALUE-ranged, not row-ranged: gaps in the stream don't leak
+    * events into the window.
+    *
+    * One keyed window + one keyed aggregation, nothing global.
+    *
+    * @return (keyCol, n_events, peak_rate, peak_at_sec) — peak_at_sec
+    *         = the earliest window start achieving the peak
+    */
+  def peakWindowRate(events: DataFrame, keyCol: String, tsCol: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1)
+    val sec = expr(
+      s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 1000000")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__sec"))
+      .rangeBetween(0, windowSeconds - 1)
+    events.select(col(keyCol), sec.as("__sec"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__mx",
+        max(col("__cnt")).over(Window.partitionBy(col(keyCol))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__cnt")).as("peak_rate"),
+        min(when(col("__cnt") === col("__mx"), col("__sec")))
+          .as("peak_at_sec"))
+  }
+
+  /** DuckDB oracle for [[peakWindowRate]]. */
+  def peakWindowRateOracleSql(table: String, keyCol: String,
+      tsCol: String, windowSeconds: Long): String =
+    s"""WITH e AS (
+       |  SELECT $keyCol AS k, epoch_us($tsCol) // 1000000 AS sec
+       |  FROM $table
+       |), c AS (
+       |  SELECT k, sec,
+       |         CAST(count(*) OVER (PARTITION BY k ORDER BY sec
+       |           RANGE BETWEEN CURRENT ROW
+       |           AND ${windowSeconds - 1} FOLLOWING) AS BIGINT) AS cnt
+       |  FROM e
+       |), m AS (
+       |  SELECT k, sec, cnt,
+       |         max(cnt) OVER (PARTITION BY k) AS mx
+       |  FROM c
+       |)
+       |SELECT k AS $keyCol, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(max(cnt) AS BIGINT) AS peak_rate,
+       |       CAST(min(CASE WHEN cnt = mx THEN sec END) AS BIGINT)
+       |         AS peak_at_sec
+       |FROM m GROUP BY 1""".stripMargin
 }

@@ -559,6 +559,22 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Peak burst rate: max events inside ANY sliding 60s window per
+    // user (VALUE-ranged frame — gaps don't leak) — the rate-limit
+    // signal q08's fixed hourly buckets understate at boundaries.
+    "q255_burst_rate" -> ((s, dir) =>
+      Windows.peakWindowRate(Tables(s, dir).events, "user_id", "ts",
+        windowSeconds = 60L)),
+
+    // Deterministic Poisson bootstrap: 32 hash-weighted replicates of
+    // the mean value in one pass — auditable CIs (identical replicates
+    // on every engine/run); literal Poisson cutoffs, no RNG.
+    "q256_bootstrap" -> ((s, dir) =>
+      Sampling.bootstrapMeans(
+        Tables(s, dir).events.select(col("event_id"),
+          Exact.cents(col("value")).as("cents")),
+        "event_id", col("cents"), b = 32)),
+
     // MRR ingredients: per user, the rank of the first relevant item
     // under the value ordering, reciprocal in exact integer micros —
     // the "how deep does the user scroll" number q220's graded nDCG
@@ -1276,6 +1292,14 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q255_burst_rate" -> Windows.peakWindowRateOracleSql(
+      "events", "user_id", "ts", windowSeconds = 60L),
+
+    "q256_bootstrap" -> Sampling.bootstrapOracleSql(
+      """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin,
+      "event_id", b = 32),
 
     "q252_mrr" -> Eval.mrrOracleSql(
       """SELECT user_id, event_id AS i, event_id % 4 AS r,

@@ -265,6 +265,13 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // URL path-hierarchy rollup over q113's dirty URLs: per (host,
+    // path prefix, depth) counts — WHERE in each site the corpus sits,
+    // the crawl-frontier view above q114's whole-host cap.
+    "q257_path_rollup" -> ((s, dir) =>
+      graft.text.Urls.pathRollup(
+        Tables(s, dir).documents.select(dirtyUrl.as("url")), "url")),
+
     // Language confusion matrix: declared lang vs q21's detected lang,
     // with margins and diagonal precision/recall — WHICH languages
     // bleed into which, the sliced view behind the lang-ID accuracy.
@@ -1307,6 +1314,9 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q257_path_rollup" -> graft.text.Urls.pathRollupOracleSql(
+      "documents", s"($dirtyUrlSql)"),
 
     "q249_lang_confusion" -> graft.ops.Eval.confusionMatrixOracleSql(
       s"""SELECT lang AS a,

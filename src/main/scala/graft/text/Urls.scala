@@ -137,6 +137,58 @@ object Urls {
       .select(col("__h").as(hostCol), col("token"), col("c"), col("rank"))
   }
 
+  /** URL path-hierarchy rollup: per (host, path-prefix) at depths
+    * 1..`maxDepth`, how many URLs live under that prefix — the crawl
+    * frontier / section-weight view ([[host]] alone collapses a whole
+    * site to one row; this shows WHERE in the site the corpus sits).
+    * Segments compare lowercased (site sections are case-insensitive
+    * in practice; the raw path stays whatever [[canonical]] kept).
+    *
+    * One generator explode (≤ maxDepth rows per URL) + one hash
+    * aggregation. URLs without a scheme yield NULL host upstream and
+    * are excluded.
+    *
+    * @return (host, depth, prefix, n_urls)
+    */
+  def pathRollup(df: DataFrame, urlCol: String, maxDepth: Int = 3)
+      : DataFrame = {
+    require(maxDepth >= 1)
+    val segs = filter(split(
+      lower(regexp_extract(col(urlCol), pathRe, 1)), "/"),
+      s => s =!= "")
+    df.select(host(col(urlCol)).as("host"), segs.as("__segs"))
+      .filter(col("host").isNotNull && size(col("__segs")) >= 1)
+      .withColumn("depth", explode(sequence(lit(1L),
+        least(lit(maxDepth.toLong), size(col("__segs")).cast("long")))))
+      .select(col("host"), col("depth"),
+        concat(lit("/"), array_join(
+          slice(col("__segs"), lit(1), col("depth").cast("int")), "/"))
+          .as("prefix"))
+      .groupBy(col("host"), col("depth"), col("prefix"))
+      .agg(count(lit(1)).as("n_urls"))
+  }
+
+  /** DuckDB oracle for [[pathRollup]]: `urlExpr` over `table`. */
+  def pathRollupOracleSql(table: String, urlExpr: String,
+      maxDepth: Int = 3): String =
+    s"""WITH u AS (
+       |  SELECT ${hostSql(urlExpr)} AS host,
+       |         list_filter(string_split(
+       |           lower(regexp_extract($urlExpr, '$pathRe', 1)), '/'),
+       |           s -> s <> '') AS segs
+       |  FROM $table
+       |), e AS (
+       |  SELECT host, segs,
+       |         unnest(range(1, least($maxDepth, len(segs)) + 1)) AS depth
+       |  FROM u WHERE host IS NOT NULL AND len(segs) >= 1
+       |)
+       |SELECT host, CAST(depth AS BIGINT) AS depth,
+       |       '/' || array_to_string(
+       |         list_slice(segs, 1, CAST(depth AS INTEGER)), '/')
+       |         AS prefix,
+       |       CAST(count(*) AS BIGINT) AS n_urls
+       |FROM e GROUP BY 1, 2, 3""".stripMargin
+
   /** DuckDB mirror of [[host]]. */
   def hostSql(urlExpr: String): String =
     s"""CASE WHEN regexp_extract($urlExpr, '$schemeRe', 1) <> ''

@@ -1028,6 +1028,34 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("peakWindowRate: burst straddling bucket boundaries found, " +
+      "value-ranged frame ignores gaps") {
+    import spark.implicits._
+    val ev = Seq(0L, 10L, 59L, 60L, 200L).map(sec =>
+      (1L, new java.sql.Timestamp(1700000000000L + sec * 1000L)))
+      .toDF("uid", "ts")
+    val out = Windows.peakWindowRate(ev, "uid", "ts", 60L).head()
+    assert(out.getLong(1) == 5L)                     // n_events
+    assert(out.getLong(2) == 3L)                     // peak: {0,10,59}
+    assert(out.getLong(3) == 1700000000L)            // earliest peak start
+  }
+
+  test("bootstrapMeans: constant metric gives constant replicate " +
+      "means, weights Poisson-plausible, deterministic") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, 10L)).toDF("id", "y")
+    val out = Sampling.bootstrapMeans(rows, "id", col("y"), b = 16)
+      .collect()
+    assert(out.length == 16)
+    assert(out.forall(r => r.isNullAt(3) ||
+      r.getDouble(3) == 10.0))
+    val totalW = out.map(_.getLong(1)).sum
+    assert(totalW > 16L * 500 / 2 && totalW < 16L * 500 * 3 / 2)
+    val again = Sampling.bootstrapMeans(rows.repartition(7), "id",
+      col("y"), b = 16).collect().map(_.getLong(1)).sum
+    assert(again == totalW)
+  }
+
   test("mrr: first-relevant rank exact, reciprocal in integer micros, " +
       "relevance-free queries absent") {
     import spark.implicits._

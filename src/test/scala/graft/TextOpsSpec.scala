@@ -1310,6 +1310,21 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
   }
 
+  test("pathRollup: prefixes per depth, hosts case-folded and merged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val urls = Seq("https://A.com/x/y/z?q=1", "https://a.com/x/w",
+      "not a url").toDF("url")
+    val out = graft.text.Urls.pathRollup(urls, "url")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2)) -> r.getLong(3)).toMap
+    assert(out(("a.com", 1L, "/x")) == 2L)
+    assert(out(("a.com", 2L, "/x/y")) == 1L)
+    assert(out(("a.com", 3L, "/x/y/z")) == 1L)
+    assert(out(("a.com", 2L, "/x/w")) == 1L)
+    assert(out.size == 4) // schemeless row excluded
+  }
+
   test("removeBoilerplate: template line dropped from EVERY doc " +
       "(no first-occurrence survivor), payloads kept") {
     import org.apache.spark.sql.functions._
