@@ -240,6 +240,152 @@ object Profiling {
       .agg(count(lit(1)).as("group_n"))
       .filter(col("group_n") < k)
 
+  /** Two-sample Kolmogorov–Smirnov test — the binning-free drift
+    * verdict next to PSI (`psiDrift` needs reference deciles and reads
+    * in "drift units"; KS needs NOTHING and reads as reject/accept):
+    * D = max |F̂_a(v) − F̂_b(v)| over the pooled observed values.
+    *
+    * Exactness: both ECDFs advance only at observed values, so the max
+    * runs over the pooled distinct-value histogram; the comparison is
+    * the cross-multiplied integer `|cumA·n_b − cumB·n_a|` — D and its
+    * argmax value are exact; D itself and the α = 0.05 threshold
+    * `1.358·√((n_a+n_b)/(n_a·n_b))` are fixed IEEE readouts (1.358 is
+    * a literal on both engines).
+    *
+    * Scale shape: one value-keyed histogram aggregation, one cumulative
+    * window over distinct values, one global max fold. No row sorts.
+    *
+    * @return one row: (n_a, n_b, d_num, d, d_at, crit_05, reject_05) —
+    *         d_num = (n_a·n_b)·D; d_at = smallest value achieving D
+    */
+  def ksTest(a: DataFrame, b: DataFrame, v: Column): DataFrame = {
+    val ha = a.select(v.as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("ca"))
+    val hb = b.select(v.as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("cb"))
+    val merged = ha.join(hb, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = merged
+      .withColumn("cumA", sum(col("ca")).over(wCum))
+      .withColumn("cumB", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .withColumn("diff",
+        abs(col("cumA") * col("nb") - col("cumB") * col("na")))
+    val top = cum
+      .withColumn("__mx",
+        max(col("diff")).over(wAll))
+      .filter(col("diff") === col("__mx"))
+      .groupBy(col("na"), col("nb"), col("diff").as("d_num"))
+      .agg(min(col("__v")).as("d_at"))
+    val d = col("d_num").cast("double") /
+      (col("na").cast("double") * col("nb"))
+    val crit = lit(1.358) * sqrt(
+      (col("na") + col("nb")).cast("double") /
+        (col("na").cast("double") * col("nb")))
+    top.select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+      d.as("d"), col("d_at"), crit.as("crit_05"),
+      (d > crit).as("reject_05"))
+  }
+
+  /** DuckDB oracle for [[ksTest]]: `aSql`/`bSql` yield one `v`. */
+  def ksTestOracleSql(aSql: String, bSql: String): String =
+    s"""WITH ha AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS ca FROM ($aSql)
+       |  WHERE v IS NOT NULL GROUP BY 1
+       |), hb AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS cb FROM ($bSql)
+       |  WHERE v IS NOT NULL GROUP BY 1
+       |), m AS (
+       |  SELECT coalesce(ha.v, hb.v) AS v, coalesce(ca, 0) AS ca,
+       |         coalesce(cb, 0) AS cb
+       |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v
+       |), c AS (
+       |  SELECT v,
+       |    CAST(sum(ca) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cumA,
+       |    CAST(sum(cb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cumB,
+       |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+       |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+       |  FROM m
+       |), dd AS (
+       |  SELECT *, abs(cumA * nb - cumB * na) AS diff,
+       |         max(abs(cumA * nb - cumB * na)) OVER () AS mx
+       |  FROM c
+       |), top AS (
+       |  SELECT na, nb, diff AS d_num, min(v) AS d_at
+       |  FROM dd WHERE diff = mx GROUP BY 1, 2, 3
+       |)
+       |SELECT na AS n_a, nb AS n_b, d_num,
+       |       CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb) AS d,
+       |       d_at,
+       |       1.358 * sqrt(CAST(na + nb AS DOUBLE)
+       |         / (CAST(na AS DOUBLE) * nb)) AS crit_05,
+       |       CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+       |         > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+       |             / (CAST(na AS DOUBLE) * nb)) AS reject_05
+       |FROM top""".stripMargin
+
+  /** Chapman capture–recapture estimate: the true population size
+    * inferred from TWO independent incomplete samples and their
+    * overlap, `N̂ = (n_a+1)(n_b+1)/(m+1) − 1` — the ecology estimator
+    * that answers corpus questions no single scan can ("how many
+    * distinct users/dups exist INCLUDING the ones neither sample
+    * caught"). Exact integer division for the point estimate (the
+    * bias-corrected Chapman form), double readout alongside.
+    *
+    * @return one row: (n_a, n_b, m_overlap, n_hat, n_hat_d) — NULL
+    *         estimate when the overlap is empty (independence broken
+    *         or samples too small; no finite estimate exists)
+    */
+  def chapmanEstimate(a: DataFrame, b: DataFrame, keyCols: Seq[String])
+      : DataFrame = {
+    val da = a.select(keyCols.map(col): _*).distinct()
+    val db = b.select(keyCols.map(col): _*).distinct()
+    val na = da.agg(count(lit(1)).as("n_a"))
+    val nb = db.agg(count(lit(1)).as("n_b"))
+    val m = da.join(db, keyCols).agg(count(lit(1)).as("m_overlap"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+      .withColumn("n_hat",
+        when(col("m_overlap") > 0,
+          expr("(n_a + 1) * (n_b + 1) div (m_overlap + 1) - 1")))
+      .withColumn("n_hat_d",
+        when(col("m_overlap") > 0,
+          (col("n_a") + 1).cast("double") * (col("n_b") + 1) /
+            (col("m_overlap") + 1) - 1.0))
+  }
+
+  /** DuckDB oracle for [[chapmanEstimate]]: `aSql`/`bSql` yield the
+    * key columns. */
+  def chapmanOracleSql(aSql: String, bSql: String,
+      keyCols: Seq[String]): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH da AS (SELECT DISTINCT $keys FROM ($aSql)),
+       |db AS (SELECT DISTINCT $keys FROM ($bSql)),
+       |s AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM da) AS n_a,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM db) AS n_b,
+       |         (SELECT CAST(count(*) AS BIGINT)
+       |          FROM da JOIN db USING ($keys)) AS m_overlap
+       |)
+       |SELECT n_a, n_b, m_overlap,
+       |       CASE WHEN m_overlap > 0 THEN
+       |         CAST((n_a + 1) * (n_b + 1) // (m_overlap + 1) - 1
+       |           AS BIGINT) END AS n_hat,
+       |       CASE WHEN m_overlap > 0 THEN
+       |         CAST(n_a + 1 AS DOUBLE) * (n_b + 1) / (m_overlap + 1)
+       |           - 1.0 END AS n_hat_d
+       |FROM s""".stripMargin
+  }
+
   /** l-diversity audit — the attack [[kAnonymityViolations]] misses:
     * a quasi-identifier group can hide k rows yet still leak if they
     * all share ONE sensitive value (homogeneity attack — "every

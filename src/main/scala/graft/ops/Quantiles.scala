@@ -292,6 +292,67 @@ object Quantiles {
     * and engine-portable).
     *
     * @return df plus `binCol` (0 .. #cuts, or NULL for NULL values) */
+  /** WEIGHTED discrete quantiles: the value at which the cumulative
+    * WEIGHT (not row count) crosses p·W per group — "the price under
+    * which half the *volume* trades", which the unweighted q40 form
+    * gets wrong whenever weight correlates with value. Same
+    * value-histogram machinery (per-value weight sums, one cumulative
+    * window over distinct values, integer cross-multiplied rank test
+    * `cum·den ≥ W·num`), so ties share a value and nothing sorts rows.
+    *
+    * @param ps quantiles as (num, den) rationals; columns named
+    *           `wp<100·num/den>`
+    * @return one row per group: (grpCols..., w_total, wp50, ...)
+    */
+  def weightedQuantiles(df: DataFrame, grpCols: Seq[String], v: Column,
+      w: Column, ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty)
+    val hist = df.select(grpCols.map(col) :+ v.as("__v") :+ w.as("__w"): _*)
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
+      .groupBy(grpCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__wat"))
+    val wCum = Window.partitionBy(grpCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(grpCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__wat")).over(wCum))
+      .withColumn("__W", sum(col("__wat")).over(wAll))
+    val qs = ps.map { case (num, den) =>
+      min(when(col("__cum") * den >= col("__W") * num, col("__v")))
+        .as(s"wp${num * 100 / den}")
+    }
+    val aggs = max(col("__W")).as("w_total") +: qs
+    cum.groupBy(grpCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB oracle for [[weightedQuantiles]]: `innerSql` yields
+    * (grpCols..., v, w) as integers. */
+  def weightedQuantilesOracleSql(innerSql: String, grpCols: Seq[String],
+      ps: Seq[(Int, Int)]): String = {
+    val keys = grpCols.mkString(", ")
+    val qs = ps.map { case (num, den) =>
+      s"""min(CASE WHEN cum * $den >= ww * $num THEN v END)
+         |  AS wp${num * 100 / den}""".stripMargin
+    }.mkString(",\n|       ")
+    s"""WITH b AS (
+       |  SELECT $keys, v, w FROM ($innerSql)
+       |  WHERE v IS NOT NULL AND w IS NOT NULL
+       |), h AS (
+       |  SELECT $keys, v, CAST(sum(w) AS BIGINT) AS wat
+       |  FROM b GROUP BY ${(1 to grpCols.length + 1).mkString(", ")}
+       |), c AS (
+       |  SELECT $keys, v,
+       |    CAST(sum(wat) OVER (PARTITION BY $keys ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(wat) OVER (PARTITION BY $keys) AS BIGINT) AS ww
+       |  FROM h
+       |)
+       |SELECT $keys, max(ww) AS w_total,
+       |       $qs
+       |FROM c GROUP BY $keys""".stripMargin
+  }
+
   /** ABC (Pareto 80/95) classification: items ranked by contribution,
     * class A = the head that carries the first 80 % of total value, B =
     * the next 15 %, C = the tail — the inventory/revenue-concentration

@@ -559,6 +559,32 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Two-sample KS test on the value distribution across the
+    // mid-month boundary — the binning-free drift verdict next to
+    // q196's PSI; exact cross-multiplied ECDF gap + literal-critical
+    // reject flag.
+    "q259_ks_test" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(Exact.cents(col("value")).as("cents"), col("ts"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.ops.Profiling.ksTest(
+        ev.filter(col("ts") < cut).select(col("cents")),
+        ev.filter(col("ts") >= cut).select(col("cents")),
+        col("cents"))
+    }),
+
+    // Chapman capture–recapture: total-user estimate from two daily
+    // activity samples and their overlap — the population count no
+    // single day's scan can see; exact integer Chapman form.
+    "q260_capture_recapture" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("CAST(ts AS DATE)").as("d"))
+      graft.ops.Profiling.chapmanEstimate(
+        ev.filter(col("d") === lit("2024-01-10").cast("date")),
+        ev.filter(col("d") === lit("2024-01-20").cast("date")),
+        Seq("user_id"))
+    }),
+
     // Peak burst rate: max events inside ANY sliding 60s window per
     // user (VALUE-ranged frame — gaps don't leak) — the rate-limit
     // signal q08's fixed hourly buckets understate at boundaries.
@@ -1292,6 +1318,17 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q259_ks_test" -> graft.ops.Profiling.ksTestOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin),
+
+    "q260_capture_recapture" -> graft.ops.Profiling.chapmanOracleSql(
+      "SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'",
+      "SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-20'",
+      Seq("user_id")),
 
     "q255_burst_rate" -> Windows.peakWindowRateOracleSql(
       "events", "user_id", "ts", windowSeconds = 60L),

@@ -723,6 +723,17 @@ object Relational extends QueryModule {
         .filter(col("is_match"))
     }),
 
+    // Volume-weighted price quantiles per return flag: the price under
+    // which half the QUANTITY trades — what q40's row-count quantiles
+    // misstate whenever weight correlates with value.
+    "q258_weighted_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.weightedQuantiles(
+        Tables(s, dir).lineitem.select(col("l_returnflag"),
+          Exact.cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w")),
+        Seq("l_returnflag"), col("v"), col("w"),
+        ps = Seq((1, 4), (1, 2), (9, 10)))),
+
     // Recommendation-list audit over q239's neighborhoods: catalog
     // coverage + intra-list similarity — the two degenerate-recommender
     // detectors (popularity collapse, near-duplicate lists).
@@ -1349,6 +1360,14 @@ object Relational extends QueryModule {
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
+
+    "q258_weighted_quantiles" ->
+      graft.ops.Quantiles.weightedQuantilesOracleSql(
+        """SELECT l_returnflag,
+          |       CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+          |       CAST(l_quantity AS BIGINT) AS w
+          |FROM lineitem""".stripMargin,
+        Seq("l_returnflag"), ps = Seq((1, 4), (1, 2), (9, 10))),
 
     "q254_rec_audit" -> graft.ops.Basket.recListAuditOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),

@@ -1028,6 +1028,44 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("weightedQuantiles: weight mass moves the median where row " +
+      "counts would not") {
+    import spark.implicits._
+    val rows = Seq(("g", 10L, 1L), ("g", 20L, 9L),
+      ("h", 10L, 5L), ("h", 20L, 5L)).toDF("k", "v", "w")
+    val out = Quantiles.weightedQuantiles(rows, Seq("k"), col("v"),
+        col("w"), Seq((1, 2)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("g") == ((10L, 20L))) // 90% of mass at 20
+    assert(out("h") == ((10L, 10L))) // even mass → lower value
+  }
+
+  test("ksTest: identical samples accept with D=0, disjoint samples " +
+      "reject with D=1") {
+    import spark.implicits._
+    val a = (1L to 100L).toDF("v")
+    val same = Profiling.ksTest(a, a, col("v")).head()
+    assert(same.getLong(2) == 0L && !same.getBoolean(6))
+    val b = (101L to 200L).toDF("v")
+    val disj = Profiling.ksTest(a, b, col("v")).head()
+    assert(disj.getAs[Double]("d") == 1.0 && disj.getBoolean(6))
+  }
+
+  test("chapmanEstimate: textbook overlap arithmetic, empty overlap " +
+      "yields NULL") {
+    import spark.implicits._
+    val a = (1L to 50L).toDF("id")
+    val b = (26L to 75L).toDF("id")
+    val out = Profiling.chapmanEstimate(a, b, Seq("id")).head()
+    assert(out.getLong(0) == 50L && out.getLong(1) == 50L &&
+      out.getLong(2) == 25L)
+    assert(out.getLong(3) == 99L) // 51·51 div 26 − 1
+    val none = Profiling.chapmanEstimate(a, (100L to 120L).toDF("id"),
+      Seq("id")).head()
+    assert(none.isNullAt(3))
+  }
+
   test("peakWindowRate: burst straddling bucket boundaries found, " +
       "value-ranged frame ignores gaps") {
     import spark.implicits._
