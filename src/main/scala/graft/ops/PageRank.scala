@@ -388,6 +388,10 @@ object PageRank {
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // referenced four times below (m, intra-edge join, both degree
+    // legs) — left unpersisted on purpose: the references are
+    // plan-identical, so ReuseExchange computes the distinct once;
+    // an explicit persist measured SLOWER (breaks stage pipelining)
     val und = e.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
