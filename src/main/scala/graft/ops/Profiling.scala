@@ -334,6 +334,119 @@ object Profiling {
        |             / (CAST(na AS DOUBLE) * nb)) AS reject_05
        |FROM top""".stripMargin
 
+  /** 1-D Wasserstein (earth-mover) distance between two samples — the
+    * MAGNITUDE companion to [[ksTest]]'s max-gap verdict: how much
+    * probability mass moved how far, in the metric's own units
+    * (W₁ = ∫|F̂_a − F̂_b|). KS barely moves when a whole distribution
+    * shifts slightly; W₁ is exactly that shift.
+    *
+    * Exact: over the pooled distinct values, W₁·(n_a·n_b) =
+    * Σ |cumA·n_b − cumB·n_a| · (v_{i+1} − v_i) is an exact integer fold
+    * (the KS histogram with a gap-width weight); one IEEE division
+    * reads it out.
+    *
+    * @return one row: (n_a, n_b, w1_num, w1) — w1 in value units
+    */
+  def wasserstein1(a: DataFrame, b: DataFrame, v: Column): DataFrame = {
+    val ha = a.select(v.as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("ca"))
+    val hb = b.select(v.as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("cb"))
+    val merged = ha.join(hb, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val wCum = wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    merged
+      .withColumn("cumA", sum(col("ca")).over(wCum))
+      .withColumn("cumB", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .withColumn("gap", lead(col("__v"), 1).over(wOrd) - col("__v"))
+      .filter(col("gap").isNotNull)
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(abs(col("cumA") * col("nb") - col("cumB") * col("na")) *
+          col("gap")).as("w1_num"))
+      .withColumn("w1",
+        col("w1_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b")))
+  }
+
+  /** DuckDB oracle for [[wasserstein1]]: `aSql`/`bSql` yield one `v`. */
+  def wasserstein1OracleSql(aSql: String, bSql: String): String =
+    s"""WITH ha AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS ca FROM ($aSql)
+       |  WHERE v IS NOT NULL GROUP BY 1
+       |), hb AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS cb FROM ($bSql)
+       |  WHERE v IS NOT NULL GROUP BY 1
+       |), m AS (
+       |  SELECT coalesce(ha.v, hb.v) AS v, coalesce(ca, 0) AS ca,
+       |         coalesce(cb, 0) AS cb
+       |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v
+       |), c AS (
+       |  SELECT v,
+       |    CAST(sum(ca) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cumA,
+       |    CAST(sum(cb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cumB,
+       |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+       |    CAST(sum(cb) OVER () AS BIGINT) AS nb,
+       |    lead(v) OVER (ORDER BY v) - v AS gap
+       |  FROM m
+       |), s AS (
+       |  SELECT max(na) AS n_a, max(nb) AS n_b,
+       |         CAST(sum(abs(cumA * nb - cumB * na) * gap) AS BIGINT)
+       |           AS w1_num
+       |  FROM c WHERE gap IS NOT NULL
+       |)
+       |SELECT n_a, n_b, w1_num,
+       |       CAST(w1_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) AS w1
+       |FROM s""".stripMargin
+
+  /** Order-invariant TABLE DIGEST: one 60-bit XOR fold of per-row
+    * portable hashes — "are these two tables row-identical" as a single
+    * number, without sorting or comparing anything (migration
+    * verification, incremental-view equality, cross-engine parity —
+    * exactly what this repo's own oracle gate does, as a composable
+    * operator). XOR is commutative/associative, so the digest is
+    * independent of partitioning and row order; a multiset caveat
+    * applies (two identical rows cancel — include a unique key among
+    * `cols` to make rows distinct, which real tables have).
+    *
+    * @param cols columns rendered `CAST(col AS STRING)` and joined with
+    *             `'|'` — long/string/date columns render identically on
+    *             both engines (avoid raw doubles; quantize first)
+    * @return one row: (n_rows, digest)
+    */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    // per-column coalesce BEFORE concat_ws: bare concat_ws SKIPS null
+    // columns (separator and all), which would both collide NULL with
+    // absent and diverge from the oracle's coalesce rendering
+    val rendered = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.select(graft.functions.Hash64.hash60(rendered).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(bit_xor(col("__h")), lit(0L)).as("digest"))
+  }
+
+  /** DuckDB oracle for [[tableDigest]]: `innerSql` yields the columns;
+    * `cols` render as in Spark (NULLs become empty via concat_ws
+    * semantics — mirrored with coalesce). */
+  def tableDigestOracleSql(innerSql: String, cols: Seq[String]): String = {
+    val rendered = cols.map(c => s"coalesce(CAST($c AS VARCHAR), '')")
+      .mkString(" || '|' || ")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(coalesce(bit_xor(${graft.functions.Hash64.duckSql(
+          s"($rendered)")}), 0) AS BIGINT) AS digest
+       |FROM ($innerSql)""".stripMargin
+  }
+
   /** Chapman capture–recapture estimate: the true population size
     * inferred from TWO independent incomplete samples and their
     * overlap, `N̂ = (n_a+1)(n_b+1)/(m+1) − 1` — the ecology estimator

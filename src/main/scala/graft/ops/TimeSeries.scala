@@ -459,6 +459,89 @@ object TimeSeries {
        |FROM r WHERE rn = (n + 1) // 2""".stripMargin
   }
 
+  /** LINEAR interpolation of series gaps — the straight-line companion
+    * to `Rollups.forwardFill` (LOCF answers "what was the last reading";
+    * interpolation answers "what was it probably DURING the gap", the
+    * right gauge semantics for slowly-moving signals). Dense integer
+    * spine per key from min to max observed t, so leading/trailing
+    * edges are always anchored by observations.
+    *
+    * Exact integer milli-units: interp = pv·1000 +
+    * (nv−pv)·(t−pt)·1000 div (nt−pt) — both engines' integer division
+    * truncates toward zero (measured: DuckDB `-7//2 = -3`), so downward
+    * slopes round toward the previous observation on BOTH sides;
+    * sub-milli truncation bias, documented.
+    *
+    * @return (keyCols..., t, x, x_milli, filled) — x NULL on filled
+    *         rows, x_milli always populated
+    */
+  def interpolateLinear(series: DataFrame, keyCols: Seq[String],
+      tCol: String, xCol: String): DataFrame = {
+    val s = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t"), col(xCol).as("__x")): _*)
+    val spine = s.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"))
+      .select(keyCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"))).as("__t"): _*)
+    val dense = spine.join(s, keyCols :+ "__t", "left")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+    val tObs = when(col("__x").isNotNull, col("__t"))
+    val withBounds = dense
+      .withColumn("__pv", last(col("__x"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(tObs, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__x"), ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(tObs, ignoreNulls = true).over(wNext))
+    withBounds
+      .withColumn("__num", (col("__nv") - col("__pv")) *
+        (col("__t") - col("__pt")) * lit(1000L))
+      .withColumn("__den", col("__nt") - col("__pt"))
+      .withColumn("x_milli",
+        when(col("__x").isNotNull, col("__x") * 1000L)
+          .otherwise(col("__pv") * 1000L + expr("__num div __den")))
+      .select(keyCols.map(col) ++ Seq(col("__t").as(tCol),
+        col("__x").as(xCol), col("x_milli"),
+        col("__x").isNull.as("filled")): _*)
+  }
+
+  /** DuckDB oracle for [[interpolateLinear]]: `innerSql` yields
+    * (keyCols..., t, x) as integers. */
+  def interpolateOracleSql(innerSql: String, keyCols: Seq[String])
+      : String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH b AS ($innerSql), sp AS (
+       |  SELECT $keys, unnest(range(min(t), max(t) + 1)) AS t
+       |  FROM b GROUP BY $keys
+       |), d AS (
+       |  SELECT sp.*, b.x FROM sp LEFT JOIN b USING ($keys, t)
+       |), w AS (
+       |  SELECT *,
+       |    last_value(x IGNORE NULLS) OVER (PARTITION BY $keys ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    last_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS)
+       |      OVER (PARTITION BY $keys ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+       |    first_value(x IGNORE NULLS) OVER (PARTITION BY $keys ORDER BY t
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    first_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS)
+       |      OVER (PARTITION BY $keys ORDER BY t
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM d
+       |)
+       |SELECT $keys, t, x,
+       |       CAST(CASE WHEN x IS NOT NULL THEN x * 1000
+       |         ELSE pv * 1000 + ((nv - pv) * (t - pt) * 1000) // (nt - pt)
+       |       END AS BIGINT) AS x_milli,
+       |       x IS NULL AS filled
+       |FROM w""".stripMargin
+  }
+
   /** DETRENDED outlier detection: z-score each point against the
     * residuals of its key's OLS trend line — a spike on a steep ramp
     * stops hiding inside the ramp's variance (the q07 global z false

@@ -559,6 +559,43 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Wasserstein-1 distance across the same boundary as q259: how
+    // much mass moved how far (in cents) — the magnitude KS's max-gap
+    // verdict can't give; exact integer ECDF-area fold.
+    "q261_wasserstein" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(Exact.cents(col("value")).as("cents"), col("ts"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.ops.Profiling.wasserstein1(
+        ev.filter(col("ts") < cut).select(col("cents")),
+        ev.filter(col("ts") >= cut).select(col("cents")),
+        col("cents"))
+    }),
+
+    // Order-invariant table digest: one XOR fold of portable row
+    // hashes — "are these tables identical" as a single number, the
+    // migration-verification primitive this repo's own gate embodies.
+    "q262_table_digest" -> ((s, dir) =>
+      graft.ops.Profiling.tableDigest(
+        Tables(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"),
+          Exact.cents(col("o_totalprice")).as("cents")),
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "cents"))),
+
+    // Linear interpolation of 10-minute purchase-count gaps: the
+    // straight-line gauge imputation q156's forward-fill can't give;
+    // exact integer milli-units with portable floor division.
+    "q263_interpolate" -> ((s, dir) => {
+      val buckets = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 600")
+          .as("t"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("k", lit("purchase"))
+      TimeSeries.interpolateLinear(buckets, Seq("k"), "t", "x")
+    }),
+
     // Two-sample KS test on the value distribution across the
     // mid-month boundary — the binning-free drift verdict next to
     // q196's PSI; exact cross-multiplied ECDF gap + literal-critical
@@ -1318,6 +1355,24 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q261_wasserstein" -> graft.ops.Profiling.wasserstein1OracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin),
+
+    "q262_table_digest" -> graft.ops.Profiling.tableDigestOracleSql(
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders""".stripMargin,
+      Seq("o_orderkey", "o_custkey", "o_orderpriority", "cents")),
+
+    "q263_interpolate" -> TimeSeries.interpolateOracleSql(
+      """SELECT 'purchase' AS k, epoch_us(ts) // 1000000 // 600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events WHERE event_type = 'purchase' GROUP BY 2""".stripMargin,
+      Seq("k")),
 
     "q259_ks_test" -> graft.ops.Profiling.ksTestOracleSql(
       """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events

@@ -1028,6 +1028,46 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("wasserstein1: a constant shift reads as exactly that shift, " +
+      "identical samples read zero") {
+    import spark.implicits._
+    val a = (1L to 100L).toDF("v")
+    val b = (6L to 105L).toDF("v")
+    val out = Profiling.wasserstein1(a, b, col("v")).head()
+    assert(out.getAs[Double]("w1") == 5.0)
+    assert(Profiling.wasserstein1(a, a, col("v")).head()
+      .getAs[Long]("w1_num") == 0L)
+  }
+
+  test("tableDigest: order/partitioning-invariant, sensitive to a " +
+      "single changed row") {
+    import spark.implicits._
+    val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val d1 = Profiling.tableDigest(t1, Seq("id", "s")).head()
+    val d2 = Profiling.tableDigest(t1.repartition(5).orderBy(col("s").desc),
+      Seq("id", "s")).head()
+    assert(d1.getLong(0) == 3L && d1.getLong(1) == d2.getLong(1))
+    val t2 = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s")
+    assert(Profiling.tableDigest(t2, Seq("id", "s")).head()
+      .getLong(1) != d1.getLong(1))
+  }
+
+  test("interpolateLinear: straight line through gaps, truncating " +
+      "division on downward slopes, observed rows untouched") {
+    import spark.implicits._
+    val s = Seq(("k", 0L, 10L), ("k", 4L, 18L),
+      ("m", 0L, 10L), ("m", 2L, 5L)).toDF("g", "t", "x")
+    val out = TimeSeries.interpolateLinear(s, Seq("g"), "t", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("k", 0L)) == ((10000L, false)))
+    assert(out(("k", 1L)) == ((12000L, true)))
+    assert(out(("k", 2L)) == ((14000L, true)))
+    assert(out(("k", 3L)) == ((16000L, true)))
+    assert(out(("k", 4L)) == ((18000L, false)))
+    assert(out(("m", 1L)) == ((7500L, true))) // 10000 − 2500
+  }
+
   test("weightedQuantiles: weight mass moves the median where row " +
       "counts would not") {
     import spark.implicits._
