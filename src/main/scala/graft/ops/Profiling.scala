@@ -334,6 +334,65 @@ object Profiling {
        |             / (CAST(na AS DOUBLE) * nb)) AS reject_05
        |FROM top""".stripMargin
 
+  /** Per-row SURPRISAL score: Σ over audited columns of the value's
+    * information content `blog(N) − blog(n_value)` — "how unusual is
+    * this row", the multi-column outlier triage that single-column
+    * z-scores (q07) and pure-numeric Mahalanobis (q199) both miss
+    * (it reads categoricals natively, NULL included as a value). The
+    * bit-length log keeps every term an exact long (the q130/q238
+    * device: staircase-coarse in value, faithful in ORDER — and
+    * ranking is all a triage queue consumes).
+    *
+    * Scale shape: one frequency aggregation per column (aggregate-
+    * sized, broadcast back on a NULL-safe key), one row-wise sum, the
+    * fused global top-k.
+    *
+    * @return top `k` rows: (idCol, surprisal_q) by (score desc, id)
+    */
+  def rowSurprisal(df: DataFrame, idCol: String, cols: Seq[String],
+      k: Int = 50): DataFrame = {
+    require(cols.nonEmpty && k >= 1)
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    val base = df.select((col(idCol) +: cols.map(col)): _*)
+    val nRow = base.agg(count(lit(1)).as("__N"))
+    val withTerms = cols.zipWithIndex.foldLeft(
+      base.crossJoin(broadcast(nRow))) { case (acc, (c, i)) =>
+      val freq = base.groupBy(col(c)).agg(count(lit(1)).as(s"__n$i"))
+      acc.join(broadcast(freq.withColumnRenamed(c, s"__v$i")),
+        col(c) <=> col(s"__v$i"))
+        .withColumn(s"__t$i", blog(col("__N")) - blog(col(s"__n$i")))
+    }
+    withTerms
+      .withColumn("surprisal_q",
+        cols.indices.map(i => col(s"__t$i")).reduce(_ + _))
+      .select(col(idCol), col("surprisal_q"))
+      .orderBy(col("surprisal_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[rowSurprisal]]: `innerSql` yields
+    * (`idName`, cols...). */
+  def rowSurprisalOracleSql(innerSql: String, idName: String,
+      cols: Seq[String], k: Int = 50): String = {
+    val freqs = cols.zipWithIndex.map { case (c, i) =>
+      s"""f$i AS (
+         |  SELECT $c AS v$i, CAST(count(*) AS BIGINT) AS n$i
+         |  FROM b GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val joins = cols.zipWithIndex.map { case (c, i) =>
+      s"JOIN f$i ON b.$c IS NOT DISTINCT FROM f$i.v$i"
+    }.mkString("\n|")
+    val terms = cols.indices.map(i =>
+      "(length(bin((SELECT count(*) FROM b))) - length(bin(n" + i + ")))")
+      .mkString(" + ")
+    s"""WITH b AS ($innerSql), $freqs
+       |SELECT $idName, CAST($terms AS BIGINT) AS surprisal_q
+       |FROM b
+       |$joins
+       |ORDER BY surprisal_q DESC, $idName LIMIT $k""".stripMargin
+  }
+
   /** 1-D Wasserstein (earth-mover) distance between two samples — the
     * MAGNITUDE companion to [[ksTest]]'s max-gap verdict: how much
     * probability mass moved how far, in the metric's own units

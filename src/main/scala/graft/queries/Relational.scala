@@ -723,6 +723,18 @@ object Relational extends QueryModule {
         .filter(col("is_match"))
     }),
 
+    // Per-row surprisal triage: Σ bit-length information content over
+    // (status, priority, price band) — the most unusual orders, read
+    // natively off categoricals; q199's numeric Mahalanobis can't.
+    "q265_row_surprisal" -> ((s, dir) =>
+      graft.ops.Profiling.rowSurprisal(
+        Tables(s, dir).orders.select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS LONG) div 1000000")
+            .as("band")),
+        "o_orderkey", Seq("o_orderstatus", "o_orderpriority", "band"),
+        k = 50)),
+
     // Volume-weighted price quantiles per return flag: the price under
     // which half the QUANTITY trades — what q40's row-count quantiles
     // misstate whenever weight correlates with value.
@@ -1360,6 +1372,14 @@ object Relational extends QueryModule {
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
+
+    "q265_row_surprisal" -> graft.ops.Profiling.rowSurprisalOracleSql(
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) // 1000000
+        |         AS band
+        |FROM orders""".stripMargin,
+      "o_orderkey", Seq("o_orderstatus", "o_orderpriority", "band"),
+      k = 50),
 
     "q258_weighted_quantiles" ->
       graft.ops.Quantiles.weightedQuantilesOracleSql(

@@ -265,6 +265,18 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Token share-shift: WHICH tokens moved between src0 and the rest
+    // of the corpus and by how much — the per-token attribution q181's
+    // one-number JS divergence points at; top-20 movers, integer micro
+    // shares.
+    "q264_token_shift" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.text.Corpus.tokenShareShift(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "text")
+    }),
+
     // URL path-hierarchy rollup over q113's dirty URLs: per (host,
     // path prefix, depth) counts — WHERE in each site the corpus sits,
     // the crawl-frontier view above q114's whole-host cap.
@@ -1314,6 +1326,10 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q264_token_shift" -> graft.text.Corpus.tokenShareShiftOracleSql(
+      s"SELECT $toksSql AS toks FROM documents WHERE source = 'src0'",
+      s"SELECT $toksSql AS toks FROM documents WHERE source <> 'src0'"),
 
     "q257_path_rollup" -> graft.text.Urls.pathRollupOracleSql(
       "documents", s"($dirtyUrlSql)"),

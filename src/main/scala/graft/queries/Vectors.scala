@@ -441,6 +441,20 @@ object Vectors extends QueryModule {
       graft.similarity.Select.kCenterGreedy(
         base(Tables(s, dir)), "id", "ev", k = 5)),
 
+    // Dedup-policy threshold sweep: how many near-dup pairs and victim
+    // docs would each Jaccard cutoff remove — the q27 pipeline read as
+    // a policy table instead of one fixed threshold.
+    "q266_dedup_sweep" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+      pairs
+        .withColumn("threshold",
+          explode(array(Seq(50L, 60L, 70L, 80L, 90L).map(lit): _*)))
+        .filter(col("est_jaccard") * 100 >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("d2")).as("n_victims"))
+    }),
+
     // Per-dimension embedding drift between the even/odd vec_id slices:
     // exact-quantized means/variances per dim + two-sample z of the
     // mean shift — the swapped-encoder monitor; order by |z| for the
@@ -870,6 +884,16 @@ object Vectors extends QueryModule {
 
     "q27_minhash_lsh" ->
       s"WITH $minhashCtes\nSELECT d1, d2, est_jaccard FROM est",
+
+    "q266_dedup_sweep" ->
+      s"""WITH $minhashCtes,
+         |thr AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold)
+         |SELECT CAST(threshold AS BIGINT) AS threshold,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT d2) AS BIGINT) AS n_victims
+         |FROM est CROSS JOIN thr
+         |WHERE est_jaccard * 100 >= threshold
+         |GROUP BY 1""".stripMargin,
 
     "q134_char_minhash" ->
       s"WITH $charMinhashCtes\nSELECT d1, d2, est_jaccard FROM est",

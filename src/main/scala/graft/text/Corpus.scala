@@ -353,4 +353,70 @@ object Corpus {
        |SELECT group_a, group_b, CAST(sum(c) AS BIGINT) AS js_q,
        |       CAST(sum(c) AS DOUBLE) / 2000000.0 AS js_bits
        |FROM t GROUP BY 1, 2""".stripMargin
+
+  /** Token share-shift report: WHICH tokens moved between two corpus
+    * slices (snapshot versions, before/after a filter, source A vs B)
+    * and by how much — the per-token attribution [[sourceDivergence]]'s
+    * one-number JS verdict points at but can't name. Shares in integer
+    * micros (`k·1e6 div total`), shift = share_a − share_b exactly;
+    * top movers by |shift| via the fused global top-k.
+    *
+    * @return top `topK`: (token, n_a, n_b, share_a_micro,
+    *         share_b_micro, shift_micro) ordered by |shift| desc
+    */
+  def tokenShareShift(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    val sa = {
+      val c = a.select(explode(TextAnalysis.tokens(col(textCol)))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_a"))
+        .withColumn("__tot", sum(col("n_a")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      c.withColumn("share_a_micro", expr("(n_a * 1000000) div __tot"))
+        .drop("__tot")
+    }
+    val sb = {
+      val c = b.select(explode(TextAnalysis.tokens(col(textCol)))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_b"))
+        .withColumn("__tot", sum(col("n_b")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      c.withColumn("share_b_micro", expr("(n_b * 1000000) div __tot"))
+        .drop("__tot")
+    }
+    sa.join(sb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("share_a_micro"), lit(0L)).as("share_a_micro"),
+        coalesce(col("share_b_micro"), lit(0L)).as("share_b_micro"))
+      .withColumn("shift_micro",
+        col("share_a_micro") - col("share_b_micro"))
+      .orderBy(abs(col("shift_micro")).desc, col("token"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[tokenShareShift]]: `aSql`/`bSql` yield one
+    * `toks` list column. */
+  def tokenShareShiftOracleSql(aSql: String, bSql: String,
+      topK: Int = 20): String = {
+    def side(src: String, nName: String, sName: String) =
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS $nName,
+         |       CAST(count(*) * 1000000 //
+         |         (sum(count(*)) OVER ()) AS BIGINT) AS $sName
+         |FROM (SELECT unnest(toks) AS token FROM ($src))
+         |GROUP BY 1""".stripMargin
+    s"""WITH sa AS (${side(aSql, "n_a", "share_a_micro")}),
+       |sb AS (${side(bSql, "n_b", "share_b_micro")})
+       |SELECT coalesce(sa.token, sb.token) AS token,
+       |       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       |       coalesce(share_a_micro, 0) AS share_a_micro,
+       |       coalesce(share_b_micro, 0) AS share_b_micro,
+       |       coalesce(share_a_micro, 0) - coalesce(share_b_micro, 0)
+       |         AS shift_micro
+       |FROM sa FULL OUTER JOIN sb ON sa.token = sb.token
+       |ORDER BY abs(coalesce(share_a_micro, 0)
+       |  - coalesce(share_b_micro, 0)) DESC, token
+       |LIMIT $topK""".stripMargin
+  }
 }

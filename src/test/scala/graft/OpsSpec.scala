@@ -1028,6 +1028,20 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("rowSurprisal: rarest combination ranks first, NULL counts as " +
+      "a value") {
+    import spark.implicits._
+    val rows = (1L to 9L).map(i => (i, "common", Some(1L))) :+
+      ((10L, "rare", Some(1L))) :+ ((11L, "common", None: Option[Long]))
+    val out = Profiling.rowSurprisal(rows.toDF("id", "s", "v"),
+        "id", Seq("s", "v"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // N=11 (blog 4); rare s has n=1 (blog 1), NULL v has n=1
+    assert(out.head._1 == 10L || out.head._1 == 11L)
+    assert(out.take(2).map(_._1).toSet == Set(10L, 11L))
+    assert(out.head._2 == out(1)._2) // both carry one rare column
+  }
+
   test("wasserstein1: a constant shift reads as exactly that shift, " +
       "identical samples read zero") {
     import spark.implicits._

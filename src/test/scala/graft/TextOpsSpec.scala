@@ -1310,6 +1310,20 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
   }
 
+  test("tokenShareShift: micro-share deltas exact, one-sided tokens " +
+      "coalesce to zero share, tie-break by token") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = Seq("x x x y").toDF("text")
+    val b = Seq("x y y z").toDF("text")
+    val out = graft.text.Corpus.tokenShareShift(a, b, "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(out("x") == ((3L, 1L, 500000L)))   // 750000 − 250000
+    assert(out("y") == ((1L, 2L, -250000L)))  // 250000 − 500000
+    assert(out("z") == ((0L, 1L, -250000L)))  // absent in a
+  }
+
   test("pathRollup: prefixes per depth, hosts case-folded and merged") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
