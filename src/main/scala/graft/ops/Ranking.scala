@@ -101,4 +101,49 @@ object Ranking {
         (col("__off") + row_number().over(within)).cast("long"))
       .drop("__off")
   }
+
+  /** Top-k per group WITH an `__other__` rollup: the dashboard cut that
+    * keeps totals honest — a bare top-k silently drops the tail, so
+    * per-group sums stop reconciling with the table; here the tail
+    * collapses into one labeled bucket and Σn per group equals the
+    * group's true total. Ranking ties break (n desc, dim asc).
+    *
+    * One counting aggregation + one group-keyed window over the
+    * (group, dim) frame (dim-cardinality-bounded) + one re-aggregation.
+    *
+    * @return (grpCol, label, n, n_dims) — n_dims = how many distinct
+    *         dims the bucket covers (1 for kept dims)
+    */
+  def topKWithOther(df: DataFrame, grpCol: String, dimCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val counts = df.groupBy(col(grpCol), col(dimCol))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col("__n").desc, col(dimCol))
+    counts
+      .withColumn("label",
+        when(row_number().over(w) <= k, col(dimCol).cast("string"))
+          .otherwise(lit("__other__")))
+      .groupBy(col(grpCol), col("label"))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_dims"))
+  }
+
+  /** DuckDB oracle for [[topKWithOther]]. */
+  def topKWithOtherOracleSql(table: String, grpCol: String,
+      dimCol: String, k: Int): String =
+    s"""WITH c AS (
+       |  SELECT $grpCol, $dimCol, CAST(count(*) AS BIGINT) AS n0
+       |  FROM $table GROUP BY 1, 2
+       |), l AS (
+       |  SELECT $grpCol,
+       |    CASE WHEN row_number() OVER (PARTITION BY $grpCol
+       |      ORDER BY n0 DESC, $dimCol) <= $k
+       |      THEN CAST($dimCol AS VARCHAR) ELSE '__other__' END AS label,
+       |    n0
+       |  FROM c
+       |)
+       |SELECT $grpCol, label, CAST(sum(n0) AS BIGINT) AS n,
+       |       CAST(count(*) AS BIGINT) AS n_dims
+       |FROM l GROUP BY 1, 2""".stripMargin
 }

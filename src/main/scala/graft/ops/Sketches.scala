@@ -134,6 +134,81 @@ object Sketches {
             (lit(1152921504606846976.0) / col("kth_hash").cast("double"))))
   }
 
+  /** KMV set ALGEBRA — Jaccard/union/intersection estimates between two
+    * sets from their k-minimum-value sketches (Beyer et al. 2007): take
+    * the k smallest hashes of the UNION; the fraction of those present
+    * in both sets estimates Jaccard directly, the kth smallest
+    * estimates |A∪B|, and their product |A∩B|. All from two
+    * sketch-sized frames — never materializing the union — and fully
+    * oracle-able (vs the HLL path's opaque bytes).
+    *
+    * @return one row: (k_used, n_both, union_kth, jaccard_est,
+    *         union_est, inter_est) — exact smalls when the union has
+    *         fewer than k distinct values
+    */
+  def kmvJaccard(a: DataFrame, b: DataFrame, v: Column, k: Int = 256)
+      : DataFrame = {
+    require(k >= 8)
+    def hashes(df: DataFrame) = df
+      .select(graft.functions.Hash64.hash60(v.cast("string")).as("h"))
+      .distinct()
+    val ha = hashes(a)
+    val hb = hashes(b)
+    val kU = ha.unionAll(hb).distinct()
+      .orderBy(col("h")).limit(k)
+    val flagged = kU
+      .join(ha.withColumn("__ina", lit(1L)), Seq("h"), "left")
+      .join(hb.withColumn("__inb", lit(1L)), Seq("h"), "left")
+    flagged.agg(count(lit(1)).as("k_used"),
+        sum(when(col("__ina") === 1L && col("__inb") === 1L, 1L)
+          .otherwise(0L)).as("n_both"),
+        max(col("h")).as("union_kth"))
+      .withColumn("jaccard_est",
+        col("n_both").cast("double") / col("k_used"))
+      .withColumn("union_est",
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            (lit(1152921504606846976.0) /
+              col("union_kth").cast("double"))))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
+
+  /** DuckDB oracle for [[kmvJaccard]]: `aSql`/`bSql` yield one `v`
+    * VARCHAR column. */
+  def kmvJaccardOracleSql(aSql: String, bSql: String, k: Int = 256)
+      : String = {
+    val h = graft.functions.Hash64.duckSql("v")
+    s"""WITH ha AS (SELECT DISTINCT $h AS h FROM ($aSql)),
+       |hb AS (SELECT DISTINCT $h AS h FROM ($bSql)),
+       |ku AS (
+       |  SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+       |  ORDER BY h LIMIT $k
+       |), f AS (
+       |  SELECT ku.h,
+       |         CASE WHEN ha.h IS NOT NULL AND hb.h IS NOT NULL
+       |           THEN 1 ELSE 0 END AS bothin
+       |  FROM ku LEFT JOIN ha ON ku.h = ha.h
+       |          LEFT JOIN hb ON ku.h = hb.h
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_used,
+       |         CAST(sum(bothin) AS BIGINT) AS n_both,
+       |         CAST(max(h) AS BIGINT) AS union_kth
+       |  FROM f
+       |)
+       |SELECT k_used, n_both, union_kth,
+       |       CAST(n_both AS DOUBLE) / k_used AS jaccard_est,
+       |       CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
+       |         ELSE CAST(${(k - 1).toDouble} AS DOUBLE)
+       |           * (1152921504606846976.0 / CAST(union_kth AS DOUBLE))
+       |       END AS union_est,
+       |       (CAST(n_both AS DOUBLE) / k_used)
+       |         * (CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
+       |             ELSE CAST(${(k - 1).toDouble} AS DOUBLE)
+       |               * (1152921504606846976.0
+       |                  / CAST(union_kth AS DOUBLE)) END) AS inter_est
+       |FROM g""".stripMargin
+  }
+
   /** DuckDB oracle for [[kmvDistinct]]: `innerSql` yields
     * (`grpName`, v) with v already rendered as VARCHAR. */
   def kmvOracleSql(innerSql: String, grpName: String, k: Int): String =

@@ -559,6 +559,27 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // KMV set algebra: Jaccard/union/intersection of the click-user
+    // and purchase-user sets from two k-minimum-value sketches —
+    // sketch-sized frames, never the union, fully oracle-able.
+    "q268_kmv_jaccard" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      Sketches.kmvJaccard(
+        ev.filter(col("event_type") === "click").select(col("user_id")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")),
+        col("user_id"), k = 256)
+    }),
+
+    // Top-2 event types per user cohort with an __other__ rollup —
+    // per-group sums still reconcile with the table, unlike a bare
+    // top-k that silently drops the tail.
+    "q269_topk_other" -> ((s, dir) =>
+      Ranking.topKWithOther(
+        Tables(s, dir).events
+          .withColumn("cohort", pmod(col("user_id"), lit(10L))),
+        "cohort", "event_type", k = 2)),
+
     // Wasserstein-1 distance across the same boundary as q259: how
     // much mass moved how far (in cents) — the magnitude KS's max-gap
     // verdict can't give; exact integer ECDF-area fold.
@@ -1355,6 +1376,33 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q268_kmv_jaccard" -> Sketches.kmvJaccardOracleSql(
+      """SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |WHERE event_type = 'click'""".stripMargin,
+      """SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
+      k = 256),
+
+    "q269_topk_other" -> {
+      """WITH e AS (
+        |  SELECT user_id % 10 AS cohort, event_type FROM events
+        |), c AS (
+        |  SELECT cohort, event_type, CAST(count(*) AS BIGINT) AS n0
+        |  FROM e GROUP BY 1, 2
+        |), l AS (
+        |  SELECT cohort,
+        |    CASE WHEN row_number() OVER (PARTITION BY cohort
+        |      ORDER BY n0 DESC, event_type) <= 2
+        |      THEN CAST(event_type AS VARCHAR) ELSE '__other__' END
+        |      AS label,
+        |    n0
+        |  FROM c
+        |)
+        |SELECT cohort, label, CAST(sum(n0) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_dims
+        |FROM l GROUP BY 1, 2""".stripMargin
+    },
 
     "q261_wasserstein" -> graft.ops.Profiling.wasserstein1OracleSql(
       """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events

@@ -265,6 +265,15 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Best-passage extraction: per doc, the 10-token span with the
+    // most query-term hits (anchored at hit positions — bounded by
+    // hits, not length); the span picker between q56's ranking and
+    // q209's every-hit KWIC.
+    "q267_best_passage" -> ((s, dir) =>
+      graft.text.Retrieval.bestPassage(Tables(s, dir).documents,
+        "doc_id", "text", terms = Seq("spark", "data", "join"),
+        window = 10)),
+
     // Token share-shift: WHICH tokens moved between src0 and the rest
     // of the corpus and by how much — the per-token attribution q181's
     // one-number JS divergence points at; top-20 movers, integer micro
@@ -1326,6 +1335,10 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q267_best_passage" -> graft.text.Retrieval.bestPassageOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id",
+      terms = Seq("spark", "data", "join"), window = 10),
 
     "q264_token_shift" -> graft.text.Corpus.tokenShareShiftOracleSql(
       s"SELECT $toksSql AS toks FROM documents WHERE source = 'src0'",

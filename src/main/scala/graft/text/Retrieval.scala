@@ -302,6 +302,80 @@ object Retrieval {
        |         AS snippet
        |FROM f""".stripMargin
 
+  /** Best-passage extraction: per document, the `window`-token span
+    * containing the most query-term hits — the passage-retrieval step
+    * between document ranking (BM25/q56) and showing a human something
+    * readable; q209's KWIC shows every hit, this picks THE span.
+    *
+    * The optimal window can always be anchored at a hit (sliding left
+    * to the next hit never loses a hit), so candidate starts are hit
+    * positions only and the count is one VALUE-ranged frame over each
+    * document's hit-position list — bounded by hits-per-doc, not
+    * document length. Ties → earliest start. Documents with no hit are
+    * absent.
+    *
+    * @return (idCol, start_pos, n_hits, passage) — start_pos 1-based
+    */
+  def bestPassage(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], window: Int = 10): DataFrame = {
+    require(terms.nonEmpty && window >= 1)
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val hits = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms.map(x => x: Any): _*))
+      .withColumn("pos", col("pos").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rangeBetween(0, window - 1)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__n").desc, col("pos"))
+    val best = hits
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), (col("pos") + 1).as("start_pos"),
+        col("__n").as("n_hits"))
+    best.join(toks, idCol)
+      .withColumn("passage", array_join(
+        slice(col("__toks"), col("start_pos").cast("int"), lit(window)),
+        " "))
+      .select(col(idCol), col("start_pos"), col("n_hits"), col("passage"))
+  }
+
+  /** DuckDB oracle for [[bestPassage]]: `tokSql` yields
+    * (`idName`, toks). */
+  def bestPassageOracleSql(tokSql: String, idName: String,
+      terms: Seq[String], window: Int = 10): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS ($tokSql),
+       |h AS (
+       |  SELECT $idName, CAST(i - 1 AS BIGINT) AS pos
+       |  FROM (SELECT $idName, toks,
+       |          unnest(range(1, len(toks) + 1)) AS i FROM t)
+       |  WHERE toks[i] IN ($termList)
+       |), c AS (
+       |  SELECT $idName, pos,
+       |         CAST(count(*) OVER (PARTITION BY $idName ORDER BY pos
+       |           RANGE BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING)
+       |           AS BIGINT) AS n
+       |  FROM h
+       |), best AS (
+       |  SELECT $idName, pos + 1 AS start_pos, n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $idName
+       |      ORDER BY n DESC, pos) AS rn
+       |    FROM c
+       |  ) WHERE rn = 1
+       |)
+       |SELECT best.$idName, start_pos, n AS n_hits,
+       |       array_to_string(list_slice(toks,
+       |         CAST(start_pos AS INTEGER),
+       |         CAST(start_pos + ${window - 1} AS INTEGER)), ' ')
+       |         AS passage
+       |FROM best JOIN t ON best.$idName = t.$idName""".stripMargin
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
     * are maximal stopword-free token runs (≤ `maxLen` words); each
     * WORD scores `deg/freq` over the candidate set (deg = summed length

@@ -1028,6 +1028,36 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("kmvJaccard: small sets read exactly, identical sets J=1, " +
+      "disjoint J=0") {
+    import spark.implicits._
+    val a = (1L to 100L).toDF("v")
+    val b = (51L to 150L).toDF("v")
+    val out = Sketches.kmvJaccard(a, b, col("v"), k = 256).head()
+    assert(out.getLong(0) == 150L && out.getLong(1) == 50L)
+    assert(math.abs(out.getAs[Double]("jaccard_est") - 50.0 / 150.0)
+      < 1e-12)
+    assert(out.getAs[Double]("union_est") == 150.0) // exact: union < k
+    val same = Sketches.kmvJaccard(a, a, col("v"), k = 256).head()
+    assert(same.getAs[Double]("jaccard_est") == 1.0)
+    val disj = Sketches.kmvJaccard(a, (200L to 300L).toDF("v"),
+      col("v"), k = 256).head()
+    assert(disj.getAs[Double]("jaccard_est") == 0.0)
+  }
+
+  test("topKWithOther: per-group totals reconcile, tail collapses " +
+      "into one labeled bucket") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+      ++ Seq("d")).map(d => ("g", d)).toDF("grp", "dim")
+    val out = Ranking.topKWithOther(rows, "grp", "dim", k = 2)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((5L, 1L)) && out("b") == ((3L, 1L)))
+    assert(out("__other__") == ((3L, 2L))) // c + d
+    assert(out.values.map(_._1).sum == 11L)
+  }
+
   test("rowSurprisal: rarest combination ranks first, NULL counts as " +
       "a value") {
     import spark.implicits._

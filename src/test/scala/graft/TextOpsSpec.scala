@@ -1310,6 +1310,21 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
   }
 
+  test("bestPassage: densest hit window wins, earliest on ties, " +
+      "passage clips at document end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a spark b c d e f g h i j spark data k"),
+      (2L, "nothing relevant here")).toDF("doc_id", "text")
+    val out = graft.text.Retrieval.bestPassage(docs, "doc_id", "text",
+        Seq("spark", "data", "join"), window = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((12L, 2L, "spark data k"))) // clipped window
+    assert(!out.contains(2L)) // no hits → absent
+  }
+
   test("tokenShareShift: micro-share deltas exact, one-sided tokens " +
       "coalesce to zero share, tie-break by token") {
     import org.apache.spark.sql.functions._
