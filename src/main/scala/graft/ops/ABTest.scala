@@ -56,6 +56,102 @@ object ABTest {
         when(col("z").isNotNull, abs(col("z")) > 1.96))
   }
 
+  /** PAIRED pre/post comparison: each unit is its own control — per
+    * unit the mean outcome before and after the boundary, then one
+    * t-style readout over the per-unit DIFFS. Between-unit variance
+    * (the thing that drowns [[diffInDiff]]'s unpaired cells) cancels
+    * entirely; this is the highest-power design when every unit is
+    * observed on both sides. Units missing either side are excluded
+    * (and counted).
+    *
+    * Per-unit means are fixed IEEE from exact sums; each diff is
+    * quantized to integer MILLIS before the cross-unit sums (the q204
+    * device — milli not micro: Σdq² must stay under 2⁶³), so mean/sd/t
+    * are partition-order-free.
+    *
+    * @return one row: (n_pairs, n_pre_only, n_post_only,
+    *         mean_diff, sd_diff, t) — t NULL when sd is 0 or pairs < 2
+    */
+  def pairedDiff(df: DataFrame, unitCol: String, post: Column,
+      y: Column): DataFrame = {
+    val per = df.select(col(unitCol), post.as("__p"), y.as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .groupBy(col(unitCol))
+      .agg(sum(when(!col("__p"), col("__y")).otherwise(0L)).as("__s0"),
+        sum(when(!col("__p"), 1L).otherwise(0L)).as("__n0"),
+        sum(when(col("__p"), col("__y")).otherwise(0L)).as("__s1"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__n1"))
+    val d = (col("__s1").cast("double") / col("__n1")) -
+      (col("__s0").cast("double") / col("__n0"))
+    val q = per.withColumn("__dq",
+      when(col("__n0") > 0 && col("__n1") > 0,
+        (d * lit(1000.0)).cast("long")))
+    val agg = q.agg(
+      sum(when(col("__dq").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+      sum(when(col("__n1") === 0 && col("__n0") > 0, 1L).otherwise(0L))
+        .as("n_pre_only"),
+      sum(when(col("__n0") === 0 && col("__n1") > 0, 1L).otherwise(0L))
+        .as("n_post_only"),
+      sum(col("__dq")).as("__sd1"),
+      sum(col("__dq") * col("__dq")).as("__sd2"))
+    val meanD = col("__sd1").cast("double") / col("n_pairs") /
+      lit(1000.0)
+    val sdD = Exact.stddevFromSums(col("__sd1"), col("__sd2"),
+      col("n_pairs")) / lit(1000.0)
+    agg
+      .withColumn("mean_diff", when(col("n_pairs") > 0, meanD))
+      .withColumn("sd_diff", when(col("n_pairs") > 1, sdD))
+      .withColumn("t",
+        when(col("n_pairs") > 1 && col("sd_diff") > 0,
+          col("mean_diff") /
+            (col("sd_diff") / sqrt(col("n_pairs").cast("double")))))
+      .drop("__sd1", "__sd2")
+  }
+
+  /** DuckDB oracle for [[pairedDiff]]: `innerSql` yields (u, p, y). */
+  def pairedDiffOracleSql(innerSql: String): String =
+    s"""WITH per AS (
+       |  SELECT u,
+       |    CAST(sum(CASE WHEN NOT p THEN y ELSE 0 END) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN p THEN y ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM ($innerSql) WHERE p IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), q AS (
+       |  SELECT *,
+       |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+       |      CAST(trunc((CAST(s1 AS DOUBLE) / n1
+       |        - CAST(s0 AS DOUBLE) / n0) * 1000.0) AS BIGINT)
+       |    END AS dq
+       |  FROM per
+       |), a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN dq IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN n1 = 0 AND n0 > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pre_only,
+       |    CAST(sum(CASE WHEN n0 = 0 AND n1 > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_post_only,
+       |    CAST(sum(dq) AS BIGINT) AS sd1,
+       |    CAST(sum(dq * dq) AS BIGINT) AS sd2
+       |  FROM q
+       |), r AS (
+       |  SELECT n_pairs, n_pre_only, n_post_only,
+       |    CASE WHEN n_pairs > 0 THEN
+       |      CAST(sd1 AS DOUBLE) / n_pairs / 1000.0 END AS mean_diff,
+       |    CASE WHEN n_pairs > 1 THEN
+       |      sqrt((CAST(sd2 AS DOUBLE)
+       |        - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n_pairs)
+       |        / (n_pairs - 1)) / 1000.0 END AS sd_diff
+       |  FROM a
+       |)
+       |SELECT *,
+       |  CASE WHEN n_pairs > 1 AND sd_diff > 0 THEN
+       |    mean_diff / (sd_diff / sqrt(CAST(n_pairs AS DOUBLE)))
+       |  END AS t
+       |FROM r""".stripMargin
+
   /** CUPED variance reduction (Deng et al. 2013): adjust the experiment
     * metric by its pre-experiment covariate,
     * `y' = y − θ·(x_pre − x̄_pre)` with `θ = cov(x,y)/var(x)`, then

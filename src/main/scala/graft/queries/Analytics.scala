@@ -559,6 +559,18 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Paired pre/post comparison: each user their own control across
+    // the mid-month boundary — between-user variance cancels, the
+    // highest-power design when both sides are observed; micro-
+    // quantized diffs, exact t readout.
+    "q271_paired_diff" -> ((s, dir) =>
+      ABTest.pairedDiff(
+        Tables(s, dir).events.withColumn("cents",
+          Exact.cents(col("value"))),
+        "user_id",
+        post = col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
+        y = col("cents"))),
+
     // KMV set algebra: Jaccard/union/intersection of the click-user
     // and purchase-user sets from two k-minimum-value sketches —
     // sketch-sized frames, never the union, fully oracle-able.
@@ -1376,6 +1388,12 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q271_paired_diff" -> ABTest.pairedDiffOracleSql(
+      """SELECT user_id AS u,
+        |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+        |       CAST(round(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin),
 
     "q268_kmv_jaccard" -> Sketches.kmvJaccardOracleSql(
       """SELECT CAST(user_id AS VARCHAR) AS v FROM events

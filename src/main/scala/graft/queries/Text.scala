@@ -265,6 +265,20 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Source ablation: the corpus mean-length WITHOUT each source,
+    // from one aggregation pass — the leave-one-group-out
+    // data-valuation cut ("which source drags the metric").
+    "q270_source_ablation" -> ((s, dir) =>
+      graft.text.Corpus.sourceAblation(Tables(s, dir).documents,
+        "source", col("n_chars").cast("long"))),
+
+    // Rocchio PRF expansion: what the q56 query "meant but didn't
+    // say" — top tokens of the top-3 BM25 docs by tf·N/df, query
+    // terms excluded.
+    "q272_rocchio" -> ((s, dir) =>
+      graft.text.Retrieval.rocchioExpansion(Tables(s, dir).documents,
+        "doc_id", "text", bm25Terms)),
+
     // Best-passage extraction: per doc, the 10-token span with the
     // most query-term hits (anchored at hit positions — bounded by
     // hits, not length); the span picker between q56's ranking and
@@ -1335,6 +1349,13 @@ object Text extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q270_source_ablation" -> graft.text.Corpus.sourceAblationOracleSql(
+      "SELECT source, CAST(n_chars AS BIGINT) AS m FROM documents",
+      "source"),
+
+    "q272_rocchio" -> graft.text.Retrieval.rocchioOracleSql(
+      toksSql, bm25Terms),
 
     "q267_best_passage" -> graft.text.Retrieval.bestPassageOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id",

@@ -354,6 +354,63 @@ object Corpus {
        |       CAST(sum(c) AS DOUBLE) / 2000000.0 AS js_bits
        |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** Source ABLATION: for each source, what the corpus-level metric
+    * becomes WITHOUT it — the leave-one-group-out data-valuation cut
+    * ("which source is dragging mean quality down") computed from ONE
+    * aggregation pass: per-group (Σ, n) plus totals makes every
+    * leave-one-out mean pure arithmetic, no per-source rescans.
+    *
+    * @param metric exact integer per-doc metric
+    * @return per group: (grpCol, n, mean_grp, loo_mean, overall_mean,
+    *         contribution) — contribution = overall − loo (positive =
+    *         the source pulls the mean up); loo NULL for a group
+    *         holding the whole corpus
+    */
+  def sourceAblation(docs: DataFrame, grpCol: String,
+      metric: Column): DataFrame = {
+    val g = docs.select(col(grpCol), metric.as("__m"))
+      .filter(col("__m").isNotNull)
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"), sum(col("__m")).as("__s"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // totals named apart from the group columns in more than case:
+    // Spark's default resolver is case-INSENSITIVE, so a `__S` total
+    // would silently REPLACE the per-group `__s`
+    g.withColumn("__totN", sum(col("n")).over(wAll))
+      .withColumn("__totS", sum(col("__s")).over(wAll))
+      .withColumn("mean_grp", col("__s").cast("double") / col("n"))
+      .withColumn("loo_mean",
+        when(col("__totN") > col("n"),
+          (col("__totS") - col("__s")).cast("double") /
+            (col("__totN") - col("n"))))
+      .withColumn("overall_mean",
+        col("__totS").cast("double") / col("__totN"))
+      .withColumn("contribution", col("overall_mean") - col("loo_mean"))
+      .select(col(grpCol), col("n"), col("mean_grp"), col("loo_mean"),
+        col("overall_mean"), col("contribution"))
+  }
+
+  /** DuckDB oracle for [[sourceAblation]]: `innerSql` yields
+    * (`grpName`, m). */
+  def sourceAblationOracleSql(innerSql: String, grpName: String): String =
+    s"""WITH g AS (
+       |  SELECT $grpName, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(m) AS BIGINT) AS s
+       |  FROM ($innerSql) WHERE m IS NOT NULL GROUP BY 1
+       |), t AS (
+       |  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS nn,
+       |         CAST(sum(s) OVER () AS BIGINT) AS ss
+       |  FROM g
+       |)
+       |SELECT $grpName, n, CAST(s AS DOUBLE) / n AS mean_grp,
+       |       CASE WHEN nn > n THEN
+       |         CAST(ss - s AS DOUBLE) / (nn - n) END AS loo_mean,
+       |       CAST(ss AS DOUBLE) / nn AS overall_mean,
+       |       CAST(ss AS DOUBLE) / nn -
+       |         (CASE WHEN nn > n THEN
+       |            CAST(ss - s AS DOUBLE) / (nn - n) END) AS contribution
+       |FROM t""".stripMargin
+
   /** Token share-shift report: WHICH tokens moved between two corpus
     * slices (snapshot versions, before/after a filter, source A vs B)
     * and by how much — the per-token attribution [[sourceDivergence]]'s

@@ -302,6 +302,74 @@ object Retrieval {
        |         AS snippet
        |FROM f""".stripMargin
 
+  /** Rocchio pseudo-relevance-feedback expansion: run [[bm25]], take
+    * the top `nFeedback` documents as presumed-relevant, and rank their
+    * tokens (query terms excluded) by `tf_fb · N/df` — the linear-idf
+    * weighting of [[tfidfKeywords]] applied to the feedback set. The
+    * classic no-training query expansion: the top terms are what the
+    * query "meant but didn't say".
+    *
+    * Scale shape: the bm25 pass, one fused global top-nFeedback, one
+    * token aggregation over nFeedback documents (tiny), a token-keyed
+    * df join, one fused top-k.
+    *
+    * @return top `topK`: (token, tf_fb, df, score) by (score desc,
+    *         token)
+    */
+  def rocchioExpansion(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], nFeedback: Int = 3, topK: Int = 5)
+      : DataFrame = {
+    require(nFeedback >= 1 && topK >= 1)
+    val fb = bm25(docs, idCol, textCol, terms)
+      .orderBy(col("score").desc, col(idCol)).limit(nFeedback)
+      .select(col(idCol))
+    val fbTf = docs.join(fb, idCol)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(!col("token").isin(terms.map(x => x: Any): _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf_fb"))
+    val dfAll = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("__N"))
+    fbTf.join(dfAll, "token")
+      .crossJoin(broadcast(nRow))
+      .withColumn("score",
+        (col("tf_fb") * col("__N")).cast("double") / col("df"))
+      .orderBy(col("score").desc, col("token")).limit(topK)
+      .select(col("token"), col("tf_fb"), col("df"), col("score"))
+  }
+
+  /** DuckDB oracle for [[rocchioExpansion]]: `toksExpr` is the token
+    * expression over the `documents` table (the [[bm25OracleSql]]
+    * contract). */
+  def rocchioOracleSql(toksExpr: String, terms: Seq[String],
+      nFeedback: Int = 3, topK: Int = 5): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |ranked AS (${bm25OracleSql(toksExpr, terms)}),
+       |fb AS (
+       |  SELECT doc_id FROM ranked ORDER BY score DESC, doc_id
+       |  LIMIT $nFeedback
+       |), fbtf AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS tf_fb
+       |  FROM (SELECT unnest(toks) AS token
+       |        FROM t JOIN fb USING (doc_id))
+       |  WHERE token NOT IN ($termList)
+       |  GROUP BY 1
+       |), dfa AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t)
+       |  GROUP BY 1
+       |)
+       |SELECT token, tf_fb, df,
+       |       CAST(tf_fb * (SELECT count(*) FROM t) AS DOUBLE) / df
+       |         AS score
+       |FROM fbtf JOIN dfa USING (token)
+       |ORDER BY score DESC, token LIMIT $topK""".stripMargin
+  }
+
   /** Best-passage extraction: per document, the `window`-token span
     * containing the most query-term hits — the passage-retrieval step
     * between document ranking (BM25/q56) and showing a human something

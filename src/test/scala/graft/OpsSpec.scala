@@ -1028,6 +1028,21 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("pairedDiff: between-unit variance cancels, one-sided units " +
+      "counted out, textbook t") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, false, 10L), (1L, false, 20L), (1L, true, 25L), (1L, true, 35L),
+      (2L, false, 10L), (2L, true, 22L),
+      (3L, false, 99L)) // pre-only
+      .toDF("u", "p", "y")
+    val out = ABTest.pairedDiff(rows, "u", col("p"), col("y")).head()
+    assert(out.getLong(0) == 2L && out.getLong(1) == 1L &&
+      out.getLong(2) == 0L)
+    assert(out.getAs[Double]("mean_diff") == 13.5) // (15 + 12) / 2
+    assert(math.abs(out.getAs[Double]("t") - 9.0) < 1e-9)
+  }
+
   test("kmvJaccard: small sets read exactly, identical sets J=1, " +
       "disjoint J=0") {
     import spark.implicits._

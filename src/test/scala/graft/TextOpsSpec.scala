@@ -1310,6 +1310,35 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
   }
 
+  test("sourceAblation: leave-one-out means are pure arithmetic from " +
+      "group sums, contribution signs correct") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(("g1", 10L), ("g1", 10L), ("g2", 40L))
+      .toDF("source", "m")
+    val out = graft.text.Corpus.sourceAblation(docs, "source", col("m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("loo_mean"),
+          r.getAs[Double]("contribution")))).toMap
+    assert(out("g1") == ((40.0, -20.0))) // without g1, mean jumps to 40
+    assert(out("g2") == ((10.0, 10.0)))  // g2 pulls the mean up by 10
+  }
+
+  test("rocchioExpansion: feedback-doc tokens ranked by tf*N/df, " +
+      "query terms excluded, token tie-break") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "spark data x y"), (2L, "spark x z"),
+      (3L, "q q q")).toDF("doc_id", "text")
+    val out = graft.text.Retrieval.rocchioExpansion(docs, "doc_id",
+        "text", Seq("spark"), nFeedback = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq("data", "x", "y", "z")) // all 3.0
+    assert(out.forall(_._4 == 3.0))
+    assert(out.find(_._1 == "x").get._2 == 2L) // tf_fb counts both docs
+  }
+
   test("bestPassage: densest hit window wins, earliest on ties, " +
       "passage clips at document end") {
     import org.apache.spark.sql.functions._
