@@ -420,6 +420,88 @@ object Journey {
        |       CAST(sum(lin) AS BIGINT) AS linear_micro
        |FROM w GROUP BY 1""".stripMargin
 
+  /** GROWTH ACCOUNTING (the Social-Capital ledger): per period, active
+    * users split into NEW (first period ever), RETAINED (also active
+    * the previous period) and RESURRECTED (active before, skipped the
+    * previous period), plus CHURNED (active previous period, gone now)
+    * — the four numbers whose sum explains every DAU/WAU move, where
+    * q61's retention triangles only show decay curves.
+    *
+    * Identity (testable): active(w) = new + retained + resurrected, and
+    * active(w−1) = retained(w) + churned(w).
+    *
+    * Scale shape: one (user, period) distinct, one per-user min
+    * aggregation, two self-joins keyed on (user, period±1). No windows.
+    *
+    * @param periodCol integer period (e.g. epoch-week)
+    * @return per period: (period, n_active, n_new, n_retained,
+    *         n_resurrected, n_churned)
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+      periodCol: Column): DataFrame = {
+    val au = events.select(col(userCol).as("__u"), periodCol.as("__w"))
+      .filter(col("__w").isNotNull)
+      .distinct()
+    val firstW = au.groupBy(col("__u")).agg(min(col("__w")).as("__fw"))
+    val prev = au.select(col("__u"), (col("__w") + 1).as("__w"),
+      lit(1L).as("__wasPrev"))
+    val flags = au.join(firstW, "__u")
+      .join(prev, Seq("__u", "__w"), "left")
+      .select(col("__w"),
+        when(col("__w") === col("__fw"), 1L).otherwise(0L).as("__new"),
+        when(col("__wasPrev") === 1L, 1L).otherwise(0L).as("__ret"),
+        when(col("__w") > col("__fw") && col("__wasPrev").isNull, 1L)
+          .otherwise(0L).as("__res"))
+      .groupBy(col("__w").as("period"))
+      .agg(count(lit(1)).as("n_active"), sum(col("__new")).as("n_new"),
+        sum(col("__ret")).as("n_retained"),
+        sum(col("__res")).as("n_resurrected"))
+    val churn = au.select(col("__u"), (col("__w") + 1).as("__w"))
+      .join(au.withColumn("__act", lit(1L)), Seq("__u", "__w"), "left")
+      .filter(col("__act").isNull)
+      .groupBy(col("__w").as("period"))
+      .agg(count(lit(1)).as("n_churned"))
+    flags.join(churn, Seq("period"), "full_outer")
+      .select(col("period"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** DuckDB oracle for [[growthAccounting]]: `innerSql` yields (u, w). */
+  def growthAccountingOracleSql(innerSql: String): String =
+    s"""WITH au AS (
+       |  SELECT DISTINCT u, w FROM ($innerSql) WHERE w IS NOT NULL
+       |), fw AS (SELECT u, min(w) AS fwk FROM au GROUP BY 1),
+       |fl AS (
+       |  SELECT au.w,
+       |    CASE WHEN au.w = fw.fwk THEN 1 ELSE 0 END AS isnew,
+       |    CASE WHEN p.u IS NOT NULL THEN 1 ELSE 0 END AS isret,
+       |    CASE WHEN au.w > fw.fwk AND p.u IS NULL THEN 1 ELSE 0 END
+       |      AS isres
+       |  FROM au JOIN fw ON au.u = fw.u
+       |  LEFT JOIN au p ON p.u = au.u AND p.w = au.w - 1
+       |), g AS (
+       |  SELECT w AS period, CAST(count(*) AS BIGINT) AS n_active,
+       |         CAST(sum(isnew) AS BIGINT) AS n_new,
+       |         CAST(sum(isret) AS BIGINT) AS n_retained,
+       |         CAST(sum(isres) AS BIGINT) AS n_resurrected
+       |  FROM fl GROUP BY 1
+       |), ch AS (
+       |  SELECT a.w + 1 AS period, CAST(count(*) AS BIGINT) AS n_churned
+       |  FROM au a LEFT JOIN au b ON b.u = a.u AND b.w = a.w + 1
+       |  WHERE b.u IS NULL GROUP BY 1
+       |)
+       |SELECT coalesce(g.period, ch.period) AS period,
+       |       coalesce(n_active, 0) AS n_active,
+       |       coalesce(n_new, 0) AS n_new,
+       |       coalesce(n_retained, 0) AS n_retained,
+       |       coalesce(n_resurrected, 0) AS n_resurrected,
+       |       coalesce(n_churned, 0) AS n_churned
+       |FROM g FULL OUTER JOIN ch ON g.period = ch.period""".stripMargin
+
   /** Windowed co-occurrence matrix: for EVERY ordered event-type pair
     * (a, b), how often b follows a within `windowSeconds` on the same
     * user — the all-pairs generalization of [[withinWindowConversion]]

@@ -334,6 +334,70 @@ object Profiling {
        |             / (CAST(na AS DOUBLE) * nb)) AS reject_05
        |FROM top""".stripMargin
 
+  /** Cross-table AGGREGATE consistency audit: does a header total equal
+    * the sum of its detail lines? Per header key the exact cent
+    * difference, rolled into relative-error ppm buckets — the
+    * reconciliation report between [[fkAudit]]'s "does the key exist"
+    * and business truth ("does the money add up"). Headers with no
+    * detail rows land in their own bucket (a 100 % miss, not a zero
+    * diff).
+    *
+    * One keyed detail aggregation + one left join from headers + one
+    * bucket rollup. Buckets are integer ppm CASE arms — exact.
+    *
+    * @return per bucket: (bucket, n, sum_abs_diff_cents) with bucket ∈
+    *         exact | le_1000ppm | le_10000ppm | gt_10000ppm | no_detail
+    */
+  def aggConsistency(headers: DataFrame, details: DataFrame,
+      keyCols: Seq[String], headerTotal: Column,
+      detailAmount: Column): DataFrame = {
+    val h = headers.select(keyCols.map(col) :+
+      headerTotal.as("__ht"): _*)
+    val d = details
+      .select(keyCols.map(col) :+ detailAmount.as("__da"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__da")).as("__ds"))
+    val joined = h.join(d, keyCols, "left")
+      .withColumn("__diff", col("__ht") - col("__ds"))
+      .withColumn("__ppm",
+        expr("abs(__diff) * 1000000 div greatest(abs(__ht), 1L)"))
+      .withColumn("bucket",
+        when(col("__ds").isNull, "no_detail")
+          .when(col("__diff") === 0L, "exact")
+          .when(col("__ppm") <= 1000L, "le_1000ppm")
+          .when(col("__ppm") <= 10000L, "le_10000ppm")
+          .otherwise("gt_10000ppm"))
+    joined.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(abs(col("__diff")), abs(col("__ht"))))
+          .as("sum_abs_diff_cents"))
+  }
+
+  /** DuckDB oracle for [[aggConsistency]]: `headerSql` yields
+    * (keys..., ht), `detailSql` yields (keys..., da). */
+  def aggConsistencyOracleSql(headerSql: String, detailSql: String,
+      keyCols: Seq[String]): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH h AS ($headerSql), d AS (
+       |  SELECT $keys, CAST(sum(da) AS BIGINT) AS ds
+       |  FROM ($detailSql) GROUP BY $keys
+       |), j AS (
+       |  SELECT h.ht, d.ds, h.ht - d.ds AS diff,
+       |         abs(h.ht - d.ds) * 1000000 // greatest(abs(h.ht), 1)
+       |           AS ppm
+       |  FROM h LEFT JOIN d USING ($keys)
+       |)
+       |SELECT CASE WHEN ds IS NULL THEN 'no_detail'
+       |            WHEN diff = 0 THEN 'exact'
+       |            WHEN ppm <= 1000 THEN 'le_1000ppm'
+       |            WHEN ppm <= 10000 THEN 'le_10000ppm'
+       |            ELSE 'gt_10000ppm' END AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(coalesce(abs(diff), abs(ht))) AS BIGINT)
+       |         AS sum_abs_diff_cents
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
   /** Per-row SURPRISAL score: Σ over audited columns of the value's
     * information content `blog(N) − blog(n_value)` — "how unusual is
     * this row", the multi-column outlier triage that single-column

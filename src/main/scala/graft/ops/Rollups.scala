@@ -132,6 +132,60 @@ object Rollups {
       acc.withColumn(g, last(col(g), ignoreNulls = true).over(w)))
   }
 
+  /** LASPEYRES price index per period: Σ p_t·q₀ / Σ p₀·q₀ over items
+    * present in both the period and the BASE period — "how much would
+    * the base period's basket cost now", the inflation-style series a
+    * raw average price muddles whenever the mix shifts (the index holds
+    * quantities fixed; mean price doesn't).
+    *
+    * Exact: per (period, item) unit prices are integer milli-cents
+    * (`Σext·1000 div Σqty`); the index numerator/denominator are exact
+    * integer basket sums and the readout one division. Items absent
+    * from a period simply leave the basket (documented — chained
+    * indices handle entry/exit; this is the fixed-base form).
+    *
+    * @return per period: (period, n_items, num, den, index) — index
+    *         1.0 at the base period by construction
+    */
+  def priceIndex(df: DataFrame, periodCol: Column, itemCol: Column,
+      qty: Column, extCents: Column): DataFrame = {
+    val per = df.select(periodCol.as("__p"), itemCol.as("__i"),
+        qty.as("__q"), extCents.as("__e"))
+      .groupBy(col("__p"), col("__i"))
+      .agg(sum(col("__q")).as("__sq"), sum(col("__e")).as("__se"))
+      .withColumn("p_milli", expr("(__se * 1000) div __sq"))
+    val baseP = per.agg(min(col("__p")).as("__bp"))
+    val base = per.join(broadcast(baseP), col("__p") === col("__bp"))
+      .select(col("__i"), col("__sq").as("q0"),
+        col("p_milli").as("p0_milli"))
+    per.join(base, "__i")
+      .groupBy(col("__p").as("period"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("p_milli") * col("q0")).as("num"),
+        sum(col("p0_milli") * col("q0")).as("den"))
+      .withColumn("index",
+        col("num").cast("double") / col("den"))
+  }
+
+  /** DuckDB oracle for [[priceIndex]]: `innerSql` yields
+    * (p, i, q, e) as integers. */
+  def priceIndexOracleSql(innerSql: String): String =
+    s"""WITH per AS (
+       |  SELECT p, i, CAST(sum(q) AS BIGINT) AS sq,
+       |         CAST((sum(e) * 1000) // sum(q) AS BIGINT) AS p_milli
+       |  FROM ($innerSql) GROUP BY 1, 2
+       |), base AS (
+       |  SELECT i, sq AS q0, p_milli AS p0_milli
+       |  FROM per WHERE p = (SELECT min(p) FROM per)
+       |)
+       |SELECT per.p AS period, CAST(count(*) AS BIGINT) AS n_items,
+       |       CAST(sum(per.p_milli * base.q0) AS BIGINT) AS num,
+       |       CAST(sum(base.p0_milli * base.q0) AS BIGINT) AS den,
+       |       CAST(sum(per.p_milli * base.q0) AS DOUBLE)
+       |         / sum(base.p0_milli * base.q0) AS index
+       |FROM per JOIN base ON per.i = base.i
+       |GROUP BY 1""".stripMargin
+
   /** A4+O1: inverse-average difficulty score per dimension, ordered. */
   def difficulty(df: DataFrame, dim: Column, qtyCents: Column, priceCents: Column): DataFrame =
     df.groupBy(dim)

@@ -559,6 +559,14 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Growth accounting: weekly actives split into new / retained /
+    // resurrected, churn attributed to the week after — the four
+    // numbers that explain every WAU move, where q61 only shows decay.
+    "q273_growth" -> ((s, dir) =>
+      Journey.growthAccounting(Tables(s, dir).events, "user_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+          + " div 86400 div 7"))),
+
     // Paired pre/post comparison: each user their own control across
     // the mid-month boundary — between-user variance cancels, the
     // highest-power design when both sides are observed; micro-
@@ -1388,6 +1396,11 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q273_growth" -> Journey.growthAccountingOracleSql(
+      """SELECT user_id AS u,
+        |       epoch_us(ts) // 1000000 // 86400 // 7 AS w
+        |FROM events""".stripMargin),
 
     "q271_paired_diff" -> ABTest.pairedDiffOracleSql(
       """SELECT user_id AS u,

@@ -723,6 +723,32 @@ object Relational extends QueryModule {
         .filter(col("is_match"))
     }),
 
+    // Laspeyres price index by ship-month: what the first month's
+    // basket would cost later — mix-shift-proof inflation series a
+    // raw average price muddles; integer milli-cent unit prices.
+    "q274_price_index" -> ((s, dir) =>
+      graft.ops.Rollups.priceIndex(
+        Tables(s, dir).lineitem,
+        periodCol = expr(
+          "CAST(year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE)) AS LONG)"),
+        itemCol = col("l_partkey"),
+        qty = col("l_quantity").cast("long"),
+        extCents = Exact.cents(col("l_extendedprice")))),
+
+    // Header/detail reconciliation: does o_totalprice equal the sum of
+    // its lines' extended prices — per-order cent diffs rolled into
+    // relative-error ppm buckets; the "does the money add up" audit
+    // q171's key-existence FK check can't make.
+    "q275_reconciliation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.ops.Profiling.aggConsistency(
+        t.orders.select(col("o_orderkey"),
+          Exact.cents(col("o_totalprice")).as("ht")),
+        t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          Exact.cents(col("l_extendedprice")).as("da")),
+        Seq("o_orderkey"), col("ht"), col("da"))
+    }),
+
     // Per-row surprisal triage: Σ bit-length information content over
     // (status, priority, price band) — the most unusual orders, read
     // natively off categoricals; q199's numeric Mahalanobis can't.
@@ -1372,6 +1398,22 @@ object Relational extends QueryModule {
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
+
+    "q274_price_index" -> graft.ops.Rollups.priceIndexOracleSql(
+      """SELECT year(CAST(l_shipdate AS DATE)) * 12
+        |         + month(CAST(l_shipdate AS DATE)) AS p,
+        |       l_partkey AS i, CAST(l_quantity AS BIGINT) AS q,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS e
+        |FROM lineitem""".stripMargin),
+
+    "q275_reconciliation" -> graft.ops.Profiling.aggConsistencyOracleSql(
+      """SELECT o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS ht
+        |FROM orders""".stripMargin,
+      """SELECT l_orderkey AS o_orderkey,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS da
+        |FROM lineitem""".stripMargin,
+      Seq("o_orderkey")),
 
     "q265_row_surprisal" -> graft.ops.Profiling.rowSurprisalOracleSql(
       """SELECT o_orderkey, o_orderstatus, o_orderpriority,

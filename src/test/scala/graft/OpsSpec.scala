@@ -1028,6 +1028,53 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("growthAccounting: new/retained/resurrected/churned ledger " +
+      "satisfies the accounting identity") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 2L))
+      .toDF("u", "w")
+    val out = Journey.growthAccounting(ev, "u", col("w"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(1L) == ((1L, 1L, 0L, 0L, 0L)))
+    assert(out(2L) == ((2L, 1L, 1L, 0L, 0L))) // u2 new, u1 retained
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 2L))) // both skip w3
+    assert(out(4L) == ((1L, 0L, 0L, 1L, 0L))) // u1 resurrects
+    assert(out(5L) == ((0L, 0L, 0L, 0L, 1L))) // u1 gone after w4
+  }
+
+  test("priceIndex: base month reads 1.0, doubled item price moves " +
+      "the index by its base-basket weight") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, "A", 2L, 2000L), (1L, "B", 4L, 2000L),  // p=10, p=5 (cents)
+      (2L, "A", 1L, 2000L), (2L, "B", 10L, 5000L)) // p=20, p=5
+      .toDF("p", "i", "q", "e")
+    val out = Rollups.priceIndex(li, col("p"), col("i"), col("q"),
+        col("e"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("index")).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 1.5) // (20·2 + 5·4) / (10·2 + 5·4)
+  }
+
+  test("aggConsistency: exact, ppm-banded, and detail-less headers " +
+      "each land in their bucket") {
+    import spark.implicits._
+    val h = Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L),
+      (4L, 500L)).toDF("k", "ht")
+    val d = Seq((1L, 1000000L), (2L, 999500L), (4L, 100L))
+      .toDF("k", "da")
+    val out = Profiling.aggConsistency(h, d, Seq("k"), col("ht"),
+        col("da"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("exact") == ((1L, 0L)))
+    assert(out("le_1000ppm") == ((1L, 500L)))   // 500/1e6 = 500 ppm
+    assert(out("no_detail") == ((1L, 1000000L)))
+    assert(out("gt_10000ppm") == ((1L, 400L)))  // 400/500 = 800000 ppm
+  }
+
   test("pairedDiff: between-unit variance cancels, one-sided units " +
       "counted out, textbook t") {
     import spark.implicits._
