@@ -108,6 +108,78 @@ object ABTest {
       .drop("__sd1", "__sd2")
   }
 
+  /** EVENT STUDY — the dynamic version of [[diffInDiff]]: the
+    * treated-vs-control gap per RELATIVE period, normalized to the
+    * period−(−1) gap (the convention that makes pre-trends visible: if
+    * the pre-period bars aren't flat at 0, parallel trends is broken
+    * and the DiD number is fiction).
+    *
+    * Exact per-(period, arm) integer sums; gaps and the baseline
+    * subtraction are fixed IEEE; the baseline row broadcasts back
+    * (stat-broadcast idiom).
+    *
+    * @param relPeriod integer period RELATIVE to the intervention
+    *                  (negative = before)
+    * @return per period: (rel_period, n_t, n_c, mean_t, mean_c, gap,
+    *         gap_vs_baseline) — baseline = the gap at rel_period −1;
+    *         gap NULL when an arm is empty in a period
+    */
+  def eventStudy(df: DataFrame, treated: Column, relPeriod: Column,
+      y: Column): DataFrame = {
+    val per = df.select(treated.as("__t"), relPeriod.as("__w"),
+        y.as("__y"))
+      .filter(col("__t").isNotNull && col("__w").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(col("__w").as("rel_period"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("__st"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__sc"))
+    val gap = when(col("n_t") > 0 && col("n_c") > 0,
+      col("__st").cast("double") / col("n_t") -
+        col("__sc").cast("double") / col("n_c"))
+    val withGap = per
+      .withColumn("mean_t",
+        when(col("n_t") > 0, col("__st").cast("double") / col("n_t")))
+      .withColumn("mean_c",
+        when(col("n_c") > 0, col("__sc").cast("double") / col("n_c")))
+      .withColumn("gap", gap)
+    // one-row aggregate, not a filter: a missing −1 period must yield
+    // a NULL baseline row (matching the oracle's scalar subquery), not
+    // an empty cross join that erases the whole output
+    val baseline = withGap
+      .agg(max(when(col("rel_period") === -1L, col("gap"))).as("__bgap"))
+    withGap.crossJoin(broadcast(baseline))
+      .withColumn("gap_vs_baseline", col("gap") - col("__bgap"))
+      .select(col("rel_period"), col("n_t"), col("n_c"), col("mean_t"),
+        col("mean_c"), col("gap"), col("gap_vs_baseline"))
+  }
+
+  /** DuckDB oracle for [[eventStudy]]: `innerSql` yields (t, w, y). */
+  def eventStudyOracleSql(innerSql: String): String =
+    s"""WITH per AS (
+       |  SELECT w AS rel_period,
+       |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS st,
+       |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS sc
+       |  FROM ($innerSql)
+       |  WHERE t IS NOT NULL AND w IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), g AS (
+       |  SELECT *,
+       |    CASE WHEN n_t > 0 THEN CAST(st AS DOUBLE) / n_t END AS mean_t,
+       |    CASE WHEN n_c > 0 THEN CAST(sc AS DOUBLE) / n_c END AS mean_c,
+       |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+       |      CAST(st AS DOUBLE) / n_t - CAST(sc AS DOUBLE) / n_c
+       |    END AS gap
+       |  FROM per
+       |)
+       |SELECT rel_period, n_t, n_c, mean_t, mean_c, gap,
+       |       gap - (SELECT gap FROM g WHERE rel_period = -1)
+       |         AS gap_vs_baseline
+       |FROM g""".stripMargin
+
   /** DuckDB oracle for [[pairedDiff]]: `innerSql` yields (u, p, y). */
   def pairedDiffOracleSql(innerSql: String): String =
     s"""WITH per AS (

@@ -459,6 +459,126 @@ object TimeSeries {
        |FROM r WHERE rn = (n + 1) // 2""".stripMargin
   }
 
+  /** SPLIT-CONFORMAL interval audit over the per-key OLS trend: fit on
+    * the calibration span, take the rank-⌈q·n⌉ absolute residual as the
+    * interval half-width (the distribution-free conformal guarantee:
+    * ≥ q coverage on exchangeable data), then MEASURE coverage on the
+    * held-out span — the "are my uncertainty bands honest" audit, which
+    * a model that merely reports variance never gets.
+    *
+    * Residuals quantized to integer millis (the q251 device); the
+    * width is a discrete histogram quantile (q40 convention,
+    * cross-multiplied rank test); coverage is an exact count ratio.
+    *
+    * @param cutoff first `tCol` value of the held-out span
+    * @return per key: (keyCols..., n_cal, width_milli, n_test,
+    *         n_covered, coverage)
+    */
+  def conformalAudit(series: DataFrame, keyCols: Seq[String],
+      tCol: String, xCol: String, cutoff: Long,
+      qNum: Int = 9, qDen: Int = 10): DataFrame = {
+    require(qNum > 0 && qDen > qNum)
+    val s = series.select(
+      keyCols.map(col) ++ Seq(col(tCol).as("__t"), col(xCol).as("__x")): _*)
+    val cal = s.filter(col("__t") < cutoff)
+    val fit = linearTrend(cal, keyCols, "__t", "__x")
+      .filter(col("slope").isNotNull)
+      .select(keyCols.map(col) :+ col("slope") :+ col("intercept"): _*)
+    def resid(df: DataFrame) = df.join(broadcast(fit), keyCols)
+      .withColumn("__r",
+        abs(col("__x") - (col("intercept") + col("slope") * col("__t"))))
+      .withColumn("__rq", (col("__r") * lit(1000.0)).cast("long"))
+    val calR = resid(cal)
+    val hist = calR.groupBy(keyCols.map(col) :+ col("__rq"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__rq"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val widths = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("n_cal"),
+        min(when(col("__cum") * qDen >= col("__n") * qNum, col("__rq")))
+          .as("width_milli"))
+    val test = resid(s.filter(col("__t") >= cutoff))
+      .join(broadcast(widths), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__rq") <= col("width_milli"), 1L).otherwise(0L))
+          .as("n_covered"))
+    widths.join(test, keyCols)
+      .withColumn("coverage",
+        when(col("n_test") > 0,
+          col("n_covered").cast("double") / col("n_test")))
+      .select(keyCols.map(col) ++ Seq(col("n_cal"), col("width_milli"),
+        col("n_test"), col("n_covered"), col("coverage")): _*)
+  }
+
+  /** DuckDB oracle for [[conformalAudit]]: `innerSql` yields
+    * (keyCols..., t, x) as integers. */
+  def conformalAuditOracleSql(innerSql: String, keyCols: Seq[String],
+      cutoff: Long, qNum: Int = 9, qDen: Int = 10): String = {
+    val keys = keyCols.mkString(", ")
+    val eqFit = keyCols.map(k => s"c.$k = fit.$k").mkString(" AND ")
+    s"""WITH b AS ($innerSql), cal AS (
+       |  SELECT * FROM b WHERE t < $cutoff
+       |), f AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(t) AS BIGINT) AS sx, CAST(sum(x) AS BIGINT) AS sy,
+       |         CAST(sum(t * t) AS BIGINT) AS sxx,
+       |         CAST(sum(t * x) AS BIGINT) AS sxy
+       |  FROM cal GROUP BY $keys
+       |), fit AS (
+       |  SELECT $keys,
+       |    CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |    (CAST(sy AS DOUBLE)
+       |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n
+       |      AS intercept
+       |  FROM f WHERE n * sxx - sx * sx > 0
+       |), calr AS (
+       |  SELECT ${keyCols.map(k => s"c.$k").mkString(", ")},
+       |    CAST(trunc(abs(c.x - (intercept + slope * c.t)) * 1000.0)
+       |      AS BIGINT) AS rq
+       |  FROM cal c JOIN fit ON $eqFit
+       |), h AS (
+       |  SELECT $keys, rq, CAST(count(*) AS BIGINT) AS cc
+       |  FROM calr GROUP BY ${(1 to keyCols.length + 1).mkString(", ")}
+       |), cum AS (
+       |  SELECT *, CAST(sum(cc) OVER (PARTITION BY $keys ORDER BY rq
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cm,
+       |    CAST(sum(cc) OVER (PARTITION BY $keys) AS BIGINT) AS n
+       |  FROM h
+       |), widths AS (
+       |  SELECT $keys, max(n) AS n_cal,
+       |         min(CASE WHEN cm * $qDen >= n * $qNum THEN rq END)
+       |           AS width_milli
+       |  FROM cum GROUP BY $keys
+       |), testr AS (
+       |  SELECT ${keyCols.map(k => s"c.$k").mkString(", ")},
+       |    CAST(trunc(abs(c.x - (intercept + slope * c.t)) * 1000.0)
+       |      AS BIGINT) AS rq
+       |  FROM (SELECT * FROM b WHERE t >= $cutoff) c JOIN fit ON $eqFit
+       |), tst AS (
+       |  SELECT ${keyCols.map(k => s"testr.$k").mkString(", ")},
+       |         CAST(count(*) AS BIGINT) AS n_test,
+       |         CAST(sum(CASE WHEN rq <= width_milli THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_covered
+       |  FROM testr JOIN widths USING ($keys)
+       |  GROUP BY ${keyCols.map(k => s"testr.$k").mkString(", ")}
+       |)
+       |SELECT $keys, n_cal, width_milli, n_test, n_covered,
+       |       CASE WHEN n_test > 0 THEN
+       |         CAST(n_covered AS DOUBLE) / n_test END AS coverage
+       |FROM widths JOIN tst USING ($keys)""".stripMargin
+  }
+
   /** LINEAR interpolation of series gaps — the straight-line companion
     * to `Rollups.forwardFill` (LOCF answers "what was the last reading";
     * interpolation answers "what was it probably DURING the gap", the

@@ -559,6 +559,29 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Split-conformal interval audit: per-type trend intervals sized
+    // on the front half (rank-⌈0.9n⌉ |residual|), coverage MEASURED on
+    // the back half — are the uncertainty bands honest.
+    "q276_conformal" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("t"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.conformalAudit(hourly, Seq("event_type"), "t", "x",
+        cutoff = 473712L)
+    }),
+
+    // Event study: weekly treated-vs-control gap normalized to the
+    // week −1 gap — flat pre-period bars are the parallel-trends check
+    // q228's single DiD number silently assumes.
+    "q277_event_study" -> ((s, dir) =>
+      ABTest.eventStudy(Tables(s, dir).events,
+        treated = pmod(col("user_id"), lit(2L)) === 1L,
+        relPeriod = expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 86400 div 7 - 2820"),
+        y = Exact.cents(col("value")))),
+
     // Growth accounting: weekly actives split into new / retained /
     // resurrected, churn attributed to the week after — the four
     // numbers that explain every WAU move, where q61 only shows decay.
@@ -1396,6 +1419,18 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q276_conformal" -> TimeSeries.conformalAuditOracleSql(
+      """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
+        |       CAST(count(*) AS BIGINT) AS x
+        |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type"), cutoff = 473712L),
+
+    "q277_event_study" -> ABTest.eventStudyOracleSql(
+      """SELECT user_id % 2 = 1 AS t,
+        |       epoch_us(ts) // 1000000 // 86400 // 7 - 2820 AS w,
+        |       CAST(round(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin),
 
     "q273_growth" -> Journey.growthAccountingOracleSql(
       """SELECT user_id AS u,

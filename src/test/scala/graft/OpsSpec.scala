@@ -1028,6 +1028,36 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("conformalAudit: zero-residual calibration gives zero width, " +
+      "coverage counts the held-out outlier") {
+    import spark.implicits._
+    val series = (0L to 19L).map(t => ("k", t, 10 * t)) ++
+      (20L to 29L).map(t => ("k", t,
+        if (t == 25L) 10 * t + 5 else 10 * t))
+    val out = TimeSeries.conformalAudit(series.toDF("k", "t", "x"),
+      Seq("k"), "t", "x", cutoff = 20L).head()
+    assert(out.getAs[Long]("n_cal") == 20L &&
+      out.getAs[Long]("width_milli") == 0L)
+    assert(out.getAs[Long]("n_test") == 10L &&
+      out.getAs[Long]("n_covered") == 9L)
+    assert(out.getAs[Double]("coverage") == 0.9)
+  }
+
+  test("eventStudy: pre-period gap normalizes to zero at t = -1, " +
+      "post-period effect reads against that baseline") {
+    import spark.implicits._
+    val rows = Seq(
+      (true, -1L, 10L), (false, -1L, 5L),
+      (true, 0L, 25L), (false, 0L, 8L))
+      .toDF("t", "w", "y")
+    val out = ABTest.eventStudy(rows, col("t"), col("w"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("gap"),
+          r.getAs[Double]("gap_vs_baseline")))).toMap
+    assert(out(-1L) == ((5.0, 0.0)))
+    assert(out(0L) == ((17.0, 12.0)))
+  }
+
   test("growthAccounting: new/retained/resurrected/churned ledger " +
       "satisfies the accounting identity") {
     import spark.implicits._
