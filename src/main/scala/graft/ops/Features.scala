@@ -43,6 +43,162 @@ object Features {
       .drop("__sum", "__cnt")
   }
 
+  /** TWO-FEATURE ordinary least squares via the normal equations — the
+    * multivariate step after q216's single-feature fit: y ≈ b0 + b1·x1
+    * + b2·x2, coefficients by Cramer's rule over the 3×3 Gram matrix.
+    * The whole corpus folds to NINE exact integer sums in one
+    * map-side-combinable pass; the determinants are fixed IEEE
+    * arithmetic over those sums (bit-portable — the same expression
+    * tree runs on both engines). Singular designs (collinear features)
+    * yield NULL coefficients.
+    *
+    * @return one row: (n, b0, b1, b2, det)
+    */
+  def ols2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    val g = df.select(y.as("__y"), x1.as("__a"), x2.as("__b"))
+      .filter(col("__y").isNotNull && col("__a").isNotNull &&
+        col("__b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__a")).as("s1"), sum(col("__b")).as("s2"),
+        sum(col("__a") * col("__a")).as("s11"),
+        sum(col("__a") * col("__b")).as("s12"),
+        sum(col("__b") * col("__b")).as("s22"),
+        sum(col("__y")).as("sy"),
+        sum(col("__a") * col("__y")).as("s1y"),
+        sum(col("__b") * col("__y")).as("s2y"))
+    def d(c: String) = col(c).cast("double")
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+      d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    g.withColumn("det", det)
+      .withColumn("b0", when(abs(col("det")) > 0, det0 / col("det")))
+      .withColumn("b1", when(abs(col("det")) > 0, det1 / col("det")))
+      .withColumn("b2", when(abs(col("det")) > 0, det2 / col("det")))
+      .select(col("n"), col("b0"), col("b1"), col("b2"), col("det"))
+  }
+
+  /** DuckDB oracle for [[ols2]]: `innerSql` yields (y, a, b). */
+  def ols2OracleSql(innerSql: String): String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val det = s"${dd("n")} * (${dd("s11")} * ${dd("s22")} - ${dd("s12")} * ${dd("s12")}) - " +
+      s"${dd("s1")} * (${dd("s1")} * ${dd("s22")} - ${dd("s12")} * ${dd("s2")}) + " +
+      s"${dd("s2")} * (${dd("s1")} * ${dd("s12")} - ${dd("s11")} * ${dd("s2")})"
+    val det0 = s"${dd("sy")} * (${dd("s11")} * ${dd("s22")} - ${dd("s12")} * ${dd("s12")}) - " +
+      s"${dd("s1")} * (${dd("s1y")} * ${dd("s22")} - ${dd("s12")} * ${dd("s2y")}) + " +
+      s"${dd("s2")} * (${dd("s1y")} * ${dd("s12")} - ${dd("s11")} * ${dd("s2y")})"
+    val det1 = s"${dd("n")} * (${dd("s1y")} * ${dd("s22")} - ${dd("s12")} * ${dd("s2y")}) - " +
+      s"${dd("sy")} * (${dd("s1")} * ${dd("s22")} - ${dd("s12")} * ${dd("s2")}) + " +
+      s"${dd("s2")} * (${dd("s1")} * ${dd("s2y")} - ${dd("s1y")} * ${dd("s2")})"
+    val det2 = s"${dd("n")} * (${dd("s11")} * ${dd("s2y")} - ${dd("s1y")} * ${dd("s12")}) - " +
+      s"${dd("s1")} * (${dd("s1")} * ${dd("s2y")} - ${dd("s1y")} * ${dd("s2")}) + " +
+      s"${dd("sy")} * (${dd("s1")} * ${dd("s12")} - ${dd("s11")} * ${dd("s2")})"
+    s"""WITH g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(a) AS BIGINT) AS s1, CAST(sum(b) AS BIGINT) AS s2,
+       |         CAST(sum(a * a) AS BIGINT) AS s11,
+       |         CAST(sum(a * b) AS BIGINT) AS s12,
+       |         CAST(sum(b * b) AS BIGINT) AS s22,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(a * y) AS BIGINT) AS s1y,
+       |         CAST(sum(b * y) AS BIGINT) AS s2y
+       |  FROM ($innerSql)
+       |  WHERE y IS NOT NULL AND a IS NOT NULL AND b IS NOT NULL
+       |)
+       |SELECT n,
+       |       CASE WHEN abs($det) > 0 THEN ($det0) / ($det) END AS b0,
+       |       CASE WHEN abs($det) > 0 THEN ($det1) / ($det) END AS b1,
+       |       CASE WHEN abs($det) > 0 THEN ($det2) / ($det) END AS b2,
+       |       $det AS det
+       |FROM g""".stripMargin
+  }
+
+  /** EXACT Spearman rank correlation with ties — rank-2 device: the
+    * tie-averaged rank is generally fractional, but TWICE it
+    * (`2·cum_before + n_at + 1` per distinct value) is always an
+    * integer, and Pearson is scale-invariant — so Spearman computes as
+    * [[Exact.corrFromSums]] over integer doubled ranks, bit-portable
+    * with zero interpolation. The monotone-association answer where
+    * q85's Pearson only sees linearity.
+    *
+    * Scale shape: two value-histogram rank maps (cumulative windows
+    * over DISTINCT values per group) joined back on the value, one
+    * 6-sum fold per group.
+    *
+    * @return per group: (grpCols..., n, rho)
+    */
+  def spearman(df: DataFrame, grpCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val base = df.select(grpCols.map(col) :+ x.as("__x") :+ y.as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rank2(vCol: String, out: String) = {
+      val h = base.groupBy(grpCols.map(col) :+ col(vCol): _*)
+        .agg(count(lit(1)).as("__c"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(grpCols.map(col): _*).orderBy(col(vCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      h.withColumn(out,
+        lit(2L) * coalesce(sum(col("__c")).over(wPrev), lit(0L)) +
+          col("__c") + 1L)
+        .select(grpCols.map(col) :+ col(vCol) :+ col(out): _*)
+    }
+    val withRanks = base
+      .join(rank2("__x", "__rx"), grpCols :+ "__x")
+      .join(rank2("__y", "__ry"), grpCols :+ "__y")
+    withRanks.groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+        sum(col("__rx") * col("__rx")).as("sxx"),
+        sum(col("__ry") * col("__ry")).as("syy"),
+        sum(col("__rx") * col("__ry")).as("sxy"))
+      .select(grpCols.map(col) :+ col("n") :+
+        Exact.corrFromSums(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("rho"): _*)
+  }
+
+  /** DuckDB oracle for [[spearman]]: `innerSql` yields
+    * (grpCols..., x, y). */
+  def spearmanOracleSql(innerSql: String, grpCols: Seq[String]): String = {
+    val keys = grpCols.mkString(", ")
+    def rankCte(v: String, cte: String, out: String) =
+      s"""$cte AS (
+         |  SELECT $keys, $v,
+         |    2 * CAST(coalesce(sum(c) OVER (PARTITION BY $keys
+         |      ORDER BY $v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) + c + 1 AS $out
+         |  FROM (SELECT $keys, $v, CAST(count(*) AS BIGINT) AS c
+         |        FROM b GROUP BY ${(1 to grpCols.length + 1).mkString(", ")})
+         |)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT $keys, x, y FROM ($innerSql)
+       |  WHERE x IS NOT NULL AND y IS NOT NULL
+       |), ${rankCte("x", "rx", "r2x")}, ${rankCte("y", "ry", "r2y")},
+       |j AS (
+       |  SELECT b.*, rx.r2x, ry.r2y
+       |  FROM b JOIN rx USING ($keys, x) JOIN ry USING ($keys, y)
+       |), s AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(r2x) AS BIGINT) AS sx,
+       |         CAST(sum(r2y) AS BIGINT) AS sy,
+       |         CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+       |         CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+       |         CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+       |  FROM j GROUP BY $keys
+       |)
+       |SELECT $keys, n, ${Exact.corrFromSumsSql("n", "sx", "sy", "sxx",
+        "syy", "sxy")} AS rho
+       |FROM s""".stripMargin
+  }
+
   /** Mutual-information feature ranking: score each candidate
     * categorical feature by its MI with the label, in the q181/q130
     * integer bit-length-log device — `blog(x) = ⌊log2 x⌋ + 1`, so each

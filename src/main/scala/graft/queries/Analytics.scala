@@ -559,6 +559,23 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Two-feature OLS via the normal equations: value against
+    // (hour-of-day, k) — nine exact sums, Cramer readout; the
+    // multivariate step q216's single-feature fit can't take.
+    "q278_ols2" -> ((s, dir) =>
+      Features.ols2(eventsEnriched(Tables(s, dir)),
+        y = col("value_cents"),
+        x1 = expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600 % 24"),
+        x2 = col("k"))),
+
+    // Exact Spearman per event type via the doubled-rank device
+    // (tie-averaged ranks ×2 are integers): the monotone-association
+    // answer where q85's Pearson only sees lines.
+    "q279_spearman" -> ((s, dir) =>
+      Features.spearman(eventsEnriched(Tables(s, dir)),
+        Seq("event_type"), x = col("value_cents"), y = col("k"))),
+
     // Split-conformal interval audit: per-type trend intervals sized
     // on the front half (rank-⌈0.9n⌉ |residual|), coverage MEASURED on
     // the back half — are the uncertainty bands honest.
@@ -1418,6 +1435,18 @@ object Analytics extends QueryModule {
       """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
+      Seq("event_type")),
+
+    "q278_ols2" -> Features.ols2OracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS y,
+        |       epoch_us(ts) // 1000000 // 3600 % 24 AS a,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS b
+        |FROM events""".stripMargin),
+
+    "q279_spearman" -> Features.spearmanOracleSql(
+      """SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        |FROM events""".stripMargin,
       Seq("event_type")),
 
     "q276_conformal" -> TimeSeries.conformalAuditOracleSql(

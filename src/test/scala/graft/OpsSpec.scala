@@ -1028,6 +1028,34 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("ols2: exact plane recovered, collinear design yields NULLs") {
+    import spark.implicits._
+    val rows = for { a <- 0L to 3L; b <- 0L to 3L }
+      yield (3 + 2 * a + 5 * b, a, b)
+    val out = Features.ols2(rows.toDF("y", "a", "b"),
+      col("y"), col("a"), col("b")).head()
+    assert(math.abs(out.getAs[Double]("b0") - 3.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("b1") - 2.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("b2") - 5.0) < 1e-9)
+    val coll = (1L to 10L).map(i => (i, i, i)).toDF("y", "a", "b")
+    val bad = Features.ols2(coll, col("y"), col("a"), col("b")).head()
+    assert(bad.isNullAt(1) && bad.getAs[Double]("det") == 0.0)
+  }
+
+  test("spearman: monotone nonlinear reads 1, reversal -1, " +
+      "tie-averaged doubled ranks stay exact") {
+    import spark.implicits._
+    val cube = (1L to 20L).map(i => ("up", i, i * i * i)) ++
+      (1L to 20L).map(i => ("down", i, -i * i * i)) ++
+      Seq(("tie", 1L, 5L), ("tie", 1L, 7L), ("tie", 2L, 9L))
+    val out = Features.spearman(cube.toDF("g", "x", "y"), Seq("g"),
+        col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
+    assert(out("up") == 1.0)
+    assert(out("down") == -1.0)
+    assert(out("tie") > 0.5 && out("tie") < 1.0) // x-ties damp rho
+  }
+
   test("conformalAudit: zero-residual calibration gives zero width, " +
       "coverage counts the held-out outlier") {
     import spark.implicits._
