@@ -121,6 +121,79 @@ object Features {
        |FROM g""".stripMargin
   }
 
+  /** ADJUSTED RAND INDEX between two partitions of the same items —
+    * "did the clustering recover the known segmentation", chance-
+    * corrected (ARI 0 = what random labels score, 1 = identical
+    * partitions). Computes from the label-pair CONTINGENCY table and
+    * its margins — Σ C(n,2) arithmetic, never item pairs — so cost is
+    * bounded by |labels_a|·|labels_b|, not n².
+    *
+    * Exact longs end-to-end; the expected-index correction is the one
+    * fixed IEEE sequence. Degenerate cases (single cluster on both
+    * sides — max = expected) yield NULL.
+    *
+    * @return one row: (n, n_cells, pairs_both, pairs_a, pairs_b, ari)
+    */
+  def adjustedRandIndex(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("nij"))
+    // integer C(c,2): Column `/` is double division — `div` keeps the
+    // pair counts (and the comparator dtype) in exact longs
+    def c2(name: String) = expr(s"($name * ($name - 1)) div 2")
+    val aM = cells.groupBy(col("__a")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(c2("ai")).as("pairs_a"))
+    val bM = cells.groupBy(col("__b")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(c2("bj")).as("pairs_b"))
+    val top = cells.agg(sum(col("nij")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(c2("nij")).as("pairs_both"))
+    val j = top.crossJoin(broadcast(aM)).crossJoin(broadcast(bM))
+    val c2n = (col("n") * (col("n") - 1) / 2).cast("double")
+    val expd = col("pairs_a").cast("double") * col("pairs_b") / c2n
+    val mx = (col("pairs_a") + col("pairs_b")).cast("double") / 2.0
+    j.withColumn("ari",
+        when(abs(mx - expd) > 0,
+          (col("pairs_both").cast("double") - expd) / (mx - expd)))
+      .select(col("n"), col("n_cells"), col("pairs_both"),
+        col("pairs_a"), col("pairs_b"), col("ari"))
+  }
+
+  /** DuckDB oracle for [[adjustedRandIndex]]: `innerSql` yields
+    * (a, b). */
+  def ariOracleSql(innerSql: String): String =
+    s"""WITH cells AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS nij
+       |  FROM ($innerSql) WHERE a IS NOT NULL AND b IS NOT NULL
+       |  GROUP BY 1, 2
+       |), am AS (
+       |  SELECT CAST(sum(ai * (ai - 1) / 2) AS BIGINT) AS pairs_a
+       |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai
+       |        FROM cells GROUP BY a)
+       |), bm AS (
+       |  SELECT CAST(sum(bj * (bj - 1) / 2) AS BIGINT) AS pairs_b
+       |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj
+       |        FROM cells GROUP BY b)
+       |), top AS (
+       |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+       |         CAST(count(*) AS BIGINT) AS n_cells,
+       |         CAST(sum(nij * (nij - 1) / 2) AS BIGINT) AS pairs_both
+       |  FROM cells
+       |)
+       |SELECT n, n_cells, pairs_both, pairs_a, pairs_b,
+       |  CASE WHEN abs(CAST(pairs_a + pairs_b AS DOUBLE) / 2.0
+       |      - CAST(pairs_a AS DOUBLE) * pairs_b
+       |        / CAST(n * (n - 1) / 2 AS DOUBLE)) > 0 THEN
+       |    (CAST(pairs_both AS DOUBLE)
+       |      - CAST(pairs_a AS DOUBLE) * pairs_b
+       |        / CAST(n * (n - 1) / 2 AS DOUBLE))
+       |    / (CAST(pairs_a + pairs_b AS DOUBLE) / 2.0
+       |      - CAST(pairs_a AS DOUBLE) * pairs_b
+       |        / CAST(n * (n - 1) / 2 AS DOUBLE))
+       |  END AS ari
+       |FROM top CROSS JOIN am CROSS JOIN bm""".stripMargin
+
   /** EXACT Spearman rank correlation with ties — rank-2 device: the
     * tie-averaged rank is generally fractional, but TWICE it
     * (`2·cum_before + n_at + 1` per distinct value) is always an

@@ -723,6 +723,24 @@ object Relational extends QueryModule {
         .filter(col("is_match"))
     }),
 
+    // Adjusted Rand Index: did q104's label-prop communities recover
+    // the nation segmentation on customer nodes? Chance-corrected,
+    // computed from the label contingency — label-pair arithmetic,
+    // never item pairs.
+    "q280_ari" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val labels = graft.ops.PageRank.labelPropagation(edges, "src", "dst")
+        .filter(col("node") < supplierNodeOffset)
+        .join(t.customer.select(col("c_custkey").as("node"),
+          col("c_nationkey")), "node")
+      graft.ops.Features.adjustedRandIndex(labels,
+        col("community"), col("c_nationkey"))
+    }),
+
     // Laspeyres price index by ship-month: what the first month's
     // basket would cost later — mix-shift-proof inflation series a
     // raw average price muddles; integer milli-cent unit prices.
@@ -1398,6 +1416,14 @@ object Relational extends QueryModule {
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
+
+    "q280_ari" -> graft.ops.Features.ariOracleSql(
+      s"""WITH lp AS (${graft.ops.PageRank.labelPropagationOracleSql(
+           s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin)})
+         |SELECT lp.community AS a, c_nationkey AS b
+         |FROM lp JOIN customer ON lp.node = c_custkey
+         |WHERE lp.node < $supplierNodeOffset""".stripMargin),
 
     "q274_price_index" -> graft.ops.Rollups.priceIndexOracleSql(
       """SELECT year(CAST(l_shipdate AS DATE)) * 12

@@ -1028,6 +1028,22 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("adjustedRandIndex: label-renamed partitions score 1, a " +
+      "checkerboard split scores below chance-corrected zero-ish") {
+    import spark.implicits._
+    val items = (1L to 40L)
+    val same = items.map(i => (i % 4, s"c${i % 4}")).toDF("a", "b")
+    val ari1 = Features.adjustedRandIndex(same, col("a"), col("b"))
+      .head().getAs[Double]("ari")
+    assert(ari1 == 1.0)
+    // a splits by parity, b by halves → near-independent
+    val cross = items.map(i => (i % 2, if (i <= 20) "x" else "y"))
+      .toDF("a", "b")
+    val ari0 = Features.adjustedRandIndex(cross, col("a"), col("b"))
+      .head().getAs[Double]("ari")
+    assert(math.abs(ari0) < 0.1)
+  }
+
   test("ols2: exact plane recovered, collinear design yields NULLs") {
     import spark.implicits._
     val rows = for { a <- 0L to 3L; b <- 0L to 3L }
