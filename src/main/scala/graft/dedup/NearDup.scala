@@ -820,4 +820,24 @@ object NearDup {
         levenshtein(col("__pa"), col("__pb"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0L) // -1 = threshold exceeded
   }
+
+  /** [[sortedNeighborhoodPairs]] with JARO–WINKLER verification via the
+    * native [[graft.functions.JaroWinkler]] expression (codegen
+    * expression #7) — the name/identifier linkage rule: transpositions
+    * near-free, shared prefixes boosted, where [[
+    * sortedNeighborhoodEditPairs]]' Levenshtein charges every slot
+    * equally. Similarities replicate DuckDB's builtin bit-for-bit, so
+    * the double threshold agrees cross-engine.
+    *
+    * @return (left_id, right_id, jw) — pairs with jw ≥ minJw */
+  def sortedNeighborhoodJwPairs(records: DataFrame, idCol: String,
+      payload: Column, sortKey: Column, window: Int, minJw: Double,
+      bucketLen: Int = 2): DataFrame = {
+    require(window >= 2 && bucketLen >= 1)
+    snCandidates(records, idCol, payload, sortKey, window, bucketLen)
+      .select(col("left_id"), col("right_id"),
+        graft.functions.JaroWinkler.jaroWinkler(col("__pa"), col("__pb"))
+          .as("jw"))
+      .filter(col("jw") >= minJw)
+  }
 }

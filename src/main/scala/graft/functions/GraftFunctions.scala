@@ -78,9 +78,18 @@ object GraftFunctions {
       JumpHash(exprs.head, n)
     })
 
+  private[functions] val jaroWinkler: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"jaro_winkler expects 2 arguments, got ${exprs.length}")
+      JaroWinkler(exprs.head, exprs(1))
+    })
+
   private[functions] val all =
     Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen,
-      jumpHash)
+      jumpHash, jaroWinkler)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

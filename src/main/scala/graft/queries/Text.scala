@@ -265,6 +265,21 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // q166's SN candidates verified by native Jaro-Winkler (codegen
+    // expression #7, bit-matching DuckDB's builtin): the name-style
+    // linkage rule — transpositions near-free, prefixes boosted.
+    "q281_sn_jw" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val dirty = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionAll(dirty)
+      val key = concat_ws(" ", slice(sort_array(array_distinct(
+        graft.text.TextAnalysis.tokens(col("text")))), 1, 3))
+      NearDup.sortedNeighborhoodJwPairs(all, "doc_id",
+        substring(col("text"), 1, 80), key, window = 10, minJw = 0.8)
+    }),
+
     // Source ablation: the corpus mean-length WITHOUT each source,
     // from one aggregation pass — the leave-one-group-out
     // data-valuation cut ("which source drags the metric").
@@ -1929,6 +1944,30 @@ object Text extends QueryModule {
         |  FROM c
         |) WHERE rank <= 3""".stripMargin
     },
+
+    "q281_sn_jw" ->
+      s"""WITH all_recs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, '^\\S+\\s*', '') AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS key,
+        |         substr(text, 1, 80) AS p
+        |  FROM (SELECT doc_id, text, $toksSql AS toks FROM all_recs)
+        |), rn AS (
+        |  SELECT doc_id, key, p, substr(key, 1, 2) AS bkt,
+        |         row_number() OVER (PARTITION BY substr(key, 1, 2)
+        |           ORDER BY key, doc_id) AS rn
+        |  FROM base
+        |)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |       jaro_winkler_similarity(a.p, b.p) AS jw
+        |FROM rn a JOIN rn b
+        |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 9
+        |WHERE jaro_winkler_similarity(a.p, b.p) >= 0.8""".stripMargin,
 
     "q166_sn_edit_distance" ->
       s"""WITH all_recs AS (

@@ -1028,6 +1028,19 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("jaroWinkler: textbook fixtures, DuckDB empty-string " +
+      "convention, SQL registration") {
+    import graft.functions.JaroWinkler.similarity
+    assert(similarity("martha", "marhta") == 0.9611111111111111)
+    assert(similarity("dixon", "dicksonx") == 0.8133333333333332)
+    assert(similarity("", "") == 0.0 && similarity("a", "") == 0.0)
+    assert(similarity("abc", "abc") == 1.0)
+    assert(similarity("ab", "ba") == 0.0) // window 0: no matches
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+      .head().getDouble(0) == 0.9611111111111111)
+  }
+
   test("adjustedRandIndex: label-renamed partitions score 1, a " +
       "checkerboard split scores below chance-corrected zero-ish") {
     import spark.implicits._
