@@ -334,6 +334,121 @@ object Profiling {
        |             / (CAST(na AS DOUBLE) * nb)) AS reject_05
        |FROM top""".stripMargin
 
+  /** Per-COLUMN entropy profile: each audited column's value-
+    * distribution entropy via the integer identity
+    * `h_q = n·blog(n) − Σ k·blog(k)` (the q176 character-entropy device
+    * lifted to column values) — the key-ness/compressibility ranking a
+    * bare NDV count muddles (NDV 2 at 50/50 and NDV 2 at 99/1 read very
+    * differently here). NULL counts as a value. Staircase caveat: blog
+    * jumps at powers of two, so NEAR-TIED distributions straddling a
+    * 2^k boundary can swap order — the profile separates coarse
+    * classes (constant / skewed / balanced / key-like), it is not a
+    * precision entropy meter.
+    *
+    * One frequency aggregation per column, unioned — column count is
+    * the fan-out, each leg map-side-combinable.
+    *
+    * @return per column: (column, n, n_distinct, entropy_q,
+    *         entropy_bits) — entropy_bits = h_q/n, staircase-coarse
+    *         bits per value
+    */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    val legs = cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("__k"))
+        .agg(sum(col("__k")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("__k") * blog(col("__k"))).as("__skb"))
+        .select(lit(c).as("column"), col("n"), col("n_distinct"),
+          (col("n") * blog(col("n")) - col("__skb")).as("entropy_q"))
+        .withColumn("entropy_bits",
+          col("entropy_q").cast("double") / col("n"))
+    }
+    legs.reduce(_ unionAll _)
+  }
+
+  /** DuckDB oracle for [[columnEntropy]] over `table`. */
+  def columnEntropyOracleSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", n, n_distinct,
+         |       CAST(n * length(bin(n)) - skb AS BIGINT) AS entropy_q,
+         |       CAST(n * length(bin(n)) - skb AS DOUBLE) / n
+         |         AS entropy_bits
+         |FROM (
+         |  SELECT CAST(sum(k) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(sum(k * length(bin(k))) AS BIGINT) AS skb
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS k
+         |        FROM $table GROUP BY $c)
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two labelers
+    * (declared vs detected language, two annotators, model vs rule):
+    * `κ = (p_o − p_e)/(1 − p_e)` from the agreement diagonal and the
+    * margin products — the one-number summary of the q249 confusion
+    * matrix, honest about imbalance where raw accuracy flatters the
+    * majority class.
+    *
+    * Exact integer diagonal/margins; κ in one fixed IEEE sequence,
+    * NULL when p_e = 1 (both sides constant — agreement is vacuous).
+    *
+    * @return one row: (n, n_agree, po, pe, kappa)
+    */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("nij"))
+    val margins = cells.groupBy(col("__a")).agg(sum(col("nij")).as("ai"))
+      .join(cells.groupBy(col("__b")).agg(sum(col("nij")).as("bj")),
+        col("__a") === col("__b"), "full_outer")
+      .select(coalesce(col("ai"), lit(0L)).as("ai"),
+        coalesce(col("bj"), lit(0L)).as("bj"))
+      .agg(sum(col("ai") * col("bj")).as("pe_num"))
+    val top = cells.agg(sum(col("nij")).as("n"),
+      sum(when(col("__a") === col("__b"), col("nij")).otherwise(0L))
+        .as("n_agree"))
+    val j = top.crossJoin(broadcast(margins))
+    val po = col("n_agree").cast("double") / col("n")
+    val pe = col("pe_num").cast("double") /
+      (col("n").cast("double") * col("n"))
+    j.select(col("n"), col("n_agree"), po.as("po"), pe.as("pe"),
+      when(abs(lit(1.0) - pe) > 0, (po - pe) / (lit(1.0) - pe))
+        .as("kappa"))
+  }
+
+  /** DuckDB oracle for [[cohensKappa]]: `innerSql` yields (a, b). */
+  def cohensKappaOracleSql(innerSql: String): String =
+    s"""WITH cells AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS nij
+       |  FROM ($innerSql) WHERE a IS NOT NULL AND b IS NOT NULL
+       |  GROUP BY 1, 2
+       |), am AS (SELECT a AS lab, CAST(sum(nij) AS BIGINT) AS ai
+       |          FROM cells GROUP BY 1),
+       |bm AS (SELECT b AS lab, CAST(sum(nij) AS BIGINT) AS bj
+       |       FROM cells GROUP BY 1),
+       |mg AS (
+       |  SELECT CAST(sum(coalesce(ai, 0) * coalesce(bj, 0)) AS BIGINT)
+       |    AS pe_num
+       |  FROM am FULL OUTER JOIN bm USING (lab)
+       |), top AS (
+       |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN a = b THEN nij ELSE 0 END) AS BIGINT)
+       |           AS n_agree
+       |  FROM cells
+       |)
+       |SELECT n, n_agree,
+       |       CAST(n_agree AS DOUBLE) / n AS po,
+       |       CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS pe,
+       |       CASE WHEN abs(1.0 - CAST(pe_num AS DOUBLE)
+       |           / (CAST(n AS DOUBLE) * n)) > 0 THEN
+       |         (CAST(n_agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE)
+       |           / (CAST(n AS DOUBLE) * n))
+       |         / (1.0 - CAST(pe_num AS DOUBLE)
+       |           / (CAST(n AS DOUBLE) * n))
+       |       END AS kappa
+       |FROM top CROSS JOIN mg""".stripMargin
+
   /** Cross-table AGGREGATE consistency audit: does a header total equal
     * the sum of its detail lines? Per header key the exact cent
     * difference, rolled into relative-error ppm buckets — the

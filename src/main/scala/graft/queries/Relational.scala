@@ -723,6 +723,17 @@ object Relational extends QueryModule {
         .filter(col("is_match"))
     }),
 
+    // Per-column entropy profile: key-ness/compressibility ranking
+    // the bare NDV in q57's profile muddles — a 99/1 binary column and
+    // a 50/50 one read the same NDV, very different entropy.
+    "q282_column_entropy" -> ((s, dir) =>
+      graft.ops.Profiling.columnEntropy(
+        Tables(s, dir).orders.select(col("o_orderstatus"),
+          col("o_orderpriority"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS LONG) div 1000000")
+            .as("band")),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "band"))),
+
     // Adjusted Rand Index: did q104's label-prop communities recover
     // the nation segmentation on customer nodes? Chance-corrected,
     // computed from the label contingency — label-pair arithmetic,
@@ -1416,6 +1427,13 @@ object Relational extends QueryModule {
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
+
+    "q282_column_entropy" -> graft.ops.Profiling.columnEntropyOracleSql(
+      """(SELECT o_orderstatus, o_orderpriority, o_custkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) // 1000000
+        |          AS band
+        | FROM orders)""".stripMargin,
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey", "band")),
 
     "q280_ari" -> graft.ops.Features.ariOracleSql(
       s"""WITH lp AS (${graft.ops.PageRank.labelPropagationOracleSql(

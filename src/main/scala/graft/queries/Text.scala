@@ -265,6 +265,16 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Cohen's kappa: chance-corrected lang-ID agreement — the honest
+    // one-number summary of q249's confusion matrix (raw accuracy
+    // flatters the majority class).
+    "q283_kappa" -> ((s, dir) =>
+      graft.ops.Profiling.cohensKappa(
+        Tables(s, dir).documents,
+        col("lang"),
+        graft.text.TextAnalysis.langId(
+          graft.text.TextAnalysis.tokens(col("text"))))),
+
     // q166's SN candidates verified by native Jaro-Winkler (codegen
     // expression #7, bit-matching DuckDB's builtin): the name-style
     // linkage rule — transpositions near-free, prefixes boosted.
@@ -1944,6 +1954,22 @@ object Text extends QueryModule {
         |  FROM c
         |) WHERE rank <= 3""".stripMargin
     },
+
+    "q283_kappa" -> graft.ops.Profiling.cohensKappaOracleSql(
+      s"""SELECT lang AS a,
+         |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |       WHEN de >= fr AND de > 0 THEN 'de'
+         |       WHEN fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS b
+         |FROM (
+         |  SELECT lang,
+         |         len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS en,
+         |         len(list_filter(toks, t -> t IN ('el','la','de','y','que','los','en','un'))) AS es,
+         |         len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
+         |         len(list_filter(toks, t -> t IN ('le','les','des','et','est','une','dans','pour'))) AS fr
+         |  FROM (SELECT lang, $toksSql AS toks FROM documents)
+         |)""".stripMargin),
 
     "q281_sn_jw" ->
       s"""WITH all_recs AS (

@@ -1028,6 +1028,35 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("columnEntropy: skewed binary scores below even binary, " +
+      "constant column scores zero") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i =>
+      (if (i <= 50) "a" else "b",       // even 50/50
+        if (i <= 99) "x" else "y",      // skewed 99/1
+        "const")).toDF("even", "skew", "k")
+    val out = Profiling.columnEntropy(rows.toDF("even", "skew", "k"),
+        Seq("even", "skew", "k"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("k") == 0L) // n·blog(n) − n·blog(n)
+    assert(out("even") > out("skew") && out("skew") > 0L)
+  }
+
+  test("cohensKappa: perfect agreement 1, majority-vote flattery " +
+      "corrected toward zero") {
+    import spark.implicits._
+    val perfect = (1L to 20L).map(i => (s"c${i % 3}", s"c${i % 3}"))
+      .toDF("a", "b")
+    assert(Profiling.cohensKappa(perfect, col("a"), col("b")).head()
+      .getAs[Double]("kappa") == 1.0)
+    // b always predicts the 90% majority: accuracy .9, kappa 0
+    val lazyRater = ((1L to 18L).map(_ => ("maj", "maj")) ++
+      Seq(("min", "maj"), ("min", "maj"))).toDF("a", "b")
+    val k = Profiling.cohensKappa(lazyRater, col("a"), col("b")).head()
+    assert(k.getAs[Double]("po") == 0.9)
+    assert(k.getAs[Double]("kappa") == 0.0)
+  }
+
   test("jaroWinkler: textbook fixtures, DuckDB empty-string " +
       "convention, SQL registration") {
     import graft.functions.JaroWinkler.similarity
