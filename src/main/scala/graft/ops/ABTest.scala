@@ -108,6 +108,81 @@ object ABTest {
       .drop("__sd1", "__sd2")
   }
 
+  /** MIX-SHIFT DECOMPOSITION (Oaxaca-style): a metric moved between
+    * two periods — how much came from segments CHANGING their rates
+    * vs the POPULATION shifting between segments? Exact identity:
+    * `r_B − r_A = Σ_s (w_Bs − w_As)·r_As  [mix]
+    *           + Σ_s w_Bs·(r_Bs − r_As)  [rate]`.
+    * The "why did the number move" answer a bare before/after delta
+    * never gives (a constant-rate world still moves if mix shifts).
+    *
+    * Per-segment terms are quantized to integer micros before any
+    * cross-segment total (the q204 device — a handful of raw doubles
+    * summed in engine-specific order would still diverge); rates and
+    * weights themselves are fixed IEEE from exact counts.
+    *
+    * @param inPeriodB boolean period indicator
+    * @param success   boolean outcome
+    * @return per segment: (segment, n_a, pos_a, n_b, pos_b, mix_q,
+    *         rate_q) — Σmix_q + Σrate_q ≈ 1e6·(r_B − r_A); segments
+    *         empty in a period contribute their defined half only
+    */
+  def mixDecomposition(df: DataFrame, segmentCol: String,
+      inPeriodB: Column, success: Column): DataFrame = {
+    val seg = df.select(col(segmentCol), inPeriodB.as("__b"),
+        success.cast("long").as("__y"))
+      .filter(col("__b").isNotNull && col("__y").isNotNull)
+      .groupBy(col(segmentCol))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__b"), col("__y")).otherwise(0L)).as("pos_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__b"), col("__y")).otherwise(0L)).as("pos_b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val t = seg
+      .withColumn("__ta", sum(col("n_a")).over(wAll))
+      .withColumn("__tb", sum(col("n_b")).over(wAll))
+    val ra = when(col("n_a") > 0, col("pos_a").cast("double") / col("n_a"))
+    val rb = when(col("n_b") > 0, col("pos_b").cast("double") / col("n_b"))
+    val wa = col("n_a").cast("double") / col("__ta")
+    val wb = col("n_b").cast("double") / col("__tb")
+    t.withColumn("mix_q",
+        floor((wb - wa) * ra * lit(1000000.0)).cast("long"))
+      .withColumn("rate_q",
+        floor(wb * (rb - ra) * lit(1000000.0)).cast("long"))
+      .select(col(segmentCol), col("n_a"), col("pos_a"), col("n_b"),
+        col("pos_b"), col("mix_q"), col("rate_q"))
+  }
+
+  /** DuckDB oracle for [[mixDecomposition]]: `innerSql` yields
+    * (`segName`, b, y). */
+  def mixDecompositionOracleSql(innerSql: String, segName: String)
+      : String =
+    s"""WITH seg AS (
+       |  SELECT $segName,
+       |    CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN NOT b THEN y ELSE 0 END) AS BIGINT)
+       |      AS pos_a,
+       |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN b THEN y ELSE 0 END) AS BIGINT) AS pos_b
+       |  FROM ($innerSql) WHERE b IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), t AS (
+       |  SELECT *, CAST(sum(n_a) OVER () AS BIGINT) AS ta,
+       |         CAST(sum(n_b) OVER () AS BIGINT) AS tb
+       |  FROM seg
+       |)
+       |SELECT $segName, n_a, pos_a, n_b, pos_b,
+       |  CAST(floor((CAST(n_b AS DOUBLE) / tb
+       |      - CAST(n_a AS DOUBLE) / ta)
+       |    * (CASE WHEN n_a > 0
+       |        THEN CAST(pos_a AS DOUBLE) / n_a END)
+       |    * 1000000.0) AS BIGINT) AS mix_q,
+       |  CAST(floor(CAST(n_b AS DOUBLE) / tb
+       |    * ((CASE WHEN n_b > 0 THEN CAST(pos_b AS DOUBLE) / n_b END)
+       |      - (CASE WHEN n_a > 0 THEN CAST(pos_a AS DOUBLE) / n_a END))
+       |    * 1000000.0) AS BIGINT) AS rate_q
+       |FROM t""".stripMargin
+
   /** EVENT STUDY — the dynamic version of [[diffInDiff]]: the
     * treated-vs-control gap per RELATIVE period, normalized to the
     * period−(−1) gap (the convention that makes pre-trends visible: if

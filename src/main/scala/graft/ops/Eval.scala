@@ -251,6 +251,111 @@ object Eval {
           col("dcg_q").cast("double") / col("idcg_q")))
   }
 
+  /** QINI curve — uplift-model evaluation: targeting the top score
+    * tiles, how many INCREMENTAL conversions does treatment buy over
+    * the control baseline?
+    * `qini(t) = cumPos_T(t) − cumPos_C(t)·cumN_T(t)/cumN_C(t)` per
+    * descending score tile. The uplift sibling of [[liftTable]]
+    * (response ≠ uplift: a model can rank sure-things high and score
+    * zero incremental value — exactly what Qini exposes).
+    *
+    * Tiles come from the pooled score histogram (both arms share tile
+    * boundaries — the q229 convention); all cumulatives are exact
+    * longs, each qini value one fixed IEEE sequence.
+    *
+    * @return per tile: (tile, cum_n_t, cum_pos_t, cum_n_c, cum_pos_c,
+    *         qini) — qini NULL while the control cumulative is empty
+    */
+  def qiniCurve(df: DataFrame, score: Column, treated: Column,
+      label: Column, tiles: Int = 10): DataFrame = {
+    require(tiles >= 2)
+    val hist = df
+      .select(score.as("__s"), treated.as("__t"),
+        label.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("nt_at"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("pt_at"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("nc_at"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("pc_at"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tiled = hist
+      .withColumn("__bef", coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+      .withColumn("__tot", sum(col("n_at")).over(wAll))
+      .withColumn("tile",
+        least(expr(s"(__bef * $tiles) div __tot"), lit(tiles - 1L)))
+    val g = tiled.groupBy(col("tile"))
+      .agg(sum(col("nt_at")).as("nt"), sum(col("pt_at")).as("pt"),
+        sum(col("nc_at")).as("nc"), sum(col("pc_at")).as("pc"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    g
+      .withColumn("cum_n_t", sum(col("nt")).over(wCum))
+      .withColumn("cum_pos_t", sum(col("pt")).over(wCum))
+      .withColumn("cum_n_c", sum(col("nc")).over(wCum))
+      .withColumn("cum_pos_c", sum(col("pc")).over(wCum))
+      .withColumn("qini",
+        when(col("cum_n_c") > 0,
+          col("cum_pos_t").cast("double") -
+            col("cum_pos_c").cast("double") * col("cum_n_t") /
+              col("cum_n_c")))
+      .select(col("tile"), col("cum_n_t"), col("cum_pos_t"),
+        col("cum_n_c"), col("cum_pos_c"), col("qini"))
+  }
+
+  /** DuckDB oracle for [[qiniCurve]]: `innerSql` yields (s, t, y). */
+  def qiniOracleSql(innerSql: String, tiles: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_at,
+       |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt_at,
+       |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS pt_at,
+       |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc_at,
+       |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+       |      AS pc_at
+       |  FROM ($innerSql)
+       |  WHERE s IS NOT NULL AND t IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), c AS (
+       |  SELECT *,
+       |    CAST(coalesce(sum(n_at) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS bef,
+       |    CAST(sum(n_at) OVER () AS BIGINT) AS tot
+       |  FROM h
+       |), g AS (
+       |  SELECT CAST(least((bef * $tiles) // tot, ${tiles - 1})
+       |           AS BIGINT) AS tile,
+       |         CAST(sum(nt_at) AS BIGINT) AS nt,
+       |         CAST(sum(pt_at) AS BIGINT) AS pt,
+       |         CAST(sum(nc_at) AS BIGINT) AS nc,
+       |         CAST(sum(pc_at) AS BIGINT) AS pc
+       |  FROM c GROUP BY 1
+       |), q AS (
+       |  SELECT tile,
+       |    CAST(sum(nt) OVER w AS BIGINT) AS cum_n_t,
+       |    CAST(sum(pt) OVER w AS BIGINT) AS cum_pos_t,
+       |    CAST(sum(nc) OVER w AS BIGINT) AS cum_n_c,
+       |    CAST(sum(pc) OVER w AS BIGINT) AS cum_pos_c
+       |  FROM g
+       |  WINDOW w AS (ORDER BY tile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT tile, cum_n_t, cum_pos_t, cum_n_c, cum_pos_c,
+       |       CASE WHEN cum_n_c > 0 THEN
+       |         CAST(cum_pos_t AS DOUBLE)
+       |           - CAST(cum_pos_c AS DOUBLE) * cum_n_t / cum_n_c
+       |       END AS qini
+       |FROM q""".stripMargin
+
   /** MRR — mean reciprocal rank's per-query ingredient: the rank of the
     * FIRST relevant item in the system ordering, and its reciprocal as
     * the exact integer `1e6 div rank` (micros — so the corpus mean is

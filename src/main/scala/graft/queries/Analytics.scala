@@ -559,6 +559,27 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Mix-shift decomposition: how much of the purchase-rate move
+    // across the boundary is segments changing rates vs the mix
+    // shifting between segments — "why did the number move".
+    "q284_mix_decomposition" -> ((s, dir) =>
+      ABTest.mixDecomposition(
+        Tables(s, dir).events
+          .withColumn("cohort", pmod(col("user_id"), lit(5L))),
+        "cohort",
+        inPeriodB = col("ts") >=
+          lit("2024-01-16 00:00:00").cast("timestamp"),
+        success = col("event_type") === "purchase")),
+
+    // Qini uplift curve: incremental conversions from targeting the
+    // top value tiles, treated vs control — response ranking (q229)
+    // is not uplift ranking; this is the uplift answer.
+    "q285_qini" -> ((s, dir) =>
+      Eval.qiniCurve(Tables(s, dir).events,
+        score = Exact.cents(col("value")),
+        treated = pmod(col("user_id"), lit(2L)) === 1L,
+        label = (col("event_type") === "purchase").cast("long"))),
+
     // Two-feature OLS via the normal equations: value against
     // (hour-of-day, k) — nine exact sums, Cramer readout; the
     // multivariate step q216's single-feature fit can't take.
@@ -1436,6 +1457,19 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q284_mix_decomposition" -> ABTest.mixDecompositionOracleSql(
+      """SELECT user_id % 5 AS cohort,
+        |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS b,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |FROM events""".stripMargin,
+      "cohort"),
+
+    "q285_qini" -> Eval.qiniOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
+        |       user_id % 2 = 1 AS t,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |FROM events""".stripMargin),
 
     "q278_ols2" -> Features.ols2OracleSql(
       """SELECT CAST(round(value * 100) AS BIGINT) AS y,

@@ -1028,6 +1028,39 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("mixDecomposition: pure mix shift shows zero rate terms and " +
+      "reconstructs the overall delta") {
+    import spark.implicits._
+    val rows =
+      (1 to 50).map(i => ("s1", false, i <= 10)) ++
+      (1 to 50).map(i => ("s2", false, i <= 20)) ++
+      (1 to 80).map(i => ("s1", true, i <= 16)) ++
+      (1 to 20).map(i => ("s2", true, i <= 8))
+    val out = ABTest.mixDecomposition(rows.toDF("seg", "b", "y"),
+        "seg", col("b"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(5), r.getLong(6)))).toMap
+    assert(out("s1") == ((60000L, 0L)))   // (0.8−0.5)·0.2·1e6
+    assert(out("s2") == ((-120000L, 0L))) // (0.2−0.5)·0.4·1e6
+    // Σmix + Σrate = 1e6·(0.24 − 0.30)
+    assert(out.values.map(t => t._1 + t._2).sum == -60000L)
+  }
+
+  test("qiniCurve: a top-tile-only treatment effect accumulates and " +
+      "plateaus") {
+    import spark.implicits._
+    val rows =
+      (1 to 5).map(_ => (100L, true, 1L)) ++
+      (1 to 5).map(_ => (100L, false, 0L)) ++
+      (1 to 5).map(_ => (50L, true, 0L)) ++
+      (1 to 5).map(_ => (50L, false, 0L))
+    val out = Eval.qiniCurve(rows.toDF("s", "t", "y"), col("s"),
+        col("t"), col("y"), tiles = 2)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("qini")).toMap
+    assert(out(0L) == 5.0 && out(1L) == 5.0)
+  }
+
   test("columnEntropy: skewed binary scores below even binary, " +
       "constant column scores zero") {
     import spark.implicits._
