@@ -420,6 +420,130 @@ object Journey {
        |       CAST(sum(lin) AS BIGINT) AS linear_micro
        |FROM w GROUP BY 1""".stripMargin
 
+  /** STRICT-ORDER time-boxed 3-step funnel: users who did s1, then s2
+    * within `windowSeconds` of SOME qualifying s1, then s3 within the
+    * window of that s2 — the sequencing-and-deadline funnel the
+    * unordered q60 membership funnel can't express (doing the steps
+    * backwards counts there, not here).
+    *
+    * Step sets are EXISTS semantics realized as user-keyed semi-join
+    * chains (activity-bounded fan-out, the q213 shape) — each step's
+    * population is a set of users, counted exactly.
+    *
+    * @return one row: (n_step1, n_step2, n_step3, rate_12, rate_23,
+    *         rate_13)
+    */
+  def funnelSteps3(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, s1: String, s2: String, s3: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val win = windowSeconds * 1000000L
+    def step(t: String, u: String, mm: String) =
+      events.filter(col(typeCol) === t)
+        .select(col(userCol).as(u), m.as(mm))
+    val e1 = step(s1, "__u", "__m1")
+    val e2 = step(s2, "__u2", "__m2")
+    val e3 = step(s3, "__u3", "__m3")
+    val p12 = e1.join(e2,
+      col("__u") === col("__u2") && col("__m2") > col("__m1") &&
+        col("__m2") <= col("__m1") + win)
+    val p123 = p12.join(e3,
+      col("__u") === col("__u3") && col("__m3") > col("__m2") &&
+        col("__m3") <= col("__m2") + win)
+    val n1 = e1.agg(countDistinct(col("__u")).as("n_step1"))
+    val n2 = p12.agg(countDistinct(col("__u")).as("n_step2"))
+    val n3 = p123.agg(countDistinct(col("__u")).as("n_step3"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+      .withColumn("rate_12",
+        when(col("n_step1") > 0,
+          col("n_step2").cast("double") / col("n_step1")))
+      .withColumn("rate_23",
+        when(col("n_step2") > 0,
+          col("n_step3").cast("double") / col("n_step2")))
+      .withColumn("rate_13",
+        when(col("n_step1") > 0,
+          col("n_step3").cast("double") / col("n_step1")))
+  }
+
+  /** DuckDB oracle for [[funnelSteps3]]. */
+  def funnelSteps3OracleSql(table: String, userCol: String,
+      typeCol: String, tsCol: String, s1: String, s2: String,
+      s3: String, windowSeconds: Long): String = {
+    val win = windowSeconds * 1000000L
+    s"""WITH e1 AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS m1 FROM $table
+       |  WHERE $typeCol = '$s1'
+       |), e2 AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS m2 FROM $table
+       |  WHERE $typeCol = '$s2'
+       |), e3 AS (
+       |  SELECT $userCol AS u, epoch_us($tsCol) AS m3 FROM $table
+       |  WHERE $typeCol = '$s3'
+       |), p12 AS (
+       |  SELECT e1.u, e2.m2 FROM e1 JOIN e2 ON e1.u = e2.u
+       |    AND e2.m2 > e1.m1 AND e2.m2 <= e1.m1 + $win
+       |), p123 AS (
+       |  SELECT p12.u FROM p12 JOIN e3 ON p12.u = e3.u
+       |    AND e3.m3 > p12.m2 AND e3.m3 <= p12.m2 + $win
+       |), s AS (
+       |  SELECT (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM e1)
+       |           AS n_step1,
+       |         (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM p12)
+       |           AS n_step2,
+       |         (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM p123)
+       |           AS n_step3
+       |)
+       |SELECT n_step1, n_step2, n_step3,
+       |  CASE WHEN n_step1 > 0 THEN
+       |    CAST(n_step2 AS DOUBLE) / n_step1 END AS rate_12,
+       |  CASE WHEN n_step2 > 0 THEN
+       |    CAST(n_step3 AS DOUBLE) / n_step2 END AS rate_23,
+       |  CASE WHEN n_step1 > 0 THEN
+       |    CAST(n_step3 AS DOUBLE) / n_step1 END AS rate_13
+       |FROM s""".stripMargin
+  }
+
+  /** RESTRICTED MEAN SURVIVAL TIME: expected observed lifetime TRUNCATED
+    * at a horizon — `RMST(H) = E[min(L, H)]`, the area under the
+    * survival curve up to H, computed directly as an exact truncated-
+    * lifetime mean (no curve materialization): the "how many days do we
+    * keep a user, within the first month" single number on top of
+    * [[lifetimeSurvival]]'s full curve.
+    *
+    * @return one row: (n, horizon_days, sum_trunc_days, rmst_days)
+    */
+  def rmst(events: DataFrame, userCol: String, tsCol: String,
+      horizonDays: Long): DataFrame = {
+    require(horizonDays >= 1)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    events.select(col(userCol).as("__u"), m.as("__m"))
+      .groupBy(col("__u"))
+      .agg(expr("(max(__m) - min(__m)) div 86400000000").as("__days"))
+      .select(least(col("__days"), lit(horizonDays)).as("__trunc"))
+      .agg(count(lit(1)).as("n"), lit(horizonDays).as("horizon_days"),
+        sum(col("__trunc")).as("sum_trunc_days"))
+      .withColumn("rmst_days",
+        col("sum_trunc_days").cast("double") / col("n"))
+  }
+
+  /** DuckDB oracle for [[rmst]]. */
+  def rmstOracleSql(table: String, userCol: String, tsCol: String,
+      horizonDays: Long): String =
+    s"""WITH l AS (
+       |  SELECT $userCol AS u,
+       |         (max(epoch_us($tsCol)) - min(epoch_us($tsCol)))
+       |           // 86400000000 AS days
+       |  FROM $table GROUP BY 1
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |       CAST($horizonDays AS BIGINT) AS horizon_days,
+       |       CAST(sum(least(days, $horizonDays)) AS BIGINT)
+       |         AS sum_trunc_days,
+       |       CAST(sum(least(days, $horizonDays)) AS DOUBLE) / count(*)
+       |         AS rmst_days
+       |FROM l""".stripMargin
+
   /** GROWTH ACCOUNTING (the Social-Capital ledger): per period, active
     * users split into NEW (first period ever), RETAINED (also active
     * the previous period) and RESURRECTED (active before, skipped the

@@ -559,6 +559,21 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Strict-order time-boxed funnel: view → click within 2h → purchase
+    // within 2h of that click — sequencing+deadline semantics q60's
+    // unordered membership funnel can't express.
+    "q286_funnel3" -> ((s, dir) =>
+      Journey.funnelSteps3(Tables(s, dir).events, "user_id",
+        "event_type", "ts", s1 = "view", s2 = "click", s3 = "purchase",
+        windowSeconds = 7200L)),
+
+    // Restricted mean survival time: expected observed lifetime
+    // truncated at 14 days — the area under q200's curve as one exact
+    // number, E[min(L, H)], no curve materialization.
+    "q287_rmst" -> ((s, dir) =>
+      Journey.rmst(Tables(s, dir).events, "user_id", "ts",
+        horizonDays = 14L)),
+
     // Mix-shift decomposition: how much of the purchase-rate move
     // across the boundary is segments changing rates vs the mix
     // shifting between segments — "why did the number move".
@@ -1457,6 +1472,14 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q286_funnel3" -> Journey.funnelSteps3OracleSql(
+      "events", "user_id", "event_type", "ts",
+      s1 = "view", s2 = "click", s3 = "purchase",
+      windowSeconds = 7200L),
+
+    "q287_rmst" -> Journey.rmstOracleSql("events", "user_id", "ts",
+      horizonDays = 14L),
 
     "q284_mix_decomposition" -> ABTest.mixDecompositionOracleSql(
       """SELECT user_id % 5 AS cohort,

@@ -1028,6 +1028,40 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("funnelSteps3: order and deadlines enforced — backwards or " +
+      "late steps don't convert") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(100)),
+      (1L, "purchase", ts(200)),                  // full chain
+      (2L, "view", ts(0)), (2L, "click", ts(100)),
+      (2L, "purchase", ts(100 + 7201)),           // step3 too late
+      (3L, "click", ts(0)), (3L, "view", ts(100)),
+      (3L, "purchase", ts(200)),                  // wrong order for s2
+      (4L, "view", ts(0)))
+      .toDF("uid", "typ", "ts")
+    val out = Journey.funnelSteps3(ev, "uid", "typ", "ts",
+      "view", "click", "purchase", windowSeconds = 7200L).head()
+    assert(out.getLong(0) == 4L) // all four viewed (u3 views too)
+    assert(out.getLong(1) == 2L) // u1, u2 clicked after viewing
+    assert(out.getLong(2) == 1L) // only u1 completed in time
+    assert(out.getAs[Double]("rate_13") == 0.25)
+  }
+
+  test("rmst: truncated-lifetime mean exact, horizon caps long lives") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(1700000000000L +
+      day * 86400000L)
+    val ev = Seq((1L, ts(0)), (1L, ts(5)),   // lifetime 5
+      (2L, ts(0)), (2L, ts(40)),             // capped at 14
+      (3L, ts(0)))                           // lifetime 0
+      .toDF("uid", "ts")
+    val out = Journey.rmst(ev, "uid", "ts", horizonDays = 14L).head()
+    assert(out.getLong(0) == 3L && out.getLong(2) == 19L) // 5 + 14 + 0
+    assert(math.abs(out.getAs[Double]("rmst_days") - 19.0 / 3) < 1e-12)
+  }
+
   test("mixDecomposition: pure mix shift shows zero rate terms and " +
       "reconstructs the overall delta") {
     import spark.implicits._
