@@ -121,6 +121,57 @@ object Features {
        |FROM g""".stripMargin
   }
 
+  /** EMPIRICAL-BAYES shrunk rates (Beta-binomial posterior mean with a
+    * pseudo-count prior): per-key success rates pulled toward the
+    * global rate by `α` pseudo-observations — the smoothed-CTR /
+    * Bayesian target encoding that stops a 1-for-1 key from outranking
+    * a 900-for-1000 one. The shrinkage companion to [[targetEncodeLoo]]
+    * (LOO fixes self-leakage; this fixes small-n noise).
+    *
+    * Exact rational arithmetic: with global (G⁺, G) the shrunk rate
+    * `(pos + α·G⁺/G)/(n + α)` multiplies out to the integer
+    * `(pos·G + α·G⁺)·1e6 div ((n + α)·G)` — no float prior ever
+    * materializes.
+    *
+    * @return per key: (keyCol, n, pos, raw_micro, shrunk_micro) —
+    *         raw_micro NULL-free (keys come from observed rows)
+    */
+  def shrunkRates(df: DataFrame, keyCol: String, success: Column,
+      alpha: Long = 20L): DataFrame = {
+    require(alpha >= 1)
+    val per = df.select(col(keyCol), success.cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val g = per.agg(sum(col("n")).as("__gn"), sum(col("pos")).as("__gp"))
+    per.crossJoin(broadcast(g))
+      .withColumn("raw_micro", expr("(pos * 1000000) div n"))
+      .withColumn("shrunk_micro",
+        expr(s"((pos * __gn + $alpha * __gp) * 1000000)" +
+          s" div ((n + $alpha) * __gn)"))
+      .select(col(keyCol), col("n"), col("pos"), col("raw_micro"),
+        col("shrunk_micro"))
+  }
+
+  /** DuckDB oracle for [[shrunkRates]]: `innerSql` yields
+    * (`keyName`, y). */
+  def shrunkRatesOracleSql(innerSql: String, keyName: String,
+      alpha: Long = 20L): String =
+    s"""WITH per AS (
+       |  SELECT $keyName, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS pos
+       |  FROM ($innerSql) WHERE y IS NOT NULL GROUP BY 1
+       |), g AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS gn,
+       |         CAST(sum(pos) AS BIGINT) AS gp
+       |  FROM per
+       |)
+       |SELECT $keyName, n, pos,
+       |       CAST((pos * 1000000) // n AS BIGINT) AS raw_micro,
+       |       CAST(((pos * gn + $alpha * gp) * 1000000)
+       |         // ((n + $alpha) * gn) AS BIGINT) AS shrunk_micro
+       |FROM per CROSS JOIN g""".stripMargin
+
   /** ADJUSTED RAND INDEX between two partitions of the same items —
     * "did the clustering recover the known segmentation", chance-
     * corrected (ARI 0 = what random labels score, 1 = identical

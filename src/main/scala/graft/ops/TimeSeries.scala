@@ -459,6 +459,50 @@ object TimeSeries {
        |FROM r WHERE rn = (n + 1) // 2""".stripMargin
   }
 
+  /** HIERARCHICAL forecast reconciliation (proportional / top-down
+    * blend): per-key bottom-up forecasts rarely sum to the
+    * independently-made total forecast — reconcile by scaling each
+    * bottom forecast to the total, `r_i = f_i·T / Σf`, so the hierarchy
+    * ADDS UP (the property every planning consumer silently assumes).
+    * Integer milli-units, exact division.
+    *
+    * @param bottoms one row per key: (keyCols..., f) integer forecasts
+    * @param top     ONE row with the independent total forecast under
+    *                `t_total` (broadcast — the stat-broadcast idiom)
+    * @return (keyCols..., f, sum_f, t_total, reconciled_milli,
+    *         reconciled)
+    */
+  def reconcileForecasts(bottoms: DataFrame, keyCols: Seq[String],
+      fCol: String, top: DataFrame): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    bottoms.select(keyCols.map(col) :+ col(fCol).as("f"): _*)
+      .withColumn("sum_f", sum(col("f")).over(wAll))
+      .crossJoin(broadcast(top.select(col("t_total"))))
+      .withColumn("reconciled_milli",
+        when(col("sum_f") > 0,
+          expr("(f * t_total * 1000L) div sum_f")))
+      .withColumn("reconciled",
+        col("reconciled_milli").cast("double") / 1000.0)
+  }
+
+  /** DuckDB oracle for [[reconcileForecasts]]: `innerSql` yields
+    * (keyCols..., f); `topSql` yields one `t_total` row. */
+  def reconcileForecastsOracleSql(innerSql: String,
+      keyCols: Seq[String], topSql: String): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH b AS ($innerSql), t AS (
+       |  SELECT *, CAST(sum(f) OVER () AS BIGINT) AS sum_f FROM b
+       |), tp AS ($topSql)
+       |SELECT $keys, f, sum_f, t_total,
+       |       CAST(CASE WHEN sum_f > 0 THEN
+       |         (f * t_total * 1000) // sum_f END AS BIGINT)
+       |         AS reconciled_milli,
+       |       CAST(CASE WHEN sum_f > 0 THEN
+       |         (f * t_total * 1000) // sum_f END AS DOUBLE)
+       |         / 1000.0 AS reconciled
+       |FROM t CROSS JOIN tp""".stripMargin
+  }
+
   /** SPLIT-CONFORMAL interval audit over the per-key OLS trend: fit on
     * the calibration span, take the rank-⌈q·n⌉ absolute residual as the
     * interval half-width (the distribution-free conformal guarantee:

@@ -559,6 +559,27 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Hierarchical forecast reconciliation: per-type final-day naive
+    // forecasts scaled to the independent week/7 total so the
+    // hierarchy ADDS UP — the property planning consumers assume.
+    "q288_forecast_reconcile" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val bottoms = ev
+        .filter(col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("f"))
+      val top = ev
+        .filter(col("ts") >= lit("2024-01-24 00:00:00").cast("timestamp"))
+        .agg(expr("count(1) div 7").as("t_total"))
+      TimeSeries.reconcileForecasts(bottoms, Seq("event_type"), "f", top)
+    }),
+
+    // Empirical-Bayes shrunk purchase rates per user: α=20 pseudo-
+    // observations of the global rate — smoothed-CTR/Bayesian target
+    // encoding, exact rational (no float prior); q223's companion.
+    "q289_shrunk_rates" -> ((s, dir) =>
+      Features.shrunkRates(Tables(s, dir).events, "user_id",
+        success = (col("event_type") === "purchase").cast("long"))),
+
     // Strict-order time-boxed funnel: view → click within 2h → purchase
     // within 2h of that click — sequencing+deadline semantics q60's
     // unordered membership funnel can't express.
@@ -1472,6 +1493,20 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q288_forecast_reconcile" -> TimeSeries.reconcileForecastsOracleSql(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS f FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |GROUP BY 1""".stripMargin,
+      Seq("event_type"),
+      """SELECT CAST(count(*) // 7 AS BIGINT) AS t_total FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'""".stripMargin),
+
+    "q289_shrunk_rates" -> Features.shrunkRatesOracleSql(
+      """SELECT user_id,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |FROM events""".stripMargin,
+      "user_id"),
 
     "q286_funnel3" -> Journey.funnelSteps3OracleSql(
       "events", "user_id", "event_type", "ts",

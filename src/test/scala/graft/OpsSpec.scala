@@ -1028,6 +1028,35 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("reconcileForecasts: reconciled bottoms sum to the top " +
+      "forecast (up to milli truncation)") {
+    import spark.implicits._
+    val bottoms = Seq(("a", 30L), ("b", 60L), ("c", 10L)).toDF("k", "f")
+    val top = Seq(Tuple1(200L)).toDF("t_total")
+    val out = TimeSeries.reconcileForecasts(bottoms, Seq("k"), "f", top)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out == Map("a" -> 60000L, "b" -> 120000L, "c" -> 20000L))
+    assert(out.values.sum == 200000L) // adds up to the top, in millis
+  }
+
+  test("shrunkRates: small-n keys pulled hard toward the global " +
+      "prior, big-n keys barely move") {
+    import spark.implicits._
+    val rows = Seq.fill(900)((1L, 1L)) ++ Seq.fill(100)((1L, 0L)) ++
+      Seq((2L, 1L)) // user 2: one event, one success
+    val out = Features.shrunkRates(rows.toDF("u", "y"), "u", col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("raw_micro"), r.getAs[Long]("shrunk_micro"))))
+      .toMap
+    val priorMicro = 901L * 1000000L / 1001L // ≈ 900099
+    assert(out(2L)._1 == 1000000L) // raw: 100%
+    // n=1 key lands ~20/21 of the way back to the prior...
+    assert(math.abs(out(2L)._2 - priorMicro) <
+      math.abs(out(2L)._1 - priorMicro) / 10)
+    // ...while the n=1000 key moves by under 0.5 percentage points
+    assert(math.abs(out(1L)._2 - out(1L)._1) < 5000L)
+  }
+
   test("funnelSteps3: order and deadlines enforced — backwards or " +
       "late steps don't convert") {
     import spark.implicits._
