@@ -108,6 +108,59 @@ object ABTest {
       .drop("__sd1", "__sd2")
   }
 
+  /** POWER ANALYSIS — required sample size per arm to detect a
+    * relative MDE on the observed base rate at α = 0.05 (two-sided) and
+    * 80 % power: `n = 2·(z_α + z_β)²·p(1−p)/δ²` with δ = p·mde. The
+    * "how long must this experiment run" answer computed FROM the
+    * live base rates — the planning step in front of
+    * [[proportionTest]]. z constants are literals on both engines.
+    *
+    * @param mdeRelMicro relative MDE in micros (1e5 = 10 %)
+    * @return per group: (grpCol, n_obs, pos, p, n_required_per_arm) —
+    *         NULL when the observed rate is 0 or 1 (no variance to
+    *         power against)
+    */
+  def requiredSampleSize(df: DataFrame, grpCol: String,
+      success: Column, mdeRelMicro: Long = 100000L): DataFrame = {
+    require(mdeRelMicro >= 1)
+    val g = df.select(col(grpCol), success.cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__y")).as("pos"))
+    val p = col("pos").cast("double") / col("n_obs")
+    val delta = p * lit(mdeRelMicro.toDouble / 1e6)
+    // (1.959964 + 0.841621)² — the α=.05 two-sided + 80% power pair
+    val zSum2 = lit(7.848886)
+    g.withColumn("p", p)
+      .withColumn("n_required_per_arm",
+        when(col("pos") > 0 && col("pos") < col("n_obs"),
+          ceil(lit(2.0) * zSum2 * p * (lit(1.0) - p) /
+            (delta * delta)).cast("long")))
+  }
+
+  /** DuckDB oracle for [[requiredSampleSize]]: `innerSql` yields
+    * (`grpName`, y). */
+  def requiredSampleSizeOracleSql(innerSql: String, grpName: String,
+      mdeRelMicro: Long = 100000L): String = {
+    val mde = mdeRelMicro.toDouble / 1e6
+    s"""WITH g AS (
+       |  SELECT $grpName, CAST(count(*) AS BIGINT) AS n_obs,
+       |         CAST(sum(y) AS BIGINT) AS pos
+       |  FROM ($innerSql) WHERE y IS NOT NULL GROUP BY 1
+       |)
+       |SELECT $grpName, n_obs, pos,
+       |       CAST(pos AS DOUBLE) / n_obs AS p,
+       |       CASE WHEN pos > 0 AND pos < n_obs THEN
+       |         CAST(ceil(2.0 * 7.848886
+       |           * (CAST(pos AS DOUBLE) / n_obs)
+       |           * (1.0 - CAST(pos AS DOUBLE) / n_obs)
+       |           / ((CAST(pos AS DOUBLE) / n_obs * $mde)
+       |              * (CAST(pos AS DOUBLE) / n_obs * $mde)))
+       |           AS BIGINT)
+       |       END AS n_required_per_arm
+       |FROM g""".stripMargin
+  }
+
   /** MIX-SHIFT DECOMPOSITION (Oaxaca-style): a metric moved between
     * two periods — how much came from segments CHANGING their rates
     * vs the POPULATION shifting between segments? Exact identity:

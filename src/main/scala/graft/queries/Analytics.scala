@@ -559,6 +559,13 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Power analysis from live base rates: required n per arm for a
+    // 10% relative MDE at α=.05 / 80% power — "how long must this
+    // experiment run", the planning step before q194.
+    "q291_power" -> ((s, dir) =>
+      ABTest.requiredSampleSize(Tables(s, dir).events, "event_type",
+        success = (col("value") >= 150.0).cast("long"))),
+
     // Hierarchical forecast reconciliation: per-type final-day naive
     // forecasts scaled to the independent week/7 total so the
     // hierarchy ADDS UP — the property planning consumers assume.
@@ -1493,6 +1500,12 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q291_power" -> ABTest.requiredSampleSizeOracleSql(
+      """SELECT event_type,
+        |       CASE WHEN value >= 150.0 THEN 1 ELSE 0 END AS y
+        |FROM events""".stripMargin,
+      "event_type"),
 
     "q288_forecast_reconcile" -> TimeSeries.reconcileForecastsOracleSql(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS f FROM events

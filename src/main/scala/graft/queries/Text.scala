@@ -265,6 +265,31 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Heaps vocabulary-growth curve: distinct vocab at doc-prefix
+    // checkpoints via the first-occurrence identity — one pass, not
+    // one scan per checkpoint; sizes the tokenizer budget.
+    "q290_heaps" -> ((s, dir) =>
+      graft.text.Corpus.heapsCurve(Tables(s, dir).documents,
+        "doc_id", "text",
+        checkpoints = Seq(50L, 100L, 200L, 500L, 1000L, 5000L))),
+
+    // Duplicate propensity by length band: exact-dup rate (first-wins
+    // fingerprint, the q23 convention) per 50-char band — "do short
+    // docs duplicate more", the mix question a flat dup rate hides.
+    "q292_dup_by_length" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.text.TextAnalysis.fingerprint(col("text")))
+        .orderBy(col("doc_id"))
+      docs
+        .withColumn("__dup", (row_number().over(w) > 1).cast("long"))
+        .withColumn("band", expr("CAST(n_chars AS LONG) div 50"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__dup")).as("n_dup"))
+        .withColumn("dup_rate",
+          col("n_dup").cast("double") / col("n_docs"))
+    }),
+
     // Cohen's kappa: chance-corrected lang-ID agreement — the honest
     // one-number summary of q249's confusion matrix (raw accuracy
     // flatters the majority class).
@@ -1954,6 +1979,26 @@ object Text extends QueryModule {
         |  FROM c
         |) WHERE rank <= 3""".stripMargin
     },
+
+    "q290_heaps" -> graft.text.Corpus.heapsCurveOracleSql(
+      s"SELECT doc_id AS id, $toksSql AS toks FROM documents",
+      checkpoints = Seq(50L, 100L, 200L, 500L, 1000L, 5000L)),
+
+    "q292_dup_by_length" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) // 50 AS band,
+        |         row_number() OVER (
+        |           PARTITION BY md5(trim(regexp_replace(lower(text),
+        |             '\s+', ' ', 'g')))
+        |           ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup,
+        |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_rate
+        |FROM f GROUP BY 1""".stripMargin,
 
     "q283_kappa" -> graft.ops.Profiling.cohensKappaOracleSql(
       s"""SELECT lang AS a,

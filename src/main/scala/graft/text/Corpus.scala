@@ -354,6 +354,79 @@ object Corpus {
        |       CAST(sum(c) AS DOUBLE) / 2000000.0 AS js_bits
        |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** HEAPS' vocabulary-growth curve: distinct vocabulary as a function
+    * of corpus prefix size — "is the vocabulary saturating or will
+    * every new million docs keep minting tokens", the question that
+    * sizes q78's vocab and the tokenizer budget. ONE pass via the
+    * first-occurrence identity: vocab(k) = #tokens whose FIRST doc id
+    * falls within the first k docs — a token-keyed min aggregation and
+    * a cumulative over the checkpoint histogram; the naive per-prefix
+    * recount would scan the corpus once per checkpoint.
+    *
+    * Doc "order" is ascending id (the deterministic stand-in for
+    * arrival order). Checkpoints are id-RANK thresholds: the k-th
+    * smallest distinct id, exact via the id histogram. The id-rank
+    * window here is the simple global form — swap in
+    * [[graft.ops.Ranking.globalOrdinals]]' sharded ranks when the doc
+    * id directory itself outgrows one task.
+    *
+    * @param checkpoints prefix sizes in docs, ascending
+    * @return per checkpoint: (prefix_docs, vocab_size, new_tokens) —
+    *         checkpoints beyond the corpus report the full vocab
+    */
+  def heapsCurve(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted)
+    val firstDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__id")).as("__fd"))
+    // rank of each doc id (dense by construction of distinct ids)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__id"))
+    val idRank = docs.select(col(idCol).as("__id")).distinct()
+      .withColumn("__rank", row_number().over(wRank).cast("long"))
+    val ranked = firstDoc.join(idRank, col("__fd") === col("__id"))
+    val legs = checkpoints.map { k =>
+      ranked.filter(col("__rank") <= k)
+        .agg(lit(k).as("prefix_docs"),
+          count(lit(1)).as("vocab_size"))
+    }
+    val curve = legs.reduce(_ unionAll _)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prefix_docs"))
+    curve.withColumn("new_tokens",
+      col("vocab_size") -
+        coalesce(lag(col("vocab_size"), 1).over(wCum), lit(0L)))
+  }
+
+  /** DuckDB oracle for [[heapsCurve]]: `tokSql` yields (id, toks). */
+  def heapsCurveOracleSql(tokSql: String, checkpoints: Seq[Long])
+      : String = {
+    val legs = checkpoints.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS prefix_docs,
+         |       CAST(count(*) AS BIGINT) AS vocab_size
+         |FROM ranked WHERE rk <= $k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH t AS ($tokSql),
+       |fd AS (
+       |  SELECT tok, min(id) AS f
+       |  FROM (SELECT id, unnest(toks) AS tok FROM t) GROUP BY 1
+       |), ir AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT)
+       |    AS rk
+       |  FROM (SELECT DISTINCT id FROM t)
+       |), ranked AS (
+       |  SELECT fd.tok, ir.rk FROM fd JOIN ir ON fd.f = ir.id
+       |), curve AS (
+       |$legs
+       |)
+       |SELECT prefix_docs, vocab_size,
+       |       vocab_size - CAST(coalesce(lag(vocab_size)
+       |         OVER (ORDER BY prefix_docs), 0) AS BIGINT) AS new_tokens
+       |FROM curve""".stripMargin
+  }
+
   /** Source ABLATION: for each source, what the corpus-level metric
     * becomes WITHOUT it — the leave-one-group-out data-valuation cut
     * ("which source is dragging mean quality down") computed from ONE

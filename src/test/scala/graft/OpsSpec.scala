@@ -1028,6 +1028,20 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("requiredSampleSize: textbook n for p=.5 mde=10%, degenerate " +
+      "rates yield NULL") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("g", if (i <= 50) 1L else 0L)) ++
+      (1 to 10).map(_ => ("allpos", 1L))
+    val out = ABTest.requiredSampleSize(rows.toDF("g", "y"), "g",
+        col("y"), mdeRelMicro = 100000L)
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[Any]("n_required_per_arm"))).toMap
+    // 2·7.848886·0.25/0.05² = 1569.78 → 1570
+    assert(out("g").contains(1570L))
+    assert(out("allpos").isEmpty)
+  }
+
   test("reconcileForecasts: reconciled bottoms sum to the top " +
       "forecast (up to milli truncation)") {
     import spark.implicits._

@@ -1310,6 +1310,21 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
   }
 
+  test("heapsCurve: first-occurrence identity gives exact prefix " +
+      "vocab sizes, new_tokens telescope") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a d e"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Corpus.heapsCurve(docs, "doc_id", "text",
+        Seq(1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L)))  // {a, b}
+    assert(out(2L) == ((3L, 1L)))  // +c
+    assert(out(3L) == ((5L, 2L)))  // +d, e
+  }
+
   test("sourceAblation: leave-one-out means are pure arithmetic from " +
       "group sums, contribution signs correct") {
     import org.apache.spark.sql.functions._
