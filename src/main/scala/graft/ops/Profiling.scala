@@ -955,6 +955,160 @@ object Profiling {
       .drop("__tr", "__tc")
   }
 
+  /** PSI TIME SERIES — [[psiDrift]] per period: every period binned in
+    * the SAME fixed reference-decile coordinates, one PSI per period —
+    * the drift MONITOR (a single ref-vs-now PSI says "drifted"; the
+    * series says WHEN it started and whether it is still moving).
+    * Laplace-smoothed integer micro-probabilities and bit-length-log
+    * terms per the q196 contract; a period distributed like the
+    * reference reads exactly 0.
+    *
+    * @return per period: (period, n, psi_q, psi_bits) — psi_bits =
+    *         psi_q/1e12-ish display scale matching q196's convention
+    *         (psi_q/1e6/1e6... the raw summed quantized terms over 1e12)
+    */
+  def psiSeries(ref: DataFrame, cur: DataFrame, v: Column,
+      periodCol: Column, qs: Seq[(Int, Int)]): DataFrame = {
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    val cuts = Quantiles.histogramCuts(ref, v, qs)
+    val nBins = qs.size + 1
+    val refBins = Quantiles.binByCuts(ref.select(v.as("__v")),
+        col("__v"), cuts)
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
+      .withColumn("__tr", sum("ref_n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("p_ref_micro",
+        expr(s"((ref_n + 1) * 1000000) div (__tr + $nBins)"))
+      .select(col("bin"), col("p_ref_micro"))
+    val curBins = Quantiles.binByCuts(
+        cur.select(periodCol.as("__w"), v.as("__v")), col("__v"), cuts)
+      .filter(col("bin").isNotNull && col("__w").isNotNull)
+      .groupBy(col("__w"), col("bin")).agg(count(lit(1)).as("cur_n"))
+    // densify over (period × observed ref bins) so empty bins carry
+    // the smoothed floor instead of silently vanishing
+    val periods = curBins.select(col("__w")).distinct()
+    val dense = periods.crossJoin(broadcast(refBins))
+      .join(curBins, Seq("__w", "bin"), "left")
+      .select(col("__w"), col("bin"), col("p_ref_micro"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val wPer = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__w"))
+    dense
+      .withColumn("__tc", sum(col("cur_n")).over(wPer))
+      .withColumn("p_cur_micro",
+        expr(s"((cur_n + 1) * 1000000) div (__tc + $nBins)"))
+      .withColumn("term_q",
+        (col("p_cur_micro") - col("p_ref_micro")) *
+          (blog(col("p_cur_micro")) - blog(col("p_ref_micro"))))
+      .groupBy(col("__w").as("period"))
+      .agg(sum(col("cur_n")).as("n"), sum(col("term_q")).as("psi_q"))
+      .withColumn("psi_bits",
+        col("psi_q").cast("double") / lit(1000000.0) / lit(1000000.0))
+  }
+
+  /** DuckDB oracle for [[psiSeries]]: `refSql` yields one `v`,
+    * `curSql` yields (w, v). */
+  def psiSeriesOracleSql(refSql: String, curSql: String,
+      qs: Seq[(Int, Int)]): String = {
+    val cutSel = qs.map { case (num, den) =>
+      s"min(CASE WHEN cum * $den >= n * $num THEN val END)" +
+        s" AS c${num * 100 / den}"
+    }.mkString(", ")
+    val binSum = qs.map { case (num, den) =>
+      s"(CASE WHEN v > c${num * 100 / den} THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    val nBins = qs.size + 1
+    s"""WITH refv AS (SELECT v FROM ($refSql) WHERE v IS NOT NULL),
+       |h AS (
+       |  SELECT v AS val, CAST(count(*) AS BIGINT) AS c
+       |  FROM refv GROUP BY 1
+       |), cum0 AS (
+       |  SELECT val,
+       |    CAST(sum(c) OVER (ORDER BY val
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(c) OVER () AS BIGINT) AS n
+       |  FROM h
+       |), cuts AS (SELECT $cutSel FROM cum0),
+       |rb AS (
+       |  SELECT CAST($binSum AS BIGINT) AS bin,
+       |         CAST(count(*) AS BIGINT) AS ref_n
+       |  FROM refv CROSS JOIN cuts GROUP BY 1
+       |), rp AS (
+       |  SELECT bin,
+       |    CAST(((ref_n + 1) * 1000000)
+       |      // ((SELECT sum(ref_n) FROM rb) + $nBins) AS BIGINT)
+       |      AS p_ref_micro
+       |  FROM rb
+       |), cb AS (
+       |  SELECT w, CAST($binSum AS BIGINT) AS bin,
+       |         CAST(count(*) AS BIGINT) AS cur_n
+       |  FROM ($curSql) CROSS JOIN cuts
+       |  WHERE v IS NOT NULL AND w IS NOT NULL GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT p.w, rp.bin, rp.p_ref_micro,
+       |         coalesce(cb.cur_n, 0) AS cur_n
+       |  FROM (SELECT DISTINCT w FROM cb) p
+       |  CROSS JOIN rp
+       |  LEFT JOIN cb ON cb.w = p.w AND cb.bin = rp.bin
+       |), wp AS (
+       |  SELECT *, CAST(sum(cur_n) OVER (PARTITION BY w) AS BIGINT)
+       |    AS tc
+       |  FROM dense
+       |), terms AS (
+       |  SELECT w, cur_n,
+       |    (CAST(((cur_n + 1) * 1000000) // (tc + $nBins) AS BIGINT)
+       |      - p_ref_micro)
+       |    * (length(bin(((cur_n + 1) * 1000000) // (tc + $nBins)))
+       |      - length(bin(p_ref_micro))) AS term_q
+       |  FROM wp
+       |)
+       |SELECT w AS period, CAST(sum(cur_n) AS BIGINT) AS n,
+       |       CAST(sum(term_q) AS BIGINT) AS psi_q,
+       |       CAST(sum(term_q) AS DOUBLE) / 1000000.0 / 1000000.0
+       |         AS psi_bits
+       |FROM terms GROUP BY 1""".stripMargin
+  }
+
+  /** NEW-CATEGORY drift detector: values of a column appearing in the
+    * CURRENT slice that the reference slice never saw — the
+    * enum/allowlist break (new country code, renamed event type,
+    * upstream schema change) that distribution tests blur into "some
+    * drift". One anti-join per column over aggregate-sized value sets.
+    *
+    * @return per novel value: (column, value, n_cur) — value rendered
+    *         as string
+    */
+  def newCategories(ref: DataFrame, cur: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val legs = cols.map { c =>
+      val refVals = ref.select(col(c).cast("string").as("value"))
+        .filter(col("value").isNotNull).distinct()
+      cur.select(col(c).cast("string").as("value"))
+        .filter(col("value").isNotNull)
+        .groupBy(col("value")).agg(count(lit(1)).as("n_cur"))
+        .join(refVals, Seq("value"), "left_anti")
+        .select(lit(c).as("column"), col("value"), col("n_cur"))
+    }
+    legs.reduce(_ unionAll _)
+  }
+
+  /** DuckDB oracle for [[newCategories]]: `refSql`/`curSql` yield the
+    * columns. */
+  def newCategoriesOracleSql(refSql: String, curSql: String,
+      cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST($c AS VARCHAR) AS value,
+         |       CAST(count(*) AS BIGINT) AS n_cur
+         |FROM ($curSql) WHERE $c IS NOT NULL
+         |  AND CAST($c AS VARCHAR) NOT IN (
+         |    SELECT DISTINCT CAST($c AS VARCHAR) FROM ($refSql)
+         |    WHERE $c IS NOT NULL)
+         |GROUP BY 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** DuckDB oracle for [[psiDrift]]: `refSql`/`curSql` must each yield
     * a single integer column `v`; cut/bin fragments mirror the q84
     * oracle recipe. */

@@ -559,6 +559,34 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // PSI time series: every post-boundary day binned in the frozen
+    // pre-boundary decile coordinates, one PSI per day — WHEN drift
+    // started and whether it is still moving, where q196 only says IF.
+    "q293_psi_series" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("cents", Exact.cents(col("value")))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.ops.Profiling.psiSeries(
+        ev.filter(col("ts") < cut).select(col("cents")),
+        ev.filter(col("ts") >= cut)
+          .select(expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"),
+            col("cents")),
+        col("cents"), col("day"), (1 to 9).map(i => (i, 10)))
+    }),
+
+    // New-category drift: values the post-boundary slice carries that
+    // the reference never saw — the enum/allowlist break distribution
+    // tests blur into "some drift".
+    "q294_new_categories" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .withColumn("band", expr(
+          "CAST(round(value * 100) AS LONG) div 2500"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.ops.Profiling.newCategories(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        Seq("event_type", "band"))
+    }),
+
     // Power analysis from live base rates: required n per arm for a
     // 10% relative MDE at α=.05 / 80% power — "how long must this
     // experiment run", the planning step before q194.
@@ -1500,6 +1528,24 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q293_psi_series" -> graft.ops.Profiling.psiSeriesOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS w,
+        |       CAST(round(value * 100) AS BIGINT) AS v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      (1 to 9).map(i => (i, 10))),
+
+    "q294_new_categories" -> graft.ops.Profiling.newCategoriesOracleSql(
+      """SELECT event_type,
+        |       CAST(round(value * 100) AS BIGINT) // 2500 AS band
+        |FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      """SELECT event_type,
+        |       CAST(round(value * 100) AS BIGINT) // 2500 AS band
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      Seq("event_type", "band")),
 
     "q291_power" -> ABTest.requiredSampleSizeOracleSql(
       """SELECT event_type,

@@ -1028,6 +1028,30 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("psiSeries: a reference-distributed day reads exactly zero, a " +
+      "shifted day reads large") {
+    import spark.implicits._
+    val ref = (1L to 100L).toDF("v")
+    val cur = (1L to 100L).map(i => ("d1", i)) ++
+      (1L to 100L).map(i => ("d2", i + 1000L))
+    val out = Profiling.psiSeries(ref, cur.toDF("w", "v"), col("v"),
+        col("w"), (1 to 9).map(i => (i, 10)))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("d1") == 0L)
+    assert(out("d2") > 1000000L)
+  }
+
+  test("newCategories: only genuinely novel values surface, with " +
+      "their current-slice counts") {
+    import spark.implicits._
+    val ref = Seq(("a", 1L), ("b", 1L)).toDF("s", "k")
+    val cur = Seq(("a", 1L), ("c", 2L), ("c", 2L)).toDF("s", "k")
+    val out = Profiling.newCategories(ref, cur, Seq("s", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(out == Map(("s", "c") -> 2L, ("k", "2") -> 2L))
+  }
+
   test("requiredSampleSize: textbook n for p=.5 mde=10%, degenerate " +
       "rates yield NULL") {
     import spark.implicits._
