@@ -441,6 +441,14 @@ object Vectors extends QueryModule {
       graft.similarity.Select.kCenterGreedy(
         base(Tables(s, dir)), "id", "ev", k = 5)),
 
+    // Embedding norm audit: are these vectors unit-normalized — the
+    // one-row check in front of every cosine pipeline; a mixed corpus
+    // silently turns cosine ranking into magnitude ranking.
+    "q295_norm_audit" -> ((s, dir) =>
+      graft.similarity.Covariance.normAudit(
+        Tables(s, dir).embeddings.select(col("embedding").as("v")),
+        "v")),
+
     // Dedup-policy threshold sweep: how many near-dup pairs and victim
     // docs would each Jaccard cutoff remove — the q27 pipeline read as
     // a policy table instead of one fixed threshold.
@@ -1206,6 +1214,10 @@ object Vectors extends QueryModule {
         |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings""".stripMargin,
       k = 5),
+
+    "q295_norm_audit" -> graft.similarity.Covariance.normAuditOracleSql(
+      """SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings""".stripMargin),
 
     "q248_embedding_drift" -> graft.similarity.Covariance.dimDriftOracleSql(
       """SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -157,6 +157,57 @@ object Covariance {
        |         * CAST(trunc(z * 1000.0) AS BIGINT)) AS BIGINT) AS maha_q
        |FROM zz WHERE z IS NOT NULL GROUP BY 1""".stripMargin
 
+  /** Embedding NORM AUDIT: are these vectors actually unit-normalized?
+    * The one-row check in front of every cosine pipeline — a mixed
+    * corpus (one encoder normalized, another not) silently turns cosine
+    * rankings into magnitude rankings. Squared norms via the portable
+    * left-fold dot, truncated to integer micros (exact cross-row
+    * stats); `n_unit` counts vectors within `tolMicro` of 1.
+    *
+    * @return one row: (n, min_norm2_micro, max_norm2_micro,
+    *         mean_norm2, n_unit, unit_frac)
+    */
+  def normAudit(df: DataFrame, vecCol: String,
+      tolMicro: Long = 10000L): DataFrame = {
+    val v = Similarity.toDouble(col(vecCol))
+    val q = df.select(
+      floor(Similarity.dot(v, v) * lit(1000000.0)).cast("long")
+        .as("__q"))
+    q.agg(count(lit(1)).as("n"),
+        min(col("__q")).as("min_norm2_micro"),
+        max(col("__q")).as("max_norm2_micro"),
+        sum(col("__q")).as("__s"),
+        sum(when(abs(col("__q") - 1000000L) <= tolMicro, 1L)
+          .otherwise(0L)).as("n_unit"))
+      .withColumn("mean_norm2",
+        col("__s").cast("double") / col("n") / lit(1000000.0))
+      .withColumn("unit_frac",
+        col("n_unit").cast("double") / col("n"))
+      .drop("__s")
+  }
+
+  /** DuckDB oracle for [[normAudit]]: `innerSql` yields one `v`
+    * DOUBLE[] column. */
+  def normAuditOracleSql(innerSql: String,
+      tolMicro: Long = 10000L): String = {
+    val dot =
+      "list_reduce(list_transform(v, x -> x * x), (a, e) -> a + e)"
+    s"""WITH q AS (
+       |  SELECT CAST(floor($dot * 1000000.0) AS BIGINT) AS qq
+       |  FROM ($innerSql)
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |       CAST(min(qq) AS BIGINT) AS min_norm2_micro,
+       |       CAST(max(qq) AS BIGINT) AS max_norm2_micro,
+       |       CAST(sum(qq) AS DOUBLE) / count(*) / 1000000.0
+       |         AS mean_norm2,
+       |       CAST(sum(CASE WHEN abs(qq - 1000000) <= $tolMicro
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
+       |       CAST(sum(CASE WHEN abs(qq - 1000000) <= $tolMicro
+       |         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS unit_frac
+       |FROM q""".stripMargin
+  }
+
   /** Per-dimension embedding DRIFT between two corpus slices (model
     * version, time window, source): for every dimension, both slices'
     * exact-quantized means/variances and the two-sample z of the mean

@@ -561,6 +561,18 @@ class SimilaritySpec extends SparkSuite {
       math.abs(m.asInstanceOf[Double] - 0.7 / math.sqrt(0.98)) < 1e-12))
   }
 
+  test("normAudit: unit vectors counted within tolerance, mixed-scale " +
+      "corpus exposed by the range") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0, 0.0), Seq(0.6, 0.8),       // unit
+      Seq(2.0, 0.0)).map(Tuple1(_)).toDF("v") // norm² = 4
+    val out = graft.similarity.Covariance.normAudit(vecs, "v").head()
+    assert(out.getLong(0) == 3L && out.getAs[Long]("n_unit") == 2L)
+    assert(out.getAs[Long]("max_norm2_micro") == 4000000L)
+    assert(math.abs(out.getAs[Double]("unit_frac") - 2.0 / 3) < 1e-12)
+  }
+
   test("dimDrift: shifted dimension flagged with large |z|, identical " +
       "dimension near zero, constant dimension NULL") {
     import spark.implicits._
