@@ -821,6 +821,41 @@ object NearDup {
       .filter(col("dist") >= 0L) // -1 = threshold exceeded
   }
 
+  /** 1-BIT MINWISE estimation (Li & König 2010) alongside the full
+    * estimate: keep only each minhash's PARITY — signatures shrink 60×
+    * (one bit vs a 60-bit value per hash) — and recover Jaccard from
+    * bit agreement via `Ĵ = 2·(agree/k − ½)` (for near-uniform parities,
+    * the b=1 correction). The SLA: at equal storage you afford 60× more
+    * hashes, so the compressed estimator usually WINS at scale; this
+    * op reports both estimates per candidate pair so the trade is
+    * measured, not assumed.
+    *
+    * Same LSH candidate generation as [[minhashSignatures]] +
+    * [[lshCandidatePairs]]; everything integer/exact until the two
+    * ratio readouts.
+    *
+    * @return (d1, d2, est_jaccard, bit_agree, est_jaccard_1bit)
+    */
+  def bbitMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 16,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, w, k, hash)
+      .persist()
+    val bits = (a: Column) => transform(a, x => x % 2)
+    val bitAgree = (a: Column, b: Column) =>
+      aggregate(zip_with(bits(a), bits(b),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+    lshCandidatePairs(sig, idCol, "sig")
+      .join(sig.as("s1"), col("d1") === col(s"s1.$idCol"))
+      .join(sig.as("s2"), col("d2") === col(s"s2.$idCol"))
+      .select(col("d1"), col("d2"),
+        sigAgreement(col("s1.sig"), col("s2.sig")).as("est_jaccard"),
+        bitAgree(col("s1.sig"), col("s2.sig")).as("bit_agree"))
+      .withColumn("est_jaccard_1bit",
+        lit(2.0) * (col("bit_agree").cast("double") / k - lit(0.5)))
+  }
+
   /** [[sortedNeighborhoodPairs]] with JARO–WINKLER verification via the
     * native [[graft.functions.JaroWinkler]] expression (codegen
     * expression #7) — the name/identifier linkage rule: transpositions

@@ -559,6 +559,17 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Quantile TREND: p50/p90 value per (type, week) — the latency-
+    // dashboard series; per-group discrete quantiles over the weekly
+    // histograms, q40's machinery swept through time.
+    "q297_quantile_trend" -> ((s, dir) =>
+      Quantiles.exact(
+        Tables(s, dir).events
+          .withColumn("w", expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 86400 div 7")),
+        Seq(col("event_type"), col("w")),
+        Exact.cents(col("value")), Seq(0.5, 0.9))),
+
     // PSI time series: every post-boundary day binned in the frozen
     // pre-boundary decile coordinates, one PSI per day — WHEN drift
     // started and whether it is still moving, where q196 only says IF.
@@ -1528,6 +1539,23 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q297_quantile_trend" ->
+      """WITH ranked AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 1000000 // 86400 // 7 AS w,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY event_type,
+        |           epoch_us(ts) // 1000000 // 86400 // 7
+        |           ORDER BY CAST(round(value * 100) AS BIGINT)) AS rn,
+        |         count(*) OVER (PARTITION BY event_type,
+        |           epoch_us(ts) // 1000000 // 86400 // 7) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, w,
+        |       max(CASE WHEN rn = ceil(0.5 * n) THEN cents END) AS p50,
+        |       max(CASE WHEN rn = ceil(0.9 * n) THEN cents END) AS p90
+        |FROM ranked GROUP BY 1, 2""".stripMargin,
 
     "q293_psi_series" -> graft.ops.Profiling.psiSeriesOracleSql(
       """SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events

@@ -441,6 +441,14 @@ object Vectors extends QueryModule {
       graft.similarity.Select.kCenterGreedy(
         base(Tables(s, dir)), "id", "ev", k = 5)),
 
+    // 1-bit minwise estimation next to the full estimator: signatures
+    // 60x smaller, Jaccard from parity agreement with the b=1
+    // correction — both estimates per pair, so the storage trade is
+    // measured, not assumed.
+    "q296_bbit_minhash" -> ((s, dir) =>
+      NearDup.bbitMinhashPairs(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // Embedding norm audit: are these vectors unit-normalized — the
     // one-row check in front of every cosine pipeline; a mixed corpus
     // silently turns cosine ranking into magnitude ranking.
@@ -1214,6 +1222,17 @@ object Vectors extends QueryModule {
         |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings""".stripMargin,
       k = 5),
+
+    "q296_bbit_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT est.d1, est.d2, est.est_jaccard,
+         |       CAST(len(list_filter(list_zip(s1.sig, s2.sig),
+         |         p -> p[1] % 2 = p[2] % 2)) AS BIGINT) AS bit_agree,
+         |       2.0 * (CAST(len(list_filter(list_zip(s1.sig, s2.sig),
+         |         p -> p[1] % 2 = p[2] % 2)) AS DOUBLE) / 16 - 0.5)
+         |         AS est_jaccard_1bit
+         |FROM est JOIN sig s1 ON est.d1 = s1.doc_id
+         |         JOIN sig s2 ON est.d2 = s2.doc_id""".stripMargin,
 
     "q295_norm_audit" -> graft.similarity.Covariance.normAuditOracleSql(
       """SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -427,4 +427,21 @@ class NearDupSpec extends SparkSuite {
     assert(!ed.keySet.exists(p => p._1 == 3L || p._2 == 3L))
     spark.catalog.clearCache()
   }
+
+  test("bbitMinhashPairs: identical docs read 16/16 bits and 1.0 on " +
+      "both estimators; the 1-bit estimate tracks the full one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = NearDup.bbitMinhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    spark.catalog.clearCache()
+    val (full, bits, onebit) = out((1L, 2L))
+    assert(full == 1.0 && bits == 16L && onebit == 1.0)
+    assert(!out.contains((1L, 3L))) // never a candidate
+  }
 }
