@@ -108,6 +108,106 @@ object ABTest {
       .drop("__sd1", "__sd2")
   }
 
+  /** RATIO-METRIC test with DELTA-METHOD variance — the correct
+    * inference for per-user ratio metrics (clicks per session, revenue
+    * per order): the naive per-user-mean test answers a different
+    * question and the naive SE on Σx/Σy ignores that users, not rows,
+    * are the randomization unit. Per arm, from exact per-user (x, y)
+    * integer moments:
+    * `var(x̂/ŷ) ≈ (σ²_x − 2r·σ_xy + r²·σ²_y) / (n·ȳ²)`,
+    * then the two-arm z. All sums exact longs; readout fixed IEEE.
+    *
+    * @param x per-row numerator contribution (integer)
+    * @param y per-row denominator contribution (integer)
+    * @return one row: (n_a, ratio_a, n_b, ratio_b, diff, se, z,
+    *         significant)
+    */
+  def ratioMetricTest(df: DataFrame, unitCol: String, armB: Column,
+      x: Column, y: Column): DataFrame = {
+    val per = df.select(col(unitCol).as("__u"), armB.as("__b"),
+        x.as("__x"), y.as("__y"))
+      .filter(col("__b").isNotNull)
+      .groupBy(col("__u"), col("__b"))
+      .agg(sum(col("__x")).as("ux"), sum(col("__y")).as("uy"))
+    val arms = per.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ux")).as("sx"), sum(col("uy")).as("sy"),
+        sum(col("ux") * col("ux")).as("sxx"),
+        sum(col("uy") * col("uy")).as("syy"),
+        sum(col("ux") * col("uy")).as("sxy"))
+    def ratio = col("sx").cast("double") / col("sy")
+    def ybar = col("sy").cast("double") / col("n")
+    def varX = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx") / col("n")) / (col("n") - 1)
+    def varY = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy") / col("n")) / (col("n") - 1)
+    def covXY = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy") / col("n")) / (col("n") - 1)
+    val withStats = arms
+      .withColumn("ratio", when(col("sy") > 0, ratio))
+      .withColumn("var_ratio",
+        when(col("sy") > 0 && col("n") > 1,
+          (varX - lit(2.0) * ratio * covXY + ratio * ratio * varY) /
+            (col("n") * ybar * ybar)))
+    val a = withStats.filter(!col("__b"))
+      .select(col("n").as("n_a"), col("ratio").as("ratio_a"),
+        col("var_ratio").as("__va"))
+    val b = withStats.filter(col("__b"))
+      .select(col("n").as("n_b"), col("ratio").as("ratio_b"),
+        col("var_ratio").as("__vb"))
+    a.crossJoin(broadcast(b))
+      .withColumn("diff", col("ratio_b") - col("ratio_a"))
+      .withColumn("se", sqrt(col("__va") + col("__vb")))
+      .withColumn("z",
+        when(col("se") > 0, col("diff") / col("se")))
+      .withColumn("significant",
+        when(col("z").isNotNull, abs(col("z")) > 1.96))
+      .drop("__va", "__vb")
+  }
+
+  /** DuckDB oracle for [[ratioMetricTest]]: `innerSql` yields
+    * (u, b, x, y). */
+  def ratioMetricOracleSql(innerSql: String): String = {
+    def stats(flag: String) =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(ux) AS BIGINT) AS sx,
+         |       CAST(sum(uy) AS BIGINT) AS sy,
+         |       CAST(sum(ux * ux) AS BIGINT) AS sxx,
+         |       CAST(sum(uy * uy) AS BIGINT) AS syy,
+         |       CAST(sum(ux * uy) AS BIGINT) AS sxy
+         |FROM per WHERE $flag""".stripMargin
+    val r = "CAST(sx AS DOUBLE) / sy"
+    val yb = "CAST(sy AS DOUBLE) / n"
+    val vx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)"
+    val vy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)"
+    val cxy = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)"
+    val varR = s"CASE WHEN sy > 0 AND n > 1 THEN " +
+      s"(($vx) - 2.0 * ($r) * ($cxy) + ($r) * ($r) * ($vy)) " +
+      s"/ (n * ($yb) * ($yb)) END"
+    s"""WITH per AS (
+       |  SELECT u, b, CAST(sum(x) AS BIGINT) AS ux,
+       |         CAST(sum(y) AS BIGINT) AS uy
+       |  FROM ($innerSql) WHERE b IS NOT NULL GROUP BY 1, 2
+       |), sa AS (
+       |  SELECT n, CASE WHEN sy > 0 THEN $r END AS ratio_a,
+       |         $varR AS va
+       |  FROM (${stats("NOT b")})
+       |), sb AS (
+       |  SELECT n, CASE WHEN sy > 0 THEN $r END AS ratio_b,
+       |         $varR AS vb
+       |  FROM (${stats("b")})
+       |)
+       |SELECT sa.n AS n_a, ratio_a, sb.n AS n_b, ratio_b,
+       |       ratio_b - ratio_a AS diff,
+       |       sqrt(va + vb) AS se,
+       |       CASE WHEN sqrt(va + vb) > 0 THEN
+       |         (ratio_b - ratio_a) / sqrt(va + vb) END AS z,
+       |       CASE WHEN sqrt(va + vb) > 0 THEN
+       |         abs((ratio_b - ratio_a) / sqrt(va + vb)) > 1.96
+       |       END AS significant
+       |FROM sa CROSS JOIN sb""".stripMargin
+  }
+
   /** POWER ANALYSIS — required sample size per arm to detect a
     * relative MDE on the observed base rate at α = 0.05 (two-sided) and
     * 80 % power: `n = 2·(z_α + z_β)²·p(1−p)/δ²` with δ = p·mde. The

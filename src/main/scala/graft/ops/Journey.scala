@@ -420,6 +420,119 @@ object Journey {
        |       CAST(sum(lin) AS BIGINT) AS linear_micro
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Per-user CONSUMPTION DIVERSITY: entropy of each user's event-type
+    * distribution via the integer identity `h_q = n·blog(n) −
+    * Σ k·blog(k)` (the q282 device per user) — the engagement-breadth
+    * signal ("power users of one feature" vs "explorers") a type count
+    * alone misses.
+    *
+    * @return per user: (userCol, n, n_types, h_q)
+    */
+  def userDiversity(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    val blog = (x: Column) => length(bin(x)).cast("long")
+    events.select(col(userCol), col(typeCol).as("__t"))
+      .groupBy(col(userCol), col("__t"))
+      .agg(count(lit(1)).as("__k"))
+      .groupBy(col(userCol))
+      .agg(sum(col("__k")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("__k") * blog(col("__k"))).as("__skb"))
+      .withColumn("h_q", col("n") * blog(col("n")) - col("__skb"))
+      .drop("__skb")
+  }
+
+  /** DuckDB oracle for [[userDiversity]]. */
+  def userDiversityOracleSql(table: String, userCol: String,
+      typeCol: String): String =
+    s"""WITH k AS (
+       |  SELECT $userCol, $typeCol, CAST(count(*) AS BIGINT) AS k
+       |  FROM $table GROUP BY 1, 2
+       |), g AS (
+       |  SELECT $userCol, CAST(sum(k) AS BIGINT) AS n,
+       |         CAST(count(*) AS BIGINT) AS n_types,
+       |         CAST(sum(k * length(bin(k))) AS BIGINT) AS skb
+       |  FROM k GROUP BY 1
+       |)
+       |SELECT $userCol, n, n_types,
+       |       CAST(n * length(bin(n)) - skb AS BIGINT) AS h_q
+       |FROM g""".stripMargin
+
+  /** ACTIVATION LAG: days from a user's FIRST event to their k-th
+    * `milestoneType` event — "how long to the third purchase", the
+    * activation metric growth teams steer by; discrete quantiles over
+    * the lag-value histogram (the q243 device — no global row sort).
+    *
+    * @return one row: (n_activated, p50_days, p90_days per `ps`)
+    */
+  def activationLag(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      milestoneType: String, k: Int,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10))): DataFrame = {
+    require(k >= 1 && ps.nonEmpty)
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val first = events.groupBy(col(userCol).as("__u"))
+      .agg(min(m).as("__m0"))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__mk"), col("__tie"))
+    val kth = events.filter(col(typeCol) === milestoneType)
+      .select(col(userCol).as("__u"), m.as("__mk"),
+        col(tieCol).as("__tie"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === k)
+    val lags = kth.join(first, "__u")
+      .select(expr("(__mk - __m0) div 86400000000").as("d"))
+    val hist = lags.groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("__N", sum(col("c")).over(wAll))
+    val qs = ps.map { case (num, den) =>
+      min(when(col("cum") * den >= col("__N") * num, col("d")))
+        .as(s"p${num * 100 / den}_days")
+    }
+    val aggs = max(col("__N")).as("n_activated") +: qs
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB oracle for [[activationLag]]. */
+  def activationLagOracleSql(table: String, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      milestoneType: String, k: Int,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10))): String = {
+    val qs = ps.map { case (num, den) =>
+      s"""min(CASE WHEN cum * $den >= nn * $num THEN d END)
+         |  AS p${num * 100 / den}_days""".stripMargin
+    }.mkString(",\n|       ")
+    s"""WITH f AS (
+       |  SELECT $userCol AS u, min(epoch_us($tsCol)) AS m0
+       |  FROM $table GROUP BY 1
+       |), kth AS (
+       |  SELECT u, mk FROM (
+       |    SELECT $userCol AS u, epoch_us($tsCol) AS mk,
+       |           row_number() OVER (PARTITION BY $userCol
+       |             ORDER BY epoch_us($tsCol), $tieCol) AS rn
+       |    FROM $table WHERE $typeCol = '$milestoneType'
+       |  ) WHERE rn = $k
+       |), lag0 AS (
+       |  SELECT (mk - m0) // 86400000000 AS d
+       |  FROM kth JOIN f USING (u)
+       |), h AS (
+       |  SELECT d, CAST(count(*) AS BIGINT) AS c FROM lag0 GROUP BY 1
+       |), cc AS (
+       |  SELECT d,
+       |    CAST(sum(c) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(c) OVER () AS BIGINT) AS nn
+       |  FROM h
+       |)
+       |SELECT max(nn) AS n_activated,
+       |       $qs
+       |FROM cc""".stripMargin
+  }
+
   /** STRICT-ORDER time-boxed 3-step funnel: users who did s1, then s2
     * within `windowSeconds` of SOME qualifying s1, then s3 within the
     * window of that s2 — the sequencing-and-deadline funnel the

@@ -559,6 +559,30 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Per-user consumption diversity: entropy of each user's type mix
+    // via the integer identity — explorers vs single-feature power
+    // users, which a bare type count misses.
+    "q298_user_diversity" -> ((s, dir) =>
+      Journey.userDiversity(Tables(s, dir).events, "user_id",
+        "event_type")),
+
+    // Activation lag: days from first event to the 3rd purchase,
+    // p50/p90 over the lag histogram — the activation metric growth
+    // teams steer by.
+    "q299_activation" -> ((s, dir) =>
+      Journey.activationLag(Tables(s, dir).events, "user_id",
+        "event_type", "ts", "event_id", milestoneType = "purchase",
+        k = 3)),
+
+    // Ratio-metric A/B with delta-method variance: purchases-per-event
+    // tested at the USER randomization unit — the correct inference
+    // naive per-row tests get wrong.
+    "q300_ratio_metric" -> ((s, dir) =>
+      ABTest.ratioMetricTest(Tables(s, dir).events, "user_id",
+        armB = pmod(col("user_id"), lit(2L)) === 1L,
+        x = (col("event_type") === "purchase").cast("long"),
+        y = lit(1L))),
+
     // Quantile TREND: p50/p90 value per (type, week) — the latency-
     // dashboard series; per-group discrete quantiles over the weekly
     // histograms, q40's machinery swept through time.
@@ -1539,6 +1563,19 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q298_user_diversity" -> Journey.userDiversityOracleSql(
+      "events", "user_id", "event_type"),
+
+    "q299_activation" -> Journey.activationLagOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
+      milestoneType = "purchase", k = 3),
+
+    "q300_ratio_metric" -> ABTest.ratioMetricOracleSql(
+      """SELECT user_id AS u, user_id % 2 = 1 AS b,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+        |       1 AS y
+        |FROM events""".stripMargin),
 
     "q297_quantile_trend" ->
       """WITH ranked AS (

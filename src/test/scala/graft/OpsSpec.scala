@@ -1028,6 +1028,51 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("userDiversity: single-type user scores zero, even split " +
+      "scores the exact bit identity") {
+    import spark.implicits._
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "b")).toDF("u", "t")
+    val out = Journey.userDiversity(ev, "u", "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("h_q")).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 4L) // 4·blog(4) − 2·(2·blog(2)) = 12 − 8
+  }
+
+  test("activationLag: kth-milestone day lags, non-activated users " +
+      "excluded, discrete quantiles") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(1700000000000L +
+      day * 86400000L)
+    val ev = Seq(
+      (1L, "signup", ts(0), 1L), (1L, "purchase", ts(1), 2L),
+      (1L, "purchase", ts(2), 3L), (1L, "purchase", ts(5), 4L),
+      (2L, "signup", ts(0), 5L), (2L, "purchase", ts(0), 6L),
+      (2L, "purchase", ts(10), 7L), (2L, "purchase", ts(20), 8L),
+      (3L, "signup", ts(0), 9L), (3L, "purchase", ts(1), 10L))
+      .toDF("u", "typ", "ts", "id")
+    val out = Journey.activationLag(ev, "u", "typ", "ts", "id",
+      "purchase", k = 3).head()
+    assert(out.getLong(0) == 2L) // user 3 never hits 3 purchases
+    assert(out.getAs[Long]("p50_days") == 5L)
+    assert(out.getAs[Long]("p90_days") == 20L)
+  }
+
+  test("ratioMetricTest: cluster-level ratios exact, zero-variance " +
+      "arms yield NULL z, real spread yields a signed z") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, false, 1L, 10L), (2L, false, 3L, 10L),
+      (3L, true, 4L, 10L), (4L, true, 6L, 10L))
+      .toDF("u", "b", "x", "y")
+    val out = ABTest.ratioMetricTest(rows, "u", col("b"), col("x"),
+      col("y")).head()
+    assert(out.getAs[Double]("ratio_a") == 0.2) // 4/20
+    assert(out.getAs[Double]("ratio_b") == 0.5) // 10/20
+    assert(math.abs(out.getAs[Double]("diff") - 0.3) < 1e-12)
+    assert(out.getAs[Double]("z") > 0)
+  }
+
   test("psiSeries: a reference-distributed day reads exactly zero, a " +
       "shifted day reads large") {
     import spark.implicits._
