@@ -459,6 +459,69 @@ object TimeSeries {
        |FROM r WHERE rn = (n + 1) // 2""".stripMargin
   }
 
+  /** STATIONARY DISTRIBUTION of the [[transitionMatrix]] chain —
+    * "where do users END UP" — by integer power iteration in exact
+    * micro-probabilities (the q63 PageRank device on the behavioral
+    * chain): π₀ uniform, πₖ₊₁(j) = Σᵢ πₖ(i)·p(i→j) div 1e6, fixed
+    * `iters` sweeps, every intermediate a deterministic long, the
+    * oracle an unrolled replay. Mass leaks ≤ |states| micros per sweep
+    * to integer truncation (reported — don't renormalize silently).
+    *
+    * Scale shape: the chain is |states|² rows; iterations are joins of
+    * state-cardinality frames — corpus touched once to count
+    * transitions.
+    *
+    * @return per state: (state, pi_micro, pi)
+    */
+  def stationaryDistribution(df: DataFrame, keyCol: Column,
+      typeCol: Column, orderCols: Seq[Column],
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1)
+    val tm = transitionMatrix(df, keyCol, typeCol, orderCols)
+      .select(col("prev_type").as("i"), col("next_type").as("j"),
+        col("p_micro"))
+    val states = tm.select(col("i").as("state"))
+      .unionAll(tm.select(col("j").as("state"))).distinct()
+    val nRow = states.agg(count(lit(1)).as("__ns"))
+    var pi = states.crossJoin(broadcast(nRow))
+      .select(col("state"), expr("1000000 div __ns").as("pi_micro"))
+    (1 to iters).foreach { _ =>
+      pi = tm.join(pi.withColumnRenamed("state", "i"), "i")
+        .select(col("j").as("state"),
+          expr("(pi_micro * p_micro) div 1000000").as("__c"))
+        .groupBy(col("state")).agg(sum(col("__c")).as("pi_micro"))
+    }
+    pi.withColumn("pi", col("pi_micro").cast("double") / 1000000.0)
+  }
+
+  /** DuckDB oracle for [[stationaryDistribution]], unrolled.
+    * `transSql` yields (i, j, p_micro) — generate it with the q173
+    * transition-matrix oracle machinery. */
+  def stationaryOracleSql(transSql: String, iters: Int = 4): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pi$k AS (
+         |  SELECT j AS state,
+         |         CAST(sum((pi_micro * p_micro) // 1000000) AS BIGINT)
+         |           AS pi_micro
+         |  FROM tm JOIN pi${k - 1} ON tm.i = pi${k - 1}.state
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH tm AS ($transSql),
+       |states AS (
+       |  SELECT DISTINCT state FROM
+       |    (SELECT i AS state FROM tm UNION ALL SELECT j FROM tm)
+       |), pi0 AS (
+       |  SELECT state,
+       |         CAST(1000000 // (SELECT count(*) FROM states) AS BIGINT)
+       |           AS pi_micro
+       |  FROM states
+       |), $steps
+       |SELECT state, pi_micro,
+       |       CAST(pi_micro AS DOUBLE) / 1000000.0 AS pi
+       |FROM pi$iters""".stripMargin
+  }
+
   /** HIERARCHICAL forecast reconciliation (proportional / top-down
     * blend): per-key bottom-up forecasts rarely sum to the
     * independently-made total forecast — reconcile by scaling each

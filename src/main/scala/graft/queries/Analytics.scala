@@ -559,6 +559,14 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Stationary distribution of the q173 behavioral chain: where
+    // users END UP — integer micro power iteration, PageRank's device
+    // on the transition matrix; truncation leak reported, not hidden.
+    "q302_stationary" -> ((s, dir) =>
+      TimeSeries.stationaryDistribution(Tables(s, dir).events,
+        col("user_id"), col("event_type"),
+        Seq(col("ts"), col("event_id")))),
+
     // Per-user consumption diversity: entropy of each user's type mix
     // via the integer identity — explorers vs single-feature power
     // users, which a bare type count misses.
@@ -1563,6 +1571,20 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q302_stationary" -> TimeSeries.stationaryOracleSql(
+      """SELECT prev_type AS i, next_type AS j, p_micro FROM (
+        |  SELECT prev_type, next_type,
+        |         CAST(count(*) * 1000000 // sum(count(*))
+        |           OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+        |  FROM (
+        |    SELECT event_type AS next_type,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS prev_type
+        |    FROM events
+        |  ) WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)""".stripMargin),
 
     "q298_user_diversity" -> Journey.userDiversityOracleSql(
       "events", "user_id", "event_type"),

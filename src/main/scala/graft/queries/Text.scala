@@ -265,6 +265,19 @@ object Text extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Shared-line plagiarism pairs over the q70 dirty-union corpus:
+    // doc pairs sharing >= 2 verbatim 12-token lines — passage-level
+    // attribution where q24's token Jaccard only matches vocabulary.
+    "q301_shared_lines" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val dirty = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionAll(dirty)
+      graft.text.Segments.sharedLinePairs(all, "doc_id", "text",
+        per = linePer, minShared = 2L)
+    }),
+
     // Heaps vocabulary-growth curve: distinct vocab at doc-prefix
     // checkpoints via the first-occurrence identity — one pass, not
     // one scan per checkpoint; sizes the tokenizer budget.
@@ -1979,6 +1992,16 @@ object Text extends QueryModule {
         |  FROM c
         |) WHERE rank <= 3""".stripMargin
     },
+
+    "q301_shared_lines" -> graft.text.Segments.sharedLinePairsOracleSql(
+      s"""SELECT doc_id, $toksSql AS toks FROM (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         regexp_replace(text, '^\\S+\\s*', '') AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |)""".stripMargin,
+      "doc_id", per = linePer, minShared = 2L),
 
     "q290_heaps" -> graft.text.Corpus.heapsCurveOracleSql(
       s"SELECT doc_id AS id, $toksSql AS toks FROM documents",

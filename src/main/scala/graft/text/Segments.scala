@@ -193,6 +193,59 @@ object Segments {
           .as("doc_frac"))
   }
 
+  /** SHARED-LINE pair report: document pairs sharing at least
+    * `minShared` distinct `per`-token lines — line-level plagiarism/
+    * syndication detection, stricter than token-set Jaccard (q24
+    * matches vocabulary; this matches verbatim passages) and
+    * pair-attributing where corpus-wide line dedup (q81) only drops.
+    *
+    * Scale shape: per-doc DISTINCT line hashes, a line-keyed self-join
+    * whose fan-out is the line's duplicate multiplicity (the q81
+    * bound — cap ubiquitous lines upstream with [[boilerplateLines]]),
+    * one pair aggregation.
+    *
+    * @return (d1, d2, n_shared) — d1 < d2, n_shared ≥ minShared
+    */
+  def sharedLinePairs(docs: DataFrame, idCol: String, textCol: String,
+      per: Int, minShared: Long = 2L): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        explode(lineArrays(col("__toks"), per)).as("__ltoks"))
+      .select(col("__id"),
+        Hash64.hash60(array_join(col("__ltoks"), " ")).as("__lh"))
+      .distinct()
+    lines.as("a").join(lines.as("b"),
+        col("a.__lh") === col("b.__lh") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB oracle for [[sharedLinePairs]]: `docsTokSql` yields
+    * (`idName`, toks). */
+  def sharedLinePairsOracleSql(docsTokSql: String, idName: String,
+      per: Int, minShared: Long = 2L): String =
+    s"""WITH t AS ($docsTokSql),
+       |s AS (
+       |  SELECT $idName,
+       |         unnest(generate_series(0, len(toks) - 1, $per)) AS st,
+       |         toks
+       |  FROM t WHERE len(toks) > 0),
+       |d AS (
+       |  SELECT DISTINCT $idName,
+       |         ${Hash64.duckSql(
+            s"array_to_string(list_slice(toks, st + 1, st + $per), ' ')")}
+       |           AS lh
+       |  FROM s)
+       |SELECT a.$idName AS d1, b.$idName AS d2,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM d a JOIN d b ON a.lh = b.lh AND a.$idName < b.$idName
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared""".stripMargin
+
   /** Boilerplate REMOVAL — the transform [[boilerplateLines]] only
     * reports: rewrite each document dropping lines whose per-source
     * document frequency crosses `minFrac` (nav bars, footers, cookie

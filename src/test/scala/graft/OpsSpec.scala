@@ -1028,6 +1028,19 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("stationaryDistribution: an absorbing state accumulates the " +
+      "mass, total mass conserved up to truncation") {
+    import spark.implicits._
+    // u walks a -> b -> b -> b ... : b absorbs
+    val ev = (1L to 20L).map(i =>
+      (1L, if (i == 1) "a" else "b", i)).toDF("u", "t", "o")
+    val out = TimeSeries.stationaryDistribution(ev, col("u"), col("t"),
+        Seq(col("o")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("b") > 900000L) // nearly all mass
+    assert(out.values.sum <= 1000000L) // leak only downward
+  }
+
   test("userDiversity: single-type user scores zero, even split " +
       "scores the exact bit identity") {
     import spark.implicits._

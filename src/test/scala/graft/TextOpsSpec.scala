@@ -1310,6 +1310,24 @@ class TextOpsSpec extends SparkSuite {
     assert(out(3L) == ((2L, 2L, 0L, false, "short one")))
   }
 
+  test("sharedLinePairs: verbatim shared lines attribute the pair, " +
+      "vocabulary overlap alone does not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val line1 = "a b c d"
+    val line2 = "e f g h"
+    val docs = Seq(
+      (1L, s"$line1 $line2"),
+      (2L, s"$line1 $line2"),          // shares both lines with 1
+      (3L, "d c b a h g f e"))         // same vocabulary, no line
+      .toDF("doc_id", "text")
+    val out = graft.text.Segments.sharedLinePairs(docs, "doc_id",
+        "text", per = 4, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map((1L, 2L) -> 2L))
+  }
+
   test("heapsCurve: first-occurrence identity gives exact prefix " +
       "vocab sizes, new_tokens telescope") {
     import org.apache.spark.sql.functions._
