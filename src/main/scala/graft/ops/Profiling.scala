@@ -1071,6 +1071,68 @@ object Profiling {
        |FROM terms GROUP BY 1""".stripMargin
   }
 
+  /** STANDARDIZED MEAN DIFFERENCE balance audit: per numeric column,
+    * `SMD = (μ_a − μ_b) / √((σ²_a + σ²_b)/2)` between two slices — the
+    * covariate-balance diagnostic (|SMD| < 0.1 ≈ balanced) that
+    * decides whether a sample represents its population or a matched
+    * control group actually matches. Exact integer sums per column,
+    * fixed IEEE readout; NULL on zero-variance columns.
+    *
+    * @param cols integer-valued columns (quantize upstream)
+    * @return per column: (column, n_a, n_b, mean_a, mean_b, smd)
+    */
+  def smdAudit(a: DataFrame, b: DataFrame, cols: Seq[String])
+      : DataFrame = {
+    require(cols.nonEmpty)
+    def stats(df: DataFrame, sfx: String, c: String) = df
+      .select(col(c).as("__v")).filter(col("__v").isNotNull)
+      .agg(count(lit(1)).as(s"n_$sfx"), sum(col("__v")).as(s"s_$sfx"),
+        sum(col("__v") * col("__v")).as(s"ss_$sfx"))
+    val legs = cols.map { c =>
+      def mu(s: String, n: String) = col(s).cast("double") / col(n)
+      def vr(s: String, ss: String, n: String) =
+        (col(ss).cast("double") -
+          col(s).cast("double") * col(s).cast("double") / col(n)) /
+          (col(n) - 1)
+      val va = vr("s_a", "ss_a", "n_a")
+      val vb = vr("s_b", "ss_b", "n_b")
+      stats(a, "a", c).crossJoin(broadcast(stats(b, "b", c)))
+        .select(lit(c).as("column"), col("n_a"), col("n_b"),
+          mu("s_a", "n_a").as("mean_a"), mu("s_b", "n_b").as("mean_b"),
+          when((va + vb) / 2.0 > 0,
+            (mu("s_a", "n_a") - mu("s_b", "n_b")) /
+              sqrt((va + vb) / 2.0)).as("smd"))
+    }
+    legs.reduce(_ unionAll _)
+  }
+
+  /** DuckDB oracle for [[smdAudit]]: `aSql`/`bSql` yield the columns. */
+  def smdAuditOracleSql(aSql: String, bSql: String,
+      cols: Seq[String]): String =
+    cols.map { c =>
+      def stats(src: String, sfx: String) =
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_$sfx,
+           |       CAST(sum(__v) AS BIGINT) AS s_$sfx,
+           |       CAST(sum(__v * __v) AS BIGINT) AS ss_$sfx
+           |FROM (SELECT $c AS __v FROM ($src) WHERE $c IS NOT NULL)"""
+          .stripMargin
+      def mu(s: String, n: String) = s"CAST($s AS DOUBLE) / $n"
+      def vr(s: String, ss: String, n: String) =
+        s"(CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE)" +
+          s" / $n) / ($n - 1)"
+      val va = vr("s_a", "ss_a", "n_a")
+      val vb = vr("s_b", "ss_b", "n_b")
+      s"""SELECT '$c' AS "column", n_a, n_b,
+         |       ${mu("s_a", "n_a")} AS mean_a,
+         |       ${mu("s_b", "n_b")} AS mean_b,
+         |       CASE WHEN (($va) + ($vb)) / 2.0 > 0 THEN
+         |         (${mu("s_a", "n_a")} - ${mu("s_b", "n_b")})
+         |           / sqrt((($va) + ($vb)) / 2.0)
+         |       END AS smd
+         |FROM (${stats(aSql, "a")}) CROSS JOIN (${stats(bSql, "b")})"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** NEW-CATEGORY drift detector: values of a column appearing in the
     * CURRENT slice that the reference slice never saw — the
     * enum/allowlist break (new country code, renamed event type,

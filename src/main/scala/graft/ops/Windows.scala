@@ -101,6 +101,61 @@ object Windows {
           .as("peak_at_sec"))
   }
 
+  /** PEAK CONCURRENCY per key: the maximum number of SIMULTANEOUSLY
+    * open intervals — capacity sizing (max concurrent sessions,
+    * connections, jobs), which [[peakWindowRate]]'s event counting
+    * under-states whenever intervals outlive the window. The classic
+    * sweep: +1 at each start, −1 at each end (half-open [s, e) — an
+    * interval ending exactly when another starts does NOT overlap it;
+    * the −1 sorts first), running sum, per-key max.
+    *
+    * One keyed window over the 2n delta rows; nothing global.
+    *
+    * @return (keyCol, n_intervals, peak, peak_at) — peak_at = earliest
+    *         start time achieving the peak
+    */
+  def peakConcurrency(intervals: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val starts = intervals.select(col(keyCol), col(startCol).as("__t"),
+      lit(1L).as("__d"))
+    val ends = intervals.select(col(keyCol), col(endCol).as("__t"),
+      lit(-1L).as("__d"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wk = Window.partitionBy(col(keyCol))
+    starts.unionAll(ends)
+      .withColumn("__run", sum(col("__d")).over(w))
+      .withColumn("__mx", max(col("__run")).over(wk))
+      .groupBy(col(keyCol))
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("__run")).as("peak"),
+        min(when(col("__run") === col("__mx") && col("__d") === 1L,
+          col("__t"))).as("peak_at"))
+  }
+
+  /** DuckDB oracle for [[peakConcurrency]]: `innerSql` yields
+    * (`keyName`, s, e) as integers. */
+  def peakConcurrencyOracleSql(innerSql: String, keyName: String)
+      : String =
+    s"""WITH iv AS ($innerSql), d AS (
+       |  SELECT $keyName, s AS t, 1 AS dd FROM iv
+       |  UNION ALL SELECT $keyName, e AS t, -1 AS dd FROM iv
+       |), r0 AS (
+       |  SELECT *,
+       |    CAST(sum(dd) OVER (PARTITION BY $keyName ORDER BY t, dd
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS run
+       |  FROM d
+       |), r AS (
+       |  SELECT *, max(run) OVER (PARTITION BY $keyName) AS mx FROM r0
+       |)
+       |SELECT $keyName, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+       |       CAST(max(run) AS BIGINT) AS peak,
+       |       CAST(min(CASE WHEN run = mx AND dd = 1 THEN t END)
+       |         AS BIGINT) AS peak_at
+       |FROM r GROUP BY 1""".stripMargin
+
   /** DuckDB oracle for [[peakWindowRate]]. */
   def peakWindowRateOracleSql(table: String, keyCol: String,
       tsCol: String, windowSeconds: Long): String =

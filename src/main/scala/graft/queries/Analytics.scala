@@ -559,6 +559,30 @@ object Analytics extends QueryModule {
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
     }),
 
+    // Standardized-mean-difference balance audit: are the pre/post
+    // slices comparable on (value, k) — the |SMD|<0.1 covariate-
+    // balance diagnostic propensity matching lives by.
+    "q303_smd_audit" -> ((s, dir) => {
+      val ev = eventsEnriched(Tables(s, dir))
+        .select(col("ts"), col("value_cents"), col("k"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      graft.ops.Profiling.smdAudit(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        Seq("value_cents", "k"))
+    }),
+
+    // Peak concurrency per day: max simultaneously-open activity
+    // intervals (the q214 intervals) — capacity sizing that event
+    // counting understates whenever intervals outlive the window.
+    "q304_peak_concurrency" -> ((s, dir) => {
+      val iv = Tables(s, dir).events.select(
+        expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("s"),
+        (expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000") +
+          expr("CAST(floor(value) AS LONG)")).as("e"))
+      Windows.peakConcurrency(iv, "day", "s", "e")
+    }),
+
     // Stationary distribution of the q173 behavioral chain: where
     // users END UP — integer micro power iteration, PageRank's device
     // on the transition matrix; truncation leak reported, not hidden.
@@ -1571,6 +1595,23 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
+
+    "q303_smd_audit" -> graft.ops.Profiling.smdAuditOracleSql(
+      """SELECT CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      """SELECT CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+      Seq("value_cents", "k")),
+
+    "q304_peak_concurrency" -> Windows.peakConcurrencyOracleSql(
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |       epoch_us(ts) // 1000000 AS s,
+        |       epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT)
+        |         AS e
+        |FROM events""".stripMargin,
+      "day"),
 
     "q302_stationary" -> TimeSeries.stationaryOracleSql(
       """SELECT prev_type AS i, next_type AS j, p_micro FROM (

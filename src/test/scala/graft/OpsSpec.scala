@@ -1028,6 +1028,28 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("smdAudit: identical slices read zero, a one-sd shift reads " +
+      "about one") {
+    import spark.implicits._
+    val a = (1L to 100L).map(Tuple1(_)).toDF("v")
+    val same = Profiling.smdAudit(a, a, Seq("v")).head()
+    assert(same.getAs[Double]("smd") == 0.0)
+    val b = (1L to 100L).map(i => Tuple1(i + 29L)).toDF("v")
+    val shifted = Profiling.smdAudit(a, b, Seq("v")).head()
+    assert(math.abs(shifted.getAs[Double]("smd") + 1.0) < 0.01)
+  }
+
+  test("peakConcurrency: overlap counted, touching half-open " +
+      "intervals do not overlap, earliest peak start reported") {
+    import spark.implicits._
+    val iv = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 10L, 20L),
+      ("k", 30L, 40L)).toDF("g", "s", "e")
+    val out = Windows.peakConcurrency(iv, "g", "s", "e").head()
+    assert(out.getLong(1) == 4L)       // n_intervals
+    assert(out.getLong(2) == 2L)       // [5,10) has 2; at t=10 one ends
+    assert(out.getLong(3) == 5L)       // earliest peak start
+  }
+
   test("stationaryDistribution: an absorbing state accumulates the " +
       "mass, total mass conserved up to truncation") {
     import spark.implicits._
