@@ -125,6 +125,51 @@ object RangeJoin {
        |FROM g WHERE gap_end IS NOT NULL""".stripMargin
   }
 
+  /** AVAILABILITY / coverage ratio per key: covered time (the
+    * [[intervalMerge]] islands summed — overlaps never double-count)
+    * over the observed span — the SLA uptime number, the one-line
+    * summary of what [[intervalGaps]] itemizes. Exact integer
+    * covered/span, ratio in integer micros plus a double readout.
+    *
+    * @return (keyCols..., n_islands, covered, span, avail_micro,
+    *         availability) — span-zero keys (single instant) report
+    *         NULL ratios
+    */
+  def availability(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val merged = intervalMerge(df, keyCols, startCol, endCol)
+    merged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("merged_end") - col("merged_start")).as("covered"),
+        (max(col("merged_end")) - min(col("merged_start"))).as("span"))
+      .withColumn("avail_micro",
+        when(col("span") > 0, expr("(covered * 1000000) div span")))
+      .withColumn("availability",
+        when(col("span") > 0,
+          col("covered").cast("double") / col("span")))
+  }
+
+  /** DuckDB oracle for [[availability]]: same contract as
+    * [[intervalMergeOracleSql]]. */
+  def availabilityOracleSql(innerSql: String, keyCols: Seq[String])
+      : String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH m AS (${intervalMergeOracleSql(innerSql, keyCols)})
+       |SELECT $keys, CAST(count(*) AS BIGINT) AS n_islands,
+       |       CAST(sum(merged_end - merged_start) AS BIGINT) AS covered,
+       |       CAST(max(merged_end) - min(merged_start) AS BIGINT)
+       |         AS span,
+       |       CAST(CASE WHEN max(merged_end) - min(merged_start) > 0
+       |         THEN (sum(merged_end - merged_start) * 1000000)
+       |           // (max(merged_end) - min(merged_start)) END AS BIGINT)
+       |         AS avail_micro,
+       |       CASE WHEN max(merged_end) - min(merged_start) > 0 THEN
+       |         CAST(sum(merged_end - merged_start) AS DOUBLE)
+       |           / (max(merged_end) - min(merged_start)) END
+       |         AS availability
+       |FROM m GROUP BY $keys""".stripMargin
+  }
+
   /** @param grain a `date_trunc` unit that is also a valid 1-unit
     *              interval: "hour", "day", "minute". */
   def pointInInterval(points: DataFrame, intervals: DataFrame,

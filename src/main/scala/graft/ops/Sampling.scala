@@ -494,6 +494,43 @@ object Sampling {
        |FROM g""".stripMargin
   }
 
+  /** EFFECTIVE SAMPLE SIZE under weights (Kish): `n_eff = (Σw)²/Σw²` —
+    * what n weighted rows are actually worth; the design effect
+    * `n/n_eff` is the variance-inflation price of the weighting. The
+    * number every weighted estimate (importance sampling, q139 DSIR,
+    * q93 weighted draws) should report next to its mean.
+    *
+    * @param w exact integer weights ≥ 0
+    * @return one row: (n, sum_w, sum_w2, n_eff, design_effect)
+    */
+  def effectiveSampleSize(df: DataFrame, w: Column): DataFrame =
+    df.select(w.as("__w")).filter(col("__w").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("sum_w"),
+        sum(col("__w") * col("__w")).as("sum_w2"))
+      .withColumn("n_eff",
+        when(col("sum_w2") > 0,
+          col("sum_w").cast("double") * col("sum_w") / col("sum_w2")))
+      .withColumn("design_effect",
+        when(col("n_eff") > 0, col("n").cast("double") / col("n_eff")))
+
+  /** DuckDB oracle for [[effectiveSampleSize]]: `innerSql` yields `w`. */
+  def effectiveSampleSizeOracleSql(innerSql: String): String =
+    s"""WITH g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(w) AS BIGINT) AS sum_w,
+       |         CAST(sum(w * w) AS BIGINT) AS sum_w2
+       |  FROM ($innerSql) WHERE w IS NOT NULL
+       |)
+       |SELECT n, sum_w, sum_w2,
+       |       CASE WHEN sum_w2 > 0 THEN
+       |         CAST(sum_w AS DOUBLE) * sum_w / sum_w2 END AS n_eff,
+       |       CASE WHEN sum_w2 > 0
+       |            AND CAST(sum_w AS DOUBLE) * sum_w / sum_w2 > 0 THEN
+       |         CAST(n AS DOUBLE)
+       |           / (CAST(sum_w AS DOUBLE) * sum_w / sum_w2) END
+       |         AS design_effect
+       |FROM g""".stripMargin
+
   /** Largest-remainder (Hamilton) apportionment: split an integer
     * budget of `seats` across groups proportionally to `weightCol`,
     * with Σ seats EXACT — floors first, then one extra seat to the

@@ -723,6 +723,13 @@ object Relational extends QueryModule {
         .filter(col("is_match"))
     }),
 
+    // Kish effective sample size: what lineitem's quantity-weighted
+    // rows are worth in unweighted terms, and the design-effect
+    // variance price — the number every weighted estimate should carry.
+    "q306_effective_n" -> ((s, dir) =>
+      graft.ops.Sampling.effectiveSampleSize(
+        Tables(s, dir).lineitem, col("l_quantity").cast("long"))),
+
     // Per-column entropy profile: key-ness/compressibility ranking
     // the bare NDV in q57's profile muddles — a 99/1 binary column and
     // a 50/50 one read the same NDV, very different entropy.
@@ -1427,6 +1434,9 @@ object Relational extends QueryModule {
 
     "q239_item_item" -> graft.ops.Basket.itemCosineOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem", k = 5),
+
+    "q306_effective_n" -> graft.ops.Sampling.effectiveSampleSizeOracleSql(
+      "SELECT CAST(l_quantity AS BIGINT) AS w FROM lineitem"),
 
     "q282_column_entropy" -> graft.ops.Profiling.columnEntropyOracleSql(
       """(SELECT o_orderstatus, o_orderpriority, o_custkey,

@@ -246,6 +246,17 @@ object Text extends QueryModule {
       graft.ops.RangeJoin.intervalMerge(iv, Seq("user_id"), "s", "e")
     }),
 
+    // Availability ratio: covered seconds over observed span per user
+    // from the q214 islands — the SLA uptime number q224's gap list
+    // itemizes; exact integer micros.
+    "q305_availability" -> ((s, dir) => {
+      val iv = Tables(s, dir).events.select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("s"),
+        expr("CAST(floor(value) AS LONG)").as("__dur"))
+        .withColumn("e", col("s") + col("__dur")).drop("__dur")
+      graft.ops.RangeJoin.availability(iv, Seq("user_id"), "s", "e")
+    }),
+
     // Interval GAPS — q214's complement: the uncovered stretches
     // between a user's merged activity islands (blackout windows),
     // one per-key lead over the island-sized merged frame.
@@ -1399,6 +1410,12 @@ object Text extends QueryModule {
         |FROM documents""".stripMargin,
 
     "q214_interval_merge" -> graft.ops.RangeJoin.intervalMergeOracleSql(
+      """SELECT user_id, epoch_us(ts) // 1000000 AS s,
+        |       epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
+        |FROM events""".stripMargin,
+      Seq("user_id")),
+
+    "q305_availability" -> graft.ops.RangeJoin.availabilityOracleSql(
       """SELECT user_id, epoch_us(ts) // 1000000 AS s,
         |       epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
         |FROM events""".stripMargin,

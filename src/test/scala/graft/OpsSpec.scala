@@ -1028,6 +1028,31 @@ class OpsSpec extends SparkSuite {
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
   }
 
+  test("availability: overlaps never double-count, gaps reduce the " +
+      "ratio exactly") {
+    import spark.implicits._
+    // islands [0,12] and [20,30]: covered 22 of span 30
+    val iv = Seq(("u", 0L, 10L), ("u", 5L, 12L), ("u", 20L, 30L))
+      .toDF("k", "s", "e")
+    val out = RangeJoin.availability(iv, Seq("k"), "s", "e").head()
+    assert(out.getAs[Long]("n_islands") == 2L)
+    assert(out.getAs[Long]("covered") == 22L &&
+      out.getAs[Long]("span") == 30L)
+    assert(out.getAs[Long]("avail_micro") == 733333L)
+  }
+
+  test("effectiveSampleSize: uniform weights keep n_eff = n, one " +
+      "dominant weight collapses it") {
+    import spark.implicits._
+    val even = Seq.fill(10)(Tuple1(5L)).toDF("w")
+    val e1 = Sampling.effectiveSampleSize(even, col("w")).head()
+    assert(e1.getAs[Double]("n_eff") == 10.0 &&
+      e1.getAs[Double]("design_effect") == 1.0)
+    val skew = (Seq.fill(9)(Tuple1(1L)) :+ Tuple1(1000L)).toDF("w")
+    val e2 = Sampling.effectiveSampleSize(skew, col("w")).head()
+    assert(e2.getAs[Double]("n_eff") < 1.1) // one row dominates
+  }
+
   test("smdAudit: identical slices read zero, a one-sd shift reads " +
       "about one") {
     import spark.implicits._
