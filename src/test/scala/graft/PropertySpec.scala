@@ -438,4 +438,102 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: apportion seats sum EXACTLY to the budget for any " +
+      "positive weights") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1L, 1000L)).map(_.take(12)),
+      Gen.choose(1L, 10000L))
+    holds(Prop.forAll(gen) { case (ws, seats) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (s"g$i", w) }
+        .toDF("g", "w")
+      val total = graft.ops.Sampling.apportion(df, "g", "w", seats)
+        .agg(sum("seats")).head().getLong(0)
+      total == seats
+    })
+  }
+
+  test("property: topKWithOther per-group totals always reconcile " +
+      "with the raw table") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(0, 8))).map(_.take(40))
+    holds(Prop.forAll(gen) { rows =>
+      val df = rows.map { case (g, d) => (g, s"d$d") }.toDF("g", "d")
+      val out = graft.ops.Ranking.topKWithOther(df, "g", "d", k = 2)
+        .groupBy("g").agg(sum("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      out == truth
+    })
+  }
+
+  test("property: availability ratio is within (0, 1] and covered " +
+      "never exceeds span") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 500L),
+      Gen.choose(1L, 100L))).map(_.take(25))
+    holds(Prop.forAll(gen) { iv =>
+      val df = iv.map { case (s, d) => ("k", s, s + d) }
+        .toDF("k", "s", "e")
+      val r = graft.ops.RangeJoin.availability(df, Seq("k"), "s", "e")
+        .head()
+      val covered = r.getAs[Long]("covered")
+      val span = r.getAs[Long]("span")
+      covered <= span && covered > 0
+    })
+  }
+
+  test("property: kmvDistinct is exact below k and within 3x above " +
+      "it, on any value multiset") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(1L, 2000L)).map(_.take(300))
+    holds(Prop.forAll(gen) { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val truth = vs.distinct.size.toDouble
+      val est = graft.ops.Sketches.kmvDistinct(df, "g", col("v"), k = 64)
+        .head().getDouble(3)
+      if (truth < 64) est == truth
+      else est > truth / 3 && est < truth * 3
+    })
+  }
+
+  test("property: jump-consistent buckets are always in range and " +
+      "only ever move to the newest bucket as n grows") {
+    val gen = Gen.zip(Gen.listOfN(50, Gen.choose(0L, Long.MaxValue >> 4)),
+      Gen.choose(2, 40))
+    holds(Prop.forAll(gen) { case (keys, n) =>
+      keys.forall { k =>
+        val b = graft.functions.JumpHash.hash(k, n)
+        val b2 = graft.functions.JumpHash.hash(k, n + 1)
+        b >= 0 && b < n && (b2 == b || b2 == n)
+      }
+    })
+  }
+
+  test("property: mixDecomposition terms reconstruct the overall " +
+      "delta within quantization slack") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.oneOf("s1", "s2", "s3"),
+      Gen.oneOf(true, false), Gen.oneOf(0L, 1L)))
+    holds(Prop.forAll(gen) { rows =>
+      val byPeriod = rows.groupBy(_._2)
+      (byPeriod.contains(true) && byPeriod.contains(false)) ==> {
+        val df = rows.toDF("seg", "b", "y")
+        val out = graft.ops.ABTest.mixDecomposition(df, "seg",
+            col("b"), col("y") === 1L).collect()
+        val segsDefined = out.forall(r => !r.isNullAt(5) && !r.isNullAt(6))
+        segsDefined ==> {
+          val sumTerms = out.map(r => r.getLong(5) + r.getLong(6)).sum
+          def rate(p: Boolean) = {
+            val xs = rows.filter(_._2 == p)
+            xs.map(_._3).sum.toDouble / xs.size
+          }
+          val delta = ((rate(true) - rate(false)) * 1e6).round
+          math.abs(sumTerms - delta) <= 2L * out.length + 2
+        }
+      }
+    })
+  }
 }
