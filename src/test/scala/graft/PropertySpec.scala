@@ -512,6 +512,32 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: interval ops agree — merged-island coverage equals " +
+      "the sweep-line time-above-zero, peak equals max depth") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 200L),
+      Gen.choose(1L, 50L))).map(_.take(15))
+    holds(Prop.forAll(gen) { iv =>
+      val df = iv.map { case (s, d) => ("k", s, s + d) }
+        .toDF("k", "s", "e")
+      val cov = graft.ops.RangeJoin.availability(df, Seq("k"), "s", "e")
+        .head().getAs[Long]("covered")
+      // sequential sweep reference
+      val deltas = (iv.map { case (s, _) => (s, 1) } ++
+        iv.map { case (s, d) => (s + d, -1) }).sortBy(t => (t._1, t._2))
+      var depth = 0; var covered = 0L; var maxDepth = 0
+      deltas.sliding(2).foreach {
+        case Seq((t1, d1), (t2, _)) =>
+          depth += d1; maxDepth = math.max(maxDepth, depth)
+          if (depth > 0) covered += t2 - t1
+        case _ => ()
+      }
+      val peak = graft.ops.Windows.peakConcurrency(df, "k", "s", "e")
+        .head().getLong(2)
+      cov == covered && peak == maxDepth.toLong
+    })
+  }
+
   test("property: mixDecomposition terms reconstruct the overall " +
       "delta within quantization slack") {
     import spark.implicits._
