@@ -149,12 +149,19 @@ object ABTest {
         when(col("sy") > 0 && col("n") > 1,
           (varX - lit(2.0) * ratio * covXY + ratio * ratio * varY) /
             (col("n") * ybar * ybar)))
+    // one-row GLOBAL aggregate per arm (each arm frame has ≤ 1 row, so
+    // max = identity): a degenerate arm with zero users still yields a
+    // row — n 0, NULL ratio/z — matching proportionTest's NULL
+    // convention and the oracle's always-one-row global aggregate,
+    // instead of an empty cross-join silently swallowing the readout
     val a = withStats.filter(!col("__b"))
-      .select(col("n").as("n_a"), col("ratio").as("ratio_a"),
-        col("var_ratio").as("__va"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("n_a"),
+        max(col("ratio")).as("ratio_a"),
+        max(col("var_ratio")).as("__va"))
     val b = withStats.filter(col("__b"))
-      .select(col("n").as("n_b"), col("ratio").as("ratio_b"),
-        col("var_ratio").as("__vb"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("n_b"),
+        max(col("ratio")).as("ratio_b"),
+        max(col("var_ratio")).as("__vb"))
     a.crossJoin(broadcast(b))
       .withColumn("diff", col("ratio_b") - col("ratio_a"))
       .withColumn("se", sqrt(col("__va") + col("__vb")))

@@ -133,6 +133,14 @@ object Features {
     * `(pos·G + α·G⁺)·1e6 div ((n + α)·G)` — no float prior ever
     * materializes.
     *
+    * OVERFLOW LEDGER (int64, non-ANSI Spark wraps silently where DuckDB
+    * errors — stay inside the bound): pos·G·10⁶ must stay under 2⁶³,
+    * i.e. pos·G < 9.2·10¹². At a corpus of G = 10⁹ observed rows that
+    * caps per-key pos at ~9 200; beyond that, pre-scale the success
+    * counts (e.g. per-mille instead of raw) or shard the encoding by a
+    * coarse key split. Same convention as [[graft.ops.ABTest]] CUPED's
+    * Σdq² bound.
+    *
     * @return per key: (keyCol, n, pos, raw_micro, shrunk_micro) —
     *         raw_micro NULL-free (keys come from observed rows)
     */

@@ -39,6 +39,32 @@ object Quantiles {
     ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[exact]] with RATIONAL quantile fractions: rank = ⌈num·n/den⌉
+    * computed as `(num·n + den − 1) div den` in pure integers. The
+    * float form's `ceil(p·n)` is correct only by a delicate rounding
+    * argument (double(p)'s ≤ 2⁻⁵³ relative error stays under half an
+    * ulp through one exact-int multiply, so IEEE rounds back — measured:
+    * 0.9·10 IS 9.0 in both Spark and DuckDB decimal); this form is
+    * exact BY CONSTRUCTION, with no analysis to re-verify per p, and is
+    * the one to compose (q297) when p is not binary-representable.
+    * Same cost shape and output columns as [[exact]] (`p<NN>` from
+    * num/den). */
+  def exactRatio(df: DataFrame, grp: Seq[Column], v: Column,
+      ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.forall { case (num, den) =>
+      num >= 1 && num <= den && den >= 1 })
+    val w = Window.partitionBy(grp: _*).orderBy(v)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+    val aggs = ps.map { case (num, den) =>
+      max(when(col("__rn") ===
+          expr(s"($num * __n + ${den - 1}) div $den"), v))
+        .as(colName(num.toDouble / den))
+    }
+    ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sketched form, same output shape. `accuracy` trades memory for rank
     * error (default 10000 ≈ 0.01% rank error). */
   def approx(df: DataFrame, grp: Seq[Column], v: Column, ps: Seq[Double],

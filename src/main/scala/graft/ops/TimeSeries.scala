@@ -109,13 +109,17 @@ object TimeSeries {
       keyCols.map(col) ++ Seq(col(tCol).as("__t2"), col(xCol).as("__x2")): _*)
     val pairs = a.join(b, keyCols).filter(col("__t1") < col("__t2"))
     val stats = pairs.groupBy(keyCols.map(col): _*)
-      .agg(sum(signum(col("__x2") - col("__x1")).cast("long")).as("s_stat"),
-        count(lit(1)).as("n_pairs"))
-    // recover n from n_pairs = n(n-1)/2 exactly — avoids a second scan
-    // of the series frame: n = (1 + sqrt(1 + 8·n_pairs)) / 2
-    val n = ((lit(1.0) + sqrt(lit(1.0) + col("n_pairs") * lit(8.0)))
-      / lit(2.0)).cast("long")
-    val withN = stats.withColumn("n", n)
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("long")).as("s_stat"))
+    // n counted EXACTLY with a second (cheap, one-row-per-key)
+    // aggregation — inverting n_pairs = n(n-1)/2 via sqrt is exact only
+    // when every (key, t) is unique; duplicate t values per key make
+    // n_pairs < n(n-1)/2 and the truncated sqrt silently mis-states n,
+    // var18 and z. Duplicate-t pairs are excluded from S by the strict
+    // __t1 < __t2 filter (the standard tied-time treatment); var18
+    // stays the no-ties-in-x formula.
+    val counts = series.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val withN = stats.join(counts, keyCols)
       .withColumn("var18",
         col("n") * (col("n") - 1) * (lit(2) * col("n") + 5))
     val denom = sqrt(col("var18").cast("double") / lit(18.0))
@@ -528,6 +532,13 @@ object TimeSeries {
     * bottom forecast to the total, `r_i = f_i·T / Σf`, so the hierarchy
     * ADDS UP (the property every planning consumer silently assumes).
     * Integer milli-units, exact division.
+    *
+    * OVERFLOW LEDGER (int64, non-ANSI Spark wraps silently where DuckDB
+    * errors): f·T·1000 must stay under 2⁶³, i.e. f·T < 9.2·10¹⁵ — a
+    * per-key forecast of 10⁶ against a total of 10⁹ is fine; forecasts
+    * of raw event counts at the 10⁹/10⁹ scale are not. Pre-divide both
+    * sides by a common unit (thousands) before reconciling in that
+    * regime. Same convention as [[graft.ops.Features.shrunkRates]].
     *
     * @param bottoms one row per key: (keyCols..., f) integer forecasts
     * @param top     ONE row with the independent total forecast under

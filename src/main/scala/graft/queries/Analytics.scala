@@ -617,14 +617,16 @@ object Analytics extends QueryModule {
 
     // Quantile TREND: p50/p90 value per (type, week) — the latency-
     // dashboard series; per-group discrete quantiles over the weekly
-    // histograms, q40's machinery swept through time.
+    // histograms, q40's machinery swept through time. Rational (num,
+    // den) ranks: 9/10 stays ⌈9n/10⌉ in exact integers where float
+    // 0.9·n ceils to the max on every n divisible by 10.
     "q297_quantile_trend" -> ((s, dir) =>
-      Quantiles.exact(
+      Quantiles.exactRatio(
         Tables(s, dir).events
           .withColumn("w", expr(
             "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 86400 div 7")),
         Seq(col("event_type"), col("w")),
-        Exact.cents(col("value")), Seq(0.5, 0.9))),
+        Exact.cents(col("value")), Seq((1, 2), (9, 10)))),
 
     // PSI time series: every post-boundary day binned in the frozen
     // pre-boundary decile coordinates, one PSI per day — WHEN drift
@@ -1262,18 +1264,15 @@ object Analytics extends QueryModule {
         |  SELECT a.event_type, CAST(sign(b.c - a.c) AS BIGINT) AS sg
         |  FROM s a JOIN s b ON a.event_type = b.event_type AND a.h < b.h
         |), g AS (
-        |  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
-        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
         |  FROM p GROUP BY 1
-        |), w AS (
-        |  SELECT event_type, s_stat,
-        |         CAST(trunc((1.0 + sqrt(1.0 + n_pairs * 8.0)) / 2.0)
-        |           AS BIGINT) AS n
-        |  FROM g
+        |), c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1
         |), v AS (
-        |  SELECT event_type, n, s_stat,
+        |  SELECT g.event_type, c.n, g.s_stat,
         |         CAST(n * (n - 1) * (2 * n + 5) AS BIGINT) AS var18
-        |  FROM w
+        |  FROM g JOIN c USING (event_type)
         |), z AS (
         |  SELECT *,
         |         CASE WHEN s_stat > 0 THEN
@@ -1653,8 +1652,8 @@ object Analytics extends QueryModule {
         |  FROM events
         |)
         |SELECT event_type, w,
-        |       max(CASE WHEN rn = ceil(0.5 * n) THEN cents END) AS p50,
-        |       max(CASE WHEN rn = ceil(0.9 * n) THEN cents END) AS p90
+        |       max(CASE WHEN rn = (1 * n + 1) // 2 THEN cents END) AS p50,
+        |       max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90
         |FROM ranked GROUP BY 1, 2""".stripMargin,
 
     "q293_psi_series" -> graft.ops.Profiling.psiSeriesOracleSql(

@@ -870,6 +870,21 @@ class OpsSpec extends SparkSuite {
     assert(out("flat") == ((20L, 0L, var18, "no_trend")))
   }
 
+  test("mannKendall: duplicate t values per key keep n exact (counted, " +
+      "not inverted from n_pairs) and same-time pairs add 0 to S") {
+    import spark.implicits._
+    // 5 points, two sharing t=2: n_pairs = 9 < C(5,2) = 10, so the old
+    // sqrt inversion would read n = (1+sqrt(73))/2 = 4 (truncated)
+    val series = Seq(
+      ("dup", 1L, 1L), ("dup", 2L, 2L), ("dup", 2L, 3L),
+      ("dup", 3L, 4L), ("dup", 4L, 0L)).toDF("k", "t", "x")
+    val out = TimeSeries.mannKendall(series, Seq("k"), "t", "x").head()
+    assert(out.getAs[Long]("n") == 5L)
+    assert(out.getAs[Long]("var18") == 5L * 4L * 15L)
+    // strict t1<t2 pairs: 5 rises, 4 falls -> S = +1
+    assert(out.getAs[Long]("s_stat") == 1L)
+  }
+
   test("ndcgAtK: perfect ranking 1.0, worst ranking below it, " +
       "zero-relevance NULL, k truncates") {
     import spark.implicits._
@@ -1131,6 +1146,21 @@ class OpsSpec extends SparkSuite {
     assert(out.getAs[Double]("ratio_b") == 0.5) // 10/20
     assert(math.abs(out.getAs[Double]("diff") - 0.3) < 1e-12)
     assert(out.getAs[Double]("z") > 0)
+  }
+
+  test("ratioMetricTest: a degenerate arm (zero users) still yields " +
+      "one row with n 0 and NULL ratio/z, not an empty frame") {
+    import spark.implicits._
+    val rows = Seq( // every user lands in arm a
+      (1L, false, 1L, 10L), (2L, false, 3L, 10L))
+      .toDF("u", "b", "x", "y")
+    val out = ABTest.ratioMetricTest(rows, "u", col("b"), col("x"),
+      col("y")).collect()
+    assert(out.length == 1) // the silent-absence bug returned 0 rows
+    assert(out.head.getAs[Long]("n_a") == 2L)
+    assert(out.head.getAs[Long]("n_b") == 0L)
+    assert(out.head.isNullAt(out.head.fieldIndex("ratio_b")))
+    assert(out.head.isNullAt(out.head.fieldIndex("z")))
   }
 
   test("psiSeries: a reference-distributed day reads exactly zero, a " +

@@ -137,6 +137,29 @@ class RelationalOpsSpec extends SparkSuite {
     assert(math.abs(ap.getAs[Long]("p99") - 9900L) <= 50)
   }
 
+  test("quantiles: rational ranks match float exact on the hazard " +
+      "points (n divisible by 10) and are exact by construction") {
+    import spark.implicits._
+    // measured: double(0.9)*10 rounds back to exactly 9.0 (relative
+    // error ≤ 2^-53 < half-ulp), so float ceil agrees here — but only
+    // by rounding analysis; the rational form needs none
+    for (n <- Seq(10, 20, 70, 100, 1000)) {
+      val df = (1 to n).map(i => ("g", i.toLong)).toDF("g", "v")
+      val fl = Quantiles.exact(df, Seq(col("g")), col("v"), Seq(0.9)).head
+      val ra = Quantiles.exactRatio(df, Seq(col("g")), col("v"),
+        Seq((9, 10))).head
+      assert(ra.getAs[Long]("p90") == (9L * n + 9L) / 10L,
+        s"rational p90 wrong at n=$n")
+      assert(fl.getAs[Long]("p90") == ra.getAs[Long]("p90"),
+        s"float/rational diverge at n=$n")
+    }
+    val ra = Quantiles.exactRatio(
+      (1 to 10).map(i => ("g", i.toLong)).toDF("g", "v"),
+      Seq(col("g")), col("v"), Seq((1, 2), (9, 10))).head
+    assert(ra.getAs[Long]("p50") == 5L)
+    assert(ra.getAs[Long]("p90") == 9L)
+  }
+
   test("incremental corpus dedup: history fingerprints and intra-batch dups both drop") {
     import spark.implicits._
     val history = Seq((1L, "the quick brown fox"), (2L, "existing doc two"))
