@@ -129,8 +129,20 @@ object NearDup {
     * end-clamp, so signatures are identical. */
   def minhashSignaturesChar(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 5, k: Int = 16,
-      hash: Column => Column = Hash64.hash60): DataFrame = {
-    val t = regexp_replace(lower(col(textCol)), "\\s+", " ")
+      hash: Column => Column = Hash64.hash60,
+      unicodeNormalize: Boolean = false): DataFrame = {
+    // unicodeNormalize composes graft.functions.NormalizeText (NFC +
+    // width fold + simple lower — q307's canonicalization stage) in
+    // front of the shingler, so NFD/fullwidth renderings of one text
+    // produce IDENTICAL signatures. Default off to preserve the
+    // oracle-pinned q134 semantics; real non-ASCII corpora want it on
+    // (space-free scripts are exactly where mixed normal forms and
+    // fullwidth punctuation are common).
+    val base =
+      if (unicodeNormalize)
+        graft.functions.NormalizeText.normalizeText(col(textCol))
+      else lower(col(textCol))
+    val t = regexp_replace(base, "\\s+", " ")
     val sh = docs
       .select(col(idCol), t.as("__t"))
       .select(col(idCol), col("__t"),

@@ -87,9 +87,18 @@ object GraftFunctions {
       JaroWinkler(exprs.head, exprs(1))
     })
 
+  private[functions] val normalizeText: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("normalize_text"),
+    new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"normalize_text expects 1 argument, got ${exprs.length}")
+      NormalizeText(exprs.head)
+    })
+
   private[functions] val all =
     Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen,
-      jumpHash, jaroWinkler)
+      jumpHash, jaroWinkler, normalizeText)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

@@ -18,6 +18,20 @@ object Text extends QueryModule {
   private[queries] val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** q307: planted Unicode variants of ONE logical document — NFC title
+    * case, NFD lowercase, fullwidth-ASCII + ideographic space, NFD
+    * uppercase — plus one genuinely distinct control. Byte-distinct in
+    * every pair, yet all four normalize to the same string; only the
+    * normalize_text stage makes them dedup together (the raw fingerprint
+    * of q22 treats all five as unique). Shared verbatim with the
+    * oracle's VALUES literals. */
+  private[graft] val unicodePlanted: Seq[(Long, String)] = Seq(
+    9000001L -> "Café Touché — Déjà Vu Résumé Notes",
+    9000002L -> "café touché — déjà vu résumé notes",
+    9000003L -> "café touché　— déjà vu résumé　ｎｏｔｅｓ",
+    9000004L -> "CAFÉ TOUCHÉ — DÉJÀ VU RÉSUMÉ NOTES",
+    9000005L -> "a genuinely distinct planted document")
+
   /** q50's corpus config — oracle SQL derives from the same values. */
   private val corpusRates = Map("en" -> 0.8, "zh" -> 1.0)
   private val corpusDefaultRate = 0.5
@@ -222,6 +236,24 @@ object Text extends QueryModule {
       Tables(s, dir).documents.select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Unicode-canonicalized dedup: normalize_text (native NFC +
+    // width-fold + simple lower, expression #8) composed BEFORE the
+    // fingerprint — the planted NFD / fullwidth / case variants of one
+    // document (byte-distinct in every pair) collapse into a single
+    // fingerprint group; q22's raw fingerprint sees five unique docs.
+    "q307_unicode_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val all = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"))
+        .unionByName(unicodePlanted.toDF("doc_id", "text"))
+      all
+        .select(col("doc_id"),
+          TextAnalysis.normalizedFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_id"))
+        .filter(col("n_docs") > 1)
+    }),
 
     // Stable global ordinal assignment in (source, doc_id) order WITHOUT
     // a global sort: per-shard counts → bounded prefix-offset window →
@@ -1402,6 +1434,27 @@ object Text extends QueryModule {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q307_unicode_dedup" -> {
+      val values = unicodePlanted.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      val norm = graft.functions.NormalizeText.oracleSql("text")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $values) v(doc_id, text)
+         |), f AS (
+         |  SELECT doc_id,
+         |         md5(trim(regexp_replace(lower($norm),
+         |           '\\s+', ' ', 'g'))) AS fp
+         |  FROM all_docs
+         |)
+         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS rep_id
+         |FROM f
+         |GROUP BY 1 HAVING count(*) > 1""".stripMargin
+    },
 
     "q188_global_ordinals" ->
       """SELECT doc_id, source,

@@ -90,9 +90,22 @@ object TextAnalysis {
   }
 
   /** Whitespace-normalized md5 fingerprint (rolling-hash stand-in with a
-    * portable oracle; the streaming rolling hash lives in NearDup). */
+    * portable oracle; the streaming rolling hash lives in NearDup).
+    * On non-ASCII corpora use [[normalizedFingerprint]] — this raw form
+    * treats NFC/NFD/fullwidth renderings of the same text as distinct
+    * documents. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** [[fingerprint]] composed over Unicode canonicalization
+    * ([[graft.functions.NormalizeText]]: NFC + width fold + simple
+    * lower) — the C4/CCNet-style first stage that makes byte-distinct
+    * renderings of one document dedup together (q307; the raw form is
+    * kept as q22's semantics). Same one-pass codegen'd scan shape:
+    * normalize_text has an ASCII fast path, so the mostly-ASCII bulk of
+    * a web corpus pays one extra byte scan, not a Normalizer call. */
+  def normalizedFingerprint(text: Column): Column =
+    fingerprint(graft.functions.NormalizeText.normalizeText(text))
 
   /** Per-document character-distribution entropy — the gibberish /
     * binary-spill / base64-blob detector: natural prose sits in a narrow

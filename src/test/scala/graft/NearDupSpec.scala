@@ -444,4 +444,20 @@ class NearDupSpec extends SparkSuite {
     assert(full == 1.0 && bits == 16L && onebit == 1.0)
     assert(!out.contains((1L, 3L))) // never a candidate
   }
+
+  test("char minhash unicodeNormalize: NFD/fullwidth renderings get " +
+      "IDENTICAL signatures; the raw mode sees them as different docs") {
+    import spark.implicits._
+    val nfc = "café touché résumé notes for dedup"
+    val nfd = "café touché résumé notes for dedup"
+    val docs = Seq((1L, nfc), (2L, nfd)).toDF("doc_id", "text")
+    def sigs(norm: Boolean) =
+      NearDup.minhashSignaturesChar(docs, "doc_id", "text",
+          unicodeNormalize = norm)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = sigs(false)
+    val canon = sigs(true)
+    assert(raw(1L) != raw(2L), "raw mode must expose the gap")
+    assert(canon(1L) == canon(2L), "normalized shingles must collide")
+  }
 }

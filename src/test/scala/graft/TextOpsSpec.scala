@@ -1433,4 +1433,51 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((2L, 1L, "uniq2 payload")))
     assert(out(3L) == ((2L, 1L, "uniq3 payload")))
   }
+
+  test("normalizeText: NFC composition, fullwidth fold, ideographic " +
+      "space, simple lowercase (incl. dotted capital I), ASCII identity") {
+    import spark.implicits._
+    import graft.functions.NormalizeText
+    val rows = Seq(
+      "café",            // NFD -> composed lowercase café
+      "Café",             // NFC title case
+      "ＣａｆＥ", // fullwidth CAFE
+      "a　b",              // ideographic space folds to ASCII space
+      "İstanbul",         // dotted capital I: SIMPLE mapping -> i
+      "Plain ASCII 42!")
+      .toDF("text")
+    val out = rows.select(NormalizeText.normalizeText(col("text")))
+      .as[String].collect()
+    assert(out(0) == "café")
+    assert(out(1) == "café")
+    assert(out(2) == "cafe")
+    assert(out(3) == "a b")
+    assert(out(4) == "istanbul") // Java full-mapping lower would give i̇
+    assert(out(5) == "plain ascii 42!")
+    // null-safety + SQL registration route
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = Seq(Some("CAFÉ"), None).toDF("text")
+      .selectExpr("normalize_text(text) AS n").as[Option[String]].collect()
+    assert(viaSql(0).contains("café") && viaSql(1).isEmpty)
+  }
+
+  test("unicodePlanted fixtures: byte-distinct in every pair but " +
+      "normalize to one string (guards against source-file NFC " +
+      "normalization silently weakening q307)") {
+    import spark.implicits._
+    import graft.functions.NormalizeText
+    val planted = graft.queries.Text.unicodePlanted
+    assert(planted.map(_._2).distinct.size == planted.size,
+      "fixture texts must stay byte-distinct")
+    val normed = planted.toDF("doc_id", "text")
+      .select(NormalizeText.normalizeText(col("text")))
+      .as[String].collect().toSeq
+    // first four collapse (modulo whitespace runs), the control stays out
+    val fp = normed.map(_.replaceAll("\\s+", " ").trim)
+    assert(fp.take(4).distinct.size == 1, s"variants must collapse: $fp")
+    assert(fp(4) != fp(0))
+    // and the NFD fixtures are REALLY decomposed in the source file
+    assert(planted(1)._2.contains("́"),
+      "NFD fixture lost its combining mark — source file was normalized")
+  }
 }
