@@ -1128,6 +1128,32 @@ object Text extends QueryModule {
       graft.text.Bpe.encode(docs, "doc_id", "text", merges)
     }),
 
+    // CHAR-LEVEL BPE train: the same merge recurrence seeded with
+    // single-character symbols + '_' end-of-word markers (Sennrich's
+    // actual setup — real tokenizers are char/byte-level; q110's
+    // word-granularity run produces no subword merges). new_sym makes
+    // the learned subword visible (space-join stripped).
+    "q308_bpe_char_train" -> ((s, dir) =>
+      graft.text.Bpe.train(Tables(s, dir).documents, "doc_id", "text",
+          nMerges = bpeNMerges, seed = graft.text.Bpe.charSymbols)
+        .withColumn("new_sym",
+          replace(concat(col("left_sym"), lit(" "), col("right_sym")),
+            lit(" "), lit("")))),
+
+    // Char-level BPE encode: replay the char merges over the corpus —
+    // the real subword symbol stream (zero-shuffle replace chain);
+    // subword strips the representation's space joins.
+    "q309_bpe_char_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = graft.text.Bpe
+        .trainMerges(docs, "doc_id", "text", bpeNMerges,
+          graft.text.Bpe.charSymbols)
+        .map(m => (m._2, m._3))
+      graft.text.Bpe.encode(docs, "doc_id", "text", merges,
+          graft.text.Bpe.charSymbols)
+        .withColumn("subword", replace(col("symbol"), lit(" "), lit("")))
+    }),
+
     // Hashed-feature linear quality classifier (fastText-style
     // inference): bucket-count vector x literal quantized weights via
     // the native DotProduct — the learned-filter seam between q20's
@@ -2546,6 +2572,23 @@ object Text extends QueryModule {
 
     "q111_bpe_encode" -> graft.text.Bpe.encodeOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", bpeNMerges),
+
+    "q308_bpe_char_train" -> {
+      val inner = graft.text.Bpe.trainOracleSql(
+        graft.text.Bpe.charTokSql(
+          s"SELECT doc_id, $toksSql AS toks FROM documents"), bpeNMerges)
+      s"""SELECT rank, left_sym, right_sym, freq,
+         |       replace(left_sym || ' ' || right_sym, ' ', '') AS new_sym
+         |FROM ($inner)""".stripMargin
+    },
+
+    "q309_bpe_char_encode" -> {
+      val inner = graft.text.Bpe.encodeOracleSql(
+        graft.text.Bpe.charTokSql(
+          s"SELECT doc_id, $toksSql AS toks FROM documents"), bpeNMerges)
+      s"""SELECT doc_id, pos, symbol, replace(symbol, ' ', '') AS subword
+         |FROM ($inner)""".stripMargin
+    },
 
     // The identical integer bit-length recurrence: bits via
     // length(bin(x)), exact on both engines.

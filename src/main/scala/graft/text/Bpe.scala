@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   * (q78). Reference analogue: none — the reference has no tokenizer
   * training; this is LLM-pipeline surface.
   *
-  * Symbols here are the harness tokenizer's word tokens (merged symbols
-  * are space-joined token runs) rather than characters — the merge
-  * recurrence is identical, and word-level keeps the oracle exact; a
-  * character-level run is the same operator seeded with
-  * `split(text, '')`.
+  * Symbols are pluggable via the `seed` parameter: the default seed is
+  * the harness tokenizer's word tokens (merged symbols are space-joined
+  * token runs — q110/q111); [[charSymbols]] seeds the SAME recurrence at
+  * character level (each word split to single-character symbols plus a
+  * `_` end-of-word marker, the Sennrich setup) — that run produces real
+  * subword merges (q308/q309) and is exercised, not just documented.
+  * At char level the seed alphabet `[a-z0-9_]` (37 symbols) plays the
+  * role byte-fallback plays in production tokenizers: every encodable
+  * text decomposes into in-vocabulary single-char symbols by
+  * construction, so there is no OOV path to fall back from.
   *
   * REPRESENTATION (the trick the whole operator rests on): a document's
   * symbol sequence travels as ONE string with every symbol enclosed in
@@ -44,6 +49,30 @@ object Bpe {
 
   private val SEP = "\u0001"
 
+  /** Character-level seed symbols: the document's word tokens, each
+    * split to single characters with a `_` end-of-word marker appended
+    * — `"the cat"` → `[t,h,e,_,c,a,t,_]`. Merges may cross the `_`
+    * boundary only by first absorbing it (GPT-2-style space-in-token),
+    * and `_` ∉ `[a-z0-9]` keeps words unambiguous. Mirrored by
+    * [[charTokSql]] on the oracle side. */
+  def charSymbols(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) === 0, array_remove(array(lit("")), ""))
+      .otherwise(filter(
+        split(concat(array_join(toks, "_"), lit("_")), ""),
+        c => c =!= ""))
+  }
+
+  /** DuckDB char-seed fragment over a `(doc_id, toks)` relation:
+    * yields (doc_id, toks) where toks are the char symbols. */
+  def charTokSql(tokSql: String): String =
+    s"""SELECT doc_id,
+       |       CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+       |            ELSE list_filter(string_split(
+       |              array_to_string(toks, '_') || '_', ''), c -> c <> '')
+       |       END AS toks
+       |FROM ($tokSql)""".stripMargin
+
   /** Tokens to the delimiter-enclosed state string; empty docs → "". */
   private def stateOf(toks: Column): Column =
     when(size(toks) === 0, lit(""))
@@ -64,11 +93,12 @@ object Bpe {
     * engines, so "the merge to apply next" is deterministic. Stops early
     * (fewer rows) if the corpus runs out of adjacent pairs. */
   def trainMerges(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): Seq[(Long, String, String, Long)] = {
+      nMerges: Int,
+      seed: Column => Column = TextAnalysis.tokens): Seq[(Long, String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var state = docs.select(col(idCol),
-      stateOf(TextAnalysis.tokens(col(textCol))).as("state")).persist()
+      stateOf(seed(col(textCol))).as("state")).persist()
     var prev: DataFrame = null
     var exhausted = false
     var i = 1
@@ -105,10 +135,11 @@ object Bpe {
 
   /** [[trainMerges]] as a DataFrame for the oracle gate. */
   def train(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int,
+      seed: Column => Column = TextAnalysis.tokens): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainMerges(docs, idCol, textCol, nMerges)
+    trainMerges(docs, idCol, textCol, nMerges, seed)
       .toDF("rank", "left_sym", "right_sym", "freq")
   }
 
@@ -121,8 +152,9 @@ object Bpe {
     * scan-bound; by construction, encoding the training corpus
     * reproduces the final training state. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val state0 = stateOf(TextAnalysis.tokens(col(textCol)))
+      merges: Seq[(String, String)],
+      seed: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val state0 = stateOf(seed(col(textCol)))
     val merged = merges.foldLeft(state0) {
       case (st, (a, b)) => applyMerge(st, a, b)
     }

@@ -360,6 +360,36 @@ class TextOpsSpec extends SparkSuite {
     assert(Bpe.trainMerges(lone, "doc_id", "text", nMerges = 4).isEmpty)
   }
 
+  test("char-level BPE: hand-derived subword merges recovered in order " +
+      "(incl. end-of-word marker absorption); encode reaches whole-word " +
+      "symbols") {
+    import graft.text.Bpe
+    val docs = Seq(
+      (1L, "aaab aaab"),
+      (2L, "aaab")).toDF("doc_id", "text")
+    // char seed: [a,a,a,b,_] per word; merged symbols are space-joined
+    // char runs. Hand-derived rounds:
+    //  1. (a,a) freq 6 (two adjacent pairs per word x 3 words)
+    //  2. three-way freq-3 tie (a,b)/("a a",a)/(b,_) -> "a" < "a a" < "b"
+    //  3. tie ("a a","a b")/("a b",_): "a a" < "a b"
+    //  4. ("a a a b", _) — the whole word "aaab_" as one subword
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", nMerges = 4,
+      seed = Bpe.charSymbols)
+    assert(merges == Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "b", 3L),
+      (3L, "a a", "a b", 3L),
+      (4L, "a a a b", "_", 3L)))
+    val enc = Bpe.encode(docs, "doc_id", "text",
+        merges.map(m => (m._2, m._3)), seed = Bpe.charSymbols)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.sortBy(_._2).map(_._3.replace(" ", "")).toSeq }
+    // every word collapses to the single learned subword "aaab_"
+    assert(enc(2L) == Seq("aaab_"))
+    assert(enc(1L) == Seq("aaab_", "aaab_"))
+  }
+
   test("QualityModel: planted high/low-quality docs order correctly; empty docs score 0") {
     import graft.text.QualityModel
     val (d, salt) = (64, "qmtest")
