@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Bench regression tripwire: diff two solo-bench JSON artifacts.
+
+Usage: python3 bench_diff.py <previous.json> <current.json>
+       [--ratio 1.5] [--floor 0.3]
+
+Flags every query whose time moved by more than --ratio in EITHER
+direction AND by more than --floor seconds absolute (sub-floor jitter on
+fast queries is noise at local[32]); prints added/removed queries and the
+total. Exit code 1 if any slowdown is flagged (speedups are reported but
+never fail), so the round workflow can gate on it mechanically — this is
+the adjudication the round-6 verdict did by hand.
+
+Dev/round tool only — not part of the shipped library.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" not in d:
+        sys.exit(f"{path}: no 'queries' map — not a solo-bench artifact")
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("previous")
+    ap.add_argument("current")
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--floor", type=float, default=0.3)
+    args = ap.parse_args()
+
+    prev, cur = load(args.previous), load(args.current)
+    pq, cq = prev["queries"], cur["queries"]
+    shared = sorted(set(pq) & set(cq))
+    added = sorted(set(cq) - set(pq))
+    removed = sorted(set(pq) - set(cq))
+
+    slowdowns, speedups = [], []
+    for name in shared:
+        p, c = pq[name], cq[name]
+        if abs(c - p) < args.floor:
+            continue
+        if c > p * args.ratio:
+            slowdowns.append((name, p, c))
+        elif p > c * args.ratio:
+            speedups.append((name, p, c))
+
+    pt = sum(pq[n] for n in shared)
+    ct = sum(cq[n] for n in shared)
+    print(f"shared queries: {len(shared)}  "
+          f"prev {pt:.1f}s -> cur {ct:.1f}s ({ct / pt:.2f}x)"
+          if pt > 0 else f"shared queries: {len(shared)}")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    for name, p, c in sorted(speedups, key=lambda x: x[1] - x[2]):
+        print(f"FASTER  {name}: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x)")
+    for name, p, c in sorted(slowdowns, key=lambda x: x[1] - x[2]):
+        print(f"SLOWER  {name}: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x)")
+    errs = {n: e for n, e in cur.get("errors", {}).items()}
+    if errs:
+        print(f"current-run errors ({len(errs)}): {', '.join(sorted(errs))}")
+    if slowdowns or errs:
+        print(f"TRIPWIRE FAILED: {len(slowdowns)} slowdowns, "
+              f"{len(errs)} errors")
+        sys.exit(1)
+    print("TRIPWIRE PASSED: no per-query slowdown beyond "
+          f"{args.ratio}x (+{args.floor}s floor)")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,9 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes would drown short documents), level 6, per-thread `Deflater`
   * reused via reset() (allocation-free steady state; the output buffer
   * is drained for its COUNT only, never copied out). Deterministic for
-  * a fixed zlib/JDK, which is what the spec pins; there is no DuckDB
-  * deflate, so q118 is a rows-only query whose semantics live in
-  * [[graft.TextOpsSpec]] invariants instead of a SQL oracle.
+  * a fixed zlib/JDK, which is what the spec pins. There is no DuckDB
+  * deflate, so the corpus-wide q118 is rows-only BY DESIGN; the kernel
+  * itself IS oracle-gated: q310's literal parity table compares this
+  * expression against raw-deflate lengths precomputed at
+  * oracle-generation time by an independent tiny-buffer Deflater drain
+  * (the q112 precomputed-literal pattern), plus [[graft.TextOpsSpec]]
+  * invariants.
   */
 case class DeflateLen(child: Expression) extends UnaryExpression {
 

@@ -18,6 +18,42 @@ object Text extends QueryModule {
   private[queries] val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** q310: deflate-parity corpus — fixed strings spanning the signal's
+    * regimes (empty, tiny, highly repetitive, natural prose, pseudo-
+    * random base36, multi-byte UTF-8). Their raw-deflate lengths are
+    * computed at ORACLE-GENERATION time by [[independentDeflateLen]]
+    * (a separate Deflater drain, 64-byte buffer — different chunking
+    * than the expression's 8 KiB reuse path) and embedded as VALUES:
+    * the q112 precomputed-literal pattern, applied to the one native
+    * expression DuckDB cannot recompute. */
+  private val deflateParity: Seq[(Long, String)] = Seq(
+    1L -> "",
+    2L -> "a",
+    3L -> "ab" * 500,
+    4L -> ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet field until the evening settles"),
+    5L -> Iterator.iterate(0x9E3779B9L)(x =>
+        x * 6364136223846793005L + 1442695040888963407L)
+      .take(400).map(x => java.lang.Long.toString(math.abs(x % 36), 36))
+      .mkString,
+    6L -> "café résumé — 中文テキスト mixed multi-byte content",
+    7L -> "x" * 10000)
+
+  /** Independent raw-deflate length (see [[deflateParity]]): same
+    * settings as the native expression (default level, nowrap), naive
+    * tiny-buffer drain. */
+  private def independentDeflateLen(s: String): Int = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(s.getBytes("UTF-8"))
+    d.finish()
+    val buf = new Array[Byte](64)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n
+  }
+
   /** q307: planted Unicode variants of ONE logical document — NFC title
     * case, NFD lowercase, fullwidth-ASCII + ideographic space, NFD
     * uppercase — plus one genuinely distinct control. Byte-distinct in
@@ -1280,6 +1316,20 @@ object Text extends QueryModule {
         floor(col("raw_bytes").cast("double") * 1000000.0 /
           col("deflate_bytes")).cast("long"))
       .withColumn("repetitive", col("ratio_micro") >= 4000000L)),
+
+    // Deflate-length PARITY: the native deflate_len expression over the
+    // fixed parity corpus vs lengths precomputed by an independent
+    // Deflater drain at oracle-generation time — the oracle gate for
+    // the kernel q118 applies corpus-wide (DuckDB has no deflate, so
+    // q118 itself stays rows-only by design).
+    "q310_deflate_parity" -> ((s, dir) => {
+      import s.implicits._
+      deflateParity.toDF("id", "text").select(
+        col("id"),
+        octet_length(col("text")).as("raw_bytes"),
+        graft.functions.DeflateLen.deflateLen(col("text"))
+          .as("deflate_bytes"))
+    }),
 
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
     // adjacent pairs — the word-order quality proxy q74's unigram
@@ -2572,6 +2622,15 @@ object Text extends QueryModule {
 
     "q111_bpe_encode" -> graft.text.Bpe.encodeOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", bpeNMerges),
+
+    "q310_deflate_parity" -> {
+      val rows = deflateParity.map { case (id, t) =>
+        val raw = t.getBytes("UTF-8").length
+        s"(CAST($id AS BIGINT), CAST($raw AS INT), " +
+          s"CAST(${independentDeflateLen(t)} AS INT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $rows) v(id, raw_bytes, deflate_bytes)"
+    },
 
     "q308_bpe_char_train" -> {
       val inner = graft.text.Bpe.trainOracleSql(
