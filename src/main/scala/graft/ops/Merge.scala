@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * (no build side can be the stream side for unmatched-row emission), so
   * both inputs shuffle — which is why the practical 100 TB deployment
   * partitions the snapshot by a key-derived column and rewrites ONLY the
-  * partitions the change set touches ([[graft.sources.Partitioned]] owns
-  * layout): the per-partition fold is this same operator over
-  * partition-sized inputs, and the untouched bulk never moves.
+  * partitions the change set touches:
+  * [[graft.sources.Partitioned.mergePartitioned]] IS that composition
+  * (touched-partition detection → pruned read → this operator over
+  * partition-sized inputs → dynamic-overwrite write-back; q311 gates the
+  * full disk round-trip, PartitionedSpec asserts untouched files stay
+  * byte-identical), and the untouched bulk never moves.
   *
   * Matching is strict equality: NULL keys never match (SQL MERGE
   * semantics) — a NULL-keyed target row is always kept, a NULL-keyed

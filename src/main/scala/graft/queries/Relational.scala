@@ -609,6 +609,48 @@ object Relational extends QueryModule {
         updates.unionByName(deletes).unionByName(inserts), Seq("c_custkey"))
     }),
 
+    // Partition-scoped MERGE, full DISK round-trip (q79 is the
+    // relational operator; this is its 100 TB deployment shape): write
+    // a day-partitioned snapshot, merge a change batch (updates +
+    // deletes + inserts confined to the early days) via
+    // Partitioned.mergePartitioned — only touched day directories are
+    // read or rewritten (untouched-files-byte-identical is
+    // PartitionedSpec's assertion) — then read the snapshot back. The
+    // oracle replays the same merge relationally, so the gate covers
+    // layout, dynamic overwrite, and merge semantics end-to-end.
+    "q311_partitioned_merge" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"),
+        expr("CAST(CAST(ts AS DATE) AS STRING)").as("dt"),
+        Exact.cents(col("value")).as("cents"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q311_").toString
+      ev.repartition(col("dt")).write.mode("overwrite")
+        .partitionBy("dt").parquet(tmp)
+      val cut = lit("2024-01-15")
+      val upserts = ev
+        .filter(col("dt") <= cut && col("event_id") % 7 === 0 &&
+          col("event_id") % 11 =!= 0)
+        .withColumn("cents", col("cents") + 1000L)
+        .withColumn("op", lit("upsert"))
+      val deletes = ev
+        .filter(col("dt") <= cut && col("event_id") % 11 === 0)
+        .withColumn("cents", lit(null).cast("long"))
+        .withColumn("op", lit("delete"))
+      val inserts = ev
+        .filter(col("dt") <= cut && col("event_id") % 13 === 0 &&
+          col("event_id") % 7 =!= 0 && col("event_id") % 11 =!= 0)
+        .withColumn("event_id", col("event_id") + 100000000L)
+        .withColumn("cents", lit(4242L))
+        .withColumn("op", lit("upsert"))
+      graft.sources.Partitioned.mergePartitioned(s, tmp,
+        upserts.unionByName(deletes).unionByName(inserts),
+        Seq("event_id"), "dt", col("dt"))
+      s.read.parquet(tmp)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+    }),
+
     // Equal-frequency decile binning: exact global cut points from the
     // value HISTOGRAM (window over distinct values, bounded by value
     // cardinality — not a per-row global sort), broadcast back as one
@@ -1322,6 +1364,28 @@ object Relational extends QueryModule {
         |       CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
         |FROM customer t FULL OUTER JOIN ch ON t.c_custkey = ch.c_custkey
         |WHERE ch.op IS NULL OR ch.op <> 'delete'""".stripMargin,
+
+    "q311_partitioned_merge" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), merged AS (
+        |  SELECT event_id, dt, cents FROM base
+        |  WHERE NOT (dt <= '2024-01-15'
+        |             AND (event_id % 11 = 0 OR event_id % 7 = 0))
+        |  UNION ALL
+        |  SELECT event_id, dt, cents + 1000 FROM base
+        |  WHERE dt <= '2024-01-15'
+        |    AND event_id % 7 = 0 AND event_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 100000000, dt, 4242 FROM base
+        |  WHERE dt <= '2024-01-15' AND event_id % 13 = 0
+        |    AND event_id % 7 <> 0 AND event_id % 11 <> 0
+        |)
+        |SELECT dt, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY 1""".stripMargin,
 
     // Cut selection in pure integer arithmetic: cum·den >= n·num avoids
     // both the divide and the ceil(p·n)-in-doubles trap. CASE/min lists

@@ -61,6 +61,78 @@ object Partitioned {
     }
   }
 
+  /** Row-level MERGE at PARTITION-rewrite granularity — the honest
+    * 100 TB path [[graft.ops.Merge.applyChanges]]'s scaladoc documents:
+    * a full-outer merge over the whole snapshot shuffles 100 TB, but a
+    * key-partitioned layout only needs the merge over the partitions
+    * the change set touches. Composition:
+    *
+    *  1. derive each change row's partition value (`partOf` — MUST be
+    *     the same derivation the snapshot was laid out with, e.g. the
+    *     day of an event-time key, or `pmod(key, nBuckets)`);
+    *  2. touched-partition list: `distinct` partition VALUES of the
+    *     change batch — a contract-bounded driver list (the number of
+    *     partitions one merge batch touches is the batching contract;
+    *     this is the partition-value analogue of [[compactDay]]'s
+    *     single-day scope, not a data collect);
+    *  3. read ONLY those partitions — by explicit directory path
+    *     (`basePath` multi-path read), so pruning holds by
+    *     CONSTRUCTION rather than by trusting the planner to push an
+    *     `isin` through the partition-type cast;
+    *  4. [[graft.ops.Merge.applyChanges]] over partition-sized inputs;
+    *  5. dynamic-partition-overwrite write-back of exactly the merged
+    *     partitions. Untouched partition FILES are never read or
+    *     written — byte-identical after the merge (spec-asserted).
+    *
+    * The read-back partition column is cast to the change side's
+    * `partOf` type first: partition-directory type inference (string
+    * vs int) must not leak into the merge's column comparisons.
+    *
+    * Same determinism contract as applyChanges: at most one change
+    * per key. Delta/Iceberg do this with file-level skipping plus a
+    * transaction log; at partition granularity plain parquet + dynamic
+    * overwrite gives the same "move only what changed" economics. */
+  def mergePartitioned(spark: SparkSession, path: String,
+      changes: DataFrame, keys: Seq[String], partCol: String,
+      partOf: org.apache.spark.sql.Column, opCol: String = "op"): Unit = {
+    val chP = changes.withColumn(partCol, partOf)
+    val touched = chP.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    // existing touched partitions only: a change batch may open a NEW
+    // partition (its upserts are pure inserts — nothing to merge with)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = touched.filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v")))
+    val target =
+      if (existing.isEmpty)
+        chP.filter(lit(false)).drop(opCol) // empty frame, target schema
+      else spark.read.option("basePath", path)
+        .parquet(existing.map(v => s"$path/$partCol=$v"): _*)
+        .withColumn(partCol, col(partCol).cast(chP.schema(partCol).dataType))
+    val merged = graft.ops.Merge.applyChanges(target, chP, keys, opCol)
+    // materialize before overwriting directories being read
+    val snapshot = merged.repartition(col(partCol)).localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try snapshot.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a fully-deleted partition emits NO rows, so dynamic overwrite
+    // leaves its old directory standing — drop it explicitly (the one
+    // delete-everything case file-level table formats handle with
+    // tombstones)
+    val written = snapshot.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    existing.map(String.valueOf).filterNot(written).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+      ()
+    }
+  }
+
   /** Compact one day's small files into `targetFiles` — the maintenance
     * job that keeps scan task counts sane after streaming appends. Reads
     * only the target partition (pruned scan), rewrites only it (dynamic

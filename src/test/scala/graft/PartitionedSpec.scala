@@ -203,4 +203,49 @@ class PartitionedSpec extends SparkSuite {
       == Set(("1", "alice"), ("id", "name"), ("2", "bob"),
              ("3", "carol"), ("4", "dan")))
   }
+
+  test("mergePartitioned: untouched partition files BYTE-identical, " +
+      "touched partitions merged, all-deleted partition dir dropped, " +
+      "new partition created") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge-part").toString
+    val base = Seq(
+      (1L, "2024-01-01", 10L), (2L, "2024-01-01", 20L),
+      (3L, "2024-01-02", 30L), (4L, "2024-01-02", 40L),
+      (5L, "2024-01-03", 50L),
+      (6L, "2024-01-04", 60L)).toDF("k", "dt", "v")
+    base.repartition(col("dt")).write.mode("overwrite")
+      .partitionBy("dt").parquet(dir)
+    def fileBytes(day: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(s"$dir/dt=$day")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val before01 = fileBytes("2024-01-01")
+    val before04 = fileBytes("2024-01-04")
+    assert(before01.nonEmpty && before04.nonEmpty)
+    val changes = Seq(
+      (3L, "2024-01-02", Some(31L), "upsert"),  // update in place
+      (4L, "2024-01-02", None, "delete"),       // row delete
+      (7L, "2024-01-02", Some(70L), "upsert"),  // insert, existing day
+      (5L, "2024-01-03", None, "delete"),       // empties the whole day
+      (8L, "2024-01-05", Some(80L), "upsert"))  // opens a NEW day
+      .toDF("k", "dt", "v", "op")
+    Partitioned.mergePartitioned(spark, dir, changes,
+      Seq("k"), "dt", col("dt"))
+    // days 01 and 04 were never touched: same file names, same bytes
+    assert(fileBytes("2024-01-01") == before01)
+    assert(fileBytes("2024-01-04") == before04)
+    val out = spark.read.parquet(dir)
+      .select(col("k"), col("dt").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "2024-01-01", 10L), (2L, "2024-01-01", 20L),
+      (3L, "2024-01-02", 31L), (7L, "2024-01-02", 70L),
+      (6L, "2024-01-04", 60L), (8L, "2024-01-05", 80L)))
+    assert(!new java.io.File(s"$dir/dt=2024-01-03").exists(),
+      "fully-deleted partition directory must be dropped")
+  }
 }
