@@ -26,12 +26,28 @@ object ScaleProbe {
     // family can be probed solo — e.g. SPARK_GRAFT_PROBE=connected.
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).toSet)
+
+    // fixed 1x-trained merge tables for the encode probes (lazy: only
+    // paid when the bpe families are selected)
+    lazy val wordMerges = text.Bpe
+      .trainMerges(t.documents, "doc_id", "text", 16).map(x => (x._2, x._3))
+    lazy val charMerges = text.Bpe
+      .trainMerges(t.documents, "doc_id", "text", 16, text.Bpe.charSymbols)
+      .map(x => (x._2, x._3))
     def time(name: String)(f: => Long): Unit =
       if (only.forall(_.exists(name.startsWith))) {
         val t0 = System.nanoTime()
         val n = f
         println(f"PROBE $name rows=$n took ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
+
+    // force the lazy training OUTSIDE the timed loop when an encode
+    // family is selected — otherwise the x1 probe silently includes the
+    // 16-round training cost and the scaling ratio reads nonsense
+    if (only.forall(_.exists(p =>
+        "bpe_encode".startsWith(p) || "bpe_char_encode".startsWith(p)))) {
+      wordMerges; charMerges; ()
+    }
 
     for (m <- Seq(1, mult)) {
       val docs = replicate(t.documents, "doc_id", m).persist()
@@ -167,6 +183,74 @@ object ScaleProbe {
         dedup.NearDup.nearDupIncrement(batchSigs, histSigs, "doc_id").count()
       }
       histSigs.unpersist()
+
+      // round-6 heavy families — graph ops probe over m DISJOINT copies
+      // of the q119 co-purchase graph (node ids offset per copy): the
+      // plans are keyed, so disjoint copies must scale LINEARLY; any
+      // super-linear reading means cross-copy work the plan shouldn't do
+      val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      val edges0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val gEdges = (0 until m).map(i => edges0.select(
+          (col("src") + lit(i * 10000000L)).as("src"),
+          (col("dst") + lit(i * 10000000L)).as("dst")))
+        .reduce(_ unionAll _).persist()
+      gEdges.count()
+      time(s"triangles_x$m") {
+        ops.Triangles.triangleCounts(gEdges, "src", "dst").count()
+      }
+      time(s"kcore_x$m") {
+        ops.KCore.kCore(gEdges, "src", "dst", k = 4).count()
+      }
+      val seeds = gEdges.select(col("src").as("node"))
+        .filter(col("node") % 1000 === 0).distinct()
+      time(s"bfs_khop_x$m") {
+        ops.Bfs.kHopDistances(gEdges, "src", "dst", seeds, hops = 4).count()
+      }
+      gEdges.unpersist()
+
+      // prefix-filter join: replicas get a PER-COPY alphabet rotation
+      // (letters i%26, digits i%10 — distinct combined mapping for all
+      // m < 130) so cross-copy token sets are disjoint: the complete
+      // pair set grows linearly with m, not m² from artificial clones
+      val alpha = ('a' to 'z').mkString
+      val digs = ('0' to '9').mkString
+      val docsR = (0 until m).map { i =>
+        val a = alpha.drop(i % 26) + alpha.take(i % 26)
+        val d = digs.drop(i % 10) + digs.take(i % 10)
+        t.documents.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          translate(lower(col("text")), alpha + digs, a + d).as("text"))
+      }.reduce(_ unionAll _).persist()
+      docsR.count()
+      time(s"prefix_join_x$m") {
+        dedup.NearDup.prefixFilterJaccardPairs(docsR, "doc_id", "text",
+          3, 5, w = 3).count()
+      }
+      docsR.unpersist()
+
+      // BPE encode: merges trained ONCE on the 1x corpus (the documented
+      // train-on-sample contract), replayed over the m× corpus — a pure
+      // per-row replace chain that must stay scan-bound. Plain replicas
+      // (not rotated) so the learned merges actually fire in every copy.
+      val docsB = replicate(t.documents, "doc_id", m).persist()
+      docsB.count()
+      time(s"bpe_encode_x$m") {
+        text.Bpe.encode(docsB, "doc_id", "text", wordMerges).count()
+      }
+      time(s"bpe_char_encode_x$m") {
+        text.Bpe.encode(docsB, "doc_id", "text", charMerges,
+          text.Bpe.charSymbols).count()
+      }
+      // FFD bin-packing at the contract shape: shard count scales with
+      // the corpus so per-task fold state stays constant-sized
+      time(s"binpack_x$m") {
+        ops.BinPack.packBinsFFD(docsB, "doc_id", "text",
+          capacity = 512, shards = 4 * m, salt = "probe").count()
+      }
+      docsB.unpersist()
 
       val ev = replicate(t.events.select("event_id", "user_id", "event_type", "ts"),
         "event_id", m).persist()

@@ -115,6 +115,60 @@ class PQSpec extends SparkSuite {
       f"residual $resRecall%.2f not materially above raw $rawRecall%.2f")
   }
 
+  test("recall/bytes curve at REALISTIC codebook sizes (sf0.1): " +
+      "residual IVF-PQ m=8 reaches recall@10 >= 0.8 at a measured point") {
+    val b = Tables(spark, "/root/testdata/sf0.1")
+      .embeddings.select(col("vec_id").as("id"),
+        Similarity.toDouble(col("embedding")).as("ev")).persist()
+    val qs = b.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("ev").as("qv"))
+    val scored = b.crossJoin(broadcast(qs))
+      .withColumn("negd", -(DotProduct.dot(col("ev"), col("ev"))
+        - lit(2.0) * DotProduct.dot(col("ev"), col("qv"))
+        + DotProduct.dot(col("qv"), col("qv"))))
+    val truth = TopK.perGroup(scored, Seq("qid"), "id", "negd", 10)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarse = IVF.collectCentroids(
+      b.filter(col("id") < 64).select(col("id").as("cid"), col("ev").as("cv")),
+      "cid", "cv")
+    val resBase = PQ.residuals(b, coarse).persist()
+    resBase.count()
+    // curve: k = 8 (3 bits/subspace, the honest-tiny round-6 point)
+    // vs k = 64 (6 bits — the realistic operating point; 6 bytes/vector
+    // against 512 raw). Seeds skip ids < 100: coarse members have
+    // all-zero residuals.
+    def recallOf(got: Set[(Long, Long)]): Double =
+      (got & truth).size.toDouble / truth.size
+    val curve = Seq(8, 64).map { k =>
+      val seed = IVF.collectCentroids(
+        resBase.filter(col("id") >= 100 && col("id") < 100 + k)
+          .select((col("id") - 100).as("cid"), col("ev").as("cv")),
+        "cid", "cv")
+      val cbK = PQ.train(resBase, PQ.sliceCodebook(seed, m = 8), iters = 2)
+      val pure = recallOf(PQ.ivfResidualAdcTopK(b, qs, coarse, cbK,
+          nProbe = 64, k = 10)
+        .select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // the production operating point: ADC shortlist T=50, exact
+      // re-rank to 10 (corpus never shuffles — shortlist broadcasts)
+      val shortlist = PQ.ivfResidualAdcTopK(b, qs, coarse, cbK,
+        nProbe = 64, k = 50)
+      val reranked = recallOf(PQ.rerankTopK(shortlist, b, qs, k = 10)
+        .select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val bits = 8 * (32 - Integer.numberOfLeadingZeros(k - 1))
+      info(f"residual IVF-PQ m=8 k=$k%3d ($bits%2d bits/vec vs 4096 raw): " +
+        f"pure-ADC recall@10 = $pure%.2f, +rerank(T=50) = $reranked%.2f")
+      k -> ((pure, reranked))
+    }.toMap
+    b.unpersist(); resBase.unpersist()
+    assert(curve(64)._2 >= 0.8,
+      f"k=64+rerank recall ${curve(64)._2}%.2f below the 0.8 operating point")
+    assert(curve(64)._1 >= curve(8)._1,
+      "more codebook bits must not lose pure-ADC recall")
+  }
+
   test("ivfAdcTopK prunes to probed cells and keeps self-retrieval") {
     val coarse = IVF.collectCentroids(
       base.filter(col("id") < 16).select(col("id").as("cid"), col("ev").as("cv")),
