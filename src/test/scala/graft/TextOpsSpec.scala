@@ -1496,7 +1496,7 @@ class TextOpsSpec extends SparkSuite {
       "normalization silently weakening q307)") {
     import spark.implicits._
     import graft.functions.NormalizeText
-    val planted = graft.queries.Text.unicodePlanted
+    val planted = graft.queries.TextDedup.unicodePlanted
     assert(planted.map(_._2).distinct.size == planted.size,
       "fixture texts must stay byte-distinct")
     val normed = planted.toDF("doc_id", "text")
