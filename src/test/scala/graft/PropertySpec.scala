@@ -562,4 +562,87 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: normalizeText is idempotent, an identity on " +
+      "lowercase ASCII, and insensitive to NFC/NFD form") {
+    import spark.implicits._
+    import graft.functions.NormalizeText
+    val frag = Gen.oneOf("café", "café", "CAFÉ",
+      "ａｂ", "plain", "x9", "　", " ")
+    val gen = Gen.listOfN(6, frag).map(_.mkString)
+    holds(Prop.forAll(gen) { s =>
+      val out = Seq(Tuple1(s)).toDF("t")
+        .select(NormalizeText.normalizeText(col("t")).as("n"),
+          NormalizeText.normalizeText(
+            NormalizeText.normalizeText(col("t"))).as("nn"))
+        .head()
+      val (n, nn) = (out.getString(0), out.getString(1))
+      val nfc = java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC)
+      val nfd = java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFD)
+      val viaNfd = Seq(Tuple1(nfd)).toDF("t")
+        .select(NormalizeText.normalizeText(col("t"))).as[String].head()
+      n == nn && viaNfd == n &&
+        (!s.forall(c => c < 0x80 && !c.isUpper) || n == s) &&
+        (nfc == s || n == Seq(Tuple1(nfc)).toDF("t")
+          .select(NormalizeText.normalizeText(col("t"))).as[String].head())
+    })
+  }
+
+  test("property: exactRatio agrees with exact for binary-exact p and " +
+      "selects the true ceil-rank element") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    val gen = Gen.zip(Gen.choose(1, 40),
+      Gen.listOfN(3, Gen.choose(-1000L, 1000L)))
+    holds(Prop.forAll(gen) { case (n, seedVals) =>
+      val vals = (0 until n).map(i =>
+        seedVals(i % seedVals.size) + i * 7L)
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val ra = Quantiles.exactRatio(df, Seq(col("g")), col("v")
+        , Seq((1, 2), (9, 10), (1, 1))).head()
+      val sorted = vals.sorted
+      def rank(num: Int, den: Int) = (num * n + den - 1) / den
+      ra.getAs[Long]("p50") == sorted(rank(1, 2) - 1) &&
+        ra.getAs[Long]("p90") == sorted(rank(9, 10) - 1) &&
+        ra.getAs[Long]("p100") == sorted.last &&
+        // p = 1/2 is binary-exact: float path must agree everywhere
+        Quantiles.exact(df, Seq(col("g")), col("v"), Seq(0.5))
+          .head().getAs[Long]("p50") == ra.getAs[Long]("p50")
+    })
+  }
+
+  test("property: mergePartitioned disk round-trip equals the " +
+      "relational applyChanges on the same inputs") {
+    import spark.implicits._
+    import graft.ops.Merge
+    import graft.sources.Partitioned
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 99L))),
+      Gen.listOfN(6, Gen.zip(Gen.choose(0L, 25L), Gen.choose(100L, 199L),
+        Gen.oneOf("upsert", "delete"))))
+    holds(Prop.forAll(gen) { case (baseRows, chRows) =>
+      val base = baseRows.distinctBy(_._1)
+      val ch = chRows.distinctBy(_._1)
+      (base.nonEmpty && ch.nonEmpty) ==> {
+        val dir = java.nio.file.Files
+          .createTempDirectory("prop-merge").toString
+        val baseDf = base.map { case (k, v) => (k, k % 3, v) }
+          .toDF("k", "pb", "v")
+        baseDf.repartition(col("pb")).write.mode("overwrite")
+          .partitionBy("pb").parquet(dir)
+        val chDf = ch.map { case (k, v, op) => (k, k % 3, v, op) }
+          .toDF("k", "pb", "v", "op")
+        Partitioned.mergePartitioned(spark, dir, chDf,
+          Seq("k"), "pb", col("k") % 3)
+        val disk = spark.read.parquet(dir)
+          .select(col("k"), col("pb").cast("long"), col("v"))
+          .as[(Long, Long, Long)].collect().toSet
+        val rel = Merge.applyChanges(baseDf, chDf, Seq("k"))
+          .as[(Long, Long, Long)].collect().toSet
+        disk == rel
+      }
+    })
+  }
 }
