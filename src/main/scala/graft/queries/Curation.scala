@@ -156,11 +156,6 @@ object Curation extends QueryModule {
     // Interval coalescing: overlapping per-user activity intervals
     // (event start + value-seconds duration) merged into maximal
     // islands — gaps-and-islands over intervals, two fused keyed
-    // windows.,
-
-    // Interval coalescing: overlapping per-user activity intervals
-    // (event start + value-seconds duration) merged into maximal
-    // islands — gaps-and-islands over intervals, two fused keyed
     // windows.
     "q214_interval_merge" -> ((s, dir) => {
       val iv = Tables(s, dir).events.select(col("user_id"),
@@ -174,10 +169,6 @@ object Curation extends QueryModule {
 
     // Availability ratio: covered seconds over observed span per user
     // from the q214 islands — the SLA uptime number q224's gap list
-    // itemizes; exact integer micros.,
-
-    // Availability ratio: covered seconds over observed span per user
-    // from the q214 islands — the SLA uptime number q224's gap list
     // itemizes; exact integer micros.
     "q305_availability" -> ((s, dir) => {
       val iv = Tables(s, dir).events.select(col("user_id"),
@@ -186,10 +177,6 @@ object Curation extends QueryModule {
         .withColumn("e", col("s") + col("__dur")).drop("__dur")
       graft.ops.RangeJoin.availability(iv, Seq("user_id"), "s", "e")
     }),
-
-    // Interval GAPS — q214's complement: the uncovered stretches
-    // between a user's merged activity islands (blackout windows),
-    // one per-key lead over the island-sized merged frame.,
 
     // Interval GAPS — q214's complement: the uncovered stretches
     // between a user's merged activity islands (blackout windows),
@@ -205,19 +192,10 @@ object Curation extends QueryModule {
     // Rendezvous-hash shard stability: assign every document to 8 and
     // to 9 shards by highest-random-weight and measure the moved
     // fraction per old shard (~1/9 by construction, vs ~8/9 under
-    // mod-n) — the stable-sharding contract incremental rebuilds need.,
-
-    // Rendezvous-hash shard stability: assign every document to 8 and
-    // to 9 shards by highest-random-weight and measure the moved
-    // fraction per old shard (~1/9 by construction, vs ~8/9 under
     // mod-n) — the stable-sharding contract incremental rebuilds need.
     "q230_rendezvous" -> ((s, dir) =>
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
-
-    // Shared-line plagiarism pairs over the q70 dirty-union corpus:
-    // doc pairs sharing >= 2 verbatim 12-token lines — passage-level
-    // attribution where q24's token Jaccard only matches vocabulary.,
 
     // Source ablation: the corpus mean-length WITHOUT each source,
     // from one aggregation pass — the leave-one-group-out
@@ -225,10 +203,6 @@ object Curation extends QueryModule {
     "q270_source_ablation" -> ((s, dir) =>
       graft.text.Corpus.sourceAblation(Tables(s, dir).documents,
         "source", col("n_chars").cast("long"))),
-
-    // Rocchio PRF expansion: what the q56 query "meant but didn't
-    // say" — top tokens of the top-3 BM25 docs by tf·N/df, query
-    // terms excluded.,
 
     // Token share-shift: WHICH tokens moved between src0 and the rest
     // of the corpus and by how much — the per-token attribution q181's
@@ -244,18 +218,10 @@ object Curation extends QueryModule {
 
     // URL path-hierarchy rollup over q113's dirty URLs: per (host,
     // path prefix, depth) counts — WHERE in each site the corpus sits,
-    // the crawl-frontier view above q114's whole-host cap.,
-
-    // URL path-hierarchy rollup over q113's dirty URLs: per (host,
-    // path prefix, depth) counts — WHERE in each site the corpus sits,
     // the crawl-frontier view above q114's whole-host cap.
     "q257_path_rollup" -> ((s, dir) =>
       graft.text.Urls.pathRollup(
         Tables(s, dir).documents.select(dirtyUrl.as("url")), "url")),
-
-    // Language confusion matrix: declared lang vs q21's detected lang,
-    // with margins and diagonal precision/recall — WHICH languages
-    // bleed into which, the sliced view behind the lang-ID accuracy.,
 
     // Column-level reconciliation of a perturbed snapshot: per-field
     // mismatch rates among matched keys — WHICH columns drifted, the
@@ -276,19 +242,10 @@ object Curation extends QueryModule {
     // Jump-consistent sharding (native codegen expression #6): O(ln n)
     // per key with rendezvous-grade stability — the q230 scale path at
     // big shard counts; 64→65 moves ~1/65 of docs. Oracle replays the
-    // wrapping-multiply recurrence in a recursive CTE, bit-for-bit.,
-
-    // Jump-consistent sharding (native codegen expression #6): O(ln n)
-    // per key with rendezvous-grade stability — the q230 scale path at
-    // big shard counts; 64→65 moves ~1/65 of docs. Oracle replays the
     // wrapping-multiply recurrence in a recursive CTE, bit-for-bit.
     "q236_jump_shards" -> ((s, dir) =>
       graft.ops.Sharding.jumpStability(
         Tables(s, dir).documents, "doc_id", nA = 64, nB = 65)),
-
-    // Largest-remainder apportionment of a (prime) sampling budget
-    // across sources by char mass — Σ seats EXACTLY the budget, the
-    // integer-exact mixture planning q129's cap cascade refines.,
 
     // Largest-remainder apportionment of a (prime) sampling budget
     // across sources by char mass — Σ seats EXACTLY the budget, the
@@ -298,11 +255,6 @@ object Curation extends QueryModule {
         Tables(s, dir).documents.groupBy(col("source"))
           .agg(sum(col("n_chars")).as("w")),
         "source", "w", seats = 1000003L)),
-
-    // Quantile mapping: src0's length distribution re-expressed in the
-    // whole-corpus distribution's coordinates — the source-bias
-    // correction; cuts from both sides via the bounded histogram
-    // machinery, per-row CASE mapping.,
 
     // Quantile mapping: src0's length distribution re-expressed in the
     // whole-corpus distribution's coordinates — the source-bias
@@ -318,20 +270,12 @@ object Curation extends QueryModule {
         (1 to 9).map(i => (i, 10)))
     }),
 
-    // KWIC snippets around the first "spark" occurrence: the result-
-    // page context view next to the q56 BM25 score; pure per-row array
-    // expressions.,
-
     // Per-source corpus datasheet: volume, language profile and exact-
     // duplication rate in one |sources|-row card — the dataset-card
     // summary a corpus release publishes.
     "q190_datasheet" -> ((s, dir) =>
       graft.text.Corpus.datasheet(Tables(s, dir).documents,
         "source", "doc_id", "text", "lang")),
-
-    // Pairwise source vocabulary overlap: the redundancy map a mixture
-    // planner reads before weighting sources; token-keyed self-join
-    // with per-token fan-out bounded by |sources|.,
 
     // Pairwise source vocabulary overlap: the redundancy map a mixture
     // planner reads before weighting sources; token-keyed self-join
@@ -342,18 +286,10 @@ object Curation extends QueryModule {
 
     // Pairwise Jensen-Shannon divergence between source unigram
     // distributions over the fixed 4096-bucket hash space — exact
-    // integer micro-probabilities + bit-length logs.,
-
-    // Pairwise Jensen-Shannon divergence between source unigram
-    // distributions over the fixed 4096-bucket hash space — exact
     // integer micro-probabilities + bit-length logs.
     "q181_js_divergence" -> ((s, dir) =>
       graft.text.Corpus.sourceDivergence(Tables(s, dir).documents,
         "source", "text", buckets = 4096)),
-
-    // Golden-record survivorship over exact-dup clusters: per cluster
-    // the field-wise modal source/lang + earliest member id — the
-    // master-data collapse after identity resolution.,
 
     // Golden-record survivorship over exact-dup clusters: per cluster
     // the field-wise modal source/lang + earliest member id — the
@@ -364,10 +300,6 @@ object Curation extends QueryModule {
       graft.ops.Merge.goldenRecords(docs, "fp",
         Seq("source", "lang", "doc_id"))
     }),
-
-    // Exact dedup: hash-groupBy over content fingerprint. Duplicates are
-    // injected (10% resample) since the corpus has none — the query must
-    // collapse them back to one group per distinct text.,
 
     // Exact-count replicate/downsample: src0 doubled (upsampling —
     // the step q141/q66 leave explicit), src1 identity, the rest cut
@@ -384,11 +316,6 @@ object Curation extends QueryModule {
       graft.ops.Sampling.replicateExact(docs, "source", "doc_id",
         targets, replSalt)
     }),
-
-    // Decontamination REMOVAL: the q55 report's enforcing transform —
-    // the train split (doc_id % 11 != 0) minus every doc sharing a
-    // 13-gram with the held-out bench split. One anti-join on the
-    // report's plan; what actually ships to training.,
 
     // Per-doc curation DECISION RECORD: one pass assigning each doc its
     // first-failing gate — encoding (q125 signals) → language (q21
@@ -419,11 +346,6 @@ object Curation extends QueryModule {
             .otherwise("kept").as("verdict"))
     }),
 
-    // Per-source tokenizer fertility: aggregate pre-tokens per
-    // whitespace token BY SOURCE — q131 measures the inflation per doc;
-    // mixture-level token budgeting (q129/q141) needs it per source.
-    // Integer sums, one final division.,
-
     // Per-source ADAPTIVE quality gate (CCNet's per-language percentile
     // pattern): each source keeps docs at/above its OWN 25th-percentile
     // length — a global cut would gut short-form sources and pass
@@ -438,10 +360,6 @@ object Curation extends QueryModule {
 
     // Temperature-scaled (alpha = 1/2) mixture allocation: per-source
     // budget ∝ floor(sqrt(n)) — the multilingual flattening q129's
-    // caller-chosen weights can't derive. Same 60% budget as q129.,
-
-    // Temperature-scaled (alpha = 1/2) mixture allocation: per-source
-    // budget ∝ floor(sqrt(n)) — the multilingual flattening q129's
     // caller-chosen weights can't derive. Same 60% budget as q129.
     "q141_temp_mixture" -> ((s, dir) => {
       val ps = Tables(s, dir).documents.groupBy(col("source"))
@@ -453,11 +371,6 @@ object Curation extends QueryModule {
     // DSIR importance weights: hashed-unigram models of the curated
     // sources (target) vs the whole corpus (raw); integer bit-length
     // log-ratio per doc + the keep verdict. The classifier-free "steer
-    // the crawl toward the reference" selector.,
-
-    // DSIR importance weights: hashed-unigram models of the curated
-    // sources (target) vs the whole corpus (raw); integer bit-length
-    // log-ratio per doc + the keep verdict. The classifier-free "steer
     // the crawl toward the reference" selector.
     "q139_dsir_weights" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -465,11 +378,6 @@ object Curation extends QueryModule {
         target = docs.filter(col("source").isin(dsirTarget: _*)),
         raw = docs, buckets = dsirBuckets)
     }),
-
-    // Content-defined chunking dedup profile: rolling-window boundaries
-    // (hash of trailing 8 chars ≡ 0 mod 64) make chunk identity survive
-    // prefix edits — the shift-resilient dedup signal whole-doc
-    // fingerprints (q23) and positionless gram fractions (q73) miss.,
 
     // The flagship composition: sample → dedup → quality floor → split as
     // ONE declarative plan with a single shuffle, oracle-checked end to
@@ -485,11 +393,6 @@ object Curation extends QueryModule {
         splits = corpusSplits)
     }),
 
-    // Repetition signals (Gopher/C4-style quality filters): fraction of
-    // tokens that are repeats, share of the most frequent token, and share
-    // of the most frequent 2-gram. High values mark boilerplate/spam for
-    // exclusion. One explode + two keyed aggregations per signal family.,
-
     // Domain mixing: reweight sources toward a target composition with
     // runtime (count-dependent) rates in pure integer arithmetic.
     "q66_domain_mix" -> ((s, dir) =>
@@ -497,9 +400,6 @@ object Curation extends QueryModule {
           "source", mixTargets, mixDefault, mixTotalNum, mixTotalDen,
           salt = mixSalt)
         .select(col("doc_id"), col("source"))),
-
-    // GPT-style sequence packing: shard-local concatenate-and-chunk
-    // window layout, one bounded window sort per shard.,
 
     // GPT-style sequence packing: shard-local concatenate-and-chunk
     // window layout, one bounded window sort per shard.
@@ -511,22 +411,11 @@ object Curation extends QueryModule {
     // Length-bucketed batching (the keep-docs-whole alternative to q67's
     // concat-and-chunk): power-of-2 length buckets, batches pad only to
     // their own max — per-batch padding accounting for inference and
-    // finetuning layouts.,
-
-    // Length-bucketed batching (the keep-docs-whole alternative to q67's
-    // concat-and-chunk): power-of-2 length buckets, batches pad only to
-    // their own max — per-batch padding accounting for inference and
     // finetuning layouts.
     "q158_length_batches" -> ((s, dir) =>
       graft.ops.Packing.lengthBucketedBatches(Tables(s, dir).documents,
         "doc_id", "text", batchSize = 32, shards = packShards,
         salt = packSalt)),
-
-    // Record linkage: a deterministically-dirtied slice (first token
-    // dropped, shifted ids) matched back to the canonical corpus by
-    // blocked 3-shingle Jaccard — entity resolution across two tables
-    // (token sets are too loose over this small vocabulary; shingles
-    // keep the match one-to-few).,
 
     // Per-target-host anchor-text profile over q126's synthetic crawl:
     // what OTHER pages call a host (the original web-ranking signal),
@@ -547,22 +436,12 @@ object Curation extends QueryModule {
       graft.text.Urls.anchorProfile(pairs, "dst_host", "anchor", k = 3)
     }),
 
-    // Sorted-neighborhood blocking over the same dirty slice q70 links
-    // by shingle overlap: records sort by a fabricated key (first three
-    // distinct tokens, sorted — robust to q70's dropped-head-token
-    // dirt), candidates are the ≤9 neighbors in key order per bucket —
-    // O(n·window) pairs however skewed any blocking value is.,
-
     // Sliding-window token chunking (training-sequence prep): 32-token
     // windows every 16, full coverage with a single ragged tail; pure
     // projection + generator, zero shuffles.
     "q77_chunks" -> ((s, dir) =>
       graft.text.Segments.chunkWithStride(Tables(s, dir).documents,
         "doc_id", "text", chunkSize, chunkStride)),
-
-    // Exact vocabulary: top-50 tokens by corpus frequency with document
-    // frequency (deterministic tie-break) via TakeOrderedAndProject —
-    // distributed top-k, no single-partition global sort.,
 
     // Per-source document cap: deterministic hash-order reservoir — the
     // absolute-volume bound corpus mixing applies before q66's rate
@@ -573,10 +452,6 @@ object Curation extends QueryModule {
           "source", "doc_id", capK, salt = capSalt)
         .select(col("doc_id"), col("source"))),
 
-    // Corpus bigram counts, top-20 (the BPE-training inner loop: rank 1
-    // is the next merge). Zero-shuffle pair construction, one counted
-    // aggregation, TakeOrdered top-N.,
-
     // Weight-proportional deterministic sampling: survival rate
     // n_chars/600 per doc — quality-weighted corpus thinning as a pure
     // integer scan predicate (no RNG, no shuffle).
@@ -584,9 +459,6 @@ object Curation extends QueryModule {
       graft.ops.Sampling.weightedSample(Tables(s, dir).documents,
           col("doc_id"), col("n_chars"), wtMaxW, salt = wtSalt)
         .select(col("doc_id"), col("n_chars"))),
-
-    // Per-source min-max feature scaling: exact integer min/max, one
-    // final double division; constant groups pin to 0.5.,
 
     // Canonical URL normalization: scheme/host lowercase, default-port
     // strip (non-default kept), utm_*/tracking-param removal with order
@@ -602,10 +474,6 @@ object Curation extends QueryModule {
 
     // Host-level curation: blocklist anti-join (broadcast, q46
     // machinery) then the mega-key-safe per-host cap (q82's two-phase
-    // bounded-buffer form) over the canonical host.,
-
-    // Host-level curation: blocklist anti-join (broadcast, q46
-    // machinery) then the mega-key-safe per-host cap (q82's two-phase
     // bounded-buffer form) over the canonical host.
     "q114_host_curation" -> ((s, dir) => {
       val spark = s
@@ -617,12 +485,6 @@ object Curation extends QueryModule {
         .capPerKeyIds(hosts, "host", "doc_id", hostCapK, hostCapSalt)
         .select(col("doc_id"), col("host"))
     }),
-
-    // Host-level link graph: each doc is wrapped in markup carrying two
-    // anchors — one clean-ish, one dirty (mixed case, default port,
-    // tracking param) — aimed at (doc_id+1)%7 and (doc_id+3)%7. Extract
-    // hrefs, normalize to hosts, aggregate weighted host→host edges:
-    // the input PageRank/k-core run on at web scale. One shuffle.,
 
     // Host-level link graph: each doc is wrapped in markup carrying two
     // anchors — one clean-ish, one dirty (mixed case, default port,
@@ -650,12 +512,6 @@ object Curation extends QueryModule {
         .agg(count(lit(1)).as("n_links"))
     }),
 
-    // Boilerplate-line report, exercised on injected template text:
-    // every doc gets a source-specific 12-token header — aligned at
-    // line-grid position 0, so it is a LINE in every doc of its source
-    // (df = n_docs) while natural dup lines stay ≤ 8%. minFrac 0.5
-    // flags exactly the 20 headers.,
-
     // Bin-packing layout: per-shard first-fit-decreasing into
     // fixed-capacity bins — whole documents, q67's constants, bins
     // never overflow. One keyed shuffle of (id, n) pairs; the FFD fold
@@ -664,11 +520,6 @@ object Curation extends QueryModule {
       graft.ops.BinPack.packBinsFFD(Tables(s, dir).documents,
         "doc_id", "text", capacity = packCapacity, shards = packShards,
         salt = packSalt)),
-
-    // Bigram LM quality score (CCNet-style perplexity filter): train
-    // Laplace-smoothed bigram counts on the held-in split, score EVERY
-    // doc by mean model bits per bigram — integer bit-length
-    // quantization keeps the learned score oracle-exact.,
 
     // Corpus snapshot diff (CDC derive): classify every doc across two
     // corpus versions as added/removed/changed/unchanged by comparing
@@ -687,22 +538,12 @@ object Curation extends QueryModule {
       graft.ops.Merge.snapshotDiff(v1, v2, Seq("doc_id"), "fp")
     }),
 
-    // Compression-ratio quality signal (native deflate_len expression):
-    // raw/compressed byte ratio in micro-units + the Gopher-style
-    // repetition flag. NO DuckDB oracle exists for deflate — rows-only
-    // driver check; semantics are pinned by TextOpsSpec invariants.,
-
     // Token-accounting mixture report: docs/token mass/corpus share per
     // source — the dashboard feeding q66's mixing rates. Scan-side
     // size(tokens), no explode; one shuffle + a group-cardinality window.
     "q97_token_accounting" -> ((s, dir) =>
       graft.text.Corpus.tokenAccounting(Tables(s, dir).documents,
         "source", "text")),
-
-    // Profile-drift monitor, exercised on an injected bad batch: lang
-    // nulled on every 5th doc (null-rate drift), src0 renamed (min
-    // extreme moves). doc_id and n_chars are untouched controls —
-    // their rows must report drift 0.,
 
     // Water-filling token-budget allocation: 60% of the corpus budgeted
     // across sources with src0-2 weighted 10×. The heavy sources demand
@@ -717,11 +558,6 @@ object Curation extends QueryModule {
       graft.ops.Sampling.waterFillAllocation(ps, "source", "avail",
         budgetWeights, defaultWeight = 1L, budgetNum = 3L, budgetDen = 5L)
     }),
-
-    // Segment-level language mixing (code-switching detector): per-doc
-    // language profile from per-16-token-segment language ID — the
-    // granularity whole-doc q21 can't see. Zero-shuffle segmentation,
-    // two keyed aggs.,
 
     // Segment-level language mixing (code-switching detector): per-doc
     // language profile from per-16-token-segment language ID — the
@@ -837,8 +673,6 @@ object Curation extends QueryModule {
         |SELECT doc_id, source, unnest(range(1, k + 1)) AS copy_idx
         |FROM c WHERE k >= 1""".stripMargin,
 
-    // q55's CTE chain + NOT IN — the survivors instead of the hits.,
-
     // Gate CASE with the q125/q21/q40 fragments; fingerprint first-wins
     // ties on doc_id exactly as the Spark window.
     "q149_curation_record" ->
@@ -901,9 +735,6 @@ object Curation extends QueryModule {
                      | WHERE source IN (${dsirTarget.map(s => s"'$s'").mkString(", ")})""".stripMargin,
       rawSql = s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents",
       buckets = dsirBuckets),
-
-    // Same df-ascending order, prefix cut, integer cross-multiplied
-    // accept test. ceil(num·n/den) = (num·n + den − 1) // den.,
 
     "q50_corpus" -> {
       val smp = graft.ops.Sampling.hashBucketSql("doc_id", "corp-smp")
@@ -1060,17 +891,11 @@ object Curation extends QueryModule {
         |       v1.fp AS fp_old, v2.fp AS fp_new
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
 
-    // The dot product re-associated as a per-token bucket-weight sum —
-    // identical integer-exact value, no 64-element unnest.,
-
     "q113_url_canonical" ->
       s"""SELECT doc_id,
         |       ${graft.text.Urls.canonicalSql(s"($dirtyUrlSql)")} AS url,
         |       ${graft.text.Urls.hostSql(s"($dirtyUrlSql)")} AS host
         |FROM documents""".stripMargin,
-
-    // The identical FFD fold replayed as a recursive CTE, one doc per
-    // shard per round, carrying the bin-load list.,
 
     // The identical FFD fold replayed as a recursive CTE, one doc per
     // shard per round, carrying the bin-load list.
@@ -1136,9 +961,6 @@ object Curation extends QueryModule {
         |         / CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE)
         |         AS token_share
         |FROM g""".stripMargin,
-
-    // Per-segment language ID mirrors q21's CASE over each 16-token
-    // slice; the mode window and per-doc fold mirror languageMix.,
 
     // Per-segment language ID mirrors q21's CASE over each 16-token
     // slice; the mode window and per-doc fold mirror languageMix.

@@ -151,8 +151,6 @@ object Text extends QueryModule {
         TextAnalysis.avgTokenLen(toks).as("avg_token_len"))
     }),
 
-    // Quality scoring: length/stopword/punctuation components.,
-
     // Quality scoring: length/stopword/punctuation components.
     "q20_quality_score" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -172,18 +170,9 @@ object Text extends QueryModule {
     // Character-distribution entropy per doc: gibberish / encoded-blob
     // detector in exact bit-length-log integers (single-agg identity
     // h_q = n*blog(n) - sum k*blog(k); codegen substring over exploded
-    // positions, never a per-doc char array).,
-
-    // Character-distribution entropy per doc: gibberish / encoded-blob
-    // detector in exact bit-length-log integers (single-agg identity
-    // h_q = n*blog(n) - sum k*blog(k); codegen substring over exploded
     // positions, never a per-doc char array).
     "q176_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(Tables(s, dir).documents, "doc_id", "text")),
-
-    // Zipf decay slope per source over top-64 token ranks: corpus-health
-    // scalar (natural language vs template spam), bit-length log-log
-    // least squares on exact integer sums; q152's two-phase bounded rank.,
 
     // Zipf decay slope per source over top-64 token ranks: corpus-health
     // scalar (natural language vs template spam), bit-length log-log
@@ -194,17 +183,9 @@ object Text extends QueryModule {
 
     // Flesch-Kincaid readability: words/sentences/vowel-group syllables
     // as integer run counts (collapse-minus-delete identity), grade in
-    // one fixed IEEE sequence.,
-
-    // Flesch-Kincaid readability: words/sentences/vowel-group syllables
-    // as integer run counts (collapse-minus-delete identity), grade in
     // one fixed IEEE sequence.
     "q178_readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
-
-    // Middle-out truncation to a 64-token budget (keep 32 head + 16
-    // tail): the context-window-fitting transform, pure per-row array
-    // expression with kept/dropped accounting.,
 
     // Middle-out truncation to a 64-token budget (keep 32 head + 16
     // tail): the context-window-fitting transform, pure per-row array
@@ -212,8 +193,6 @@ object Text extends QueryModule {
     "q179_truncate" -> ((s, dir) =>
       graft.text.Segments.truncateMiddleOut(Tables(s, dir).documents,
         "doc_id", "text", maxTokens = 64, headTokens = 32, tailTokens = 16)),
-
-    // Language ID: stopword-hit argmax heuristic.,
 
     // Language ID: stopword-hit argmax heuristic.
     "q21_lang_id" -> ((s, dir) => {
@@ -225,19 +204,11 @@ object Text extends QueryModule {
         TextAnalysis.langId(toks).as("predicted_lang"))
     }),
 
-    // Whitespace-normalized md5 document fingerprint.,
-
     // Whitespace-normalized md5 document fingerprint.
     "q22_fingerprint" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
-
-    // Unicode-canonicalized dedup: normalize_text (native NFC +
-    // width-fold + simple lower, expression #8) composed BEFORE the
-    // fingerprint — the planted NFD / fullwidth / case variants of one
-    // document (byte-distinct in every pair) collapse into a single
-    // fingerprint group; q22's raw fingerprint sees five unique docs.,
 
     // Heaps vocabulary-growth curve: distinct vocab at doc-prefix
     // checkpoints via the first-occurrence identity — one pass, not
@@ -246,10 +217,6 @@ object Text extends QueryModule {
       graft.text.Corpus.heapsCurve(Tables(s, dir).documents,
         "doc_id", "text",
         checkpoints = Seq(50L, 100L, 200L, 500L, 1000L, 5000L))),
-
-    // Duplicate propensity by length band: exact-dup rate (first-wins
-    // fingerprint, the q23 convention) per 50-char band — "do short
-    // docs duplicate more", the mix question a flat dup rate hides.,
 
     // Cohen's kappa: chance-corrected lang-ID agreement — the honest
     // one-number summary of q249's confusion matrix (raw accuracy
@@ -261,10 +228,6 @@ object Text extends QueryModule {
         graft.text.TextAnalysis.langId(
           graft.text.TextAnalysis.tokens(col("text"))))),
 
-    // q166's SN candidates verified by native Jaro-Winkler (codegen
-    // expression #7, bit-matching DuckDB's builtin): the name-style
-    // linkage rule — transpositions near-free, prefixes boosted.,
-
     // Rocchio PRF expansion: what the q56 query "meant but didn't
     // say" — top tokens of the top-3 BM25 docs by tf·N/df, query
     // terms excluded.
@@ -275,21 +238,11 @@ object Text extends QueryModule {
     // Best-passage extraction: per doc, the 10-token span with the
     // most query-term hits (anchored at hit positions — bounded by
     // hits, not length); the span picker between q56's ranking and
-    // q209's every-hit KWIC.,
-
-    // Best-passage extraction: per doc, the 10-token span with the
-    // most query-term hits (anchored at hit positions — bounded by
-    // hits, not length); the span picker between q56's ranking and
     // q209's every-hit KWIC.
     "q267_best_passage" -> ((s, dir) =>
       graft.text.Retrieval.bestPassage(Tables(s, dir).documents,
         "doc_id", "text", terms = Seq("spark", "data", "join"),
         window = 10)),
-
-    // Token share-shift: WHICH tokens moved between src0 and the rest
-    // of the corpus and by how much — the per-token attribution q181's
-    // one-number JS divergence points at; top-20 movers, integer micro
-    // shares.,
 
     // Language confusion matrix: declared lang vs q21's detected lang,
     // with margins and diagonal precision/recall — WHICH languages
@@ -301,21 +254,12 @@ object Text extends QueryModule {
         predicted = graft.text.TextAnalysis.langId(
           graft.text.TextAnalysis.tokens(col("text"))))),
 
-    // Boilerplate REMOVAL over q127's injected template corpus: the
-    // transform the report only points at — nav-bar lines dropped from
-    // EVERY doc (no first-occurrence survivor), payload reassembled.,
-
     // RAKE keyphrases: top multi-word phrases from stopword-free token
     // runs, word deg/freq scoring in integer micros — the phrase-level
     // keyword surface q102's TF-IDF unigrams can't produce.
     "q245_rake" -> ((s, dir) =>
       graft.text.Retrieval.rakeKeyphrases(Tables(s, dir).documents,
         "doc_id", "text", graft.text.TextAnalysis.stopEn)),
-
-    // Column-level reconciliation of a perturbed snapshot: per-field
-    // mismatch rates among matched keys — WHICH columns drifted, the
-    // answer q117's row-level changed verdict folds away. One scan,
-    // every column's diff counted simultaneously.,
 
     // KWIC snippets around the first "spark" occurrence: the result-
     // page context view next to the q56 BM25 score; pure per-row array
@@ -325,19 +269,10 @@ object Text extends QueryModule {
         "doc_id", "text", term = "spark", window = 3)),
 
     // Bigram-LM next-token top-1 accuracy: the cheapest LM eval —
-    // weighted hits of each left-context's modal successor.,
-
-    // Bigram-LM next-token top-1 accuracy: the cheapest LM eval —
     // weighted hits of each left-context's modal successor.
     "q210_next_token_acc" -> ((s, dir) =>
       graft.text.LangModel.nextTokenAccuracy(
         Tables(s, dir).documents, "text")),
-
-    // Calibration curve + per-bin ECE of the q20 quality score against
-    // an English-language outcome: equal-width probability bins (the
-    // reliability-diagram convention), confidence mass and ECE terms as
-    // exact integer micros. The q20 doubles are bit-identical
-    // cross-engine, so trunc(q*1e6) is a portable integer score.,
 
     // Calibration curve + per-bin ECE of the q20 quality score against
     // an English-language outcome: equal-width probability bins (the
@@ -357,10 +292,6 @@ object Text extends QueryModule {
         (col("lang") === "en").cast("long").as("y"))
       graft.ops.Eval.calibrationCurve(scored, col("p"), col("y"))
     }),
-
-    // Per-source corpus datasheet: volume, language profile and exact-
-    // duplication rate in one |sources|-row card — the dataset-card
-    // summary a corpus release publishes.,
 
     // Per-source tokenizer fertility: aggregate pre-tokens per
     // whitespace token BY SOURCE — q131 measures the inflation per doc;
@@ -383,11 +314,6 @@ object Text extends QueryModule {
     // Per-source OOV rate against the q78-style frequency vocabulary
     // (top-16 here, small enough that the tail is genuinely OOV): which
     // sources will inflate a fixed tokenizer's unknown-token mass. One
-    // corpus scan + a broadcast vocab join.,
-
-    // Per-source OOV rate against the q78-style frequency vocabulary
-    // (top-16 here, small enough that the tail is genuinely OOV): which
-    // sources will inflate a fixed tokenizer's unknown-token mass. One
     // corpus scan + a broadcast vocab join.
     "q147_oov_rate" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -405,11 +331,6 @@ object Text extends QueryModule {
             col("n_tokens").cast("double")).cast("long"))
     }),
 
-    // Corpus novelty: fraction of each doc's 7-gram positions whose
-    // shingle FIRST appears in that doc (doc_id = ingestion order) —
-    // the directional signal q73's symmetric dup_frac can't give:
-    // originals stay novel, later copies pay.,
-
     // Per-source n-gram diversity: distinct-trigram ratio + top-10-gram
     // concentration — the CROSS-document mode-collapse signal per-doc
     // repetition (q54) can't see: a generator that never repeats inside
@@ -417,12 +338,6 @@ object Text extends QueryModule {
     "q152_ngram_diversity" -> ((s, dir) =>
       graft.text.Spans.ngramDiversity(Tables(s, dir).documents,
         "source", "text")),
-
-    // Per-source ADAPTIVE quality gate (CCNet's per-language percentile
-    // pattern): each source keeps docs at/above its OWN 25th-percentile
-    // length — a global cut would gut short-form sources and pass
-    // everything in long-form ones. Exact integer rank cut, broadcast
-    // back, scan-side filter.,
 
     // Trained multinomial Naive Bayes (hashed features, Dsir's model
     // shape): per-class token-count tables learned from the labeled
@@ -439,12 +354,6 @@ object Text extends QueryModule {
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
         .withColumn("correct", col("pred_label") === col("lang"))
     }),
-
-    // Prefix-filter (AllPairs/PPJoin) similarity join: EVERY pair with
-    // 3-gram shingle Jaccard ≥ 0.6, no blocking key, no df-cut, no LSH
-    // false negatives — the completeness-guaranteed exact join.
-    // Candidates collide only on each doc's rarest (1-t)-fraction
-    // shingles in global df order, pruned by length + position filters.,
 
     // Encoding-corruption report, exercised on injected damage: every
     // 17th document gets the classic UTF-8-as-Latin-1 artifact ('a' →
@@ -464,11 +373,6 @@ object Text extends QueryModule {
         .withColumn("corrupt",
           (col("n_moji") > 0 || col("ascii_frac") < 0.9).cast("long"))
     }),
-
-    // Asymmetric containment, exercised on its distinctive case: 240-char
-    // snippet docs injected from every 13th document. Snippet→parent
-    // containment ≈ 1 while the pair's Jaccard is far below any dedup
-    // threshold — q24 structurally cannot see these.,
 
     // Repetition signals (Gopher/C4-style quality filters): fraction of
     // tokens that are repeats, share of the most frequent token, and share
@@ -502,10 +406,6 @@ object Text extends QueryModule {
 
     // PII scrub: plant synthetic emails/IPs/phones deterministically (the
     // corpus has none), count on the original text, redact, emit the
-    // scrubbed text's fingerprint so the oracle proves byte-exact redaction.,
-
-    // PII scrub: plant synthetic emails/IPs/phones deterministically (the
-    // corpus has none), count on the original text, redact, emit the
     // scrubbed text's fingerprint so the oracle proves byte-exact redaction.
     "q53_pii_scrub" -> ((s, dir) => {
       val planted = Tables(s, dir).documents.withColumn("text",
@@ -524,26 +424,11 @@ object Text extends QueryModule {
         md5(graft.text.Scrub.scrub(col("text"))).as("scrubbed_fp"))
     }),
 
-    // n-gram (3-shingle) Jaccard: word-order-sensitive near-dup — the
-    // exact counterpart of q27's MinHash estimate, same keyed-shuffle plan
-    // as q24 with shingles as the join unit. No df-cut: 3-grams are
-    // self-discriminating (max df 25 of 5000 docs in this corpus), so the
-    // cut would add a shuffle + a second shingle evaluation to remove
-    // nothing; the maxDfFrac guard remains available for corpora with
-    // boilerplate n-grams.,
-
     // BM25-family ranked retrieval for a literal term list (log-free RSJ
     // idf for cross-engine bit parity — see graft.text.Retrieval).
     "q56_bm25" -> ((s, dir) =>
       graft.text.Retrieval.bm25(
         Tables(s, dir).documents, "doc_id", "text", bm25Terms)),
-
-    // Inverted index build: token → (df, sorted posting list). One keyed
-    // shuffle; postings sort deterministically so the index (and its
-    // oracle) is byte-stable. The distributed half of retrieval-index
-    // construction — q56 scores, this one serves. Postings are emitted
-    // as a comma-joined string (sorted numerically FIRST, then cast)
-    // because the verification comparator cannot sort array columns.,
 
     // Inverted index build: token → (df, sorted posting list). One keyed
     // shuffle; postings sort deterministically so the index (and its
@@ -561,18 +446,11 @@ object Text extends QueryModule {
             d => d.cast("string")), ",").as("postings"))
         .filter(col("df") >= 2)),
 
-    // Domain mixing: reweight sources toward a target composition with
-    // runtime (count-dependent) rates in pure integer arithmetic.,
-
     // Corpus-relative token rarity: log-free unigram-LM quality proxy,
     // integer-exact df sums, one final division.
     "q74_token_rarity" -> ((s, dir) =>
       graft.text.Spans.tokenRarity(Tables(s, dir).documents,
         "doc_id", "text")),
-
-    // Sliding-window token chunking (training-sequence prep): 32-token
-    // windows every 16, full coverage with a single ragged tail; pure
-    // projection + generator, zero shuffles.,
 
     // Exact vocabulary: top-50 tokens by corpus frequency with document
     // frequency (deterministic tie-break) via TakeOrderedAndProject —
@@ -581,20 +459,12 @@ object Text extends QueryModule {
       graft.text.Spans.vocabulary(Tables(s, dir).documents,
         "doc_id", "text", vocabTopN)),
 
-    // C4-style line-level quality filter with per-document reassembly
-    // (lines = 12-token spans; keep: >= 5 tokens and an English-stopword
-    // hit). Zero shuffles.,
-
     // Corpus bigram counts, top-20 (the BPE-training inner loop: rank 1
     // is the next merge). Zero-shuffle pair construction, one counted
     // aggregation, TakeOrdered top-N.
     "q92_bigrams" -> ((s, dir) =>
       graft.text.Spans.topBigrams(Tables(s, dir).documents,
         "doc_id", "text", topN = 20)),
-
-    // Weight-proportional deterministic sampling: survival rate
-    // n_chars/600 per doc — quality-weighted corpus thinning as a pure
-    // integer scan predicate (no RNG, no shuffle).,
 
     // Per-source min-max feature scaling: exact integer min/max, one
     // final double division; constant groups pin to 0.5.
@@ -603,10 +473,6 @@ object Text extends QueryModule {
         Tables(s, dir).documents
           .select(col("doc_id"), col("source"), col("n_chars")),
         "source", col("n_chars"), "norm")),
-
-    // q94's outlier-immune sibling: rank-position scaling — one extreme
-    // doc can't compress its source's whole range; output uniform by
-    // construction.,
 
     // q94's outlier-immune sibling: rank-position scaling — one extreme
     // doc can't compress its source's whole range; output uniform by
@@ -619,10 +485,6 @@ object Text extends QueryModule {
 
     // Markup strip (C4 web-boilerplate stage): tags out, entities
     // decoded in the safe order, whitespace collapsed. Zero shuffles,
-    // codegen'd regex chain.,
-
-    // Markup strip (C4 web-boilerplate stage): tags out, entities
-    // decoded in the safe order, whitespace collapsed. Zero shuffles,
     // codegen'd regex chain.
     "q91_markup_strip" -> ((s, dir) =>
       Tables(s, dir).documents
@@ -632,22 +494,12 @@ object Text extends QueryModule {
             .as("clean"))
         .withColumn("n_chars_clean", length(col("clean")).cast("long"))),
 
-    // Duplicated-span EXTENT: longest run of consecutive duplicated
-    // 7-gram positions per doc — q73 measures how much is duplicated,
-    // this how contiguous (the exact-substring-dedup signal). Islands
-    // over (doc, pos) after a composite-key join-back of positions to
-    // document frequencies.,
-
     // BPE training: 16 merges, each round = pair count + 1-row argmax +
     // per-row greedy replace; deterministic (freq desc, pair asc)
     // tie-breaks. q92 is one step of this loop.
     "q110_bpe_train" -> ((s, dir) =>
       graft.text.Bpe.train(Tables(s, dir).documents,
         "doc_id", "text", nMerges = bpeNMerges)),
-
-    // BPE encode: replay the trained merges in rank order over the
-    // corpus (Sennrich semantics) — the trained-tokenizer symbol stream
-    // that replaces q78's whole-token vocab for downstream packing.,
 
     // BPE encode: replay the trained merges in rank order over the
     // corpus (Sennrich semantics) — the trained-tokenizer symbol stream
@@ -663,33 +515,28 @@ object Text extends QueryModule {
     // CHAR-LEVEL BPE train: the same merge recurrence seeded with
     // single-character symbols + '_' end-of-word markers (Sennrich's
     // actual setup — real tokenizers are char/byte-level; q110's
-    // word-granularity run produces no subword merges). new_sym makes
-    // the learned subword visible (space-join stripped).,
-
-    // CHAR-LEVEL BPE train: the same merge recurrence seeded with
-    // single-character symbols + '_' end-of-word markers (Sennrich's
-    // actual setup — real tokenizers are char/byte-level; q110's
-    // word-granularity run produces no subword merges). new_sym makes
-    // the learned subword visible (space-join stripped).
+    // word-granularity run produces no subword merges). Trains on the
+    // deterministic 1-in-5 sample — the documented 100 TB contract
+    // (pair statistics converge long before corpus scale). new_sym
+    // makes the learned subword visible (space-join stripped).
     "q308_bpe_char_train" -> ((s, dir) =>
-      graft.text.Bpe.train(Tables(s, dir).documents, "doc_id", "text",
+      graft.text.Bpe.train(
+          Tables(s, dir).documents.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text",
           nMerges = bpeNMerges, seed = graft.text.Bpe.charSymbols)
         .withColumn("new_sym",
           replace(concat(col("left_sym"), lit(" "), col("right_sym")),
             lit(" "), lit("")))),
 
-    // Char-level BPE encode: replay the char merges over the corpus —
-    // the real subword symbol stream (zero-shuffle replace chain);
-    // subword strips the representation's space joins.,
-
-    // Char-level BPE encode: replay the char merges over the corpus —
-    // the real subword symbol stream (zero-shuffle replace chain);
-    // subword strips the representation's space joins.
+    // Char-level BPE encode, contract-shaped: train on the 1-in-5
+    // sample, encode the FULL corpus (a zero-shuffle replace chain) —
+    // the "train on a sample, encode everything" run the Bpe scaladoc
+    // promises; subword strips the representation's space joins.
     "q309_bpe_char_encode" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val merges = graft.text.Bpe
-        .trainMerges(docs, "doc_id", "text", bpeNMerges,
-          graft.text.Bpe.charSymbols)
+        .trainMerges(docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", bpeNMerges, graft.text.Bpe.charSymbols)
         .map(m => (m._2, m._3))
       graft.text.Bpe.encode(docs, "doc_id", "text", merges,
           graft.text.Bpe.charSymbols)
@@ -699,20 +546,10 @@ object Text extends QueryModule {
     // Hashed-feature linear quality classifier (fastText-style
     // inference): bucket-count vector x literal quantized weights via
     // the native DotProduct — the learned-filter seam between q20's
-    // heuristics and a model server. Zero shuffles.,
-
-    // Hashed-feature linear quality classifier (fastText-style
-    // inference): bucket-count vector x literal quantized weights via
-    // the native DotProduct — the learned-filter seam between q20's
     // heuristics and a model server. Zero shuffles.
     "q112_quality_classifier" -> ((s, dir) =>
       graft.text.QualityModel.score(Tables(s, dir).documents,
         "doc_id", "text", qmWeights, qmD, qmSalt)),
-
-    // Canonical URL normalization: scheme/host lowercase, default-port
-    // strip (non-default kept), utm_*/tracking-param removal with order
-    // preserved, fragment drop, empty path -> '/'. Pure per-row
-    // regexp/lambda expressions, zero shuffles.,
 
     // Bigram LM quality score (CCNet-style perplexity filter): train
     // Laplace-smoothed bigram counts on the held-in split, score EVERY
@@ -724,11 +561,6 @@ object Text extends QueryModule {
         docs.filter(col("doc_id") % lmHoldMod =!= 0), "text", lmMinCount)
       graft.text.LangModel.score(docs, "doc_id", "text", bi, uni, voc)
     }),
-
-    // Corpus snapshot diff (CDC derive): classify every doc across two
-    // corpus versions as added/removed/changed/unchanged by comparing
-    // scan-computed fingerprints — 16-byte digests ride the one
-    // full-outer join, the text never leaves the scan.,
 
     // Compression-ratio quality signal (native deflate_len expression):
     // raw/compressed byte ratio in micro-units + the Gopher-style
@@ -749,12 +581,6 @@ object Text extends QueryModule {
     // fixed parity corpus vs lengths precomputed by an independent
     // Deflater drain at oracle-generation time — the oracle gate for
     // the kernel q118 applies corpus-wide (DuckDB has no deflate, so
-    // q118 itself stays rows-only by design).,
-
-    // Deflate-length PARITY: the native deflate_len expression over the
-    // fixed parity corpus vs lengths precomputed by an independent
-    // Deflater drain at oracle-generation time — the oracle gate for
-    // the kernel q118 applies corpus-wide (DuckDB has no deflate, so
     // q118 itself stays rows-only by design).
     "q310_deflate_parity" -> ((s, dir) => {
       import s.implicits._
@@ -767,18 +593,10 @@ object Text extends QueryModule {
 
     // Bigram coherence: corpus-frequency-weighted mean of each doc's
     // adjacent pairs — the word-order quality proxy q74's unigram
-    // rarity can't see. Integer-exact sums, one final division.,
-
-    // Bigram coherence: corpus-frequency-weighted mean of each doc's
-    // adjacent pairs — the word-order quality proxy q74's unigram
     // rarity can't see. Integer-exact sums, one final division.
     "q96_bigram_coherence" -> ((s, dir) =>
       graft.text.Spans.bigramCoherence(Tables(s, dir).documents,
         "doc_id", "text")),
-
-    // Token-accounting mixture report: docs/token mass/corpus share per
-    // source — the dashboard feeding q66's mixing rates. Scan-side
-    // size(tokens), no explode; one shuffle + a group-cardinality window.,
 
     // Profile-drift monitor, exercised on an injected bad batch: lang
     // nulled on every 5th doc (null-rate drift), src0 renamed (min
@@ -800,10 +618,6 @@ object Text extends QueryModule {
 
     // Pre-tokenizer accounting: GPT-2-style unit counts next to the
     // whitespace-word counts q97 budgets with — the ratio is the
-    // words-to-BPE-units inflation factor real token budgets need.,
-
-    // Pre-tokenizer accounting: GPT-2-style unit counts next to the
-    // whitespace-word counts q97 budgets with — the ratio is the
     // words-to-BPE-units inflation factor real token budgets need.
     "q131_pretoken_count" -> ((s, dir) =>
       Tables(s, dir).documents.select(
@@ -814,21 +628,12 @@ object Text extends QueryModule {
           when(col("ws_tokens") > 0,
             col("pre_tokens").cast("double") / col("ws_tokens").cast("double")))),
 
-    // Water-filling token-budget allocation: 60% of the corpus budgeted
-    // across sources with src0-2 weighted 10×. The heavy sources demand
-    // ~2.5× their supply → capped round 1; their shortfall re-floods
-    // the 17 light sources round 2. q97 measures, this PLANS, q66
-    // executes.,
-
     // Tokenizer application: every token to its q78-vocabulary rank
     // (OOV -> 0), long form (doc, pos, id). Corpus side never shuffles;
     // the vocab join broadcasts.
     "q100_token_ids" -> ((s, dir) =>
       graft.text.Spans.encodeTokens(Tables(s, dir).documents,
         "doc_id", "text", vocabTopN)),
-
-    // Split-leakage audit: normalized-fingerprint groups spanning the
-    // train split and any eval split. One scan-side md5 + one keyed agg.,
 
     // TF-IDF keyword extraction: top-5 tokens per doc by tf * N/df
     // (linear idf — bm25's log-free bit-parity rationale). Three keyed
@@ -839,20 +644,10 @@ object Text extends QueryModule {
 
     // Collocation mining: top-20 within-3-token pairs by the log-free
     // PMI ratio c_ab/(c_a*c_b), hapax pairs floored out. q92's bigrams
-    // generalized to a window; zero-shuffle pair construction.,
-
-    // Collocation mining: top-20 within-3-token pairs by the log-free
-    // PMI ratio c_ab/(c_a*c_b), hapax pairs floored out. q92's bigrams
     // generalized to a window; zero-shuffle pair construction.
     "q106_collocations" -> ((s, dir) =>
       graft.text.Spans.collocations(Tables(s, dir).documents,
         "doc_id", "text", window = 3, minCount = 2L, topN = 20)),
-
-    // Per-source quality distribution: q20's score quantized to integer
-    // micro-units (floor q*1e6 — identical doubles both engines, then
-    // exact integer arithmetic), exact discrete quartiles (q40) + an
-    // order-independent mean derived from the integer sum. The
-    // dashboard that sizes per-source quality thresholds and mixing.,
 
     // Per-source quality distribution: q20's score quantized to integer
     // micro-units (floor q*1e6 — identical doubles both engines, then
@@ -996,9 +791,6 @@ object Text extends QueryModule {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // q100's vocabulary chain, truncated to the OOV-test size, LEFT
-    // JOINed per token occurrence.,
-
-    // q100's vocabulary chain, truncated to the OOV-test size, LEFT
     // JOINed per token occurrence.
     "q147_oov_rate" ->
       s"""WITH pd AS (
@@ -1017,8 +809,6 @@ object Text extends QueryModule {
         |       CAST(floor(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |         * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS oov_micro
         |FROM tok t LEFT JOIN top v USING (token) GROUP BY 1""".stripMargin,
-
-    // q73's gram lineage with the df window swapped for min(doc_id).,
 
     "q152_ngram_diversity" ->
       s"""WITH g AS (
@@ -1046,8 +836,6 @@ object Text extends QueryModule {
         |       CAST(topk_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
         |         AS topk_share
         |FROM t JOIN k USING (source)""".stripMargin,
-
-    // q40's rank-cut recipe scoped per source, >= keeps cut ties.,
 
     "q155_naive_bayes" -> {
       val pred = graft.text.NaiveBayes.classifyOracleSql(
@@ -1077,8 +865,6 @@ object Text extends QueryModule {
         |         ${graft.text.Scrub.asciiFractionSql("text")} AS ascii_frac
         |  FROM corpus
         |)""".stripMargin,
-
-    // Same injected-snippet corpus, same df-cut, asymmetric fractions.,
 
     "q54_repetition" ->
       s"""WITH toks AS (
@@ -1232,10 +1018,6 @@ object Text extends QueryModule {
         |  FROM documents
         |)""".stripMargin,
 
-    // Positions come from generate_series over the shingle list (1-based
-    // in DuckDB — only ordering matters); islands mirror the Spark
-    // lag/cumsum windows row for row.,
-
     // Unrolled replay of the identical merge recurrence (the q63/q104
     // oracle recipe), shared by train and encode.
     "q110_bpe_train" -> graft.text.Bpe.trainOracleSql(
@@ -1256,22 +1038,23 @@ object Text extends QueryModule {
     "q308_bpe_char_train" -> {
       val inner = graft.text.Bpe.trainOracleSql(
         graft.text.Bpe.charTokSql(
-          s"SELECT doc_id, $toksSql AS toks FROM documents"), bpeNMerges)
+          s"SELECT doc_id, $toksSql AS toks FROM documents " +
+            "WHERE doc_id % 5 = 0"), bpeNMerges)
       s"""SELECT rank, left_sym, right_sym, freq,
          |       replace(left_sym || ' ' || right_sym, ' ', '') AS new_sym
          |FROM ($inner)""".stripMargin
     },
 
     "q309_bpe_char_encode" -> {
-      val inner = graft.text.Bpe.encodeOracleSql(
+      val inner = graft.text.Bpe.encodeSampledOracleSql(
+        graft.text.Bpe.charTokSql(
+          s"SELECT doc_id, $toksSql AS toks FROM documents " +
+            "WHERE doc_id % 5 = 0"),
         graft.text.Bpe.charTokSql(
           s"SELECT doc_id, $toksSql AS toks FROM documents"), bpeNMerges)
       s"""SELECT doc_id, pos, symbol, replace(symbol, ' ', '') AS subword
          |FROM ($inner)""".stripMargin
     },
-
-    // The identical integer bit-length recurrence: bits via
-    // length(bin(x)), exact on both engines.,
 
     // The identical integer bit-length recurrence: bits via
     // length(bin(x)), exact on both engines.
@@ -1280,9 +1063,6 @@ object Text extends QueryModule {
       s"SELECT doc_id, $toksSql AS toks FROM documents " +
         s"WHERE doc_id % $lmHoldMod <> 0",
       lmMinCount),
-
-    // The identical full-outer classification; presence via the side's
-    // key (never fp-NULLness), digest equality via IS DISTINCT FROM.,
 
     // The dot product re-associated as a per-token bucket-weight sum —
     // identical integer-exact value, no 64-element unnest.

@@ -87,11 +87,6 @@ object TextDedup extends QueryModule {
         .filter(col("n_docs") > 1)
     }),
 
-    // Stable global ordinal assignment in (source, doc_id) order WITHOUT
-    // a global sort: per-shard counts → bounded prefix-offset window →
-    // broadcast offsets + keyed within-shard rank. Identical output to
-    // the single-partition row_number the oracle spells.,
-
     // Shared-line plagiarism pairs over the q70 dirty-union corpus:
     // doc pairs sharing >= 2 verbatim 12-token lines — passage-level
     // attribution where q24's token Jaccard only matches vocabulary.
@@ -104,10 +99,6 @@ object TextDedup extends QueryModule {
       graft.text.Segments.sharedLinePairs(all, "doc_id", "text",
         per = linePer, minShared = 2L)
     }),
-
-    // Heaps vocabulary-growth curve: distinct vocab at doc-prefix
-    // checkpoints via the first-occurrence identity — one pass, not
-    // one scan per checkpoint; sizes the tokenizer budget.,
 
     // Duplicate propensity by length band: exact-dup rate (first-wins
     // fingerprint, the q23 convention) per 50-char band — "do short
@@ -126,10 +117,6 @@ object TextDedup extends QueryModule {
           col("n_dup").cast("double") / col("n_docs"))
     }),
 
-    // Cohen's kappa: chance-corrected lang-ID agreement — the honest
-    // one-number summary of q249's confusion matrix (raw accuracy
-    // flatters the majority class).,
-
     // q166's SN candidates verified by native Jaro-Winkler (codegen
     // expression #7, bit-matching DuckDB's builtin): the name-style
     // linkage rule — transpositions near-free, prefixes boosted.
@@ -145,10 +132,6 @@ object TextDedup extends QueryModule {
         substring(col("text"), 1, 80), key, window = 10, minJw = 0.8)
     }),
 
-    // Source ablation: the corpus mean-length WITHOUT each source,
-    // from one aggregation pass — the leave-one-group-out
-    // data-valuation cut ("which source drags the metric").,
-
     // Boilerplate REMOVAL over q127's injected template corpus: the
     // transform the report only points at — nav-bar lines dropped from
     // EVERY doc (no first-occurrence survivor), payload reassembled.
@@ -161,10 +144,6 @@ object TextDedup extends QueryModule {
       graft.text.Segments.removeBoilerplate(corpus, "doc_id", "text",
         "source", per = linePer, minFrac = 0.5)
     }),
-
-    // RAKE keyphrases: top multi-word phrases from stopword-free token
-    // runs, word deg/freq scoring in integer micros — the phrase-level
-    // keyword surface q102's TF-IDF unigrams can't produce.,
 
     // Exact dedup: hash-groupBy over content fingerprint. Duplicates are
     // injected (10% resample) since the corpus has none — the query must
@@ -182,21 +161,10 @@ object TextDedup extends QueryModule {
     // standalone): keyed shuffles only, with a document-frequency cut —
     // tokens in >80% of documents are dropped before the self-join
     // (stopword-grade tokens otherwise fan out O(df²) per token). The
-    // fraction scales with the corpus, so semantics are SF-invariant.,
-
-    // Blocked token-set Jaccard near-dup pairs (the LSH verify stage,
-    // standalone): keyed shuffles only, with a document-frequency cut —
-    // tokens in >80% of documents are dropped before the self-join
-    // (stopword-grade tokens otherwise fan out O(df²) per token). The
     // fraction scales with the corpus, so semantics are SF-invariant.
     "q24_token_jaccard" -> ((s, dir) =>
       NearDup.tokenJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", "source", minJaccard = 0.9, maxDfFrac = 0.8)),
-
-    // Exact-count replicate/downsample: src0 doubled (upsampling —
-    // the step q141/q66 leave explicit), src1 identity, the rest cut
-    // to exactly 40% — group totals hit targets EXACTLY, copies spread
-    // evenly, extra-copy winners in deterministic salted-hash order.,
 
     // Decontamination REMOVAL: the q55 report's enforcing transform —
     // the train split (doc_id % 11 != 0) minus every doc sharing a
@@ -211,14 +179,6 @@ object TextDedup extends QueryModule {
         .select(col("doc_id"), col("source"))
     }),
 
-    // Per-doc curation DECISION RECORD: one pass assigning each doc its
-    // first-failing gate — encoding (q125 signals) → language (q21
-    // heuristic) → quality (q140's per-source p25 length cut) →
-    // exact-duplicate (q23 fingerprint first-wins) → kept. The audit
-    // table a production pipeline logs so every drop is explainable;
-    // plan = one fingerprint window + a broadcast cut join, scan-side
-    // CASE otherwise.,
-
     // Corpus novelty: fraction of each doc's 7-gram positions whose
     // shingle FIRST appears in that doc (doc_id = ingestion order) —
     // the directional signal q73's symmetric dup_frac can't give:
@@ -226,11 +186,6 @@ object TextDedup extends QueryModule {
     "q142_novelty" -> ((s, dir) =>
       graft.text.Spans.noveltyProfile(Tables(s, dir).documents,
         "doc_id", "text", w = spanW)),
-
-    // Per-source n-gram diversity: distinct-trigram ratio + top-10-gram
-    // concentration — the CROSS-document mode-collapse signal per-doc
-    // repetition (q54) can't see: a generator that never repeats inside
-    // a doc but reuses phrasings across docs lights up only here.,
 
     // Content-defined chunking dedup profile: rolling-window boundaries
     // (hash of trailing 8 chars ≡ 0 mod 64) make chunk identity survive
@@ -240,15 +195,6 @@ object TextDedup extends QueryModule {
       graft.text.Cdc.chunkDedupProfile(Tables(s, dir).documents,
         "doc_id", "text")),
 
-    // Trained multinomial Naive Bayes (hashed features, Dsir's model
-    // shape): per-class token-count tables learned from the labeled
-    // corpus, every doc classified by integer bit-length surprisal —
-    // the learned step up from q21's fixed heuristic langid. NOTE: the
-    // synthetic corpus draws every doc's text from ONE shared vocabulary
-    // regardless of its lang label, so the learned verdict here is
-    // (correctly) the majority class for all docs — separable classes
-    // are exercised by the TextOpsSpec planted-vocab case.,
-
     // Prefix-filter (AllPairs/PPJoin) similarity join: EVERY pair with
     // 3-gram shingle Jaccard ≥ 0.6, no blocking key, no df-cut, no LSH
     // false negatives — the completeness-guaranteed exact join.
@@ -257,12 +203,6 @@ object TextDedup extends QueryModule {
     "q137_prefix_join" -> ((s, dir) =>
       NearDup.prefixFilterJaccardPairs(Tables(s, dir).documents,
         "doc_id", "text", num = prefixNum, den = prefixDen, w = prefixW)),
-
-    // Encoding-corruption report, exercised on injected damage: every
-    // 17th document gets the classic UTF-8-as-Latin-1 artifact ('a' →
-    // 'Ã¡'), and the three signals (mojibake marks, C0 controls, ASCII
-    // fraction) flag exactly those. The cleaning sibling
-    // (Scrub.stripControl) is spec-covered.,
 
     // Asymmetric containment, exercised on its distinctive case: 240-char
     // snippet docs injected from every 13th document. Snippet→parent
@@ -276,11 +216,6 @@ object TextDedup extends QueryModule {
       NearDup.tokenContainmentPairs(base.unionAll(snippets),
         "doc_id", "text", "source", minContainment = 0.9, maxDfFrac = 0.8)
     }),
-
-    // The flagship composition: sample → dedup → quality floor → split as
-    // ONE declarative plan with a single shuffle, oracle-checked end to
-    // end. Dups injected (doc_id%7, shifted ids) so the dedup stage has
-    // real work; rates/threshold chosen to make every stage selective.,
 
     // n-gram (3-shingle) Jaccard: word-order-sensitive near-dup — the
     // exact counterpart of q27's MinHash estimate, same keyed-shuffle plan
@@ -296,11 +231,6 @@ object TextDedup extends QueryModule {
     // Benchmark decontamination: flag training docs sharing any 13-token
     // shingle with the held-out benchmark slice (doc_id % 11 — the corpus
     // carries injected near-dups, so matches are true leaks). One keyed
-    // join; AQE broadcasts the benchmark side on its own.,
-
-    // Benchmark decontamination: flag training docs sharing any 13-token
-    // shingle with the held-out benchmark slice (doc_id % 11 — the corpus
-    // carries injected near-dups, so matches are true leaks). One keyed
     // join; AQE broadcasts the benchmark side on its own.
     "q55_decontaminate" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -309,9 +239,6 @@ object TextDedup extends QueryModule {
         docs.filter(col("doc_id") % 11 === 0),
         "doc_id", "text", w = decontamW)
     }),
-
-    // BM25-family ranked retrieval for a literal term list (log-free RSJ
-    // idf for cross-engine bit parity — see graft.text.Retrieval).,
 
     // Record linkage: a deterministically-dirtied slice (first token
     // dropped, shifted ids) matched back to the canonical corpus by
@@ -327,10 +254,6 @@ object TextDedup extends QueryModule {
       NearDup.tokenLinkPairs(dirty, docs, "doc_id", "text", "source",
         minJaccard = 0.7, w = 3)
     }),
-
-    // Per-target-host anchor-text profile over q126's synthetic crawl:
-    // what OTHER pages call a host (the original web-ranking signal),
-    // top-3 tokens by two-phase bounded rank.,
 
     // Sorted-neighborhood blocking over the same dirty slice q70 links
     // by shingle overlap: records sort by a fabricated key (first three
@@ -352,11 +275,6 @@ object TextDedup extends QueryModule {
     // q162's SN candidates verified by EDIT DISTANCE on the 80-char
     // prefix — the character-level rule token sets can't see; Spark
     // runs the thresholded O(len·maxDist) form, the oracle the full
-    // matrix (identical accepted distances).,
-
-    // q162's SN candidates verified by EDIT DISTANCE on the 80-char
-    // prefix — the character-level rule token sets can't see; Spark
-    // runs the thresholded O(len·maxDist) form, the oracle the full
     // matrix (identical accepted distances).
     "q166_sn_edit_distance" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -372,17 +290,10 @@ object TextDedup extends QueryModule {
 
     // Duplicated-span profile: fraction of each doc's 7-gram positions
     // whose shingle appears in >= 2 documents — the partial-copy signal
-    // document-level dedup misses. Hashed grams (portable) on the wire.,
-
-    // Duplicated-span profile: fraction of each doc's 7-gram positions
-    // whose shingle appears in >= 2 documents — the partial-copy signal
     // document-level dedup misses. Hashed grams (portable) on the wire.
     "q73_dup_spans" -> ((s, dir) =>
       graft.text.Spans.duplicatedSpans(Tables(s, dir).documents,
         "doc_id", "text", w = spanW, minDf = 2)),
-
-    // Corpus-relative token rarity: log-free unigram-LM quality proxy,
-    // integer-exact df sums, one final division.,
 
     // C4-style line-level quality filter with per-document reassembly
     // (lines = 12-token spans; keep: >= 5 tokens and an English-stopword
@@ -393,20 +304,10 @@ object TextDedup extends QueryModule {
 
     // Corpus-wide first-occurrence line dedup (CCNet/Dolma paragraph
     // dedup) with ordered reassembly; first-wins window over the hashed
-    // line, partition bounded by duplicate multiplicity.,
-
-    // Corpus-wide first-occurrence line dedup (CCNet/Dolma paragraph
-    // dedup) with ordered reassembly; first-wins window over the hashed
     // line, partition bounded by duplicate multiplicity.
     "q81_line_dedup" -> ((s, dir) =>
       graft.text.Segments.lineDedupDocs(Tables(s, dir).documents,
         "doc_id", "text", linePer)),
-
-    // WITHIN-doc line dedup (self-repetition removal), exercised on an
-    // injected self-repetitive corpus: each doc truncated to a whole
-    // number of lines then self-concatenated, so every second line is a
-    // repeat. Zero shuffles — first-occurrence is a pure array
-    // expression; q81 is the corpus-wide (shuffling) sibling.,
 
     // WITHIN-doc line dedup (self-repetition removal), exercised on an
     // injected self-repetitive corpus: each doc truncated to a whole
@@ -423,11 +324,6 @@ object TextDedup extends QueryModule {
         linePer)
     }),
 
-    // Per-source document cap: deterministic hash-order reservoir — the
-    // absolute-volume bound corpus mixing applies before q66's rate
-    // balancing. The two-phase bounded-buffer form (mega-key-safe; the
-    // window form is capPerKey); same winners, same oracle.,
-
     // Duplicated-span EXTENT: longest run of consecutive duplicated
     // 7-gram positions per doc — q73 measures how much is duplicated,
     // this how contiguous (the exact-substring-dedup signal). Islands
@@ -440,20 +336,11 @@ object TextDedup extends QueryModule {
     // Exact-substring dedup REMOVAL: rewrite each doc dropping its
     // ≥5-gram duplicated-span runs (verbatim ≥11-token spans), keeping
     // scattered dup mass — the transform q95 only reports. Same island
-    // machinery folded to per-doc intervals + one join back to tokens.,
-
-    // Exact-substring dedup REMOVAL: rewrite each doc dropping its
-    // ≥5-gram duplicated-span runs (verbatim ≥11-token spans), keeping
-    // scattered dup mass — the transform q95 only reports. Same island
     // machinery folded to per-doc intervals + one join back to tokens.
     "q109_span_removal" -> ((s, dir) =>
       graft.text.Spans.removeDuplicatedSpans(Tables(s, dir).documents,
         "doc_id", "text", w = spanW, minDf = 2,
         minRunGrams = spanRemovalMinRun)),
-
-    // BPE training: 16 merges, each round = pair count + 1-row argmax +
-    // per-row greedy replace; deterministic (freq desc, pair asc)
-    // tie-breaks. q92 is one step of this loop.,
 
     // Boilerplate-line report, exercised on injected template text:
     // every doc gets a source-specific 12-token header — aligned at
@@ -469,11 +356,6 @@ object TextDedup extends QueryModule {
       graft.text.Segments.boilerplateLines(corpus, "doc_id", "text",
         "source", per = linePer, minFrac = 0.5)
     }),
-
-    // Bin-packing layout: per-shard first-fit-decreasing into
-    // fixed-capacity bins — whole documents, q67's constants, bins
-    // never overflow. One keyed shuffle of (id, n) pairs; the FFD fold
-    // runs once per shard.,
 
     // Split-leakage audit: normalized-fingerprint groups spanning the
     // train split and any eval split. One scan-side md5 + one keyed agg.
@@ -550,9 +432,6 @@ object TextDedup extends QueryModule {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.9""".stripMargin,
 
-    // Same integer recurrence: base copies alloc // n, the alloc % n
-    // earliest docs in salted order get one more.,
-
     // q55's CTE chain + NOT IN — the survivors instead of the hits.
     "q148_decontam_removal" ->
       s"""WITH sh AS (
@@ -569,9 +448,6 @@ object TextDedup extends QueryModule {
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE d.doc_id % 11 <> 0
         |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
-
-    // Gate CASE with the q125/q21/q40 fragments; fingerprint first-wins
-    // ties on doc_id exactly as the Spark window.,
 
     // q73's gram lineage with the df window swapped for min(doc_id).
     "q142_novelty" ->
@@ -866,9 +742,6 @@ object TextDedup extends QueryModule {
     },
 
     // LEFT JOIN back to documents: zero-token docs survive with
-    // (0, 0, '') — the Spark side's posexplode_outer contract.,
-
-    // LEFT JOIN back to documents: zero-token docs survive with
     // (0, 0, '') — the Spark side's posexplode_outer contract.
     "q81_line_dedup" ->
       s"""WITH t AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
@@ -896,9 +769,6 @@ object TextDedup extends QueryModule {
         |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(g.kept_text, '') AS kept_text
         |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
-
-    // Mirrors the injection (truncate-to-whole-lines, self-concat) then
-    // q81's window machinery with the partition key scoped to the doc.,
 
     // Mirrors the injection (truncate-to-whole-lines, self-concat) then
     // q81's window machinery with the partition key scoped to the doc.
@@ -976,11 +846,6 @@ object TextDedup extends QueryModule {
     // q95's islands folded to 0-based token intervals (DuckDB positions
     // are 1-based, so s = min(pos) − 1), then a NOT EXISTS re-filter of
     // the exploded tokens and an ordered string_agg reassembly — row for
-    // row the Spark rewrite's interval/exists/array_join.,
-
-    // q95's islands folded to 0-based token intervals (DuckDB positions
-    // are 1-based, so s = min(pos) − 1), then a NOT EXISTS re-filter of
-    // the exploded tokens and an ordered string_agg reassembly — row for
     // row the Spark rewrite's interval/exists/array_join.
     "q109_span_removal" ->
       s"""WITH t AS (
@@ -1029,9 +894,6 @@ object TextDedup extends QueryModule {
         |       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS kept_text
         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
         |GROUP BY t.doc_id, len(t.toks)""".stripMargin,
-
-    // Unrolled replay of the identical merge recurrence (the q63/q104
-    // oracle recipe), shared by train and encode.,
 
     "q127_boilerplate" ->
       s"""WITH corpus AS (

@@ -187,6 +187,44 @@ object Bpe {
       |        unnest(generate_series(1, len(syms))) AS j
       |      FROM fin WHERE len(syms) >= 1)""".stripMargin
 
+  /** DuckDB oracle for the SAMPLE-TRAINED encode — the documented
+    * 100 TB contract run for real: merges replay on `trainTokSql`'s
+    * (sub)corpus, the learned tables then apply in rank order to
+    * `encodeTokSql`'s (full) corpus. A merge round that found no pair
+    * on the sample leaves every state unchanged on both chains (the
+    * LEFT-JOIN coalesce), mirroring the Spark loop's early stop. */
+  def encodeSampledOracleSql(trainTokSql: String, encodeTokSql: String,
+      nMerges: Int): String = {
+    val encSteps = (1 to nMerges).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         coalesce(replace(state,
+         |           chr(1) || a || chr(1) || chr(1) || b || chr(1),
+         |           chr(1) || a || ' ' || b || chr(1)), state) AS state
+         |  FROM f${i - 1} LEFT JOIN m$i ON TRUE
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${replayCtes(trainTokSql, nMerges)},
+      |te AS ($encodeTokSql),
+      |f0 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) = 0 THEN ''
+      |              ELSE chr(1) || array_to_string(toks, chr(1) || chr(1)) ||
+      |                   chr(1) END AS state
+      |  FROM te
+      |), $encSteps,
+      |fin AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(trim(state, chr(1)),
+      |           chr(1) || chr(1)), x -> x <> '') AS syms
+      |  FROM f$nMerges
+      |)
+      |SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, syms[j] AS symbol
+      |FROM (SELECT doc_id, syms,
+      |        unnest(generate_series(1, len(syms))) AS j
+      |      FROM fin WHERE len(syms) >= 1)""".stripMargin
+  }
+
   /** The shared replay: s0 → (pair count → 1-row argmax → replace) × N.
     * The LEFT JOIN ON TRUE keeps state unchanged if a round finds no
     * pairs (coalesce of the NULL-pattern replace), mirroring the Spark
