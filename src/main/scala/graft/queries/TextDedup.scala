@@ -32,6 +32,12 @@ object TextDedup extends QueryModule {
     9000004L -> "CAFÉ TOUCHÉ — DÉJÀ VU RÉSUMÉ NOTES",
     9000005L -> "a genuinely distinct planted document")
 
+  /** The planted docs as a DuckDB VALUES list (shared by q307/q312). */
+  private[queries] def unicodePlantedValuesSql: String =
+    unicodePlanted.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+    }.mkString(", ")
+
   /** q50's corpus config — oracle SQL derives from the same values. */
 
   /** q55/q56 config — shared by the Spark plan and the oracle SQL. */
@@ -370,9 +376,7 @@ object TextDedup extends QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q307_unicode_dedup" -> {
-      val values = unicodePlanted.map { case (id, t) =>
-        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
-      }.mkString(", ")
+      val values = unicodePlantedValuesSql
       val norm = graft.functions.NormalizeText.oracleSql("text")
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

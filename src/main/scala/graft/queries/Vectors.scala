@@ -143,6 +143,29 @@ object Vectors extends QueryModule {
         .select(col("d1"), col("d2"), col("est_jaccard"))
     }),
 
+    // q134 with the Unicode canonicalization stage composed in front of
+    // the shingler (normalize_text: NFC + width fold + simple lower) —
+    // over the corpus PLUS the q307 planted variants: the four
+    // byte-distinct renderings produce IDENTICAL signatures, so all six
+    // planted pairs surface at est_jaccard 1.0, while the ASCII corpus
+    // (where canonicalization is an identity) yields exactly q134's
+    // pairs. The end-to-end gate for normalize->shingle->minhash->LSH.
+    "q312_unicode_char_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"))
+        .unionByName(TextDedup.unicodePlanted.toDF("doc_id", "text"))
+        .filter(length(col("text")) > 0)
+      val sig = NearDup.minhashSignaturesChar(docs, "doc_id", "text",
+        unicodeNormalize = true).persist()
+      NearDup.lshCandidatePairs(sig, "doc_id", "sig")
+        .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("est_jaccard",
+          NearDup.sigAgreement(col("s1.sig"), col("s2.sig")))
+        .select(col("d1"), col("d2"), col("est_jaccard"))
+    }),
+
     // Dedup clusters: minhash pairs (est >= 0.5) → connected components →
     // per-doc cluster id + keep-one flag. The step a training-data dedup
     // actually executes between "candidate pairs" and "drop duplicates".
@@ -560,10 +583,16 @@ object Vectors extends QueryModule {
 
   /** [[minhashCtes]] with character 5-gram shingles over lowercased,
     * whitespace-folded text (mirrors [[NearDup.charShingles]]). */
-  private val charMinhashCtes: String =
+  private val charMinhashCtes: String = charMinhashCtesFrom(
+    s"""SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+      |  FROM documents WHERE length(text) > 0""".stripMargin)
+
+  /** [[charMinhashCtes]] over an arbitrary `(doc_id, t)` source —
+    * q312 swaps in the normalize_text-canonicalized corpus + planted
+    * variants; the shingle/sig/band/est chain is shared verbatim. */
+  private def charMinhashCtesFrom(t0Sql: String): String =
     s"""t0 AS (
-      |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-      |  FROM documents WHERE length(text) > 0
+      |  $t0Sql
       |), sh AS (
       |  SELECT doc_id,
       |         unnest(list_distinct(${NearDup.duckCharShinglesSql("t", 5)})) AS sh
@@ -913,6 +942,18 @@ object Vectors extends QueryModule {
 
     "q134_char_minhash" ->
       s"WITH $charMinhashCtes\nSELECT d1, d2, est_jaccard FROM est",
+
+    "q312_unicode_char_minhash" -> {
+      val norm = graft.functions.NormalizeText.oracleSql("text")
+      val t0 =
+        s"""SELECT doc_id, regexp_replace($norm, '\\s+', ' ', 'g') AS t
+           |  FROM (SELECT doc_id, text FROM documents
+           |        UNION ALL
+           |        SELECT * FROM (VALUES ${TextDedup.unicodePlantedValuesSql})
+           |          v(doc_id, text))
+           |  WHERE length(text) > 0""".stripMargin
+      s"WITH ${charMinhashCtesFrom(t0)}\nSELECT d1, d2, est_jaccard FROM est"
+    },
 
     // Clusters = connected components over the minhash near-dup pairs —
     // DuckDB recomputes the same min-reachable-label fixpoint with a
