@@ -16,7 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercase alnum tokens; empty strings (leading separators) dropped. */
+  /** Lowercase alnum tokens; empty strings (leading separators) dropped.
+    *
+    * ASCII-alphabet contract (deliberate, mirrored verbatim by every
+    * DuckDB oracle's `[^a-z0-9]+` split): non-ASCII letters act as
+    * token SEPARATORS, so `café` tokenizes to `caf` and word-token
+    * operators see non-Latin scripts as boundary soup. This is the
+    * harness corpus's contract, not a universal tokenizer claim — on
+    * real multilingual corpora route through the byte/char-level paths
+    * instead (char-shingle minhash q134/q312, char BPE q308/q309,
+    * [[graft.functions.NormalizeText]]-composed fingerprints q307),
+    * which never split on letter class. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
