@@ -19,7 +19,19 @@ import org.apache.spark.sql.functions._
   * get HIGH rank, so almost everything points AT them and their
   * out-degree stays ≤ O(√m).
   *
-  * All three joins are equi-joins on node keys (shuffle-partitioned,
+  * Triangles are then CLOSED BY ADJACENCY INTERSECTION, not by a wedge
+  * join: each oriented edge (s,t) contributes |N⁺(s) ∩ N⁺(t)| triangles
+  * (w ranks above both, so the triangle is found exactly once, at its
+  * lowest-ranked edge). The intersection form touches the same
+  * Σ out-deg² elements the wedge join would, but as contiguous
+  * in-memory array probes inside one codegen'd `array_intersect` —
+  * no O(Σ out-deg²) wedge ROWS are ever materialized or shuffled, and
+  * the third join disappears. Degree orientation is also what bounds
+  * the collected adjacency arrays: out-deg ≤ O(√(2m)), so a per-node
+  * neighbor list is ≤ ~√(2m)·8 bytes even at 10⁹ edges — a hub's list
+  * at m = 10⁹ is ~360 KB, never a driver or executor hazard.
+  *
+  * All joins are equi-joins on node keys (shuffle-partitioned,
   * AQE-planned); nothing is collected. The result is orientation-
   * independent — any total order finds the same triangle set — which
   * is what lets the DuckDB oracle use plain id-ordering while this
@@ -45,33 +57,43 @@ object Triangles {
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // Orient low rank → high rank under (degree, id), carrying the HEAD
-    // endpoint's rank (`rt`) so the wedge stage can order out-neighbor
-    // pairs without a re-join. Persisted: it is read three times below
-    // (wedge legs + closing edge), and without materialization each read
-    // re-runs the whole scan → canonicalize → degree-join pipeline (repo
-    // caching contract — callers clearCache).
+    // Orient low rank → high rank under (degree, id). Persisted: read
+    // twice below (adjacency build + edge stream), and without
+    // materialization each read re-runs the whole scan → canonicalize →
+    // degree-join pipeline (repo caching contract — callers clearCache).
     val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val o = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(
         when(lower, col("u")).otherwise(col("v")).as("s"),
-        when(lower, col("v")).otherwise(col("u")).as("t"),
-        when(lower, struct(col("dv").as("d"), col("v").as("n")))
-          .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("rt"))
+        when(lower, col("v")).otherwise(col("u")).as("t"))
       .persist()
-    // Wedge at the lowest-ranked corner, generated rank-ORDERED
-    // (rank b < rank c): each unordered out-neighbor pair appears once,
-    // not twice — C(out-deg, 2) wedge rows instead of out-deg² — and the
-    // closing edge b→c (oriented low→high rank by construction) matches
-    // the wedge's ordering exactly, so each triangle still counts once.
-    val tri = o.select(col("s"), col("t").as("b"), col("rt").as("rb"))
-      .join(o.select(col("s"), col("t").as("c"), col("rt").as("rc")), Seq("s"))
-      .filter(col("rb") < col("rc"))
-      .join(o.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
-    tri.select(explode(array(col("s"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    // Out-adjacency arrays under the orientation: |N⁺| ≤ O(√(2m)) by the
+    // degree ordering, so every array is boundedly small. Persisted: fed
+    // to both sides of the edge join (recomputing the groupBy per join
+    // arm would double the shuffle).
+    val adj = o.groupBy(col("s").as("n"))
+      .agg(collect_list(col("t")).as("nbrs")).persist()
+    // A triangle a<b<c (rank order) is closed exactly once, at its
+    // lowest edge (a,b): c ∈ N⁺(a) ∩ N⁺(b). Inner joins are exact — an
+    // endpoint with no out-neighbors closes nothing.
+    val inter = o
+      .join(adj.select(col("n").as("s"), col("nbrs").as("__ns")), Seq("s"))
+      .join(adj.select(col("n").as("t"), col("nbrs").as("__nt")), Seq("t"))
+      .select(col("s"), col("t"),
+        array_intersect(col("__ns"), col("__nt")).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .persist()
+    // Per-triangle credit to all three corners: s and t once per element
+    // of the intersection, each w once per appearance. Only triangle-
+    // count rows flow here — Σ out-deg² never materializes as rows.
+    val sides = inter
+      .select(col("s").as("node"), size(col("__ws")).cast("long").as("c"))
+      .unionAll(inter.select(col("t").as("node"),
+        size(col("__ws")).cast("long").as("c")))
+      .unionAll(inter.select(explode(col("__ws")).as("node"), lit(1L).as("c")))
+    sides.groupBy(col("node")).agg(sum(col("c")).as("n_triangles"))
   }
 
   /** Local clustering coefficients: cc(v) = triangles(v) / C(deg v, 2)
