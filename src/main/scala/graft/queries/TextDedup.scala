@@ -69,12 +69,27 @@ object TextDedup extends QueryModule {
 
   private val (linePer, lineMinTokens) = (12, 5)
 
+  /** q313: winnowing with 5-gram hashes in a window of 4 (guarantee:
+    * any shared run of ≥ k+w−1 = 8 tokens co-fingerprints; expected
+    * density 2/(w+1) = 0.4); fingerprints in > 50 docs are template
+    * grams and sit out pair generation; pairs need ≥ 2 shared. */
+  private val (winnowK, winnowW) = (5, 4)
+  private val (winnowDfCap, winnowMinShared) = (50L, 2L)
+
   private val leakSalt = "spl-leak"
 
   private val leakSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
+    // argmin over k-gram hashes — a local ~2/(w+1) sample carrying the
+    // guarantee that any shared token run of ≥ k+w−1 tokens produces a
+    // shared fingerprint; only the winnowed sample pays the pair join.
+    "q313_winnow_pairs" -> ((s, dir) =>
+      graft.text.Winnow.matchPairs(Tables(s, dir).documents,
+        "doc_id", "text", winnowK, winnowW, winnowDfCap, winnowMinShared)),
+
     // Unicode-canonicalized dedup: normalize_text (native NFC +
     // width-fold + simple lower, expression #8) composed BEFORE the
     // fingerprint — the planted NFD / fullwidth / case variants of one
@@ -375,6 +390,10 @@ object TextDedup extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q313_winnow_pairs" -> graft.text.Winnow.matchPairsOracleSql(
+      "documents", "doc_id", Text.toksSql, winnowK, winnowW,
+      winnowDfCap, winnowMinShared),
+
     "q307_unicode_dedup" -> {
       val values = unicodePlantedValuesSql
       val norm = graft.functions.NormalizeText.oracleSql("text")

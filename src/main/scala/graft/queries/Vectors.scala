@@ -374,6 +374,20 @@ object Vectors extends QueryModule {
       graft.similarity.IVF.outliers(base(t), cents, minCos = 0.08)
     }),
 
+    // Simplified silhouette over the q58 centroid frame: per-point
+    // margin (b−a)/max(a,b) against nearest vs runner-up centroid —
+    // one scan-projection (literal centroids, quantized-L2 folds),
+    // one keyed aggregation; full silhouette's O(n²) never happens.
+    "q314_silhouette" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      graft.similarity.KMeans.simplifiedSilhouette(base(t), cents)
+    }),
+
     // One k-means Lloyd iteration: literal-centroid assignment (zero
     // corpus shuffle) + exact integer-quantized centroid update (one
     // map-side-combinable aggregation; order-independent sums so the
@@ -847,6 +861,15 @@ object Vectors extends QueryModule {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
         |  FROM cands
         |) WHERE rn <= 5""".stripMargin,
+
+    "q314_silhouette" -> graft.similarity.KMeans.silhouetteOracleSql(
+      bSql = """SELECT vec_id AS id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+                FROM embeddings""",
+      cSql = """SELECT vec_id AS cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings WHERE vec_id < 8""",
+      qdistSql = qdistSqlFor("ev", "cv")),
 
     "q58_kmeans_step" ->
       s"""WITH b AS (

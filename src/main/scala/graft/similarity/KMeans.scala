@@ -149,4 +149,73 @@ object KMeans {
        |FROM dot
        |JOIN nrm na ON na.g = group_a
        |JOIN nrm nb ON nb.g = group_b""".stripMargin
+
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * readout that prices separation, complementing [[lloydStep]]'s
+    * convergence and the q280 ARI's label agreement: per point,
+    * a = distance to its own (nearest) centroid, b = distance to the
+    * runner-up centroid, s = (b − a) / max(a, b). With argmin
+    * assignment a ≤ b always, so s ∈ [0, 1) reads as a separation
+    * margin — s → 0 means the point sits on a cell boundary (k too
+    * large / overlapping clusters), s → 1 tight isolated cells. Full
+    * silhouette's O(n²) pairwise distances never happen: centroids are
+    * literal-sized, so the whole scoring stage is ONE scan-projection
+    * with zero shuffle, then one keyed aggregation.
+    *
+    * Cross-engine exactness: distances are [[PQ.qdistToLit]] integer-
+    * quantized squared L2 (the q75/q76-proven folds); s derives in
+    * doubles from those integers (IEEE sqrt is correctly rounded — bit
+    * identical on both engines) and re-quantizes before the mean, so
+    * the per-cell sum is order-independent.
+    *
+    * @param cents literal centroids (≥ 2), the [[lloydStep]] shape
+    * @return (cell, n, mean_s) — assignment here is L2-argmin (ties to
+    *         lowest cid), the metric the silhouette itself scores */
+  def simplifiedSilhouette(base: DataFrame, cents: Seq[(Long, Seq[Double])],
+      vecCol: String = "ev"): DataFrame = {
+    require(cents.size >= 2, "silhouette needs >= 2 centroids")
+    val dists = array_sort(array(cents.map { case (cid, cv) =>
+      struct(PQ.qdistToLit(col(vecCol), cv).cast("long").as("d2"),
+        lit(cid).as("cid"))
+    }: _*))
+    val a2 = element_at(dists, 1).getField("d2")
+    val b2 = element_at(dists, 2).getField("d2")
+    val s = when(b2 > 0L,
+      (sqrt(b2.cast("double")) - sqrt(a2.cast("double"))) /
+        sqrt(b2.cast("double"))).otherwise(lit(0.0))
+    base
+      .select(element_at(dists, 1).getField("cid").as("cell"),
+        floor(s * lit(1e6)).cast("long").as("__qs"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("__qs")).as("__sq"))
+      .select(col("cell"), col("n"),
+        (col("__sq").cast("double") / col("n") / lit(1e6)).as("mean_s"))
+  }
+
+  /** DuckDB oracle for [[simplifiedSilhouette]]: `bSql`/`cSql` are CTE
+    * bodies producing (id, ev) points and (cid, cv) centroids;
+    * `qdistSql` the shared quantized-L2 fragment over (ev, cv). */
+  def silhouetteOracleSql(bSql: String, cSql: String,
+      qdistSql: String): String =
+    s"""WITH b AS ($bSql), c AS ($cSql),
+       |d AS (
+       |  SELECT b.id, c.cid, $qdistSql AS qd2 FROM b CROSS JOIN c
+       |), r AS (
+       |  SELECT id, cid, qd2,
+       |         row_number() OVER (PARTITION BY id ORDER BY qd2, cid) AS rn
+       |  FROM d
+       |), ab AS (
+       |  SELECT a.id, a.cid AS cell, a.qd2 AS a2, bb.qd2 AS b2
+       |  FROM r a JOIN r bb ON a.id = bb.id AND a.rn = 1 AND bb.rn = 2
+       |), s AS (
+       |  SELECT cell,
+       |         CAST(floor(CASE WHEN b2 > 0 THEN
+       |             (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+       |               / sqrt(CAST(b2 AS DOUBLE))
+       |           ELSE 0.0 END * 1000000.0) AS BIGINT) AS qs
+       |  FROM ab
+       |)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(qs) AS DOUBLE) / count(*) / 1000000.0 AS mean_s
+       |FROM s GROUP BY 1""".stripMargin
 }

@@ -81,7 +81,7 @@ object PQ {
   /** Integer-quantized squared L2 between a sub-vector column and one
     * literal sub-centroid: `floor(10⁶ · (s·s − 2·s·c + c·c))`, every dot
     * the same left-fold [[DotProduct]] the oracle mirrors. */
-  private def qdistToLit(sv: Column, cv: Seq[Double]): Column = {
+  private[similarity] def qdistToLit(sv: Column, cv: Seq[Double]): Column = {
     val litArr = array(cv.map(lit): _*)
     floor((DotProduct.dot(sv, sv)
       - lit(2.0) * DotProduct.dot(sv, litArr)

@@ -602,4 +602,25 @@ class SimilaritySpec extends SparkSuite {
     assert(out(1L) == 11L)
     assert(out(2L) == 13L)
   }
+
+  test("simplifiedSilhouette: tight separated cells score near 1, " +
+      "boundary points near 0, ties assign to lowest cid") {
+    import spark.implicits._
+    val cents = Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 0.0))
+    val pts = Seq(
+      (1L, Seq(0.1, 0.0)),   // tight around centroid 0
+      (2L, Seq(-0.1, 0.0)),
+      (3L, Seq(10.1, 0.0)),  // tight around centroid 1
+      (4L, Seq(9.9, 0.0)),
+      (5L, Seq(5.0, 0.0)))   // exact boundary: tie → cell 0, s = 0
+      .toDF("id", "ev")
+    val out = graft.similarity.KMeans.simplifiedSilhouette(pts, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(0L)._1 == 3L && out(1L)._1 == 2L)
+    // cell 1's two points: a=0.1, b=9.9-ish → s ≈ 1 − a/b > 0.98
+    assert(out(1L)._2 > 0.98)
+    // cell 0 averages two tight points (~0.99) with the s=0 boundary
+    assert(out(0L)._2 > 0.6 && out(0L)._2 < 0.7)
+  }
 }
