@@ -567,6 +567,15 @@ object Curation extends QueryModule {
       graft.text.Segments.languageMix(Tables(s, dir).documents,
         "doc_id", "text", segPer)),
 
+    // q99's removal form: monolingual extraction — keep only the
+    // English-verdict segments, re-serialized in document order; mixed
+    // docs contribute their matching paragraphs instead of polluting
+    // the bucket whole. One keyed aggregation after zero-shuffle
+    // chunking; token-free docs survive as (0, 0, '').
+    "q315_lang_filter" -> ((s, dir) =>
+      graft.text.Segments.languageFilterSegments(Tables(s, dir).documents,
+        "doc_id", "text", segPer, targetLang = "en")),
+
     // Tokenizer application: every token to its q78-vocabulary rank
     // (OOV -> 0), long form (doc, pos, id). Corpus side never shuffles;
     // the vocab join broadcasts.
@@ -961,6 +970,47 @@ object Curation extends QueryModule {
         |         / CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE)
         |         AS token_share
         |FROM g""".stripMargin,
+
+    // q99's segment + verdict chain, then q81's ordered string_agg fold
+    // with the LEFT JOIN empty-doc convention.
+    "q315_lang_filter" ->
+      s"""WITH t AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, len(toks) - 1, $segPer)) AS st,
+        |         toks
+        |  FROM t WHERE len(toks) > 0
+        |), seg AS (
+        |  SELECT doc_id, st, list_slice(toks, st + 1, st + $segPer) AS ctoks
+        |  FROM e
+        |), h AS (
+        |  SELECT doc_id, st, ctoks,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopEn)})) AS en,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopEs)})) AS es,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopDe)})) AS de,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopFr)})) AS fr
+        |  FROM seg
+        |), l AS (
+        |  SELECT doc_id, st, ctoks,
+        |         CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |              WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |              WHEN de >= fr AND de > 0 THEN 'de'
+        |              WHEN fr > 0 THEN 'fr'
+        |              ELSE 'und' END AS lang
+        |  FROM h
+        |), g AS (
+        |  SELECT doc_id, count(*) AS n_segments,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(CASE WHEN lang = 'en'
+        |             THEN array_to_string(ctoks, ' ') END, ' ' ORDER BY st), '')
+        |           AS kept_text
+        |  FROM l GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(g.n_segments, 0) AS BIGINT) AS n_segments,
+        |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(g.kept_text, '') AS kept_text
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
 
     // Per-segment language ID mirrors q21's CASE over each 16-token
     // slice; the mode window and per-doc fold mirror languageMix.

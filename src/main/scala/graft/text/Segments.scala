@@ -417,6 +417,45 @@ object Segments {
       .drop("__mk")
   }
 
+  /** Segment-level language FILTER — the removal form of [[languageMix]]
+    * (the report→removal pattern of q109/q250): keep only the segments
+    * whose language verdict matches `targetLang`, re-serialize the
+    * survivors in document order, and account for what was dropped.
+    * This is the monolingual-corpus extraction stage public pipelines
+    * run after per-paragraph language ID: a mixed doc contributes its
+    * matching paragraphs instead of polluting the bucket whole or being
+    * dropped whole.
+    *
+    * Plan shape: zero-shuffle chunking + per-segment verdict, ONE keyed
+    * aggregation folding kept segments back into text (order restored
+    * by sorting the collected (chunk_idx, text) structs — bounded by
+    * segments-per-doc), then the q81-style left join so token-free
+    * documents survive as (0, 0, '').
+    *
+    * @return (idCol, n_segments, n_kept, kept_text) */
+  def languageFilterSegments(docs: DataFrame, idCol: String,
+      textCol: String, segTokens: Int,
+      targetLang: String = "en"): DataFrame = {
+    val segs = chunkedTokens(docs, idCol, textCol, segTokens, segTokens)
+      .withColumn("__lang", TextAnalysis.langId(col("__chunk")))
+    // collect_list skips the nulls the non-matching segments become, so
+    // only kept segments are collected; sort restores document order.
+    val agg = segs.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("__lang") === targetLang, 1L).otherwise(0L))
+        .as("n_kept"),
+      array_join(transform(array_sort(collect_list(
+          when(col("__lang") === targetLang,
+            struct(col("chunk_idx"),
+              array_join(col("__chunk"), " ").as("t"))))),
+        x => x.getField("t")), " ").as("kept_text"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Middle-out truncation to a token budget: documents over `maxTokens`
     * keep their first `headTokens` and last `tailTokens` tokens with an
     * ellipsis marker between — the context-window-fitting transform

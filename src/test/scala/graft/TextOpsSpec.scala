@@ -1510,4 +1510,25 @@ class TextOpsSpec extends SparkSuite {
     assert(planted(1)._2.contains("́"),
       "NFD fixture lost its combining mark — source file was normalized")
   }
+
+  test("languageFilterSegments keeps English segments in order, drops " +
+      "the Spanish ones, and passes token-free docs through as (0,0,'')") {
+    import spark.implicits._
+    val en1 = "the cat is in the hat and the dog is on the log it is fun"
+    val es = "el perro y la casa de los gatos en un rio que es de la luz"
+    val en2 = "a bird in the hand is worth two of the bush and the rest now"
+    // 16 tokens per segment; doc 1 = en/es/en, doc 2 = all-Spanish, 3 = empty
+    val docs = Seq(
+      (1L, s"$en1 $es $en2"),
+      (2L, es),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.text.Segments
+      .languageFilterSegments(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L)
+    assert(out(1L)._3 == s"$en1 $en2")
+    assert(out(2L) == ((1L, 0L, "")))
+    assert(out(3L) == ((0L, 0L, "")))
+  }
 }
