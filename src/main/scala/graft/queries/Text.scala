@@ -89,6 +89,11 @@ object Text extends QueryModule {
     * merge table and the encode replay derive from the same constant. */
   private val bpeNMerges = 16
 
+  /** q316/q317: unigram vocabulary = closed single-char alphabet + the
+    * 48 most frequent multi-char substrings; shared by the Spark plan
+    * and the oracle replay. */
+  private val unigramTopN = 48
+
   /** q116: LM trained on doc_id % 11 ≠ 0 (x55's held-in split — the
     * held-out tenth plus junk docs pay unseen-bigram cost); bigrams
     * seen once are pruned, exercising the model-size lever. */
@@ -510,6 +515,32 @@ object Text extends QueryModule {
         .trainMerges(docs, "doc_id", "text", bpeNMerges)
         .map(m => (m._2, m._3))
       graft.text.Bpe.encode(docs, "doc_id", "text", merges)
+    }),
+
+    // Unigram-LM (SentencePiece-objective) piece vocabulary: the
+    // closed single-char alphabet (no OOV path, the charSymbols role)
+    // + top-48 multi-char substrings by occurrence frequency over the
+    // DISTINCT-word table, scored with the bit-length cost
+    // blog(T)−blog(freq)+1 — the second real tokenizer family next to
+    // BPE (q110/q308): BPE composes greedily by merge rank, unigram
+    // picks the globally best segmentation per word.
+    "q316_unigram_pieces" -> ((s, dir) =>
+      graft.text.Unigram.trainPieces(Tables(s, dir).documents,
+        "doc_id", "text", topN = unigramTopN)),
+
+    // Unigram Viterbi scoring: per distinct corpus word, the minimal
+    // total piece cost over ALL segmentations (DP over ≤6-char last
+    // pieces, ties to shortest), with the trained vocabulary embedded
+    // as a literal map (collected, contract-bounded — the Bpe
+    // merge-table idiom). Pure per-row array DP after the one
+    // word-frequency shuffle; the oracle unrolls the DP one CTE per
+    // character position.
+    "q317_unigram_cost" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pieces = graft.text.Unigram.collectPieces(
+        graft.text.Unigram.trainPieces(docs, "doc_id", "text",
+          unigramTopN))
+      graft.text.Unigram.viterbiCost(docs, "doc_id", "text", pieces)
     }),
 
     // CHAR-LEVEL BPE train: the same merge recurrence seeded with
@@ -1025,6 +1056,12 @@ object Text extends QueryModule {
 
     "q111_bpe_encode" -> graft.text.Bpe.encodeOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", bpeNMerges),
+
+    "q316_unigram_pieces" -> graft.text.Unigram.trainOracleSql(
+      "documents", toksSql, unigramTopN),
+
+    "q317_unigram_cost" -> graft.text.Unigram.viterbiOracleSql(
+      "documents", toksSql, unigramTopN),
 
     "q310_deflate_parity" -> {
       val rows = deflateParity.map { case (id, t) =>

@@ -1,0 +1,237 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer scoring (the SentencePiece objective, Kudo
+  * 2018): score a vocabulary of substring PIECES by corpus frequency,
+  * then segment each word into the piece sequence minimizing total cost
+  * via Viterbi DP — the second of the two real tokenizer families next
+  * to [[Bpe]] (BPE composes greedily by merge rank; unigram picks the
+  * GLOBALLY best segmentation per word under per-piece scores, which is
+  * why it can undo a locally-frequent-but-globally-poor split).
+  * Reference analogue: none — LLM-pipeline surface.
+  *
+  * Integer contract (the [[LangModel]] bit-length quantization): piece
+  * cost = blog(T) − blog(freq) + 1 with blog(x) = |bin(x)| =
+  * ⌊log2 x⌋+1 and T the selected vocabulary's total frequency mass —
+  * order-preserving in the true −log p, integer-exact on both engines,
+  * so Viterbi costs hash-match the DuckDB replay. Every single-char
+  * substring seen in the corpus is force-included in the vocabulary
+  * (the [[Bpe.charSymbols]] closed-alphabet role: no OOV path exists),
+  * so the DP always completes; multi-char pieces enter by top-N
+  * frequency with (freq desc, piece asc) tie-break.
+  *
+  * Scale contract: training = one explode-substrings aggregation over
+  * the DISTINCT-word frequency table (substring fan-out ≤ W·L per
+  * distinct word, priced by vocabulary size, not corpus size) + a
+  * two-phase top-N. Scoring/segmentation = pure per-row array DP over
+  * distinct words with the piece table as a LITERAL map (the trained
+  * vocabulary is contract-bounded, the [[Bpe]] merge-table idiom) —
+  * zero shuffles beyond the word-frequency aggregation; at 100 TB one
+  * trains on a sample and scores the full corpus the same way.
+  *
+  * Words longer than `maxWordLen` are excluded (documented cap — the
+  * oracle's DP unrolls one CTE per character position; harness-corpus
+  * words are all far shorter). Costs saturate at [[INF]] per piece, so
+  * a word using only forced single-char pieces stays below 2⁶³.
+  */
+object Unigram {
+
+  /** Per-piece cost ceiling for pieces missing from the vocabulary —
+    * never selectable against any in-vocabulary alternative, yet
+    * W·INF stays far under Long.MaxValue. */
+  val INF: Long = 1L << 40
+
+  /** Distinct-word frequency table: (word, n), words ≤ `maxWordLen`
+    * chars. One keyed aggregation — everything downstream is priced by
+    * |vocabulary|, not corpus rows. */
+  def wordFreq(docs: DataFrame, idCol: String, textCol: String,
+      maxWordLen: Int): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** All substrings of `w` up to length `maxPieceLen`, one entry per
+    * occurrence position (so "aaa" yields "a" three times — occurrence
+    * counting, the unigram seed statistic). */
+  private def allSubstrings(w: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - i + 1)),
+        l => w.substr(i, l))))
+
+  /** Train the piece vocabulary: every single-char substring seen in
+    * the corpus (the closed alphabet) plus the `topN` most frequent
+    * multi-char substrings, scored by the bit-length cost.
+    *
+    * @return (piece, freq, cost) */
+  def trainPieces(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int, maxPieceLen: Int = 6, maxWordLen: Int = 16): DataFrame = {
+    require(topN >= 1 && maxPieceLen >= 2 && maxWordLen >= maxPieceLen)
+    val freqs = wordFreq(docs, idCol, textCol, maxWordLen)
+      .select(explode(allSubstrings(col("word"), maxPieceLen)).as("piece"),
+        col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("freq"))
+    val singles = freqs.filter(length(col("piece")) === 1)
+    val multis = freqs.filter(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(topN)
+    val sel = singles.unionAll(multis)
+    // one-row total mass broadcast (stat-broadcast idiom, not a collect)
+    val tot = sel.agg(sum(col("freq")).as("__t"))
+    sel.crossJoin(broadcast(tot))
+      .select(col("piece"), col("freq"),
+        (length(bin(col("__t"))) - length(bin(col("freq"))) + 1)
+          .cast("long").as("cost"))
+  }
+
+  /** [[trainPieces]] collected to the literal vocabulary the scoring
+    * stage embeds — contract-bounded (≤ topN + |alphabet| rows, the
+    * [[Bpe.trainMerges]] idiom). @return (piece, cost) */
+  def collectPieces(pieces: DataFrame): Seq[(String, Long)] =
+    pieces.select(col("piece"), col("cost")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  /** Forward Viterbi DP over one word: position k's entry is the best
+    * (cost, backpointer-length) over last-piece lengths j = 1..L, ties
+    * to the SMALLEST j — a total order, so the chosen segmentation is
+    * deterministic and engine-portable. acc(0) is the empty prefix. */
+  private def dpExpr(w: Column, costMap: Column, maxPieceLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(0L).as("c"), lit(0).as("j"))),
+      (acc, k) => concat(acc, array(array_min(filter(
+        array((1 to maxPieceLen).map { j =>
+          when(k >= j, struct(
+            (element_at(acc, (k - j + 1).cast("int")).getField("c") +
+              coalesce(element_at(costMap, w.substr(k - j + 1, lit(j))),
+                lit(INF))).as("c"),
+            lit(j).as("j")))
+        }: _*), x => x.isNotNull)))))
+
+  /** Per-word Viterbi cost against a literal piece vocabulary:
+    * (word, n, cost) over the corpus's distinct words. Pure per-row
+    * array DP — the one shuffle is [[wordFreq]]'s. */
+  def viterbiCost(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Long)], maxPieceLen: Int = 6,
+      maxWordLen: Int = 16): DataFrame = {
+    val costMap = map(pieces.flatMap { case (p, c) =>
+      Seq(lit(p), lit(c)) }: _*)
+    wordFreq(docs, idCol, textCol, maxWordLen)
+      .select(col("word"), col("n"),
+        element_at(dpExpr(col("word"), costMap, maxPieceLen),
+          length(col("word")) + 1).getField("c").as("cost"))
+  }
+
+  /** Viterbi SEGMENTATION: backtrack the DP's backpointers to the
+    * chosen pieces. @return (word, n, cost, pieces) with `pieces` the
+    * space-joined segmentation (concat of pieces = word by
+    * construction — SegmentsSpec invariant). */
+  def segment(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Long)], maxPieceLen: Int = 6,
+      maxWordLen: Int = 16): DataFrame = {
+    val costMap = map(pieces.flatMap { case (p, c) =>
+      Seq(lit(p), lit(c)) }: _*)
+    val withDp = wordFreq(docs, idCol, textCol, maxWordLen)
+      .select(col("word"), col("n"),
+        dpExpr(col("word"), costMap, maxPieceLen).as("__dp"))
+    // Backtrack: fold word-length steps carrying (pos, pieces-reversed);
+    // once pos reaches 0 the remaining steps no-op. j at position pos is
+    // the chosen last-piece length for the prefix of length pos.
+    val bt = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(length(col("word")).as("pos"),
+        array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val j = element_at(col("__dp"), pos + 1).getField("j")
+        when(pos > 0, struct(
+          (pos - j).as("pos"),
+          concat(array(col("word").substr(pos - j + 1, j)),
+            acc.getField("ps")).as("ps")))
+          .otherwise(acc)
+      })
+    withDp.select(col("word"), col("n"),
+      element_at(col("__dp"), length(col("word")) + 1)
+        .getField("c").as("cost"),
+      array_join(bt.getField("ps"), " ").as("pieces"))
+  }
+
+  /** Corpus piece counts under the Viterbi segmentation — the unigram
+    * EM E-step count table (and the readout that shows which pieces the
+    * tokenizer actually USES, as opposed to trained): piece occurrences
+    * weighted by word frequency. @return (piece, n_words, n_uses) */
+  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Long)], maxPieceLen: Int = 6,
+      maxWordLen: Int = 16): DataFrame =
+    segment(docs, idCol, textCol, pieces, maxPieceLen, maxWordLen)
+      .select(col("n"), explode(split(col("pieces"), " ")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_uses"))
+
+  // ---------------------------------------------------------------- SQL
+
+  /** Shared DuckDB CTE chain ending in `pieces(piece, freq, cost)` and
+    * `wds(word, n)`; `toksSql` is the tokenizer fragment over
+    * `documents.text`. */
+  def piecesCtes(table: String, toksSql: String, topN: Int,
+      maxPieceLen: Int, maxWordLen: Int): String =
+    s"""wds AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($toksSql) AS tok FROM $table)
+       |  WHERE len(tok) <= $maxWordLen GROUP BY 1
+       |), si AS (
+       |  SELECT word, n, unnest(generate_series(1, len(word))) AS i FROM wds
+       |), sl AS (
+       |  SELECT word, n, i,
+       |         unnest(generate_series(1,
+       |           least($maxPieceLen, len(word) - i + 1))) AS l
+       |  FROM si
+       |), pf AS (
+       |  SELECT substr(word, i, l) AS piece, CAST(sum(n) AS BIGINT) AS freq
+       |  FROM sl GROUP BY 1
+       |), sel AS (
+       |  SELECT piece, freq FROM pf WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM pf WHERE len(piece) >= 2
+       |    ORDER BY freq DESC, piece LIMIT $topN)
+       |), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM sel),
+       |pieces AS (
+       |  SELECT piece, freq,
+       |         CAST(length(bin(t)) - length(bin(freq)) + 1 AS BIGINT) AS cost
+       |  FROM sel, tot)""".stripMargin
+
+  /** DuckDB oracle for [[trainPieces]]. */
+  def trainOracleSql(table: String, toksSql: String, topN: Int,
+      maxPieceLen: Int = 6, maxWordLen: Int = 16): String =
+    s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)}
+       |SELECT piece, freq, cost FROM pieces""".stripMargin
+
+  /** DuckDB oracle for [[viterbiCost]] with the vocabulary replayed
+    * from the same corpus: the DP unrolls one CTE per character
+    * position (d1..dW), each position's cost the least over the ≤ L
+    * last-piece candidates, each candidate a correlated lookup into
+    * `pieces` saturating at [[INF]]. */
+  def viterbiOracleSql(table: String, toksSql: String, topN: Int,
+      maxPieceLen: Int = 6, maxWordLen: Int = 16): String = {
+    val steps = (1 to maxWordLen).map { k =>
+      val terms = (1 to math.min(maxPieceLen, k)).map { j =>
+        s"""c${k - j} + coalesce((SELECT cost FROM pieces p
+           |             WHERE p.piece = substr(word, ${k - j + 1}, $j)), $INF)"""
+          .stripMargin
+      }.mkString(",\n           ")
+      s"""d$k AS (
+         |  SELECT *, CASE WHEN len(word) >= $k THEN least(
+         |           $terms) END AS c$k
+         |  FROM d${k - 1})""".stripMargin
+    }.mkString(", ")
+    val costCase = (1 to maxWordLen)
+      .map(k => s"WHEN $k THEN c$k").mkString(" ")
+    s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)},
+       |d0 AS (SELECT word, n, CAST(0 AS BIGINT) AS c0 FROM wds),
+       |$steps
+       |SELECT word, n,
+       |       CAST(CASE len(word) $costCase END AS BIGINT) AS cost
+       |FROM d$maxWordLen""".stripMargin
+  }
+}

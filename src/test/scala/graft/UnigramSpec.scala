@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Unigram
+
+class UnigramSpec extends SparkSuite {
+
+  private def doc(text: String) = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("trainPieces: hand-derived substring frequencies and bit-length costs") {
+    // words: aa, ab. substrings: a×3, b×1, aa×1, ab×1. T = 6, blog(6)=3.
+    val out = Unigram.trainPieces(doc("aa ab"), "doc_id", "text", topN = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      "a" -> ((3L, 2L)),   // 3 − blog(3)=2 + 1
+      "b" -> ((1L, 3L)),   // 3 − blog(1)=1 + 1
+      "aa" -> ((1L, 3L)),
+      "ab" -> ((1L, 3L))))
+  }
+
+  test("viterbi: longer piece wins when cheaper, tie breaks to shortest last piece") {
+    // ab+ab = 4 beats a+b+a+b = 12 and ab+a+b = 8
+    val longWins = Seq("a" -> 3L, "b" -> 3L, "ab" -> 2L)
+    val s1 = Unigram.segment(doc("abab"), "doc_id", "text", longWins)
+      .collect().head
+    assert(s1.getLong(2) == 4L && s1.getString(3) == "ab ab")
+    // tie: a+b = 2 == ab = 2 → smallest last-piece length → "a b"
+    val tied = Seq("a" -> 1L, "b" -> 1L, "ab" -> 2L)
+    val s2 = Unigram.segment(doc("ab"), "doc_id", "text", tied)
+      .collect().head
+    assert(s2.getLong(2) == 2L && s2.getString(3) == "a b")
+  }
+
+  test("out-of-alphabet chars price at INF instead of failing") {
+    // the DP even optimizes the failure: one unknown 2-char piece (INF)
+    // beats known 'a' + unknown 'z' (1 + INF)
+    val cost = Unigram.viterbiCost(doc("az"),
+        "doc_id", "text", Seq("a" -> 1L))
+      .collect().head.getLong(2)
+    assert(cost == Unigram.INF)
+  }
+
+  test("corpus invariants: concat(pieces) = word, piece costs sum to " +
+      "viterbi cost, pieceCounts mass = total pieces used") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the merge join runs the batch join fast"),
+      (2L, "merge sort beats hash join on sorted runs"),
+      (3L, "the the the merge merge")).toDF("doc_id", "text")
+    val pieces = Unigram.collectPieces(
+      Unigram.trainPieces(docs, "doc_id", "text", topN = 8))
+    val costOf = pieces.toMap
+    val segs = Unigram.segment(docs, "doc_id", "text", pieces).collect()
+    segs.foreach { r =>
+      val (word, cost, ps) = (r.getString(0), r.getLong(2), r.getString(3))
+      assert(ps.replace(" ", "") == word, s"pieces must respell $word")
+      assert(ps.split(" ").map(costOf).sum == cost,
+        s"piece costs must sum to the DP cost for $word")
+    }
+    val counts = Unigram.pieceCounts(docs, "doc_id", "text", pieces)
+      .agg(sum(col("n_uses"))).collect().head.getLong(0)
+    val expected = segs.map(r =>
+      r.getLong(1) * r.getString(3).split(" ").length).sum
+    assert(counts == expected)
+  }
+}
