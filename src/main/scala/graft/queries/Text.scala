@@ -543,6 +543,19 @@ object Text extends QueryModule {
       graft.text.Unigram.viterbiCost(docs, "doc_id", "text", pieces)
     }),
 
+    // Unigram piece USAGE: corpus piece counts under the Viterbi
+    // segmentation (backpointer backtrack) — the EM E-step count table,
+    // and the trained-vs-used readout (a piece the DP never picks is
+    // dead vocabulary). The oracle replays the backtrack with one CTE
+    // per step, reading the backpointer at the data-dependent position.
+    "q318_unigram_counts" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pieces = graft.text.Unigram.collectPieces(
+        graft.text.Unigram.trainPieces(docs, "doc_id", "text",
+          unigramTopN))
+      graft.text.Unigram.pieceCounts(docs, "doc_id", "text", pieces)
+    }),
+
     // CHAR-LEVEL BPE train: the same merge recurrence seeded with
     // single-character symbols + '_' end-of-word markers (Sennrich's
     // actual setup — real tokenizers are char/byte-level; q110's
@@ -1061,6 +1074,9 @@ object Text extends QueryModule {
       "documents", toksSql, unigramTopN),
 
     "q317_unigram_cost" -> graft.text.Unigram.viterbiOracleSql(
+      "documents", toksSql, unigramTopN),
+
+    "q318_unigram_counts" -> graft.text.Unigram.countsOracleSql(
       "documents", toksSql, unigramTopN),
 
     "q310_deflate_parity" -> {

@@ -158,15 +158,18 @@ object Unigram {
 
   /** Corpus piece counts under the Viterbi segmentation — the unigram
     * EM E-step count table (and the readout that shows which pieces the
-    * tokenizer actually USES, as opposed to trained): piece occurrences
-    * weighted by word frequency. @return (piece, n_words, n_uses) */
+    * tokenizer actually USES, as opposed to trained): n_words = distinct
+    * words whose segmentation uses the piece, n_uses = occurrences
+    * weighted by corpus word frequency. @return (piece, n_words, n_uses) */
   def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
       pieces: Seq[(String, Long)], maxPieceLen: Int = 6,
       maxWordLen: Int = 16): DataFrame =
     segment(docs, idCol, textCol, pieces, maxPieceLen, maxWordLen)
-      .select(col("n"), explode(split(col("pieces"), " ")).as("piece"))
+      .select(col("word"), col("n"),
+        explode(split(col("pieces"), " ")).as("piece"))
       .groupBy(col("piece"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_uses"))
+      .agg(countDistinct(col("word")).as("n_words"),
+        sum(col("n")).as("n_uses"))
 
   // ---------------------------------------------------------------- SQL
 
@@ -207,31 +210,89 @@ object Unigram {
     s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)}
        |SELECT piece, freq, cost FROM pieces""".stripMargin
 
+  /** The forward DP unrolled one CTE pair per character position: `ek`
+    * materializes the ≤ L last-piece candidate costs `tk_j` (each a
+    * correlated lookup into `pieces` saturating at [[INF]]), `dk` takes
+    * their least as `ck` and — when `withBp` — the smallest j attaining
+    * it as `bpk` (the same (cost, j) lexicographic argmin the Spark
+    * [[dpExpr]] array_min applies). */
+  private def dpCtes(maxPieceLen: Int, maxWordLen: Int,
+      withBp: Boolean): String =
+    (1 to maxWordLen).map { k =>
+      val js = 1 to math.min(maxPieceLen, k)
+      val termDefs = js.map { j =>
+        s"""c${k - j} + coalesce((SELECT cost FROM pieces p
+           |             WHERE p.piece = substr(word, ${k - j + 1}, $j)), $INF) AS t${k}_$j"""
+          .stripMargin
+      }.mkString(",\n         ")
+      val tCols = js.map(j => s"t${k}_$j").mkString(", ")
+      val bpCol = if (!withBp) "" else {
+        val branches = js.map(j => s"WHEN t${k}_$j = c$k THEN $j")
+          .mkString(" ")
+        s""",
+           |         CASE WHEN len(word) >= $k THEN
+           |           CASE $branches END END AS bp$k""".stripMargin
+      }
+      s"""e$k AS (
+         |  SELECT *,
+         |         $termDefs
+         |  FROM d${k - 1}
+         |), l$k AS (
+         |  SELECT *, CASE WHEN len(word) >= $k THEN least($tCols) END AS c$k
+         |  FROM e$k
+         |), d$k AS (
+         |  SELECT * EXCLUDE ($tCols)$bpCol
+         |  FROM l$k
+         |)""".stripMargin
+    }.mkString(", ")
+
   /** DuckDB oracle for [[viterbiCost]] with the vocabulary replayed
-    * from the same corpus: the DP unrolls one CTE per character
-    * position (d1..dW), each position's cost the least over the ≤ L
-    * last-piece candidates, each candidate a correlated lookup into
-    * `pieces` saturating at [[INF]]. */
+    * from the same corpus. */
   def viterbiOracleSql(table: String, toksSql: String, topN: Int,
       maxPieceLen: Int = 6, maxWordLen: Int = 16): String = {
-    val steps = (1 to maxWordLen).map { k =>
-      val terms = (1 to math.min(maxPieceLen, k)).map { j =>
-        s"""c${k - j} + coalesce((SELECT cost FROM pieces p
-           |             WHERE p.piece = substr(word, ${k - j + 1}, $j)), $INF)"""
-          .stripMargin
-      }.mkString(",\n           ")
-      s"""d$k AS (
-         |  SELECT *, CASE WHEN len(word) >= $k THEN least(
-         |           $terms) END AS c$k
-         |  FROM d${k - 1})""".stripMargin
-    }.mkString(", ")
     val costCase = (1 to maxWordLen)
       .map(k => s"WHEN $k THEN c$k").mkString(" ")
     s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)},
        |d0 AS (SELECT word, n, CAST(0 AS BIGINT) AS c0 FROM wds),
-       |$steps
+       |${dpCtes(maxPieceLen, maxWordLen, withBp = false)}
        |SELECT word, n,
        |       CAST(CASE len(word) $costCase END AS BIGINT) AS cost
        |FROM d$maxWordLen""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pieceCounts]]: forward DP with backpointers,
+    * then the backtrack unrolled one CTE per step — step s reads the
+    * backpointer AT the current position (a CASE over the bp columns,
+    * position is data-dependent), emits that last piece, and retreats;
+    * exhausted words no-op. The collected pieces unnest into the same
+    * (distinct-word, frequency-weighted) counts the Spark side
+    * aggregates. */
+  def countsOracleSql(table: String, toksSql: String, topN: Int,
+      maxPieceLen: Int = 6, maxWordLen: Int = 16): String = {
+    val btSteps = (1 to maxWordLen).map { s =>
+      val bpAt = (1 to maxWordLen)
+        .map(k => s"WHEN $k THEN bp$k").mkString(" ")
+      s"""b$s AS (
+         |  SELECT * EXCLUDE (pos, jsel),
+         |         CASE WHEN pos > 0
+         |              THEN substr(word, pos - jsel + 1, jsel) END AS piece$s,
+         |         CASE WHEN pos > 0 THEN pos - jsel ELSE 0 END AS pos
+         |  FROM (SELECT *, CASE pos $bpAt END AS jsel FROM b${s - 1}) r$s
+         |)""".stripMargin
+    }.mkString(", ")
+    val pieceList = (1 to maxWordLen).map(j => s"piece$j").mkString(", ")
+    s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)},
+       |d0 AS (SELECT word, n, CAST(0 AS BIGINT) AS c0 FROM wds),
+       |${dpCtes(maxPieceLen, maxWordLen, withBp = true)},
+       |b0 AS (SELECT *, len(word) AS pos FROM d$maxWordLen),
+       |$btSteps,
+       |uses AS (
+       |  SELECT word, n,
+       |         unnest(list_filter([$pieceList], x -> x IS NOT NULL)) AS piece
+       |  FROM b$maxWordLen
+       |)
+       |SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+       |       CAST(sum(n) AS BIGINT) AS n_uses
+       |FROM uses GROUP BY 1""".stripMargin
   }
 }
