@@ -556,6 +556,24 @@ object Text extends QueryModule {
       graft.text.Unigram.pieceCounts(docs, "doc_id", "text", pieces)
     }),
 
+    // One unigram EM refit: re-weight the vocabulary by what the
+    // Viterbi pass actually used (dead multi-char pieces pruned, the
+    // alphabet force-kept), re-derive costs, re-score every word —
+    // (word, n, cost0, cost1). The full E-step → M-step → re-score
+    // loop, each stage hash-matched by the oracle's doubled DP replay.
+    "q319_unigram_refit" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val u = graft.text.Unigram
+      val p0df = u.trainPieces(docs, "doc_id", "text", unigramTopN)
+      val p0 = u.collectPieces(p0df)
+      val p1 = u.collectPieces(u.refitPieces(p0df,
+        u.pieceCounts(docs, "doc_id", "text", p0)))
+      u.viterbiCost(docs, "doc_id", "text", p0)
+        .withColumnRenamed("cost", "cost0")
+        .join(u.viterbiCost(docs, "doc_id", "text", p1)
+          .select(col("word"), col("cost").as("cost1")), "word")
+    }),
+
     // CHAR-LEVEL BPE train: the same merge recurrence seeded with
     // single-character symbols + '_' end-of-word markers (Sennrich's
     // actual setup — real tokenizers are char/byte-level; q110's
@@ -1077,6 +1095,9 @@ object Text extends QueryModule {
       "documents", toksSql, unigramTopN),
 
     "q318_unigram_counts" -> graft.text.Unigram.countsOracleSql(
+      "documents", toksSql, unigramTopN),
+
+    "q319_unigram_refit" -> graft.text.Unigram.refitOracleSql(
       "documents", toksSql, unigramTopN),
 
     "q310_deflate_parity" -> {

@@ -171,6 +171,31 @@ object Unigram {
       .agg(countDistinct(col("word")).as("n_words"),
         sum(col("n")).as("n_uses"))
 
+  /** One unigram EM refit: re-weight the vocabulary by what the Viterbi
+    * segmentation actually USED ([[pieceCounts]]' n_uses — the E-step
+    * counts), dropping multi-char pieces the DP never picked (dead
+    * vocabulary, the SentencePiece pruning move) while force-keeping
+    * the single-char alphabet (closure — an unused single re-enters at
+    * weight 1). Costs re-derive with the same bit-length formula over
+    * the refit mass.
+    *
+    * @param pieces [[trainPieces]] output  @param counts [[pieceCounts]]
+    * @return (piece, freq, cost) — same shape as [[trainPieces]] */
+  def refitPieces(pieces: DataFrame, counts: DataFrame): DataFrame = {
+    val joined = pieces
+      .join(counts.select(col("piece"), col("n_uses")), Seq("piece"), "left")
+      .filter(length(col("piece")) === 1 || col("n_uses").isNotNull)
+      .select(col("piece"),
+        when(length(col("piece")) === 1,
+          greatest(coalesce(col("n_uses"), lit(0L)), lit(1L)))
+          .otherwise(col("n_uses")).as("__w"))
+    val tot = joined.agg(sum(col("__w")).as("__t"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("piece"), col("__w").as("freq"),
+        (length(bin(col("__t"))) - length(bin(col("__w"))) + 1)
+          .cast("long").as("cost"))
+  }
+
   // ---------------------------------------------------------------- SQL
 
   /** Shared DuckDB CTE chain ending in `pieces(piece, freq, cost)` and
@@ -178,7 +203,7 @@ object Unigram {
     * `documents.text`. */
   def piecesCtes(table: String, toksSql: String, topN: Int,
       maxPieceLen: Int, maxWordLen: Int): String =
-    s"""wds AS (
+    s"""wds AS MATERIALIZED (
        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT unnest($toksSql) AS tok FROM $table)
        |  WHERE len(tok) <= $maxWordLen GROUP BY 1
@@ -199,7 +224,7 @@ object Unigram {
        |    SELECT piece, freq FROM pf WHERE len(piece) >= 2
        |    ORDER BY freq DESC, piece LIMIT $topN)
        |), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM sel),
-       |pieces AS (
+       |pieces AS MATERIALIZED (
        |  SELECT piece, freq,
        |         CAST(length(bin(t)) - length(bin(freq)) + 1 AS BIGINT) AS cost
        |  FROM sel, tot)""".stripMargin
@@ -217,32 +242,33 @@ object Unigram {
     * it as `bpk` (the same (cost, j) lexicographic argmin the Spark
     * [[dpExpr]] array_min applies). */
   private def dpCtes(maxPieceLen: Int, maxWordLen: Int,
-      withBp: Boolean): String =
+      withBp: Boolean, piecesRel: String = "pieces",
+      pfx: String = ""): String =
     (1 to maxWordLen).map { k =>
       val js = 1 to math.min(maxPieceLen, k)
       val termDefs = js.map { j =>
-        s"""c${k - j} + coalesce((SELECT cost FROM pieces p
-           |             WHERE p.piece = substr(word, ${k - j + 1}, $j)), $INF) AS t${k}_$j"""
+        s"""${pfx}c${k - j} + coalesce((SELECT cost FROM $piecesRel p
+           |             WHERE p.piece = substr(word, ${k - j + 1}, $j)), $INF) AS ${pfx}t${k}_$j"""
           .stripMargin
       }.mkString(",\n         ")
-      val tCols = js.map(j => s"t${k}_$j").mkString(", ")
+      val tCols = js.map(j => s"${pfx}t${k}_$j").mkString(", ")
       val bpCol = if (!withBp) "" else {
-        val branches = js.map(j => s"WHEN t${k}_$j = c$k THEN $j")
+        val branches = js.map(j => s"WHEN ${pfx}t${k}_$j = ${pfx}c$k THEN $j")
           .mkString(" ")
         s""",
            |         CASE WHEN len(word) >= $k THEN
-           |           CASE $branches END END AS bp$k""".stripMargin
+           |           CASE $branches END END AS ${pfx}bp$k""".stripMargin
       }
-      s"""e$k AS (
+      s"""${pfx}e$k AS (
          |  SELECT *,
          |         $termDefs
-         |  FROM d${k - 1}
-         |), l$k AS (
-         |  SELECT *, CASE WHEN len(word) >= $k THEN least($tCols) END AS c$k
-         |  FROM e$k
-         |), d$k AS (
+         |  FROM ${pfx}d${k - 1}
+         |), ${pfx}l$k AS (
+         |  SELECT *, CASE WHEN len(word) >= $k THEN least($tCols) END AS ${pfx}c$k
+         |  FROM ${pfx}e$k
+         |), ${pfx}d$k AS (
          |  SELECT * EXCLUDE ($tCols)$bpCol
-         |  FROM l$k
+         |  FROM ${pfx}l$k
          |)""".stripMargin
     }.mkString(", ")
 
@@ -294,5 +320,60 @@ object Unigram {
        |SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
        |       CAST(sum(n) AS BIGINT) AS n_uses
        |FROM uses GROUP BY 1""".stripMargin
+  }
+
+  /** DuckDB oracle for the EM refit round-trip: [[countsOracleSql]]'s
+    * chain down to the usage counts, the [[refitPieces]] re-weighting as
+    * `pieces2`, then a SECOND unrolled DP (the `g`-prefixed chain)
+    * against the refit costs. @return (word, n, cost0, cost1) */
+  def refitOracleSql(table: String, toksSql: String, topN: Int,
+      maxPieceLen: Int = 6, maxWordLen: Int = 16): String = {
+    val btSteps = (1 to maxWordLen).map { s =>
+      val bpAt = (1 to maxWordLen)
+        .map(k => s"WHEN $k THEN bp$k").mkString(" ")
+      s"""b$s AS (
+         |  SELECT * EXCLUDE (pos, jsel),
+         |         CASE WHEN pos > 0
+         |              THEN substr(word, pos - jsel + 1, jsel) END AS piece$s,
+         |         CASE WHEN pos > 0 THEN pos - jsel ELSE 0 END AS pos
+         |  FROM (SELECT *, CASE pos $bpAt END AS jsel FROM b${s - 1}) r$s
+         |)""".stripMargin
+    }.mkString(", ")
+    val pieceList = (1 to maxWordLen).map(j => s"piece$j").mkString(", ")
+    val cost0Case = (1 to maxWordLen)
+      .map(k => s"WHEN $k THEN c$k").mkString(" ")
+    val cost1Case = (1 to maxWordLen)
+      .map(k => s"WHEN $k THEN gc$k").mkString(" ")
+    s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)},
+       |d0 AS (SELECT word, n, CAST(0 AS BIGINT) AS c0 FROM wds),
+       |${dpCtes(maxPieceLen, maxWordLen, withBp = true)},
+       |b0 AS (SELECT *, len(word) AS pos FROM d$maxWordLen),
+       |$btSteps,
+       |cnt AS (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS n_uses
+       |  FROM (SELECT word, n,
+       |          unnest(list_filter([$pieceList], x -> x IS NOT NULL)) AS piece
+       |        FROM b$maxWordLen)
+       |  GROUP BY 1
+       |), p2 AS (
+       |  SELECT s.piece,
+       |         CASE WHEN len(s.piece) = 1
+       |              THEN greatest(coalesce(c.n_uses, 0), 1)
+       |              ELSE c.n_uses END AS w2
+       |  FROM pieces s LEFT JOIN cnt c USING (piece)
+       |  WHERE len(s.piece) = 1 OR c.n_uses IS NOT NULL
+       |), t2 AS (SELECT CAST(sum(w2) AS BIGINT) AS t FROM p2),
+       |pieces2 AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(length(bin(t)) - length(bin(w2)) + 1 AS BIGINT) AS cost
+       |  FROM p2, t2
+       |),
+       |gd0 AS (SELECT word, n, CAST(0 AS BIGINT) AS gc0 FROM wds),
+       |${dpCtes(maxPieceLen, maxWordLen, withBp = false,
+                 piecesRel = "pieces2", pfx = "g")}
+       |SELECT a.word, a.n,
+       |       CAST(CASE len(a.word) $cost0Case END AS BIGINT) AS cost0,
+       |       CAST(CASE len(a.word) $cost1Case END AS BIGINT) AS cost1
+       |FROM d$maxWordLen a JOIN gd$maxWordLen g ON a.word = g.word""".stripMargin
   }
 }

@@ -68,4 +68,30 @@ class UnigramSpec extends SparkSuite {
       r.getLong(1) * r.getString(3).split(" ").length).sum
     assert(counts == expected)
   }
+
+  test("EM refit prunes dead multi-char pieces and keeps the alphabet") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the merge join runs the batch join fast"),
+      (2L, "merge sort beats hash join on sorted runs"),
+      (3L, "the the the merge merge")).toDF("doc_id", "text")
+    val p0df = Unigram.trainPieces(docs, "doc_id", "text", topN = 8)
+    val p0 = Unigram.collectPieces(p0df)
+    val counts = Unigram.pieceCounts(docs, "doc_id", "text", p0)
+    val p1df = Unigram.refitPieces(p0df, counts)
+    val p1 = Unigram.collectPieces(p1df)
+    // refit vocabulary ⊆ trained; every single-char piece survives
+    val (s0, s1) = (p0.map(_._1).toSet, p1.map(_._1).toSet)
+    assert(s1.subsetOf(s0))
+    assert(s0.filter(_.length == 1).subsetOf(s1))
+    // multi-char pieces survive IFF the Viterbi pass used them
+    val used = counts.select("piece").as[String].collect().toSet
+    assert(s1.filter(_.length >= 2) == (s0.filter(_.length >= 2) & used))
+    // NOTE deliberately NOT asserted: Σ n·cost monotonicity. True EM
+    // guarantees it for exact -log p; the bit-length quantization is
+    // order-preserving per piece but not additive-exact, so tiny-mass
+    // fixtures can regress (this one does, 317 → 336) while the sf0.01
+    // corpus improves (538332 → 515670, q319). Both engines replay the
+    // same arithmetic either way — that is what q319 gates.
+  }
 }
