@@ -229,6 +229,20 @@ object ScaleProbe {
         dedup.NearDup.prefixFilterJaccardPairs(docsR, "doc_id", "text",
           3, 5, w = 3).count()
       }
+      // winnowing match pairs on the same rotated corpus (cross-copy
+      // token sets disjoint → true pair volume grows linearly): the
+      // selection stage is per-row array work, the pair join runs over
+      // the winnowed ~2/(w+1) sample with the df cap bounding fan-out
+      time(s"winnow_pairs_x$m") {
+        text.Winnow.matchPairs(docsR, "doc_id", "text").count()
+      }
+      // unigram Viterbi scoring: vocabulary-priced (distinct words),
+      // so the DP stage must stay flat while wordFreq scales linearly
+      time(s"unigram_cost_x$m") {
+        val p = text.Unigram.collectPieces(
+          text.Unigram.trainPieces(docsR, "doc_id", "text", 48))
+        text.Unigram.viterbiCost(docsR, "doc_id", "text", p).count()
+      }
       docsR.unpersist()
 
       // BPE encode: merges trained ONCE on the 1x corpus (the documented
