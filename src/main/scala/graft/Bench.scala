@@ -44,6 +44,13 @@ object Bench {
               dedup.NearDup.sigAgreement(col("s1.sig"), col("s2.sig")))
             .select(col("d1"), col("d2"), col("est_jaccard"))
         }),
+      // Production-hash winnowing: q313's cost is ~all md5 over the
+      // gram stream; fast60 swaps the strong hash for xxhash64 masked
+      // into the same 60-bit domain (the x27 contract).
+      "x313_winnow_xxh" ->
+        ((s, dir) => text.Winnow.matchPairs(
+          Tables(s, dir).documents, "doc_id", "text",
+          hash = graft.functions.Hash64.fast60)),
       "x55_decontam_hashed" ->
         ((s, dir) => {
           val docs = Tables(s, dir).documents

@@ -45,13 +45,14 @@ object Winnow {
     * before returning.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
     require(k >= 1 && w >= 1, "gram size and window must be >= 1")
     val withHs = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), NearDup.shingles(col("__toks"), k).as("__grams"))
       .select(col(idCol),
-        transform(col("__grams"), g => Hash64.hash60(g)).as("__hs"))
+        transform(col("__grams"), g => hash(g)).as("__hs"))
       // (h, pos) pairs as one attribute so every window lambda reads a
       // materialized array, never re-evaluating the hash subtree.
       .select(col(idCol),
@@ -91,8 +92,9 @@ object Winnow {
     * @return (d1, d2, n_shared, sim) with d1 < d2 */
   def matchPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, dfCap: Long = 50L,
-      minShared: Long = 2L): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w)
+      minShared: Long = 2L,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w, hash)
       .select(col(idCol), col("h")).distinct()
       .persist()
     val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))

@@ -645,4 +645,58 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: unigram Viterbi cost equals the brute-force optimum " +
+      "over every segmentation") {
+    import spark.implicits._
+    import graft.text.Unigram
+    val multiCands = (for {
+      l <- 2 to 3
+      s <- List.fill(l)(Seq("a", "b")).flatten.combinations(l)
+      p <- s.permutations
+    } yield p.mkString).toSeq.distinct
+    val gen = Gen.zip(
+      Gen.listOfN(6, Gen.choose(1, 6)
+        .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))),
+      Gen.mapOf(Gen.zip(Gen.oneOf(multiCands), Gen.choose(1L, 9L))),
+      Gen.choose(1L, 9L), Gen.choose(1L, 9L))
+    def brute(word: String, costOf: Map[String, Long]): Long =
+      if (word.isEmpty) 0L
+      else (1 to math.min(6, word.length)).map(j =>
+        costOf.getOrElse(word.take(j), Unigram.INF) +
+          brute(word.drop(j), costOf)).min
+    holds(Prop.forAll(gen) { case (words, multis, ca, cb) =>
+      words.nonEmpty ==> {
+        val vocab = multis ++ Map("a" -> ca, "b" -> cb)
+        val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        val out = Unigram
+          .viterbiCost(docs, "doc_id", "text", vocab.toSeq.sortBy(_._1))
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        words.distinct.forall(w => out(w) == brute(w, vocab))
+      }
+    })
+  }
+
+  test("property: winnowing guarantee — a shared k+w-1 token run at " +
+      "random offsets always yields a shared fingerprint") {
+    import spark.implicits._
+    import graft.text.Winnow
+    val (k, w) = (5, 4)
+    val gen = Gen.zip(Gen.choose(0, 25), Gen.choose(0, 25),
+      Gen.choose(0, 25), Gen.choose(0, 25), Gen.choose(0L, 9999L))
+    holds(Prop.forAll(gen) { case (pa, sa, pb, sb, salt) =>
+      val run = (0 until (k + w - 1)).map(i => s"run${salt}x$i")
+      val a = (0 until pa).map(i => s"pa$i") ++ run ++
+        (0 until sa).map(i => s"sa$i")
+      val b = (0 until pb).map(i => s"pb$i") ++ run ++
+        (0 until sb).map(i => s"sb$i")
+      val fps = Winnow.fingerprints(
+          Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+            .toDF("doc_id", "text"), "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+      val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+      (h1 & h2).nonEmpty
+    })
+  }
 }
