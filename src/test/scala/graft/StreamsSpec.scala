@@ -634,4 +634,47 @@ class StreamsSpec extends SparkSuite {
     parquet.awaitTermination(120000)
     assert(console.exception.isEmpty && parquet.exception.isEmpty)
   }
+
+  test("stateless tokenize-the-stream: trained BPE encode and winnowing " +
+      "fingerprints run as pure streaming projections") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // merges/fingerprints are per-row transforms — no aggregation, no
+    // state, so a TRAINED tokenizer applies to a stream exactly as it
+    // applies to a batch (train-on-sample, encode-the-stream: the
+    // streaming face of the Bpe 100 TB contract)
+    val trained = Seq(("the", "cat"), ("the cat", "sat"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "the cat sat on the mat"), (2L, "the cat ran"))
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val encoded = graft.text.Bpe.encode(docs, "doc_id", "text", trained)
+    val out = tmp("bpe-stream-out")
+    val q = encoded.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", tmp("bpe-stream-ckp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val syms = spark.read.parquet(out)
+      .filter(col("doc_id") === 1L).orderBy("pos")
+      .select("symbol").as[String].collect().toSeq
+    assert(syms == Seq("the cat sat", "on", "the", "mat"))
+
+    val fpMem = MemoryStream[(Long, String)]
+    fpMem.addData((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val fps = graft.text.Winnow.fingerprints(
+      fpMem.toDF().toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 2)
+    val out2 = tmp("winnow-stream-out")
+    val q2 = fps.writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", tmp("winnow-ckp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    // batch parity: the same doc through the batch path yields the
+    // identical fingerprint set
+    val streamed = spark.read.parquet(out2)
+      .select("pos", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.text.Winnow.fingerprints(
+        Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 2)
+      .select("pos", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
