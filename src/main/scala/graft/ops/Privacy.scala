@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash64
+
+/** Local differential privacy mechanisms — the RELEASE side of the
+  * privacy family (q122's k-anonymity / l-diversity audit the data;
+  * this perturbs it): Warner's randomized response (1965), the
+  * canonical ε-LDP frequency mechanism. Each row reports its sensitive
+  * bit truthfully with probability p and flipped with probability 1−p;
+  * the per-key count of reported ones then debiases to an unbiased
+  * estimate of the true count. ε = ln(p / (1−p)) — p = 3/4 gives
+  * ε ≈ 1.1.
+  *
+  * Determinism contract: the "coin" is [[Hash64.hash60]] over
+  * (salt, row id) reduced mod pDen — reproducible, engine-portable
+  * (the q43 salted-sampling idiom), so the perturbed release is
+  * hash-exact against the DuckDB oracle. A production deployment
+  * wanting non-reproducible coins swaps the salt per release; the
+  * mechanism's privacy argument is about the coin's independence from
+  * the data, which a keyed hash with a secret salt provides.
+  *
+  * All arithmetic is integer until the final division: the estimator
+  * `(ones·pDen − n·(pDen−pNum)) / (2·pNum − pDen)` keeps numerator and
+  * denominator exact (both engines divide the same two integers).
+  * Estimates may fall below 0 or above n — standard RR behavior at
+  * small n, left visible rather than clamped.
+  *
+  * Scale shape: one scan-projection (hash + flip) and ONE keyed
+  * aggregation — the mechanism adds nothing to the plan a plain count
+  * would have.
+  */
+object Privacy {
+
+  /** Per-key randomized-response release + debiased estimate.
+    *
+    * @param bit  the sensitive predicate (0/1 per row)
+    * @param id   per-row identity the coin hashes (stable across runs)
+    * @param pNum/pDen truth probability p = pNum/pDen; requires
+    *             2·pNum ≠ pDen (p = 1/2 carries no signal)
+    * @return (keyCols*, n, reported_ones, est_true_ones) */
+  def randomizedResponseCounts(df: DataFrame, keyCols: Seq[String],
+      bit: Column, id: Column, pNum: Long, pDen: Long,
+      salt: String): DataFrame = {
+    require(pNum > 0 && pNum < pDen && 2 * pNum != pDen,
+      s"need 0 < p < 1, p != 1/2; got $pNum/$pDen")
+    val coin = Hash64.hash60(
+      concat_ws(":", lit(salt), id.cast("string"))) % pDen
+    val b = bit.cast("long")
+    val reported = when(coin < pNum, b).otherwise(lit(1L) - b)
+    df.select(keyCols.map(col) :+ reported.as("__r"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("reported_ones"))
+      .withColumn("est_true_ones",
+        (col("reported_ones") * pDen - col("n") * (pDen - pNum))
+          .cast("double") / lit((2 * pNum - pDen).toDouble))
+  }
+
+  /** DuckDB oracle for [[randomizedResponseCounts]]: `table` must
+    * expose the key columns plus `bitSql` (0/1) and `idSql`. */
+  def randomizedResponseOracleSql(table: String, keyCols: Seq[String],
+      bitSql: String, idSql: String, pNum: Long, pDen: Long,
+      salt: String): String = {
+    val keys = keyCols.mkString(", ")
+    val coin = Hash64.duckSql(s"'$salt' || ':' || CAST($idSql AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT $keys,
+       |         CASE WHEN $coin % $pDen < $pNum THEN CAST(($bitSql) AS BIGINT)
+       |              ELSE 1 - CAST(($bitSql) AS BIGINT) END AS rep
+       |  FROM $table
+       |)
+       |SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(rep) AS BIGINT) AS reported_ones,
+       |       CAST(sum(rep) * $pDen - count(*) * ${pDen - pNum} AS DOUBLE)
+       |         / ${(2 * pNum - pDen).toDouble} AS est_true_ones
+       |FROM r GROUP BY $keys""".stripMargin
+  }
+}

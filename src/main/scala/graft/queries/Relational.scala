@@ -263,6 +263,16 @@ object Relational extends QueryModule {
       graft.ops.Profiling.kAnonymityViolations(Tables(s, dir).customer,
         Seq("c_nationkey", "c_mktsegment"), k = 5)),
 
+    // Randomized-response LDP release (Warner): per market segment, the
+    // perturbed count of high-balance customers (truth prob 3/4 →
+    // ε ≈ 1.1) plus the integer-exact debiased estimate — the RELEASE
+    // sibling of q122's audit. One projection + one keyed aggregation.
+    "q320_randomized_response" -> ((s, dir) =>
+      graft.ops.Privacy.randomizedResponseCounts(
+        Tables(s, dir).customer, Seq("c_mktsegment"),
+        bit = (col("c_acctbal") > 0).cast("long"),
+        id = col("c_custkey"), pNum = 3L, pDen = 4L, salt = "rr-v1")),
+
     // PageRank in exact integer arithmetic over the customer→supplier
     // purchase graph — deterministic across partitionings and engines,
     // so the whole iterative computation hash-matches the oracle.
@@ -1098,6 +1108,11 @@ object Relational extends QueryModule {
         |FROM customer
         |GROUP BY 1, 2
         |HAVING count(*) < 5""".stripMargin,
+
+    "q320_randomized_response" ->
+      graft.ops.Privacy.randomizedResponseOracleSql("customer",
+        Seq("c_mktsegment"), bitSql = "CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END",
+        idSql = "c_custkey", pNum = 3L, pDen = 4L, salt = "rr-v1"),
 
     "q63_pagerank" ->
       graft.ops.PageRank.pageRankOracleSql(
