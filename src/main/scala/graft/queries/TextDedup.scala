@@ -90,6 +90,14 @@ object TextDedup extends QueryModule {
       graft.text.Winnow.matchPairs(Tables(s, dir).documents,
         "doc_id", "text", winnowK, winnowW, winnowDfCap, winnowMinShared)),
 
+    // q313's localization: per matched pair, the token EXTENT of the
+    // shared fingerprints in each document (MOSS's matched-region
+    // readout — what span-level removal consumes). Same df-capped
+    // join; extents are per-pair min/max aggregates.
+    "q321_winnow_spans" -> ((s, dir) =>
+      graft.text.Winnow.matchSpans(Tables(s, dir).documents,
+        "doc_id", "text", winnowK, winnowW, winnowDfCap, winnowMinShared)),
+
     // Unicode-canonicalized dedup: normalize_text (native NFC +
     // width-fold + simple lower, expression #8) composed BEFORE the
     // fingerprint — the planted NFD / fullwidth / case variants of one
@@ -391,6 +399,10 @@ object TextDedup extends QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q313_winnow_pairs" -> graft.text.Winnow.matchPairsOracleSql(
+      "documents", "doc_id", Text.toksSql, winnowK, winnowW,
+      winnowDfCap, winnowMinShared),
+
+    "q321_winnow_spans" -> graft.text.Winnow.matchSpansOracleSql(
       "documents", "doc_id", Text.toksSql, winnowK, winnowW,
       winnowDfCap, winnowMinShared),
 

@@ -117,6 +117,37 @@ object Winnow {
           .as("sim"))
   }
 
+  /** Match LOCALIZATION — the extents that make [[matchPairs]]
+    * actionable (MOSS's matched-region readout, the input to span-level
+    * removal): for each qualifying pair, the token extent of the shared
+    * fingerprints in EACH document. `*_from` is the first matched gram's
+    * token position, `*_to` the exclusive token end (last matched gram
+    * position + k). Same df-capped join as [[matchPairs]]; extents are
+    * per-pair min/max aggregates, so the plan shape is identical.
+    *
+    * @return (d1, d2, n_shared, d1_from, d1_to, d2_from, d2_to) */
+  def matchSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, dfCap: Long = 50L,
+      minShared: Long = 2L,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w, hash).persist()
+    val dfh = fp.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+    val kept = fp.join(dfh.select(col("h")), Seq("h"))
+    kept.select(col("h"), col(idCol).as("d1"), col("pos").as("__p1"))
+      .join(kept.select(col("h"), col(idCol).as("d2"),
+        col("pos").as("__p2")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(countDistinct(col("h")).as("n_shared"),
+        min(col("__p1")).as("d1_from"),
+        (max(col("__p1")) + k).as("d1_to"),
+        min(col("__p2")).as("d2_from"),
+        (max(col("__p2")) + k).as("d2_to"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** DuckDB oracle for [[fingerprints]] as a CTE chain ending in a
     * relation `fp(doc_id, pos, h)` — the self-join O(n·w) replay of the
     * per-window rightmost argmin (fine at oracle scale). `table` must
@@ -147,6 +178,26 @@ object Winnow {
        |    ON b.$idCol = wmin.$idCol AND b.h = wmin.mh
        |   AND b.pos BETWEEN wmin.i AND wmin.i + ${w - 1}
        |  GROUP BY wmin.$idCol, wmin.i, wmin.mh)""".stripMargin
+
+  /** DuckDB oracle for [[matchSpans]] (embeds
+    * [[fingerprintsOracleCtes]]). */
+  def matchSpansOracleSql(table: String, idCol: String, toksSql: String,
+      k: Int, w: Int, dfCap: Long, minShared: Long): String =
+    s"""WITH ${fingerprintsOracleCtes(table, idCol, toksSql, k, w)},
+       |fpd AS (SELECT DISTINCT $idCol, h FROM fp),
+       |dfh AS (
+       |  SELECT h FROM (SELECT h, count(*) AS df FROM fpd GROUP BY 1)
+       |  WHERE df <= $dfCap),
+       |keep AS (SELECT f.$idCol, f.pos, f.h FROM fp f JOIN dfh USING (h))
+       |SELECT a.$idCol AS d1, b.$idCol AS d2,
+       |       CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared,
+       |       CAST(min(a.pos) AS BIGINT) AS d1_from,
+       |       CAST(max(a.pos) + $k AS BIGINT) AS d1_to,
+       |       CAST(min(b.pos) AS BIGINT) AS d2_from,
+       |       CAST(max(b.pos) + $k AS BIGINT) AS d2_to
+       |FROM keep a JOIN keep b ON a.h = b.h AND a.$idCol < b.$idCol
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT a.h) >= $minShared""".stripMargin
 
   /** DuckDB oracle for [[matchPairs]] (embeds
     * [[fingerprintsOracleCtes]]). */

@@ -68,6 +68,27 @@ class WinnowSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("matchSpans localizes the shared run inside both documents") {
+    val k = 5; val w = 4
+    val run = (0 until (k + w - 1)).map(i => s"shared$i")
+    // run occupies token positions 17..24 in doc 1, 4..11 in doc 2
+    val a = (0 until 17).map(i => s"alpha$i") ++ run ++
+      (0 until 15).map(i => s"beta$i")
+    val b = (0 until 4).map(i => s"gamma$i") ++ run ++
+      (0 until 28).map(i => s"delta$i")
+    val spans = Winnow.matchSpans(
+        df(Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))),
+        "doc_id", "text", k, w, dfCap = 50L, minShared = 1L)
+      .collect()
+    assert(spans.length == 1)
+    val r = spans.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    // shared grams live inside the run: starts in [17, 20], ends ≤ 25
+    assert(r.getLong(3) >= 17L && r.getLong(4) <= 25L &&
+      r.getLong(4) > r.getLong(3))
+    assert(r.getLong(5) >= 4L && r.getLong(6) <= 12L)
+  }
+
   test("disjoint docs share nothing; short and empty docs still fingerprint") {
     val d = df(Seq(
       (1L, "one two three four five six seven eight nine ten"),
