@@ -574,6 +574,19 @@ object Text extends QueryModule {
           .select(col("word"), col("cost").as("cost1")), "word")
     }),
 
+    // Unigram corpus ENCODE — the q111 counterpart completing the
+    // tokenizer surface: every token occurrence expands to its word's
+    // Viterbi piece sequence in long form (doc, pos, piece_idx,
+    // piece). Segmentation runs once per DISTINCT word; the corpus
+    // pays one position-explode and a vocabulary-sized join.
+    "q322_unigram_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pieces = graft.text.Unigram.collectPieces(
+        graft.text.Unigram.trainPieces(docs, "doc_id", "text",
+          unigramTopN))
+      graft.text.Unigram.encodeDocs(docs, "doc_id", "text", pieces)
+    }),
+
     // CHAR-LEVEL BPE train: the same merge recurrence seeded with
     // single-character symbols + '_' end-of-word markers (Sennrich's
     // actual setup — real tokenizers are char/byte-level; q110's
@@ -1098,6 +1111,9 @@ object Text extends QueryModule {
       "documents", toksSql, unigramTopN),
 
     "q319_unigram_refit" -> graft.text.Unigram.refitOracleSql(
+      "documents", toksSql, unigramTopN),
+
+    "q322_unigram_encode" -> graft.text.Unigram.encodeOracleSql(
       "documents", toksSql, unigramTopN),
 
     "q310_deflate_parity" -> {

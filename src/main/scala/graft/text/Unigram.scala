@@ -171,6 +171,32 @@ object Unigram {
       .agg(countDistinct(col("word")).as("n_words"),
         sum(col("n")).as("n_uses"))
 
+  /** Corpus ENCODE — the [[Bpe.encode]] counterpart completing the
+    * tokenizer surface: every token occurrence expands to its word's
+    * Viterbi piece sequence, in long form (idCol, pos, piece_idx,
+    * piece). Segmentation runs ONCE per distinct word ([[segment]]);
+    * the corpus pays one position-explode and a join against that
+    * vocabulary-sized frame (broadcast-scale by construction — the
+    * distinct-word table is the tokenizer's working set, the same
+    * contract as the literal piece map). Words over `maxWordLen` drop
+    * out (the documented cap). */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Long)], maxPieceLen: Int = 6,
+      maxWordLen: Int = 16): DataFrame = {
+    val segs = segment(docs, idCol, textCol, pieces, maxPieceLen,
+      maxWordLen)
+    val toks = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(length(col("word")) <= maxWordLen)
+    toks
+      .join(segs.select(col("word"), split(col("pieces"), " ").as("__ps")),
+        Seq("word"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        posexplode(col("__ps")).as(Seq("piece_idx", "piece")))
+      .select(col(idCol), col("pos"),
+        col("piece_idx").cast("long").as("piece_idx"), col("piece"))
+  }
+
   /** One unigram EM refit: re-weight the vocabulary by what the Viterbi
     * segmentation actually USED ([[pieceCounts]]' n_uses — the E-step
     * counts), dropping multi-char pieces the DP never picked (dead
@@ -272,6 +298,23 @@ object Unigram {
          |)""".stripMargin
     }.mkString(", ")
 
+  /** The backtrack unrolled one CTE per step — step s reads the
+    * backpointer AT the current (data-dependent) position via a CASE
+    * over the bp columns, emits that last piece, and retreats;
+    * exhausted words no-op. Shared by counts/refit/encode oracles. */
+  private def btCtes(maxWordLen: Int): String =
+    (1 to maxWordLen).map { s =>
+      val bpAt = (1 to maxWordLen)
+        .map(k => s"WHEN $k THEN bp$k").mkString(" ")
+      s"""b$s AS (
+         |  SELECT * EXCLUDE (pos, jsel),
+         |         CASE WHEN pos > 0
+         |              THEN substr(word, pos - jsel + 1, jsel) END AS piece$s,
+         |         CASE WHEN pos > 0 THEN pos - jsel ELSE 0 END AS pos
+         |  FROM (SELECT *, CASE pos $bpAt END AS jsel FROM b${s - 1}) r$s
+         |)""".stripMargin
+    }.mkString(", ")
+
   /** DuckDB oracle for [[viterbiCost]] with the vocabulary replayed
     * from the same corpus. */
   def viterbiOracleSql(table: String, toksSql: String, topN: Int,
@@ -295,17 +338,7 @@ object Unigram {
     * aggregates. */
   def countsOracleSql(table: String, toksSql: String, topN: Int,
       maxPieceLen: Int = 6, maxWordLen: Int = 16): String = {
-    val btSteps = (1 to maxWordLen).map { s =>
-      val bpAt = (1 to maxWordLen)
-        .map(k => s"WHEN $k THEN bp$k").mkString(" ")
-      s"""b$s AS (
-         |  SELECT * EXCLUDE (pos, jsel),
-         |         CASE WHEN pos > 0
-         |              THEN substr(word, pos - jsel + 1, jsel) END AS piece$s,
-         |         CASE WHEN pos > 0 THEN pos - jsel ELSE 0 END AS pos
-         |  FROM (SELECT *, CASE pos $bpAt END AS jsel FROM b${s - 1}) r$s
-         |)""".stripMargin
-    }.mkString(", ")
+    val btSteps = btCtes(maxWordLen)
     val pieceList = (1 to maxWordLen).map(j => s"piece$j").mkString(", ")
     s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)},
        |d0 AS (SELECT word, n, CAST(0 AS BIGINT) AS c0 FROM wds),
@@ -322,23 +355,44 @@ object Unigram {
        |FROM uses GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB oracle for [[encodeDocs]]: the backtrack chain's per-word
+    * piece columns reassemble into the document-order list
+    * (`[pieceW..piece1]` — the backtrack emits last piece first, so the
+    * REVERSED column list filtered of nulls is forward order), then
+    * join to the position-exploded corpus and unnest with ordinals (the
+    * [[Bpe.encodeOracleSql]] position idiom). */
+  def encodeOracleSql(table: String, toksSql: String, topN: Int,
+      maxPieceLen: Int = 6, maxWordLen: Int = 16): String = {
+    val btSteps = btCtes(maxWordLen)
+    val revList = (maxWordLen to 1 by -1).map(j => s"piece$j").mkString(", ")
+    s"""WITH ${piecesCtes(table, toksSql, topN, maxPieceLen, maxWordLen)},
+       |d0 AS (SELECT word, n, CAST(0 AS BIGINT) AS c0 FROM wds),
+       |${dpCtes(maxPieceLen, maxWordLen, withBp = true)},
+       |b0 AS (SELECT *, len(word) AS pos FROM d$maxWordLen),
+       |$btSteps,
+       |wp AS MATERIALIZED (
+       |  SELECT word, list_filter([$revList], x -> x IS NOT NULL) AS ps
+       |  FROM b$maxWordLen
+       |), tk AS (
+       |  SELECT doc_id, CAST(pr[2] AS BIGINT) AS pos, pr[1] AS word
+       |  FROM (SELECT doc_id, unnest(list_zip(toks, range(0, len(toks)))) AS pr
+       |        FROM (SELECT doc_id, $toksSql AS toks FROM $table))
+       |  WHERE len(pr[1]) <= $maxWordLen
+       |)
+       |SELECT doc_id, pos, CAST(j - 1 AS BIGINT) AS piece_idx,
+       |       ps[j] AS piece
+       |FROM (SELECT t.doc_id, t.pos, wp.ps,
+       |        unnest(generate_series(1, len(wp.ps))) AS j
+       |      FROM tk t JOIN wp USING (word))""".stripMargin
+  }
+
   /** DuckDB oracle for the EM refit round-trip: [[countsOracleSql]]'s
     * chain down to the usage counts, the [[refitPieces]] re-weighting as
     * `pieces2`, then a SECOND unrolled DP (the `g`-prefixed chain)
     * against the refit costs. @return (word, n, cost0, cost1) */
   def refitOracleSql(table: String, toksSql: String, topN: Int,
       maxPieceLen: Int = 6, maxWordLen: Int = 16): String = {
-    val btSteps = (1 to maxWordLen).map { s =>
-      val bpAt = (1 to maxWordLen)
-        .map(k => s"WHEN $k THEN bp$k").mkString(" ")
-      s"""b$s AS (
-         |  SELECT * EXCLUDE (pos, jsel),
-         |         CASE WHEN pos > 0
-         |              THEN substr(word, pos - jsel + 1, jsel) END AS piece$s,
-         |         CASE WHEN pos > 0 THEN pos - jsel ELSE 0 END AS pos
-         |  FROM (SELECT *, CASE pos $bpAt END AS jsel FROM b${s - 1}) r$s
-         |)""".stripMargin
-    }.mkString(", ")
+    val btSteps = btCtes(maxWordLen)
     val pieceList = (1 to maxWordLen).map(j => s"piece$j").mkString(", ")
     val cost0Case = (1 to maxWordLen)
       .map(k => s"WHEN $k THEN c$k").mkString(" ")

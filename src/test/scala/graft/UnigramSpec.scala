@@ -69,6 +69,27 @@ class UnigramSpec extends SparkSuite {
     assert(counts == expected)
   }
 
+  test("encodeDocs respells every token occurrence in document order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the merge join runs the merge"),
+      (2L, "join the merge")).toDF("doc_id", "text")
+    val pieces = Unigram.collectPieces(
+      Unigram.trainPieces(docs, "doc_id", "text", topN = 8))
+    val enc = Unigram.encodeDocs(docs, "doc_id", "text", pieces)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val respelled = enc.groupBy(t => (t._1, t._2)).map { case (k, ps) =>
+      k -> ps.sortBy(_._3).map(_._4).mkString
+    }
+    val expected = Seq(
+      1L -> "the merge join runs the merge", 2L -> "join the merge")
+      .flatMap { case (id, t) =>
+        t.split(" ").zipWithIndex.map { case (w, i) => (id, i.toLong) -> w }
+      }.toMap
+    assert(respelled == expected)
+  }
+
   test("EM refit prunes dead multi-char pieces and keeps the alphabet") {
     import spark.implicits._
     val docs = Seq(
