@@ -60,6 +60,56 @@ object PageRank {
       (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
+  /** PERSONALIZED PageRank — teleport mass returns to a SEED SET
+    * instead of everywhere, so rank measures proximity TO THE SEEDS
+    * (the standard "related nodes" / seeded-recommendation operator;
+    * the global [[pageRank]] measures importance, PPR measures
+    * relevance). Same exact integer recurrence with the restart term
+    * gated by the seed indicator:
+    *   r₀(v)   = [v ∈ S]·scale
+    *   rₖ₊₁(v) = [v ∈ S]·⌊scale·(den−num)/den⌋ + ⌊num·Σ inflow / den⌋
+    * Only nodes with r > 0 return — PPR mass reaches at most the
+    * seeds' `iters`-hop out-neighborhood, so the output is
+    * neighborhood-bounded, not graph-bounded (the property that makes
+    * PPR usable per-query at scale).
+    *
+    * Scale shape identical to [[pageRank]] (the seed indicator rides
+    * the node frame — one extra column, no extra shuffle).
+    *
+    * @param seeds one column `node`
+    * @return (node, r, ppr) with r > 0 */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000L, alphaNum: Long = 17L,
+      alphaDen: Long = 20L): DataFrame = {
+    require(iters >= 1 && alphaNum > 0 && alphaDen > alphaNum)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("s"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outdeg, "src")
+    val base = scale * (alphaDen - alphaNum) / alphaDen
+    var ranks = nodes.select(col("node"), col("s"),
+      (col("s") * scale).as("r"))
+    (1 to iters).foreach { _ =>
+      val inflow = eDeg
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"), col("s"),
+          (col("s") * base +
+            expr(s"($alphaNum * coalesce(inflow, 0L)) div $alphaDen")).as("r"))
+    }
+    ranks.filter(col("r") > 0)
+      .select(col("node"), col("r"),
+        (col("r").cast("double") / lit(scale.toDouble)).as("ppr"))
+  }
+
   /** Synchronous label propagation — community detection, the
     * modularity-flavored sibling of
     * [[graft.dedup.NearDup.connectedComponents]]: CC fuses anything
@@ -518,5 +568,39 @@ object PageRank {
       |  SELECT node, CAST($scale AS BIGINT) AS r FROM nodes
       |), $steps
       |SELECT node, r, CAST(r AS DOUBLE) / $scale.0 AS rank FROM r$iters""".stripMargin
+  }
+
+  /** DuckDB oracle for [[personalizedPageRank]]; `seedSql` yields one
+    * column `node`. */
+  def personalizedPageRankOracleSql(edgeSql: String, seedSql: String,
+      iters: Int = 3, scale: Long = 1000000000L, alphaNum: Long = 17L,
+      alphaDen: Long = 20L): String = {
+    val base = scale * (alphaDen - alphaNum) / alphaDen
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, sum(r${k - 1}.r // deg) AS inflow
+         |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |  JOIN outdeg USING (src) GROUP BY 1
+         |), r$k AS (
+         |  SELECT n.node,
+         |         CAST(n.s * $base + ($alphaNum * coalesce(c$k.inflow, 0)) // $alphaDen
+         |              AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql)),
+      |sd AS (SELECT DISTINCT node FROM ($seedSql)),
+      |nodes AS (
+      |  SELECT a.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS s
+      |  FROM (SELECT DISTINCT node FROM
+      |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)) a
+      |  LEFT JOIN sd USING (node)
+      |), outdeg AS (
+      |  SELECT src, count(*) AS deg FROM e GROUP BY 1
+      |), r0 AS (
+      |  SELECT node, CAST(s * $scale AS BIGINT) AS r FROM nodes
+      |), $steps
+      |SELECT node, r, CAST(r AS DOUBLE) / $scale.0 AS ppr
+      |FROM r$iters WHERE r > 0""".stripMargin
   }
 }

@@ -273,6 +273,24 @@ object Relational extends QueryModule {
         bit = (col("c_acctbal") > 0).cast("long"),
         id = col("c_custkey"), pNum = 3L, pDen = 4L, salt = "rr-v1")),
 
+    // Personalized PageRank: teleport restarts at seed customers
+    // (custkey % 100 = 0) over the SYMMETRIZED purchase graph — the
+    // bipartite recommendation walk (seed → their suppliers → those
+    // suppliers' other customers). Same exact integer recurrence as
+    // q63; output is the seeds' 3-hop neighborhood, not the graph.
+    "q323_personalized_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cs = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val edges = cs.unionAll(cs.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val seeds = t.customer.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("node"))
+      graft.ops.PageRank.personalizedPageRank(edges, "src", "dst", seeds)
+    }),
+
     // PageRank in exact integer arithmetic over the customer→supplier
     // purchase graph — deterministic across partitionings and engines,
     // so the whole iterative computation hash-matches the oracle.
@@ -1118,6 +1136,15 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q323_personalized_pagerank" ->
+      graft.ops.PageRank.personalizedPageRankOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |UNION ALL
+           |SELECT l_suppkey + $supplierNodeOffset AS src, o_custkey AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        "SELECT c_custkey AS node FROM customer WHERE c_custkey % 100 = 0"),
 
     // The bloom prefilter is an implementation detail; the CONTRACT is
     // the exact semi join, which is what the oracle states.

@@ -162,6 +162,21 @@ class OpsSpec extends SparkSuite {
     assert(again == pr) // integer arithmetic: partitioning-independent
   }
 
+  test("personalizedPageRank: mass stays in the seed's component and " +
+      "decays with hop distance") {
+    import spark.implicits._
+    // two disjoint chains: 1→2→3 and 10→11. Seed = {1}.
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    val ppr = PageRank.personalizedPageRank(edges, "s", "d", seeds,
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the other component never appears (r = 0 rows are dropped)
+    assert(!ppr.contains(10L) && !ppr.contains(11L))
+    // proximity ordering: seed > 1-hop > 2-hop
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L))
+  }
+
   test("labelPropagation separates weakly-bridged cliques that CC fuses") {
     import spark.implicits._
     // two 4-cliques joined by ONE bridge edge: connected components fuses
