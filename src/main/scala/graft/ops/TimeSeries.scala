@@ -1067,4 +1067,93 @@ object TimeSeries {
        |           / (CAST(sae_naive AS DOUBLE) / n_naive) END AS mase
        |FROM test JOIN train USING ($keys)""".stripMargin
   }
+
+  /** Truncating-free FLOOR division through doubles — exact for
+    * |a| < 2⁵³ and identical on both engines (DuckDB's `//` truncates
+    * toward zero for negatives, so the shared formulation is
+    * floor(double/double) instead). */
+  private def fdiv(a: Column, d: Long): Column =
+    floor(a.cast("double") / lit(d.toDouble)).cast("long")
+
+  /** Holt LINEAR (double exponential) smoothing — the trend-aware step
+    * up from EWMA the q157 family stops at: per key, fold the ordered
+    * series through the coupled level/trend recurrence
+    *   h₁ = x₁, b₁ = 0
+    *   hₜ = ⌊(αn·xₜ + (αd−αn)·(hₜ₋₁+bₜ₋₁)) / αd⌋
+    *   bₜ = ⌊(βn·(hₜ−hₜ₋₁) + (βd−βn)·bₜ₋₁) / βd⌋
+    * in exact quantized integers (cents in, cents out — floor at each
+    * step, both engines identical), and read out the final state plus
+    * the k-step linear forecast h + k·b. A level-only EWMA lags a
+    * trending series by a constant; Holt's trend term closes that gap —
+    * the standard capacity-planning forecaster.
+    *
+    * Scale shape: the [[graft.ops.BinPack]] per-key sequential-fold
+    * contract — ONE keyed shuffle collects each key's series (bounded
+    * by the calendar, not the corpus: the module invariant), the fold
+    * is a per-row array aggregate, and the DuckDB oracle replays the
+    * identical recurrence as a recursive CTE.
+    *
+    * @return (keyCol, n, level, trend, forecast) — integer cents */
+  def holtLinear(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCents: Column,
+      alphaNum: Long = 1L, alphaDen: Long = 2L,
+      betaNum: Long = 1L, betaDen: Long = 4L, horizon: Long = 1L)
+      : DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen &&
+      betaNum > 0 && betaNum < betaDen)
+    val grouped = df
+      .select(col(keyCol), struct(col(tsCol).as("t"), col(tieCol).as("u"),
+        valueCents.as("x")).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__s"))
+    val s = col("__s")
+    val fold = aggregate(
+      slice(s, lit(2), greatest(size(s) - 1, lit(0))),
+      struct(element_at(s, 1).getField("x").as("h"), lit(0L).as("b")),
+      (acc, e) => {
+        val prev = acc.getField("h") + acc.getField("b")
+        val hn = fdiv(lit(alphaNum) * e.getField("x") +
+          lit(alphaDen - alphaNum) * prev, alphaDen)
+        val bn = fdiv(lit(betaNum) * (hn - acc.getField("h")) +
+          lit(betaDen - betaNum) * acc.getField("b"), betaDen)
+        struct(hn.as("h"), bn.as("b"))
+      })
+    grouped.select(col(keyCol), size(s).cast("long").as("n"),
+        fold.getField("h").as("level"), fold.getField("b").as("trend"))
+      .withColumn("forecast", col("level") + lit(horizon) * col("trend"))
+  }
+
+  /** DuckDB oracle for [[holtLinear]]: the identical recurrence as a
+    * recursive CTE stepping one observation per key per round (the
+    * BinPack FFD oracle shape). `baseSql` yields (key, t, u, x). */
+  def holtLinearOracleSql(baseSql: String, keyCol: String,
+      alphaNum: Long, alphaDen: Long, betaNum: Long, betaDen: Long,
+      horizon: Long): String = {
+    def fd(a: String, d: Long) =
+      s"CAST(floor(CAST($a AS DOUBLE) / $d) AS BIGINT)"
+    val hn = fd(s"$alphaNum * e.x + ${alphaDen - alphaNum} * (s.h + s.b)",
+      alphaDen)
+    s"""WITH RECURSIVE ser AS (
+       |  SELECT $keyCol, x,
+       |         CAST(row_number() OVER (PARTITION BY $keyCol
+       |                                 ORDER BY t, u, x) AS BIGINT) AS i
+       |  FROM ($baseSql)
+       |), st AS (
+       |  SELECT $keyCol, 1 AS i, x AS h, CAST(0 AS BIGINT) AS b
+       |  FROM ser WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.$keyCol, s.i + 1,
+       |         $hn,
+       |         ${fd(s"$betaNum * ($hn - s.h) + ${betaDen - betaNum} * s.b",
+                     betaDen)}
+       |  FROM st s JOIN ser e ON e.$keyCol = s.$keyCol AND e.i = s.i + 1
+       |), fin AS (
+       |  SELECT $keyCol, i, h, b,
+       |         row_number() OVER (PARTITION BY $keyCol ORDER BY i DESC) AS rn
+       |  FROM st
+       |)
+       |SELECT $keyCol, CAST(i AS BIGINT) AS n, h AS level, b AS trend,
+       |       h + $horizon * b AS forecast
+       |FROM fin WHERE rn = 1""".stripMargin
+  }
 }

@@ -199,6 +199,23 @@ object Analytics extends QueryModule {
         "user_id", "ts", "event_id", Exact.cents(col("value")),
         slackCents = 1000L, thresholdCents = 20000L)),
 
+    // Holt linear (double exponential) smoothing of the hourly event
+    // series per type: level + trend folded through the exact
+    // quantized recurrence, read out as the next-hour forecast — the
+    // trend-aware step up from a level-only EWMA, which lags a
+    // trending series by a constant. Series are calendar-bounded (the
+    // module invariant); the oracle replays the fold as a recursive
+    // CTE (the BinPack shape).
+    "q324_holt_forecast" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.TimeSeries.holtLinear(hourly, "event_type", "h", "h",
+        col("c"))
+    }),
+
     // First-order Markov transition matrix of event types per user
     // journey: observed (prev → next) counts + integer micro
     // transition probabilities. The behavioral fingerprint session
@@ -1224,6 +1241,15 @@ object Analytics extends QueryModule {
         |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type)
         |         AS BIGINT) AS p_micro
         |FROM m""".stripMargin,
+
+    "q324_holt_forecast" ->
+      graft.ops.TimeSeries.holtLinearOracleSql(
+        """SELECT event_type, h AS t, h AS u, c AS x FROM (
+          |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+          |         CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2)""".stripMargin,
+        "event_type", alphaNum = 1L, alphaDen = 2L,
+        betaNum = 1L, betaDen = 4L, horizon = 1L),
 
     "q174_autocorr" ->
       """WITH s AS (

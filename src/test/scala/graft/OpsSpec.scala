@@ -1919,6 +1919,24 @@ class OpsSpec extends SparkSuite {
     assert(out.getAs[Double]("mase") == 0.0)
   }
 
+  test("holtLinear: hand-derived level/trend fold; trend tracks a ramp " +
+      "a level-only smoother lags") {
+    import spark.implicits._
+    // x = 100,200,300,400 with α=1/2, β=1/4:
+    //   h: 100 → 150 → 231 → 330;  b: 0 → 12 → 29 → 46
+    val series = Seq(("a", 1L, 1L, 100L), ("a", 2L, 2L, 200L),
+      ("a", 3L, 3L, 300L), ("a", 4L, 4L, 400L)).toDF("k", "t", "u", "x")
+    val out = TimeSeries.holtLinear(series, "k", "t", "u", col("x")).head()
+    assert(out.getAs[Long]("n") == 4L)
+    assert(out.getAs[Long]("level") == 330L)
+    assert(out.getAs[Long]("trend") == 46L)
+    assert(out.getAs[Long]("forecast") == 376L)
+    // single-point series: level = the point, no trend
+    val one = Seq(("b", 1L, 1L, 77L)).toDF("k", "t", "u", "x")
+    val o1 = TimeSeries.holtLinear(one, "k", "t", "u", col("x")).head()
+    assert(o1.getAs[Long]("level") == 77L && o1.getAs[Long]("trend") == 0L)
+  }
+
   test("apportion: seats sum exactly, largest remainders win, " +
       "ties break by weight then group") {
     import spark.implicits._
