@@ -1123,6 +1123,131 @@ object TimeSeries {
       .withColumn("forecast", col("level") + lit(horizon) * col("trend"))
   }
 
+  /** Holt-Winters ADDITIVE seasonal smoothing — the seasonal member of
+    * the classical trio ([[holtLinear]] + a per-season offset): after
+    * initializing level/seasonals from the FIRST full season
+    * (h = ⌊mean of season 1⌋, sᵢ = xᵢ − h, b = 0), fold the rest of the
+    * series through
+    *   hₜ = ⌊(αn·(xₜ − s⁻) + (αd−αn)(h+b)) / αd⌋
+    *   bₜ = ⌊(βn·(hₜ − h) + (βd−βn)·b) / βd⌋
+    *   sₜ = ⌊(γn·(xₜ − hₜ) + (γd−γn)·s⁻) / γd⌋   (s⁻ = the slot m back)
+    * in the same exact quantized integers. Readout: final level/trend
+    * plus the one-step forecast h + b + s_next — the deseasonalized
+    * capacity forecast a daily/weekly cycle demands (Holt alone chases
+    * the cycle as trend).
+    *
+    * Keys with fewer than m+1 observations drop out (no full season to
+    * initialize from — absence, not a zero). Same per-key
+    * sequential-fold scale contract as [[holtLinear]]; the seasonal
+    * state is an m-slot array updated in place per step (O(m) per
+    * observation, m a deployment constant).
+    *
+    * @return (keyCol, n, level, trend, s_next, forecast) */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCents: Column, period: Int,
+      alphaNum: Long = 1L, alphaDen: Long = 2L,
+      betaNum: Long = 1L, betaDen: Long = 4L,
+      gammaNum: Long = 1L, gammaDen: Long = 4L): DataFrame = {
+    require(period >= 2 && alphaNum > 0 && alphaNum < alphaDen &&
+      betaNum > 0 && betaNum < betaDen && gammaNum > 0 &&
+      gammaNum < gammaDen)
+    val m = period
+    val grouped = df
+      .select(col(keyCol), struct(col(tsCol).as("t"), col(tieCol).as("u"),
+        valueCents.as("x")).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__s"))
+      .filter(size(col("__s")) > m)
+    val s = col("__s")
+    val h0 = fdiv(aggregate(slice(s, lit(1), lit(m)), lit(0L),
+      (a, e) => a + e.getField("x")), m.toLong)
+    val ss0 = transform(slice(s, lit(1), lit(m)),
+      e => e.getField("x") - h0)
+    // acc: (h, b, ss[m], t) — t the index of the NEXT observation; the
+    // season slot of observation t is ((t−1) mod m) + 1 (1-based).
+    val fold = aggregate(
+      slice(s, lit(m + 1), size(s) - m),
+      struct(h0.as("h"), lit(0L).as("b"), ss0.as("ss"),
+        lit(m + 1).as("t")),
+      (acc, e) => {
+        val slot = ((acc.getField("t") - 1) % m) + 1
+        val sPrev = element_at(acc.getField("ss"), slot)
+        val hn = fdiv(lit(alphaNum) * (e.getField("x") - sPrev) +
+          lit(alphaDen - alphaNum) *
+            (acc.getField("h") + acc.getField("b")), alphaDen)
+        val bn = fdiv(lit(betaNum) * (hn - acc.getField("h")) +
+          lit(betaDen - betaNum) * acc.getField("b"), betaDen)
+        val sn = fdiv(lit(gammaNum) * (e.getField("x") - hn) +
+          lit(gammaDen - gammaNum) * sPrev, gammaDen)
+        struct(hn.as("h"), bn.as("b"),
+          zip_with(acc.getField("ss"),
+            sequence(lit(1), lit(m)),
+            (v, k) => when(k === slot, sn).otherwise(v)).as("ss"),
+          (acc.getField("t") + 1).as("t"))
+      })
+    val nextSlot = ((size(s)) % m) + 1
+    grouped.select(col(keyCol), size(s).cast("long").as("n"),
+        fold.getField("h").as("level"), fold.getField("b").as("trend"),
+        element_at(fold.getField("ss"), nextSlot).as("s_next"))
+      .withColumn("forecast",
+        col("level") + col("trend") + col("s_next"))
+  }
+
+  /** DuckDB oracle for [[holtWinters]] (the [[holtLinearOracleSql]]
+    * recursive replay with the m-slot seasonal list carried in the
+    * recursion state). `baseSql` yields (key, t, u, x). */
+  def holtWintersOracleSql(baseSql: String, keyCol: String, period: Int,
+      alphaNum: Long, alphaDen: Long, betaNum: Long, betaDen: Long,
+      gammaNum: Long, gammaDen: Long): String = {
+    val m = period
+    def fd(a: String, d: Long) =
+      s"CAST(floor(CAST($a AS DOUBLE) / $d) AS BIGINT)"
+    val sPrev = s"s.ss[((s.t - 1) % $m) + 1]"
+    val hn = fd(s"$alphaNum * (e.x - $sPrev) + " +
+      s"${alphaDen - alphaNum} * (s.h + s.b)", alphaDen)
+    val bn = fd(s"$betaNum * ($hn - s.h) + ${betaDen - betaNum} * s.b",
+      betaDen)
+    val sn = fd(s"$gammaNum * (e.x - $hn) + ${gammaDen - gammaNum} * $sPrev",
+      gammaDen)
+    s"""WITH RECURSIVE ser AS (
+       |  SELECT $keyCol, x,
+       |         CAST(row_number() OVER (PARTITION BY $keyCol
+       |                                 ORDER BY t, u, x) AS BIGINT) AS i
+       |  FROM ($baseSql)
+       |), lens AS (
+       |  SELECT $keyCol, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY 1
+       |), init AS (
+       |  SELECT $keyCol,
+       |         CAST(floor(CAST(sum(x) AS DOUBLE) / $m) AS BIGINT) AS h
+       |  FROM ser WHERE i <= $m GROUP BY 1
+       |), init2 AS (
+       |  SELECT s.$keyCol, init.h,
+       |         list(s.x - init.h ORDER BY s.i) AS ss
+       |  FROM ser s JOIN init USING ($keyCol)
+       |  WHERE s.i <= $m GROUP BY s.$keyCol, init.h
+       |), st AS (
+       |  SELECT i2.$keyCol, $m + 1 AS t, i2.h, CAST(0 AS BIGINT) AS b,
+       |         i2.ss
+       |  FROM init2 i2 JOIN lens USING ($keyCol) WHERE lens.n > $m
+       |  UNION ALL
+       |  SELECT s.$keyCol, s.t + 1,
+       |         $hn,
+       |         $bn,
+       |         list_transform(generate_series(1, $m),
+       |           k -> CASE WHEN k = ((s.t - 1) % $m) + 1 THEN $sn
+       |                     ELSE s.ss[k] END)
+       |  FROM st s JOIN ser e ON e.$keyCol = s.$keyCol AND e.i = s.t
+       |), fin AS (
+       |  SELECT st.$keyCol, CAST(st.t - 1 AS BIGINT) AS n,
+       |         st.h AS level, st.b AS trend,
+       |         st.ss[(((st.t - 1)) % $m) + 1] AS s_next
+       |  FROM st JOIN lens USING ($keyCol) WHERE st.t = lens.n + 1
+       |)
+       |SELECT $keyCol, n, level, trend, s_next,
+       |       level + trend + s_next AS forecast
+       |FROM fin""".stripMargin
+  }
+
   /** DuckDB oracle for [[holtLinear]]: the identical recurrence as a
     * recursive CTE stepping one observation per key per round (the
     * BinPack FFD oracle shape). `baseSql` yields (key, t, u, x). */

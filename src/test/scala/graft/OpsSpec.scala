@@ -1937,6 +1937,28 @@ class OpsSpec extends SparkSuite {
     assert(o1.getAs[Long]("level") == 77L && o1.getAs[Long]("trend") == 0L)
   }
 
+  test("holtWinters: hand-derived seasonal fold (period 2) and the " +
+      "short-series drop-out") {
+    import spark.implicits._
+    // x = 10,20,14,24,18,28: season-1 init h=15, ss=[-5,5]; the ramp
+    // +4/period keeps level climbing while seasonals stay ±5
+    val series = Seq(10L, 20L, 14L, 24L, 18L, 28L).zipWithIndex
+      .map { case (x, i) => ("a", i.toLong, i.toLong, x) }
+      .toDF("k", "t", "u", "x")
+    val out = TimeSeries.holtWinters(series, "k", "t", "u", col("x"),
+      period = 2).head()
+    assert(out.getAs[Long]("n") == 6L)
+    assert(out.getAs[Long]("level") == 21L)
+    assert(out.getAs[Long]("trend") == 0L)
+    assert(out.getAs[Long]("s_next") == -5L) // obs 7 is season slot 1
+    assert(out.getAs[Long]("forecast") == 16L)
+    // a key without a full season + 1 observations yields no row
+    val short = Seq(("b", 1L, 1L, 5L), ("b", 2L, 2L, 6L))
+      .toDF("k", "t", "u", "x")
+    assert(TimeSeries.holtWinters(short, "k", "t", "u", col("x"),
+      period = 2).count() == 0L)
+  }
+
   test("apportion: seats sum exactly, largest remainders win, " +
       "ties break by weight then group") {
     import spark.implicits._
