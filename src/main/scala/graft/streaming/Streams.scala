@@ -385,6 +385,57 @@ object Streams {
       }
   }
 
+  case class HoltPoint(key: String, v: Long, level: Long, trend: Long,
+    forecast: Long, ts: java.sql.Timestamp)
+
+  /** Streaming Holt linear smoothing — the LIVE form of
+    * [[graft.ops.TimeSeries.holtLinear]], emitting the rolling
+    * level/trend state and one-step forecast per observation. The batch
+    * op folds a collected series; a stream HAS sequential state, so the
+    * identical quantized recurrence runs in flatMapGroupsWithState —
+    * `Math.floorDiv` is the same floor semantics as the batch fdiv, so
+    * feeding a stream the batch spec's series reproduces the batch
+    * numbers exactly (StreamsSpec asserts the parity).
+    *
+    * State: two longs + init flag per key, event-time timeout reclaims
+    * quiet keys. Same per-batch in-memory ordering caveat as
+    * [[cusumAlarmsStream]]. */
+  def holtForecastStream(events: Dataset[MetricEvent], delay: String,
+      alphaNum: Long = 1L, alphaDen: Long = 2L,
+      betaNum: Long = 1L, betaDen: Long = 4L,
+      ttlMs: Long = 3600000L): Dataset[HoltPoint] = {
+    require(alphaNum > 0 && alphaNum < alphaDen &&
+      betaNum > 0 && betaNum < betaDen)
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Boolean, Long), HoltPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (h, b, init, lastTs) =
+              state.getOption.getOrElse((0L, 0L, false, Long.MinValue))
+            val out = Seq.newBuilder[HoltPoint]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              if (!init) { h = e.v; b = 0L; init = true }
+              else {
+                val hn = Math.floorDiv(
+                  alphaNum * e.v + (alphaDen - alphaNum) * (h + b), alphaDen)
+                val bn = Math.floorDiv(
+                  betaNum * (hn - h) + (betaDen - betaNum) * b, betaDen)
+                h = hn; b = bn
+              }
+              out += HoltPoint(key, e.v, h, b, h + b, e.ts)
+              lastTs = math.max(lastTs, e.ts.getTime)
+            }
+            state.update((h, b, init, lastTs))
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Row-level quality gate for a stream (or batch) frame: split into
     * (pass, quarantine) on named expectations — the streaming use of
     * [[graft.ops.Profiling.expectations]]'s predicates, with the same

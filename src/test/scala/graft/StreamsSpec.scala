@@ -259,6 +259,32 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("holtForecastStream: the live fold reproduces the batch " +
+      "holtLinear numbers across a micro-batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.MetricEvent]
+    val out = Streams.holtForecastStream(mem.toDS(), "0 seconds")
+    val q = out.writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    // the batch spec's series 100,200,300,400 split across TWO
+    // micro-batches: state must persist for the numbers to match
+    mem.addData(
+      Streams.MetricEvent("a", 100L, ts("10:00:00")),
+      Streams.MetricEvent("a", 200L, ts("10:00:10")))
+    q.processAllAvailable()
+    mem.addData(
+      Streams.MetricEvent("a", 300L, ts("10:00:20")),
+      Streams.MetricEvent("a", 400L, ts("10:00:30")))
+    q.processAllAvailable()
+    val last = spark.table("holt_out").as[Streams.HoltPoint].collect()
+      .maxBy(_.ts.getTime)
+    // identical to OpsSpec's batch holtLinear hand-derivation
+    assert(last.level == 330L && last.trend == 46L &&
+      last.forecast == 376L)
+    q.stop()
+  }
+
   test("ewmaAlarmsStream: spike against a settled baseline fires, " +
       "warm-up stays silent, baseline follows level cross-batch") {
     implicit val sqlCtx = spark.sqlContext
