@@ -243,6 +243,15 @@ object ScaleProbe {
           text.Unigram.trainPieces(docsR, "doc_id", "text", 48))
         text.Unigram.viterbiCost(docsR, "doc_id", "text", p).count()
       }
+      // corpus encode: the probe that would have caught q322's
+      // projection-collapse regression (DP re-evaluated per token
+      // occurrence reads super-linear; the persisted-segment form is
+      // scan-bound)
+      time(s"unigram_encode_x$m") {
+        val p = text.Unigram.collectPieces(
+          text.Unigram.trainPieces(docsR, "doc_id", "text", 48))
+        text.Unigram.encodeDocs(docsR, "doc_id", "text", p).count()
+      }
       docsR.unpersist()
 
       // BPE encode: merges trained ONCE on the 1x corpus (the documented
