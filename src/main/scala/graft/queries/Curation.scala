@@ -393,6 +393,18 @@ object Curation extends QueryModule {
         splits = corpusSplits)
     }),
 
+    // Vocabulary richness per source over 3-gram shingles: Chao1's
+    // unseen-type estimate + Good-Turing unseen mass read off the
+    // frequency spectrum's first two cells — "how many n-grams would a
+    // bigger crawl add", the under-sampling signal the q290 Heaps
+    // curve extrapolates toward but never states. One (group, unit)
+    // count + one spectrum aggregation.
+    "q326_vocab_richness" -> ((s, dir) =>
+      graft.text.Corpus.vocabRichness(Tables(s, dir).documents,
+        "source", "text",
+        unit = t => graft.dedup.NearDup.shingles(
+          TextAnalysis.tokens(t), 3))),
+
     // Domain mixing: reweight sources toward a target composition with
     // runtime (count-dependent) rates in pure integer arithmetic.
     "q66_domain_mix" -> ((s, dir) =>
@@ -954,6 +966,11 @@ object Curation extends QueryModule {
       graft.ops.Sampling.waterFillOracleSql(
         s"SELECT source, sum(len(${Text.toksSql})) AS avail FROM documents GROUP BY 1",
         budgetWeights, defaultWeight = 1L, budgetNum = 3L, budgetDen = 5L),
+
+    "q326_vocab_richness" ->
+      graft.text.Corpus.vocabRichnessOracleSql(
+        s"(SELECT source, ${Text.toksSql} AS toks FROM documents)",
+        "source", Text.shinglesSql(3)),
 
     "q97_token_accounting" ->
       s"""WITH t AS (SELECT source, len(${Text.toksSql}) AS nt FROM documents),

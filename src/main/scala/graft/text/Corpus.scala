@@ -129,6 +129,75 @@ object Corpus {
           sum(col("n_tokens")).over(all).cast("double"))
   }
 
+  /** Vocabulary RICHNESS per group: Chao1's unseen-species estimate and
+    * Good-Turing's unseen probability mass, both read off the frequency
+    * spectrum's first two cells — the "how much vocabulary have we NOT
+    * crawled yet" planning numbers the q290 Heaps curve extrapolates
+    * toward but never states:
+    *   chao1       = V + f1·(f1−1) / (2·(f2+1))   (bias-corrected form,
+    *                 defined even when no doubletons exist)
+    *   unseen_mass = f1 / N                        (Good-Turing p₀)
+    * with V = distinct types, f1/f2 = types seen exactly once/twice,
+    * N = total tokens. A source whose chao1 ≫ V (singleton-heavy) is
+    * under-sampled — crawl more before weighting it; unseen_mass is the
+    * probability the NEXT token is a new type.
+    *
+    * Cross-engine: V, f1, f2, N are exact integers; both derived
+    * doubles divide the same two integers (chao1's numerator/denominator
+    * cross-multiplied into one division each).
+    *
+    * Scale shape: one (group, unit) count aggregation, one group
+    * aggregation over the spectrum — the q92 plan, nothing new at 100 TB.
+    *
+    * `unit` defaults to word tokens; pass a shingle expression for
+    * n-gram richness — the harness corpus's 31-word vocabulary has no
+    * singleton tail at word level, while its 3-gram space does, and
+    * n-gram unseen mass is the dedup-planning form of the question
+    * ("how many n-grams would a bigger crawl add?").
+    *
+    * @return (groupCol, n_tokens, vocab, f1, f2, chao1, unseen_mass) */
+  def vocabRichness(docs: DataFrame, groupCol: String, textCol: String,
+      unit: Column => Column = TextAnalysis.tokens): DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(unit(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__k"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__k")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__k") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__k") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        col("vocab").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2L) * (col("f2") + 1)).cast("double"))
+      .withColumn("unseen_mass",
+        col("f1").cast("double") / col("n_tokens").cast("double"))
+
+  /** DuckDB oracle for [[vocabRichness]]; `unitSql` is a list
+    * expression over the table's columns (token or shingle list). */
+  def vocabRichnessOracleSql(table: String, groupCol: String,
+      unitSql: String): String =
+    s"""WITH tk AS (
+       |  SELECT $groupCol, unnest($unitSql) AS tok FROM $table
+       |), kc AS (
+       |  SELECT $groupCol, tok, count(*) AS k FROM tk GROUP BY 1, 2
+       |), g AS (
+       |  SELECT $groupCol,
+       |         CAST(sum(k) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS vocab,
+       |         CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |         CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM kc GROUP BY 1
+       |)
+       |SELECT $groupCol, n_tokens, vocab, f1, f2,
+       |       CAST(vocab AS DOUBLE)
+       |         + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+       |           AS chao1,
+       |       CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass
+       |FROM g""".stripMargin
+
   /** Pairwise VOCABULARY Jaccard between groups (sources): how much of
     * each pair's distinct-token sets overlap — the redundancy map a
     * mixture planner reads before weighting sources (two crawls of the

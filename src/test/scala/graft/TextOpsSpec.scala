@@ -579,6 +579,30 @@ class TextOpsSpec extends SparkSuite {
     assert(out == expected)
   }
 
+  test("vocabRichness: hand-computed Chao1 and Good-Turing mass over " +
+      "3-gram units") {
+    import spark.implicits._
+    import graft.text.Corpus
+    // group counts over 3-grams: "a b a"×3, "b a b"×2, "a b c"×1
+    //   → N=6, V=3, f1=1, f2=1: chao1 = 3 + 1·0/(2·2) = 3, p0 = 1/6
+    val docs = Seq(("g", "a b a b c"), ("g", "a b a b a")).toDF("src", "text")
+    val out = Corpus.vocabRichness(docs, "src", "text",
+      unit = t => graft.dedup.NearDup.shingles(
+        graft.text.TextAnalysis.tokens(t), 3)).head()
+    assert(out.getAs[Long]("n_tokens") == 6L)
+    assert(out.getAs[Long]("vocab") == 3L)
+    assert(out.getAs[Long]("f1") == 1L && out.getAs[Long]("f2") == 1L)
+    assert(out.getAs[Double]("chao1") == 3.0)
+    assert(out.getAs[Double]("unseen_mass") == 1.0 / 6.0)
+    // all-singletons group: chao1 = V + V(V−1)/2, p0 = 1
+    val single = Seq(("h", "a b c d e")).toDF("src", "text")
+    val o2 = Corpus.vocabRichness(single, "src", "text",
+      unit = t => graft.dedup.NearDup.shingles(
+        graft.text.TextAnalysis.tokens(t), 3)).head()
+    assert(o2.getAs[Long]("f1") == 3L && o2.getAs[Double]("chao1") == 6.0)
+    assert(o2.getAs[Double]("unseen_mass") == 1.0)
+  }
+
   test("tokenAccounting: shares sum to 1 and reflect token mass, not doc count") {
     import graft.text.Corpus
     val docs = Seq(
