@@ -73,6 +73,81 @@ object Quantiles {
     df.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EXACT GLOBAL quantiles WITHOUT the single sorted partition —
+    * iterative histogram bisection (the classic distributed selection
+    * algorithm): [[exact]]/[[exactRatio]] window-sort each group, which
+    * is the right plan for many bounded groups but puts a 100 TB column
+    * with ONE group through one sorted partition. Here each round runs
+    * one scan that histograms every still-unresolved quantile's
+    * candidate range into `buckets` integer sub-ranges, the driver walks
+    * the (bounded: buckets × |ps| rows — the IVF centroid collect idiom)
+    * histogram to find the bucket containing the target rank, and the
+    * range narrows by ×buckets; a 64-bit value range resolves in
+    * ≤ ⌈64/log₂ buckets⌉ + 1 scans (3 for cents-scale data at the
+    * default 4096). No sort, no shuffle of the data at all — every pass
+    * is a map-side-combinable aggregation, which also makes the
+    * per-round cost independent of skew: a range where all values are
+    * equal collapses to width 1 and resolves immediately.
+    *
+    * Rank semantics identical to [[exactRatio]] (the element at
+    * ⌈num·n/den⌉ of the value-sorted column), so results hash-match the
+    * same window-recomputation oracle.
+    *
+    * @param v long-typed values (cents)
+    * @return ONE row: (n, p<NN>...) */
+  def exactGlobalRatio(df: DataFrame, v: Column, ps: Seq[(Int, Int)],
+      buckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && buckets >= 2 &&
+      ps.forall { case (nu, de) => nu >= 1 && nu <= de && de >= 1 })
+    val spark = df.sparkSession
+    val vals = df.select(v.cast("long").as("__v")).persist()
+    val head = vals.agg(count(lit(1)).as("n"), min(col("__v")),
+      max(col("__v"))).head()
+    val n = head.getLong(0)
+    require(n > 0, "exactGlobalRatio needs a non-empty column")
+    final case class S(var rank: Long, var lo: Long, var hi: Long)
+    val states = ps.map { case (nu, de) =>
+      S((nu.toLong * n + de - 1) / de, head.getLong(1), head.getLong(2))
+    }
+    var guard = 0
+    while (states.exists(s => s.lo < s.hi)) {
+      guard += 1
+      require(guard <= 66, "bisection failed to converge") // impossible
+      val active = states.zipWithIndex.filter { case (s, _) => s.lo < s.hi }
+      val widths = active.map { case (s, _) =>
+        ((s.hi - s.lo + 1) + buckets - 1) / buckets.toLong
+      }
+      val hist = active.zip(widths).map { case ((s, i), w) =>
+        vals.filter(col("__v") >= s.lo && col("__v") <= s.hi)
+          .select(lit(i).as("pi"),
+            expr(s"(__v - (${s.lo}L)) div ${w}L").as("b"))
+      }.reduce(_ unionAll _)
+        .groupBy(col("pi"), col("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      active.zip(widths).foreach { case ((s, i), w) =>
+        var cum = 0L
+        var b = 0L
+        var stop = false
+        while (!stop) {
+          val c = hist.getOrElse((i, b), 0L)
+          if (cum + c >= s.rank) stop = true
+          else { cum += c; b += 1 }
+        }
+        s.rank -= cum
+        val lo2 = s.lo + b * w
+        s.hi = math.min(s.hi, lo2 + w - 1)
+        s.lo = lo2
+      }
+    }
+    vals.unpersist()
+    import spark.implicits._
+    val cols = lit(n).as("n") +: ps.zip(states).map { case ((nu, de), s) =>
+      lit(s.lo).as(colName(nu.toDouble / de))
+    }
+    Seq(1).toDF("__one").select(cols: _*)
+  }
+
   /** Trimmed and winsorized per-group means — the robust dashboard
     * aggregates between plain `avg` (outlier-dragged) and q103's
     * median/MAD (throws away all magnitude information): drop

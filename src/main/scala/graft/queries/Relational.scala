@@ -870,6 +870,16 @@ object Relational extends QueryModule {
     // Volume-weighted price quantiles per return flag: the price under
     // which half the QUANTITY trades — what q40's row-count quantiles
     // misstate whenever weight correlates with value.
+    // GLOBAL exact quantiles via iterative histogram bisection: the
+    // whole-column selection q40's per-group window cannot scale to —
+    // no sort, no data shuffle, ≤3 counting scans for cents-scale
+    // ranges; same rank-⌈num·n/den⌉ semantics, so the oracle is the
+    // plain window recomputation.
+    "q327_global_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.exactGlobalRatio(
+        Tables(s, dir).lineitem, Exact.cents(col("l_extendedprice")),
+        ps = Seq((1, 2), (9, 10), (99, 100)))),
+
     "q258_weighted_quantiles" -> ((s, dir) =>
       graft.ops.Quantiles.weightedQuantiles(
         Tables(s, dir).lineitem.select(col("l_returnflag"),
@@ -1126,6 +1136,18 @@ object Relational extends QueryModule {
         |FROM customer
         |GROUP BY 1, 2
         |HAVING count(*) < 5""".stripMargin,
+
+    "q327_global_quantiles" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM r)
+        |SELECT nn.n,
+        |       (SELECT v FROM s WHERE rn = (1 * nn.n + 1) // 2) AS p50,
+        |       (SELECT v FROM s WHERE rn = (9 * nn.n + 9) // 10) AS p90,
+        |       (SELECT v FROM s WHERE rn = (99 * nn.n + 99) // 100) AS p99
+        |FROM nn""".stripMargin,
 
     "q320_randomized_response" ->
       graft.ops.Privacy.randomizedResponseOracleSql("customer",

@@ -1574,6 +1574,27 @@ class OpsSpec extends SparkSuite {
     assert(out(("m", 1L)) == ((7500L, true))) // 10000 − 2500
   }
 
+  test("exactGlobalRatio: bisection equals the window form on random " +
+      "data, survives all-equal skew and negative values") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(997)(rng.nextLong() % 100000L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val ps = Seq((1, 2), (9, 10), (99, 100))
+    val bis = Quantiles.exactGlobalRatio(df, col("v"), ps,
+      buckets = 16).head() // tiny bucket count forces several rounds
+    val win = Quantiles.exactRatio(df, Seq(lit(1)), col("v"), ps).head()
+    assert(bis.getAs[Long]("n") == 997L)
+    Seq("p50", "p90", "p99").foreach { c =>
+      assert(bis.getAs[Long](c) == win.getAs[Long](c), c)
+    }
+    // pathological skew: every value equal — resolves without blowup
+    val flat = (1L to 500L).map(i => (i, 42L)).toDF("id", "v")
+    val f = Quantiles.exactGlobalRatio(flat, col("v"), Seq((1, 2))).head()
+    assert(f.getAs[Long]("p50") == 42L)
+  }
+
   test("weightedQuantiles: weight mass moves the median where row " +
       "counts would not") {
     import spark.implicits._
