@@ -576,4 +576,102 @@ object Eval {
        |       CASE WHEN idcg_q > 0
        |         THEN CAST(dcg_q AS DOUBLE) / idcg_q END AS ndcg
        |FROM g""".stripMargin
+
+  /** Isotonic calibration of a score against a binary outcome — the
+    * CORRECTION the reliability diagram ([[calibrationCurve]]) only
+    * diagnoses: the monotone map score-bin → calibrated probability
+    * minimizing squared error (the PAV solution, Zadrozny & Elkan
+    * 2002), the standard post-hoc calibrator when Platt's sigmoid shape
+    * assumption fails.
+    *
+    * Computed by the minimax identity instead of the sequential
+    * pool-adjacent-violators sweep: over the ordered occupied bins,
+    * `fitted(i) = max_{j≤i} min_{k≥i} rate(j..k)` with `rate(j,k)` the
+    * pooled positive rate of bins j..k — a closed form a declarative
+    * plan can state (two windows over the bin-pair frame), where PAVA's
+    * data-dependent merge loop cannot.
+    *
+    * Scale shape: ONE map-side-combinable aggregation touches the
+    * corpus (the binning groupBy); everything after operates on the
+    * ≤ `bins`-row histogram and its ≤ bins² interval frame — corpus-
+    * size-independent, the q84 histogram argument taken to its limit.
+    * Rates are one IEEE division of exact long prefix-sum differences,
+    * identical on both engines.
+    *
+    * @param scoreMicro integer micros in [0, 1e6] (the
+    *                   [[calibrationCurve]] convention)
+    * @return per occupied bin, in bin order: (bin, n, n_pos, rate,
+    *         fitted) — `fitted` non-decreasing in `bin`, equal to
+    *         `rate` wherever the raw rates are already monotone */
+  def isotonicCalibration(df: DataFrame, scoreMicro: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val g = df
+      .select(scoreMicro.as("__p"), label.cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .withColumn("bin",
+        least(expr(s"(__p * $bins) div 1000000"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    // Occupied-bin index + inclusive prefix sums (bin-frame-sized).
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val idx = g
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cn", sum(col("n")).over(wOrd))
+      .withColumn("cp", sum(col("n_pos")).over(wOrd))
+    // Interval frame: one row per (j ≤ k) with the pooled rate — the
+    // ≤ bins² cross join the scale contract prices at a constant.
+    val right = idx.select(col("i").as("k"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val left = idx.select(col("i").as("j"),
+      (col("cn") - col("n")).as("cnj0"), (col("cp") - col("n_pos")).as("cpj0"))
+    val pairs = left.join(right, col("j") <= col("k"))
+      .withColumn("rate_jk",
+        (col("cpk") - col("cpj0")).cast("double") /
+          (col("cnk") - col("cnj0")).cast("double"))
+    // m(j, i) = min over k ≥ i of rate(j..k): right-to-left running min
+    // inside each j partition; the row at k = i carries the answer.
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j")).orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val m = pairs.withColumn("m_ji", min(col("rate_jk")).over(wMin))
+      .select(col("j"), col("k").as("i"), col("m_ji"))
+    // fitted(i) = max over j ≤ i — a keyed aggregation, no window.
+    val fit = m.groupBy(col("i")).agg(max(col("m_ji")).as("fitted"))
+    idx.join(fit, Seq("i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("rate"), col("fitted"))
+  }
+
+  /** DuckDB oracle for [[isotonicCalibration]]: `innerSql` yields
+    * (p, y) in the [[calibrationOracleSql]] convention. */
+  def isotonicOracleSql(innerSql: String, bins: Int = 10): String =
+    s"""WITH g AS (
+       |  SELECT least((p * $bins) // 1000000, ${bins - 1}) AS bin,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM ($innerSql) WHERE p IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY 1
+       |), idx AS (
+       |  SELECT bin, n, n_pos,
+       |         CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+       |         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+       |  FROM g
+       |), pairs AS (
+       |  SELECT l.i AS j, r.i AS k,
+       |         CAST(r.cp - (l.cp - l.n_pos) AS DOUBLE)
+       |           / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS rate_jk
+       |  FROM idx l JOIN idx r ON l.i <= r.i
+       |), m AS (
+       |  SELECT j, k AS i,
+       |         min(rate_jk) OVER (PARTITION BY j ORDER BY k DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ji
+       |  FROM pairs
+       |), fit AS (
+       |  SELECT i, max(m_ji) AS fitted FROM m GROUP BY 1
+       |)
+       |SELECT idx.bin, idx.n, idx.n_pos,
+       |       CAST(idx.n_pos AS DOUBLE) / idx.n AS rate, fit.fitted
+       |FROM idx JOIN fit ON idx.i = fit.i""".stripMargin
 }

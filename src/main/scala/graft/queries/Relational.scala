@@ -291,6 +291,23 @@ object Relational extends QueryModule {
       graft.ops.PageRank.personalizedPageRank(edges, "src", "dst", seeds)
     }),
 
+    // DeepWalk corpus over the undirected purchase graph: 2 walks of 4
+    // steps from every node, each step chosen by the portable hash over
+    // the walk identity — the node-sequence sentences graph-embedding
+    // trainers consume, reproducible across runs/partitionings/engines
+    // (the oracle replays every step).
+    "q330_random_walks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cs = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val edges = cs.unionAll(cs.select(col("dst").as("src"),
+        col("src").as("dst")))
+      graft.ops.Walks.deterministicWalks(edges, "src", "dst",
+        walksPerNode = 2, steps = 4, salt = "walk-v1")
+    }),
+
     // PageRank in exact integer arithmetic over the customer→supplier
     // purchase graph — deterministic across partitionings and engines,
     // so the whole iterative computation hash-matches the oracle.
@@ -1158,6 +1175,15 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q330_random_walks" ->
+      graft.ops.Walks.walksOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |UNION ALL
+           |SELECT l_suppkey + $supplierNodeOffset AS src, o_custkey AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        walksPerNode = 2, steps = 4, salt = "walk-v1"),
 
     "q323_personalized_pagerank" ->
       graft.ops.PageRank.personalizedPageRankOracleSql(

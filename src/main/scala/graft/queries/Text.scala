@@ -94,6 +94,11 @@ object Text extends QueryModule {
     * and the oracle replay. */
   private val unigramTopN = 48
 
+  /** q328: WordPiece vocabulary = forced single-char alphabet (both
+    * word-initial and `##` continuation namespaces) + the 48 most
+    * frequent raw-length-≥2 pieces; shared by plan and oracle. */
+  private val wordPieceTopN = 48
+
   /** q116: LM trained on doc_id % 11 ≠ 0 (x55's held-in split — the
     * held-out tenth plus junk docs pay unseen-bigram cost); bigrams
     * seen once are pruned, exercising the model-size lever. */
@@ -296,6 +301,24 @@ object Text extends QueryModule {
         (quality * lit(1000000.0)).cast("long").as("p"),
         (col("lang") === "en").cast("long").as("y"))
       graft.ops.Eval.calibrationCurve(scored, col("p"), col("y"))
+    }),
+
+    // Isotonic (PAV) calibration of the same q206 score/outcome pair:
+    // the monotone correction the reliability diagram motivates —
+    // computed by the minimax closed form over the bin histogram, so
+    // the corpus is touched by exactly one aggregation.
+    "q329_isotonic" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val stopRatio = TextAnalysis.stopwordHits(toks, TextAnalysis.stopEn)
+        .cast("double") / greatest(size(toks), lit(1))
+      val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+      val punct = TextAnalysis.punctRatio(col("text"))
+      val quality = lenScore * lit(0.6) + (lit(1.0) - stopRatio) * lit(0.3) +
+        (lit(1.0) - punct) * lit(0.1)
+      val scored = Tables(s, dir).documents.select(
+        (quality * lit(1000000.0)).cast("long").as("p"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.ops.Eval.isotonicCalibration(scored, col("p"), col("y"))
     }),
 
     // Per-source tokenizer fertility: aggregate pre-tokens per
@@ -574,6 +597,21 @@ object Text extends QueryModule {
           .select(col("word"), col("cost").as("cost1")), "word")
     }),
 
+    // WordPiece greedy segmentation — the THIRD real tokenizer family
+    // (BERT semantics): longest-match-first against a position-aware
+    // vocabulary (`##` continuation namespace), committing at each
+    // position, never reconsidering — per distinct corpus word,
+    // weighted by corpus frequency. The oracle unrolls the greedy fold
+    // one CTE per character position with length-descending correlated
+    // vocabulary lookups.
+    "q328_wordpiece" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val vocab = graft.text.WordPiece.collectVocab(
+        graft.text.WordPiece.trainVocab(docs, "doc_id", "text",
+          wordPieceTopN))
+      graft.text.WordPiece.segment(docs, "doc_id", "text", vocab)
+    }),
+
     // Unigram corpus ENCODE — the q111 counterpart completing the
     // tokenizer surface: every token occurrence expands to its word's
     // Viterbi piece sequence in long form (doc, pos, piece_idx,
@@ -843,6 +881,16 @@ object Text extends QueryModule {
 
     "q210_next_token_acc" -> graft.text.LangModel.nextTokenAccuracyOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
+
+    "q329_isotonic" -> graft.ops.Eval.isotonicOracleSql(
+      s"""SELECT CAST(trunc((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
+         |  + (1.0 - CAST(len(list_filter(toks,
+         |      t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         |      / greatest(len(toks), 1)) * 0.3
+         |  + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1)) * 0.1) * 1000000.0) AS BIGINT) AS p,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |FROM (SELECT text, lang, $toksSql AS toks FROM documents)""".stripMargin),
 
     "q206_calibration" -> graft.ops.Eval.calibrationOracleSql(
       s"""SELECT CAST(trunc((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
@@ -1115,6 +1163,9 @@ object Text extends QueryModule {
 
     "q322_unigram_encode" -> graft.text.Unigram.encodeOracleSql(
       "documents", toksSql, unigramTopN),
+
+    "q328_wordpiece" -> graft.text.WordPiece.segmentOracleSql(
+      "documents", toksSql, wordPieceTopN),
 
     "q310_deflate_parity" -> {
       val rows = deflateParity.map { case (id, t) =>

@@ -82,6 +82,15 @@ object TextDedup extends QueryModule {
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document suffix-array ranks by prefix doubling — the exact
+    // structure behind exact-substring dedup (the w-gram ops q73/q109
+    // approximate it): ⌈log2(max doc len)⌉ rounds of one keyed lead +
+    // one keyed dense_rank, never a suffix-string sort. The oracle is
+    // the definitional form (sort the suffixes), which is exactly what
+    // the recurrence must converge to.
+    "q331_suffix_array" -> ((s, dir) =>
+      graft.text.SuffixArray.perDocRanks(
+        Tables(s, dir).documents, "doc_id", "text")),
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // argmin over k-gram hashes — a local ~2/(w+1) sample carrying the
     // guarantee that any shared token run of ≥ k+w−1 tokens produces a
@@ -398,6 +407,8 @@ object TextDedup extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q331_suffix_array" -> graft.text.SuffixArray.perDocOracleSql(
+      "SELECT doc_id, text FROM documents", "doc_id"),
     "q313_winnow_pairs" -> graft.text.Winnow.matchPairsOracleSql(
       "documents", "doc_id", Text.toksSql, winnowK, winnowW,
       winnowDfCap, winnowMinShared),

@@ -686,6 +686,43 @@ class OpsSpec extends SparkSuite {
     assert(run().toSet == out.toSet) // reproducible
   }
 
+  test("deterministicWalks: exact replay of the hash recurrence, walks " +
+      "follow edges, sinks end walks early, reruns identical") {
+    import spark.implicits._
+    // 4 is a sink: any walk stepping into it stops there.
+    val edgeSeq = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val (wpn, steps, salt) = (2, 3, "spec-walk")
+    def run() = graft.ops.Walks
+      .deterministicWalks(edges, "src", "dst", wpn, steps, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val out = run()
+    // Scala-side replay of the identical recurrence.
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15),
+      16)
+    val nbrs = edgeSeq.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).sorted }
+    val expect = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (start <- Seq(1L, 2L, 3L); w <- 1L to wpn.toLong) {
+      var cur = start
+      expect += ((start, w, 0L, cur))
+      var alive = true
+      (1 to steps).foreach { t =>
+        if (alive) nbrs.get(cur) match {
+          case Some(ns) =>
+            cur = ns((h60(s"$salt:$start:$w:$t") % ns.length).toInt)
+            expect += ((start, w, t.toLong, cur))
+          case None => alive = false
+        }
+      }
+    }
+    assert(out == expect.toSet)
+    assert(run() == out) // reproducible
+  }
+
   test("calibrationCurve: perfectly calibrated bins read ece 0, an " +
       "overconfident bin pays exactly its gap, p=1.0 lands in the top bin") {
     import spark.implicits._
@@ -702,6 +739,36 @@ class OpsSpec extends SparkSuite {
     // |1e6·1 − 2e6| = 1e6 = n_b·1e6·|0.5 − 1.0|
     assert(out(9L) == ((2L, 1.0, 0.5, 1000000L)))
     assert(out.keySet == Set(2L, 9L))
+  }
+
+  test("isotonicCalibration: adjacent violators pool to their weighted " +
+      "mean, monotone rates pass through, pooling respects weights") {
+    import spark.implicits._
+    def mk(binP: Long, n: Int, pos: Int): Seq[(Long, Long)] =
+      Seq.fill(pos)((binP, 1L)) ++ Seq.fill(n - pos)((binP, 0L))
+    // raw rates by bin: 0→0.1, 1→0.6, 2→0.4, 3→0.9; PAVA pools bins
+    // 1,2 (equal weight 10) to 10/20 = 0.5 and leaves the rest alone.
+    val rows = mk(50000L, 10, 1) ++ mk(150000L, 10, 6) ++
+      mk(250000L, 10, 4) ++ mk(350000L, 10, 9)
+    val out = Eval.isotonicCalibration(rows.toDF("p", "y"),
+        col("p"), col("y"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(0L) == ((0.1, 0.1)))
+    assert(out(1L) == ((0.6, 0.5)))
+    assert(out(2L) == ((0.4, 0.5)))
+    assert(out(3L) == ((0.9, 0.9)))
+
+    // weighted pool: (n=2, rate 1.0) then (n=6, rate 0.0) → 2/8 = 0.25
+    val w = mk(50000L, 2, 2) ++ mk(150000L, 6, 0)
+    val wOut = Eval.isotonicCalibration(w.toDF("p", "y"), col("p"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(wOut == Map(0L -> 0.25, 1L -> 0.25))
+
+    // already monotone: fitted == rate everywhere
+    val mono = mk(50000L, 5, 1) ++ mk(150000L, 5, 3) ++ mk(250000L, 5, 5)
+    Eval.isotonicCalibration(mono.toDF("p", "y"), col("p"), col("y"))
+      .collect().foreach(r => assert(r.getDouble(3) == r.getDouble(4)))
   }
 
   test("giniByGroup: uniform reads 0, single-holder reads (n-1)/n, " +

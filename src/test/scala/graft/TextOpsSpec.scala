@@ -1555,4 +1555,31 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == ((1L, 0L, "")))
     assert(out(3L) == ((0L, 0L, "")))
   }
+
+  test("suffixArray: hand-derived banana ranks, brute-force parity on " +
+      "mixed docs, empty docs drop, short docs converge early") {
+    import spark.implicits._
+    // banana suffixes sorted: a, ana, anana, banana, na, nana
+    val b = graft.text.SuffixArray.perDocRanks(
+        Seq((1L, "banana")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(b == Map(1L -> 4L, 2L -> 3L, 3L -> 6L, 4L -> 2L, 5L -> 5L,
+      6L -> 1L))
+
+    val docs = Seq((1L, "mississippi"), (2L, "abracadabra"),
+      (3L, "a"), (4L, ""), (5L, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val out = graft.text.SuffixArray
+      .perDocRanks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expect = Seq((1L, "mississippi"), (2L, "abracadabra"),
+      (3L, "a"), (5L, "the cat sat on the mat")).flatMap { case (id, t) =>
+      val ranked = (1 to t.length).sortBy(p => t.substring(p - 1))
+        .zipWithIndex.map { case (p, i) => (id, p.toLong) -> (i + 1L) }
+      ranked
+    }.toMap
+    assert(out == expect)
+    assert(!out.keySet.exists(_._1 == 4L)) // empty doc absent
+  }
 }

@@ -115,4 +115,59 @@ class UnigramSpec extends SparkSuite {
     // corpus improves (538332 → 515670, q319). Both engines replay the
     // same arithmetic either way — that is what q319 gates.
   }
+
+  test("wordpiece trainVocab: position-aware frequencies split the " +
+      "initial and continuation namespaces") {
+    // words: aa, ab → initial: a×2, aa, ab; continuation: ##a, ##b
+    val out = graft.text.WordPiece.trainVocab(doc("aa ab"),
+        "doc_id", "text", topN = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "##a" -> 1L, "##b" -> 1L,
+      "aa" -> 1L, "ab" -> 1L))
+  }
+
+  test("wordpiece segment: greedy longest match commits (no backtrack), " +
+      "continuation pieces carry ##, unmatched words collapse to [UNK]") {
+    // "abc": greedy takes ab (longest initial), then needs ##c.
+    val v1 = Seq("ab", "a", "##b", "##c")
+    val s1 = graft.text.WordPiece.segment(doc("abc"), "doc_id", "text", v1)
+      .collect().head
+    assert(s1.getLong(2) == 2L && s1.getString(3) == "ab ##c")
+    // Greedy vs optimal: vocab {abc-prefix "ab", but no ##c}: greedy
+    // commits to "ab", hits a dead end at c → [UNK]; Viterbi would
+    // have found a ##b ##c. THE WordPiece-vs-unigram difference.
+    val v2 = Seq("ab", "a", "##b")
+    val s2 = graft.text.WordPiece.segment(doc("abc"), "doc_id", "text", v2)
+      .collect().head
+    assert(s2.getLong(2) == 1L && s2.getString(3) == "[UNK]")
+    // longest-first at interior positions too: ##bc beats ##b.
+    val v3 = Seq("a", "##bc", "##b", "##c")
+    val s3 = graft.text.WordPiece.segment(doc("abc"), "doc_id", "text", v3)
+      .collect().head
+    assert(s3.getString(3) == "a ##bc")
+  }
+
+  test("wordpiece corpus invariants: stripped pieces reassemble the " +
+      "word, corpus-trained vocab never yields [UNK], piece count " +
+      "bounded by word length") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the merge join runs the batch join fast"),
+      (2L, "merge sort beats hash join on sorted runs"),
+      (3L, "unable unhappy unjoin")).toDF("doc_id", "text")
+    val vocab = graft.text.WordPiece.collectVocab(
+      graft.text.WordPiece.trainVocab(docs, "doc_id", "text", topN = 8))
+    val segs = graft.text.WordPiece.segment(docs, "doc_id", "text", vocab)
+      .collect()
+    segs.foreach { r =>
+      val (word, np, ps) = (r.getString(0), r.getLong(2), r.getString(3))
+      assert(ps != "[UNK]", s"corpus word $word hit [UNK]")
+      assert(ps.split(" ").map(_.stripPrefix("##")).mkString == word)
+      assert(np == ps.split(" ").length && np <= word.length)
+      // every piece after the first carries the continuation marker
+      ps.split(" ").zipWithIndex.foreach { case (p, i) =>
+        assert((i == 0) == !p.startsWith("##"), s"$word → $ps")
+      }
+    }
+  }
 }
