@@ -291,6 +291,30 @@ object Relational extends QueryModule {
       graft.ops.PageRank.personalizedPageRank(edges, "src", "dst", seeds)
     }),
 
+    // Trade-backbone MAXIMUM spanning tree over the nation graph
+    // (Borůvka on negated volume): the n−1 strongest trade links that
+    // still connect every nation — the correlation-network backbone
+    // readout. Unique under the (w, a, b) total order, so the whole
+    // iterative construction hash-matches the oracle's Kruskal replay.
+    "q332_trade_mst" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val vol = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .select(
+          least(col("c_nationkey"), col("s_nationkey")).as("na"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("nb"),
+          Exact.cents(col("l_extendedprice")).as("cents"))
+        .filter(col("na") =!= col("nb"))
+        .groupBy(col("na"), col("nb")).agg(sum(col("cents")).as("vol"))
+      graft.ops.Mst.boruvka(
+        vol.select(col("na").as("src"), col("nb").as("dst"),
+          (-col("vol")).as("w")),
+        "src", "dst", "w")
+        .select(col("a"), col("b"), (-col("w")).as("volume_cents"))
+    }),
+
     // DeepWalk corpus over the undirected purchase graph: 2 walks of 4
     // steps from every node, each step chosen by the portable hash over
     // the walk identity — the node-sequence sentences graph-embedding
@@ -1175,6 +1199,22 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q332_trade_mst" -> {
+      val inner = graft.ops.Mst.boruvkaOracleSql(
+        """SELECT na AS src, nb AS dst, -vol AS w FROM (
+          |  SELECT least(c_nationkey, s_nationkey) AS na,
+          |         greatest(c_nationkey, s_nationkey) AS nb,
+          |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |           AS BIGINT) AS vol
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  WHERE c_nationkey <> s_nationkey
+          |  GROUP BY 1, 2)""".stripMargin)
+      s"SELECT a, b, -w AS volume_cents FROM ($inner) t"
+    },
 
     "q330_random_walks" ->
       graft.ops.Walks.walksOracleSql(

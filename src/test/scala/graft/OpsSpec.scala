@@ -723,6 +723,28 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("boruvka: hand-derived MST, cycle edges excluded, forests " +
+      "handled, (w,a,b) tie-break, parallel edges collapse to min") {
+    import spark.implicits._
+    def mst(es: Seq[(Long, Long, Long)]) = graft.ops.Mst
+      .boruvka(es.toDF("src", "dst", "w"), "src", "dst", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Kruskal by hand: (1,2,1) (2,3,2) keep; (1,3,3) cycle;
+    // (3,4,4) (4,5,5) keep; (2,5,7) cycle.
+    assert(mst(Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L), (3L, 4L, 4L),
+      (4L, 5L, 5L), (2L, 5L, 7L))) ==
+      Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 4L), (4L, 5L, 5L)))
+    // forest: two components, one tree each
+    assert(mst(Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 5L),
+      (10L, 11L, 9L))) ==
+      Set((1L, 2L, 1L), (2L, 3L, 2L), (10L, 11L, 9L)))
+    // all-equal weights: (w,a,b) order keeps (1,2) and (1,3)
+    assert(mst(Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L))) ==
+      Set((1L, 2L, 5L), (1L, 3L, 5L)))
+    // parallel edges (both directions) collapse to the min weight
+    assert(mst(Seq((1L, 2L, 4L), (2L, 1L, 3L))) == Set((1L, 2L, 3L)))
+  }
+
   test("calibrationCurve: perfectly calibrated bins read ece 0, an " +
       "overconfident bin pays exactly its gap, p=1.0 lands in the top bin") {
     import spark.implicits._
