@@ -91,6 +91,15 @@ object TextDedup extends QueryModule {
     "q331_suffix_array" -> ((s, dir) =>
       graft.text.SuffixArray.perDocRanks(
         Tables(s, dir).documents, "doc_id", "text")),
+
+    // q331's classic readout: the longest substring occurring twice in
+    // each doc — always an LCP of SA-adjacent suffixes, so one keyed
+    // lag + a 12-step binary search on prefix equality per adjacent
+    // pair. The EXACT within-doc boilerplate detector (q73's w-gram
+    // profile sees repeats only at gram granularity).
+    "q333_longest_repeat" -> ((s, dir) =>
+      graft.text.SuffixArray.longestRepeat(
+        Tables(s, dir).documents, "doc_id", "text")),
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // argmin over k-gram hashes — a local ~2/(w+1) sample carrying the
     // guarantee that any shared token run of ≥ k+w−1 tokens produces a
@@ -408,6 +417,9 @@ object TextDedup extends QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q331_suffix_array" -> graft.text.SuffixArray.perDocOracleSql(
+      "SELECT doc_id, text FROM documents", "doc_id"),
+
+    "q333_longest_repeat" -> graft.text.SuffixArray.longestRepeatOracleSql(
       "SELECT doc_id, text FROM documents", "doc_id"),
     "q313_winnow_pairs" -> graft.text.Winnow.matchPairsOracleSql(
       "documents", "doc_id", Text.toksSql, winnowK, winnowW,

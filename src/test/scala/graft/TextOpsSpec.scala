@@ -1582,4 +1582,27 @@ class TextOpsSpec extends SparkSuite {
     assert(out == expect)
     assert(!out.keySet.exists(_._1 == 4L)) // empty doc absent
   }
+
+  test("longestRepeat: hand-derived repeats (overlapping allowed), " +
+      "repeat-free docs read zero, single-char docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banana"),   // "ana" at 2 (overlapping occurrences 2 and 4)
+      (2L, "abcd"),     // no repeat
+      (3L, "aaaa"),     // "aaa" at 1
+      (4L, "abab"),     // "ab" at 1
+      (5L, "x"),        // single suffix → absent
+      (6L, "the cat and the dog")) // "the " at 1
+      .toDF("doc_id", "text")
+    val out = graft.text.SuffixArray
+      .longestRepeat(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "ana")))
+    assert(out(2L) == ((0L, 0L, "")))
+    assert(out(3L) == ((3L, 1L, "aaa")))
+    assert(out(4L) == ((2L, 1L, "ab")))
+    assert(out(6L) == ((4L, 1L, "the ")))
+    assert(!out.contains(5L))
+  }
 }
