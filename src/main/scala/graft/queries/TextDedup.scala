@@ -92,6 +92,24 @@ object TextDedup extends QueryModule {
       graft.text.SuffixArray.perDocRanks(
         Tables(s, dir).documents, "doc_id", "text")),
 
+    // CORPUS-GLOBAL generalized suffix array: every suffix ranked
+    // against all suffixes of all docs (strict ranks — identical
+    // suffixes tie) — the exact cross-doc dedup structure. After the
+    // alphabet-histogram round there is NO global sort: each doubling
+    // round is a per-doc lead + a (rank, successor) histogram prefix
+    // sum + a keyed join back.
+    "q334_global_sa" -> ((s, dir) =>
+      graft.text.SuffixArray.globalRanks(
+        Tables(s, dir).documents, "doc_id", "text")),
+
+    // q334's readout: top-10 longest substrings shared by two DISTINCT
+    // docs — adjacent cross-doc SA pairs are a complete candidate set
+    // (the enclosing-range argument), so the candidate count is corpus
+    // positions, never pairs.
+    "q335_cross_repeats" -> ((s, dir) =>
+      graft.text.SuffixArray.crossDocRepeats(
+        Tables(s, dir).documents, "doc_id", "text")),
+
     // q331's classic readout: the longest substring occurring twice in
     // each doc — always an LCP of SA-adjacent suffixes, so one keyed
     // lag + a 12-step binary search on prefix equality per adjacent
@@ -420,6 +438,12 @@ object TextDedup extends QueryModule {
       "SELECT doc_id, text FROM documents", "doc_id"),
 
     "q333_longest_repeat" -> graft.text.SuffixArray.longestRepeatOracleSql(
+      "SELECT doc_id, text FROM documents", "doc_id"),
+
+    "q334_global_sa" -> graft.text.SuffixArray.globalOracleSql(
+      "SELECT doc_id, text FROM documents", "doc_id"),
+
+    "q335_cross_repeats" -> graft.text.SuffixArray.crossDocOracleSql(
       "SELECT doc_id, text FROM documents", "doc_id"),
     "q313_winnow_pairs" -> graft.text.Winnow.matchPairsOracleSql(
       "documents", "doc_id", Text.toksSql, winnowK, winnowW,

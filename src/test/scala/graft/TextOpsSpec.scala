@@ -1605,4 +1605,37 @@ class TextOpsSpec extends SparkSuite {
     assert(out(6L) == ((4L, 1L, "the ")))
     assert(!out.contains(5L))
   }
+
+  test("globalRanks: hand-derived strict ranks across docs, " +
+      "byte-identical suffixes from different docs share a rank") {
+    import spark.implicits._
+    // suffix sort: a, ab, aba, abab, b, ba, bab, xy, xy, y, y
+    val docs = Seq((1L, "abab"), (2L, "aba"), (3L, "xy"), (4L, "xy"))
+      .toDF("doc_id", "text")
+    val out = graft.text.SuffixArray
+      .globalRanks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      (2L, 3L) -> 1L, (1L, 3L) -> 2L, (2L, 1L) -> 3L, (1L, 1L) -> 4L,
+      (1L, 4L) -> 5L, (2L, 2L) -> 6L, (1L, 2L) -> 7L,
+      (3L, 1L) -> 8L, (4L, 1L) -> 8L, (3L, 2L) -> 10L, (4L, 2L) -> 10L))
+  }
+
+  test("crossDocRepeats: hand-derived adjacent cross-doc LCPs, " +
+      "top-1 is the true longest shared substring") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab"), (2L, "aba")).toDF("doc_id", "text")
+    val rows = graft.text.SuffixArray
+      .crossDocRepeats(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(rows.head == ((3L, 2L, 1L, 1L, 1L, "aba")))
+    assert(rows.toSet == Set(
+      (3L, 2L, 1L, 1L, 1L, "aba"),
+      (2L, 1L, 3L, 2L, 1L, "ab"),
+      (2L, 2L, 2L, 1L, 2L, "ba"),
+      (1L, 1L, 4L, 2L, 2L, "b"),
+      (1L, 2L, 3L, 1L, 3L, "a")))
+  }
 }
