@@ -209,6 +209,12 @@ object ScaleProbe {
       time(s"bfs_khop_x$m") {
         ops.Bfs.kHopDistances(gEdges, "src", "dst", seeds, hops = 4).count()
       }
+      // deterministic walks: frontier is |starts|·walksPerNode rows per
+      // step regardless of graph size — disjoint copies must be linear
+      time(s"walks_x$m") {
+        ops.Walks.deterministicWalks(gEdges, "src", "dst",
+          walksPerNode = 2, steps = 4, salt = "probe").count()
+      }
       gEdges.unpersist()
 
       // prefix-filter join: replicas get a PER-COPY alphabet rotation
@@ -251,6 +257,16 @@ object ScaleProbe {
         val p = text.Unigram.collectPieces(
           text.Unigram.trainPieces(docsR, "doc_id", "text", 48))
         text.Unigram.encodeDocs(docsR, "doc_id", "text", p).count()
+      }
+      // suffix arrays over the rotated corpus (cross-copy substrings
+      // disjoint): per-doc form is embarrassingly parallel; the global
+      // form's active tie mass must grow with the true duplicate mass
+      // (linear in disjoint copies), never the pair count
+      time(s"suffix_perdoc_x$m") {
+        text.SuffixArray.perDocRanks(docsR, "doc_id", "text").count()
+      }
+      time(s"suffix_global_x$m") {
+        text.SuffixArray.globalRanks(docsR, "doc_id", "text").count()
       }
       docsR.unpersist()
 
