@@ -577,6 +577,84 @@ object Eval {
        |         THEN CAST(dcg_q AS DOUBLE) / idcg_q END AS ndcg
        |FROM g""".stripMargin
 
+  /** B-cubed clustering evaluation (Bagga & Baldwin 1998) — the
+    * standard extrinsic score for dedup/entity-resolution CLUSTERINGS,
+    * where the pair-counting metrics already here (ARI q280, kappa
+    * q283) over-weight large clusters: B³ averages per-ITEM precision
+    * `|C(i) ∩ G(i)|/|C(i)|` and recall `|C(i) ∩ G(i)|/|G(i)|`, so a
+    * mega-cluster error costs exactly its member share.
+    *
+    * Identity used: every item in contingency cell (c, g) shares
+    * P_i = n_cg/n_c and R_i = n_cg/n_g, so
+    * `B³P = Σ_cells n_cg²/n_c / N` — one aggregation over the
+    * contingency table (cluster-pair-free). Per-cell terms are
+    * quantized to exact integer micros (`n_cg²·10⁶ div n_c` — integer
+    * division, the ece_q device), so the sums are order-independent
+    * longs and the final scores fixed double ratios — hash-portable.
+    * Overflow ledger: `n_cg²·10⁶ < 2⁶³` requires cell sizes below
+    * ~3·10⁶ items (a single cluster∩gold cell, not the corpus) —
+    * beyond that, evaluate on the standard labeled sample.
+    *
+    * Scale shape: one (cluster, gold) counting aggregation + two
+    * keyed size aggregations + keyed joins; everything is contingency-
+    * table-sized after the first pass. NULL cluster or gold rows drop.
+    *
+    * @return one row: (n, p_q, r_q, b3_p, b3_r, b3_f1) — p_q/r_q the
+    *         summed integer micro-terms */
+  def bCubed(df: DataFrame, clusterCol: String, goldCol: String):
+      DataFrame = {
+    val base = df
+      .filter(col(clusterCol).isNotNull && col(goldCol).isNotNull)
+      .select(col(clusterCol).as("__c"), col(goldCol).as("__g"))
+    val cells = base.groupBy(col("__c"), col("__g"))
+      .agg(count(lit(1)).as("__ncg"))
+    val cs = cells.groupBy(col("__c")).agg(sum(col("__ncg")).as("__nc"))
+    val gs = cells.groupBy(col("__g")).agg(sum(col("__ncg")).as("__ng"))
+    cells.join(cs, "__c").join(gs, "__g")
+      .select(
+        col("__ncg"),
+        expr("__ncg * __ncg * 1000000 div __nc").as("__pq"),
+        expr("__ncg * __ncg * 1000000 div __ng").as("__rq"))
+      .agg(sum(col("__ncg")).as("n"), sum(col("__pq")).as("p_q"),
+        sum(col("__rq")).as("r_q"))
+      .withColumn("b3_p",
+        col("p_q").cast("double") / col("n") / lit(1000000.0))
+      .withColumn("b3_r",
+        col("r_q").cast("double") / col("n") / lit(1000000.0))
+      .withColumn("b3_f1",
+        when(col("b3_p") + col("b3_r") > 0,
+          lit(2.0) * col("b3_p") * col("b3_r") /
+            (col("b3_p") + col("b3_r"))))
+  }
+
+  /** DuckDB oracle for [[bCubed]]: `innerSql` yields (c, g). */
+  def bCubedOracleSql(innerSql: String): String =
+    s"""WITH cells AS (
+       |  SELECT c, g, CAST(count(*) AS BIGINT) AS ncg
+       |  FROM ($innerSql) WHERE c IS NOT NULL AND g IS NOT NULL
+       |  GROUP BY 1, 2
+       |), cs AS (
+       |  SELECT c, CAST(sum(ncg) AS BIGINT) AS nc FROM cells GROUP BY 1
+       |), gs AS (
+       |  SELECT g, CAST(sum(ncg) AS BIGINT) AS ng FROM cells GROUP BY 1
+       |), agg AS (
+       |  SELECT CAST(sum(ncg) AS BIGINT) AS n,
+       |         CAST(sum(ncg * ncg * 1000000 // nc) AS BIGINT) AS p_q,
+       |         CAST(sum(ncg * ncg * 1000000 // ng) AS BIGINT) AS r_q
+       |  FROM cells JOIN cs USING (c) JOIN gs USING (g)
+       |)
+       |SELECT n, p_q, r_q,
+       |       CAST(p_q AS DOUBLE) / n / 1000000.0 AS b3_p,
+       |       CAST(r_q AS DOUBLE) / n / 1000000.0 AS b3_r,
+       |       CASE WHEN CAST(p_q AS DOUBLE) / n / 1000000.0
+       |               + CAST(r_q AS DOUBLE) / n / 1000000.0 > 0
+       |            THEN 2.0 * (CAST(p_q AS DOUBLE) / n / 1000000.0)
+       |                     * (CAST(r_q AS DOUBLE) / n / 1000000.0)
+       |                 / (CAST(p_q AS DOUBLE) / n / 1000000.0
+       |                    + CAST(r_q AS DOUBLE) / n / 1000000.0)
+       |            END AS b3_f1
+       |FROM agg""".stripMargin
+
   /** Isotonic calibration of a score against a binary outcome — the
     * CORRECTION the reliability diagram ([[calibrationCurve]]) only
     * diagnoses: the monotone map score-bin → calibrated probability

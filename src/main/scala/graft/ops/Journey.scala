@@ -903,4 +903,193 @@ object Journey {
       .withColumn("duration_sec", expr("(__m1 - __m0) div 1000000"))
       .drop("__m0", "__m1")
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * DATA-DRIVEN model next to [[attribution]]'s heuristic trio: build
+    * the first-order journey chain (START → channels → CONV/NULL,
+    * truncated at the first conversion), compute the absorption
+    * probability of converting, and credit each channel by how much
+    * that probability DROPS when the channel is removed (transitions
+    * into it redirected to NULL) — "what would conversions be without
+    * this channel", which first/last/linear cannot ask.
+    *
+    * Deterministic integer recurrence: absorption probabilities in
+    * exact micros via `iters` synchronous Jacobi sweeps —
+    * `p'(s) = (Σ_j n_sj·val(j)) div n_s` with val(CONV) = 10⁶,
+    * val(NULL) = val(removed) = 0 — identical on both engines (the
+    * oracle unrolls every sweep per scenario). Fixed sweep count: the
+    * chain has cycles, so this is the documented bounded-horizon
+    * estimate (micro-scale convergence by ~10 sweeps on acyclic-ish
+    * journey data).
+    *
+    * Scale shape: journey truncation and transition building are two
+    * keyed windows + one counting aggregation; the transition matrix
+    * is ≤ (|channels|+1)² rows — COLLECTED under the bounded-frame
+    * contract (the IVF-centroid idiom) and iterated driver-side;
+    * `channels` is the fixed catalog the caller states (shared with
+    * the oracle generation, the stopword-list pattern).
+    *
+    * @return per channel: (channel, base_micro, removed_micro,
+    *         effect_micro, share_micro) — share NULL when no channel
+    *         has positive effect */
+  def markovAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      conversionType: String, channels: Seq[String],
+      iters: Int = 12): DataFrame = {
+    require(channels.nonEmpty && iters >= 1 && iters <= 24)
+    val spark = events.sparkSession
+    val m = unix_micros(col(tsCol).cast("timestamp"))
+    val ev = events
+      .filter(col(typeCol).isInCollection(channels :+ conversionType))
+      .select(col(userCol).as("__u"), m.as("__m"),
+        col(tieCol).as("__id"), col(typeCol).as("__et"))
+    // first conversion instant per user, (ts, tie) total order
+    val fc = ev.filter(col("__et") === conversionType)
+      .groupBy(col("__u"))
+      .agg(min(struct(col("__m"), col("__id"))).as("__fc"))
+    val ch = ev.filter(col("__et") =!= conversionType)
+      .join(fc, Seq("__u"), "left")
+      .filter(col("__fc").isNull ||
+        struct(col("__m"), col("__id")) < col("__fc"))
+      .withColumn("__conv", col("__fc").isNotNull)
+    val wU = Window.partitionBy(col("__u"))
+      .orderBy(col("__m"), col("__id"))
+    val steps = ch
+      .select(coalesce(lag(col("__et"), 1).over(wU), lit("START"))
+        .as("f"), col("__et").as("t"))
+    val wDesc = Window.partitionBy(col("__u"))
+      .orderBy(col("__m").desc, col("__id").desc)
+    val lasts = ch
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") === 1)
+      .select(col("__et").as("f"),
+        when(col("__conv"), lit("CONV")).otherwise(lit("NULL")).as("t"))
+    // converted users with zero channel touches: START → CONV
+    val direct = fc.join(
+        ch.select(col("__u")).distinct(), Seq("__u"), "left_anti")
+      .select(lit("START").as("f"), lit("CONV").as("t"))
+    val tr = steps.unionAll(lasts).unionAll(direct)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // driver-side integer sweeps over the bounded matrix
+    val states = "START" +: channels
+    val outN = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def sweep(removed: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap
+      (1 to iters).foreach { _ =>
+        p = states.map { s =>
+          val num = tr.filter(_._1 == s).map { case (_, t, n) =>
+            n * (t match {
+              case "CONV" => 1000000L
+              case "NULL" => 0L
+              case c if removed.contains(c) => 0L
+              case c => p.getOrElse(c, 0L)
+            })
+          }.sum
+          s -> (if (outN.getOrElse(s, 0L) == 0L) 0L
+                else num / outN(s))
+        }.toMap
+      }
+      p("START")
+    }
+    val base = sweep(None)
+    val rows = channels.sorted.map { c =>
+      val rem = sweep(Some(c))
+      (c, base, rem, math.max(base - rem, 0L))
+    }
+    val tot = rows.map(_._4).sum
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (c, b, r, e) =>
+        org.apache.spark.sql.Row(c, b, r, e,
+          if (tot > 0) java.lang.Long.valueOf(e * 1000000L / tot)
+          else null)
+      }.asJava,
+      StructType(Seq(StructField("channel", StringType),
+        StructField("base_micro", LongType),
+        StructField("removed_micro", LongType),
+        StructField("effect_micro", LongType),
+        StructField("share_micro", LongType))))
+  }
+
+  /** DuckDB oracle for [[markovAttribution]]: the transition CTE, then
+    * per scenario (base + one per channel) the `iters` sweeps unrolled
+    * — each a 1-CTE aggregation over the transition matrix joined to
+    * the previous sweep's state frame. */
+  def markovAttributionOracleSql(table: String, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      conversionType: String, channels: Seq[String],
+      iters: Int = 12): String = {
+    val chList = channels.map(c => s"'$c'").mkString(", ")
+    def sweeps(tag: String, removed: Option[String]): String = {
+      val remVal = removed.map(c => s"WHEN t = '$c' THEN 0").getOrElse("")
+      (1 to iters).map { i =>
+        s"""p$tag$i AS (
+           |  SELECT f AS s, CAST(sum(n * (CASE WHEN t = 'CONV' THEN 1000000
+           |           WHEN t = 'NULL' THEN 0 $remVal
+           |           ELSE coalesce(pp.p, 0) END)) // sum(n) AS BIGINT) AS p
+           |  FROM tr LEFT JOIN p$tag${i - 1} pp ON pp.s = tr.t
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString(", ")
+    }
+    val p0 = s"(SELECT 'START' AS s, CAST(0 AS BIGINT) AS p UNION ALL " +
+      channels.map(c => s"SELECT '$c', 0").mkString(" UNION ALL ") + ")"
+    val scenarioCtes = (("base", None) +:
+      channels.sorted.map(c => (s"r${channels.sorted.indexOf(c)}", Some(c))))
+      .map { case (tag, rem) =>
+        s"p${tag}0 AS (SELECT * FROM $p0 z), ${sweeps(tag, rem)}"
+      }.mkString(", ")
+    val effects = channels.sorted.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT p FROM pbase$iters WHERE s = 'START') AS base_micro,
+         |  (SELECT p FROM pr$i$iters WHERE s = 'START') AS removed_micro"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT $userCol AS u, $tsCol AS m, $tieCol AS id,
+       |         $typeCol AS et
+       |  FROM $table
+       |  WHERE $typeCol IN ($chList, '$conversionType')
+       |), fc AS (
+       |  SELECT u, m AS fm, id AS fid FROM (
+       |    SELECT u, m, id,
+       |           row_number() OVER (PARTITION BY u ORDER BY m, id) AS rn
+       |    FROM ev WHERE et = '$conversionType') WHERE rn = 1
+       |), ch AS (
+       |  SELECT ev.u, ev.m, ev.id, ev.et, fc.u IS NOT NULL AS conv
+       |  FROM ev LEFT JOIN fc USING (u)
+       |  WHERE ev.et <> '$conversionType'
+       |    AND (fc.u IS NULL OR ev.m < fc.fm
+       |         OR (ev.m = fc.fm AND ev.id < fc.fid))
+       |), steps AS (
+       |  SELECT coalesce(lag(et) OVER (PARTITION BY u ORDER BY m, id),
+       |           'START') AS f, et AS t
+       |  FROM ch
+       |  UNION ALL
+       |  SELECT et, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END
+       |  FROM (SELECT et, conv, row_number() OVER (PARTITION BY u
+       |          ORDER BY m DESC, id DESC) AS rn FROM ch)
+       |  WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'START', 'CONV' FROM fc
+       |  WHERE fc.u NOT IN (SELECT DISTINCT u FROM ch)
+       |), tr AS MATERIALIZED (
+       |  SELECT f, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM steps GROUP BY 1, 2
+       |), $scenarioCtes,
+       |eff AS ($effects)
+       |SELECT channel, base_micro, removed_micro,
+       |       greatest(base_micro - removed_micro, 0) AS effect_micro,
+       |       CASE WHEN (SELECT sum(greatest(base_micro - removed_micro, 0))
+       |                  FROM eff) > 0
+       |            THEN CAST(greatest(base_micro - removed_micro, 0)
+       |                   * 1000000
+       |                   // (SELECT sum(greatest(base_micro
+       |                        - removed_micro, 0)) FROM eff)
+       |                   AS BIGINT)
+       |            END AS share_micro
+       |FROM eff""".stripMargin
+  }
 }

@@ -569,6 +569,17 @@ object Analytics extends QueryModule {
         "ts", "event_id", conversionType = "purchase",
         windowSeconds = 7200L)),
 
+    // Markov removal-effect attribution: the data-driven fourth model
+    // next to q226's heuristic trio — absorption probability of
+    // conversion from START, re-computed with each channel redirected
+    // to NULL; integer-micro Jacobi sweeps over the bounded transition
+    // matrix (collected under the IVF-centroid contract), every sweep
+    // replayed by the oracle.
+    "q339_markov_attribution" -> ((s, dir) =>
+      Journey.markovAttribution(Tables(s, dir).events, "user_id",
+        "event_type", "ts", "event_id", conversionType = "purchase",
+        channels = Seq("click", "error", "signup", "view"))),
+
     // Difference-in-differences: odd-uid "treated" cohort vs even,
     // before/after the mid-month boundary — four exact integer cells,
     // three fixed subtractions; the non-randomized sibling of q194.
@@ -1643,6 +1654,11 @@ object Analytics extends QueryModule {
     "q226_attribution" -> Journey.attributionOracleSql(
       "events", "user_id", "event_type", "ts", "event_id",
       conversionType = "purchase", windowSeconds = 7200L),
+
+    "q339_markov_attribution" -> Journey.markovAttributionOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
+      conversionType = "purchase",
+      channels = Seq("click", "error", "signup", "view")),
 
     "q228_did" -> ABTest.diffInDiffOracleSql(
       """SELECT user_id % 2 = 1 AS t,

@@ -405,6 +405,18 @@ object Curation extends QueryModule {
         unit = t => graft.dedup.NearDup.shingles(
           TextAnalysis.tokens(t), 3))),
 
+    // Greedy max-coverage source selection: pick the 6 sources whose
+    // union covers the most distinct token trigrams — the (1 − 1/e)
+    // budgeted-curation move the mixture family evaluates but never
+    // chose. Deterministic (ties to smallest source), so the whole
+    // selection sequence hash-matches the oracle's unrolled replay.
+    "q336_coverage_select" -> ((s, dir) =>
+      graft.ops.Coverage.greedySelect(
+        Tables(s, dir).documents.select(col("source"),
+          explode(NearDup.shingles(TextAnalysis.tokens(col("text")), 3))
+            .as("unit")),
+        "source", "unit", k = 6)),
+
     // Domain mixing: reweight sources toward a target composition with
     // runtime (count-dependent) rates in pure integer arithmetic.
     "q66_domain_mix" -> ((s, dir) =>
@@ -971,6 +983,13 @@ object Curation extends QueryModule {
       graft.text.Corpus.vocabRichnessOracleSql(
         s"(SELECT source, ${Text.toksSql} AS toks FROM documents)",
         "source", Text.shinglesSql(3)),
+
+    "q336_coverage_select" ->
+      graft.ops.Coverage.greedyOracleSql(
+        s"""SELECT source AS s, unnest(${Text.shinglesSql(3)}) AS u
+           |FROM (SELECT source, ${Text.toksSql} AS toks FROM documents)"""
+          .stripMargin,
+        "source", k = 6),
 
     "q97_token_accounting" ->
       s"""WITH t AS (SELECT source, len(${Text.toksSql}) AS nt FROM documents),

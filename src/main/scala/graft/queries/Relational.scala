@@ -870,6 +870,23 @@ object Relational extends QueryModule {
         col("community"), col("c_nationkey"))
     }),
 
+    // B-cubed precision/recall of the SAME clustering q280 scores with
+    // ARI: per-item averaging — a mega-cluster error costs exactly its
+    // member share, the failure mode pair-counting metrics mute. One
+    // contingency aggregation; per-cell terms exact integer micros.
+    "q338_bcubed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val labels = graft.ops.PageRank.labelPropagation(edges, "src", "dst")
+        .filter(col("node") < supplierNodeOffset)
+        .join(t.customer.select(col("c_custkey").as("node"),
+          col("c_nationkey")), "node")
+      graft.ops.Eval.bCubed(labels, "community", "c_nationkey")
+    }),
+
     // Laspeyres price index by ship-month: what the first month's
     // basket would cost later — mix-shift-proof inflation series a
     // raw average price muddles; integer milli-cent unit prices.
@@ -1644,6 +1661,14 @@ object Relational extends QueryModule {
            s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin)})
          |SELECT lp.community AS a, c_nationkey AS b
+         |FROM lp JOIN customer ON lp.node = c_custkey
+         |WHERE lp.node < $supplierNodeOffset""".stripMargin),
+
+    "q338_bcubed" -> graft.ops.Eval.bCubedOracleSql(
+      s"""WITH lp AS (${graft.ops.PageRank.labelPropagationOracleSql(
+           s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin)})
+         |SELECT lp.community AS c, c_nationkey AS g
          |FROM lp JOIN customer ON lp.node = c_custkey
          |WHERE lp.node < $supplierNodeOffset""".stripMargin),
 

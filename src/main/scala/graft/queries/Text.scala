@@ -303,6 +303,13 @@ object Text extends QueryModule {
       graft.ops.Eval.calibrationCurve(scored, col("p"), col("y"))
     }),
 
+    // Interpolated Kneser–Ney bigram model over the corpus: absolute
+    // discount 3/4, freed mass allocated by continuation counts — the
+    // smoother q116's add-1 noticeably underperforms; every probability
+    // one fixed double formula over five exact integer aggregates.
+    "q337_kneser_ney" -> ((s, dir) =>
+      graft.text.LangModel.kneserNey(Tables(s, dir).documents, "text")),
+
     // Isotonic (PAV) calibration of the same q206 score/outcome pair:
     // the monotone correction the reliability diagram motivates —
     // computed by the minimax closed form over the bin histogram, so
@@ -880,6 +887,9 @@ object Text extends QueryModule {
       "documents", "doc_id", toksSql, term = "spark", window = 3),
 
     "q210_next_token_acc" -> graft.text.LangModel.nextTokenAccuracyOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents"),
+
+    "q337_kneser_ney" -> graft.text.LangModel.kneserNeyOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
 
     "q329_isotonic" -> graft.ops.Eval.isotonicOracleSql(

@@ -188,4 +188,78 @@ object LangModel {
       |       CAST(floor(sum(cost) * 1000000.0 / count(*)) AS BIGINT)
       |         AS mean_bits_micro
       |FROM costs GROUP BY 1""".stripMargin
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * the strongest classical n-gram smoother, and the one add-k
+    * noticeably underperforms): absolute discount D = 3/4 off every
+    * seen bigram, the freed mass allocated by CONTINUATION counts —
+    * how many distinct contexts a word follows, not how often it
+    * occurs ("San Francisco" makes "Francisco" frequent but a terrible
+    * novel-context guess; continuation counting is the fix).
+    *
+    * `P(b|a) = max(c12 − D, 0)/c1 + D·N1+(a·)/c1 · N1+(·b)/N1+(··)`
+    *
+    * All five inputs are exact integer aggregates; with D = 3/4 the
+    * discounted numerator is the integer `max(4·c12 − 3, 0)` and the
+    * probability derives as ONE fixed double formula from integers —
+    * bit-identical cross-engine (the [[graft.ops.Exact]] rule). The
+    * interpolation makes every context a proper simplex: Σ_b P(b|a)
+    * over the full vocabulary is exactly 1 (spec-pinned).
+    *
+    * Scale shape: three map-side-combinable aggregations over the
+    * bigram frame + one 1-row continuation-total broadcast (the stat
+    * idiom); the emitted table is the pruned model artifact, the
+    * [[train]] broadcast-scale contract.
+    *
+    * @return (a, b, c12, c1, n1f, n1b, pkn) for bigrams with
+    *         c12 ≥ `minCount` */
+  def kneserNey(ref: DataFrame, textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val refb = explodedBigrams(ref, textCol)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c12"))
+      .persist()
+    val uni = refb.groupBy(col("a"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = refb.groupBy(col("b"))
+      .agg(count(lit(1)).as("n1b"))
+    val tot = refb.agg(count(lit(1)).as("n1tot"))
+    refb.filter(col("c12") >= minCount)
+      .join(uni, "a")
+      .join(cont, "b")
+      .join(broadcast(tot)) // one-row continuation total: stat idiom
+      .select(col("a"), col("b"), col("c12"), col("c1"),
+        col("n1f"), col("n1b"),
+        (greatest(col("c12") * 4 - 3, lit(0L)).cast("double") /
+          (col("c1") * 4) +
+          (lit(3.0) * col("n1f")) / (col("c1") * 4) *
+            (col("n1b").cast("double") / col("n1tot"))).as("pkn"))
+  }
+
+  /** DuckDB oracle for [[kneserNey]] — the identical integer counts
+    * and the identical double formula. `refTokSql` yields (doc_id,
+    * toks). */
+  def kneserNeyOracleSql(refTokSql: String, minCount: Long = 2L): String =
+    s"""WITH refb AS (
+      |  SELECT toks[j] AS a, toks[j + 1] AS b,
+      |         CAST(count(*) AS BIGINT) AS c12
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j
+      |        FROM ($refTokSql) WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT a, CAST(sum(c12) AS BIGINT) AS c1,
+      |         CAST(count(*) AS BIGINT) AS n1f
+      |  FROM refb GROUP BY 1
+      |), cont AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM refb GROUP BY 1
+      |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM refb)
+      |SELECT a, b, c12, c1, n1f, n1b,
+      |       CAST(greatest(4 * c12 - 3, 0) AS DOUBLE) / (4 * c1)
+      |         + (3.0 * n1f) / (4 * c1)
+      |           * (CAST(n1b AS DOUBLE) / n1tot) AS pkn
+      |FROM refb
+      |JOIN uni USING (a)
+      |JOIN cont USING (b)
+      |CROSS JOIN tot
+      |WHERE c12 >= $minCount""".stripMargin
 }

@@ -88,4 +88,30 @@ class JourneySpec extends SparkSuite {
       Journey.sessionize(ev, "user_id", "ts", "event_id", 0L)
     }
   }
+
+  test("markovAttribution: hand-derived absorption micros, removal " +
+      "effects, post-conversion events ignored") {
+    // u1 click→purchase; u2 click→(no conv); u3 view→purchase;
+    // u4 purchase first (its later click must be ignored).
+    val ev = Seq(
+      (1L, ts("01 10:00:00"), 1L, "click"),
+      (1L, ts("01 11:00:00"), 2L, "purchase"),
+      (2L, ts("01 10:00:00"), 3L, "click"),
+      (3L, ts("01 10:00:00"), 4L, "view"),
+      (3L, ts("01 11:00:00"), 5L, "purchase"),
+      (4L, ts("01 09:00:00"), 6L, "purchase"),
+      (4L, ts("01 10:00:00"), 7L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    // tr: START→click 2, START→view 1, START→CONV 1;
+    //     click→CONV 1, click→NULL 1; view→CONV 1
+    // p(click)=500000, p(view)=1e6, p(START)=3e6/4=750000
+    // removal(click): (0+1e6+1e6)/4 = 500000; removal(view): same
+    val out = Journey.markovAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "purchase", channels = Seq("click", "view"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("click") == ((750000L, 500000L, 250000L, 500000L)))
+    assert(out("view") == ((750000L, 500000L, 250000L, 500000L)))
+  }
 }

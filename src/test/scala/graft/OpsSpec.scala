@@ -723,6 +723,69 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("bCubed: hand-derived per-item precision/recall, perfect " +
+      "clustering reads exactly 1.0") {
+    import spark.implicits._
+    // C1={1,2,3} C2={4,5} vs G1={1,2,4} G2={3,5}
+    val rows = Seq(("C1", "G1"), ("C1", "G1"), ("C1", "G2"),
+      ("C2", "G1"), ("C2", "G2")).toDF("c", "g")
+    val out = graft.ops.Eval.bCubed(rows, "c", "g").collect().head
+    // p_q = 4e6 div 3 + 1e6 div 3 + 1e6 div 2 + 1e6 div 2 = 2666666
+    assert(out.getLong(0) == 5L)
+    assert(out.getLong(1) == 2666666L && out.getLong(2) == 2666666L)
+    assert(out.getDouble(3) == 2666666.0 / 5 / 1000000.0)
+    val perfect = Seq(("A", "X"), ("A", "X"), ("B", "Y"))
+      .toDF("c", "g")
+    val p = graft.ops.Eval.bCubed(perfect, "c", "g").collect().head
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0 &&
+      p.getDouble(5) == 1.0)
+  }
+
+  test("greedySelect: hand-derived marginal gains, early stop on zero " +
+      "gain, ties to smallest source") {
+    import spark.implicits._
+    val pairs = Seq(
+      "s1" -> "a", "s1" -> "b", "s1" -> "c", "s1" -> "d",
+      "s2" -> "c", "s2" -> "d", "s2" -> "e",
+      "s3" -> "e", "s3" -> "f",
+      "s4" -> "a").toDF("src", "unit")
+    // round 1: s1 covers 4; round 2: s3 adds {e,f}=2 (s2 adds only e);
+    // round 3: nothing left → stop before k
+    val out = graft.ops.Coverage.greedySelect(pairs, "src", "unit", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "s1", 4L, 4L), (2L, "s3", 2L, 6L)))
+    // tie on gain → lexicographically smallest source
+    val tied = Seq("t2" -> "x", "t2" -> "y", "t1" -> "p", "t1" -> "q")
+      .toDF("src", "unit")
+    val t = graft.ops.Coverage.greedySelect(tied, "src", "unit", k = 1)
+      .collect().head
+    assert(t.getString(1) == "t1")
+  }
+
+  test("kneserNey: hand-derived probabilities, contexts sum to a " +
+      "proper simplex over the full vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = graft.text.LangModel.kneserNey(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // bigrams: (a,b)x2 (b,a)x2 (a,c)x1; c1: a->3 b->2; n1f: a->2 b->1;
+    // n1b: a->1 b->1 c->1; n1tot=3
+    assert(out(("a", "b")) ==
+      ((2L, 3L, 2L, 1L, 5.0 / (4 * 3) + (3.0 * 2) / (4 * 3) * (1.0 / 3))))
+    assert(out(("b", "a")) ==
+      ((2L, 2L, 1L, 1L, 5.0 / (4 * 2) + (3.0 * 1) / (4 * 2) * (1.0 / 3))))
+    assert(out(("a", "c")) ==
+      ((1L, 3L, 2L, 1L, 1.0 / (4 * 3) + (3.0 * 2) / (4 * 3) * (1.0 / 3))))
+    // simplex: P(b|a) + P(c|a) + P_unseen(a|a) = 1 (interpolated KN
+    // allocates ALL discounted mass); unseen term = D·n1f/c1 · cont(a)
+    val pUnseenAGivenA = (3.0 * 2) / (4 * 3) * (1.0 / 3)
+    val simplex = out(("a", "b"))._5 + out(("a", "c"))._5 + pUnseenAGivenA
+    assert(math.abs(simplex - 1.0) < 1e-12)
+  }
+
   test("boruvka: hand-derived MST, cycle edges excluded, forests " +
       "handled, (w,a,b) tie-break, parallel edges collapse to min") {
     import spark.implicits._
