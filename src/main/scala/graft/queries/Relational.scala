@@ -291,6 +291,21 @@ object Relational extends QueryModule {
       graft.ops.PageRank.personalizedPageRank(edges, "src", "dst", seeds)
     }),
 
+    // Seeded betweenness (Brandes dependency accumulation from the
+    // q323 seed sample, 3-hop horizon): the broker/bottleneck score —
+    // transit, not endpoint prominence. Integer-micro delta terms so
+    // the whole backward sweep hash-matches the oracle's replay.
+    "q340_betweenness" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cs = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val seeds = t.customer.filter(col("c_custkey") % 200 === 1)
+        .select(col("c_custkey").as("node"))
+      graft.ops.Betweenness.fromSeeds(cs, "src", "dst", seeds, hops = 3)
+    }),
+
     // Trade-backbone MAXIMUM spanning tree over the nation graph
     // (Borůvka on negated volume): the n−1 strongest trade links that
     // still connect every nation — the correlation-network backbone
@@ -1216,6 +1231,13 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q340_betweenness" ->
+      graft.ops.Betweenness.fromSeedsOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        "SELECT c_custkey AS node FROM customer WHERE c_custkey % 200 = 1",
+        hops = 3),
 
     "q332_trade_mst" -> {
       val inner = graft.ops.Mst.boruvkaOracleSql(

@@ -723,6 +723,25 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("betweenness: hand-derived path-graph deltas, diamond splits " +
+      "credit over equal shortest paths, seeds excluded at their rows") {
+    import spark.implicits._
+    def bc(es: Seq[(Long, Long)], seeds: Seq[Long], hops: Int) =
+      graft.ops.Betweenness.fromSeeds(es.toDF("src", "dst"), "src",
+        "dst", seeds.toDF("node"), hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4-5 from seed 1: delta = 3e6, 2e6, 1e6 along the chain
+    assert(bc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L), 4) ==
+      Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L))
+    // diamond 1-{2,3}-4: sigma(4)=2, each middle node gets 1e6/2
+    assert(bc(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), Seq(1L), 2) ==
+      Map(2L -> 500000L, 3L -> 500000L))
+    // both endpoints as seeds: middle credit doubles, endpoints 0
+    assert(bc(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)),
+      Seq(1L, 4L), 2) ==
+      Map(2L -> 1000000L, 3L -> 1000000L))
+  }
+
   test("bCubed: hand-derived per-item precision/recall, perfect " +
       "clustering reads exactly 1.0") {
     import spark.implicits._
