@@ -699,4 +699,92 @@ class PropertySpec extends SparkSuite {
       (h1 & h2).nonEmpty
     })
   }
+
+  test("property: per-doc suffix ranks are the sorting permutation; " +
+      "global strict ranks equal 1 + count of smaller suffixes") {
+    import spark.implicits._
+    // 2-letter alphabet forces heavy repetition — the tie-resolution path
+    val gen = Gen.listOfN(3, Gen.listOfN(12, Gen.oneOf('a', 'b'))
+      .map(_.mkString))
+    holds(Prop.forAll(gen) { texts =>
+      texts.forall(_.nonEmpty) ==> {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val per = graft.text.SuffixArray
+          .perDocRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        val perOk = docs.forall { case (id, t) =>
+          (1 to t.length).sortBy(p => t.substring(p - 1))
+            .zipWithIndex.forall { case (p, i) =>
+              per((id, p.toLong)) == i + 1L }
+        }
+        val glob = graft.text.SuffixArray
+          .globalRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        val all = docs.flatMap { case (id, t) =>
+          (1 to t.length).map(p => (id, p.toLong, t.substring(p - 1))) }
+        val globOk = all.forall { case (id, p, suf) =>
+          glob((id, p)) == 1L + all.count(_._3 < suf) }
+        perOk && globOk
+      }
+    })
+  }
+
+  test("property: boruvka equals brute-force Kruskal under the " +
+      "(w, a, b) total order on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(10, Gen.zip(Gen.choose(1L, 6L),
+      Gen.choose(1L, 6L), Gen.choose(1L, 5L)))
+    holds(Prop.forAll(edgeGen) { raw =>
+      val es = raw.filter(e => e._1 != e._2)
+      es.nonEmpty ==> {
+        val out = graft.ops.Mst
+          .boruvka(es.toDF("src", "dst", "w"), "src", "dst", "w")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        // brute Kruskal with union-find over the same canonical edges
+        val canon = es.map { case (u, v, w) =>
+          (math.min(u, v), math.max(u, v), w) }
+          .groupBy(e => (e._1, e._2))
+          .map { case ((a, b), g) => (g.map(_._3).min, a, b) }
+          .toSeq.sorted
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        val kruskal = canon.flatMap { case (w, a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra == rb) None
+          else { parent(math.max(ra, rb)) = math.min(ra, rb)
+                 Some((a, b, w)) }
+        }.toSet
+        out == kruskal
+      }
+    })
+  }
+
+  test("property: isotonic fit is monotone and preserves the weighted " +
+      "mean") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 999999L),
+      Gen.oneOf(0L, 1L)))
+    holds(Prop.forAll(gen) { rows =>
+      rows.nonEmpty ==> {
+        val out = graft.ops.Eval
+          .isotonicCalibration(rows.toDF("p", "y"), col("p"), col("y"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+          .sortBy(_._1)
+        val monotone = out.sliding(2).forall {
+          case Array((_, _, f1), (_, _, f2)) => f1 <= f2 + 1e-12
+          case _ => true
+        }
+        // PAVA preserves the weighted mean: Σ n·fitted = Σ n·rate = Σ y
+        val fitMass = out.map { case (_, n, f) => n * f }.sum
+        val posMass = rows.count(_._2 == 1L).toDouble
+        monotone && math.abs(fitMass - posMass) < 1e-6
+      }
+    })
+  }
 }
