@@ -427,6 +427,22 @@ object Relational extends QueryModule {
       graft.ops.Triangles.triangleCounts(edges, "src", "dst")
     }),
 
+    // 8-truss of the co-purchase graph: edges corroborated by ≥ 6
+    // triangles among surviving edges, 4 synchronous peels (the k-core
+    // bounded-round contract) — EDGE cohesion, immune to the star-hub
+    // false positive degree cuts admit. Support per round via the
+    // q119 adjacency-intersection, every witness crediting all three
+    // triangle edges.
+    "q341_ktruss" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Truss.kTruss(edges, "src", "dst", k = 8)
+    }),
+
     // Link prediction over repeat customer-supplier relationships
     // (≥ 2 distinct orders): customer pairs scored by Adamic–Adar over
     // shared suppliers — rare shared suppliers certify, ubiquitous ones
@@ -1299,6 +1315,13 @@ object Relational extends QueryModule {
     // Same triangle set via plain id-ordering (a < b < c): orientation
     // choice never changes WHICH triangles exist, only join sizes — so
     // the oracle stays three self-joins on the canonical edge list.
+    "q341_ktruss" -> graft.ops.Truss.kTrussOracleSql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |               AND a.l_partkey < b.l_partkey""".stripMargin,
+      k = 8),
+
     "q119_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -723,6 +723,27 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("kTruss: supports counted per edge, peel cascades, K4 is its " +
+      "own 4-truss, untriangled edges drop immediately") {
+    import spark.implicits._
+    def truss(es: Seq[(Long, Long)], k: Int) = graft.ops.Truss
+      .kTruss(es.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // two triangles sharing edge (1,2), plus pendant (1,5)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 4L),
+      (5L, 1L))
+    assert(truss(g, 3) == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L,
+      (1L, 3L) -> 1L, (1L, 4L) -> 1L, (2L, 4L) -> 1L))
+    // k=4: only (1,2) has support 2, but alone it closes nothing →
+    // the cascade empties the graph
+    assert(truss(g, 4) == Map.empty)
+    // K4: every edge in exactly 2 triangles → its own 4-truss
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(truss(k4, 4).values.toSeq.sorted == Seq.fill(6)(2L))
+  }
+
   test("betweenness: hand-derived path-graph deltas, diamond splits " +
       "credit over equal shortest paths, seeds excluded at their rows") {
     import spark.implicits._
