@@ -303,6 +303,14 @@ object Text extends QueryModule {
       graft.ops.Eval.calibrationCurve(scored, col("p"), col("y"))
     }),
 
+    // TextTiling topic segmentation: block-gap vocabulary overlap →
+    // enclosing-peak depth scores → Hearst's μ − σ/2 boundary cutoff,
+    // all in exact integers (the square-root test done on squared
+    // moments) — the topic-shift splitter long-context chunking needs.
+    "q342_texttiling" -> ((s, dir) =>
+      graft.text.Tiling.textTiling(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // Interpolated Kneser–Ney bigram model over the corpus: absolute
     // discount 3/4, freed mass allocated by continuation counts — the
     // smoother q116's add-1 noticeably underperforms; every probability
@@ -891,6 +899,9 @@ object Text extends QueryModule {
 
     "q337_kneser_ney" -> graft.text.LangModel.kneserNeyOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
+
+    "q342_texttiling" -> graft.text.Tiling.textTilingOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id"),
 
     "q329_isotonic" -> graft.ops.Eval.isotonicOracleSql(
       s"""SELECT CAST(trunc((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6

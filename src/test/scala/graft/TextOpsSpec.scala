@@ -1606,6 +1606,23 @@ class TextOpsSpec extends SparkSuite {
     assert(!out.contains(5L))
   }
 
+  test("textTiling: hand-derived gap overlaps and depths, the topic " +
+      "shift is the boundary, flat gaps are not") {
+    import spark.implicits._
+    // blocks of 4: [a a a a][a a a a][b b b b][b b b b]
+    // overlaps: gap1=4, gap2=0, gap3=4 → depths 0, 8, 0
+    // L(gap2) = 16 − 48 ≤ 0 → boundary; L(gap1) = 16, 256 > 128 → not
+    val docs = Seq(
+      (1L, ("a " * 8 + "b " * 8).trim)).toDF("doc_id", "text")
+    val out = graft.text.Tiling
+      .textTiling(docs, "doc_id", "text", blockTokens = 4)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((4L, 0L, false)))
+    assert(out(2L) == ((0L, 8L, true)))
+    assert(out(3L) == ((4L, 0L, false)))
+  }
+
   test("globalRanks: hand-derived strict ranks across docs, " +
       "byte-identical suffixes from different docs share a rank") {
     import spark.implicits._
