@@ -303,6 +303,14 @@ object Text extends QueryModule {
       graft.ops.Eval.calibrationCurve(scored, col("p"), col("y"))
     }),
 
+    // PPMI distributional word similarity: top-5 nearest neighbors per
+    // word by the exact integer dot product of bit-length-quantized
+    // PPMI context vectors (±2 window) — the counts-based face of word
+    // embeddings (the matrix skip-gram factorizes), zero training.
+    "q343_word_sim" -> ((s, dir) =>
+      graft.text.WordSim.ppmiNeighbors(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // TextTiling topic segmentation: block-gap vocabulary overlap →
     // enclosing-peak depth scores → Hearst's μ − σ/2 boundary cutoff,
     // all in exact integers (the square-root test done on squared
@@ -901,6 +909,9 @@ object Text extends QueryModule {
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
 
     "q342_texttiling" -> graft.text.Tiling.textTilingOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id"),
+
+    "q343_word_sim" -> graft.text.WordSim.ppmiNeighborsOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id"),
 
     "q329_isotonic" -> graft.ops.Eval.isotonicOracleSql(

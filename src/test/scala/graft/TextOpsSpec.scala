@@ -1606,6 +1606,30 @@ class TextOpsSpec extends SparkSuite {
     assert(!out.contains(5L))
   }
 
+  test("ppmiNeighbors: shared-context words are mutual neighbors with " +
+      "symmetric sims, context-only words get none, hand-derived q") {
+    import spark.implicits._
+    // "a b" and "c b": a and c share context b (ppmi_q 1 each) →
+    // sim(a,c) = 1 both ways; b's contexts {a, c} are exclusive to it
+    val docs = Seq((1L, "a b"), (2L, "c b")).toDF("doc_id", "text")
+    val out = graft.text.WordSim
+      .ppmiNeighbors(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(("a", "c") -> ((1L, 1L)), ("c", "a") -> ((1L, 1L))))
+
+    // richer corpus: mutual-neighbor symmetry of the dot product
+    val d2 = Seq((1L, "the dog barks loud"), (2L, "the cat barks loud"),
+      (3L, "the dog barks loud"), (4L, "the cat barks loud"))
+      .toDF("doc_id", "text")
+    val sims = graft.text.WordSim.ppmiNeighbors(d2, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    sims.foreach { case ((w1, w2), s) =>
+      assert(sims.get((w2, w1)).forall(_ == s)) }
+    assert(sims.contains(("dog", "cat")) && sims.contains(("cat", "dog")))
+  }
+
   test("textTiling: hand-derived gap overlaps and depths, the topic " +
       "shift is the boundary, flat gaps are not") {
     import spark.implicits._
