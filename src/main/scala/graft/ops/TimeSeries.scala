@@ -1281,4 +1281,77 @@ object TimeSeries {
        |       h + $horizon * b AS forecast
        |FROM fin WHERE rn = 1""".stripMargin
   }
+
+  /** Robust seasonal decomposition (STL's shape with MEDIANS — Cleveland
+    * et al. 1990's robustness goal without loess): per key,
+    * `trend = centered moving LOWER MEDIAN` (window `trendWindow`,
+    * truncated at the series edges), `seasonal = per-phase lower median
+    * of the detrended series` (phase = t mod period), `resid = x −
+    * trend − seasonal`. Medians make the decomposition immune to the
+    * spikes that wreck the moving-average/Holt–Winters fits (q324/q325
+    * — this is their robust sibling; a single 1000× anomaly shifts
+    * their trend for a whole window, and shifts this one not at all).
+    *
+    * Exactness: the LOWER median of integers is an ELEMENT (sorted
+    * pick at ⌈n/2⌉) — no averaging, no floats anywhere; both engines
+    * sort-and-index the same frame, so every output is an exact long.
+    *
+    * Scale shape: one keyed window carrying a `trendWindow`-bounded
+    * collected frame (bounded array per row — the documented cap), one
+    * (key, phase) aggregation whose groups are series-length/period
+    * bounded, two keyed joins. Nothing global.
+    *
+    * @return (keyCol, tCol, x, trend, seasonal, resid) */
+  def robustDecompose(df: DataFrame, keyCol: String, tCol: String,
+      x: Column, period: Int, trendWindow: Int = 25): DataFrame = {
+    require(period >= 2 && trendWindow >= 3 && trendWindow % 2 == 1)
+    val W = org.apache.spark.sql.expressions.Window
+    val half = trendWindow / 2
+    val wT = W.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(-half, half)
+    def lowerMed(arr: Column): Column =
+      element_at(array_sort(arr), ((size(arr) + 1) / 2).cast("int"))
+    val base = df.select(col(keyCol), col(tCol), x.as("x"))
+      .withColumn("trend", lowerMed(collect_list(col("x")).over(wT)))
+      .withColumn("__detr", col("x") - col("trend"))
+      .withColumn("__ph", pmod(col(tCol), lit(period.toLong)))
+    val seasonal = base.groupBy(col(keyCol), col("__ph"))
+      .agg(lowerMed(collect_list(col("__detr"))).as("seasonal"))
+    base.join(seasonal, Seq(keyCol, "__ph"))
+      .select(col(keyCol), col(tCol), col("x"), col("trend"),
+        col("seasonal"),
+        (col("__detr") - col("seasonal")).as("resid"))
+  }
+
+  /** DuckDB oracle for [[robustDecompose]]: `innerSql` yields
+    * (`keyName`, t, x). */
+  def robustDecomposeOracleSql(innerSql: String, keyName: String,
+      tName: String, period: Int, trendWindow: Int = 25): String = {
+    val half = trendWindow / 2
+    s"""WITH b AS (
+       |  SELECT $keyName, $tName, x,
+       |         list_sort(list(x) OVER (PARTITION BY $keyName
+       |           ORDER BY $tName
+       |           ROWS BETWEEN $half PRECEDING AND $half FOLLOWING))
+       |           AS __w
+       |  FROM ($innerSql)
+       |), t AS MATERIALIZED (
+       |  SELECT $keyName, $tName, x,
+       |         __w[CAST((len(__w) + 1) // 2 AS INTEGER)] AS trend,
+       |         x - __w[CAST((len(__w) + 1) // 2 AS INTEGER)] AS detr,
+       |         $tName % $period AS ph
+       |  FROM b
+       |), s AS (
+       |  SELECT $keyName, ph,
+       |         list_sort(list(detr))
+       |           [CAST((count(*) + 1) // 2 AS INTEGER)] AS seasonal
+       |  FROM t GROUP BY 1, 2
+       |)
+       |SELECT t.$keyName, CAST(t.$tName AS BIGINT) AS $tName,
+       |       CAST(t.x AS BIGINT) AS x,
+       |       CAST(t.trend AS BIGINT) AS trend,
+       |       CAST(s.seasonal AS BIGINT) AS seasonal,
+       |       CAST(t.detr - s.seasonal AS BIGINT) AS resid
+       |FROM t JOIN s USING ($keyName, ph)""".stripMargin
+  }
 }

@@ -723,6 +723,24 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("robustDecompose: a 10x spike leaves the median trend untouched " +
+      "and lands wholly in the residual; truncated edges pick lower " +
+      "medians") {
+    import spark.implicits._
+    val rows = Seq(10L, 10L, 100L, 10L, 10L, 10L).zipWithIndex
+      .map { case (v, t) => ("k", t.toLong, v) }
+    val out = graft.ops.TimeSeries.robustDecompose(
+        rows.toDF("key", "t", "x"), "key", "t", col("x"),
+        period = 2, trendWindow = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    (0L to 5L).foreach { t =>
+      val (trend, seasonal, resid) = out(t)
+      assert(trend == 10L && seasonal == 0L)
+      assert(resid == (if (t == 2L) 90L else 0L))
+    }
+  }
+
   test("kTruss: supports counted per edge, peel cascades, K4 is its " +
       "own 4-truss, untriangled edges drop immediately") {
     import spark.implicits._
