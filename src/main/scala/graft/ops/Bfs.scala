@@ -143,4 +143,72 @@ object Bfs {
        |), $steps
        |SELECT node, dist FROM d$hops""".stripMargin
   }
+
+  /** Harmonic centrality from a deterministic seed sample (Boldi &
+    * Vigna 2014's recommended closeness variant — sums 1/d, so
+    * unreachable pairs contribute 0 instead of breaking the mean the
+    * way classic closeness does on disconnected graphs):
+    * `h_q(v) = Σ_seeds 10⁶ div d(s, v)` over per-SEED shortest
+    * distances within `hops` — integer micros (truncating div, the
+    * house quantization), so the whole score replays exactly.
+    *
+    * Same scale shape as [[kHopDistances]] with the frontier keyed by
+    * (seed, node) — seed-count priced, the [[Betweenness]] contract.
+    *
+    * @return (node, h_q) for nodes reached by ≥ 1 seed (h_q > 0) */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 8)
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.toDF("node").distinct()
+      .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    (1 to hops).foreach { r =>
+      val next = dist.filter(col("dist") === (r - 1))
+        .join(und, col("node") === col("u"))
+        .select(col("s"), col("v").as("node"), lit(r.toLong).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy(col("s"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("1000000 div dist")).as("h_q"))
+  }
+
+  /** DuckDB oracle for [[harmonicCentrality]]. */
+  def harmonicOracleSql(edgeSql: String, seedSql: String,
+      hops: Int): String = {
+    val steps = (1 to hops).map { r =>
+      s"""d$r AS (
+         |  SELECT s, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT s, node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT f.s, e.v AS node, $r AS dist
+         |    FROM d${r - 1} f JOIN und e ON e.u = f.node
+         |    WHERE f.dist = ${r - 1}
+         |  ) GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT src AS u, dst AS v FROM ($edgeSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)
+       |), d0 AS (
+       |  SELECT DISTINCT node AS s, node, CAST(0 AS BIGINT) AS dist
+       |  FROM ($seedSql)
+       |), $steps
+       |SELECT node, CAST(sum(1000000 // dist) AS BIGINT) AS h_q
+       |FROM d$hops WHERE dist > 0
+       |GROUP BY 1""".stripMargin
+  }
 }

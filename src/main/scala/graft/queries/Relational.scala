@@ -291,6 +291,20 @@ object Relational extends QueryModule {
       graft.ops.PageRank.personalizedPageRank(edges, "src", "dst", seeds)
     }),
 
+    // Harmonic centrality from the q340 seed sample: Σ 1/d in integer
+    // micros over per-seed 3-hop distances — the closeness variant
+    // that survives disconnection (unreachable contributes 0, not ∞).
+    "q345_harmonic" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cs = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val seeds = t.customer.filter(col("c_custkey") % 200 === 1)
+        .select(col("c_custkey").as("node"))
+      graft.ops.Bfs.harmonicCentrality(cs, "src", "dst", seeds, hops = 3)
+    }),
+
     // Seeded betweenness (Brandes dependency accumulation from the
     // q323 seed sample, 3-hop horizon): the broker/bottleneck score —
     // transit, not endpoint prominence. Integer-micro delta terms so
@@ -1247,6 +1261,13 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q345_harmonic" ->
+      graft.ops.Bfs.harmonicOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        "SELECT c_custkey AS node FROM customer WHERE c_custkey % 200 = 1",
+        hops = 3),
 
     "q340_betweenness" ->
       graft.ops.Betweenness.fromSeedsOracleSql(

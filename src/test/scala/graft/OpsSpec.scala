@@ -723,6 +723,21 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("harmonicCentrality: path-graph micros sum 1/d per seed, " +
+      "unreachable nodes contribute zero, seeds excluded at d=0") {
+    import spark.implicits._
+    // path 1-2-3-4 plus isolated pair 9-10; seeds {1, 4}, hops 3
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("src", "dst")
+    val out = graft.ops.Bfs.harmonicCentrality(es, "src", "dst",
+        Seq(1L, 4L).toDF("node"), hops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node2: d(1)=1, d(4)=2 → 1e6 + 5e5; node3 symmetric;
+    // node1: d(4)=3 → 333333; node4: d(1)=3 → 333333; 9/10 absent
+    assert(out == Map(
+      2L -> 1500000L, 3L -> 1500000L, 1L -> 333333L, 4L -> 333333L))
+  }
+
   test("robustDecompose: a 10x spike leaves the median trend untouched " +
       "and lands wholly in the residual; truncated edges pick lower " +
       "medians") {
