@@ -303,6 +303,30 @@ object Text extends QueryModule {
       graft.ops.Eval.calibrationCurve(scored, col("p"), col("y"))
     }),
 
+    // 3-fold cross-validation of the LM quality score: per fold, train
+    // the bigram LM on the other folds, score the held-out fold, and
+    // read the AUC of (−model bits) against the English label — the
+    // model-SELECTION loop (is the filter's signal stable across
+    // resamples?) that single-split q116 cannot ask. Folds by doc_id
+    // residue; every stage integer-exact, AUC sort-free.
+    "q346_lm_cv" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val k = 3
+      (0 until k).map { f =>
+        val (bi, uni, voc) = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % k =!= f), "text", lmMinCount)
+        val scored = graft.text.LangModel.score(
+            docs.filter(col("doc_id") % k === f), "doc_id", "text",
+            bi, uni, voc)
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("__y")), "doc_id")
+        graft.ops.Eval.rocAuc(scored, -col("mean_bits_micro"),
+            col("__y"))
+          .select(lit(f.toLong).as("fold"), col("n"), col("n_pos"),
+            col("n_neg"), col("auc_num2"), col("auc"))
+      }.reduce(_ unionAll _)
+    }),
+
     // PPMI distributional word similarity: top-5 nearest neighbors per
     // word by the exact integer dot product of bit-length-quantized
     // PPMI context vectors (±2 window) — the counts-based face of word
@@ -913,6 +937,19 @@ object Text extends QueryModule {
 
     "q343_word_sim" -> graft.text.WordSim.ppmiNeighborsOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id"),
+
+    "q346_lm_cv" -> (0 until 3).map { f =>
+      val scoreSql = graft.text.LangModel.scoreOracleSql(
+        s"SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 3 = $f",
+        s"SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 3 <> $f",
+        lmMinCount)
+      val aucSql = graft.ops.Eval.rocAucOracleSql(
+        s"""SELECT -sc.mean_bits_micro AS s,
+           |       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           |FROM ($scoreSql) sc
+           |JOIN documents d ON sc.doc_id = d.doc_id""".stripMargin)
+      s"SELECT CAST($f AS BIGINT) AS fold, t.* FROM ($aucSql) t"
+    }.mkString("\nUNION ALL\n"),
 
     "q329_isotonic" -> graft.ops.Eval.isotonicOracleSql(
       s"""SELECT CAST(trunc((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.6
