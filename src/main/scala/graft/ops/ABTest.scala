@@ -788,4 +788,89 @@ object ABTest {
        |       END AS significant
        |FROM g""".stripMargin
   }
+
+  /** Coarsened Exact Matching ATT (Iacus, King & Porro 2012) — the
+    * observational-causal estimator the randomized family ([[abZTest]],
+    * [[cuped]]) and the parallel-trends one ([[diffInDiff]]) both
+    * leave open: coarsen the covariates to bins, keep only cells where
+    * BOTH arms appear, weight controls to the treated cell
+    * composition, and difference the outcomes — confounding by the
+    * binned covariates is removed EXACTLY (not modeled), which is
+    * CEM's whole pitch, and the method is one aggregation, fully
+    * data-parallel where nearest-neighbor propensity matching is
+    * inherently sequential.
+    *
+    * `ATT = (Σ_cells Σy_t·10⁶ − Σ_cells n_t·cm_q) div Σ n_t` with
+    * `cm_q = Σy_c·10⁶ div n_c` the cell's control mean in micros —
+    * exact integers with one documented truncation per cell.
+    *
+    * @param covCols coarsened covariate columns (the caller bins)
+    * @return one row: (n_cells, n_cells_matched, n_t, n_t_matched,
+    *         n_c_matched, att_micro) — att NULL when nothing matches */
+  def cemAtt(df: DataFrame, covCols: Seq[String], treat: Column,
+      y: Column): DataFrame = {
+    require(covCols.nonEmpty)
+    val cells = df
+      .select(covCols.map(col) :+ treat.cast("boolean").as("__t") :+
+        y.cast("long").as("__y"): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+      .groupBy(covCols.map(col): _*)
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("__syt"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__syc"))
+    val matched = col("__nt") > 0 && col("__nc") > 0
+    cells
+      .select(col("__nt"), col("__nc"), col("__syt"),
+        matched.as("__m"),
+        when(matched, expr("__syc * 1000000 div __nc")).as("__cmq"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_cells_matched"),
+        sum(col("__nt")).as("n_t"),
+        sum(when(col("__m"), col("__nt")).otherwise(0L)).as("n_t_matched"),
+        sum(when(col("__m"), col("__nc")).otherwise(0L)).as("n_c_matched"),
+        sum(when(col("__m"), col("__syt") * 1000000L -
+          col("__nt") * col("__cmq")).otherwise(0L)).as("__num"))
+      .withColumn("att_micro",
+        when(col("n_t_matched") > 0,
+          expr("__num div n_t_matched")))
+      .drop("__num")
+  }
+
+  /** DuckDB oracle for [[cemAtt]]: `innerSql` yields
+    * (c1..ck, t, y) with `covNames` the coarsened columns. */
+  def cemAttOracleSql(innerSql: String, covNames: Seq[String]): String = {
+    val covs = covNames.mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT $covs,
+       |         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |         CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+       |         CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt,
+       |         CAST(sum(CASE WHEN t THEN 0 ELSE y END) AS BIGINT) AS syc
+       |  FROM ($innerSql) WHERE t IS NOT NULL AND y IS NOT NULL
+       |  GROUP BY $covs
+       |), w AS (
+       |  SELECT nt, nc, syt, nt > 0 AND nc > 0 AS m,
+       |         CASE WHEN nt > 0 AND nc > 0
+       |              THEN syc * 1000000 // nc END AS cmq
+       |  FROM cells
+       |), agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |         CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_cells_matched,
+       |         CAST(sum(nt) AS BIGINT) AS n_t,
+       |         CAST(sum(CASE WHEN m THEN nt ELSE 0 END) AS BIGINT)
+       |           AS n_t_matched,
+       |         CAST(sum(CASE WHEN m THEN nc ELSE 0 END) AS BIGINT)
+       |           AS n_c_matched,
+       |         CAST(sum(CASE WHEN m THEN syt * 1000000 - nt * cmq
+       |                       ELSE 0 END) AS BIGINT) AS num
+       |  FROM w
+       |)
+       |SELECT n_cells, n_cells_matched, n_t, n_t_matched, n_c_matched,
+       |       CASE WHEN n_t_matched > 0
+       |            THEN CAST(num // n_t_matched AS BIGINT)
+       |            END AS att_micro
+       |FROM agg""".stripMargin
+  }
 }

@@ -600,6 +600,20 @@ object Analytics extends QueryModule {
         "event_type", "ts", "event_id", conversionType = "purchase",
         channels = Seq("click", "error", "signup", "view"))),
 
+    // Coarsened Exact Matching ATT on q228's cohort: cells by
+    // (event_type, 6h band), both-arm cells only, controls reweighted
+    // to the treated composition — confounding by the binned
+    // covariates removed exactly, one aggregation, no model.
+    "q347_cem" -> ((s, dir) =>
+      graft.ops.ABTest.cemAtt(
+        Tables(s, dir).events
+          .withColumn("hband",
+            expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000" +
+              " div 3600) % 24 div 6")),
+        Seq("event_type", "hband"),
+        col("user_id") % 2 === 1,
+        Exact.cents(col("value")))),
+
     // Difference-in-differences: odd-uid "treated" cohort vs even,
     // before/after the mid-month boundary — four exact integer cells,
     // three fixed subtractions; the non-randomized sibling of q194.
@@ -1691,6 +1705,14 @@ object Analytics extends QueryModule {
     "q226_attribution" -> Journey.attributionOracleSql(
       "events", "user_id", "event_type", "ts", "event_id",
       conversionType = "purchase", windowSeconds = 7200L),
+
+    "q347_cem" -> ABTest.cemAttOracleSql(
+      """SELECT event_type,
+        |       (epoch_us(ts) // 1000000 // 3600) % 24 // 6 AS hband,
+        |       user_id % 2 = 1 AS t,
+        |       CAST(round(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin,
+      Seq("event_type", "hband")),
 
     "q339_markov_attribution" -> Journey.markovAttributionOracleSql(
       "events", "user_id", "event_type", "ts", "event_id",

@@ -723,6 +723,27 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("cemAtt: hand-derived matched-cell ATT, single-arm cells " +
+      "excluded from matching but counted") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", true, 10L), ("A", true, 20L), ("A", false, 5L),
+      ("B", true, 7L),                    // treated-only cell
+      ("C", false, 9L))                   // control-only cell
+      .toDF("cov", "t", "y")
+    val out = graft.ops.ABTest.cemAtt(rows, Seq("cov"), col("t"),
+      col("y")).collect().head
+    // cell A: cm_q = 5e6; num = 30e6 - 2*5e6 = 20e6; att = 10e6
+    assert(out.getLong(0) == 3L && out.getLong(1) == 1L)
+    assert(out.getLong(2) == 3L && out.getLong(3) == 2L &&
+      out.getLong(4) == 1L)
+    assert(out.getLong(5) == 10000000L)
+    // nothing matched → NULL att
+    val none = Seq(("A", true, 1L), ("B", false, 2L)).toDF("cov", "t", "y")
+    assert(graft.ops.ABTest.cemAtt(none, Seq("cov"), col("t"), col("y"))
+      .collect().head.isNullAt(5))
+  }
+
   test("harmonicCentrality: path-graph micros sum 1/d per seed, " +
       "unreachable nodes contribute zero, seeds excluded at d=0") {
     import spark.implicits._
