@@ -436,6 +436,51 @@ object Streams {
       }
   }
 
+  case class MedianPoint(key: String, v: Long, med: Long,
+    ts: java.sql.Timestamp)
+
+  /** Streaming ROLLING MEDIAN — the robust face of the batch+stream
+    * parity trio (CUSUM/EWMA/Holt are all mean-tracking and a single
+    * spike drags every one of them; the trailing-window lower median
+    * shrugs it off, the [[graft.ops.TimeSeries.robustDecompose]]
+    * argument in streaming form). Per key,
+    * `med(t) = lower median of the last `window` values` (fewer at the
+    * series head) — the state is the bounded trailing buffer, events
+    * processed in event-time order within each batch, so the emitted
+    * sequence is EXACTLY what the batch trailing-window median
+    * computes on the same rows (StreamsSpec asserts parity across a
+    * micro-batch boundary).
+    *
+    * State per key = ≤ `window` longs + a timestamp; expired keys drop
+    * via event-time timeout (the TTL discipline of the sibling ops). */
+  def rollingMedianStream(events: Dataset[MetricEvent], delay: String,
+      window: Int = 5, ttlMs: Long = 3600000L): Dataset[MedianPoint] = {
+    require(window >= 1 && window <= 1024)
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Seq[Long], Long), MedianPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (buf, lastTs) =
+              state.getOption.getOrElse((Seq.empty[Long], Long.MinValue))
+            val out = Seq.newBuilder[MedianPoint]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              buf = (buf :+ e.v).takeRight(window)
+              val sorted = buf.sorted
+              val med = sorted((sorted.size + 1) / 2 - 1)
+              out += MedianPoint(key, e.v, med, e.ts)
+              lastTs = math.max(lastTs, e.ts.getTime)
+            }
+            state.update((buf, lastTs))
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Row-level quality gate for a stream (or batch) frame: split into
     * (pass, quarantine) on named expectations — the streaming use of
     * [[graft.ops.Profiling.expectations]]'s predicates, with the same

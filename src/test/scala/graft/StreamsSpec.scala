@@ -285,6 +285,32 @@ class StreamsSpec extends SparkSuite {
     q.stop()
   }
 
+  test("rollingMedianStream: trailing lower medians match the batch " +
+      "window recomputation across a micro-batch boundary, spikes " +
+      "leave the median untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Streams.MetricEvent]
+    val out = Streams.rollingMedianStream(mem.toDS(), "0 seconds",
+      window = 3)
+    val q = out.writeStream.format("memory").queryName("med_out")
+      .outputMode("append").start()
+    val vs = Seq(10L, 20L, 1000L, 30L, 40L)
+    mem.addData(vs.take(2).zipWithIndex.map { case (v, i) =>
+      Streams.MetricEvent("k", v, ts(f"10:00:0$i")) }: _*)
+    q.processAllAvailable()
+    mem.addData(vs.drop(2).zipWithIndex.map { case (v, i) =>
+      Streams.MetricEvent("k", v, ts(f"10:00:0${i + 2}")) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("med_out").as[Streams.MedianPoint].collect()
+      .sortBy(_.ts.getTime).map(_.med).toSeq
+    // trailing window-3 lower medians of 10,20,1000,30,40 — the batch
+    // recomputation: [10], [10,20]→10, [10,20,1000]→20,
+    // [20,1000,30]→30, [1000,30,40]→40; the 1000 spike never surfaces
+    assert(got == Seq(10L, 10L, 20L, 30L, 40L))
+    q.stop()
+  }
+
   test("ewmaAlarmsStream: spike against a settled baseline fires, " +
       "warm-up stays silent, baseline follows level cross-batch") {
     implicit val sqlCtx = spark.sqlContext
