@@ -70,6 +70,17 @@ object Vectors extends QueryModule {
       Similarity.bruteForceTopK(base(t), queriesDf(t), 5)
     }),
 
+    // Matryoshka truncation curve: recall@5 of leading-d-dim cosine
+    // top-k against the full-dim ground truth, d ∈ {8, 16, 32, 64} —
+    // the dims-vs-recall readout that decides how far an MRL embedding
+    // can be cut for first-stage retrieval (PQ's bytes-vs-recall
+    // question, answered by truncation instead of quantization).
+    "q348_matryoshka" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.matryoshkaOverlap(base(t), queriesDf(t), 5,
+        Seq(8, 16, 32, 64))
+    }),
+
     // Rank-biased overlap between q123's two legs: how much the cheap
     // BM25 ranking agrees with the embedding ranking, top-weighted —
     // the route-to-the-cheap-ranker decision metric Kendall/Spearman
@@ -709,6 +720,47 @@ object Vectors extends QueryModule {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
         |  FROM sims
         |) WHERE rn <= 5""".stripMargin,
+
+    "q348_matryoshka" -> {
+      val dimRows = Seq(8, 16, 32, 64).map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dim,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |   FROM (
+           |     SELECT qid, id FROM (
+           |       SELECT qid, id, row_number() OVER (PARTITION BY qid
+           |         ORDER BY cosine DESC, id) AS rn
+           |       FROM (
+           |         SELECT qid, id,
+           |                ${cosineSqlFor(s"qv[1:$d]", s"ev[1:$d]")} AS cosine
+           |         FROM b CROSS JOIN q)
+           |     ) WHERE rn <= 5
+           |   ) td JOIN fulltk USING (qid, id)) AS sum_overlap"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings
+         |), q AS MATERIALIZED (
+         |  SELECT vec_id AS qid,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 3
+         |), fulltk AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, id) AS rn
+         |    FROM (SELECT qid, id, $cosineSql AS cosine
+         |          FROM b CROSS JOIN q)
+         |  ) WHERE rn <= 5
+         |), curve AS (
+         |$dimRows
+         |)
+         |SELECT dim, n_queries, sum_overlap,
+         |       CAST(sum_overlap AS DOUBLE) / (n_queries * 5)
+         |         AS recall_at_k
+         |FROM curve""".stripMargin
+    },
 
     // The left-fold list_reduce mirrors Spark's aggregate(0.0, +) —
     // list_reduce seeds with the first element, but 0.0 + c1 == c1 in

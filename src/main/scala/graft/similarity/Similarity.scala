@@ -80,6 +80,41 @@ object Similarity {
       .select(col("qid"), col("id"), col("cosine"), col("rn"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022): how much
+    * of the FULL-dimension top-k survives when vectors are truncated to
+    * their leading d dimensions — the dims-vs-recall curve that decides
+    * how far an MRL-style embedding can be cut for cheap first-stage
+    * retrieval (the same bytes-vs-recall question PQ answers by
+    * quantizing; this answers it by truncating). Ground truth and every
+    * truncated run use the same exact brute-force top-k
+    * ([[bruteForceTopK]] — bounded buffers, total-order ties), so the
+    * whole curve is deterministic and oracle-replayable.
+    *
+    * @param dims leading-dimension truncations to evaluate
+    * @return one row per dim: (dim, n_queries, sum_overlap,
+    *         recall_at_k) — recall = Σ|topk_d ∩ topk_full| / (n·k) */
+  def matryoshkaOverlap(base: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(k >= 1 && dims.nonEmpty)
+    val full = bruteForceTopK(base, queries, k)
+      .select(col("qid"), col("id"))
+      .localCheckpoint()
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    dims.map { d =>
+      val bd = base.select(col("id"), slice(col("ev"), 1, d).as("ev"))
+      val qd = queries.select(col("qid"), slice(col("qv"), 1, d).as("qv"))
+      bruteForceTopK(bd, qd, k)
+        .select(col("qid"), col("id"))
+        .join(full, Seq("qid", "id"))
+        .agg(count(lit(1)).as("sum_overlap"))
+        .crossJoin(broadcast(nQ)) // 1-row count: the stat idiom
+        .select(lit(d.toLong).as("dim"), col("n_queries"),
+          col("sum_overlap"),
+          (col("sum_overlap").cast("double") /
+            (col("n_queries") * k)).as("recall_at_k"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Contrastive hard-negative mining: for each query, the k MOST
     * similar corpus vectors strictly BELOW the positive threshold — the
     * "close but wrong" examples embedding-model training (DPR/Contriever

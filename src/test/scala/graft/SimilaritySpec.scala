@@ -32,6 +32,27 @@ class SimilaritySpec extends SparkSuite {
     assert(top.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("matryoshkaOverlap: full-dim truncation recalls 1.0 exactly, a " +
+      "leading-dim-dominant corpus recovers the ranking early, a " +
+      "trailing-dim corpus cannot") {
+    import spark.implicits._
+    // ranking signal ONLY in the last two dims: dims 1-2 identical
+    val base = Seq(
+      (1L, Seq(1.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(1.0, 1.0, 0.0, 1.0)),
+      (3L, Seq(1.0, 1.0, 0.5, 0.5))).toDF("id", "ev")
+    val queries = Seq((1L, Seq(1.0, 1.0, 1.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.matryoshkaOverlap(base, queries, 2,
+        Seq(2, 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // d=4 is the ground truth itself
+    assert(out(4L) == ((1L, 2L, 1.0)))
+    // d=2: all cosines tie at 1.0 → ties break by id → top2 = {1, 2};
+    // ground truth top2 = {1, 3} → overlap 1 of 2
+    assert(out(2L) == ((1L, 1L, 0.5)))
+  }
+
   test("annTopK finds the exact duplicate through LSH bucketing") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>
