@@ -183,6 +183,69 @@ object Bfs {
       .agg(sum(expr("1000000 div dist")).as("h_q"))
   }
 
+  /** Bounded-horizon eccentricities from a seed sample — the diameter
+    * estimator: `ecc(s) = max_v d(s, v)` within `hops`; the max over
+    * seeds is the standard diameter LOWER BOUND (sampled double-sweep
+    * family). Same per-seed frontier as [[harmonicCentrality]], with a
+    * reached-count column so a truncated horizon is visible (ecc is
+    * exact when n_reached = component size, else a floor).
+    *
+    * @return per seed: (node, ecc, n_reached) — node the seed */
+  def eccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 8)
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.toDF("node").distinct()
+      .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    (1 to hops).foreach { r =>
+      val next = dist.filter(col("dist") === (r - 1))
+        .join(und, col("node") === col("u"))
+        .select(col("s"), col("v").as("node"), lit(r.toLong).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy(col("s"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.groupBy(col("s").as("node"))
+      .agg(max(col("dist")).as("ecc"),
+        (count(lit(1)) - 1).as("n_reached"))
+  }
+
+  /** DuckDB oracle for [[eccentricity]]. */
+  def eccentricityOracleSql(edgeSql: String, seedSql: String,
+      hops: Int): String = {
+    val steps = (1 to hops).map { r =>
+      s"""d$r AS (
+         |  SELECT s, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT s, node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT f.s, e.v AS node, $r AS dist
+         |    FROM d${r - 1} f JOIN und e ON e.u = f.node
+         |    WHERE f.dist = ${r - 1}
+         |  ) GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT src AS u, dst AS v FROM ($edgeSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)
+       |), d0 AS (
+       |  SELECT DISTINCT node AS s, node, CAST(0 AS BIGINT) AS dist
+       |  FROM ($seedSql)
+       |), $steps
+       |SELECT s AS node, CAST(max(dist) AS BIGINT) AS ecc,
+       |       CAST(count(*) - 1 AS BIGINT) AS n_reached
+       |FROM d$hops GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB oracle for [[harmonicCentrality]]. */
   def harmonicOracleSql(edgeSql: String, seedSql: String,
       hops: Int): String = {

@@ -291,6 +291,20 @@ object Relational extends QueryModule {
       graft.ops.PageRank.personalizedPageRank(edges, "src", "dst", seeds)
     }),
 
+    // Bounded-horizon eccentricities from the q340 seed sample — the
+    // diameter-lower-bound readout; n_reached shows where the 4-hop
+    // horizon truncates (ecc exact iff the component fits).
+    "q349_eccentricity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cs = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + supplierNodeOffset).as("dst"))
+      val seeds = t.customer.filter(col("c_custkey") % 200 === 1)
+        .select(col("c_custkey").as("node"))
+      graft.ops.Bfs.eccentricity(cs, "src", "dst", seeds, hops = 4)
+    }),
+
     // Harmonic centrality from the q340 seed sample: Σ 1/d in integer
     // micros over per-seed 3-hop distances — the closeness variant
     // that survives disconnection (unreachable contributes 0, not ∞).
@@ -1261,6 +1275,13 @@ object Relational extends QueryModule {
       graft.ops.PageRank.pageRankOracleSql(
         s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin),
+
+    "q349_eccentricity" ->
+      graft.ops.Bfs.eccentricityOracleSql(
+        s"""SELECT o_custkey AS src, l_suppkey + $supplierNodeOffset AS dst
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        "SELECT c_custkey AS node FROM customer WHERE c_custkey % 200 = 1",
+        hops = 4),
 
     "q345_harmonic" ->
       graft.ops.Bfs.harmonicOracleSql(

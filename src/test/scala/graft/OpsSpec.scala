@@ -723,6 +723,24 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("eccentricity: path-graph values, horizon truncation visible " +
+      "in n_reached, disconnected components unreached") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+      .toDF("src", "dst")
+    val out = graft.ops.Bfs.eccentricity(es, "src", "dst",
+        Seq(1L, 3L).toDF("node"), hops = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // seed 1: reaches 2,3,4,5 with ecc 4; seed 3: ecc 2, reaches 4
+    assert(out == Map(1L -> ((4L, 4L)), 3L -> ((2L, 4L))))
+    // hops=2 truncates seed 1: ecc floor 2, only 2 reached
+    val t = graft.ops.Bfs.eccentricity(es, "src", "dst",
+        Seq(1L).toDF("node"), hops = 2)
+      .collect().head
+    assert(t.getLong(1) == 2L && t.getLong(2) == 2L)
+  }
+
   test("cemAtt: hand-derived matched-cell ATT, single-arm cells " +
       "excluded from matching but counted") {
     import spark.implicits._
