@@ -215,6 +215,17 @@ object ScaleProbe {
         ops.Walks.deterministicWalks(gEdges, "src", "dst",
           walksPerNode = 2, steps = 4, salt = "probe").count()
       }
+      // k-truss: rounds × triangle support via adjacency intersection —
+      // Σ out-deg² per copy, so disjoint copies must be linear
+      time(s"truss_x$m") {
+        ops.Truss.kTruss(gEdges, "src", "dst", k = 8).count()
+      }
+      // betweenness/eccentricity: seed-count priced — seeds per copy
+      // scale with m, frontiers stay per-copy-bounded
+      time(s"betweenness_x$m") {
+        ops.Betweenness.fromSeeds(gEdges, "src", "dst", seeds,
+          hops = 3).count()
+      }
       gEdges.unpersist()
 
       // prefix-filter join: replicas get a PER-COPY alphabet rotation
