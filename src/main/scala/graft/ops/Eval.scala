@@ -251,6 +251,72 @@ object Eval {
           col("dcg_q").cast("double") / col("idcg_q")))
   }
 
+  /** Average Precision at k — the binary-relevance ranking metric
+    * completing the retrieval-eval trio ([[ndcgAtK]] graded, MRR
+    * first-hit-only; AP integrates precision at EVERY relevant rank,
+    * so it rewards packing all relevant items high, not just one):
+    * `AP@k = Σ_{i≤k, rel_i} P@i / min(R, k)` with `P@i` the precision
+    * at rank i and R the query's total relevant count.
+    *
+    * Integer contract: each term is the exact micro `cum_i·10⁶ div i`
+    * (cum_i = relevant seen through rank i), summed as longs and
+    * divided once by `min(R, k)` — the [[ndcgAtK]] staircase doctrine,
+    * deterministic on both engines. Ties break (score desc, item asc).
+    *
+    * Scale shape: one query-keyed row_number window + one keyed
+    * aggregation — per-query fan-out, never global.
+    *
+    * @param rel binary relevance (0/1)
+    * @return per query: (n_items, n_rel, ap_micro) — NULL ap when the
+    *         query has no relevant item */
+  def averagePrecisionAtK(df: DataFrame, queryCol: String, item: Column,
+      rel: Column, score: Column, k: Int = 10): DataFrame = {
+    require(k >= 1)
+    val base = df.select(col(queryCol), item.as("__i"),
+        rel.cast("long").as("__r"), score.as("__s"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__s").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("__s").desc, col("__i"))
+    base
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__r")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__r")).as("n_rel"),
+        sum(when(col("__rn") <= k && col("__r") === 1L,
+          expr("__cum * 1000000 div __rn")).otherwise(0L)).as("__ts"))
+      .withColumn("ap_micro",
+        when(col("n_rel") > 0,
+          expr(s"__ts div least(n_rel, CAST($k AS BIGINT))")))
+      .drop("__ts")
+  }
+
+  /** DuckDB oracle for [[averagePrecisionAtK]]: `innerSql` yields
+    * (`qName`, i, r, s). */
+  def apOracleSql(innerSql: String, qName: String, k: Int = 10): String =
+    s"""WITH b AS (
+       |  SELECT $qName, i, r, s FROM ($innerSql)
+       |  WHERE i IS NOT NULL AND r IS NOT NULL AND s IS NOT NULL
+       |), p AS (
+       |  SELECT $qName, r,
+       |    CAST(row_number() OVER (PARTITION BY $qName
+       |      ORDER BY s DESC, i) AS BIGINT) AS rn,
+       |    CAST(sum(r) OVER (PARTITION BY $qName ORDER BY s DESC, i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM b
+       |)
+       |SELECT $qName, CAST(count(*) AS BIGINT) AS n_items,
+       |       CAST(sum(r) AS BIGINT) AS n_rel,
+       |       CAST(CASE WHEN sum(r) > 0 THEN
+       |         sum(CASE WHEN rn <= $k AND r = 1
+       |             THEN cum * 1000000 // rn ELSE 0 END)
+       |         // least(sum(r), $k) END AS BIGINT) AS ap_micro
+       |FROM p GROUP BY 1""".stripMargin
+
   /** QINI curve — uplift-model evaluation: targeting the top score
     * tiles, how many INCREMENTAL conversions does treatment buy over
     * the control baseline?

@@ -572,6 +572,17 @@ object Analytics extends QueryModule {
           Exact.cents(col("value")).as("score")),
         "user_id", col("event_id"), col("rel"), col("score"), k = 10)),
 
+    // MAP@10 per user on the same value-ordered list, binary relevance
+    // (event_id % 3 = 0): AP integrates precision at every relevant
+    // rank — the packing-reward metric nDCG's graded discount and
+    // MRR's first-hit both miss; integer-micro staircase terms.
+    "q350_average_precision" -> ((s, dir) =>
+      Eval.averagePrecisionAtK(
+        Tables(s, dir).events.select(col("user_id"), col("event_id"),
+          (pmod(col("event_id"), lit(3L)) === 0L).cast("long").as("rel"),
+          Exact.cents(col("value")).as("score")),
+        "user_id", col("event_id"), col("rel"), col("score"), k = 10)),
+
     // Leave-one-out target encoding of event_type against the value
     // target — the high-cardinality categorical encoding with the
     // self-label leak subtracted out; exact integer (Σ−y)/(n−1).
@@ -1689,6 +1700,13 @@ object Analytics extends QueryModule {
         |       min(CAST(round(value * 100) AS BIGINT)) AS min_v,
         |       max(CAST(round(value * 100) AS BIGINT)) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q350_average_precision" -> Eval.apOracleSql(
+      """SELECT user_id, event_id AS i,
+        |       CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS r,
+        |       CAST(round(value * 100) AS BIGINT) AS s
+        |FROM events""".stripMargin,
+      "user_id", k = 10),
 
     "q220_ndcg" -> Eval.ndcgOracleSql(
       """SELECT user_id, event_id AS i, event_id % 4 AS r,

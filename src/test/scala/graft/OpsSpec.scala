@@ -723,6 +723,29 @@ class OpsSpec extends SparkSuite {
     assert(run() == out) // reproducible
   }
 
+  test("averagePrecisionAtK: hand-derived staircase micros, k cutoff " +
+      "divides by min(R,k), relevance-free queries read NULL") {
+    import spark.implicits._
+    // ranked A(1) B(0) C(1) D(0) E(1): AP = (1 + 2/3 + 3/5)/3
+    val rows = Seq(("q", 1L, 1L, 50L), ("q", 2L, 0L, 40L),
+      ("q", 3L, 1L, 30L), ("q", 4L, 0L, 20L), ("q", 5L, 1L, 10L),
+      ("z", 9L, 0L, 5L))
+      .toDF("qid", "i", "r", "s")
+    val out = Eval.averagePrecisionAtK(rows, "qid", col("i"), col("r"),
+        col("s"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // terms: 1e6 + 2e6 div 3 + 3e6 div 5 = 2266666; div 3 = 755555
+    assert(out("q") == ((5L, 3L, 755555L)))
+    assert(out("z") == ((1L, 0L, -1L)))
+    // k=2: only rank-1 term, min(R,k)=2 → 500000
+    val cut = Eval.averagePrecisionAtK(rows.filter(col("qid") === "q"),
+        "qid", col("i"), col("r"), col("s"), k = 2)
+      .collect().head
+    assert(cut.getLong(3) == 500000L)
+  }
+
   test("eccentricity: path-graph values, horizon truncation visible " +
       "in n_reached, disconnected components unreached") {
     import spark.implicits._
