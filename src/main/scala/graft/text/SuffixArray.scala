@@ -75,15 +75,23 @@ object SuffixArray {
         dense_rank().over(W.partitionBy(col(idCol)).orderBy(col("__g")))
           .cast("long"))
       .drop("__g")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Generations persist EXPLICITLY (MEMORY_AND_DISK) and the previous
+    // one is unpersisted as soon as its successor materializes — a
+    // two-generation memory bound by construction, where chained
+    // localCheckpoints pin every generation until the async cleaner
+    // gets to them (measured OOM at 32× corpus). Lineage grows one
+    // window per round — linear, shuffle-bounded, not the 4^rounds
+    // CC blowup that forced checkpoints there.
+    //
     // Early exit once every rank is unique (the array is final and
     // further rounds are identity re-ranks): one small aggregation per
-    // round over the just-checkpointed generation. English-like text
-    // converges at ~log2(longest repeat), well before the length bound.
+    // round — the same action that materializes the new generation.
     var done = false
     (2 until math.max(rounds, 2)).foreach { r =>
       if (!done) {
         val k = 1L << r
+        val prev = fr
         fr = fr
           .withColumn("__r2",
             coalesce(lead(col("rank"), k.toInt).over(byPos), lit(0L)))
@@ -91,9 +99,10 @@ object SuffixArray {
             dense_rank().over(W.partitionBy(col(idCol))
               .orderBy(col("rank"), col("__r2"))).cast("long"))
           .drop("__r2")
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         done = fr.groupBy(col(idCol), col("rank"))
           .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+        prev.unpersist()
       }
     }
     fr.select(col(idCol), col("pos"), col("rank").as("sa_rank"))
