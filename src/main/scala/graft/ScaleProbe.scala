@@ -226,6 +226,13 @@ object ScaleProbe {
         ops.Betweenness.fromSeeds(gEdges, "src", "dst", seeds,
           hops = 3).count()
       }
+      time(s"eccentricity_x$m") {
+        ops.Bfs.eccentricity(gEdges, "src", "dst", seeds, hops = 4).count()
+      }
+      time(s"harmonic_x$m") {
+        ops.Bfs.harmonicCentrality(gEdges, "src", "dst", seeds,
+          hops = 3).count()
+      }
       gEdges.unpersist()
 
       // prefix-filter join: replicas get a PER-COPY alphabet rotation
@@ -279,6 +286,19 @@ object ScaleProbe {
       time(s"suffix_global_x$m") {
         text.SuffixArray.globalRanks(docsR, "doc_id", "text").count()
       }
+      // exact-substring threshold family (rotated corpus: cross-copy
+      // grams disjoint, so dup mass — and the island/interval work — is
+      // linear in copies): removal is one L-gram df + islands; the
+      // threshold pair readout adds the SA + adjacency join, priced by
+      // the qualifying-pair mass
+      time(s"exact_substr_removal_x$m") {
+        text.ExactSubstr.removeCrossDocRepeats(docsR, "doc_id", "text",
+          minLen = 40).count()
+      }
+      time(s"exact_substr_pairs_x$m") {
+        text.SuffixArray.crossDocRepeatsAtLeast(docsR, "doc_id", "text",
+          minLen = 40).count()
+      }
       docsR.unpersist()
 
       // BPE encode: merges trained ONCE on the 1x corpus (the documented
@@ -315,6 +335,26 @@ object ScaleProbe {
         val e = ev.select(col("user_id").as("src"),
           (col("event_id") % 1000 + 1000000L).as("dst"))
         ops.PageRank.pageRank(e, "src", "dst").count()
+      }
+      // B-cubed: contingency bounded by |clusters|×|golds| (constant
+      // under replication) — per-item scoring must stay scan-bound
+      time(s"bcubed_x$m") {
+        val labeled = ev.select(pmod(col("user_id"), lit(997)).as("cl"),
+          col("event_type").as("gold"))
+        ops.Eval.bCubed(labeled, "cl", "gold").count()
+      }
+      // Markov attribution: per-copy user offsets keep journeys intact;
+      // the collected transition matrix stays (|channels|+1)·(+2)
+      // bounded by the new require — corpus scale grows cell counts only
+      time(s"markov_attribution_x$m") {
+        val evU = (0 until m).map(i => t.events
+            .select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+              (col("user_id") + lit(i * 10000000L)).as("user_id"),
+              col("event_type"), col("ts")))
+          .reduce(_ unionAll _)
+        ops.Journey.markovAttribution(evU, "user_id", "event_type", "ts",
+          "event_id", conversionType = "purchase",
+          channels = Seq("click", "error", "signup", "view")).count()
       }
       ev.unpersist()
       spark.catalog.clearCache()

@@ -971,6 +971,13 @@ object Journey {
     val tr = steps.unionAll(lasts).unionAll(direct)
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the bounded-frame contract, ASSERTED: sources ∈ {START}∪channels,
+    // targets ∈ channels∪{CONV,NULL} — corpus scale grows the counts in
+    // the cells, never the cell count
+    require(tr.length <= (channels.size + 1) * (channels.size + 2),
+      s"transition matrix ${tr.length} rows exceeds the " +
+        s"(|channels|+1)·(|channels|+2) bound — typeCol values outside " +
+        s"the stated channel catalog")
     // driver-side integer sweeps over the bounded matrix
     val states = "START" +: channels
     val outN = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap

@@ -91,12 +91,23 @@ object TimeSeries {
 
   /** Mann-Kendall monotone-trend test per key over an integer series
     * `(key, t, x)`: S = Σ_{i<j} sign(x_j − x_i) via the exact pairwise
-    * self-join (calendar-bounded n ⇒ bounded n²; see the object doc),
-    * the no-ties variance `Var·18 = n(n−1)(2n+5)` as an exact integer,
-    * and the continuity-corrected z = (S∓1)/sqrt(Var18/18.0) in one
-    * fixed IEEE sequence. The non-parametric drift detector: immune to
-    * outliers and level, it asks only "do later points tend to exceed
-    * earlier ones".
+    * self-join, the no-ties variance `Var·18 = n(n−1)(2n+5)` as an
+    * exact integer, and the continuity-corrected
+    * z = (S∓1)/sqrt(Var18/18.0) in one fixed IEEE sequence. The
+    * non-parametric drift detector: immune to outliers and level, it
+    * asks only "do later points tend to exceed earlier ones".
+    *
+    * PER-KEY PAIR LEDGER (the shrunkRates convention): the self-join
+    * materializes n(n−1)/2 rows PER KEY — quadratic in the per-key
+    * series length, hash-balanced across keys. The contract cap is
+    * n ≤ 4096 points per key (≈ 8.4M pair rows/key, a fraction of one
+    * shuffle partition; OpsSpec runs the cap magnitude end-to-end) —
+    * comfortably above any calendar-bucketed caller (hourly × month =
+    * 744; daily × decade = 3653), and INDEPENDENT of corpus scale:
+    * 100 TB grows the key count, never n. Series beyond the cap are
+    * re-bucketing problems (the q42 rollup family), not bigger joins;
+    * the O(n log n) inversion-count form buys nothing at n ≤ 4096 and
+    * costs a per-key sort barrier.
     *
     * @return keyCols ++ (n, s_stat, var18, z, trend) — trend ∈
     *         {increasing, decreasing, no_trend} at the two-sided 5% level

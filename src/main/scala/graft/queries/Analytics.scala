@@ -14,7 +14,7 @@ import graft.ops._
 object Analytics extends QueryModule {
 
   /** events + exact value cents + `k` extracted from the JSON props (P2). */
-  private def eventsEnriched(t: Tables): DataFrame =
+  private[queries] def eventsEnriched(t: Tables): DataFrame =
     t.events
       .withColumn("value_cents", Exact.cents(col("value")))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -299,46 +299,6 @@ object Analytics extends QueryModule {
       graft.ops.TimeSeries.mannKendall(hourly, Seq("event_type"), "h", "c")
     }),
 
-    // Batch sessionization: 30-min inactivity gap splits per-user
-    // streams into sessions (lag flag + running flag-sum, one keyed
-    // shuffle), one row per session with span stats in exact integer
-    // seconds.
-    "q184_sessionize" -> ((s, dir) =>
-      graft.ops.Journey.sessionize(Tables(s, dir).events,
-        "user_id", "ts", "event_id", gapSeconds = 1800L)),
-
-    // RFM segmentation: per-purchaser recency/frequency/monetary quintile
-    // scores via the q84 histogram-cut machinery (value-cardinality-
-    // bounded cut derivation + broadcast bin expressions) — NOT a global
-    // ntile window, which would funnel every user through one sorted
-    // partition at scale.
-    "q186_rfm" -> ((s, dir) => {
-      val qs = Seq((1, 5), (2, 5), (3, 5), (4, 5))
-      val p = Tables(s, dir).events
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("m"),
-          Exact.cents(col("value")).as("cents"))
-        .groupBy(col("user_id"))
-        .agg(max(col("m")).as("last_m"), count(lit(1)).as("freq"),
-          sum(col("cents")).as("monetary_cents"))
-        .persist() // read 4× below (3 cut derivations + the binned base)
-      val rCuts = Quantiles.histogramCuts(p, col("last_m"), qs)
-      val fCuts = Quantiles.histogramCuts(p, col("freq"), qs)
-      val mCuts = Quantiles.histogramCuts(p, col("monetary_cents"), qs)
-      val binned = Quantiles.binByCuts(
-        Quantiles.binByCuts(
-          Quantiles.binByCuts(p, col("last_m"), rCuts, "r0"),
-          col("freq"), fCuts, "f0"),
-        col("monetary_cents"), mCuts, "m0")
-      binned.select(col("user_id"), col("last_m"), col("freq"),
-        col("monetary_cents"),
-        (col("r0") + 1).as("r"), (col("f0") + 1).as("f"),
-        (col("m0") + 1).as("m"),
-        ((col("r0") + 1) * 100 + (col("f0") + 1) * 10 + col("m0") + 1)
-          .as("rfm_code"))
-    }),
-
     // Seasonal-baseline anomalies: hourly cells scored against their
     // OWN (event_type, hour-of-day) baseline — the daily cycle stops
     // masquerading as anomaly. Exact integer sums, broadcast baselines.
@@ -363,14 +323,6 @@ object Analytics extends QueryModule {
         Seq("event_type"), "ts", "cents",
         asOfMicros = 1706659200000000L, // 2024-01-31T00:00:00Z
         halflifeSeconds = 86400L, maxBuckets = 20)),
-
-    // A/B readout: deterministic unit split (user_id parity — the
-    // hash-bucket arm assignment real frameworks use), two-sample pooled
-    // proportion z per event type, two-sided 5% verdict.
-    "q194_ab_test" -> ((s, dir) =>
-      graft.ops.ABTest.proportionTest(Tables(s, dir).events,
-        Seq("event_type"), pmod(col("user_id"), lit(2)) === 1,
-        col("value") > 150)),
 
     // Cross-metric correlation matrix: which event types' hourly count
     // series move together — pair join on the hour key (series are
@@ -411,13 +363,6 @@ object Analytics extends QueryModule {
         (1 to 9).map(i => (i, 10)))
     }),
 
-    // Observed-lifetime survival curve: engagement decay over whole-day
-    // first-to-last spans; descending cumulative over the calendar-
-    // bounded lifetime histogram.
-    "q200_survival" -> ((s, dir) =>
-      graft.ops.Journey.lifetimeSurvival(Tables(s, dir).events,
-        "user_id", "ts")),
-
     // Gini concentration of per-user event counts by type: the
     // whale-dominance scalar, exact via the value-histogram pairwise-
     // difference identity.
@@ -433,22 +378,6 @@ object Analytics extends QueryModule {
     // from_json schema is declared.
     "q202_json_schema" -> ((s, dir) =>
       graft.ingest.Ingest.jsonKeyProfile(Tables(s, dir).events, "props")),
-
-    // DAU / trailing-WAU stickiness: rolling distinct is not window-
-    // expressible, so each (user, day) contributes itself to its 7
-    // trailing report days (fixed fan-out) before one distinct+count.
-    "q203_stickiness" -> ((s, dir) =>
-      graft.ops.Journey.stickiness(Tables(s, dir).events,
-        "user_id", "ts")),
-
-    // Chi-square independence: is event_type related to the user's
-    // parity cohort — contingency margins re-derived and broadcast,
-    // per-cell terms trunc'd to portable integers before the sum.
-    "q204_chi_square" -> ((s, dir) =>
-      graft.ops.ABTest.chiSquareIndependence(
-        Tables(s, dir).events
-          .withColumn("cohort", pmod(col("user_id"), lit(3))),
-        "event_type", "cohort")),
 
     // Least-squares trend line per event type over the hourly series:
     // slope/intercept from five exact integer sums — "how fast is it
@@ -482,31 +411,6 @@ object Analytics extends QueryModule {
         Tables(s, dir).events.withColumn("cents", Exact.cents(col("value"))),
         Seq("user_id"), "ts", "event_id", "cents")),
 
-    // A-then-B-within-T: purchases within one hour of a click, per
-    // user — the time-constrained funnel step; user-keyed join with the
-    // range as a join predicate, fan-out activity-bounded.
-    "q213_within_window" -> ((s, dir) =>
-      graft.ops.Journey.withinWindowConversion(Tables(s, dir).events,
-        "user_id", "event_type", "ts", "event_id",
-        triggerType = "click", outcomeType = "purchase",
-        windowSeconds = 3600L)),
-
-    // Precision/recall/F1 at every distinct threshold: descending
-    // cumulatives over the same score histogram AUC uses — the
-    // operating-point picker, no global sort.
-    "q207_pr_curve" -> ((s, dir) =>
-      graft.ops.Eval.prCurve(Tables(s, dir).events,
-        Exact.cents(col("value")),
-        (col("event_type") === "purchase").cast("long"))),
-
-    // ROC AUC without a global score sort: Mann-Whitney over the score
-    // histogram (cardinality-bounded cumulative), exact integer
-    // numerator, one final division.
-    "q205_roc_auc" -> ((s, dir) =>
-      graft.ops.Eval.rocAuc(Tables(s, dir).events,
-        Exact.cents(col("value")),
-        (col("event_type") === "purchase").cast("long"))),
-
     // X4: hourly alert summary counters by severity.
     "q18_alert_summary" -> ((s, dir) => {
       alerts(Tables(s, dir))
@@ -518,19 +422,6 @@ object Analytics extends QueryModule {
           sum(when(col("severity") === "MEDIUM", 1).otherwise(0)).as("medium_alerts"),
           max(col("ts")).as("last_alert_ts"))
     }),
-
-    // Ordered funnel (first-touch): view → click → purchase, each stage
-    // gated on the previous stage's conversion time. Keyed joins over
-    // monotonically-shrinking survivor sets — no window over the raw log.
-    "q60_funnel" -> ((s, dir) =>
-      graft.ops.Journey.funnel(Tables(s, dir).events, "user_id",
-        "event_type", "ts", Seq("view", "click", "purchase"))),
-
-    // Retention cohorts: signup-week cohort × whole weeks since, distinct
-    // active users. Two keyed aggregations.
-    "q61_retention" -> ((s, dir) =>
-      graft.ops.Journey.retention(Tables(s, dir).events, "user_id",
-        "event_type", "ts", anchorType = "signup")),
 
     // SCD2 interval history: each event's validity closed by the user's
     // next event (half-open, event_id tie-break). One window per key.
@@ -561,87 +452,6 @@ object Analytics extends QueryModule {
       Rollups.mergeStates(prev, delta, Seq("event_type"))
     }),
 
-    // nDCG@10 per user: graded-relevance ranking quality of the
-    // value-ordered event list (relevance = event_id mod 4 as the
-    // synthetic grade) — integer bit-length discount, so the whole
-    // rank-discount-sum chain hash-matches the oracle.
-    "q220_ndcg" -> ((s, dir) =>
-      Eval.ndcgAtK(
-        Tables(s, dir).events.select(col("user_id"), col("event_id"),
-          pmod(col("event_id"), lit(4L)).as("rel"),
-          Exact.cents(col("value")).as("score")),
-        "user_id", col("event_id"), col("rel"), col("score"), k = 10)),
-
-    // MAP@10 per user on the same value-ordered list, binary relevance
-    // (event_id % 3 = 0): AP integrates precision at every relevant
-    // rank — the packing-reward metric nDCG's graded discount and
-    // MRR's first-hit both miss; integer-micro staircase terms.
-    "q350_average_precision" -> ((s, dir) =>
-      Eval.averagePrecisionAtK(
-        Tables(s, dir).events.select(col("user_id"), col("event_id"),
-          (pmod(col("event_id"), lit(3L)) === 0L).cast("long").as("rel"),
-          Exact.cents(col("value")).as("score")),
-        "user_id", col("event_id"), col("rel"), col("score"), k = 10)),
-
-    // Leave-one-out target encoding of event_type against the value
-    // target — the high-cardinality categorical encoding with the
-    // self-label leak subtracted out; exact integer (Σ−y)/(n−1).
-    "q223_target_encode" -> ((s, dir) =>
-      Features.targetEncodeLoo(
-        Tables(s, dir).events.select(col("event_id"), col("event_type"),
-          Exact.cents(col("value")).as("y")),
-        "event_type", "event_id", col("y"))),
-
-    // Multi-touch attribution: purchase credit split over the user's
-    // preceding 2h touches under first/last/linear AT ONCE — integer
-    // micros per conversion, user-keyed join, two fused windows.
-    "q226_attribution" -> ((s, dir) =>
-      Journey.attribution(Tables(s, dir).events, "user_id", "event_type",
-        "ts", "event_id", conversionType = "purchase",
-        windowSeconds = 7200L)),
-
-    // Markov removal-effect attribution: the data-driven fourth model
-    // next to q226's heuristic trio — absorption probability of
-    // conversion from START, re-computed with each channel redirected
-    // to NULL; integer-micro Jacobi sweeps over the bounded transition
-    // matrix (collected under the IVF-centroid contract), every sweep
-    // replayed by the oracle.
-    "q339_markov_attribution" -> ((s, dir) =>
-      Journey.markovAttribution(Tables(s, dir).events, "user_id",
-        "event_type", "ts", "event_id", conversionType = "purchase",
-        channels = Seq("click", "error", "signup", "view"))),
-
-    // Coarsened Exact Matching ATT on q228's cohort: cells by
-    // (event_type, 6h band), both-arm cells only, controls reweighted
-    // to the treated composition — confounding by the binned
-    // covariates removed exactly, one aggregation, no model.
-    "q347_cem" -> ((s, dir) =>
-      graft.ops.ABTest.cemAtt(
-        Tables(s, dir).events
-          .withColumn("hband",
-            expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000" +
-              " div 3600) % 24 div 6")),
-        Seq("event_type", "hband"),
-        col("user_id") % 2 === 1,
-        Exact.cents(col("value")))),
-
-    // Difference-in-differences: odd-uid "treated" cohort vs even,
-    // before/after the mid-month boundary — four exact integer cells,
-    // three fixed subtractions; the non-randomized sibling of q194.
-    "q228_did" -> ((s, dir) =>
-      ABTest.diffInDiff(Tables(s, dir).events,
-        treated = pmod(col("user_id"), lit(2L)) === 1L,
-        post = col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
-        y = Exact.cents(col("value")))),
-
-    // Decile lift & cumulative gains of the value score against the
-    // purchase outcome — the targeting table ROC AUC (q205) folds away;
-    // tiles from the score histogram, never a global row sort.
-    "q229_lift_gains" -> ((s, dir) =>
-      Eval.liftTable(Tables(s, dir).events,
-        Exact.cents(col("value")),
-        (col("event_type") === "purchase").cast("long"))),
-
     // Theil–Sen robust slope per event type over the hourly series —
     // the outlier-proof magnitude between q216's OLS fit and q175's
     // yes/no Mann–Kendall; median pairwise slope by discrete rank.
@@ -652,18 +462,6 @@ object Analytics extends QueryModule {
             .as("h"))
         .agg(count(lit(1)).as("c"))
       TimeSeries.theilSen(hourly, Seq("event_type"), "h", "c")
-    }),
-
-    // Standardized-mean-difference balance audit: are the pre/post
-    // slices comparable on (value, k) — the |SMD|<0.1 covariate-
-    // balance diagnostic propensity matching lives by.
-    "q303_smd_audit" -> ((s, dir) => {
-      val ev = eventsEnriched(Tables(s, dir))
-        .select(col("ts"), col("value_cents"), col("k"))
-      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-      graft.ops.Profiling.smdAudit(
-        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
-        Seq("value_cents", "k"))
     }),
 
     // Peak concurrency per day: max simultaneously-open activity
@@ -685,30 +483,6 @@ object Analytics extends QueryModule {
       TimeSeries.stationaryDistribution(Tables(s, dir).events,
         col("user_id"), col("event_type"),
         Seq(col("ts"), col("event_id")))),
-
-    // Per-user consumption diversity: entropy of each user's type mix
-    // via the integer identity — explorers vs single-feature power
-    // users, which a bare type count misses.
-    "q298_user_diversity" -> ((s, dir) =>
-      Journey.userDiversity(Tables(s, dir).events, "user_id",
-        "event_type")),
-
-    // Activation lag: days from first event to the 3rd purchase,
-    // p50/p90 over the lag histogram — the activation metric growth
-    // teams steer by.
-    "q299_activation" -> ((s, dir) =>
-      Journey.activationLag(Tables(s, dir).events, "user_id",
-        "event_type", "ts", "event_id", milestoneType = "purchase",
-        k = 3)),
-
-    // Ratio-metric A/B with delta-method variance: purchases-per-event
-    // tested at the USER randomization unit — the correct inference
-    // naive per-row tests get wrong.
-    "q300_ratio_metric" -> ((s, dir) =>
-      ABTest.ratioMetricTest(Tables(s, dir).events, "user_id",
-        armB = pmod(col("user_id"), lit(2L)) === 1L,
-        x = (col("event_type") === "purchase").cast("long"),
-        y = lit(1L))),
 
     // Quantile TREND: p50/p90 value per (type, week) — the latency-
     // dashboard series; per-group discrete quantiles over the weekly
@@ -751,13 +525,6 @@ object Analytics extends QueryModule {
         Seq("event_type", "band"))
     }),
 
-    // Power analysis from live base rates: required n per arm for a
-    // 10% relative MDE at α=.05 / 80% power — "how long must this
-    // experiment run", the planning step before q194.
-    "q291_power" -> ((s, dir) =>
-      ABTest.requiredSampleSize(Tables(s, dir).events, "event_type",
-        success = (col("value") >= 150.0).cast("long"))),
-
     // Hierarchical forecast reconciliation: per-type final-day naive
     // forecasts scaled to the independent week/7 total so the
     // hierarchy ADDS UP — the property planning consumers assume.
@@ -772,66 +539,6 @@ object Analytics extends QueryModule {
       TimeSeries.reconcileForecasts(bottoms, Seq("event_type"), "f", top)
     }),
 
-    // Empirical-Bayes shrunk purchase rates per user: α=20 pseudo-
-    // observations of the global rate — smoothed-CTR/Bayesian target
-    // encoding, exact rational (no float prior); q223's companion.
-    "q289_shrunk_rates" -> ((s, dir) =>
-      Features.shrunkRates(Tables(s, dir).events, "user_id",
-        success = (col("event_type") === "purchase").cast("long"))),
-
-    // Strict-order time-boxed funnel: view → click within 2h → purchase
-    // within 2h of that click — sequencing+deadline semantics q60's
-    // unordered membership funnel can't express.
-    "q286_funnel3" -> ((s, dir) =>
-      Journey.funnelSteps3(Tables(s, dir).events, "user_id",
-        "event_type", "ts", s1 = "view", s2 = "click", s3 = "purchase",
-        windowSeconds = 7200L)),
-
-    // Restricted mean survival time: expected observed lifetime
-    // truncated at 14 days — the area under q200's curve as one exact
-    // number, E[min(L, H)], no curve materialization.
-    "q287_rmst" -> ((s, dir) =>
-      Journey.rmst(Tables(s, dir).events, "user_id", "ts",
-        horizonDays = 14L)),
-
-    // Mix-shift decomposition: how much of the purchase-rate move
-    // across the boundary is segments changing rates vs the mix
-    // shifting between segments — "why did the number move".
-    "q284_mix_decomposition" -> ((s, dir) =>
-      ABTest.mixDecomposition(
-        Tables(s, dir).events
-          .withColumn("cohort", pmod(col("user_id"), lit(5L))),
-        "cohort",
-        inPeriodB = col("ts") >=
-          lit("2024-01-16 00:00:00").cast("timestamp"),
-        success = col("event_type") === "purchase")),
-
-    // Qini uplift curve: incremental conversions from targeting the
-    // top value tiles, treated vs control — response ranking (q229)
-    // is not uplift ranking; this is the uplift answer.
-    "q285_qini" -> ((s, dir) =>
-      Eval.qiniCurve(Tables(s, dir).events,
-        score = Exact.cents(col("value")),
-        treated = pmod(col("user_id"), lit(2L)) === 1L,
-        label = (col("event_type") === "purchase").cast("long"))),
-
-    // Two-feature OLS via the normal equations: value against
-    // (hour-of-day, k) — nine exact sums, Cramer readout; the
-    // multivariate step q216's single-feature fit can't take.
-    "q278_ols2" -> ((s, dir) =>
-      Features.ols2(eventsEnriched(Tables(s, dir)),
-        y = col("value_cents"),
-        x1 = expr(
-          "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600 % 24"),
-        x2 = col("k"))),
-
-    // Exact Spearman per event type via the doubled-rank device
-    // (tie-averaged ranks ×2 are integers): the monotone-association
-    // answer where q85's Pearson only sees lines.
-    "q279_spearman" -> ((s, dir) =>
-      Features.spearman(eventsEnriched(Tables(s, dir)),
-        Seq("event_type"), x = col("value_cents"), y = col("k"))),
-
     // Split-conformal interval audit: per-type trend intervals sized
     // on the front half (rank-⌈0.9n⌉ |residual|), coverage MEASURED on
     // the back half — are the uncertainty bands honest.
@@ -844,36 +551,6 @@ object Analytics extends QueryModule {
       TimeSeries.conformalAudit(hourly, Seq("event_type"), "t", "x",
         cutoff = 473712L)
     }),
-
-    // Event study: weekly treated-vs-control gap normalized to the
-    // week −1 gap — flat pre-period bars are the parallel-trends check
-    // q228's single DiD number silently assumes.
-    "q277_event_study" -> ((s, dir) =>
-      ABTest.eventStudy(Tables(s, dir).events,
-        treated = pmod(col("user_id"), lit(2L)) === 1L,
-        relPeriod = expr(
-          "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 86400 div 7 - 2820"),
-        y = Exact.cents(col("value")))),
-
-    // Growth accounting: weekly actives split into new / retained /
-    // resurrected, churn attributed to the week after — the four
-    // numbers that explain every WAU move, where q61 only shows decay.
-    "q273_growth" -> ((s, dir) =>
-      Journey.growthAccounting(Tables(s, dir).events, "user_id",
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
-          + " div 86400 div 7"))),
-
-    // Paired pre/post comparison: each user their own control across
-    // the mid-month boundary — between-user variance cancels, the
-    // highest-power design when both sides are observed; micro-
-    // quantized diffs, exact t readout.
-    "q271_paired_diff" -> ((s, dir) =>
-      ABTest.pairedDiff(
-        Tables(s, dir).events.withColumn("cents",
-          Exact.cents(col("value"))),
-        "user_id",
-        post = col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
-        y = col("cents"))),
 
     // KMV set algebra: Jaccard/union/intersection of the click-user
     // and purchase-user sets from two k-minimum-value sketches —
@@ -975,25 +652,6 @@ object Analytics extends QueryModule {
           Exact.cents(col("value")).as("cents")),
         "event_id", col("cents"), b = 32)),
 
-    // MRR ingredients: per user, the rank of the first relevant item
-    // under the value ordering, reciprocal in exact integer micros —
-    // the "how deep does the user scroll" number q220's graded nDCG
-    // hides; Σ rr_micro/n/1e6 is the corpus MRR, order-free.
-    "q252_mrr" -> ((s, dir) =>
-      Eval.mrr(
-        Tables(s, dir).events.select(col("user_id"), col("event_id"),
-          pmod(col("event_id"), lit(4L)).as("rel"),
-          Exact.cents(col("value")).as("score")),
-        "user_id", col("event_id"), col("rel"), col("score"))),
-
-    // All-pairs windowed co-occurrence: for every ordered type pair,
-    // how often b follows a within the hour on the same user — q213
-    // generalized from one chosen pair, q173's Markov freed from
-    // adjacency.
-    "q253_cooccurrence" -> ((s, dir) =>
-      Journey.cooccurrenceWindow(Tables(s, dir).events, "user_id",
-        "event_type", "ts", windowSeconds = 3600L)),
-
     // Detrended outliers: hourly counts z-scored against each type's
     // OLS trend residuals — spikes on ramps stop hiding inside the
     // ramp's variance (q07's global-z false negative).
@@ -1014,18 +672,6 @@ object Analytics extends QueryModule {
     "q247_kmv_distinct" -> ((s, dir) =>
       Sketches.kmvDistinct(Tables(s, dir).events, "event_type",
         col("user_id"), k = 64)),
-
-    // CUPED variance reduction: value adjusted by a correlated
-    // pre-metric before the arm comparison — same expectation, less
-    // variance; per-row adjustments quantized to centi-units so every
-    // cross-row sum is partition-order-free.
-    "q244_cuped" -> ((s, dir) =>
-      ABTest.cuped(
-        Tables(s, dir).events.withColumn("cents",
-          Exact.cents(col("value"))),
-        armB = pmod(col("user_id"), lit(2L)) === 1L,
-        y = col("cents"),
-        xPre = expr("cents div 2") + pmod(col("event_id"), lit(50L)))),
 
     // Cross-correlation at lags ±3h between the click and purchase
     // hourly series: does clicking LEAD buying — the lead-lag question
@@ -1053,26 +699,6 @@ object Analytics extends QueryModule {
       TimeSeries.seasonalityStrength(hourly, Seq("event_type"), "h", "c",
         season = 24L)
     }),
-
-    // Time-to-convert: per-user first click → first purchase after it,
-    // p50/p90 of the lag from the lag-value histogram — "what window
-    // covers the median converter", q213's missing complement.
-    "q243_conversion_lag" -> ((s, dir) =>
-      Journey.conversionLag(Tables(s, dir).events, "user_id",
-        "event_type", "ts", triggerType = "click",
-        outcomeType = "purchase")),
-
-    // Mutual-information feature ranking: which derived categorical
-    // (hour-of-day, user cohort, value band) carries the most signal
-    // about event_type — the bit-length-log MI device, exact longs,
-    // ranking-faithful; q204 says "dependent", this says how much.
-    "q238_mi_ranking" -> ((s, dir) =>
-      Features.miRanking(Tables(s, dir).events, col("event_type"),
-        Seq(
-          "hour" -> expr(
-            "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600 % 24"),
-          "cohort" -> pmod(col("user_id"), lit(10L)),
-          "value_band" -> expr("CAST(floor(value / 50) AS LONG)")))),
 
     // MASE backtest: seasonal-naive (24h) forecast on the back half of
     // the month, scaled by the train half's one-step naive MAE — the
@@ -1429,63 +1055,6 @@ object Analytics extends QueryModule {
         |            ELSE 'no_trend' END AS trend
         |FROM z""".stripMargin,
 
-    "q184_sessionize" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, event_id, epoch_us(ts) AS m FROM events
-        |), f AS (
-        |  SELECT *, CASE WHEN lag(m) OVER w IS NULL
-        |                 OR (m - lag(m) OVER w) // 1000000 > 1800
-        |            THEN 1 ELSE 0 END AS nw
-        |  FROM m
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY m, event_id)
-        |), s AS (
-        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
-        |      ORDER BY m, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS session_idx
-        |  FROM f
-        |)
-        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
-        |       min(ts) AS first_ts, max(ts) AS last_ts,
-        |       CAST((max(m) - min(m)) // 1000000 AS BIGINT) AS duration_sec
-        |FROM s GROUP BY 1, 2""".stripMargin,
-
-    "q186_rfm" -> {
-      val qs = Seq((1, 5), (2, 5), (3, 5), (4, 5))
-      def cuts(valCol: String) = {
-        val sel = qs.map { case (num, den) =>
-          s"min(CASE WHEN cum * $den >= n * $num THEN val END) AS c${num * 100 / den}"
-        }.mkString(", ")
-        s"""SELECT $sel FROM (
-           |  SELECT val, CAST(sum(k) OVER (ORDER BY val) AS BIGINT) AS cum
-           |  FROM (SELECT $valCol AS val, count(*) AS k FROM p
-           |        WHERE $valCol IS NOT NULL GROUP BY 1)
-           |), (SELECT CAST(count(*) AS BIGINT) AS n FROM p
-           |    WHERE $valCol IS NOT NULL)""".stripMargin
-      }
-      def bin(valCol: String, pfx: String) = qs.map { case (num, den) =>
-        s"(CASE WHEN $valCol > $pfx.c${num * 100 / den} THEN 1 ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH p AS (
-         |  SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_m,
-         |         CAST(count(*) AS BIGINT) AS freq,
-         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-         |           AS monetary_cents
-         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
-         |), rc AS (${cuts("last_m")}
-         |), fc AS (${cuts("freq")}
-         |), mc AS (${cuts("monetary_cents")})
-         |SELECT user_id, last_m, freq, monetary_cents,
-         |       CAST(${bin("last_m", "rc")} + 1 AS BIGINT) AS r,
-         |       CAST(${bin("freq", "fc")} + 1 AS BIGINT) AS f,
-         |       CAST(${bin("monetary_cents", "mc")} + 1 AS BIGINT) AS m,
-         |       CAST((${bin("last_m", "rc")} + 1) * 100
-         |            + (${bin("freq", "fc")} + 1) * 10
-         |            + ${bin("monetary_cents", "mc")} + 1 AS BIGINT)
-         |         AS rfm_code
-         |FROM p, rc, fc, mc""".stripMargin
-    },
-
     "q187_seasonal_anomaly" ->
       """WITH cells AS (
         |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
@@ -1522,9 +1091,6 @@ object Analytics extends QueryModule {
       "CAST(round(value * 100) AS BIGINT)",
       asOfMicros = 1706659200000000L, halflifeSeconds = 86400L,
       maxBuckets = 20),
-
-    "q194_ab_test" -> graft.ops.ABTest.proportionTestOracleSql(
-      "events", Seq("event_type"), "user_id % 2 = 1", "value > 150"),
 
     "q195_metric_corr" ->
       """WITH s AS (
@@ -1564,9 +1130,6 @@ object Analytics extends QueryModule {
         |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
       (1 to 9).map(i => (i, 10))),
 
-    "q200_survival" -> graft.ops.Journey.lifetimeSurvivalOracleSql(
-      "events", "user_id", "ts"),
-
     "q201_gini" -> graft.ops.Quantiles.giniOracleSql(
       """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
@@ -1588,30 +1151,8 @@ object Analytics extends QueryModule {
       "events", Seq("user_id"), "ts", "event_id",
       "CAST(round(value * 100) AS BIGINT)"),
 
-    "q213_within_window" -> graft.ops.Journey.withinWindowOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      triggerType = "click", outcomeType = "purchase",
-      windowSeconds = 3600L),
-
-    "q207_pr_curve" -> graft.ops.Eval.prCurveOracleSql(
-      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
-        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |FROM events""".stripMargin),
-
-    "q205_roc_auc" -> graft.ops.Eval.rocAucOracleSql(
-      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
-        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |FROM events""".stripMargin),
-
     "q202_json_schema" ->
       graft.ingest.Ingest.jsonKeyProfileOracleSql("events", "props"),
-
-    "q203_stickiness" ->
-      graft.ops.Journey.stickinessOracleSql("events", "user_id", "ts"),
-
-    "q204_chi_square" -> graft.ops.ABTest.chiSquareOracleSql(
-      "(SELECT event_type, user_id % 3 AS cohort FROM events)",
-      "event_type", "cohort"),
 
     "q14_sort_limit" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",
@@ -1646,39 +1187,6 @@ object Analytics extends QueryModule {
         |       max(ts) AS last_alert_ts
         |FROM alerts GROUP BY 1""".stripMargin,
 
-    "q60_funnel" ->
-      """WITH s0 AS (
-        |  SELECT user_id, min(ts) AS t0 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1
-        |), s1 AS (
-        |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
-        |  JOIN s0 ON e.user_id = s0.user_id
-        |  WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1
-        |), s2 AS (
-        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1
-        |)
-        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
-        |UNION ALL
-        |SELECT 1, 'click', count(*) FROM s1
-        |UNION ALL
-        |SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
-
-    "q61_retention" ->
-      """WITH a AS (
-        |  SELECT user_id, min(ts) AS t_anchor FROM events
-        |  WHERE event_type = 'signup' GROUP BY 1
-        |)
-        |SELECT CAST(date_trunc('week', t_anchor) AS DATE) AS cohort_week,
-        |       CAST(datediff('day', CAST(date_trunc('week', t_anchor) AS DATE),
-        |                     CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
-        |         AS week_offset,
-        |       count(DISTINCT e.user_id) AS n_users
-        |FROM events e JOIN a USING (user_id)
-        |WHERE e.ts >= t_anchor
-        |GROUP BY 1, 2""".stripMargin,
-
     "q62_scd2" ->
       """SELECT event_id, user_id, event_type, ts AS valid_from,
         |       lead(ts) OVER w AS valid_to,
@@ -1701,67 +1209,11 @@ object Analytics extends QueryModule {
         |       max(CAST(round(value * 100) AS BIGINT)) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
 
-    "q350_average_precision" -> Eval.apOracleSql(
-      """SELECT user_id, event_id AS i,
-        |       CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS r,
-        |       CAST(round(value * 100) AS BIGINT) AS s
-        |FROM events""".stripMargin,
-      "user_id", k = 10),
-
-    "q220_ndcg" -> Eval.ndcgOracleSql(
-      """SELECT user_id, event_id AS i, event_id % 4 AS r,
-        |       CAST(round(value * 100) AS BIGINT) AS s
-        |FROM events""".stripMargin,
-      "user_id", k = 10),
-
-    "q223_target_encode" -> Features.targetEncodeLooOracleSql(
-      """SELECT event_id, event_type,
-        |       CAST(round(value * 100) AS BIGINT) AS y
-        |FROM events""".stripMargin,
-      "event_type", "event_id"),
-
-    "q226_attribution" -> Journey.attributionOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      conversionType = "purchase", windowSeconds = 7200L),
-
-    "q347_cem" -> ABTest.cemAttOracleSql(
-      """SELECT event_type,
-        |       (epoch_us(ts) // 1000000 // 3600) % 24 // 6 AS hband,
-        |       user_id % 2 = 1 AS t,
-        |       CAST(round(value * 100) AS BIGINT) AS y
-        |FROM events""".stripMargin,
-      Seq("event_type", "hband")),
-
-    "q339_markov_attribution" -> Journey.markovAttributionOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      conversionType = "purchase",
-      channels = Seq("click", "error", "signup", "view")),
-
-    "q228_did" -> ABTest.diffInDiffOracleSql(
-      """SELECT user_id % 2 = 1 AS t,
-        |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
-        |       CAST(round(value * 100) AS BIGINT) AS y
-        |FROM events""".stripMargin),
-
-    "q229_lift_gains" -> Eval.liftTableOracleSql(
-      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
-        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |FROM events""".stripMargin),
-
     "q234_theil_sen" -> TimeSeries.theilSenOracleSql(
       """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type")),
-
-    "q303_smd_audit" -> graft.ops.Profiling.smdAuditOracleSql(
-      """SELECT CAST(round(value * 100) AS BIGINT) AS value_cents,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
-      """SELECT CAST(round(value * 100) AS BIGINT) AS value_cents,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
-      Seq("value_cents", "k")),
 
     "q304_peak_concurrency" -> Windows.peakConcurrencyOracleSql(
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
@@ -1784,19 +1236,6 @@ object Analytics extends QueryModule {
         |  ) WHERE prev_type IS NOT NULL
         |  GROUP BY 1, 2
         |)""".stripMargin),
-
-    "q298_user_diversity" -> Journey.userDiversityOracleSql(
-      "events", "user_id", "event_type"),
-
-    "q299_activation" -> Journey.activationLagOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      milestoneType = "purchase", k = 3),
-
-    "q300_ratio_metric" -> ABTest.ratioMetricOracleSql(
-      """SELECT user_id AS u, user_id % 2 = 1 AS b,
-        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
-        |       1 AS y
-        |FROM events""".stripMargin),
 
     "q297_quantile_trend" ->
       """WITH ranked AS (
@@ -1833,12 +1272,6 @@ object Analytics extends QueryModule {
         |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
       Seq("event_type", "band")),
 
-    "q291_power" -> ABTest.requiredSampleSizeOracleSql(
-      """SELECT event_type,
-        |       CASE WHEN value >= 150.0 THEN 1 ELSE 0 END AS y
-        |FROM events""".stripMargin,
-      "event_type"),
-
     "q288_forecast_reconcile" -> TimeSeries.reconcileForecastsOracleSql(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS f FROM events
         |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
@@ -1847,67 +1280,11 @@ object Analytics extends QueryModule {
       """SELECT CAST(count(*) // 7 AS BIGINT) AS t_total FROM events
         |WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'""".stripMargin),
 
-    "q289_shrunk_rates" -> Features.shrunkRatesOracleSql(
-      """SELECT user_id,
-        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |FROM events""".stripMargin,
-      "user_id"),
-
-    "q286_funnel3" -> Journey.funnelSteps3OracleSql(
-      "events", "user_id", "event_type", "ts",
-      s1 = "view", s2 = "click", s3 = "purchase",
-      windowSeconds = 7200L),
-
-    "q287_rmst" -> Journey.rmstOracleSql("events", "user_id", "ts",
-      horizonDays = 14L),
-
-    "q284_mix_decomposition" -> ABTest.mixDecompositionOracleSql(
-      """SELECT user_id % 5 AS cohort,
-        |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS b,
-        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |FROM events""".stripMargin,
-      "cohort"),
-
-    "q285_qini" -> Eval.qiniOracleSql(
-      """SELECT CAST(round(value * 100) AS BIGINT) AS s,
-        |       user_id % 2 = 1 AS t,
-        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |FROM events""".stripMargin),
-
-    "q278_ols2" -> Features.ols2OracleSql(
-      """SELECT CAST(round(value * 100) AS BIGINT) AS y,
-        |       epoch_us(ts) // 1000000 // 3600 % 24 AS a,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS b
-        |FROM events""".stripMargin),
-
-    "q279_spearman" -> Features.spearmanOracleSql(
-      """SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
-        |FROM events""".stripMargin,
-      Seq("event_type")),
-
     "q276_conformal" -> TimeSeries.conformalAuditOracleSql(
       """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type"), cutoff = 473712L),
-
-    "q277_event_study" -> ABTest.eventStudyOracleSql(
-      """SELECT user_id % 2 = 1 AS t,
-        |       epoch_us(ts) // 1000000 // 86400 // 7 - 2820 AS w,
-        |       CAST(round(value * 100) AS BIGINT) AS y
-        |FROM events""".stripMargin),
-
-    "q273_growth" -> Journey.growthAccountingOracleSql(
-      """SELECT user_id AS u,
-        |       epoch_us(ts) // 1000000 // 86400 // 7 AS w
-        |FROM events""".stripMargin),
-
-    "q271_paired_diff" -> ABTest.pairedDiffOracleSql(
-      """SELECT user_id AS u,
-        |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
-        |       CAST(round(value * 100) AS BIGINT) AS y
-        |FROM events""".stripMargin),
 
     "q268_kmv_jaccard" -> Sketches.kmvJaccardOracleSql(
       """SELECT CAST(user_id AS VARCHAR) AS v FROM events
@@ -1973,15 +1350,6 @@ object Analytics extends QueryModule {
         |FROM events""".stripMargin,
       "event_id", b = 32),
 
-    "q252_mrr" -> Eval.mrrOracleSql(
-      """SELECT user_id, event_id AS i, event_id % 4 AS r,
-        |       CAST(round(value * 100) AS BIGINT) AS s
-        |FROM events""".stripMargin,
-      "user_id"),
-
-    "q253_cooccurrence" -> Journey.cooccurrenceOracleSql(
-      "events", "user_id", "event_type", "ts", windowSeconds = 3600L),
-
     "q251_detrended" -> TimeSeries.detrendedOutliersOracleSql(
       """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,
         |       CAST(count(*) AS BIGINT) AS x
@@ -1991,13 +1359,6 @@ object Analytics extends QueryModule {
     "q247_kmv_distinct" -> Sketches.kmvOracleSql(
       "SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events",
       "event_type", k = 64),
-
-    "q244_cuped" -> ABTest.cupedOracleSql(
-      """SELECT user_id % 2 = 1 AS b,
-        |       CAST(round(value * 100) AS BIGINT) AS y,
-        |       CAST(round(value * 100) AS BIGINT) // 2 + event_id % 50
-        |         AS x
-        |FROM events""".stripMargin),
 
     "q241_ccf" -> TimeSeries.crossCorrelationOracleSql(
       """SELECT epoch_us(ts) // 1000000 // 3600 AS t,
@@ -2013,17 +1374,6 @@ object Analytics extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS x
         |FROM events GROUP BY 1, 2""".stripMargin,
       Seq("event_type"), season = 24L),
-
-    "q243_conversion_lag" -> Journey.conversionLagOracleSql(
-      "events", "user_id", "event_type", "ts",
-      triggerType = "click", outcomeType = "purchase"),
-
-    "q238_mi_ranking" -> Features.miRankingOracleSql(
-      "events", "event_type",
-      Seq(
-        "hour" -> "epoch_us(ts) // 1000000 // 3600 % 24",
-        "cohort" -> "user_id % 10",
-        "value_band" -> "CAST(floor(value / 50) AS BIGINT)")),
 
     "q235_mase" -> TimeSeries.maseOracleSql(
       """SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS t,

@@ -600,10 +600,66 @@ object Curation extends QueryModule {
       graft.text.Segments.languageFilterSegments(Tables(s, dir).documents,
         "doc_id", "text", segPer, targetLang = "en")),
 
+    // q315 over the NON-ASCII slice (round-7 verdict item 2): the lang
+    // filter's behavior on scripts the ASCII tokenizer cannot see,
+    // GATED — pure non-Latin docs tokenize empty and survive as
+    // (0, 0, ''), accent-mangled Romance text keeps its deterministic
+    // stopword verdicts; the char-level routes (q354) are the dedup
+    // path for these scripts, and this gate pins the documented
+    // contract instead of leaving it prose.
+    "q355_multilingual_langfilter" -> ((s, dir) => {
+      import s.implicits._
+      val all = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .unionByName(TextDedup.multilingualPlanted.toDF("doc_id", "text"))
+      graft.text.Segments.languageFilterSegments(all,
+        "doc_id", "text", segPer, targetLang = "en")
+    }),
+
     // Tokenizer application: every token to its q78-vocabulary rank
     // (OOV -> 0), long form (doc, pos, id). Corpus side never shuffles;
     // the vocab join broadcasts.
   )
+
+  /** q315/q355 shared oracle: the segment + stopword-verdict chain
+    * with the ordered reassembly fold, over any (doc_id, text) src. */
+  private def langFilterOracleSql(src: String): String =
+    s"""WITH t AS (SELECT doc_id, ${Text.toksSql} AS toks FROM ($src)),
+        |e AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, len(toks) - 1, $segPer)) AS st,
+        |         toks
+        |  FROM t WHERE len(toks) > 0
+        |), seg AS (
+        |  SELECT doc_id, st, list_slice(toks, st + 1, st + $segPer) AS ctoks
+        |  FROM e
+        |), h AS (
+        |  SELECT doc_id, st, ctoks,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopEn)})) AS en,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopEs)})) AS es,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopDe)})) AS de,
+        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopFr)})) AS fr
+        |  FROM seg
+        |), l AS (
+        |  SELECT doc_id, st, ctoks,
+        |         CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |              WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |              WHEN de >= fr AND de > 0 THEN 'de'
+        |              WHEN fr > 0 THEN 'fr'
+        |              ELSE 'und' END AS lang
+        |  FROM h
+        |), g AS (
+        |  SELECT doc_id, count(*) AS n_segments,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(CASE WHEN lang = 'en'
+        |             THEN array_to_string(ctoks, ' ') END, ' ' ORDER BY st), '')
+        |           AS kept_text
+        |  FROM l GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(g.n_segments, 0) AS BIGINT) AS n_segments,
+        |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(g.kept_text, '') AS kept_text
+        |FROM ($src) d LEFT JOIN g USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q188_global_ordinals" ->
@@ -1010,43 +1066,14 @@ object Curation extends QueryModule {
     // q99's segment + verdict chain, then q81's ordered string_agg fold
     // with the LEFT JOIN empty-doc convention.
     "q315_lang_filter" ->
-      s"""WITH t AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
-        |e AS (
-        |  SELECT doc_id,
-        |         unnest(generate_series(0, len(toks) - 1, $segPer)) AS st,
-        |         toks
-        |  FROM t WHERE len(toks) > 0
-        |), seg AS (
-        |  SELECT doc_id, st, list_slice(toks, st + 1, st + $segPer) AS ctoks
-        |  FROM e
-        |), h AS (
-        |  SELECT doc_id, st, ctoks,
-        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopEn)})) AS en,
-        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopEs)})) AS es,
-        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopDe)})) AS de,
-        |    len(list_filter(ctoks, t -> t IN ${Text.inList(TextAnalysis.stopFr)})) AS fr
-        |  FROM seg
-        |), l AS (
-        |  SELECT doc_id, st, ctoks,
-        |         CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
-        |              WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
-        |              WHEN de >= fr AND de > 0 THEN 'de'
-        |              WHEN fr > 0 THEN 'fr'
-        |              ELSE 'und' END AS lang
-        |  FROM h
-        |), g AS (
-        |  SELECT doc_id, count(*) AS n_segments,
-        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |         coalesce(string_agg(CASE WHEN lang = 'en'
-        |             THEN array_to_string(ctoks, ' ') END, ' ' ORDER BY st), '')
-        |           AS kept_text
-        |  FROM l GROUP BY 1
-        |)
-        |SELECT d.doc_id,
-        |       CAST(coalesce(g.n_segments, 0) AS BIGINT) AS n_segments,
-        |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
-        |       coalesce(g.kept_text, '') AS kept_text
-        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+      langFilterOracleSql("SELECT doc_id, text FROM documents"),
+
+    "q355_multilingual_langfilter" ->
+      langFilterOracleSql(
+        s"""SELECT doc_id, text FROM documents
+           |UNION ALL
+           |SELECT * FROM (VALUES ${TextDedup.multilingualPlantedValuesSql})
+           |  v(doc_id, text)""".stripMargin),
 
     // Per-segment language ID mirrors q21's CASE over each 16-token
     // slice; the mode window and per-doc fold mirror languageMix.

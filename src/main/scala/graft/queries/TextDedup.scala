@@ -38,6 +38,28 @@ object TextDedup extends QueryModule {
       s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
     }.mkString(", ")
 
+  /** q354–q357: planted NON-ASCII corpus slice (BMP-only — the astral
+    * plane is covered by BpeSpec's emoji round-trip, not by oracle
+    * fixtures, since Spark substr counts UTF-16 units where DuckDB
+    * counts codepoints): French/German accents, Cyrillic, Greek, CJK,
+    * and a mixed-script doc, with planted near-dup pairs (9100003/4
+    * Cyrillic, 9100006/7 CJK) the char-level dedup route must catch. */
+  private[graft] val multilingualPlanted: Seq[(Long, String)] = Seq(
+    9100001L -> "Le café est déjà prêt — très naturellement, señor.",
+    9100002L -> "Die Straße zur größten Müllhalde wurde über Nacht geändert.",
+    9100003L -> "Это пример русского текста для проверки дедупликации.",
+    9100004L -> "Это пример русского текста для проверки дедупликации!",
+    9100005L -> "Αυτό είναι ένα παράδειγμα ελληνικού κειμένου.",
+    9100006L -> "这是一个用于测试近似重复检测的较长中文示例文档内容，欢迎各位进行检查。",
+    9100007L -> "这是一个用于测试近似重复检测的较长中文示例文档内容，欢迎各位进行复查。",
+    9100008L -> "mixed ascii and ユニコード text with 日本語 tokens")
+
+  /** The multilingual slice as a DuckDB VALUES list. */
+  private[queries] def multilingualPlantedValuesSql: String =
+    multilingualPlanted.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+    }.mkString(", ")
+
   /** q50's corpus config — oracle SQL derives from the same values. */
 
   /** q55/q56 config — shared by the Spark plan and the oracle SQL. */
@@ -75,6 +97,18 @@ object TextDedup extends QueryModule {
     * grams and sit out pair generation; pairs need ≥ 2 shared. */
   private val (winnowK, winnowW) = (5, 4)
   private val (winnowDfCap, winnowMinShared) = (50L, 2L)
+
+  /** q351/q352/q353: cross-doc exact-substring threshold, in chars —
+    * the Lee-et-al "verbatim span ≥ L" bar (~the q109 11-token bar at
+    * this corpus's ~4.5-char tokens). At both SFs ~45 docs carry such
+    * runs (~12k of ~150k positions), so both arms fire. */
+  private val exactSubstrLen = 40
+
+  /** q356/q357: byte-fallback BPE merge budget — enough rounds that
+    * real multi-byte merges form (the `<0xD1> <0x82>` Cyrillic pairs
+    * compete with ASCII bigrams), small enough that the DuckDB replay
+    * oracle stays tractable. */
+  private val byteMerges = 12
 
   private val leakSalt = "spl-leak"
 
@@ -118,6 +152,81 @@ object TextDedup extends QueryModule {
     "q333_longest_repeat" -> ((s, dir) =>
       graft.text.SuffixArray.longestRepeat(
         Tables(s, dir).documents, "doc_id", "text")),
+
+    // q335 generalized from top-k to THRESHOLD: every adjacent cross-doc
+    // SA pair with lcp >= 40 chars — the complete evidence set exact-
+    // substring dedup at that threshold acts on. Membership decided by
+    // 40-char prefix equality (never document payloads on the wire);
+    // only qualifying pairs pay the text join for the exact LCP.
+    "q351_cross_repeats_threshold" -> ((s, dir) =>
+      graft.text.SuffixArray.crossDocRepeatsAtLeast(
+        Tables(s, dir).documents, "doc_id", "text", exactSubstrLen)),
+
+    // EXACT cross-doc substring removal (Lee et al. ExactSubstr): excise
+    // every char inside a >= 40-char verbatim run shared with another
+    // doc. The fixed threshold collapses the SA to one L-gram df pass —
+    // the ExactSubstr equivalence lemma (spec-gated against brute-force
+    // matchLen) — so the w-gram q109 approximation now has an exact,
+    // gated reference transform.
+    "q352_exact_substr_removal" -> ((s, dir) =>
+      graft.text.ExactSubstr.removeCrossDocRepeats(
+        Tables(s, dir).documents, "doc_id", "text", exactSubstrLen)),
+
+    // The verdict's recall readout: how much of the EXACT covered set
+    // (char space, normalized token text) q109's w-gram approximation
+    // actually removes — corpus-level micro recall/precision, one row.
+    "q353_wgram_recall" -> ((s, dir) =>
+      graft.text.ExactSubstr.wgramRecall(
+        Tables(s, dir).documents, "doc_id", "text", exactSubstrLen,
+        w = spanW, minDf = 2, minRunGrams = spanRemovalMinRun)),
+
+    // BYTE-FALLBACK BPE over corpus + the multilingual slice: the
+    // closed-alphabet seam converted into a gate — every script
+    // (Cyrillic, Greek, CJK, accents) decomposes into `[a-z0-9_]` +
+    // `<0xNN>` byte symbols, trains real merges, and encodes with NO
+    // unrepresentable input. Same train+replay oracle as q309.
+    "q356_byte_fallback_encode" -> ((s, dir) => {
+      import s.implicits._
+      val all = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .unionByName(multilingualPlanted.toDF("doc_id", "text"))
+      val merges = graft.text.Bpe
+        .trainMerges(all, "doc_id", "text", byteMerges,
+          graft.text.Bpe.byteFallbackSymbols)
+        .map(t => (t._2, t._3))
+      graft.text.Bpe.encode(all, "doc_id", "text", merges,
+        graft.text.Bpe.byteFallbackSymbols)
+    }),
+
+    // The OOV-FREE gate: the byte-fallback escape is invertible, so
+    // reassembling q356's encoded stream (merge spaces stripped) must
+    // reproduce the seed stream for EVERY doc — the oracle states the
+    // zero-mismatch truth from the input alone and Spark must reproduce
+    // it through the full train → encode → reassemble chain. BpeSpec
+    // additionally decodes back to the normalized TEXT (emoji incl.).
+    "q357_byte_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val all = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .unionByName(multilingualPlanted.toDF("doc_id", "text"))
+      val merges = graft.text.Bpe
+        .trainMerges(all, "doc_id", "text", byteMerges,
+          graft.text.Bpe.byteFallbackSymbols)
+        .map(t => (t._2, t._3))
+      val enc = graft.text.Bpe.encode(all, "doc_id", "text", merges,
+        graft.text.Bpe.byteFallbackSymbols)
+      val rebuilt = enc.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("symbol")))),
+          e => e.getField("symbol")), "").as("__enc"))
+      all
+        .select(col("doc_id"), array_join(
+          graft.text.Bpe.byteFallbackSymbols(col("text")), "").as("__seed"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(length(col("__seed")) > 0, 1L).otherwise(0L))
+            .as("n_encoded"),
+          sum(when(regexp_replace(coalesce(col("__enc"), lit("")),
+            " ", "") =!= col("__seed"), 1L).otherwise(0L)).as("n_mismatch"))
+    }),
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // argmin over k-gram hashes — a local ~2/(w+1) sample carrying the
     // guarantee that any shared token run of ≥ k+w−1 tokens produces a
@@ -445,6 +554,39 @@ object TextDedup extends QueryModule {
 
     "q335_cross_repeats" -> graft.text.SuffixArray.crossDocOracleSql(
       "SELECT doc_id, text FROM documents", "doc_id"),
+
+    "q351_cross_repeats_threshold" ->
+      graft.text.SuffixArray.crossDocAtLeastOracleSql(
+        "SELECT doc_id, text FROM documents", "doc_id", exactSubstrLen),
+
+    "q352_exact_substr_removal" -> graft.text.ExactSubstr.removalOracleSql(
+      "documents", "doc_id", exactSubstrLen),
+
+    "q353_wgram_recall" -> graft.text.ExactSubstr.wgramRecallOracleSql(
+      "documents", "doc_id", Text.toksSql, exactSubstrLen,
+      w = spanW, minDf = 2, minRunGrams = spanRemovalMinRun),
+
+    "q356_byte_fallback_encode" -> graft.text.Bpe.encodeOracleSql(
+      graft.text.Bpe.byteFallbackTokSql(
+        s"""(SELECT doc_id, text FROM documents
+           | UNION ALL
+           | SELECT * FROM (VALUES $multilingualPlantedValuesSql)
+           |   v(doc_id, text))""".stripMargin, "doc_id"),
+      byteMerges),
+
+    "q357_byte_roundtrip" -> {
+      val bf = graft.text.Bpe.byteFallbackTokSql(
+        s"""(SELECT doc_id, text FROM documents
+           | UNION ALL
+           | SELECT * FROM (VALUES $multilingualPlantedValuesSql)
+           |   v(doc_id, text))""".stripMargin, "doc_id")
+      s"""WITH bf AS ($bf)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_encoded,
+         |       CAST(0 AS BIGINT) AS n_mismatch
+         |FROM bf""".stripMargin
+    },
     "q313_winnow_pairs" -> graft.text.Winnow.matchPairsOracleSql(
       "documents", "doc_id", Text.toksSql, winnowK, winnowW,
       winnowDfCap, winnowMinShared),

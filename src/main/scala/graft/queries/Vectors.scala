@@ -177,6 +177,26 @@ object Vectors extends QueryModule {
         .select(col("d1"), col("d2"), col("est_jaccard"))
     }),
 
+    // q312's pipeline over the NON-ASCII slice (round-7 verdict item 2):
+    // char-level shingles see every script, so the planted Cyrillic and
+    // CJK near-dup pairs must surface from LSH banding — the gated
+    // multilingual dedup route the ASCII word tokenizer cannot offer.
+    "q354_multilingual_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"))
+        .unionByName(TextDedup.multilingualPlanted.toDF("doc_id", "text"))
+        .filter(length(col("text")) > 0)
+      val sig = NearDup.minhashSignaturesChar(docs, "doc_id", "text",
+        unicodeNormalize = true).persist()
+      NearDup.lshCandidatePairs(sig, "doc_id", "sig")
+        .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("est_jaccard",
+          NearDup.sigAgreement(col("s1.sig"), col("s2.sig")))
+        .select(col("d1"), col("d2"), col("est_jaccard"))
+    }),
+
     // Dedup clusters: minhash pairs (est >= 0.5) → connected components →
     // per-doc cluster id + keep-one flag. The step a training-data dedup
     // actually executes between "candidate pairs" and "drop duplicates".
@@ -1025,6 +1045,18 @@ object Vectors extends QueryModule {
            |  FROM (SELECT doc_id, text FROM documents
            |        UNION ALL
            |        SELECT * FROM (VALUES ${TextDedup.unicodePlantedValuesSql})
+           |          v(doc_id, text))
+           |  WHERE length(text) > 0""".stripMargin
+      s"WITH ${charMinhashCtesFrom(t0)}\nSELECT d1, d2, est_jaccard FROM est"
+    },
+
+    "q354_multilingual_minhash" -> {
+      val norm = graft.functions.NormalizeText.oracleSql("text")
+      val t0 =
+        s"""SELECT doc_id, regexp_replace($norm, '\\s+', ' ', 'g') AS t
+           |  FROM (SELECT doc_id, text FROM documents
+           |        UNION ALL
+           |        SELECT * FROM (VALUES ${TextDedup.multilingualPlantedValuesSql})
            |          v(doc_id, text))
            |  WHERE length(text) > 0""".stripMargin
       s"WITH ${charMinhashCtesFrom(t0)}\nSELECT d1, d2, est_jaccard FROM est"

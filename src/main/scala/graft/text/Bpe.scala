@@ -63,6 +63,72 @@ object Bpe {
         c => c =!= ""))
   }
 
+  /** BYTE-FALLBACK char-level seed — the multilingual route that closes
+    * the `[a-z0-9_]` alphabet's documented seam: NO input is
+    * unrepresentable. Words come from whitespace-splitting the
+    * [[graft.functions.NormalizeText]] canonical form (NFC + width-fold
+    * + simple lowercase — the q307 parity-proven stage, so É and the
+    * fullwidth letters canonicalize before byte-ing); each word is then
+    * UTF-8-HEXED AS A WHOLE (never split per Java char — astral pairs
+    * would split differently between Spark's UTF-16 units and DuckDB's
+    * codepoints; whole-word hex sidesteps the divergence) and emitted
+    * byte by byte: ASCII `[a-z0-9]` bytes as themselves, every other
+    * byte as a `<0xNN>` symbol (the SentencePiece convention), plus the
+    * `_` end-of-word marker.
+    *
+    * The escape is INVERTIBLE: `<` (0x3C) and `_` (0x5F) are not alnum
+    * so literal occurrences escape to `<0x3C>`/`<0x5F>` — no input can
+    * fake a byte symbol or a word marker — and spaces cannot occur
+    * inside a word. BpeSpec decodes the stream back to the normalized
+    * text (emoji included) to gate the claim; q357 gates the
+    * reconstruction identity cross-engine. Closed symbol alphabet:
+    * 36 alnum chars + `_` + at most 220 `<0xNN>` forms. */
+  def byteFallbackSymbols(text: Column): Column = {
+    val words = filter(
+      split(graft.functions.NormalizeText.normalizeText(text), "\\s+"),
+      w => w =!= "")
+    val esc = (w: Column) => {
+      // uppercase hex, 2 chars per byte (qualified: Bpe.encode shadows)
+      val hx = hex(org.apache.spark.sql.functions.encode(w, "UTF-8"))
+      transform(sequence(lit(1), (length(hx) / lit(2)).cast("int")),
+        i => {
+          val g = hx.substr(i * 2 - 1, lit(2))
+          when((g >= lit("30") && g <= lit("39")) ||
+            (g >= lit("61") && g <= lit("7A")),
+            decode(unhex(g), "UTF-8"))
+            .otherwise(concat(lit("<0x"), g, lit(">")))
+        })
+    }
+    when(size(words) === 0, array_remove(array(lit("")), ""))
+      .otherwise(flatten(transform(words,
+        w => concat(esc(w), array(lit("_"))))))
+  }
+
+  /** DuckDB byte-fallback seed fragment: yields (doc_id, toks) with the
+    * identical symbol stream (DuckDB `hex(encode(w))` is the same
+    * uppercase whole-word UTF-8 hex). `table` provides (idName, text). */
+  def byteFallbackTokSql(table: String, idName: String): String = {
+    val norm = graft.functions.NormalizeText.oracleSql("text")
+    val g = "substr(hex(encode(w)), CAST(i * 2 - 1 AS INTEGER), 2)"
+    s"""SELECT $idName AS doc_id,
+       |       CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE flatten(list_transform(ws, w -> list_append(
+       |         list_transform(
+       |           generate_series(1,
+       |             CAST(length(hex(encode(w))) / 2 AS INTEGER)),
+       |           i -> CASE
+       |             WHEN ($g BETWEEN '30' AND '39')
+       |               OR ($g BETWEEN '61' AND '7A')
+       |             THEN decode(unhex($g))
+       |             ELSE '<0x' || $g || '>'
+       |           END),
+       |         '_'))) END AS toks
+       |FROM (SELECT $idName,
+       |        list_filter(string_split_regex($norm, '\\s+'),
+       |          w -> w <> '') AS ws
+       |      FROM $table)""".stripMargin
+  }
+
   /** DuckDB char-seed fragment over a `(doc_id, toks)` relation:
     * yields (doc_id, toks) where toks are the char symbols. */
   def charTokSql(tokSql: String): String =

@@ -1,0 +1,402 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash64
+
+/** EXACT cross-document substring dedup at a character threshold — the
+  * removal transform the suffix-array structure ([[SuffixArray]]) exists
+  * for (Lee et al. 2022 ExactSubstr semantics): excise from every
+  * document every character that lies inside a substring of length
+  * ≥ `minLen` that also occurs verbatim in ANOTHER document.
+  *
+  * == Equivalence lemma (why no per-position LCP is needed) ==
+  * Define matchLen(q) = max common prefix of suffix q with any suffix of
+  * a different document (what [[SuffixArray.globalRanks]] adjacency
+  * computes), and the covered set C = ∪ {[q, q+matchLen(q)) :
+  * matchLen(q) ≥ L}. Claim: C = C' where C' = ∪ {[q, q+L) : the L-gram
+  * at q occurs in another document}.
+  *
+  *  - C' ⊆ C: an L-gram at q in another doc means matchLen(q) ≥ L, and
+  *    [q, q+L) ⊆ [q, q+matchLen(q)).
+  *  - C ⊆ C': take q with m = matchLen(q) ≥ L and a char c ∈ [q, q+m).
+  *    Let q' = min(c, q+m−L). Then q ≤ q' ≤ c < q'+L, and the suffix at
+  *    q' shares ≥ m−(q'−q) ≥ L chars with the matching doc's shifted
+  *    suffix, so the L-gram at q' is cross-doc and c ∈ [q', q'+L) ⊆ C'.
+  *
+  * So the exact covered set falls out of a fixed-width L-gram document
+  * frequency — ONE gram aggregation (8-byte hashed keys on the wire,
+  * [[Hash64.hash60]] so the oracle buckets identically), a df window
+  * bounded per gram by duplicate multiplicity, and per-doc
+  * gaps-and-islands — no iterative SA rounds and no unbounded LCP
+  * payloads for the fixed-threshold form. The VARIABLE-length readouts
+  * (maximal repeat lengths, top-k longest) are where the suffix array
+  * earns its rounds: [[SuffixArray.crossDocRepeats]] and
+  * [[SuffixArray.crossDocRepeatsAtLeast]]; ExactSubstrSpec gates this
+  * lemma against a brute-force matchLen computation on planted fixtures.
+  *
+  * Scale shape: corpus chars × one 8-byte hash on the wire (the same
+  * cardinality [[SuffixArray.globalRanks]]' seed round ships), every
+  * stage keyed — gram df by hash, islands by (doc, pos) — and the
+  * rewrite is a per-row array expression over run-count-bounded
+  * interval lists. Collision note: a 2⁻⁶⁰ gram-hash collision marks one
+  * L-gram duplicated, identically in both engines (the q73 contract).
+  */
+object ExactSubstr {
+
+  /** Per-doc merged removal intervals, 1-based inclusive char spans:
+    * (idCol, iv: array<struct<s,e>>) sorted by s, pairwise gap ≥ 1 char.
+    * Docs with no covered char are absent. Input frame must carry
+    * (idCol, `textCol`). */
+  private[text] def coverIntervals(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val grams = docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= minLen)
+      .select(col(idCol),
+        explode(sequence(lit(1L),
+          (length(col("__t")) - (minLen - 1)).cast("long"))).as("pos"),
+        col("__t"))
+      .select(col(idCol), col("pos"),
+        hash(col("__t").substr(col("pos").cast("int"), lit(minLen)))
+          .as("__h"))
+      .persist() // feeds the df aggregation AND the position semi-join
+    // cross-doc test: the gram occurs in >= 2 DISTINCT docs (a gram
+    // repeated only within one doc is a within-doc repeat — out of the
+    // cross-doc contract; [[SuffixArray.longestRepeat]] is that signal)
+    val dupDocs = grams.select(col("__h"), col(idCol)).distinct()
+      .withColumn("__dd",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__dd") >= 2)
+      .select(col("__h"), col(idCol))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // islands: positions q1 < q2 share an island iff q2 <= q1 + L (their
+    // [q, q+L) intervals overlap or touch); island [minq, maxq+L-1]
+    grams.join(dupDocs, Seq("__h", idCol), "left_semi")
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(minLen.toLong - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("iv"))
+  }
+
+  /** Rewrite each document excising every char covered by a cross-doc
+    * verbatim run of ≥ `minLen` chars (the exact ExactSubstr transform;
+    * [[Spans.removeDuplicatedSpans]] is the token-w-gram approximation —
+    * [[wgramRecall]] measures its recall against this exact set).
+    *
+    * @return (idCol, n_chars, n_removed, kept_text); every input doc
+    *         appears, untouched docs report n_removed = 0 */
+  def removeCrossDocRepeats(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    val iv = coverIntervals(docs, idCol, textCol, minLen, hash)
+    val emptyIv = array().cast("array<struct<s:long,e:long>>")
+    // stitch the survivors with ONE fold over the interval list: carry
+    // (last covered end, built string); intervals are sorted + disjoint
+    // with gap >= 1, so every substr length is >= 1 — per-row, codegen'd
+    val kept = aggregate(col("__iv"),
+      struct(lit(0L).as("e"), lit("").as("s")),
+      (acc, i) => struct(i.getField("e").as("e"),
+        concat(acc.getField("s"),
+          col("__t").substr((acc.getField("e") + 1).cast("int"),
+            (i.getField("s") - acc.getField("e") - 1).cast("int")))
+          .as("s")),
+      acc => concat(acc.getField("s"),
+        col("__t").substr((acc.getField("e") + 1).cast("int"),
+          (length(col("__t")) - acc.getField("e")).cast("int"))))
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .join(iv, Seq(idCol), "left")
+      .select(col(idCol), col("__t"),
+        coalesce(col("iv"), emptyIv).as("__iv"))
+      .select(col(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        aggregate(col("__iv"), lit(0L),
+          (a, i) => a + i.getField("e") - i.getField("s") + 1)
+          .as("n_removed"),
+        kept.as("kept_text"))
+  }
+
+  /** DuckDB oracle for [[removeCrossDocRepeats]]: same L-gram df,
+    * islands, and char re-filter, definitionally (explode chars +
+    * NOT EXISTS + ordered string_agg — the q109 oracle pattern). */
+  def removalOracleSql(table: String, idName: String, minLen: Int): String =
+    s"""WITH t AS (
+       |  SELECT $idName, text FROM $table
+       |), g AS MATERIALIZED (
+       |  SELECT $idName, unnest(generate_series(1,
+       |           length(text) - ${minLen - 1})) AS pos, text
+       |  FROM t WHERE length(text) >= $minLen
+       |), hg AS MATERIALIZED (
+       |  SELECT $idName, pos,
+       |         ${Hash64.duckSql(s"substr(text, CAST(pos AS INTEGER), $minLen)")} AS h
+       |  FROM g
+       |), dd AS (
+       |  SELECT h FROM (SELECT h, $idName FROM hg GROUP BY 1, 2)
+       |  GROUP BY h HAVING count(*) >= 2
+       |), dp AS (
+       |  SELECT hg.$idName, hg.pos FROM hg JOIN dd USING (h)
+       |), r AS (
+       |  SELECT $idName, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos - lag(pos) OVER w > $minLen THEN 1 ELSE 0
+       |         END AS brk
+       |  FROM dp WINDOW w AS (PARTITION BY $idName ORDER BY pos)
+       |), sg AS (
+       |  SELECT $idName, pos,
+       |         sum(brk) OVER (PARTITION BY $idName ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM r
+       |), iv AS MATERIALIZED (
+       |  SELECT $idName, min(pos) AS s, max(pos) + ${minLen - 1} AS e
+       |  FROM sg GROUP BY $idName, grp
+       |), cov AS (
+       |  SELECT $idName, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+       |  FROM iv GROUP BY 1
+       |), tp AS (
+       |  SELECT $idName, unnest(generate_series(1, length(text))) AS i,
+       |         text
+       |  FROM t WHERE length(text) > 0
+       |), k AS (
+       |  SELECT tp.$idName, tp.i,
+       |         substr(tp.text, CAST(tp.i AS INTEGER), 1) AS ch
+       |  FROM tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM iv
+       |    WHERE iv.$idName = tp.$idName AND tp.i BETWEEN iv.s AND iv.e)
+       |)
+       |SELECT t.$idName, CAST(length(t.text) AS BIGINT) AS n_chars,
+       |       CAST(coalesce(cov.n_removed, 0) AS BIGINT) AS n_removed,
+       |       coalesce(string_agg(k.ch, '' ORDER BY k.i), '') AS kept_text
+       |FROM t
+       |LEFT JOIN cov ON t.$idName = cov.$idName
+       |LEFT JOIN k ON t.$idName = k.$idName
+       |GROUP BY t.$idName, t.text, cov.n_removed""".stripMargin
+
+  /** Measured recall/precision of the token-w-gram approximation
+    * ([[Spans.removeDuplicatedSpans]], the q109 transform) against the
+    * EXACT cross-doc covered set — both span sets mapped into the SAME
+    * string (the space-joined normalized-token text), compared in char
+    * space, corpus-level micro-averaged:
+    *
+    *  - exact set E: chars covered by a cross-doc verbatim run of ≥
+    *    `minLenChars` chars of the normalized text ([[coverIntervals]]);
+    *  - approx set A: chars of the token spans the w-gram transform
+    *    removes (token chars plus the joining spaces inside a span);
+    *  - recall_micro = ⌊10⁶·|A∩E|/|E|⌋, precision_micro analogous
+    *    (0 when the denominator is 0 — degenerate corpora).
+    *
+    * Interval intersection is a per-doc fold over the two merged
+    * interval lists (run-count-bounded arrays; Σ pairwise overlap is
+    * exact because each list is disjoint). One summary row:
+    * (n_exact, n_approx, n_both, recall_micro, precision_micro). */
+  def wgramRecall(docs: DataFrame, idCol: String, textCol: String,
+      minLenChars: Int, w: Int = 7, minDf: Int = 2, minRunGrams: Int = 5,
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .persist() // feeds the exact arm, the approx arm, and the offsets
+    val norm = toks.select(col(idCol),
+      array_join(col("__toks"), " ").as("__nt"))
+    val exact = coverIntervals(norm, idCol, "__nt", minLenChars, hash)
+      .select(col(idCol), col("iv").as("__eiv"))
+    // approx arm: q109's island machinery re-derived on the shared toks
+    // frame (same params = same intervals), then token index -> char
+    // offset in the joined text: token tp (0-based) starts at
+    // 1 + tp + sum(len of tokens before it)
+    val grams = toks
+      .select(col(idCol),
+        posexplode(graft.dedup.NearDup.shingles(col("__toks"), w)))
+      .select(col(idCol), col("pos"), hash(col("col")).as("__h"))
+      .persist()
+    val dfs = grams.groupBy(col("__h"), col(idCol))
+      .agg(count(lit(1)).as("__k"))
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .select(col("__h"), col(idCol), col("__df"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tokIv = grams.join(dfs, Seq("__h", idCol))
+      .withColumn("__dup", col("__df") >= minDf)
+      .withColumn("__brk",
+        when(lag(col("__dup"), 1).over(byDoc).isNull
+          .or(lag(col("__dup"), 1).over(byDoc) =!= col("__dup")), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp"), col("__dup"))
+      .agg(min(col("pos")).cast("long").as("ts"),
+        count(lit(1)).as("__len"))
+      .filter(col("__dup") && col("__len") >= minRunGrams)
+      .select(col(idCol), col("ts"),
+        (col("ts") + col("__len") + lit(w.toLong - 2)).as("te"))
+    val offs = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("tp", "__tok")))
+      .withColumn("__cum", coalesce(sum(length(col("__tok")))
+        .over(byDoc.orderBy(col("tp"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(idCol), col("tp").cast("long").as("tp"),
+        (col("__cum") + col("tp") + 1).as("cstart"),
+        (col("__cum") + col("tp") + length(col("__tok"))).as("cend"))
+    val nTok = toks.select(col(idCol),
+      size(col("__toks")).cast("long").as("__n"))
+    // short-doc intervals can end past the last token (whole-short-doc
+    // shingles, the [[NearDup.shingles]] contract) — clamp to join
+    val approx = tokIv.join(nTok, idCol)
+      .select(col(idCol), col("ts"),
+        least(col("te"), col("__n") - 1).as("te"))
+      .join(offs.select(col(idCol), col("tp").as("ts"),
+        col("cstart").as("s")), Seq(idCol, "ts"))
+      .join(offs.select(col(idCol), col("tp").as("te"),
+        col("cend").as("e")), Seq(idCol, "te"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("e"))))
+        .as("__aiv"))
+    val emptyIv = array().cast("array<struct<s:long,e:long>>")
+    val ivLen = (c: Column) => aggregate(c, lit(0L),
+      (a, i) => a + i.getField("e") - i.getField("s") + 1)
+    val overlap = aggregate(col("__eiv"), lit(0L),
+      (a, ei) => a + aggregate(col("__aiv"), lit(0L),
+        (b, ai) => b + greatest(lit(0L),
+          least(ei.getField("e"), ai.getField("e")) -
+            greatest(ei.getField("s"), ai.getField("s")) + 1)))
+    exact.join(approx, Seq(idCol), "full_outer")
+      .select(coalesce(col("__eiv"), emptyIv).as("__eiv"),
+        coalesce(col("__aiv"), emptyIv).as("__aiv"))
+      .select(ivLen(col("__eiv")).as("__ne"),
+        ivLen(col("__aiv")).as("__na"), overlap.as("__nb"))
+      .agg(sum(col("__ne")).as("n_exact"),
+        sum(col("__na")).as("n_approx"),
+        sum(col("__nb")).as("n_both"))
+      .select(col("n_exact"), col("n_approx"), col("n_both"),
+        when(col("n_exact") > 0,
+          floor(col("n_both").cast("double") * 1000000.0 /
+            col("n_exact").cast("double")).cast("long"))
+          .otherwise(0L).as("recall_micro"),
+        when(col("n_approx") > 0,
+          floor(col("n_both").cast("double") * 1000000.0 /
+            col("n_approx").cast("double")).cast("long"))
+          .otherwise(0L).as("precision_micro"))
+  }
+
+  /** DuckDB oracle for [[wgramRecall]]: the exact arm's L-gram islands
+    * over the space-joined normalized tokens, the approx arm's q109
+    * island chain mapped to char offsets, pairwise-overlap intersection,
+    * one summary row. `toksSql` must mirror [[TextAnalysis.tokens]]. */
+  def wgramRecallOracleSql(table: String, idName: String, toksSql: String,
+      minLenChars: Int, w: Int = 7, minDf: Int = 2,
+      minRunGrams: Int = 5): String = {
+    val L = minLenChars
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT $idName, $toksSql AS toks FROM $table
+       |), nt AS MATERIALIZED (
+       |  SELECT $idName, array_to_string(toks, ' ') AS t FROM tk
+       |), eg AS MATERIALIZED (
+       |  SELECT $idName, unnest(generate_series(1,
+       |           length(t) - ${L - 1})) AS pos, t
+       |  FROM nt WHERE length(t) >= $L
+       |), ehg AS MATERIALIZED (
+       |  SELECT $idName, pos,
+       |         ${Hash64.duckSql(s"substr(t, CAST(pos AS INTEGER), $L)")} AS h
+       |  FROM eg
+       |), edd AS (
+       |  SELECT h FROM (SELECT h, $idName FROM ehg GROUP BY 1, 2)
+       |  GROUP BY h HAVING count(*) >= 2
+       |), edp AS (
+       |  SELECT ehg.$idName, ehg.pos FROM ehg JOIN edd USING (h)
+       |), er AS (
+       |  SELECT $idName, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos - lag(pos) OVER w > $L THEN 1 ELSE 0
+       |         END AS brk
+       |  FROM edp WINDOW w AS (PARTITION BY $idName ORDER BY pos)
+       |), esg AS (
+       |  SELECT $idName, pos,
+       |         sum(brk) OVER (PARTITION BY $idName ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM er
+       |), eiv AS MATERIALIZED (
+       |  SELECT $idName, min(pos) AS s, max(pos) + ${L - 1} AS e
+       |  FROM esg GROUP BY $idName, grp
+       |), sh AS MATERIALIZED (
+       |  SELECT $idName, ${graft.dedup.NearDup.duckShinglesSql(w)} AS grams
+       |  FROM tk
+       |), gp AS (
+       |  SELECT $idName, unnest(generate_series(1, len(grams))) AS pos,
+       |         grams
+       |  FROM sh
+       |), ag AS MATERIALIZED (
+       |  SELECT $idName, pos, ${Hash64.duckSql("grams[pos]")} AS h FROM gp
+       |), add_ AS (
+       |  SELECT h, $idName FROM ag GROUP BY 1, 2
+       |), awd AS (
+       |  SELECT h, $idName, count(*) OVER (PARTITION BY h) AS df
+       |  FROM add_
+       |), af AS (
+       |  SELECT ag.$idName, ag.pos, awd.df >= $minDf AS dup
+       |  FROM ag JOIN awd ON ag.h = awd.h AND ag.$idName = awd.$idName
+       |), ar AS (
+       |  SELECT $idName, pos, dup,
+       |         CASE WHEN lag(dup) OVER w IS NULL
+       |                OR lag(dup) OVER w <> dup THEN 1 ELSE 0 END AS brk
+       |  FROM af WINDOW w AS (PARTITION BY $idName ORDER BY pos)
+       |), asg AS (
+       |  SELECT $idName, pos, dup,
+       |         sum(brk) OVER (PARTITION BY $idName ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM ar
+       |), ativ AS (
+       |  SELECT a.$idName, min(a.pos) - 1 AS ts,
+       |         least(min(a.pos) - 1 + count(*) + ${w - 2},
+       |               len(tk.toks) - 1) AS te
+       |  FROM asg a JOIN tk ON a.$idName = tk.$idName
+       |  WHERE a.dup
+       |  GROUP BY a.$idName, a.grp, len(tk.toks)
+       |  HAVING count(*) >= $minRunGrams
+       |), offs AS MATERIALIZED (
+       |  SELECT $idName, i - 1 AS tp,
+       |         coalesce(sum(length(toks[i])) OVER (
+       |           PARTITION BY $idName ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           + i AS cstart,
+       |         coalesce(sum(length(toks[i])) OVER (
+       |           PARTITION BY $idName ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           + i - 1 + length(toks[i]) AS cend
+       |  FROM (SELECT $idName,
+       |          unnest(generate_series(1, len(toks))) AS i, toks
+       |        FROM tk WHERE len(toks) > 0)
+       |), aiv AS MATERIALIZED (
+       |  SELECT ativ.$idName, o1.cstart AS s, o2.cend AS e
+       |  FROM ativ
+       |  JOIN offs o1 ON ativ.$idName = o1.$idName AND ativ.ts = o1.tp
+       |  JOIN offs o2 ON ativ.$idName = o2.$idName AND ativ.te = o2.tp
+       |), ne AS (SELECT coalesce(sum(e - s + 1), 0) AS n FROM eiv
+       |), na AS (SELECT coalesce(sum(e - s + 1), 0) AS n FROM aiv
+       |), nb AS (
+       |  SELECT coalesce(sum(greatest(0,
+       |           least(eiv.e, aiv.e) - greatest(eiv.s, aiv.s) + 1)), 0)
+       |           AS n
+       |  FROM eiv JOIN aiv ON eiv.$idName = aiv.$idName
+       |)
+       |SELECT CAST(ne.n AS BIGINT) AS n_exact,
+       |       CAST(na.n AS BIGINT) AS n_approx,
+       |       CAST(nb.n AS BIGINT) AS n_both,
+       |       CAST(CASE WHEN ne.n > 0 THEN floor(
+       |         CAST(nb.n AS DOUBLE) * 1000000.0 / CAST(ne.n AS DOUBLE))
+       |         ELSE 0 END AS BIGINT) AS recall_micro,
+       |       CAST(CASE WHEN na.n > 0 THEN floor(
+       |         CAST(nb.n AS DOUBLE) * 1000000.0 / CAST(na.n AS DOUBLE))
+       |         ELSE 0 END AS BIGINT) AS precision_micro
+       |FROM ne, na, nb""".stripMargin
+  }
+}

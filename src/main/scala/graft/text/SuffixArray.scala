@@ -375,6 +375,95 @@ object SuffixArray {
           col("lcp").cast("int"))).otherwise(lit("")).as("shared"))
   }
 
+  /** THRESHOLD generalization of [[crossDocRepeats]] — ALL adjacent
+    * cross-doc SA pairs whose LCP is ≥ `minLen` chars (not just the
+    * top-k): the complete per-pair evidence set behind exact-substring
+    * dedup at threshold `minLen` (every maximal cross-doc repeat ≥
+    * minLen is witnessed by at least one of these pairs — the
+    * enclosing-range argument of [[crossDocRepeats]]; the removal
+    * transform itself is [[ExactSubstr.removeCrossDocRepeats]], which
+    * exploits the fixed threshold to skip the SA rounds entirely —
+    * ExactSubstr's equivalence lemma).
+    *
+    * Membership is decided ENTIRELY by `minLen`-char prefix equality
+    * (lcp ≥ minLen ⟺ the two minLen-prefixes agree at full width), so
+    * the self-join ships minLen-char prefixes, never documents; only
+    * the qualifying pairs — bounded by the corpus's true repeat mass —
+    * pay the text join for the exact LCP readout.
+    *
+    * @return (lcp, d1, p1, d2, p2) — every adjacent cross-doc pair with
+    *         lcp ≥ minLen, lcp exact (capped at 2^maxLenLog2) */
+  def crossDocRepeatsAtLeast(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxLenLog2: Int = 12): DataFrame = {
+    require(minLen >= 1 && minLen <= (1 << maxLenLog2))
+    val W = org.apache.spark.sql.expressions.Window
+    val gr = globalRanks(docs, idCol, textCol, maxLenLog2)
+    val ord = gr
+      .join(docs.select(col(idCol), col(textCol).as("__t")), idCol)
+      .withColumn("__ord",
+        (col("sa_rank") - 1 + row_number().over(
+          W.partitionBy(col("sa_rank")).orderBy(col(idCol), col("pos"))))
+          .cast("long"))
+      .select(col(idCol), col("pos"), col("__ord"),
+        col("__t").substr(col("pos").cast("int"), lit(minLen))
+          .as("__pre"))
+      .localCheckpoint()
+    val left = ord.select(col(idCol).as("d1"), col("pos").as("p1"),
+      col("__ord"), col("__pre").as("__pre1"))
+    val right = ord.select(col(idCol).as("d2"), col("pos").as("p2"),
+      (col("__ord") - 1).as("__ord"), col("__pre").as("__pre2"))
+    left.join(right, "__ord")
+      .filter(col("d1") =!= col("d2") &&
+        col("__pre1") === col("__pre2") &&
+        length(col("__pre1")) === minLen)
+      .join(docs.select(col(idCol).as("d1"), col(textCol).as("__t1")),
+        "d1")
+      .join(docs.select(col(idCol).as("d2"), col(textCol).as("__t2")),
+        "d2")
+      .withColumn("__max",
+        least(length(col("__t1")) - col("p1") + 1,
+          length(col("__t2")) - col("p2") + 1))
+      .select(lcpExpr(col("__t1"), col("p1"), col("__t2"), col("p2"),
+        col("__max"), maxLenLog2).as("lcp"),
+        col("d1"), col("p1"), col("d2"), col("p2"))
+  }
+
+  /** DuckDB oracle for [[crossDocRepeatsAtLeast]]: the
+    * [[crossDocOracleSql]] chain with the top-k LIMIT swapped for the
+    * lcp threshold. */
+  def crossDocAtLeastOracleSql(innerSql: String, idName: String,
+      minLen: Int): String =
+    s"""WITH d AS (
+       |  SELECT $idName, text FROM ($innerSql) WHERE length(text) >= 1
+       |), p AS (
+       |  SELECT $idName, text,
+       |         unnest(generate_series(1, length(text))) AS pos
+       |  FROM d
+       |), o AS (
+       |  SELECT $idName, text, pos,
+       |         row_number() OVER (ORDER BY
+       |           substr(text, CAST(pos AS INTEGER)), $idName, pos)
+       |           AS ord
+       |  FROM p
+       |), pr AS (
+       |  SELECT a.$idName AS d1, a.pos AS p1, a.text AS t1,
+       |         b.$idName AS d2, b.pos AS p2, b.text AS t2
+       |  FROM o a JOIN o b ON b.ord = a.ord + 1
+       |  WHERE a.$idName <> b.$idName
+       |    AND substr(a.text, CAST(a.pos AS INTEGER), $minLen)
+       |      = substr(b.text, CAST(b.pos AS INTEGER), $minLen)
+       |    AND length(a.text) - a.pos + 1 >= $minLen
+       |)
+       |SELECT CAST(coalesce(list_max(list_filter(
+       |         generate_series(1, least(
+       |           length(t1) - p1 + 1, length(t2) - p2 + 1)),
+       |         l -> substr(t1, CAST(p1 AS INTEGER), CAST(l AS INTEGER))
+       |            = substr(t2, CAST(p2 AS INTEGER),
+       |                CAST(l AS INTEGER)))), 0) AS BIGINT) AS lcp,
+       |       d1, CAST(p1 AS BIGINT) AS p1,
+       |       d2, CAST(p2 AS BIGINT) AS p2
+       |FROM pr""".stripMargin
+
   /** DuckDB oracle for [[crossDocRepeats]]. */
   def crossDocOracleSql(innerSql: String, idName: String,
       k: Int = 10): String =

@@ -1187,6 +1187,33 @@ class OpsSpec extends SparkSuite {
     assert(out.getAs[Long]("s_stat") == 1L)
   }
 
+  test("mannKendall: the documented per-key cap magnitude (n = 4096, " +
+      "~8.4M pair rows in one key) runs exact — the pair-ledger gate") {
+    import spark.implicits._
+    // sawtooth: x = t for even t, x = -t for odd t. S has a closed
+    // form: pairs (i<j) with both even or both odd are concordant with
+    // sign +1 and -1 respectively (equal counts cancel to 0 with n
+    // even); mixed pairs compare t2 vs -t1 style signs — brute-check
+    // a small prefix, then assert the big run agrees with the exact
+    // pairwise definition computed locally.
+    val n = 4096
+    val xs = (1 to n).map(t => (t.toLong, if (t % 2 == 0) t.toLong else -t.toLong))
+    val series = xs.map { case (t, x) => ("big", t, x) }.toDF("k", "t", "x")
+    var sLocal = 0L
+    var i = 0
+    while (i < n) { // O(n^2) local reference — 8.4M sign compares
+      var j = i + 1
+      while (j < n) {
+        sLocal += java.lang.Long.signum(xs(j)._2 - xs(i)._2); j += 1
+      }
+      i += 1
+    }
+    val out = TimeSeries.mannKendall(series, Seq("k"), "t", "x").head()
+    assert(out.getAs[Long]("n") == n.toLong)
+    assert(out.getAs[Long]("s_stat") == sLocal)
+    assert(out.getAs[Long]("var18") == n.toLong * (n - 1L) * (2L * n + 5L))
+  }
+
   test("ndcgAtK: perfect ranking 1.0, worst ranking below it, " +
       "zero-relevance NULL, k truncates") {
     import spark.implicits._

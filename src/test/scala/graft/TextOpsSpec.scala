@@ -390,6 +390,59 @@ class TextOpsSpec extends SparkSuite {
     assert(enc(1L) == Seq("aaab_", "aaab_"))
   }
 
+  test("byteFallbackSymbols: hand-derived escapes, and a full decode " +
+      "round-trip back to the normalized text — emoji (astral plane), " +
+      "Cyrillic, CJK, literal '_' and literal '<0xNN>' all survive") {
+    import graft.text.Bpe
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // hand-derived: café -> c,a,f,<0xC3>,<0xA9>,_ (é = UTF-8 C3 A9)
+    val cafe = Seq((1L, "Le café")).toDF("doc_id", "text")
+      .select(Bpe.byteFallbackSymbols(col("text")).as("s"))
+      .head().getSeq[String](0)
+    assert(cafe == Seq("l", "e", "_", "c", "a", "f", "<0xC3>", "<0xA9>", "_"))
+
+    // decoder: split the stream on the word marker, parse byte escapes
+    def decode(syms: Seq[String]): String = {
+      val stream = syms.map(_.replace(" ", "")).mkString
+      stream.split("_", -1).dropRight(1).map { w =>
+        val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var i = 0
+        while (i < w.length) {
+          if (w.startsWith("<0x", i)) {
+            bytes += Integer.parseInt(w.substring(i + 3, i + 5), 16).toByte
+            i += 6
+          } else { bytes += w.charAt(i).toByte; i += 1 }
+        }
+        new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+      }.mkString(" ")
+    }
+    val fixtures = Seq(
+      "good 😀😀 stuff",   // astral emoji pair
+      "Это тест дедупликации",
+      "这是一个测试 mixed with ascii",
+      "under_score and <0x41> literals",
+      "Le café déjà PRÊT")
+    val docs = fixtures.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // run through TRAINED merges too: merges only join adjacent symbols,
+    // so the decode must survive any merge table
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", nMerges = 6,
+      seed = Bpe.byteFallbackSymbols)
+    val enc = Bpe.encode(docs, "doc_id", "text",
+        merges.map(m => (m._2, m._3)), seed = Bpe.byteFallbackSymbols)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.sortBy(_._2).map(_._3).toSeq }
+    fixtures.zipWithIndex.foreach { case (t, i) =>
+      val norm = graft.functions.NormalizeText
+        .normalize(UTF8String.fromString(t)).toString
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(decode(enc(i.toLong)) == norm,
+        s"round-trip failed for: $t")
+    }
+  }
+
   test("QualityModel: planted high/low-quality docs order correctly; empty docs score 0") {
     import graft.text.QualityModel
     val (d, salt) = (64, "qmtest")
