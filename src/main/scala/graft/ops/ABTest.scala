@@ -56,6 +56,118 @@ object ABTest {
         when(col("z").isNotNull, abs(col("z")) > 1.96))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
+    * approximation and the rank-biserial effect size — the
+    * NON-PARAMETRIC two-arm comparison next to [[proportionTest]]
+    * (binary) and [[cuped]] (means): heavy-tailed metrics (revenue,
+    * latency) break t-style tests, ranks don't care.
+    *
+    * SCALE SHAPE — ranks come from the VALUE HISTOGRAM, never a
+    * row-level sort: one map-side-combined groupBy(value), one ordered
+    * window over the DISTINCT-value frame (value-cardinality-bounded,
+    * the q40/q84 quantile device), one final aggregation. Every item at
+    * value v has average rank (2·C(v) + t(v) + 1)/2 where C = items
+    * strictly below, t = tie size — carried DOUBLED so all rank sums
+    * are exact integers; tie cubes and the doubled rank sum accumulate
+    * in DECIMAL(38,0) (order-independent, no 2⁶³ ledger needed), with
+    * one fixed IEEE sequence at the end.
+    *
+    * U₁ = R₁ − n₁(n₁+1)/2 (arm-B side); rank-biserial
+    * r = 1 − 2U₁/(n₁n₂) ∈ [−1, 1]; z = (U₁ − n₁n₂/2)/σ with
+    * σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))) (no continuity
+    * correction — documented choice, same on both engines).
+    *
+    * @return one row: (n1, n2, u1_dbl = 2·U₁ exact, r_rb, z) — z NULL
+    *         when an arm is empty or every value ties (σ = 0) */
+  def mannWhitney(df: DataFrame, armB: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val hist = df
+      .select(armB.as("__b"), value.cast("long").as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__tb"))
+    val ranked = hist.withColumn("__c",
+      coalesce(sum(col("__t")).over(W.orderBy(col("__v"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("__tb")).as("n1"),
+      sum(col("__t") - col("__tb")).as("n2"),
+      // cast BEFORE multiplying: the per-value products, not just their
+      // sum, can pass 2^63 (a 3e9-row tie cubes to 2.7e28)
+      sum(col("__tb").cast(dec) *
+        (lit(2) * col("__c") + col("__t") + 1).cast(dec)).as("__r1_dbl"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec) *
+        col("__t").cast(dec) - col("__t").cast(dec)).as("__ties"))
+    val n = col("n1") + col("n2")
+    val u1Dbl = col("__r1_dbl") - (col("n1").cast(dec) *
+      (col("n1") + 1).cast(dec))
+    val u1 = col("u1_dbl").cast("double") / lit(2.0)
+    val mu = col("n1").cast("double") * col("n2").cast("double") / lit(2.0)
+    val variance = col("n1").cast("double") * col("n2").cast("double") /
+      lit(12.0) * ((n + 1).cast("double") -
+        col("__ties").cast("double") /
+          (n.cast("double") * (n - 1).cast("double")))
+    agg
+      .withColumn("u1_dbl", u1Dbl.cast("long"))
+      .withColumn("r_rb",
+        when(col("n1") > 0 && col("n2") > 0,
+          lit(1.0) - col("u1_dbl").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))))
+      .withColumn("z",
+        when(col("n1") > 0 && col("n2") > 0 && n > 1 && variance > 0,
+          (u1 - mu) / sqrt(variance)))
+      .select(col("n1"), col("n2"), col("u1_dbl"), col("r_rb"), col("z"))
+  }
+
+  /** DuckDB oracle for [[mannWhitney]]: the same histogram ranks with
+    * HUGEINT accumulators and the identical IEEE tail. `innerSql`
+    * yields (b BOOLEAN, v BIGINT). */
+  def mannWhitneyOracleSql(innerSql: String): String =
+    s"""WITH src AS ($innerSql), h AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+       |         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS tb
+       |  FROM src GROUP BY 1
+       |), r AS (
+       |  SELECT t, tb,
+       |         CAST(coalesce(sum(t) OVER (ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS c
+       |  FROM h
+       |), a AS (
+       |  SELECT CAST(sum(tb) AS BIGINT) AS n1,
+       |         CAST(sum(t - tb) AS BIGINT) AS n2,
+       |         sum(CAST(tb AS HUGEINT)
+       |             * CAST(2 * c + t + 1 AS HUGEINT)) AS r1_dbl,
+       |         sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+       |             * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS ties
+       |  FROM r
+       |), u AS (
+       |  SELECT n1, n2,
+       |         CAST(r1_dbl - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+       |           AS u1_dbl,
+       |         CAST(ties AS DOUBLE) AS tiesd
+       |  FROM a
+       |)
+       |SELECT n1, n2, u1_dbl,
+       |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |         1.0 - CAST(u1_dbl AS DOUBLE)
+       |           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS r_rb,
+       |       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+       |              AND CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+       |                * (CAST(n1 + n2 + 1 AS DOUBLE) - tiesd
+       |                   / (CAST(n1 + n2 AS DOUBLE)
+       |                      * CAST(n1 + n2 - 1 AS DOUBLE))) > 0
+       |       THEN (CAST(u1_dbl AS DOUBLE) / 2.0
+       |             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+       |            / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+       |                * (CAST(n1 + n2 + 1 AS DOUBLE) - tiesd
+       |                   / (CAST(n1 + n2 AS DOUBLE)
+       |                      * CAST(n1 + n2 - 1 AS DOUBLE))))
+       |       END AS z
+       |FROM u""".stripMargin
+
   /** PAIRED pre/post comparison: each unit is its own control — per
     * unit the mean outcome before and after the boundary, then one
     * t-style readout over the per-unit DIFFS. Between-unit variance

@@ -44,6 +44,84 @@ object Packing {
       .withColumn("window", expr(s"start_off div $capacity"))
   }
 
+  /** GPT-style pretraining block layout: every document's token stream,
+    * in `idCol` order, concatenated into ONE virtual stream with an
+    * end-of-document marker after each doc (empty docs contribute just
+    * the marker), then cut into fixed blocks of `blockTokens` — blocks
+    * CROSS document boundaries, which is what distinguishes this from
+    * [[packIntoWindows]] (per-shard windows that reset) and the per-doc
+    * chunkers: the layout a causal-LM pretraining batch actually reads,
+    * and it is a pure deterministic function of (idCol order, B).
+    *
+    * Scale shape: the global token ordinal comes from PER-DOC counts —
+    * one doc-level aggregation, shard offsets over `idCol div
+    * shardSpan` ranges (monotone in id, so shard order = id order; the
+    * q188 globalOrdinals device: broadcast prefix offsets, never a
+    * corpus-wide single-partition window), then one scan-side
+    * posexplode projection. The corpus shuffles once (the doc-level
+    * count), tokens never shuffle at all.
+    *
+    * @return (idCol, token, block_id, pos_in_block) — one row per
+    *         token occurrence incl. the markers; the last block may be
+    *         ragged */
+  def pretrainBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int, eod: String = "<eod>",
+      shardSpan: Long = 1024L): DataFrame = {
+    require(blockTokens >= 1 && shardSpan >= 1)
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val counts = toks.select(col(idCol),
+      (size(col("__toks")) + 1).cast("long").as("__n"),
+      expr(s"CAST($idCol AS LONG) div $shardSpan").as("__shard"))
+    val offs = counts.groupBy(col("__shard"))
+      .agg(sum(col("__n")).as("__sn"))
+      .withColumn("__soff",
+        coalesce(sum(col("__sn")).over(Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__soff"))
+    val within = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docOff = counts.join(broadcast(offs), "__shard")
+      .withColumn("__doff",
+        col("__soff") + coalesce(sum(col("__n")).over(within), lit(0L)))
+      .select(col(idCol), col("__doff"))
+    toks
+      .select(col(idCol),
+        posexplode(concat(col("__toks"), array(lit(eod))))
+          .as(Seq("__p", "token")))
+      .join(docOff, idCol)
+      .select(col(idCol), col("token"),
+        expr(s"(__doff + __p) div $blockTokens").as("block_id"),
+        pmod(col("__doff") + col("__p"), lit(blockTokens.toLong))
+          .as("pos_in_block"))
+  }
+
+  /** DuckDB oracle for [[pretrainBlocks]]: the definitional cumulative
+    * offset over doc order. `tokSql` yields (doc_id, toks). */
+  def pretrainBlocksOracleSql(tokSql: String, blockTokens: Int,
+      eod: String = "<eod>"): String =
+    s"""WITH t AS ($tokSql), o AS (
+       |  SELECT doc_id,
+       |         coalesce(sum(len(toks) + 1) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS doff
+       |  FROM t
+       |), e AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(toks) + 1)) AS i,
+       |         toks
+       |  FROM t
+       |), g AS (
+       |  SELECT e.doc_id,
+       |         CASE WHEN i <= len(toks) THEN toks[i] ELSE '$eod' END
+       |           AS token,
+       |         o.doff + i - 1 AS gg
+       |  FROM e JOIN o USING (doc_id)
+       |)
+       |SELECT doc_id, token, CAST(gg // $blockTokens AS BIGINT)
+       |         AS block_id,
+       |       CAST(gg % $blockTokens AS BIGINT) AS pos_in_block
+       |FROM g""".stripMargin
+
   /** Length-bucketed BATCHING — the padding-minimizing layout for
     * inference / finetuning, where documents must stay whole (unlike
     * [[packIntoWindows]]'s concat-and-chunk, which splits them): docs

@@ -600,6 +600,16 @@ object Curation extends QueryModule {
       graft.text.Segments.languageFilterSegments(Tables(s, dir).documents,
         "doc_id", "text", segPer, targetLang = "en")),
 
+    // GPT-style pretraining block layout: the whole corpus as ONE
+    // virtual token stream in doc_id order (<eod> after each doc), cut
+    // into fixed 128-token blocks that CROSS document boundaries — the
+    // layout a causal-LM batch reader actually consumes, q67's
+    // per-shard windows globalized via range-shard offsets (never a
+    // corpus-wide single-partition window).
+    "q361_pretrain_blocks" -> ((s, dir) =>
+      graft.ops.Packing.pretrainBlocks(Tables(s, dir).documents,
+        "doc_id", "text", blockTokens = 128)),
+
     // q315 over the NON-ASCII slice (round-7 verdict item 2): the lang
     // filter's behavior on scripts the ASCII tokenizer cannot see,
     // GATED — pure non-Latin docs tokenize empty and survive as
@@ -1067,6 +1077,10 @@ object Curation extends QueryModule {
     // with the LEFT JOIN empty-doc convention.
     "q315_lang_filter" ->
       langFilterOracleSql("SELECT doc_id, text FROM documents"),
+
+    "q361_pretrain_blocks" -> graft.ops.Packing.pretrainBlocksOracleSql(
+      s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents",
+      blockTokens = 128),
 
     "q355_multilingual_langfilter" ->
       langFilterOracleSql(

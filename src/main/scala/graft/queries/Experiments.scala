@@ -430,9 +430,27 @@ object Experiments extends QueryModule {
             "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600 % 24"),
           "cohort" -> pmod(col("user_id"), lit(10L)),
           "value_band" -> expr("CAST(floor(value / 50) AS LONG)")))),
+
+    // Mann-Whitney U over per-user purchase revenue (arm = user parity,
+    // the q194 cohort device): the non-parametric two-arm readout
+    // heavy-tailed metrics need — ranks from the value HISTOGRAM (q40's
+    // device), doubled-integer rank sums, tie-corrected z.
+    "q360_mann_whitney" -> ((s, dir) => {
+      val users = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(Exact.cents(col("value"))).as("cents"))
+      ABTest.mannWhitney(users,
+        pmod(col("user_id"), lit(2)) === 1, col("cents"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q360_mann_whitney" -> ABTest.mannWhitneyOracleSql(
+      s"""SELECT user_id % 2 = 1 AS b,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY user_id""".stripMargin),
 
     "q184_sessionize" ->
       """WITH m AS (

@@ -350,6 +350,16 @@ object Text extends QueryModule {
     "q337_kneser_ney" -> ((s, dir) =>
       graft.text.LangModel.kneserNey(Tables(s, dir).documents, "text")),
 
+    // q337 composed into the CCNet role: per-doc mean bits/bigram under
+    // the interpolated-KN model (bit-length log2 of micro-quantized
+    // pkn, unseen bigrams at the 20-bit ceiling) — the perplexity-style
+    // corpus filter, with the in-house KN instead of an external LM.
+    "q362_kn_perplexity" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.text.LangModel.kneserNeyScore(docs, "doc_id", "text",
+        docs, "text")
+    }),
+
     // Isotonic (PAV) calibration of the same q206 score/outcome pair:
     // the monotone correction the reliability diagram motivates —
     // computed by the minimax closed form over the bin histogram, so
@@ -930,6 +940,10 @@ object Text extends QueryModule {
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
 
     "q337_kneser_ney" -> graft.text.LangModel.kneserNeyOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents"),
+
+    "q362_kn_perplexity" -> graft.text.LangModel.kneserNeyScoreOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents",
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
 
     "q342_texttiling" -> graft.text.Tiling.textTilingOracleSql(

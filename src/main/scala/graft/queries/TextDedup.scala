@@ -180,6 +180,23 @@ object TextDedup extends QueryModule {
         Tables(s, dir).documents, "doc_id", "text", exactSubstrLen,
         w = spanW, minDf = 2, minRunGrams = spanRemovalMinRun)),
 
+    // FIRST-OCCURRENCE-KEPT exact-substring dedup — the curation form:
+    // a >= 40-char span shared with an EARLIER doc (doc_id = ingestion
+    // order) is excised; the earliest copy survives as the canonical
+    // occurrence. q352 is the symmetric (contamination) form that
+    // drops all copies; the min-doc window replaces the distinct-count.
+    "q358_keep_first_removal" -> ((s, dir) =>
+      graft.text.ExactSubstr.removeLaterCopies(
+        Tables(s, dir).documents, "doc_id", "text", exactSubstrLen)),
+
+    // Per-doc Burrows-Wheeler transform + run count off the q331
+    // suffix array: repetitive docs collapse to few runs — the exact,
+    // codec-free compressibility proxy beside q118's deflate ratio,
+    // and the structure exact-substring indexes (FM) are built on.
+    "q359_bwt" -> ((s, dir) =>
+      graft.text.SuffixArray.bwt(
+        Tables(s, dir).documents, "doc_id", "text")),
+
     // BYTE-FALLBACK BPE over corpus + the multilingual slice: the
     // closed-alphabet seam converted into a gate — every script
     // (Cyrillic, Greek, CJK, accents) decomposes into `[a-z0-9_]` +
@@ -565,6 +582,12 @@ object TextDedup extends QueryModule {
     "q353_wgram_recall" -> graft.text.ExactSubstr.wgramRecallOracleSql(
       "documents", "doc_id", Text.toksSql, exactSubstrLen,
       w = spanW, minDf = 2, minRunGrams = spanRemovalMinRun),
+
+    "q358_keep_first_removal" -> graft.text.ExactSubstr.laterCopiesOracleSql(
+      "documents", "doc_id", exactSubstrLen),
+
+    "q359_bwt" -> graft.text.SuffixArray.bwtOracleSql(
+      "SELECT doc_id, text FROM documents", "doc_id"),
 
     "q356_byte_fallback_encode" -> graft.text.Bpe.encodeOracleSql(
       graft.text.Bpe.byteFallbackTokSql(

@@ -99,12 +99,128 @@ object ExactSubstr {
     *         appears, untouched docs report n_removed = 0 */
   def removeCrossDocRepeats(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int,
+      hash: Column => Column = Hash64.hash60): DataFrame =
+    // the survivors are stitched by ONE fold over the interval list:
+    // carry (last covered end, built string); intervals are sorted +
+    // disjoint with gap >= 1, so every substr length is >= 1 —
+    // per-row, codegen'd ([[stitch]], shared with the keep-first form)
+    stitch(docs, idCol, textCol,
+      coverIntervals(docs, idCol, textCol, minLen, hash))
+
+  /** DuckDB oracle for [[removeCrossDocRepeats]]: same L-gram df,
+    * islands, and char re-filter, definitionally (explode chars +
+    * NOT EXISTS + ordered string_agg — the q109 oracle pattern). */
+  def removalOracleSql(table: String, idName: String, minLen: Int): String =
+    s"""WITH t AS (
+       |  SELECT $idName, text FROM $table
+       |), g AS MATERIALIZED (
+       |  SELECT $idName, unnest(generate_series(1,
+       |           length(text) - ${minLen - 1})) AS pos, text
+       |  FROM t WHERE length(text) >= $minLen
+       |), hg AS MATERIALIZED (
+       |  SELECT $idName, pos,
+       |         ${Hash64.duckSql(s"substr(text, CAST(pos AS INTEGER), $minLen)")} AS h
+       |  FROM g
+       |), dd AS (
+       |  SELECT h FROM (SELECT h, $idName FROM hg GROUP BY 1, 2)
+       |  GROUP BY h HAVING count(*) >= 2
+       |), dp AS (
+       |  SELECT hg.$idName, hg.pos FROM hg JOIN dd USING (h)
+       |), r AS (
+       |  SELECT $idName, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos - lag(pos) OVER w > $minLen THEN 1 ELSE 0
+       |         END AS brk
+       |  FROM dp WINDOW w AS (PARTITION BY $idName ORDER BY pos)
+       |), sg AS (
+       |  SELECT $idName, pos,
+       |         sum(brk) OVER (PARTITION BY $idName ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM r
+       |), iv AS MATERIALIZED (
+       |  SELECT $idName, min(pos) AS s, max(pos) + ${minLen - 1} AS e
+       |  FROM sg GROUP BY $idName, grp
+       |), cov AS (
+       |  SELECT $idName, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+       |  FROM iv GROUP BY 1
+       |), tp AS (
+       |  SELECT $idName, unnest(generate_series(1, length(text))) AS i,
+       |         text
+       |  FROM t WHERE length(text) > 0
+       |), k AS (
+       |  SELECT tp.$idName, tp.i,
+       |         substr(tp.text, CAST(tp.i AS INTEGER), 1) AS ch
+       |  FROM tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM iv
+       |    WHERE iv.$idName = tp.$idName AND tp.i BETWEEN iv.s AND iv.e)
+       |)
+       |SELECT t.$idName, CAST(length(t.text) AS BIGINT) AS n_chars,
+       |       CAST(coalesce(cov.n_removed, 0) AS BIGINT) AS n_removed,
+       |       coalesce(string_agg(k.ch, '' ORDER BY k.i), '') AS kept_text
+       |FROM t
+       |LEFT JOIN cov ON t.$idName = cov.$idName
+       |LEFT JOIN k ON t.$idName = k.$idName
+       |GROUP BY t.$idName, t.text, cov.n_removed""".stripMargin
+
+  /** FIRST-OCCURRENCE-KEPT variant of [[removeCrossDocRepeats]] — the
+    * form production dedup pipelines actually run: a span duplicated
+    * across documents survives in the EARLIEST document (`idCol` order
+    * = ingestion order, the q142 novelty convention) and is excised
+    * from every later copy, so the corpus keeps exactly one canonical
+    * occurrence instead of losing the text entirely (Lee et al.'s
+    * symmetric ExactSubstr drops all copies — [[removeCrossDocRepeats]]
+    * — which is right for contamination, wrong for curation).
+    *
+    * Same equivalence lemma with "another doc" read as "an earlier
+    * doc": position q in doc d is covered iff the L-gram at q occurs in
+    * some doc < d — ONE `min(doc)` window over the gram key (the
+    * [[Spans.noveltyProfile]] device) instead of the distinct-doc
+    * count; islands and the rewrite are unchanged.
+    *
+    * @return (idCol, n_chars, n_removed, kept_text); the first copy of
+    *         every span reports n_removed contributions of 0 */
+  def removeLaterCopies(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int,
       hash: Column => Column = Hash64.hash60): DataFrame = {
-    val iv = coverIntervals(docs, idCol, textCol, minLen, hash)
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val grams = docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= minLen)
+      .select(col(idCol),
+        explode(sequence(lit(1L),
+          (length(col("__t")) - (minLen - 1)).cast("long"))).as("pos"),
+        col("__t"))
+      .select(col(idCol), col("pos"),
+        hash(col("__t").substr(col("pos").cast("int"), lit(minLen)))
+          .as("__h"))
+      .persist()
+    val firstDoc = grams.select(col("__h"), col(idCol)).distinct()
+      .withColumn("__fd",
+        min(col(idCol)).over(Window.partitionBy(col("__h"))))
+      .filter(col(idCol) > col("__fd"))
+      .select(col("__h"), col(idCol))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val iv = grams.join(firstDoc, Seq("__h", idCol), "left_semi")
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(minLen.toLong - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("iv"))
+    stitch(docs, idCol, textCol, iv)
+  }
+
+  /** Shared interval-excision rewrite (the [[removeCrossDocRepeats]]
+    * fold) over a per-doc sorted interval frame. */
+  private def stitch(docs: DataFrame, idCol: String, textCol: String,
+      iv: DataFrame): DataFrame = {
     val emptyIv = array().cast("array<struct<s:long,e:long>>")
-    // stitch the survivors with ONE fold over the interval list: carry
-    // (last covered end, built string); intervals are sorted + disjoint
-    // with gap >= 1, so every substr length is >= 1 — per-row, codegen'd
     val kept = aggregate(col("__iv"),
       struct(lit(0L).as("e"), lit("").as("s")),
       (acc, i) => struct(i.getField("e").as("e"),
@@ -127,10 +243,10 @@ object ExactSubstr {
         kept.as("kept_text"))
   }
 
-  /** DuckDB oracle for [[removeCrossDocRepeats]]: same L-gram df,
-    * islands, and char re-filter, definitionally (explode chars +
-    * NOT EXISTS + ordered string_agg — the q109 oracle pattern). */
-  def removalOracleSql(table: String, idName: String, minLen: Int): String =
+  /** DuckDB oracle for [[removeLaterCopies]]: the [[removalOracleSql]]
+    * chain with the distinct-doc count swapped for the min-doc window. */
+  def laterCopiesOracleSql(table: String, idName: String,
+      minLen: Int): String =
     s"""WITH t AS (
        |  SELECT $idName, text FROM $table
        |), g AS MATERIALIZED (
@@ -141,11 +257,12 @@ object ExactSubstr {
        |  SELECT $idName, pos,
        |         ${Hash64.duckSql(s"substr(text, CAST(pos AS INTEGER), $minLen)")} AS h
        |  FROM g
-       |), dd AS (
-       |  SELECT h FROM (SELECT h, $idName FROM hg GROUP BY 1, 2)
-       |  GROUP BY h HAVING count(*) >= 2
+       |), fd AS (
+       |  SELECT h, min($idName) AS first_doc
+       |  FROM (SELECT h, $idName FROM hg GROUP BY 1, 2) GROUP BY h
        |), dp AS (
-       |  SELECT hg.$idName, hg.pos FROM hg JOIN dd USING (h)
+       |  SELECT hg.$idName, hg.pos FROM hg JOIN fd USING (h)
+       |  WHERE hg.$idName > fd.first_doc
        |), r AS (
        |  SELECT $idName, pos,
        |         CASE WHEN lag(pos) OVER w IS NULL

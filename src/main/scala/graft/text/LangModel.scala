@@ -236,6 +236,64 @@ object LangModel {
             (col("n1b").cast("double") / col("n1tot"))).as("pkn"))
   }
 
+  /** Per-document scoring under the [[kneserNey]] model — the CCNet
+    * role (perplexity-filter the corpus with a reference LM) played by
+    * the in-house interpolated-KN bigram model instead of an external
+    * KenLM: each doc bigram pays `21 − blog(⌊pkn·10⁶⌋ + 1)` bits — the
+    * house bit-length log₂ (pkn ∈ (0, 1] ⇒ micro ∈ [1, 10⁶] when
+    * modeled), unseen bigrams pay the 20-bit ceiling (micro 0) — and
+    * docs aggregate to mean bits per bigram. pkn's micro-floor is
+    * bit-portable because the q337 formula is one fixed IEEE sequence
+    * over exact integer counts (already hash-gated there).
+    *
+    * Same shape as [[score]]: one model join (AQE-broadcast at bigram-
+    * vocabulary size), one keyed aggregation.
+    *
+    * @return (idCol, n_bigrams, total_bits, mean_bits_micro) — lower =
+    *         more reference-like; docs with < 2 tokens drop out */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val kn = kneserNey(ref, refTextCol, minCount)
+      .select(col("a"), col("b"),
+        floor(col("pkn") * 1000000.0).cast("long").as("__pm"))
+    val db = explodedBigrams(docs, textCol, col(idCol))
+    db.join(kn, Seq("a", "b"), "left")
+      .select(col(idCol),
+        (lit(21L) - blog(coalesce(col("__pm"), lit(0L)) + 1L)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("total_bits"))
+      .withColumn("mean_bits_micro",
+        floor(col("total_bits").cast("double") * 1000000.0 /
+          col("n_bigrams")).cast("long"))
+  }
+
+  /** DuckDB oracle for [[kneserNeyScore]]: the q337 chain + the same
+    * join/cost/fold. `docsTokSql`/`refTokSql` yield (doc_id, toks). */
+  def kneserNeyScoreOracleSql(docsTokSql: String, refTokSql: String,
+      minCount: Long = 2L): String =
+    s"""WITH kn AS (${kneserNeyOracleSql(refTokSql, minCount)}),
+       |knm AS (
+       |  SELECT a, b,
+       |         CAST(floor(pkn * 1000000.0) AS BIGINT) AS pm
+       |  FROM kn
+       |), dt AS ($docsTokSql), db AS (
+       |  SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS j
+       |        FROM dt WHERE len(toks) >= 2)
+       |), costs AS (
+       |  SELECT db.doc_id,
+       |         21 - CAST(length(bin(coalesce(knm.pm, 0) + 1)) AS BIGINT)
+       |           AS c
+       |  FROM db LEFT JOIN knm ON db.a = knm.a AND db.b = knm.b
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(c) AS BIGINT) AS total_bits,
+       |       CAST(floor(CAST(sum(c) AS DOUBLE) * 1000000.0 / count(*))
+       |         AS BIGINT) AS mean_bits_micro
+       |FROM costs GROUP BY 1""".stripMargin
+
   /** DuckDB oracle for [[kneserNey]] — the identical integer counts
     * and the identical double formula. `refTokSql` yields (doc_id,
     * toks). */

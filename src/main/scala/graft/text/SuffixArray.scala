@@ -594,6 +594,74 @@ object SuffixArray {
        |            ELSE '' END AS lrs
        |FROM best WHERE rn = 1""".stripMargin
 
+  /** Per-document Burrows–Wheeler transform — the [[perDocRanks]]
+    * readout that turns the suffix array into a COMPRESSIBILITY
+    * instrument: BWT[r] = the character PRECEDING the r-th-smallest
+    * suffix (`$` for the full-text suffix, the sentinel convention;
+    * `$` ∉ any corpus alphabet since tokens never contain it).
+    * Repetitive text groups equal contexts together, so its BWT
+    * collapses into few runs — `n_runs / n_chars` is the classic
+    * run-length compressibility proxy (the r/n measure of BWT-indexing
+    * literature), an exact, codec-free sibling of q118's deflate ratio
+    * and a per-doc template/boilerplate detector.
+    *
+    * One keyed join + one per-doc lag window for runs + one sorted
+    * collect for the transform string; run counting happens
+    * RELATIONALLY (lag over sa_rank) because a backreference regex
+    * collapse would not port to the oracle's RE2 engine.
+    *
+    * @return (idCol, n_chars, bwt, n_runs); empty docs absent (no
+    *         suffixes — the [[perDocRanks]] convention) */
+  def bwt(docs: DataFrame, idCol: String, textCol: String,
+      maxLenLog2: Int = 12): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byRank = W.partitionBy(col(idCol)).orderBy(col("sa_rank"))
+    val withCh = perDocRanks(docs, idCol, textCol, maxLenLog2)
+      .join(docs.select(col(idCol), col(textCol).as("__t")), idCol)
+      .select(col(idCol), col("sa_rank"),
+        when(col("pos") === 1, lit("$"))
+          .otherwise(col("__t").substr((col("pos") - 1).cast("int"),
+            lit(1))).as("__ch"))
+      .withColumn("__new",
+        when(lag(col("__ch"), 1).over(byRank).isNull
+          .or(lag(col("__ch"), 1).over(byRank) =!= col("__ch")), 1L)
+          .otherwise(0L))
+    withCh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sa_rank"), col("__ch")))),
+          e => e.getField("__ch")), "").as("bwt"),
+        sum(col("__new")).as("n_runs"))
+  }
+
+  /** DuckDB oracle for [[bwt]]: definitional — suffix sort, preceding
+    * char (sentinel for pos 1), ordered string_agg, lag-counted runs. */
+  def bwtOracleSql(innerSql: String, idName: String): String =
+    s"""WITH d AS (
+       |  SELECT $idName, text FROM ($innerSql) WHERE length(text) >= 1
+       |), p AS (
+       |  SELECT $idName, text,
+       |         unnest(generate_series(1, length(text))) AS pos
+       |  FROM d
+       |), sa AS (
+       |  SELECT $idName,
+       |         row_number() OVER (PARTITION BY $idName
+       |           ORDER BY substr(text, CAST(pos AS INTEGER))) AS r,
+       |         CASE WHEN pos = 1 THEN '$$'
+       |              ELSE substr(text, CAST(pos AS INTEGER) - 1, 1)
+       |         END AS ch
+       |  FROM p
+       |), rn AS (
+       |  SELECT $idName, r, ch,
+       |         CASE WHEN lag(ch) OVER w IS NULL
+       |                OR lag(ch) OVER w <> ch THEN 1 ELSE 0 END AS nw
+       |  FROM sa WINDOW w AS (PARTITION BY $idName ORDER BY r)
+       |)
+       |SELECT $idName, CAST(count(*) AS BIGINT) AS n_chars,
+       |       string_agg(ch, '' ORDER BY r) AS bwt,
+       |       CAST(sum(nw) AS BIGINT) AS n_runs
+       |FROM rn GROUP BY $idName""".stripMargin
+
   /** DuckDB oracle for [[perDocRanks]]: the definitional form — rank
     * suffixes by direct binary comparison of the suffix strings
     * (exactly what prefix doubling converges to; document suffixes are

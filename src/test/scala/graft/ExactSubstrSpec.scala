@@ -66,6 +66,68 @@ class ExactSubstrSpec extends SparkSuite {
     assert(out(1L)._2 > 0L && out(4L)._2 > 0L)
   }
 
+  test("removeLaterCopies: brute-force directional matchLen gate — " +
+      "first copy keeps every span, later copies lose it, asymmetric " +
+      "by doc order") {
+    import spark.implicits._
+    val L = 6
+    val fixture = Map(
+      1L -> "say hello darkness my old friend here",
+      2L -> "oh hello darkness my old pal",       // later copy: excised
+      3L -> "hello darkness again appears here",  // later copy of prefix
+      4L -> "abcdefabcdefabcdef",                 // within-doc only: kept
+      5L -> "")
+    // directional brute force: matchLen vs suffixes of EARLIER docs only
+    def cover(id: Long, t: String): Set[Int] = {
+      val earlier = fixture.collect { case (o, s) if o < id => s }.toSeq
+      val cov = collection.mutable.Set[Int]()
+      for (p <- 0 until t.length) {
+        var m = 0
+        for (o <- earlier; q <- 0 until o.length) {
+          var l = 0
+          while (p + l < t.length && q + l < o.length &&
+            t(p + l) == o(q + l)) l += 1
+          m = math.max(m, l)
+        }
+        if (m >= L) (p until p + m).foreach(cov += _)
+      }
+      cov.toSet
+    }
+    val out = graft.text.ExactSubstr
+      .removeLaterCopies(fixture.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    fixture.foreach { case (id, t) =>
+      val cov = cover(id, t)
+      val kept = t.indices.filterNot(cov).map(t.charAt).mkString
+      assert(out(id) == ((t.length.toLong, cov.size.toLong, kept)),
+        s"doc $id")
+    }
+    assert(out(1L)._2 == 0L)   // earliest copy untouched
+    assert(out(2L)._2 > 0L && out(3L)._2 > 0L)
+    assert(out(4L)._2 == 0L)   // within-doc repeats out of scope
+  }
+
+  test("bwt: hand-derived banana transform (sentinel at the full-text " +
+      "suffix), run count, repetitive doc collapses to fewer runs") {
+    import spark.implicits._
+    // banana suffixes sorted: a, ana, anana, banana, na, nana
+    // preceding chars:         n,  n,   b,     $,     a,  a  -> "nnb$aa"
+    val docs = Seq((1L, "banana"), (2L, "abababab"), (3L, "axbycz"))
+      .toDF("doc_id", "text")
+    val out = graft.text.SuffixArray.bwt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((6L, "nnb$aa", 4L)))
+    // abababab: sorted suffixes ab, abab, ababab, abababab, b, bab,
+    // babab, bababab -> preceding b,b,b,$,a,a,a,a = "bbb$aaaa", 3 runs
+    assert(out(2L) == ((8L, "bbb$aaaa", 3L)))
+    // the repetitive doc runs/char (3/8) < the distinct-char doc's
+    assert(out(3L)._3.toDouble / out(3L)._1 >
+      out(2L)._3.toDouble / out(2L)._1)
+  }
+
   test("crossDocRepeatsAtLeast: hand-derived threshold pairs on " +
       "abab/aba (lcp >= 2 keeps exactly the 3 qualifying pairs)") {
     import spark.implicits._

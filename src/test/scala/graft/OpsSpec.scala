@@ -1462,6 +1462,59 @@ class OpsSpec extends SparkSuite {
     assert(out.getAs[Long]("p90_days") == 20L)
   }
 
+  test("pretrainBlocks: hand-derived cross-doc layout — blocks cross " +
+      "boundaries, empty docs contribute their marker, last block ragged") {
+    import spark.implicits._
+    // stream: a b c <eod> | <eod> | d e <eod>  with B = 4:
+    // block 0 = [a b c <eod>], block 1 = [<eod> d e <eod>]
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Packing
+      .pretrainBlocks(docs, "doc_id", "text", blockTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", 0L, 0L), (1L, "b", 0L, 1L), (1L, "c", 0L, 2L),
+      (1L, "<eod>", 0L, 3L),
+      (2L, "<eod>", 1L, 0L),
+      (3L, "d", 1L, 1L), (3L, "e", 1L, 2L), (3L, "<eod>", 1L, 3L)))
+    // ragged tail: B = 3 leaves the last block short
+    val o3 = graft.ops.Packing
+      .pretrainBlocks(docs, "doc_id", "text", blockTokens = 3)
+      .groupBy(col("block_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o3 == Map(0L -> 3L, 1L -> 3L, 2L -> 2L))
+  }
+
+  test("mannWhitney: hand-derived U with ties (textbook ranks), " +
+      "stochastic dominance reads r_rb = -1, all-ties z NULL") {
+    import spark.implicits._
+    // arm A (b=false): 1, 2, 2;  arm B (b=true): 2, 3
+    // sorted: 1(r1), 2,2,2 (avg rank 3), 3 (r5)
+    // R1(B) = 3 + 5 = 8 -> U1 = 8 - 2*3/2 = 5; u1_dbl = 10
+    // r_rb = 1 - 2*5/(2*3) = -2/3
+    val df = Seq((false, 1L), (false, 2L), (false, 2L),
+      (true, 2L), (true, 3L)).toDF("b", "v")
+    val r = ABTest.mannWhitney(df, col("b"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 10L)))
+    assert(math.abs(r.getDouble(3) - (-2.0 / 3.0)) < 1e-12)
+    // z sign: positive U1-side excess means arm B ranks higher
+    assert(r.getDouble(4) > 0)
+
+    // complete dominance: every B above every A -> U1 = n1*n2, r = -1
+    val dom = Seq((false, 1L), (false, 2L), (true, 10L), (true, 11L))
+      .toDF("b", "v")
+    val d = ABTest.mannWhitney(dom, col("b"), col("v")).head()
+    assert(d.getLong(2) == 2L * 2L * 2L) // u1_dbl = 2*U1 = 2*n1*n2
+    assert(math.abs(d.getDouble(3) - (-1.0)) < 1e-12)
+
+    // all values tie: variance 0 -> z NULL, r_rb 0
+    val tie = Seq((false, 5L), (true, 5L), (true, 5L)).toDF("b", "v")
+    val t = ABTest.mannWhitney(tie, col("b"), col("v")).head()
+    assert(t.isNullAt(4) && math.abs(t.getDouble(3)) < 1e-12)
+  }
+
   test("ratioMetricTest: cluster-level ratios exact, zero-variance " +
       "arms yield NULL z, real spread yields a signed z") {
     import spark.implicits._

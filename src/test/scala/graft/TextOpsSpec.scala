@@ -390,6 +390,22 @@ class TextOpsSpec extends SparkSuite {
     assert(enc(1L) == Seq("aaab_", "aaab_"))
   }
 
+  test("kneserNeyScore: hand-derived bits — modeled bigram pays " +
+      "blog-quantized pkn, unseen bigram pays the 20-bit ceiling") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    // ref bigrams: (a,b) c12=3, (b,a) c12=2; for (a,b): c1(a)=3,
+    // n1f(a)=1, n1b(b)=1, n1tot=2 -> pkn = 9/12 + (3/12)(1/2) = 0.875
+    // pm = 875000 -> blog(875001) = 20 -> cost 1 bit
+    val docs = Seq((10L, "a b"), (20L, "z q")).toDF("doc_id", "text")
+    val out = graft.text.LangModel
+      .kneserNeyScore(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((1L, 1L, 1000000L)))
+    assert(out(20L) == ((1L, 20L, 20000000L)))
+  }
+
   test("byteFallbackSymbols: hand-derived escapes, and a full decode " +
       "round-trip back to the normalized text — emoji (astral plane), " +
       "Cyrillic, CJK, literal '_' and literal '<0xNN>' all survive") {
