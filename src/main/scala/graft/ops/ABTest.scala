@@ -121,6 +121,105 @@ object ABTest {
       .select(col("n1"), col("n2"), col("u1_dbl"), col("r_rb"), col("z"))
   }
 
+  /** Cochran–Mantel–Haenszel test: the STRATIFIED two-arm comparison —
+    * does the arm shift the outcome rate once a confounding stratum
+    * (geography, device, event type) is held fixed? [[proportionTest]]
+    * pools and Simpson's paradox can flip it; CMH asks the question
+    * within every stratum and pools the EVIDENCE, not the rows:
+    * z = (Σₖ aₖ − Σₖ Eₖ)/√(Σₖ Vₖ) with the classic hypergeometric
+    * Eₖ = n1ₖm1ₖ/Tₖ and Vₖ = n1ₖn2ₖm1ₖ(Tₖ−m1ₖ)/(Tₖ²(Tₖ−1)).
+    *
+    * DETERMINISM: Eₖ/Vₖ are doubles whose cross-strata sum would be
+    * partition-order-dependent under a plain agg — so the bounded
+    * strata frame collects into ONE sorted array and folds in stratum
+    * order (a per-row codegen'd `aggregate`, not a driver loop): both
+    * engines add the same IEEE values in the same order. Strata are a
+    * stated catalog (the markov-channel contract) — corpus scale grows
+    * cell COUNTS, never the array.
+    *
+    * @return one row: (n_strata, sum_a, e_sum, v_sum, z) — z NULL when
+    *         ΣV = 0 (every stratum degenerate); strata with T ≤ 1 or
+    *         an empty margin contribute zero evidence */
+  def cmhTest(df: DataFrame, strataCol: String, armB: Column,
+      outcome: Column): DataFrame = {
+    val cells = df
+      .select(col(strataCol).as("__s"), armB.as("__b"), outcome.as("__o"))
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__b") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__o"), 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("t"))
+    val e = when(col("t") > 1,
+      col("n1").cast("double") * col("m1").cast("double") /
+        col("t").cast("double")).otherwise(lit(0.0))
+    val v = when(col("t") > 1,
+      col("n1").cast("double") * col("n2").cast("double") *
+        col("m1").cast("double") * (col("t") - col("m1")).cast("double") /
+        (col("t").cast("double") * col("t").cast("double") *
+          (col("t") - 1).cast("double"))).otherwise(lit(0.0))
+    val terms = cells.select(struct(col("__s"),
+      when(col("t") > 1, col("a")).otherwise(lit(0L)).as("a"),
+      e.as("e"), v.as("v")).as("__term"))
+    terms
+      .agg(array_sort(collect_list(col("__term"))).as("__arr"))
+      .select(size(col("__arr")).cast("long").as("n_strata"),
+        aggregate(col("__arr"), lit(0L),
+          (acc, x) => acc + x.getField("a")).as("sum_a"),
+        aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("e")).as("e_sum"),
+        aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("v")).as("v_sum"))
+      .withColumn("z",
+        when(col("v_sum") > 0,
+          (col("sum_a").cast("double") - col("e_sum")) /
+            sqrt(col("v_sum"))))
+  }
+
+  /** DuckDB oracle for [[cmhTest]]: identical cells, identical sorted
+    * fold (list_sort + list_reduce over same-shape structs — both
+    * engines add the same IEEE values in the same order). `innerSql`
+    * yields (s, b BOOLEAN, o BOOLEAN). */
+  def cmhOracleSql(innerSql: String): String =
+    s"""WITH src AS ($innerSql), cells AS (
+       |  SELECT s,
+       |         CAST(sum(CASE WHEN b AND o THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS a,
+       |         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n2,
+       |         CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+       |         CAST(count(*) AS BIGINT) AS t
+       |  FROM src GROUP BY 1
+       |), terms AS (
+       |  SELECT s,
+       |         CASE WHEN t > 1 THEN a ELSE 0 END AS a,
+       |         CASE WHEN t > 1 THEN
+       |           CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+       |             / CAST(t AS DOUBLE) ELSE 0.0 END AS e,
+       |         CASE WHEN t > 1 THEN
+       |           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       |             * CAST(m1 AS DOUBLE) * CAST(t - m1 AS DOUBLE)
+       |             / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+       |                * CAST(t - 1 AS DOUBLE)) ELSE 0.0 END AS v
+       |  FROM cells
+       |), arr AS (
+       |  SELECT list_sort(list(struct_pack(s := s, a := CAST(a AS DOUBLE),
+       |           e := e, v := v))) AS terms_arr,
+       |         CAST(count(*) AS BIGINT) AS n_strata
+       |  FROM terms
+       |), folded AS (
+       |  SELECT n_strata,
+       |         list_reduce(terms_arr, (x, y) -> struct_pack(
+       |           s := x.s, a := x.a + y.a, e := x.e + y.e,
+       |           v := x.v + y.v)) AS f
+       |  FROM arr
+       |)
+       |SELECT n_strata, CAST(f.a AS BIGINT) AS sum_a, f.e AS e_sum,
+       |       f.v AS v_sum,
+       |       CASE WHEN f.v > 0 THEN (f.a - f.e) / sqrt(f.v) END AS z
+       |FROM folded""".stripMargin
+
   /** DuckDB oracle for [[mannWhitney]]: the same histogram ranks with
     * HUGEINT accumulators and the identical IEEE tail. `innerSql`
     * yields (b BOOLEAN, v BIGINT). */

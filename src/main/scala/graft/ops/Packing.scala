@@ -96,6 +96,104 @@ object Packing {
           .as("pos_in_block"))
   }
 
+  /** T5-style span-corruption layout (Raffel et al. denoising): mask
+    * aligned `spanLen`-token spans chosen by a REPRODUCIBLE keyed hash
+    * (span g of doc d masked ⟺ hash60(salt:d:g) mod maskOneIn = 0 —
+    * deterministic across runs, partitionings, and engines; the q330
+    * walk-step device), emit the (input, target) pair: input keeps the
+    * survivors with each masked span collapsed to one `<extra_id_N>`
+    * sentinel, target lists each sentinel followed by the span it hid,
+    * sentinels numbered in document order. (T5's trailing final
+    * sentinel is omitted — documented deviation, constant per pair.)
+    *
+    * One posexplode projection + per-doc windows (position order) +
+    * two ordered reassembly folds — single doc-keyed shuffle.
+    *
+    * @return (idCol, n_tokens, n_masked, input_text, target_text) */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, maskOneIn: Int = 5,
+      salt: String = "t5"): DataFrame = {
+    require(spanLen >= 1 && maskOneIn >= 2)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val tok = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("p", "tok")))
+      .withColumn("g", expr(s"p div $spanLen"))
+      .withColumn("m",
+        pmod(graft.functions.Hash64.hash60(concat_ws(":",
+          lit(salt), col(idCol), col("g"))), lit(maskOneIn.toLong)) === 0)
+      .withColumn("gf", col("p") === col("g") * spanLen)
+      .withColumn("sidx",
+        sum(when(col("m") && col("gf"), 1L).otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) - 1)
+    val sent = concat(lit("<extra_id_"), col("sidx"), lit(">"))
+    tok
+      .withColumn("__in",
+        when(!col("m"), col("tok"))
+          .when(col("m") && col("gf"), sent))
+      .withColumn("__tg",
+        when(col("m") && col("gf"), concat(sent, lit(" "), col("tok")))
+          .when(col("m"), col("tok")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("p"), coalesce(col("__in"), lit("")).as("v")))),
+          e => e.getField("v")), " ").as("__inj"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("p"), coalesce(col("__tg"), lit("")).as("v")))),
+          e => e.getField("v")), " ").as("__tgj"))
+      .select(col(idCol), col("n_tokens"), col("n_masked"),
+        regexp_replace(trim(col("__inj")), " +", " ").as("input_text"),
+        regexp_replace(trim(col("__tgj")), " +", " ").as("target_text"))
+  }
+
+  /** DuckDB oracle for [[spanCorrupt]] — identical hash choice,
+    * windows, and reassembly. `tokSql` yields (doc_id, toks). */
+  def spanCorruptOracleSql(tokSql: String, spanLen: Int = 3,
+      maskOneIn: Int = 5, salt: String = "t5"): String = {
+    val h = graft.functions.Hash64.duckSql(
+      s"'$salt' || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)")
+    s"""WITH t AS ($tokSql), e AS (
+       |  SELECT doc_id, i - 1 AS p, toks[i] AS tok,
+       |         (i - 1) // $spanLen AS g
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS i
+       |        FROM t WHERE len(toks) > 0)
+       |), f AS (
+       |  SELECT doc_id, p, tok, g, $h % $maskOneIn = 0 AS m,
+       |         p = g * $spanLen AS gf
+       |  FROM e
+       |), sx AS (
+       |  SELECT *, sum(CASE WHEN m AND gf THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS UNBOUNDED PRECEDING) - 1 AS sidx
+       |  FROM f
+       |), pieces AS (
+       |  SELECT doc_id, p, m,
+       |         CASE WHEN NOT m THEN tok
+       |              WHEN m AND gf THEN '<extra_id_' || sidx || '>'
+       |         END AS inp,
+       |         CASE WHEN m AND gf
+       |                THEN '<extra_id_' || sidx || '>' || ' ' || tok
+       |              WHEN m THEN tok
+       |         END AS tg
+       |  FROM sx
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_masked,
+       |       regexp_replace(trim(coalesce(
+       |         string_agg(coalesce(inp, ''), ' ' ORDER BY p), '')),
+       |         ' +', ' ', 'g') AS input_text,
+       |       regexp_replace(trim(coalesce(
+       |         string_agg(coalesce(tg, ''), ' ' ORDER BY p), '')),
+       |         ' +', ' ', 'g') AS target_text
+       |FROM pieces GROUP BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[pretrainBlocks]]: the definitional cumulative
     * offset over doc order. `tokSql` yields (doc_id, toks). */
   def pretrainBlocksOracleSql(tokSql: String, blockTokens: Int,

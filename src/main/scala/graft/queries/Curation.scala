@@ -600,6 +600,22 @@ object Curation extends QueryModule {
       graft.text.Segments.languageFilterSegments(Tables(s, dir).documents,
         "doc_id", "text", segPer, targetLang = "en")),
 
+    // Gopher-rule hard gates (Rae et al. A1.1 adapted): five named
+    // pass/fail rules per doc in integer cross-multiplication — the
+    // threshold-curation companion to q20's continuous score; min
+    // tokens 10 on this short-doc corpus so both verdicts occur.
+    "q364_gopher_rules" -> ((s, dir) =>
+      graft.text.Gopher.ruleGates(Tables(s, dir).documents,
+        "doc_id", "text", minTokens = 10L)),
+
+    // T5-style span corruption: aligned 3-token spans masked by a
+    // reproducible keyed hash (1-in-5), emitted as (input with
+    // <extra_id_N> sentinels, target with the hidden spans) — the
+    // denoising-objective layout next to q361's causal blocks.
+    "q365_span_corrupt" -> ((s, dir) =>
+      graft.ops.Packing.spanCorrupt(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // GPT-style pretraining block layout: the whole corpus as ONE
     // virtual token stream in doc_id order (<eod> after each doc), cut
     // into fixed 128-token blocks that CROSS document boundaries — the
@@ -1077,6 +1093,12 @@ object Curation extends QueryModule {
     // with the LEFT JOIN empty-doc convention.
     "q315_lang_filter" ->
       langFilterOracleSql("SELECT doc_id, text FROM documents"),
+
+    "q364_gopher_rules" -> graft.text.Gopher.ruleGatesOracleSql(
+      "documents", "doc_id", Text.toksSql, minTokens = 10L),
+
+    "q365_span_corrupt" -> graft.ops.Packing.spanCorruptOracleSql(
+      s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents"),
 
     "q361_pretrain_blocks" -> graft.ops.Packing.pretrainBlocksOracleSql(
       s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents",

@@ -431,6 +431,14 @@ object Experiments extends QueryModule {
           "cohort" -> pmod(col("user_id"), lit(10L)),
           "value_band" -> expr("CAST(floor(value / 50) AS LONG)")))),
 
+    // Cochran-Mantel-Haenszel: the arm/outcome comparison of q194 with
+    // event_type held fixed as the stratum — pooled EVIDENCE, not
+    // pooled rows (Simpson-proof); cross-strata double sums fold in
+    // sorted-array order so both engines add identically.
+    "q363_cmh" -> ((s, dir) =>
+      ABTest.cmhTest(Tables(s, dir).events, "event_type",
+        pmod(col("user_id"), lit(2)) === 1, col("value") > 150)),
+
     // Mann-Whitney U over per-user purchase revenue (arm = user parity,
     // the q194 cohort device): the non-parametric two-arm readout
     // heavy-tailed metrics need — ranks from the value HISTOGRAM (q40's
@@ -446,6 +454,11 @@ object Experiments extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q363_cmh" -> ABTest.cmhOracleSql(
+      """SELECT event_type AS s, user_id % 2 = 1 AS b,
+        |       value > 150 AS o
+        |FROM events""".stripMargin),
+
     "q360_mann_whitney" -> ABTest.mannWhitneyOracleSql(
       s"""SELECT user_id % 2 = 1 AS b,
          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v

@@ -295,6 +295,15 @@ object Relational extends QueryModule {
         graft.functions.Morton.morton(col("user_id"), col("event_id"))
           .as("zkey"))),
 
+    // Hilbert-curve layout key next to q64's Z-order: consecutive
+    // indices are ALWAYS grid-adjacent (no power-of-two jumps), so 2-D
+    // range scans touch fewer extents; per-row bit fold, no UDF.
+    // HilbertSpec measures the locality win over Morton directly.
+    "q366_hilbert_key" -> ((s, dir) =>
+      Tables(s, dir).events.select(col("event_id"), col("user_id"),
+        graft.functions.Hilbert.hilbert(col("user_id"), col("event_id"))
+          .as("hkey"))),
+
     // Key-distribution skew report over the event log's user key.
     "q65_skew_report" -> ((s, dir) =>
       graft.ops.Skew.skewReport(Tables(s, dir).events, "user_id")),
@@ -1001,6 +1010,10 @@ object Relational extends QueryModule {
       s"""SELECT event_id, user_id,
          |       ${graft.functions.Morton.duckSql("user_id", "event_id")} AS zkey
          |FROM events""".stripMargin,
+
+    "q366_hilbert_key" -> graft.functions.Hilbert.duckOracleSql(
+      "SELECT event_id, user_id, user_id AS x0, event_id AS y0 FROM events",
+      Seq("event_id", "user_id")),
 
     "q68_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -1462,6 +1462,27 @@ class OpsSpec extends SparkSuite {
     assert(out.getAs[Long]("p90_days") == 20L)
   }
 
+  test("cmhTest: hand-derived two-strata 2x2 evidence pooling, " +
+      "degenerate single-row stratum contributes zero") {
+    import spark.implicits._
+    // stratum X: B converts 3/4, A converts 1/4 -> a=3, E=2, V=4/7
+    // stratum Y: B converts 1/2, A converts 0/2 -> a=1, E=0.5, V=0.25
+    // stratum Z: one row (T=1) -> zero evidence
+    val rows =
+      Seq.fill(3)(("X", true, true)) ++ Seq(("X", true, false)) ++
+      Seq(("X", false, true)) ++ Seq.fill(3)(("X", false, false)) ++
+      Seq(("Y", true, true), ("Y", true, false),
+        ("Y", false, false), ("Y", false, false),
+        ("Z", true, true))
+    val df = rows.toDF("s", "b", "o")
+    val r = ABTest.cmhTest(df, "s", col("b"), col("o")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (4.0 / 7.0 + 0.25)) < 1e-12)
+    assert(math.abs(r.getDouble(4) -
+      1.5 / math.sqrt(4.0 / 7.0 + 0.25)) < 1e-12)
+  }
+
   test("pretrainBlocks: hand-derived cross-doc layout — blocks cross " +
       "boundaries, empty docs contribute their marker, last block ragged") {
     import spark.implicits._
