@@ -164,6 +164,118 @@ object Quantiles {
     *
     * @param v long-typed exact units (e.g. cents)
     * @return (grp..., n, n_kept, trimmed_mean, winsorized_mean) */
+  /** Deterministic LOG-BUCKET quantile sketch — the bounded-state
+    * one-pass answer where [[exactGlobalRatio]] pays ≤ 3 counting scans
+    * and [[exact]]'s windows need value-cardinality partitions: every
+    * non-negative long lands in the bucket keyed by (bit-length e,
+    * top `j` mantissa bits) — pure integer shifts, so the sketch is
+    * IDENTICAL on both engines and under any row order (a histogram is
+    * trivially mergeable: the 100 TB story is one map-side-combined
+    * groupBy over ≤ 64·2^j + 1 buckets, state bounded by construction,
+    * no second scan). The rank-r quantile is answered by the covering
+    * bucket's EXACT value bounds [m·2^(e−j), (m+1)·2^(e−j) − 1]:
+    * relative error ≤ 2^−j by construction, and the bounds are honest —
+    * both are reported, nothing is interpolated.
+    *
+    * Rank convention = [[exactRatio]]'s ceil(num·n/den) in pure integer
+    * arithmetic. Values must be ≥ 0 (sign-split before calling for
+    * signed metrics — documented contract; 0 keeps its own bucket).
+    *
+    * @return one row per requested quantile: (q_num, q_den, rank,
+    *         est_lo, est_hi) */
+  def logBucketQuantiles(df: DataFrame, v: Column, ps: Seq[(Int, Int)],
+      j: Int = 6): DataFrame = {
+    require(j >= 1 && j <= 16)
+    require(ps.nonEmpty && ps.forall { case (n, d) => n >= 1 && n <= d })
+    val W = org.apache.spark.sql.expressions.Window
+    val twoJ = 1L << j
+    // e = bit-length − 1; m = the top j+1 bits (leading 1 included);
+    // small values (v < 2^(j+1)) are their own exact buckets — the
+    // formula branch starts at 2^(j+1), so the ranges never collide
+    val bucket = expr(
+      s"""CASE WHEN __v = 0 THEN CAST(-1 AS LONG)
+         |WHEN length(bin(__v)) - 1 <= $j THEN __v
+         |ELSE shiftright(__v, CAST(length(bin(__v)) - 1 - $j AS INT))
+         |     + CAST(length(bin(__v)) - 1 - $j AS LONG) * $twoJ
+         |END""".stripMargin)
+    val hist = df.select(v.cast("long").as("__v"))
+      .select(bucket.as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val cum = hist.withColumn("__c",
+      sum(col("__n")).over(W.orderBy(col("__b"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val tot = hist.agg(sum(col("__n")).as("__tot"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = ps.toDF("q_num", "q_den")
+    val ranked = qs.crossJoin(broadcast(tot))
+      .withColumn("rank",
+        expr("CAST((q_num * __tot + q_den - 1) div q_den AS LONG)"))
+    // covering bucket: smallest __b with cumulative ≥ rank
+    ranked.join(cum,
+        col("__c") >= col("rank") &&
+          col("__c") - col("__n") < col("rank"))
+      .select(col("q_num").cast("long").as("q_num"),
+        col("q_den").cast("long").as("q_den"), col("rank"),
+        expr(
+          s"""CASE WHEN __b = -1 THEN CAST(0 AS LONG)
+             |WHEN __b < ${2 * twoJ} THEN __b
+             |ELSE shiftleft(__b % $twoJ + $twoJ,
+             |       CAST(__b div $twoJ - 1 AS INT))
+             |END""".stripMargin).as("est_lo"),
+        expr(
+          s"""CASE WHEN __b = -1 THEN CAST(0 AS LONG)
+             |WHEN __b < ${2 * twoJ} THEN __b
+             |ELSE shiftleft(__b % $twoJ + $twoJ + 1,
+             |       CAST(__b div $twoJ - 1 AS INT)) - 1
+             |END""".stripMargin).as("est_hi"))
+  }
+
+  /** DuckDB oracle for [[logBucketQuantiles]] — identical bucket ids,
+    * cumulative, rank arithmetic, and bound reconstruction. `innerSql`
+    * yields a single column v (BIGINT ≥ 0). */
+  def logBucketOracleSql(innerSql: String, ps: Seq[(Int, Int)],
+      j: Int = 6): String = {
+    val twoJ = 1L << j
+    val qsVals = ps.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH src AS ($innerSql), bk AS (
+       |  SELECT CASE WHEN v = 0 THEN -1
+       |              WHEN length(bin(v)) - 1 <= $j THEN v
+       |              ELSE (v >> CAST(length(bin(v)) - 1 - $j AS INTEGER))
+       |                   + CAST(length(bin(v)) - 1 - $j AS BIGINT)
+       |                     * $twoJ
+       |         END AS b
+       |  FROM src
+       |), h AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY 1
+       |), c AS (
+       |  SELECT b, n, CAST(sum(n) OVER (ORDER BY b
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM h
+       |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM h),
+       |q AS (
+       |  SELECT CAST(q_num AS BIGINT) AS q_num,
+       |         CAST(q_den AS BIGINT) AS q_den,
+       |         CAST((q_num * t + q_den - 1) // q_den AS BIGINT) AS rank
+       |  FROM (VALUES $qsVals) v(q_num, q_den) CROSS JOIN tot
+       |), hit AS (
+       |  SELECT q_num, q_den, rank, b
+       |  FROM q JOIN c ON c.cum >= q.rank AND c.cum - c.n < q.rank
+       |)
+       |SELECT q_num, q_den, rank,
+       |       CAST(CASE WHEN b = -1 THEN 0
+       |            WHEN b < ${2 * twoJ} THEN b
+       |            ELSE (b % $twoJ + $twoJ)
+       |                 << CAST(b // $twoJ - 1 AS INTEGER) END AS BIGINT)
+       |         AS est_lo,
+       |       CAST(CASE WHEN b = -1 THEN 0
+       |            WHEN b < ${2 * twoJ} THEN b
+       |            ELSE ((b % $twoJ + $twoJ + 1)
+       |                  << CAST(b // $twoJ - 1 AS INTEGER)) - 1
+       |            END AS BIGINT) AS est_hi
+       |FROM hit""".stripMargin
+  }
+
   def trimmedStats(df: DataFrame, grp: Seq[Column], v: Column,
       num: Int, den: Int): DataFrame = {
     require(num >= 0 && den > 0 && 2 * num < den,

@@ -1105,6 +1105,122 @@ object TimeSeries {
     * identical recurrence as a recursive CTE.
     *
     * @return (keyCol, n, level, trend, forecast) — integer cents */
+  /** Forecast BAKE-OFF over a trailing holdout — the model-selection
+    * readout the forecasting family ([[holtLinear]]/[[holtWinters]]/
+    * seasonal-naive MASE) motivates but never tabulates: per key, hold
+    * out the last `holdout` observations, forecast them with the three
+    * closed-form baselines, and report each method's exact-integer MAE
+    * plus the winner:
+    *
+    *  - naive: last training value;
+    *  - snaive: the value one `period` back (falls back to naive for
+    *    horizons the training series is too short to reach);
+    *  - drift: last + h·(last−first) div (n_train−1) (truncating
+    *    division — portable on negatives, the CEM probe).
+    *
+    * One per-key position window, one bounded per-key scalar join, one
+    * lagged self-equi-join for snaive, one aggregation. Positions are
+    * OBSERVATION ranks (ties broken by the value — the [[holtLinear]]
+    * total-order convention), so gaps don't shear the holdout.
+    *
+    * @return (keyCol, n_train, h_count, mae_naive, mae_snaive,
+    *         mae_drift, best_method) — best ties break by method name;
+    *         keys with fewer than holdout+2 observations drop out */
+  def forecastBakeoff(df: DataFrame, keyCol: String, tsCol: String,
+      valueCents: Column, period: Int = 24, holdout: Int = 6)
+      : DataFrame = {
+    // holdout ≤ period keeps snaive honest: every h reaches back into
+    // the TRAINING series, never into holdout actuals
+    require(period >= 1 && holdout >= 1 && holdout <= period)
+    val W = org.apache.spark.sql.expressions.Window
+    val pos = df
+      .select(col(keyCol).as("k"), col(tsCol).as("__t"),
+        valueCents.as("__x"))
+      .withColumn("p", row_number().over(
+        W.partitionBy(col("k")).orderBy(col("__t"), col("__x")))
+        .cast("long"))
+      .select(col("k"), col("p"), col("__x"))
+      .persist() // holdout rows, snaive lag rows, and scalars all read it
+    val scal = pos.groupBy(col("k"))
+      .agg(count(lit(1)).as("__n"),
+        min(when(col("p") === 1, col("__x"))).as("__x0"))
+      .filter(col("__n") >= holdout + 2)
+      .withColumn("__c", col("__n") - holdout)
+    val last = pos.select(col("k"), col("p"), col("__x").as("__xl"))
+      .join(scal, Seq("k"))
+      .filter(col("p") === col("__c"))
+      .select(col("k"), col("__n"), col("__c"), col("__x0"),
+        col("__xl"))
+    val hold = pos.select(col("k"), col("p"), col("__x").as("actual"))
+      .join(last, Seq("k"))
+      .filter(col("p") > col("__c"))
+      .withColumn("h", col("p") - col("__c"))
+    val sn = pos.select(col("k"),
+      (col("p") + period).as("p"), col("__x").as("__xs"))
+    val err = hold.join(sn, Seq("k", "p"), "left")
+      .select(col("k"), col("__c"),
+        abs(col("actual") - col("__xl")).as("e_naive"),
+        abs(col("actual") - coalesce(col("__xs"), col("__xl")))
+          .as("e_snaive"),
+        abs(col("actual") - (col("__xl") +
+          expr("(h * (__xl - __x0)) div (__c - 1)"))).as("e_drift"))
+    err.groupBy(col("k"))
+      .agg(min(col("__c")).as("n_train"),
+        count(lit(1)).as("h_count"),
+        sum(col("e_naive")).as("mae_naive"),
+        sum(col("e_snaive")).as("mae_snaive"),
+        sum(col("e_drift")).as("mae_drift"))
+      .withColumn("best_method",
+        when(col("mae_drift") < col("mae_naive") &&
+          col("mae_drift") < col("mae_snaive"), lit("drift"))
+          .when(col("mae_naive") <= col("mae_snaive"), lit("naive"))
+          .otherwise(lit("snaive")))
+      .select(col("k").as(keyCol), col("n_train"), col("h_count"),
+        col("mae_naive"), col("mae_snaive"), col("mae_drift"),
+        col("best_method"))
+  }
+
+  /** DuckDB oracle for [[forecastBakeoff]] — identical positions,
+    * scalars, lag join, and integer errors. `baseSql` yields
+    * (k, t, x). */
+  def forecastBakeoffOracleSql(baseSql: String, keyName: String,
+      period: Int = 24, holdout: Int = 6): String =
+    s"""WITH b AS ($baseSql), p AS (
+       |  SELECT k, x, CAST(row_number() OVER (PARTITION BY k
+       |           ORDER BY t, x) AS BIGINT) AS p
+       |  FROM b
+       |), sc AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+       |         min(CASE WHEN p = 1 THEN x END) AS x0
+       |  FROM p GROUP BY 1 HAVING count(*) >= ${holdout + 2}
+       |), lastv AS (
+       |  SELECT p.k, sc.n, sc.n - $holdout AS c, sc.x0, p.x AS xl
+       |  FROM p JOIN sc ON p.k = sc.k AND p.p = sc.n - $holdout
+       |), hold AS (
+       |  SELECT p.k, p.p, p.x AS actual, l.n, l.c, l.x0, l.xl,
+       |         p.p - l.c AS h
+       |  FROM p JOIN lastv l ON p.k = l.k
+       |  WHERE p.p > l.c
+       |), err AS (
+       |  SELECT hold.k, hold.c,
+       |         abs(actual - xl) AS e_naive,
+       |         abs(actual - coalesce(sn.x, xl)) AS e_snaive,
+       |         abs(actual - (xl + (h * (xl - x0)) // (c - 1)))
+       |           AS e_drift
+       |  FROM hold LEFT JOIN p sn
+       |    ON hold.k = sn.k AND sn.p + $period = hold.p
+       |)
+       |SELECT k AS $keyName, CAST(min(c) AS BIGINT) AS n_train,
+       |       CAST(count(*) AS BIGINT) AS h_count,
+       |       CAST(sum(e_naive) AS BIGINT) AS mae_naive,
+       |       CAST(sum(e_snaive) AS BIGINT) AS mae_snaive,
+       |       CAST(sum(e_drift) AS BIGINT) AS mae_drift,
+       |       CASE WHEN sum(e_drift) < sum(e_naive)
+       |              AND sum(e_drift) < sum(e_snaive) THEN 'drift'
+       |            WHEN sum(e_naive) <= sum(e_snaive) THEN 'naive'
+       |            ELSE 'snaive' END AS best_method
+       |FROM err GROUP BY 1""".stripMargin
+
   def holtLinear(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valueCents: Column,
       alphaNum: Long = 1L, alphaDen: Long = 2L,

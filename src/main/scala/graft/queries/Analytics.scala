@@ -206,6 +206,20 @@ object Analytics extends QueryModule {
     // trending series by a constant. Series are calendar-bounded (the
     // module invariant); the oracle replays the fold as a recursive
     // CTE (the BinPack shape).
+    // Forecast bake-off on q324's hourly series: last-6-hours holdout,
+    // exact-integer MAE for naive / seasonal-naive(24) / drift, winner
+    // per type — the model-selection table the forecasting family
+    // motivates but never tabulated.
+    "q368_forecast_bakeoff" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 3600")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.TimeSeries.forecastBakeoff(hourly, "event_type", "h",
+        col("c"))
+    }),
+
     "q324_holt_forecast" -> ((s, dir) => {
       val hourly = Tables(s, dir).events
         .groupBy(col("event_type"),
@@ -980,6 +994,14 @@ object Analytics extends QueryModule {
           |  ON s.event_type = g.event_type AND s.h = g.h""".stripMargin,
         "event_type", period = 24, alphaNum = 1L, alphaDen = 2L,
         betaNum = 1L, betaDen = 4L, gammaNum = 1L, gammaDen = 4L),
+
+    "q368_forecast_bakeoff" ->
+      graft.ops.TimeSeries.forecastBakeoffOracleSql(
+        """SELECT event_type AS k, h AS t, c AS x FROM (
+          |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+          |         CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2)""".stripMargin,
+        "event_type"),
 
     "q324_holt_forecast" ->
       graft.ops.TimeSeries.holtLinearOracleSql(

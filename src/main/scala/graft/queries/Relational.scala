@@ -724,6 +724,16 @@ object Relational extends QueryModule {
         Tables(s, dir).lineitem, Exact.cents(col("l_extendedprice")),
         ps = Seq((1, 2), (9, 10), (99, 100)))),
 
+    // Log-bucket quantile SKETCH on q327's exact metric: bounded-state
+    // one-pass histogram (≤ 64·2^6 + 1 integer-shift buckets, trivially
+    // mergeable) answering the same ranks with honest value bounds
+    // [est_lo, est_hi], relative error ≤ 2^-6 by construction — the
+    // 100 TB single-scan form beside the ≤3-scan exact bisection.
+    "q367_logbucket_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.logBucketQuantiles(
+        Tables(s, dir).lineitem, Exact.cents(col("l_extendedprice")),
+        ps = Seq((1, 2), (9, 10), (99, 100)))),
+
     "q258_weighted_quantiles" -> ((s, dir) =>
       graft.ops.Quantiles.weightedQuantiles(
         Tables(s, dir).lineitem.select(col("l_returnflag"),
@@ -980,6 +990,10 @@ object Relational extends QueryModule {
         |FROM customer
         |GROUP BY 1, 2
         |HAVING count(*) < 5""".stripMargin,
+
+    "q367_logbucket_quantiles" -> graft.ops.Quantiles.logBucketOracleSql(
+      "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem",
+      ps = Seq((1, 2), (9, 10), (99, 100))),
 
     "q327_global_quantiles" ->
       """WITH r AS (

@@ -1462,6 +1462,59 @@ class OpsSpec extends SparkSuite {
     assert(out.getAs[Long]("p90_days") == 20L)
   }
 
+  test("forecastBakeoff: hand-derived MAEs — drift wins a pure trend, " +
+      "snaive wins a pure cycle, snaive falls back when out of reach") {
+    import spark.implicits._
+    // trend: x = 10t, n = 10, holdout 2 (period 4 >= holdout):
+    // train 1..8 (c = 8), x0 = 10, xl = 80
+    // h=1: naive 80 vs 90 -> 10; drift 80 + (1*70) div 7 = 90 -> 0
+    //      snaive: p=9 -> p-4=5 -> x=50 vs 90 -> 40
+    // h=2: naive 80 vs 100 -> 20; drift 80 + 140 div 7 = 100 -> 0
+    //      snaive: x(6)=60 vs 100 -> 40
+    val trend = (1L to 10L).map(t => ("k", t, t * 10))
+    // cycle: period 4 pattern 0,100,0,100... n = 12, holdout 2:
+    // snaive exact (0), naive wrong on alternating steps
+    val cycle = (1L to 12L).map(t => ("c", t, if (t % 2 == 0) 100L else 0L))
+    val df = (trend ++ cycle).toDF("k", "t", "x")
+    val out = graft.ops.TimeSeries
+      .forecastBakeoff(df, "k", "t", col("x"), period = 4, holdout = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(out("k") == ((8L, 2L, 30L, 80L, 0L, "drift")))
+    // cycle: c = 10, xl = x(10) = 100; h=1: actual x(11)=0 -> naive
+    // 100, snaive x(7)=0 -> 0; h=2: actual 100 -> naive 0, snaive 0
+    assert(out("c") == ((10L, 2L, 100L, 0L, 133L, "snaive")))
+  }
+
+  test("logBucketQuantiles: small values are exact singleton buckets, " +
+      "large values bracket the true quantile within 2^-j relative, " +
+      "zero handled, bounds always contain the exact rank value") {
+    import spark.implicits._
+    // j = 6: every v < 128 is its own bucket -> exact answers
+    val small = (0L to 100L).toDF("v")
+    val s50 = Quantiles.logBucketQuantiles(small, col("v"),
+      Seq((1, 2), (1, 101))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 101 values 0..100: rank ceil(101/2)=51 -> value 50 exactly
+    assert(s50((1L, 2L)) == ((51L, 50L, 50L)))
+    // rank ceil(101/101)=1 -> the zero bucket
+    assert(s50((1L, 101L)) == ((1L, 0L, 0L)))
+
+    // large skewed values: the exact quantile must sit inside
+    // [est_lo, est_hi] and the bracket must be tight
+    val vals = (1 to 5000).map(i => (i.toLong * i * 37) % 104729L + 1000)
+    val exact = vals.sorted.apply(
+      (math.ceil(vals.size * 0.9) - 1).toInt) // ceil-rank p90
+    val r = Quantiles.logBucketQuantiles(vals.toDF("v"), col("v"),
+      Seq((9, 10))).head()
+    val (lo, hi) = (r.getLong(3), r.getLong(4))
+    assert(lo <= exact && exact <= hi, s"[$lo, $hi] vs $exact")
+    assert(hi - lo <= math.max(1L, lo / 64L + 1),
+      s"bracket [$lo, $hi] wider than 2^-6 relative")
+  }
+
   test("cmhTest: hand-derived two-strata 2x2 evidence pooling, " +
       "degenerate single-row stratum contributes zero") {
     import spark.implicits._
