@@ -183,6 +183,76 @@ object NearDup {
       .distinct()
   }
 
+  /** LSH PARAMETER PLANNER — the design table behind
+    * [[lshCandidatePairs]]'s (bands, rowsPerBand) choice: for every
+    * (b, r) factorization of the signature size and every probed
+    * Jaccard level, the candidate-collision probability
+    * P = 1 − (1 − J^r)^b. A planning operator — it reads NO data; it
+    * exists so the banding choice is an inspectable artifact instead
+    * of folklore (the (1/b)^(1/r) threshold rule of thumb is readable
+    * off the table as the J where P crosses 0.5 — NOT emitted as a
+    * column: exp/ln round differently across libms, measured 1 ulp
+    * apart on exp(ln(0.25)/4), exactly the trap the house float rules
+    * exist for).
+    *
+    * Determinism: both power terms are INTEGER exponents evaluated as
+    * explicit multiplication folds (never `pow`, whose rounding is not
+    * specified identically across engines).
+    *
+    * @return (sig_k, bands, rows_per_band, j_pct, p_collide) — one row
+    *         per (factorization, probed J%) */
+  def lshPlanner(spark: org.apache.spark.sql.SparkSession,
+      sigK: Int = 16,
+      jPcts: Seq[Int] = Seq(50, 60, 70, 80, 90, 95)): DataFrame = {
+    require(sigK >= 2)
+    import spark.implicits._
+    val facts = (1 to sigK).filter(sigK % _ == 0)
+      .map(b => (sigK, b, sigK / b))
+    val grid = for ((k, b, r) <- facts; j <- jPcts) yield (k, b, r, j)
+    val df = grid.toDF("sig_k", "bands", "rows_per_band", "j_pct")
+    val j = col("j_pct").cast("double") / 100.0
+    // J^r and (1-J^r)^b as explicit folds over integer exponents
+    val jr = aggregate(sequence(lit(1), col("rows_per_band")),
+      lit(1.0), (acc, _) => acc * j)
+    val p = lit(1.0) - aggregate(sequence(lit(1), col("bands")),
+      lit(1.0), (acc, _) => acc * (lit(1.0) - col("__jr")))
+    df.withColumn("__jr", jr)
+      .withColumn("p_collide", p)
+      .drop("__jr")
+  }
+
+  /** DuckDB oracle for [[lshPlanner]] — the identical grid and folds
+    * (row-CONSTANT list_reduce: safe; the row-varying form is the
+    * documented corruption bug). */
+  def lshPlannerOracleSql(sigK: Int = 16,
+      jPcts: Seq[Int] = Seq(50, 60, 70, 80, 90, 95)): String = {
+    val facts = (1 to sigK).filter(sigK % _ == 0)
+      .map(b => s"($sigK, $b, ${sigK / b})").mkString(", ")
+    val js = jPcts.mkString(", ")
+    s"""WITH f AS (
+       |  SELECT CAST(sig_k AS INTEGER) AS sig_k,
+       |         CAST(bands AS INTEGER) AS bands,
+       |         CAST(rows_per_band AS INTEGER) AS rows_per_band
+       |  FROM (VALUES $facts) v(sig_k, bands, rows_per_band)
+       |), g AS (
+       |  SELECT f.*, CAST(j AS INTEGER) AS j_pct,
+       |         CAST(j AS DOUBLE) / 100.0 AS jj
+       |  FROM f CROSS JOIN (SELECT unnest([$js]) AS j)
+       |), jr AS (
+       |  SELECT *, list_reduce(
+       |           list_prepend(CAST(1.0 AS DOUBLE), list_transform(
+       |             generate_series(1, rows_per_band), i -> jj)),
+       |           (a, x) -> a * x) AS jrv
+       |  FROM g
+       |)
+       |SELECT sig_k, bands, rows_per_band, j_pct,
+       |       1.0 - list_reduce(
+       |         list_prepend(CAST(1.0 AS DOUBLE), list_transform(
+       |           generate_series(1, bands), i -> 1.0 - jrv)),
+       |         (a, x) -> a * x) AS p_collide
+       |FROM jr""".stripMargin
+  }
+
   /** (idCol, band, band_key) rows — one per LSH band per doc; the shared
     * banding step of [[lshCandidatePairs]] and [[nearDupIncrement]]. */
   private def bandedKeys(df: DataFrame, idCol: String, sigCol: String,

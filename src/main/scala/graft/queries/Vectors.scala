@@ -197,6 +197,56 @@ object Vectors extends QueryModule {
         .select(col("d1"), col("d2"), col("est_jaccard"))
     }),
 
+    // LSH parameter planner: the (bands, rows) design table behind the
+    // q27 banding choice — collision S-curves P = 1-(1-J^r)^b for every
+    // factorization of the signature, integer-exponent powers as
+    // explicit multiplication folds (pow() rounding is not cross-engine
+    // specified). Reads no data; makes the banding choice inspectable.
+    "q369_lsh_planner" -> ((s, _) => NearDup.lshPlanner(s)),
+
+    // Per-source dedup LIFT: what q37's cluster resolution actually
+    // saves, by source — docs dropped (keep = false) and chars freed,
+    // integer-micro drop rate; the number a mixing/budget decision
+    // (q66/q129) consumes. One join of clusters to doc metadata.
+    "q370_dedup_lift" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5)
+      val clusters = NearDup.connectedComponents(pairs)
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .join(clusters.select(col("node").as("doc_id"), col("keep")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep") === false, 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("keep") === false, col("n_chars")).otherwise(0L))
+            .as("chars_dropped"))
+        .withColumn("drop_micro",
+          expr("n_dropped * 1000000 div n_docs"))
+    }),
+
+    // Cluster-chaining audit over q37's dedup clusters: per cluster,
+    // member count vs verified-pair EDGE count and the integer-micro
+    // edge density — transitive closure can chain A-B-C where A-C never
+    // verified; density << 1 on big clusters is that warning. Composes
+    // the already-verified pair set; no new pair computation.
+    "q371_cluster_density" -> ((s, dir) => {
+      val pairs = minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
+        .filter(col("est_jaccard") >= 0.5).persist()
+      val clusters = NearDup.connectedComponents(pairs)
+      val members = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+      val edges = pairs.join(
+          clusters.select(col("node").as("d1"), col("cluster_id")), "d1")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+      members.join(edges, "cluster_id")
+        .withColumn("density_micro",
+          expr("CAST(n_edges * 2000000 div (n_members * (n_members - 1)) AS LONG)"))
+    }),
+
     // Dedup clusters: minhash pairs (est >= 0.5) → connected components →
     // per-doc cluster id + keep-one flag. The step a training-data dedup
     // actually executes between "candidate pairs" and "drop duplicates".
@@ -1061,6 +1111,58 @@ object Vectors extends QueryModule {
            |  WHERE length(text) > 0""".stripMargin
       s"WITH ${charMinhashCtesFrom(t0)}\nSELECT d1, d2, est_jaccard FROM est"
     },
+
+    "q369_lsh_planner" -> NearDup.lshPlannerOracleSql(),
+
+    "q370_dedup_lift" ->
+      s"""WITH RECURSIVE $minhashCtes, fpairs AS (
+        |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
+        |), sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM fpairs
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM fpairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+        |), cl AS (
+        |  SELECT node, (min(lab) = node) AS keep FROM reach GROUP BY node
+        |)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN cl.keep = false THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN cl.keep = false
+        |                THEN CAST(d.n_chars AS BIGINT) ELSE 0 END)
+        |         AS BIGINT) AS chars_dropped,
+        |       CAST(sum(CASE WHEN cl.keep = false THEN 1 ELSE 0 END)
+        |         * 1000000 // count(*) AS BIGINT) AS drop_micro
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+        |GROUP BY 1""".stripMargin,
+
+    "q371_cluster_density" ->
+      s"""WITH RECURSIVE $minhashCtes, fpairs AS (
+        |  SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5
+        |), sym AS (
+        |  SELECT d1 AS src, d2 AS dst FROM fpairs
+        |  UNION
+        |  SELECT d2 AS src, d1 AS dst FROM fpairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+        |), cl AS (
+        |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        |), m AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM cl GROUP BY 1 HAVING count(*) > 1
+        |), e AS (
+        |  SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM fpairs JOIN cl ON fpairs.d1 = cl.node GROUP BY 1
+        |)
+        |SELECT m.cluster_id, n_members, n_edges,
+        |       CAST(n_edges * 2000000 // (n_members * (n_members - 1))
+        |         AS BIGINT) AS density_micro
+        |FROM m JOIN e USING (cluster_id)""".stripMargin,
 
     // Clusters = connected components over the minhash near-dup pairs —
     // DuckDB recomputes the same min-reachable-label fixpoint with a

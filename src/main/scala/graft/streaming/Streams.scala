@@ -611,6 +611,53 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental EXACT-substring dedup (keep-first across the
+    * stream) — [[graft.text.ExactSubstr.removeLaterCopies]] run epoch
+    * by epoch against a persisted L-gram history: every char span ≥
+    * `minLen` verbatim-matching an EARLIER-accepted document (any prior
+    * epoch, or an earlier doc of this epoch) is excised before the doc
+    * is written; the epoch's own ORIGINAL grams then append to the
+    * history (originals, not the rewrites: "seen verbatim anywhere in
+    * the stream" is the predicate — the first copy survived carrying
+    * those grams). The exact-dedup sibling of
+    * [[incrementalNearDupSink]]: that drops whole near-dup documents,
+    * this excises verbatim SPANS and keeps the rest.
+    *
+    * History is (h) distinct gram hashes — 8 bytes per distinct gram,
+    * the same bound the batch operator's df aggregation pays, and the
+    * per-epoch work is epoch-sized (grams of the batch, one semi-join
+    * against the history scan). Batch/stream parity: with epoch ids
+    * increasing, the two-epoch composition equals the batch
+    * removeLaterCopies on the union — StreamsSpec asserts it row for
+    * row. Marker-guarded for replay idempotence. */
+  def exactSubstrDedupSink(docsStream: DataFrame, idCol: String,
+      textCol: String, historyDir: String, outDir: String,
+      markerDir: String, checkpoint: String, minLen: Int = 40,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val guarded = idempotentSink(markerDir) { (_, batch, _) =>
+      val spark = batch.sparkSession
+      val seen =
+        if (stateDirExists(spark, historyDir))
+          Some(spark.read.parquet(historyDir))
+        else None
+      val rewritten = graft.text.ExactSubstr
+        .removeLaterCopiesWithHistory(batch, idCol, textCol, minLen, seen)
+      rewritten.write.mode("append").parquet(outDir)
+      graft.text.ExactSubstr
+        .gramHashes(batch, idCol, textCol, minLen)
+        .select(col("h")).distinct()
+        .write.mode("append").parquet(historyDir)
+    }
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) guarded("exactsubstr", batch, epochId)
+      }
+      .start()
+  }
+
   /** Streaming incremental rollup maintenance — [[graft.ops.Rollups]]'s
     * mergeable state folded micro-batch by micro-batch: each epoch
     * merges its delta into the latest persisted state and writes a NEW

@@ -181,10 +181,15 @@ object ExactSubstr {
     *         every span reports n_removed contributions of 0 */
   def removeLaterCopies(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int,
-      hash: Column => Column = Hash64.hash60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val grams = docs
+      hash: Column => Column = Hash64.hash60): DataFrame =
+    removeLaterCopiesWithHistory(docs, idCol, textCol, minLen,
+      seenGrams = None, hash)
+
+  /** L-gram hashes of every position of every doc: (idCol, pos, h) —
+    * the registration frame a streaming history appends per epoch. */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, hash: Column => Column = Hash64.hash60): DataFrame =
+    docs
       .select(col(idCol), col(textCol).as("__t"))
       .filter(length(col("__t")) >= minLen)
       .select(col(idCol),
@@ -193,15 +198,43 @@ object ExactSubstr {
         col("__t"))
       .select(col(idCol), col("pos"),
         hash(col("__t").substr(col("pos").cast("int"), lit(minLen)))
-          .as("__h"))
+          .as("h"))
+
+  /** [[removeLaterCopies]] with an optional EXTERNAL history: a
+    * position is covered iff its L-gram occurs in an earlier doc of
+    * THIS frame (min-doc window) OR in `seenGrams` (one `h` column —
+    * the gram hashes of everything already accepted upstream). The
+    * streaming keep-first sink runs this per epoch with the persisted
+    * gram history; with `seenGrams = None` it IS the batch operator,
+    * so batch/stream parity is by construction (StreamsSpec asserts
+    * it across a micro-batch boundary). */
+  def removeLaterCopiesWithHistory(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, seenGrams: Option[DataFrame],
+      hash: Column => Column = Hash64.hash60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val grams = gramHashes(docs, idCol, textCol, minLen, hash)
+      .withColumnRenamed("h", "__h")
       .persist()
     val firstDoc = grams.select(col("__h"), col(idCol)).distinct()
       .withColumn("__fd",
         min(col(idCol)).over(Window.partitionBy(col("__h"))))
       .filter(col(idCol) > col("__fd"))
       .select(col("__h"), col(idCol))
+    val dupPos = {
+      val within = grams.join(firstDoc, Seq("__h", idCol), "left_semi")
+        .select(col(idCol), col("pos"))
+      seenGrams match {
+        case Some(seen) =>
+          within.unionByName(grams.join(
+            seen.select(col("h").as("__h")).distinct(),
+            Seq("__h"), "left_semi").select(col(idCol), col("pos")))
+            .distinct()
+        case None => within
+      }
+    }
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val iv = grams.join(firstDoc, Seq("__h", idCol), "left_semi")
+    val iv = dupPos
       .withColumn("__brk",
         when(lag(col("pos"), 1).over(byDoc).isNull
           .or(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen), 1L)

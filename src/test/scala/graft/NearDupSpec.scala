@@ -7,6 +7,24 @@ import graft.text.TextAnalysis
 
 class NearDupSpec extends SparkSuite {
 
+  test("lshPlanner: hand-checked S-curve points — P(1 band) = J^k, " +
+      "P(k bands of 1) = 1-(1-J)^k, more rows = stricter curve") {
+    val out = NearDup.lshPlanner(spark, sigK = 4, jPcts = Seq(50, 90))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)) ->
+        r.getDouble(4)).toMap
+    // b=1, r=4: P = J^4
+    assert(math.abs(out((1, 4, 50)) - math.pow(0.5, 4)) < 1e-12)
+    assert(math.abs(out((1, 4, 90)) - math.pow(0.9, 4)) < 1e-12)
+    // b=4, r=1: P = 1-(1-J)^4
+    assert(math.abs(out((4, 1, 50)) - (1 - math.pow(0.5, 4))) < 1e-12)
+    // b=2, r=2: P = 1-(1-J^2)^2
+    assert(math.abs(out((2, 2, 90)) -
+      (1 - math.pow(1 - 0.81, 2))) < 1e-12)
+    // more rows per band -> stricter curve at the same J
+    assert(out((4, 1, 50)) > out((2, 2, 50)))
+    assert(out((2, 2, 50)) > out((1, 4, 50)))
+  }
+
   private def docs = {
     import spark.implicits._
     Seq(

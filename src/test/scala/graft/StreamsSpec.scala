@@ -467,6 +467,50 @@ class StreamsSpec extends SparkSuite {
       == Set(1L, 3L, 5L))
   }
 
+  test("streaming exact-substring dedup: cross-epoch verbatim spans " +
+      "excised keep-first, exact batch parity on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (hist, out, mark, ckp) =
+      (tmp("es-hist"), tmp("es-out"), tmp("es-mark"), tmp("es-ckp"))
+    Seq(hist, out).foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    val L = 12
+    def run(): Unit = {
+      val q = Streams.exactSubstrDedupSink(docs, "doc_id", "text",
+        hist, out, mark, ckp, minLen = L, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    val b1 = Seq(
+      (1L, "the original shared passage lives right here in doc one"),
+      (2L, "totally unrelated content without any overlap at all"))
+    val b2 = Seq(
+      // re-uses a >= 12-char span of doc 1 (cross-epoch), plus fresh text
+      (3L, "prefix text then the original shared passage lives right here too"),
+      // duplicates doc 3's fresh suffix? no — unrelated
+      (4L, "another clean document with its own words only"))
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // batch parity: removeLaterCopies over the union (epoch order =
+    // id order here)
+    val expect = graft.text.ExactSubstr
+      .removeLaterCopies((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text", L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(streamed == expect)
+    assert(streamed(1L)._2 == 0L)            // first copy intact
+    assert(streamed(3L)._2 > 0L)             // later copy excised
+    assert(streamed(2L)._2 == 0L && streamed(4L)._2 == 0L)
+    // replay idempotence: re-running the same epochs adds nothing
+    run()
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
   test("transformWithState TTL dedup matches the flatMapGroupsWithState semantics") {
     // Spark 4's arbitrary-state API; requires the RocksDB state store.
     implicit val sqlCtx = spark.sqlContext
