@@ -206,8 +206,14 @@ object TextDedup extends QueryModule {
       import s.implicits._
       val all = Tables(s, dir).documents.select(col("doc_id"), col("text"))
         .unionByName(multilingualPlanted.toDF("doc_id", "text"))
+      // the documented 100 TB contract run for real (the q111 pattern):
+      // merges train on the doc_id%10 sample + the multilingual slice,
+      // the full corpus only pays the per-row encode replay
       val merges = graft.text.Bpe
-        .trainMerges(all, "doc_id", "text", byteMerges,
+        .trainMerges(
+          all.filter(col("doc_id") % 10 === 0 ||
+            col("doc_id") >= 9100000L), // slice always trains
+          "doc_id", "text", byteMerges,
           graft.text.Bpe.byteFallbackSymbols)
         .map(t => (t._2, t._3))
       graft.text.Bpe.encode(all, "doc_id", "text", merges,
@@ -225,7 +231,10 @@ object TextDedup extends QueryModule {
       val all = Tables(s, dir).documents.select(col("doc_id"), col("text"))
         .unionByName(multilingualPlanted.toDF("doc_id", "text"))
       val merges = graft.text.Bpe
-        .trainMerges(all, "doc_id", "text", byteMerges,
+        .trainMerges(
+          all.filter(col("doc_id") % 10 === 0 ||
+            col("doc_id") >= 9100000L), // slice always trains
+          "doc_id", "text", byteMerges,
           graft.text.Bpe.byteFallbackSymbols)
         .map(t => (t._2, t._3))
       val enc = graft.text.Bpe.encode(all, "doc_id", "text", merges,
@@ -589,7 +598,12 @@ object TextDedup extends QueryModule {
     "q359_bwt" -> graft.text.SuffixArray.bwtOracleSql(
       "SELECT doc_id, text FROM documents", "doc_id"),
 
-    "q356_byte_fallback_encode" -> graft.text.Bpe.encodeOracleSql(
+    "q356_byte_fallback_encode" -> graft.text.Bpe.encodeSampledOracleSql(
+      graft.text.Bpe.byteFallbackTokSql(
+        s"""(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+           | UNION ALL
+           | SELECT * FROM (VALUES $multilingualPlantedValuesSql)
+           |   v(doc_id, text))""".stripMargin, "doc_id"),
       graft.text.Bpe.byteFallbackTokSql(
         s"""(SELECT doc_id, text FROM documents
            | UNION ALL
