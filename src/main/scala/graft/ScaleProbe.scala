@@ -336,6 +336,19 @@ object ScaleProbe {
           (col("event_id") % 1000 + 1000000L).as("dst"))
         ops.PageRank.pageRank(e, "src", "dst").count()
       }
+      // Hilbert key: native codegen'd expression vs the interpreted
+      // aggregate-HOF fold — same values (spec-asserted), the probe
+      // measures the per-row cost gap that motivated expression #9
+      time(s"hilbert_native_x$m") {
+        ev.select(functions.Hilbert.hilbert(col("user_id"),
+          col("event_id")).as("h"))
+          .agg(sum(col("h"))).collect()(0).getLong(0)
+      }
+      time(s"hilbert_fold_x$m") {
+        ev.select(functions.Hilbert.hilbertFold(col("user_id"),
+          col("event_id")).as("h"))
+          .agg(sum(col("h"))).collect()(0).getLong(0)
+      }
       // B-cubed: contingency bounded by |clusters|×|golds| (constant
       // under replication) — per-item scoring must stay scan-bound
       time(s"bcubed_x$m") {

@@ -96,9 +96,18 @@ object GraftFunctions {
       NormalizeText(exprs.head)
     })
 
+  private[functions] val hilbertKey: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_key"),
+    new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"hilbert_key expects 2 arguments, got ${exprs.length}")
+      HilbertKey(exprs.head, exprs(1))
+    })
+
   private[functions] val all =
     Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen,
-      jumpHash, jaroWinkler, normalizeText)
+      jumpHash, jaroWinkler, normalizeText, hilbertKey)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

@@ -28,13 +28,20 @@ class HilbertSpec extends SparkSuite {
       Seq((65535L, 65535L), (40000L, 12345L), (1L << 20, 77L))
     val out = pts.toDF("x", "y")
       .select(col("x"), col("y"),
-        graft.functions.Hilbert.hilbert(col("x"), col("y")).as("h"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
+        graft.functions.Hilbert.hilbert(col("x"), col("y")).as("h"),
+        graft.functions.Hilbert.hilbertFold(col("x"), col("y")).as("hf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
     pts.foreach { case (x, y) =>
       val exp = xy2d(16, x % 65536, y % 65536)
-      assert(out((x, y)) == exp, s"($x, $y)")
+      assert(out((x, y)) == ((exp, exp)), s"($x, $y)") // native == fold
     }
+    // SQL registration resolves to the same codegen'd expression
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hilbert_key(CAST(40000 AS LONG), CAST(12345 AS LONG))")
+      .head().getLong(0)
+    assert(viaSql == xy2d(16, 40000, 12345))
   }
 
   test("hilbert: locality — every consecutive index pair is grid-" +
