@@ -78,4 +78,49 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions(MediaCodec.decodeStub)
   }
+
+  /** Uniform FRAME-SAMPLING plan — the real (non-stubbed) half of
+    * video feature extraction: which `k` frame indices to decode per
+    * video, spread uniformly over [0, frames−1] (the CLIP/VideoMAE
+    * ingestion convention). The expensive per-frame decode then reads
+    * ONLY these (media_id, frame_no) rows — at 100 TB the plan is what
+    * turns "decode every frame" into "decode k per asset". Indices are
+    * ⌊i·(frames−1)/(k−1)⌋ (exact in doubles below 2⁵³ — frames is a
+    * count, the floor is engine-portable), deduplicated for clips
+    * shorter than k frames.
+    *
+    * @return (media_id, frames, frame_no) — videos only */
+  def frameSamplePlan(features: DataFrame, k: Int): DataFrame = {
+    require(k >= 2)
+    features.filter(col("kind") === "video")
+      .select(col("media_id"), col("frames").cast("long").as("frames"))
+      .select(col("media_id"), col("frames"),
+        explode(array_distinct(transform(
+          sequence(lit(0L), lit(k.toLong - 1)),
+          i => floor(i.cast("double") * (col("frames") - 1)
+            .cast("double") / (k - 1).toDouble).cast("long"))))
+          .as("frame_no"))
+  }
+
+  /** Audio WINDOWING plan — the layout step of any STFT/fbank feature
+    * extractor: fixed `win` samples every `hop`, full windows only
+    * (assets shorter than one window plan no rows — documented; the
+    * tail partial window is a padding policy the decoder owns).
+    * Samples are derived from the payload size (s16 mono: bytes/2) —
+    * real plumbing; only the sample DECODE is the env-forced stub.
+    *
+    * @return (media_id, n_samples, win_no, start_sample) — audio only */
+  def audioWindowPlan(features: DataFrame, win: Long = 400L,
+      hop: Long = 160L): DataFrame = {
+    require(win >= 1 && hop >= 1)
+    features.filter(col("kind") === "audio")
+      .select(col("media_id"),
+        expr("n_bytes div 2").as("n_samples"))
+      .filter(col("n_samples") >= win)
+      .select(col("media_id"), col("n_samples"),
+        explode(sequence(lit(0L),
+          expr(s"(n_samples - $win) div $hop"))).as("win_no"))
+      .select(col("media_id"), col("n_samples"), col("win_no"),
+        (col("win_no") * hop).as("start_sample"))
+  }
 }

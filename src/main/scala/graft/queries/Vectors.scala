@@ -428,6 +428,26 @@ object Vectors extends QueryModule {
       Media.decode(Media.syntheticMedia(s, docs)).toDF()
     }),
 
+    // Video frame-sampling plan: which k=8 frame indices to decode per
+    // asset, spread uniformly — the REAL half of frame extraction (the
+    // plan bounds decode work to k frames/asset at any corpus scale);
+    // only the per-frame pixel decode is the env-forced stub.
+    "q372_frame_plan" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Media.frameSamplePlan(
+        Media.decode(Media.syntheticMedia(s, docs)).toDF(), k = 8)
+    }),
+
+    // Audio STFT window layout: the 25ms/10ms convention scaled to the
+    // harness payloads (64-sample windows every 32) over s16 sample
+    // counts — the windowing plan a feature extractor consumes.
+    "q373_audio_windows" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Media.audioWindowPlan(
+        Media.decode(Media.syntheticMedia(s, docs)).toDF(),
+        win = 64L, hop = 32L)
+    }),
+
     // IVF ANN: nearest-centroid cells via plan-literal centroids (zero
     // corpus shuffle for assignment), nProbe-cell candidate generation,
     // exact rerank. Centroids = first 16 vectors (deterministic stand-in
@@ -1389,6 +1409,34 @@ object Vectors extends QueryModule {
         |       CAST((fingerprint // 7) % 1080 + 1 AS INTEGER) AS height,
         |       CAST(CASE WHEN kind = 'video' THEN n_bytes % 240 + 1 ELSE 1 END AS INTEGER) AS frames
         |FROM m""".stripMargin,
+
+    "q372_frame_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(encode(text)) % 240 + 1 AS BIGINT)
+        |           AS frames
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, frames,
+        |       unnest(list_distinct(list_transform(
+        |         generate_series(0, 7),
+        |         i -> CAST(floor(CAST(i AS DOUBLE) * (frames - 1) / 7.0)
+        |                AS BIGINT)))) AS frame_no
+        |FROM m""".stripMargin,
+
+    "q373_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(encode(text)) // 2 AS BIGINT)
+        |           AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 1
+        |)
+        |SELECT media_id, n_samples,
+        |       CAST(unnest(generate_series(0, (n_samples - 64) // 32))
+        |         AS BIGINT) AS win_no,
+        |       CAST(unnest(generate_series(0, (n_samples - 64) // 32))
+        |         * 32 AS BIGINT) AS start_sample
+        |FROM m WHERE n_samples >= 64""".stripMargin,
 
     "q182_centroid_cosine" -> graft.similarity.KMeans.centroidCosineOracleSql(
       "embeddings", "label", "embedding"),

@@ -53,4 +53,38 @@ class MediaSpec extends SparkSuite {
     assert(out.find(_.media_id == 2L).get.frames >= 1)
     assert(out.find(_.media_id == 3L).get.frames == 1)
   }
+
+  test("frameSamplePlan: uniform indices hand-derived, short clips " +
+      "dedup, first and last frames always sampled") {
+    import spark.implicits._
+    val feats = Seq(
+      (1L, "video", 0L, 0L, 1, 1, 15),   // 15 frames, k=8
+      (2L, "video", 0L, 0L, 1, 1, 3),    // shorter than k -> dedup
+      (3L, "image", 0L, 0L, 1, 1, 1))    // not a video -> absent
+      .toDF("media_id", "kind", "n_bytes", "fingerprint",
+        "width", "height", "frames")
+    val out = Media.frameSamplePlan(feats, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).sorted.toSeq }
+    // floor(i*14/7) = 0,2,4,6,8,10,12,14
+    assert(out(1L) == Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L))
+    // frames=3: floor(i*2/7) over i=0..7 -> 0,0,0,0,1,1,1,2 -> {0,1,2}
+    assert(out(2L) == Seq(0L, 1L, 2L))
+    assert(!out.contains(3L))
+  }
+
+  test("audioWindowPlan: full windows only, hop spacing, short assets " +
+      "plan nothing") {
+    import spark.implicits._
+    val feats = Seq(
+      (1L, "audio", 200L, 0L, 1, 1, 1),  // 100 samples, win 64 hop 32
+      (2L, "audio", 100L, 0L, 1, 1, 1),  // 50 samples < 64 -> nothing
+      (3L, "video", 400L, 0L, 1, 1, 9))  // not audio -> absent
+      .toDF("media_id", "kind", "n_bytes", "fingerprint",
+        "width", "height", "frames")
+    val out = Media.audioWindowPlan(feats, win = 64L, hop = 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // 100 samples: starts 0 and 32 (64+32=96 <= 100; 64+64=128 > 100)
+    assert(out.toSet == Set((1L, 0L, 0L), (1L, 1L, 32L)))
+  }
 }
