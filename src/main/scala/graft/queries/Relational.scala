@@ -55,6 +55,31 @@ object Relational extends QueryModule {
         snaps, Seq("user_id"), "ts", "ts", Seq("snap_value", "snap_id"), "snap_id")
     }),
 
+    // SCD2 TEMPORAL dimension join — the lookup side of q62's history
+    // build: every event joined to the user-tier dimension version
+    // valid AT ITS TIMESTAMP. Because SCD2 versions tile each key's
+    // timeline gap-free, "valid_from <= ts < valid_to" degenerates to
+    // the as-of join on valid_from — the composition that keeps the
+    // plan the q38 union-window shape instead of a non-equi range join.
+    // Events before a user's first version read NULL (LEFT semantics).
+    "q374_scd2_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val pur = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id").as("dim_id"),
+          expr("CAST(round(value * 100) AS LONG) div 10000").as("tier")))
+          .as("__d"))
+        .select(col("user_id"), col("ts"),
+          col("__d.dim_id").as("dim_id"), col("__d.tier").as("tier"))
+      val dim = graft.ops.Journey.scd2(pur, "user_id", "ts", "dim_id")
+        .select(col("user_id"), col("valid_from"), col("dim_id"),
+          col("tier"))
+      AsOf.join(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        dim, Seq("user_id"), "ts", "valid_from",
+        Seq("tier", "dim_id"), "dim_id")
+    }),
+
     // Range join: events counted into 1-hour incident windows opened by
     // high-value errors (bucketed equi-join, not BroadcastNestedLoop).
     "q39_range_join" -> ((s, dir) => {
@@ -807,6 +832,21 @@ object Relational extends QueryModule {
         |SELECT e.event_id, e.user_id, e.ts, e.event_type, s.snap_value, s.snap_id
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+
+    "q374_scd2_join" ->
+      """WITH pur AS (
+        |  SELECT user_id, ts, event_id AS dim_id,
+        |         CAST(round(value * 100) AS BIGINT) // 10000 AS tier,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |), dim AS (
+        |  SELECT user_id, ts AS valid_from, dim_id, tier
+        |  FROM pur WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, d.tier, d.dim_id
+        |FROM events e ASOF LEFT JOIN dim d
+        |  ON e.user_id = d.user_id AND e.ts >= d.valid_from""".stripMargin,
 
     "q39_range_join" ->
       s"""WITH incidents AS (

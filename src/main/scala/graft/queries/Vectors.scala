@@ -405,6 +405,15 @@ object Vectors extends QueryModule {
       graft.similarity.Pca.pc1Projection(
         Tables(s, dir).embeddings, "vec_id", "embedding", dim = 64)),
 
+    // PC2 by deflation: subtract PC1's rank-1 variance slab from the
+    // quantized covariance and power-iterate again — eigen-depth with
+    // the same engine-exact integer machinery; the deflation cell term
+    // runs as one fixed double sequence (identical, not exact, past
+    // 2^53 — the documented q191 tier).
+    "q375_pca_pc2" -> ((s, dir) =>
+      graft.similarity.Pca.pc2Projection(
+        Tables(s, dir).embeddings, "vec_id", "embedding", dim = 64)),
+
     // Embedding near-dup via quantized-vector fingerprint (exact dup after
     // floor(x*1000) quantization; dups injected as in q23).
     "q29_embedding_dupkey" -> ((s, dir) => {
@@ -1451,6 +1460,9 @@ object Vectors extends QueryModule {
       "embeddings", "vec_id", "embedding"),
 
     "q198_pca_pc1" -> graft.similarity.Pca.pc1OracleSql(
+      "embeddings", "vec_id", "embedding", dim = 64),
+
+    "q375_pca_pc2" -> graft.similarity.Pca.pc2OracleSql(
       "embeddings", "vec_id", "embedding", dim = 64),
 
     "q199_mahalanobis" -> graft.similarity.Covariance

@@ -541,6 +541,32 @@ class SimilaritySpec extends SparkSuite {
     assert(out2 == out) // deterministic end to end
   }
 
+  test("pc2Projection: deflation recovers the planted SECOND axis on an " +
+      "exactly-diagonal covariance — pc2_q = q(y)*512 by hand") {
+    import spark.implicits._
+    import graft.similarity.Pca
+    // balanced +-8 on e1, +-2 on e2, all four combos (+ zeros dims 3/4):
+    // Cov is exactly diagonal, Var(e1) >> Var(e2) -> v1 = 512*e1,
+    // deflation zeroes the e1 slab (residual <= 1 quantum), v2 = 512*e2
+    val vecs = for {
+      (a, i) <- Seq(8f, -8f).zipWithIndex
+      (b, j) <- Seq(2f, -2f).zipWithIndex
+    } yield ((i * 2 + j).toLong, Seq(a, b, 0f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Pca.pc2Projection(df, "vec_id", "embedding", dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // q(2.0) = 2000, q(-2.0) = -2000; pc2 = 512*e2 (up to global sign)
+    val expect = vecs.map { case (id, v) =>
+      id -> math.round(v(1) * 1000).toLong * 512L
+    }.toMap
+    val sign = if (out(0L) == expect(0L)) 1L else -1L
+    vecs.foreach { case (id, _) =>
+      assert(out(id) == sign * expect(id), s"id $id: ${out(id)}")
+    }
+    // and pc2 ignores the dominant axis: ids sharing e2 coords match
+    assert(out(0L) == out(2L) && out(1L) == out(3L))
+  }
+
   test("centroidCosineMatrix: orthogonal labels read 0, aligned labels " +
       "read 1, mean pooling precedes the pair geometry") {
     import spark.implicits._
