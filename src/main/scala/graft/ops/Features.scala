@@ -297,6 +297,197 @@ object Features {
           col("sxx"), col("syy"), col("sxy")).as("rho"): _*)
   }
 
+  /** Borda RANK FUSION of K integer metrics — the ensemble device for
+    * quality signals that live on incomparable scales (a learned score,
+    * a bits-per-token, a repetition fraction): each metric contributes
+    * its tie-averaged DOUBLED rank (the [[spearman]] integer device;
+    * direction-normalized so bigger borda2 = better on every metric),
+    * and the fused score is their exact integer sum — no min-max
+    * normalization constants to disagree about, no float weights.
+    *
+    * Scale shape: per metric, one value-histogram rank map (cumulative
+    * window over DISTINCT values — bounded by value cardinality, the
+    * spearman contract) joined back on the value. K broadcast-sized
+    * rank maps, zero row-level sorts.
+    *
+    * @param metrics (column name, higherIsBetter)
+    * @return input id + per-metric `r2_<name>` doubled ranks + `borda2`
+    */
+  def bordaFusion(df: DataFrame, idCol: String,
+      metrics: Seq[(String, Boolean)]): DataFrame = {
+    require(metrics.nonEmpty)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol) +:
+      metrics.map { case (m, _) => col(m).cast("long").as(m) }: _*)
+    val ranked = metrics.foldLeft(base) { case (acc, (m, hib)) =>
+      val h = base.groupBy(col(m)).agg(count(lit(1)).as("__c"))
+      val ord = if (hib) col(m).asc else col(m).desc
+      val rankMap = h.withColumn(s"r2_$m",
+        lit(2L) * coalesce(sum(col("__c")).over(W.orderBy(ord)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)) +
+          col("__c") + 1L)
+        .select(col(m), col(s"r2_$m"))
+      acc.join(rankMap, Seq(m))
+    }
+    ranked.withColumn("borda2",
+      metrics.map { case (m, _) => col(s"r2_$m") }.reduce(_ + _))
+  }
+
+  /** DuckDB oracle for [[bordaFusion]]: `innerSql` yields
+    * (idName, metric columns). */
+  def bordaFusionOracleSql(innerSql: String, idName: String,
+      metrics: Seq[(String, Boolean)]): String = {
+    val rankCtes = metrics.map { case (m, hib) =>
+      val ord = if (hib) m else s"$m DESC"
+      s"""r_$m AS (
+         |  SELECT $m,
+         |    2 * CAST(coalesce(sum(c) OVER (ORDER BY $ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + c + 1 AS r2_$m
+         |  FROM (SELECT $m, CAST(count(*) AS BIGINT) AS c
+         |        FROM b GROUP BY 1)
+         |)""".stripMargin
+    }
+    val joins = metrics.map { case (m, _) => s"JOIN r_$m USING ($m)" }
+      .mkString(" ")
+    s"""WITH b AS ($innerSql),
+       |${rankCtes.mkString(",\n")}
+       |SELECT $idName, ${metrics.map(_._1).mkString(", ")},
+       |       ${metrics.map(m => s"r2_${m._1}").mkString(", ")},
+       |       ${metrics.map(m => s"r2_${m._1}").mkString(" + ")} AS borda2
+       |FROM b $joins""".stripMargin
+  }
+
+  /** Kendall τ-b — the PAIR-concordance rank association beside
+    * [[spearman]]'s rank-Pearson: τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) with
+    * C/D the concordant/discordant pair masses and n₁/n₂ the
+    * tied-pair masses per margin. Everything is computed from the
+    * per-group JOINT VALUE HISTOGRAM — C and D by a cell×cell join on
+    * `a.x < b.x` (each unordered pair of distinct-x cells once), tie
+    * masses from the marginal histograms, never a row-level pair join.
+    *
+    * SCALE CONTRACT (the markov-channel convention): the cell join is
+    * O(|cells|²) per group, so inputs must be BOUNDED-DOMAIN integers —
+    * decile bins, small counts, grades. Corpus scale grows cell
+    * COUNTS, never the cell set; pass continuous values through
+    * [[Quantiles.binByCuts]] first. Pair masses multiply counts, so
+    * products run in DECIMAL(38,0) (the q360 device) and surface as
+    * doubles through one fixed cast chain — identical, not exact,
+    * past 2⁵³ (test scales are exact).
+    *
+    * @return per group: (grpCols..., n, n_cells, conc, disc, tau_b) —
+    *         tau_b NULL when a margin is constant (denominator 0) */
+  def kendallTauB(df: DataFrame, grpCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val keys = grpCols.map(col)
+    val base = df
+      .select(keys :+ x.cast("long").as("__x") :+
+        y.cast("long").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(keys :+ col("__x") :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+    def tieMass(vCol: String, out: String) = cells
+      .groupBy(keys :+ col(vCol): _*).agg(sum(col("__c")).as("__m"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__m").cast(dec) * (col("__m") - 1).cast(dec) / 2)
+        .cast(dec).as(out))
+    val a = cells.select(keys.map(k => k.as(k.toString)) :+
+      col("__x").as("__ax") :+ col("__y").as("__ay") :+
+      col("__c").as("__ac"): _*)
+    val b = cells.select(grpCols.map(g => col(g).as(s"__b_$g")) :+
+      col("__x").as("__bx") :+ col("__y").as("__by") :+
+      col("__c").as("__bc"): _*)
+    val joinCond = grpCols.map(g => col(g) === col(s"__b_$g"))
+      .reduce(_ && _) && col("__ax") < col("__bx")
+    val cd = a.join(b, joinCond)
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col("__ay") < col("__by"),
+          col("__ac").cast(dec) * col("__bc").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__conc"),
+        sum(when(col("__ay") > col("__by"),
+          col("__ac").cast(dec) * col("__bc").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__disc"))
+    val tot = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+    val nCells = cells.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_cells"))
+    val out = tot
+      .join(nCells, grpCols)
+      .join(tieMass("__x", "__n1"), grpCols)
+      .join(tieMass("__y", "__n2"), grpCols)
+      .join(cd, grpCols, "left")
+      .withColumn("__conc", coalesce(col("__conc"), lit(0).cast(dec)))
+      .withColumn("__disc", coalesce(col("__disc"), lit(0).cast(dec)))
+      .withColumn("__n0",
+        (col("n").cast(dec) * (col("n") - 1).cast(dec) / 2).cast(dec))
+    val d1 = (col("__n0") - col("__n1")).cast("double")
+    val d2 = (col("__n0") - col("__n2")).cast("double")
+    out
+      .withColumn("conc", col("__conc").cast("double"))
+      .withColumn("disc", col("__disc").cast("double"))
+      .withColumn("tau_b",
+        when(d1 * d2 > 0.0,
+          (col("conc") - col("disc")) / sqrt(d1 * d2)))
+      .select(keys :+ col("n") :+ col("n_cells") :+ col("conc") :+
+        col("disc") :+ col("tau_b"): _*)
+  }
+
+  /** DuckDB oracle for [[kendallTauB]]: `innerSql` yields
+    * (grpCols..., x, y). */
+  def kendallTauBOracleSql(innerSql: String, grpCols: Seq[String])
+      : String = {
+    val keys = grpCols.mkString(", ")
+    val aKeys = grpCols.map(g => s"a.$g").mkString(", ")
+    val onKeys = grpCols.map(g => s"a.$g = b.$g").mkString(" AND ")
+    s"""WITH src AS (
+       |  SELECT $keys, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+       |  FROM ($innerSql) WHERE x IS NOT NULL AND y IS NOT NULL
+       |), cells AS (
+       |  SELECT $keys, x, y, CAST(count(*) AS BIGINT) AS c
+       |  FROM src GROUP BY ALL
+       |), t1 AS (
+       |  SELECT $keys, sum(CAST(m AS HUGEINT) * (m - 1) / 2) AS n1
+       |  FROM (SELECT $keys, x, CAST(sum(c) AS BIGINT) AS m
+       |        FROM cells GROUP BY ALL) GROUP BY ALL
+       |), t2 AS (
+       |  SELECT $keys, sum(CAST(m AS HUGEINT) * (m - 1) / 2) AS n2
+       |  FROM (SELECT $keys, y, CAST(sum(c) AS BIGINT) AS m
+       |        FROM cells GROUP BY ALL) GROUP BY ALL
+       |), cd AS (
+       |  SELECT $aKeys,
+       |    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+       |        ELSE 0 END) AS conc,
+       |    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+       |        ELSE 0 END) AS disc
+       |  FROM cells a JOIN cells b ON $onKeys AND a.x < b.x
+       |  GROUP BY ALL
+       |), tot AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(*) AS HUGEINT)
+       |           * (count(*) - 1) / 2 AS n0
+       |  FROM src GROUP BY ALL
+       |), nc AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n_cells
+       |  FROM cells GROUP BY ALL
+       |)
+       |SELECT $keys, n, n_cells,
+       |       CAST(coalesce(conc, 0) AS DOUBLE) AS conc,
+       |       CAST(coalesce(disc, 0) AS DOUBLE) AS disc,
+       |       CASE WHEN CAST(n0 - n1 AS DOUBLE)
+       |                 * CAST(n0 - n2 AS DOUBLE) > 0.0
+       |            THEN (CAST(coalesce(conc, 0) AS DOUBLE)
+       |                  - CAST(coalesce(disc, 0) AS DOUBLE))
+       |                 / sqrt(CAST(n0 - n1 AS DOUBLE)
+       |                        * CAST(n0 - n2 AS DOUBLE))
+       |       END AS tau_b
+       |FROM tot
+       |JOIN nc USING ($keys) JOIN t1 USING ($keys) JOIN t2 USING ($keys)
+       |LEFT JOIN cd USING ($keys)""".stripMargin
+  }
+
   /** DuckDB oracle for [[spearman]]: `innerSql` yields
     * (grpCols..., x, y). */
   def spearmanOracleSql(innerSql: String, grpCols: Seq[String]): String = {

@@ -60,6 +60,71 @@ object Privacy {
 
   /** DuckDB oracle for [[randomizedResponseCounts]]: `table` must
     * expose the key columns plus `bitSql` (0/1) and `idSql`. */
+  /** k-ANONYMITY GENERALIZATION — the enforcing transform next to the
+    * q122 audit: coarsen a numeric quasi-identifier up a fixed band
+    * ladder (band = value div (base·2^g), g = 0..maxG) until EVERY
+    * (categorical, band) group reaches size ≥ k; groups still below k
+    * at the coarsest level are SUPPRESSED (flagged — the standard
+    * generalize-then-suppress recipe). The ladder is evaluated in ONE
+    * pass: a bounded (maxG+1)-way explode per row, one (g, cat, band)
+    * count, one per-g min, and the chosen level is a 1-row frame joined
+    * back — fully relational, no driver branch.
+    *
+    * @return one row per input row: (idCol, catCol, band, g, group_n,
+    *         suppressed) at the chosen level */
+  def generalizeToK(df: DataFrame, idCol: String, catCol: String,
+      value: Column, k: Long, base: Long = 100L,
+      maxG: Int = 6): DataFrame = {
+    require(k >= 1 && base >= 1 && maxG >= 0 && maxG <= 20)
+    val W = org.apache.spark.sql.expressions.Window
+    val leveled = df
+      .select(col(idCol), col(catCol), value.cast("long").as("__v"))
+      .select(col(idCol), col(catCol), col("__v"),
+        explode(sequence(lit(0), lit(maxG))).as("g"))
+      .withColumn("band", expr(s"__v div ($base * shiftleft(1L, g))"))
+    val counts = leveled.groupBy(col("g"), col(catCol), col("band"))
+      .agg(count(lit(1)).as("group_n"))
+    val chosen = counts.groupBy(col("g"))
+      .agg(min(col("group_n")).as("__mn"))
+      .agg(coalesce(min(when(col("__mn") >= k, col("g"))), lit(maxG))
+        .as("__gc"))
+    leveled
+      .join(broadcast(chosen), col("g") === col("__gc"))
+      .join(counts, Seq("g", catCol, "band"))
+      .select(col(idCol), col(catCol), col("band"), col("g").cast("long")
+        .as("g"), col("group_n"), (col("group_n") < k).as("suppressed"))
+  }
+
+  /** DuckDB oracle for [[generalizeToK]] — identical ladder, counts,
+    * level choice, and suppression flags. `innerSql` yields
+    * (id, cat, v BIGINT). */
+  def generalizeToKOracleSql(innerSql: String, idName: String,
+      catName: String, k: Long, base: Long = 100L,
+      maxG: Int = 6): String =
+    s"""WITH src AS ($innerSql), lv AS (
+       |  SELECT $idName, $catName, v,
+       |         unnest(generate_series(0, $maxG)) AS g
+       |  FROM src
+       |), bands AS (
+       |  SELECT $idName, $catName, g, v // ($base * (1 << g)) AS band
+       |  FROM lv
+       |), counts AS (
+       |  SELECT g, $catName, band, CAST(count(*) AS BIGINT) AS group_n
+       |  FROM bands GROUP BY 1, 2, 3
+       |), mins AS (
+       |  SELECT g, min(group_n) AS mn FROM counts GROUP BY 1
+       |), chosen AS (
+       |  SELECT CAST(coalesce(min(CASE WHEN mn >= $k THEN g END), $maxG)
+       |           AS BIGINT) AS gc
+       |  FROM mins
+       |)
+       |SELECT b.$idName, b.$catName, b.band, CAST(b.g AS BIGINT) AS g,
+       |       c.group_n, c.group_n < $k AS suppressed
+       |FROM bands b
+       |JOIN chosen ON b.g = chosen.gc
+       |JOIN counts c ON c.g = b.g AND c.$catName = b.$catName
+       |             AND c.band = b.band""".stripMargin
+
   def randomizedResponseOracleSql(table: String, keyCols: Seq[String],
       bitSql: String, idSql: String, pNum: Long, pDen: Long,
       salt: String): String = {

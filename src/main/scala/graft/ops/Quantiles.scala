@@ -184,10 +184,15 @@ object Quantiles {
     * @return one row per requested quantile: (q_num, q_den, rank,
     *         est_lo, est_hi) */
   def logBucketQuantiles(df: DataFrame, v: Column, ps: Seq[(Int, Int)],
-      j: Int = 6): DataFrame = {
+      j: Int = 6): DataFrame =
+    logBucketAnswer(logBucketHist(df, v, j), ps, j)
+
+  /** The sketch STATE of [[logBucketQuantiles]]: the (bucket, count)
+    * histogram — bounded (≤ 64·2^j + 2 rows), exactly mergeable by
+    * summing counts per bucket, which is what the streaming face
+    * ([[graft.streaming.Streams]]) persists between epochs. */
+  def logBucketHist(df: DataFrame, v: Column, j: Int): DataFrame = {
     require(j >= 1 && j <= 16)
-    require(ps.nonEmpty && ps.forall { case (n, d) => n >= 1 && n <= d })
-    val W = org.apache.spark.sql.expressions.Window
     val twoJ = 1L << j
     // e = bit-length − 1; m = the top j+1 bits (leading 1 included);
     // small values (v < 2^(j+1)) are their own exact buckets — the
@@ -198,14 +203,27 @@ object Quantiles {
          |ELSE shiftright(__v, CAST(length(bin(__v)) - 1 - $j AS INT))
          |     + CAST(length(bin(__v)) - 1 - $j AS LONG) * $twoJ
          |END""".stripMargin)
-    val hist = df.select(v.cast("long").as("__v"))
+    df.select(v.cast("long").as("__v"))
       .select(bucket.as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+  }
+
+  /** Merge two [[logBucketHist]] states — exact (counts add). */
+  def mergeLogBucketHists(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy(col("__b")).agg(sum(col("__n")).as("__n"))
+
+  /** Rank answers from a [[logBucketHist]] state frame. */
+  def logBucketAnswer(hist: DataFrame, ps: Seq[(Int, Int)], j: Int)
+      : DataFrame = {
+    require(j >= 1 && j <= 16)
+    require(ps.nonEmpty && ps.forall { case (n, d) => n >= 1 && n <= d })
+    val W = org.apache.spark.sql.expressions.Window
+    val twoJ = 1L << j
     val cum = hist.withColumn("__c",
       sum(col("__n")).over(W.orderBy(col("__b"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)))
     val tot = hist.agg(sum(col("__n")).as("__tot"))
-    val spark = df.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
     val qs = ps.toDF("q_num", "q_den")
     val ranked = qs.crossJoin(broadcast(tot))

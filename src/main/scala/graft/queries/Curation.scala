@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.NearDup
 import graft.functions.Hash64
+import graft.ops.Features
 import graft.text.TextAnalysis
 
 /** Corpus-curation family over the `documents` table: mixture planning
@@ -22,6 +23,12 @@ object Curation extends QueryModule {
   private val corpusRates = Map("en" -> 0.8, "zh" -> 1.0)
 
   private val corpusDefaultRate = 0.5
+
+  /** q379's banned-phrase list: harness-vocabulary phrases that DO
+    * occur (so both verdicts appear) plus one that cannot. */
+  private val blockPhrases = Seq("table scan merge", "join order",
+    "batch batch batch", "slow query", "data line",
+    "purple elephant parade")
 
   private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
@@ -608,6 +615,54 @@ object Curation extends QueryModule {
       graft.text.Gopher.ruleGates(Tables(s, dir).documents,
         "doc_id", "text", minTokens = 10L)),
 
+    // Multi-token phrase blocklist: exact token-boundary matching of a
+    // banned-phrase list (lengths 2 and 3 here) via per-length L-gram
+    // windows + a broadcast phrase join — the curation gate form;
+    // zero-hit docs pass through in the report.
+    "q379_blocklist" -> ((s, dir) =>
+      graft.text.Blocklist.phraseHits(Tables(s, dir).documents,
+        "doc_id", "text", blockPhrases)),
+
+    // Borda rank fusion of three incomparable-scale quality signals
+    // (token count ↑, hashed-linear score ↑, 5-gram repetition ↓) into
+    // one exact integer ensemble score — doubled tie-averaged ranks,
+    // no normalization constants, no float weights.
+    "q381_quality_fusion" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val qm = graft.text.QualityModel.score(d, "doc_id", "text",
+          Text.qmWeights, Text.qmD, Text.qmSalt)
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("m_len"),
+          col("raw").cast("long").as("m_linear"))
+      val rep = graft.text.Gopher
+        .dupNgramCoverage(d, "doc_id", "text", ns = Seq(5))
+        .select(col("doc_id"), col("frac_micro").as("m_rep"))
+      Features.bordaFusion(qm.join(rep, "doc_id"), "doc_id",
+        Seq(("m_len", true), ("m_linear", true), ("m_rep", false)))
+    }),
+
+    // Unicode script-mix profile over corpus + multilingual fixture:
+    // per-doc letter mass by script, fixed-order dominant script, and
+    // the >=2-scripts-at-5% mixed flag (homoglyph/code-switch signal) —
+    // one regex-count projection, zero shuffles, BMP contract.
+    "q380_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Scripts.scriptMix(
+        Tables(s, dir).documents.select(col("doc_id"), col("text"))
+          .unionByName(TextDedup.multilingualPlanted
+            .toDF("doc_id", "text")),
+        "doc_id", "text")
+    }),
+
+    // Gopher REPETITION rules: per doc, chars covered by duplicated
+    // n-grams (n=5,10) as merged positional intervals over the
+    // normalized token stream — the coverage half of the Gopher filter
+    // next to q364's hard thresholds and q54's count ratios; ladder
+    // gate (20−n)/100 by integer cross-multiplication.
+    "q377_gopher_repetition" -> ((s, dir) =>
+      graft.text.Gopher.dupNgramCoverage(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // T5-style span corruption: aligned 3-token spans masked by a
     // reproducible keyed hash (1-in-5), emitted as (input with
     // <extra_id_N> sentinels, target with the hidden spans) — the
@@ -1096,6 +1151,33 @@ object Curation extends QueryModule {
 
     "q364_gopher_rules" -> graft.text.Gopher.ruleGatesOracleSql(
       "documents", "doc_id", Text.toksSql, minTokens = 10L),
+
+    "q377_gopher_repetition" -> graft.text.Gopher.dupNgramCoverageOracleSql(
+      "documents", "doc_id", Text.toksSql),
+
+    "q379_blocklist" -> graft.text.Blocklist.phraseHitsOracleSql(
+      "documents", "doc_id", Text.toksSql, blockPhrases),
+
+    "q381_quality_fusion" -> Features.bordaFusionOracleSql(
+      s"""SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS m_len,
+         |       CAST(q.raw AS BIGINT) AS m_linear,
+         |       r.frac_micro AS m_rep
+         |FROM (${graft.text.QualityModel.scoreOracleSql(
+            s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents",
+            Text.qmWeights, Text.qmD, Text.qmSalt)}) q
+         |JOIN (${graft.text.Gopher.dupNgramCoverageOracleSql(
+            "documents", "doc_id", Text.toksSql, ns = Seq(5))}) r
+         |  ON q.doc_id = r.doc_id""".stripMargin,
+      "doc_id",
+      Seq(("m_len", true), ("m_linear", true), ("m_rep", false))),
+
+    "q380_script_mix" -> graft.text.Scripts.scriptMixOracleSql(
+      s"""(SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT * FROM (VALUES
+         |  ${TextDedup.multilingualPlantedValuesSql}) v(doc_id, text)) u
+         |""".stripMargin,
+      "doc_id"),
 
     "q365_span_corrupt" -> graft.ops.Packing.spanCorruptOracleSql(
       s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents"),

@@ -342,6 +342,21 @@ object Experiments extends QueryModule {
       Features.spearman(Analytics.eventsEnriched(Tables(s, dir)),
         Seq("event_type"), x = col("value_cents"), y = col("k"))),
 
+    // Kendall τ-b per event type over (value decile, k): the
+    // pair-concordance companion to q279's Spearman — C/D masses from
+    // the joint decile×k histogram cell join (bounded cells, never a
+    // row pair join), tie masses from the marginals, DECIMAL(38,0)
+    // products. Deciles via the q84 integer histogram cuts.
+    "q378_kendall_tau" -> ((s, dir) => {
+      val ev = Analytics.eventsEnriched(Tables(s, dir))
+        .select(col("event_type"), col("value_cents"), col("k"))
+      val binned = Quantiles.binByCuts(ev, col("value_cents"),
+        Quantiles.histogramCuts(ev, col("value_cents"),
+          (1 to 9).map(i => (i, 10))))
+      Features.kendallTauB(binned, Seq("event_type"),
+        x = col("bin"), y = col("k"))
+    }),
+
 
     // Event study: weekly treated-vs-control gap normalized to the
     // week −1 gap — flat pre-period bars are the parallel-trends check
@@ -726,6 +741,39 @@ object Experiments extends QueryModule {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
         |FROM events""".stripMargin,
       Seq("event_type")),
+
+    // q84's integer-rational decile cuts feed x; the τ-b machinery is
+    // shared with the Spark side through kendallTauBOracleSql.
+    "q378_kendall_tau" -> {
+      val cuts = (1 to 9).map(i =>
+        s"min(CASE WHEN cum * 10 >= n * $i THEN val END) AS c${i * 10}")
+        .mkString(",\n        |           ")
+      val binSum = (1 to 9).map(i =>
+        s"(CASE WHEN cents > c${i * 10} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      Features.kendallTauBOracleSql(
+        s"""WITH c AS (
+          |  SELECT event_type,
+          |         CAST(round(value * 100) AS BIGINT) AS cents,
+          |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+          |  FROM events
+          |), h AS (
+          |  SELECT cents AS val, count(*) AS kk FROM c
+          |  WHERE cents IS NOT NULL GROUP BY 1
+          |), m AS (
+          |  SELECT val, CAST(sum(kk) OVER (ORDER BY val) AS BIGINT) AS cum
+          |  FROM h
+          |), t AS (SELECT CAST(sum(kk) AS BIGINT) AS n FROM h),
+          |q AS (
+          |  SELECT $cuts
+          |  FROM m, t)
+          |SELECT event_type,
+          |       CAST(CASE WHEN cents IS NULL THEN NULL
+          |                 ELSE $binSum END AS BIGINT) AS x,
+          |       k AS y
+          |FROM c, q""".stripMargin,
+        Seq("event_type"))
+    },
 
 
     "q277_event_study" -> ABTest.eventStudyOracleSql(

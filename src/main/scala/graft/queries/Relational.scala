@@ -288,6 +288,16 @@ object Relational extends QueryModule {
       graft.ops.Profiling.kAnonymityViolations(Tables(s, dir).customer,
         Seq("c_nationkey", "c_mktsegment"), k = 5)),
 
+    // k-anonymity GENERALIZATION: q122's audit turned into the
+    // enforcing transform — account-balance bands coarsen up a fixed
+    // 2^g ladder until every (segment, band) group holds >= 5 rows,
+    // residual small groups suppressed; fully relational level choice.
+    "q376_k_generalize" -> ((s, dir) =>
+      graft.ops.Privacy.generalizeToK(Tables(s, dir).customer,
+        "c_custkey", "c_mktsegment",
+        expr("CAST(round(c_acctbal * 100) AS LONG)"), k = 5L,
+        base = 10000L)),
+
     // Randomized-response LDP release (Warner): per market segment, the
     // perturbed count of high-balance customers (truth prob 3/4 →
     // ε ≈ 1.1) plus the integer-exact debiased estimate — the RELEASE
@@ -1024,6 +1034,12 @@ object Relational extends QueryModule {
 
     "q57_profile" ->
       graft.ops.Profiling.profileOracleSql("events", profileCols),
+
+    "q376_k_generalize" -> graft.ops.Privacy.generalizeToKOracleSql(
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |FROM customer""".stripMargin,
+      "c_custkey", "c_mktsegment", k = 5L, base = 10000L),
 
     "q122_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n

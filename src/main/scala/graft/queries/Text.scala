@@ -116,9 +116,9 @@ object Text extends QueryModule {
     * stopwords weigh +3 (via their hash buckets), everything else −1,
     * so natural English scores above token salad. ONE weight vector,
     * built driver-side with the same hash both engines evaluate. */
-  private val (qmD, qmSalt) = (64, "qm")
+  private[queries] val (qmD, qmSalt) = (64, "qm")
 
-  private val qmWeights = graft.text.QualityModel.weightsFrom(qmD, qmSalt,
+  private[queries] val qmWeights = graft.text.QualityModel.weightsFrom(qmD, qmSalt,
     TextAnalysis.stopEn.map(_ -> 3L).toMap, default = -1L)
 
   /** q113/q114: the corpus has no URL column, so the queries WRAP each

@@ -709,6 +709,56 @@ object Streams {
     spark.read.parquet(dirs.last._2.toString)
   }
 
+  /** STREAMING log-bucket quantile sketch — the q367 sketch's streaming
+    * face, by construction EXACTLY the batch answer on the union of all
+    * epochs: the per-epoch (bucket, count) histogram
+    * ([[graft.ops.Quantiles.logBucketHist]], bounded ≤ 64·2^j + 2 rows)
+    * merges into the previous epoch-snapshot by integer count addition
+    * ([[graft.ops.Quantiles.mergeLogBucketHists]]) — nothing here
+    * approximates beyond what the batch sketch already concedes, and
+    * the state NEVER grows with the stream (the same two-snapshot
+    * retention as [[incrementalRollupSink]]). Read quantiles at any
+    * moment with [[latestLogBucketQuantiles]]. */
+  def logBucketQuantileSink(stream: DataFrame, vCol: String, j: Int,
+      stateDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delta = graft.ops.Quantiles.logBucketHist(batch, col(vCol), j)
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
+          val merged = prev match {
+            case Some((_, dir)) => graft.ops.Quantiles.mergeLogBucketHists(
+              spark.read.parquet(dir.toString), delta)
+            case None => delta
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$stateDir/epoch=$epochId")
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Quantile readout over [[logBucketQuantileSink]]'s newest state. */
+  def latestLogBucketQuantiles(spark: SparkSession, stateDir: String,
+      ps: Seq[(Int, Int)], j: Int): DataFrame = {
+    val dirs = epochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    graft.ops.Quantiles.logBucketAnswer(
+      spark.read.parquet(dirs.last._2.toString), ps, j)
+  }
+
   /** X3 TTL dedup on Spark 4's `transformWithState` — the arbitrary-state
     * API that supersedes `flatMapGroupsWithState` (same semantics as
     * [[ttlDedupWithState]], kept side-by-side as the migration pair).

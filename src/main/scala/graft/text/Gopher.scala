@@ -57,6 +57,149 @@ object Gopher {
           col("r_stop") && col("r_punct"))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021 §A1.1, the other half of
+    * [[ruleGates]]): per document and n-gram order n, the fraction of
+    * CHARACTERS covered by duplicated n-grams — positional coverage
+    * (union of overlapping [start, end) spans, merged), not the count
+    * ratio q54 reports. Char space is the normalized token stream
+    * (tokens joined by single spaces — the q353 convention), so the
+    * verdict is tokenizer-stable. Gates use the paper's ladder
+    * threshold (20−n)/100 (n=5 → 0.15 … n=10 → 0.10) decided by
+    * integer cross-multiplication: `100·covered ≤ (20−n)·n_chars`.
+    *
+    * Plan: ONE token posexplode reused across every n; per n, grams
+    * and their [s, e) spans come from a bounded n-row window frame
+    * (no self-join), within-doc duplication from a count over
+    * (doc, gram), and coverage from the classic islands merge (running
+    * max-end window). Spans start strictly increasing in token index,
+    * so the islands order is total — both engines merge identically.
+    * All shuffles are doc-keyed; nothing leaves its document.
+    *
+    * @return (idCol, n, n_chars, covered_chars, frac_micro, pass) —
+    *         one row per doc per n; docs shorter than n tokens (or
+    *         empty) report covered 0 and pass */
+  def dupNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(5, 10)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 2 && n <= 19))
+    val W = org.apache.spark.sql.expressions.Window
+    val src = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val tot = src.select(col(idCol),
+      length(concat_ws(" ", col("__toks"))).cast("long").as("n_chars"))
+    val tok = src
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("i", "tok")))
+      .withColumn("s", coalesce(
+        sum(length(col("tok")).cast("long") + 1L)
+          .over(W.partitionBy(col(idCol)).orderBy(col("i"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val perN = ns.map { n =>
+      val wf = W.partitionBy(col(idCol)).orderBy(col("i"))
+        .rowsBetween(0, n - 1)
+      val grams = tok.select(col(idCol), col("s"),
+          concat_ws(" ", collect_list(col("tok")).over(wf)).as("gram"),
+          count(lit(1)).over(wf).as("__k"),
+          max(col("s") + length(col("tok")).cast("long")).over(wf)
+            .as("e"))
+        .where(col("__k") === n)
+      val dup = grams
+        .withColumn("__c", count(lit(1))
+          .over(W.partitionBy(col(idCol), col("gram"))))
+        .where(col("__c") >= 2L)
+        .select(col(idCol), col("s"), col("e"))
+      val islands = dup
+        .withColumn("__brk", when(col("s") > coalesce(
+          max(col("e")).over(W.partitionBy(col(idCol)).orderBy(col("s"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(-1L)),
+          1L).otherwise(0L))
+        .withColumn("__g", sum(col("__brk"))
+          .over(W.partitionBy(col(idCol)).orderBy(col("s"))
+            .rowsBetween(W.unboundedPreceding, 0)))
+      val covered = islands.groupBy(col(idCol), col("__g"))
+        .agg((max(col("e")) - min(col("s"))).as("__cov"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__cov")).as("covered_chars"))
+      tot.join(covered, Seq(idCol), "left")
+        .select(col(idCol), lit(n.toLong).as("n"), col("n_chars"),
+          coalesce(col("covered_chars"), lit(0L)).as("covered_chars"))
+    }
+    perN.reduce(_ unionAll _)
+      .withColumn("frac_micro", when(col("n_chars") > 0L,
+        expr("covered_chars * 1000000 div n_chars"))
+        .otherwise(0L).cast("long"))
+      .withColumn("pass",
+        lit(100L) * col("covered_chars") <=
+          (lit(20L) - col("n")) * col("n_chars"))
+  }
+
+  /** DuckDB oracle for [[dupNgramCoverage]] — identical token stream,
+    * spans, dup test, islands merge, and cross-multiplied gate. */
+  def dupNgramCoverageOracleSql(table: String, idName: String,
+      toksSql: String, ns: Seq[Int] = Seq(5, 10)): String = {
+    val blocks = ns.map { n =>
+      s"""SELECT t.$idName, CAST($n AS BIGINT) AS n, t.n_chars,
+         |       coalesce(c.covered_chars, 0) AS covered_chars
+         |FROM tot t LEFT JOIN (
+         |  WITH grams AS (
+         |    SELECT $idName, s,
+         |           string_agg(tok, ' ') OVER w AS gram,
+         |           count(*) OVER w AS k,
+         |           max(s + length(tok)) OVER w AS e
+         |    FROM off
+         |    WINDOW w AS (PARTITION BY $idName ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND ${n - 1} FOLLOWING)
+         |  ), dup AS (
+         |    SELECT $idName, s, e FROM (
+         |      SELECT *, count(*) OVER (PARTITION BY $idName, gram) AS c
+         |      FROM grams WHERE k = $n)
+         |    WHERE c >= 2
+         |  ), isl AS (
+         |    SELECT $idName, s, e,
+         |           CASE WHEN s > coalesce(max(e) OVER (
+         |             PARTITION BY $idName ORDER BY s
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |             -1) THEN 1 ELSE 0 END AS brk
+         |    FROM dup
+         |  ), grp AS (
+         |    SELECT $idName, s, e, sum(brk) OVER (
+         |      PARTITION BY $idName ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |    FROM isl
+         |  )
+         |  SELECT $idName, CAST(sum(cov) AS BIGINT) AS covered_chars
+         |  FROM (SELECT $idName, g, max(e) - min(s) AS cov
+         |        FROM grp GROUP BY 1, 2)
+         |  GROUP BY 1
+         |) c ON t.$idName = c.$idName""".stripMargin
+    }
+    s"""WITH src AS (SELECT $idName, $toksSql AS toks FROM $table),
+       |tot AS (
+       |  SELECT $idName,
+       |         CAST(length(array_to_string(toks, ' ')) AS BIGINT)
+       |           AS n_chars
+       |  FROM src
+       |), tok AS (
+       |  SELECT $idName, CAST(pr[2] AS BIGINT) AS i,
+       |         CAST(pr[1] AS VARCHAR) AS tok
+       |  FROM (SELECT $idName,
+       |          unnest(list_zip(toks, range(0, len(toks)))) AS pr
+       |        FROM src)
+       |  WHERE pr[1] IS NOT NULL
+       |), off AS (
+       |  SELECT $idName, i, tok,
+       |         CAST(coalesce(sum(length(tok) + 1) OVER (
+       |           PARTITION BY $idName ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS s
+       |  FROM tok
+       |)
+       |SELECT $idName, n, n_chars, covered_chars,
+       |       CASE WHEN n_chars > 0
+       |            THEN covered_chars * 1000000 // n_chars
+       |            ELSE 0 END AS frac_micro,
+       |       100 * covered_chars <= (20 - n) * n_chars AS pass
+       |FROM (${blocks.mkString("\nUNION ALL\n")})""".stripMargin
+  }
+
   /** DuckDB oracle for [[ruleGates]] — identical counts and
     * cross-multiplied verdicts. `toksSql` mirrors
     * [[TextAnalysis.tokens]]. */

@@ -1839,6 +1839,46 @@ class OpsSpec extends SparkSuite {
     assert(out("tie") > 0.5 && out("tie") < 1.0) // x-ties damp rho
   }
 
+  test("kendallTauB: textbook permutation, tie-corrected denominator, " +
+      "and the constant-margin NULL — all hand-derived") {
+    import spark.implicits._
+    // g=perm: x 1..5, y (2,1,4,3,5): 10 pairs, D counts the two
+    //   adjacent swaps -> C=8, D=2, tau = 0.6 (no ties).
+    // g=ties: x (1,1,2), y (1,2,2): cross-x pairs are (1,1)-(2,2)
+    //   concordant and (1,2)-(2,2) tied-y -> C=1, D=0; n0=3, n1=1
+    //   (the x=1 pair), n2=1 (the y=2 pair) -> tau = 1/sqrt(2*2) = 0.5.
+    // g=flat: constant x -> denominator 0 -> tau NULL.
+    val rows = Seq(("perm", 1L, 2L), ("perm", 2L, 1L), ("perm", 3L, 4L),
+      ("perm", 4L, 3L), ("perm", 5L, 5L),
+      ("ties", 1L, 1L), ("ties", 1L, 2L), ("ties", 2L, 2L),
+      ("flat", 7L, 1L), ("flat", 7L, 2L))
+    val out = Features.kendallTauB(rows.toDF("g", "x", "y"), Seq("g"),
+        col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5)))).toMap
+    assert(out("perm") == ((5L, 5L, 8.0, 2.0, 0.6)))
+    assert(out("ties") == ((3L, 3L, 1.0, 0.0, 0.5)))
+    assert(out("flat")._5 == null)
+  }
+
+  test("bordaFusion: doubled tie-averaged ranks, direction-normalized, " +
+      "sum exactly — hand-derived") {
+    import spark.implicits._
+    // m_a (higher better) asc histogram: 5->2, 10->4, 20(x2)->7
+    // m_b (lower better) desc histogram: 9->2, 7(x2)->5, 3->8
+    val rows = Seq((1L, 10L, 7L), (2L, 20L, 3L), (3L, 20L, 9L),
+      (4L, 5L, 7L))
+    val out = Features.bordaFusion(rows.toDF("id", "m_a", "m_b"), "id",
+        Seq(("m_a", true), ("m_b", false)))
+      .select("id", "r2_m_a", "r2_m_b", "borda2")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 5L, 9L)), 2L -> ((7L, 8L, 15L)),
+      3L -> ((7L, 2L, 9L)), 4L -> ((2L, 5L, 7L))))
+  }
+
   test("conformalAudit: zero-residual calibration gives zero width, " +
       "coverage counts the held-out outlier") {
     import spark.implicits._

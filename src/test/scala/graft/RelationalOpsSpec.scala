@@ -736,4 +736,32 @@ class RelationalOpsSpec extends SparkSuite {
       .collect().head.getDouble(3)
     assert(math.abs(est - 400.0) < 100.0, s"est $est far from 400")
   }
+
+  test("generalizeToK: picks the MINIMAL ladder level where every group " +
+      "reaches k, and suppresses residual small groups at maxG") {
+    import spark.implicits._
+    import graft.ops.Privacy
+    // hand ladder, base=10, k=2, values 5,15,17,25 in one category:
+    //   g=0 (div 10): bands 0,1,1,2 -> group sizes 1,2,1 -> min 1 < k
+    //   g=1 (div 20): bands 0,0,0,1 -> sizes 3,1        -> min 1 < k
+    //   g=2 (div 40): bands 0,0,0,0 -> size 4           -> min 4 >= k
+    // so the chosen level must be g=2 even though maxG=3 also qualifies.
+    val a = Seq((1L, "a", 5L), (2L, "a", 15L), (3L, "a", 17L),
+      (4L, "a", 25L)).toDF("id", "cat", "v")
+    val out = Privacy.generalizeToK(a, "id", "cat", col("v"), k = 2L,
+        base = 10L, maxG = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(out == (1L to 4L).map(i => (i, "a", 0L, 2L, 4L, false)).toSet)
+    // add a lone row in category b: no level ever reaches k for it, so
+    // the coalesce falls back to maxG=2 and ONLY b is suppressed
+    // (b's band at g=2: 100 div 40 = 2).
+    val withB = a.union(Seq((5L, "b", 100L)).toDF("id", "cat", "v"))
+    val out2 = Privacy.generalizeToK(withB, "id", "cat", col("v"), k = 2L,
+        base = 10L, maxG = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(out2 == (1L to 4L).map(i => (i, "a", 0L, 2L, 4L, false)).toSet
+      + ((5L, "b", 2L, 2L, 1L, true)))
+  }
 }

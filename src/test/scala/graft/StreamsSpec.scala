@@ -393,6 +393,40 @@ class StreamsSpec extends SparkSuite {
     assert(epochs.length <= 2, epochs.mkString(", "))
   }
 
+  test("streaming log-bucket quantiles: two-epoch merged sketch answers " +
+      "exactly as the batch sketch on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Long]
+    val ev = mem.toDF().toDF("v")
+    val (stateDir, ckp) = (tmp("lbq-state"), tmp("lbq-ckp"))
+    val ps = Seq((1, 2), (9, 10), (99, 100))
+
+    def run(): Unit = {
+      val q = Streams.logBucketQuantileSink(ev, "v", j = 6,
+        stateDir, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    val batch1 = (1L to 400L).map(i => i * 7L % 1000L)
+    val batch2 = (1L to 300L).map(i => i * i % 5000L)
+    mem.addData(batch1: _*)
+    run()
+    mem.addData(batch2: _*)
+    run()
+    val streamed = Streams.latestLogBucketQuantiles(spark, stateDir, ps, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = graft.ops.Quantiles.logBucketQuantiles(
+        (batch1 ++ batch2).toDF("v"), col("v"), ps, j = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed == batch && streamed.size == 3)
+    // storage bounded: at most the current + previous snapshot survive
+    val epochs = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName)
+    assert(epochs.length <= 2, epochs.mkString(", "))
+  }
+
   test("incremental corpus dedup: batch two drops fingerprints that landed in batch one") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1748,4 +1748,67 @@ class TextOpsSpec extends SparkSuite {
       (1L, 1L, 4L, 2L, 2L, "b"),
       (1L, 2L, 3L, 1L, 3L, "a")))
   }
+
+  test("dupNgramCoverage: merged positional intervals, disjoint islands, " +
+      "and the short-doc edge — all hand-derived at n=2") {
+    import graft.text.Gopher
+    // doc 1: "a b a b a c" -> stream chars a:0 b:2 a:4 b:6 a:8 c:10,
+    //   n_chars=11; dup 2-grams "a b"(x2) "b a"(x2) cover
+    //   [0,3)+[2,5)+[4,7)+[6,9) -> one island [0,9) -> covered 9;
+    //   gate at n=2: 100*9 <= 18*11 is FALSE.
+    // doc 2: "a b c a b d a b" -> "ab" x3 at [0,3),[6,9),[12,15):
+    //   three DISJOINT islands -> covered 9 of n_chars 15; gate FALSE
+    //   (900 <= 270 is false).
+    // doc 3: "x y z" -> no dup grams -> covered 0, pass TRUE.
+    // doc 4: "q" -> shorter than n -> no grams at all -> covered 0.
+    val docs = Seq((1L, "a b a b a c"), (2L, "a b c a b d a b"),
+      (3L, "x y z"), (4L, "q")).toDF("doc_id", "text")
+    val out = Gopher.dupNgramCoverage(docs, "doc_id", "text", ns = Seq(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(out == Set(
+      (1L, 2L, 11L, 9L, 9000000L / 11L, false),
+      (2L, 2L, 15L, 9L, 9000000L / 15L, false),
+      (3L, 2L, 5L, 0L, 0L, true),
+      (4L, 2L, 1L, 0L, 0L, true)))
+  }
+
+  test("blocklist phraseHits: token-boundary multi-length matching " +
+      "counts every occurrence; zero-hit docs pass through") {
+    import graft.text.Blocklist
+    // doc 1 tokens: the table scan merge runs a table scan merge
+    //   ("Table-Scan" normalizes to two tokens) — "table scan merge"
+    //   hits at i=1 and i=6, "scan merge" at i=2 and i=7 -> 4 hits of
+    //   2 distinct phrases. doc 2 hits nothing. "scanmerge" (no
+    //   boundary) must NOT match "scan merge".
+    val docs = Seq((1L, "the table scan merge runs a Table-Scan merge"),
+      (2L, "nothing to see here scanmerge")).toDF("doc_id", "text")
+    val out = Blocklist.phraseHits(docs, "doc_id", "text",
+        Seq("table scan merge", "scan merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(out == Set((1L, 4L, 2L, true), (2L, 0L, 0L, false)))
+  }
+
+  test("scriptMix: per-script letter mass, fixed-order dominance ties, " +
+      "5% presence cross-multiplication — hand-derived") {
+    import graft.text.Scripts
+    val docs = Seq(
+      (1L, "Привет world"), // cyr 6 > lat 5, both >= 5% -> mixed
+      (2L, "hello 123"),    // latin only; digits are not letters
+      (3L, "123 !!!"),      // letterless -> dominant NULL
+      (4L, "abcабв"),       // 3-3 tie -> latin wins by fixed order
+      (5L, "日本語カナ")      // han 3 / kana 2 -> mixed
+    ).toDF("doc_id", "text")
+    val out = Scripts.scriptMix(docs, "doc_id", "text")
+      .select("doc_id", "letters", "dominant", "n_scripts", "mixed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getString(2),
+          r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((11L, "cyrillic", 2L, true)))
+    assert(out(2L) == ((5L, "latin", 1L, false)))
+    assert(out(3L) == ((0L, null, 0L, false)))
+    assert(out(4L) == ((6L, "latin", 2L, true)))
+    assert(out(5L) == ((5L, "han", 2L, true)))
+  }
 }
