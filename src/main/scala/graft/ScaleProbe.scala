@@ -63,6 +63,32 @@ object ScaleProbe {
           hash = functions.Hash64.fast60)
         dedup.NearDup.simhashPairs(sigs, "doc_id", maxHamming = 8).count()
       }
+      // round-8 wave-5 families: all doc-keyed (windows / broadcast
+      // joins / per-doc regex counts) — expected linear-or-better
+      time(s"gopher_rep_x$m") {
+        text.Gopher.dupNgramCoverage(docs, "doc_id", "text").count()
+      }
+      time(s"blocklist_x$m") {
+        text.Blocklist.phraseHits(docs, "doc_id", "text",
+          Seq("table scan merge", "join order", "batch batch batch",
+            "slow query", "data line")).count()
+      }
+      time(s"script_mix_x$m") {
+        text.Scripts.scriptMix(docs, "doc_id", "text").count()
+      }
+      time(s"quality_fusion_x$m") {
+        val qm = text.QualityModel.score(docs, "doc_id", "text",
+          text.QualityModel.weightsFrom(64, "qm",
+            text.TextAnalysis.stopEn.map(_ -> 3L).toMap, default = -1L),
+          64, "qm")
+          .select(col("doc_id"), col("n_tokens").cast("long").as("m_len"),
+            col("raw").cast("long").as("m_linear"))
+        val rep = text.Gopher.dupNgramCoverage(docs, "doc_id", "text",
+          ns = Seq(5)).select(col("doc_id"), col("frac_micro").as("m_rep"))
+        ops.Features.bordaFusion(qm.join(rep, "doc_id"), "doc_id",
+          Seq(("m_len", true), ("m_linear", true), ("m_rep", false)))
+          .count()
+      }
       docs.unpersist()
 
       val emb = replicate(

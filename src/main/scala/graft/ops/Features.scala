@@ -317,8 +317,16 @@ object Features {
       metrics: Seq[(String, Boolean)]): DataFrame = {
     require(metrics.nonEmpty)
     val W = org.apache.spark.sql.expressions.Window
+    // CACHING CONTRACT (the minhashLshPipeline convention): the metric
+    // frame feeds K histogram branches plus the join spine — without
+    // the persist barrier every branch re-runs the (possibly expensive)
+    // upstream metric pipelines, and the q322 lesson applies: broadcast
+    // the value-cardinality-bounded rank maps EXPLICITLY rather than
+    // trusting post-cache AQE stats. Caller (or the harness's
+    // clearCache between queries) releases the pin.
     val base = df.select(col(idCol) +:
       metrics.map { case (m, _) => col(m).cast("long").as(m) }: _*)
+      .persist()
     val ranked = metrics.foldLeft(base) { case (acc, (m, hib)) =>
       val h = base.groupBy(col(m)).agg(count(lit(1)).as("__c"))
       val ord = if (hib) col(m).asc else col(m).desc
@@ -327,7 +335,7 @@ object Features {
           .rowsBetween(W.unboundedPreceding, -1)), lit(0L)) +
           col("__c") + 1L)
         .select(col(m), col(s"r2_$m"))
-      acc.join(rankMap, Seq(m))
+      acc.join(broadcast(rankMap), Seq(m))
     }
     ranked.withColumn("borda2",
       metrics.map { case (m, _) => col(s"r2_$m") }.reduce(_ + _))
