@@ -957,4 +957,60 @@ object NearDup {
           .as("jw"))
       .filter(col("jw") >= minJw)
   }
+
+  /** Cross-source EXACT-duplicate matrix — the provenance readout over
+    * q12/q22's fingerprint identity: for every source pair (a ≤ b), how
+    * many fingerprint groups have copies in both and how many duplicate
+    * PAIRS they contribute (c_a·c_b across sources, C(c,2) within).
+    * This is the "which sources copy which" number that licensing and
+    * mixture decisions consume, and the exact-dup face of q370's
+    * cluster-based lift.
+    *
+    * Plan: one fingerprint aggregation to (fp, source, c) — duplicate-
+    * mass-sized, NOT corpus-sized — then a per-fp cell self-join on
+    * source order. The join is quadratic only in DISTINCT SOURCES PER
+    * FINGERPRINT (the source catalog is a stated, bounded set — the
+    * markov-channel contract); pair masses c_a·c_b are duplicate-group
+    * products, documented long-range (a single 3e9-copy group would
+    * need the DECIMAL ladder first).
+    *
+    * @return (src_a, src_b, n_groups, n_pairs), rows with n_pairs > 0 */
+  def crossSourceExactMatrix(docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String): DataFrame = {
+    val cells = docs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+        col(srcCol).as("__src"))
+      .groupBy(col("__fp"), col("__src"))
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__fp"), col("__src").as("src_a"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__fp"), col("__src").as("src_b"),
+      col("__c").as("__cb"))
+    a.join(b, Seq("__fp")).where(col("src_a") <= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("src_a") === col("src_b"),
+          expr("__ca * (__ca - 1) div 2"))
+          .otherwise(col("__ca") * col("__cb"))).as("n_pairs"))
+      .where(col("n_pairs") > 0L)
+  }
+
+  /** DuckDB oracle for [[crossSourceExactMatrix]]: `innerSql` yields
+    * (id, src, text). */
+  def crossSourceExactMatrixOracleSql(innerSql: String): String =
+    s"""WITH d AS ($innerSql), cells AS (
+       |  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |           AS fp,
+       |         src, CAST(count(*) AS BIGINT) AS c
+       |  FROM d GROUP BY 1, 2
+       |)
+       |SELECT a.src AS src_a, b.src AS src_b,
+       |       CAST(count(*) AS BIGINT) AS n_groups,
+       |       CAST(sum(CASE WHEN a.src = b.src
+       |                     THEN a.c * (a.c - 1) // 2
+       |                     ELSE a.c * b.c END) AS BIGINT) AS n_pairs
+       |FROM cells a JOIN cells b ON a.fp = b.fp AND a.src <= b.src
+       |GROUP BY 1, 2
+       |HAVING sum(CASE WHEN a.src = b.src THEN a.c * (a.c - 1) // 2
+       |                ELSE a.c * b.c END) > 0""".stripMargin
 }

@@ -591,4 +591,77 @@ object Sampling {
        |SELECT $groupName, weight, base_seats, remainder,
        |       base_seats + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS seats
        |FROM r""".stripMargin
+
+  /** DoReMi-flavored EXCESS-LOSS MIXTURE TILT — reweight domains toward
+    * the ones a reference LM finds hard: per source, mean model
+    * bits-per-unit (micro-quantized integers, e.g. q362's Kneser–Ney
+    * bits) minus the easiest source's mean = the excess loss; each
+    * source's base mass is multiplied by `1 + η·excess` (η = etaNum/
+    * etaDen, pure integer arithmetic) and renormalized to micros. One
+    * source-keyed aggregation + two 1-row broadcasts — domains are a
+    * bounded catalog, corpus scale only grows the masses. (Full DoReMi
+    * alternates with proxy-model training; this is the one-step tilt
+    * its reweighting rule applies per round, stated honestly.)
+    *
+    * Overflow: Σbits·10⁶ and mass·tilt run in DECIMAL(38,0)/HUGEINT
+    * (the q360 device); the final micro weights divide back to longs.
+    *
+    * @param perDoc one row per doc: (srcCol, bitsCol, massCol)
+    * @return per source: (srcCol, n_docs, mass, sum_bits,
+    *         mean_bits_micro, excess_micro, tilt_micro, weight_micro)
+    */
+  def excessLossTilt(perDoc: DataFrame, srcCol: String, bitsCol: String,
+      massCol: String, etaNum: Int = 1, etaDen: Int = 5): DataFrame = {
+    require(etaNum >= 0 && etaDen > 0)
+    val src = perDoc.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(massCol)).as("mass"),
+        sum(col(bitsCol)).as("sum_bits"))
+      .where(col("mass") > 0L)
+      .withColumn("mean_bits_micro",
+        expr("CAST(sum_bits AS DECIMAL(38,0)) * 1000000 div mass")
+          .cast("long"))
+    val minRef = src.agg(min(col("mean_bits_micro")).as("__mn"))
+    val tilted = src.crossJoin(broadcast(minRef))
+      .withColumn("excess_micro", col("mean_bits_micro") - col("__mn"))
+      .withColumn("tilt_micro",
+        lit(1000000L) + expr(s"excess_micro * $etaNum div $etaDen"))
+      .withColumn("__w",
+        expr("CAST(mass AS DECIMAL(38,0)) * tilt_micro"))
+    val total = tilted.agg(sum(col("__w")).as("__tot"))
+    tilted.crossJoin(broadcast(total))
+      .withColumn("weight_micro",
+        expr("__w * 1000000 div __tot").cast("long"))
+      .select(col(srcCol), col("n_docs"), col("mass"), col("sum_bits"),
+        col("mean_bits_micro"), col("excess_micro"), col("tilt_micro"),
+        col("weight_micro"))
+  }
+
+  /** DuckDB oracle for [[excessLossTilt]]: `innerSql` yields
+    * (src, bits, mass) per doc. */
+  def excessLossTiltOracleSql(innerSql: String, etaNum: Int = 1,
+      etaDen: Int = 5, srcName: String = "src"): String =
+    s"""WITH d AS ($innerSql), s AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(mass) AS BIGINT) AS mass,
+       |         CAST(sum(bits) AS BIGINT) AS sum_bits
+       |  FROM d GROUP BY 1
+       |), m AS (
+       |  SELECT s.*, CAST(CAST(sum_bits AS HUGEINT) * 1000000 // mass
+       |           AS BIGINT) AS mean_bits_micro
+       |  FROM s WHERE mass > 0
+       |), r AS (SELECT min(mean_bits_micro) AS mn FROM m),
+       |t AS (
+       |  SELECT m.*, mean_bits_micro - mn AS excess_micro,
+       |         1000000 + (mean_bits_micro - mn) * $etaNum // $etaDen
+       |           AS tilt_micro
+       |  FROM m, r
+       |), w AS (
+       |  SELECT t.*, CAST(mass AS HUGEINT) * tilt_micro AS w FROM t
+       |), tot AS (SELECT sum(w) AS tw FROM w)
+       |SELECT src AS $srcName, n_docs, mass, sum_bits, mean_bits_micro,
+       |       CAST(excess_micro AS BIGINT) AS excess_micro,
+       |       CAST(tilt_micro AS BIGINT) AS tilt_micro,
+       |       CAST(w * 1000000 // tw AS BIGINT) AS weight_micro
+       |FROM w, tot""".stripMargin
 }

@@ -623,6 +623,38 @@ object Curation extends QueryModule {
       graft.text.Blocklist.phraseHits(Tables(s, dir).documents,
         "doc_id", "text", blockPhrases)),
 
+    // DoReMi-flavored mixture tilt: per-source Kneser–Ney excess loss
+    // (q362's per-doc bits, bigram mass as the base share) multiplied
+    // into the mixture weights at η = 1/5, renormalized to micros —
+    // the "upweight what the reference LM finds hard" step, one-step
+    // form stated honestly. Pure integer arithmetic end to end.
+    "q382_doremi_tilt" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val perDoc = graft.text.LangModel.kneserNeyScore(docs, "doc_id",
+          "text", docs, "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.ops.Sampling.excessLossTilt(perDoc, "source",
+        bitsCol = "total_bits", massCol = "n_bigrams")
+    }),
+
+    // Char-trigram Naive Bayes language ID: the q155 learned
+    // classifier with its feature extractor swapped to char shingles,
+    // so non-Latin scripts are separable (the ASCII word tokenizer
+    // sees them as boundary soup) — trained on the labeled fixture
+    // slice, classifying slice + a corpus sample; the "bootstrap from
+    // a labeled slice" NB use case, multilingual.
+    "q384_char_langid" -> ((s, dir) => {
+      import s.implicits._
+      val slice = TextDedup.multilingualPlanted.toDF("doc_id", "text")
+      val train = slice.join(
+        TextDedup.multilingualLangs.toDF("doc_id", "lang"), "doc_id")
+      val eval = slice.unionByName(Tables(s, dir).documents
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text")))
+      graft.text.NaiveBayes.trainAndClassify(train, "lang", "text",
+        eval, "doc_id", units = t => NearDup.charShingles(t, 3))
+    }),
+
     // Borda rank fusion of three incomparable-scale quality signals
     // (token count ↑, hashed-linear score ↑, 5-gram repetition ↓) into
     // one exact integer ensemble score — doubled tie-averaged ranks,
@@ -1157,6 +1189,30 @@ object Curation extends QueryModule {
 
     "q379_blocklist" -> graft.text.Blocklist.phraseHitsOracleSql(
       "documents", "doc_id", Text.toksSql, blockPhrases),
+
+    "q382_doremi_tilt" -> graft.ops.Sampling.excessLossTiltOracleSql(
+      s"""SELECT d.source AS src, k.total_bits AS bits,
+         |       k.n_bigrams AS mass
+         |FROM (${graft.text.LangModel.kneserNeyScoreOracleSql(
+            s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents",
+            s"SELECT doc_id, ${Text.toksSql} AS toks FROM documents")}) k
+         |JOIN documents d ON d.doc_id = k.doc_id""".stripMargin,
+      srcName = "source"),
+
+    "q384_char_langid" -> {
+      val fold = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+      val sh = NearDup.duckCharShinglesSql(fold, 3)
+      graft.text.NaiveBayes.classifyOracleSql(
+        s"""SELECT lang AS lab, $sh AS toks
+           |FROM (VALUES ${TextDedup.multilingualLabeledValuesSql})
+           |     v(doc_id, text, lang)""".stripMargin,
+        s"""SELECT doc_id, $sh AS toks FROM (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    ${TextDedup.multilingualPlantedValuesSql}) v(doc_id, text))
+           |""".stripMargin)
+    },
 
     "q381_quality_fusion" -> Features.bordaFusionOracleSql(
       s"""SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS m_len,

@@ -60,6 +60,21 @@ object TextDedup extends QueryModule {
       s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
     }.mkString(", ")
 
+  /** Ground-truth language of each fixture doc (by construction; the
+    * mixed-script doc is labeled ja — kana is the discriminating
+    * script). q384's char-trigram langid trains on these. */
+  private[queries] val multilingualLangs: Seq[(Long, String)] = Seq(
+    9100001L -> "fr", 9100002L -> "de", 9100003L -> "ru",
+    9100004L -> "ru", 9100005L -> "el", 9100006L -> "zh",
+    9100007L -> "zh", 9100008L -> "ja")
+
+  /** (doc_id, text, lang) VALUES list for the labeled slice. */
+  private[queries] def multilingualLabeledValuesSql: String =
+    multilingualPlanted.zip(multilingualLangs).map {
+      case ((id, t), (_, lang)) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}', '$lang')"
+    }.mkString(", ")
+
   /** q50's corpus config — oracle SQL derives from the same values. */
 
   /** q55/q56 config — shared by the Spark plan and the oracle SQL. */
@@ -355,6 +370,27 @@ object TextDedup extends QueryModule {
         .withColumn("fp", md5(col("text")))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Cross-source exact-dup provenance matrix: which sources copy
+    // which — duplicate groups planted deterministically (docs at
+    // id%11 ∈ {3,7} take their block base's text, sources untouched),
+    // then per source pair the group count and duplicate-pair mass
+    // from the fingerprint cell self-join (quadratic only in distinct
+    // sources per fingerprint — the bounded source catalog).
+    "q383_source_overlap" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), col("text"))
+      val base = d.select(col("doc_id").as("__bid"),
+        col("text").as("__btext"))
+      val planted = d
+        .withColumn("__bid",
+          when(col("doc_id") % 11 === 3 || col("doc_id") % 11 === 7,
+            col("doc_id") - col("doc_id") % 11)
+            .otherwise(col("doc_id")))
+        .join(base, "__bid")
+        .select(col("doc_id"), col("source"), col("__btext").as("text"))
+      NearDup.crossSourceExactMatrix(planted, "doc_id", "source", "text")
     }),
 
     // Blocked token-set Jaccard near-dup pairs (the LSH verify stage,
@@ -659,6 +695,15 @@ object TextDedup extends QueryModule {
          |         text), '[^a-z0-9]+'), x -> x <> '') AS toks
          |FROM documents""".stripMargin,
       "doc_id", "source", per = linePer, minFrac = 0.5),
+
+    "q383_source_overlap" -> NearDup.crossSourceExactMatrixOracleSql(
+      """SELECT d.doc_id AS id, d.source AS src, b.text AS text
+        |FROM (SELECT doc_id, source,
+        |        CASE WHEN doc_id % 11 IN (3, 7)
+        |             THEN doc_id - doc_id % 11
+        |             ELSE doc_id END AS bid
+        |      FROM documents) d
+        |JOIN documents b ON b.doc_id = d.bid""".stripMargin),
 
     "q23_dedup_docs" ->
       """WITH all_docs AS (

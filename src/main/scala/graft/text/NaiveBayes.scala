@@ -39,8 +39,8 @@ object NaiveBayes {
   private def blog(x: Column): Column = length(bin(x)).cast("long")
 
   private def tokBuckets(df: DataFrame, textCol: String, buckets: Int,
-      keep: Column*): DataFrame =
-    df.select(keep :+ explode(TextAnalysis.tokens(col(textCol))).as("__t"): _*)
+      units: Column => Column, keep: Column*): DataFrame =
+    df.select(keep :+ explode(units(col(textCol))).as("__t"): _*)
       .select(keep :+ (Hash64.hash60(col("__t")) % buckets).as("bkt"): _*)
 
   /** Train on `train` (labelCol, textCol), classify every `docs` row.
@@ -50,14 +50,15 @@ object NaiveBayes {
     *         carry no evidence and drop (the [[LangModel.score]]
     *         convention). */
   def trainAndClassify(train: DataFrame, labelCol: String, textCol: String,
-      docs: DataFrame, idCol: String, buckets: Int = 4096): DataFrame = {
+      docs: DataFrame, idCol: String, buckets: Int = 4096,
+      units: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val counts = tokBuckets(train.select(col(labelCol).as("__lab"),
-        col(textCol)), textCol, buckets, col("__lab"))
+        col(textCol)), textCol, buckets, units, col("__lab"))
       .groupBy(col("__lab"), col("bkt")).agg(count(lit(1)).as("__c"))
     val totals = counts.groupBy(col("__lab"))
       .agg(sum(col("__c")).as("__nl"))
-    val perTok = tokBuckets(docs, textCol, buckets, col(idCol))
+    val perTok = tokBuckets(docs, textCol, buckets, units, col(idCol))
       .crossJoin(broadcast(totals))
       .join(broadcast(counts), Seq("__lab", "bkt"), "left")
       .select(col(idCol), col("__lab"),

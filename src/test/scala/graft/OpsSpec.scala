@@ -1879,6 +1879,22 @@ class OpsSpec extends SparkSuite {
       3L -> ((7L, 2L, 9L)), 4L -> ((2L, 5L, 7L))))
   }
 
+  test("excessLossTilt: easiest source keeps tilt 1, hard source gains " +
+      "eta*excess, micros renormalize — hand-derived") {
+    import spark.implicits._
+    // a: mean 1e6 micro-bits (the min, excess 0, tilt 1e6)
+    // b: mean 3e6 -> excess 2e6 -> tilt 1.4e6 at eta=1/5
+    // w: a=1e7, b=1.4e7, tot=2.4e7 -> micros 416666 / 583333
+    val perDoc = Seq(("a", 10L, 10L), ("b", 30L, 10L))
+      .toDF("src", "bits", "mass")
+    val out = graft.ops.Sampling.excessLossTilt(perDoc, "src",
+        "bits", "mass")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out("a") == ((1000000L, 0L, 1000000L, 416666L)))
+    assert(out("b") == ((3000000L, 2000000L, 1400000L, 583333L)))
+  }
+
   test("conformalAudit: zero-residual calibration gives zero width, " +
       "coverage counts the held-out outlier") {
     import spark.implicits._

@@ -1811,4 +1811,33 @@ class TextOpsSpec extends SparkSuite {
     assert(out(4L) == ((6L, "latin", 2L, true)))
     assert(out(5L) == ((5L, "han", 2L, true)))
   }
+
+  test("char-trigram NB langid: held-out docs classify by script; " +
+      "the word-token path cannot see them at all") {
+    import graft.text.NaiveBayes
+    import graft.dedup.NearDup
+    val train = Seq(("ru", "привет мир"), ("zh", "你好 世界"),
+      ("en", "hello world")).toDF("lang", "text")
+    val eval = Seq((1L, "мир мир"), (2L, "你好 你好"),
+      (3L, "world hello")).toDF("doc_id", "text")
+    val preds = NaiveBayes.trainAndClassify(train, "lang", "text",
+        eval, "doc_id", units = t => NearDup.charShingles(t, 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(1L -> "ru", 2L -> "zh", 3L -> "en"))
+  }
+
+  test("crossSourceExactMatrix: fingerprint identity folds whitespace, " +
+      "pair masses count within and across sources — hand-derived") {
+    import graft.dedup.NearDup
+    // fp(x): a x2 (one via whitespace fold), b x1; fp(y): b x1, c x1
+    val docs = Seq((1L, "a", "x"), (2L, "a", " x"), (3L, "b", "x"),
+      (4L, "b", "y"), (5L, "c", "y")).toDF("doc_id", "src", "text")
+    val out = NearDup.crossSourceExactMatrix(docs, "doc_id", "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("a", "a") -> ((1L, 1L)),   // C(2,2) = 1 within a
+      ("a", "b") -> ((1L, 2L)),   // 2x1 across
+      ("b", "c") -> ((1L, 1L))))  // the y group
+  }
 }
