@@ -102,6 +102,35 @@ object Media {
           .as("frame_no"))
   }
 
+  /** ViT PATCH-GRID plan — the image analogue of [[frameSamplePlan]]:
+    * the resize-to-S + P×P patchify layout every ViT-family encoder
+    * consumes, as a decode schedule. Per image, the FIXED (S/P)² patch
+    * grid with each patch's nearest-neighbor SOURCE coordinates
+    * (`src = dst·dim div S` — pure integer division, engine-portable)
+    * and the raw row-major RGB byte offset the decoder would seek to.
+    * The per-image row count is a constant (S/P)² — at 100 TB the plan
+    * stays a bounded multiple of the asset count, never of pixel
+    * count; only the per-patch DECODE is the env-forced stub.
+    *
+    * @return (media_id, width, height, patch_no, py, px, src_y, src_x,
+    *         byte_offset) — images only */
+  def patchPlan(features: DataFrame, s: Int = 224, p: Int = 16)
+      : DataFrame = {
+    require(s >= p && p >= 1 && s % p == 0)
+    val g = s / p
+    features.filter(col("kind") === "image")
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .select(col("media_id"), col("width"), col("height"),
+        explode(sequence(lit(0L), lit((g.toLong * g - 1))))
+          .as("patch_no"))
+      .withColumn("py", expr(s"patch_no div $g"))
+      .withColumn("px", expr(s"patch_no % $g"))
+      .withColumn("src_y", expr(s"py * $p * height div $s"))
+      .withColumn("src_x", expr(s"px * $p * width div $s"))
+      .withColumn("byte_offset", expr("(src_y * width + src_x) * 3"))
+  }
+
   /** Audio WINDOWING plan — the layout step of any STFT/fbank feature
     * extractor: fixed `win` samples every `hop`, full windows only
     * (assets shorter than one window plan no rows — documented; the

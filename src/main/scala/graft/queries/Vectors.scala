@@ -396,6 +396,17 @@ object Vectors extends QueryModule {
         win = 64L, hop = 32L)
     }),
 
+    // ViT patch-grid plan: resize-to-64 + 16x16 patchify layout per
+    // image — fixed 16-patch schedule with integer nearest-neighbor
+    // source coords and raw RGB byte offsets; the decode stays the
+    // env-forced stub, the LAYOUT is the real 100TB half.
+    "q385_patch_plan" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Media.patchPlan(
+        Media.decode(Media.syntheticMedia(s, docs)).toDF(),
+        s = 64, p = 16)
+    }),
+
     // IVF ANN: nearest-centroid cells via plan-literal centroids (zero
     // corpus shuffle for assignment), nProbe-cell candidate generation,
     // exact rerank. Centroids = first 16 vectors (deterministic stand-in
@@ -1256,6 +1267,29 @@ object Vectors extends QueryModule {
         |       CAST(unnest(generate_series(0, (n_samples - 64) // 32))
         |         * 32 AS BIGINT) AS start_sample
         |FROM m WHERE n_samples >= 64""".stripMargin,
+
+    "q385_patch_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), d AS (
+        |  SELECT media_id, CAST(fp % 1920 + 1 AS BIGINT) AS width,
+        |         CAST((fp // 7) % 1080 + 1 AS BIGINT) AS height
+        |  FROM m
+        |), g AS (
+        |  SELECT media_id, width, height,
+        |         CAST(unnest(generate_series(0, 15)) AS BIGINT)
+        |           AS patch_no
+        |  FROM d
+        |)
+        |SELECT media_id, width, height, patch_no,
+        |       patch_no // 4 AS py, patch_no % 4 AS px,
+        |       (patch_no // 4) * 16 * height // 64 AS src_y,
+        |       (patch_no % 4) * 16 * width // 64 AS src_x,
+        |       ((patch_no // 4) * 16 * height // 64 * width
+        |        + (patch_no % 4) * 16 * width // 64) * 3 AS byte_offset
+        |FROM g""".stripMargin,
 
     "q182_centroid_cosine" -> graft.similarity.KMeans.centroidCosineOracleSql(
       "embeddings", "label", "embedding"),

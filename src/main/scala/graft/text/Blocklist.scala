@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * change), in the normalized [[TextAnalysis.tokens]] space so the
   * verdict is case/punctuation-stable.
   *
-  * Plan shape: ONE token posexplode; per DISTINCT phrase length L in
-  * the list (bounded by the blocklist, not the corpus), doc L-grams
-  * come from a bounded L-row window frame and meet the phrase table in
-  * a BROADCAST join (the blocklist is kilobytes; the corpus never
-  * shuffles on gram content). Per-doc rollup + left join back keeps
-  * zero-hit documents in the report — the common case a curation
-  * pipeline must pass through untouched.
+  * Plan shape: ZERO SHUFFLES — the blocklist is a plan-build-time
+  * literal (kilobytes), so everything is per-row array arithmetic: per
+  * DISTINCT phrase length L (bounded by the blocklist, not the
+  * corpus), the doc's L-grams come from an index `transform` + `slice`
+  * and are counted against the phrase set with `filter`/`array_sort`.
+  * No explode, no window, no join — the op is a pure projection, which
+  * is also what makes it directly usable on a STREAMING frame (the
+  * tokenize-the-stream convention). Zero-hit documents pass through
+  * with zeros — the common case a curation pipeline must not disturb.
   *
   * Phrases are tokenized by the SAME tokenizer at plan-build time;
   * phrases that normalize to nothing are dropped. Overlapping and
@@ -38,35 +40,26 @@ object Blocklist {
     *         positions), n_phrases the distinct phrases present */
   def phraseHits(docs: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val plist = phraseTokens(phrases)
     require(plist.nonEmpty, "empty blocklist")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tok = docs
+    // per length L: the matched-phrase multiset over all start
+    // positions, as an array column (one per L, concatenated)
+    val matchesByLen = plist.map(_.length).distinct.sorted.map { l =>
+      val pset = plist.filter(_.length == l).map(_.mkString(" "))
+      // guard: sequence(1, n) DESCENDS when n < 1 — docs shorter than
+      // L have no L-grams, full stop
+      val grams = when(size(col("__toks")) >= l,
+        transform(sequence(lit(1), size(col("__toks")) - (l - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(l)))))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+      filter(grams, g => pset.map(p => g === p).reduce(_ || _))
+    }
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__hits", concat(matchesByLen: _*))
       .select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("i", "tok")))
-    val hits = plist.map(_.length).distinct.sorted.map { l =>
-      val wf = W.partitionBy(col(idCol)).orderBy(col("i"))
-        .rowsBetween(0, l - 1)
-      val phraseDf = plist.filter(_.length == l)
-        .map(_.mkString(" ")).toDF("phrase")
-      tok
-        .select(col(idCol),
-          concat_ws(" ", collect_list(col("tok")).over(wf)).as("gram"),
-          count(lit(1)).over(wf).as("__k"))
-        .where(col("__k") === l)
-        .join(broadcast(phraseDf), col("gram") === col("phrase"))
-        .select(col(idCol), col("phrase"))
-    }.reduce(_ unionAll _)
-    val perDoc = hits.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("phrase")).as("n_phrases"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"))
+        size(col("__hits")).cast("long").as("n_hits"),
+        size(array_distinct(col("__hits"))).cast("long").as("n_phrases"))
       .withColumn("blocked", col("n_hits") > 0L)
   }
 

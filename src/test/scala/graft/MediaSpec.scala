@@ -87,4 +87,23 @@ class MediaSpec extends SparkSuite {
     // 100 samples: starts 0 and 32 (64+32=96 <= 100; 64+64=128 > 100)
     assert(out.toSet == Set((1L, 0L, 0L), (1L, 1L, 32L)))
   }
+
+  test("patchPlan: fixed grid, integer nearest-neighbor source coords, " +
+      "row-major byte offsets — hand-derived") {
+    import spark.implicits._
+    import graft.multimodal.Media
+    val features = Seq((7L, "image", 100L, 50L), (8L, "audio", 10L, 10L))
+      .toDF("media_id", "kind", "width", "height")
+    val out = Media.patchPlan(features, s = 64, p = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(out.length == 16 && out.forall(_._1 == 7L)) // images only
+    // patch_no 6 = (py 1, px 2): src_y = 16*50 div 64 = 12,
+    // src_x = 32*100 div 64 = 50, offset = (12*100 + 50)*3 = 3750
+    val p6 = out.find(_._2 == 6L).get
+    assert(p6 == ((7L, 6L, 1L, 2L, 12L, 50L, 3750L)))
+    // patch_no 0 anchors at the origin
+    assert(out.find(_._2 == 0L).get == ((7L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

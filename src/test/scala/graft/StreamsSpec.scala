@@ -807,4 +807,35 @@ class StreamsSpec extends SparkSuite {
       .select("pos", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("stateless curation-the-stream: phrase blocklist and script-mix " +
+      "profile run as pure streaming projections with batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq((1L, "the table scan merge is slow"),
+      (2L, "Привет world"), (3L, "clean document here"))
+    val phrases = Seq("table scan merge", "slow query")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val flagged = graft.text.Blocklist.phraseHits(docs, "doc_id", "text",
+      phrases)
+    val mixed = graft.text.Scripts.scriptMix(docs, "doc_id", "text")
+    val (o1, o2) = (tmp("bl-stream-out"), tmp("sm-stream-out"))
+    val q1 = flagged.writeStream.format("parquet")
+      .option("path", o1).option("checkpointLocation", tmp("bl-ckp"))
+      .trigger(Trigger.AvailableNow()).start()
+    val q2 = mixed.writeStream.format("parquet")
+      .option("path", o2).option("checkpointLocation", tmp("sm-ckp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q2.awaitTermination(120000)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rowsOf(spark.read.parquet(o1)) ==
+      rowsOf(graft.text.Blocklist.phraseHits(rows.toDF("doc_id", "text"),
+        "doc_id", "text", phrases)))
+    assert(rowsOf(spark.read.parquet(o2)) ==
+      rowsOf(graft.text.Scripts.scriptMix(rows.toDF("doc_id", "text"),
+        "doc_id", "text")))
+  }
 }
