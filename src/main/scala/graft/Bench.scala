@@ -105,10 +105,21 @@ object Bench {
     // round 2's numbers mixed compile cost into whichever query ran a
     // plan family first.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // SPARK_GRAFT_MATERIALIZE=full evaluates EVERY output column via the
+    // noop sink instead of count() -- count() lets Catalyst prune computed
+    // columns, silently under-pricing projection-heavy queries (found
+    // round 8: q112's dot-product never ran under count()). Default stays
+    // count() for cross-round tripwire continuity; the full-materialization
+    // artifact is recorded alongside (SURVEY 8.7).
+    val fullMat = sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("full")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (fullMat) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
+
     (SparkEntry.queries.toSeq ++ extras)
       .filter { case (n, _) => only.forall(_.contains(n)) } // warm only what we time
       .foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { run(fn(spark, warmDir)) } catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
     // A failed query records a negative sentinel, never a fast time —
@@ -125,7 +136,7 @@ object Bench {
       var err: Option[String] = None
       val times = (1 to passes).iterator.takeWhile(_ => err.isEmpty).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { run(fn(spark, sfDir)) }
         catch { case e: Throwable =>
           err = Some(e.toString.linesIterator.next().take(200)) }
         // Operators that persist internal frames (q24/q27/q34) would

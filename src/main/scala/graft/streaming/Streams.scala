@@ -709,6 +709,60 @@ object Streams {
     spark.read.parquet(dirs.last._2.toString)
   }
 
+  /** STREAMING mergeable DISTINCT-count rollup — the
+    * [[graft.ops.Sketches.hllRollup]] table maintained epoch by epoch:
+    * each micro-batch's per-key (n, HLL sketch) rows merge into the
+    * previous snapshot by `sum(n)` + `hll_union_agg` (sketch algebra is
+    * exactly mergeable — re-summing ESTIMATES would double-count users
+    * active in several epochs, the hllRollup scaladoc's point). Same
+    * two-snapshot retention as [[incrementalRollupSink]]; state is
+    * (keys × fixed sketch bytes), never stream-sized. */
+  def hllRollupSink(stream: DataFrame, keys: Seq[String], vCol: String,
+      stateDir: String, checkpoint: String, lgConfigK: Int = 12,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delta = graft.ops.Sketches.hllRollup(batch,
+            keys.map(col), col(vCol), lgConfigK)
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
+          val merged = prev match {
+            case Some((_, dir)) =>
+              spark.read.parquet(dir.toString).unionAll(delta)
+                .groupBy(keys.map(col): _*)
+                .agg(sum(col("n")).as("n"),
+                  hll_union_agg(col("dv_sketch")).as("dv_sketch"))
+            case None => delta
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$stateDir/epoch=$epochId")
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Estimate readout over [[hllRollupSink]]'s newest state. */
+  def latestHllEstimates(spark: SparkSession, stateDir: String)
+      : DataFrame = {
+    val dirs = epochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    spark.read.parquet(dirs.last._2.toString)
+      .withColumn("est_distinct",
+        hll_sketch_estimate(col("dv_sketch")))
+      .drop("dv_sketch")
+  }
+
   /** STREAMING log-bucket quantile sketch — the q367 sketch's streaming
     * face, by construction EXACTLY the batch answer on the union of all
     * epochs: the per-epoch (bucket, count) histogram

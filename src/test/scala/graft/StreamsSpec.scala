@@ -427,6 +427,41 @@ class StreamsSpec extends SparkSuite {
     assert(epochs.length <= 2, epochs.mkString(", "))
   }
 
+  test("streaming HLL rollup: epoch-merged sketches read the exact " +
+      "distinct count (sparse-exact regime) and match the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val ev = mem.toDF().toDF("key", "v")
+    val (stateDir, ckp) = (tmp("hll-state"), tmp("hll-ckp"))
+    def run(): Unit = {
+      val q = Streams.hllRollupSink(ev, Seq("key"), "v", stateDir, ckp,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    // distinct sets small enough that the HLL stays in its exact
+    // (coupon) regime: a 17 and b 9 distincts, overlapping epochs
+    mem.addData((1L to 12L).map(i => ("a", i)) ++
+      (1L to 6L).map(i => ("b", i * 2)): _*)
+    run()
+    mem.addData((8L to 17L).map(i => ("a", i)) ++
+      (4L to 9L).map(i => ("b", i * 2)): _*)
+    run()
+    val state = Streams.latestHllEstimates(spark, stateDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state == Map("a" -> ((22L, 17L)), "b" -> ((12L, 9L))))
+    // batch parity: one-shot hllRollup over the union reads the same
+    val batch = graft.ops.Sketches.hllReRollup(
+        graft.ops.Sketches.hllRollup(
+          ((1L to 12L).map(i => ("a", i)) ++ (1L to 6L).map(i => ("b", i * 2))
+            ++ (8L to 17L).map(i => ("a", i)) ++ (4L to 9L).map(i => ("b", i * 2)))
+            .toDF("key", "v"), Seq(col("key")), col("v")),
+        Seq(col("key")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(batch == Map("a" -> 17L, "b" -> 9L))
+  }
+
   test("incremental corpus dedup: batch two drops fingerprints that landed in batch one") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
