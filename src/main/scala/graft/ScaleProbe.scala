@@ -76,6 +76,17 @@ object ScaleProbe {
       time(s"script_mix_x$m") {
         text.Scripts.scriptMix(docs, "doc_id", "text").count()
       }
+      // native #10 vs the relational oracle form: same integers, one
+      // scan-side pass vs explode + two shuffles (full materialization
+      // via a count over h_q so column pruning can't skip the work)
+      time(s"char_entropy_native_x$m") {
+        text.TextAnalysis.charEntropy(docs, "doc_id", "text")
+          .agg(sum(col("h_q"))).head.getLong(0)
+      }
+      time(s"char_entropy_relational_x$m") {
+        text.TextAnalysis.charEntropyRelational(docs, "doc_id", "text")
+          .agg(sum(col("h_q"))).head.getLong(0)
+      }
       time(s"quality_fusion_x$m") {
         val qm = text.QualityModel.score(docs, "doc_id", "text",
           text.QualityModel.weightsFrom(64, "qm",

@@ -105,9 +105,19 @@ object GraftFunctions {
       HilbertKey(exprs.head, exprs(1))
     })
 
+  private[functions] val charEntropyStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_entropy_stats"),
+    new ExpressionInfo(classOf[CharEntropyStats].getName,
+      "char_entropy_stats"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"char_entropy_stats expects 1 argument, got ${exprs.length}")
+      CharEntropyStats(exprs.head)
+    })
+
   private[functions] val all =
     Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen,
-      jumpHash, jaroWinkler, normalizeText, hilbertKey)
+      jumpHash, jaroWinkler, normalizeText, hilbertKey, charEntropyStats)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

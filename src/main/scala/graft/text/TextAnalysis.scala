@@ -131,16 +131,36 @@ object TextAnalysis {
     * computes it in ONE aggregation (no per-doc total window);
     * `h_per_char` divides by n in one fixed IEEE step.
     *
-    * Plan shape: chars come from a codegen'd `substring(text, pos, 1)`
-    * over an exploded POSITION sequence (the measured-8× q134 recipe —
-    * no per-document array of |text| single-char strings materializes),
-    * then one (doc, char) hash aggregation and one per-doc rollup, both
-    * map-side combinable.
+    * Plan shape: ONE scan-side projection — the native
+    * [[graft.functions.CharEntropyStats]] expression (#10) computes
+    * all three integers per row in a single pass (ASCII fast path),
+    * so no per-char explode, no (doc, char) shuffle, no rollup exist
+    * in the plan at all. [[charEntropyRelational]] keeps the exploded
+    * formulation as the oracle mirror and parity reference (measured:
+    * 2.07 → ~0.3 s full-materialization at sf0.1).
     *
     * @return (idCol, n_chars_counted, n_distinct_chars, h_q, h_per_char)
     */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+      : DataFrame =
+    docs
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .select(col(idCol),
+        graft.functions.CharEntropyStats.charEntropyStats(col("__t"))
+          .as("__s"))
+      .select(col(idCol),
+        element_at(col("__s"), 1).as("n_chars_counted"),
+        element_at(col("__s"), 2).as("n_distinct_chars"),
+        element_at(col("__s"), 3).as("h_q"))
+      .withColumn("h_per_char",
+        col("h_q").cast("double") / col("n_chars_counted"))
+
+  /** The explode + two-aggregation formulation of [[charEntropy]] —
+    * kept as the DuckDB-oracle mirror and the in-plan parity reference
+    * for the native expression (#10); value-identical, spec-asserted. */
+  def charEntropyRelational(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val blog = (x: Column) => length(bin(x)).cast("long")
     val counts = docs
       .select(col(idCol), col(textCol).as("__t"))

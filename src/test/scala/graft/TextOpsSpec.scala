@@ -1826,6 +1826,36 @@ class TextOpsSpec extends SparkSuite {
     assert(preds == Map(1L -> "ru", 2L -> "zh", 3L -> "en"))
   }
 
+  test("char_entropy_stats (native #10): value parity with the " +
+      "relational oracle form and the SQL route, Unicode included") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "a"),                         // single char: h_q = 1*1 - 1*1 = 0
+      (2L, "aaaa"),                      // one symbol: n*blog(4) - 4*blog(4) != 0? 4*3-4*3=0
+      (3L, "abab"),                      // 4*3 - (2*2 + 2*2) = 4
+      (4L, "Привет, мир! 你好 🙂🙂"),      // BMP + astral, astral counts once per cp
+      (5L, "the quick brown fox jumps over the lazy dog 0123456789"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_chars_counted", "n_distinct_chars", "h_q")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val native = norm(TextAnalysis.charEntropy(docs, "doc_id", "text"))
+    val rel = norm(TextAnalysis.charEntropyRelational(docs, "doc_id", "text"))
+    assert(native == rel)
+    assert(native(3L) == ((4L, 2L, 4L)))
+    assert(native(2L)._3 == 0L)
+    // SQL-registered route computes the same array
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("ce_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, char_entropy_stats(text) AS s FROM ce_docs""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql(3L) == Seq(4L, 2L, 4L))
+    assert(native.forall { case (id, (n, d, h)) =>
+      viaSql(id) == Seq(n, d, h) })
+  }
+
   test("crossSourceExactMatrix: fingerprint identity folds whitespace, " +
       "pair masses count within and across sources — hand-derived") {
     import graft.dedup.NearDup
