@@ -249,6 +249,114 @@ object Quantiles {
              |END""".stripMargin).as("est_hi"))
   }
 
+  /** PER-GROUP [[logBucketQuantiles]] — the shape a 100 TB pipeline
+    * actually runs ("p99 latency per service", "token-count p90 per
+    * source"): the same (bit-length, mantissa-bits) integer sketch,
+    * keyed. State stays ≤ groups × (64·2^j + 2) rows; every step is one
+    * keyed aggregation or a bounded per-group window — the per-group
+    * rank answer never sorts rows, only the bounded bucket histogram.
+    *
+    * @return (grpCols..., q_num, q_den, rank, est_lo, est_hi) — groups
+    *         with no rows simply absent */
+  def logBucketQuantilesBy(df: DataFrame, grpCols: Seq[String], v: Column,
+      ps: Seq[(Int, Int)], j: Int = 6): DataFrame = {
+    require(j >= 1 && j <= 16)
+    require(ps.nonEmpty && ps.forall { case (n, d) => n >= 1 && n <= d })
+    val W = org.apache.spark.sql.expressions.Window
+    val twoJ = 1L << j
+    val keys = grpCols.map(col)
+    val bucket = expr(
+      s"""CASE WHEN __v = 0 THEN CAST(-1 AS LONG)
+         |WHEN length(bin(__v)) - 1 <= $j THEN __v
+         |ELSE shiftright(__v, CAST(length(bin(__v)) - 1 - $j AS INT))
+         |     + CAST(length(bin(__v)) - 1 - $j AS LONG) * $twoJ
+         |END""".stripMargin)
+    val hist = df.select(keys :+ v.cast("long").as("__v"): _*)
+      .select(keys :+ bucket.as("__b"): _*)
+      .groupBy(keys :+ col("__b"): _*).agg(count(lit(1)).as("__n"))
+    val cum = hist.withColumn("__c",
+      sum(col("__n")).over(W.partitionBy(keys: _*).orderBy(col("__b"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val tot = hist.groupBy(keys: _*).agg(sum(col("__n")).as("__tot"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = ps.toDF("q_num", "q_den")
+    val ranked = tot.crossJoin(broadcast(qs))
+      .withColumn("rank",
+        expr("CAST((q_num * __tot + q_den - 1) div q_den AS LONG)"))
+    ranked.join(cum,
+        grpCols.map(g => ranked(g) === cum(g)).reduce(_ && _) &&
+          col("__c") >= col("rank") &&
+          col("__c") - col("__n") < col("rank"))
+      .select(grpCols.map(ranked(_)) ++ Seq(
+        col("q_num").cast("long").as("q_num"),
+        col("q_den").cast("long").as("q_den"), col("rank"),
+        expr(
+          s"""CASE WHEN __b = -1 THEN CAST(0 AS LONG)
+             |WHEN __b < ${2 * twoJ} THEN __b
+             |ELSE shiftleft(__b % $twoJ + $twoJ,
+             |       CAST(__b div $twoJ - 1 AS INT))
+             |END""".stripMargin).as("est_lo"),
+        expr(
+          s"""CASE WHEN __b = -1 THEN CAST(0 AS LONG)
+             |WHEN __b < ${2 * twoJ} THEN __b
+             |ELSE shiftleft(__b % $twoJ + $twoJ + 1,
+             |       CAST(__b div $twoJ - 1 AS INT)) - 1
+             |END""".stripMargin).as("est_hi")): _*)
+  }
+
+  /** DuckDB oracle for [[logBucketQuantilesBy]]: `innerSql` yields
+    * (grpCols..., v BIGINT ≥ 0). */
+  def logBucketByOracleSql(innerSql: String, grpCols: Seq[String],
+      ps: Seq[(Int, Int)], j: Int = 6): String = {
+    val twoJ = 1L << j
+    val keys = grpCols.mkString(", ")
+    val qsVals = ps.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH src AS ($innerSql), bk AS (
+       |  SELECT $keys,
+       |         CASE WHEN v = 0 THEN -1
+       |              WHEN length(bin(v)) - 1 <= $j THEN v
+       |              ELSE (v >> CAST(length(bin(v)) - 1 - $j AS INTEGER))
+       |                   + CAST(length(bin(v)) - 1 - $j AS BIGINT)
+       |                     * $twoJ
+       |         END AS b
+       |  FROM src
+       |), h AS (
+       |  SELECT $keys, b, CAST(count(*) AS BIGINT) AS n
+       |  FROM bk GROUP BY ALL
+       |), c AS (
+       |  SELECT $keys, b, n, CAST(sum(n) OVER (PARTITION BY $keys
+       |           ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM h
+       |), tot AS (
+       |  SELECT $keys, CAST(sum(n) AS BIGINT) AS t FROM h GROUP BY ALL
+       |), q AS (
+       |  SELECT $keys,
+       |         CAST(q_num AS BIGINT) AS q_num,
+       |         CAST(q_den AS BIGINT) AS q_den,
+       |         CAST((q_num * t + q_den - 1) // q_den AS BIGINT) AS rank
+       |  FROM tot CROSS JOIN (VALUES $qsVals) v(q_num, q_den)
+       |), hit AS (
+       |  SELECT ${grpCols.map(g => s"q.$g").mkString(", ")},
+       |         q.q_num, q.q_den, q.rank, c.b
+       |  FROM q JOIN c
+       |    ON ${grpCols.map(g => s"c.$g = q.$g").mkString(" AND ")}
+       |   AND c.cum >= q.rank AND c.cum - c.n < q.rank
+       |)
+       |SELECT $keys, q_num, q_den, rank,
+       |       CAST(CASE WHEN b = -1 THEN 0
+       |            WHEN b < ${2 * twoJ} THEN b
+       |            ELSE (b % $twoJ + $twoJ)
+       |                 << CAST(b // $twoJ - 1 AS INTEGER) END AS BIGINT)
+       |         AS est_lo,
+       |       CAST(CASE WHEN b = -1 THEN 0
+       |            WHEN b < ${2 * twoJ} THEN b
+       |            ELSE ((b % $twoJ + $twoJ + 1)
+       |                  << CAST(b // $twoJ - 1 AS INTEGER)) - 1
+       |            END AS BIGINT) AS est_hi
+       |FROM hit""".stripMargin
+  }
+
   /** DuckDB oracle for [[logBucketQuantiles]] — identical bucket ids,
     * cumulative, rank arithmetic, and bound reconstruction. `innerSql`
     * yields a single column v (BIGINT ≥ 0). */

@@ -686,6 +686,20 @@ object Curation extends QueryModule {
         "doc_id", "text")
     }),
 
+    // Script-RUN code-switching profile over corpus + fixture: letter
+    // compaction kills word-boundary false alternation, per-script
+    // maximal runs by the collapse-minus-delete identity, switches =
+    // total_runs − 1 with integer micro density — the signal that
+    // separates a translation pair from homoglyph spoofing.
+    "q387_script_runs" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Scripts.scriptRuns(
+        Tables(s, dir).documents.select(col("doc_id"), col("text"))
+          .unionByName(TextDedup.multilingualPlanted
+            .toDF("doc_id", "text")),
+        "doc_id", "text")
+    }),
+
     // Gopher REPETITION rules: per doc, chars covered by duplicated
     // n-grams (n=5,10) as merged positional intervals over the
     // normalized token stream — the coverage half of the Gopher filter
@@ -1226,6 +1240,14 @@ object Curation extends QueryModule {
          |  ON q.doc_id = r.doc_id""".stripMargin,
       "doc_id",
       Seq(("m_len", true), ("m_linear", true), ("m_rep", false))),
+
+    "q387_script_runs" -> graft.text.Scripts.scriptRunsOracleSql(
+      s"""(SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT * FROM (VALUES
+         |  ${TextDedup.multilingualPlantedValuesSql}) v(doc_id, text)) u
+         |""".stripMargin,
+      "doc_id"),
 
     "q380_script_mix" -> graft.text.Scripts.scriptMixOracleSql(
       s"""(SELECT doc_id, text FROM documents

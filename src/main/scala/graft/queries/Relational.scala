@@ -769,6 +769,17 @@ object Relational extends QueryModule {
         Tables(s, dir).lineitem, Exact.cents(col("l_extendedprice")),
         ps = Seq((1, 2), (9, 10), (99, 100)))),
 
+    // q367's sketch, KEYED — "p50/p90/p99 per return flag": the shape
+    // the bounded-state sketch exists for at 100 TB (per-key state ≤
+    // 64·2^j + 2 buckets, per-group windows over bucket histograms,
+    // never a row sort).
+    "q386_logbucket_by" -> ((s, dir) =>
+      graft.ops.Quantiles.logBucketQuantilesBy(
+        Tables(s, dir).lineitem
+          .withColumn("__v0", Exact.cents(col("l_extendedprice"))),
+        Seq("l_returnflag"), col("__v0"),
+        ps = Seq((1, 2), (9, 10), (99, 100)))),
+
     "q258_weighted_quantiles" -> ((s, dir) =>
       graft.ops.Quantiles.weightedQuantiles(
         Tables(s, dir).lineitem.select(col("l_returnflag"),
@@ -1046,6 +1057,12 @@ object Relational extends QueryModule {
         |FROM customer
         |GROUP BY 1, 2
         |HAVING count(*) < 5""".stripMargin,
+
+    "q386_logbucket_by" -> graft.ops.Quantiles.logBucketByOracleSql(
+      """SELECT l_returnflag,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |FROM lineitem""".stripMargin,
+      Seq("l_returnflag"), ps = Seq((1, 2), (9, 10), (99, 100))),
 
     "q367_logbucket_quantiles" -> graft.ops.Quantiles.logBucketOracleSql(
       "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem",

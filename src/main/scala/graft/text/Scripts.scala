@@ -63,6 +63,66 @@ object Scripts {
       .withColumn("mixed", col("n_scripts") >= 2L)
   }
 
+  /** Script-RUN profile — the CODE-SWITCHING intensity signal on top
+    * of [[scriptMix]]'s mass counts: compact the text to its letter
+    * characters only (so word boundaries don't fake alternation), then
+    * count maximal same-script runs per script with the
+    * collapse-minus-delete identity (`|replace(t, cls+, "x")| −
+    * |replace(t, cls+, "")|` — each run survives as one char, the
+    * q178 device). `switches = total_runs − 1` is the number of script
+    * alternations a reader crosses; density divides by letters in
+    * integer micros. Same per-row regex projection shape as scriptMix:
+    * zero shuffles, BMP contract (astral chars drop from the compact).
+    *
+    * @return (idCol, letters, runs_latin..runs_kana, total_runs,
+    *         switches, switch_density_micro) */
+  def scriptRuns(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val keepJava = "[^A-Za-z\\p{IsCyrillic}\\p{IsGreek}\\p{IsHan}" +
+      "\\p{IsHiragana}\\p{IsKatakana}]"
+    val compact = regexp_replace(col(textCol), keepJava, "")
+    def runs(cls: String): Column =
+      (length(regexp_replace(compact, cls + "+", "x")) -
+        length(regexp_replace(compact, cls + "+", ""))).cast("long")
+    docs.select(
+        col(idCol) +:
+          length(compact).cast("long").as("letters") +:
+          classes.map { case (n, jcls, _) => runs(jcls).as(s"runs_$n") }: _*)
+      .withColumn("total_runs",
+        classes.map(c => col(s"runs_${c._1}")).reduce(_ + _))
+      .withColumn("switches",
+        greatest(col("total_runs") - 1L, lit(0L)))
+      .withColumn("switch_density_micro",
+        expr("switches * 1000000 div greatest(letters, 1)"))
+  }
+
+  /** DuckDB oracle for [[scriptRuns]] — RE2 spellings, same identity. */
+  def scriptRunsOracleSql(table: String, idName: String): String = {
+    val keepRe2 = "[^A-Za-z\\p{Cyrillic}\\p{Greek}\\p{Han}" +
+      "\\p{Hiragana}\\p{Katakana}]"
+    val compact = s"regexp_replace(text, '$keepRe2', '', 'g')"
+    def runs(cls: String): String =
+      s"""CAST(length(regexp_replace($compact, '$cls+', 'x', 'g'))
+         | - length(regexp_replace($compact, '$cls+', '', 'g')) AS BIGINT)"""
+        .stripMargin.replace("\n", "")
+    val runCols = classes.map { case (n, _, rcls) =>
+      s"${runs(rcls)} AS runs_$n"
+    }.mkString(",\n       |       ")
+    val total = classes.map(c => s"runs_${c._1}").mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT $idName,
+       |       CAST(length($compact) AS BIGINT) AS letters,
+       |       $runCols
+       |  FROM $table
+       |), t AS (
+       |  SELECT *, CAST($total AS BIGINT) AS total_runs FROM c
+       |)
+       |SELECT *, greatest(total_runs - 1, 0) AS switches,
+       |       greatest(total_runs - 1, 0) * 1000000
+       |         // greatest(letters, 1) AS switch_density_micro
+       |FROM t""".stripMargin
+  }
+
   /** DuckDB oracle for [[scriptMix]] — identical counts via the RE2
     * class spellings, same fixed-order dominance and 5% test. */
   def scriptMixOracleSql(table: String, idName: String): String = {

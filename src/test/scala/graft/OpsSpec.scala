@@ -1515,6 +1515,23 @@ class OpsSpec extends SparkSuite {
       s"bracket [$lo, $hi] wider than 2^-6 relative")
   }
 
+  test("logBucketQuantilesBy: per-group sketches answer independently — " +
+      "small group exact, large group bracketed, groups never mix") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(v => ("a", v)) ++
+      Seq(("b", 100000L), ("b", 200000L), ("b", 300000L))
+    val out = Quantiles.logBucketQuantilesBy(rows.toDF("g", "v"),
+        Seq("g"), col("v"), Seq((1, 2))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a: 10 values 1..10, rank ceil(10/2)=5 -> exact singleton bucket 5
+    assert(out("a") == ((5L, 5L, 5L)))
+    // b: rank 2 -> 200000 must sit in its bucket's honest bounds
+    val (rk, lo, hi) = out("b")
+    assert(rk == 2L && lo <= 200000L && 200000L <= hi &&
+      hi - lo <= lo / 64L + 1)
+  }
+
   test("cmhTest: hand-derived two-strata 2x2 evidence pooling, " +
       "degenerate single-row stratum contributes zero") {
     import spark.implicits._

@@ -1856,6 +1856,26 @@ class TextOpsSpec extends SparkSuite {
       viaSql(id) == Seq(n, d, h) })
   }
 
+  test("scriptRuns: compaction kills word-boundary false alternation; " +
+      "switches count script crossings — hand-derived") {
+    import graft.text.Scripts
+    val docs = Seq(
+      (1L, "Привет world"),  // cyr+latin -> 2 runs, 1 switch, 11 letters
+      (2L, "abcабвabc"),     // latin,cyr,latin -> 3 runs, 2 switches
+      (3L, "hello world"),   // ONE latin run after compaction: 0 switches
+      (4L, "123 !!!")        // letterless: all zeros
+    ).toDF("doc_id", "text")
+    val out = Scripts.scriptRuns(docs, "doc_id", "text")
+      .select("doc_id", "letters", "total_runs", "switches",
+        "switch_density_micro")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((11L, 2L, 1L, 1000000L / 11L)))
+    assert(out(2L) == ((9L, 3L, 2L, 2000000L / 9L)))
+    assert(out(3L) == ((10L, 1L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("crossSourceExactMatrix: fingerprint identity folds whitespace, " +
       "pair masses count within and across sources — hand-derived") {
     import graft.dedup.NearDup
