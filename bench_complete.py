@@ -7,16 +7,20 @@ ship incomplete (the round-7 q350 gap).
 
 Usage:
     sbt -batch "runMain graft.ListQueries" | grep -o "QUERY q[a-z0-9_]*" > /tmp/queries.txt
-    python3 bench_complete.py SOLO_BENCH_r8.json /tmp/queries.txt
+    python3 bench_complete.py SOLO_BENCH_r9.json [SOLO_BENCH_r9_count.json ...] /tmp/queries.txt
 
-Exit 0 iff bench keys ⊇ registered keys (extra bench-only entries, e.g.
-production-hash x-variants, are reported but allowed).
+Accepts MULTIPLE bench artifacts (round-8 verdict: the secondary
+full-materialization artifact shipped stale, missing the last two
+queries) — every artifact listed must independently cover every
+registered key. Exit 0 iff each artifact's keys ⊇ registered keys (extra
+bench-only entries, e.g. production-hash x-variants, are reported but
+allowed).
 """
 import json
 import sys
 
 
-def main(bench_path: str, keys_path: str) -> int:
+def check_one(bench_path: str, keys_path: str) -> int:
     with open(bench_path) as f:
         bench = json.load(f)
     bench_keys = set(bench.get("queries", {}))
@@ -33,20 +37,23 @@ def main(bench_path: str, keys_path: str) -> int:
         return 2
     missing = sorted(registered - bench_keys)
     extra = sorted(bench_keys - registered)
-    print(f"registered={len(registered)} bench={len(bench_keys)} "
-          f"missing={len(missing)} bench_only={len(extra)}")
+    mode = bench.get("materialize", "count")
+    print(f"{bench_path} (mode={mode}): registered={len(registered)} "
+          f"bench={len(bench_keys)} missing={len(missing)} "
+          f"bench_only={len(extra)}")
     if extra:
         print("bench-only entries (allowed):", ", ".join(extra))
     if missing:
         print("MISSING from bench artifact:", ", ".join(missing))
         print("FAIL: regenerate the solo bench after the last query lands")
         return 1
-    print("COMPLETE: bench artifact covers every registered query")
+    print(f"COMPLETE: {bench_path} covers every registered query")
     return 0
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
+    if len(sys.argv) < 3:
         print(__doc__)
         sys.exit(2)
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    keys = sys.argv[-1]
+    sys.exit(max(check_one(b, keys) for b in sys.argv[1:-1]))

@@ -26,6 +26,20 @@ def load(path):
     return d
 
 
+def check_modes(prev, cur, ppath, cpath):
+    """A count()-mode artifact under-prices projection-heavy queries
+    (column pruning); diffing it against a full-materialization artifact
+    is meaningless. Artifacts without the field predate round 9 and are
+    count()-mode by construction."""
+    pm = prev.get("materialize", "count")
+    cm = cur.get("materialize", "count")
+    if pm != cm:
+        sys.exit(f"REFUSING mixed-mode diff: {ppath} is '{pm}'-mode, "
+                 f"{cpath} is '{cm}'-mode — re-run one side "
+                 "(SPARK_GRAFT_MATERIALIZE) so both artifacts price the "
+                 "same thing")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("previous")
@@ -35,6 +49,7 @@ def main():
     args = ap.parse_args()
 
     prev, cur = load(args.previous), load(args.current)
+    check_modes(prev, cur, args.previous, args.current)
     pq, cq = prev["queries"], cur["queries"]
     shared = sorted(set(pq) & set(cq))
     added = sorted(set(cq) - set(pq))

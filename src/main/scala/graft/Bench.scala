@@ -105,13 +105,15 @@ object Bench {
     // round 2's numbers mixed compile cost into whichever query ran a
     // plan family first.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    // SPARK_GRAFT_MATERIALIZE=full evaluates EVERY output column via the
-    // noop sink instead of count() -- count() lets Catalyst prune computed
-    // columns, silently under-pricing projection-heavy queries (found
-    // round 8: q112's dot-product never ran under count()). Default stays
-    // count() for cross-round tripwire continuity; the full-materialization
-    // artifact is recorded alongside (SURVEY 8.7).
-    val fullMat = sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("full")
+    // Full materialization evaluates EVERY output column via the noop
+    // sink; count() lets Catalyst prune computed columns, silently
+    // under-pricing projection-heavy queries (found round 8: q112's
+    // dot-product never ran under count()). Round 9 flips the DEFAULT to
+    // full — the honest price is the baseline; SPARK_GRAFT_MATERIALIZE=
+    // count keeps the legacy mode for r8-continuity comparisons. The
+    // mode is stamped into the JSON artifact so two artifacts can never
+    // be compared silently across modes (bench_diff refuses mixed modes).
+    val fullMat = !sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("count")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (fullMat) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }
@@ -152,7 +154,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val mode = if (fullMat) "full" else "count"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","materialize":"$mode","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,8 +69,14 @@ object ABTest {
     * value v has average rank (2·C(v) + t(v) + 1)/2 where C = items
     * strictly below, t = tie size — carried DOUBLED so all rank sums
     * are exact integers; tie cubes and the doubled rank sum accumulate
-    * in DECIMAL(38,0) (order-independent, no 2⁶³ ledger needed), with
-    * one fixed IEEE sequence at the end.
+    * in DECIMAL(38,0) (order-independent), with one fixed IEEE sequence
+    * at the end. r_rb and z are derived from the DECIMAL 2·U₁ directly,
+    * so they stay correct at any scale; only the u1_dbl OUTPUT column
+    * narrows to long, under an explicit contract (the CUPED-style
+    * overflow ledger): 2·U₁ ≤ 2·n₁·n₂ < 2⁶³, i.e. **n₁·n₂ < 2⁶²** —
+    * beyond it Spark's non-ANSI cast nulls while DuckDB's CAST errors,
+    * so the contract is the honest boundary, not a silent divergence in
+    * the derived statistics.
     *
     * U₁ = R₁ − n₁(n₁+1)/2 (arm-B side); rank-biserial
     * r = 1 − 2U₁/(n₁n₂) ∈ [−1, 1]; z = (U₁ − n₁n₂/2)/σ with
@@ -101,19 +107,22 @@ object ABTest {
       sum(col("__t").cast(dec) * col("__t").cast(dec) *
         col("__t").cast(dec) - col("__t").cast(dec)).as("__ties"))
     val n = col("n1") + col("n2")
-    val u1Dbl = col("__r1_dbl") - (col("n1").cast(dec) *
-      (col("n1") + 1).cast(dec))
-    val u1 = col("u1_dbl").cast("double") / lit(2.0)
+    // r_rb/z derive from the DECIMAL 2·U₁ (exact at any scale); only the
+    // output column narrows to long under the documented n1·n2 < 2⁶²
+    // contract — see scaladoc.
+    val u1 = col("__u1d").cast("double") / lit(2.0)
     val mu = col("n1").cast("double") * col("n2").cast("double") / lit(2.0)
     val variance = col("n1").cast("double") * col("n2").cast("double") /
       lit(12.0) * ((n + 1).cast("double") -
         col("__ties").cast("double") /
           (n.cast("double") * (n - 1).cast("double")))
     agg
-      .withColumn("u1_dbl", u1Dbl.cast("long"))
+      .withColumn("__u1d", col("__r1_dbl") - (col("n1").cast(dec) *
+        (col("n1") + 1).cast(dec)))
+      .withColumn("u1_dbl", col("__u1d").cast("long"))
       .withColumn("r_rb",
         when(col("n1") > 0 && col("n2") > 0,
-          lit(1.0) - col("u1_dbl").cast("double") /
+          lit(1.0) - col("__u1d").cast("double") /
             (col("n1").cast("double") * col("n2").cast("double"))))
       .withColumn("z",
         when(col("n1") > 0 && col("n2") > 0 && n > 1 && variance > 0,
@@ -246,19 +255,21 @@ object ABTest {
        |  SELECT n1, n2,
        |         CAST(r1_dbl - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
        |           AS u1_dbl,
+       |         CAST(r1_dbl - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+       |           AS u1d_d,
        |         CAST(ties AS DOUBLE) AS tiesd
        |  FROM a
        |)
        |SELECT n1, n2, u1_dbl,
        |       CASE WHEN n1 > 0 AND n2 > 0 THEN
-       |         1.0 - CAST(u1_dbl AS DOUBLE)
+       |         1.0 - u1d_d
        |           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS r_rb,
        |       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
        |              AND CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
        |                * (CAST(n1 + n2 + 1 AS DOUBLE) - tiesd
        |                   / (CAST(n1 + n2 AS DOUBLE)
        |                      * CAST(n1 + n2 - 1 AS DOUBLE))) > 0
-       |       THEN (CAST(u1_dbl AS DOUBLE) / 2.0
+       |       THEN (u1d_d / 2.0
        |             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
        |            / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
        |                * (CAST(n1 + n2 + 1 AS DOUBLE) - tiesd

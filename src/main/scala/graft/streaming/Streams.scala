@@ -640,13 +640,18 @@ object Streams {
         if (stateDirExists(spark, historyDir))
           Some(spark.read.parquet(historyDir))
         else None
-      val rewritten = graft.text.ExactSubstr
-        .removeLaterCopiesWithHistory(batch, idCol, textCol, minLen, seen)
-      rewritten.write.mode("append").parquet(outDir)
-      graft.text.ExactSubstr
-        .gramHashes(batch, idCol, textCol, minLen)
-        .select(col("h")).distinct()
-        .write.mode("append").parquet(historyDir)
+      // tracked form: the epoch materializes everything it needs here,
+      // so the internally-persisted gram frame is unpersisted precisely
+      // (not session-wide clearCache) — no per-epoch storage leak
+      val (rewritten, grams) = graft.text.ExactSubstr
+        .removeLaterCopiesTracked(batch, idCol, textCol, minLen, seen)
+      try {
+        rewritten.write.mode("append").parquet(outDir)
+        graft.text.ExactSubstr
+          .gramHashes(batch, idCol, textCol, minLen)
+          .select(col("h")).distinct()
+          .write.mode("append").parquet(historyDir)
+      } finally { grams.unpersist(); () }
     }
     docsStream.writeStream
       .outputMode("append")

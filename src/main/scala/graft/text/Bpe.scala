@@ -195,6 +195,9 @@ object Bpe {
         i += 1
       }
     }
+    // normal loop exit leaves TWO pinned generations: `state` and the
+    // `prev` behind it (the early-stop path already dropped prev)
+    if (prev != null && !(prev eq state)) { prev.unpersist(); () }
     state.unpersist()
     merges.toSeq
   }

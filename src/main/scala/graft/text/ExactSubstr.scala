@@ -48,7 +48,18 @@ object ExactSubstr {
   /** Per-doc merged removal intervals, 1-based inclusive char spans:
     * (idCol, iv: array<struct<s,e>>) sorted by s, pairwise gap ≥ 1 char.
     * Docs with no covered char are absent. Input frame must carry
-    * (idCol, `textCol`). */
+    * (idCol, `textCol`).
+    *
+    * CACHING CONTRACT (the [[graft.dedup.NearDup]] pattern): the gram
+    * frame is `persist()`ed internally (it feeds the df aggregation AND
+    * the position semi-join — static exchange reuse cannot unify them)
+    * and stays pinned after the caller materializes. Call
+    * `spark.catalog.clearCache()` — or unpersist selectively — between
+    * invocations in a long-lived session, as Bench/Verify do; otherwise
+    * executor storage memory accumulates per call. The same contract
+    * covers every `ExactSubstr` entry point built on this
+    * ([[removeCrossDocRepeats]], [[removeLaterCopies]],
+    * [[removeLaterCopiesWithHistory]], [[wgramRecall]]). */
   private[text] def coverIntervals(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int,
       hash: Column => Column = Hash64.hash60): DataFrame = {
@@ -207,10 +218,26 @@ object ExactSubstr {
     * streaming keep-first sink runs this per epoch with the persisted
     * gram history; with `seenGrams = None` it IS the batch operator,
     * so batch/stream parity is by construction (StreamsSpec asserts
-    * it across a micro-batch boundary). */
+    * it across a micro-batch boundary).
+    *
+    * CACHING CONTRACT: persists its gram frame internally — see
+    * [[coverIntervals]]; `clearCache()` between calls in a long-lived
+    * session, or use [[removeLaterCopiesTracked]] to unpersist the
+    * exact frame (the streaming sink's per-epoch path). */
   def removeLaterCopiesWithHistory(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, seenGrams: Option[DataFrame],
-      hash: Column => Column = Hash64.hash60): DataFrame = {
+      hash: Column => Column = Hash64.hash60): DataFrame =
+    removeLaterCopiesTracked(docs, idCol, textCol, minLen, seenGrams,
+      hash)._1
+
+  /** [[removeLaterCopiesWithHistory]] plus the internally-persisted
+    * gram frame, so a caller that MATERIALIZES the result in the same
+    * step (the streaming sink's epoch body) can `unpersist()` precisely
+    * instead of session-wide `clearCache()`. */
+  private[graft] def removeLaterCopiesTracked(docs: DataFrame,
+      idCol: String, textCol: String, minLen: Int,
+      seenGrams: Option[DataFrame],
+      hash: Column => Column = Hash64.hash60): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val grams = gramHashes(docs, idCol, textCol, minLen, hash)
@@ -246,7 +273,7 @@ object ExactSubstr {
         (max(col("pos")) + lit(minLen.toLong - 1)).as("e"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("iv"))
-    stitch(docs, idCol, textCol, iv)
+    (stitch(docs, idCol, textCol, iv), grams)
   }
 
   /** Shared interval-excision rewrite (the [[removeCrossDocRepeats]]
@@ -348,7 +375,11 @@ object ExactSubstr {
     * Interval intersection is a per-doc fold over the two merged
     * interval lists (run-count-bounded arrays; Σ pairwise overlap is
     * exact because each list is disjoint). One summary row:
-    * (n_exact, n_approx, n_both, recall_micro, precision_micro). */
+    * (n_exact, n_approx, n_both, recall_micro, precision_micro).
+    *
+    * CACHING CONTRACT: persists the token and gram frames internally
+    * (each feeds ≥ 2 plan arms) — see [[coverIntervals]]; clearCache
+    * between invocations in a long-lived session. */
   def wgramRecall(docs: DataFrame, idCol: String, textCol: String,
       minLenChars: Int, w: Int = 7, minDf: Int = 2, minRunGrams: Int = 5,
       hash: Column => Column = Hash64.hash60): DataFrame = {
