@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Gopher, Retrieval, Spans, TextAnalysis}
+
+/** Unicode word segmentation for the word-level curation family
+  * (round-9 item 2): the four operators that previously saw the
+  * non-Latin fixture docs as empty token lists — Gopher rule gates,
+  * token rarity, TF-IDF keywords, bigram coherence — re-run with
+  * [[TextAnalysis.unicodeTokens]] (letter-class `\p{L}\p{M}\p{N}`,
+  * ASCII-only case fold; portability contract on its scaladoc) over
+  * corpus ∪ the multilingual fixture slice. Every query here is GATED
+  * on the fixture docs producing non-empty profiles (the oracle
+  * compares the fixture rows like any other row; MultilingualSpec
+  * additionally pins the exact fixture token lists). The ASCII-contract
+  * originals (q364/q74/q102/q96) are unchanged — this module is the
+  * multilingual face, not a replacement.
+  */
+object Multilingual extends QueryModule {
+
+  /** Corpus + the planted multilingual slice (the q356 union shape). */
+  private def allDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      .unionByName(TextDedup.multilingualPlanted.toDF("doc_id", "text"))
+  }
+
+  /** The same union as a DuckDB table expression. */
+  private val allDocsSql =
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT * FROM (VALUES ${TextDedup.multilingualPlantedValuesSql})
+       |   v(doc_id, text))""".stripMargin
+
+  private val utoks = TextAnalysis.unicodeToksSql("text")
+
+  /** minTokens for the unicode Gopher gate: the fixture docs are one
+    * sentence (~6–9 letter-class tokens), so 5 makes r_len a real
+    * verdict on them instead of a vacuous fail. */
+  private val gopherMinTokens = 5L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher hard gates with the letter-class tokenizer and the
+    // matching Unicode punctuation class: the Cyrillic/Greek/CJK
+    // fixture docs now profile n_tokens > 0 and their letters no
+    // longer count as "punctuation" (r_stop stays English-stopword by
+    // definition — the rule's published form).
+    "q388_gopher_unicode" -> ((s, dir) =>
+      Gopher.ruleGates(allDocs(s, dir), "doc_id", "text",
+        minTokens = gopherMinTokens,
+        tokenizer = TextAnalysis.unicodeTokens,
+        punctRe = Gopher.unicodePunctRe)),
+
+    // Corpus-relative token rarity over letter-class units: fixture
+    // docs get real (n_tokens, df_sum) profiles — their tokens are
+    // corpus-hapax, so rarity ≈ 1, the honest verdict for docs the
+    // ASCII route scored as token-free.
+    "q389_rarity_unicode" -> ((s, dir) =>
+      Spans.tokenRarity(allDocs(s, dir), "doc_id", "text",
+        TextAnalysis.unicodeTokens)),
+
+    // Per-doc TF-IDF keywords over letter-class units (top-5; the
+    // q102 contract otherwise): multilingual docs surface their own
+    // script's keywords instead of dropping out.
+    "q390_tfidf_unicode" -> ((s, dir) =>
+      Retrieval.tfidfKeywords(allDocs(s, dir), "doc_id", "text", 5,
+        TextAnalysis.unicodeTokens)),
+
+    // Bigram coherence over letter-class units: word-order signal now
+    // defined for accented-Latin/Cyrillic/Greek prose (CJK contributes
+    // run-bigrams per the unicodeTokens contract).
+    "q391_bigram_unicode" -> ((s, dir) =>
+      Spans.bigramCoherence(allDocs(s, dir), "doc_id", "text",
+        TextAnalysis.unicodeTokens)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q388_gopher_unicode" -> Gopher.ruleGatesOracleSql(
+      allDocsSql, "doc_id", utoks, minTokens = gopherMinTokens,
+      punctRe = Gopher.unicodePunctRe),
+
+    // q74's oracle shape over the union with the unicode fragment.
+    "q389_rarity_unicode" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(toks) AS h
+        |  FROM (SELECT doc_id, $utoks AS toks FROM $allDocsSql)
+        |), pg AS (
+        |  SELECT h, doc_id, count(*) AS k FROM t GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, k, count(*) OVER (PARTITION BY h) AS df FROM pg
+        |), nd AS (SELECT count(*) AS n_docs FROM $allDocsSql)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_tokens,
+        |       CAST(sum(k * df) AS BIGINT) AS df_sum,
+        |       1.0 - CAST(sum(k * df) AS DOUBLE)
+        |         / CAST(sum(k) * n_docs AS DOUBLE) AS rarity
+        |FROM wd, nd GROUP BY doc_id, n_docs""".stripMargin,
+
+    // q102's oracle shape over the union with the unicode fragment.
+    "q390_tfidf_unicode" ->
+      s"""WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($utoks) AS token FROM $allDocsSql)
+        |  GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, token, tf,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM tf
+        |), nd AS (SELECT count(*) AS n FROM $allDocsSql),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |         CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE)
+        |           AS score
+        |  FROM wd, nd
+        |)
+        |SELECT doc_id, rn, token, tf, df, score FROM (
+        |  SELECT doc_id, token, tf, df, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, token) AS BIGINT) AS rn
+        |  FROM scored
+        |) WHERE rn <= 5""".stripMargin,
+
+    // q96's oracle shape over the union with the unicode fragment.
+    "q391_bigram_unicode" ->
+      s"""WITH t AS (SELECT doc_id, $utoks AS toks FROM $allDocsSql),
+        |p AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS h
+        |  FROM t WHERE len(toks) >= 2
+        |), pg AS (
+        |  SELECT h, doc_id, count(*) AS k FROM p GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT doc_id, k, sum(k) OVER (PARTITION BY h) AS cf FROM pg
+        |), tot AS (
+        |  SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_total
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(k * cf) AS BIGINT) AS cf_sum,
+        |       CAST(CAST(sum(k * cf) AS BIGINT) AS DOUBLE)
+        |         / (CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
+        |            * CAST(n_total AS DOUBLE)) AS coherence
+        |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin)
+}

@@ -23,11 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Gopher {
 
-  /** @return (idCol, n_tokens, sum_len, n_digit, n_stop, n_punct,
+  /** r_punct's "not punctuation" classes — Java and RE2 read both
+    * spellings identically (char class / Unicode general categories). */
+  val asciiPunctRe = "[^a-zA-Z0-9 ]"
+  val unicodePunctRe = "[^\\p{L}\\p{M}\\p{N} ]"
+
+  /** @param tokenizer pluggable unit extractor (the round-9 seam):
+    *        [[TextAnalysis.tokens]] (ASCII, default — existing oracles
+    *        unchanged) or [[TextAnalysis.unicodeTokens]] (letter-class,
+    *        multilingual). `punctRe` must match the tokenizer's
+    *        alphabet: chars OUTSIDE `punctRe`'s class count as
+    *        "punctuation", so the ASCII default would damn every
+    *        non-ASCII letter — pass `unicodePunctRe` with
+    *        `unicodeTokens`.
+    * @return (idCol, n_tokens, sum_len, n_digit, n_stop, n_punct,
     *         n_chars, r_len, r_mean, r_digit, r_stop, r_punct, pass) */
   def ruleGates(docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Long = 50L, maxTokens: Long = 100000L): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      tokenizer: Column => Column = TextAnalysis.tokens,
+      punctRe: String = asciiPunctRe): DataFrame = {
+    val toks = tokenizer(col(textCol))
     val base = docs.select(col(idCol), col(textCol).as("__t"),
       toks.as("__toks"))
       .select(col(idCol),
@@ -40,7 +55,7 @@ object Gopher {
           array(TextAnalysis.stopEn.map(lit): _*))).cast("long")
           .as("n_stop"),
         (length(col("__t")) -
-          length(regexp_replace(col("__t"), "[^a-zA-Z0-9 ]", "")))
+          length(regexp_replace(col("__t"), punctRe, "")))
           .cast("long").as("n_punct"),
         length(col("__t")).cast("long").as("n_chars"))
     base
@@ -204,7 +219,8 @@ object Gopher {
     * cross-multiplied verdicts. `toksSql` mirrors
     * [[TextAnalysis.tokens]]. */
   def ruleGatesOracleSql(table: String, idName: String, toksSql: String,
-      minTokens: Long = 50L, maxTokens: Long = 100000L): String = {
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      punctRe: String = asciiPunctRe): String = {
     val stop = TextAnalysis.stopEn.map(w => s"'$w'").mkString(", ")
     s"""WITH b AS (
        |  SELECT $idName,
@@ -217,7 +233,7 @@ object Gopher {
        |         CAST(len(list_intersect(list_distinct(toks),
        |           [$stop])) AS BIGINT) AS n_stop,
        |         CAST(length(text) - length(regexp_replace(text,
-       |           '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+       |           '$punctRe', '', 'g')) AS BIGINT) AS n_punct,
        |         CAST(length(text) AS BIGINT) AS n_chars
        |  FROM (SELECT $idName, text, $toksSql AS toks FROM $table)
        |)

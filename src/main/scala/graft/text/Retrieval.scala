@@ -87,12 +87,13 @@ object Retrieval {
     * @return (idCol, rn, token, tf, df, score) — rn 1..k by
     *         (score desc, token asc), deterministic cross-engine */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.select(count(lit(1)).as("__n")) // 1 row
     val tf = docs
       .select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        explode(tokenizer(col(textCol))).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
     tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("token"))))

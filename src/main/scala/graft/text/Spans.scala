@@ -404,12 +404,15 @@ object Spans {
     * is bit-reproducible and oracle-able; a Σlog formulation would be
     * neither — the BM25 idf lesson).
     *
+    * @param tokenizer pluggable unit extractor ([[TextAnalysis.tokens]]
+    *        default; [[TextAnalysis.unicodeTokens]] for multilingual)
     * @return (idCol, n_tokens, df_sum, rarity); token-free docs drop out */
-  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     val nDocs = docs.select(count(lit(1)).as("__n_docs")) // 1 row
     unitDf(docs, idCol, d => d
         .select(col(idCol),
-          explode(TextAnalysis.tokens(col(textCol))).as("h")))
+          explode(tokenizer(col(textCol))).as("h")))
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_tokens"),
         sum(col("k") * col("df")).as("df_sum"))
@@ -440,12 +443,15 @@ object Spans {
     * comes from a scan-side `size(tokens)` pass (no explode) and
     * broadcasts.
     *
+    * @param tokenizer pluggable unit extractor ([[TextAnalysis.tokens]]
+    *        default; [[TextAnalysis.unicodeTokens]] for multilingual)
     * @return (idCol, n_bigrams, cf_sum, coherence); docs with < 2 tokens
     *         have no bigrams and drop out */
-  def bigramCoherence(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramCoherence(docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol),
-      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      tokenizer(col(textCol)).as("__toks"))
     val n = org.apache.spark.sql.functions.size(col("__toks"))
     val pairs = toks.filter(n >= 2)
       .select(col(idCol), explode(zip_with(

@@ -30,6 +30,45 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  private val asciiUpper = ('A' to 'Z').mkString
+  private val asciiLower = ('a' to 'z').mkString
+
+  /** Unicode LETTER-CLASS word tokenizer — extends the word-level
+    * curation family ([[graft.text.Gopher]] rules, token rarity,
+    * TF-IDF, bigram coherence) to accented-Latin / Cyrillic / Greek
+    * text that [[tokens]]' deliberate ASCII contract reduces to
+    * boundary soup. Tokens are maximal runs of `\p{L}\p{M}\p{N}`
+    * (letters, combining marks so NFD accents don't split, digits);
+    * everything else separates.
+    *
+    * Portability contract (each choice exists to keep Spark's Java
+    * regex and DuckDB's RE2 bit-identical):
+    *  - case folding is ASCII-ONLY, via `translate` (a pure codepoint
+    *    map on both engines). Full Unicode `lower()` is context- and
+    *    library-dependent — Java applies the Greek final-sigma special
+    *    case, DuckDB simple-maps — so non-ASCII capitals keep their
+    *    case and `Это`/`это` are distinct tokens (documented; callers
+    *    wanting aggressive folding normalize upstream);
+    *  - `\p{L}/\p{M}/\p{N}` are Unicode general categories in BOTH
+    *    Java and RE2 (the [[preTokenRe]] precedent); BMP contract as
+    *    everywhere (astral input is byte-identical on both engines but
+    *    length-counts differ — the q354 note);
+    *  - UNSEGMENTED scripts (CJK) come out as whole letter-runs, not
+    *    words — dictionary segmentation is out of scope by design; the
+    *    char-level routes (char-shingle minhash q134, char BPE q308,
+    *    byte-fallback q356) are the CJK path. A run token is still a
+    *    non-empty, honest unit for df/rarity-style statistics. */
+  def unicodeTokens(text: Column): Column =
+    filter(split(translate(text, asciiUpper, asciiLower),
+      "[^\\p{L}\\p{M}\\p{N}]+"), t => t =!= "")
+
+  /** DuckDB fragment mirroring [[unicodeTokens]] over `textExpr` —
+    * RE2 reads the identical class spelling. */
+  def unicodeToksSql(textExpr: String): String =
+    s"list_filter(string_split_regex(translate($textExpr, " +
+      s"'$asciiUpper', '$asciiLower'), " +
+      "'[^\\p{L}\\p{M}\\p{N}]+'), x -> x <> '')"
+
   /** Token count WITHOUT materializing the token array — the native
     * [[graft.functions.TokenCount]] byte-scan (value-identical to
     * `size(tokens(text))`, which remains the oracle formulation). Use
