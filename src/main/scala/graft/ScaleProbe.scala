@@ -34,6 +34,10 @@ object ScaleProbe {
     lazy val charMerges = text.Bpe
       .trainMerges(t.documents, "doc_id", "text", 16, text.Bpe.charSymbols)
       .map(x => (x._2, x._3))
+    lazy val byteMerges = text.Bpe
+      .trainMerges(t.documents, "doc_id", "text", 12,
+        text.Bpe.byteFallbackSymbols)
+      .map(x => (x._2, x._3))
     def time(name: String)(f: => Long): Unit =
       if (only.forall(_.exists(name.startsWith))) {
         val t0 = System.nanoTime()
@@ -45,8 +49,10 @@ object ScaleProbe {
     // family is selected — otherwise the x1 probe silently includes the
     // 16-round training cost and the scaling ratio reads nonsense
     if (only.forall(_.exists(p =>
-        "bpe_encode".startsWith(p) || "bpe_char_encode".startsWith(p)))) {
-      wordMerges; charMerges; ()
+        "bpe_encode".startsWith(p) || "bpe_char_encode".startsWith(p) ||
+        "bpe_byte_encode".startsWith(p) ||
+        "bpe_byte_roundtrip".startsWith(p)))) {
+      wordMerges; charMerges; byteMerges; ()
     }
 
     for (m <- Seq(1, mult)) {
@@ -350,6 +356,37 @@ object ScaleProbe {
       time(s"bpe_char_encode_x$m") {
         text.Bpe.encode(docsB, "doc_id", "text", charMerges,
           text.Bpe.charSymbols).count()
+      }
+      // round-9 item 4: the byte-fallback family's claimed corpus-size-
+      // independence of the merge REPLAY (per-round cost = merge count,
+      // not corpus size) — encode must scale linearly in rows. The
+      // round-trip probe adds q357's per-doc reassembly; its length sum
+      // is forced so column pruning can't skip the string rebuild (the
+      // q112 lesson).
+      time(s"bpe_byte_encode_x$m") {
+        text.Bpe.encode(docsB, "doc_id", "text", byteMerges,
+          text.Bpe.byteFallbackSymbols).count()
+      }
+      time(s"bpe_byte_roundtrip_x$m") {
+        val enc = text.Bpe.encode(docsB, "doc_id", "text", byteMerges,
+          text.Bpe.byteFallbackSymbols)
+        val r = enc.groupBy(col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("symbol")))),
+            e => e.getField("symbol")), "").as("__enc"))
+          .agg(count(lit(1)).as("n"), sum(length(col("__enc"))).as("len"))
+          .head()
+        r.getLong(0)
+      }
+      // round-9 item 3: the composed curation pipeline end to end —
+      // gates + dedup + attrition; replicas are exact dups by id shift,
+      // so the dedup stage does (m−1)/m of the dropping while every
+      // gate still scans the full m× corpus.
+      time(s"curate_pipeline_x$m") {
+        text.Curate.attrition(docsB, "doc_id", "text",
+          Seq("table scan merge", "join order", "batch batch batch",
+            "slow query", "data line", "purple elephant parade"),
+          minTokens = 10L).count()
       }
       // FFD bin-packing at the contract shape: shard count scales with
       // the corpus so per-task fold state stays constant-sized

@@ -32,6 +32,31 @@ object Curation extends QueryModule {
 
   private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** q392/q393 input: corpus with planted self-repetition (%13 texts
+    * doubled — the repetition gate's work) and exact duplicates (%7
+    * docs re-issued under shifted ids — the dedup stage's work);
+    * repetition planted BEFORE duplication so copies stay exact. */
+  private def curateInput(base: org.apache.spark.sql.DataFrame) = {
+    val rep = base.select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    rep.unionAll(rep.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+  }
+
+  /** The same planted input as a DuckDB table expression. */
+  private val curateInputSql =
+    """(WITH rep AS (
+      |   SELECT doc_id,
+      |          CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
+      |               ELSE text END AS text
+      |   FROM documents)
+      | SELECT doc_id, text FROM rep
+      | UNION ALL
+      | SELECT doc_id + 500000 AS doc_id, text FROM rep
+      | WHERE doc_id % 7 = 0)""".stripMargin
+
   /** q55/q56 config — shared by the Spark plan and the oracle SQL. */
 
   /** q129: mixture-planner weights — heavy sources that must cap. */
@@ -700,6 +725,24 @@ object Curation extends QueryModule {
         "doc_id", "text")
     }),
 
+    // ONE-PLAN curation pipeline (round-9 item 3): the round-8 gates —
+    // Gopher rules + repetition coverage + blocklist + KN ceiling —
+    // composed with exact dedup and split as one lazy plan. Input
+    // plants work for every stage: doc_id%13 texts are self-doubled
+    // (repetition gate fires), doc_id%7 docs are duplicated under
+    // shifted ids (dedup fires); gopher/blocklist/kn are naturally
+    // selective on this corpus. q392 is the per-stage ATTRITION
+    // datasheet; q393 the released corpus with splits.
+    "q392_curation_attrition" -> ((s, dir) =>
+      graft.text.Curate.attrition(
+        curateInput(Tables(s, dir).documents), "doc_id", "text",
+        blockPhrases, minTokens = 10L)),
+
+    "q393_curation_survivors" -> ((s, dir) =>
+      graft.text.Curate.survivors(
+        curateInput(Tables(s, dir).documents), "doc_id", "text",
+        blockPhrases, minTokens = 10L, splits = corpusSplits)),
+
     // Gopher REPETITION rules: per doc, chars covered by duplicated
     // n-grams (n=5,10) as merged positional intervals over the
     // normalized token stream — the coverage half of the Gopher filter
@@ -1200,6 +1243,13 @@ object Curation extends QueryModule {
 
     "q377_gopher_repetition" -> graft.text.Gopher.dupNgramCoverageOracleSql(
       "documents", "doc_id", Text.toksSql),
+
+    "q392_curation_attrition" -> graft.text.Curate.attritionOracleSql(
+      curateInputSql, Text.toksSql, blockPhrases, minTokens = 10L),
+
+    "q393_curation_survivors" -> graft.text.Curate.survivorsOracleSql(
+      curateInputSql, Text.toksSql, blockPhrases, minTokens = 10L,
+      splits = corpusSplits),
 
     "q379_blocklist" -> graft.text.Blocklist.phraseHitsOracleSql(
       "documents", "doc_id", Text.toksSql, blockPhrases),

@@ -1,0 +1,243 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** The ONE-PLAN curation pipeline (round-9 item 3) — the round-8 gates
+  * composed the way [[Corpus.build]] composed sampling + dedup + split:
+  *
+  *   Gopher rule gates → repetition-coverage gates → phrase blocklist
+  *   → KN-perplexity ceiling → exact dedup (keep-first) → split
+  *
+  * as one lazy DataFrame plan, plus the per-stage ATTRITION readout
+  * (docs and tokens dropped per gate — the datasheet number a corpus
+  * release publishes). A document is attributed to the FIRST stage
+  * that drops it, in the fixed order above, so per-stage drops sum to
+  * total attrition.
+  *
+  * SHUFFLE BUDGET (the plan a 100 TB corpus build wants):
+  *  - Gopher rules and the blocklist are pure scan-side projections —
+  *    ZERO shuffles (q364/q379 plans, unchanged);
+  *  - repetition coverage shuffles tokens DOC-KEYED once, then every
+  *    window/agg reuses that partitioning (q377's plan);
+  *  - the KN gate is one bigram-vocabulary aggregation (model size is
+  *    vocab², NOT corpus-sized) broadcast back, plus one doc-keyed
+  *    aggregation (q362's plan);
+  *  - the verdict joins are all doc-keyed equi-joins (co-partitioned
+  *    after AQE), the dedup is ONE fingerprint-keyed aggregation, and
+  *    the attrition readout is one 6-group aggregation plus a window
+  *    over the 6-row stage frame.
+  *  Nothing is ever all-pairs and no stage materializes the corpus.
+  *
+  * Token accounting uses the gate family's own unit
+  * ([[TextAnalysis.tokens]]); stage codes are stable public contract:
+  * 1 gopher, 2 repetition, 3 blocklist, 4 kn_perplexity, 5 exact_dedup.
+  */
+object Curate {
+
+  val stageNames: Seq[(Int, String)] = Seq(
+    1 -> "gopher", 2 -> "repetition", 3 -> "blocklist",
+    4 -> "kn_perplexity", 5 -> "exact_dedup")
+
+  /** Per-document verdict frame: (idCol, n_tokens, stage) with stage ∈
+    * 1..5 for dropped docs (first failing stage) and NULL for
+    * survivors. The KN reference model is the input corpus itself (the
+    * q362 self-reference form); docs the KN model cannot score (< 2
+    * tokens) fail stage 4 unless an earlier gate already took them. */
+  def verdicts(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val g = Gopher.ruleGates(docs, idCol, textCol, minTokens)
+      .select(col(idCol), col("n_tokens"), col("pass").as("__gp"))
+    val r = Gopher.dupNgramCoverage(docs, idCol, textCol, repNs)
+      .groupBy(col(idCol))
+      .agg((min(when(col("pass"), 1L).otherwise(0L)) === 1L).as("__rp"))
+    val b = Blocklist.phraseHits(docs, idCol, textCol, phrases)
+      .select(col(idCol), col("blocked").as("__bl"))
+    val k = LangModel.kneserNeyScore(docs, idCol, textCol, docs, textCol)
+      .select(col(idCol), col("mean_bits_micro").as("__kb"))
+    g.join(r, Seq(idCol)).join(b, Seq(idCol))
+      .join(k, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(!col("__gp"), 1)
+          .when(!col("__rp"), 2)
+          .when(col("__bl"), 3)
+          .when(!coalesce(col("__kb") <= maxMeanBitsMicro, lit(false)), 4)
+          .cast("int").as("stage"))
+  }
+
+  /** [[verdicts]] extended through the dedup stage: gate-passers that
+    * are a later exact copy (normalized fingerprint, keep lowest id)
+    * get stage 5; survivors keep stage NULL. */
+  private def verdictsWithDedup(docs: DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String], minTokens: Long,
+      maxMeanBitsMicro: Long, repNs: Seq[Int]): DataFrame = {
+    val v = verdicts(docs, idCol, textCol, phrases, minTokens,
+      maxMeanBitsMicro, repNs)
+    val keep = v.filter(col("stage").isNull)
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .select(col("__keep_id").as(idCol), lit(true).as("__kept"))
+    v.join(keep, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("stage"),
+          when(col("__kept").isNull, 5)).cast("int").as("stage"))
+  }
+
+  /** Surviving corpus with split assignment:
+    * (idCol, n_tokens, split). */
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L, repNs: Seq[Int] = Seq(5, 10),
+      salt: String = "curate",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    Sampling.assignSplit(
+      verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
+        maxMeanBitsMicro, repNs).filter(col("stage").isNull)
+        .select(col(idCol), col("n_tokens")),
+      col(idCol), salt, splits)
+      .select(col(idCol), col("n_tokens"), col("split"))
+
+  /** The DATASHEET: one row per stage —
+    * (stage_ord, stage, docs_in, docs_dropped, tokens_in,
+    * tokens_dropped) — where docs_in/tokens_in are what ENTERED the
+    * stage (sequential attrition, so docs_in(k+1) =
+    * docs_in(k) − docs_dropped(k)); the survivor line is stage_ord 6
+    * with zero drops (docs_in = the released corpus). */
+  def attrition(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pd = verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
+      maxMeanBitsMicro, repNs)
+    val byStage = pd.filter(col("stage").isNotNull)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("__d"), sum(col("n_tokens")).as("__t"))
+    val tot = pd.agg(count(lit(1)).as("__nd"),
+      sum(col("n_tokens")).as("__nt")) // 1 row
+    val stages = (stageNames :+ (6 -> "released"))
+      .toDF("stage_ord", "stage")
+    val w = Window.orderBy(col("stage_ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages
+      .join(byStage.withColumnRenamed("stage", "stage_ord"),
+        Seq("stage_ord"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("docs_dropped", coalesce(col("__d"), lit(0L)))
+      .withColumn("tokens_dropped", coalesce(col("__t"), lit(0L)))
+      .withColumn("docs_in",
+        col("__nd") - coalesce(sum(col("docs_dropped")).over(w), lit(0L)))
+      .withColumn("tokens_in",
+        col("__nt") - coalesce(sum(col("tokens_dropped")).over(w), lit(0L)))
+      .select(col("stage_ord").cast("long").as("stage_ord"), col("stage"),
+        col("docs_in"), col("docs_dropped"), col("tokens_in"),
+        col("tokens_dropped"))
+  }
+
+  /** DuckDB oracle CTE for the per-doc staged verdict over `tableSql`
+    * (must yield (doc_id, text)) — composes the component oracles
+    * verbatim, so the pipeline oracle can never drift from the
+    * single-gate oracles (q364/q377/q379/q362). Yields
+    * (doc_id, n_tokens, stage) with the [[verdictsWithDedup]]
+    * semantics. */
+  private def perDocOracleSql(tableSql: String, toksSql: String,
+      phrases: Seq[String], minTokens: Long, maxMeanBitsMicro: Long,
+      repNs: Seq[Int]): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, n_tokens, pass AS gp
+       |  FROM (${Gopher.ruleGatesOracleSql(tableSql, "doc_id", toksSql,
+                  minTokens = minTokens)})
+       |), r AS (
+       |  SELECT doc_id, min(CASE WHEN pass THEN 1 ELSE 0 END) = 1 AS rp
+       |  FROM (${Gopher.dupNgramCoverageOracleSql(tableSql, "doc_id",
+                  toksSql, repNs)})
+       |  GROUP BY 1
+       |), b AS (
+       |  SELECT doc_id, blocked AS bl
+       |  FROM (${Blocklist.phraseHitsOracleSql(tableSql, "doc_id",
+                  toksSql, phrases)})
+       |), k AS (
+       |  SELECT doc_id, mean_bits_micro AS kb
+       |  FROM (${LangModel.kneserNeyScoreOracleSql(
+                  s"SELECT doc_id, $toksSql AS toks FROM $tableSql",
+                  s"SELECT doc_id, $toksSql AS toks FROM $tableSql")})
+       |), v AS (
+       |  SELECT g.doc_id, g.n_tokens,
+       |         CASE WHEN NOT g.gp THEN 1
+       |              WHEN NOT r.rp THEN 2
+       |              WHEN b.bl THEN 3
+       |              WHEN NOT coalesce(k.kb <= $maxMeanBitsMicro, false)
+       |                THEN 4
+       |         END AS gstage
+       |  FROM g JOIN r USING (doc_id) JOIN b USING (doc_id)
+       |    LEFT JOIN k USING (doc_id)
+       |), fp AS (
+       |  SELECT v.doc_id, row_number() OVER (
+       |    PARTITION BY md5(trim(regexp_replace(lower(i.text),
+       |      '\\s+', ' ', 'g')))
+       |    ORDER BY v.doc_id) AS rn
+       |  FROM v JOIN $tableSql i USING (doc_id)
+       |  WHERE v.gstage IS NULL
+       |)
+       |SELECT v.doc_id, v.n_tokens,
+       |       CAST(coalesce(v.gstage,
+       |         CASE WHEN f.rn > 1 THEN 5 END) AS INTEGER) AS stage
+       |FROM v LEFT JOIN fp f USING (doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[attrition]]. */
+  def attritionOracleSql(tableSql: String, toksSql: String,
+      phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10)): String = {
+    val names = (stageNames :+ (6 -> "released"))
+      .map { case (o, n) => s"($o, '$n')" }.mkString(", ")
+    s"""WITH pd AS (${perDocOracleSql(tableSql, toksSql, phrases,
+          minTokens, maxMeanBitsMicro, repNs)}),
+       |bys AS (
+       |  SELECT stage, CAST(count(*) AS BIGINT) AS d,
+       |         CAST(sum(n_tokens) AS BIGINT) AS t
+       |  FROM pd WHERE stage IS NOT NULL GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(n_tokens) AS BIGINT) AS nt
+       |  FROM pd
+       |), st AS (SELECT * FROM (VALUES $names) s(stage_ord, stage))
+       |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+       |       CAST(nd - coalesce(sum(docs_dropped) OVER w, 0) AS BIGINT)
+       |         AS docs_in,
+       |       docs_dropped,
+       |       CAST(nt - coalesce(sum(tokens_dropped) OVER w, 0) AS BIGINT)
+       |         AS tokens_in,
+       |       tokens_dropped
+       |FROM (
+       |  SELECT st.stage_ord, st.stage,
+       |         CAST(coalesce(bys.d, 0) AS BIGINT) AS docs_dropped,
+       |         CAST(coalesce(bys.t, 0) AS BIGINT) AS tokens_dropped
+       |  FROM st LEFT JOIN bys ON st.stage_ord = bys.stage
+       |), tot
+       |WINDOW w AS (ORDER BY stage_ord
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[survivors]]. */
+  def survivorsOracleSql(tableSql: String, toksSql: String,
+      phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L, repNs: Seq[Int] = Seq(5, 10),
+      salt: String = "curate",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): String =
+    s"""WITH pd AS (${perDocOracleSql(tableSql, toksSql, phrases,
+          minTokens, maxMeanBitsMicro, repNs)})
+       |SELECT doc_id, n_tokens,
+       |       ${Sampling.splitCaseSql("doc_id", salt, splits)} AS split
+       |FROM pd WHERE stage IS NULL""".stripMargin
+}
