@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Curate
+
+/** Hand-derived fixture for the one-plan curation pipeline: five docs,
+  * one engineered to drop at each stage, attrition chain checked cell
+  * by cell (the q392/q393 oracles re-prove the same operators against
+  * DuckDB over the corpus at both SFs).
+  */
+class CurateSpec extends SparkSuite {
+  import spark.implicits._
+
+  // d1 passes everything; d2 fails gopher (1 token < 3);
+  // d3 is d1's sentence doubled (dup 5-grams cover ~all chars -> the
+  // repetition ladder fails); d4 carries the banned phrase; d5 is an
+  // exact copy of d1 (dedup keeps the lower id).
+  private val base = "the quick brown fox jumps over a lazy dog today"
+  private def docs = Seq(
+    (1L, base),
+    (2L, "xx"),
+    (3L, s"$base $base"),
+    (4L, "the quick brown fox has a bad phrase inside it now"),
+    (5L, base)).toDF("doc_id", "text")
+
+  private val phrases = Seq("bad phrase")
+
+  test("attrition: one doc drops at each stage, chain sums exactly") {
+    val rows = Curate.attrition(docs, "doc_id", "text", phrases,
+        minTokens = 3L, maxMeanBitsMicro = 21000000L)
+      .orderBy(col("stage_ord")).collect()
+    // (stage, docs_in, docs_dropped, tokens_in, tokens_dropped)
+    // token counts: d1=10, d2=1, d3=20, d4=11, d5=10 -> 52 in
+    val expected = Seq(
+      ("gopher", 5L, 1L, 52L, 1L), // d2
+      ("repetition", 4L, 1L, 51L, 20L), // d3
+      ("blocklist", 3L, 1L, 31L, 11L), // d4
+      ("kn_perplexity", 2L, 0L, 20L, 0L), // ceiling 21e6 = max bits
+      ("exact_dedup", 2L, 1L, 20L, 10L), // d5 (d1 kept: lower id)
+      ("released", 1L, 0L, 10L, 0L))
+    assert(rows.length == 6)
+    rows.zip(expected).foreach { case (r, (st, di, dd, ti, td)) =>
+      assert(r.getString(1) == st)
+      assert(r.getLong(2) == di, s"$st docs_in")
+      assert(r.getLong(3) == dd, s"$st docs_dropped")
+      assert(r.getLong(4) == ti, s"$st tokens_in")
+      assert(r.getLong(5) == td, s"$st tokens_dropped")
+    }
+  }
+
+  test("kn ceiling 0 drops every gate-passer at stage 4, before dedup") {
+    val rows = Curate.attrition(docs, "doc_id", "text", phrases,
+        minTokens = 3L, maxMeanBitsMicro = 0L)
+      .orderBy(col("stage_ord")).collect()
+    val byStage = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(byStage("kn_perplexity") == 2L) // d1 and d5
+    assert(byStage("exact_dedup") == 0L) // nothing left to dedup
+    val released = rows.find(_.getString(1) == "released").get
+    assert(released.getLong(2) == 0L)
+  }
+
+  test("survivors: the kept doc with a deterministic split label") {
+    val s = Curate.survivors(docs, "doc_id", "text", phrases,
+      minTokens = 3L, maxMeanBitsMicro = 21000000L).collect()
+    assert(s.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(s.head.getLong(1) == 10L)
+    assert(Set("train", "val", "test").contains(s.head.getString(2)))
+  }
+
+  test("verdicts: first-failing-stage attribution is the documented order") {
+    val v = Curate.verdicts(docs, "doc_id", "text", phrases,
+        minTokens = 3L, maxMeanBitsMicro = 21000000L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(v(1L).isEmpty)
+    assert(v(2L).contains(1)) // gopher, even though it also has no bigrams
+    assert(v(3L).contains(2))
+    assert(v(4L).contains(3))
+    assert(v(5L).isEmpty) // dedup is not a verdicts-stage: stage 5 comes later
+  }
+}
