@@ -74,7 +74,30 @@ object Multilingual extends QueryModule {
     // run-bigrams per the unicodeTokens contract).
     "q391_bigram_unicode" -> ((s, dir) =>
       Spans.bigramCoherence(allDocs(s, dir), "doc_id", "text",
-        TextAnalysis.unicodeTokens)))
+        TextAnalysis.unicodeTokens)),
+
+    // Multilingual decontamination: the q55 n-gram containment check
+    // with letter-class units, benchmark = the %11 slice PLUS the
+    // Cyrillic fixture doc 9100003. Its near-identical twin 9100004
+    // (differs only in final punctuation) sits in the corpus side and
+    // MUST flag — the ASCII route tokenizes both to [] and misses the
+    // leak by construction (q355's documented contract); this gate
+    // proves the unicode route closes it. w = 7 so the 7-token fixture
+    // doc contributes a real shingle.
+    "q394_decontam_unicode" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = TextDedup.multilingualPlanted.toDF("doc_id", "text")
+      val corpus = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 11 =!= 0)
+        .unionByName(fixture.filter(col("doc_id") =!= 9100003L))
+      val bench = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 11 === 0)
+        .unionByName(fixture.filter(col("doc_id") === 9100003L))
+      graft.text.Decontaminate.overlap(corpus, bench, "doc_id", "text",
+        w = 7, tokenizer = TextAnalysis.unicodeTokens)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q388_gopher_unicode" -> Gopher.ruleGatesOracleSql(
@@ -144,5 +167,33 @@ object Multilingual extends QueryModule {
         |       CAST(CAST(sum(k * cf) AS BIGINT) AS DOUBLE)
         |         / (CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
         |            * CAST(n_total AS DOUBLE)) AS coherence
-        |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin)
+        |FROM wd, tot GROUP BY doc_id, n_total""".stripMargin,
+
+    // q55's oracle shape with unicode units and the fixture split.
+    "q394_decontam_unicode" ->
+      s"""WITH fix AS (
+        |  SELECT * FROM (VALUES ${TextDedup.multilingualPlantedValuesSql})
+        |    v(doc_id, text)
+        |), corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL SELECT doc_id, text FROM fix WHERE doc_id <> 9100003
+        |), bench_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, text FROM fix WHERE doc_id = 9100003
+        |), sh AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      ${graft.dedup.NearDup.duckShinglesSql(7)})) AS g
+        |    FROM (SELECT doc_id, $utoks AS toks FROM corpus)
+        |  ) WHERE g <> ''
+        |), bg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_distinct(
+        |      ${graft.dedup.NearDup.duckShinglesSql(7)})) AS g
+        |    FROM (SELECT doc_id, $utoks AS toks FROM bench_docs)
+        |  ) WHERE g <> ''
+        |)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN bg b USING (g)
+        |GROUP BY 1""".stripMargin)
 }

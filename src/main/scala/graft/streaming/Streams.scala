@@ -549,6 +549,100 @@ object Streams {
       .start()
   }
 
+  /** Streaming CURATION PIPELINE — the one-plan batch pipeline
+    * ([[graft.text.Curate]], q392/q393) run epoch by epoch: every
+    * micro-batch passes the four gates (Gopher rules, repetition
+    * coverage, blocklist, KN-perplexity ceiling — ALL per-doc
+    * deterministic given the FIXED `knRef` reference model, so an
+    * epoch's verdicts equal the batch run's verdicts exactly), then
+    * gate-passers dedup against the persisted fingerprint HISTORY (the
+    * [[incrementalCorpusSink]] machinery — one slim md5 row per
+    * released doc, never historical text), survivors get their split
+    * and append to `outDir`, and the epoch's ATTRITION rows (per-stage
+    * docs/tokens dropped + a released line, tagged with the epoch)
+    * append to `statsDir` — the datasheet accumulates as the corpus
+    * streams in, so Σ over epochs equals the batch datasheet on the
+    * union (StreamsSpec asserts both parities).
+    *
+    * Replay contract = the corpus sink's: committed epochs never
+    * re-append; a crash between appends can duplicate output rows of
+    * the torn epoch while the history append self-heals. */
+  def curationPipelineSink(docsStream: DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String], knRef: DataFrame,
+      historyDir: String, outDir: String, statsDir: String,
+      markerDir: String, checkpoint: String,
+      minTokens: Long = 50L, maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10), salt: String = "curate",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val guarded = idempotentSink(markerDir) { (_, batch, epochId) =>
+      val spark = batch.sparkSession
+      val v = graft.text.Curate.verdicts(batch, idCol, textCol, phrases,
+        minTokens, maxMeanBitsMicro, repNs, Some(knRef)).persist()
+      try {
+        val passers = v.filter(col("stage").isNull)
+          .select(col(idCol), col("n_tokens"))
+          .join(batch.select(col(idCol), col(textCol)), Seq(idCol))
+        val history =
+          if (stateDirExists(spark, historyDir))
+            spark.read.parquet(historyDir).select(col("__fp"))
+          else spark.emptyDataFrame
+            .select(lit("").as("__fp")).filter(lit(false))
+        val fresh = graft.text.Corpus
+          .incremental(passers, idCol, textCol, history).persist()
+        try {
+          graft.ops.Sampling.assignSplit(
+              fresh.select(col(idCol), col("n_tokens")),
+              col(idCol), salt, splits)
+            .select(col(idCol), col("n_tokens"), col("split"))
+            .write.mode("append").parquet(outDir)
+          // per-epoch datasheet: gate drops from the verdict frame,
+          // dedup drops = passers the history/batch dedup removed,
+          // released = what shipped this epoch. Written BEFORE the
+          // history append: `fresh` reads historyDir lazily, and a
+          // recomputation AFTER the append would see this epoch's own
+          // fingerprints and dedup-drop its own survivors (the
+          // read-own-write hazard the incremental rollup sink's
+          // versioned snapshots exist to avoid)
+          val gateDrops = v.filter(col("stage").isNotNull)
+            .groupBy(col("stage").cast("long").as("stage_ord"))
+            .agg(count(lit(1)).as("docs"),
+              sum(col("n_tokens")).as("tokens"))
+          val dedupDrop = passers
+            .join(fresh.select(col(idCol)), Seq(idCol), "left_anti")
+            .agg(count(lit(1)).as("docs"),
+              coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+            .select(lit(5L).as("stage_ord"), col("docs"), col("tokens"))
+          val released = fresh
+            .agg(count(lit(1)).as("docs"),
+              coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+            .select(lit(6L).as("stage_ord"), col("docs"), col("tokens"))
+          val names = (graft.text.Curate.stageNames :+ (6 -> "released"))
+          val nameExpr = names.tail.foldLeft(
+            when(col("stage_ord") === names.head._1, names.head._2)) {
+            case (acc, (o, n)) => acc.when(col("stage_ord") === o, n)
+          }
+          gateDrops.unionByName(dedupDrop).unionByName(released)
+            .withColumn("stage", nameExpr)
+            .withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(statsDir)
+          fresh.select(graft.text.TextAnalysis.fingerprint(col(textCol))
+              .as("__fp"))
+            .write.mode("append").parquet(historyDir)
+        } finally { fresh.unpersist(); () }
+      } finally { v.unpersist(); () }
+    }
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) guarded("curate", batch, epochId)
+      }
+      .start()
+  }
+
   /** Streaming incremental NEAR-dup — [[incrementalCorpusSink]]'s exact
     * fingerprints upgraded to MinHash: each micro-batch computes k-long
     * signatures, LSH-bands them against a PERSISTED signature history

@@ -43,13 +43,17 @@ object Curate {
 
   /** Per-document verdict frame: (idCol, n_tokens, stage) with stage ∈
     * 1..5 for dropped docs (first failing stage) and NULL for
-    * survivors. The KN reference model is the input corpus itself (the
-    * q362 self-reference form); docs the KN model cannot score (< 2
-    * tokens) fail stage 4 unless an earlier gate already took them. */
+    * survivors. The KN reference model trains on `knRef` — default the
+    * input corpus itself (the q362 self-reference form); the streaming
+    * sink passes a FIXED external reference so every epoch gates
+    * against the same model (per-doc determinism = exact batch parity).
+    * Docs the KN model cannot score (< 2 tokens) fail stage 4 unless an
+    * earlier gate already took them. */
   def verdicts(docs: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String], minTokens: Long = 50L,
       maxMeanBitsMicro: Long = 5500000L,
-      repNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+      repNs: Seq[Int] = Seq(5, 10),
+      knRef: Option[DataFrame] = None): DataFrame = {
     val g = Gopher.ruleGates(docs, idCol, textCol, minTokens)
       .select(col(idCol), col("n_tokens"), col("pass").as("__gp"))
     val r = Gopher.dupNgramCoverage(docs, idCol, textCol, repNs)
@@ -57,7 +61,8 @@ object Curate {
       .agg((min(when(col("pass"), 1L).otherwise(0L)) === 1L).as("__rp"))
     val b = Blocklist.phraseHits(docs, idCol, textCol, phrases)
       .select(col(idCol), col("blocked").as("__bl"))
-    val k = LangModel.kneserNeyScore(docs, idCol, textCol, docs, textCol)
+    val k = LangModel.kneserNeyScore(docs, idCol, textCol,
+        knRef.getOrElse(docs), textCol)
       .select(col(idCol), col("mean_bits_micro").as("__kb"))
     g.join(r, Seq(idCol)).join(b, Seq(idCol))
       .join(k, Seq(idCol), "left")
@@ -74,9 +79,10 @@ object Curate {
     * get stage 5; survivors keep stage NULL. */
   private def verdictsWithDedup(docs: DataFrame, idCol: String,
       textCol: String, phrases: Seq[String], minTokens: Long,
-      maxMeanBitsMicro: Long, repNs: Seq[Int]): DataFrame = {
+      maxMeanBitsMicro: Long, repNs: Seq[Int],
+      knRef: Option[DataFrame] = None): DataFrame = {
     val v = verdicts(docs, idCol, textCol, phrases, minTokens,
-      maxMeanBitsMicro, repNs)
+      maxMeanBitsMicro, repNs, knRef)
     val keep = v.filter(col("stage").isNull)
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
@@ -96,10 +102,11 @@ object Curate {
       maxMeanBitsMicro: Long = 5500000L, repNs: Seq[Int] = Seq(5, 10),
       salt: String = "curate",
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      knRef: Option[DataFrame] = None): DataFrame =
     Sampling.assignSplit(
       verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
-        maxMeanBitsMicro, repNs).filter(col("stage").isNull)
+        maxMeanBitsMicro, repNs, knRef).filter(col("stage").isNull)
         .select(col(idCol), col("n_tokens")),
       col(idCol), salt, splits)
       .select(col(idCol), col("n_tokens"), col("split"))
@@ -113,12 +120,13 @@ object Curate {
   def attrition(docs: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String], minTokens: Long = 50L,
       maxMeanBitsMicro: Long = 5500000L,
-      repNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+      repNs: Seq[Int] = Seq(5, 10),
+      knRef: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     val pd = verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
-      maxMeanBitsMicro, repNs)
+      maxMeanBitsMicro, repNs, knRef)
     val byStage = pd.filter(col("stage").isNotNull)
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("__d"), sum(col("n_tokens")).as("__t"))

@@ -31,17 +31,24 @@ object Decontaminate {
     *        between a corpus and a benchmark shingle (~2⁻⁶⁴ per pair) —
     *        the right trade in production, but Spark-only, so the oracle
     *        query (q55) keeps the string join.
+    * @param tokenizer pluggable unit extractor ([[TextAnalysis.tokens]]
+    *        default; [[TextAnalysis.unicodeTokens]] extends the check to
+    *        non-Latin benchmarks the ASCII contract tokenizes to empty —
+    *        a Cyrillic eval set leaking into a multilingual corpus is
+    *        invisible to the default route by construction)
     * @return (idCol, n_shared) — one row per contaminated document
     */
   def overlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, w: Int = 13, hashGrams: Boolean = false): DataFrame = {
+      textCol: String, w: Int = 13, hashGrams: Boolean = false,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextAnalysis.tokens): DataFrame = {
     // Empty/whitespace-only texts shingle to [""] via the short-doc path;
     // dropping the empty gram keeps "both docs are blank" from counting
     // as contamination.
     def sh(df: DataFrame): DataFrame = {
       // tokens materialize first — shingles() references them w+2 times
       val grams = df
-        .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol), tokenizer(col(textCol)).as("__toks"))
         .select(col(idCol),
           explode(array_distinct(NearDup.shingles(col("__toks"), w))).as("g"))
         .filter(col("g") =!= "")

@@ -873,4 +873,71 @@ class StreamsSpec extends SparkSuite {
       rowsOf(graft.text.Scripts.scriptMix(rows.toDF("doc_id", "text"),
         "doc_id", "text")))
   }
+
+  test("curation pipeline sink: epoch gates + history dedup match the batch pipeline exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog today"
+    val phrases = Seq("bad phrase")
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (hist, out, stats, mark, ckp) = (tmp("cur-hist"), tmp("cur-out"),
+      tmp("cur-stats"), tmp("cur-mark"), tmp("cur-ckp"))
+    Seq(hist, out, stats).foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+
+    def run(): Unit = {
+      val q = Streams.curationPipelineSink(docs, "doc_id", "text", phrases,
+        ref, hist, out, stats, mark, ckp, minTokens = 3L,
+        maxMeanBitsMicro = 21000000L, trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    // epoch 1: d1 survives; d2 fails gopher (1 token); d3 fails the
+    // repetition ladder (base doubled)
+    mem.addData((1L, base), (2L, "xx"), (3L, s"$base $base"))
+    run()
+    // epoch 2: d4 carries the banned phrase; d5 is an exact copy of d1
+    // (cross-epoch dedup against history); d6 is genuinely new
+    val d6 = "and it was entirely a new different document today"
+    mem.addData(
+      (4L, "the quick brown fox has a bad phrase inside it now"),
+      (5L, base), (6L, d6))
+    run()
+
+    // survivor parity: the released corpus equals the BATCH pipeline on
+    // the union (same knRef, same salt/splits -> same split labels)
+    val union = Seq((1L, base), (2L, "xx"), (3L, s"$base $base"),
+      (4L, "the quick brown fox has a bad phrase inside it now"),
+      (5L, base), (6L, d6)).toDF("doc_id", "text")
+    val batchRows = graft.text.Curate.survivors(union, "doc_id", "text",
+        phrases, minTokens = 3L, maxMeanBitsMicro = 21000000L,
+        knRef = Some(ref))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val streamRows = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("split"))).toSet
+    assert(streamRows == batchRows)
+    assert(streamRows.map(_._1) == Set(1L, 6L))
+
+    // attrition parity: per-stage drop totals across epochs equal the
+    // batch datasheet's drop column
+    val statDrops = spark.read.parquet(stats)
+      .groupBy(col("stage_ord"))
+      .agg(sum(col("docs")).as("d"), sum(col("tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batchDrops = graft.text.Curate.attrition(union, "doc_id", "text",
+        phrases, minTokens = 3L, maxMeanBitsMicro = 21000000L,
+        knRef = Some(ref))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(5), r.getLong(2))).toMap
+    for (s <- Seq(1L, 2L, 3L, 5L)) {
+      assert(statDrops.get(s).map(_._1).getOrElse(0L) == batchDrops(s)._1,
+        s"stage $s docs")
+      assert(statDrops.get(s).map(_._2).getOrElse(0L) == batchDrops(s)._2,
+        s"stage $s tokens")
+    }
+    assert(statDrops.get(4L).isEmpty || statDrops(4L)._1 == 0L)
+    // released line: sums across epochs = the batch released docs_in
+    assert(statDrops(6L)._1 == batchDrops(6L)._3)
+  }
 }
