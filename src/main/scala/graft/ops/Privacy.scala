@@ -142,4 +142,97 @@ object Privacy {
        |         / ${(2 * pNum - pDen).toDouble} AS est_true_ones
        |FROM r GROUP BY $keys""".stripMargin
   }
+
+  /** Exact integer cumulative-weight table for the truncated geometric
+    * mechanism: entries (k, c_k·2⁶⁰) for k = −K..K where
+    * w_k = aNum^|k|·aDen^(K−|k|) and c_k = Σ_{j ≤ k} w_j — computed in
+    * BigInt HERE and inlined as literals on both engines (the rboWeights
+    * device: no pow/exp/ln at query time, the q369 libm lesson). Also
+    * returns T = c_K. */
+  private[ops] def geomCumTable(aNum: Long, aDen: Long, maxShift: Int)
+      : (Seq[(Int, BigInt)], BigInt) = {
+    require(aNum > 0 && aDen > aNum, "alpha = aNum/aDen must be in (0,1)")
+    require(maxShift >= 1 && maxShift <= 30)
+    val w = (-maxShift to maxShift).map { k =>
+      k -> (BigInt(aNum).pow(math.abs(k)) *
+        BigInt(aDen).pow(maxShift - math.abs(k)))
+    }
+    val t = w.map(_._2).sum
+    require(t < BigInt(2).pow(62), "weight table must fit a 62-bit total")
+    val cums = w.scanLeft(BigInt(0))(_ + _._2).tail
+    (w.map(_._1).zip(cums.map(_ << 60)), t)
+  }
+
+  /** Central-DP histogram release by the TRUNCATED GEOMETRIC mechanism
+    * (the discrete Laplace): per key cell, the exact count plus integer
+    * noise k ∈ [−K, K] with P(k) ∝ α^|k| — for sensitivity-1 counting
+    * queries this is ε-DP with ε = ln(aDen/aNum), up to the truncation
+    * tail's δ = α^(K+1)·2/(1+α) mass (α = 1/2, K = 16 → δ ≈ 10⁻⁵;
+    * Ghosh–Roughgarden–Sundararajan's universally-optimal mechanism,
+    * truncated so the noise table is finite and exact).
+    *
+    * PORTABILITY (why no exp/ln/random at query time): the inverse CDF
+    * runs over exact integer cumulative weights inlined as literals;
+    * the "uniform" is [[Hash64.hash60]] over (salt, cell) — so the draw
+    * is u = h·T ∈ [0, T·2⁶⁰) compared against c_k·2⁶⁰ bounds in
+    * DECIMAL(38,0)/HUGEINT (h < 2⁶⁰, T < 2⁶² → products < 2¹²², exact
+    * on both engines, identical k). A production release swaps the salt
+    * per publication; the privacy argument needs the coin independent
+    * of the data, which a keyed hash with a secret salt provides (the
+    * [[randomizedResponseCounts]] contract).
+    *
+    * Scale shape: ONE keyed count aggregation + a literal-table CASE
+    * per cell — the mechanism adds zero shuffles to the plain count.
+    *
+    * @return (keyCols*, n, noise, noisy_n, released_n) — released_n
+    *         clamps at 0 (counts are non-negative; the clamp is the
+    *         published convention), noisy_n stays visible for audit */
+  def geometricNoisyCounts(df: DataFrame, keyCols: Seq[String],
+      salt: String, aNum: Long = 1L, aDen: Long = 2L,
+      maxShift: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (cum, t) = geomCumTable(aNum, aDen, maxShift)
+    val dec = DecimalType(38, 0)
+    val cell = concat_ws(":", lit(salt) +: keyCols.map(k =>
+      col(k).cast("string")): _*)
+    val v = Hash64.hash60(cell).cast(dec) * lit(new java.math.BigDecimal(t.bigInteger)).cast(dec)
+    val noise = cum.init.foldRight(lit(cum.last._1)) {
+      case ((k, bound), acc) =>
+        when(v < lit(new java.math.BigDecimal(bound.bigInteger)).cast(dec),
+          lit(k)).otherwise(acc)
+    }.cast("long")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise)
+      .withColumn("noisy_n", col("n") + col("noise"))
+      .withColumn("released_n", greatest(col("noisy_n"), lit(0L)))
+  }
+
+  /** DuckDB oracle for [[geometricNoisyCounts]] — the identical literal
+    * table, hash, and ladder. */
+  def geometricNoisyCountsOracleSql(table: String, keyCols: Seq[String],
+      salt: String, aNum: Long = 1L, aDen: Long = 2L,
+      maxShift: Int = 16): String = {
+    val (cum, t) = geomCumTable(aNum, aDen, maxShift)
+    val keys = keyCols.mkString(", ")
+    val cellSql = (s"'$salt'" +: keyCols.map(k => s"CAST($k AS VARCHAR)"))
+      .mkString(" || ':' || ")
+    val h = Hash64.duckSql(cellSql)
+    val ladder = cum.init
+      .map { case (k, b) => s"WHEN v < CAST('$b' AS HUGEINT) THEN $k" }
+      .mkString("\n         ")
+    s"""WITH g AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST($h AS HUGEINT) * CAST('$t' AS HUGEINT) AS v
+       |  FROM $table GROUP BY $keys
+       |), z AS (
+       |  SELECT $keys, n,
+       |         CAST(CASE $ladder
+       |         ELSE ${cum.last._1} END AS BIGINT) AS noise
+       |  FROM g
+       |)
+       |SELECT $keys, n, noise, n + noise AS noisy_n,
+       |       greatest(n + noise, 0) AS released_n
+       |FROM z""".stripMargin
+  }
 }

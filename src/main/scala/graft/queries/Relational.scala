@@ -308,6 +308,17 @@ object Relational extends QueryModule {
         bit = (col("c_acctbal") > 0).cast("long"),
         id = col("c_custkey"), pNum = 3L, pDen = 4L, salt = "rr-v1")),
 
+    // Central-DP histogram release: (source, lang) counts + truncated
+    // geometric (discrete Laplace) noise, ε = ln 2, K = 16 — the
+    // inverse CDF runs over exact integer cumulative weights inlined
+    // as literals and a portable keyed-hash uniform, so both engines
+    // draw the identical noise (no exp/ln at query time, the q369
+    // libm lesson). The central-DP sibling of q320's local mechanism.
+    "q395_dp_histogram" -> ((s, dir) =>
+      graft.ops.Privacy.geometricNoisyCounts(
+        Tables(s, dir).documents, Seq("source", "lang"),
+        salt = "dp-v1")),
+
     // Bloom-filter semi-join reduction: lineitem ⋉ urgent orders with
     // the fact scan pre-filtered by a 16 KB literal bitset (portable
     // hash family, codegen'd bit probes) — the confirm join removes
@@ -1045,6 +1056,9 @@ object Relational extends QueryModule {
 
     "q57_profile" ->
       graft.ops.Profiling.profileOracleSql("events", profileCols),
+
+    "q395_dp_histogram" -> graft.ops.Privacy.geometricNoisyCountsOracleSql(
+      "documents", Seq("source", "lang"), salt = "dp-v1"),
 
     "q376_k_generalize" -> graft.ops.Privacy.generalizeToKOracleSql(
       """SELECT c_custkey, c_mktsegment,

@@ -764,4 +764,55 @@ class RelationalOpsSpec extends SparkSuite {
     assert(out2 == (1L to 4L).map(i => (i, "a", 0L, 2L, 4L, false)).toSet
       + ((5L, "b", 2L, 2L, 1L, true)))
   }
+
+  test("geometricNoisyCounts: noise replays an independent BigInt " +
+      "inverse-CDF; bounded, salt-keyed, zero-clamped") {
+    import spark.implicits._
+    import graft.ops.Privacy
+    // independent reimplementation of the draw: md5-60-bit uniform ->
+    // u = h*T >> 60 -> first cumulative bucket
+    def hash60(s: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      BigInt(hex, 16)
+    }
+    def expectedNoise(cell: String, aNum: Long, aDen: Long, kMax: Int): Int = {
+      val w = (-kMax to kMax).map(k =>
+        k -> (BigInt(aNum).pow(math.abs(k)) *
+          BigInt(aDen).pow(kMax - math.abs(k))))
+      val t = w.map(_._2).sum
+      val u = (hash60(cell) * t) >> 60
+      var acc = BigInt(0)
+      w.find { case (_, wk) => acc += wk; u < acc }.get._1
+    }
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L), ("c", 5L),
+      ("c", 6L)).toDF("g", "x")
+    val out = Privacy.geometricNoisyCounts(rows, Seq("g"), "spec-dp",
+        aNum = 1L, aDen = 2L, maxShift = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((g, n) <- Seq("a" -> 2L, "b" -> 1L, "c" -> 3L)) {
+      val want = expectedNoise(s"spec-dp:$g", 1L, 2L, 8).toLong
+      assert(out(g)._1 == n)
+      assert(out(g)._2 == want, s"cell $g noise")
+      assert(out(g)._3 == n + want)
+      assert(out(g)._4 == math.max(n + want, 0L))
+      assert(math.abs(out(g)._2) <= 8)
+    }
+    // salt-keyed: a different salt must flip at least one cell's noise
+    // over a wide cell population (alpha=1/2: P(all equal) ~ (1/3)^26)
+    val many = (1L to 26L).map(i => (('a' + (i - 1)).toChar.toString, i))
+      .toDF("g", "x")
+    def noises(salt: String) = Privacy
+      .geometricNoisyCounts(many, Seq("g"), salt, 1L, 2L, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(noises("s1") != noises("s2"))
+    // zero clamp: a count of 1 with strongly negative noise releases 0
+    val clamp = Privacy.geometricNoisyCounts(
+        (1L to 200L).map(i => (i.toString, i)).toDF("g", "x"),
+        Seq("g"), "clamp", 1L, 2L, 8).collect()
+    assert(clamp.forall(r => r.getLong(4) >= 0L))
+    assert(clamp.exists(r => r.getLong(3) < 0L),
+      "200 singleton cells should produce at least one negative draw")
+  }
 }
