@@ -93,6 +93,24 @@ object ScaleProbe {
         text.TextAnalysis.charEntropyRelational(docs, "doc_id", "text")
           .agg(sum(col("h_q"))).head.getLong(0)
       }
+      // native #11 vs the array form: letter-class token stats as one
+      // scan-side pass vs split + per-token allocation + HOF fold —
+      // the PROBE asserts value parity (identical corpus sums)
+      time(s"unicode_stats_native_x$m") {
+        val r = docs.select(functions.UnicodeTokenStats
+            .unicodeTokenStats(col("text")).as("st"))
+          .agg(sum(element_at(col("st"), 1)),
+            sum(element_at(col("st"), 2))).head
+        r.getLong(0) * 1000000L + r.getLong(1)
+      }
+      time(s"unicode_stats_array_x$m") {
+        val toks = text.TextAnalysis.unicodeTokens(col("text"))
+        val r = docs.select(size(toks).cast("long").as("n"),
+            aggregate(transform(toks, t => length(t).cast("long")),
+              lit(0L), (a, x) => a + x).as("s"))
+          .agg(sum(col("n")), sum(col("s"))).head
+        r.getLong(0) * 1000000L + r.getLong(1)
+      }
       time(s"quality_fusion_x$m") {
         val qm = text.QualityModel.score(docs, "doc_id", "text",
           text.QualityModel.weightsFrom(64, "qm",

@@ -115,9 +115,20 @@ object GraftFunctions {
       CharEntropyStats(exprs.head)
     })
 
+  private[functions] val unicodeTokenStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unicode_token_stats"),
+    new ExpressionInfo(classOf[UnicodeTokenStats].getName,
+      "unicode_token_stats"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"unicode_token_stats expects 1 argument, got ${exprs.length}")
+      UnicodeTokenStats(exprs.head)
+    })
+
   private[functions] val all =
     Seq(dotProduct, hash60, mortonInterleave, tokenCount, deflateLen,
-      jumpHash, jaroWinkler, normalizeText, hilbertKey, charEntropyStats)
+      jumpHash, jaroWinkler, normalizeText, hilbertKey, charEntropyStats,
+      unicodeTokenStats)
 
   /** Register into a live session. */
   def register(spark: SparkSession): Unit =

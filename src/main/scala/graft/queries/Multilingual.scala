@@ -97,7 +97,20 @@ object Multilingual extends QueryModule {
         .unionByName(fixture.filter(col("doc_id") === 9100003L))
       graft.text.Decontaminate.overlap(corpus, bench, "doc_id", "text",
         w = 7, tokenizer = TextAnalysis.unicodeTokens)
-    }))
+    }),
+
+    // Native #11 `unicode_token_stats` as the oracle-gated route: the
+    // letter-class token count + char sum in one scan-side pass (no
+    // token-array materialization — the TokenCount relationship,
+    // multilingual); DuckDB re-derives both from the array form, so
+    // the native expression is value-gated per doc at both SFs.
+    "q396_unicode_token_stats" -> ((s, dir) =>
+      allDocs(s, dir).select(col("doc_id"),
+        graft.functions.UnicodeTokenStats
+          .unicodeTokenStats(col("text")).as("__st"))
+        .select(col("doc_id"),
+          element_at(col("__st"), 1).as("n_tokens"),
+          element_at(col("__st"), 2).as("sum_len"))))
 
   def oracleSql: Map[String, String] = Map(
     "q388_gopher_unicode" -> Gopher.ruleGatesOracleSql(
@@ -195,5 +208,12 @@ object Multilingual extends QueryModule {
         |)
         |SELECT s.doc_id, count(*) AS n_shared
         |FROM sh s JOIN bg b USING (g)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    "q396_unicode_token_stats" ->
+      s"""SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(list_sum(list_transform(toks,
+        |         t -> length(t))), 0) AS BIGINT) AS sum_len
+        |FROM (SELECT doc_id, $utoks AS toks FROM $allDocsSql)""".stripMargin)
 }

@@ -76,6 +76,40 @@ class MultilingualSpec extends SparkSuite {
     }
   }
 
+  test("native #11 unicode_token_stats == array form == SQL route, astral included") {
+    import graft.functions.UnicodeTokenStats
+    val cases = graft.queries.TextDedup.multilingualPlanted.map(_._2) ++ Seq(
+      "", "   ", "—…!?", "hello world 42",
+      "café au lait", // NFD combining mark joins its run
+      "emoji 😀 splits letters", // astral non-letter separates
+      "𝐀𝐁 math letters", // astral \p{L} (MATHEMATICAL A/B)
+      "ｆｕｌｌｗｉｄｔｈ １２３")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val arrayForm = df.select(col("id"),
+      size(TextAnalysis.unicodeTokens(col("text"))).cast("long").as("n"),
+      aggregate(transform(TextAnalysis.unicodeTokens(col("text")),
+        t => length(t).cast("long")), lit(0L), (a, x) => a + x).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val native = df.select(col("id"),
+      UnicodeTokenStats.unicodeTokenStats(col("text")).as("st"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).head, r.getSeq[Long](1)(1))).toMap
+    assert(native == arrayForm)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("uts_spec")
+    val sqlRoute = spark.sql(
+      "SELECT id, unicode_token_stats(text) AS st FROM uts_spec")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).head, r.getSeq[Long](1)(1))).toMap
+    assert(sqlRoute == arrayForm)
+    // spot hand-derivations: the math-letter astral pair is 1 token of
+    // 2 code points + "math"/"letters"; fullwidth digits are \p{N}
+    val astral = native(cases.indexOf("𝐀𝐁 math letters").toLong)
+    assert(astral == (3L, 13L))
+    assert(native(cases.indexOf("ｆｕｌｌｗｉｄｔｈ １２３").toLong) == (2L, 12L))
+  }
+
   test("ascii tokens on the fixture stay boundary soup (contract unchanged)") {
     // the pre-existing ASCII contract is untouched: Cyrillic doc -> empty
     val t = Seq("Это пример русского текста").toDF("text")
