@@ -506,6 +506,28 @@ object Vectors extends QueryModule {
       graft.similarity.Select.kCenterGreedy(
         base(Tables(s, dir)), "id", "ev", k = 5)),
 
+    // Embedding decontamination: corpus vectors cosine-adjacent to any
+    // benchmark vector (the semantic sibling of q55's n-gram check —
+    // catches paraphrased eval leaks n-grams can't see). Benchmark =
+    // the %10 slice; leaks planted as scaled copies of %50 benchmark
+    // vectors (cell assignment is scale-invariant, so recall is by
+    // construction). Within-cell corpus x bench join, never all-pairs.
+    "q397_embed_decontam" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = base(t)
+      val bench = e.filter(col("id") % 10 === 0)
+      val corpus = e.filter(col("id") % 10 =!= 0).unionAll(
+        bench.filter(col("id") % 50 === 0)
+          .select((col("id") + 300000).as("id"),
+            transform(col("ev"), x => x * lit(1.01)).as("ev")))
+      val cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      Similarity.embeddingDecontam(corpus, bench, cents, minCosine = 0.95)
+    }),
+
     // 1-bit minwise estimation next to the full estimator: signatures
     // 60x smaller, Jaccard from parity agreement with the b=1
     // correction — both estimates per pair, so the storage trade is
@@ -1352,6 +1374,51 @@ object Vectors extends QueryModule {
         |       coalesce(cl.cluster_id, a.id) AS cluster_id,
         |       (cl.node IS NULL OR cl.cluster_id = a.id) AS keep
         |FROM assigned a LEFT JOIN clusters cl ON a.id = cl.node""".stripMargin,
+
+    "q397_embed_decontam" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), bench AS (
+        |  SELECT * FROM b WHERE id % 10 = 0
+        |), corpus AS (
+        |  SELECT * FROM b WHERE id % 10 <> 0
+        |  UNION ALL
+        |  SELECT id + 300000 AS id, list_transform(ev, x -> x * 1.01) AS ev
+        |  FROM bench WHERE id % 50 = 0
+        |), c AS (
+        |  SELECT vec_id AS cid,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 16
+        |), ca AS (
+        |  SELECT id, ev, cell FROM (
+        |    SELECT corpus.id, corpus.ev, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY corpus.id
+        |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+        |    FROM corpus CROSS JOIN c
+        |  ) WHERE arn = 1
+        |), ba AS (
+        |  SELECT id AS bid, ev AS bev, cell FROM (
+        |    SELECT bench.id, bench.ev, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY bench.id
+        |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+        |    FROM bench CROSS JOIN c
+        |  ) WHERE arn = 1
+        |), hits AS (
+        |  SELECT ca.id, ba.bid, ${cosineSqlFor("ca.ev", "ba.bev")} AS cos
+        |  FROM ca JOIN ba USING (cell)
+        |  WHERE ${cosineSqlFor("ca.ev", "ba.bev")} >= 0.95
+        |), ranked AS (
+        |  SELECT id, bid, cos,
+        |         row_number() OVER (PARTITION BY id
+        |           ORDER BY cos DESC, bid) AS rn,
+        |         count(*) OVER (PARTITION BY id) AS nh
+        |  FROM hits
+        |)
+        |SELECT id, CAST(nh AS BIGINT) AS n_hits, bid AS best_bench,
+        |       cos AS best_cos
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q227_kcenter" -> graft.similarity.Select.kCenterOracleSql(
       """SELECT vec_id AS id,

@@ -336,6 +336,39 @@ object Similarity {
         coalesce(col("keep"), lit(true)).as("keep"))
   }
 
+  /** EMBEDDING decontamination — the semantic sibling of the n-gram
+    * benchmark check ([[graft.text.Decontaminate]]): corpus vectors
+    * whose cosine to ANY benchmark vector reaches `minCosine` are
+    * flagged (paraphrased or re-embedded eval items that share no
+    * 13-gram still land next to their source in embedding space).
+    *
+    * Scale shape = [[semanticDedup]]'s: both sides take the
+    * zero-shuffle literal-centroid cell assignment, the candidate join
+    * is WITHIN-CELL corpus × benchmark (bounded by Σ_cell |corpus_c|·
+    * |bench_c| — benchmark cells are small, so this is ~linear in the
+    * corpus; never all-pairs), exact cosine verifies. Cell assignment
+    * is scale-invariant, so a scaled/renormalized copy of a benchmark
+    * vector lands in ITS cell by construction — the recall argument.
+    *
+    * @return (id, n_hits, best_bench, best_cos) per contaminated corpus
+    *         vector; best by (cosine desc, bench id asc) — engine-total */
+  def embeddingDecontam(corpus: DataFrame, bench: DataFrame,
+      cents: Seq[(Long, Seq[Double])], minCosine: Double): DataFrame = {
+    val ca = IVF.assign(corpus, cents)
+    val ba = IVF.assign(bench, cents)
+      .select(col("id").as("__bid"), col("ev").as("__bev"), col("cell"))
+    ca.join(ba, Seq("cell"))
+      .withColumn("__cos", cosineNative(col("ev"), col("__bev")))
+      .filter(col("__cos") >= minCosine)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("__cos").as("c"), (-col("__bid")).as("nb")))
+          .as("__best"))
+      .select(col("id"), col("n_hits"),
+        (-col("__best.nb")).as("best_bench"),
+        col("__best.c").as("best_cos"))
+  }
+
   /** ANN via LSH buckets: candidates = rows sharing the query's bucket,
     * reranked by exact cosine, top-k per query (two-phase — see
     * [[bruteForceTopK]]). Recall < 1 by construction; raise it with more
