@@ -54,4 +54,41 @@ object AsOf {
     valueCols.foldLeft(matched)((d, c) => d.withColumn(c, col(s"__m.$c")))
       .drop("__m", "__rv", "__tb", "__ts", "__side")
   }
+
+  /** BITEMPORAL as-of: enrich facts with the dimension version that was
+    * valid at the fact's time (valid-time axis) AS THE WAREHOUSE KNEW
+    * IT at `asKnownAt` (transaction-time axis) — "reproduce
+    * yesterday's report exactly, including what we had not yet
+    * corrected". Restatements append a new row with the SAME
+    * `validFrom` and a later `txFrom`; a later `asKnownAt` therefore
+    * changes history retroactively, an earlier one ignores the
+    * correction — both deterministically.
+    *
+    * `asKnownAt` is a REPORT PARAMETER (one transaction timestamp per
+    * run), which is what makes this scale: the transaction axis
+    * reduces to a scan-side filter + one (keys, validFrom) keyed
+    * max_by (latest visible correction per version), and the
+    * valid-time axis is the [[join]] union-window plan — no 2D range
+    * join ever forms. Per-fact as-known-at (a true 2D as-of) is out of
+    * contract by design.
+    *
+    * @return left ++ valueCols ++ (valid_from_used, tx_from_used) —
+    *         the provenance pair says which version AND which
+    *         correction produced each enriched row; unmatched facts
+    *         keep nulls */
+  def bitemporalJoin(left: DataFrame, dim: DataFrame, keys: Seq[String],
+      leftTime: String, validFrom: String, txFrom: String,
+      valueCols: Seq[String], asKnownAt: Long): DataFrame = {
+    val payload = valueCols :+ txFrom
+    val visible = dim.filter(col(txFrom) <= asKnownAt)
+      .groupBy((keys :+ validFrom).map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(txFrom)).as("__v"))
+      .select(keys.map(col) ++ Seq(col(validFrom),
+        col(validFrom).as("valid_from_used")) ++
+        valueCols.map(c => col(s"__v.$c").as(c)) :+
+        col(s"__v.$txFrom").as("tx_from_used"): _*)
+    join(left, visible, keys, leftTime, validFrom,
+      valueCols ++ Seq("valid_from_used", "tx_from_used"),
+      tieBreak = "tx_from_used")
+  }
 }

@@ -17,7 +17,69 @@ import graft.ops._
   */
 object Experiments extends QueryModule {
 
+  /** q398: the versioned customer dimension with a planted RESTATEMENT
+    * layer — v0 at valid_from 0, v1 at 1500 (+100 cents, recorded at tx
+    * 2000), and for every third customer a CORRECTION of v1 (+101,
+    * recorded later at tx 4000). A report as-known-at 3000 must use the
+    * uncorrected v1; re-running as-known-at 5000 retroactively changes
+    * those rows — the bitemporal contract, spec-asserted. */
+  private def custVersions(t: Tables): DataFrame = {
+    val base = t.customer.select(col("c_custkey").as("custkey"),
+      Exact.cents(col("c_acctbal")).as("bal0"))
+    base.select(col("custkey"), lit(0L).as("valid_from"),
+        lit(0L).as("tx_from"), col("bal0").as("bal"))
+      .unionAll(base.select(col("custkey"), lit(1500L).as("valid_from"),
+        lit(2000L).as("tx_from"), (col("bal0") + 100L).as("bal")))
+      .unionAll(base.filter(col("custkey") % 3 === 0)
+        .select(col("custkey"), lit(1500L).as("valid_from"),
+          lit(4000L).as("tx_from"), (col("bal0") + 101L).as("bal")))
+  }
+
+  private[queries] val custVersionsSql =
+    """(WITH cb AS (
+      |   SELECT c_custkey AS custkey,
+      |          CAST(round(c_acctbal * 100) AS BIGINT) AS bal0
+      |   FROM customer)
+      | SELECT custkey, 0 AS valid_from, 0 AS tx_from, bal0 AS bal FROM cb
+      | UNION ALL
+      | SELECT custkey, 1500, 2000, bal0 + 100 FROM cb
+      | UNION ALL
+      | SELECT custkey, 1500, 4000, bal0 + 101 FROM cb
+      | WHERE custkey % 3 = 0)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bitemporal as-of: orders enriched with the customer-dimension
+    // version valid at fact time AS KNOWN AT tx 3000 — the planted
+    // tx-4000 restatement must be invisible (valid-time axis = the q38
+    // union-window plan; transaction axis = a scan filter + one keyed
+    // max_by, never a 2D range join).
+    "q398_bitemporal" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val facts = t.orders.select(col("o_orderkey"),
+        col("o_custkey").as("custkey"),
+        (col("o_orderkey") % 3000).as("ts"))
+      graft.ops.AsOf.bitemporalJoin(facts, custVersions(t),
+        Seq("custkey"), "ts", "valid_from", "tx_from", Seq("bal"),
+        asKnownAt = 3000L)
+    }),
+
+    // Label-noise audit (the Cleanlab move): 3-fold cross-validated NB
+    // self-classification flags suspect labels. The corpus lang/source
+    // labels are text-independent by construction, so the gate plants
+    // a learnable signal (a source token appended to every text) and
+    // flips %17 labels — the audit must be ABLE to see them
+    // (EvalSpec asserts the flipped slice disagrees en masse).
+    "q399_label_noise" -> ((s, dir) => {
+      val labeled = Tables(s, dir).documents.select(col("doc_id"),
+        concat(col("text"),
+          repeat(concat(lit(" srctok"), col("source")), 16)).as("text"),
+        when(col("doc_id") % 17 === 0,
+          when(col("source") === "src0", "src1").otherwise("src0"))
+          .otherwise(col("source")).as("label"))
+      graft.text.NaiveBayes.labelNoiseAudit(labeled, "doc_id", "label",
+        "text")
+    }),
 
     // Batch sessionization: 30-min inactivity gap splits per-user
     // streams into sessions (lag flag + running flag-sum, one keyed
@@ -469,6 +531,39 @@ object Experiments extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q399_label_noise" -> graft.text.NaiveBayes.labelNoiseAuditOracleSql(
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 17 = 0 THEN
+         |         (CASE WHEN source = 'src0' THEN 'src1' ELSE 'src0' END)
+         |       ELSE source END AS lab,
+         |       ${Text.toksSql.replace("lower(text)",
+              "lower(text || repeat(' srctok' || source, 16))")} AS toks
+         |FROM documents""".stripMargin),
+
+    "q398_bitemporal" ->
+      s"""WITH dim AS (
+        |  SELECT * FROM $custVersionsSql
+        |), visible AS (
+        |  SELECT custkey, valid_from,
+        |         CAST(valid_from AS BIGINT) AS valid_from_used,
+        |         CAST(max_tx AS BIGINT) AS tx_from_used,
+        |         CAST(bal AS BIGINT) AS bal
+        |  FROM (
+        |    SELECT custkey, valid_from, bal, tx_from,
+        |           max(tx_from) OVER (PARTITION BY custkey, valid_from)
+        |             AS max_tx
+        |    FROM dim WHERE tx_from <= 3000
+        |  ) WHERE tx_from = max_tx
+        |), facts AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |         o_orderkey % 3000 AS ts
+        |  FROM orders
+        |)
+        |SELECT f.o_orderkey, f.custkey, f.ts, v.bal,
+        |       v.valid_from_used, v.tx_from_used
+        |FROM facts f ASOF LEFT JOIN visible v
+        |  ON f.custkey = v.custkey AND f.ts >= v.valid_from""".stripMargin,
     "q363_cmh" -> ABTest.cmhOracleSql(
       """SELECT event_type AS s, user_id % 2 = 1 AS b,
         |       value > 150 AS o

@@ -815,4 +815,36 @@ class RelationalOpsSpec extends SparkSuite {
     assert(clamp.exists(r => r.getLong(3) < 0L),
       "200 singleton cells should produce at least one negative draw")
   }
+
+  test("bitemporalJoin: asKnownAt selects the correction layer; reports " +
+      "change retroactively and deterministically") {
+    import spark.implicits._
+    import graft.ops.AsOf
+    // key 1: v0(bal 10 @ vf0,tx0), v1(bal 20 @ vf100,tx200),
+    //        restatement of v1 (bal 21 @ vf100,tx400)
+    val dim = Seq(
+      (1L, 0L, 0L, 10L), (1L, 100L, 200L, 20L), (1L, 100L, 400L, 21L),
+      (2L, 0L, 0L, 50L)).toDF("k", "valid_from", "tx_from", "bal")
+    val facts = Seq((10L, 1L, 50L), (11L, 1L, 100L), (12L, 1L, 150L),
+      (13L, 2L, 999L), (14L, 3L, 5L)).toDF("fid", "k", "ts")
+    def run(t: Long) = AsOf.bitemporalJoin(facts, dim, Seq("k"), "ts",
+        "valid_from", "tx_from", Seq("bal"), asKnownAt = t)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    // as known at 300: the tx-400 correction is invisible
+    val early = run(300L)
+    assert(early(10L) == (Some(10L), Some(0L), Some(0L)))
+    assert(early(11L) == (Some(20L), Some(100L), Some(200L))) // vf == ts matches
+    assert(early(12L) == (Some(20L), Some(100L), Some(200L)))
+    assert(early(13L) == (Some(50L), Some(0L), Some(0L)))
+    assert(early(14L) == ((None, None, None))) // unknown key: null payload
+    // as known at 500: history changes retroactively for vf-100 facts
+    val late = run(500L)
+    assert(late(11L) == (Some(21L), Some(100L), Some(400L)))
+    assert(late(12L) == (Some(21L), Some(100L), Some(400L)))
+    assert(late(10L) == early(10L)) // pre-version facts unchanged
+    // as known at 100: v1 itself not yet recorded -> everyone on v0
+    val prior = run(100L)
+    assert(prior(12L) == (Some(10L), Some(0L), Some(0L)))
+  }
 }

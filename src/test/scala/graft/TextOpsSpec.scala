@@ -1890,4 +1890,35 @@ class TextOpsSpec extends SparkSuite {
       ("a", "b") -> ((1L, 2L)),   // 2x1 across
       ("b", "c") -> ((1L, 1L))))  // the y group
   }
+
+  test("labelNoiseAudit: cross-fold NB flags the planted flipped label and clears the rest") {
+    import graft.text.NaiveBayes
+    import spark.implicits._
+    // two well-separated vocabularies; doc 7 is a CAT document labeled dog
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma alpha beta", "cat"),
+      (2L, "beta alpha alpha beta gamma alpha", "cat"),
+      (3L, "alpha gamma beta alpha alpha", "cat"),
+      (4L, "delta epsilon zeta delta epsilon", "dog"),
+      (5L, "epsilon delta delta zeta epsilon", "dog"),
+      (6L, "zeta delta epsilon epsilon delta", "dog"),
+      (7L, "alpha beta alpha alpha gamma beta", "dog"))
+      .toDF("doc_id", "text", "label")
+    val out = NaiveBayes.labelNoiseAudit(docs, "doc_id", "label", "text",
+        folds = 2, salt = "lns")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getBoolean(6))).toMap
+    assert(out.size == 7)
+    assert(out(7L)._1 == "dog" && out(7L)._2 == "cat" && !out(7L)._3,
+      s"flipped doc must be flagged: ${out(7L)}")
+    for (i <- 1L to 6L) assert(out(i)._3, s"doc $i should agree: ${out(i)}")
+    // fold column is the salted hash bucket: deterministic across runs
+    val again = NaiveBayes.labelNoiseAudit(docs.repartition(5), "doc_id",
+        "label", "text", folds = 2, salt = "lns")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folds = NaiveBayes.labelNoiseAudit(docs, "doc_id", "label",
+        "text", folds = 2, salt = "lns")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == folds)
+  }
 }
