@@ -743,6 +743,18 @@ object Curation extends QueryModule {
         curateInput(Tables(s, dir).documents), "doc_id", "text",
         blockPhrases, minTokens = 10L, splits = corpusSplits)),
 
+    // q392 broken out BY SOURCE — which sources lose most to which
+    // gate, the table a corpus release's datasheet actually prints.
+    "q400_curation_by_source" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      val srcs = base.select(col("doc_id"), col("source"))
+        .unionAll(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("source")))
+      graft.text.Curate.attritionBySource(
+        curateInput(base), "doc_id", "text", srcs, "source",
+        blockPhrases, minTokens = 10L)
+    }),
+
     // Gopher REPETITION rules: per doc, chars covered by duplicated
     // n-grams (n=5,10) as merged positional intervals over the
     // normalized token stream — the coverage half of the Gopher filter
@@ -1250,6 +1262,15 @@ object Curation extends QueryModule {
     "q393_curation_survivors" -> graft.text.Curate.survivorsOracleSql(
       curateInputSql, Text.toksSql, blockPhrases, minTokens = 10L,
       splits = corpusSplits),
+
+    "q400_curation_by_source" -> graft.text.Curate
+      .attritionBySourceOracleSql(
+        curateInputSql,
+        """SELECT doc_id, source FROM documents
+          | UNION ALL
+          | SELECT doc_id + 500000 AS doc_id, source FROM documents
+          | WHERE doc_id % 7 = 0""".stripMargin,
+        Text.toksSql, blockPhrases, minTokens = 10L),
 
     "q379_blocklist" -> graft.text.Blocklist.phraseHitsOracleSql(
       "documents", "doc_id", Text.toksSql, blockPhrases),

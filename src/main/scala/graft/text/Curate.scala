@@ -151,6 +151,87 @@ object Curate {
         col("tokens_dropped"))
   }
 
+  /** [[attrition]] broken out BY SOURCE — the datasheet table a corpus
+    * release actually publishes ("which sources lose most to which
+    * gate"): one row per (source, stage) with the same sequential
+    * docs_in/dropped accounting, cumulated WITHIN each source
+    * (partitioned window over the |sources|×6 frame). `srcFrame` maps
+    * idCol → srcCol (one row per input doc). */
+  def attritionBySource(docs: DataFrame, idCol: String, textCol: String,
+      srcFrame: DataFrame, srcCol: String, phrases: Seq[String],
+      minTokens: Long = 50L, maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10),
+      knRef: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pd = verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
+      maxMeanBitsMicro, repNs, knRef)
+      .join(srcFrame.select(col(idCol), col(srcCol).as("source")),
+        Seq(idCol))
+    val byStage = pd.filter(col("stage").isNotNull)
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("__d"), sum(col("n_tokens")).as("__t"))
+    val tot = pd.groupBy(col("source"))
+      .agg(count(lit(1)).as("__nd"), sum(col("n_tokens")).as("__nt"))
+    val stages = (stageNames :+ (6 -> "released"))
+      .toDF("stage_ord", "stage")
+    val w = Window.partitionBy(col("source")).orderBy(col("stage_ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tot.crossJoin(broadcast(stages))
+      .join(byStage.withColumnRenamed("stage", "stage_ord"),
+        Seq("source", "stage_ord"), "left")
+      .withColumn("docs_dropped", coalesce(col("__d"), lit(0L)))
+      .withColumn("tokens_dropped", coalesce(col("__t"), lit(0L)))
+      .withColumn("docs_in",
+        col("__nd") - coalesce(sum(col("docs_dropped")).over(w), lit(0L)))
+      .withColumn("tokens_in",
+        col("__nt") - coalesce(sum(col("tokens_dropped")).over(w), lit(0L)))
+      .select(col("source"), col("stage_ord").cast("long").as("stage_ord"),
+        col("stage"), col("docs_in"), col("docs_dropped"),
+        col("tokens_in"), col("tokens_dropped"))
+  }
+
+  /** DuckDB oracle for [[attritionBySource]]; `srcSql` yields
+    * (doc_id, source). */
+  def attritionBySourceOracleSql(tableSql: String, srcSql: String,
+      toksSql: String, phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10)): String = {
+    val names = (stageNames :+ (6 -> "released"))
+      .map { case (o, n) => s"($o, '$n')" }.mkString(", ")
+    s"""WITH pd0 AS (${perDocOracleSql(tableSql, toksSql, phrases,
+          minTokens, maxMeanBitsMicro, repNs)}),
+       |pd AS (
+       |  SELECT pd0.*, s.source FROM pd0 JOIN ($srcSql) s USING (doc_id)
+       |), bys AS (
+       |  SELECT source, stage, CAST(count(*) AS BIGINT) AS d,
+       |         CAST(sum(n_tokens) AS BIGINT) AS t
+       |  FROM pd WHERE stage IS NOT NULL GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(n_tokens) AS BIGINT) AS nt
+       |  FROM pd GROUP BY 1
+       |), st AS (SELECT * FROM (VALUES $names) s(stage_ord, stage))
+       |SELECT source, CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+       |       CAST(nd - coalesce(sum(docs_dropped) OVER w, 0) AS BIGINT)
+       |         AS docs_in,
+       |       docs_dropped,
+       |       CAST(nt - coalesce(sum(tokens_dropped) OVER w, 0) AS BIGINT)
+       |         AS tokens_in,
+       |       tokens_dropped
+       |FROM (
+       |  SELECT tot.source, tot.nd, tot.nt, st.stage_ord, st.stage,
+       |         CAST(coalesce(bys.d, 0) AS BIGINT) AS docs_dropped,
+       |         CAST(coalesce(bys.t, 0) AS BIGINT) AS tokens_dropped
+       |  FROM tot CROSS JOIN st
+       |  LEFT JOIN bys ON bys.source = tot.source
+       |               AND st.stage_ord = bys.stage
+       |)
+       |WINDOW w AS (PARTITION BY source ORDER BY stage_ord
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+  }
+
   /** DuckDB oracle CTE for the per-doc staged verdict over `tableSql`
     * (must yield (doc_id, text)) — composes the component oracles
     * verbatim, so the pipeline oracle can never drift from the

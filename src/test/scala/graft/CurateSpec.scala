@@ -68,6 +68,26 @@ class CurateSpec extends SparkSuite {
     assert(Set("train", "val", "test").contains(s.head.getString(2)))
   }
 
+  test("attritionBySource: per-source rows sum to the global datasheet") {
+    val srcs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "a"))
+      .toDF("doc_id", "source")
+    val bySrc = Curate.attritionBySource(docs, "doc_id", "text", srcs,
+        "source", phrases, minTokens = 3L, maxMeanBitsMicro = 21000000L)
+      .collect()
+    assert(bySrc.length == 12) // 2 sources x 6 stages
+    val summed = bySrc.groupBy(_.getLong(1)).view.mapValues(rs =>
+      (rs.map(_.getLong(4)).sum, rs.map(_.getLong(6)).sum)).toMap
+    val global = Curate.attrition(docs, "doc_id", "text", phrases,
+        minTokens = 3L, maxMeanBitsMicro = 21000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(5))).toMap
+    assert(summed == global)
+    // source "a" holds the dup pair (1, 5): its dedup line drops 1
+    val aDedup = bySrc.find(r =>
+      r.getString(0) == "a" && r.getLong(1) == 5L).get
+    assert(aDedup.getLong(4) == 1L && aDedup.getLong(6) == 10L)
+  }
+
   test("verdicts: first-failing-stage attribution is the documented order") {
     val v = Curate.verdicts(docs, "doc_id", "text", phrases,
         minTokens = 3L, maxMeanBitsMicro = 21000000L)
