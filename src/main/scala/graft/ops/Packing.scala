@@ -44,6 +44,98 @@ object Packing {
       .withColumn("window", expr(s"start_off div $capacity"))
   }
 
+  /** Packed-attention MASK ACCOUNTING over [[packIntoWindows]]' layout —
+    * the training-efficiency/contamination readout a packed batch
+    * needs: concatenate-and-chunk feeds the attention kernel windows
+    * containing FRAGMENTS of several documents, and without a document
+    * mask every cross-fragment pair leaks attention across unrelated
+    * docs. Per (shard, window):
+    *
+    *  - `n_frags`, `n_tokens` (= capacity except each shard's last
+    *    window);
+    *  - `causal_pairs` = T(T+1)/2 — what the kernel computes unmasked;
+    *  - `masked_pairs` = Σ_frag L(L+1)/2 — what a document mask keeps;
+    *  - `cross_frac_micro` = ⌊10⁶·(causal−masked)/causal⌋ — the leaked
+    *    (or, with masking, wasted-FLOPs) share.
+    *
+    * A document spans ⌈len/C⌉+1 windows at most; the fragment explode
+    * is that bounded `sequence`, everything else is the one shard-keyed
+    * window [[packIntoWindows]] already pays — no new corpus shuffle
+    * (the (shard, window) aggregation lands on the same partitioning).
+    * Pure integer; pair sums need T ≤ capacity and L ≤ capacity so
+    * T² < 2⁶³ trivially.
+    *
+    * @return (shard, window, n_frags, n_tokens, causal_pairs,
+    *         masked_pairs, cross_frac_micro); token-free docs carry no
+    *         fragment */
+  def packedMaskAccounting(docs: DataFrame, idCol: String,
+      textCol: String, capacity: Int, shards: Int,
+      salt: String): DataFrame = {
+    val packed = packIntoWindows(docs, idCol, textCol, capacity, shards,
+      salt).filter(col("n_tokens") > 0L)
+    val frags = packed
+      .select(col("shard"), col("start_off"), col("n_tokens"),
+        explode(sequence(col("window"),
+          expr(s"(start_off + n_tokens - 1) div $capacity"))).as("window"))
+      .select(col("shard"), col("window"),
+        (least(col("start_off") + col("n_tokens"),
+          (col("window") + 1) * capacity) -
+          greatest(col("start_off"), col("window") * capacity))
+          .as("frag_len"))
+    frags.groupBy(col("shard"), col("window"))
+      .agg(count(lit(1)).as("n_frags"),
+        sum(col("frag_len")).as("n_tokens"),
+        // `div`, not `/`: Column / on longs widens to DOUBLE
+        sum(expr("frag_len * (frag_len + 1) div 2")).as("masked_pairs"))
+      .withColumn("causal_pairs",
+        expr("n_tokens * (n_tokens + 1) div 2"))
+      .withColumn("cross_frac_micro",
+        expr("(causal_pairs - masked_pairs) * 1000000 div causal_pairs"))
+      .select(col("shard"), col("window"), col("n_frags"),
+        col("n_tokens"), col("causal_pairs"), col("masked_pairs"),
+        col("cross_frac_micro"))
+  }
+
+  /** DuckDB oracle for [[packedMaskAccounting]] — identical layout,
+    * fragments, and integer pair sums. */
+  def packedMaskAccountingOracleSql(table: String, idName: String,
+      toksSql: String, capacity: Int, shards: Int,
+      salt: String): String = {
+    val shard = Sampling.hashBucketSql(idName, salt, shards)
+    s"""WITH p AS (
+       |  SELECT $idName, $shard AS shard,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM (SELECT $idName, $toksSql AS toks FROM $table)
+       |), o AS (
+       |  SELECT $idName, shard, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (
+       |           PARTITION BY shard ORDER BY $idName
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS start_off
+       |  FROM p
+       |), f AS (
+       |  SELECT shard, CAST(w AS BIGINT) AS "window",
+       |         least(start_off + n_tokens, (w + 1) * $capacity)
+       |           - greatest(start_off, w * $capacity) AS frag_len
+       |  FROM (
+       |    SELECT *, unnest(range(start_off // $capacity,
+       |      (start_off + n_tokens - 1) // $capacity + 1)) AS w
+       |    FROM o WHERE n_tokens > 0)
+       |)
+       |SELECT shard, "window",
+       |       CAST(count(*) AS BIGINT) AS n_frags,
+       |       CAST(sum(frag_len) AS BIGINT) AS n_tokens,
+       |       CAST(sum(frag_len) * (sum(frag_len) + 1) // 2 AS BIGINT)
+       |         AS causal_pairs,
+       |       CAST(sum(frag_len * (frag_len + 1) // 2) AS BIGINT)
+       |         AS masked_pairs,
+       |       CAST((sum(frag_len) * (sum(frag_len) + 1) // 2
+       |             - sum(frag_len * (frag_len + 1) // 2)) * 1000000
+       |            // (sum(frag_len) * (sum(frag_len) + 1) // 2)
+       |         AS BIGINT) AS cross_frac_micro
+       |FROM f GROUP BY 1, 2""".stripMargin
+  }
+
   /** GPT-style pretraining block layout: every document's token stream,
     * in `idCol` order, concatenated into ONE virtual stream with an
     * end-of-document marker after each doc (empty docs contribute just

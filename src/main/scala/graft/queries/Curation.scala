@@ -464,6 +464,15 @@ object Curation extends QueryModule {
         "doc_id", "text", capacity = packCapacity, shards = packShards,
         salt = packSalt)),
 
+    // Packed-attention mask accounting over q67's layout: per window,
+    // the causal pair count vs the document-masked pair count and the
+    // leaked/wasted cross-doc share — the training-efficiency readout
+    // a packed batch publishes. Same shard-keyed plan as q67.
+    "q402_packed_mask" -> ((s, dir) =>
+      graft.ops.Packing.packedMaskAccounting(Tables(s, dir).documents,
+        "doc_id", "text", capacity = packCapacity, shards = packShards,
+        salt = packSalt)),
+
     // Length-bucketed batching (the keep-docs-whole alternative to q67's
     // concat-and-chunk): power-of-2 length buckets, batches pad only to
     // their own max — per-batch padding accounting for inference and
@@ -742,6 +751,24 @@ object Curation extends QueryModule {
       graft.text.Curate.survivors(
         curateInput(Tables(s, dir).documents), "doc_id", "text",
         blockPhrases, minTokens = 10L, splits = corpusSplits)),
+
+    // The corpus-build PLANNER end to end: curation survivors (q393's
+    // released corpus) -> per-source surviving token supply -> q129's
+    // water-fill allocation at a half-supply budget. The number this
+    // emits per source is the token allocation a 100 TB build actually
+    // samples to — pipeline and planner in ONE lazy plan.
+    "q401_curation_budget" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      val srcs = base.select(col("doc_id"), col("source"))
+        .unionAll(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("source")))
+      val surv = graft.text.Curate.survivors(curateInput(base), "doc_id",
+        "text", blockPhrases, minTokens = 10L, splits = corpusSplits)
+      val ps = surv.join(srcs, "doc_id")
+        .groupBy(col("source")).agg(sum(col("n_tokens")).as("avail"))
+      graft.ops.Sampling.waterFillAllocation(ps, "source", "avail",
+        budgetWeights, defaultWeight = 1L, budgetNum = 1L, budgetDen = 2L)
+    }),
 
     // q392 broken out BY SOURCE — which sources lose most to which
     // gate, the table a corpus release's datasheet actually prints.
@@ -1078,6 +1105,10 @@ object Curation extends QueryModule {
         |) WHERE rank <= 3""".stripMargin
     },
 
+    "q402_packed_mask" -> graft.ops.Packing.packedMaskAccountingOracleSql(
+      "documents", "doc_id", Text.toksSql, capacity = packCapacity,
+      shards = packShards, salt = packSalt),
+
     "q67_packing" ->
       s"""SELECT doc_id,
         |       ${graft.ops.Sampling.hashBucketSql("doc_id", packSalt, packShards)} AS shard,
@@ -1262,6 +1293,19 @@ object Curation extends QueryModule {
     "q393_curation_survivors" -> graft.text.Curate.survivorsOracleSql(
       curateInputSql, Text.toksSql, blockPhrases, minTokens = 10L,
       splits = corpusSplits),
+
+    "q401_curation_budget" -> graft.ops.Sampling.waterFillOracleSql(
+      s"""(WITH pd AS (${graft.text.Curate.survivorsOracleSql(
+            curateInputSql, Text.toksSql, blockPhrases, minTokens = 10L,
+            splits = corpusSplits)})
+         | SELECT s.source, CAST(sum(p.n_tokens) AS BIGINT) AS avail
+         | FROM pd p JOIN (
+         |   SELECT doc_id, source FROM documents
+         |   UNION ALL
+         |   SELECT doc_id + 500000 AS doc_id, source FROM documents
+         |   WHERE doc_id % 7 = 0) s USING (doc_id)
+         | GROUP BY 1)""".stripMargin,
+      budgetWeights, defaultWeight = 1L, budgetNum = 1L, budgetDen = 2L),
 
     "q400_curation_by_source" -> graft.text.Curate
       .attritionBySourceOracleSql(

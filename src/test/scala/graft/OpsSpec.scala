@@ -2535,4 +2535,25 @@ class OpsSpec extends SparkSuite {
     assert(out == Map(1L -> "A", 2L -> "B", 3L -> "C", 4L -> "C",
       5L -> "C"))
   }
+
+  test("packedMaskAccounting: hand-derived fragments, pair sums, and leak share") {
+    import spark.implicits._
+    import graft.ops.Packing
+    // one shard, capacity 10; doc lengths 4, 4, 5 -> stream of 13:
+    //   window 0 holds frags 4, 4, 2 (doc 3 splits); window 1 holds 3
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l m"))
+      .toDF("doc_id", "text")
+    val out = Packing.packedMaskAccounting(docs, "doc_id", "text",
+        capacity = 10, shards = 1, salt = "pm")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // w0: T=10 causal 55; masked 10+10+3 = 23; leak 32/55 = 0.581818..
+    assert(out(0L) == (3L, 10L, 55L, 23L, 581818L))
+    // w1: one 3-token fragment; fully masked, zero leak
+    assert(out(1L) == (1L, 3L, 6L, 6L, 0L))
+    // conservation: fragment tokens sum to the corpus token count
+    assert(out.values.map(_._2).sum == 13L)
+  }
 }
