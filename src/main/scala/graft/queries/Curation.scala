@@ -764,8 +764,14 @@ object Curation extends QueryModule {
           .select((col("doc_id") + 500000).as("doc_id"), col("source")))
       val surv = graft.text.Curate.survivors(curateInput(base), "doc_id",
         "text", blockPhrases, minTokens = 10L, splits = corpusSplits)
+      // localCheckpoint the SOURCE-cardinality supply frame: the
+      // allocator's per-round aggregates chain on the prior state, and
+      // without the lineage cut each of the 3 rounds replays the whole
+      // upstream curation pipeline (~2^rounds, measured 27.8 s → the
+      // pipeline's one-pass cost)
       val ps = surv.join(srcs, "doc_id")
         .groupBy(col("source")).agg(sum(col("n_tokens")).as("avail"))
+        .localCheckpoint()
       graft.ops.Sampling.waterFillAllocation(ps, "source", "avail",
         budgetWeights, defaultWeight = 1L, budgetNum = 1L, budgetDen = 2L)
     }),
