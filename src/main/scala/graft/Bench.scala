@@ -113,7 +113,15 @@ object Bench {
     // count keeps the legacy mode for r8-continuity comparisons. The
     // mode is stamped into the JSON artifact so two artifacts can never
     // be compared silently across modes (bench_diff refuses mixed modes).
-    val fullMat = !sys.env.get("SPARK_GRAFT_MATERIALIZE").contains("count")
+    // Validate strictly: an unrecognized value ("Count", "off", a typo)
+    // silently benching the WRONG mode wastes a full 500 s pass — fail
+    // fast instead (round-9 ADVICE).
+    val fullMat = sys.env.get("SPARK_GRAFT_MATERIALIZE") match {
+      case None | Some("full") => true
+      case Some("count")       => false
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_MATERIALIZE must be 'full' or 'count', got '$other'")
+    }
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (fullMat) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }

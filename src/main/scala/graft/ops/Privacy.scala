@@ -181,6 +181,15 @@ object Privacy {
     * of the data, which a keyed hash with a secret salt provides (the
     * [[randomizedResponseCounts]] contract).
     *
+    * Cell encoding: each key value is LENGTH-PREFIXED (`|len:value`) so
+    * delimiter-bearing values can't make distinct cells draw correlated
+    * noise (`a:b`,`c` vs `a`,`b:c`), and the concat NULL-PROPAGATES on
+    * both engines (Spark `concat` = SQL `||`, the [[graft.ops.Sampling
+    * .hashBucket]] convention) so a NULL-keyed cell takes the ladder's
+    * ELSE branch (+maxShift) identically on Spark and DuckDB —
+    * `concat_ws` would silently collapse (a,NULL) and (NULL,a) to the
+    * same cell string while the oracle's `||` chain diverged.
+    *
     * Scale shape: ONE keyed count aggregation + a literal-table CASE
     * per cell — the mechanism adds zero shuffles to the plain count.
     *
@@ -193,8 +202,10 @@ object Privacy {
     import org.apache.spark.sql.types.DecimalType
     val (cum, t) = geomCumTable(aNum, aDen, maxShift)
     val dec = DecimalType(38, 0)
-    val cell = concat_ws(":", lit(salt) +: keyCols.map(k =>
-      col(k).cast("string")): _*)
+    val cell = concat(lit(salt) +: keyCols.flatMap { k =>
+      val s = col(k).cast("string")
+      Seq(lit("|"), length(s).cast("string"), lit(":"), s)
+    }: _*)
     val v = Hash64.hash60(cell).cast(dec) * lit(new java.math.BigDecimal(t.bigInteger)).cast(dec)
     val noise = cum.init.foldRight(lit(cum.last._1)) {
       case ((k, bound), acc) =>
@@ -215,8 +226,10 @@ object Privacy {
       maxShift: Int = 16): String = {
     val (cum, t) = geomCumTable(aNum, aDen, maxShift)
     val keys = keyCols.mkString(", ")
-    val cellSql = (s"'$salt'" +: keyCols.map(k => s"CAST($k AS VARCHAR)"))
-      .mkString(" || ':' || ")
+    val cellSql = (s"'$salt'" +: keyCols.map { k =>
+      val s = s"CAST($k AS VARCHAR)"
+      s"'|' || CAST(length($s) AS VARCHAR) || ':' || $s"
+    }).mkString(" || ")
     val h = Hash64.duckSql(cellSql)
     val ladder = cum.init
       .map { case (k, b) => s"WHEN v < CAST('$b' AS HUGEINT) THEN $k" }

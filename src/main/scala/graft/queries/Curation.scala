@@ -32,6 +32,15 @@ object Curation extends QueryModule {
 
   private val corpusSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Planted ids must stay DISJOINT from real ids at ANY scale factor:
+    * the shift is max(doc_id)+1 derived IN-PLAN (the sanctioned one-row
+    * broadcast-stat idiom), not a constant a larger corpus could silently
+    * collide with — and because the oracle replayed the same constant,
+    * both engines would have agreed on the corrupted input (round-9
+    * ADVICE). The oracle replays the same scalar subquery. */
+  private def plantShift(base: org.apache.spark.sql.DataFrame) =
+    broadcast(base.agg((max(col("doc_id")) + lit(1L)).as("_shift")))
+
   /** q392/q393 input: corpus with planted self-repetition (%13 texts
     * doubled — the repetition gate's work) and exact duplicates (%7
     * docs re-issued under shifted ids — the dedup stage's work);
@@ -42,19 +51,32 @@ object Curation extends QueryModule {
         concat(col("text"), lit(" "), col("text")))
         .otherwise(col("text")).as("text"))
     rep.unionAll(rep.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      .crossJoin(plantShift(base))
+      .select((col("doc_id") + col("_shift")).as("doc_id"), col("text")))
   }
+
+  /** doc_id → source for the planted corpus (q400/q401): the same
+    * derived shift as [[curateInput]] so planted copies resolve to
+    * their original's source. */
+  private def plantedSources(base: org.apache.spark.sql.DataFrame) =
+    base.select(col("doc_id"), col("source"))
+      .unionAll(base.filter(col("doc_id") % 7 === 0)
+        .crossJoin(plantShift(base))
+        .select((col("doc_id") + col("_shift")).as("doc_id"), col("source")))
+
+  /** The derived planted-id shift as a DuckDB scalar subquery. */
+  private val plantShiftSql = "(SELECT max(doc_id) + 1 FROM documents)"
 
   /** The same planted input as a DuckDB table expression. */
   private val curateInputSql =
-    """(WITH rep AS (
+    s"""(WITH rep AS (
       |   SELECT doc_id,
       |          CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
       |               ELSE text END AS text
       |   FROM documents)
       | SELECT doc_id, text FROM rep
       | UNION ALL
-      | SELECT doc_id + 500000 AS doc_id, text FROM rep
+      | SELECT doc_id + $plantShiftSql AS doc_id, text FROM rep
       | WHERE doc_id % 7 = 0)""".stripMargin
 
   /** q55/q56 config — shared by the Spark plan and the oracle SQL. */
@@ -419,7 +441,9 @@ object Curation extends QueryModule {
       val base = Tables(s, dir).documents
       val withDupes = base.unionAll(
         base.filter(col("doc_id") % 7 === 0)
-          .withColumn("doc_id", col("doc_id") + 500000))
+          .crossJoin(plantShift(base))
+          .withColumn("doc_id", col("doc_id") + col("_shift"))
+          .drop("_shift"))
       graft.text.Corpus.build(withDupes, "doc_id", "text", "lang",
         corpusRates, corpusDefaultRate, minQuality = 0.6, salt = "corp",
         splits = corpusSplits)
@@ -759,9 +783,7 @@ object Curation extends QueryModule {
     // samples to — pipeline and planner in ONE lazy plan.
     "q401_curation_budget" -> ((s, dir) => {
       val base = Tables(s, dir).documents
-      val srcs = base.select(col("doc_id"), col("source"))
-        .unionAll(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"), col("source")))
+      val srcs = plantedSources(base)
       val surv = graft.text.Curate.survivors(curateInput(base), "doc_id",
         "text", blockPhrases, minTokens = 10L, splits = corpusSplits)
       // localCheckpoint the SOURCE-cardinality supply frame: the
@@ -780,11 +802,8 @@ object Curation extends QueryModule {
     // gate, the table a corpus release's datasheet actually prints.
     "q400_curation_by_source" -> ((s, dir) => {
       val base = Tables(s, dir).documents
-      val srcs = base.select(col("doc_id"), col("source"))
-        .unionAll(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"), col("source")))
       graft.text.Curate.attritionBySource(
-        curateInput(base), "doc_id", "text", srcs, "source",
+        curateInput(base), "doc_id", "text", plantedSources(base), "source",
         blockPhrases, minTokens = 10L)
     }),
 
@@ -1045,7 +1064,8 @@ object Curation extends QueryModule {
       s"""WITH all_docs AS (
         |  SELECT doc_id, text, lang FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 500000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + $plantShiftSql AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 7 = 0
         |), sampled AS (
         |  SELECT * FROM all_docs
         |  WHERE $smp < ${graft.ops.Sampling.rateThresholdSql("lang", corpusRates, corpusDefaultRate)}
@@ -1308,18 +1328,18 @@ object Curation extends QueryModule {
          | FROM pd p JOIN (
          |   SELECT doc_id, source FROM documents
          |   UNION ALL
-         |   SELECT doc_id + 500000 AS doc_id, source FROM documents
-         |   WHERE doc_id % 7 = 0) s USING (doc_id)
+         |   SELECT doc_id + $plantShiftSql AS doc_id, source
+         |   FROM documents WHERE doc_id % 7 = 0) s USING (doc_id)
          | GROUP BY 1)""".stripMargin,
       budgetWeights, defaultWeight = 1L, budgetNum = 1L, budgetDen = 2L),
 
     "q400_curation_by_source" -> graft.text.Curate
       .attritionBySourceOracleSql(
         curateInputSql,
-        """SELECT doc_id, source FROM documents
+        s"""SELECT doc_id, source FROM documents
           | UNION ALL
-          | SELECT doc_id + 500000 AS doc_id, source FROM documents
-          | WHERE doc_id % 7 = 0""".stripMargin,
+          | SELECT doc_id + $plantShiftSql AS doc_id, source
+          | FROM documents WHERE doc_id % 7 = 0""".stripMargin,
         Text.toksSql, blockPhrases, minTokens = 10L),
 
     "q379_blocklist" -> graft.text.Blocklist.phraseHitsOracleSql(

@@ -512,13 +512,19 @@ object Vectors extends QueryModule {
     // the %10 slice; leaks planted as scaled copies of %50 benchmark
     // vectors (cell assignment is scale-invariant, so recall is by
     // construction). Within-cell corpus x bench join, never all-pairs.
+    // Planted ids shift by max(id)+1 derived IN-PLAN (one-row broadcast
+    // stat) so they stay disjoint from real ids at any scale factor —
+    // a fixed constant would silently collide on a larger corpus and
+    // the oracle, replaying it, would agree (round-9 ADVICE).
     "q397_embed_decontam" -> ((s, dir) => {
       val t = Tables(s, dir)
       val e = base(t)
       val bench = e.filter(col("id") % 10 === 0)
+      val shift = broadcast(e.agg((max(col("id")) + lit(1L)).as("_shift")))
       val corpus = e.filter(col("id") % 10 =!= 0).unionAll(
         bench.filter(col("id") % 50 === 0)
-          .select((col("id") + 300000).as("id"),
+          .crossJoin(shift)
+          .select((col("id") + col("_shift")).as("id"),
             transform(col("ev"), x => x * lit(1.01)).as("ev")))
       val cents = graft.similarity.IVF.collectCentroids(
         t.embeddings.filter(col("vec_id") < 16)
@@ -1385,7 +1391,8 @@ object Vectors extends QueryModule {
         |), corpus AS (
         |  SELECT * FROM b WHERE id % 10 <> 0
         |  UNION ALL
-        |  SELECT id + 300000 AS id, list_transform(ev, x -> x * 1.01) AS ev
+        |  SELECT id + (SELECT max(vec_id) + 1 FROM embeddings) AS id,
+        |         list_transform(ev, x -> x * 1.01) AS ev
         |  FROM bench WHERE id % 50 = 0
         |), c AS (
         |  SELECT vec_id AS cid,

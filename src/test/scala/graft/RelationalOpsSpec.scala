@@ -792,7 +792,7 @@ class RelationalOpsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     for ((g, n) <- Seq("a" -> 2L, "b" -> 1L, "c" -> 3L)) {
-      val want = expectedNoise(s"spec-dp:$g", 1L, 2L, 8).toLong
+      val want = expectedNoise(s"spec-dp|${g.length}:$g", 1L, 2L, 8).toLong
       assert(out(g)._1 == n)
       assert(out(g)._2 == want, s"cell $g noise")
       assert(out(g)._3 == n + want)
@@ -814,6 +814,27 @@ class RelationalOpsSpec extends SparkSuite {
     assert(clamp.forall(r => r.getLong(4) >= 0L))
     assert(clamp.exists(r => r.getLong(3) < 0L),
       "200 singleton cells should produce at least one negative draw")
+    // delimiter safety: the length-prefixed cell encoding keeps
+    // ("a:b","c") and ("a","b:c") distinct — without it both would
+    // concat to the same string and draw CORRELATED noise
+    val tricky = Seq(("a:b", "c", 1L), ("a", "b:c", 2L))
+      .toDF("g1", "g2", "x")
+    val tn = Privacy.geometricNoisyCounts(tricky, Seq("g1", "g2"),
+        "delim", 1L, 2L, 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val w1 = expectedNoise("delim|3:a:b|1:c", 1L, 2L, 8).toLong
+    val w2 = expectedNoise("delim|1:a|3:b:c", 1L, 2L, 8).toLong
+    assert(tn(("a:b", "c")) == w1 && tn(("a", "b:c")) == w2)
+    // NULL keys: concat null-propagates -> v is NULL -> every ladder
+    // comparison is NULL -> the ELSE branch (+maxShift) on BOTH engines
+    // (DuckDB's CASE treats NULL conditions as false identically)
+    val withNull = Seq((Some("a"), 1L), (None, 2L), (None, 3L))
+      .toDF("g", "x")
+    val nn = Privacy.geometricNoisyCounts(withNull, Seq("g"), "nul",
+        1L, 2L, 8)
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nn(None) == ((2L, 8L)), "NULL cell takes the ELSE branch")
+    assert(nn(Some("a"))._2 == expectedNoise("nul|1:a", 1L, 2L, 8).toLong)
   }
 
   test("bitemporalJoin: asKnownAt selects the correction layer; reports " +
