@@ -66,6 +66,85 @@ object CurationGates extends QueryModule {
   /** q99: 16-token language-ID segments. */
   private val segPer = 16
 
+  /** q403–q405 input: [[curateInput]]'s plants (repetition %13, exact
+    * dups %7) extended with release-stage work — PII appended to %19≡3
+    * texts BEFORE duplication (copies stay exact, so the dedup stage
+    * keeps its work) and NEAR-dup copies of %11≡0 docs at a second
+    * derived shift with a 2-token prefix (not exact ⇒ passes stage 5,
+    * caught by stage 8's MinHash clusters). */
+  private def releaseInput(base: DataFrame) = {
+    val rep = base.select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val pii = rep.select(col("doc_id"),
+      when(col("doc_id") % 19 === 3,
+        concat(col("text"), lit(" contact agent"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(col("text")).as("text"))
+    val sh = Curation.plantShift(base)
+    pii
+      .unionAll(pii.filter(col("doc_id") % 7 === 0).crossJoin(sh)
+        .select((col("doc_id") + col("_shift")).as("doc_id"), col("text")))
+      .unionAll(pii.filter(col("doc_id") % 11 === 0).crossJoin(sh)
+        .select((col("doc_id") + col("_shift") * 2).as("doc_id"),
+          concat(lit("mirror copy "), col("text")).as("text")))
+  }
+
+  /** doc_id → source for [[releaseInput]]'s planted ids. */
+  private def releaseSources(base: DataFrame) = {
+    val sh = Curation.plantShift(base)
+    base.select(col("doc_id"), col("source"))
+      .unionAll(base.filter(col("doc_id") % 7 === 0).crossJoin(sh)
+        .select((col("doc_id") + col("_shift")).as("doc_id"),
+          col("source")))
+      .unionAll(base.filter(col("doc_id") % 11 === 0).crossJoin(sh)
+        .select((col("doc_id") + col("_shift") * 2).as("doc_id"),
+          col("source")))
+  }
+
+  /** q403's benchmark: the %17≡0 slice of the ORIGINAL docs — those
+    * docs sit verbatim in the pipeline input too, so decontamination
+    * has true self-leak work (the eval set leaked into the crawl). */
+  private def releaseBench(base: DataFrame) =
+    base.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
+
+  /** The same planted input / sources / benchmark as DuckDB SQL. */
+  private val releaseInputSql =
+    s"""(WITH rep AS (
+      |   SELECT doc_id,
+      |          CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
+      |               ELSE text END AS text
+      |   FROM documents),
+      | pii AS (
+      |   SELECT doc_id,
+      |          CASE WHEN doc_id % 19 = 3
+      |               THEN text || ' contact agent' ||
+      |                    CAST(doc_id AS VARCHAR) || '@example.com now'
+      |               ELSE text END AS text
+      |   FROM rep)
+      | SELECT doc_id, text FROM pii
+      | UNION ALL
+      | SELECT doc_id + ${Curation.plantShiftSql} AS doc_id, text
+      | FROM pii WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT doc_id + 2 * ${Curation.plantShiftSql} AS doc_id,
+      |        'mirror copy ' || text AS text
+      | FROM pii WHERE doc_id % 11 = 0)""".stripMargin
+
+  private val releaseSourcesSql =
+    s"""SELECT doc_id, source FROM documents
+      | UNION ALL
+      | SELECT doc_id + ${Curation.plantShiftSql} AS doc_id, source
+      | FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT doc_id + 2 * ${Curation.plantShiftSql} AS doc_id, source
+      | FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
+  private val releaseBenchSql =
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-doc curation DECISION RECORD: one pass assigning each doc its
     // first-failing gate — encoding (q125 signals) → language (q21
@@ -269,6 +348,34 @@ object CurationGates extends QueryModule {
         blockPhrases, minTokens = 10L)
     }),
 
+    // The FULL corpus-release pipeline (round-10 item 1): q392's five
+    // stages extended with 6 PII density, 7 benchmark decontamination,
+    // 8 MinHash near-dup cluster resolution — first-failing-stage
+    // attribution over all eight, per-stage drops still sum. Input
+    // plants work for every stage (see releaseInput); the benchmark is
+    // an in-corpus slice so decontam flags true self-leaks. q403 is
+    // the 9-row release DATASHEET; q404 the released corpus + splits;
+    // q405 the per-source breakout (rows sum to q403, spec-asserted).
+    "q403_release_attrition" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      graft.text.Curate.attritionRelease(releaseInput(base), "doc_id",
+        "text", blockPhrases, releaseBench(base), minTokens = 10L)
+    }),
+
+    "q404_release_survivors" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      graft.text.Curate.survivorsRelease(releaseInput(base), "doc_id",
+        "text", blockPhrases, releaseBench(base), minTokens = 10L,
+        splits = Curation.corpusSplits)
+    }),
+
+    "q405_release_by_source" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      graft.text.Curate.attritionBySourceRelease(releaseInput(base),
+        "doc_id", "text", releaseSources(base), "source", blockPhrases,
+        releaseBench(base), minTokens = 10L)
+    }),
+
     // Gopher REPETITION rules: per doc, chars covered by duplicated
     // n-grams (n=5,10) as merged positional intervals over the
     // normalized token stream — the coverage half of the Gopher filter
@@ -423,6 +530,19 @@ object CurationGates extends QueryModule {
           | SELECT doc_id + ${Curation.plantShiftSql} AS doc_id, source
           | FROM documents WHERE doc_id % 7 = 0""".stripMargin,
         Text.toksSql, blockPhrases, minTokens = 10L),
+
+    "q403_release_attrition" -> graft.text.Curate.attritionReleaseOracleSql(
+      releaseInputSql, releaseBenchSql, Text.toksSql, blockPhrases,
+      minTokens = 10L),
+
+    "q404_release_survivors" -> graft.text.Curate.survivorsReleaseOracleSql(
+      releaseInputSql, releaseBenchSql, Text.toksSql, blockPhrases,
+      minTokens = 10L, splits = Curation.corpusSplits),
+
+    "q405_release_by_source" -> graft.text.Curate
+      .attritionBySourceReleaseOracleSql(
+        releaseInputSql, releaseBenchSql, releaseSourcesSql, Text.toksSql,
+        blockPhrases, minTokens = 10L),
 
     "q379_blocklist" -> graft.text.Blocklist.phraseHitsOracleSql(
       "documents", "doc_id", Text.toksSql, blockPhrases),

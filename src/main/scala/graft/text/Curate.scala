@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.NearDup
+import graft.functions.Hash64
 import graft.ops.Sampling
 
 /** The ONE-PLAN curation pipeline (round-9 item 3) — the round-8 gates
@@ -40,6 +42,17 @@ object Curate {
   val stageNames: Seq[(Int, String)] = Seq(
     1 -> "gopher", 2 -> "repetition", 3 -> "blocklist",
     4 -> "kn_perplexity", 5 -> "exact_dedup")
+
+  /** [[stageNames]] extended to the full CORPUS-RELEASE shape (round-10
+    * item 1): 6 PII density gate, 7 benchmark decontamination, 8 fuzzy
+    * (MinHash) near-dup cluster resolution. Stage ORDER is the
+    * attribution contract AND the cost ladder: 6–7 are scan-side /
+    * one-equi-join verdicts computed for every doc, 8's banding runs
+    * ONLY over stage-≤7 survivors — the expensive stage sees the
+    * smallest corpus, and near-dup's banding stays out of the
+    * scan-side budget. */
+  val releaseStageNames: Seq[(Int, String)] = stageNames ++ Seq(
+    6 -> "pii", 7 -> "decontam", 8 -> "near_dup")
 
   /** Per-document verdict frame: (idCol, n_tokens, stage) with stage ∈
     * 1..5 for dropped docs (first failing stage) and NULL for
@@ -121,22 +134,28 @@ object Curate {
       phrases: Seq[String], minTokens: Long = 50L,
       maxMeanBitsMicro: Long = 5500000L,
       repNs: Seq[Int] = Seq(5, 10),
-      knRef: Option[DataFrame] = None): DataFrame = {
+      knRef: Option[DataFrame] = None): DataFrame =
+    datasheetFrom(verdictsWithDedup(docs, idCol, textCol, phrases,
+      minTokens, maxMeanBitsMicro, repNs, knRef), stageNames)
+
+  /** The datasheet readout over ANY per-doc verdict frame
+    * (n_tokens, stage ∈ stages | NULL): the [[attrition]] shape, shared
+    * with the release pipeline. The released line gets ord max+1. */
+  private def datasheetFrom(pd: DataFrame,
+      stages: Seq[(Int, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
+    val spark = pd.sparkSession
     import spark.implicits._
-    val pd = verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
-      maxMeanBitsMicro, repNs, knRef)
     val byStage = pd.filter(col("stage").isNotNull)
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("__d"), sum(col("n_tokens")).as("__t"))
     val tot = pd.agg(count(lit(1)).as("__nd"),
       sum(col("n_tokens")).as("__nt")) // 1 row
-    val stages = (stageNames :+ (6 -> "released"))
+    val stFrame = (stages :+ ((stages.map(_._1).max + 1) -> "released"))
       .toDF("stage_ord", "stage")
     val w = Window.orderBy(col("stage_ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    stages
+    stFrame
       .join(byStage.withColumnRenamed("stage", "stage_ord"),
         Seq("stage_ord"), "left")
       .crossJoin(broadcast(tot))
@@ -161,24 +180,32 @@ object Curate {
       srcFrame: DataFrame, srcCol: String, phrases: Seq[String],
       minTokens: Long = 50L, maxMeanBitsMicro: Long = 5500000L,
       repNs: Seq[Int] = Seq(5, 10),
-      knRef: Option[DataFrame] = None): DataFrame = {
+      knRef: Option[DataFrame] = None): DataFrame =
+    datasheetBySourceFrom(
+      verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
+        maxMeanBitsMicro, repNs, knRef)
+        .join(srcFrame.select(col(idCol), col(srcCol).as("source")),
+          Seq(idCol)),
+      stageNames)
+
+  /** The per-source datasheet readout over ANY per-doc verdict frame
+    * carrying a `source` column — shared by [[attritionBySource]] and
+    * the release pipeline. */
+  private def datasheetBySourceFrom(pd: DataFrame,
+      stages: Seq[(Int, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
+    val spark = pd.sparkSession
     import spark.implicits._
-    val pd = verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
-      maxMeanBitsMicro, repNs, knRef)
-      .join(srcFrame.select(col(idCol), col(srcCol).as("source")),
-        Seq(idCol))
     val byStage = pd.filter(col("stage").isNotNull)
       .groupBy(col("source"), col("stage"))
       .agg(count(lit(1)).as("__d"), sum(col("n_tokens")).as("__t"))
     val tot = pd.groupBy(col("source"))
       .agg(count(lit(1)).as("__nd"), sum(col("n_tokens")).as("__nt"))
-    val stages = (stageNames :+ (6 -> "released"))
+    val stFrame = (stages :+ ((stages.map(_._1).max + 1) -> "released"))
       .toDF("stage_ord", "stage")
     val w = Window.partitionBy(col("source")).orderBy(col("stage_ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    tot.crossJoin(broadcast(stages))
+    tot.crossJoin(broadcast(stFrame))
       .join(byStage.withColumnRenamed("stage", "stage_ord"),
         Seq("source", "stage_ord"), "left")
       .withColumn("docs_dropped", coalesce(col("__d"), lit(0L)))
@@ -329,4 +356,330 @@ object Curate {
        |SELECT doc_id, n_tokens,
        |       ${Sampling.splitCaseSql("doc_id", salt, splits)} AS split
        |FROM pd WHERE stage IS NULL""".stripMargin
+
+  // ───────────────────── release pipeline (stages 6–8) ─────────────────
+
+  /** [[verdictsWithDedup]] extended to the full RELEASE shape
+    * ([[releaseStageNames]]): survivors of stages 1–5 then face
+    *
+    *   6 PII density (total email+IP+phone matches > `maxPiiHits` —
+    *     the quarantine form of [[Scrub]]; a release either drops or
+    *     re-routes these docs, and the attribution row is the same
+    *     either way),
+    *   7 benchmark DECONTAMINATION (shares any `decontamW`-token
+    *     shingle with `benchmark` — [[Decontaminate.overlap]]'s plan),
+    *   8 fuzzy NEAR-DUP cluster resolution (MinHash/LSH candidates ≥
+    *     `minAgree16`/16 estimated Jaccard → connected components →
+    *     min-id representative survives, the [[verdictsWithDedup]]
+    *     keep-first convention extended to near-copies).
+    *
+    * SHUFFLE BUDGET on top of the stage-1–5 plan: the PII gate is a
+    * pure scan-side projection (zero shuffles); decontamination is one
+    * shingle-keyed equi-join (benchmark side tiny → AQE broadcast) +
+    * one doc-keyed count; near-dup — the only expensive stage — runs
+    * its one signature aggregation and banding self-join over STAGE-≤7
+    * SURVIVORS ONLY, never the raw corpus, and its pair graph is
+    * bounded by true near-duplicates (LSH bands, never all-pairs).
+    *
+    * EAGERNESS: stages 1–7 stay one lazy plan; stage 8's connected
+    * components is the bounded iterative CC loop (O(log diameter)
+    * rounds over the PAIR frame, never the corpus). The stage-≤7
+    * verdict frame is `localCheckpoint`ed before the loop — it feeds
+    * both the signature arm and the final verdict join, and without
+    * the cut each CC action would replay the whole gate pipeline (the
+    * q401 lineage lesson). The signature frame is persisted for its
+    * three uses (banding + two verify joins) and unpersisted before
+    * returning — the CC labels are checkpoint-backed, so no caller
+    * cache contract is needed.
+    *
+    * @param benchmark evaluation set to decontaminate against
+    *        (idCol, textCol)
+    * @return (idCol, n_tokens, stage ∈ 1..8 | NULL for released) */
+  def releaseVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], benchmark: DataFrame,
+      minTokens: Long = 50L, maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10), knRef: Option[DataFrame] = None,
+      maxPiiHits: Long = 0L, decontamW: Int = 13,
+      minAgree16: Int = 8): DataFrame = {
+    val v5 = verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
+      maxMeanBitsMicro, repNs, knRef)
+    val pii = docs.select(col(idCol),
+      (Scrub.countEmails(col(textCol)) + Scrub.countIps(col(textCol)) +
+        Scrub.countPhones(col(textCol))).cast("long").as("__pii"))
+    val contam = Decontaminate.overlap(docs, benchmark, idCol, textCol,
+        w = decontamW)
+      .select(col(idCol), lit(true).as("__ct"))
+    val v7 = v5.join(pii, Seq(idCol))
+      .join(contam, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("stage"),
+          when(col("__pii") > maxPiiHits, 6),
+          when(col("__ct"), 7)).cast("int").as("stage"))
+      .localCheckpoint()
+    val survTexts = v7.filter(col("stage").isNull).select(col(idCol))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val sig = NearDup.minhashSignatures(survTexts, idCol, textCol)
+      .persist()
+    val agree = aggregate(
+      zip_with(col("s1.sig"), col("s2.sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (a, v) => a + v)
+    val pairs = NearDup.lshCandidatePairs(sig, idCol, "sig")
+      .join(sig.as("s1"), col("d1") === col(s"s1.$idCol"))
+      .join(sig.as("s2"), col("d2") === col(s"s2.$idCol"))
+      .filter(agree >= lit(minAgree16))
+      .select(col("d1"), col("d2"))
+    val clusters = NearDup.connectedComponents(pairs) // eager loop
+    sig.unpersist()
+    val dropped = clusters.filter(!col("keep"))
+      .select(col("node").as(idCol), lit(true).as("__nd"))
+    v7.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("stage"), when(col("__nd"), 8))
+          .cast("int").as("stage"))
+  }
+
+  /** The release DATASHEET: [[attrition]]'s shape over the 8-stage
+    * pipeline — one row per stage + the released line (ord 9). */
+  def attritionRelease(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], benchmark: DataFrame,
+      minTokens: Long = 50L, maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10), knRef: Option[DataFrame] = None,
+      maxPiiHits: Long = 0L, decontamW: Int = 13,
+      minAgree16: Int = 8): DataFrame =
+    datasheetFrom(releaseVerdicts(docs, idCol, textCol, phrases,
+      benchmark, minTokens, maxMeanBitsMicro, repNs, knRef, maxPiiHits,
+      decontamW, minAgree16), releaseStageNames)
+
+  /** The released corpus with split assignment over the 8-stage
+    * pipeline: (idCol, n_tokens, split). */
+  def survivorsRelease(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], benchmark: DataFrame,
+      minTokens: Long = 50L, maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10), knRef: Option[DataFrame] = None,
+      maxPiiHits: Long = 0L, decontamW: Int = 13, minAgree16: Int = 8,
+      salt: String = "curate",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    Sampling.assignSplit(
+      releaseVerdicts(docs, idCol, textCol, phrases, benchmark,
+        minTokens, maxMeanBitsMicro, repNs, knRef, maxPiiHits,
+        decontamW, minAgree16).filter(col("stage").isNull)
+        .select(col(idCol), col("n_tokens")),
+      col(idCol), salt, splits)
+      .select(col(idCol), col("n_tokens"), col("split"))
+
+  /** [[attritionRelease]] broken out BY SOURCE — per-source rows sum
+    * exactly to the global release datasheet (the q400 contract,
+    * spec-asserted). `srcFrame` maps idCol → srcCol. */
+  def attritionBySourceRelease(docs: DataFrame, idCol: String,
+      textCol: String, srcFrame: DataFrame, srcCol: String,
+      phrases: Seq[String], benchmark: DataFrame,
+      minTokens: Long = 50L, maxMeanBitsMicro: Long = 5500000L,
+      repNs: Seq[Int] = Seq(5, 10), knRef: Option[DataFrame] = None,
+      maxPiiHits: Long = 0L, decontamW: Int = 13,
+      minAgree16: Int = 8): DataFrame =
+    datasheetBySourceFrom(
+      releaseVerdicts(docs, idCol, textCol, phrases, benchmark,
+        minTokens, maxMeanBitsMicro, repNs, knRef, maxPiiHits,
+        decontamW, minAgree16)
+        .join(srcFrame.select(col(idCol), col(srcCol).as("source")),
+          Seq(idCol)),
+      releaseStageNames)
+
+  /** DuckDB oracle CTE chain for [[releaseVerdicts]] over `tableSql`
+    * (yields (doc_id, text)) vs `benchSql` (same shape) — composes
+    * [[perDocOracleSql]] (stages 1–5 verbatim), the q53 PII counting
+    * fragments, the q55 shingle-containment join, and the q27/q90
+    * MinHash + recursive-CTE connected-components chain over stage-≤7
+    * survivors. Must be embedded under WITH RECURSIVE (the `reach`
+    * CTE). Yields (doc_id, n_tokens, stage). */
+  private def releasePerDocOracleSql(tableSql: String, benchSql: String,
+      toksSql: String, phrases: Seq[String], minTokens: Long,
+      maxMeanBitsMicro: Long, repNs: Seq[Int], maxPiiHits: Long,
+      decontamW: Int, minAgree16: Int): String = {
+    val sigList = (0 until 16)
+      .map(i => s"min(${Hash64.duckMixedSql(i, "h")})")
+      .mkString("[", ", ", "]")
+    // WITH RECURSIVE must sit on the chain DEFINING `reach` — callers
+    // embed this whole block as a derived table under a plain WITH.
+    s"""WITH RECURSIVE pd5 AS (${perDocOracleSql(tableSql, toksSql,
+          phrases, minTokens, maxMeanBitsMicro, repNs)}),
+       |piic AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '${Scrub.emailRe}'))
+       |            + len(regexp_extract_all(text, '${Scrub.ipRe}'))
+       |            + len(regexp_extract_all(text, '${Scrub.phoneRe}'))
+       |           AS BIGINT) AS pii
+       |  FROM $tableSql
+       |), csh AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id,
+       |           unnest(list_distinct(${NearDup.duckShinglesSql(
+                     decontamW)})) AS g
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM $tableSql)
+       |  ) WHERE g <> ''
+       |), bsh AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(list_distinct(${NearDup.duckShinglesSql(
+                     decontamW)})) AS g
+       |    FROM (SELECT $toksSql AS toks FROM $benchSql)
+       |  ) WHERE g <> ''
+       |), ct AS (
+       |  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (g)
+       |), v7 AS (
+       |  SELECT pd5.doc_id, pd5.n_tokens,
+       |         coalesce(pd5.stage,
+       |           CASE WHEN piic.pii > $maxPiiHits THEN 6
+       |                WHEN ct.doc_id IS NOT NULL THEN 7 END) AS stage
+       |  FROM pd5
+       |  JOIN piic USING (doc_id)
+       |  LEFT JOIN ct ON pd5.doc_id = ct.doc_id
+       |), ntoks AS (
+       |  SELECT i.doc_id, $toksSql AS toks
+       |  FROM $tableSql i JOIN v7 ON i.doc_id = v7.doc_id
+       |  WHERE v7.stage IS NULL
+       |), nsh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(${NearDup.duckShinglesSql(3)})) AS sh
+       |  FROM ntoks
+       |), nhs AS (
+       |  SELECT doc_id, ${Hash64.duckSql("sh")} AS h FROM nsh
+       |), nsig AS (
+       |  SELECT doc_id, $sigList AS sig FROM nhs GROUP BY 1
+       |), nbanded AS (
+       |  SELECT doc_id, b.band AS band,
+       |         sig[b.band*4+1 : b.band*4+4] AS band_key
+       |  FROM nsig, (SELECT unnest(range(0, 4)) AS band) b
+       |), npairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM nbanded a JOIN nbanded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), fpairs AS (
+       |  SELECT d1, d2 FROM npairs
+       |  JOIN nsig s1 ON d1 = s1.doc_id
+       |  JOIN nsig s2 ON d2 = s2.doc_id
+       |  WHERE len(list_filter(list_zip(s1.sig, s2.sig),
+       |          q -> q[1] = q[2])) >= $minAgree16
+       |), sym AS (
+       |  SELECT d1 AS src, d2 AS dst FROM fpairs
+       |  UNION
+       |  SELECT d2 AS src, d1 AS dst FROM fpairs
+       |), reach(node, lab) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+       |), clusters AS (
+       |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+       |)
+       |SELECT v7.doc_id, v7.n_tokens,
+       |       CAST(coalesce(v7.stage,
+       |         CASE WHEN c.node IS NOT NULL AND c.cluster_id <> c.node
+       |              THEN 8 END) AS INTEGER) AS stage
+       |FROM v7 LEFT JOIN clusters c ON v7.doc_id = c.node""".stripMargin
+  }
+
+  /** Shared datasheet SQL over a per-doc SQL: the [[attritionOracleSql]]
+    * readout parameterized on the stage table. */
+  private def datasheetOracleSqlFrom(perDocSql: String,
+      stages: Seq[(Int, String)]): String = {
+    val names = (stages :+ ((stages.map(_._1).max + 1) -> "released"))
+      .map { case (o, n) => s"($o, '$n')" }.mkString(", ")
+    s"""WITH pd AS ($perDocSql),
+       |bys AS (
+       |  SELECT stage, CAST(count(*) AS BIGINT) AS d,
+       |         CAST(sum(n_tokens) AS BIGINT) AS t
+       |  FROM pd WHERE stage IS NOT NULL GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(n_tokens) AS BIGINT) AS nt
+       |  FROM pd
+       |), st AS (SELECT * FROM (VALUES $names) s(stage_ord, stage))
+       |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+       |       CAST(nd - coalesce(sum(docs_dropped) OVER w, 0) AS BIGINT)
+       |         AS docs_in,
+       |       docs_dropped,
+       |       CAST(nt - coalesce(sum(tokens_dropped) OVER w, 0) AS BIGINT)
+       |         AS tokens_in,
+       |       tokens_dropped
+       |FROM (
+       |  SELECT st.stage_ord, st.stage,
+       |         CAST(coalesce(bys.d, 0) AS BIGINT) AS docs_dropped,
+       |         CAST(coalesce(bys.t, 0) AS BIGINT) AS tokens_dropped
+       |  FROM st LEFT JOIN bys ON st.stage_ord = bys.stage
+       |), tot
+       |WINDOW w AS (ORDER BY stage_ord
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[attritionRelease]]. */
+  def attritionReleaseOracleSql(tableSql: String, benchSql: String,
+      toksSql: String, phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L, repNs: Seq[Int] = Seq(5, 10),
+      maxPiiHits: Long = 0L, decontamW: Int = 13,
+      minAgree16: Int = 8): String =
+    datasheetOracleSqlFrom(
+      releasePerDocOracleSql(tableSql, benchSql, toksSql, phrases,
+        minTokens, maxMeanBitsMicro, repNs, maxPiiHits, decontamW,
+        minAgree16),
+      releaseStageNames)
+
+  /** DuckDB oracle for [[survivorsRelease]]. */
+  def survivorsReleaseOracleSql(tableSql: String, benchSql: String,
+      toksSql: String, phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L, repNs: Seq[Int] = Seq(5, 10),
+      maxPiiHits: Long = 0L, decontamW: Int = 13, minAgree16: Int = 8,
+      salt: String = "curate",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): String =
+    s"""WITH pd AS (${releasePerDocOracleSql(tableSql,
+          benchSql, toksSql, phrases, minTokens, maxMeanBitsMicro,
+          repNs, maxPiiHits, decontamW, minAgree16)})
+       |SELECT doc_id, n_tokens,
+       |       ${Sampling.splitCaseSql("doc_id", salt, splits)} AS split
+       |FROM pd WHERE stage IS NULL""".stripMargin
+
+  /** DuckDB oracle for [[attritionBySourceRelease]]; `srcSql` yields
+    * (doc_id, source). */
+  def attritionBySourceReleaseOracleSql(tableSql: String,
+      benchSql: String, srcSql: String, toksSql: String,
+      phrases: Seq[String], minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L, repNs: Seq[Int] = Seq(5, 10),
+      maxPiiHits: Long = 0L, decontamW: Int = 13,
+      minAgree16: Int = 8): String = {
+    val names = (releaseStageNames :+ (9 -> "released"))
+      .map { case (o, n) => s"($o, '$n')" }.mkString(", ")
+    s"""WITH pd0 AS (${releasePerDocOracleSql(tableSql,
+          benchSql, toksSql, phrases, minTokens, maxMeanBitsMicro,
+          repNs, maxPiiHits, decontamW, minAgree16)}),
+       |pd AS (
+       |  SELECT pd0.*, s.source FROM pd0 JOIN ($srcSql) s USING (doc_id)
+       |), bys AS (
+       |  SELECT source, stage, CAST(count(*) AS BIGINT) AS d,
+       |         CAST(sum(n_tokens) AS BIGINT) AS t
+       |  FROM pd WHERE stage IS NOT NULL GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(n_tokens) AS BIGINT) AS nt
+       |  FROM pd GROUP BY 1
+       |), st AS (SELECT * FROM (VALUES $names) s(stage_ord, stage))
+       |SELECT source, CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+       |       CAST(nd - coalesce(sum(docs_dropped) OVER w, 0) AS BIGINT)
+       |         AS docs_in,
+       |       docs_dropped,
+       |       CAST(nt - coalesce(sum(tokens_dropped) OVER w, 0) AS BIGINT)
+       |         AS tokens_in,
+       |       tokens_dropped
+       |FROM (
+       |  SELECT tot.source, tot.nd, tot.nt, st.stage_ord, st.stage,
+       |         CAST(coalesce(bys.d, 0) AS BIGINT) AS docs_dropped,
+       |         CAST(coalesce(bys.t, 0) AS BIGINT) AS tokens_dropped
+       |  FROM tot CROSS JOIN st
+       |  LEFT JOIN bys ON bys.source = tot.source
+       |               AND st.stage_ord = bys.stage
+       |)
+       |WINDOW w AS (PARTITION BY source ORDER BY stage_ord
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+  }
 }
