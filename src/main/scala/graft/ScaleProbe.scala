@@ -406,6 +406,19 @@ object ScaleProbe {
             "slow query", "data line", "purple elephant parade"),
           minTokens = 10L).count()
       }
+      // round-10 item 1: the full RELEASE pipeline (stages 6–8 on top).
+      // Replicas are exact dups, so stage 5 drops (m−1)/m and the
+      // near-dup banding sees a survivor set that stays ~1x-sized —
+      // growth must come only from the scan-side gate/PII/decontam
+      // passes (linear), never the CC loop.
+      time(s"release_pipeline_x$m") {
+        text.Curate.attritionRelease(docsB, "doc_id", "text",
+          Seq("table scan merge", "join order", "batch batch batch",
+            "slow query", "data line", "purple elephant parade"),
+          t.documents.filter(col("doc_id") % 17 === 0)
+            .select(col("doc_id"), col("text")),
+          minTokens = 10L).count()
+      }
       // FFD bin-packing at the contract shape: shard count scales with
       // the corpus so per-task fold state stays constant-sized
       time(s"binpack_x$m") {
