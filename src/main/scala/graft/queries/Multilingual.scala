@@ -42,6 +42,10 @@ object Multilingual extends QueryModule {
     * verdict on them instead of a vacuous fail. */
   private val gopherMinTokens = 5L
 
+  /** q406's mixed-script term list: two Cyrillic terms from the
+    * fixture twins + one ASCII corpus term. */
+  private val bm25UniTerms = Seq("пример", "текста", "data")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher hard gates with the letter-class tokenizer and the
     // matching Unicode punctuation class: the Cyrillic/Greek/CJK
@@ -98,6 +102,47 @@ object Multilingual extends QueryModule {
       graft.text.Decontaminate.overlap(corpus, bench, "doc_id", "text",
         w = 7, tokenizer = TextAnalysis.unicodeTokens)
     }),
+
+    // BM25 with the letter-class tokenizer and a MIXED-SCRIPT term
+    // list: the Cyrillic terms match the fixture twins (the ASCII
+    // route can never match them by construction — its tokenizer
+    // reduces Cyrillic to boundary soup), the ASCII term keeps the
+    // corpus side scored; both scripts rank in ONE score domain.
+    "q406_bm25_unicode" -> ((s, dir) =>
+      Retrieval.bm25(allDocs(s, dir), "doc_id", "text", bm25UniTerms,
+        tokenizer = TextAnalysis.unicodeTokens)),
+
+    // Exact vocabulary over letter-class units, topN above the corpus
+    // type count (~31 ASCII types + the fixture's ~50 unicode types)
+    // so every fixture token SURFACES with its exact freq/df — the
+    // frequency table a multilingual tokenizer build reads.
+    "q407_vocab_unicode" -> ((s, dir) =>
+      Spans.vocabulary(allDocs(s, dir), "doc_id", "text", 120,
+        TextAnalysis.unicodeTokens)),
+
+    // Tokenizer application over the same 120-entry unicode
+    // vocabulary: fixture docs encode to real (pos, id) streams
+    // instead of dropping out; OOV stays id 0.
+    "q408_token_ids_unicode" -> ((s, dir) =>
+      Spans.encodeTokens(allDocs(s, dir), "doc_id", "text", 120,
+        TextAnalysis.unicodeTokens)),
+
+    // Corpus bigrams over letter-class units, topN above the corpus
+    // bigram type count (~916 ASCII + the fixture's ~40) so the
+    // fixture's bigrams surface with exact counts — the multilingual
+    // BPE-training inner-loop table.
+    "q410_bigrams_unicode" -> ((s, dir) =>
+      Spans.topBigrams(allDocs(s, dir), "doc_id", "text", topN = 1200,
+        tokenizer = TextAnalysis.unicodeTokens)),
+
+    // Collocations over letter-class units: the Russian twin docs give
+    // their within-window pairs c_ab = 2 with hapax-rare unigrams, so
+    // the fixture's pairs dominate the log-free PMI ranking — the
+    // multilingual word-association signal the ASCII route never sees.
+    "q409_collocations_unicode" -> ((s, dir) =>
+      Spans.collocations(allDocs(s, dir), "doc_id", "text", window = 3,
+        minCount = 2L, topN = 20,
+        tokenizer = TextAnalysis.unicodeTokens)),
 
     // Native #11 `unicode_token_stats` as the oracle-gated route: the
     // letter-class token count + char sum in one scan-side pass (no
@@ -209,6 +254,91 @@ object Multilingual extends QueryModule {
         |SELECT s.doc_id, count(*) AS n_shared
         |FROM sh s JOIN bg b USING (g)
         |GROUP BY 1""".stripMargin,
+
+    // q56's generated oracle with the unicode fragment over the union.
+    "q406_bm25_unicode" -> Retrieval.bm25OracleSql(utoks, bm25UniTerms,
+      table = allDocsSql),
+
+    // q78's oracle shape over the union with the unicode fragment.
+    "q407_vocab_unicode" ->
+      s"""WITH pd AS (
+        |  SELECT token, doc_id, count(*) AS k
+        |  FROM (SELECT doc_id, unnest($utoks) AS token FROM $allDocsSql)
+        |  GROUP BY 1, 2
+        |), v AS (
+        |  SELECT token, CAST(sum(k) AS BIGINT) AS freq, count(*) AS df
+        |  FROM pd GROUP BY 1
+        |), top AS (SELECT * FROM v ORDER BY freq DESC, token LIMIT 120)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+        |       token, freq, df
+        |FROM top""".stripMargin,
+
+    // q100's oracle shape over the union with the unicode fragment.
+    "q408_token_ids_unicode" ->
+      s"""WITH pd AS (
+        |  SELECT token, doc_id, count(*) AS k
+        |  FROM (SELECT doc_id, unnest($utoks) AS token FROM $allDocsSql)
+        |  GROUP BY 1, 2
+        |), v0 AS (
+        |  SELECT token, CAST(sum(k) AS BIGINT) AS freq FROM pd GROUP BY 1
+        |), top AS (SELECT * FROM v0 ORDER BY freq DESC, token LIMIT 120),
+        |v AS (
+        |  SELECT token,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM top
+        |), tok AS (
+        |  SELECT doc_id, pr[1] AS token, CAST(pr[2] AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, unnest(list_zip(toks, range(0, len(toks)))) AS pr
+        |        FROM (SELECT doc_id, $utoks AS toks FROM $allDocsSql))
+        |)
+        |SELECT t.doc_id, t.pos,
+        |       CAST(coalesce(v.rank, 0) AS BIGINT) AS token_id
+        |FROM tok t LEFT JOIN v USING (token)""".stripMargin,
+
+    // q92's oracle shape over the union with the unicode fragment.
+    "q410_bigrams_unicode" ->
+      s"""WITH t AS (SELECT $utoks AS toks FROM $allDocsSql),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM t WHERE len(toks) >= 2),
+        |v AS (SELECT pair, count(*) AS freq FROM p GROUP BY 1),
+        |top AS (SELECT * FROM v ORDER BY freq DESC, pair LIMIT 1200)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank,
+        |       pair, freq
+        |FROM top""".stripMargin,
+
+    // q106's oracle shape over the union with the unicode fragment.
+    "q409_collocations_unicode" -> {
+      val unions = (1 until 3).map { j =>
+        s"""SELECT pr[1] AS a, pr[2] AS b FROM (
+           |    SELECT unnest(list_zip(
+           |      toks[1:greatest(len(toks) - $j, 0)],
+           |      toks[${j + 1}:len(toks)])) AS pr
+           |    FROM t WHERE len(toks) >= 2)""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT $utoks AS toks FROM $allDocsSql),
+        |p AS (
+        |  $unions
+        |), pc AS (
+        |  SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |), uni AS (
+        |  SELECT t2 AS tok, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS t2 FROM t) GROUP BY 1
+        |), scored AS (
+        |  SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |         CAST(pc.c_ab AS DOUBLE)
+        |           / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS score
+        |  FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok
+        |), top AS (
+        |  SELECT * FROM scored ORDER BY score DESC, a, b LIMIT 20
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, a, b) AS BIGINT)
+        |         AS rank,
+        |       a, b, c_ab, c_a, c_b, score
+        |FROM top""".stripMargin
+    },
 
     "q396_unicode_token_stats" ->
       s"""SELECT doc_id,

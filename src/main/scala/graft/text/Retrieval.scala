@@ -27,10 +27,17 @@ object Retrieval {
 
   /** BM25-family scores for documents matching ≥1 term.
     *
+    * @param tokenizer pluggable unit extractor ([[TextAnalysis.tokens]]
+    *        default — ASCII outputs byte-identical;
+    *        [[TextAnalysis.unicodeTokens]] lets non-Latin query terms
+    *        match the scripts the ASCII contract reduces to boundary
+    *        soup — a Cyrillic term can never match under the default
+    *        route by construction)
     * @return (idCol, dl, n_matched, score)
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(terms.nonEmpty, "term list must be non-empty")
     require(terms.distinct == terms,
       "duplicate query terms would double-count their tf contribution")
@@ -42,7 +49,7 @@ object Retrieval {
       size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
     }
     val base = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), tokenizer(col(textCol)).as("__toks"))
       .select(col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
     val dfAggs = terms.indices.map(i =>
       sum(when(col(s"tf$i") > 0, lit(1L)).otherwise(lit(0L))).as(s"df$i"))
@@ -232,7 +239,8 @@ object Retrieval {
   }
 
   def bm25OracleSql(toksSql: String, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): String = {
+      k1: Double = 1.2, b: Double = 0.75,
+      table: String = "documents"): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(", ")
@@ -248,7 +256,7 @@ object Retrieval {
     val anyMatch = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
     s"""WITH base AS (
       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfs
-      |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+      |  FROM (SELECT doc_id, $toksSql AS toks FROM $table)
       |), globals AS (
       |  SELECT count(*) AS n_docs, sum(dl) AS dl_sum, $dfs FROM base
       |), g AS (

@@ -267,12 +267,17 @@ object Spans {
     * 10⁸). The rank column is a row_number over the already-limited N
     * rows — a one-partition window over topN rows by construction.
     *
+    * @param tokenizer pluggable unit extractor ([[TextAnalysis.tokens]]
+    *        default — ASCII outputs byte-identical;
+    *        [[TextAnalysis.unicodeTokens]] extends the vocabulary to
+    *        the scripts the ASCII contract tokenizes to empty)
     * @return (rank, token, freq, df) */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
-      topN: Int): DataFrame = {
+      topN: Int,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     val perDoc = docs
       .select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        explode(tokenizer(col(textCol))).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("k"))
     val vocab = perDoc.groupBy(col("token"))
       .agg(sum(col("k")).as("freq"), count(lit(1)).as("df"))
@@ -298,12 +303,13 @@ object Spans {
     *
     * @return (idCol, pos, token_id) — one row per token occurrence */
   def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
-      topN: Int): DataFrame = {
-    val vocab = vocabulary(docs, idCol, textCol, topN)
+      topN: Int,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val vocab = vocabulary(docs, idCol, textCol, topN, tokenizer)
       .select(col("token"), col("rank"))
     docs
       .select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+        posexplode(tokenizer(col(textCol))).as(Seq("pos", "token")))
       .join(vocab, Seq("token"), "left")
       .select(col(idCol), col("pos").cast("long").as("pos"),
         coalesce(col("rank"), lit(0L)).as("token_id"))
@@ -322,14 +328,15 @@ object Spans {
     *
     * @return (rank, pair, freq) */
   def topBigrams(docs: DataFrame, idCol: String, textCol: String,
-      topN: Int): DataFrame = {
+      topN: Int,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     val n = org.apache.spark.sql.functions.size(col("__toks"))
     val pairs = zip_with(
       slice(col("__toks"), lit(1), n - 1),
       slice(col("__toks"), lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))
     docs
-      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(tokenizer(col(textCol)).as("__toks"))
       .filter(org.apache.spark.sql.functions.size(col("__toks")) >= 2)
       .select(explode(pairs).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
@@ -360,9 +367,10 @@ object Spans {
     *
     * @return (rank, a, b, c_ab, c_a, c_b, score) */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 3, minCount: Long = 2L, topN: Int = 20): DataFrame = {
+      window: Int = 3, minCount: Long = 2L, topN: Int = 20,
+      tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val toks = docs.select(tokenizer(col(textCol)).as("__toks"))
     val n = org.apache.spark.sql.functions.size(col("__toks"))
     // greatest(n−j, 0): docs shorter than the shift yield empty slices,
     // not a negative slice length (error on Spark, from-the-END

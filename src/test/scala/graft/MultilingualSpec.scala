@@ -110,6 +110,66 @@ class MultilingualSpec extends SparkSuite {
     assert(native(cases.indexOf("ｆｕｌｌｗｉｄｔｈ １２３").toLong) == (2L, 12L))
   }
 
+  test("bm25 unicode: Cyrillic terms match the fixture twins; the " +
+      "ASCII route cannot (round-10 seam)") {
+    import graft.text.Retrieval
+    val docs = Seq(
+      (1L, "Это пример русского текста для проверки."),
+      (2L, "plain data document here")).toDF("doc_id", "text")
+    val uni = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("пример", "data"), tokenizer = TextAnalysis.unicodeTokens)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni == Map(1L -> 1L, 2L -> 1L)) // each doc matches one term
+    val ascii = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("пример", "data")).collect().map(_.getLong(0)).toSet
+    assert(ascii == Set(2L), "ASCII route is blind to Cyrillic terms")
+  }
+
+  test("vocabulary/encodeTokens unicode: fixture terms surface with " +
+      "exact freq; ASCII default unchanged") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "Это пример пример текста"),
+      (2L, "ascii words here")).toDF("doc_id", "text")
+    val v = Spans.vocabulary(docs, "doc_id", "text", 10,
+        TextAnalysis.unicodeTokens)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(v("пример") == 2L && v("Это") == 1L && v("ascii") == 1L)
+    // ASCII default tokenizes doc 1 to nothing: only doc 2's terms
+    val va = Spans.vocabulary(docs, "doc_id", "text", 10)
+      .collect().map(_.getString(1)).toSet
+    assert(va == Set("ascii", "words", "here"))
+    // encodeTokens: "пример" (freq 2) is rank 1; ids follow
+    val enc = Spans.encodeTokens(docs, "doc_id", "text", 10,
+        TextAnalysis.unicodeTokens)
+      .filter(col("doc_id") === 1L).orderBy(col("pos"))
+      .collect().map(_.getLong(2)).toSeq
+    val vRank = Spans.vocabulary(docs, "doc_id", "text", 10,
+        TextAnalysis.unicodeTokens)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(enc == Seq(vRank("Это"), vRank("пример"), vRank("пример"),
+      vRank("текста")))
+  }
+
+  test("collocations unicode: twin docs make their pairs pass the " +
+      "minCount floor and rank by PMI") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, "красный дом стоит"),
+      (2L, "красный дом стоит"),
+      (3L, "filler text filler text filler text")).toDF("doc_id", "text")
+    val top = Spans.collocations(docs, "doc_id", "text", window = 3,
+        minCount = 2L, topN = 5, tokenizer = TextAnalysis.unicodeTokens)
+      .collect()
+    val pairs = top.map(r => (r.getString(1), r.getString(2))).toSet
+    assert(pairs.contains(("красный", "дом")))
+    assert(pairs.contains(("дом", "стоит")))
+    // c_ab = 2 (both twins), c_a = c_b = 2 -> score 0.5 exactly
+    val kd = top.find(r =>
+      r.getString(1) == "красный" && r.getString(2) == "дом").get
+    assert(kd.getLong(3) == 2L && kd.getDouble(6) == 0.5)
+  }
+
   test("ascii tokens on the fixture stay boundary soup (contract unchanged)") {
     // the pre-existing ASCII contract is untouched: Cyrillic doc -> empty
     val t = Seq("Это пример русского текста").toDF("text")
