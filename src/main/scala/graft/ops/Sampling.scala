@@ -232,6 +232,63 @@ object Sampling {
       .select(col(keyCol), col(idCol))
   }
 
+  /** Materialize a per-key TOKEN-budget sample — the sampling pass that
+    * EXECUTES [[waterFillAllocation]]'s plan (round-10 item 3): docs in
+    * the deterministic salted-hash order per key, kept while the
+    * running token total (inclusive) stays within the key's allocation.
+    * Winners form a PREFIX of the salted order (the [[capPerKeyIds]]
+    * property lifted from row counts to token mass): raising a key's
+    * allocation only ADDS winners, never changes existing ones, and a
+    * re-run picks identical winners — the reproducibility contract a
+    * training-corpus build publishes.
+    *
+    * Never overshoots: the inclusive running sum must fit, so the
+    * budget miss is bounded by one document per key.
+    *
+    * Plan: one broadcast join of the key-cardinality alloc frame + one
+    * per-key window in salted order (partition = one key's docs, sorted
+    * once). At extreme per-key cardinality where even one sorted
+    * partition per source is unwanted, the rate form —
+    * [[weightedSample]] at rate alloc/avail — is the zero-sort
+    * scan-side alternative that trades exact budget adherence for
+    * expectation-level adherence; this operator is the exact form.
+    *
+    * @return docs' columns + `cum_tokens` (the inclusive running total
+    *         in salted order — the audit column) */
+  def tokenBudgetSample(docs: DataFrame, keyCol: String, idCol: String,
+      nTokensCol: String, alloc: DataFrame, allocCol: String,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(saltedPriority(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(alloc.select(col(keyCol),
+        col(allocCol).cast("long").as("__alloc"))), Seq(keyCol))
+      .withColumn("cum_tokens", sum(col(nTokensCol)).over(w))
+      .filter(col("cum_tokens") <= col("__alloc"))
+      .drop("__alloc")
+  }
+
+  /** DuckDB fragment: the [[tokenBudgetSample]] window + filter over a
+    * derived table `dsSql` (must yield keyCol, idCol, nTokensCol and
+    * any carried columns) joined to `allocSql` (keyCol, allocCol). */
+  def tokenBudgetSampleOracleSql(dsSql: String, allocSql: String,
+      keyCol: String, idCol: String, nTokensCol: String,
+      allocCol: String, salt: String, carryCols: Seq[String]): String = {
+    val cols = Seq(idCol, keyCol, nTokensCol) ++ carryCols
+    val carry = cols.map("ds." + _).mkString(", ")
+    s"""SELECT ${cols.mkString(", ")},
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+       |  SELECT $carry, a.$allocCol AS __alloc,
+       |         sum(ds.$nTokensCol) OVER (PARTITION BY ds.$keyCol
+       |           ORDER BY ${capPrioritySql(s"ds.$idCol", salt)}, ds.$idCol
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS cum_tokens
+       |  FROM ($dsSql) ds JOIN ($allocSql) a ON ds.$keyCol = a.$keyCol
+       |) WHERE cum_tokens <= __alloc""".stripMargin
+  }
+
   /** Water-filling token-budget allocation — the mixture PLANNER whose
     * output [[mixSample]] executes: given per-source available tokens,
     * target weights, and a total budget of `(budgetNum/budgetDen) ·

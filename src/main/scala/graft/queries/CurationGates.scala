@@ -339,6 +339,30 @@ object CurationGates extends QueryModule {
         budgetDen = 2L)
     }),
 
+    // The budget planner MATERIALIZED (round-10 item 3): q401's
+    // per-source alloc composed with the token-budget sampler to EMIT
+    // the actual sampled training corpus — (doc_id, source, n_tokens,
+    // split, cum_tokens), winners a deterministic salted-hash PREFIX
+    // per source (raising an alloc only adds docs; SamplingSpec
+    // asserts both properties). The survivor frame is checkpointed
+    // ONCE and feeds supply, allocator, and sampler — the whole
+    // pipeline evaluates a single time (the q401 lineage lesson).
+    "q411_budget_sampled" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      val surv = graft.text.Curate.survivors(curateInput(base), "doc_id",
+        "text", blockPhrases, minTokens = 10L,
+        splits = Curation.corpusSplits)
+        .join(plantedSources(base), "doc_id")
+        .localCheckpoint()
+      val ps = surv.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("avail"))
+      val alloc = graft.ops.Sampling.waterFillAllocation(ps, "source",
+        "avail", Curation.budgetWeights, defaultWeight = 1L,
+        budgetNum = 1L, budgetDen = 2L)
+      graft.ops.Sampling.tokenBudgetSample(surv, "source", "doc_id",
+        "n_tokens", alloc, "alloc", salt = "budget")
+    }),
+
     // q392 broken out BY SOURCE — which sources lose most to which
     // gate, the table a corpus release's datasheet actually prints.
     "q400_curation_by_source" -> ((s, dir) => {
@@ -521,6 +545,28 @@ object CurationGates extends QueryModule {
          | GROUP BY 1)""".stripMargin,
       Curation.budgetWeights, defaultWeight = 1L, budgetNum = 1L,
       budgetDen = 2L),
+
+    "q411_budget_sampled" -> {
+      val dsSql =
+        s"""WITH pd AS (${graft.text.Curate.survivorsOracleSql(
+              curateInputSql, Text.toksSql, blockPhrases, minTokens = 10L,
+              splits = Curation.corpusSplits)})
+           |SELECT p.doc_id, p.n_tokens, p.split, s.source
+           |FROM pd p JOIN (
+           |  SELECT doc_id, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + ${Curation.plantShiftSql} AS doc_id, source
+           |  FROM documents WHERE doc_id % 7 = 0) s USING (doc_id)"""
+          .stripMargin
+      graft.ops.Sampling.tokenBudgetSampleOracleSql(
+        dsSql,
+        graft.ops.Sampling.waterFillOracleSql(
+          s"SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail FROM ($dsSql) GROUP BY 1",
+          Curation.budgetWeights, defaultWeight = 1L, budgetNum = 1L,
+          budgetDen = 2L),
+        "source", "doc_id", "n_tokens", "alloc", salt = "budget",
+        carryCols = Seq("split"))
+    },
 
     "q400_curation_by_source" -> graft.text.Curate
       .attritionBySourceOracleSql(

@@ -169,6 +169,35 @@ class TextOpsSpec extends SparkSuite {
     assert(zero == Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
   }
 
+  test("tokenBudgetSample: inclusive budget adherence, prefix growth, " +
+      "deterministic re-run winners") {
+    import graft.ops.Sampling
+    // 40 docs in key "a" (7 tokens each), 10 in "b" (11 each)
+    val docs = ((1L to 40L).map(i => (i, "a", 7L)) ++
+      (101L to 110L).map(i => (i, "b", 11L)))
+      .toDF("id", "key", "n_tok")
+    def run(allocA: Long, allocB: Long) = Sampling.tokenBudgetSample(
+      docs, "key", "id", "n_tok",
+      Seq(("a", allocA), ("b", allocB)).toDF("key", "alloc"), "alloc",
+      salt = "tb")
+    val out = run(100L, 25L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toList
+    // inclusive budget: a keeps floor(100/7) = 14 docs (cum 98 <= 100),
+    // b keeps floor(25/11) = 2 (cum 22 <= 25) — never overshoots
+    val byKey = out.groupBy(_._1)
+    assert(byKey("a").size == 14 && byKey("a").map(_._3).max == 98L)
+    assert(byKey("b").size == 2 && byKey("b").map(_._3).max == 22L)
+    // deterministic: a re-run picks IDENTICAL winners
+    val rerun = run(100L, 25L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toList
+    assert(out.toSet == rerun.toSet)
+    // prefix property: doubling the allocs only ADDS winners
+    val bigger = run(200L, 50L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet.subsetOf(bigger))
+    assert(bigger.count(_._1 == "a") == 28 && bigger.count(_._1 == "b") == 4)
+  }
+
   test("mixSample hits the target composition and caps scarce domains at rate 1") {
     import graft.ops.Sampling
     // 1000 "web" docs, 50 "code" docs; target: half the corpus, 60% code.
