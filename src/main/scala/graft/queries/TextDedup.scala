@@ -268,6 +268,59 @@ object TextDedup extends QueryModule {
           sum(when(regexp_replace(coalesce(col("__enc"), lit("")),
             " ", "") =!= col("__seed"), 1L).otherwise(0L)).as("n_mismatch"))
     }),
+    // PRE-TOKEN-AWARE byte-fallback BPE (round-10 item 4): q356's
+    // train+encode with seed units from the portable GPT-2
+    // pre-tokenizer instead of whitespace words — contractions split,
+    // punctuation runs separate, units carry their leading space as
+    // <0x20>. Same sample-train/full-encode contract and oracle shape.
+    "q412_bpe_pretoken_encode" -> ((s, dir) => {
+      import s.implicits._
+      val all = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .unionByName(multilingualPlanted.toDF("doc_id", "text"))
+      val merges = graft.text.Bpe
+        .trainMerges(
+          all.filter(col("doc_id") % 10 === 0 ||
+            col("doc_id") >= 9100000L),
+          "doc_id", "text", byteMerges,
+          graft.text.Bpe.byteFallbackPreTokenSymbols)
+        .map(t => (t._2, t._3))
+      graft.text.Bpe.encode(all, "doc_id", "text", merges,
+        graft.text.Bpe.byteFallbackPreTokenSymbols)
+    }),
+
+    // q357's OOV-free reassembly gate on PRE-TOKEN units: the regex
+    // TILES the string, so the decoded units concatenate back to the
+    // normalized text exactly (whitespace runs included) — zero
+    // mismatches through the full train -> encode -> reassemble chain.
+    "q413_pretoken_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val all = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .unionByName(multilingualPlanted.toDF("doc_id", "text"))
+      val merges = graft.text.Bpe
+        .trainMerges(
+          all.filter(col("doc_id") % 10 === 0 ||
+            col("doc_id") >= 9100000L),
+          "doc_id", "text", byteMerges,
+          graft.text.Bpe.byteFallbackPreTokenSymbols)
+        .map(t => (t._2, t._3))
+      val enc = graft.text.Bpe.encode(all, "doc_id", "text", merges,
+        graft.text.Bpe.byteFallbackPreTokenSymbols)
+      val rebuilt = enc.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("symbol")))),
+          e => e.getField("symbol")), "").as("__enc"))
+      all
+        .select(col("doc_id"), array_join(
+          graft.text.Bpe.byteFallbackPreTokenSymbols(col("text")), "")
+          .as("__seed"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(length(col("__seed")) > 0, 1L).otherwise(0L))
+            .as("n_encoded"),
+          sum(when(regexp_replace(coalesce(col("__enc"), lit("")),
+            " ", "") =!= col("__seed"), 1L).otherwise(0L)).as("n_mismatch"))
+    }),
+
     // Winnowing (MOSS) fingerprint match pairs: per-window rightmost
     // argmin over k-gram hashes — a local ~2/(w+1) sample carrying the
     // guarantee that any shared token run of ≥ k+w−1 tokens produces a
@@ -660,6 +713,33 @@ object TextDedup extends QueryModule {
          |       CAST(0 AS BIGINT) AS n_mismatch
          |FROM bf""".stripMargin
     },
+    "q412_bpe_pretoken_encode" -> graft.text.Bpe.encodeSampledOracleSql(
+      graft.text.Bpe.byteFallbackPreTokenTokSql(
+        s"""(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+           | UNION ALL
+           | SELECT * FROM (VALUES $multilingualPlantedValuesSql)
+           |   v(doc_id, text))""".stripMargin, "doc_id"),
+      graft.text.Bpe.byteFallbackPreTokenTokSql(
+        s"""(SELECT doc_id, text FROM documents
+           | UNION ALL
+           | SELECT * FROM (VALUES $multilingualPlantedValuesSql)
+           |   v(doc_id, text))""".stripMargin, "doc_id"),
+      byteMerges),
+
+    "q413_pretoken_roundtrip" -> {
+      val bf = graft.text.Bpe.byteFallbackPreTokenTokSql(
+        s"""(SELECT doc_id, text FROM documents
+           | UNION ALL
+           | SELECT * FROM (VALUES $multilingualPlantedValuesSql)
+           |   v(doc_id, text))""".stripMargin, "doc_id")
+      s"""WITH bf AS ($bf)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_encoded,
+         |       CAST(0 AS BIGINT) AS n_mismatch
+         |FROM bf""".stripMargin
+    },
+
     "q313_winnow_pairs" -> graft.text.Winnow.matchPairsOracleSql(
       "documents", "doc_id", Text.toksSql, winnowK, winnowW,
       winnowDfCap, winnowMinShared),

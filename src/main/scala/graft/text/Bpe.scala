@@ -87,21 +87,50 @@ object Bpe {
     val words = filter(
       split(graft.functions.NormalizeText.normalizeText(text), "\\s+"),
       w => w =!= "")
-    val esc = (w: Column) => {
-      // uppercase hex, 2 chars per byte (qualified: Bpe.encode shadows)
-      val hx = hex(org.apache.spark.sql.functions.encode(w, "UTF-8"))
-      transform(sequence(lit(1), (length(hx) / lit(2)).cast("int")),
-        i => {
-          val g = hx.substr(i * 2 - 1, lit(2))
-          when((g >= lit("30") && g <= lit("39")) ||
-            (g >= lit("61") && g <= lit("7A")),
-            decode(unhex(g), "UTF-8"))
-            .otherwise(concat(lit("<0x"), g, lit(">")))
-        })
-    }
     when(size(words) === 0, array_remove(array(lit("")), ""))
       .otherwise(flatten(transform(words,
-        w => concat(esc(w), array(lit("_"))))))
+        w => concat(byteEsc(w), array(lit("_"))))))
+  }
+
+  /** The shared invertible byte escape: the unit UTF-8-hexed AS A WHOLE
+    * (never split per Java char), ASCII `[a-z0-9]` bytes as themselves,
+    * every other byte as `<0xNN>` (see [[byteFallbackSymbols]]). */
+  private def byteEsc(w: Column): Column = {
+    // uppercase hex, 2 chars per byte (qualified: Bpe.encode shadows)
+    val hx = hex(org.apache.spark.sql.functions.encode(w, "UTF-8"))
+    transform(sequence(lit(1), (length(hx) / lit(2)).cast("int")),
+      i => {
+        val g = hx.substr(i * 2 - 1, lit(2))
+        when((g >= lit("30") && g <= lit("39")) ||
+          (g >= lit("61") && g <= lit("7A")),
+          decode(unhex(g), "UTF-8"))
+          .otherwise(concat(lit("<0x"), g, lit(">")))
+      })
+  }
+
+  /** PRE-TOKEN-AWARE byte-fallback seed (round-10 item 4): the same
+    * invertible byte escape, but units come from [[TextAnalysis
+    * .preTokenRe]] — the portable GPT-2 pre-tokenizer subset — over the
+    * canonical form instead of whitespace splitting: contraction
+    * suffixes split off, punctuation runs stand alone, digit runs
+    * separate from letters, and a unit CARRIES its leading space
+    * (escaped `<0x20>`), so merges train on real pre-tokenization units
+    * and can never cross a pre-token boundary (the published BPE
+    * contract this family previously approximated at word level).
+    *
+    * STRONGER round-trip than the whitespace form: the pattern TILES
+    * the string (every char class belongs to some alternation), so the
+    * decoded units concatenate back to the normalized text EXACTLY —
+    * whitespace runs included, no single-space rejoin convention.
+    * TextOpsSpec decodes multilingual fixtures byte-for-byte; q413
+    * gates the reconstruction identity cross-engine. */
+  def byteFallbackPreTokenSymbols(text: Column): Column = {
+    val units = regexp_extract_all(
+      graft.functions.NormalizeText.normalizeText(text),
+      lit(TextAnalysis.preTokenRe), lit(0))
+    when(size(units) === 0, array_remove(array(lit("")), ""))
+      .otherwise(flatten(transform(units,
+        u => concat(byteEsc(u), array(lit("_"))))))
   }
 
   /** DuckDB byte-fallback seed fragment: yields (doc_id, toks) with the
@@ -109,6 +138,22 @@ object Bpe {
     * uppercase whole-word UTF-8 hex). `table` provides (idName, text). */
   def byteFallbackTokSql(table: String, idName: String): String = {
     val norm = graft.functions.NormalizeText.oracleSql("text")
+    byteFallbackTokSqlFrom(table, idName,
+      s"list_filter(string_split_regex($norm, '\\s+'), w -> w <> '')")
+  }
+
+  /** DuckDB mirror of [[byteFallbackPreTokenSymbols]]: units via RE2's
+    * reading of the identical pre-tokenizer pattern. */
+  def byteFallbackPreTokenTokSql(table: String, idName: String): String = {
+    val norm = graft.functions.NormalizeText.oracleSql("text")
+    val re = TextAnalysis.preTokenRe.replace("'", "''")
+    byteFallbackTokSqlFrom(table, idName,
+      s"regexp_extract_all($norm, '$re')")
+  }
+
+  /** Shared byte-escape SQL over a unit-list expression `wsSql`. */
+  private def byteFallbackTokSqlFrom(table: String, idName: String,
+      wsSql: String): String = {
     val g = "substr(hex(encode(w)), CAST(i * 2 - 1 AS INTEGER), 2)"
     s"""SELECT $idName AS doc_id,
        |       CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
@@ -123,9 +168,7 @@ object Bpe {
        |             ELSE '<0x' || $g || '>'
        |           END),
        |         '_'))) END AS toks
-       |FROM (SELECT $idName,
-       |        list_filter(string_split_regex($norm, '\\s+'),
-       |          w -> w <> '') AS ws
+       |FROM (SELECT $idName, $wsSql AS ws
        |      FROM $table)""".stripMargin
   }
 

@@ -488,6 +488,61 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("byteFallbackPreTokenSymbols: GPT-2-subset units (contractions, " +
+      "leading spaces, digit/punct runs) and an EXACT decode back to " +
+      "the normalized text — no single-space rejoin convention") {
+    import graft.text.Bpe
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // hand-derived units for "it's 42!" after normalize (lowercase):
+    // [it]['s][ 42]... wait: pre-token units are "it", "'s", " 42", "!"
+    // -> symbols: i,t,_ then <0x27>,s,_ then <0x20>,4,2,_ then <0x21>,_
+    val hand = Seq((1L, "It's 42!")).toDF("doc_id", "text")
+      .select(Bpe.byteFallbackPreTokenSymbols(col("text")).as("s"))
+      .head().getSeq[String](0)
+    assert(hand == Seq("i", "t", "_", "<0x27>", "s", "_",
+      "<0x20>", "4", "2", "_", "<0x21>", "_"))
+
+    // decoder: units concatenate with NO joiner — the tiling property
+    def decode(syms: Seq[String]): String = {
+      val stream = syms.map(_.replace(" ", "")).mkString
+      stream.split("_", -1).dropRight(1).map { w =>
+        val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var i = 0
+        while (i < w.length) {
+          if (w.startsWith("<0x", i)) {
+            bytes += Integer.parseInt(w.substring(i + 3, i + 5), 16).toByte
+            i += 6
+          } else { bytes += w.charAt(i).toByte; i += 1 }
+        }
+        new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+      }.mkString("")
+    }
+    val fixtures = Seq(
+      "good 😀😀 stuff",
+      "Это тест дедупликации",
+      "don't   stack\tmulti-space runs", // ws runs survive exactly
+      "这是一个测试 mixed with ascii 42 times!",
+      "under_score and <0x41> literals",
+      "Le café déjà PRÊT")
+    val docs = fixtures.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", nMerges = 6,
+      seed = Bpe.byteFallbackPreTokenSymbols)
+    val enc = Bpe.encode(docs, "doc_id", "text",
+        merges.map(m => (m._2, m._3)),
+        seed = Bpe.byteFallbackPreTokenSymbols)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.sortBy(_._2).map(_._3).toSeq }
+    fixtures.zipWithIndex.foreach { case (t, i) =>
+      val norm = graft.functions.NormalizeText
+        .normalize(UTF8String.fromString(t)).toString
+      assert(decode(enc(i.toLong)) == norm,
+        s"exact round-trip failed for: $t")
+    }
+  }
+
   test("QualityModel: planted high/low-quality docs order correctly; empty docs score 0") {
     import graft.text.QualityModel
     val (d, salt) = (64, "qmtest")
