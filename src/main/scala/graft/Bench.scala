@@ -27,7 +27,7 @@ object Bench {
     // Verify's correctness gate enumerates.
     val extras: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "x27_minhash_xxh" ->
-        ((s, dir) => queries.Vectors.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)),
+        ((s, dir) => queries.VectorsDedup.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)),
       // Production-hash char-shingle path: q134's cost is ~all md5 over
       // the ~7x-denser char-gram stream; fast60 is the same mixer family
       // with the strong hash swapped (the x27 contract).
@@ -83,7 +83,7 @@ object Bench {
         ((s, dir) => {
           import org.apache.spark.sql.functions._
           val tableDir = "/tmp/graft_cluster_table"
-          val pairs = queries.Vectors
+          val pairs = queries.VectorsDedup
             .minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
             .filter(col("est_jaccard") >= 0.5)
           dedup.NearDup.writeClusterTable(pairs, tableDir)

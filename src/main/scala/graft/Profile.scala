@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.NearDup
-import graft.queries.Vectors
+import graft.queries.VectorsDedup
 
 /** Ad-hoc stage-level profiler for the heavy bench queries (dev tool, not
   * part of the driver contract). Times each phase of a pipeline twice —
@@ -84,7 +84,7 @@ object Profile {
     }
     sig.unpersist()
     time("q27 full") {
-      Vectors.minhashLshPipeline(spark, dir, hash).count()
+      VectorsDedup.minhashLshPipeline(spark, dir, hash).count()
     }
     spark.catalog.clearCache()
     time("q37 full") {

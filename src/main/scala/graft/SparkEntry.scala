@@ -13,9 +13,9 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(Core, Analytics, Experiments, Text, TextDedup, Curation,
-      CurationGates, Vectors, VectorCompress, Wire, Relational, Graphs,
-      Multilingual)
+    Seq(Core, Analytics, Experiments, Text, Tokenizers, TextDedup,
+      Curation, CurationGates, Vectors, VectorsDedup, VectorCompress,
+      Wire, Relational, Audits, Graphs, Multilingual)
 
   /** Flagship (SURVEY §7.3): scan → derive flags → hash-agg → weighted score
     * → global rank → top-k gate, on sf=0.001; driver smoke-checks rows>0. */

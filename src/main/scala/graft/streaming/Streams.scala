@@ -851,6 +851,102 @@ object Streams {
       .start()
   }
 
+  /** STREAMING mixture control (round-10 item 7): q97's per-source
+    * token accounting maintained epoch by epoch — the per-batch
+    * (source, n_docs, n_tokens) delta merges into the previous snapshot
+    * by INTEGER SUMS (exactly mergeable, so Σ over epochs ≡ the batch
+    * accounting on the union; StreamsSpec asserts it), with the same
+    * two-snapshot retention as [[incrementalRollupSink]]. State is
+    * |sources| rows, never stream-sized.
+    *
+    * The point of maintaining it: [[mixRatesFromState]] derives q66's
+    * mix-rate table from the ACCUMULATED totals at any moment, and
+    * [[mixSampleFromState]] applies the acceptance predicate to any
+    * frame using only that |sources|-row table (one broadcast join +
+    * a scan predicate) — a long-running ingest holds a target
+    * composition without ever recomputing counts over the corpus. */
+  def mixtureControlSink(docsStream: DataFrame, srcCol: String,
+      textCol: String, stateDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delta = batch.groupBy(col(srcCol).as("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(graft.text.TextAnalysis.tokenCount(col(textCol))
+                .cast("long")).as("n_tokens"))
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
+          val merged = prev match {
+            case Some((_, dir)) =>
+              spark.read.parquet(dir.toString).unionAll(delta)
+                .groupBy(col("source"))
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  sum(col("n_tokens")).as("n_tokens"))
+            case None => delta
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$stateDir/epoch=$epochId")
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** The newest (source, n_docs, n_tokens) accounting snapshot. */
+  def latestMixState(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = epochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    spark.read.parquet(dirs.last._2.toString)
+  }
+
+  /** q66's mix-rate table derived from an accounting snapshot: per
+    * source, the doc count n_s and the integer target allocation
+    * `alloc = (num · budget) div den` with
+    * `budget = (totalNum · Σn_docs) div totalDen` — the EXACT integers
+    * [[graft.ops.Sampling.mixSample]] computes from the corpus, here
+    * read off |sources| rows. */
+  def mixRatesFromState(state: DataFrame,
+      targets: Map[String, (Long, Long)], default: (Long, Long),
+      totalNum: Long, totalDen: Long): DataFrame = {
+    val total = state.agg(sum(col("n_docs")).as("__n"))
+    val budget = s"(($totalNum * __n) div $totalDen)"
+    val (dn, dd) = default
+    val alloc = targets.toSeq.sortBy(_._1)
+      .foldLeft(expr(s"($dn * $budget) div $dd")) {
+        case (acc, (s, (num, den))) =>
+          when(col("source") === s, expr(s"($num * $budget) div $den"))
+            .otherwise(acc)
+      }
+    state.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        alloc.as("alloc"))
+  }
+
+  /** Apply the q66 acceptance predicate to `docs` using ONLY a
+    * [[mixRatesFromState]] table: keep a doc when
+    * `hashBucket(key) · n_s < alloc · mod` — identical winners to
+    * [[graft.ops.Sampling.mixSample]] over the corpus the state
+    * accounts for (StreamsSpec asserts set equality). One broadcast
+    * join, scan-side filter, zero corpus shuffles. */
+  def mixSampleFromState(docs: DataFrame, key: org.apache.spark.sql.Column,
+      domainCol: String, rates: DataFrame, salt: String,
+      mod: Int = 10000): DataFrame =
+    docs.join(broadcast(rates.select(col("source").as(domainCol),
+        col("n_docs").as("__n_s"), col("alloc").as("__alloc"))), domainCol)
+      .filter(graft.ops.Sampling.hashBucket(key, salt, mod).cast("long") *
+        col("__n_s") < col("__alloc") * lit(mod.toLong))
+      .drop("__n_s", "__alloc")
+
   /** Estimate readout over [[hllRollupSink]]'s newest state. */
   def latestHllEstimates(spark: SparkSession, stateDir: String)
       : DataFrame = {

@@ -940,4 +940,60 @@ class StreamsSpec extends SparkSuite {
     // released line: sums across epochs = the batch released docs_in
     assert(statDrops(6L)._1 == batchDrops(6L)._3)
   }
+
+  test("mixture-control sink: accounting sums over epochs == batch; " +
+      "rates applied from state == batch mixSample winners") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "source", "text")
+    val (state, ckp) = (tmp("mix-state"), tmp("mix-ckp"))
+    Files.delete(java.nio.file.Paths.get(state))
+
+    def run(): Unit = {
+      val q = Streams.mixtureControlSink(docs, "source", "text", state,
+        ckp, trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    // two epochs, skewed toward web; code is the scarce target domain
+    val e1 = (1L to 40L).map(i => (i, "web", s"web page $i with words")) ++
+      (101L to 104L).map(i => (i, "code", s"fn main $i prints"))
+    val e2 = (41L to 80L).map(i => (i, "web", s"another web doc $i here")) ++
+      (105L to 108L).map(i => (i, "code", s"def helper $i returns"))
+    mem.addData(e1: _*); run()
+    mem.addData(e2: _*); run()
+
+    val union = (e1 ++ e2).toDF("doc_id", "source", "text")
+    // accounting parity: state == the batch per-source sums on the union
+    val st = Streams.latestMixState(spark, state)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val batchAcct = union.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(st == batchAcct)
+    assert(st("web")._1 == 80L && st("code")._1 == 8L)
+
+    // rate parity: applying the state-derived rates to the union picks
+    // EXACTLY the batch mixSample winners (same integers end to end)
+    val targets = Map("code" -> (1L, 2L))
+    val default = (1L, 2L)
+    val rates = Streams.mixRatesFromState(
+      Streams.latestMixState(spark, state), targets, default,
+      totalNum = 1L, totalDen = 2L)
+    val fromState = Streams.mixSampleFromState(union, col("doc_id"),
+        "source", rates, salt = "mx")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Sampling.mixSample(union, col("doc_id"),
+        "source", targets, default, totalNum = 1L, totalDen = 2L,
+        salt = "mx")
+      .collect().map(_.getLong(0)).toSet
+    assert(fromState == batch && fromState.nonEmpty)
+    // scarce domain rate caps at 1: every code doc survives
+    assert((101L to 108L).forall(fromState.contains))
+  }
 }
