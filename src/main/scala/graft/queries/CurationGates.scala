@@ -400,6 +400,29 @@ object CurationGates extends QueryModule {
         releaseBench(base), minTokens = 10L)
     }),
 
+    // The COMPLETE release artifact (capstone composition): the 8-stage
+    // release pipeline's survivors -> per-source token supply ->
+    // water-fill allocation -> token-budget sampling, ONE run emitting
+    // the corpus a training job actually reads — (doc_id, source,
+    // n_tokens, split, cum_tokens). Survivors checkpointed once (the
+    // q411 shape over releaseVerdicts); winners a deterministic
+    // salted-hash prefix per source.
+    "q414_release_sampled" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      val surv = graft.text.Curate.survivorsRelease(releaseInput(base),
+        "doc_id", "text", blockPhrases, releaseBench(base),
+        minTokens = 10L, splits = Curation.corpusSplits)
+        .join(releaseSources(base), "doc_id")
+        .localCheckpoint()
+      val ps = surv.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("avail"))
+      val alloc = graft.ops.Sampling.waterFillAllocation(ps, "source",
+        "avail", Curation.budgetWeights, defaultWeight = 1L,
+        budgetNum = 1L, budgetDen = 2L)
+      graft.ops.Sampling.tokenBudgetSample(surv, "source", "doc_id",
+        "n_tokens", alloc, "alloc", salt = "budget")
+    }),
+
     // Gopher REPETITION rules: per doc, chars covered by duplicated
     // n-grams (n=5,10) as merged positional intervals over the
     // normalized token stream — the coverage half of the Gopher filter
@@ -566,6 +589,36 @@ object CurationGates extends QueryModule {
           budgetDen = 2L),
         "source", "doc_id", "n_tokens", "alloc", salt = "budget",
         carryCols = Seq("split"))
+    },
+
+    // ds is MATERIALIZED: the 8-stage chain (MinHash + recursive CC
+    // inside) referenced twice would otherwise re-open the parquet per
+    // reference ("Too many open files", the documented DuckDB trap).
+    "q414_release_sampled" -> {
+      val dsSql =
+        s"""WITH pd AS (${graft.text.Curate.survivorsReleaseOracleSql(
+              releaseInputSql, releaseBenchSql, Text.toksSql, blockPhrases,
+              minTokens = 10L, splits = Curation.corpusSplits)})
+           |SELECT p.doc_id, p.n_tokens, p.split, s.source
+           |FROM pd p JOIN ($releaseSourcesSql) s USING (doc_id)"""
+          .stripMargin
+      val allocSql = graft.ops.Sampling.waterFillOracleSql(
+        "SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail FROM ds GROUP BY 1",
+        Curation.budgetWeights, defaultWeight = 1L, budgetNum = 1L,
+        budgetDen = 2L)
+      s"""WITH ds AS MATERIALIZED ($dsSql),
+         |alloc AS MATERIALIZED ($allocSql)
+         |SELECT doc_id, source, n_tokens, split,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+         |  SELECT ds.doc_id, ds.source, ds.n_tokens, ds.split,
+         |         a.alloc AS __alloc,
+         |         sum(ds.n_tokens) OVER (PARTITION BY ds.source
+         |           ORDER BY ${graft.ops.Sampling.capPrioritySql(
+                       "ds.doc_id", "budget")}, ds.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_tokens
+         |  FROM ds JOIN alloc a ON ds.source = a.source
+         |) WHERE cum_tokens <= __alloc""".stripMargin
     },
 
     "q400_curation_by_source" -> graft.text.Curate

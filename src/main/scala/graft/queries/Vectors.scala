@@ -251,10 +251,15 @@ object Vectors extends QueryModule {
     // verify. Scaled copies (x*1.01 — same direction, different values,
     // so exact/quantized dedup misses them) are injected and must be
     // caught; a keyed shuffle on the bucket, never a cross join.
+    // Planted ids shift by max(id)+1 derived in-plan (one-row broadcast
+    // stat, the round-9-ADVICE convention) so they stay disjoint from
+    // real ids at any scale factor.
     "q33_cosine_neardup" -> ((s, dir) => {
       val e = base(Tables(s, dir))
+      val shift = broadcast(e.agg((max(col("id")) + lit(1L)).as("_shift")))
       val withDupes = e.unionAll(e.filter(col("id") % 100 === 0)
-        .select((col("id") + 200000).as("id"),
+        .crossJoin(shift)
+        .select((col("id") + col("_shift")).as("id"),
           transform(col("ev"), x => x * lit(1.01)).as("ev")))
       Similarity.cosineNearDupPairs(withDupes, dim = 64, minCosine = 0.95)
     }),
@@ -267,8 +272,10 @@ object Vectors extends QueryModule {
     "q98_semantic_dedup" -> ((s, dir) => {
       val t = Tables(s, dir)
       val e = base(t)
+      val shift = broadcast(e.agg((max(col("id")) + lit(1L)).as("_shift")))
       val withDupes = e.unionAll(e.filter(col("id") % 100 === 0)
-        .select((col("id") + 200000).as("id"),
+        .crossJoin(shift)
+        .select((col("id") + col("_shift")).as("id"),
           transform(col("ev"), x => x * lit(1.01)).as("ev")))
       val cents = graft.similarity.IVF.collectCentroids(
         t.embeddings.filter(col("vec_id") < 16)
@@ -672,7 +679,8 @@ object Vectors extends QueryModule {
         |), wd AS (
         |  SELECT * FROM b
         |  UNION ALL
-        |  SELECT id + 200000 AS id, list_transform(ev, x -> x * 1.01) AS ev
+        |  SELECT id + (SELECT max(vec_id) + 1 FROM embeddings) AS id,
+        |         list_transform(ev, x -> x * 1.01) AS ev
         |  FROM b WHERE id % 100 = 0
         |), bb AS (
         |  SELECT id, ev, ${bucketSql("ev")} AS bucket FROM wd
@@ -782,7 +790,8 @@ object Vectors extends QueryModule {
         |), wd AS (
         |  SELECT * FROM b
         |  UNION ALL
-        |  SELECT id + 200000 AS id, list_transform(ev, x -> x * 1.01) AS ev
+        |  SELECT id + (SELECT max(vec_id) + 1 FROM embeddings) AS id,
+        |         list_transform(ev, x -> x * 1.01) AS ev
         |  FROM b WHERE id % 100 = 0
         |), c AS (
         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
