@@ -954,7 +954,13 @@ class StreamsSpec extends SparkSuite {
     def run(): Unit = {
       val q = Streams.mixtureControlSink(docs, "source", "text", state,
         ckp, trigger = Trigger.AvailableNow())
-      q.awaitTermination(180000)
+      // AvailableNow self-terminates; a false return means the epoch
+      // never committed and every later assert would misfire — fail
+      // HERE with the real cause instead (and stop the query so a
+      // second run can't race a still-live one on the checkpoint).
+      val done = q.awaitTermination(180000)
+      if (!done) q.stop()
+      assert(done, "mixture-control stream did not finish in 180s")
     }
     // two epochs, skewed toward web; code is the scarce target domain
     val e1 = (1L to 40L).map(i => (i, "web", s"web page $i with words")) ++
@@ -985,13 +991,15 @@ class StreamsSpec extends SparkSuite {
     val rates = Streams.mixRatesFromState(
       Streams.latestMixState(spark, state), targets, default,
       totalNum = 1L, totalDen = 2L)
+    // name-based access: both sampled frames lead with the JOIN KEY
+    // (source), so positional getLong(0) would read a string
     val fromState = Streams.mixSampleFromState(union, col("doc_id"),
         "source", rates, salt = "mx")
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(_.getAs[Long]("doc_id")).toSet
     val batch = graft.ops.Sampling.mixSample(union, col("doc_id"),
         "source", targets, default, totalNum = 1L, totalDen = 2L,
         salt = "mx")
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(fromState == batch && fromState.nonEmpty)
     // scarce domain rate caps at 1: every code doc survives
     assert((101L to 108L).forall(fromState.contains))
