@@ -1095,4 +1095,170 @@ object ABTest {
        |            END AS att_micro
        |FROM agg""".stripMargin
   }
+
+  /** Standard-normal quantile (probit) by Acklam's rational
+    * approximation (~1.15·10⁻⁹ relative error) — evaluated at PLAN
+    * BUILD time only, to mint the [[bhSelect]] critical-value ladder
+    * as literals (the geomCumTable device: no erf/erfinv at query
+    * time, where Spark and DuckDB libms could disagree). */
+  private def probit(p: Double): Double = {
+    require(p > 0.0 && p < 1.0)
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val plow = 0.02425
+    if (p < plow) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) / ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p > 1.0 - plow) {
+      -probit(1.0 - p)
+    } else {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
+        a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r +
+          1.0)
+    }
+  }
+
+  /** χ²₁ upper-tail critical value as a ×10⁶-quantized literal:
+    * chi2inv(1 − q, 1) = probit(1 − q/2)². */
+  private def chi2CritQ(q: Double): Long =
+    math.floor(math.pow(probit(1.0 - q / 2.0), 2) * 1e6).toLong
+
+  /** BENJAMINI–HOCHBERG FDR selection over a per-group one-vs-rest
+    * proportion test family — "which of these m groups really differ",
+    * with the false-discovery rate controlled at `alphaNum/alphaDen`
+    * instead of the per-test α that makes 20 tests yield one fake
+    * discovery on average.
+    *
+    * Per group g: the 2×2 (g vs rest) × (flag vs not) chi-square with
+    * the closed 2×2 form N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — one fixed
+    * IEEE sequence over exact integer margins, ×10⁶-truncated to a
+    * portable integer (the [[chiSquareIndependence]] quantization).
+    * Degenerate margins (a group that IS the table, F ∈ {0, N})
+    * score 0. BH then ranks statistics descending (rank i ⇔ i-th
+    * smallest p) and rejects ranks 1..i*, i* = max{i : χ²(i) ≥
+    * crit(α·i/m)} — the critical ladder crit(·) is minted HERE via
+    * [[probit]] and joined as an m-row literal table, so the whole
+    * procedure is integer-exact at query time (no p-values, no erf).
+    *
+    * `m` is a CONTRACT: the size of the test family, fixed at plan
+    * build (the ladder is m literals). The emitted `n_tests` column
+    * carries the runtime group count — a mismatch means the family
+    * drifted and every BH threshold with it; gate on n_tests = m.
+    *
+    * Scale shape: ONE keyed count aggregation (the corpus scan), a
+    * one-row global frame broadcast back, the ladder join and the
+    * rank window both over the m-row aggregate frame.
+    *
+    * @param flag 0/1 per row
+    * @return (groupCol, n_g, f_g, chi2_q, bh_rank, crit_q, reject,
+    *         n_tests) */
+  def bhSelect(df: DataFrame, groupCol: String, flag: Column, m: Int,
+      alphaNum: Int = 5, alphaDen: Int = 100): DataFrame = {
+    require(m >= 1 && alphaNum > 0 && alphaNum < alphaDen)
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val ladder = (1 to m)
+      .map(i => (i.toLong, chi2CritQ(alphaNum.toDouble * i /
+        (alphaDen.toDouble * m))))
+      .toDF("bh_rank", "crit_q")
+    val per = df.select(col(groupCol), flag.cast("long").as("__f"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"), sum(col("__f")).as("f_g"))
+    val tot = per.agg(sum(col("n_g")).as("__N"), sum(col("f_g")).as("__F"),
+      count(lit(1)).as("n_tests"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chi2_q").desc, col(groupCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("__a", col("f_g"))
+      .withColumn("__b", col("n_g") - col("f_g"))
+      .withColumn("__c", col("__F") - col("f_g"))
+      .withColumn("__d",
+        col("__N") - col("n_g") - col("__F") + col("f_g"))
+      .withColumn("__den",
+        col("n_g").cast("double") * (col("__N") - col("n_g")) *
+          col("__F") * (col("__N") - col("__F")))
+      .withColumn("__cross",
+        col("__a").cast("double") * col("__d") -
+          col("__b").cast("double") * col("__c"))
+      .withColumn("chi2_q",
+        when(col("__den") > 0.0,
+          (col("__N").cast("double") * col("__cross") * col("__cross") /
+            col("__den") * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("bh_rank", row_number().over(w).cast("long"))
+    scored.join(broadcast(ladder), Seq("bh_rank"), "left")
+      .na.fill(Long.MaxValue, Seq("crit_q"))
+      .withColumn("__istar",
+        max(when(col("chi2_q") >= col("crit_q"), col("bh_rank"))
+          .otherwise(lit(0L))).over(wAll))
+      .withColumn("reject", col("bh_rank") <= col("__istar"))
+      .select(col(groupCol), col("n_g"), col("f_g"), col("chi2_q"),
+        col("bh_rank"), col("crit_q"), col("reject"), col("n_tests"))
+  }
+
+  /** DuckDB oracle for [[bhSelect]] — the identical ladder literals,
+    * quantization, and step-up rule. `innerSql` yields (groupName,
+    * f 0/1). */
+  def bhSelectOracleSql(innerSql: String, groupName: String, m: Int,
+      alphaNum: Int = 5, alphaDen: Int = 100): String = {
+    val ladder = (1 to m)
+      .map(i => s"(${i}, ${chi2CritQ(alphaNum.toDouble * i /
+        (alphaDen.toDouble * m))})")
+      .mkString(", ")
+    s"""WITH base AS ($innerSql),
+       |per AS (
+       |  SELECT $groupName, CAST(count(*) AS BIGINT) AS n_g,
+       |         CAST(sum(f) AS BIGINT) AS f_g
+       |  FROM base GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+       |         CAST(sum(f_g) AS BIGINT) AS ff,
+       |         CAST(count(*) AS BIGINT) AS n_tests
+       |  FROM per
+       |), lad(bh_rank, crit_q) AS (VALUES $ladder),
+       |scored AS (
+       |  SELECT $groupName, n_g, f_g, n_tests,
+       |         CASE WHEN CAST(n_g AS DOUBLE) * (nn - n_g) * ff * (nn - ff)
+       |                   > 0.0
+       |              THEN CAST(trunc(CAST(nn AS DOUBLE)
+       |                * (CAST(f_g AS DOUBLE) * (nn - n_g - ff + f_g)
+       |                   - CAST(n_g - f_g AS DOUBLE) * (ff - f_g))
+       |                * (CAST(f_g AS DOUBLE) * (nn - n_g - ff + f_g)
+       |                   - CAST(n_g - f_g AS DOUBLE) * (ff - f_g))
+       |                / (CAST(n_g AS DOUBLE) * (nn - n_g) * ff
+       |                   * (nn - ff))
+       |                * 1000000.0) AS BIGINT)
+       |              ELSE 0 END AS chi2_q
+       |  FROM per CROSS JOIN tot
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY chi2_q DESC,
+       |           $groupName) AS BIGINT) AS bh_rank
+       |  FROM scored
+       |), joined AS (
+       |  SELECT ranked.*,
+       |         coalesce(CAST(lad.crit_q AS BIGINT),
+       |           9223372036854775807) AS crit_q
+       |  FROM ranked LEFT JOIN lad USING (bh_rank)
+       |), flagged AS (
+       |  SELECT *, max(CASE WHEN chi2_q >= crit_q THEN bh_rank
+       |                     ELSE 0 END) OVER () AS istar
+       |  FROM joined
+       |)
+       |SELECT $groupName, n_g, f_g, chi2_q, bh_rank, crit_q,
+       |       bh_rank <= istar AS reject, n_tests
+       |FROM flagged""".stripMargin
+  }
 }

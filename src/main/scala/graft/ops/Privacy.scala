@@ -198,25 +198,74 @@ object Privacy {
     *         published convention), noisy_n stays visible for audit */
   def geometricNoisyCounts(df: DataFrame, keyCols: Seq[String],
       salt: String, aNum: Long = 1L, aDen: Long = 2L,
+      maxShift: Int = 16): DataFrame =
+    geometricNoisyCountsOver(
+      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n")),
+      keyCols, salt, aNum, aDen, maxShift)
+
+  /** [[geometricNoisyCounts]] over a PRE-AGGREGATED (keyCols*, n)
+    * frame — the form a STREAMING release takes: the noise draw
+    * depends only on (salt, cell), never on n or the epoch, so
+    * releasing an epoch-merged count state (e.g.
+    * [[graft.streaming.Streams.incrementalRollupSink]]'s snapshot)
+    * equals the batch release over every epoch's rows. Publishing
+    * MULTIPLE evolving releases from a growing stream is a sequence of
+    * correlated mechanisms — swap the salt per publication (the class
+    * contract) or account ε across releases. */
+  def geometricNoisyCountsOver(agg: DataFrame, keyCols: Seq[String],
+      salt: String, aNum: Long = 1L, aDen: Long = 2L,
       maxShift: Int = 16): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val (cum, t) = geomCumTable(aNum, aDen, maxShift)
-    val dec = DecimalType(38, 0)
-    val cell = concat(lit(salt) +: keyCols.flatMap { k =>
+    val noise = geomNoiseCol(cellCol(salt, keyCols), aNum, aDen, maxShift)
+    agg.select(keyCols.map(col) :+ col("n"): _*)
+      .withColumn("noise", noise)
+      .withColumn("noisy_n", col("n") + col("noise"))
+      .withColumn("released_n", greatest(col("noisy_n"), lit(0L)))
+  }
+
+  /** The length-prefixed, NULL-propagating cell string for a key tuple
+    * (the [[geometricNoisyCounts]] encoding contract, shared by every
+    * geometric-noise release so their draws never collide by format). */
+  private[ops] def cellCol(salt: String, keyCols: Seq[String]): Column =
+    concat(lit(salt) +: keyCols.flatMap { k =>
       val s = col(k).cast("string")
       Seq(lit("|"), length(s).cast("string"), lit(":"), s)
     }: _*)
-    val v = Hash64.hash60(cell).cast(dec) * lit(new java.math.BigDecimal(t.bigInteger)).cast(dec)
-    val noise = cum.init.foldRight(lit(cum.last._1)) {
+
+  /** DuckDB fragment for [[cellCol]]. */
+  private[ops] def cellSqlOf(salt: String, keyCols: Seq[String]): String =
+    (s"'$salt'" +: keyCols.map { k =>
+      val s = s"CAST($k AS VARCHAR)"
+      s"'|' || CAST(length($s) AS VARCHAR) || ':' || $s"
+    }).mkString(" || ")
+
+  /** One truncated-geometric draw k ∈ [−K, K] from the portable keyed
+    * hash of `cell` — the inverse-CDF ladder over [[geomCumTable]]'s
+    * exact BigInt literals in DECIMAL(38,0) (no exp/ln/RNG at query
+    * time; NULL cell → ladder ELSE → +maxShift, identically on both
+    * engines). */
+  private[ops] def geomNoiseCol(cell: Column, aNum: Long, aDen: Long,
+      maxShift: Int): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val (cum, t) = geomCumTable(aNum, aDen, maxShift)
+    val dec = DecimalType(38, 0)
+    val v = Hash64.hash60(cell).cast(dec) *
+      lit(new java.math.BigDecimal(t.bigInteger)).cast(dec)
+    cum.init.foldRight(lit(cum.last._1)) {
       case ((k, bound), acc) =>
         when(v < lit(new java.math.BigDecimal(bound.bigInteger)).cast(dec),
           lit(k)).otherwise(acc)
     }.cast("long")
-    df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .withColumn("noise", noise)
-      .withColumn("noisy_n", col("n") + col("noise"))
-      .withColumn("released_n", greatest(col("noisy_n"), lit(0L)))
+  }
+
+  /** DuckDB fragment computing [[geomNoiseCol]] over hash value column
+    * `vCol` (caller computes it as `hash·T` in HUGEINT). */
+  private[ops] def geomNoiseSql(aNum: Long, aDen: Long,
+      maxShift: Int, vCol: String = "v"): String = {
+    val (cum, _) = geomCumTable(aNum, aDen, maxShift)
+    val ladder = cum.init
+      .map { case (k, b) => s"WHEN $vCol < CAST('$b' AS HUGEINT) THEN $k" }
+      .mkString("\n         ")
+    s"CAST(CASE $ladder\n         ELSE ${cum.last._1} END AS BIGINT)"
   }
 
   /** DuckDB oracle for [[geometricNoisyCounts]] — the identical literal
@@ -224,28 +273,151 @@ object Privacy {
   def geometricNoisyCountsOracleSql(table: String, keyCols: Seq[String],
       salt: String, aNum: Long = 1L, aDen: Long = 2L,
       maxShift: Int = 16): String = {
-    val (cum, t) = geomCumTable(aNum, aDen, maxShift)
+    val (_, t) = geomCumTable(aNum, aDen, maxShift)
     val keys = keyCols.mkString(", ")
-    val cellSql = (s"'$salt'" +: keyCols.map { k =>
-      val s = s"CAST($k AS VARCHAR)"
-      s"'|' || CAST(length($s) AS VARCHAR) || ':' || $s"
-    }).mkString(" || ")
-    val h = Hash64.duckSql(cellSql)
-    val ladder = cum.init
-      .map { case (k, b) => s"WHEN v < CAST('$b' AS HUGEINT) THEN $k" }
-      .mkString("\n         ")
+    val h = Hash64.duckSql(cellSqlOf(salt, keyCols))
     s"""WITH g AS (
        |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
        |         CAST($h AS HUGEINT) * CAST('$t' AS HUGEINT) AS v
        |  FROM $table GROUP BY $keys
        |), z AS (
        |  SELECT $keys, n,
-       |         CAST(CASE $ladder
-       |         ELSE ${cum.last._1} END AS BIGINT) AS noise
+       |         ${geomNoiseSql(aNum, aDen, maxShift)} AS noise
        |  FROM g
        |)
        |SELECT $keys, n, noise, n + noise AS noisy_n,
        |       greatest(n + noise, 0) AS released_n
        |FROM z""".stripMargin
+  }
+
+  /** Central-DP SUM + MEAN release — the numeric sibling of
+    * [[geometricNoisyCounts]]: each row's contribution is CLAMPED to
+    * [0, clampHi] (bounding the sum's sensitivity at clampHi, the
+    * standard bounded-contribution recipe), the per-cell sum draws
+    * geometric noise SCALED by clampHi, the count draws its own
+    * independent unit noise (a distinct `#n`/`#s` cell suffix — two
+    * mechanisms, ε each), and the released mean is ONE IEEE division of
+    * the two released integers (count floored at 1 so the division is
+    * total; sum floored at 0 — clamped values are non-negative).
+    *
+    * Scale shape: one projection + ONE keyed aggregation, the
+    * [[geometricNoisyCounts]] contract — zero shuffles beyond the
+    * plain (count, sum).
+    *
+    * @return (keyCols*, n, clamped_sum, noise_n, noise_sum,
+    *         released_n, released_sum, released_mean) */
+  def geometricNoisySumMean(df: DataFrame, keyCols: Seq[String],
+      value: Column, clampHi: Long, salt: String, aNum: Long = 1L,
+      aDen: Long = 2L, maxShift: Int = 16): DataFrame = {
+    require(clampHi >= 1, s"clampHi must be >= 1, got $clampHi")
+    val clamped =
+      least(greatest(value.cast("long"), lit(0L)), lit(clampHi))
+    val nN = geomNoiseCol(cellCol(s"$salt#n", keyCols),
+      aNum, aDen, maxShift)
+    val nS = geomNoiseCol(cellCol(s"$salt#s", keyCols),
+      aNum, aDen, maxShift) * lit(clampHi)
+    df.select(keyCols.map(col) :+ clamped.as("__cv"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__cv")).as("clamped_sum"))
+      .withColumn("noise_n", nN)
+      .withColumn("noise_sum", nS)
+      .withColumn("released_n",
+        greatest(col("n") + col("noise_n"), lit(1L)))
+      .withColumn("released_sum",
+        greatest(col("clamped_sum") + col("noise_sum"), lit(0L)))
+      .withColumn("released_mean",
+        col("released_sum").cast("double") /
+          col("released_n").cast("double"))
+  }
+
+  /** DuckDB oracle for [[geometricNoisySumMean]]. `valueSql` is the
+    * raw (pre-clamp) BIGINT expression over `table`'s columns. */
+  def geometricNoisySumMeanOracleSql(table: String,
+      keyCols: Seq[String], valueSql: String, clampHi: Long,
+      salt: String, aNum: Long = 1L, aDen: Long = 2L,
+      maxShift: Int = 16): String = {
+    val (_, t) = geomCumTable(aNum, aDen, maxShift)
+    val keys = keyCols.mkString(", ")
+    val hN = Hash64.duckSql(cellSqlOf(s"$salt#n", keyCols))
+    val hS = Hash64.duckSql(cellSqlOf(s"$salt#s", keyCols))
+    s"""WITH g AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(least(greatest(CAST(($valueSql) AS BIGINT), 0),
+       |           $clampHi)) AS BIGINT) AS clamped_sum,
+       |         CAST($hN AS HUGEINT) * CAST('$t' AS HUGEINT) AS vn,
+       |         CAST($hS AS HUGEINT) * CAST('$t' AS HUGEINT) AS vs
+       |  FROM $table GROUP BY $keys
+       |), z AS (
+       |  SELECT $keys, n, clamped_sum,
+       |         ${geomNoiseSql(aNum, aDen, maxShift, "vn")} AS noise_n,
+       |         ${geomNoiseSql(aNum, aDen, maxShift, "vs")} * $clampHi
+       |           AS noise_sum
+       |  FROM g
+       |)
+       |SELECT $keys, n, clamped_sum, noise_n, noise_sum,
+       |       greatest(n + noise_n, 1) AS released_n,
+       |       greatest(clamped_sum + noise_sum, 0) AS released_sum,
+       |       CAST(greatest(clamped_sum + noise_sum, 0) AS DOUBLE)
+       |         / CAST(greatest(n + noise_n, 1) AS DOUBLE)
+       |         AS released_mean
+       |FROM z""".stripMargin
+  }
+
+  /** DP TOP-K SELECTION (report-noisy-max, iterated): rank cells by
+    * count + truncated-geometric noise and release only the top k
+    * (noisy score and rank — the TRUE counts stay unpublished; pair
+    * with [[geometricNoisyCounts]] when counts must also ship). The
+    * discrete-noise cousin of the exponential mechanism for the
+    * "which categories are the biggest" question, where releasing the
+    * whole noisy histogram would spend budget on cells nobody asked
+    * about. Ties (same noisy score) break by cell string — a total,
+    * data-independent order.
+    *
+    * Scale shape: ONE keyed count aggregation, then a rank + limit
+    * over the |cells|-row aggregate frame (the post-agg top-k idiom —
+    * never a row-level sort).
+    *
+    * @return k rows: (keyCols*, noisy_n, rank) */
+  def noisyTopK(df: DataFrame, keyCols: Seq[String], k: Int,
+      salt: String, aNum: Long = 1L, aDen: Long = 2L,
+      maxShift: Int = 16): DataFrame = {
+    require(k >= 1)
+    val cell = cellCol(salt, keyCols)
+    val noise = geomNoiseCol(cell, aNum, aDen, maxShift)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__noisy").desc, col("__cell"))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__cell", cell)
+      .withColumn("__noisy", col("n") + noise)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(keyCols.map(col) ++
+        Seq(col("__noisy").as("noisy_n"), col("rank")): _*)
+  }
+
+  /** DuckDB oracle for [[noisyTopK]]. */
+  def noisyTopKOracleSql(table: String, keyCols: Seq[String], k: Int,
+      salt: String, aNum: Long = 1L, aDen: Long = 2L,
+      maxShift: Int = 16): String = {
+    val (_, t) = geomCumTable(aNum, aDen, maxShift)
+    val keys = keyCols.mkString(", ")
+    val cellSql = cellSqlOf(salt, keyCols)
+    val h = Hash64.duckSql(cellSql)
+    s"""WITH g AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS n, $cellSql AS cell,
+       |         CAST($h AS HUGEINT) * CAST('$t' AS HUGEINT) AS v
+       |  FROM $table GROUP BY $keys
+       |), z AS (
+       |  SELECT $keys, cell,
+       |         n + ${geomNoiseSql(aNum, aDen, maxShift)} AS noisy_n
+       |  FROM g
+       |), r AS (
+       |  SELECT $keys, noisy_n,
+       |         CAST(row_number() OVER (ORDER BY noisy_n DESC, cell)
+       |           AS BIGINT) AS rank
+       |  FROM z
+       |)
+       |SELECT $keys, noisy_n, rank FROM r WHERE rank <= $k""".stripMargin
   }
 }

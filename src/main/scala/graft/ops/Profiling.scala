@@ -756,6 +756,102 @@ object Profiling {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter(col("n_sensitive") < l)
 
+  /** t-CLOSENESS audit (Li–Li–Venkatasubramanian 2007) — the third rung
+    * of the release-audit ladder: k-anonymity bounds group SIZE
+    * ([[kAnonymityViolations]]), l-diversity bounds sensitive-value
+    * CARDINALITY ([[lDiversityViolations]]), t-closeness bounds the
+    * sensitive-value DISTRIBUTION — a group whose balance-band mix
+    * differs sharply from the table-wide mix leaks even when it is
+    * large and diverse (the skewness attack l-diversity cannot see).
+    *
+    * Distance = Earth Mover's over the ORDERED sensitive domain
+    * (the paper's numeric-attribute form): with the m global values
+    * v₁<…<v_m, EMD = Σᵢ |P̂cum(vᵢ) − Q̂cum(vᵢ)| / (m−1). Exactness: the
+    * cumulative difference is the cross-multiplied integer
+    * |cumG·N − cumGlob·n| (the [[ksTest]] device), so
+    * emd_num = Σ|·| and emd_den = n·N·(m−1) are exact longs and t_emd
+    * is ONE IEEE division — hash-exact against the DuckDB replay.
+    * Contract: n·N·(m−1) < 2⁶³ (at 10¹² rows move the ledger to
+    * DECIMAL(38,0), the [[graft.ops.ABTest]] convention).
+    *
+    * Scale shape: one (qi, v) keyed count, two dimension-sized
+    * aggregates derived from it (global histogram m rows, group sizes
+    * |QI| rows), a |QI|×m dense grid built from those DIMENSION frames
+    * (never the data), per-group cumulative windows over m-row
+    * partitions, one final fold. The fact table is scanned once.
+    *
+    * @return one row per QI group: (qidCols..., n, m, emd_num,
+    *         emd_den, t_emd), every group reported (filter ≥ t to
+    *         gate) */
+  def tClosenessAudit(df: DataFrame, qidCols: Seq[String],
+      sensitive: Column): DataFrame = {
+    val qs = qidCols.map(col)
+    val cell = df.select(qs :+ sensitive.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(qs :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val glob = cell.groupBy(col("__v")).agg(sum(col("__c")).as("__gc"))
+    val grp = cell.groupBy(qs: _*).agg(sum(col("__c")).as("n"))
+    val tot = glob.agg(sum(col("__gc")).as("__N"))
+    val dense = grp.crossJoin(broadcast(glob))
+      .join(cell, qidCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(tot))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    dense
+      .withColumn("__cum_c", sum(col("__c")).over(wCum))
+      .withColumn("__cum_g", sum(col("__gc")).over(wCum))
+      .withColumn("__r",
+        abs(col("__cum_c") * col("__N") - col("__cum_g") * col("n")))
+      .groupBy(qs :+ col("n") :+ col("__N"): _*)
+      .agg(sum(col("__r")).as("emd_num"), count(lit(1)).as("m"))
+      .withColumn("emd_den", col("n") * col("__N") * (col("m") - 1))
+      .withColumn("t_emd",
+        col("emd_num").cast("double") / col("emd_den").cast("double"))
+      .select(qs ++ Seq(col("n"), col("m"), col("emd_num"),
+        col("emd_den"), col("t_emd")): _*)
+  }
+
+  /** DuckDB oracle for [[tClosenessAudit]] — identical grid, windows,
+    * and division. `innerSql` yields (qidCols..., v BIGINT). */
+  def tClosenessOracleSql(innerSql: String, qidCols: Seq[String])
+      : String = {
+    val q = qidCols.mkString(", ")
+    val qg = qidCols.map(c => s"g.$c").mkString(", ")
+    s"""WITH base AS ($innerSql),
+       |cell AS (
+       |  SELECT $q, v, CAST(count(*) AS BIGINT) AS c
+       |  FROM base WHERE v IS NOT NULL GROUP BY ALL
+       |), ghist AS (
+       |  SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM cell GROUP BY 1
+       |), grp AS (
+       |  SELECT $q, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY ALL
+       |), tot AS (
+       |  SELECT CAST(sum(gc) AS BIGINT) AS nn FROM ghist
+       |), dense AS (
+       |  SELECT $qg, g.n, gl.v, gl.gc, coalesce(c.c, 0) AS c, tot.nn
+       |  FROM grp g CROSS JOIN ghist gl
+       |  LEFT JOIN cell c USING ($q, v)
+       |  CROSS JOIN tot
+       |), cums AS (
+       |  SELECT $q, n, nn, v, gc,
+       |         CAST(sum(c)  OVER (PARTITION BY $q ORDER BY v)
+       |           AS BIGINT) AS cg,
+       |         CAST(sum(gc) OVER (PARTITION BY $q ORDER BY v)
+       |           AS BIGINT) AS cgl
+       |  FROM dense
+       |)
+       |SELECT $q, n, CAST(count(*) AS BIGINT) AS m,
+       |       CAST(sum(abs(cg * nn - cgl * n)) AS BIGINT) AS emd_num,
+       |       n * nn * (CAST(count(*) AS BIGINT) - 1) AS emd_den,
+       |       CAST(CAST(sum(abs(cg * nn - cgl * n)) AS BIGINT) AS DOUBLE)
+       |         / CAST(n * nn * (CAST(count(*) AS BIGINT) - 1) AS DOUBLE)
+       |         AS t_emd
+       |FROM cums GROUP BY $q, n, nn""".stripMargin
+  }
+
   /** k-anonymity SUPPRESSION: the enforcing transform — drop every row
     * whose quasi-identifier combination has fewer than `k` occurrences,
     * so each surviving row hides among ≥ k−1 identical-looking others.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hash64
@@ -137,4 +137,138 @@ object Sharding {
        |         AS DOUBLE) / count(*) AS moved_frac
        |FROM a JOIN b USING ($idName)
        |GROUP BY 1""".stripMargin
+
+  /** Deterministic TRAINING-ORDER layout: the "global shuffle" a
+    * pretraining run needs, as a HASH rather than an RNG state — each
+    * document's shard is `hash60(salt_id) mod nShards` and its position
+    * within the shard is its rank in (hash, id) order, so the epoch
+    * order (shard asc, pos asc) is a reproducible permutation: any
+    * worker can recompute any slice from the salt alone (resume-safe,
+    * no shuffle file manifest), and changing the salt is a fresh epoch
+    * permutation.
+    *
+    * Scale shape: one projection + ONE keyed window (partitioned by
+    * shard — nShards-way parallel local sorts, never a global sort; the
+    * [[graft.ops.Ranking.globalOrdinals]] offset trick turns (shard,
+    * pos) into a single ordinal when one is really needed).
+    *
+    * @return (idCol, shard, pos, n_tokens) — pos is 1-based */
+  def shardLayout(df: DataFrame, idCol: String, tokens: Column,
+      nShards: Int, salt: String): DataFrame = {
+    require(nShards >= 1)
+    val h = Hash64.hash60(
+      concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
+  }
+
+  /** DuckDB oracle for [[shardLayout]]. `innerSql` yields
+    * (idName, n_tokens BIGINT). */
+  def shardLayoutOracleSql(innerSql: String, idName: String,
+      nShards: Int, salt: String): String = {
+    val h = Hash64.duckSql(s"'${salt}_' || CAST($idName AS VARCHAR)")
+    s"""WITH b AS (
+       |  SELECT $idName, n_tokens, $h AS h FROM ($innerSql)
+       |)
+       |SELECT $idName, h % $nShards AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $nShards
+       |         ORDER BY h, $idName) AS BIGINT) AS pos,
+       |       n_tokens
+       |FROM b""".stripMargin
+  }
+
+  /** Mixture-interleave audit — does the deterministic training order
+    * hold the source composition LOCALLY, not just on average? Each
+    * document gets a stride-scheduling key (2r−1)/(2·n_s) ∈ (0,1)
+    * (r = its hash-order rank within its source): reading documents in
+    * key order interleaves sources proportionally by construction —
+    * any key interval of width w holds w·n_s ± 1 documents of source s.
+    * The audit splits the key domain into `nBlocks` equal blocks and
+    * reports, per (block, source), the exact integer deviation from the
+    * target share: dev_num = |n_bs·N − n_b·n_s| (÷ n_b·N to read as a
+    * share). A curriculum or mixture bug shows up as a block whose
+    * composition drifts — the thing a global rate check (q66) is blind
+    * to.
+    *
+    * Exactness: the key and the block id are the same IEEE double
+    * sequence on both engines ((2r−1) and 2·n_s exact integers well
+    * under 2⁵³); everything after is integer.
+    *
+    * Scale shape: per-source ranks are ONE keyed window (source
+    * partitions), block stats ONE keyed aggregation over (block,
+    * source); the per-source and global totals ride broadcast
+    * dimension frames. No global sort ever forms — the interleave
+    * order is a sort KEY, materialized only blockwise.
+    *
+    * @return (block, source, n_bs, n_b, n_s, dev_num) */
+  def interleaveAudit(df: DataFrame, srcCol: String, idCol: String,
+      nBlocks: Int, salt: String): DataFrame = {
+    require(nBlocks >= 1)
+    val h = Hash64.hash60(
+      concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
+    val base = df.select(col(srcCol), col(idCol))
+      .withColumn("__h", h)
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+    val perSrc = base.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_s"))
+    val tot = perSrc.agg(sum(col("n_s")).as("__N"))
+    val keyed = base.join(broadcast(perSrc), srcCol)
+      .withColumn("__key",
+        (col("r") * 2 - 1).cast("double") /
+          (col("n_s") * 2).cast("double"))
+      .withColumn("block",
+        floor(col("__key") * lit(nBlocks.toDouble)).cast("long"))
+    val blockTot = keyed.groupBy(col("block"))
+      .agg(count(lit(1)).as("n_b"))
+    keyed.groupBy(col("block"), col(srcCol), col("n_s"))
+      .agg(count(lit(1)).as("n_bs"))
+      .join(broadcast(blockTot), "block")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev_num",
+        abs(col("n_bs") * col("__N") - col("n_b") * col("n_s")))
+      .select(col("block"), col(srcCol), col("n_bs"), col("n_b"),
+        col("n_s"), col("dev_num"))
+  }
+
+  /** DuckDB oracle for [[interleaveAudit]]. `innerSql` yields
+    * (srcName, idName). */
+  def interleaveAuditOracleSql(innerSql: String, srcName: String,
+      idName: String, nBlocks: Int, salt: String): String = {
+    val h = Hash64.duckSql(s"'${salt}_' || CAST($idName AS VARCHAR)")
+    s"""WITH b AS (
+       |  SELECT $srcName, $idName, $h AS h FROM ($innerSql)
+       |), ranked AS (
+       |  SELECT $srcName,
+       |         CAST(row_number() OVER (PARTITION BY $srcName
+       |           ORDER BY h, $idName) AS BIGINT) AS r
+       |  FROM b
+       |), src AS (
+       |  SELECT $srcName, CAST(count(*) AS BIGINT) AS n_s
+       |  FROM b GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM src
+       |), keyed AS (
+       |  SELECT ranked.$srcName, src.n_s,
+       |         CAST(floor(CAST(r * 2 - 1 AS DOUBLE)
+       |           / CAST(n_s * 2 AS DOUBLE) * $nBlocks.0) AS BIGINT)
+       |           AS block
+       |  FROM ranked JOIN src USING ($srcName)
+       |), bs AS (
+       |  SELECT block, $srcName, n_s, CAST(count(*) AS BIGINT) AS n_bs
+       |  FROM keyed GROUP BY 1, 2, 3
+       |), bt AS (
+       |  SELECT block, CAST(sum(n_bs) AS BIGINT) AS n_b FROM bs
+       |  GROUP BY 1
+       |)
+       |SELECT bs.block, bs.$srcName, bs.n_bs, bt.n_b, bs.n_s,
+       |       abs(bs.n_bs * tot.nn - bt.n_b * bs.n_s) AS dev_num
+       |FROM bs JOIN bt USING (block) CROSS JOIN tot""".stripMargin
+  }
 }

@@ -71,6 +71,34 @@ object Audits extends QueryModule {
         Tables(s, dir).documents, Seq("source", "lang"),
         salt = "dp-v1")),
 
+    // t-closeness audit — the third rung of the privacy-audit ladder
+    // over the SAME quasi-identifier pair as q122 (k-anonymity) and
+    // q232 (l-diversity): groups whose balance-band DISTRIBUTION
+    // diverges from the table-wide mix (ordered EMD, exact integer
+    // ledger) leak through the skewness attack the other two miss.
+    "q415_t_closeness" -> ((s, dir) =>
+      graft.ops.Profiling.tClosenessAudit(Tables(s, dir).customer,
+        Seq("c_nationkey", "c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS LONG)"))),
+
+    // Central-DP MEAN release: per-source mean document length with
+    // per-doc contribution clamped to 2000 chars (bounding the sum's
+    // sensitivity), independent geometric noise on count and sum, one
+    // IEEE division of the released integers — the numeric sibling of
+    // q395's histogram, same portable BigInt noise ladder.
+    "q416_dp_mean" -> ((s, dir) =>
+      graft.ops.Privacy.geometricNoisySumMean(Tables(s, dir).documents,
+        Seq("source"), col("n_chars"), clampHi = 2000L,
+        salt = "dpm-v1")),
+
+    // DP top-k selection (report-noisy-max): the five biggest
+    // (source, lang) cells by count + geometric noise — only noisy
+    // scores and ranks ship, true counts stay unpublished; the
+    // selection face of q395's full-histogram release.
+    "q417_noisy_topk" -> ((s, dir) =>
+      graft.ops.Privacy.noisyTopK(Tables(s, dir).documents,
+        Seq("source", "lang"), k = 5, salt = "dpk-v1")),
+
     // Bloom-filter semi-join reduction: lineitem ⋉ urgent orders with
     // the fact scan pre-filtered by a 16 KB literal bitset (portable
     // hash family, codegen'd bit probes) — the confirm join removes
@@ -404,6 +432,19 @@ object Audits extends QueryModule {
 
     "q395_dp_histogram" -> graft.ops.Privacy.geometricNoisyCountsOracleSql(
       "documents", Seq("source", "lang"), salt = "dp-v1"),
+
+    "q415_t_closeness" -> graft.ops.Profiling.tClosenessOracleSql(
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+        |FROM customer""".stripMargin,
+      Seq("c_nationkey", "c_mktsegment")),
+
+    "q416_dp_mean" -> graft.ops.Privacy.geometricNoisySumMeanOracleSql(
+      "documents", Seq("source"), "n_chars", clampHi = 2000L,
+      salt = "dpm-v1"),
+
+    "q417_noisy_topk" -> graft.ops.Privacy.noisyTopKOracleSql(
+      "documents", Seq("source", "lang"), k = 5, salt = "dpk-v1"),
 
     "q376_k_generalize" -> graft.ops.Privacy.generalizeToKOracleSql(
       """SELECT c_custkey, c_mktsegment,

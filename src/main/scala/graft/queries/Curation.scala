@@ -210,6 +210,23 @@ object Curation extends QueryModule {
       graft.ops.Sharding.rendezvousStability(
         Tables(s, dir).documents, "doc_id", nA = 8, nB = 9)),
 
+    // Deterministic training-order layout: the epoch "shuffle" as a
+    // hash, not an RNG state — every document's (shard, pos) is
+    // recomputable from the salt alone (resume-safe, worker-sliceable);
+    // per-shard local sorts, never a global sort (q188's offset trick
+    // turns (shard, pos) into one ordinal when needed).
+    "q418_shard_layout" -> ((s, dir) =>
+      graft.ops.Sharding.shardLayout(Tables(s, dir).documents,
+        "doc_id", col("n_chars"), nShards = 8, salt = "layout-v1")),
+
+    // Mixture-interleave audit: stride-scheduling keys interleave
+    // sources proportionally by construction; per (key-block, source),
+    // the exact integer deviation from the target share — the LOCAL
+    // composition check a global rate table (q66) is blind to.
+    "q419_interleave_audit" -> ((s, dir) =>
+      graft.ops.Sharding.interleaveAudit(Tables(s, dir).documents,
+        "source", "doc_id", nBlocks = 16, salt = "ilv-v1")),
+
     // Source ablation: the corpus mean-length WITHOUT each source,
     // from one aggregation pass — the leave-one-group-out
     // data-valuation cut ("which source drags the metric").
@@ -616,6 +633,14 @@ object Curation extends QueryModule {
 
     "q230_rendezvous" -> graft.ops.Sharding.rendezvousStabilityOracleSql(
       "SELECT doc_id FROM documents", "doc_id", nA = 8, nB = 9),
+
+    "q418_shard_layout" -> graft.ops.Sharding.shardLayoutOracleSql(
+      "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens FROM documents",
+      "doc_id", nShards = 8, salt = "layout-v1"),
+
+    "q419_interleave_audit" -> graft.ops.Sharding.interleaveAuditOracleSql(
+      "SELECT source, doc_id FROM documents", "source", "doc_id",
+      nBlocks = 16, salt = "ilv-v1"),
 
     "q270_source_ablation" -> graft.text.Corpus.sourceAblationOracleSql(
       "SELECT source, CAST(n_chars AS BIGINT) AS m FROM documents",

@@ -158,6 +158,16 @@ object Experiments extends QueryModule {
         "event_type", "cohort")),
 
 
+    // Benjamini–Hochberg FDR selection: which of the 20 sources'
+    // short-doc rates really differ from the rest — m one-vs-rest 2x2
+    // chi-squares (quantized, the q204 device), ranked against a
+    // plan-minted critical ladder; the step-up rule runs integer-exact
+    // at query time. The multiple-testing closure of the q204/q194
+    // single-test family.
+    "q421_fdr_bh" -> ((s, dir) =>
+      graft.ops.ABTest.bhSelect(Tables(s, dir).documents,
+        "source", (col("n_chars") < 300).cast("long"), m = 20)),
+
     // A-then-B-within-T: purchases within one hour of a click, per
     // user — the time-constrained funnel step; user-keyed join with the
     // range as a join predicate, fan-out activity-bounded.
@@ -663,6 +673,12 @@ object Experiments extends QueryModule {
     "q203_stickiness" ->
       graft.ops.Journey.stickinessOracleSql("events", "user_id", "ts"),
 
+
+    "q421_fdr_bh" -> graft.ops.ABTest.bhSelectOracleSql(
+      """SELECT source,
+        |       CASE WHEN n_chars < 300 THEN 1 ELSE 0 END AS f
+        |FROM documents""".stripMargin,
+      "source", m = 20),
 
     "q204_chi_square" -> graft.ops.ABTest.chiSquareOracleSql(
       "(SELECT event_type, user_id % 3 AS cohort FROM events)",

@@ -254,6 +254,16 @@ object Vectors extends QueryModule {
     // Planted ids shift by max(id)+1 derived in-plan (one-row broadcast
     // stat, the round-9-ADVICE convention) so they stay disjoint from
     // real ids at any scale factor.
+    // Contrastive-batch collision audit: deterministic hash-order
+    // batches (the per-shard chunks an in-batch-negatives loader
+    // draws) scored for near-dup pairs landing in the same batch —
+    // the false-negative poison of CLIP/SimCLR training. Pair work is
+    // N·(B−1)/2 at fixed batch size, never corpus².
+    "q420_contrastive_batches" -> ((s, dir) =>
+      graft.similarity.Similarity.contrastiveBatchAudit(
+        base(Tables(s, dir)), nShards = 4, batchSize = 25,
+        minCosine = 0.95, salt = "cb-v1")),
+
     "q33_cosine_neardup" -> ((s, dir) => {
       val e = base(Tables(s, dir))
       val shift = broadcast(e.agg((max(col("id")) + lit(1L)).as("_shift")))
@@ -671,6 +681,41 @@ object Vectors extends QueryModule {
         |JOIN b e1 ON d1 = e1.id
         |JOIN b e2 ON d2 = e2.id
         |WHERE hamming <= $embSigRadius""".stripMargin,
+
+    "q420_contrastive_batches" -> {
+      val h = graft.functions.Hash64.duckSql(
+        "'cb-v1_' || CAST(vec_id AS VARCHAR)")
+      s"""WITH b AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+        |         $h AS h
+        |  FROM embeddings
+        |), laid AS (
+        |  SELECT id, ev,
+        |         (h % 4) * 1000000 +
+        |           (CAST(row_number() OVER (PARTITION BY h % 4
+        |              ORDER BY h, id) AS BIGINT) - 1) // 25 AS batch_id,
+        |         CAST(row_number() OVER (PARTITION BY h % 4
+        |           ORDER BY h, id) AS BIGINT) AS pos
+        |  FROM b
+        |), sizes AS (
+        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_items
+        |  FROM laid GROUP BY 1
+        |), pr AS (
+        |  SELECT a.batch_id,
+        |         ${cosineSqlFor("a.ev", "b.ev")} AS cos
+        |  FROM laid a JOIN laid b
+        |    ON a.batch_id = b.batch_id AND a.pos < b.pos
+        |), st AS (
+        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_collisions,
+        |         max(cos) AS max_cosine
+        |  FROM pr GROUP BY 1
+        |)
+        |SELECT batch_id, n_items, n_pairs, n_collisions, max_cosine
+        |FROM sizes JOIN st USING (batch_id)""".stripMargin
+    },
 
     "q33_cosine_neardup" ->
       s"""WITH b AS (

@@ -400,4 +400,57 @@ object Similarity {
     TopK.perGroup(cands, Seq("qid"), "id", "cosine", k)
       .select(col("qid"), col("id"), col("cosine"), col("rn"))
   }
+
+  /** Contrastive-batch collision audit: build the DETERMINISTIC batches
+    * an in-batch-negatives trainer (CLIP/SimCLR-style) would draw —
+    * the [[graft.ops.Sharding.shardLayout]] hash order chunked into
+    * `batchSize`-item batches per shard, exactly how a per-worker data
+    * loader chunks its shard — and count, per batch, the pairs whose
+    * cosine exceeds `minCosine`: near-duplicates landing in the same
+    * batch become FALSE NEGATIVES (the loss pushes apart two views of
+    * the same content), the quiet contrastive-training poison. The
+    * batch-level rate tells you whether the near-dup pass upstream was
+    * strict enough for the batch size in use.
+    *
+    * Scale shape: batch construction is the shard-local layout window
+    * (no global sort); the pair stage is a batch-keyed self-join —
+    * ≤ B(B−1)/2 cosines per batch, so TOTAL work is N·(B−1)/2: linear
+    * in the corpus at fixed batch size, never corpus². Batches with a
+    * single item (at most the last of each shard) carry no pairs and
+    * are not emitted.
+    *
+    * @param base (id, ev) with ev already double-cast
+    * @return (batch_id, n_items, n_pairs, n_collisions, max_cosine) */
+  def contrastiveBatchAudit(base: DataFrame, nShards: Int,
+      batchSize: Int, minCosine: Double, salt: String): DataFrame = {
+    require(nShards >= 1 && batchSize >= 2)
+    val h = graft.functions.Hash64.hash60(
+      concat(lit(salt), lit("_"), col("id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), col("id"))
+    val laid = base
+      .withColumn("__h", h)
+      .withColumn("__shard", col("__h") % nShards)
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumn("batch_id",
+        col("__shard") * lit(1000000L) +
+          expr(s"(__pos - 1) div $batchSize"))
+      .select(col("id"), col("ev"), col("batch_id"), col("__pos"))
+    val sizes = laid.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_items"))
+    val pairs = laid.as("a")
+      .join(laid.as("b"),
+        col("a.batch_id") === col("b.batch_id") &&
+          col("a.__pos") < col("b.__pos"))
+      .select(col("a.batch_id").as("batch_id"),
+        cosineNative(col("a.ev"), col("b.ev")).as("__cos"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__cos") >= minCosine, 1L).otherwise(0L))
+          .as("n_collisions"),
+        max(col("__cos")).as("max_cosine"))
+    sizes.join(pairs, "batch_id")
+      .select(col("batch_id"), col("n_items"), col("n_pairs"),
+        col("n_collisions"), col("max_cosine"))
+  }
 }

@@ -808,6 +808,23 @@ object Streams {
     spark.read.parquet(dirs.last._2.toString)
   }
 
+  /** Central-DP release over [[incrementalRollupSink]]'s newest count
+    * state: [[graft.ops.Privacy.geometricNoisyCountsOver]] applied to
+    * the epoch-merged (keys, n) snapshot. The geometric draw depends
+    * only on (salt, cell) — never on n or the epoch — so this release
+    * is IDENTICAL to the batch [[graft.ops.Privacy
+    * .geometricNoisyCounts]] over every epoch's rows (StreamsSpec
+    * asserts the equality), with zero extra state: the DP face of the
+    * q89 merge-≡-recompute contract. Each publication from a growing
+    * stream should swap the salt (or account ε across releases) — an
+    * unchanged salt re-publishes correlated noise. */
+  def dpReleaseFromState(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], salt: String, aNum: Long = 1L,
+      aDen: Long = 2L, maxShift: Int = 16): DataFrame =
+    graft.ops.Privacy.geometricNoisyCountsOver(
+      latestRollupState(spark, stateDir), keyCols, salt, aNum, aDen,
+      maxShift)
+
   /** STREAMING mergeable DISTINCT-count rollup — the
     * [[graft.ops.Sketches.hllRollup]] table maintained epoch by epoch:
     * each micro-batch's per-key (n, HLL sketch) rows merge into the

@@ -577,6 +577,39 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(d.getAs[Double]("chi2") - 20.0) < 1e-6)
   }
 
+  test("bhSelect: ladder matches literature criticals, statistics " +
+      "match a hand ledger, the step-up rule carries borderline ranks") {
+    import spark.implicits._
+    // A: 50 rows 40 flagged; B,C,D: 50 rows 15 flagged each.
+    // Hand ledger (python replay): chi2_q(A)=38363171, chi2_q(B)=4262574;
+    // ladder m=4, alpha=.05: 6238532 / 5023886 / 4327558 / 3841458
+    // (rank-4 value is the classic 3.8415 chi2_1 critical).
+    // B's stat fails its OWN rank-2/3 thresholds but passes rank 4 ->
+    // i* = 4 -> BH's STEP-UP rejects ALL FOUR (the behavior that
+    // distinguishes it from per-rank step-down).
+    def mk(n: Int, f: Int, g: String) =
+      (1 to n).map(i => (g, if (i <= f) 1L else 0L))
+    val df = (mk(50, 40, "A") ++ mk(50, 15, "B") ++ mk(50, 15, "C") ++
+      mk(50, 15, "D")).toDF("g", "f")
+    val out = ABTest.bhSelect(df, "g", col("f"), m = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getLong(7))).toMap
+    assert(out("A") == ((50L, 40L, 38363171L, 1L, 6238532L, true, 4L)))
+    assert(out("B") == ((50L, 15L, 4262574L, 2L, 5023886L, true, 4L)))
+    assert(out("C") == ((50L, 15L, 4262574L, 3L, 4327558L, true, 4L)))
+    assert(out("D") == ((50L, 15L, 4262574L, 4L, 3841458L, true, 4L)))
+    // identical rates: every one-vs-rest cross term is 0 -> no rejection
+    val flat = (mk(50, 10, "A") ++ mk(50, 10, "B") ++ mk(50, 10, "C") ++
+      mk(50, 10, "D")).toDF("g", "f")
+    val fo = ABTest.bhSelect(flat, "g", col("f"), m = 4).collect()
+    assert(fo.forall(r => r.getLong(3) == 0L && !r.getBoolean(6)))
+    // degenerate margin: zero flags anywhere -> guarded to 0, no reject
+    val none = (mk(50, 0, "A") ++ mk(50, 0, "B")).toDF("g", "f")
+    val no = ABTest.bhSelect(none, "g", col("f"), m = 2).collect()
+    assert(no.forall(r => r.getLong(3) == 0L && !r.getBoolean(6)))
+  }
+
   test("rocAuc: separation 1.0, reversal 0.0, all-ties 0.5, " +
       "single-class NULL — all exact") {
     import spark.implicits._
@@ -1370,6 +1403,91 @@ class OpsSpec extends SparkSuite {
     assert(stab.getLong(0) == 1000L)
     val moved = stab.getLong(1)
     assert(moved > 0 && moved < 350, s"moved=$moved") // ≈ 1000/9 ± noise
+  }
+
+  test("shardLayout: per-shard positions are a contiguous permutation, " +
+      "deterministic under repartitioning, salt-keyed") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, i * 10)).toDF("id", "tok")
+    val out = Sharding.shardLayout(docs, "id", col("tok"), 8, "s1")
+    // every doc exactly once, tokens carried
+    assert(out.count() == 500L &&
+      out.select("id").distinct().count() == 500L)
+    assert(out.filter(col("n_tokens") =!= col("id") * 10).count() == 0)
+    // positions within a shard are exactly 1..size
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() == 0)
+    // deterministic under physical layout changes
+    val again = Sharding.shardLayout(docs.repartition(7), "id",
+      col("tok"), 8, "s1").withColumnRenamed("pos", "p2")
+      .withColumnRenamed("shard", "sh2")
+    assert(out.join(again, "id")
+      .filter(col("pos") =!= col("p2") || col("shard") =!= col("sh2"))
+      .count() == 0)
+    // a different salt is a different permutation
+    val other = Sharding.shardLayout(docs, "id", col("tok"), 8, "s2")
+      .withColumnRenamed("pos", "p2").withColumnRenamed("shard", "sh2")
+    assert(out.join(other, "id")
+      .filter(col("pos") =!= col("p2") || col("shard") =!= col("sh2"))
+      .count() > 0)
+  }
+
+  test("interleaveAudit: stride keys hold every block within one doc " +
+      "of the target share; totals reconcile") {
+    import spark.implicits._
+    // sources of 64 and 32 docs, 8 blocks: widths divide exactly, so
+    // every block must hold EXACTLY 8 of 'a' and 4 of 'b'
+    val docs = ((1L to 64L).map(i => ("a", i)) ++
+      (1L to 32L).map(i => ("b", i + 1000))).toDF("src", "id")
+    val out = Sharding.interleaveAudit(docs, "src", "id", 8, "ilv")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 16)
+    for (b <- 0L to 7L) {
+      assert(out((b, "a")) == ((8L, 12L, 64L, 0L)), s"block $b src a")
+      assert(out((b, "b")) == ((4L, 12L, 32L, 0L)), s"block $b src b")
+    }
+    // ragged sizes: deviation stays within one doc per block
+    val ragged = ((1L to 61L).map(i => ("a", i)) ++
+      (1L to 29L).map(i => ("b", i + 1000))).toDF("src", "id")
+    val r2 = Sharding.interleaveAudit(ragged, "src", "id", 8, "ilv")
+      .collect()
+    // |n_bs - n_s/nBlocks| <= 1  <=>  |n_bs*8 - n_s| <= 8
+    assert(r2.forall(r =>
+      math.abs(r.getLong(2) * 8 - r.getLong(4)) <= 8))
+    // per-source totals reconcile
+    val sums = r2.groupBy(_.getString(1))
+      .map { case (s, rows) => s -> rows.map(_.getLong(2)).sum }
+    assert(sums == Map("a" -> 61L, "b" -> 29L))
+  }
+
+  test("contrastiveBatchAudit: planted identical pair collides in the " +
+      "single batch; orthogonal fill does not") {
+    import spark.implicits._
+    // 6 vectors: ids 1,2 identical direction; 3..6 mutually orthogonal
+    def unit(k: Int): Seq[Double] =
+      (0 until 8).map(i => if (i == k) 1.0 else 0.0)
+    val vecs = Seq(
+      (1L, unit(0)), (2L, unit(0)),
+      (3L, unit(1)), (4L, unit(2)), (5L, unit(3)), (6L, unit(4)))
+      .toDF("id", "ev")
+    val out = graft.similarity.Similarity.contrastiveBatchAudit(
+      vecs, nShards = 1, batchSize = 6, minCosine = 0.95, salt = "cb")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 15L)
+    assert(r.getLong(3) == 1L, "exactly the planted pair collides")
+    assert(r.getDouble(4) > 0.999)
+    // batch chunking: 6 items, B=3, one shard -> two full batches,
+    // 3 pairs each
+    val chunked = graft.similarity.Similarity.contrastiveBatchAudit(
+      vecs, nShards = 1, batchSize = 3, minCosine = 0.95, salt = "cb")
+      .collect()
+    assert(chunked.length == 2)
+    assert(chunked.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
   }
 
   test("availability: overlaps never double-count, gaps reduce the " +

@@ -837,6 +837,101 @@ class RelationalOpsSpec extends SparkSuite {
     assert(nn(Some("a"))._2 == expectedNoise("nul|1:a", 1L, 2L, 8).toLong)
   }
 
+  test("tClosenessAudit: exact EMD against a hand-computed ledger; a " +
+      "group mirroring the global mix scores zero") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    // global domain v in {0,1,2}: X uniform (2,2,2), Y all-v=2 skews
+    // the global mix to (2,2,5) — both groups diverge from it.
+    val x = Seq(0L, 0L, 1L, 1L, 2L, 2L).map(v => ("X", v))
+    val y = Seq(2L, 2L, 2L).map(v => ("Y", v))
+    val out = Profiling.tClosenessAudit(
+        (x ++ y).toDF("g", "v"), Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // N=9, m=3. X: cums (2,4,6) vs global (2,4,9)·(6/9):
+    //   |2·9-2·6| + |4·9-4·6| + |6·9-9·6| = 6+12+0 = 18; den 6·9·2=108
+    assert(out("X") == ((6L, 3L, 18L, 108L, 18.0 / 108.0)))
+    // Y: cums (0,0,3) vs global: |0-2·3| + |0-4·3| + |3·9-9·3| = 18;
+    //   den 3·9·2 = 54 -> t = 1/3... hand: 6+12+0=18, 18/54
+    assert(out("Y") == ((3L, 3L, 18L, 54L, 18.0 / 54.0)))
+    // mirrored-mix group at DIFFERENT size still scores 0
+    val z = Seq(0L, 1L, 2L).map(v => ("Z", v))
+    val out2 = Profiling.tClosenessAudit(
+        (x ++ z).toDF("g", "v"), Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(out2("X") == 0.0 && out2("Z") == 0.0)
+  }
+
+  test("geometricNoisySumMean: clamped contributions, independent " +
+      "count/sum draws replayed, floors respected") {
+    import spark.implicits._
+    import graft.ops.Privacy
+    def hash60(s: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      BigInt(hex, 16)
+    }
+    def draw(cell: String, kMax: Int): Int = {
+      val w = (-kMax to kMax).map(k =>
+        k -> (BigInt(1).pow(math.abs(k)) *
+          BigInt(2).pow(kMax - math.abs(k))))
+      val t = w.map(_._2).sum
+      val u = (hash60(cell) * t) >> 60
+      var acc = BigInt(0)
+      w.find { case (_, wk) => acc += wk; u < acc }.get._1
+    }
+    // raw values: -5 clamps to 0, 120 clamps to 100, 30 stays
+    val rows = Seq(("a", -5L), ("a", 120L), ("a", 30L), ("b", 40L))
+      .toDF("g", "x")
+    val out = Privacy.geometricNoisySumMean(rows, Seq("g"), col("x"),
+        clampHi = 100L, salt = "sm", maxShift = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toMap
+    val (na, sa) = (3L, 130L)
+    val dnA = draw("sm#n|1:a", 8).toLong
+    val dsA = draw("sm#s|1:a", 8).toLong * 100L
+    assert(out("a")._1 == na && out("a")._2 == sa)
+    assert(out("a")._3 == dnA && out("a")._4 == dsA)
+    assert(out("a")._5 == math.max(na + dnA, 1L))
+    assert(out("a")._6 == math.max(sa + dsA, 0L))
+    assert(out("a")._7 == out("a")._6.toDouble / out("a")._5.toDouble)
+    // the two draws use DISTINCT cells (different salt suffix)
+    assert(draw("sm#n|1:b", 8) != draw("sm#s|1:b", 8) ||
+      draw("sm#n|1:a", 8) != draw("sm#s|1:a", 8))
+    // floors: over many singleton cells released_n never drops below 1
+    val many = (1L to 200L).map(i => (i.toString, 50L)).toDF("g", "x")
+    val rel = Privacy.geometricNoisySumMean(many, Seq("g"), col("x"),
+      clampHi = 100L, salt = "fl", maxShift = 8).collect()
+    assert(rel.forall(r => r.getLong(5) >= 1L && r.getLong(6) >= 0L))
+    assert(rel.exists(r => r.getLong(1) + r.getLong(3) < 1L),
+      "some cell should hit the count floor")
+  }
+
+  test("noisyTopK: k rows, dense ranks, ordering replays the noisy " +
+      "scores with the cell-string tie-break") {
+    import spark.implicits._
+    import graft.ops.Privacy
+    val rows = (1L to 100L).map { i =>
+      (if (i <= 40) "a" else if (i <= 70) "b" else if (i <= 90) "c"
+       else "d", i)
+    }.toDF("g", "x")
+    val out = Privacy.noisyTopK(rows, Seq("g"), k = 3, salt = "tk",
+        maxShift = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 3 && out.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    // replay: rank by (count + noise) desc, cell-string asc
+    val full = Privacy.geometricNoisyCounts(rows, Seq("g"), "tk",
+        maxShift = 8)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    val expect = full.sortBy { case (g, noisy) => (-noisy, s"tk|1:$g") }
+      .take(3).zipWithIndex
+      .map { case ((g, noisy), i) => (g, noisy, i + 1L) }.toSeq
+    assert(out.sortBy(_._3).toSeq == expect)
+  }
+
   test("bitemporalJoin: asKnownAt selects the correction layer; reports " +
       "change retroactively and deterministically") {
     import spark.implicits._

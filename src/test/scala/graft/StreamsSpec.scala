@@ -393,6 +393,34 @@ class StreamsSpec extends SparkSuite {
     assert(epochs.length <= 2, epochs.mkString(", "))
   }
 
+  test("dpReleaseFromState: DP release over the epoch-merged state " +
+      "equals the batch release over every epoch's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val ev = mem.toDF().toDF("key", "cents")
+    val (stateDir, ckp) = (tmp("dp-state"), tmp("dp-ckp"))
+    def run(): Unit = {
+      val q = Streams.incrementalRollupSink(ev, Seq("key"), "cents",
+        stateDir, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    val e1 = Seq(("a", 10L), ("a", 30L), ("b", 5L))
+    val e2 = Seq(("a", 20L), ("b", 100L), ("c", 7L), ("c", 9L))
+    mem.addData(e1: _*); run()
+    mem.addData(e2: _*); run()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val streamed = rows(Streams.dpReleaseFromState(spark, stateDir,
+      Seq("key"), salt = "dp-stream", maxShift = 8))
+    val batch = rows(graft.ops.Privacy.geometricNoisyCounts(
+      (e1 ++ e2).toDF("key", "cents"), Seq("key"), salt = "dp-stream",
+      maxShift = 8))
+    assert(streamed == batch)
+    assert(streamed("a")._1 == 3L && streamed("c")._1 == 2L)
+  }
+
   test("streaming log-bucket quantiles: two-epoch merged sketch answers " +
       "exactly as the batch sketch on the union") {
     implicit val sqlCtx = spark.sqlContext
