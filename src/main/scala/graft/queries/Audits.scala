@@ -71,6 +71,27 @@ object Audits extends QueryModule {
         Tables(s, dir).documents, Seq("source", "lang"),
         salt = "dp-v1")),
 
+    // Clustering-depth audit: would a ship-date predicate skip files?
+    // Per-file [min,max] key intervals -> endpoint-sweep depth
+    // histogram (file-cardinality frames only). The ingestion-ordered
+    // layout (orderkey chunks) overlaps deeply on the date key; the
+    // month-partitioned layout reads 1 file per point by construction
+    // — the number that decides whether to re-cluster before a 100 TB
+    // scan.
+    "q423_clustering_depth" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .withColumn("__day",
+          expr("datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')")
+            .cast("long"))
+      def hist(file: org.apache.spark.sql.Column, label: String) =
+        graft.ops.Layout.clusteringDepthHistogram(li, file, col("__day"))
+          .withColumn("layout", lit(label))
+      hist(expr("l_orderkey div 512"), "ingest")
+        .unionByName(hist(
+          expr("year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE))"),
+          "bymonth"))
+    }),
+
     // t-closeness audit — the third rung of the privacy-audit ladder
     // over the SAME quasi-identifier pair as q122 (k-anonymity) and
     // q232 (l-diversity): groups whose balance-band DISTRIBUTION
@@ -432,6 +453,20 @@ object Audits extends QueryModule {
 
     "q395_dp_histogram" -> graft.ops.Privacy.geometricNoisyCountsOracleSql(
       "documents", Seq("source", "lang"), salt = "dp-v1"),
+
+    "q423_clustering_depth" -> {
+      def one(fileSql: String, label: String) =
+        s"""SELECT *, '$label' AS layout FROM (
+           |${graft.ops.Layout.clusteringDepthOracleSql(
+              s"""SELECT $fileSql AS f,
+                 |       datediff('day', DATE '1992-01-01',
+                 |         CAST(l_shipdate AS DATE)) AS k
+                 |FROM lineitem""".stripMargin)}
+           |)""".stripMargin
+      one("l_orderkey // 512", "ingest") + "\nUNION ALL\n" +
+        one("year(CAST(l_shipdate AS DATE)) * 12 + " +
+          "month(CAST(l_shipdate AS DATE))", "bymonth")
+    },
 
     "q415_t_closeness" -> graft.ops.Profiling.tClosenessOracleSql(
       """SELECT c_nationkey, c_mktsegment,

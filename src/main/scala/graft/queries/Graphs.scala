@@ -213,6 +213,22 @@ object Graphs extends QueryModule {
       graft.ops.Truss.kTruss(edges, "src", "dst", k = 8)
     }),
 
+    // Densest subgraph by (1+ε)-peeling over the same co-purchase
+    // graph: the round trace (nodes, edges, density) with the densest
+    // round flagged — "which peel level was densest", beside q121's
+    // fixed-k core. log n degree-count rounds, integer-exact threshold,
+    // no per-round collect.
+    "q422_densest" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Densest.densestSubgraphTrace(edges, "src", "dst",
+        epsNum = 1L, epsDen = 10L, rounds = 12)
+    }),
+
 
     // Link prediction over repeat customer-supplier relationships
     // (≥ 2 distinct orders): customer pairs scored by Adamic–Adar over
@@ -408,6 +424,13 @@ object Graphs extends QueryModule {
     // Same triangle set via plain id-ordering (a < b < c): orientation
     // choice never changes WHICH triangles exist, only join sizes — so
     // the oracle stays three self-joins on the canonical edge list.
+    "q422_densest" -> graft.ops.Densest.densestSubgraphOracleSql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |               AND a.l_partkey < b.l_partkey""".stripMargin,
+      epsNum = 1L, epsDen = 10L, rounds = 12),
+
     "q341_ktruss" -> graft.ops.Truss.kTrussOracleSql(
       """SELECT a.l_partkey AS src, b.l_partkey AS dst
         |FROM lineitem a

@@ -1463,6 +1463,27 @@ class OpsSpec extends SparkSuite {
     assert(sums == Map("a" -> 61L, "b" -> 29L))
   }
 
+  test("clusteringDepthHistogram: endpoint sweep matches a hand-drawn " +
+      "overlap profile; disjoint files read depth 1") {
+    import spark.implicits._
+    import graft.ops.Layout
+    // files A[0,10], B[5,15], C[20,30]:
+    //   [0,5) depth 1, [5,11) depth 2, [11,16) depth 1, gap, [20,31) 1
+    val rows = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 15L),
+      ("C", 20L), ("C", 30L)).toDF("f", "k")
+    val out = Layout.clusteringDepthHistogram(rows, col("f"), col("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> ((3L, 21L)), 2L -> ((1L, 6L))))
+    // perfectly clustered: disjoint files never exceed depth 1
+    val disjoint = Seq(("A", 0L), ("A", 9L), ("B", 10L), ("B", 19L))
+      .toDF("f", "k")
+    val d2 = Layout.clusteringDepthHistogram(disjoint, col("f"), col("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(d2 == Map(1L -> ((2L, 20L))))
+  }
+
   test("contrastiveBatchAudit: planted identical pair collides in the " +
       "single batch; orthogonal fill does not") {
     import spark.implicits._

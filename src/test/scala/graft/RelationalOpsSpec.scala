@@ -548,6 +548,39 @@ class RelationalOpsSpec extends SparkSuite {
     assert(run(2) == core && run(4) == core)
   }
 
+  test("densestSubgraphTrace: the peel uncovers a planted clique as " +
+      "the best round; hygiene and threshold are exact") {
+    import spark.implicits._
+    import graft.ops.Densest
+    // K5 on {1..5} (10 edges, density 2.0) + a 20-node path hung off
+    // node 5 (20 edges). Round 0: V=25, E=30, rho=1.2. With eps=1/2 the
+    // peel removes d*V <= 3*E2 <=> d <= 7.2 ... threshold keep
+    // d*25*2 > 3*60 <=> d > 3.6: path nodes (d<=2) drop, K5 (d>=4)
+    // survives -> round 1 IS the clique, density 2.0, flagged best.
+    val k5 = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val path = (0 until 20).map(i =>
+      (if (i == 0) 5L else 100L + i, 101L + i))
+    val e = (k5 ++ path).toDF("src", "dst")
+    val out = Densest.densestSubgraphTrace(e, "src", "dst",
+        epsNum = 1L, epsDen = 2L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(0L) == ((25L, 30L, 1.2, false)))
+    assert(out(1L) == ((5L, 10L, 2.0, true)))
+    // K5 is its own fixpoint at this threshold? d*V*2 > 3*E2:
+    // 4*5*2 = 40 > 3*20 = 60 is FALSE -> the clique peels away next
+    // round; the trace simply ends (no empty rows emitted).
+    assert(!out.contains(2L) && out.size == 2)
+    // hygiene: self-loops, NULLs, reversed dups collapse
+    val noisy = (Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (Some(3L), Some(3L)), (None, Some(4L)), (Some(1L), Some(3L)),
+      (Some(2L), Some(3L)))).toDF("src", "dst")
+    val t0 = Densest.densestSubgraphTrace(noisy, "src", "dst",
+      rounds = 1).collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(t0(0L) == ((3L, 3L)))
+  }
+
   test("applyChanges: NULL keys never match (SQL MERGE semantics)") {
     import spark.implicits._
     import graft.ops.Merge
