@@ -15,7 +15,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] =
     Seq(Core, Analytics, Experiments, Text, Tokenizers, TextDedup,
       Curation, CurationGates, Vectors, VectorsDedup, VectorCompress,
-      Wire, Relational, Audits, Graphs, Multilingual, Forecasts)
+      Wire, Relational, Audits, Graphs, Multilingual, Forecasts, Tpch)
 
   /** Flagship (SURVEY §7.3): scan → derive flags → hash-agg → weighted score
     * → global rank → top-k gate, on sf=0.001; driver smoke-checks rows>0. */
