@@ -355,6 +355,27 @@ object Text extends QueryModule {
         docs, "text")
     }),
 
+    // Bits-per-byte by source: q362's per-doc KN cross-entropy rolled
+    // to the standard corpus-comparison metric (total model bits over
+    // total UTF-8 bytes) — the size-independent "how surprising is
+    // this source" number mean-bits-per-BIGRAM can't give across
+    // sources with different token lengths. Docs too short to model
+    // (< 2 tokens) are excluded on both engines.
+    "q434_bits_per_byte" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val scored = graft.text.LangModel.kneserNeyScore(docs, "doc_id",
+        "text", docs, "text")
+      docs.select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long").as("__bytes"))
+        .join(scored, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total_bits")).as("total_bits"),
+          sum(col("__bytes")).as("total_bytes"))
+        .withColumn("bpb", col("total_bits").cast("double") /
+          col("total_bytes").cast("double"))
+    }),
+
     // Isotonic (PAV) calibration of the same q206 score/outcome pair:
     // the monotone correction the reliability diagram motivates —
     // computed by the minimax closed form over the bin histogram, so
@@ -735,6 +756,20 @@ object Text extends QueryModule {
     "q362_kn_perplexity" -> graft.text.LangModel.kneserNeyScoreOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents",
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
+
+    "q434_bits_per_byte" ->
+      s"""WITH sc AS (${graft.text.LangModel.kneserNeyScoreOracleSql(
+            s"SELECT doc_id, $toksSql AS toks FROM documents",
+            s"SELECT doc_id, $toksSql AS toks FROM documents")})
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(total_bits) AS BIGINT) AS total_bits,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT)
+        |         AS total_bytes,
+        |       CAST(CAST(sum(total_bits) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(sum(octet_length(encode(text))) AS BIGINT)
+        |             AS DOUBLE) AS bpb
+        |FROM sc JOIN documents USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     "q342_texttiling" -> graft.text.Tiling.textTilingOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id"),

@@ -201,6 +201,30 @@ object Vectors extends QueryModule {
       graft.similarity.IVF.topK(base(t), queriesDf(t), cents, nProbe = 4, k = 5)
     }),
 
+    // ANN recall@5 eval: how much of the exact brute-force top-5 the
+    // q36 IVF route (nProbe=4 of 16 cells) recovers, per query — the
+    // quality-vs-cost readout an ANN deployment is tuned against,
+    // here as a GATED query (both legs deterministic, the join exact).
+    "q435_ann_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      val brute = Similarity.bruteForceTopK(base(t), queriesDf(t), 5)
+        .select(col("qid"), col("id"))
+      val ivf = graft.similarity.IVF
+        .topK(base(t), queriesDf(t), cents, nProbe = 4, k = 5)
+        .select(col("qid"), col("id"))
+      val hits = brute.join(ivf, Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      queriesDf(t).select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
+    }),
+
     // Embedding outliers: vectors below cosine 0.08 to their nearest of
     // 8 centroids — the ~5th percentile of the best-cos distribution at
     // both test SFs, so the report isolates the genuine no-cluster tail.
@@ -433,23 +457,60 @@ object Vectors extends QueryModule {
       |  ) WHERE arn = 1
       |)""".stripMargin
 
+  /** q36's oracle body (IVF top-k) — shared with q435's recall join. */
+  private def ivfTopkSql: String =
+    s"""WITH b AS (
+      |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id < 3
+      |), c AS (
+      |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings WHERE vec_id < 16
+      |), assigned AS (
+      |  SELECT id, ev, cell FROM (
+      |    SELECT b.id, b.ev, c.cid AS cell,
+      |           row_number() OVER (PARTITION BY b.id
+      |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+      |    FROM b CROSS JOIN c
+      |  ) WHERE arn = 1
+      |), probes AS (
+      |  SELECT qid, qv, cell FROM (
+      |    SELECT q.qid, q.qv, c.cid AS cell,
+      |           row_number() OVER (PARTITION BY q.qid
+      |             ORDER BY ${cosineSqlFor("qv", "cv")} DESC, c.cid) AS prn
+      |    FROM q CROSS JOIN c
+      |  ) WHERE prn <= 4
+      |), cands AS (
+      |  SELECT qid, id, $cosineSql AS cosine
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell
+      |)
+      |SELECT qid, id, cosine, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
+      |  FROM cands
+      |) WHERE rn <= 5""".stripMargin
+
+  /** q25's oracle body (brute-force top-k) — shared with q435. */
+  private def bruteTopkSql: String =
+    s"""WITH b AS (
+      |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id < 3
+      |), sims AS (
+      |  SELECT qid, id,
+      |         $cosineSql AS cosine
+      |  FROM b CROSS JOIN q
+      |)
+      |SELECT qid, id, cosine, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
+      |  FROM sims
+      |) WHERE rn <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q25_cosine_topk" ->
-      s"""WITH b AS (
-        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |  FROM embeddings WHERE vec_id < 3
-        |), sims AS (
-        |  SELECT qid, id,
-        |         $cosineSql AS cosine
-        |  FROM b CROSS JOIN q
-        |)
-        |SELECT qid, id, cosine, rn FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
-        |  FROM sims
-        |) WHERE rn <= 5""".stripMargin,
+    "q25_cosine_topk" -> bruteTopkSql,
 
     // The left-fold list_reduce mirrors Spark's aggregate(0.0, +) —
     // list_reduce seeds with the first element, but 0.0 + c1 == c1 in
@@ -570,38 +631,22 @@ object Vectors extends QueryModule {
     // Mirrors IVF.topK value-for-value: assignment/probing as rank over the
     // corpus×centroid join (Spark computes the same argmax as a literal
     // expression — same cosines, same (desc cosine, asc cid) tie-break).
-    "q36_ivf_ann" ->
-      s"""WITH b AS (
-        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |  FROM embeddings WHERE vec_id < 3
-        |), c AS (
-        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM embeddings WHERE vec_id < 16
-        |), assigned AS (
-        |  SELECT id, ev, cell FROM (
-        |    SELECT b.id, b.ev, c.cid AS cell,
-        |           row_number() OVER (PARTITION BY b.id
-        |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
-        |    FROM b CROSS JOIN c
-        |  ) WHERE arn = 1
-        |), probes AS (
-        |  SELECT qid, qv, cell FROM (
-        |    SELECT q.qid, q.qv, c.cid AS cell,
-        |           row_number() OVER (PARTITION BY q.qid
-        |             ORDER BY ${cosineSqlFor("qv", "cv")} DESC, c.cid) AS prn
-        |    FROM q CROSS JOIN c
-        |  ) WHERE prn <= 4
-        |), cands AS (
-        |  SELECT qid, id, $cosineSql AS cosine
-        |  FROM assigned a JOIN probes p ON a.cell = p.cell
+    "q36_ivf_ann" -> ivfTopkSql,
+
+    "q435_ann_recall" ->
+      s"""WITH bt AS ($bruteTopkSql),
+        |iv AS ($ivfTopkSql),
+        |hits AS (
+        |  SELECT bt.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM bt JOIN iv ON bt.qid = iv.qid AND bt.id = iv.id
+        |  GROUP BY 1
         |)
-        |SELECT qid, id, cosine, rn FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS BIGINT) AS rn
-        |  FROM cands
-        |) WHERE rn <= 5""".stripMargin,
+        |SELECT qid, coalesce(n_hits, 0) AS n_hits,
+        |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+        |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings
+        |      WHERE vec_id < 3)
+        |LEFT JOIN hits USING (qid)""".stripMargin,
+
 
     "q314_silhouette" -> graft.similarity.KMeans.silhouetteOracleSql(
       bSql = """SELECT vec_id AS id,
