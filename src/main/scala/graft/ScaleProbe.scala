@@ -135,6 +135,12 @@ object ScaleProbe {
       time(s"brute_topk_x$m") {
         similarity.Similarity.bruteForceTopK(emb, queries, 5).count()
       }
+      // contrastive-batch audit: pair work is N·(B−1)/2 at fixed B —
+      // must scale linearly with the corpus (never corpus²)
+      time(s"contrastive_batches_x$m") {
+        similarity.Similarity.contrastiveBatchAudit(emb, nShards = 4,
+          batchSize = 25, minCosine = 0.95, salt = "cb-v1").count()
+      }
       val cents = similarity.IVF.collectCentroids(
         emb.filter(col("id") < 16).select(col("id").as("cid"), col("ev").as("cv")),
         "cid", "cv")
@@ -440,6 +446,17 @@ object ScaleProbe {
         val e = ev.select(col("user_id").as("src"),
           (col("event_id") % 1000 + 1000000L).as("dst"))
         ops.PageRank.pageRank(e, "src", "dst").count()
+      }
+      // densest-subgraph peeling: fully DISJOINT replicas (dst offset
+      // per copy, unlike the pagerank probe's shared sinks) peel in
+      // lockstep — density and degrees are copy-local — so per-round
+      // cost and the whole trace must grow linearly with edges
+      time(s"densest_x$m") {
+        val e = ev.select(col("user_id").as("src"),
+          (expr("event_id div 100000000") * 100000L +
+            col("event_id") % 1000 + 1000000L).as("dst"))
+        ops.Densest.densestSubgraphTrace(e, "src", "dst",
+          epsNum = 1L, epsDen = 10L, rounds = 12).count()
       }
       // Hilbert key: native codegen'd expression vs the interpreted
       // aggregate-HOF fold — same values (spec-asserted), the probe

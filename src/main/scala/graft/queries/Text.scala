@@ -355,6 +355,15 @@ object Text extends QueryModule {
         docs, "text")
     }),
 
+    // TextRank salient segments: each document's top-2 16-token
+    // segments by exact-integer PageRank over the within-doc
+    // segment-overlap graph (one corpus-wide PageRank job on the
+    // disjoint union — never per-doc jobs). The unsupervised
+    // best-passage picker beside q267's query-conditioned one.
+    "q436_textrank" -> ((s, dir) =>
+      graft.text.TextRank.topSegments(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // Bits-per-byte by source: q362's per-doc KN cross-entropy rolled
     // to the standard corpus-comparison metric (total model bits over
     // total UTF-8 bytes) — the size-independent "how surprising is
@@ -756,6 +765,9 @@ object Text extends QueryModule {
     "q362_kn_perplexity" -> graft.text.LangModel.kneserNeyScoreOracleSql(
       s"SELECT doc_id, $toksSql AS toks FROM documents",
       s"SELECT doc_id, $toksSql AS toks FROM documents"),
+
+    "q436_textrank" -> graft.text.TextRank.topSegmentsOracleSql(
+      s"SELECT doc_id, $toksSql AS toks FROM documents", "doc_id"),
 
     "q434_bits_per_byte" ->
       s"""WITH sc AS (${graft.text.LangModel.kneserNeyScoreOracleSql(

@@ -919,6 +919,81 @@ object Streams {
       .start()
   }
 
+  /** STREAMING training-order layout writer — the incremental face of
+    * [[graft.ops.Sharding.shardLayout]]: each micro-batch's documents
+    * get (shard, pos) with shard = hash60(salt_id) mod nShards and pos
+    * APPENDED after the shard's previous high-water mark (state =
+    * nShards (shard, max_pos) rows, never stream-sized). Earlier
+    * epochs' positions are immutable — exactly the resume-safe
+    * append-only contract a training-order writer needs; a re-run of
+    * epoch N re-reads the state strictly older than N and overwrites
+    * its own `epoch=N` layout slice idempotently (the
+    * [[incrementalRollupSink]] replay discipline).
+    *
+    * Order contract (differs from the batch op, deliberately): the
+    * batch [[graft.ops.Sharding.shardLayout]] orders the WHOLE corpus
+    * by hash; the stream orders by (arrival epoch, hash) — positions
+    * within each epoch are hash-shuffled, epochs append. StreamsSpec
+    * asserts per-shard positions stay contiguous 1..N across epochs
+    * and that epoch-1 rows never change. */
+  def shardLayoutSink(docsStream: DataFrame, idCol: String,
+      textCol: String, nShards: Int, salt: String, layoutDir: String,
+      stateDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    require(nShards >= 1)
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val h = graft.functions.Hash64.hash60(
+            concat(lit(salt), lit("_"), col(idCol).cast("string")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+          val epochLayout = batch
+            .select(col(idCol),
+              graft.text.TextAnalysis.tokenCount(col(textCol))
+                .cast("long").as("n_tokens"))
+            .withColumn("__h", h)
+            .withColumn("shard", col("__h") % nShards)
+            .withColumn("__r", row_number().over(w).cast("long"))
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
+          val state = prev match {
+            case Some((_, dir)) => spark.read.parquet(dir.toString)
+            case None => spark.range(0).select(col("id").as("shard"),
+              col("id").as("max_pos"))
+          }
+          val laid = epochLayout
+            .join(broadcast(state), Seq("shard"), "left")
+            .na.fill(0L, Seq("max_pos"))
+            .withColumn("pos", col("max_pos") + col("__r"))
+            .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
+            .localCheckpoint()
+          laid.write.mode("overwrite")
+            .parquet(s"$layoutDir/epoch=$epochId")
+          laid.groupBy(col("shard"))
+            .agg(max(col("pos")).as("max_pos"))
+            .unionByName(state)
+            .groupBy(col("shard")).agg(max(col("max_pos")).as("max_pos"))
+            .write.mode("overwrite").parquet(s"$stateDir/epoch=$epochId")
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Every epoch slice of [[shardLayoutSink]]'s layout, one frame. */
+  def readLayout(spark: SparkSession, layoutDir: String): DataFrame =
+    spark.read.parquet(layoutDir)
+
   /** The newest (source, n_docs, n_tokens) accounting snapshot. */
   def latestMixState(spark: SparkSession, stateDir: String): DataFrame = {
     val dirs = epochSnapshots(spark, stateDir)

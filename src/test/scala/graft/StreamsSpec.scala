@@ -393,6 +393,41 @@ class StreamsSpec extends SparkSuite {
     assert(epochs.length <= 2, epochs.mkString(", "))
   }
 
+  test("shardLayoutSink: positions append contiguously per shard " +
+      "across epochs; earlier epochs' rows never move") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (layoutDir, stateDir, ckp) =
+      (tmp("lay-out"), tmp("lay-state"), tmp("lay-ckp"))
+    def run(): Unit = {
+      val q = Streams.shardLayoutSink(docs, "doc_id", "text",
+        nShards = 4, salt = "lay", layoutDir, stateDir, ckp,
+        Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L to 20L).map(i => (i, s"doc $i words here")): _*)
+    run()
+    val afterE1 = Streams.readLayout(spark, layoutDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    mem.addData((21L to 50L).map(i => (i, s"doc $i words here")): _*)
+    run()
+    val all = Streams.readLayout(spark, layoutDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once
+    assert(all.length == 50 && all.map(_._1).distinct.length == 50)
+    // per-shard positions are exactly 1..size
+    for ((shard, rows) <- all.groupBy(_._2)) {
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (1L to ps.length).toSeq, s"shard $shard: $ps")
+    }
+    // epoch-1 assignments are immutable
+    val byId = all.map(r => r._1 -> (r._2, r._3)).toMap
+    for ((id, sp) <- afterE1) assert(byId(id) == sp, s"doc $id moved")
+  }
+
   test("dpReleaseFromState: DP release over the epoch-merged state " +
       "equals the batch release over every epoch's rows") {
     implicit val sqlCtx = spark.sqlContext

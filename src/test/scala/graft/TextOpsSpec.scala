@@ -2005,4 +2005,33 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == folds)
   }
+
+  test("TextRank.topSegments: overlapping segments rank, isolated and " +
+      "single-segment docs drop, graphs never cross documents") {
+    import spark.implicits._
+    import graft.text.TextRank
+    val segA = Seq.fill(4)("alpha beta gamma delta").mkString(" ") // 16 toks
+    val segC = (1 to 16).map(i => s"only$i").mkString(" ")
+    // doc 1: segments [A, A, C] — s0↔s1 share 4 distinct tokens (edge),
+    // s2 is disjoint (no edge, not emitted).
+    // doc 2: ONE segment with doc 1's exact vocabulary — if segment
+    // graphs leaked across documents it would edge to doc 1's s0/s1
+    // and surface; it must be absent.
+    val out = TextRank.topSegments(
+        Seq((1L, s"$segA $segA $segC"), (2L, segA))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", per = 16, minOverlap = 3L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 0L), (1L, 1L)))
+    // the two-node graph is symmetric: equal integer ranks, sid tie
+    val Seq(first, second) = out.sortBy(_._4).toSeq
+    assert(first._3 == second._3 && first._2 == 0L && second._2 == 1L)
+    // segment text round-trips the slice
+    val seg = TextRank.topSegments(
+        Seq((9L, s"$segA $segA")).toDF("doc_id", "text"),
+        "doc_id", "text", per = 16, minOverlap = 3L, k = 1)
+      .collect().head.getString(2)
+    assert(seg == segA)
+  }
 }
