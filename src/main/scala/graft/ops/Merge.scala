@@ -256,4 +256,41 @@ object Merge {
        |)
        |$legs""".stripMargin
   }
+
+  /** INCREMENTAL JOIN maintenance (the materialized-view delta rule):
+    * Δ(A ⋈ B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the rows a maintained join
+    * view gains when batches ΔA/ΔB land, computed WITHOUT touching
+    * the stored A⋈B result. This is what turns a nightly fact-join
+    * rebuild into a delta-sized job: each term joins a delta against
+    * a base (delta-sized × key fan-out), never base × base — the
+    * join-shaped sibling of q89's aggregate merge-≡-recompute
+    * contract (MergeSpec proves old-result ∪ delta ≡ full recompute
+    * as multisets).
+    *
+    * Inputs must share only the key columns (project before calling).
+    * Deletions/updates route through [[snapshotDiff]] → retraction
+    * rows first; this is the insert-delta rule.
+    *
+    * Scale shape: three keyed joins, each with a delta on one side —
+    * broadcast the delta when it fits, AQE handles the rest; the base
+    * tables are scanned once each, the stored view not at all. */
+  def joinDelta(a: DataFrame, b: DataFrame, dA: DataFrame,
+      dB: DataFrame, keys: Seq[String]): DataFrame =
+    dA.join(b, keys)
+      .unionByName(a.join(dB, keys))
+      .unionByName(dA.join(dB, keys))
+
+  /** DuckDB oracle for [[joinDelta]]: the delta IS the multiset
+    * difference of the full joins — `new EXCEPT ALL old`. */
+  def joinDeltaOracleSql(aSql: String, bSql: String, dASql: String,
+      dBSql: String, keys: Seq[String], outCols: Seq[String]): String = {
+    val on = keys.map(k => s"a.$k = b.$k").mkString(" AND ")
+    val cols = outCols.mkString(", ")
+    def full(aa: String, bb: String) =
+      s"""SELECT $cols
+         |FROM ($aa) a JOIN ($bb) b ON $on""".stripMargin
+    s"""${full(s"$aSql UNION ALL $dASql", s"$bSql UNION ALL $dBSql")}
+       |EXCEPT ALL
+       |${full(aSql, bSql)}""".stripMargin
+  }
 }

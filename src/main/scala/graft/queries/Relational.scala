@@ -227,6 +227,24 @@ object Relational extends QueryModule {
     // Star join: revenue by nation — the broadcast-the-dims shape every
     // warehouse query needs. nation (25 rows) broadcasts; orders⋈customer
     // shuffle on the fact keys. RelationalOpsSpec asserts the broadcast.
+    // Incremental join maintenance: the delta a stored orders⋈lineitem
+    // view gains when an orders batch (keys %10=0) and a lineitem batch
+    // (linenumbers %3=0) land — three delta-sided joins, the base
+    // result untouched (the materialized-view ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    // rule); oracle is the multiset difference of the full joins.
+    "q437_join_delta" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val aAll = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      val bAll = t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_linenumber"), Exact.cents(col("l_extendedprice")).as("cents"))
+      graft.ops.Merge.joinDelta(
+        aAll.filter(col("o_orderkey") % 10 =!= 0),
+        bAll.filter(col("l_linenumber") % 3 =!= 0),
+        aAll.filter(col("o_orderkey") % 10 === 0),
+        bAll.filter(col("l_linenumber") % 3 === 0),
+        Seq("o_orderkey"))
+    }),
+
     "q49_star_join" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.orders
@@ -656,6 +674,19 @@ object Relational extends QueryModule {
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q437_join_delta" -> graft.ops.Merge.joinDeltaOracleSql(
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 0",
+      """SELECT l_orderkey AS o_orderkey, l_linenumber,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_linenumber % 3 <> 0""".stripMargin,
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 10 = 0",
+      """SELECT l_orderkey AS o_orderkey, l_linenumber,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_linenumber % 3 = 0""".stripMargin,
+      Seq("o_orderkey"),
+      Seq("a.o_orderkey AS o_orderkey", "a.o_orderpriority",
+        "b.l_linenumber", "b.cents")),
 
     "q49_star_join" ->
       """SELECT n_name, count(*) AS n_orders,

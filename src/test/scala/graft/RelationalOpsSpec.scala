@@ -581,6 +581,31 @@ class RelationalOpsSpec extends SparkSuite {
     assert(t0(0L) == ((3L, 3L)))
   }
 
+  test("joinDelta: old result plus delta reproduces the full recompute " +
+      "as a multiset; the delta-delta term is not forgotten") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (1L, "b1b"), (3L, "b3")).toDF("k", "bv")
+    // dA brings key 3 (matches base b) and key 4; dB brings key 2
+    // (matches base a) and key 4 — key 4 joins ONLY via dA⋈dB.
+    val dA = Seq((3L, "a3"), (4L, "a4")).toDF("k", "av")
+    val dB = Seq((2L, "b2"), (4L, "b4"), (4L, "b4b")).toDF("k", "bv")
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).groupBy(identity).view.mapValues(_.length).toMap
+    val delta = Merge.joinDelta(a, b, dA, dB, Seq("k"))
+    val maintained = bag(a.join(b, Seq("k")).unionByName(delta))
+    val recompute = bag(a.unionByName(dA).join(b.unionByName(dB), Seq("k")))
+    assert(maintained == recompute)
+    // the delta-delta pairs are present (key 4 never touches a base)
+    val d = bag(delta)
+    assert(d.contains((4L, "a4", "b4")) && d.contains((4L, "a4", "b4b")))
+    // duplicate base rows multiply correctly (key 1 is not in any delta
+    // -> contributes nothing to the delta)
+    assert(!d.keys.exists(_._1 == 1L))
+  }
+
   test("applyChanges: NULL keys never match (SQL MERGE semantics)") {
     import spark.implicits._
     import graft.ops.Merge
