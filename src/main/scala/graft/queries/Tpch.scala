@@ -233,6 +233,61 @@ object Tpch extends QueryModule {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue_cp"))
     }),
 
+    // Q9 product-type profit (sans supplycost — not in schema):
+    // widget-part revenue by supplier nation and order year.
+    "q438_tpch_q9" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"),
+          col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(orderDate).cast("long").as("o_year"))
+        .agg(sum(revCp).as("amount_cp"))
+    }),
+
+    // Q13 customer order-count distribution: the left-outer two-level
+    // aggregation (zero-order customers kept) — count(o_orderkey)
+    // ignores the null of the unmatched left rows by SQL semantics.
+    "q439_tpch_q13" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_custkey"))
+        .join(t.orders.select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q22 global-sales opportunity: customers above the positive-
+    // balance average with NO URGENT orders, by nation — the anti-join
+    // + one-row-stat gate (the threshold comparison is the exact
+    // integer cross-product cents·n > Σcents, never a float average).
+    // Adapted: this synthetic data gives EVERY customer orders, so the
+    // spec's "no orders at all" anti-join is structurally empty; the
+    // urgency cut keeps the plan shape with a non-degenerate result.
+    "q440_tpch_q22" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cust = t.customer.select(col("c_custkey"), col("c_nationkey"),
+        Exact.cents(col("c_acctbal")).as("__cents"))
+      val stats = broadcast(cust.filter(col("__cents") > 0)
+        .agg(count(lit(1)).as("__n"), sum(col("__cents")).as("__s")))
+      cust.crossJoin(stats)
+        .filter(col("__cents") * col("__n") > col("__s"))
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("__cents")).as("totacctbal_cents"))
+    }),
+
     // Q18 large-volume customers: the HAVING-subquery shape — qty
     // rollup per order first (the fact collapses before any join),
     // then orders+customer broadcast in, top 100.
@@ -402,6 +457,46 @@ object Tpch extends QueryModule {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue_cp = (SELECT max(total_revenue_cp) FROM rev)
         |""".stripMargin,
+
+    "q438_tpch_q9" ->
+      s"""SELECT n_name AS nation,
+        |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |       CAST(sum($revCpSql) AS BIGINT) AS amount_cp
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q439_tpch_q13" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY 1""".stripMargin,
+
+    "q440_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS t
+        |  FROM c WHERE cents > 0
+        |)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM c CROSS JOIN s
+        |WHERE cents * n > t
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
 
     "q433_tpch_q18" ->
       """WITH big AS (
