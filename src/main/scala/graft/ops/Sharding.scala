@@ -237,6 +237,95 @@ object Sharding {
         col("n_s"), col("dev_num"))
   }
 
+  /** TOKEN-weighted [[interleaveAudit]]: real mixture targets are
+    * token shares, not document counts, and a source with long
+    * documents drifts off target under doc-count striding exactly when
+    * it matters. Here each document's key is its token-mass MIDPOINT
+    * within its source's hash-ordered token axis,
+    * (2·cumtok − tok) / (2·T_s) ∈ (0,1) — any key interval of width w
+    * carries w·T_s ± max_tok tokens of source s by construction — and
+    * the audit reports per (block, source) the exact integer deviation
+    * of the TOKEN sums from the target share:
+    * dev_num = |t_bs·T − t_b·T_s|.
+    *
+    * Exactness/scale: same contract as [[interleaveAudit]] (one keyed
+    * cumulative window, one keyed aggregation, dimension frames
+    * broadcast; the key is one IEEE division of exact integers).
+    *
+    * @return (block, source, t_bs, t_b, t_s, dev_num) */
+  def interleaveTokensAudit(df: DataFrame, srcCol: String,
+      idCol: String, tokens: Column, nBlocks: Int, salt: String)
+      : DataFrame = {
+    require(nBlocks >= 1)
+    val h = Hash64.hash60(
+      concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val base = df.select(col(srcCol), col(idCol),
+        tokens.cast("long").as("tok"))
+      .filter(col("tok") > 0)
+      .withColumn("__h", h)
+      .withColumn("cumtok", sum(col("tok")).over(wSrc))
+    val perSrc = base.groupBy(col(srcCol))
+      .agg(sum(col("tok")).as("t_s"))
+    val tot = perSrc.agg(sum(col("t_s")).as("__T"))
+    val keyed = base.join(broadcast(perSrc), srcCol)
+      .withColumn("__key",
+        (col("cumtok") * 2 - col("tok")).cast("double") /
+          (col("t_s") * 2).cast("double"))
+      .withColumn("block",
+        floor(col("__key") * lit(nBlocks.toDouble)).cast("long"))
+    val blockTot = keyed.groupBy(col("block"))
+      .agg(sum(col("tok")).as("t_b"))
+    keyed.groupBy(col("block"), col(srcCol), col("t_s"))
+      .agg(sum(col("tok")).as("t_bs"))
+      .join(broadcast(blockTot), "block")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev_num",
+        abs(col("t_bs") * col("__T") - col("t_b") * col("t_s")))
+      .select(col("block"), col(srcCol), col("t_bs"), col("t_b"),
+        col("t_s"), col("dev_num"))
+  }
+
+  /** DuckDB oracle for [[interleaveTokensAudit]]. `innerSql` yields
+    * (srcName, idName, tok BIGINT). */
+  def interleaveTokensOracleSql(innerSql: String, srcName: String,
+      idName: String, nBlocks: Int, salt: String): String = {
+    val h = Hash64.duckSql(s"'${salt}_' || CAST($idName AS VARCHAR)")
+    s"""WITH b AS (
+       |  SELECT $srcName, $idName, tok, $h AS h FROM ($innerSql)
+       |  WHERE tok > 0
+       |), ranked AS (
+       |  SELECT $srcName, tok,
+       |         CAST(sum(tok) OVER (PARTITION BY $srcName
+       |           ORDER BY h, $idName ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS BIGINT) AS cumtok
+       |  FROM b
+       |), src AS (
+       |  SELECT $srcName, CAST(sum(tok) AS BIGINT) AS t_s
+       |  FROM b GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(t_s) AS BIGINT) AS tt FROM src
+       |), keyed AS (
+       |  SELECT ranked.$srcName, ranked.tok, src.t_s,
+       |         CAST(floor(CAST(cumtok * 2 - tok AS DOUBLE)
+       |           / CAST(t_s * 2 AS DOUBLE) * $nBlocks.0) AS BIGINT)
+       |           AS block
+       |  FROM ranked JOIN src USING ($srcName)
+       |), bs AS (
+       |  SELECT block, $srcName, t_s, CAST(sum(tok) AS BIGINT) AS t_bs
+       |  FROM keyed GROUP BY 1, 2, 3
+       |), bt AS (
+       |  SELECT block, CAST(sum(t_bs) AS BIGINT) AS t_b FROM bs
+       |  GROUP BY 1
+       |)
+       |SELECT bs.block, bs.$srcName, bs.t_bs, bt.t_b, bs.t_s,
+       |       abs(bs.t_bs * tot.tt - bt.t_b * bs.t_s) AS dev_num
+       |FROM bs JOIN bt USING (block) CROSS JOIN tot""".stripMargin
+  }
+
   /** DuckDB oracle for [[interleaveAudit]]. `innerSql` yields
     * (srcName, idName). */
   def interleaveAuditOracleSql(innerSql: String, srcName: String,

@@ -227,6 +227,15 @@ object Curation extends QueryModule {
       graft.ops.Sharding.interleaveAudit(Tables(s, dir).documents,
         "source", "doc_id", nBlocks = 16, salt = "ilv-v1")),
 
+    // q419 weighted by TOKEN mass (n_chars as the unit): the form a
+    // token-budgeted trainer holds — a long-doc source drifts off
+    // target under doc-count striding exactly when it matters; token-
+    // midpoint keys bound every block's token deviation at one doc.
+    "q441_interleave_tokens" -> ((s, dir) =>
+      graft.ops.Sharding.interleaveTokensAudit(Tables(s, dir).documents,
+        "source", "doc_id", col("n_chars"), nBlocks = 16,
+        salt = "ilv-v1")),
+
     // Source ablation: the corpus mean-length WITHOUT each source,
     // from one aggregation pass — the leave-one-group-out
     // data-valuation cut ("which source drags the metric").
@@ -641,6 +650,11 @@ object Curation extends QueryModule {
     "q419_interleave_audit" -> graft.ops.Sharding.interleaveAuditOracleSql(
       "SELECT source, doc_id FROM documents", "source", "doc_id",
       nBlocks = 16, salt = "ilv-v1"),
+
+    "q441_interleave_tokens" ->
+      graft.ops.Sharding.interleaveTokensOracleSql(
+        "SELECT source, doc_id, CAST(n_chars AS BIGINT) AS tok FROM documents",
+        "source", "doc_id", nBlocks = 16, salt = "ilv-v1"),
 
     "q270_source_ablation" -> graft.text.Corpus.sourceAblationOracleSql(
       "SELECT source, CAST(n_chars AS BIGINT) AS m FROM documents",

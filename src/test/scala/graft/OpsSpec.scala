@@ -1484,6 +1484,34 @@ class OpsSpec extends SparkSuite {
     assert(d2 == Map(1L -> ((2L, 20L))))
   }
 
+  test("interleaveTokensAudit: every block's token mass stays within " +
+      "one document of the source's target share; totals reconcile") {
+    import spark.implicits._
+    // source a: 40 docs of 10 tokens (T=400); source b: 10 docs of 37
+    // tokens (T=370) — doc-count striding would misplace b's mass.
+    val docs = ((1L to 40L).map(i => ("a", i, 10L)) ++
+      (1L to 10L).map(i => ("b", i + 1000, 37L)))
+      .toDF("src", "id", "tok")
+    val out = Sharding.interleaveTokensAudit(docs, "src", "id",
+      col("tok"), 8, "ilv").collect()
+    // bound: |t_bs * nBlocks - t_s| <= nBlocks * max_tok per source
+    for (r <- out) {
+      val (src, tbs, ts) = (r.getString(1), r.getLong(2), r.getLong(4))
+      val maxTok = if (src == "a") 10L else 37L
+      assert(math.abs(tbs * 8 - ts) <= 8 * maxTok,
+        s"block ${r.getLong(0)} src $src t_bs=$tbs t_s=$ts")
+    }
+    // per-source token totals reconcile
+    val sums = out.groupBy(_.getString(1))
+      .map { case (s, rows) => s -> rows.map(_.getLong(2)).sum }
+    assert(sums == Map("a" -> 400L, "b" -> 370L))
+    // zero-token docs are excluded, not NaN keys
+    val withZero = docs.union(Seq(("a", 9999L, 0L)).toDF("src", "id", "tok"))
+    val z = Sharding.interleaveTokensAudit(withZero, "src", "id",
+      col("tok"), 8, "ilv").collect()
+    assert(z.map(_.getLong(2)).sum == 770L)
+  }
+
   test("contrastiveBatchAudit: planted identical pair collides in the " +
       "single batch; orthogonal fill does not") {
     import spark.implicits._
