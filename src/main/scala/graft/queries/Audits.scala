@@ -92,6 +92,32 @@ object Audits extends QueryModule {
           "bymonth"))
     }),
 
+    // Z-order pruning effectiveness: q423's depth metric run over BOTH
+    // dimensions of two layouts. Read depth against n_files: a point
+    // predicate reads depth-of-point files of n_files total. The
+    // partkey-partitioned layout is perfect on partkey (depth 1) and
+    // unprunable on suppkey (depth = n_files); Morton tiles (zkey>>6 —
+    // a real write layout, no global sort) pay a little on partkey to
+    // make suppkey predicates skip about half the files. The
+    // measurement that justifies q64's key on multi-predicate tables.
+    "q442_zorder_pruning" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_partkey"), col("l_suppkey"),
+        graft.functions.Morton.morton(col("l_partkey"), col("l_suppkey"))
+          .as("__z"))
+      def hist(file: org.apache.spark.sql.Column, key: String,
+          layout: String) =
+        graft.ops.Layout.clusteringDepthHistogram(li, file, col(key))
+          .withColumn("layout", lit(layout))
+          .withColumn("dim", lit(key))
+          .crossJoin(broadcast(li.agg(
+            countDistinct(file).as("n_files"))))
+      hist(expr("l_partkey div 8"), "l_partkey", "bypart")
+        .unionByName(hist(expr("l_partkey div 8"), "l_suppkey", "bypart"))
+        .unionByName(hist(expr("__z div 64"), "l_partkey", "zorder"))
+        .unionByName(hist(expr("__z div 64"), "l_suppkey", "zorder"))
+    }),
+
     // t-closeness audit — the third rung of the privacy-audit ladder
     // over the SAME quasi-identifier pair as q122 (k-anonymity) and
     // q232 (l-diversity): groups whose balance-band DISTRIBUTION
@@ -466,6 +492,24 @@ object Audits extends QueryModule {
       one("l_orderkey // 512", "ingest") + "\nUNION ALL\n" +
         one("year(CAST(l_shipdate AS DATE)) * 12 + " +
           "month(CAST(l_shipdate AS DATE))", "bymonth")
+    },
+
+    "q442_zorder_pruning" -> {
+      val z = graft.functions.Morton.duckSql("l_partkey", "l_suppkey")
+      def one(fileSql: String, key: String, layout: String) =
+        s"""SELECT *, '$layout' AS layout, '$key' AS dim,
+           |       (SELECT CAST(count(DISTINCT $fileSql) AS BIGINT)
+           |        FROM lineitem) AS n_files
+           |FROM (
+           |${graft.ops.Layout.clusteringDepthOracleSql(
+              s"SELECT $fileSql AS f, $key AS k FROM lineitem")}
+           |)""".stripMargin
+      Seq(
+        one("l_partkey // 8", "l_partkey", "bypart"),
+        one("l_partkey // 8", "l_suppkey", "bypart"),
+        one(s"($z) // 64", "l_partkey", "zorder"),
+        one(s"($z) // 64", "l_suppkey", "zorder"))
+        .mkString("\nUNION ALL\n")
     },
 
     "q415_t_closeness" -> graft.ops.Profiling.tClosenessOracleSql(
