@@ -423,6 +423,31 @@ object CurationGates extends QueryModule {
         "n_tokens", alloc, "alloc", salt = "budget")
     }),
 
+    // The round's capstone composed ONE step further: q414's sampled
+    // release corpus laid out into the actual TRAINING ORDER — the
+    // q418 hash layout over the survivors, (shard, pos) per document
+    // with source/split carried. Raw planted crawl → 8 gates → water-
+    // fill budget → deterministic epoch order, one lineage end to end.
+    "q443_release_layout" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+      val surv = graft.text.Curate.survivorsRelease(releaseInput(base),
+        "doc_id", "text", blockPhrases, releaseBench(base),
+        minTokens = 10L, splits = Curation.corpusSplits)
+        .join(releaseSources(base), "doc_id")
+        .localCheckpoint()
+      val ps = surv.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("avail"))
+      val alloc = graft.ops.Sampling.waterFillAllocation(ps, "source",
+        "avail", Curation.budgetWeights, defaultWeight = 1L,
+        budgetNum = 1L, budgetDen = 2L)
+      val sampled = graft.ops.Sampling.tokenBudgetSample(surv, "source",
+        "doc_id", "n_tokens", alloc, "alloc", salt = "budget")
+      graft.ops.Sharding.shardLayout(sampled, "doc_id",
+          col("n_tokens"), nShards = 8, salt = "layout-rel")
+        .join(sampled.select(col("doc_id"), col("source"), col("split")),
+          "doc_id")
+    }),
+
     // Gopher REPETITION rules: per doc, chars covered by duplicated
     // n-grams (n=5,10) as merged positional intervals over the
     // normalized token stream — the coverage half of the Gopher filter
@@ -488,6 +513,35 @@ object CurationGates extends QueryModule {
         |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(g.kept_text, '') AS kept_text
         |FROM ($src) d LEFT JOIN g USING (doc_id)""".stripMargin
+
+  /** q414's oracle (the sampled release corpus) — shared with q443's
+    * layout composition. */
+  private def releaseSampledSql: String = {
+    val dsSql =
+      s"""WITH pd AS (${graft.text.Curate.survivorsReleaseOracleSql(
+            releaseInputSql, releaseBenchSql, Text.toksSql, blockPhrases,
+            minTokens = 10L, splits = Curation.corpusSplits)})
+         |SELECT p.doc_id, p.n_tokens, p.split, s.source
+         |FROM pd p JOIN ($releaseSourcesSql) s USING (doc_id)"""
+        .stripMargin
+    val allocSql = graft.ops.Sampling.waterFillOracleSql(
+      "SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail FROM ds GROUP BY 1",
+      Curation.budgetWeights, defaultWeight = 1L, budgetNum = 1L,
+      budgetDen = 2L)
+    s"""WITH ds AS MATERIALIZED ($dsSql),
+       |alloc AS MATERIALIZED ($allocSql)
+       |SELECT doc_id, source, n_tokens, split,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+       |  SELECT ds.doc_id, ds.source, ds.n_tokens, ds.split,
+       |         a.alloc AS __alloc,
+       |         sum(ds.n_tokens) OVER (PARTITION BY ds.source
+       |           ORDER BY ${graft.ops.Sampling.capPrioritySql(
+                     "ds.doc_id", "budget")}, ds.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS cum_tokens
+       |  FROM ds JOIN alloc a ON ds.source = a.source
+       |) WHERE cum_tokens <= __alloc""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // Gate CASE with the q125/q21/q40 fragments; fingerprint first-wins
@@ -594,32 +648,16 @@ object CurationGates extends QueryModule {
     // ds is MATERIALIZED: the 8-stage chain (MinHash + recursive CC
     // inside) referenced twice would otherwise re-open the parquet per
     // reference ("Too many open files", the documented DuckDB trap).
-    "q414_release_sampled" -> {
-      val dsSql =
-        s"""WITH pd AS (${graft.text.Curate.survivorsReleaseOracleSql(
-              releaseInputSql, releaseBenchSql, Text.toksSql, blockPhrases,
-              minTokens = 10L, splits = Curation.corpusSplits)})
-           |SELECT p.doc_id, p.n_tokens, p.split, s.source
-           |FROM pd p JOIN ($releaseSourcesSql) s USING (doc_id)"""
-          .stripMargin
-      val allocSql = graft.ops.Sampling.waterFillOracleSql(
-        "SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail FROM ds GROUP BY 1",
-        Curation.budgetWeights, defaultWeight = 1L, budgetNum = 1L,
-        budgetDen = 2L)
-      s"""WITH ds AS MATERIALIZED ($dsSql),
-         |alloc AS MATERIALIZED ($allocSql)
-         |SELECT doc_id, source, n_tokens, split,
-         |       CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
-         |  SELECT ds.doc_id, ds.source, ds.n_tokens, ds.split,
-         |         a.alloc AS __alloc,
-         |         sum(ds.n_tokens) OVER (PARTITION BY ds.source
-         |           ORDER BY ${graft.ops.Sampling.capPrioritySql(
-                       "ds.doc_id", "budget")}, ds.doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |           AS cum_tokens
-         |  FROM ds JOIN alloc a ON ds.source = a.source
-         |) WHERE cum_tokens <= __alloc""".stripMargin
-    },
+    "q414_release_sampled" -> releaseSampledSql,
+
+    "q443_release_layout" ->
+      s"""WITH samp AS MATERIALIZED ($releaseSampledSql),
+         |lay AS (${graft.ops.Sharding.shardLayoutOracleSql(
+            "SELECT doc_id, n_tokens FROM samp", "doc_id",
+            nShards = 8, salt = "layout-rel")})
+         |SELECT lay.doc_id, lay.shard, lay.pos, lay.n_tokens,
+         |       samp.source, samp.split
+         |FROM lay JOIN samp USING (doc_id)""".stripMargin,
 
     "q400_curation_by_source" -> graft.text.Curate
       .attritionBySourceOracleSql(
