@@ -994,6 +994,74 @@ object Streams {
   def readLayout(spark: SparkSession, layoutDir: String): DataFrame =
     spark.read.parquet(layoutDir)
 
+  /** Audit rows written by [[lateDataAuditSink]], epoch as a LONG
+    * column (partition discovery infers int; normalized here). */
+  def readLateAudits(spark: SparkSession, auditDir: String): DataFrame =
+    spark.read.parquet(auditDir)
+      .withColumn("epoch", col("epoch").cast("long"))
+
+  /** LATE-DATA audit sink — the observability piece watermarking
+    * hides: Spark silently DROPS rows later than the watermark inside
+    * stateful operators, so an upstream clock-skew or replay bug shows
+    * up only as quietly-missing aggregates. This sink maintains its
+    * own high-water mark (1-row state: the max event time seen through
+    * the PREVIOUS epoch — Spark's own watermark advancement rule) and
+    * writes, per epoch, how many arriving rows sat more than
+    * `delaySeconds` behind it — the rate to alarm on before trusting
+    * any watermarked result downstream. First epoch has no mark:
+    * nothing is late by definition.
+    *
+    * @return per-epoch audit rows at `auditDir`: (epoch, n_rows,
+    *         n_late, min_us, max_us, mark_us — the mark APPLIED, -1
+    *         for the first epoch) */
+  def lateDataAuditSink(stream: DataFrame, eventTimeCol: String,
+      delaySeconds: Long, auditDir: String, stateDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
+          val mark = prev match {
+            case Some((_, dir)) => spark.read.parquet(dir.toString)
+            case None => spark.range(1)
+              .select(lit(-1L).as("mark_us")).limit(1)
+          }
+          val us = batch.select(
+            expr(s"unix_micros(CAST($eventTimeCol AS TIMESTAMP))")
+              .as("__us"))
+          val audit = us.crossJoin(broadcast(mark))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("mark_us") >= 0 &&
+                col("__us") < col("mark_us") - delaySeconds * 1000000L,
+                1L).otherwise(0L)).as("n_late"),
+              min(col("__us")).as("min_us"),
+              max(col("__us")).as("max_us"),
+              max(col("mark_us")).as("mark_us"))
+            .select(col("n_rows"), col("n_late"), col("min_us"),
+              col("max_us"), col("mark_us"))
+            .localCheckpoint()
+          audit.write.mode("overwrite")
+            .parquet(s"$auditDir/epoch=$epochId")
+          audit.select(greatest(col("max_us"), col("mark_us"))
+              .as("mark_us"))
+            .write.mode("overwrite").parquet(s"$stateDir/epoch=$epochId")
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** The newest (source, n_docs, n_tokens) accounting snapshot. */
   def latestMixState(spark: SparkSession, stateDir: String): DataFrame = {
     val dirs = epochSnapshots(spark, stateDir)

@@ -428,6 +428,35 @@ class StreamsSpec extends SparkSuite {
     for ((id, sp) <- afterE1) assert(byId(id) == sp, s"doc $id moved")
   }
 
+  test("lateDataAuditSink: rows behind the prior epochs' high-water " +
+      "mark are counted, never silently lost") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[java.sql.Timestamp]
+    val ev = mem.toDF().toDF("ts")
+    val (auditDir, stateDir, ckp) =
+      (tmp("late-audit"), tmp("late-state"), tmp("late-ckp"))
+    def run(): Unit = {
+      val q = Streams.lateDataAuditSink(ev, "ts", delaySeconds = 10L,
+        auditDir, stateDir, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // epoch 1: no mark yet -> nothing late, mark becomes 1000s
+    mem.addData(ts(900), ts(1000)); run()
+    // epoch 2: mark 1000s, tolerance 10s -> 985 late, 995 and 1100 not
+    mem.addData(ts(985), ts(995), ts(1100)); run()
+    val audits = Streams.readLateAudits(spark, auditDir)
+      .select("epoch", "n_rows", "n_late", "mark_us")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(audits.size == 2)
+    val byOrder = audits.toSeq.sortBy(_._1).map(_._2)
+    assert(byOrder(0) == ((2L, 0L, -1L)), "first epoch: no mark")
+    assert(byOrder(1) == ((3L, 1L, 1000L * 1000000L)),
+      s"epoch 2 should flag exactly ts=985: ${byOrder(1)}")
+  }
+
   test("dpReleaseFromState: DP release over the epoch-merged state " +
       "equals the batch release over every epoch's rows") {
     implicit val sqlCtx = spark.sqlContext
