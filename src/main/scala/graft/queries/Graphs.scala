@@ -277,6 +277,20 @@ object Graphs extends QueryModule {
       graft.ops.KCore.kCore(edges, "src", "dst", k = 70, rounds = 4)
     }),
 
+    // FULL coreness decomposition of the same graph via h-index
+    // propagation — every part's core number beside q121's fixed-k
+    // survivor set; 6 synchronous rounds (monotone upper bound, exact
+    // when the peel cascade fits — spec-pinned on known graphs).
+    "q444_coreness" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.KCore.corenessHIndex(edges, "src", "dst", rounds = 6)
+    }),
+
 
     // Bellman-Ford weighted distances on the co-purchase graph
     // (closeness weight = 1000 div shared-order count): exact shortest
@@ -519,6 +533,13 @@ object Graphs extends QueryModule {
         |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         |              AND a.l_partkey < b.l_partkey""".stripMargin,
       k = 70, rounds = 4),
+
+    "q444_coreness" -> graft.ops.KCore.corenessOracleSql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |              AND a.l_partkey < b.l_partkey""".stripMargin,
+      rounds = 6),
 
 
     "q217_weighted_paths" -> graft.ops.Bfs.weightedOracleSql(

@@ -548,6 +548,32 @@ class RelationalOpsSpec extends SparkSuite {
     assert(run(2) == core && run(4) == core)
   }
 
+  test("corenessHIndex: h-index propagation reaches the exact core " +
+      "numbers on a clique-plus-tail and a cycle") {
+    import spark.implicits._
+    import graft.ops.KCore
+    // K4 on {1..4} + tail 4-5-6: coreness 3/3/3/3/1/1 (deg 3/3/3/4/2/1)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    def run(rounds: Int) = KCore.corenessHIndex(e, "src", "dst", rounds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val exact = Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)),
+      4L -> ((3L, 4L)), 5L -> ((1L, 2L)), 6L -> ((1L, 1L)))
+    assert(run(2) == exact)
+    assert(run(6) == exact, "converged values are stable")
+    // round 1 is the documented monotone upper bound: node 5's first
+    // h-index over neighbor degrees {4, 1} is already 1, node 4 drops
+    // from deg 4 to 3 - the sequence never undershoots coreness
+    val r1 = run(1)
+    assert(r1.forall { case (n, (c, _)) => c >= exact(n)._1 })
+    // C5 cycle: every node coreness 2 from round 0 onward
+    val cyc = (0L to 4L).map(i => (i + 10, (i + 1) % 5 + 10))
+      .toDF("src", "dst")
+    assert(KCore.corenessHIndex(cyc, "src", "dst", 2)
+      .collect().forall(r => r.getLong(1) == 2L && r.getLong(2) == 2L))
+  }
+
   test("densestSubgraphTrace: the peel uncovers a planted clique as " +
       "the best round; hygiene and threshold are exact") {
     import spark.implicits._
