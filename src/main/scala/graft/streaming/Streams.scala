@@ -1107,6 +1107,98 @@ object Streams {
         col("__n_s") < col("__alloc") * lit(mod.toLong))
       .drop("__n_s", "__alloc")
 
+  /** STREAMING heavy-hitters sink — [[graft.ops.Sketches.heavyHitters]]
+    * maintained epoch by epoch with BOUNDED state: a count-min sketch
+    * (fixed width×depth counters; merging sketches of two epochs IS
+    * the sketch of their union — counters sum) plus a top-`maxCand`
+    * candidate table. Per epoch: the batch's sketch merges into the
+    * state sketch; the batch's hash-sampled candidate keys union the
+    * carried ones; every candidate re-estimates on the MERGED sketch
+    * and only the top `maxCand` survive. Candidates discovered in any
+    * epoch stay discoverable (a key hot only across epochs is found
+    * the epoch its sample hits — the same sampling contract as the
+    * batch op). Same two-snapshot retention as the other sinks.
+    *
+    * @return per-snapshot state at `stateDir`: candidates
+    *         (key, est) + `__sketch` row carrying the bytes */
+  def heavyHittersSink(stream: DataFrame, keyCol: String,
+      stateDir: String, checkpoint: String, sampleSize: Int = 2000,
+      eps: Double = 0.0001, maxCand: Int = 1000,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val sketch = graft.ops.Sketches.countMin(batch,
+            col(keyCol).cast("string"), eps)
+          val rowHash = concat_ws("",
+            batch.columns.map(c => col(c).cast("string")): _*)
+          val nBatch = sketch.totalCount()
+          val frac = math.min(1.0,
+            sampleSize.toDouble / math.max(nBatch, 1L))
+          val batchCands = batch
+            .filter(graft.ops.Sampling.hashBucket(rowHash, "hh",
+              1000000) < (frac * 1000000).round)
+            .select(col(keyCol).cast("string").as("k")).distinct()
+            .as[String].collect()
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
+          val (merged, prevCands) = prev match {
+            case Some((_, dir)) =>
+              val st = spark.read.parquet(dir.toString)
+              val bytes = st.filter(col("key") === "__sketch")
+                .select(col("sketch")).head.getAs[Array[Byte]](0)
+              val prior = org.apache.spark.util.sketch.CountMinSketch
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+              prior.mergeInPlace(sketch)
+              (prior,
+                st.filter(col("key") =!= "__sketch")
+                  .select(col("key")).as[String].collect())
+            case None => (sketch, Array.empty[String])
+          }
+          val cands = (batchCands ++ prevCands).distinct.toSeq
+            .map(k => (k, merged.estimateCount(k)))
+            .sortBy { case (k, e) => (-e, k) }
+            .take(maxCand)
+          val out = new java.io.ByteArrayOutputStream()
+          merged.writeTo(out)
+          val state = cands.toDF("key", "est")
+            .withColumn("sketch",
+              lit(null).cast("binary"))
+            .unionByName(Seq(("__sketch", merged.totalCount()))
+              .toDF("key", "est")
+              .withColumn("sketch", lit(out.toByteArray)))
+          state.write.mode("overwrite")
+            .parquet(s"$stateDir/epoch=$epochId")
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Heavy hitters ≥ `minFrac` from [[heavyHittersSink]]'s newest
+    * state — (key, est), est over ALL epochs ingested. */
+  def latestHeavyHitters(spark: SparkSession, stateDir: String,
+      minFrac: Double): DataFrame = {
+    val dirs = epochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    val st = spark.read.parquet(dirs.last._2.toString)
+    val total = st.filter(col("key") === "__sketch")
+      .select(col("est")).head.getLong(0)
+    st.filter(col("key") =!= "__sketch")
+      .filter(col("est") >= (minFrac * total).toLong)
+      .select(col("key"), col("est"))
+  }
+
   /** Estimate readout over [[hllRollupSink]]'s newest state. */
   def latestHllEstimates(spark: SparkSession, stateDir: String)
       : DataFrame = {

@@ -428,6 +428,35 @@ class StreamsSpec extends SparkSuite {
     for ((id, sp) <- afterE1) assert(byId(id) == sp, s"doc $id moved")
   }
 
+  test("heavyHittersSink: merged-sketch estimates equal the batch " +
+      "heavy hitters over every epoch's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val ev = mem.toDF().toDF("rid", "k")
+    val (stateDir, ckp) = (tmp("hh-state"), tmp("hh-ckp"))
+    def run(): Unit = {
+      val q = Streams.heavyHittersSink(ev, "k", stateDir, ckp)
+      q.awaitTermination(120000)
+    }
+    // epoch 1: hot1 x 60, tail x 40; epoch 2: hot2 x 50, hot1 x 20
+    val e1 = (1L to 60L).map(i => (i, "hot1")) ++
+      (61L to 100L).map(i => (i, s"tail$i"))
+    val e2 = (101L to 150L).map(i => (i, "hot2")) ++
+      (151L to 170L).map(i => (i, "hot1"))
+    mem.addData(e1: _*); run()
+    mem.addData(e2: _*); run()
+    val streamed = Streams.latestHeavyHitters(spark, stateDir,
+        minFrac = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Sketches.heavyHitters(
+        (e1 ++ e2).toDF("rid", "k"), col("k"), minFrac = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.keySet == Set("hot1", "hot2"))
+    assert(streamed("hot1") >= 80L && streamed("hot2") >= 50L)
+  }
+
   test("lateDataAuditSink: rows behind the prior epochs' high-water " +
       "mark are counted, never silently lost") {
     implicit val sqlCtx = spark.sqlContext
