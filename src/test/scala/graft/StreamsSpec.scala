@@ -436,7 +436,8 @@ class StreamsSpec extends SparkSuite {
     val ev = mem.toDF().toDF("rid", "k")
     val (stateDir, ckp) = (tmp("hh-state"), tmp("hh-ckp"))
     def run(): Unit = {
-      val q = Streams.heavyHittersSink(ev, "k", stateDir, ckp)
+      val q = Streams.heavyHittersSink(ev, "k", stateDir, ckp,
+        trigger = Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
     // epoch 1: hot1 x 60, tail x 40; epoch 2: hot2 x 50, hot1 x 20
