@@ -291,21 +291,46 @@ object Privacy {
   }
 
   /** Central-DP SUM + MEAN release — the numeric sibling of
-    * [[geometricNoisyCounts]]: each row's contribution is CLAMPED to
-    * [0, clampHi] (bounding the sum's sensitivity at clampHi, the
-    * standard bounded-contribution recipe), the per-cell sum draws
-    * geometric noise SCALED by clampHi, the count draws its own
-    * independent unit noise (a distinct `#n`/`#s` cell suffix — two
-    * mechanisms, ε each), and the released mean is ONE IEEE division of
+    * [[geometricNoisyCounts]], by QUANTIZE-THEN-NOISE: each row's
+    * contribution is CLAMPED to [0, clampHi], the per-cell clamped sum
+    * is floor-divided by clampHi BEFORE noising (one person moves the
+    * sum by ≤ clampHi, so the quantized statistic
+    * `clamped_sum div clampHi` has sensitivity 1), UNIT geometric noise
+    * lands on the quantized value, and the release re-scales by
+    * clampHi. The count draws its own independent unit noise (a
+    * distinct `#n`/`#s` cell suffix — two sensitivity-1 mechanisms,
+    * ε = ln(aDen/aNum) each); the released mean is ONE IEEE division of
     * the two released integers (count floored at 1 so the division is
-    * total; sum floored at 0 — clamped values are non-negative).
+    * total; quantized sum floored at 0 — clamped values are
+    * non-negative).
+    *
+    * Why not noise the raw sum? Scaling a UNIT draw by clampHi (the
+    * naive form) puts the noise on the lattice clampHi·ℤ, so the
+    * release stays ≡ clamped_sum (mod clampHi) — the exact residue of
+    * the true sum leaks, and one individual's contribution is
+    * perfectly distinguishable through it. Quantizing FIRST makes the
+    * published lattice value a post-processing of a sensitivity-1
+    * ε-DP release: no residue survives. (The other repair —
+    * re-calibrating the ladder to ratio α^(1/clampHi) for
+    * unit-granularity noise on the raw sum — needs a CASE ladder of
+    * O(clampHi·K) rungs to keep the truncation tail small, infeasible
+    * as an inlined literal table for realistic clampHi.) The cost is
+    * deterministic rounding error ≤ clampHi/2 on the released sum,
+    * below the noise scale itself. As everywhere in this family, the
+    * hash coin is a SIMULATION device for the oracle replay: a
+    * production release swaps in a secret per-publication salt — the
+    * privacy argument needs the coin independent of the data (the
+    * [[randomizedResponseCounts]] contract).
     *
     * Scale shape: one projection + ONE keyed aggregation, the
     * [[geometricNoisyCounts]] contract — zero shuffles beyond the
     * plain (count, sum).
     *
     * @return (keyCols*, n, clamped_sum, noise_n, noise_sum,
-    *         released_n, released_sum, released_mean) */
+    *         released_n, released_sum, released_mean) — noise_sum is
+    *         the unit draw × clampHi for audit visibility;
+    *         released_sum = max(clamped_sum div clampHi + draw, 0) ·
+    *         clampHi */
   def geometricNoisySumMean(df: DataFrame, keyCols: Seq[String],
       value: Column, clampHi: Long, salt: String, aNum: Long = 1L,
       aDen: Long = 2L, maxShift: Int = 16): DataFrame = {
@@ -315,19 +340,22 @@ object Privacy {
     val nN = geomNoiseCol(cellCol(s"$salt#n", keyCols),
       aNum, aDen, maxShift)
     val nS = geomNoiseCol(cellCol(s"$salt#s", keyCols),
-      aNum, aDen, maxShift) * lit(clampHi)
+      aNum, aDen, maxShift)
     df.select(keyCols.map(col) :+ clamped.as("__cv"): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("__cv")).as("clamped_sum"))
       .withColumn("noise_n", nN)
-      .withColumn("noise_sum", nS)
+      .withColumn("__ns_u", nS)
+      .withColumn("noise_sum", col("__ns_u") * lit(clampHi))
       .withColumn("released_n",
         greatest(col("n") + col("noise_n"), lit(1L)))
       .withColumn("released_sum",
-        greatest(col("clamped_sum") + col("noise_sum"), lit(0L)))
+        greatest(expr(s"clamped_sum div $clampHi") + col("__ns_u"),
+          lit(0L)) * lit(clampHi))
       .withColumn("released_mean",
         col("released_sum").cast("double") /
           col("released_n").cast("double"))
+      .drop("__ns_u")
   }
 
   /** DuckDB oracle for [[geometricNoisySumMean]]. `valueSql` is the
@@ -350,14 +378,16 @@ object Privacy {
        |), z AS (
        |  SELECT $keys, n, clamped_sum,
        |         ${geomNoiseSql(aNum, aDen, maxShift, "vn")} AS noise_n,
-       |         ${geomNoiseSql(aNum, aDen, maxShift, "vs")} * $clampHi
-       |           AS noise_sum
+       |         ${geomNoiseSql(aNum, aDen, maxShift, "vs")} AS ns_u
        |  FROM g
        |)
-       |SELECT $keys, n, clamped_sum, noise_n, noise_sum,
+       |SELECT $keys, n, clamped_sum, noise_n,
+       |       ns_u * $clampHi AS noise_sum,
        |       greatest(n + noise_n, 1) AS released_n,
-       |       greatest(clamped_sum + noise_sum, 0) AS released_sum,
-       |       CAST(greatest(clamped_sum + noise_sum, 0) AS DOUBLE)
+       |       greatest(clamped_sum // $clampHi + ns_u, 0) * $clampHi
+       |         AS released_sum,
+       |       CAST(greatest(clamped_sum // $clampHi + ns_u, 0)
+       |           * $clampHi AS DOUBLE)
        |         / CAST(greatest(n + noise_n, 1) AS DOUBLE)
        |         AS released_mean
        |FROM z""".stripMargin

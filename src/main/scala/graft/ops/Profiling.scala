@@ -772,7 +772,12 @@ object Profiling {
     * emd_num = Σ|·| and emd_den = n·N·(m−1) are exact longs and t_emd
     * is ONE IEEE division — hash-exact against the DuckDB replay.
     * Contract: n·N·(m−1) < 2⁶³ (at 10¹² rows move the ledger to
-    * DECIMAL(38,0), the [[graft.ops.ABTest]] convention).
+    * DECIMAL(38,0), the [[graft.ops.ABTest]] convention). A
+    * single-value sensitive domain (m = 1) leaves emd_den = 0 and, by
+    * definition, every group at distance zero — t_emd is GUARDED to
+    * 0.0 there (never 0/0 = NaN, which a downstream `t_emd >= t`
+    * filter would silently drop instead of reporting), identically on
+    * both engines.
     *
     * Scale shape: one (qi, v) keyed count, two dimension-sized
     * aggregates derived from it (global histogram m rows, group sizes
@@ -809,7 +814,9 @@ object Profiling {
       .agg(sum(col("__r")).as("emd_num"), count(lit(1)).as("m"))
       .withColumn("emd_den", col("n") * col("__N") * (col("m") - 1))
       .withColumn("t_emd",
-        col("emd_num").cast("double") / col("emd_den").cast("double"))
+        when(col("m") > 1,
+          col("emd_num").cast("double") / col("emd_den").cast("double"))
+          .otherwise(lit(0.0)))
       .select(qs ++ Seq(col("n"), col("m"), col("emd_num"),
         col("emd_den"), col("t_emd")): _*)
   }
@@ -846,9 +853,10 @@ object Profiling {
        |SELECT $q, n, CAST(count(*) AS BIGINT) AS m,
        |       CAST(sum(abs(cg * nn - cgl * n)) AS BIGINT) AS emd_num,
        |       n * nn * (CAST(count(*) AS BIGINT) - 1) AS emd_den,
-       |       CAST(CAST(sum(abs(cg * nn - cgl * n)) AS BIGINT) AS DOUBLE)
-       |         / CAST(n * nn * (CAST(count(*) AS BIGINT) - 1) AS DOUBLE)
-       |         AS t_emd
+       |       CASE WHEN count(*) > 1 THEN
+       |         CAST(CAST(sum(abs(cg * nn - cgl * n)) AS BIGINT) AS DOUBLE)
+       |           / CAST(n * nn * (CAST(count(*) AS BIGINT) - 1) AS DOUBLE)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS t_emd
        |FROM cums GROUP BY $q, n, nn""".stripMargin
   }
 

@@ -128,11 +128,13 @@ object Audits extends QueryModule {
         Seq("c_nationkey", "c_mktsegment"),
         expr("CAST(floor(c_acctbal / 1000) AS LONG)"))),
 
-    // Central-DP MEAN release: per-source mean document length with
-    // per-doc contribution clamped to 2000 chars (bounding the sum's
-    // sensitivity), independent geometric noise on count and sum, one
-    // IEEE division of the released integers — the numeric sibling of
-    // q395's histogram, same portable BigInt noise ladder.
+    // Central-DP MEAN release by quantize-then-noise: per-source mean
+    // document length with per-doc contribution clamped to 2000 chars,
+    // the clamped sum floor-divided by the clamp BEFORE unit geometric
+    // noise lands (sensitivity-1 statistic — no mod-clamp residue of
+    // the true sum survives into the release), independent count draw,
+    // one IEEE division of the released integers — the numeric sibling
+    // of q395's histogram, same portable BigInt noise ladder.
     "q416_dp_mean" -> ((s, dir) =>
       graft.ops.Privacy.geometricNoisySumMean(Tables(s, dir).documents,
         Seq("source"), col("n_chars"), clampHi = 2000L,

@@ -44,7 +44,14 @@ object Tpch extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 pricing summary: one hash-agg over the date-filtered scan;
     // disc/charge in exact integer cent·% / cent·%² units, averages as
-    // single divisions.
+    // single divisions. Overflow contract (the Densest/tClosenessAudit
+    // convention): __charge ≈ 1e11 per row, so a (returnflag,
+    // linestatus) group's sum_charge_cpp needs Σ < 2⁶³ — safe below
+    // ~9·10⁷ lineitem rows PER GROUP (~SF 100 with 3×2 groups); past
+    // that, sum __charge/__disc as DECIMAL(38,0) on BOTH engines (a
+    // two-line cast; kept LONG here because the driver's pandas
+    // comparator routes DECIMAL through float64, surrendering the very
+    // exactness the integer units buy).
     "q424_tpch_q1" -> ((s, dir) =>
       Tables(s, dir).lineitem
         .filter(shipDate <= lit("2000-12-01").cast("date"))

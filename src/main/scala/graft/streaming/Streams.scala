@@ -1119,8 +1119,15 @@ object Streams {
     * the epoch its sample hits — the same sampling contract as the
     * batch op). Same two-snapshot retention as the other sinks.
     *
-    * @return per-snapshot state at `stateDir`: candidates
-    *         (key, est) + `__sketch` row carrying the bytes */
+    * State rows are DISCRIMINATED by an explicit `is_sketch` boolean —
+    * never an in-band magic key, so a real stream key can never
+    * collide with the sketch row (an `is_sketch=true` row carries
+    * key=NULL + the serialized bytes; candidate rows carry
+    * sketch=NULL).
+    *
+    * @return per-snapshot state at `stateDir`: candidate rows
+    *         (key, est, is_sketch=false) + one is_sketch=true row
+    *         carrying the bytes */
   def heavyHittersSink(stream: DataFrame, keyCol: String,
       stateDir: String, checkpoint: String, sampleSize: Int = 2000,
       eps: Double = 0.0001, maxCand: Int = 1000,
@@ -1151,13 +1158,13 @@ object Streams {
           val (merged, prevCands) = prev match {
             case Some((_, dir)) =>
               val st = spark.read.parquet(dir.toString)
-              val bytes = st.filter(col("key") === "__sketch")
+              val bytes = st.filter(col("is_sketch"))
                 .select(col("sketch")).head.getAs[Array[Byte]](0)
               val prior = org.apache.spark.util.sketch.CountMinSketch
                 .readFrom(new java.io.ByteArrayInputStream(bytes))
               prior.mergeInPlace(sketch)
               (prior,
-                st.filter(col("key") =!= "__sketch")
+                st.filter(!col("is_sketch"))
                   .select(col("key")).as[String].collect())
             case None => (sketch, Array.empty[String])
           }
@@ -1168,10 +1175,13 @@ object Streams {
           val out = new java.io.ByteArrayOutputStream()
           merged.writeTo(out)
           val state = cands.toDF("key", "est")
+            .withColumn("is_sketch", lit(false))
             .withColumn("sketch",
               lit(null).cast("binary"))
-            .unionByName(Seq(("__sketch", merged.totalCount()))
-              .toDF("key", "est")
+            .unionByName(Seq(Tuple1(merged.totalCount()))
+              .toDF("est")
+              .withColumn("key", lit(null).cast("string"))
+              .withColumn("is_sketch", lit(true))
               .withColumn("sketch", lit(out.toByteArray)))
           state.write.mode("overwrite")
             .parquet(s"$stateDir/epoch=$epochId")
@@ -1192,9 +1202,9 @@ object Streams {
     val dirs = epochSnapshots(spark, stateDir)
     require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
     val st = spark.read.parquet(dirs.last._2.toString)
-    val total = st.filter(col("key") === "__sketch")
+    val total = st.filter(col("is_sketch"))
       .select(col("est")).head.getLong(0)
-    st.filter(col("key") =!= "__sketch")
+    st.filter(!col("is_sketch"))
       .filter(col("est") >= (minFrac * total).toLong)
       .select(col("key"), col("est"))
   }

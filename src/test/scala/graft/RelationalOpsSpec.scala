@@ -946,10 +946,18 @@ class RelationalOpsSpec extends SparkSuite {
         (x ++ z).toDF("g", "v"), Seq("g"), col("v"))
       .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
     assert(out2("X") == 0.0 && out2("Z") == 0.0)
+    // single-value sensitive domain: m = 1 -> emd_den = 0, t_emd is
+    // guarded to 0.0 (not 0/0 = NaN) so a >= t gate reports the group
+    val mono = Seq(("A", 7L), ("A", 7L), ("B", 7L))
+    val out3 = Profiling.tClosenessAudit(
+        mono.toDF("g", "v"), Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(out3("A") == ((1L, 0L, 0.0)) && out3("B") == ((1L, 0L, 0.0)))
   }
 
-  test("geometricNoisySumMean: clamped contributions, independent " +
-      "count/sum draws replayed, floors respected") {
+  test("geometricNoisySumMean: clamped contributions, quantize-then-" +
+      "noise release (no mod-clampHi residue), floors respected") {
     import spark.implicits._
     import graft.ops.Privacy
     def hash60(s: String): BigInt = {
@@ -976,11 +984,15 @@ class RelationalOpsSpec extends SparkSuite {
         r.getDouble(7))).toMap
     val (na, sa) = (3L, 130L)
     val dnA = draw("sm#n|1:a", 8).toLong
-    val dsA = draw("sm#s|1:a", 8).toLong * 100L
+    val dsA = draw("sm#s|1:a", 8).toLong
     assert(out("a")._1 == na && out("a")._2 == sa)
-    assert(out("a")._3 == dnA && out("a")._4 == dsA)
+    assert(out("a")._3 == dnA && out("a")._4 == dsA * 100L)
     assert(out("a")._5 == math.max(na + dnA, 1L))
-    assert(out("a")._6 == math.max(sa + dsA, 0L))
+    // quantize-then-noise: floor(130/100)=1 unit, noised, re-scaled —
+    // the release carries NO residue of the true sum mod clampHi
+    assert(out("a")._6 == math.max(sa / 100L + dsA, 0L) * 100L)
+    assert(out("a")._6 % 100L != sa % 100L,
+      "the old scaled-noise form preserved the residue; this must not")
     assert(out("a")._7 == out("a")._6.toDouble / out("a")._5.toDouble)
     // the two draws use DISTINCT cells (different salt suffix)
     assert(draw("sm#n|1:b", 8) != draw("sm#s|1:b", 8) ||

@@ -440,11 +440,15 @@ class StreamsSpec extends SparkSuite {
         trigger = Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
-    // epoch 1: hot1 x 60, tail x 40; epoch 2: hot2 x 50, hot1 x 20
+    // epoch 1: hot1 x 60, tail x 40; epoch 2: hot2 x 50, hot1 x 20,
+    // plus a hot REAL key literally named "__sketch" x 60 — the state
+    // discriminates by is_sketch, so the name can never collide with
+    // the serialized-sketch row
     val e1 = (1L to 60L).map(i => (i, "hot1")) ++
       (61L to 100L).map(i => (i, s"tail$i"))
     val e2 = (101L to 150L).map(i => (i, "hot2")) ++
-      (151L to 170L).map(i => (i, "hot1"))
+      (151L to 170L).map(i => (i, "hot1")) ++
+      (171L to 230L).map(i => (i, "__sketch"))
     mem.addData(e1: _*); run()
     mem.addData(e2: _*); run()
     val streamed = Streams.latestHeavyHitters(spark, stateDir,
@@ -454,8 +458,8 @@ class StreamsSpec extends SparkSuite {
         (e1 ++ e2).toDF("rid", "k"), col("k"), minFrac = 0.2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
-    assert(streamed.keySet == Set("hot1", "hot2"))
-    assert(streamed("hot1") >= 80L && streamed("hot2") >= 50L)
+    assert(streamed.keySet == Set("hot1", "hot2", "__sketch"))
+    assert(streamed("hot1") >= 80L && streamed("__sketch") >= 60L)
   }
 
   test("lateDataAuditSink: rows behind the prior epochs' high-water " +
