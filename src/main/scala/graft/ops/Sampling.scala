@@ -245,29 +245,64 @@ object Sampling {
     * Never overshoots: the inclusive running sum must fit, so the
     * budget miss is bounded by one document per key.
     *
-    * Plan: one broadcast join of the key-cardinality alloc frame + one
-    * per-key window in salted order (partition = one key's docs, sorted
-    * once). At extreme per-key cardinality where even one sorted
-    * partition per source is unwanted, the rate form —
-    * [[weightedSample]] at rate alloc/avail — is the zero-sort
-    * scan-side alternative that trades exact budget adherence for
-    * expectation-level adherence; this operator is the exact form.
+    * MEGA-KEY-SAFE two-phase plan (the [[capPerKeyIds]] treatment
+    * lifted to prefix sums): a per-key window would sort an ENTIRE
+    * key's docs in one task — at 100 TB a dominant source (a web crawl
+    * is routinely >80% of docs) is a single-task sort of billions of
+    * rows. Instead the 60-bit salted priority is split into `bands`
+    * DETERMINISTIC hash-bands (`__pri >> shift` — monotone in priority,
+    * so (band, pri, id) order ≡ (pri, id) order), and the global
+    * running sum decomposes exactly:
+    *   1. per-(key, band) token PARTIALS — one map-side-combined
+    *      aggregation to a |keys|·bands-row frame;
+    *   2. per-key prefix sum of the partials in band order — a window
+    *      over the DIMENSION frame (≤ `bands` rows per key);
+    *   3. a per-(key, band) LOCAL inclusive running sum + the band's
+    *      offset — the biggest single-task sort is one band of one key,
+    *      ~|key|/bands rows, regardless of skew.
+    * The offsets join and the local window share (key, band)
+    * partitioning, so the corpus shuffles ONCE for both; `cum_tokens`
+    * is a pure function of the data (no partition ids, no sampling),
+    * so winners are engine- and partitioning-independent — the oracle
+    * replays the plain global window and must hash-match. The rate
+    * form — [[weightedSample]] at rate alloc/avail — remains the
+    * zero-sort scan-side alternative trading exact budget adherence
+    * for expectation-level adherence; this operator is the exact form.
     *
+    * @param bands power-of-two priority-band count (default 4096: a
+    *              10⁹-doc source caps the per-task sort at ~250k rows)
     * @return docs' columns + `cum_tokens` (the inclusive running total
     *         in salted order — the audit column) */
   def tokenBudgetSample(docs: DataFrame, keyCol: String, idCol: String,
       nTokensCol: String, alloc: DataFrame, allocCol: String,
-      salt: String): DataFrame = {
+      salt: String, bands: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(saltedPriority(col(idCol), salt), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    require(bands >= 1 && (bands & (bands - 1)) == 0,
+      s"bands must be a power of two, got $bands")
+    val shift = 60 - java.lang.Long.numberOfTrailingZeros(bands.toLong).toInt
+    val banded = docs
       .join(broadcast(alloc.select(col(keyCol),
         col(allocCol).cast("long").as("__alloc"))), Seq(keyCol))
-      .withColumn("cum_tokens", sum(col(nTokensCol)).over(w))
+      .withColumn("__pri", saltedPriority(col(idCol), salt))
+      .withColumn("__band", shiftrightunsigned(col("__pri"), shift))
+    val partials = banded
+      .groupBy(col(keyCol), col("__band"))
+      .agg(sum(col(nTokensCol)).as("__bsum"))
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("__off",
+        coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .select(col(keyCol), col("__band"), col("__off"))
+    val wLoc = Window.partitionBy(col(keyCol), col("__band"))
+      .orderBy(col("__pri"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .join(offsets, Seq(keyCol, "__band"))
+      .withColumn("cum_tokens",
+        col("__off") + sum(col(nTokensCol)).over(wLoc))
       .filter(col("cum_tokens") <= col("__alloc"))
-      .drop("__alloc")
+      .drop("__alloc", "__pri", "__band", "__off")
   }
 
   /** DuckDB fragment: the [[tokenBudgetSample]] window + filter over a

@@ -198,6 +198,40 @@ class TextOpsSpec extends SparkSuite {
     assert(bigger.count(_._1 == "a") == 28 && bigger.count(_._1 == "b") == 4)
   }
 
+  test("tokenBudgetSample: banded two-phase decomposition equals the " +
+      "global window on a dominant key; no full-key single-task sort") {
+    import graft.ops.Sampling
+    // one dominant key (90% of docs) — the 100 TB web-crawl shape
+    val docs = ((1L to 900L).map(i => (i, "web", (i % 13) + 1)) ++
+      (1001L to 1100L).map(i => (i, "code", (i % 7) + 1)))
+      .toDF("id", "key", "n_tok")
+    val alloc = Seq(("web", 2500L), ("code", 150L)).toDF("key", "alloc")
+    def run(bands: Int) = Sampling.tokenBudgetSample(
+        docs, "key", "id", "n_tok", alloc, "alloc", salt = "tb2", bands)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    // bands = 1 degenerates to the plain global running sum; every
+    // band count must produce IDENTICAL winners AND cum_tokens
+    val global = run(1)
+    assert(run(4) == global && run(64) == global && run(4096) == global)
+    // plan shape: the corpus-sized window partitions by (key, band) —
+    // never by key alone — so the largest sort task is one band of one
+    // key; the key-only window runs over the band-partials DIMENSION
+    // frame (an Aggregate child), not the corpus
+    val plan = Sampling.tokenBudgetSample(docs, "key", "id", "n_tok",
+        alloc, "alloc", salt = "tb2", bands = 64)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.map(_.partitionSpec.length).sorted == Seq(1, 2))
+    val keyOnly = wins.find(_.partitionSpec.length == 1).get
+    assert(keyOnly.find {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      }.isDefined,
+      "the key-only window must run over the aggregated partials frame")
+  }
+
   test("mixSample hits the target composition and caps scarce domains at rate 1") {
     import graft.ops.Sampling
     // 1000 "web" docs, 50 "code" docs; target: half the corpus, 60% code.
