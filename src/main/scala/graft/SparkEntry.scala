@@ -13,8 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(Core, Analytics, Experiments, Text, Tokenizers, TextDedup,
-      Curation, CurationGates, Vectors, VectorsDedup, VectorCompress,
+    Seq(Core, Analytics, SeriesStats, Experiments, Text, Tokenizers, TextDedup, TextExact,
+      Curation, CurationGates, Vectors, VectorsDedup, VectorsGraph, VectorCompress,
       Wire, Relational, Audits, Graphs, Multilingual, Forecasts, Tpch)
 
   /** Flagship (SURVEY §7.3): scan → derive flags → hash-agg → weighted score

@@ -35,9 +35,9 @@ object Audits extends QueryModule {
     // k-anonymity audit on (nation, market segment) as the released
     // quasi-identifier pair: every combination shared by fewer than 5
     // customers is a re-identification risk. The suppression transform
-    // (Profiling.kAnonymize) is the enforcing sibling, spec-covered.
+    // (Integrity.kAnonymize) is the enforcing sibling, spec-covered.
     "q122_k_anonymity" -> ((s, dir) =>
-      graft.ops.Profiling.kAnonymityViolations(Tables(s, dir).customer,
+      graft.ops.Integrity.kAnonymityViolations(Tables(s, dir).customer,
         Seq("c_nationkey", "c_mktsegment"), k = 5)),
 
     // k-anonymity GENERALIZATION: q122's audit turned into the
@@ -124,7 +124,7 @@ object Audits extends QueryModule {
     // diverges from the table-wide mix (ordered EMD, exact integer
     // ledger) leak through the skewness attack the other two miss.
     "q415_t_closeness" -> ((s, dir) =>
-      graft.ops.Profiling.tClosenessAudit(Tables(s, dir).customer,
+      graft.ops.Integrity.tClosenessAudit(Tables(s, dir).customer,
         Seq("c_nationkey", "c_mktsegment"),
         expr("CAST(floor(c_acctbal / 1000) AS LONG)"))),
 
@@ -180,7 +180,7 @@ object Audits extends QueryModule {
     // proving that is the product.
     "q171_fk_orphans" -> ((s, dir) => {
       val t = Tables(s, dir)
-      graft.ops.Profiling.fkAudit(Seq(
+      graft.ops.Integrity.fkAudit(Seq(
         ("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey",
           t.orders, "o_orderkey"),
         ("lineitem.l_partkey->part", t.lineitem, "l_partkey",
@@ -229,7 +229,7 @@ object Audits extends QueryModule {
     // parts ship from several suppliers by design — the audit lists
     // every such part with its supplier cardinality).
     "q219_fd_violations" -> ((s, dir) =>
-      graft.ops.Profiling.fdViolations(Tables(s, dir).lineitem,
+      graft.ops.Integrity.fdViolations(Tables(s, dir).lineitem,
         Seq("l_partkey"), "l_suppkey")),
 
     // Market-basket association rules over order line items: pair
@@ -357,7 +357,7 @@ object Audits extends QueryModule {
     // q171's key-existence FK check can't make.
     "q275_reconciliation" -> ((s, dir) => {
       val t = Tables(s, dir)
-      graft.ops.Profiling.aggConsistency(
+      graft.ops.Integrity.aggConsistency(
         t.orders.select(col("o_orderkey"),
           Exact.cents(col("o_totalprice")).as("ht")),
         t.lineitem.select(col("l_orderkey").as("o_orderkey"),
@@ -458,7 +458,7 @@ object Audits extends QueryModule {
     // groups whose "balance band" sensitive value is near-homogeneous —
     // the homogeneity attack k-anonymity alone cannot see.
     "q232_l_diversity" -> ((s, dir) =>
-      graft.ops.Profiling.lDiversityViolations(
+      graft.ops.Integrity.lDiversityViolations(
         Tables(s, dir).customer
           .withColumn("bal_band",
             expr("CAST(floor(c_acctbal / 1000) AS LONG)")),
@@ -514,7 +514,7 @@ object Audits extends QueryModule {
         .mkString("\nUNION ALL\n")
     },
 
-    "q415_t_closeness" -> graft.ops.Profiling.tClosenessOracleSql(
+    "q415_t_closeness" -> graft.ops.Integrity.tClosenessOracleSql(
       """SELECT c_nationkey, c_mktsegment,
         |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
         |FROM customer""".stripMargin,
@@ -584,7 +584,7 @@ object Audits extends QueryModule {
         |FROM g
         |WHERE span_max - span_min + 1 - present > 0""".stripMargin,
 
-    "q171_fk_orphans" -> graft.ops.Profiling.fkAuditOracleSql(Seq(
+    "q171_fk_orphans" -> graft.ops.Integrity.fkAuditOracleSql(Seq(
       ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
         "orders", "o_orderkey"),
       ("lineitem.l_partkey->part", "lineitem", "l_partkey",
@@ -611,7 +611,7 @@ object Audits extends QueryModule {
           |              AND a.l_partkey < b.l_partkey
           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin, k = 3),
 
-    "q219_fd_violations" -> graft.ops.Profiling.fdViolationsOracleSql(
+    "q219_fd_violations" -> graft.ops.Integrity.fdViolationsOracleSql(
       "lineitem", Seq("l_partkey"), "l_suppkey"),
 
     "q71_expectations" ->
@@ -684,7 +684,7 @@ object Audits extends QueryModule {
         |       CAST(round(l_extendedprice * 100) AS BIGINT) AS e
         |FROM lineitem""".stripMargin),
 
-    "q275_reconciliation" -> graft.ops.Profiling.aggConsistencyOracleSql(
+    "q275_reconciliation" -> graft.ops.Integrity.aggConsistencyOracleSql(
       """SELECT o_orderkey,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS ht
         |FROM orders""".stripMargin,

@@ -805,7 +805,7 @@ class OpsSpec extends SparkSuite {
       ("B", true, 7L),                    // treated-only cell
       ("C", false, 9L))                   // control-only cell
       .toDF("cov", "t", "y")
-    val out = graft.ops.ABTest.cemAtt(rows, Seq("cov"), col("t"),
+    val out = graft.ops.Causal.cemAtt(rows, Seq("cov"), col("t"),
       col("y")).collect().head
     // cell A: cm_q = 5e6; num = 30e6 - 2*5e6 = 20e6; att = 10e6
     assert(out.getLong(0) == 3L && out.getLong(1) == 1L)
@@ -814,7 +814,7 @@ class OpsSpec extends SparkSuite {
     assert(out.getLong(5) == 10000000L)
     // nothing matched → NULL att
     val none = Seq(("A", true, 1L), ("B", false, 2L)).toDF("cov", "t", "y")
-    assert(graft.ops.ABTest.cemAtt(none, Seq("cov"), col("t"), col("y"))
+    assert(graft.ops.Causal.cemAtt(none, Seq("cov"), col("t"), col("y"))
       .collect().head.isNullAt(5))
   }
 
@@ -1109,7 +1109,7 @@ class OpsSpec extends SparkSuite {
       (2L, Some("a")), (2L, Some("b")),          // violation: 2 values
       (3L, Some("x")), (3L, None)                // violation: {x, NULL}
     ).toDF("k", "r")
-    val out = Profiling.fdViolations(df, Seq("k"), "r")
+    val out = Integrity.fdViolations(df, Seq("k"), "r")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     assert(out == Map(2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
@@ -1365,12 +1365,12 @@ class OpsSpec extends SparkSuite {
     val rows =
       Seq.fill(3)((true, false, 10L)) ++ Seq.fill(3)((true, true, 25L)) ++
       Seq.fill(2)((false, false, 5L)) ++ Seq.fill(2)((false, true, 8L))
-    val out = ABTest.diffInDiff(rows.toDF("t", "p", "y"),
+    val out = Causal.diffInDiff(rows.toDF("t", "p", "y"),
       col("t"), col("p"), col("y")).head()
     assert(out.getAs[Double]("mean_t1") == 25.0 &&
       out.getAs[Double]("mean_c0") == 5.0)
     assert(out.getAs[Double]("did") == 12.0) // (25−10) − (8−5)
-    val missing = ABTest.diffInDiff(
+    val missing = Causal.diffInDiff(
       rows.filterNot(r => r._1 && r._2).toDF("t", "p", "y"),
       col("t"), col("p"), col("y")).head()
     assert(missing.isNullAt(missing.fieldIndex("did")))
@@ -1432,6 +1432,48 @@ class OpsSpec extends SparkSuite {
     assert(out.join(other, "id")
       .filter(col("pos") =!= col("p2") || col("shard") =!= col("sh2"))
       .count() > 0)
+  }
+
+  test("curriculumShardLayout: shards match shardLayout, buckets are " +
+      "staged within shard, within-bucket order is hash-sequence-stable") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, i * 10, (i % 3))).toDF("id", "tok", "q")
+    val cur = Sharding.curriculumShardLayout(docs, "id", col("tok"),
+      col("q"), 8, "s1")
+    val plain = Sharding.shardLayout(docs, "id", col("tok"), 8, "s1")
+    // identical shard assignment (same salt -> same hash)
+    assert(cur.select("id", "shard").except(
+      plain.select("id", "shard")).count() == 0)
+    // positions within a shard are exactly 1..size
+    val bad = cur.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() == 0)
+    // bucket is monotone non-decreasing along pos within every shard
+    val rows = cur.collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(0)))
+    for ((_, sh) <- rows.groupBy(_._1)) {
+      val byPos = sh.sortBy(_._2)
+      assert(byPos.map(_._3).toSeq == byPos.map(_._3).sorted.toSeq,
+        "curriculum stages out of order within a shard")
+    }
+    // sequence stability: within one (shard, bucket) the relative order
+    // is exactly shardLayout's hash order restricted to that bucket
+    val plainPos = plain.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((_, grp) <- rows.groupBy(r => (r._1, r._3))) {
+      val byCurPos = grp.sortBy(_._2).map(_._4).toSeq
+      val byPlain = grp.sortBy(r => plainPos(r._4)._2).map(_._4).toSeq
+      assert(byCurPos == byPlain, "within-bucket hash order not preserved")
+    }
+    // deterministic under physical layout changes
+    val again = Sharding.curriculumShardLayout(docs.repartition(7), "id",
+      col("tok"), col("q"), 8, "s1")
+      .withColumnRenamed("pos", "p2").withColumnRenamed("shard", "sh2")
+      .select("id", "sh2", "p2")
+    assert(cur.join(again, "id")
+      .filter(col("pos") =!= col("p2") || col("shard") =!= col("sh2"))
+      .count() == 0)
   }
 
   test("interleaveAudit: stride keys hold every block within one doc " +
@@ -1912,7 +1954,7 @@ class OpsSpec extends SparkSuite {
       (1 to 50).map(i => ("s2", false, i <= 20)) ++
       (1 to 80).map(i => ("s1", true, i <= 16)) ++
       (1 to 20).map(i => ("s2", true, i <= 8))
-    val out = ABTest.mixDecomposition(rows.toDF("seg", "b", "y"),
+    val out = Causal.mixDecomposition(rows.toDF("seg", "b", "y"),
         "seg", col("b"), col("y"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(5), r.getLong(6)))).toMap
@@ -2101,7 +2143,7 @@ class OpsSpec extends SparkSuite {
       (true, -1L, 10L), (false, -1L, 5L),
       (true, 0L, 25L), (false, 0L, 8L))
       .toDF("t", "w", "y")
-    val out = ABTest.eventStudy(rows, col("t"), col("w"), col("y"))
+    val out = Causal.eventStudy(rows, col("t"), col("w"), col("y"))
       .collect().map(r => r.getLong(0) ->
         ((r.getAs[Double]("gap"),
           r.getAs[Double]("gap_vs_baseline")))).toMap
@@ -2146,7 +2188,7 @@ class OpsSpec extends SparkSuite {
       (4L, 500L)).toDF("k", "ht")
     val d = Seq((1L, 1000000L), (2L, 999500L), (4L, 100L))
       .toDF("k", "da")
-    val out = Profiling.aggConsistency(h, d, Seq("k"), col("ht"),
+    val out = Integrity.aggConsistency(h, d, Seq("k"), col("ht"),
         col("da"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2)))).toMap
@@ -2164,7 +2206,7 @@ class OpsSpec extends SparkSuite {
       (2L, false, 10L), (2L, true, 22L),
       (3L, false, 99L)) // pre-only
       .toDF("u", "p", "y")
-    val out = ABTest.pairedDiff(rows, "u", col("p"), col("y")).head()
+    val out = Causal.pairedDiff(rows, "u", col("p"), col("y")).head()
     assert(out.getLong(0) == 2L && out.getLong(1) == 1L &&
       out.getLong(2) == 0L)
     assert(out.getAs[Double]("mean_diff") == 13.5) // (15 + 12) / 2
@@ -2454,7 +2496,7 @@ class OpsSpec extends SparkSuite {
     val rows = Seq((false, 20L, 10L), (false, 40L, 20L),
       (false, 61L, 30L), (true, 25L, 10L), (true, 45L, 20L),
       (true, 66L, 30L))
-    val out = ABTest.cuped(rows.toDF("b", "y", "x"),
+    val out = Causal.cuped(rows.toDF("b", "y", "x"),
       col("b"), col("y"), col("x")).head()
     val diffRaw = out.getAs[Double]("diff_raw")
     val diffCuped = out.getAs[Double]("diff_cuped")
@@ -2682,8 +2724,8 @@ class OpsSpec extends SparkSuite {
     val rows = Seq(("g1", "A", 1L), ("g1", "A", 2L), ("g1", "A", 3L),
       ("g2", "A", 4L), ("g2", "B", 5L), ("g2", "C", 6L))
       .toDF("qid", "sens", "id")
-    assert(Profiling.kAnonymityViolations(rows, Seq("qid"), 3).count() == 0)
-    val v = Profiling.lDiversityViolations(rows, Seq("qid"), "sens", 2L)
+    assert(Integrity.kAnonymityViolations(rows, Seq("qid"), 3).count() == 0)
+    val v = Integrity.lDiversityViolations(rows, Seq("qid"), "sens", 2L)
       .collect()
     assert(v.length == 1 && v.head.getString(0) == "g1" &&
       v.head.getAs[Long]("n_sensitive") == 1L)

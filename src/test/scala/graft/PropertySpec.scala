@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SC}
 import org.scalacheck.Prop.propBoolean
 
-import graft.ops.{Anomaly, Windows}
+import graft.ops.{Anomaly, Causal, Windows}
 import graft.text.TextAnalysis
 
 /** Property-based invariants (SURVEY §5.2) over generated inputs — raw
@@ -547,7 +547,7 @@ class PropertySpec extends SparkSuite {
       val byPeriod = rows.groupBy(_._2)
       (byPeriod.contains(true) && byPeriod.contains(false)) ==> {
         val df = rows.toDF("seg", "b", "y")
-        val out = graft.ops.ABTest.mixDecomposition(df, "seg",
+        val out = graft.ops.Causal.mixDecomposition(df, "seg",
             col("b"), col("y") === 1L).collect()
         val segsDefined = out.forall(r => !r.isNullAt(5) && !r.isNullAt(6))
         segsDefined ==> {

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Quantiles, RangeJoin, Sampling}
+import graft.ops.{AsOf, Integrity, Quantiles, RangeJoin, Sampling}
 
 /** Edge-case contracts of the relational/OLAP operators (the oracle rows
   * q38-q43 check end-to-end values; these pin the semantics the oracles
@@ -518,11 +518,11 @@ class RelationalOpsSpec extends SparkSuite {
       (6L, Some("de"), "a"),
       (7L, None, "a"), (8L, None, "a"), (9L, None, "a"))
       .toDF("id", "region", "seg")
-    val viol = Profiling.kAnonymityViolations(rows, Seq("region", "seg"), 3)
+    val viol = Integrity.kAnonymityViolations(rows, Seq("region", "seg"), 3)
       .collect().map(r => (r.getAs[String]("region"), r.getString(1)) ->
         r.getAs[Long]("group_n")).toMap
     assert(viol == Map(("us", "b") -> 2L, ("de", "a") -> 1L))
-    val kept = Profiling.kAnonymize(rows, Seq("region", "seg"), 3)
+    val kept = Integrity.kAnonymize(rows, Seq("region", "seg"), 3)
     assert(kept.columns.toSeq == Seq("id", "region", "seg"))
     assert(kept.select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L, 7L, 8L, 9L))
@@ -695,7 +695,7 @@ class RelationalOpsSpec extends SparkSuite {
     // key 9 is an orphan appearing twice; two NULL keys are not orphans
     val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None, None)
       .toDF("fk_col")
-    val out = Profiling.fkAudit(Seq(
+    val out = Integrity.fkAudit(Seq(
       ("dirty", child, "fk_col", parent, "pk"),
       ("clean", child.filter(col("fk_col") <= 2), "fk_col", parent, "pk")))
       .collect().map(r => r.getString(0) ->
@@ -929,7 +929,7 @@ class RelationalOpsSpec extends SparkSuite {
     // the global mix to (2,2,5) — both groups diverge from it.
     val x = Seq(0L, 0L, 1L, 1L, 2L, 2L).map(v => ("X", v))
     val y = Seq(2L, 2L, 2L).map(v => ("Y", v))
-    val out = Profiling.tClosenessAudit(
+    val out = Integrity.tClosenessAudit(
         (x ++ y).toDF("g", "v"), Seq("g"), col("v"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -942,14 +942,14 @@ class RelationalOpsSpec extends SparkSuite {
     assert(out("Y") == ((3L, 3L, 18L, 54L, 18.0 / 54.0)))
     // mirrored-mix group at DIFFERENT size still scores 0
     val z = Seq(0L, 1L, 2L).map(v => ("Z", v))
-    val out2 = Profiling.tClosenessAudit(
+    val out2 = Integrity.tClosenessAudit(
         (x ++ z).toDF("g", "v"), Seq("g"), col("v"))
       .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
     assert(out2("X") == 0.0 && out2("Z") == 0.0)
     // single-value sensitive domain: m = 1 -> emd_den = 0, t_emd is
     // guarded to 0.0 (not 0/0 = NaN) so a >= t gate reports the group
     val mono = Seq(("A", 7L), ("A", 7L), ("B", 7L))
-    val out3 = Profiling.tClosenessAudit(
+    val out3 = Integrity.tClosenessAudit(
         mono.toDF("g", "v"), Seq("g"), col("v"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(2), r.getLong(4), r.getDouble(5))).toMap

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.{DataFrame, Row}
 
-import graft.streaming.Streams
+import graft.streaming.{StateSinks, Streams}
 
 /** End-to-end streaming coverage (S1-S4, S6, streaming O3/X3, F6) using
   * MemoryStream as the source stand-in (SURVEY §2.1 S1: no Kafka in the
@@ -371,7 +371,7 @@ class StreamsSpec extends SparkSuite {
     val (stateDir, ckp) = (tmp("roll-state"), tmp("roll-ckp"))
 
     def run(): Unit = {
-      val q = Streams.incrementalRollupSink(ev, Seq("key"), "cents",
+      val q = StateSinks.incrementalRollupSink(ev, Seq("key"), "cents",
         stateDir, ckp, Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
@@ -379,7 +379,7 @@ class StreamsSpec extends SparkSuite {
     run()
     mem.addData(("a", 20L), ("b", 100L), ("c", 7L))
     run()
-    val state = Streams.latestRollupState(spark, stateDir)
+    val state = StateSinks.latestRollupState(spark, stateDir)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     // identical to rollupState over the concatenation of both batches
@@ -402,19 +402,19 @@ class StreamsSpec extends SparkSuite {
     val (layoutDir, stateDir, ckp) =
       (tmp("lay-out"), tmp("lay-state"), tmp("lay-ckp"))
     def run(): Unit = {
-      val q = Streams.shardLayoutSink(docs, "doc_id", "text",
+      val q = StateSinks.shardLayoutSink(docs, "doc_id", "text",
         nShards = 4, salt = "lay", layoutDir, stateDir, ckp,
         Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
     mem.addData((1L to 20L).map(i => (i, s"doc $i words here")): _*)
     run()
-    val afterE1 = Streams.readLayout(spark, layoutDir)
+    val afterE1 = StateSinks.readLayout(spark, layoutDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     mem.addData((21L to 50L).map(i => (i, s"doc $i words here")): _*)
     run()
-    val all = Streams.readLayout(spark, layoutDir)
+    val all = StateSinks.readLayout(spark, layoutDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // every doc exactly once
     assert(all.length == 50 && all.map(_._1).distinct.length == 50)
@@ -436,7 +436,7 @@ class StreamsSpec extends SparkSuite {
     val ev = mem.toDF().toDF("rid", "k")
     val (stateDir, ckp) = (tmp("hh-state"), tmp("hh-ckp"))
     def run(): Unit = {
-      val q = Streams.heavyHittersSink(ev, "k", stateDir, ckp,
+      val q = StateSinks.heavyHittersSink(ev, "k", stateDir, ckp,
         trigger = Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
@@ -451,7 +451,7 @@ class StreamsSpec extends SparkSuite {
       (171L to 230L).map(i => (i, "__sketch"))
     mem.addData(e1: _*); run()
     mem.addData(e2: _*); run()
-    val streamed = Streams.latestHeavyHitters(spark, stateDir,
+    val streamed = StateSinks.latestHeavyHitters(spark, stateDir,
         minFrac = 0.2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val batch = graft.ops.Sketches.heavyHitters(
@@ -471,7 +471,7 @@ class StreamsSpec extends SparkSuite {
     val (auditDir, stateDir, ckp) =
       (tmp("late-audit"), tmp("late-state"), tmp("late-ckp"))
     def run(): Unit = {
-      val q = Streams.lateDataAuditSink(ev, "ts", delaySeconds = 10L,
+      val q = StateSinks.lateDataAuditSink(ev, "ts", delaySeconds = 10L,
         auditDir, stateDir, ckp, Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
@@ -480,7 +480,7 @@ class StreamsSpec extends SparkSuite {
     mem.addData(ts(900), ts(1000)); run()
     // epoch 2: mark 1000s, tolerance 10s -> 985 late, 995 and 1100 not
     mem.addData(ts(985), ts(995), ts(1100)); run()
-    val audits = Streams.readLateAudits(spark, auditDir)
+    val audits = StateSinks.readLateAudits(spark, auditDir)
       .select("epoch", "n_rows", "n_late", "mark_us")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3))).toMap
@@ -499,7 +499,7 @@ class StreamsSpec extends SparkSuite {
     val ev = mem.toDF().toDF("key", "cents")
     val (stateDir, ckp) = (tmp("dp-state"), tmp("dp-ckp"))
     def run(): Unit = {
-      val q = Streams.incrementalRollupSink(ev, Seq("key"), "cents",
+      val q = StateSinks.incrementalRollupSink(ev, Seq("key"), "cents",
         stateDir, ckp, Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
@@ -510,7 +510,7 @@ class StreamsSpec extends SparkSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> (r.getLong(1),
         r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val streamed = rows(Streams.dpReleaseFromState(spark, stateDir,
+    val streamed = rows(StateSinks.dpReleaseFromState(spark, stateDir,
       Seq("key"), salt = "dp-stream", maxShift = 8))
     val batch = rows(graft.ops.Privacy.geometricNoisyCounts(
       (e1 ++ e2).toDF("key", "cents"), Seq("key"), salt = "dp-stream",
@@ -529,7 +529,7 @@ class StreamsSpec extends SparkSuite {
     val ps = Seq((1, 2), (9, 10), (99, 100))
 
     def run(): Unit = {
-      val q = Streams.logBucketQuantileSink(ev, "v", j = 6,
+      val q = StateSinks.logBucketQuantileSink(ev, "v", j = 6,
         stateDir, ckp, Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
@@ -539,7 +539,7 @@ class StreamsSpec extends SparkSuite {
     run()
     mem.addData(batch2: _*)
     run()
-    val streamed = Streams.latestLogBucketQuantiles(spark, stateDir, ps, 6)
+    val streamed = StateSinks.latestLogBucketQuantiles(spark, stateDir, ps, 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     val batch = graft.ops.Quantiles.logBucketQuantiles(
@@ -561,7 +561,7 @@ class StreamsSpec extends SparkSuite {
     val ev = mem.toDF().toDF("key", "v")
     val (stateDir, ckp) = (tmp("hll-state"), tmp("hll-ckp"))
     def run(): Unit = {
-      val q = Streams.hllRollupSink(ev, Seq("key"), "v", stateDir, ckp,
+      val q = StateSinks.hllRollupSink(ev, Seq("key"), "v", stateDir, ckp,
         trigger = Trigger.AvailableNow())
       q.awaitTermination(120000)
     }
@@ -573,7 +573,7 @@ class StreamsSpec extends SparkSuite {
     mem.addData((8L to 17L).map(i => ("a", i)) ++
       (4L to 9L).map(i => ("b", i * 2)): _*)
     run()
-    val state = Streams.latestHllEstimates(spark, stateDir)
+    val state = StateSinks.latestHllEstimates(spark, stateDir)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2)))).toMap
     assert(state == Map("a" -> ((22L, 17L)), "b" -> ((12L, 9L))))
@@ -1078,7 +1078,7 @@ class StreamsSpec extends SparkSuite {
     Files.delete(java.nio.file.Paths.get(state))
 
     def run(): Unit = {
-      val q = Streams.mixtureControlSink(docs, "source", "text", state,
+      val q = StateSinks.mixtureControlSink(docs, "source", "text", state,
         ckp, trigger = Trigger.AvailableNow())
       // AvailableNow self-terminates; a false return means the epoch
       // never committed and every later assert would misfire — fail
@@ -1098,7 +1098,7 @@ class StreamsSpec extends SparkSuite {
 
     val union = (e1 ++ e2).toDF("doc_id", "source", "text")
     // accounting parity: state == the batch per-source sums on the union
-    val st = Streams.latestMixState(spark, state)
+    val st = StateSinks.latestMixState(spark, state)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2))).toMap
     val batchAcct = union.groupBy(col("source"))
@@ -1114,12 +1114,12 @@ class StreamsSpec extends SparkSuite {
     // EXACTLY the batch mixSample winners (same integers end to end)
     val targets = Map("code" -> (1L, 2L))
     val default = (1L, 2L)
-    val rates = Streams.mixRatesFromState(
-      Streams.latestMixState(spark, state), targets, default,
+    val rates = StateSinks.mixRatesFromState(
+      StateSinks.latestMixState(spark, state), targets, default,
       totalNum = 1L, totalDen = 2L)
     // name-based access: both sampled frames lead with the JOIN KEY
     // (source), so positional getLong(0) would read a string
-    val fromState = Streams.mixSampleFromState(union, col("doc_id"),
+    val fromState = StateSinks.mixSampleFromState(union, col("doc_id"),
         "source", rates, salt = "mx")
       .collect().map(_.getAs[Long]("doc_id")).toSet
     val batch = graft.ops.Sampling.mixSample(union, col("doc_id"),
