@@ -182,6 +182,55 @@ object Sharding {
        |FROM b""".stripMargin
   }
 
+  /** CURRICULUM variant of [[shardLayout]] — the other layout a
+    * training loader actually chooses between: shard assignment stays
+    * the salted hash (uniform random composition per shard), but the
+    * within-shard order is (curriculum bucket asc, hash, id) — an
+    * "easy first" (or any staged) schedule, hash-shuffled WITHIN each
+    * bucket so a stage is still an unbiased sample of its difficulty
+    * band. The whole layout remains a pure function of
+    * (salt, id, bucket): any worker recomputes any slice from the salt
+    * alone, resume-safe, no shuffle-file manifest — the [[shardLayout]]
+    * contract with one more sort key.
+    *
+    * Scale shape: identical to [[shardLayout]] — one projection + ONE
+    * window partitioned by shard (nShards-way parallel local sorts,
+    * never a global sort).
+    *
+    * @param bucket integer curriculum stage (smaller = earlier)
+    * @return (idCol, shard, pos, bucket, n_tokens) — pos is 1-based */
+  def curriculumShardLayout(df: DataFrame, idCol: String, tokens: Column,
+      bucket: Column, nShards: Int, salt: String): DataFrame = {
+    require(nShards >= 1)
+    val h = Hash64.hash60(
+      concat(lit(salt), lit("_"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("bucket"), col("__h"), col(idCol))
+    df.select(col(idCol), tokens.cast("long").as("n_tokens"),
+        bucket.cast("long").as("bucket"))
+      .withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"), col("bucket"),
+        col("n_tokens"))
+  }
+
+  /** DuckDB oracle for [[curriculumShardLayout]]. `innerSql` yields
+    * (idName, n_tokens BIGINT, bucket BIGINT). */
+  def curriculumShardLayoutOracleSql(innerSql: String, idName: String,
+      nShards: Int, salt: String): String = {
+    val h = Hash64.duckSql(s"'${salt}_' || CAST($idName AS VARCHAR)")
+    s"""WITH b AS (
+       |  SELECT $idName, n_tokens, bucket, $h AS h FROM ($innerSql)
+       |)
+       |SELECT $idName, h % $nShards AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $nShards
+       |         ORDER BY bucket, h, $idName) AS BIGINT) AS pos,
+       |       bucket, n_tokens
+       |FROM b""".stripMargin
+  }
+
   /** Mixture-interleave audit — does the deterministic training order
     * hold the source composition LOCALLY, not just on average? Each
     * document gets a stride-scheduling key (2r−1)/(2·n_s) ∈ (0,1)

@@ -219,6 +219,17 @@ object Curation extends QueryModule {
       graft.ops.Sharding.shardLayout(Tables(s, dir).documents,
         "doc_id", col("n_chars"), nShards = 8, salt = "layout-v1")),
 
+    // Curriculum layout — q418's staged sibling, the other order a
+    // training loader chooses: shards stay hash-uniform, but within a
+    // shard the schedule reads short documents first (length-bucket
+    // curriculum, 500-char stages), hash-shuffled within each stage so
+    // every stage is an unbiased sample of its band. Same salt-only
+    // recompute contract; same per-shard local sorts.
+    "q445_curriculum_layout" -> ((s, dir) =>
+      graft.ops.Sharding.curriculumShardLayout(Tables(s, dir).documents,
+        "doc_id", col("n_chars"), expr("n_chars div 500"),
+        nShards = 8, salt = "layout-v1")),
+
     // Mixture-interleave audit: stride-scheduling keys interleave
     // sources proportionally by construction; per (key-block, source),
     // the exact integer deviation from the target share — the LOCAL
@@ -646,6 +657,12 @@ object Curation extends QueryModule {
     "q418_shard_layout" -> graft.ops.Sharding.shardLayoutOracleSql(
       "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens FROM documents",
       "doc_id", nShards = 8, salt = "layout-v1"),
+
+    "q445_curriculum_layout" ->
+      graft.ops.Sharding.curriculumShardLayoutOracleSql(
+        """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+          |       n_chars // 500 AS bucket FROM documents""".stripMargin,
+        "doc_id", nShards = 8, salt = "layout-v1"),
 
     "q419_interleave_audit" -> graft.ops.Sharding.interleaveAuditOracleSql(
       "SELECT source, doc_id FROM documents", "source", "doc_id",
