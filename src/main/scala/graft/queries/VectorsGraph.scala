@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.{GraphANN, Similarity}
+
+/** Graph-based ANN family (round 11): the k-NN graph built by
+  * banded-LSH candidates + exact re-rank, and the greedy beam-search
+  * traversal gated as recall@k against brute force — the third ANN
+  * route next to q36's IVF (cell pruning) and q75/q76's PQ
+  * (compression). Shares [[Vectors]]' corpus/query frames; both legs
+  * of the gate are deterministic and the oracle replays build + search
+  * move-for-move (unrolled rounds, the k-core replay recipe).
+  */
+object VectorsGraph extends QueryModule {
+
+  /** Graph/search parameters, shared verbatim with the oracle: 6-bit
+    * buckets × 6 bands (≈ n·b·6 candidate pairs at bucket occupancy
+    * b), 12 out-edges per node; beam 16 over 4 rounds from fixed
+    * entry points (0, 1, 2); recall@5 to match q435's IVF gate. The
+    * synthetic embeddings are RANDOM (near-orthogonal — the
+    * adversarial case for graph navigation: no cluster structure to
+    * descend), so this sizing reads avg recall ≈ 0.8 at sf0.001;
+    * SimilaritySpec proves recall 1.0 on clustered fixtures, the
+    * shape real embedding corpora have. n_scored is a FUNCTION OF
+    * (entries + rounds·beam·graphK) ≈ 250, not of n — 50% of the
+    * 500-vector test corpus, 0.025% of a 10⁶-vector one. */
+  private val (gBits, gBands, gK) = (6, 6, 12)
+  private val (gBeam, gRounds, topK) = (16, 4, 5)
+  private val gEntries = Seq(0L, 1L, 2L)
+
+  private def baseSqlStr =
+    """SELECT vec_id AS id,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |FROM embeddings""".stripMargin
+
+  private def queriesSqlStr =
+    """SELECT vec_id AS qid,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |FROM embeddings WHERE vec_id < 3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The k-NN graph itself: per corpus vector, its 8 highest-cosine
+    // neighbours among banded-LSH bucket collisions — candidate mass
+    // Σ|bucket|² per band, never all-pairs; edge list n·k rows.
+    "q446_knn_graph" -> ((s, dir) =>
+      GraphANN.knnGraph(Vectors.base(Tables(s, dir)), dim = 64,
+        k = gK, bits = gBits, bands = gBands)),
+
+    // Beam-search recall gate: greedy traversal (3 synchronous
+    // frontier expansions, beam 8, fixed entries) vs the exact brute
+    // top-5, plus n_scored — the measured sub-scan fraction (scored
+    // nodes per query vs corpus size n). The q435 gated-recall
+    // pattern applied to the graph route.
+    "q447_graph_ann_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = Vectors.base(t)
+      val edges = GraphANN.knnGraph(base, dim = 64, k = gK,
+        bits = gBits, bands = gBands)
+      val (found, nScored) = GraphANN.beamSearchTopK(base,
+        Vectors.queriesDf(t), edges, gEntries, beam = gBeam,
+        rounds = gRounds, k = topK)
+      val brute = Similarity
+        .bruteForceTopK(base, Vectors.queriesDf(t), topK)
+        .select(col("qid"), col("id"))
+      val hits = brute
+        .join(found.select(col("qid"), col("id")), Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      Vectors.queriesDf(t).select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / lit(topK.toDouble))
+        .join(nScored, Seq("qid"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q446_knn_graph" -> GraphANN.knnGraphOracleSql(
+      baseSqlStr, dim = 64, k = gK, bits = gBits, bands = gBands),
+
+    "q447_graph_ann_recall" -> GraphANN.beamRecallOracleSql(
+      baseSqlStr, queriesSqlStr, dim = 64, graphK = gK,
+      entries = gEntries, beam = gBeam, rounds = gRounds, k = topK,
+      bits = gBits, bands = gBands),
+  )
+}

@@ -1,0 +1,249 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash64
+
+/** Graph-based approximate nearest neighbour — the production-standard
+  * third member of the ANN family next to [[IVF]] (cell pruning) and
+  * [[PQ]] (compression): a k-NN GRAPH over the corpus plus a greedy
+  * BEAM traversal per query. The reference surface has no native ANN
+  * (its similarity path is brute force); this family is the scale path
+  * a training-data pipeline actually deploys (HNSW/NSG-style
+  * navigable-graph search), re-expressed relationally: graph
+  * construction is banded-LSH candidate generation + exact re-rank
+  * (never all-pairs), and the search is a FIXED number of synchronous
+  * frontier expansions — each round one broadcast join of the
+  * (tiny) beam against the edge list, one candidate re-rank — the
+  * k-core/water-fill unrolled-iteration recipe applied to traversal,
+  * so both build and search replay exactly in the DuckDB oracle.
+  *
+  * Scale shape, build: candidate mass is Σ|bucket|² per band (the
+  * [[Similarity.lshBucket]] sizing rule: bits ≈ log2(n/b) keeps it
+  * ~n·b per band), the re-rank is a bounded-buffer per-group top-k
+  * ([[TopK.perGroup]] — map-side combined, no per-node sort), and the
+  * edge list is n·k rows. Search: each round shuffles |Q|·beam·k
+  * candidate rows, NEVER the corpus — the scored-node count per query
+  * is entries + rounds·beam·k, a vanishing fraction of n (emitted as
+  * `n_scored` by [[graft.queries.VectorsGraph]]'s recall gate so the
+  * sub-scan claim is measured, not asserted).
+  */
+object GraphANN {
+
+  /** Build the k-NN graph: for every corpus vector, its `k` highest-
+    * cosine neighbours among the banded-LSH candidates (vectors
+    * sharing any band's bucket — the q33 candidate generator, both
+    * directions of each collision). Deterministic: ties break
+    * (cosine desc, dst asc), the [[TopK]] contract.
+    *
+    * The graph is DIRECTED and approximate (a node's true neighbour
+    * missed by every band is absent — the standard LSH-recall
+    * trade-off, priced by [[Similarity.lshBucket]]'s formula); beam
+    * search tolerates missing edges by exploring `beam` > k paths.
+    *
+    * @param base (id, ev: array&lt;double&gt;)
+    * @return (src, dst, cosine, rn) — rn 1..k by descending cosine */
+  def knnGraph(base: DataFrame, dim: Int, k: Int, bits: Int = 6,
+      bands: Int = 3): DataFrame = {
+    require(k >= 1 && bits >= 1 && bands >= 1)
+    val banded = base.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          Similarity.lshBucket(col("ev"), dim, bits, b)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+      .distinct()
+    val scored = cand
+      .join(base.select(col("id").as("src"), col("ev").as("__sv")), "src")
+      .join(base.select(col("id").as("dst"), col("ev").as("__dv")), "dst")
+      .select(col("src"), col("dst"),
+        Similarity.cosineNative(col("__sv"), col("__dv")).as("cosine"))
+    TopK.perGroup(scored, Seq("src"), "dst", "cosine", k)
+  }
+
+  /** Greedy beam search over a [[knnGraph]] edge list, batch form: all
+    * queries advance together through `rounds` synchronous expansions.
+    * Round r: the current beam's out-neighbours join in, the union of
+    * beam ∪ neighbours re-scores against the query vector (exact
+    * cosine), and the best `beam` survive — monotone (the union always
+    * contains the incumbent beam, so the best-so-far never regresses),
+    * deterministic, and exactly replayable as `rounds` unrolled SQL
+    * CTEs. Entry points are a FIXED id list (data-independent seed —
+    * the reproducibility contract; a production index would use a
+    * medoid or the top layer of a hierarchy).
+    *
+    * @param queries (qid, qv) — expected small (a query batch)
+    * @param edges   [[knnGraph]] output (src, dst, ...)
+    * @return (beamDf, visitedCounts): top-`k` rows per query
+    *         (qid, id, cosine, rn) and (qid, n_scored) — how many
+    *         distinct corpus nodes were ever scored for that query */
+  def beamSearchTopK(base: DataFrame, queries: DataFrame,
+      edges: DataFrame, entries: Seq[Long], beam: Int, rounds: Int,
+      k: Int): (DataFrame, DataFrame) = {
+    require(entries.nonEmpty && beam >= k && rounds >= 0)
+    val e = edges.select(col("src"), col("dst"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(base, "id")
+      .join(queries, "qid")
+      .select(col("qid"), col("id"),
+        Similarity.cosineNative(col("qv"), col("ev")).as("cosine"))
+    val cand0 = queries.select(col("qid"))
+      .crossJoin(base.filter(col("id").isInCollection(entries))
+        .select(col("id")))
+    var beamDf = TopK.perGroup(score(cand0), Seq("qid"), "id",
+      "cosine", beam)
+    var visited = cand0
+    for (_ <- 1 to rounds) {
+      val nbrs = beamDf.select(col("qid"), col("id"))
+        .join(e, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"))
+      val cand = nbrs.union(beamDf.select(col("qid"), col("id")))
+        .distinct()
+      visited = visited.union(cand).distinct()
+      beamDf = TopK.perGroup(score(cand), Seq("qid"), "id",
+        "cosine", beam)
+    }
+    val topk = TopK.perGroup(
+      beamDf.select(col("qid"), col("id"), col("cosine")),
+      Seq("qid"), "id", "cosine", k)
+    val nScored = visited.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_scored"))
+    (topk, nScored)
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB banded [[Similarity.lshBucket]] mirror: band `band` uses
+    * planes [band·bits, (band+1)·bits) — the same md5-literal
+    * hyperplanes, the same sequential fold. */
+  private def bandBucketSql(vecCol: String, dim: Int, bits: Int,
+      band: Int): String = {
+    val plane = s"((${Hash64.duckSql(
+      s"CAST(p + ${band * bits} AS VARCHAR) || '_' || CAST(pr[2] AS VARCHAR)")} % 1000) / 1000.0 - 0.5)"
+    val proj =
+      s"list_reduce(list_transform(list_zip($vecCol, range(0, $dim)), pr -> pr[1] * $plane), (a, x) -> a + x)"
+    s"CAST(list_sum(list_transform(range(0, $bits), p -> CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"
+  }
+
+  private def cosSql(x: String, y: String): String =
+    s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (a, v) -> a + v)
+       |      / sqrt(list_reduce(list_transform($x, v -> v * v), (a, v) -> a + v))
+       |      / sqrt(list_reduce(list_transform($y, v -> v * v), (a, v) -> a + v))""".stripMargin
+
+  /** Shared CTE prefix: corpus `b(id, ev)` from `baseSql`, banded
+    * buckets, distinct candidates, and the top-`k` edge list `ek`. */
+  private def edgesCte(baseSql: String, dim: Int, k: Int, bits: Int,
+      bands: Int): String = {
+    val bb = (0 until bands)
+      .map(b => s"SELECT id, $b AS band, ${bandBucketSql("ev", dim, bits, b)} AS bucket FROM b")
+      .mkString("\n  UNION ALL\n  ")
+    s"""b AS ($baseSql),
+       |bb AS (
+       |  $bb
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS src, z.id AS dst
+       |  FROM bb a JOIN bb z ON a.band = z.band AND a.bucket = z.bucket
+       |   AND a.id <> z.id
+       |),
+       |es AS (
+       |  SELECT c.src, c.dst, ${cosSql("sb.ev", "db.ev")} AS cosine
+       |  FROM cand c JOIN b sb ON c.src = sb.id JOIN b db ON c.dst = db.id
+       |),
+       |ek AS (
+       |  SELECT src, dst, cosine, rn FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS BIGINT) AS rn FROM es
+       |  ) WHERE rn <= $k
+       |)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[knnGraph]]: `baseSql` yields (id, ev). */
+  def knnGraphOracleSql(baseSql: String, dim: Int, k: Int,
+      bits: Int = 6, bands: Int = 3): String =
+    s"""WITH ${edgesCte(baseSql, dim, k, bits, bands)}
+       |SELECT src, dst, cosine, rn FROM ek""".stripMargin
+
+  /** DuckDB oracle replaying [[knnGraph]] + [[beamSearchTopK]] +
+    * the recall@k join against brute force — `rounds` unrolled CTEs,
+    * the k-core replay recipe. `queriesSql` yields (qid, qv).
+    * Output: (qid, n_hits, recall, n_scored). */
+  def beamRecallOracleSql(baseSql: String, queriesSql: String, dim: Int,
+      graphK: Int, entries: Seq[Long], beam: Int, rounds: Int, k: Int,
+      bits: Int = 6, bands: Int = 3): String = {
+    val entryList = entries.mkString(", ")
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cand$r AS (
+         |  SELECT qid, dst AS id
+         |  FROM beam${r - 1} JOIN ek ON beam${r - 1}.id = ek.src
+         |  UNION
+         |  SELECT qid, id FROM beam${r - 1}
+         |),
+         |beam$r AS (
+         |  SELECT qid, id, cosine FROM (
+         |    SELECT s.qid, s.id, ${cosSql("q.qv", "nb.ev")} AS cosine,
+         |           row_number() OVER (PARTITION BY s.qid
+         |             ORDER BY ${cosSql("q.qv", "nb.ev")} DESC, s.id) AS brn
+         |    FROM cand$r s JOIN b nb ON s.id = nb.id
+         |    JOIN q ON s.qid = q.qid
+         |  ) WHERE brn <= $beam
+         |)""".stripMargin
+    }.mkString(",\n")
+    val visitedArms = ("SELECT qid, id FROM cand0" +:
+      (1 to rounds).map(r => s"SELECT qid, id FROM cand$r"))
+      .mkString("\n  UNION\n  ")
+    s"""WITH ${edgesCte(baseSql, dim, graphK, bits, bands)},
+       |q AS ($queriesSql),
+       |cand0 AS (
+       |  SELECT qid, id FROM q CROSS JOIN
+       |    (SELECT id FROM b WHERE id IN ($entryList))
+       |),
+       |beam0 AS (
+       |  SELECT qid, id, cosine FROM (
+       |    SELECT s.qid, s.id, ${cosSql("q.qv", "nb.ev")} AS cosine,
+       |           row_number() OVER (PARTITION BY s.qid
+       |             ORDER BY ${cosSql("q.qv", "nb.ev")} DESC, s.id) AS brn
+       |    FROM cand0 s JOIN b nb ON s.id = nb.id
+       |    JOIN q ON s.qid = q.qid
+       |  ) WHERE brn <= $beam
+       |),
+       |$roundCtes,
+       |found AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, id) AS frn FROM beam$rounds
+       |  ) WHERE frn <= $k
+       |),
+       |brute AS (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, b.id, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qv", "b.ev")} DESC, b.id) AS rn
+       |    FROM q CROSS JOIN b
+       |  ) WHERE rn <= $k
+       |),
+       |hits AS (
+       |  SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM brute JOIN found ON brute.qid = found.qid
+       |    AND brute.id = found.id
+       |  GROUP BY 1
+       |),
+       |vis AS (
+       |  $visitedArms
+       |),
+       |nsc AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS n_scored
+       |  FROM vis GROUP BY 1
+       |)
+       |SELECT q.qid, coalesce(n_hits, 0) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) AS DOUBLE) / $k.0 AS recall,
+       |       nsc.n_scored
+       |FROM q LEFT JOIN hits ON q.qid = hits.qid
+       |JOIN nsc ON q.qid = nsc.qid""".stripMargin
+  }
+}
