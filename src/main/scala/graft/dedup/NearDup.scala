@@ -255,7 +255,7 @@ object NearDup {
 
   /** (idCol, band, band_key) rows — one per LSH band per doc; the shared
     * banding step of [[lshCandidatePairs]] and [[nearDupIncrement]]. */
-  private def bandedKeys(df: DataFrame, idCol: String, sigCol: String,
+  private[graft] def bandedKeys(df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =
     df.select(
       col(idCol),

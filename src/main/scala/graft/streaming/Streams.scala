@@ -643,6 +643,197 @@ object Streams {
       .start()
   }
 
+  /** The FULL 8-stage corpus-release pipeline as ONE incremental sink
+    * (round-11 item 2) — [[curationPipelineSink]] (gates 1–4 + exact
+    * dedup 5) composed with the PII density gate (6), benchmark
+    * decontamination (7), and MinHash near-dup cluster resolution (8),
+    * with per-epoch attrition accounting written per stage: the
+    * streaming face of [[graft.text.Curate.releaseVerdicts]].
+    *
+    * State (all parquet, append-only): `fpHistoryDir` — normalized
+    * fingerprints of stage-5 survivors (exact-dup identity is
+    * transitive, so survivor fps suffice); `sigHistoryDir` — MinHash
+    * signatures of ALL stage-≤7 passers, INCLUDING docs stage 8 then
+    * drops (near-dup is NOT transitive in signature space: C may
+    * collide only with B, which dropped against A — batch CC still
+    * drops C, so B's signature must stay discoverable).
+    *
+    * BATCH-PARITY CONTRACT (spec-gated): with doc ids non-decreasing
+    * across epochs, survivors and the per-stage drop sums equal the
+    * batch [[graft.text.Curate.releaseVerdicts]] /
+    * `attritionRelease` on the union of all epochs. Stage 8 resolves
+    * the IN-EPOCH pair graph by connected components (min-id keeps —
+    * exactly batch's rule), and any in-epoch cluster touching a
+    * history signature drops whole (its batch component contains an
+    * older, smaller id). The one shape outside the contract: a new doc
+    * BRIDGING two previously-distinct history components — batch would
+    * retroactively merge them and revoke one past keep, which no
+    * append-only stream can do; the divergence is bounded to
+    * over-keeping one representative, and the batch pipeline remains
+    * the reconciliation pass.
+    *
+    * Per-epoch cost: the stage-1–7 plans of the curation sink plus one
+    * banding self-join + one banded history probe over stage-≤7
+    * SURVIVORS only (the [[graft.text.Curate.releaseStageNames]] cost
+    * ladder), both keyed by (band, band_key) — history is never
+    * broadcast, and the CC loop runs on the bounded in-epoch pair
+    * frame.
+    *
+    * @return per-epoch appends: released (idCol, n_tokens, epoch) at
+    *         `outDir`; (stage_ord, docs, tokens, stage, epoch) at
+    *         `statsDir` (ord 1..8 drops + 9 released) */
+  def releasePipelineSink(docsStream: DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String], benchmark: DataFrame,
+      knRef: DataFrame, fpHistoryDir: String, sigHistoryDir: String,
+      outDir: String, statsDir: String, markerDir: String,
+      checkpoint: String, minTokens: Long = 50L,
+      maxMeanBitsMicro: Long = 5500000L, repNs: Seq[Int] = Seq(5, 10),
+      maxPiiHits: Long = 0L, decontamW: Int = 13, minAgree16: Int = 8,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    import graft.dedup.NearDup
+    import graft.text.{Curate, Decontaminate, Scrub}
+    val guarded = idempotentSink(markerDir) { (_, batch, epochId) =>
+      val spark = batch.sparkSession
+      val v = Curate.verdicts(batch, idCol, textCol, phrases, minTokens,
+        maxMeanBitsMicro, repNs, Some(knRef)).persist()
+      try {
+        val passers = v.filter(col("stage").isNull)
+          .select(col(idCol), col("n_tokens"))
+          .join(batch.select(col(idCol), col(textCol)), Seq(idCol))
+        val fpHist =
+          if (stateDirExists(spark, fpHistoryDir))
+            spark.read.parquet(fpHistoryDir).select(col("__fp"))
+          else spark.emptyDataFrame
+            .select(lit("").as("__fp")).filter(lit(false))
+        val fresh = graft.text.Corpus
+          .incremental(passers, idCol, textCol, fpHist).persist()
+        try {
+          val pii = fresh.select(col(idCol),
+            (Scrub.countEmails(col(textCol)) + Scrub.countIps(col(textCol)) +
+              Scrub.countPhones(col(textCol))).cast("long").as("__pii"))
+          val contam = Decontaminate.overlap(fresh, benchmark, idCol,
+              textCol, w = decontamW)
+            .select(col(idCol), lit(true).as("__ct"))
+          val v67 = fresh.join(pii, Seq(idCol))
+            .join(contam, Seq(idCol), "left")
+            .withColumn("__s67",
+              when(col("__pii") > maxPiiHits, 6)
+                .when(col("__ct"), 7).cast("int"))
+            .persist()
+          try {
+            val surv7 = v67.filter(col("__s67").isNull)
+              .select(col(idCol), col(textCol), col("n_tokens"))
+            // stage 8: the batch agreement count over 16 positions
+            val agree = (a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =>
+              aggregate(zip_with(a, b,
+                (x, y) => when(x === y, 1).otherwise(0)),
+                lit(0), (acc, x) => acc + x)
+            val sig = NearDup
+              .minhashSignatures(surv7, idCol, textCol).localCheckpoint()
+            val sigHist =
+              if (stateDirExists(spark, sigHistoryDir))
+                spark.read.parquet(sigHistoryDir)
+              else sig.limit(0)
+            val histHits = NearDup.bandedKeys(sig, idCol, "sig", 4, 4)
+              .as("a")
+              .join(NearDup.bandedKeys(sigHist, idCol, "sig", 4, 4).as("b"),
+                col("a.band") === col("b.band") &&
+                  col("a.band_key") === col("b.band_key"))
+              .select(col(s"a.$idCol").as("__nid"),
+                col(s"b.$idCol").as("__hid"))
+              .distinct()
+              .join(sig.select(col(idCol).as("__nid"),
+                col("sig").as("__ns")), "__nid")
+              .join(sigHist.select(col(idCol).as("__hid"),
+                col("sig").as("__hs")), "__hid")
+              .filter(agree(col("__ns"), col("__hs")) >= lit(minAgree16))
+              .select(col("__nid")).distinct()
+            val pairs = NearDup.lshCandidatePairs(sig, idCol, "sig")
+              .join(sig.select(col(idCol).as("d1"),
+                col("sig").as("__s1")), "d1")
+              .join(sig.select(col(idCol).as("d2"),
+                col("sig").as("__s2")), "d2")
+              .filter(agree(col("__s1"), col("__s2")) >= lit(minAgree16))
+              .select(col("d1"), col("d2"))
+            val clusters = NearDup.connectedComponents(pairs) // eager CC
+            val taintedClusters = clusters
+              .join(histHits.withColumnRenamed("__nid", "node"), Seq("node"))
+              .select(col("cluster_id")).distinct()
+            val ndDrops = clusters.filter(!col("keep"))
+              .select(col("node"))
+              .union(clusters.filter(col("keep"))
+                .join(taintedClusters, Seq("cluster_id"), "left_semi")
+                .select(col("node")))
+              .union(histHits.withColumnRenamed("__nid", "node")
+                .join(clusters.select(col("node")), Seq("node"), "left_anti"))
+              .distinct()
+              .withColumnRenamed("node", idCol)
+              .persist()
+            try {
+              val released = surv7
+                .join(ndDrops, Seq(idCol), "left_anti")
+                .select(col(idCol), col("n_tokens"))
+                .withColumn("epoch", lit(epochId))
+                .persist()
+              try {
+                released.write.mode("append").parquet(outDir)
+                // per-epoch datasheet (before any history append — the
+                // curation sink's read-own-write ordering)
+                val gateDrops = v.filter(col("stage").isNotNull)
+                  .groupBy(col("stage").cast("long").as("stage_ord"))
+                  .agg(count(lit(1)).as("docs"),
+                    sum(col("n_tokens")).as("tokens"))
+                val dedupDrop = passers
+                  .join(fresh.select(col(idCol)), Seq(idCol), "left_anti")
+                  .agg(count(lit(1)).as("docs"),
+                    coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+                  .select(lit(5L).as("stage_ord"), col("docs"), col("tokens"))
+                val drops67 = v67.filter(col("__s67").isNotNull)
+                  .groupBy(col("__s67").cast("long").as("stage_ord"))
+                  .agg(count(lit(1)).as("docs"),
+                    sum(col("n_tokens")).as("tokens"))
+                val drops8 = surv7
+                  .join(ndDrops, Seq(idCol), "left_semi")
+                  .agg(count(lit(1)).as("docs"),
+                    coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+                  .select(lit(8L).as("stage_ord"), col("docs"), col("tokens"))
+                val relLine = released
+                  .agg(count(lit(1)).as("docs"),
+                    coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+                  .select(lit(9L).as("stage_ord"), col("docs"), col("tokens"))
+                val names = Curate.releaseStageNames :+ (9 -> "released")
+                val nameExpr = names.tail.foldLeft(
+                  when(col("stage_ord") === names.head._1, names.head._2)) {
+                  case (acc, (o, n)) => acc.when(col("stage_ord") === o, n)
+                }
+                gateDrops.unionByName(dedupDrop).unionByName(drops67)
+                  .unionByName(drops8).unionByName(relLine)
+                  .withColumn("stage", nameExpr)
+                  .withColumn("epoch", lit(epochId))
+                  .write.mode("append").parquet(statsDir)
+                // state appends LAST: fp history (stage-5 survivors),
+                // signature history (ALL stage-<=7 passers)
+                fresh.select(graft.text.TextAnalysis
+                    .fingerprint(col(textCol)).as("__fp"))
+                  .write.mode("append").parquet(fpHistoryDir)
+                sig.write.mode("append").parquet(sigHistoryDir)
+              } finally { released.unpersist(); () }
+            } finally { ndDrops.unpersist(); () }
+          } finally { v67.unpersist(); () }
+        } finally { fresh.unpersist(); () }
+      } finally { v.unpersist(); () }
+    }
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) guarded("release", batch, epochId)
+      }
+      .start()
+  }
+
   /** Streaming incremental NEAR-dup — [[incrementalCorpusSink]]'s exact
     * fingerprints upgraded to MinHash: each micro-batch computes k-long
     * signatures, LSH-bands them against a PERSISTED signature history

@@ -1067,6 +1067,94 @@ class StreamsSpec extends SparkSuite {
     assert(statDrops(6L)._1 == batchDrops(6L)._3)
   }
 
+  test("release pipeline sink: 8-stage streaming release matches batch " +
+      "releaseVerdicts survivors and attritionRelease drop sums") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog today"
+    val phrases = Seq("bad phrase")
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    // a 13-token stopword-bearing run shared verbatim with the benchmark
+    val contamTxt =
+      "it was the best of times and it was the worst of times"
+    val bench = Seq((900L, s"prefix words here $contamTxt suffix tail"))
+      .toDF("doc_id", "text")
+    // near-dup family: 20 words (with stopwords, so the gopher gates
+    // pass), one-word tail variants — 3-shingle overlap well above the
+    // 8/16 agreement bar
+    val ndBase = "the cat sat near the road and saw one big dog that " +
+      "ran fast over green hills toward town"
+    val nd = (v: String) => s"$ndBase $v"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (fph, sgh, out, stats, mark, ckp) = (tmp("rel-fp"), tmp("rel-sig"),
+      tmp("rel-out"), tmp("rel-stats"), tmp("rel-mark"), tmp("rel-ckp"))
+    Seq(fph, sgh, out, stats).foreach(d =>
+      Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = Streams.releasePipelineSink(docs, "doc_id", "text", phrases,
+        bench, ref, fph, sgh, out, stats, mark, ckp, minTokens = 3L,
+        maxMeanBitsMicro = 21000000L, trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    // epoch 1: survivor, gate-fails, a PII doc, a contaminated doc, an
+    // in-epoch near-dup pair (higher id drops)
+    val e1 = Seq(
+      1L -> base,
+      2L -> "xx",                                   // stage 1
+      3L -> s"$base $base",                         // stage 2
+      4L -> (base + " mail me at bob@example.com now"), // stage 6
+      5L -> s"intro $contamTxt",                    // stage 7
+      6L -> nd("twenty"),                           // stage-8 cluster rep
+      7L -> nd("thirty"))                           // stage 8 drop
+    // epoch 2: exact cross-epoch copy, a near-dup of a KEPT doc, a
+    // near-dup of a DROPPED doc (transitivity via the sig history),
+    // and a genuinely new survivor
+    val e2 = Seq(
+      20L -> base,                                  // stage 5
+      21L -> nd("forty"),                           // stage 8 (vs 6)
+      22L -> nd("thirty"),                          // stage 8 (vs dropped 7)
+      23L -> "and it was entirely a new different document today")
+    mem.addData(e1: _*); run()
+    mem.addData(e2: _*); run()
+
+    val union = (e1 ++ e2).toDF("doc_id", "text")
+    val batchV = graft.text.Curate.releaseVerdicts(union, "doc_id",
+      "text", phrases, bench, minTokens = 3L,
+      maxMeanBitsMicro = 21000000L, knRef = Some(ref)).persist()
+    val batchSurv = batchV.filter(col("stage").isNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamSurv = spark.read.parquet(out)
+      .select("doc_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamSurv == batchSurv, s"stream=$streamSurv batch=$batchSurv")
+    assert(streamSurv.map(_._1) == Set(1L, 6L, 23L))
+    // per-stage drop parity: sums across epochs == the batch datasheet
+    val statDrops = spark.read.parquet(stats)
+      .filter(col("stage_ord") <= 8L)
+      .groupBy(col("stage_ord"))
+      .agg(sum(col("docs")).as("d"), sum(col("tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val batchDrops = graft.text.Curate.attritionRelease(union, "doc_id",
+        "text", phrases, bench, minTokens = 3L,
+        maxMeanBitsMicro = 21000000L, knRef = Some(ref))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(5), r.getLong(2))).toMap
+    for (s <- 1L to 8L) {
+      assert(statDrops.get(s).map(_._1).getOrElse(0L) == batchDrops(s)._1,
+        s"stage $s docs: stream=${statDrops.get(s)} batch=${batchDrops(s)}")
+      assert(statDrops.get(s).map(_._2).getOrElse(0L) == batchDrops(s)._2,
+        s"stage $s tokens")
+    }
+    // released line sums to the batch released corpus
+    val rel = spark.read.parquet(stats).filter(col("stage_ord") === 9L)
+      .agg(sum("docs")).head.getLong(0)
+    assert(rel == batchDrops(9L)._3)
+    batchV.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("mixture-control sink: accounting sums over epochs == batch; " +
       "rates applied from state == batch mixSample winners") {
     implicit val sqlCtx = spark.sqlContext
