@@ -1218,4 +1218,161 @@ class StreamsSpec extends SparkSuite {
     // scarce domain rate caps at 1: every code doc survives
     assert((101L to 108L).forall(fromState.contains))
   }
+
+  /** Simulate a crash between a foreachBatch's state write and the
+    * checkpoint commit: delete the newest commit marker, so the next
+    * start REPLAYS that micro-batch with the same epoch id — the
+    * recovery path every epoch-snapshot sink claims to survive
+    * (state re-merges from the snapshot STRICTLY OLDER than the
+    * replayed epoch, then overwrites its own idempotently). */
+  private def tearLastCommit(ckp: String): Unit = {
+    val dir = new java.io.File(ckp, "commits")
+    val commits = dir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, s"no commits under $ckp")
+    val crc = new java.io.File(dir, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) { crc.delete(); () }
+  }
+
+  test("restart: incremental rollup + DP release replay a torn epoch " +
+      "without double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val ev = mem.toDF().toDF("key", "cents")
+    val (stateDir, ckp) = (tmp("rr-state"), tmp("rr-ckp"))
+    def run(): Unit = {
+      val q = StateSinks.incrementalRollupSink(ev, Seq("key"), "cents",
+        stateDir, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData(("a", 10L), ("b", 5L)); run()
+    mem.addData(("a", 20L), ("c", 7L)); run()
+    val before = StateSinks.dpReleaseFromState(spark, stateDir,
+      Seq("key"), "dp-rs").collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    tearLastCommit(ckp)
+    run() // epoch 1 replays against the epoch-0 snapshot
+    val after = StateSinks.dpReleaseFromState(spark, stateDir,
+      Seq("key"), "dp-rs").collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(after == before, s"after=$after before=$before")
+    assert(after("a")._1 == 2L, "n would be 3 on a double-count")
+  }
+
+  test("restart: mixture-control state replays a torn epoch without " +
+      "double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "source", "text")
+    val (state, ckp) = (tmp("mr-state"), tmp("mr-ckp"))
+    def run(): Unit = {
+      val q = StateSinks.mixtureControlSink(docs, "source", "text",
+        state, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L, "web", "one two"), (2L, "code", "three")); run()
+    mem.addData((3L, "web", "four five six")); run()
+    val before = StateSinks.latestMixState(spark, state)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    tearLastCommit(ckp)
+    run()
+    val after = StateSinks.latestMixState(spark, state)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(after == before && after("web") == ((2L, 5L)),
+      s"after=$after before=$before")
+  }
+
+  test("restart: shard-layout counters replay a torn epoch without " +
+      "shifting committed positions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (layout, state, ckp) =
+      (tmp("sr-layout"), tmp("sr-state"), tmp("sr-ckp"))
+    def run(): Unit = {
+      val q = StateSinks.shardLayoutSink(docs, "doc_id", "text",
+        nShards = 4, salt = "sl", layout, state, ckp,
+        Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L to 8L).map(i => (i, s"doc $i")): _*); run()
+    mem.addData((9L to 12L).map(i => (i, s"doc $i")): _*); run()
+    val before = spark.read.parquet(state + "/" +
+        new java.io.File(state).listFiles().map(_.getName)
+          .filter(_.startsWith("epoch=")).max)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tearLastCommit(ckp)
+    run()
+    val after = spark.read.parquet(state + "/" +
+        new java.io.File(state).listFiles().map(_.getName)
+          .filter(_.startsWith("epoch=")).max)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-shard counters identical — a double-count would inflate them
+    assert(after == before, s"after=$after before=$before")
+    assert(after.values.sum == 12L)
+  }
+
+  test("restart: late-data audit high-water mark replays a torn epoch " +
+      "without advancing twice") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[java.sql.Timestamp]
+    val ev = mem.toDF().toDF("ts")
+    val (audit, state, ckp) =
+      (tmp("lr-audit"), tmp("lr-state"), tmp("lr-ckp"))
+    def run(): Unit = {
+      val q = StateSinks.lateDataAuditSink(ev, "ts", delaySeconds = 10L,
+        audit, state, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    mem.addData(ts(1000)); run()
+    mem.addData(ts(985), ts(1100)); run()
+    val markOf = () => spark.read.parquet(state + "/" +
+        new java.io.File(state).listFiles().map(_.getName)
+          .filter(_.startsWith("epoch=")).max)
+      .head.getLong(0)
+    val before = markOf()
+    tearLastCommit(ckp)
+    run()
+    assert(markOf() == before && before == 1100L * 1000000L)
+    // the replayed epoch re-audits against the epoch-0 mark (1000s),
+    // so 985 is still the one late row of epoch 1 in its final audit
+    val audits = StateSinks.readLateAudits(spark, audit)
+      .filter(col("epoch") === 1L).select("n_late").collect()
+      .map(_.getLong(0))
+    assert(audits.forall(_ == 1L))
+  }
+
+  test("restart: heavy-hitters sketch replays a torn epoch without " +
+      "double-merging counters") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val ev = mem.toDF().toDF("rid", "k")
+    val (stateDir, ckp) = (tmp("hr-state"), tmp("hr-ckp"))
+    def run(): Unit = {
+      val q = StateSinks.heavyHittersSink(ev, "k", stateDir, ckp,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L to 40L).map(i => (i, "hot")): _*); run()
+    mem.addData((41L to 70L).map(i => (i, "hot")) ++
+      (71L to 80L).map(i => (i, s"t$i")): _*); run()
+    val before = StateSinks.latestHeavyHitters(spark, stateDir, 0.3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tearLastCommit(ckp)
+    run()
+    val after = StateSinks.latestHeavyHitters(spark, stateDir, 0.3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a double-merge would read hot ~100, total ~110
+    assert(after == before && after("hot") == 70L,
+      s"after=$after before=$before")
+  }
 }
