@@ -207,6 +207,24 @@ object ScaleProbe {
       }
       skewed.unpersist()
 
+      // round-11 item 1: EXACT token-budget sampling under a DOMINANT
+      // source (85% of docs in one key — the web-crawl shape at
+      // 100 TB): the banded two-phase prefix sum must scale with the
+      // corpus, never with the biggest key (the pre-round-11 window
+      // form single-task-sorted the whole dominant source).
+      val docsS = replicate(t.documents, "doc_id", m)
+        .withColumn("src", when(col("doc_id") % 20 < 17, lit("web"))
+          .otherwise(concat(lit("s"), (col("doc_id") % 20).cast("string"))))
+        .select(col("doc_id"), col("src"), col("n_chars")).persist()
+      docsS.count()
+      val allocS = docsS.groupBy(col("src"))
+        .agg((sum(col("n_chars")) / 2).cast("long").as("alloc"))
+      time(s"budget_sample_x$m") {
+        ops.Sampling.tokenBudgetSample(docsS, "src", "doc_id", "n_chars",
+          allocS, "alloc", "probe").count()
+      }
+      docsS.unpersist()
+
       // span runs: replicas make EVERY gram df >= 2 — worst case (all
       // positions duplicated, maximal run lengths, the (h, doc) join at
       // its largest); persist-internal, so clearCache after
@@ -390,6 +408,23 @@ object ScaleProbe {
       time(s"bpe_byte_encode_x$m") {
         text.Bpe.encode(docsB, "doc_id", "text", byteMerges,
           text.Bpe.byteFallbackSymbols).count()
+      }
+      // round-11 item 6: the MERGES axis — training cost across two
+      // orders of magnitude of merge count at FIXED 1x corpus (one
+      // pair-count job + one persisted rewrite per merge, lineage cut
+      // every 32, so the curve must be at-or-below linear in merges —
+      // sub-linear in practice as merges shrink the symbol stream).
+      // Runs only at m=1: the corpus axis is the families above.
+      if (m == 1) {
+        val mergeDocs = t.documents
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        for (nm <- Seq(8, 32, 128, 512)) {
+          time(s"bpe_merge_curve_${nm}_x1") {
+            text.Bpe.trainMerges(mergeDocs, "doc_id", "text", nm,
+              text.Bpe.byteFallbackPreTokenSymbols).length.toLong
+          }
+        }
       }
       time(s"bpe_byte_roundtrip_x$m") {
         val enc = text.Bpe.encode(docsB, "doc_id", "text", byteMerges,

@@ -235,6 +235,17 @@ object Bpe {
         prev = state
         state = state
           .withColumn("state", applyMerge(col("state"), a, b)).persist()
+        // lineage truncation every 32 rounds (the q401 lesson on the
+        // MERGES axis): without it the plan nests one Project per
+        // learned merge and task serialization stack-overflows near
+        // ~250 merges — realistic vocabularies (512+) need the cut.
+        // The checkpoint materializes from `prev` (still pinned), then
+        // the lazy persisted generation behind it is dropped.
+        if (i % 32 == 0) {
+          val cp = state.localCheckpoint()
+          state.unpersist()
+          state = cp
+        }
         i += 1
       }
     }
@@ -262,15 +273,34 @@ object Bpe {
     * [[Spans.vocabulary]] over the symbols). Token-free docs have no
     * symbols and drop out. Pure per-row replace chain — zero shuffles,
     * scan-bound; by construction, encoding the training corpus
-    * reproduces the final training state. */
+    * reproduces the final training state. Merge tables ≤ 64 stay ONE
+    * fused expression (the historical plan shape, codegen'd); larger
+    * vocabularies apply in 64-merge chunks with a lineage cut between
+    * chunks (CollapseProject would otherwise re-fuse the chain into a
+    * single ~512-deep expression and stack-overflow serialization —
+    * the trainMerges hazard on the encode side), still scan-bound. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)],
       seed: Column => Column = TextAnalysis.tokens): DataFrame = {
-    val state0 = stateOf(seed(col(textCol)))
-    val merged = merges.foldLeft(state0) {
-      case (st, (a, b)) => applyMerge(st, a, b)
-    }
-    docs.select(col(idCol), symbolsOf(merged).as("__syms"))
+    val chunkSize = 64
+    val symsDf =
+      if (merges.lengthCompare(chunkSize) <= 0) {
+        val merged = merges.foldLeft(stateOf(seed(col(textCol)))) {
+          case (st, (a, b)) => applyMerge(st, a, b)
+        }
+        docs.select(col(idCol), symbolsOf(merged).as("__syms"))
+      } else {
+        val st0 = docs.select(col(idCol),
+          stateOf(seed(col(textCol))).as("__st"))
+        val mergedDf = merges.grouped(chunkSize).foldLeft(st0) {
+          (df, grp) =>
+            df.withColumn("__st", grp.foldLeft(col("__st")) {
+              case (st, (a, b)) => applyMerge(st, a, b)
+            }).localCheckpoint()
+        }
+        mergedDf.select(col(idCol), symbolsOf(col("__st")).as("__syms"))
+      }
+    symsDf
       .select(col(idCol), posexplode(col("__syms")).as(Seq("pos", "symbol")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("symbol"))
   }

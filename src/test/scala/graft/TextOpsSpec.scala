@@ -577,6 +577,46 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("BPE at realistic vocabulary: 512 pre-token byte-fallback " +
+      "merges train without lineage blowup and round-trip byte-exact") {
+    import graft.text.Bpe
+    // synthetic corpus with enough pair diversity to sustain ~512
+    // merges: 120 docs of 30 words drawn from an 80-word vocabulary by
+    // coprime strides, plus digit runs and punctuation variety
+    val vocab = (for {
+      a <- Seq("data", "spark", "merge", "token", "byte", "pair",
+        "count", "shard", "query", "plan", "scan", "join", "sort",
+        "hash", "agg", "read", "write", "sink", "state", "epoch")
+      b <- Seq("", "s", "ed", "ing")
+    } yield a + b).toVector
+    val docs = (0 until 120).map { i =>
+      val words = (0 until 30).map(j => vocab(((i * 7) + (j * 11)) % vocab.length))
+      (i.toLong, words.mkString(" ") + s" run-${i % 13}, ok #$i!")
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", nMerges = 512,
+      seed = Bpe.byteFallbackPreTokenSymbols)
+    assert(merges.length >= 448,
+      s"corpus exhausted at ${merges.length} merges — widen the fixture")
+    // the round-trip gate at the larger vocabulary (the q413 contract):
+    // encoded symbols concatenate back to the escaped seed exactly
+    val enc = Bpe.encode(docs, "doc_id", "text",
+      merges.map(m => (m._2, m._3)),
+      seed = Bpe.byteFallbackPreTokenSymbols)
+    val rebuilt = enc.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("symbol")))),
+        e => e.getField("symbol")), "").as("__enc"))
+    val mismatches = docs.select(col("doc_id"), array_join(
+        Bpe.byteFallbackPreTokenSymbols(col("text")), "").as("__seed"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .filter(regexp_replace(coalesce(col("__enc"), lit("")), " ", "")
+        =!= col("__seed"))
+      .count()
+    assert(mismatches == 0L)
+    info(f"${merges.length} merges trained in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+
   test("QualityModel: planted high/low-quality docs order correctly; empty docs score 0") {
     import graft.text.QualityModel
     val (d, salt) = (64, "qmtest")
