@@ -275,19 +275,42 @@ object Sampling {
     *         in salted order — the audit column) */
   def tokenBudgetSample(docs: DataFrame, keyCol: String, idCol: String,
       nTokensCol: String, alloc: DataFrame, allocCol: String,
-      salt: String, bands: Int = 4096): DataFrame = {
+      salt: String, bands: Int = 4096): DataFrame =
+    bandedPrefix(
+      docs.join(broadcast(alloc.select(col(keyCol),
+        col(allocCol).cast("long").as("__alloc"))), Seq(keyCol)),
+      keyCol, idCol, col(nTokensCol), salt, bands, "cum_tokens")
+      .filter(col("cum_tokens") <= col("__alloc"))
+      .drop("__alloc")
+
+  /** The MEGA-KEY-SAFE per-key inclusive running sum in salted-
+    * priority order — [[tokenBudgetSample]]'s banded two-phase
+    * decomposition factored out for every operator that needs a
+    * per-key rank or prefix sum over a corpus whose keys can be a
+    * dominant source (the [[interleaveAudit]] / [[interleaveTokensAudit]]
+    * family): priority bands are `__pri >> shift` (monotone in
+    * priority), per-(key, band) partials aggregate map-side, the
+    * offsets prefix-sum on the |keys|·bands dimension frame, and the
+    * corpus window partitions by (key, band). With `value = lit(1L)`
+    * the running sum IS the (pri, id)-order rank. The result is a pure
+    * function of the data — identical to the single-window form at
+    * every band count.
+    *
+    * @return df's columns + `outCol` (the inclusive running sum) */
+  private[graft] def bandedPrefix(df: DataFrame, keyCol: String,
+      idCol: String, value: Column, salt: String, bands: Int,
+      outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bands >= 1 && (bands & (bands - 1)) == 0,
       s"bands must be a power of two, got $bands")
     val shift = 60 - java.lang.Long.numberOfTrailingZeros(bands.toLong).toInt
-    val banded = docs
-      .join(broadcast(alloc.select(col(keyCol),
-        col(allocCol).cast("long").as("__alloc"))), Seq(keyCol))
+    val banded = df
+      .withColumn("__bp_v", value.cast("long"))
       .withColumn("__pri", saltedPriority(col(idCol), salt))
       .withColumn("__band", shiftrightunsigned(col("__pri"), shift))
     val partials = banded
       .groupBy(col(keyCol), col("__band"))
-      .agg(sum(col(nTokensCol)).as("__bsum"))
+      .agg(sum(col("__bp_v")).as("__bsum"))
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = partials
@@ -299,10 +322,8 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     banded
       .join(offsets, Seq(keyCol, "__band"))
-      .withColumn("cum_tokens",
-        col("__off") + sum(col(nTokensCol)).over(wLoc))
-      .filter(col("cum_tokens") <= col("__alloc"))
-      .drop("__alloc", "__pri", "__band", "__off")
+      .withColumn(outCol, col("__off") + sum(col("__bp_v")).over(wLoc))
+      .drop("__bp_v", "__pri", "__band", "__off")
   }
 
   /** DuckDB fragment: the [[tokenBudgetSample]] window + filter over a

@@ -248,23 +248,22 @@ object Sharding {
     * sequence on both engines ((2r−1) and 2·n_s exact integers well
     * under 2⁵³); everything after is integer.
     *
-    * Scale shape: per-source ranks are ONE keyed window (source
-    * partitions), block stats ONE keyed aggregation over (block,
-    * source); the per-source and global totals ride broadcast
-    * dimension frames. No global sort ever forms — the interleave
-    * order is a sort KEY, materialized only blockwise.
+    * Scale shape: per-source ranks come from the MEGA-KEY-SAFE banded
+    * prefix sum ([[graft.ops.Sampling.bandedPrefix]] with value 1 —
+    * the tokenBudgetSample decomposition, round 11): a dominant web-
+    * crawl source never rank-sorts in one task; block stats are ONE
+    * keyed aggregation over (block, source); the per-source and global
+    * totals ride broadcast dimension frames. No global sort ever
+    * forms — the interleave order is a sort KEY, materialized only
+    * blockwise.
     *
     * @return (block, source, n_bs, n_b, n_s, dev_num) */
   def interleaveAudit(df: DataFrame, srcCol: String, idCol: String,
-      nBlocks: Int, salt: String): DataFrame = {
+      nBlocks: Int, salt: String, bands: Int = 4096): DataFrame = {
     require(nBlocks >= 1)
-    val h = Hash64.hash60(
-      concat(lit(salt), lit("_"), col(idCol).cast("string")))
-    val wSrc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
-    val base = df.select(col(srcCol), col(idCol))
-      .withColumn("__h", h)
-      .withColumn("r", row_number().over(wSrc).cast("long"))
+    val base = graft.ops.Sampling.bandedPrefix(
+      df.select(col(srcCol), col(idCol)), srcCol, idCol, lit(1L),
+      salt, bands, "r")
     val perSrc = base.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_s"))
     val tot = perSrc.agg(sum(col("n_s")).as("__N"))
@@ -297,26 +296,21 @@ object Sharding {
     * of the TOKEN sums from the target share:
     * dev_num = |t_bs·T − t_b·T_s|.
     *
-    * Exactness/scale: same contract as [[interleaveAudit]] (one keyed
-    * cumulative window, one keyed aggregation, dimension frames
-    * broadcast; the key is one IEEE division of exact integers).
+    * Exactness/scale: same contract as [[interleaveAudit]] (the
+    * per-source cumulative token sum is the banded mega-key-safe
+    * prefix, one keyed aggregation, dimension frames broadcast; the
+    * key is one IEEE division of exact integers).
     *
     * @return (block, source, t_bs, t_b, t_s, dev_num) */
   def interleaveTokensAudit(df: DataFrame, srcCol: String,
-      idCol: String, tokens: Column, nBlocks: Int, salt: String)
-      : DataFrame = {
+      idCol: String, tokens: Column, nBlocks: Int, salt: String,
+      bands: Int = 4096): DataFrame = {
     require(nBlocks >= 1)
-    val h = Hash64.hash60(
-      concat(lit(salt), lit("_"), col(idCol).cast("string")))
-    val wSrc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val base = df.select(col(srcCol), col(idCol),
-        tokens.cast("long").as("tok"))
-      .filter(col("tok") > 0)
-      .withColumn("__h", h)
-      .withColumn("cumtok", sum(col("tok")).over(wSrc))
+    val base = graft.ops.Sampling.bandedPrefix(
+      df.select(col(srcCol), col(idCol),
+          tokens.cast("long").as("tok"))
+        .filter(col("tok") > 0),
+      srcCol, idCol, col("tok"), salt, bands, "cumtok")
     val perSrc = base.groupBy(col(srcCol))
       .agg(sum(col("tok")).as("t_s"))
     val tot = perSrc.agg(sum(col("t_s")).as("__T"))

@@ -1503,6 +1503,19 @@ class OpsSpec extends SparkSuite {
     val sums = r2.groupBy(_.getString(1))
       .map { case (s, rows) => s -> rows.map(_.getLong(2)).sum }
     assert(sums == Map("a" -> 61L, "b" -> 29L))
+    // banded mega-key-safe ranks: every band count yields the identical
+    // audit (bands=1 degenerates to the single-window form)
+    def auditAt(bands: Int) = Sharding
+      .interleaveAudit(ragged, "src", "id", 8, "ilv", bands)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(auditAt(1) == auditAt(64) && auditAt(64) == auditAt(4096))
+    def tokAuditAt(bands: Int) = Sharding
+      .interleaveTokensAudit(ragged, "src", "id",
+        (col("id") % 7 + 1), 8, "ilv", bands)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(tokAuditAt(1) == tokAuditAt(64))
   }
 
   test("clusteringDepthHistogram: endpoint sweep matches a hand-drawn " +
