@@ -86,16 +86,30 @@ object GraphANN {
   def beamSearchTopK(base: DataFrame, queries: DataFrame,
       edges: DataFrame, entries: Seq[Long], beam: Int, rounds: Int,
       k: Int): (DataFrame, DataFrame) = {
-    require(entries.nonEmpty && beam >= k && rounds >= 0)
+    require(entries.nonEmpty)
+    beamSearchTopKFrom(base, queries, edges,
+      queries.select(col("qid"))
+        .crossJoin(base.filter(col("id").isInCollection(entries))
+          .select(col("id"))),
+      beam, rounds, k)
+  }
+
+  /** [[beamSearchTopK]] from a PER-QUERY seed frame (qid, id) — the
+    * composite form: a coarse quantizer ([[IVF.topK]]'s shortlist)
+    * picks entry points near each query, and the graph traversal
+    * refines beyond the probed cells — recovering the cross-cell
+    * neighbours cell pruning misses at a fixed probe budget. */
+  def beamSearchTopKFrom(base: DataFrame, queries: DataFrame,
+      edges: DataFrame, seeds: DataFrame, beam: Int, rounds: Int,
+      k: Int): (DataFrame, DataFrame) = {
+    require(beam >= k && rounds >= 0)
     val e = edges.select(col("src"), col("dst"))
     def score(cand: DataFrame): DataFrame = cand
       .join(base, "id")
       .join(queries, "qid")
       .select(col("qid"), col("id"),
         Similarity.cosineNative(col("qv"), col("ev")).as("cosine"))
-    val cand0 = queries.select(col("qid"))
-      .crossJoin(base.filter(col("id").isInCollection(entries))
-        .select(col("id")))
+    val cand0 = seeds.select(col("qid"), col("id"))
     var beamDf = TopK.perGroup(score(cand0), Seq("qid"), "id",
       "cosine", beam)
     var visited = cand0
@@ -170,22 +184,20 @@ object GraphANN {
     s"""WITH ${edgesCte(baseSql, dim, k, bits, bands)}
        |SELECT src, dst, cosine, rn FROM ek""".stripMargin
 
-  /** DuckDB oracle replaying [[knnGraph]] + [[beamSearchTopK]] +
-    * the recall@k join against brute force — `rounds` unrolled CTEs,
-    * the k-core replay recipe. `queriesSql` yields (qid, qv).
-    * Output: (qid, n_hits, recall, n_scored). */
-  def beamRecallOracleSql(baseSql: String, queriesSql: String, dim: Int,
-      graphK: Int, entries: Seq[Long], beam: Int, rounds: Int, k: Int,
-      bits: Int = 6, bands: Int = 3): String = {
-    val entryList = entries.mkString(", ")
-    val roundCtes = (1 to rounds).map { r =>
-      s"""cand$r AS (
-         |  SELECT qid, dst AS id
-         |  FROM beam${r - 1} JOIN ek ON beam${r - 1}.id = ek.src
-         |  UNION
-         |  SELECT qid, id FROM beam${r - 1}
-         |),
-         |beam$r AS (
+  /** The unrolled search-and-recall CTE chain shared by both oracle
+    * forms: expects CTEs `b` (corpus), `ek` (edge list), `q`
+    * (queries), `cand0` (qid, id seed pairs) already defined. */
+  private def searchReplaySql(beam: Int, rounds: Int, k: Int): String = {
+    val roundCtes = (0 to rounds).map { r =>
+      val src = if (r == 0) "" else
+        s"""cand$r AS (
+           |  SELECT qid, dst AS id
+           |  FROM beam${r - 1} JOIN ek ON beam${r - 1}.id = ek.src
+           |  UNION
+           |  SELECT qid, id FROM beam${r - 1}
+           |),
+           |""".stripMargin
+      s"""${src}beam$r AS (
          |  SELECT qid, id, cosine FROM (
          |    SELECT s.qid, s.id, ${cosSql("q.qv", "nb.ev")} AS cosine,
          |           row_number() OVER (PARTITION BY s.qid
@@ -195,25 +207,10 @@ object GraphANN {
          |  ) WHERE brn <= $beam
          |)""".stripMargin
     }.mkString(",\n")
-    val visitedArms = ("SELECT qid, id FROM cand0" +:
-      (1 to rounds).map(r => s"SELECT qid, id FROM cand$r"))
+    val visitedArms = (0 to rounds)
+      .map(r => s"SELECT qid, id FROM cand$r")
       .mkString("\n  UNION\n  ")
-    s"""WITH ${edgesCte(baseSql, dim, graphK, bits, bands)},
-       |q AS ($queriesSql),
-       |cand0 AS (
-       |  SELECT qid, id FROM q CROSS JOIN
-       |    (SELECT id FROM b WHERE id IN ($entryList))
-       |),
-       |beam0 AS (
-       |  SELECT qid, id, cosine FROM (
-       |    SELECT s.qid, s.id, ${cosSql("q.qv", "nb.ev")} AS cosine,
-       |           row_number() OVER (PARTITION BY s.qid
-       |             ORDER BY ${cosSql("q.qv", "nb.ev")} DESC, s.id) AS brn
-       |    FROM cand0 s JOIN b nb ON s.id = nb.id
-       |    JOIN q ON s.qid = q.qid
-       |  ) WHERE brn <= $beam
-       |),
-       |$roundCtes,
+    s"""$roundCtes,
        |found AS (
        |  SELECT qid, id FROM (
        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
@@ -246,4 +243,62 @@ object GraphANN {
        |FROM q LEFT JOIN hits ON q.qid = hits.qid
        |JOIN nsc ON q.qid = nsc.qid""".stripMargin
   }
+
+  /** DuckDB oracle replaying [[knnGraph]] + [[beamSearchTopK]] +
+    * the recall@k join against brute force — `rounds` unrolled CTEs,
+    * the k-core replay recipe. `queriesSql` yields (qid, qv).
+    * Output: (qid, n_hits, recall, n_scored). */
+  def beamRecallOracleSql(baseSql: String, queriesSql: String, dim: Int,
+      graphK: Int, entries: Seq[Long], beam: Int, rounds: Int, k: Int,
+      bits: Int = 6, bands: Int = 3): String = {
+    val entryList = entries.mkString(", ")
+    s"""WITH ${edgesCte(baseSql, dim, graphK, bits, bands)},
+       |q AS ($queriesSql),
+       |cand0 AS (
+       |  SELECT qid, id FROM q CROSS JOIN
+       |    (SELECT id FROM b WHERE id IN ($entryList))
+       |),
+       |${searchReplaySql(beam, rounds, k)}""".stripMargin
+  }
+
+  /** DuckDB oracle for the IVF-SEEDED composite: [[IVF.topK]]'s
+    * shortlist (nearest-centroid assignment, top-`nProbe` probed
+    * cells, top-`kSeed` exact-cosine candidates per query — the q36
+    * replay, identical tie-breaks) seeds the beam, then the unrolled
+    * graph search and recall join. `centsSql` yields (cid, cv). */
+  def beamRecallIvfSeededOracleSql(baseSql: String, queriesSql: String,
+      centsSql: String, dim: Int, graphK: Int, nProbe: Int, kSeed: Int,
+      beam: Int, rounds: Int, k: Int, bits: Int = 6,
+      bands: Int = 3): String =
+    s"""WITH ${edgesCte(baseSql, dim, graphK, bits, bands)},
+       |q AS ($queriesSql),
+       |c AS ($centsSql),
+       |assigned AS (
+       |  SELECT id, cell FROM (
+       |    SELECT b.id, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY b.id
+       |             ORDER BY ${cosSql("b.ev", "c.cv")} DESC, c.cid) AS arn
+       |    FROM b CROSS JOIN c
+       |  ) WHERE arn = 1
+       |),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN c
+       |  ) WHERE prn <= $nProbe
+       |),
+       |seedc AS (
+       |  SELECT p.qid, a.id, ${cosSql("q.qv", "sb.ev")} AS cosine
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  JOIN q ON p.qid = q.qid JOIN b sb ON a.id = sb.id
+       |),
+       |cand0 AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, id) AS srn FROM seedc
+       |  ) WHERE srn <= $kSeed
+       |),
+       |${searchReplaySql(beam, rounds, k)}""".stripMargin
 }

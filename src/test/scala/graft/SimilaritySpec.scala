@@ -718,6 +718,18 @@ class SimilaritySpec extends SparkSuite {
     val ns = nScored.collect().map(r => r.getLong(1))
     assert(ns.forall(n => n < 100L),
       s"scored ${ns.toSeq} of 100 nodes — must stay sub-scan")
+    // IVF-seeded form: per-query seeds near the query (here the true
+    // cluster entry) reach recall 1.0 in FEWER rounds than the fixed
+    // cluster-0 entries needed — the composite's point
+    val seeds = queriesDf.select(col("qid"),
+      (col("qid") - (col("qid") % 20)).as("id"))
+    val (found2, nScored2) = GraphANN.beamSearchTopKFrom(base,
+      queriesDf, edges, seeds, beam = 10, rounds = 2, k = 5)
+    val hits2 = brute.join(found2.select("qid", "id"), Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).as("h")).collect()
+      .map(r => r.getLong(1))
+    assert(hits2.forall(_ == 5L), s"seeded hits=${hits2.toSeq}")
+    assert(nScored2.collect().map(_.getLong(1)).forall(_ < 70L))
     edges.unpersist()
     spark.catalog.clearCache()
   }
