@@ -207,7 +207,7 @@ object Privacy {
     * frame — the form a STREAMING release takes: the noise draw
     * depends only on (salt, cell), never on n or the epoch, so
     * releasing an epoch-merged count state (e.g.
-    * [[graft.streaming.Streams.incrementalRollupSink]]'s snapshot)
+    * [[graft.streaming.StateSinks.incrementalRollupSink]]'s snapshot)
     * equals the batch release over every epoch's rows. Publishing
     * MULTIPLE evolving releases from a growing stream is a sequence of
     * correlated mechanisms — swap the salt per publication (the class

@@ -271,7 +271,7 @@ object Experiments extends QueryModule {
     // to the treated composition — confounding by the binned
     // covariates removed exactly, one aggregation, no model.
     "q347_cem" -> ((s, dir) =>
-      graft.ops.ABTest.cemAtt(
+      graft.ops.Causal.cemAtt(
         Tables(s, dir).events
           .withColumn("hband",
             expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000" +
@@ -285,7 +285,7 @@ object Experiments extends QueryModule {
     // before/after the mid-month boundary — four exact integer cells,
     // three fixed subtractions; the non-randomized sibling of q194.
     "q228_did" -> ((s, dir) =>
-      ABTest.diffInDiff(Tables(s, dir).events,
+      Causal.diffInDiff(Tables(s, dir).events,
         treated = pmod(col("user_id"), lit(2L)) === 1L,
         post = col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
         y = Exact.cents(col("value")))),
@@ -377,7 +377,7 @@ object Experiments extends QueryModule {
     // across the boundary is segments changing rates vs the mix
     // shifting between segments — "why did the number move".
     "q284_mix_decomposition" -> ((s, dir) =>
-      ABTest.mixDecomposition(
+      Causal.mixDecomposition(
         Tables(s, dir).events
           .withColumn("cohort", pmod(col("user_id"), lit(5L))),
         "cohort",
@@ -434,7 +434,7 @@ object Experiments extends QueryModule {
     // week −1 gap — flat pre-period bars are the parallel-trends check
     // q228's single DiD number silently assumes.
     "q277_event_study" -> ((s, dir) =>
-      ABTest.eventStudy(Tables(s, dir).events,
+      Causal.eventStudy(Tables(s, dir).events,
         treated = pmod(col("user_id"), lit(2L)) === 1L,
         relPeriod = expr(
           "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 div 86400 div 7 - 2820"),
@@ -455,7 +455,7 @@ object Experiments extends QueryModule {
     // highest-power design when both sides are observed; micro-
     // quantized diffs, exact t readout.
     "q271_paired_diff" -> ((s, dir) =>
-      ABTest.pairedDiff(
+      Causal.pairedDiff(
         Tables(s, dir).events.withColumn("cents",
           Exact.cents(col("value"))),
         "user_id",
@@ -489,7 +489,7 @@ object Experiments extends QueryModule {
     // variance; per-row adjustments quantized to centi-units so every
     // cross-row sum is partition-order-free.
     "q244_cuped" -> ((s, dir) =>
-      ABTest.cuped(
+      Causal.cuped(
         Tables(s, dir).events.withColumn("cents",
           Exact.cents(col("value"))),
         armB = pmod(col("user_id"), lit(2L)) === 1L,
@@ -747,7 +747,7 @@ object Experiments extends QueryModule {
       conversionType = "purchase", windowSeconds = 7200L),
 
 
-    "q347_cem" -> ABTest.cemAttOracleSql(
+    "q347_cem" -> Causal.cemAttOracleSql(
       """SELECT event_type,
         |       (epoch_us(ts) // 1000000 // 3600) % 24 // 6 AS hband,
         |       user_id % 2 = 1 AS t,
@@ -762,7 +762,7 @@ object Experiments extends QueryModule {
       channels = Seq("click", "error", "signup", "view")),
 
 
-    "q228_did" -> ABTest.diffInDiffOracleSql(
+    "q228_did" -> Causal.diffInDiffOracleSql(
       """SELECT user_id % 2 = 1 AS t,
         |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
         |       CAST(round(value * 100) AS BIGINT) AS y
@@ -825,7 +825,7 @@ object Experiments extends QueryModule {
       horizonDays = 14L),
 
 
-    "q284_mix_decomposition" -> ABTest.mixDecompositionOracleSql(
+    "q284_mix_decomposition" -> Causal.mixDecompositionOracleSql(
       """SELECT user_id % 5 AS cohort,
         |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS b,
         |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
@@ -887,7 +887,7 @@ object Experiments extends QueryModule {
     },
 
 
-    "q277_event_study" -> ABTest.eventStudyOracleSql(
+    "q277_event_study" -> Causal.eventStudyOracleSql(
       """SELECT user_id % 2 = 1 AS t,
         |       epoch_us(ts) // 1000000 // 86400 // 7 - 2820 AS w,
         |       CAST(round(value * 100) AS BIGINT) AS y
@@ -900,7 +900,7 @@ object Experiments extends QueryModule {
         |FROM events""".stripMargin),
 
 
-    "q271_paired_diff" -> ABTest.pairedDiffOracleSql(
+    "q271_paired_diff" -> Causal.pairedDiffOracleSql(
       """SELECT user_id AS u,
         |       ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
         |       CAST(round(value * 100) AS BIGINT) AS y
@@ -918,7 +918,7 @@ object Experiments extends QueryModule {
       "events", "user_id", "event_type", "ts", windowSeconds = 3600L),
 
 
-    "q244_cuped" -> ABTest.cupedOracleSql(
+    "q244_cuped" -> Causal.cupedOracleSql(
       """SELECT user_id % 2 = 1 AS b,
         |       CAST(round(value * 100) AS BIGINT) AS y,
         |       CAST(round(value * 100) AS BIGINT) // 2 + event_id % 50
