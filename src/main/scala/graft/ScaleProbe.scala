@@ -269,6 +269,33 @@ object ScaleProbe {
       }
       histSigs.unpersist()
 
+      // streaming k-NN-graph step: a FIXED 1x vector delta folded into a
+      // history (banded keys + vectors + graph) grown m× — the per-epoch
+      // cost curve of the incremental graph sink. The candidate mass is
+      // delta-proportional (epoch keys never self-join history against
+      // itself) and the merge re-ranks affected src nodes only, so the
+      // probe should grow with the history SCAN, not its pair count.
+      val embAll = replicate(
+        t.embeddings.select(col("vec_id").as("id"),
+          similarity.Similarity.toDouble(col("embedding")).as("ev")),
+        "id", m).persist()
+      embAll.count()
+      val gDelta = t.embeddings
+        .select((col("vec_id") + 900000000L).as("id"),
+          similarity.Similarity.toDouble(col("embedding")).as("ev"))
+        .filter(col("id") % 10 === 0)
+      val gHistBands = similarity.GraphANN
+        .bandedBuckets(embAll, dim = 64, bits = 6, bands = 3).persist()
+      gHistBands.count()
+      val gPrev = similarity.GraphANN
+        .knnGraph(embAll, dim = 64, k = 8, bits = 6, bands = 3).persist()
+      gPrev.count()
+      time(s"knngraph_epoch_x$m") {
+        streaming.VectorSinks.knnGraphEpoch(gDelta, gHistBands, embAll,
+          gPrev, dim = 64, k = 8, bits = 6, bands = 3).count()
+      }
+      gHistBands.unpersist(); gPrev.unpersist(); embAll.unpersist()
+
       // round-6 heavy families — graph ops probe over m DISJOINT copies
       // of the q119 co-purchase graph (node ids offset per copy): the
       // plans are keyed, so disjoint copies must scale LINEARLY; any

@@ -30,6 +30,32 @@ object VectorsGraph extends QueryModule {
   private val (gBits, gBands, gK) = (6, 6, 12)
   private val (gBeam, gRounds, topK) = (16, 4, 5)
   private val gEntries = Seq(0L, 1L, 2L)
+  // 24 layer nodes + 3 rounds: the layer trades one of q447's four
+  // traversal rounds for 24 well-spread in-plan starts. Measured at
+  // sf0.001: recall 1.0/1.0/0.8 scoring ~299 of 500 — dominates
+  // q447's fixed-entry 0.8/1.0/0.6 at ~246 on EVERY query for ~1.2x
+  // the scored budget (at 2 rounds / equal budget it reads flat 0.8
+  // per query — still >= q447's average, but 24/3 is the better
+  // operating point and the honest price is stated here).
+  private val (gLayer, gSalt, gLayerRounds) = (24, "hier", 3)
+
+  /** The shared recall@k-vs-brute gate tail: (qid, n_hits, recall,
+    * n_scored) — q447/q448/q449 differ only in how they seed the beam. */
+  private def recallGate(t: Tables, base: DataFrame, found: DataFrame,
+      nScored: DataFrame): DataFrame = {
+    val brute = Similarity
+      .bruteForceTopK(base, Vectors.queriesDf(t), topK)
+      .select(col("qid"), col("id"))
+    val hits = brute
+      .join(found.select(col("qid"), col("id")), Seq("qid", "id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    Vectors.queriesDf(t).select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / lit(topK.toDouble))
+      .join(nScored, Seq("qid"))
+  }
 
   private def baseSqlStr =
     """SELECT vec_id AS id,
@@ -62,18 +88,48 @@ object VectorsGraph extends QueryModule {
       val (found, nScored) = GraphANN.beamSearchTopK(base,
         Vectors.queriesDf(t), edges, gEntries, beam = gBeam,
         rounds = gRounds, k = topK)
-      val brute = Similarity
-        .bruteForceTopK(base, Vectors.queriesDf(t), topK)
-        .select(col("qid"), col("id"))
-      val hits = brute
-        .join(found.select(col("qid"), col("id")), Seq("qid", "id"))
-        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-      Vectors.queriesDf(t).select(col("qid"))
-        .join(hits, Seq("qid"), "left")
-        .na.fill(0L, Seq("n_hits"))
-        .withColumn("recall",
-          col("n_hits").cast("double") / lit(topK.toDouble))
-        .join(nScored, Seq("qid"))
+      recallGate(t, base, found, nScored)
+    }),
+
+    // Self-contained hierarchy entry points (round-12 item 2): the
+    // HNSW-style sampled TOP LAYER — the 24 smallest-hash corpus ids,
+    // derived IN-PLAN by a bounded-buffer global bottom-k — seeds
+    // every query's round-0 beam, so no hand-picked id list exists
+    // anywhere. The layer nodes ARE scored (round 0's beam selection),
+    // so n_scored counts them honestly; the oracle replays the layer
+    // derivation (hash60 window), the graph build, and the traversal.
+    "q449_hier_graph_ann" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = Vectors.base(t)
+      val edges = GraphANN.knnGraph(base, dim = 64, k = gK,
+        bits = gBits, bands = gBands)
+      val seeds = Vectors.queriesDf(t).select(col("qid"))
+        .crossJoin(GraphANN.topLayer(base, gLayer, gSalt))
+      val (found, nScored) = GraphANN.beamSearchTopKFrom(base,
+        Vectors.queriesDf(t), edges, seeds, beam = gBeam,
+        rounds = gLayerRounds, k = topK)
+      recallGate(t, base, found, nScored)
+    }),
+
+    // The INCREMENTAL graph maintenance step oracle-gated (round-12
+    // item 1's batch face): build the graph on the even-id half, fold
+    // the odd-id half in as one epoch of
+    // [[graft.streaming.VectorSinks.knnGraphEpoch]] (delta-only
+    // candidates, both directions vs history, affected-src-only
+    // re-rank) — and gate the RESULT against the very same DuckDB
+    // oracle as q446's from-scratch build: the cross-engine proof that
+    // the streaming sink's merge monoid reconstructs the batch graph
+    // edge for edge, rn included.
+    "q450_incr_knn_graph" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = Vectors.base(t)
+      val a = base.filter(col("id") % 2 === 0)
+      val b = base.filter(col("id") % 2 === 1)
+      val g0 = GraphANN.knnGraph(a, dim = 64, k = gK,
+        bits = gBits, bands = gBands)
+      graft.streaming.VectorSinks.knnGraphEpoch(b,
+        GraphANN.bandedBuckets(a, 64, gBits, gBands), a, g0,
+        dim = 64, k = gK, bits = gBits, bands = gBands)
     }),
 
     // IVF-seeded graph search — the production composite: a coarse
@@ -103,18 +159,7 @@ object VectorsGraph extends QueryModule {
       val (found, nScored) = GraphANN.beamSearchTopKFrom(base,
         Vectors.queriesDf(t), edges, seeds, beam = gBeam,
         rounds = gRounds, k = topK)
-      val brute = Similarity
-        .bruteForceTopK(base, Vectors.queriesDf(t), topK)
-        .select(col("qid"), col("id"))
-      val hits = brute
-        .join(found.select(col("qid"), col("id")), Seq("qid", "id"))
-        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-      Vectors.queriesDf(t).select(col("qid"))
-        .join(hits, Seq("qid"), "left")
-        .na.fill(0L, Seq("n_hits"))
-        .withColumn("recall",
-          col("n_hits").cast("double") / lit(topK.toDouble))
-        .join(nScored, Seq("qid"))
+      recallGate(t, base, found, nScored)
     }),
   )
 
@@ -126,6 +171,16 @@ object VectorsGraph extends QueryModule {
       baseSqlStr, queriesSqlStr, dim = 64, graphK = gK,
       entries = gEntries, beam = gBeam, rounds = gRounds, k = topK,
       bits = gBits, bands = gBands),
+
+    // deliberately q446's oracle verbatim: the incremental fold must
+    // reproduce the from-scratch graph exactly
+    "q450_incr_knn_graph" -> GraphANN.knnGraphOracleSql(
+      baseSqlStr, dim = 64, k = gK, bits = gBits, bands = gBands),
+
+    "q449_hier_graph_ann" -> GraphANN.beamRecallTopLayerOracleSql(
+      baseSqlStr, queriesSqlStr, dim = 64, graphK = gK,
+      layerSize = gLayer, salt = gSalt, beam = gBeam,
+      rounds = gLayerRounds, k = topK, bits = gBits, bands = gBands),
 
     "q448_ivf_graph_ann" -> GraphANN.beamRecallIvfSeededOracleSql(
       baseSqlStr, queriesSqlStr,

@@ -31,6 +31,19 @@ import graft.functions.Hash64
   */
 object GraphANN {
 
+  /** (id, band, bucket) — every vector's LSH bucket in each of `bands`
+    * independent bands. The ONE candidate-key projection both the batch
+    * [[knnGraph]] and the streaming incremental graph sink
+    * ([[graft.streaming.VectorSinks.incrementalKnnGraphSink]]) use, so
+    * their candidate sets agree by construction. */
+  def bandedBuckets(base: DataFrame, dim: Int, bits: Int,
+      bands: Int): DataFrame =
+    base.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          Similarity.lshBucket(col("ev"), dim, bits, b)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
   /** Build the k-NN graph: for every corpus vector, its `k` highest-
     * cosine neighbours among the banded-LSH candidates (vectors
     * sharing any band's bucket — the q33 candidate generator, both
@@ -47,11 +60,7 @@ object GraphANN {
   def knnGraph(base: DataFrame, dim: Int, k: Int, bits: Int = 6,
       bands: Int = 3): DataFrame = {
     require(k >= 1 && bits >= 1 && bands >= 1)
-    val banded = base.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          Similarity.lshBucket(col("ev"), dim, bits, b)): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandedBuckets(base, dim, bits, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -92,6 +101,28 @@ object GraphANN {
         .crossJoin(base.filter(col("id").isInCollection(entries))
           .select(col("id"))),
       beam, rounds, k)
+  }
+
+  /** SELF-CONTAINED entry points (round-12 item 2): a sampled TOP
+    * LAYER derived IN-PLAN — the `layerSize` corpus ids with the
+    * smallest salted hash (hash60(salt_id), ties by id), i.e. the
+    * upper layer of an HNSW-style hierarchy chosen by a deterministic
+    * coin rather than a hand-picked id list ([[beamSearchTopK]]'s
+    * documented gap). Computed as ONE bounded-buffer global bottom-k
+    * ([[TopK.bottomKLongPerGroup]] with no group keys — every map task
+    * emits ≤ layerSize rows), so the layer derivation never sorts the
+    * corpus. Search then seeds cand0 with the WHOLE layer per query:
+    * round 0's beam selection IS the layer scoring (the layer nodes
+    * count toward n_scored — the honest accounting), and the traversal
+    * descends from the best layer nodes exactly as a hierarchy search
+    * descends from its top layer. */
+  def topLayer(base: DataFrame, layerSize: Int, salt: String): DataFrame = {
+    require(layerSize >= 1)
+    val scored = base.select(col("id"),
+      Hash64.hash60(concat_ws("_", lit(salt), col("id").cast("string")))
+        .as("__h"))
+    TopK.bottomKLongPerGroup(scored, Seq.empty, "id", "__h", layerSize)
+      .select(col("id"))
   }
 
   /** [[beamSearchTopK]] from a PER-QUERY seed frame (qid, id) — the
@@ -257,6 +288,28 @@ object GraphANN {
        |cand0 AS (
        |  SELECT qid, id FROM q CROSS JOIN
        |    (SELECT id FROM b WHERE id IN ($entryList))
+       |),
+       |${searchReplaySql(beam, rounds, k)}""".stripMargin
+  }
+
+  /** DuckDB oracle for the TOP-LAYER-SEEDED search: the [[topLayer]]
+    * derivation replayed in SQL (bottom-`layerSize` by (hash60, id) —
+    * one window over the corpus ids, which the Spark side does as a
+    * bounded-buffer bottom-k), cand0 = every layer node per query, then
+    * the unrolled search and recall join. */
+  def beamRecallTopLayerOracleSql(baseSql: String, queriesSql: String,
+      dim: Int, graphK: Int, layerSize: Int, salt: String, beam: Int,
+      rounds: Int, k: Int, bits: Int = 6, bands: Int = 3): String = {
+    val h = Hash64.duckSql(s"'${salt}_' || CAST(id AS VARCHAR)")
+    s"""WITH ${edgesCte(baseSql, dim, graphK, bits, bands)},
+       |q AS ($queriesSql),
+       |layer AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY $h, id) AS lrn FROM b
+       |  ) WHERE lrn <= $layerSize
+       |),
+       |cand0 AS (
+       |  SELECT qid, id FROM q CROSS JOIN layer
        |),
        |${searchReplaySql(beam, rounds, k)}""".stripMargin
   }

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.similarity.{GraphANN, IVF, Similarity}
+import graft.streaming.VectorSinks
+
+/** The streaming face of the vector/ANN family: incremental k-NN-graph
+  * maintenance and incremental IVF assignment, each gated by BATCH
+  * PARITY (N streamed epochs ≡ the batch operator on the union of all
+  * epochs) plus the torn-commit restart cases every epoch-snapshot sink
+  * carries.
+  */
+class VectorSinksSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Deterministic corpus: 3 loose clusters in 8-d so the LSH bands
+    * produce real collisions and the graph has structure. */
+  private def vec(i: Int): Seq[Double] = {
+    val c = i % 3
+    Seq.tabulate(8)(d => math.sin(c * 37 + d) * 2 + math.sin(i * 8 + d) * 0.3)
+  }
+
+  private val (dim, gk, bits, bands) = (8, 4, 3, 2)
+
+  /** Delete the newest streaming commit so the source replays the last
+    * epoch on restart (same device as StreamsSpec's restart cases). */
+  private def tearLastCommit(ckp: String): Unit = {
+    val dir = new java.io.File(ckp, "commits")
+    val commits = dir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, s"no commits under $ckp")
+    val crc = new java.io.File(dir, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) { crc.delete(); () }
+  }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+    df.select(col("src"), col("dst"), col("cosine"), col("rn"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("incrementalKnnGraphSink: three streamed epochs equal the batch " +
+      "knnGraph on the union, rn included, and old nodes gain new edges") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("id", "ev")
+    val (bandsDir, vecsDir, edgesDir, markers, ckp) =
+      (tmp("kg-bands"), tmp("kg-vecs"), tmp("kg-edges"),
+        tmp("kg-mark"), tmp("kg-ckp"))
+    Seq(bandsDir, vecsDir, edgesDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = VectorSinks.incrementalKnnGraphSink(vecs, dim, gk, bits,
+        bands, bandsDir, vecsDir, edgesDir, markers, ckp,
+        Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    val all = (0 until 36).map(i => (i.toLong, vec(i)))
+    mem.addData(all.slice(0, 12): _*); run()
+    val afterE0 = edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir))
+    mem.addData(all.slice(12, 24): _*); run()
+    mem.addData(all.slice(24, 36): _*); run()
+
+    val streamed = edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir))
+    val batch = edgeSet(GraphANN.knnGraph(
+      all.toDF("id", "ev"), dim, gk, bits, bands))
+    assert(streamed == batch,
+      s"streamed-only=${(streamed -- batch).take(5)} " +
+        s"batch-only=${(batch -- streamed).take(5)}")
+    // an epoch-0 node picked up a strictly better later-epoch neighbour
+    // (its epoch-0 edge set changed) — the old-node-gains-edges path ran
+    val e0Srcs = afterE0.map(_._1)
+    val changed = e0Srcs.exists(s =>
+      afterE0.filter(_._1 == s) != streamed.filter(_._1 == s))
+    assert(changed, "no epoch-0 node's edge list changed across epochs")
+  }
+
+  test("incrementalKnnGraphSink restart: a torn epoch replays without " +
+      "corrupting the graph — committed marker skips, torn marker heals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("id", "ev")
+    val (bandsDir, vecsDir, edgesDir, markers, ckp) =
+      (tmp("kr-bands"), tmp("kr-vecs"), tmp("kr-edges"),
+        tmp("kr-mark"), tmp("kr-ckp"))
+    Seq(bandsDir, vecsDir, edgesDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = VectorSinks.incrementalKnnGraphSink(vecs, dim, gk, bits,
+        bands, bandsDir, vecsDir, edgesDir, markers, ckp,
+        Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    val all = (0 until 24).map(i => (i.toLong, vec(i)))
+    mem.addData(all.slice(0, 12): _*); run()
+    mem.addData(all.slice(12, 24): _*); run()
+    val before = edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir))
+
+    // case 1: commit torn, marker intact -> epoch body skipped entirely
+    tearLastCommit(ckp); run()
+    assert(edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir)) == before)
+
+    // case 2: marker ALSO lost (crash before marker write, after the
+    // history appends) -> full replay against history that already
+    // contains the batch; dedup-on-read heals, graph unchanged
+    tearLastCommit(ckp)
+    val ms = new java.io.File(markers).listFiles()
+      .filter(_.getName.endsWith(".done")).sortBy(_.getName)
+    assert(ms.nonEmpty && ms.last.delete())
+    run()
+    val after = edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir))
+    assert(after == before,
+      s"replay diverged: only-after=${(after -- before).take(5)} " +
+        s"only-before=${(before -- after).take(5)}")
+  }
+
+  test("incrementalIvfAssignSink: streamed assignments equal the batch " +
+      "IVF.assign on the union; beam search runs off the streamed graph") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("id", "ev")
+    val (assignDir, markers, ckp) =
+      (tmp("ia-assign"), tmp("ia-mark"), tmp("ia-ckp"))
+    Files.delete(java.nio.file.Paths.get(assignDir))
+    val all = (0 until 30).map(i => (i.toLong, vec(i)))
+    val cents = IVF.collectCentroids(
+      Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2))).toDF("cid", "cv"),
+      "cid", "cv")
+    def run(): Unit = {
+      val q = VectorSinks.incrementalIvfAssignSink(vecs, cents,
+        assignDir, markers, ckp, Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    mem.addData(all.slice(0, 10): _*); run()
+    mem.addData(all.slice(10, 30): _*); run()
+    val streamed = spark.read.parquet(assignDir)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = IVF.assign(all.toDF("id", "ev"), cents)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+
+    // the composite: IVF seeds + the STREAMED graph serve a search
+    val (bandsDir, vecsDir, edgesDir, gMark, gCkp) =
+      (tmp("ic-bands"), tmp("ic-vecs"), tmp("ic-edges"),
+        tmp("ic-mark"), tmp("ic-ckp"))
+    Seq(bandsDir, vecsDir, edgesDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    val gm = MemoryStream[(Long, Seq[Double])]
+    val gq = VectorSinks.incrementalKnnGraphSink(
+      gm.toDF().toDF("id", "ev"), dim, gk, bits, bands,
+      bandsDir, vecsDir, edgesDir, gMark, gCkp, Trigger.AvailableNow())
+    gm.addData(all: _*)
+    gq.awaitTermination(180000)
+    val base = all.toDF("id", "ev")
+    val queries = Seq((0L, vec(7))).toDF("qid", "qv")
+    val (found, nScored) = GraphANN.beamSearchTopKFrom(base, queries,
+      VectorSinks.latestKnnGraph(spark, edgesDir),
+      queries.select(col("qid")).crossJoin(
+        base.filter(col("id") < 3).select(col("id"))),
+      beam = 6, rounds = 3, k = 3)
+    val brute = Similarity.bruteForceTopK(base, queries, 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val got = found.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert((brute & got).nonEmpty)
+    assert(nScored.collect().head.getLong(1) <= 30L)
+  }
+}
