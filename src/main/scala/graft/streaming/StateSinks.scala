@@ -258,6 +258,85 @@ object StateSinks {
       .start()
   }
 
+  /** CURRICULUM variant of [[shardLayoutSink]] (round-12 item 7) — the
+    * streaming face of [[graft.ops.Sharding.curriculumShardLayout]]
+    * (q445): shard assignment stays the salted hash, but WITHIN each
+    * epoch's shard slice the order is (curriculum bucket asc, hash, id)
+    * — every epoch appends an "easy first" staged block after the
+    * shard's previous high-water mark. Same nShards-row (shard,
+    * max_pos) state, same epoch-versioned replay discipline, same
+    * immutability: committed positions never move.
+    *
+    * Order contract (differs from the batch op, deliberately — the
+    * [[shardLayoutSink]] precedent): batch curriculum orders the WHOLE
+    * corpus by (bucket, hash); a stream cannot reorder committed
+    * positions, so the staged order holds WITHIN each epoch and epochs
+    * append — the curriculum restarts per arrival wave, which is
+    * exactly what a continuously-training run consuming the layout
+    * tail sees. StreamsSpec asserts per-shard contiguity across
+    * epochs, epoch-1 immutability, and the staged order inside every
+    * (epoch, shard) slice.
+    *
+    * @param bucket integer curriculum stage of a doc (smaller =
+    *               earlier), evaluated against the batch's columns */
+  def curriculumShardLayoutSink(docsStream: DataFrame, idCol: String,
+      textCol: String, bucket: org.apache.spark.sql.Column, nShards: Int,
+      salt: String, layoutDir: String, stateDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    require(nShards >= 1)
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val h = graft.functions.Hash64.hash60(
+            concat(lit(salt), lit("_"), col(idCol).cast("string")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard"))
+            .orderBy(col("bucket"), col("__h"), col(idCol))
+          val epochLayout = batch
+            .select(col(idCol),
+              graft.text.TextAnalysis.tokenCount(col(textCol))
+                .cast("long").as("n_tokens"),
+              bucket.cast("long").as("bucket"))
+            .withColumn("__h", h)
+            .withColumn("shard", col("__h") % nShards)
+            .withColumn("__r", row_number().over(w).cast("long"))
+          val prev = epochSnapshots(spark, stateDir)
+            .filter(_._1 < epochId).lastOption
+          val state = prev match {
+            case Some((_, dir)) => spark.read.parquet(dir.toString)
+            case None => spark.range(0).select(col("id").as("shard"),
+              col("id").as("max_pos"))
+          }
+          val laid = epochLayout
+            .join(broadcast(state), Seq("shard"), "left")
+            .na.fill(0L, Seq("max_pos"))
+            .withColumn("pos", col("max_pos") + col("__r"))
+            .select(col(idCol), col("shard"), col("pos"), col("bucket"),
+              col("n_tokens"))
+            .localCheckpoint()
+          laid.write.mode("overwrite")
+            .parquet(s"$layoutDir/epoch=$epochId")
+          laid.groupBy(col("shard"))
+            .agg(max(col("pos")).as("max_pos"))
+            .unionByName(state)
+            .groupBy(col("shard")).agg(max(col("max_pos")).as("max_pos"))
+            .write.mode("overwrite").parquet(s"$stateDir/epoch=$epochId")
+          val fs = stateFs(spark, stateDir)._1
+          for ((e, dir) <- epochSnapshots(spark, stateDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Every epoch slice of [[shardLayoutSink]]'s layout, one frame. */
   def readLayout(spark: SparkSession, layoutDir: String): DataFrame =
     spark.read.parquet(layoutDir)

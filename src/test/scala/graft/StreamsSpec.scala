@@ -428,6 +428,61 @@ class StreamsSpec extends SparkSuite {
     for ((id, sp) <- afterE1) assert(byId(id) == sp, s"doc $id moved")
   }
 
+  test("curriculumShardLayoutSink: staged (bucket, hash, id) order holds " +
+      "inside every epoch slice; shards stay contiguous; epoch-1 immutable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (layoutDir, stateDir, ckp) =
+      (tmp("cur-out"), tmp("cur-state"), tmp("cur-ckp"))
+    // curriculum stage: short docs first (bucket = token count div 3)
+    val bucket = (size(graft.text.TextAnalysis.tokens(col("text")))
+      .cast("long") / 3L).cast("long")
+    def run(): Unit = {
+      val q = StateSinks.curriculumShardLayoutSink(docs, "doc_id", "text",
+        bucket, nShards = 3, salt = "cur", layoutDir, stateDir, ckp,
+        Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    def doc(i: Long) = (i, ("word " * (1 + (i % 7)).toInt).trim)
+    mem.addData((1L to 20L).map(doc): _*); run()
+    val afterE1 = StateSinks.readLayout(spark, layoutDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    mem.addData((21L to 45L).map(doc): _*); run()
+    // read back per-slice: layoutDir/epoch=N are separate overwrite dirs
+    val slices = new java.io.File(layoutDir).listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).sorted
+    assert(slices.length == 2)
+    // staged order inside every (epoch, shard) slice: pos order ==
+    // (bucket asc, hash asc, id asc) order
+    for (sl <- slices) {
+      val rows = spark.read.parquet(s"$layoutDir/$sl")
+        .withColumn("__h", graft.functions.Hash64.hash60(
+          concat(lit("cur"), lit("_"), col("doc_id").cast("string"))))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Long]("__h"), r.getLong(0)))
+      for ((_, g) <- rows.groupBy(_._1)) {
+        val byPos = g.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq
+        assert(byPos == byPos.sorted, s"slice $sl not staged: $byPos")
+      }
+    }
+    // global per-shard contiguity + immutability (the shardLayoutSink
+    // contract, unchanged by the extra sort key)
+    val flat = StateSinks.readLayout(spark, layoutDir)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flat.length == 45 && flat.map(_._1).distinct.length == 45)
+    for ((shard, rows) <- flat.groupBy(_._2)) {
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (1L to ps.length).toSeq, s"shard $shard: $ps")
+    }
+    val byId = flat.map(r => r._1 -> (r._2, r._3)).toMap
+    for ((id, sp) <- afterE1) assert(byId(id) == sp, s"doc $id moved")
+  }
+
   test("heavyHittersSink: merged-sketch estimates equal the batch " +
       "heavy hitters over every epoch's rows") {
     implicit val sqlCtx = spark.sqlContext
@@ -1374,5 +1429,58 @@ class StreamsSpec extends SparkSuite {
     // a double-merge would read hot ~100, total ~110
     assert(after == before && after("hot") == 70L,
       s"after=$after before=$before")
+  }
+
+  test("restart: release pipeline sink replays a torn epoch without " +
+      "re-releasing — the fp-history self-heal (round-12 item 6)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog today"
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    val bench = Seq((900L, "nothing shared with the corpus over here"))
+      .toDF("doc_id", "text")
+    val ndBase = "the cat sat near the road and saw one big dog that " +
+      "ran fast over green hills toward town"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (fph, sgh, out, stats, mark, ckp) = (tmp("rt-fp"), tmp("rt-sig"),
+      tmp("rt-out"), tmp("rt-stats"), tmp("rt-mark"), tmp("rt-ckp"))
+    Seq(fph, sgh, out, stats).foreach(d =>
+      Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = Streams.releasePipelineSink(docs, "doc_id", "text",
+        Seq("bad phrase"), bench, ref, fph, sgh, out, stats, mark, ckp,
+        minTokens = 3L, maxMeanBitsMicro = 21000000L,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    mem.addData(1L -> base, 6L -> s"$ndBase twenty",
+      7L -> s"$ndBase thirty"); run()
+    mem.addData(20L -> base,
+      23L -> "and it was entirely a new different document today"); run()
+    def released() = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    def fpCount() = spark.read.parquet(fph).count()
+    def sigCount() = spark.read.parquet(sgh).count()
+    val (relBefore, fpBefore, sigBefore) = (released(), fpCount(), sigCount())
+    assert(relBefore == Seq(1L, 6L, 23L))
+    // the torn-epoch shape the five StateSinks cases don't cover: the
+    // crash lands AFTER both history appends but BEFORE the marker —
+    // marker gone, commit gone, all state already written. The replayed
+    // epoch's docs now hash-match the fp history, so stage 5 drops them
+    // ALL: released output gains zero rows, `fresh` is empty, and both
+    // history appends append nothing — the release set equals the clean
+    // run exactly. (The documented weaker case — a crash BEFORE the fp
+    // append — duplicates the torn epoch's output rows; outDir readers
+    // needing more go through a dedup view, per the sink's scaladoc.)
+    val ms = new java.io.File(mark).listFiles()
+      .filter(_.getName.endsWith(".done")).sortBy(_.getName)
+    assert(ms.nonEmpty && ms.last.delete())
+    tearLastCommit(ckp)
+    run()
+    assert(released() == relBefore,
+      s"released diverged: ${released()} vs $relBefore")
+    assert(fpCount() == fpBefore && sigCount() == sigBefore,
+      "a history append re-ran non-empty on replay")
   }
 }
