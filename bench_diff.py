@@ -55,15 +55,32 @@ def main():
     added = sorted(set(cq) - set(pq))
     removed = sorted(set(pq) - set(cq))
 
+    # Machine-drift normalization (round-12 item 5): x00_calibration is
+    # a fixed synthetic workload benched into every artifact — identical
+    # work both sides, so its ratio measures THIS pair of runs' machine
+    # condition, not the code. When both artifacts carry it, per-query
+    # ratios divide by the calibration ratio before flagging; the probe
+    # itself is exempt from flagging. Artifacts without it (pre-r12)
+    # diff exactly as before.
+    CAL = "x00_calibration"
+    cal = None
+    if CAL in pq and CAL in cq and pq[CAL] > 0 and cq[CAL] > 0:
+        cal = cq[CAL] / pq[CAL]
+        print(f"calibration: {pq[CAL]:.2f}s -> {cq[CAL]:.2f}s "
+              f"({cal:.2f}x machine drift; per-query ratios normalized)")
+
     slowdowns, speedups = [], []
     for name in shared:
-        p, c = pq[name], cq[name]
-        if abs(c - p) < args.floor:
+        if name == CAL:
             continue
-        if c > p * args.ratio:
-            slowdowns.append((name, p, c))
-        elif p > c * args.ratio:
-            speedups.append((name, p, c))
+        p, c = pq[name], cq[name]
+        c_adj = c / cal if cal else c
+        if abs(c_adj - p) < args.floor:
+            continue
+        if c_adj > p * args.ratio:
+            slowdowns.append((name, p, c_adj))
+        elif p > c_adj * args.ratio:
+            speedups.append((name, p, c_adj))
 
     pt = sum(pq[n] for n in shared)
     ct = sum(cq[n] for n in shared)
@@ -74,10 +91,11 @@ def main():
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
+    adj = " (calibrated)" if cal else ""
     for name, p, c in sorted(speedups, key=lambda x: x[1] - x[2]):
-        print(f"FASTER  {name}: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x)")
+        print(f"FASTER  {name}: {p:.2f}s -> {c:.2f}s{adj} ({c / p:.2f}x)")
     for name, p, c in sorted(slowdowns, key=lambda x: x[1] - x[2]):
-        print(f"SLOWER  {name}: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x)")
+        print(f"SLOWER  {name}: {p:.2f}s -> {c:.2f}s{adj} ({c / p:.2f}x)")
     errs = {n: e for n, e in cur.get("errors", {}).items()}
     if errs:
         print(f"current-run errors ({len(errs)}): {', '.join(sorted(errs))}")

@@ -26,6 +26,34 @@ object Bench {
     // Spark-only), so they live here — NOT in SparkEntry.queries, which
     // Verify's correctness gate enumerates.
     val extras: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      // Machine-drift calibration probe (round-12 item 5): a FIXED
+      // synthetic workload touching no repo code paths and no input
+      // data — scan + hash-aggregate + shuffle join + wide projection
+      // over spark.range. Identical work in every artifact, so
+      // bench_diff can divide per-query ratios by THIS entry's ratio
+      // before flagging: same-jar drift on this host reads median
+      // 1.06x / p90 1.31x (SURVEY §8.10), and without normalization
+      // every round's tripwire drowns in it.
+      "x00_calibration" ->
+        ((s, _) => {
+          import org.apache.spark.sql.functions._
+          val n = 30000000L
+          val df = s.range(n).select(col("id"),
+            ((col("id") * 2654435761L) % 1000003L).as("k"),
+            (col("id") % 977L).as("g"))
+          val agg = df.groupBy(col("g"))
+            .agg(sum(col("k")).as("sk"), count(lit(1)).as("cnt"))
+          df.join(agg, "g")
+            .select(col("id"), (col("k") + col("sk") % 7L).as("v1"),
+              (col("k") * col("cnt")).as("v2"))
+        }),
+      // Production-path release family (round-12 item 4): the 8-stage
+      // verdict chain materialized ONCE, all five consumers served from
+      // parquet — vs q403/404/405/414/443, which each re-derive the
+      // chain for oracle self-containment (the ~5x gate-vs-production
+      // gap, now an artifact number).
+      "x403_release_chain" ->
+        ((s, dir) => queries.CurationGates.releaseChainOnce(s, dir)),
       "x27_minhash_xxh" ->
         ((s, dir) => queries.VectorsDedup.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)),
       // Production-hash char-shingle path: q134's cost is ~all md5 over

@@ -110,6 +110,43 @@ object CurationGates extends QueryModule {
     base.filter(col("doc_id") % 17 === 0)
       .select(col("doc_id"), col("text"))
 
+  /** The PRODUCTION path of the release family, priced once (round-12
+    * item 4, the x37 chain-once precedent): materialize the 8-stage
+    * [[graft.text.Curate.releaseVerdicts]] frame (+source) to parquet
+    * ONE time, then serve every consumer from it — datasheet,
+    * by-source breakout, survivors+splits, water-fill token-budget
+    * sample, training-order layout. The five gate queries
+    * (q403/404/405/414/443) re-derive this chain per query for oracle
+    * self-containment (~5× the work); Bench's `x403_release_chain`
+    * times this entry so the gate-vs-production gap is an explicit
+    * artifact number instead of a scaladoc claim. Timed region
+    * includes the write and every consumer. */
+  private[graft] def releaseChainOnce(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).documents
+    val tableDir = "/tmp/graft_release_chain"
+    graft.text.Curate.releaseVerdicts(releaseInput(base), "doc_id",
+        "text", blockPhrases, releaseBench(base), minTokens = 10L)
+      .join(releaseSources(base), "doc_id")
+      .write.mode("overwrite").parquet(tableDir)
+    val v = s.read.parquet(tableDir)
+    graft.text.Curate.attritionFromVerdicts(
+      v.select(col("doc_id"), col("n_tokens"), col("stage"))).count()
+    graft.text.Curate.attritionBySourceFromVerdicts(v).count()
+    val surv = graft.text.Curate.survivorsFromVerdicts(v, "doc_id")
+      .join(v.select(col("doc_id"), col("source")), "doc_id")
+    val ps = surv.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail"))
+    val alloc = graft.ops.Sampling.waterFillAllocation(ps, "source",
+      "avail", Curation.budgetWeights, defaultWeight = 1L,
+      budgetNum = 1L, budgetDen = 2L)
+    val sampled = graft.ops.Sampling.tokenBudgetSample(surv, "source",
+      "doc_id", "n_tokens", alloc, "alloc", salt = "budget")
+    graft.ops.Sharding.shardLayout(sampled, "doc_id",
+        col("n_tokens"), nShards = 8, salt = "layout-rel")
+      .join(sampled.select(col("doc_id"), col("source"), col("split")),
+        "doc_id")
+  }
+
   /** The same planted input / sources / benchmark as DuckDB SQL. */
   private val releaseInputSql =
     s"""(WITH rep AS (

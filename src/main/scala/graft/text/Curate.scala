@@ -469,6 +469,34 @@ object Curate {
       col(idCol), salt, splits)
       .select(col(idCol), col("n_tokens"), col("split"))
 
+  // ------------------------------------------------- chain-once faces
+  // A production run materializes [[releaseVerdicts]] ONCE and derives
+  // every release artifact from the verdict frame; the gate queries
+  // (q403/q404/q405/q414/q443) re-derive the chain per query for
+  // oracle self-containment. These thin faces price the production
+  // path separately (the x37 chain-once precedent — Bench's
+  // x403_release_chain entry), and are what the streaming release sink
+  // effectively computes per epoch.
+
+  /** [[attritionRelease]] from a materialized verdict frame
+    * (idCol, n_tokens, stage). */
+  def attritionFromVerdicts(verdicts: DataFrame): DataFrame =
+    datasheetFrom(verdicts, releaseStageNames)
+
+  /** [[attritionBySourceRelease]] from a materialized verdict frame
+    * that already carries a `source` column. */
+  def attritionBySourceFromVerdicts(verdicts: DataFrame): DataFrame =
+    datasheetBySourceFrom(verdicts, releaseStageNames)
+
+  /** [[survivorsRelease]] from a materialized verdict frame. */
+  def survivorsFromVerdicts(verdicts: DataFrame, idCol: String,
+      salt: String = "curate",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    Sampling.assignSplit(verdicts.filter(col("stage").isNull)
+        .select(col(idCol), col("n_tokens")), col(idCol), salt, splits)
+      .select(col(idCol), col("n_tokens"), col("split"))
+
   /** [[attritionRelease]] broken out BY SOURCE — per-source rows sum
     * exactly to the global release datasheet (the q400 contract,
     * spec-asserted). `srcFrame` maps idCol → srcCol. */
