@@ -176,4 +176,60 @@ class VectorSinksSpec extends SparkSuite {
     assert((brute & got).nonEmpty)
     assert(nScored.collect().head.getLong(1) <= 30L)
   }
+
+  test("topLayerSink: streamed entry layer equals the batch derivation; " +
+      "a search served ENTIRELY from streamed state (layer + graph) " +
+      "equals one served from batch-built state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val (layerState, lCkp) = (tmp("tl-state"), tmp("tl-ckp"))
+    def run(): Unit = {
+      val q = VectorSinks.topLayerSink(mem.toDF().toDF("id", "ev"),
+        layerSize = 8, salt = "hier", layerState, lCkp,
+        Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    mem.addData(all.slice(0, 15): _*); run()
+    mem.addData(all.slice(15, 30): _*); run()
+    mem.addData(all.slice(30, 40): _*); run()
+    val streamedLayer = VectorSinks.latestTopLayer(spark, layerState)
+      .collect().map(_.getLong(0)).toSet
+    val base = all.toDF("id", "ev")
+    val batchLayer = GraphANN.topLayer(base, 8, "hier")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedLayer == batchLayer,
+      s"streamed=$streamedLayer batch=$batchLayer")
+
+    // end-to-end: stream the graph too, then serve a search from
+    // NOTHING but streamed state — must equal the batch-built answer
+    val gm = MemoryStream[(Long, Seq[Double])]
+    val (bandsDir, vecsDir, edgesDir, gMark, gCkp) =
+      (tmp("tg-bands"), tmp("tg-vecs"), tmp("tg-edges"),
+        tmp("tg-mark"), tmp("tg-ckp"))
+    Seq(bandsDir, vecsDir, edgesDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    val gq = VectorSinks.incrementalKnnGraphSink(
+      gm.toDF().toDF("id", "ev"), dim, gk, bits, bands,
+      bandsDir, vecsDir, edgesDir, gMark, gCkp, Trigger.AvailableNow())
+    gm.addData(all.slice(0, 20): _*)
+    gm.addData(all.slice(20, 40): _*)
+    gq.awaitTermination(180000)
+    val queries = Seq((0L, vec(11)), (1L, vec(25))).toDF("qid", "qv")
+    def search(edges: org.apache.spark.sql.DataFrame,
+        layer: org.apache.spark.sql.DataFrame) = {
+      val (found, _) = GraphANN.beamSearchTopKFrom(base, queries, edges,
+        queries.select(col("qid")).crossJoin(layer), beam = 6,
+        rounds = 2, k = 3)
+      found.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    }
+    val fromStream = search(VectorSinks.latestKnnGraph(spark, edgesDir),
+      VectorSinks.latestTopLayer(spark, layerState))
+    val fromBatch = search(GraphANN.knnGraph(base, dim, gk, bits, bands),
+      GraphANN.topLayer(base, 8, "hier"))
+    assert(fromStream == fromBatch,
+      s"stream-only=${fromStream -- fromBatch} batch-only=${fromBatch -- fromStream}")
+  }
 }
