@@ -132,6 +132,22 @@ object VectorsGraph extends QueryModule {
         dim = 64, k = gK, bits = gBits, bands = gBands)
     }),
 
+    // DELETION with affected-only repair (round 12): build the full
+    // graph, tombstone the %9≡0 ids (~11%), repair only the srcs that
+    // lost an out-neighbour — and gate the result against a
+    // from-scratch build on the REDUCED corpus (the q450 cross-engine
+    // parity pattern): retractions/erasure handled without an index
+    // rebuild, exactness proven in DuckDB edge for edge.
+    "q451_knn_graph_delete" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = Vectors.base(t)
+      val edges = GraphANN.knnGraph(base, dim = 64, k = gK,
+        bits = gBits, bands = gBands)
+      GraphANN.deleteFromGraph(base, edges,
+        base.filter(col("id") % 9 === 0).select(col("id")),
+        dim = 64, k = gK, bits = gBits, bands = gBands)
+    }),
+
     // IVF-seeded graph search — the production composite: a coarse
     // quantizer (q36's 16 literal centroids, DELIBERATELY fewer probes
     // than q435's gate — nProbe=2) picks 8 entry points near each
@@ -176,6 +192,14 @@ object VectorsGraph extends QueryModule {
     // reproduce the from-scratch graph exactly
     "q450_incr_knn_graph" -> GraphANN.knnGraphOracleSql(
       baseSqlStr, dim = 64, k = gK, bits = gBits, bands = gBands),
+
+    // from-scratch build on the reduced corpus: the repaired graph
+    // must equal it exactly
+    "q451_knn_graph_delete" -> GraphANN.knnGraphOracleSql(
+      """SELECT vec_id AS id,
+        |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |FROM embeddings WHERE vec_id % 9 <> 0""".stripMargin,
+      dim = 64, k = gK, bits = gBits, bands = gBands),
 
     "q449_hier_graph_ann" -> GraphANN.beamRecallTopLayerOracleSql(
       baseSqlStr, queriesSqlStr, dim = 64, graphK = gK,

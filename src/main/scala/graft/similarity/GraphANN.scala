@@ -103,6 +103,61 @@ object GraphANN {
       beam, rounds, k)
   }
 
+  /** DELETION with affected-only repair (round 12) — the operation a
+    * long-lived vector index cannot avoid (corpus retractions, GDPR
+    * erasure, licence withdrawals): remove `deleted` ids from a
+    * [[knnGraph]] WITHOUT rebuilding it. Exactness argument: a node
+    * with no deleted out-neighbour keeps its list verbatim — its
+    * candidate set on the reduced corpus is a subset of the full one,
+    * every kept top-k member is still a candidate (bucket keys are
+    * functions of the vectors), and anything it dominated before is
+    * still dominated; a node that LOST an edge re-ranks over its full
+    * banded candidate set among survivors, which IS its from-scratch
+    * candidate set. So the repaired graph EQUALS [[knnGraph]] of the
+    * reduced corpus edge for edge — q451 gates it against that very
+    * oracle (the q450 cross-engine-parity pattern).
+    *
+    * Scale shape: tombstones are joined, never broadcast corpus-side;
+    * the recompute touches only affected srcs' bucket collisions —
+    * cost ∝ |affected| · bucket occupancy, not n. Untouched edge rows
+    * copy forward.
+    *
+    * @param base    the FULL corpus (id, ev), deleted ids included
+    * @param edges   the current [[knnGraph]] (src, dst, cosine, rn)
+    * @param deleted (id) tombstones
+    * @return the repaired graph (src, dst, cosine, rn ≤ k) */
+  def deleteFromGraph(base: DataFrame, edges: DataFrame,
+      deleted: DataFrame, dim: Int, k: Int, bits: Int = 6,
+      bands: Int = 3): DataFrame = {
+    val tomb = deleted.select(col("id"))
+    val kept = base.join(tomb, Seq("id"), "left_anti")
+    // srcs that lost an out-neighbour, minus tombstoned srcs themselves
+    val affected = edges
+      .join(tomb.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src")).distinct()
+      .join(tomb.select(col("id").as("src")), Seq("src"), "left_anti")
+    val banded = bandedBuckets(kept, dim, bits, bands)
+    val affBanded = banded
+      .join(affected.select(col("src").as("id")), Seq("id"), "left_semi")
+    val cand = affBanded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+      .distinct()
+    val scored = cand
+      .join(kept.select(col("id").as("src"), col("ev").as("__sv")), "src")
+      .join(kept.select(col("id").as("dst"), col("ev").as("__dv")), "dst")
+      .select(col("src"), col("dst"),
+        Similarity.cosineNative(col("__sv"), col("__dv")).as("cosine"))
+    val untouched = edges
+      .join(affected, Seq("src"), "left_anti")
+      .join(tomb.select(col("id").as("src")), Seq("src"), "left_anti")
+    TopK.perGroup(scored, Seq("src"), "dst", "cosine", k)
+      .unionByName(untouched)
+  }
+
   /** SELF-CONTAINED entry points (round-12 item 2): a sampled TOP
     * LAYER derived IN-PLAN — the `layerSize` corpus ids with the
     * smallest salted hash (hash60(salt_id), ties by id), i.e. the

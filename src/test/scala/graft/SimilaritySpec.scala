@@ -733,4 +733,46 @@ class SimilaritySpec extends SparkSuite {
     edges.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("GraphANN.deleteFromGraph: affected-only repair equals the " +
+      "from-scratch graph on the reduced corpus; untouched nodes keep " +
+      "their rows; a node losing all candidates disappears") {
+    import spark.implicits._
+    import graft.similarity.GraphANN
+    // two separated pairs + one isolated-after-deletion node: 0-1-2
+    // cluster A (delete 1 -> 0 and 2 repair), 3-4 cluster B
+    // (untouched), 5 shares a bucket ONLY with 6 (delete 6 -> 5 loses
+    // every candidate and must vanish from the repaired graph)
+    def v(hot: Int): Seq[Double] = {
+      val a = Array.fill(16)(0.01); a(hot) = 1.0; a.toSeq
+    }
+    val base = Seq(
+      0L -> v(0), 1L -> v(0), 2L -> v(0),
+      3L -> v(5), 4L -> v(5),
+      5L -> v(10), 6L -> v(10)).toDF("id", "ev")
+    val edges = GraphANN.knnGraph(base, dim = 16, k = 3, bits = 3,
+      bands = 2)
+    val deleted = Seq(1L, 6L).toDF("id")
+    val repaired = GraphANN.deleteFromGraph(base, edges, deleted,
+      dim = 16, k = 3, bits = 3, bands = 2)
+    val scratch = GraphANN.knnGraph(
+      base.filter(!col("id").isin(1L, 6L)), dim = 16, k = 3, bits = 3,
+      bands = 2)
+    def s(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(s(repaired) == s(scratch))
+    val srcs = repaired.select("src").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!srcs.contains(5L), "node with no surviving candidates must vanish")
+    assert(!srcs.contains(1L) && !srcs.contains(6L))
+    // genuinely-untouched srcs (no deleted out-neighbour in the
+    // original graph — derived from the edges, since LSH buckets can
+    // create cross-cluster edges the fixture didn't plan) keep their
+    // rows byte-identical
+    val touched = edges.filter(col("dst").isin(1L, 6L))
+      .select("src").distinct().collect().map(_.getLong(0)).toSet
+    val untouched = srcs -- touched
+    assert(s(repaired.filter(col("src").isInCollection(untouched))) ==
+      s(edges.filter(col("src").isInCollection(untouched))))
+  }
 }
