@@ -132,6 +132,26 @@ object VectorsGraph extends QueryModule {
         dim = 64, k = gK, bits = gBits, bands = gBands)
     }),
 
+    // FILTERED search (round 12): top-5 among the id%3==1 third of the
+    // corpus (metadata filtering — language/licence/split — the
+    // filtered-HNSW problem). The traversal walks the UNFILTERED graph
+    // (pruning it would disconnect the walk) and answers from
+    // visited ∩ filter; recall is against brute force over the
+    // FILTERED corpus, n_scored the full traversal cost. Seeds are the
+    // q449 in-plan top layer.
+    "q452_filtered_graph_ann" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = Vectors.base(t)
+      val edges = GraphANN.knnGraph(base, dim = 64, k = gK,
+        bits = gBits, bands = gBands)
+      val seeds = Vectors.queriesDf(t).select(col("qid"))
+        .crossJoin(GraphANN.topLayer(base, gLayer, gSalt))
+      val (found, nScored) = GraphANN.beamSearchFilteredTopK(base,
+        Vectors.queriesDf(t), edges, seeds, col("id") % 3 === 1,
+        beam = gBeam, rounds = gLayerRounds, k = topK)
+      recallGate(t, base.filter(col("id") % 3 === 1), found, nScored)
+    }),
+
     // DELETION with affected-only repair (round 12): build the full
     // graph, tombstone the %9≡0 ids (~11%), repair only the srcs that
     // lost an out-neighbour — and gate the result against a
@@ -192,6 +212,11 @@ object VectorsGraph extends QueryModule {
     // reproduce the from-scratch graph exactly
     "q450_incr_knn_graph" -> GraphANN.knnGraphOracleSql(
       baseSqlStr, dim = 64, k = gK, bits = gBits, bands = gBands),
+
+    "q452_filtered_graph_ann" -> GraphANN.beamRecallFilteredOracleSql(
+      baseSqlStr, queriesSqlStr, "nb.id % 3 = 1", dim = 64,
+      graphK = gK, layerSize = gLayer, salt = gSalt, beam = gBeam,
+      rounds = gLayerRounds, k = topK, bits = gBits, bands = gBands),
 
     // from-scratch build on the reduced corpus: the repaired graph
     // must equal it exactly

@@ -188,7 +188,20 @@ object GraphANN {
   def beamSearchTopKFrom(base: DataFrame, queries: DataFrame,
       edges: DataFrame, seeds: DataFrame, beam: Int, rounds: Int,
       k: Int): (DataFrame, DataFrame) = {
-    require(beam >= k && rounds >= 0)
+    val (beamDf, visited) = traverse(base, queries, edges, seeds, beam,
+      rounds)
+    val topk = TopK.perGroup(
+      beamDf.select(col("qid"), col("id"), col("cosine")),
+      Seq("qid"), "id", "cosine", k)
+    (topk, nScoredOf(visited))
+  }
+
+  /** The shared synchronous-expansion loop: returns the final beam
+    * (qid, id, cosine) and the full visited set (qid, id). */
+  private def traverse(base: DataFrame, queries: DataFrame,
+      edges: DataFrame, seeds: DataFrame, beam: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(beam >= 1 && rounds >= 0)
     val e = edges.select(col("src"), col("dst"))
     def score(cand: DataFrame): DataFrame = cand
       .join(base, "id")
@@ -209,12 +222,40 @@ object GraphANN {
       beamDf = TopK.perGroup(score(cand), Seq("qid"), "id",
         "cosine", beam)
     }
-    val topk = TopK.perGroup(
-      beamDf.select(col("qid"), col("id"), col("cosine")),
-      Seq("qid"), "id", "cosine", k)
-    val nScored = visited.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_scored"))
-    (topk, nScored)
+    (beamDf, visited)
+  }
+
+  private def nScoredOf(visited: DataFrame): DataFrame =
+    visited.groupBy(col("qid")).agg(count(lit(1)).as("n_scored"))
+
+  /** FILTERED search (round 12) — top-k among the corpus subset
+    * passing `pred` (metadata filtering: language, licence, split —
+    * the filtered-HNSW problem every production vector index faces).
+    * The traversal runs on the UNFILTERED graph — pruning the graph to
+    * the subset would disconnect it and strand the walk — and the
+    * answer is the top-k over ALL visited nodes passing the filter
+    * (not just the final beam: an eligible node evicted from the beam
+    * by a closer ineligible one is still a correct answer — the
+    * standard post-filter-over-visited recipe). Recall is measured
+    * against brute force over the FILTERED corpus; n_scored counts the
+    * full visited set, the honest traversal cost.
+    *
+    * @param pred predicate over `base`'s columns selecting the
+    *             eligible subset */
+  def beamSearchFilteredTopK(base: DataFrame, queries: DataFrame,
+      edges: DataFrame, seeds: DataFrame, pred: Column, beam: Int,
+      rounds: Int, k: Int): (DataFrame, DataFrame) = {
+    val (_, visited) = traverse(base, queries, edges, seeds, beam,
+      rounds)
+    val eligible = base.filter(pred).select(col("id"))
+    val scoredF = visited
+      .join(eligible, Seq("id"), "left_semi")
+      .join(base, "id")
+      .join(queries, "qid")
+      .select(col("qid"), col("id"),
+        Similarity.cosineNative(col("qv"), col("ev")).as("cosine"))
+    (TopK.perGroup(scoredF, Seq("qid"), "id", "cosine", k),
+      nScoredOf(visited))
   }
 
   // ---------------------------------------------------------------- oracle
@@ -270,10 +311,9 @@ object GraphANN {
     s"""WITH ${edgesCte(baseSql, dim, k, bits, bands)}
        |SELECT src, dst, cosine, rn FROM ek""".stripMargin
 
-  /** The unrolled search-and-recall CTE chain shared by both oracle
-    * forms: expects CTEs `b` (corpus), `ek` (edge list), `q`
-    * (queries), `cand0` (qid, id seed pairs) already defined. */
-  private def searchReplaySql(beam: Int, rounds: Int, k: Int): String = {
+  /** The unrolled traversal CTEs (cand0..candR, beam0..beamR) plus the
+    * visited-union arms — shared by every search-replay oracle form. */
+  private def roundCtesSql(beam: Int, rounds: Int): (String, String) = {
     val roundCtes = (0 to rounds).map { r =>
       val src = if (r == 0) "" else
         s"""cand$r AS (
@@ -296,6 +336,14 @@ object GraphANN {
     val visitedArms = (0 to rounds)
       .map(r => s"SELECT qid, id FROM cand$r")
       .mkString("\n  UNION\n  ")
+    (roundCtes, visitedArms)
+  }
+
+  /** The unrolled search-and-recall CTE chain shared by both oracle
+    * forms: expects CTEs `b` (corpus), `ek` (edge list), `q`
+    * (queries), `cand0` (qid, id seed pairs) already defined. */
+  private def searchReplaySql(beam: Int, rounds: Int, k: Int): String = {
+    val (roundCtes, visitedArms) = roundCtesSql(beam, rounds)
     s"""$roundCtes,
        |found AS (
        |  SELECT qid, id FROM (
@@ -367,6 +415,65 @@ object GraphANN {
        |  SELECT qid, id FROM q CROSS JOIN layer
        |),
        |${searchReplaySql(beam, rounds, k)}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[beamSearchFilteredTopK]] with [[topLayer]]
+    * seeds: the traversal replays unfiltered, the answer set is the
+    * top-`k` over visited ∩ filter, and recall joins against brute
+    * force over the FILTERED corpus. `filterPred` is a SQL predicate
+    * over the corpus row aliased `nb` (e.g. "nb.id % 3 = 1"). */
+  def beamRecallFilteredOracleSql(baseSql: String, queriesSql: String,
+      filterPred: String, dim: Int, graphK: Int, layerSize: Int,
+      salt: String, beam: Int, rounds: Int, k: Int, bits: Int = 6,
+      bands: Int = 3): String = {
+    val h = Hash64.duckSql(s"'${salt}_' || CAST(id AS VARCHAR)")
+    val (roundCtes, visitedArms) = roundCtesSql(beam, rounds)
+    s"""WITH ${edgesCte(baseSql, dim, graphK, bits, bands)},
+       |q AS ($queriesSql),
+       |layer AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY $h, id) AS lrn FROM b
+       |  ) WHERE lrn <= $layerSize
+       |),
+       |cand0 AS (
+       |  SELECT qid, id FROM q CROSS JOIN layer
+       |),
+       |$roundCtes,
+       |vis AS (
+       |  $visitedArms
+       |),
+       |found AS (
+       |  SELECT qid, id FROM (
+       |    SELECT v.qid, v.id,
+       |           row_number() OVER (PARTITION BY v.qid
+       |             ORDER BY ${cosSql("q.qv", "nb.ev")} DESC, v.id) AS frn
+       |    FROM vis v JOIN b nb ON v.id = nb.id
+       |    JOIN q ON v.qid = q.qid
+       |    WHERE $filterPred
+       |  ) WHERE frn <= $k
+       |),
+       |brute AS (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, nb.id, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qv", "nb.ev")} DESC, nb.id) AS rn
+       |    FROM q CROSS JOIN b nb WHERE $filterPred
+       |  ) WHERE rn <= $k
+       |),
+       |hits AS (
+       |  SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM brute JOIN found ON brute.qid = found.qid
+       |    AND brute.id = found.id
+       |  GROUP BY 1
+       |),
+       |nsc AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS n_scored
+       |  FROM vis GROUP BY 1
+       |)
+       |SELECT q.qid, coalesce(n_hits, 0) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) AS DOUBLE) / $k.0 AS recall,
+       |       nsc.n_scored
+       |FROM q LEFT JOIN hits ON q.qid = hits.qid
+       |JOIN nsc ON q.qid = nsc.qid""".stripMargin
   }
 
   /** DuckDB oracle for the IVF-SEEDED composite: [[IVF.topK]]'s
