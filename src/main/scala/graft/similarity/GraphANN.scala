@@ -131,24 +131,35 @@ object GraphANN {
       bands: Int = 3): DataFrame = {
     val tomb = deleted.select(col("id"))
     val kept = base.join(tomb, Seq("id"), "left_anti")
+    repairAfterDelete(bandedBuckets(kept, dim, bits, bands), kept,
+      edges, tomb, k)
+  }
+
+  /** [[deleteFromGraph]]'s repair core over PREPARED state — the form
+    * the streaming sinks use, where the surviving corpus's bucket keys
+    * and vectors come from persisted history rather than a recompute:
+    * `keptBanded`/`keptVecs` must already EXCLUDE the tombstones. */
+  def repairAfterDelete(keptBanded: DataFrame, keptVecs: DataFrame,
+      edges: DataFrame, tomb: DataFrame, k: Int): DataFrame = {
     // srcs that lost an out-neighbour, minus tombstoned srcs themselves
     val affected = edges
       .join(tomb.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src")).distinct()
       .join(tomb.select(col("id").as("src")), Seq("src"), "left_anti")
-    val banded = bandedBuckets(kept, dim, bits, bands)
-    val affBanded = banded
+    val affBanded = keptBanded
       .join(affected.select(col("src").as("id")), Seq("id"), "left_semi")
     val cand = affBanded.as("a")
-      .join(banded.as("b"),
+      .join(keptBanded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
       .distinct()
     val scored = cand
-      .join(kept.select(col("id").as("src"), col("ev").as("__sv")), "src")
-      .join(kept.select(col("id").as("dst"), col("ev").as("__dv")), "dst")
+      .join(keptVecs.select(col("id").as("src"), col("ev").as("__sv")),
+        "src")
+      .join(keptVecs.select(col("id").as("dst"), col("ev").as("__dv")),
+        "dst")
       .select(col("src"), col("dst"),
         Similarity.cosineNative(col("__sv"), col("__dv")).as("cosine"))
     val untouched = edges

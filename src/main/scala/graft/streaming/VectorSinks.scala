@@ -190,6 +190,105 @@ object VectorSinks {
       .start()
   }
 
+  /** The CDC form (round 12): ONE sink consuming a change stream of
+    * inserts AND deletes — `op` = "add" rows carry (id, ev), `op` =
+    * "del" rows carry the tombstoned id. Per epoch, inserts fold in
+    * via [[knnGraphEpoch]] against the LIVE history (histories minus
+    * all tombstones, so a new vector never edges to a ghost), then the
+    * epoch's tombstones repair the result via
+    * [[graft.similarity.GraphANN.repairAfterDelete]] (affected-src-only
+    * re-rank over surviving candidates). State: the insert sink's
+    * bands/vecs dirs plus an append-only `tombsDir` of deleted ids —
+    * histories stay append-only (the parquet-tombstone recipe; a
+    * compaction pass physically drops dead rows when wanted).
+    *
+    * Contracts: ids are unique across the stream's lifetime and never
+    * re-added after deletion (the tombstone is permanent — same
+    * uniqueness contract as the insert sink); an epoch's add and del
+    * sets are disjoint. Parity (spec-asserted): N mixed epochs equal
+    * the batch [[graft.similarity.GraphANN.knnGraph]] on the LIVE set
+    * (inserted minus deleted) — the q450/q451 cross-engine arguments
+    * composed. Replay: marker-guarded; a torn epoch replays
+    * self-healingly exactly as the insert sink does (dedup-on-read +
+    * anti-join of tombstones), since a replayed delete of an
+    * already-tombstoned id repairs nothing twice (its edges are
+    * already gone from the strictly-older snapshot... or re-derived
+    * identically when the tear predates the edge write).
+    *
+    * @param changeStream (id: long, ev: array&lt;double&gt; nullable,
+    *                     op: string "add" | "del") */
+  def upsertKnnGraphSink(changeStream: DataFrame, dim: Int, k: Int,
+      bits: Int, bands: Int, bandsDir: String, vecsDir: String,
+      tombsDir: String, edgesDir: String, markerDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val guarded = Streams.idempotentSink(markerDir) { (_, batch, epochId) =>
+      val spark = batch.sparkSession
+      val delta = batch.filter(col("op") === "add")
+        .select(col("id"), col("ev")).persist()
+      val tomb = batch.filter(col("op") === "del")
+        .select(col("id")).distinct().persist()
+      try {
+        val newBands = GraphANN.bandedBuckets(delta, dim, bits, bands)
+          .persist()
+        try {
+          val prevTombs =
+            if (dirExists(spark, tombsDir))
+              spark.read.parquet(tombsDir).distinct()
+            else tomb.limit(0)
+          val allTombs = prevTombs.union(tomb).distinct()
+          val histBands =
+            (if (dirExists(spark, bandsDir))
+               spark.read.parquet(bandsDir).distinct()
+             else newBands.limit(0))
+              .join(allTombs, Seq("id"), "left_anti")
+          val histVecs =
+            (if (dirExists(spark, vecsDir))
+               spark.read.parquet(vecsDir).dropDuplicates("id")
+             else delta.limit(0))
+              .join(allTombs, Seq("id"), "left_anti")
+          val prev = epochSnapshots(spark, edgesDir)
+            .filter(_._1 < epochId).lastOption
+          val prevEdges = prev match {
+            case Some((_, dir)) => spark.read.parquet(dir.toString)
+            case None => delta.limit(0)
+              .select(col("id").as("src"), col("id").as("dst"),
+                lit(0.0).as("cosine"), lit(0L).as("rn"))
+          }
+          val inserted = knnGraphEpoch(delta, histBands, histVecs,
+            prevEdges, dim, k, bits, bands)
+          // dedup both: on a torn replay the histories already contain
+          // this epoch's delta, and a duplicate vector row would
+          // double-occupy top-k slots in the repair's re-rank
+          val liveBands = histBands.unionByName(newBands).distinct()
+            .join(tomb, Seq("id"), "left_anti")
+          val liveVecs = histVecs.unionByName(delta)
+            .dropDuplicates("id")
+            .join(tomb, Seq("id"), "left_anti")
+          GraphANN.repairAfterDelete(liveBands, liveVecs, inserted,
+              tomb, k)
+            .write.mode("overwrite").parquet(s"$edgesDir/epoch=$epochId")
+          newBands.write.mode("append").parquet(bandsDir)
+          delta.write.mode("append").parquet(vecsDir)
+          tomb.write.mode("append").parquet(tombsDir)
+          val fs = stateFs(spark, edgesDir)._1
+          for ((e, dir) <- epochSnapshots(spark, edgesDir)
+               if e < prev.map(_._1).getOrElse(epochId)) {
+            fs.delete(dir, true); ()
+          }
+        } finally { newBands.unpersist(); () }
+      } finally { delta.unpersist(); tomb.unpersist(); () }
+    }
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) guarded("upsertgraph", batch, epochId)
+      }
+      .start()
+  }
+
   /** The newest graph snapshot written by [[incrementalKnnGraphSink]] —
     * (src, dst, cosine, rn), directly consumable by
     * [[graft.similarity.GraphANN.beamSearchTopKFrom]]. */

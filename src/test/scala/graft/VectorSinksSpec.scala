@@ -232,4 +232,52 @@ class VectorSinksSpec extends SparkSuite {
     assert(fromStream == fromBatch,
       s"stream-only=${fromStream -- fromBatch} batch-only=${fromBatch -- fromStream}")
   }
+
+  test("upsertKnnGraphSink: mixed insert/delete epochs equal the batch " +
+      "graph on the live set; a torn epoch replays without corruption") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double], String)]
+    val changes = mem.toDF().toDF("id", "ev", "op")
+    val (bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp) =
+      (tmp("up-bands"), tmp("up-vecs"), tmp("up-tombs"), tmp("up-edges"),
+        tmp("up-mark"), tmp("up-ckp"))
+    Seq(bandsDir, vecsDir, tombsDir, edgesDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = VectorSinks.upsertKnnGraphSink(changes, dim, gk, bits,
+        bands, bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp,
+        Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    def add(r: Range) = r.map(i => (i.toLong, vec(i), "add"))
+    def del(ids: Long*) = ids.map(i => (i, Seq.empty[Double], "del"))
+    // epoch 0: pure inserts; epoch 1: inserts + a delete of an OLD id;
+    // epoch 2: delete-only epoch removing an id inserted the epoch
+    // before plus one from epoch 0
+    mem.addData(add(0 until 14): _*); run()
+    mem.addData(add(14 until 26) ++ del(4L): _*); run()
+    mem.addData(del(20L, 7L): _*); run()
+
+    val liveIds = ((0 until 26).map(_.toLong).toSet -- Set(4L, 20L, 7L))
+    val live = (0 until 26).map(i => (i.toLong, vec(i)))
+      .filter(p => liveIds(p._1)).toDF("id", "ev")
+    val streamed = edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir))
+    val batch = edgeSet(GraphANN.knnGraph(live, dim, gk, bits, bands))
+    assert(streamed == batch,
+      s"streamed-only=${(streamed -- batch).take(5)} " +
+        s"batch-only=${(batch -- streamed).take(5)}")
+    // no ghost edges anywhere
+    val ids = streamed.flatMap(e => Set(e._1, e._2))
+    assert(ids.subsetOf(liveIds), s"ghosts: ${ids -- liveIds}")
+
+    // torn replay of the delete-only epoch: marker + commit gone after
+    // every append landed — dedup-on-read + tombstone anti-joins heal
+    val ms = new java.io.File(markers).listFiles()
+      .filter(_.getName.endsWith(".done")).sortBy(_.getName)
+    assert(ms.nonEmpty && ms.last.delete())
+    tearLastCommit(ckp)
+    run()
+    assert(edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir)) == batch)
+  }
 }
