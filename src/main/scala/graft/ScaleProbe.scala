@@ -294,6 +294,16 @@ object ScaleProbe {
         streaming.VectorSinks.knnGraphEpoch(gDelta, gHistBands, embAll,
           gPrev, dim = 64, k = 8, bits = 6, bands = 3).count()
       }
+      // deletion repair: a FIXED 50-id tombstone set against the m×
+      // graph — cost ∝ the tombstones' in-degree × bucket occupancy
+      // (replicas densify both, the adversarial case), never the
+      // corpus: the affected-src re-rank is the only recompute
+      time(s"knngraph_delete_x$m") {
+        graft.similarity.GraphANN.deleteFromGraph(embAll, gPrev,
+          embAll.select(col("id")).filter(col("id") % 10 === 3)
+            .limit(50),
+          dim = 64, k = 8, bits = 6, bands = 3).count()
+      }
       gHistBands.unpersist(); gPrev.unpersist(); embAll.unpersist()
 
       // round-6 heavy families — graph ops probe over m DISJOINT copies
