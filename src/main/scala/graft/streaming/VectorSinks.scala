@@ -356,6 +356,69 @@ object VectorSinks {
     spark.read.parquet(dirs.last._2.toString).select(col("id"))
   }
 
+  /** COMPACTION — the operational pass the append-only state dirs
+    * promise (run it quiesced: the sinks are single-writer and this
+    * rewrites their inputs): physically drops tombstoned ids and
+    * dedup rows from the bands/vecs histories, then clears the
+    * tombstone dir — their information is now baked in, so subsequent
+    * epochs read less and anti-join nothing. Swap discipline: the
+    * compacted copy is fully written to `<dir>.compact` BEFORE the
+    * live dir moves to `<dir>.old` and the copy renames in (both
+    * renames are single-FS metadata ops); `.old` is removed last, so
+    * every crash window leaves a complete copy on disk under one of
+    * the three names — recovery is picking the newest complete one,
+    * never re-deriving data. Parity contract (spec-asserted): epochs
+    * -> compact -> more epochs produces the same graph as never
+    * compacting.
+    *
+    * @param assignDir optional [[incrementalIvfAssignSink]] dir to
+    *                  compact with the same tombstones */
+  def compactVectorState(spark: SparkSession, bandsDir: String,
+      vecsDir: String, tombsDir: String,
+      assignDir: Option[String] = None): Unit = {
+    val tombs =
+      if (dirExists(spark, tombsDir))
+        spark.read.parquet(tombsDir).distinct().localCheckpoint()
+      else spark.range(0).select(col("id"))
+    def rewrite(dir: String)(f: DataFrame => DataFrame): Unit =
+      if (dirExists(spark, dir)) {
+        val (fs, p) = stateFs(spark, dir)
+        val compact = new org.apache.hadoop.fs.Path(dir + ".compact")
+        val old = new org.apache.hadoop.fs.Path(dir + ".old")
+        f(spark.read.parquet(dir))
+          .write.mode("overwrite").parquet(compact.toString)
+        if (fs.exists(old)) { fs.delete(old, true); () }
+        fs.rename(p, old)
+        fs.rename(compact, p)
+        fs.delete(old, true)
+        ()
+      }
+    rewrite(bandsDir)(df =>
+      df.distinct().join(tombs, Seq("id"), "left_anti"))
+    rewrite(vecsDir)(df =>
+      df.dropDuplicates("id").join(tombs, Seq("id"), "left_anti"))
+    assignDir.foreach(d => rewrite(d)(df =>
+      df.dropDuplicates("id").join(tombs, Seq("id"), "left_anti")))
+    // tombstones last: only cleared once no history row references them
+    if (dirExists(spark, tombsDir)) {
+      val (fs, p) = stateFs(spark, tombsDir)
+      fs.delete(p, true)
+      ()
+    }
+  }
+
+  /** [[incrementalIvfAssignSink]]'s readout MINUS tombstones — the
+    * live (id, cell, ev) assignments when deletes flow through
+    * [[upsertKnnGraphSink]] beside the assignment sink. */
+  def liveAssignments(spark: SparkSession, assignDir: String,
+      tombsDir: String): DataFrame = {
+    val assigned = spark.read.parquet(assignDir).dropDuplicates("id")
+    if (dirExists(spark, tombsDir))
+      assigned.join(spark.read.parquet(tombsDir).distinct(),
+        Seq("id"), "left_anti")
+    else assigned
+  }
+
   /** Incremental IVF cell assignment — the coarse-quantizer face:
     * each arriving vector gets its nearest-centroid cell from the
     * LITERAL centroid expression ([[graft.similarity.IVF.cellExpr]] —

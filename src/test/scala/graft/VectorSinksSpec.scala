@@ -280,4 +280,43 @@ class VectorSinksSpec extends SparkSuite {
     run()
     assert(edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir)) == batch)
   }
+
+  test("compactVectorState: tombstoned/duplicate rows physically drop, " +
+      "tombstones clear, and epochs AFTER compaction still reproduce " +
+      "the batch graph") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double], String)]
+    val changes = mem.toDF().toDF("id", "ev", "op")
+    val (bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp) =
+      (tmp("cp-bands"), tmp("cp-vecs"), tmp("cp-tombs"), tmp("cp-edges"),
+        tmp("cp-mark"), tmp("cp-ckp"))
+    Seq(bandsDir, vecsDir, tombsDir, edgesDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = VectorSinks.upsertKnnGraphSink(changes, dim, gk, bits,
+        bands, bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp,
+        Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    def add(r: Range) = r.map(i => (i.toLong, vec(i), "add"))
+    mem.addData(add(0 until 16): _*); run()
+    mem.addData((add(16 until 24) :+ ((3L, Seq.empty[Double], "del"))): _*)
+    run()
+    VectorSinks.compactVectorState(spark, bandsDir, vecsDir, tombsDir)
+    // tombstones cleared; histories physically reduced to live rows
+    assert(!new java.io.File(tombsDir).exists())
+    assert(spark.read.parquet(vecsDir).count() == 23L)
+    assert(spark.read.parquet(bandsDir)
+      .filter(col("id") === 3L).count() == 0L)
+    // the stream continues over the compacted state
+    mem.addData(add(24 until 30): _*); run()
+    val live = (0 until 30).map(i => (i.toLong, vec(i)))
+      .filter(_._1 != 3L).toDF("id", "ev")
+    val streamed = edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir))
+    val batch = edgeSet(GraphANN.knnGraph(live, dim, gk, bits, bands))
+    assert(streamed == batch,
+      s"streamed-only=${(streamed -- batch).take(5)} " +
+        s"batch-only=${(batch -- streamed).take(5)}")
+  }
 }
