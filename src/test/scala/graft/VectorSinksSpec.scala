@@ -281,6 +281,22 @@ class VectorSinksSpec extends SparkSuite {
     assert(edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir)) == batch)
   }
 
+  test("plan shape: the epoch fold and the deletion repair build no " +
+      "cartesian product — every join is keyed") {
+    import spark.implicits._
+    val hist = (0 until 200).map(i => (i.toLong, vec(i))).toDF("id", "ev")
+    val delta = (200 until 210).map(i => (i.toLong, vec(i))).toDF("id", "ev")
+    val histBands = GraphANN.bandedBuckets(hist, dim, bits, bands)
+    val prev = GraphANN.knnGraph(hist, dim, gk, bits, bands)
+    val epochPlan = VectorSinks.knnGraphEpoch(delta, histBands, hist,
+      prev, dim, gk, bits, bands).queryExecution.executedPlan.toString
+    assert(!epochPlan.contains("CartesianProduct"), epochPlan.take(500))
+    val repairPlan = GraphANN.repairAfterDelete(histBands, hist, prev,
+        hist.filter(col("id") < 5).select(col("id")), gk)
+      .queryExecution.executedPlan.toString
+    assert(!repairPlan.contains("CartesianProduct"), repairPlan.take(500))
+  }
+
   test("compactVectorState: tombstoned/duplicate rows physically drop, " +
       "tombstones clear, and epochs AFTER compaction still reproduce " +
       "the batch graph") {
