@@ -82,11 +82,19 @@ def main():
         elif p > c_adj * args.ratio:
             speedups.append((name, p, c_adj))
 
-    pt = sum(pq[n] for n in shared)
-    ct = sum(cq[n] for n in shared)
-    print(f"shared queries: {len(shared)}  "
-          f"prev {pt:.1f}s -> cur {ct:.1f}s ({ct / pt:.2f}x)"
-          if pt > 0 else f"shared queries: {len(shared)}")
+    # totals exclude the calibration probe (fixed synthetic work) and,
+    # when it is present, print the machine-normalized ratio beside the
+    # raw one — otherwise the headline reads pure drift
+    tot_q = [n for n in shared if n != CAL]
+    pt = sum(pq[n] for n in tot_q)
+    ct = sum(cq[n] for n in tot_q)
+    if pt > 0:
+        line = (f"shared queries: {len(tot_q)}  "
+                f"prev {pt:.1f}s -> cur {ct:.1f}s ({ct / pt:.2f}x raw")
+        line += f", {ct / cal / pt:.2f}x calibrated)" if cal else ")"
+        print(line)
+    else:
+        print(f"shared queries: {len(tot_q)}")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:

@@ -199,6 +199,10 @@ object GraphANN {
   def beamSearchTopKFrom(base: DataFrame, queries: DataFrame,
       edges: DataFrame, seeds: DataFrame, beam: Int, rounds: Int,
       k: Int): (DataFrame, DataFrame) = {
+    // the answer comes from the beam-sized frame here, so a beam < k
+    // would silently cap results at beam rows per query (the filtered
+    // form answers from the visited set and has no such floor)
+    require(beam >= k && rounds >= 0)
     val (beamDf, visited) = traverse(base, queries, edges, seeds, beam,
       rounds)
     val topk = TopK.perGroup(

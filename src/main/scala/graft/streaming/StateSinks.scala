@@ -208,7 +208,20 @@ object StateSinks {
       textCol: String, nShards: Int, salt: String, layoutDir: String,
       stateDir: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
-      : StreamingQuery = {
+      : StreamingQuery =
+    layoutSinkCore(docsStream, idCol, textCol, None, nShards, salt,
+      layoutDir, stateDir, checkpoint, trigger)
+
+  /** The shared epoch body of [[shardLayoutSink]] and
+    * [[curriculumShardLayoutSink]]: identical state merge / versioned
+    * overwrite / two-snapshot retention; the curriculum form only
+    * prefixes the within-shard window order with its bucket column
+    * (plain [[shardLayoutSink]] is the `bucket = None` instance —
+    * order (__h, id)) and carries the bucket in the layout rows. */
+  private def layoutSinkCore(docsStream: DataFrame, idCol: String,
+      textCol: String, bucket: Option[org.apache.spark.sql.Column],
+      nShards: Int, salt: String, layoutDir: String, stateDir: String,
+      checkpoint: String, trigger: Trigger): StreamingQuery = {
     require(nShards >= 1)
     docsStream.writeStream
       .outputMode("append")
@@ -219,12 +232,17 @@ object StateSinks {
           val spark = batch.sparkSession
           val h = graft.functions.Hash64.hash60(
             concat(lit(salt), lit("_"), col(idCol).cast("string")))
+          val order = bucket.map(_ => Seq(col("bucket")))
+            .getOrElse(Seq.empty) ++ Seq(col("__h"), col(idCol))
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+            .partitionBy(col("shard")).orderBy(order: _*)
+          val outCols = Seq(col(idCol), col("shard"), col("pos")) ++
+            bucket.map(_ => col("bucket")).toSeq :+ col("n_tokens")
           val epochLayout = batch
-            .select(col(idCol),
+            .select(Seq(col(idCol),
               graft.text.TextAnalysis.tokenCount(col(textCol))
-                .cast("long").as("n_tokens"))
+                .cast("long").as("n_tokens")) ++
+              bucket.map(_.cast("long").as("bucket")).toSeq: _*)
             .withColumn("__h", h)
             .withColumn("shard", col("__h") % nShards)
             .withColumn("__r", row_number().over(w).cast("long"))
@@ -239,7 +257,7 @@ object StateSinks {
             .join(broadcast(state), Seq("shard"), "left")
             .na.fill(0L, Seq("max_pos"))
             .withColumn("pos", col("max_pos") + col("__r"))
-            .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
+            .select(outCols: _*)
             .localCheckpoint()
           laid.write.mode("overwrite")
             .parquet(s"$layoutDir/epoch=$epochId")
@@ -284,58 +302,9 @@ object StateSinks {
       salt: String, layoutDir: String, stateDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
-      : StreamingQuery = {
-    require(nShards >= 1)
-    docsStream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val h = graft.functions.Hash64.hash60(
-            concat(lit(salt), lit("_"), col(idCol).cast("string")))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("shard"))
-            .orderBy(col("bucket"), col("__h"), col(idCol))
-          val epochLayout = batch
-            .select(col(idCol),
-              graft.text.TextAnalysis.tokenCount(col(textCol))
-                .cast("long").as("n_tokens"),
-              bucket.cast("long").as("bucket"))
-            .withColumn("__h", h)
-            .withColumn("shard", col("__h") % nShards)
-            .withColumn("__r", row_number().over(w).cast("long"))
-          val prev = epochSnapshots(spark, stateDir)
-            .filter(_._1 < epochId).lastOption
-          val state = prev match {
-            case Some((_, dir)) => spark.read.parquet(dir.toString)
-            case None => spark.range(0).select(col("id").as("shard"),
-              col("id").as("max_pos"))
-          }
-          val laid = epochLayout
-            .join(broadcast(state), Seq("shard"), "left")
-            .na.fill(0L, Seq("max_pos"))
-            .withColumn("pos", col("max_pos") + col("__r"))
-            .select(col(idCol), col("shard"), col("pos"), col("bucket"),
-              col("n_tokens"))
-            .localCheckpoint()
-          laid.write.mode("overwrite")
-            .parquet(s"$layoutDir/epoch=$epochId")
-          laid.groupBy(col("shard"))
-            .agg(max(col("pos")).as("max_pos"))
-            .unionByName(state)
-            .groupBy(col("shard")).agg(max(col("max_pos")).as("max_pos"))
-            .write.mode("overwrite").parquet(s"$stateDir/epoch=$epochId")
-          val fs = stateFs(spark, stateDir)._1
-          for ((e, dir) <- epochSnapshots(spark, stateDir)
-               if e < prev.map(_._1).getOrElse(epochId)) {
-            fs.delete(dir, true); ()
-          }
-        }
-      }
-      .start()
-  }
+      : StreamingQuery =
+    layoutSinkCore(docsStream, idCol, textCol, Some(bucket), nShards,
+      salt, layoutDir, stateDir, checkpoint, trigger)
 
   /** Every epoch slice of [[shardLayoutSink]]'s layout, one frame. */
   def readLayout(spark: SparkSession, layoutDir: String): DataFrame =

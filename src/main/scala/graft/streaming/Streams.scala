@@ -34,7 +34,7 @@ object Streams {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def stateDirExists(spark: SparkSession, dir: String): Boolean = {
+  private[streaming] def stateDirExists(spark: SparkSession, dir: String): Boolean = {
     val (fs, p) = stateFs(spark, dir)
     fs.exists(p)
   }

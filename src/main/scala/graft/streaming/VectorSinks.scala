@@ -55,12 +55,7 @@ import graft.similarity.{GraphANN, IVF, TopK}
   */
 object VectorSinks {
 
-  import Streams.{epochSnapshots, stateFs}
-
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
-    val (fs, p) = stateFs(spark, dir)
-    fs.exists(p)
-  }
+  import Streams.{epochSnapshots, stateDirExists => dirExists, stateFs}
 
   /** One epoch of incremental graph maintenance as a pure frame
     * transform — the sink wraps it in state IO; ScaleProbe times it
@@ -388,8 +383,12 @@ object VectorSinks {
         f(spark.read.parquet(dir))
           .write.mode("overwrite").parquet(compact.toString)
         if (fs.exists(old)) { fs.delete(old, true); () }
-        fs.rename(p, old)
-        fs.rename(compact, p)
+        // Hadoop rename signals most failures by returning FALSE, not
+        // throwing — each must be checked, or a failed second rename
+        // would fall through to deleting the only remaining copy
+        require(fs.rename(p, old), s"compaction: rename $p -> $old failed")
+        require(fs.rename(compact, p),
+          s"compaction: rename $compact -> $p failed; original intact at $old")
         fs.delete(old, true)
         ()
       }
@@ -424,11 +423,16 @@ object VectorSinks {
     * LITERAL centroid expression ([[graft.similarity.IVF.cellExpr]] —
     * zero shuffle, zero join, pure codegen scan) and appends
     * (id, cell, ev) to `assignDir`, marker-guarded so a committed epoch
-    * never re-appends. The accumulated table IS
+    * never re-appends. Read it through [[liveAssignments]] (which
+    * dedups by id and subtracts tombstones): a crash between the
+    * append and the marker write replays the epoch and duplicates its
+    * rows in the raw dir — the same torn-epoch contract as the other
+    * append-only histories, healed on read, physically dropped by
+    * [[compactVectorState]]. Deduped, the table IS
     * [[graft.similarity.IVF.assign]] of the union corpus
     * (VectorSinksSpec asserts equality), so [[graft.similarity.IVF]]
-    * probing — and the IVF-seeded graph search — runs against it
-    * directly at any moment. */
+    * probing — and the IVF-seeded graph search — runs against it at
+    * any moment. */
   def incrementalIvfAssignSink(vecStream: DataFrame,
       cents: Seq[(Long, Seq[Double])], assignDir: String,
       markerDir: String, checkpoint: String,

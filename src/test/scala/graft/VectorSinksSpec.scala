@@ -143,7 +143,9 @@ class VectorSinksSpec extends SparkSuite {
     }
     mem.addData(all.slice(0, 10): _*); run()
     mem.addData(all.slice(10, 30): _*); run()
-    val streamed = spark.read.parquet(assignDir)
+    // read through the canonical dedup readout (no tombstone dir here)
+    val streamed = VectorSinks
+      .liveAssignments(spark, assignDir, tmp("ia-no-tombs") + "/none")
       .select(col("id"), col("cell"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = IVF.assign(all.toDF("id", "ev"), cents)
