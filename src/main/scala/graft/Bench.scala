@@ -54,6 +54,14 @@ object Bench {
       // gap, now an artifact number).
       "x403_release_chain" ->
         ((s, dir) => queries.CurationGates.releaseChainOnce(s, dir)),
+      // Production-path graph-ANN search (round-13 item 2): the index
+      // (knnGraph + topLayer) materializes ONCE per data dir on first
+      // invocation; the reported min-of-2-passes figure is the pure
+      // seed → 3 rounds → top-k search from the parquet index — vs the
+      // q446-q454 gates, which re-derive the build + brute legs per
+      // query for oracle self-containment.
+      "x446_graph_chain" ->
+        ((s, dir) => queries.VectorsGraph.graphChainSearch(s, dir)),
       "x27_minhash_xxh" ->
         ((s, dir) => queries.VectorsDedup.minhashLshPipeline(s, dir, graft.functions.Hash64.fast60)),
       // Production-hash char-shingle path: q134's cost is ~all md5 over
@@ -110,7 +118,10 @@ object Bench {
       "x37_cluster_table" ->
         ((s, dir) => {
           import org.apache.spark.sql.functions._
-          val tableDir = "/tmp/graft_cluster_table"
+          // per-run temp dir: concurrent bench runs must not clobber
+          // each other's materialized table mid-read
+          val tableDir = java.nio.file.Files
+            .createTempDirectory("graft_cluster_table").toString
           val pairs = queries.VectorsDedup
             .minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
             .filter(col("est_jaccard") >= 0.5)

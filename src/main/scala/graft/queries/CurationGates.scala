@@ -123,7 +123,10 @@ object CurationGates extends QueryModule {
     * includes the write and every consumer. */
   private[graft] def releaseChainOnce(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir).documents
-    val tableDir = "/tmp/graft_release_chain"
+    // per-run temp dir (not a fixed path): concurrent bench runs on one
+    // host must not clobber each other's materialized table mid-read
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_release_chain").toString
     graft.text.Curate.releaseVerdicts(releaseInput(base), "doc_id",
         "text", blockPhrases, releaseBench(base), minTokens = 10L)
       .join(releaseSources(base), "doc_id")

@@ -271,6 +271,33 @@ object Vectors extends QueryModule {
         .withColumn("pos", col("pos").cast("long"))
     }),
 
+    // ONE RECENTER STEP of the streaming-IVF lifecycle (round 13 —
+    // [[graft.streaming.VectorSinks.recenterVectorState]]'s core,
+    // replayed cross-engine): assign against the stale model (q36's
+    // argmax), Lloyd-update the centroids from those assignments (q58's
+    // exact quantized mean — integer sums, order-independent, so the
+    // new model is bit-identical in both engines), then RE-ASSIGN every
+    // vector against the new model. Centroids are model-scale, so the
+    // mid-query collect is the [[graft.similarity.IVF.collectCentroids]]
+    // contract; both assignment passes are zero-shuffle literal-centroid
+    // scans. Output: each vector's post-recenter cell.
+    "q453_ivf_recenter" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cents0 = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      val newCents = graft.similarity.IVF.collectCentroids(
+        graft.similarity.KMeans
+          .exactMeanByKey(graft.similarity.IVF.assign(base(t), cents0),
+            "cell", "ev")
+          .select(col("cell").as("cid"), col("vec").as("cv")),
+        "cid", "cv")
+      graft.similarity.IVF.assign(base(t), newCents)
+        .select(col("id"), col("cell"))
+    }),
+
     // Embedding-cosine near-dup: LSH-bucketed self-join + exact-cosine
     // verify. Scaled copies (x*1.01 — same direction, different values,
     // so exact/quantized dedup misses them) are injected and must be
@@ -682,6 +709,45 @@ object Vectors extends QueryModule {
         |)
         |SELECT cell, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
         |FROM sums""".stripMargin,
+
+    // q58's Lloyd update composed with a SECOND assignment pass against
+    // the updated model — the recenter-step replay. The new centroid
+    // components derive from exact integer sums with the identical
+    // double sequence (sum → double ÷ n ÷ scale) on both engines, so
+    // the re-assignment argmax sees bit-identical literals.
+    "q453_ivf_recenter" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT id, ev, cell FROM (
+        |    SELECT b.id, b.ev, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY b.id
+        |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+        |    FROM b CROSS JOIN c
+        |  ) WHERE arn = 1
+        |), dims AS (
+        |  SELECT cell, CAST(pr[2] AS BIGINT) AS pos,
+        |         CAST(floor(pr[1] * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT cell, unnest(list_zip(ev, range(0, len(ev)))) AS pr
+        |        FROM assigned)
+        |), sums AS (
+        |  SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+        |  FROM dims GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT cell AS cid,
+        |         list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS cv
+        |  FROM sums GROUP BY cell
+        |)
+        |SELECT id, cell FROM (
+        |  SELECT b.id, c1.cid AS cell,
+        |         row_number() OVER (PARTITION BY b.id
+        |           ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c1.cid) AS arn
+        |  FROM b CROSS JOIN c1
+        |) WHERE arn = 1""".stripMargin,
 
     "q144_hard_negatives" ->
       s"""WITH b AS (

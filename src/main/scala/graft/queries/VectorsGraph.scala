@@ -38,6 +38,11 @@ object VectorsGraph extends QueryModule {
   // per query — still >= q447's average, but 24/3 is the better
   // operating point and the honest price is stated here).
   private val (gLayer, gSalt, gLayerRounds) = (24, "hier", 3)
+  // q454 sweep points (label, modulus — eligible fraction ≈ 1/m) and
+  // the fallback threshold: 1/33 ≈ 0.030 < 0.05 < 0.1 = 1/10, so the
+  // branch per point is stable at any SF (2-6x margin each side)
+  private val sweepSels = Seq(("sel_3", 3), ("sel_10", 10), ("sel_33", 33))
+  private val sweepMinFrac = 0.05
 
   /** The shared recall@k-vs-brute gate tail: (qid, n_hits, recall,
     * n_scored) — q447/q448/q449 differ only in how they seed the beam. */
@@ -168,6 +173,38 @@ object VectorsGraph extends QueryModule {
         dim = 64, k = gK, bits = gBits, bands = gBands)
     }),
 
+    // FILTERED-ANN SELECTIVITY SWEEP (round 13): q452 gates exactly one
+    // 1/3-selective predicate, but post-filter-over-visited is known to
+    // starve as selectivity drops (the filtered-HNSW failure mode) — so
+    // this sweeps three selectivities (1/3, 1/10, 1/33) through the
+    // ADAPTIVE operator: above the 5% eligible-fraction threshold the
+    // graph walk runs (its visited set still contains enough eligible
+    // nodes); below it, brute force over the (by-definition small)
+    // filtered subset — exact, recall 1, cost |eligible| per query.
+    // The branch is decided by runtime counts; the fractions sit at
+    // 2-6x margin from the threshold at every test SF (id % m ≈ 1/m
+    // regardless of scale), and the oracle replays the SAME branch per
+    // point — walk points via the unrolled-traversal replay, the
+    // fallback point via the brute-over-subset replay — so both
+    // branches' outputs are DuckDB-verified in one gated query.
+    "q454_filtered_ann_sweep" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = Vectors.base(t)
+      val edges = GraphANN.knnGraph(base, dim = 64, k = gK,
+        bits = gBits, bands = gBands)
+      val seeds = Vectors.queriesDf(t).select(col("qid"))
+        .crossJoin(GraphANN.topLayer(base, gLayer, gSalt))
+      sweepSels.map { case (label, m) =>
+        val pred = col("id") % m === 1
+        val (found, nScored, fb) = GraphANN.filteredTopKAdaptive(base,
+          Vectors.queriesDf(t), edges, seeds, pred, beam = gBeam,
+          rounds = gLayerRounds, k = topK, minEligibleFrac = sweepMinFrac)
+        recallGate(t, base.filter(pred), found, nScored)
+          .select(lit(label).as("sel"), col("qid"), col("n_hits"),
+            col("recall"), col("n_scored"), lit(fb).as("used_fallback"))
+      }.reduce(_ unionByName _)
+    }),
+
     // IVF-seeded graph search — the production composite: a coarse
     // quantizer (q36's 16 literal centroids, DELIBERATELY fewer probes
     // than q435's gate — nProbe=2) picks 8 entry points near each
@@ -199,6 +236,40 @@ object VectorsGraph extends QueryModule {
     }),
   )
 
+  /** Production-path graph-ANN search for Bench's `x446_graph_chain`
+    * (round-13 item 2 — the x403/x37 chain-once precedent applied to
+    * this family): q446–q454 re-derive the SAME knnGraph + topLayer +
+    * brute-force legs per query for oracle self-containment; a
+    * deployment builds the index ONCE and serves searches from it. The
+    * first invocation per data dir materializes graph + layer to a
+    * per-run temp dir (the index build, paid once — x111's train-once
+    * contract); every later invocation reads the parquet index and runs
+    * ONLY the production search: seed from the stored layer → 3
+    * synchronous expansions → top-k. Bench reports the min of its 2
+    * timed passes, so the artifact figure is the pure search — making
+    * the gate-vs-production gap an explicit number. */
+  private val chainDirs =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private[graft] def graphChainSearch(s: SparkSession, dir: String): DataFrame = {
+    val (edgesPath, layerPath) = chainDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_graph_chain").toString
+      val b = Vectors.base(Tables(s, dir))
+      GraphANN.knnGraph(b, dim = 64, k = gK, bits = gBits, bands = gBands)
+        .write.mode("overwrite").parquet(s"$d/edges")
+      GraphANN.topLayer(b, gLayer, gSalt)
+        .write.mode("overwrite").parquet(s"$d/layer")
+      (s"$d/edges", s"$d/layer")
+    })
+    val t = Tables(s, dir)
+    val base = Vectors.base(t)
+    val seeds = Vectors.queriesDf(t).select(col("qid"))
+      .crossJoin(s.read.parquet(layerPath))
+    GraphANN.beamSearchTopKFrom(base, Vectors.queriesDf(t),
+      s.read.parquet(edgesPath), seeds, beam = gBeam,
+      rounds = gLayerRounds, k = topK)._1
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q446_knn_graph" -> GraphANN.knnGraphOracleSql(
       baseSqlStr, dim = 64, k = gK, bits = gBits, bands = gBands),
@@ -225,6 +296,28 @@ object VectorsGraph extends QueryModule {
         |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
         |FROM embeddings WHERE vec_id % 9 <> 0""".stripMargin,
       dim = 64, k = gK, bits = gBits, bands = gBands),
+
+    // one block per sweep point, each replaying ITS branch: the walk
+    // points reuse q452's unrolled-traversal oracle, the fallback point
+    // the brute-over-subset replay; labels + the branch flag join the
+    // blocks into one frame (nested WITH in a subquery — DuckDB allows
+    // it, the releaseInputSql precedent)
+    "q454_filtered_ann_sweep" -> sweepSels.map { case (label, m) =>
+      val pred = s"nb.id % $m = 1"
+      val fallback = 1.0 / m < sweepMinFrac
+      val inner =
+        if (fallback) GraphANN.bruteFilteredOracleSql(
+          baseSqlStr, queriesSqlStr, pred, k = topK)
+        else GraphANN.beamRecallFilteredOracleSql(
+          baseSqlStr, queriesSqlStr, pred, dim = 64, graphK = gK,
+          layerSize = gLayer, salt = gSalt, beam = gBeam,
+          rounds = gLayerRounds, k = topK, bits = gBits, bands = gBands)
+      s"""SELECT '$label' AS sel, qid, n_hits, recall, n_scored,
+         |       ${if (fallback) "TRUE" else "FALSE"} AS used_fallback
+         |FROM (
+         |$inner
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q449_hier_graph_ann" -> GraphANN.beamRecallTopLayerOracleSql(
       baseSqlStr, queriesSqlStr, dim = 64, graphK = gK,

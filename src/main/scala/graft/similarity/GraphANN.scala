@@ -273,6 +273,48 @@ object GraphANN {
       nScoredOf(visited))
   }
 
+  /** ADAPTIVE filtered search (round 13) — [[beamSearchFilteredTopK]]
+    * with the low-selectivity fallback the post-filter-over-visited
+    * recipe needs: at 1–5% selectivity the walk's visited set contains
+    * almost no eligible nodes (the known filtered-HNSW starvation mode —
+    * the traversal is steered by ineligible neighbours and the answer
+    * pool shrinks toward empty), while the eligible subset itself is by
+    * definition SMALL — so when the eligible fraction is below
+    * `minEligibleFrac`, skip the graph entirely and brute-force the
+    * filtered subset ([[Similarity.bruteForceTopK]] over one
+    * filter-pushed scan: |Q|·(sel·n) scoring, exact, recall 1 by
+    * construction; n_scored reports the honest |eligible| cost).
+    * Above the threshold the walk wins (it scores entries +
+    * rounds·beam·k nodes regardless of n) and runs unchanged.
+    *
+    * The branch condition is two driver-side counts — bounded scalars,
+    * the decision a production planner would also make from table
+    * statistics. The q454 gate replays BOTH branches cross-engine over
+    * a 3-point selectivity sweep (1/3, 1/10, 1/33 with the fallback at
+    * 5%), so each branch's full output is DuckDB-verified and the
+    * sweep documents where the crossover sits.
+    *
+    * @return (topk, nScored, usedFallback) */
+  def filteredTopKAdaptive(base: DataFrame, queries: DataFrame,
+      edges: DataFrame, seeds: DataFrame, pred: Column, beam: Int,
+      rounds: Int, k: Int,
+      minEligibleFrac: Double = 0.05): (DataFrame, DataFrame, Boolean) = {
+    val n = base.count()
+    val eligible = base.filter(pred)
+    val ne = eligible.count()
+    require(n > 0 && ne > 0, s"empty corpus ($n) or filter ($ne)")
+    if (ne.toDouble / n < minEligibleFrac) {
+      val found = Similarity.bruteForceTopK(eligible, queries, k)
+        .select(col("qid"), col("id"), col("cosine"))
+      val nScored = queries.select(col("qid"), lit(ne).as("n_scored"))
+      (found, nScored, true)
+    } else {
+      val (found, nScored) = beamSearchFilteredTopK(base, queries,
+        edges, seeds, pred, beam, rounds, k)
+      (found, nScored, false)
+    }
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB banded [[Similarity.lshBucket]] mirror: band `band` uses
@@ -490,6 +532,28 @@ object GraphANN {
        |FROM q LEFT JOIN hits ON q.qid = hits.qid
        |JOIN nsc ON q.qid = nsc.qid""".stripMargin
   }
+
+  /** DuckDB oracle for ONE fallback (brute-over-filtered-subset) point
+    * of the q454 selectivity sweep: found ≡ brute by construction, so
+    * the recall join replays as a count over the filtered brute top-k
+    * (min(k, |eligible per query|) hits — replayed, not asserted), and
+    * n_scored is the eligible-subset size, the honest fallback cost. */
+  def bruteFilteredOracleSql(baseSql: String, queriesSql: String,
+      filterPred: String, k: Int): String =
+    s"""WITH b AS ($baseSql),
+       |q AS ($queriesSql),
+       |brute AS (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, nb.id, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qv", "nb.ev")} DESC, nb.id) AS rn
+       |    FROM q CROSS JOIN b nb WHERE $filterPred
+       |  ) WHERE rn <= $k
+       |)
+       |SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(count(*) AS DOUBLE) / $k.0 AS recall,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM b nb
+       |        WHERE $filterPred) AS n_scored
+       |FROM brute GROUP BY qid""".stripMargin
 
   /** DuckDB oracle for the IVF-SEEDED composite: [[IVF.topK]]'s
     * shortlist (nearest-centroid assignment, top-`nProbe` probed

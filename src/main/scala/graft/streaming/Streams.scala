@@ -34,9 +34,29 @@ object Streams {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** True iff the state/history dir exists. SAFETY (round 13): a missing
+    * live dir with a leftover `<dir>.compact` / `<dir>.old` sibling is NOT
+    * "no history yet" — it is the crash window of [[swapRewrite]] between
+    * its two renames, and silently treating it as empty would rebuild
+    * state from nothing (a wrong graph / resurrected duplicates) instead
+    * of recovering the complete copy sitting on disk. Fail loudly with
+    * the recovery instruction; every sink and readout routes through
+    * here, so none can run past a half-finished compaction. */
   private[streaming] def stateDirExists(spark: SparkSession, dir: String): Boolean = {
     val (fs, p) = stateFs(spark, dir)
-    fs.exists(p)
+    if (fs.exists(p)) true
+    else {
+      val leftovers = Seq(".compact", ".old")
+        .map(s => new org.apache.hadoop.fs.Path(dir + s))
+        .filter(fs.exists)
+      require(leftovers.isEmpty,
+        s"state dir $dir is missing but ${leftovers.mkString(", ")} " +
+          "exist(s) — a compaction crashed between its renames. Recover " +
+          s"by renaming the newest complete copy back to $dir " +
+          "(prefer .compact if fully written, else .old); do NOT run " +
+          "sinks against the missing dir, they would rebuild from empty.")
+      false
+    }
   }
 
   /** `epoch=N` snapshot dirs under `stateDir`, oldest first; empty if the
@@ -50,6 +70,70 @@ object Streams {
       .map(s => s.getPath.getName.stripPrefix("epoch=").toLong -> s.getPath)
       .sortBy(_._1)
   }
+
+  /** [[epochSnapshots]] restricted to COMPLETE snapshots — dirs whose
+    * `_SUCCESS` marker landed (the parquet committer writes it last).
+    * External readouts (`latest*`) must list through this: in the window
+    * where a crash tore the overwrite of epoch N, the partial dir exists
+    * without `_SUCCESS`, and `.last` over the raw listing would serve a
+    * half-written snapshot; filtering falls back to the newest complete
+    * one (two-snapshot retention guarantees it exists after epoch 0). The
+    * sinks' own `prev` selection filters `< epochId`, which already
+    * excludes the only possibly-torn dir (the replaying epoch's own). */
+  private[streaming] def completeEpochSnapshots(spark: SparkSession,
+      stateDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val (fs, _) = stateFs(spark, stateDir)
+    epochSnapshots(spark, stateDir).filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+  }
+
+  /** Crash-safe in-place rewrite of a state/history dir (the compaction
+    * swap discipline, shared by [[graft.streaming.VectorSinks]] and
+    * [[compactHistory]]): the rewritten copy is FULLY written to
+    * `<dir>.compact` BEFORE the live dir moves to `<dir>.old` and the
+    * copy renames in (both renames single-FS metadata ops); `.old` is
+    * removed last, so every crash window leaves a complete copy on disk
+    * under one of the three names — and [[stateDirExists]] detects the
+    * between-renames window and refuses to run sinks past it. Hadoop
+    * rename signals most failures by returning FALSE, not throwing —
+    * each is require-checked, or a failed second rename would fall
+    * through to deleting the only remaining copy. Run quiesced: the
+    * sinks are single-writer and this rewrites their inputs. */
+  private[streaming] def swapRewrite(spark: SparkSession, dir: String)(
+      f: DataFrame => DataFrame): Unit =
+    if (stateDirExists(spark, dir)) {
+      val (fs, p) = stateFs(spark, dir)
+      val compact = new org.apache.hadoop.fs.Path(dir + ".compact")
+      val old = new org.apache.hadoop.fs.Path(dir + ".old")
+      f(spark.read.parquet(dir))
+        .write.mode("overwrite").parquet(compact.toString)
+      if (fs.exists(old)) { fs.delete(old, true); () }
+      require(fs.rename(p, old), s"compaction: rename $p -> $old failed")
+      require(fs.rename(compact, p),
+        s"compaction: rename $compact -> $p failed; original intact at $old")
+      fs.delete(old, true)
+      ()
+    }
+
+  /** COMPACTION for the append-only text-side history/output dirs
+    * (round 13) — the operational pass [[incrementalCorpusSink]] /
+    * [[incrementalNearDupSink]] / [[releasePipelineSink]] /
+    * [[exactSubstrDedupSink]] promise: their histories (fingerprints,
+    * MinHash signatures, L-gram hashes) and output dirs accumulate one
+    * small file per epoch, and a torn epoch can leave duplicate rows
+    * that dedup-on-read heals at a growing scan cost. This physically
+    * collapses the dir to distinct rows (on `keys` when given — e.g. the
+    * id column of an output dir whose torn-epoch duplicates carry the
+    * same id — else whole-row distinct, which every history dir wants:
+    * their rows are pure functions of the doc, so duplicates are exact)
+    * under [[swapRewrite]]'s require-checked three-name swap. Parity
+    * contract (StreamsSpec): epochs → compact → more epochs produces the
+    * same survivors as never compacting. */
+  def compactHistory(spark: SparkSession, dir: String,
+      keys: Seq[String] = Nil): Unit =
+    swapRewrite(spark, dir)(df =>
+      if (keys.isEmpty) df.distinct() else df.dropDuplicates(keys))
 
   /** O3+X3: keyed dedup with TTL'd state. Event-time watermark bounds the
     * state store; without it a 100 TB/day stream accumulates state forever. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.similarity.{GraphANN, IVF, TopK}
+import graft.similarity.{GraphANN, IVF, KMeans, TopK}
 
 /** The STREAMING face of the vector/ANN family (round-12 item 1) —
   * embeddings arriving continuously maintain the same two structures
@@ -50,12 +50,21 @@ import graft.similarity.{GraphANN, IVF, TopK}
   * overwrite (src-hash partitions; only affected partitions rewrite),
   * which needs the ACID table jars absent from this container (the
   * carried round-2 seam); (2) the banded history SCAN grows with the
-  * corpus — compact it periodically (it is plain parquet) and prune by
-  * the delta's (band, bucket) set via partition/bucket pruning.
+  * corpus — compact it periodically ([[compactVectorState]]) and prune
+  * by the delta's (band, bucket) set via partition/bucket pruning.
+  *
+  * Round 13 lifecycle upgrades: the CDC sink's state is VERSIONED
+  * (latest-event-wins), so updates and re-adds are first-class (the
+  * permanent-tombstone contract is gone); compaction takes the full
+  * consumer-dir enumeration and clears tombstones only because every
+  * consumer baked them in; readouts list only `_SUCCESS`-complete
+  * snapshots; a compaction crash between renames is detected loudly
+  * ([[Streams.stateDirExists]]) instead of reading empty history; and
+  * [[recenterVectorState]] closes the frozen-centroid drift gap.
   */
 object VectorSinks {
 
-  import Streams.{epochSnapshots, stateDirExists => dirExists, stateFs}
+  import Streams.{completeEpochSnapshots, epochSnapshots, stateDirExists => dirExists, stateFs, swapRewrite}
 
   /** One epoch of incremental graph maintenance as a pure frame
     * transform — the sink wraps it in state IO; ScaleProbe times it
@@ -185,30 +194,54 @@ object VectorSinks {
       .start()
   }
 
-  /** The CDC form (round 12): ONE sink consuming a change stream of
-    * inserts AND deletes — `op` = "add" rows carry (id, ev), `op` =
-    * "del" rows carry the tombstoned id. Per epoch, inserts fold in
-    * via [[knnGraphEpoch]] against the LIVE history (histories minus
-    * all tombstones, so a new vector never edges to a ghost), then the
-    * epoch's tombstones repair the result via
-    * [[graft.similarity.GraphANN.repairAfterDelete]] (affected-src-only
-    * re-rank over surviving candidates). State: the insert sink's
-    * bands/vecs dirs plus an append-only `tombsDir` of deleted ids —
-    * histories stay append-only (the parquet-tombstone recipe; a
-    * compaction pass physically drops dead rows when wanted).
+  /** The CDC form (round 12; re-add/update support round 13): ONE sink
+    * consuming a change stream of inserts AND deletes — `op` = "add"
+    * rows carry (id, ev), `op` = "del" rows carry the tombstoned id.
+    * State is VERSIONED: every history row (bands, vecs, tombstones,
+    * optional assignments) carries the epoch that wrote it, and the
+    * live view is LATEST-EVENT-WINS — an id is live iff its newest add
+    * post-dates its newest delete, and its current vector is the
+    * newest add's. That makes the full CDC vocabulary legal:
     *
-    * Contracts: ids are unique across the stream's lifetime and never
-    * re-added after deletion (the tombstone is permanent — same
-    * uniqueness contract as the insert sink); an epoch's add and del
-    * sets are disjoint. Parity (spec-asserted): N mixed epochs equal
-    * the batch [[graft.similarity.GraphANN.knnGraph]] on the LIVE set
-    * (inserted minus deleted) — the q450/q451 cross-engine arguments
-    * composed. Replay: marker-guarded; a torn epoch replays
-    * self-healingly exactly as the insert sink does (dedup-on-read +
-    * anti-join of tombstones), since a replayed delete of an
-    * already-tombstoned id repairs nothing twice (its edges are
-    * already gone from the strictly-older snapshot... or re-derived
-    * identically when the tear predates the edge write).
+    *  - add of a new id — insert;
+    *  - del of a live id — delete (tombstone row);
+    *  - add of a previously deleted id — RE-ADD (revival with the new
+    *    vector; the old tombstone is out-versioned, not violated);
+    *  - add of a currently LIVE id — UPDATE (implicit delete of the old
+    *    version + insert of the new, in one step — the actual CDC
+    *    upsert shape round 12's permanent-tombstone contract barred).
+    *
+    * Per epoch, in exactness-preserving order: (1) effective tombstones
+    * = explicit dels ∪ replaced ids (live ids re-appearing in the
+    * delta); (2) [[graft.similarity.GraphANN.repairAfterDelete]] takes
+    * the previous snapshot — the exact graph on the pre-epoch live
+    * set — down to the survivors (the q451 argument: repaired ≡
+    * from-scratch on the reduced corpus); (3) [[knnGraphEpoch]] folds
+    * the delta's latest versions in (the q450 monoid argument). The
+    * composition is EXACT: N mixed epochs equal the batch
+    * [[graft.similarity.GraphANN.knnGraph]] on the latest live
+    * versions — VectorSinksSpec asserts it, update epochs included.
+    *
+    * Remaining contract: within ONE epoch an id appears at most once
+    * among adds and at most once among dels, never both (ordering
+    * inside an epoch is undefined — split conflicting changes across
+    * epochs).
+    *
+    * Replay: marker-guarded; histories are read STRICTLY BELOW the
+    * replaying epoch (`epoch < epochId`) plus dedup-on-read, so a torn
+    * epoch replays against exactly the first run's state and
+    * re-derives the identical snapshot (spec-asserted).
+    *
+    * Per-epoch cost over round 12's: two keyed aggs of the slim
+    * (id, epoch) projections (last-add/last-del) — the history scan
+    * they ride on was already paid; [[compactVectorState]] collapses
+    * the histories back to one row per live id.
+    *
+    * Optional assignment maintenance: pass `assignCents` + `assignDir`
+    * and each epoch also appends the delta's IVF cell assignments
+    * under the SAME epoch counter, making
+    * [[liveAssignmentsVersioned]]'s latest-wins read sound (one writer,
+    * one counter — deletes, updates and re-adds all visible).
     *
     * @param changeStream (id: long, ev: array&lt;double&gt; nullable,
     *                     op: string "add" | "del") */
@@ -216,7 +249,11 @@ object VectorSinks {
       bits: Int, bands: Int, bandsDir: String, vecsDir: String,
       tombsDir: String, edgesDir: String, markerDir: String,
       checkpoint: String,
+      assignCents: Seq[(Long, Seq[Double])] = Seq.empty,
+      assignDir: String = "",
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    require(assignCents.isEmpty == assignDir.isEmpty,
+      "assignCents and assignDir come together or not at all")
     val guarded = Streams.idempotentSink(markerDir) { (_, batch, epochId) =>
       val spark = batch.sparkSession
       val delta = batch.filter(col("op") === "add")
@@ -224,54 +261,72 @@ object VectorSinks {
       val tomb = batch.filter(col("op") === "del")
         .select(col("id")).distinct().persist()
       try {
-        val newBands = GraphANN.bandedBuckets(delta, dim, bits, bands)
-          .persist()
-        try {
-          val prevTombs =
-            if (dirExists(spark, tombsDir))
-              spark.read.parquet(tombsDir).distinct()
-            else tomb.limit(0)
-          val allTombs = prevTombs.union(tomb).distinct()
-          val histBands =
-            (if (dirExists(spark, bandsDir))
-               spark.read.parquet(bandsDir).distinct()
-             else newBands.limit(0))
-              .join(allTombs, Seq("id"), "left_anti")
-          val histVecs =
-            (if (dirExists(spark, vecsDir))
-               spark.read.parquet(vecsDir).dropDuplicates("id")
-             else delta.limit(0))
-              .join(allTombs, Seq("id"), "left_anti")
-          val prev = epochSnapshots(spark, edgesDir)
-            .filter(_._1 < epochId).lastOption
-          val prevEdges = prev match {
-            case Some((_, dir)) => spark.read.parquet(dir.toString)
-            case None => delta.limit(0)
-              .select(col("id").as("src"), col("id").as("dst"),
-                lit(0.0).as("cosine"), lit(0L).as("rn"))
-          }
-          val inserted = knnGraphEpoch(delta, histBands, histVecs,
-            prevEdges, dim, k, bits, bands)
-          // dedup both: on a torn replay the histories already contain
-          // this epoch's delta, and a duplicate vector row would
-          // double-occupy top-k slots in the repair's re-rank
-          val liveBands = histBands.unionByName(newBands).distinct()
-            .join(tomb, Seq("id"), "left_anti")
-          val liveVecs = histVecs.unionByName(delta)
-            .dropDuplicates("id")
-            .join(tomb, Seq("id"), "left_anti")
-          GraphANN.repairAfterDelete(liveBands, liveVecs, inserted,
-              tomb, k)
-            .write.mode("overwrite").parquet(s"$edgesDir/epoch=$epochId")
-          newBands.write.mode("append").parquet(bandsDir)
-          delta.write.mode("append").parquet(vecsDir)
-          tomb.write.mode("append").parquet(tombsDir)
-          val fs = stateFs(spark, edgesDir)._1
-          for ((e, dir) <- epochSnapshots(spark, edgesDir)
-               if e < prev.map(_._1).getOrElse(epochId)) {
-            fs.delete(dir, true); ()
-          }
-        } finally { newBands.unpersist(); () }
+        // versioned histories STRICTLY BEFORE this epoch — a torn
+        // replay's own rows are excluded so the replay sees exactly the
+        // first run's state; dedup-on-read heals double-appends
+        val pv =
+          (if (dirExists(spark, vecsDir)) spark.read.parquet(vecsDir)
+           else delta.withColumn("epoch", lit(0L)).limit(0))
+            .filter(col("epoch") < epochId)
+            .dropDuplicates("id", "epoch")
+        val pb =
+          (if (dirExists(spark, bandsDir)) spark.read.parquet(bandsDir)
+           else GraphANN.bandedBuckets(delta, dim, bits, bands)
+             .withColumn("epoch", lit(0L)).limit(0))
+            .filter(col("epoch") < epochId).distinct()
+        val pt =
+          (if (dirExists(spark, tombsDir)) spark.read.parquet(tombsDir)
+           else tomb.withColumn("epoch", lit(0L)).limit(0))
+            .filter(col("epoch") < epochId).distinct()
+        // latest-event-wins live keys: (id, epoch-of-current-version)
+        val lastAdd = pv.groupBy(col("id")).agg(max(col("epoch")).as("epoch"))
+        val lastDel = pt.groupBy(col("id")).agg(max(col("epoch")).as("__de"))
+        val liveKeys = lastAdd.join(lastDel, Seq("id"), "left")
+          .filter(col("__de").isNull || col("epoch") > col("__de"))
+          .select(col("id"), col("epoch"))
+        val liveVecs = pv.join(liveKeys, Seq("id", "epoch"), "left_semi")
+          .select(col("id"), col("ev"))
+        val liveBands = pb.join(liveKeys, Seq("id", "epoch"), "left_semi")
+          .select(col("id"), col("band"), col("bucket"))
+        val prev = epochSnapshots(spark, edgesDir)
+          .filter(_._1 < epochId).lastOption
+        val prevEdges = prev match {
+          case Some((_, dir)) => spark.read.parquet(dir.toString)
+          case None => delta.limit(0)
+            .select(col("id").as("src"), col("id").as("dst"),
+              lit(0.0).as("cosine"), lit(0L).as("rn"))
+        }
+        // an add of a LIVE id is an update: implicitly delete the old
+        // version before folding the new one in
+        val replaced = delta.select(col("id"))
+          .join(liveKeys.select(col("id")), Seq("id"), "left_semi")
+        val effTomb = tomb.unionByName(replaced).distinct()
+        val keptVecs = liveVecs.join(effTomb, Seq("id"), "left_anti")
+        val keptBands = liveBands.join(effTomb, Seq("id"), "left_anti")
+        // repair first (exact graph on live ∖ effTomb), then fold the
+        // delta (exact graph on survivors ∪ delta's latest versions)
+        val repaired = GraphANN.repairAfterDelete(keptBands, keptVecs,
+          prevEdges, effTomb, k)
+        knnGraphEpoch(delta, keptBands, keptVecs, repaired, dim, k,
+            bits, bands)
+          .write.mode("overwrite").parquet(s"$edgesDir/epoch=$epochId")
+        // history appends AFTER the snapshot (torn replay heals on read)
+        GraphANN.bandedBuckets(delta, dim, bits, bands)
+          .withColumn("epoch", lit(epochId))
+          .write.mode("append").parquet(bandsDir)
+        delta.withColumn("epoch", lit(epochId))
+          .write.mode("append").parquet(vecsDir)
+        tomb.withColumn("epoch", lit(epochId))
+          .write.mode("append").parquet(tombsDir)
+        if (assignDir.nonEmpty)
+          IVF.assign(delta, assignCents)
+            .withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(assignDir)
+        val fs = stateFs(spark, edgesDir)._1
+        for ((e, dir) <- epochSnapshots(spark, edgesDir)
+             if e < prev.map(_._1).getOrElse(epochId)) {
+          fs.delete(dir, true); ()
+        }
       } finally { delta.unpersist(); tomb.unpersist(); () }
     }
     changeStream.writeStream
@@ -284,12 +339,16 @@ object VectorSinks {
       .start()
   }
 
-  /** The newest graph snapshot written by [[incrementalKnnGraphSink]] —
-    * (src, dst, cosine, rn), directly consumable by
-    * [[graft.similarity.GraphANN.beamSearchTopKFrom]]. */
+  /** The newest COMPLETE graph snapshot written by
+    * [[incrementalKnnGraphSink]] — (src, dst, cosine, rn), directly
+    * consumable by [[graft.similarity.GraphANN.beamSearchTopKFrom]].
+    * Lists through [[Streams.completeEpochSnapshots]]: in the window
+    * where a crash tore the overwrite of epoch N, the partial dir has
+    * no `_SUCCESS` and this serves the newest complete snapshot instead
+    * of half-written edges. */
   def latestKnnGraph(spark: SparkSession, edgesDir: String): DataFrame = {
-    val dirs = epochSnapshots(spark, edgesDir)
-    require(dirs.nonEmpty, s"no epoch=N snapshots under $edgesDir")
+    val dirs = completeEpochSnapshots(spark, edgesDir)
+    require(dirs.nonEmpty, s"no complete epoch=N snapshots under $edgesDir")
     spark.read.parquet(dirs.last._2.toString)
   }
 
@@ -343,62 +402,99 @@ object VectorSinks {
       .start()
   }
 
-  /** The newest entry layer from [[topLayerSink]] — (id) rows, the
-    * [[graft.similarity.GraphANN.topLayer]] shape. */
+  /** The newest COMPLETE entry layer from [[topLayerSink]] — (id) rows,
+    * the [[graft.similarity.GraphANN.topLayer]] shape ([[latestKnnGraph]]'s
+    * `_SUCCESS` discipline). */
   def latestTopLayer(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = epochSnapshots(spark, stateDir)
-    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    val dirs = completeEpochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no complete epoch=N snapshots under $stateDir")
     spark.read.parquet(dirs.last._2.toString).select(col("id"))
+  }
+
+  /** Newest-epoch row per id (torn-replay duplicates healed first) —
+    * the latest-wins read every versioned dir shares. */
+  private def latestPerId(df: DataFrame): DataFrame = {
+    val deduped = df.dropDuplicates("id", "epoch")
+    deduped.join(
+      deduped.groupBy(col("id")).agg(max(col("epoch")).as("epoch")),
+      Seq("id", "epoch"), "left_semi")
   }
 
   /** COMPACTION — the operational pass the append-only state dirs
     * promise (run it quiesced: the sinks are single-writer and this
-    * rewrites their inputs): physically drops tombstoned ids and
-    * dedup rows from the bands/vecs histories, then clears the
-    * tombstone dir — their information is now baked in, so subsequent
-    * epochs read less and anti-join nothing. Swap discipline: the
-    * compacted copy is fully written to `<dir>.compact` BEFORE the
-    * live dir moves to `<dir>.old` and the copy renames in (both
-    * renames are single-FS metadata ops); `.old` is removed last, so
-    * every crash window leaves a complete copy on disk under one of
-    * the three names — recovery is picking the newest complete one,
-    * never re-deriving data. Parity contract (spec-asserted): epochs
-    * -> compact -> more epochs produces the same graph as never
-    * compacting.
+    * rewrites their inputs): physically drops dead ids, out-versioned
+    * rows and torn-replay duplicates from the histories, then clears
+    * the tombstone dir. Swap discipline: every dir rewrites under
+    * [[Streams.swapRewrite]]'s require-checked three-name swap, so any
+    * crash window leaves a complete copy on disk (and
+    * [[Streams.stateDirExists]] refuses to run sinks past a
+    * half-finished swap). Parity contract (spec-asserted): epochs →
+    * compact → more epochs produces the same graph as never compacting.
     *
-    * @param assignDir optional [[incrementalIvfAssignSink]] dir to
-    *                  compact with the same tombstones */
+    * ENUMERATION CONTRACT (the tombstone-clear safety rule): the caller
+    * MUST list in `assignDirs` EVERY directory that anti-joins
+    * `tombsDir` — each assignment dir fed by [[incrementalIvfAssignSink]]
+    * or [[upsertKnnGraphSink]]'s assignment option. Tombstones are
+    * cleared only because every consumer has the deletions physically
+    * baked in; a consumer dir left un-enumerated would silently
+    * RESURRECT erased ids on its next [[liveAssignments]] read after
+    * the clear — in an erasure/GDPR context, the worst possible
+    * failure. When in doubt, pass the dir.
+    *
+    * Versioned state ([[upsertKnnGraphSink]] dirs, `epoch` column):
+    * bands/vecs keep only each live id's latest-version rows (dead =
+    * latest event is a delete); clearing tombstones is then semantics-
+    * preserving even for re-adds — a dead id ends up with no row
+    * anywhere, and a later add of it revives it exactly as it would
+    * have before compaction. Unversioned state (the insert-only sinks'
+    * dirs): distinct/dedup + tombstone anti-join, as before. */
   def compactVectorState(spark: SparkSession, bandsDir: String,
       vecsDir: String, tombsDir: String,
-      assignDir: Option[String] = None): Unit = {
-    val tombs =
-      if (dirExists(spark, tombsDir))
-        spark.read.parquet(tombsDir).distinct().localCheckpoint()
-      else spark.range(0).select(col("id"))
-    def rewrite(dir: String)(f: DataFrame => DataFrame): Unit =
-      if (dirExists(spark, dir)) {
-        val (fs, p) = stateFs(spark, dir)
-        val compact = new org.apache.hadoop.fs.Path(dir + ".compact")
-        val old = new org.apache.hadoop.fs.Path(dir + ".old")
-        f(spark.read.parquet(dir))
-          .write.mode("overwrite").parquet(compact.toString)
-        if (fs.exists(old)) { fs.delete(old, true); () }
-        // Hadoop rename signals most failures by returning FALSE, not
-        // throwing — each must be checked, or a failed second rename
-        // would fall through to deleting the only remaining copy
-        require(fs.rename(p, old), s"compaction: rename $p -> $old failed")
-        require(fs.rename(compact, p),
-          s"compaction: rename $compact -> $p failed; original intact at $old")
-        fs.delete(old, true)
-        ()
-      }
-    rewrite(bandsDir)(df =>
-      df.distinct().join(tombs, Seq("id"), "left_anti"))
-    rewrite(vecsDir)(df =>
-      df.dropDuplicates("id").join(tombs, Seq("id"), "left_anti"))
-    assignDir.foreach(d => rewrite(d)(df =>
-      df.dropDuplicates("id").join(tombs, Seq("id"), "left_anti")))
-    // tombstones last: only cleared once no history row references them
+      assignDirs: Seq[String] = Seq.empty): Unit = {
+    val versioned = dirExists(spark, vecsDir) &&
+      spark.read.parquet(vecsDir).columns.contains("epoch")
+    if (versioned) {
+      // latest-event-wins live keys, materialized BEFORE any rewrite
+      // touches the dirs they derive from
+      val pv = spark.read.parquet(vecsDir).dropDuplicates("id", "epoch")
+      val pt =
+        if (dirExists(spark, tombsDir))
+          spark.read.parquet(tombsDir).distinct()
+        else pv.select(col("id"), col("epoch")).limit(0)
+      val liveKeys = pv.groupBy(col("id")).agg(max(col("epoch")).as("epoch"))
+        .join(pt.groupBy(col("id")).agg(max(col("epoch")).as("__de")),
+          Seq("id"), "left")
+        .filter(col("__de").isNull || col("epoch") > col("__de"))
+        .select(col("id"), col("epoch"))
+        .localCheckpoint()
+      swapRewrite(spark, vecsDir)(df =>
+        df.dropDuplicates("id", "epoch")
+          .join(liveKeys, Seq("id", "epoch"), "left_semi"))
+      swapRewrite(spark, bandsDir)(df =>
+        df.distinct().join(liveKeys, Seq("id", "epoch"), "left_semi"))
+      // assignment dirs may run their own epoch counter (the standalone
+      // sink), so liveness joins on id and recency on the dir's OWN
+      // epochs: keep each live id's newest assignment row
+      assignDirs.foreach(d => swapRewrite(spark, d)(df =>
+        latestPerId(df)
+          .join(liveKeys.select(col("id")), Seq("id"), "left_semi")))
+    } else {
+      val tombs =
+        if (dirExists(spark, tombsDir))
+          spark.read.parquet(tombsDir).select(col("id")).distinct()
+            .localCheckpoint()
+        else spark.range(0).select(col("id"))
+      swapRewrite(spark, bandsDir)(df =>
+        df.distinct().join(tombs, Seq("id"), "left_anti"))
+      swapRewrite(spark, vecsDir)(df =>
+        df.dropDuplicates("id").join(tombs, Seq("id"), "left_anti"))
+      assignDirs.foreach(d => swapRewrite(spark, d)(df =>
+        (if (df.columns.contains("epoch")) latestPerId(df)
+         else df.dropDuplicates("id"))
+          .join(tombs, Seq("id"), "left_anti")))
+    }
+    // tombstones last: only cleared once no enumerated dir references
+    // them (see the enumeration contract above)
     if (dirExists(spark, tombsDir)) {
       val (fs, p) = stateFs(spark, tombsDir)
       fs.delete(p, true)
@@ -408,14 +504,84 @@ object VectorSinks {
 
   /** [[incrementalIvfAssignSink]]'s readout MINUS tombstones — the
     * live (id, cell, ev) assignments when deletes flow through
-    * [[upsertKnnGraphSink]] beside the assignment sink. */
+    * [[upsertKnnGraphSink]] beside the assignment sink. Conservative
+    * erasure-safe semantics: a tombstoned id is hidden PERMANENTLY,
+    * whatever the epoch counters say — correct for any pairing of
+    * writers (the assignment sink and the tombstone writer need not
+    * share an epoch counter, so cross-dir epoch comparison would be
+    * meaningless here). For the one-writer layout where
+    * [[upsertKnnGraphSink]] maintains the assignment dir itself, use
+    * [[liveAssignmentsVersioned]], which sees re-adds and updates. */
   def liveAssignments(spark: SparkSession, assignDir: String,
       tombsDir: String): DataFrame = {
-    val assigned = spark.read.parquet(assignDir).dropDuplicates("id")
+    val raw = spark.read.parquet(assignDir)
+    val assigned =
+      if (raw.columns.contains("epoch")) latestPerId(raw)
+      else raw.dropDuplicates("id")
     if (dirExists(spark, tombsDir))
-      assigned.join(spark.read.parquet(tombsDir).distinct(),
+      assigned.join(
+        spark.read.parquet(tombsDir).select(col("id")).distinct(),
         Seq("id"), "left_anti")
     else assigned
+  }
+
+  /** Latest-event-wins assignment readout for the ONE-WRITER layout —
+    * [[upsertKnnGraphSink]] with its assignment option maintains both
+    * `assignDir` and `tombsDir` under a single epoch counter, so the
+    * comparison "newest add vs newest delete" is well-defined: an id is
+    * live iff its newest assignment post-dates its newest tombstone,
+    * which makes deletes, UPDATES and RE-ADDS all visible (the round-13
+    * CDC semantics). Do NOT point this at dirs written by two different
+    * sinks — their epoch counters are unrelated; use [[liveAssignments]]
+    * there. */
+  def liveAssignmentsVersioned(spark: SparkSession, assignDir: String,
+      tombsDir: String): DataFrame = {
+    val latest = latestPerId(spark.read.parquet(assignDir))
+    if (!dirExists(spark, tombsDir)) latest
+    else latest.join(
+        spark.read.parquet(tombsDir).distinct()
+          .groupBy(col("id")).agg(max(col("epoch")).as("__de")),
+        Seq("id"), "left")
+      .filter(col("__de").isNull || col("epoch") > col("__de"))
+      .drop("__de")
+  }
+
+  /** ONLINE CENTROID REFRESH (round 13) — the recenter pass the frozen-
+    * literal streaming IVF face needs under corpus drift: as the stream
+    * moves away from the centroids [[incrementalIvfAssignSink]] was
+    * launched with, cell occupancy skews and probe recall decays with
+    * no recourse. Run this quiesced (the compaction discipline — the
+    * sinks are single-writer and this rewrites the assignment dir):
+    *
+    *  1. new centroids = the exact quantized per-cell mean of the LIVE
+    *     assignments ([[graft.similarity.KMeans.exactMeanByKey]] — one
+    *     keyed aggregation, the Lloyd update; cells keep their ids,
+    *     empty cells drop out, the standard Lloyd degeneracy);
+    *  2. every live vector re-assigns against the new centroids
+    *     (literal-centroid codegen scan, zero shuffle) and the
+    *     assignment dir rewrites under the require-checked three-name
+    *     swap — knn-graph state is untouched (it is centroid-free),
+    *     tombstones are untouched (conservative: erased ids stay
+    *     erased; only [[compactVectorState]] clears them).
+    *
+    * Returns the new centroids so the caller relaunches the sink with
+    * them — subsequent epochs append assignments against the SAME
+    * model the rewritten history used, so at any moment
+    * [[liveAssignments]] ≡ [[graft.similarity.IVF.assign]] of the live
+    * union corpus on the current model (VectorSinksSpec asserts it,
+    * plus a drift-then-recenter recall probe). Cross-engine: step 1 is
+    * the q58 oracle-proven Lloyd update and step 2 the q36 assignment
+    * replay — q453 gates the composed recenter step in DuckDB. */
+  def recenterVectorState(spark: SparkSession, assignDir: String,
+      tombsDir: String, scale: Double = 1e6): Seq[(Long, Seq[Double])] = {
+    val live = liveAssignments(spark, assignDir, tombsDir)
+      .localCheckpoint() // materialize BEFORE rewriting its source dir
+    val newCents = KMeans.exactMeanByKey(live, "cell", "ev", scale)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2).toVector))
+      .sortBy(_._1).toVector
+    swapRewrite(spark, assignDir)(_ => IVF.assign(live, newCents))
+    newCents
   }
 
   /** Incremental IVF cell assignment — the coarse-quantizer face:
@@ -432,13 +598,19 @@ object VectorSinks {
     * [[graft.similarity.IVF.assign]] of the union corpus
     * (VectorSinksSpec asserts equality), so [[graft.similarity.IVF]]
     * probing — and the IVF-seeded graph search — runs against it at
-    * any moment. */
+    * any moment. Rows carry the writing epoch (round 13) so the
+    * latest-wins readout is deterministic and [[compactVectorState]]
+    * can keep newest-per-id; the sink itself remains insert-only with
+    * the lifetime-unique-id contract. Under corpus drift, refresh the
+    * frozen centroid model with [[recenterVectorState]] and relaunch
+    * with the returned centroids. */
   def incrementalIvfAssignSink(vecStream: DataFrame,
       cents: Seq[(Long, Seq[Double])], assignDir: String,
       markerDir: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
-    val guarded = Streams.idempotentSink(markerDir) { (_, batch, _) =>
+    val guarded = Streams.idempotentSink(markerDir) { (_, batch, epochId) =>
       IVF.assign(batch.select(col("id"), col("ev")), cents)
+        .withColumn("epoch", lit(epochId))
         .write.mode("append").parquet(assignDir)
     }
     vecStream.writeStream

@@ -1483,4 +1483,138 @@ class StreamsSpec extends SparkSuite {
     assert(fpCount() == fpBefore && sigCount() == sigBefore,
       "a history append re-ran non-empty on replay")
   }
+
+  test("compactHistory: corpus-sink fp history and output compact " +
+      "mid-stream — epochs -> compact -> more epochs equals never " +
+      "compacting, torn-replay duplicates physically drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (hist, out, mark, ckp) =
+      (tmp("ch-hist"), tmp("ch-out"), tmp("ch-mark"), tmp("ch-ckp"))
+    Seq(hist, out).foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = Streams.incrementalCorpusSink(docs, "doc_id", "text",
+        hist, out, mark, ckp, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L, "the quick brown fox"), (2L, "something else"))
+    run()
+    // simulate a torn epoch's double-append: one duplicate row in each
+    // dir (identical bytes — exactly what a replayed append writes)
+    spark.read.parquet(hist).limit(1).write.mode("append").parquet(hist)
+    spark.read.parquet(out).filter(col("doc_id") === 1L)
+      .write.mode("append").parquet(out)
+    assert(spark.read.parquet(hist).count() == 3L)
+    Streams.compactHistory(spark, hist)               // whole-row distinct
+    Streams.compactHistory(spark, out, Seq("doc_id")) // key dedup
+    assert(spark.read.parquet(hist).count() == 2L)
+    assert(spark.read.parquet(out).count() == 2L)
+    // the stream continues over the compacted state: a cross-history
+    // dup still drops, a new doc still lands — same as never compacting
+    mem.addData((3L, "  The  QUICK brown fox "), (4L, "genuinely new"))
+    run()
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    assert(spark.read.parquet(hist).distinct().count() == 3L)
+  }
+
+  test("compactHistory: near-dup signature history compacts mid-stream " +
+      "and cross-epoch near-dup verdicts are unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (hist, out, mark, ckp) =
+      (tmp("cn-hist"), tmp("cn-out"), tmp("cn-mark"), tmp("cn-ckp"))
+    Seq(hist, out).foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = Streams.incrementalNearDupSink(docs, "doc_id", "text",
+        hist, out, mark, ckp, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "completely different content about spark query engines"))
+    run()
+    spark.read.parquet(hist).limit(1).write.mode("append").parquet(hist)
+    val before = spark.read.parquet(hist).count()
+    Streams.compactHistory(spark, hist)
+    assert(spark.read.parquet(hist).count() == before - 1L)
+    // post-compaction: a token-identical re-send of doc 2 still drops
+    // against the compacted history; a fresh doc still survives
+    mem.addData(
+      (3L, "Completely DIFFERENT content about spark query engines!"),
+      (4L, "entirely new document with its own words"))
+    run()
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+  }
+
+  test("compactHistory: release-sink fp+sig histories compact between " +
+      "epochs — survivors equal the batch releaseVerdicts on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog today"
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    val bench = Seq((900L, "nothing shared with the corpus over here"))
+      .toDF("doc_id", "text")
+    val ndBase = "the cat sat near the road and saw one big dog that " +
+      "ran fast over green hills toward town"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val (fph, sgh, out, stats, mark, ckp) = (tmp("cr-fp"), tmp("cr-sig"),
+      tmp("cr-out"), tmp("cr-stats"), tmp("cr-mark"), tmp("cr-ckp"))
+    Seq(fph, sgh, out, stats).foreach(d =>
+      Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = Streams.releasePipelineSink(docs, "doc_id", "text",
+        Seq("bad phrase"), bench, ref, fph, sgh, out, stats, mark, ckp,
+        minTokens = 3L, maxMeanBitsMicro = 21000000L,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    val e1 = Seq(1L -> base, 6L -> s"$ndBase twenty",
+      7L -> s"$ndBase thirty")
+    val e2 = Seq(20L -> base,                  // stage-5 vs compacted fp
+      22L -> s"$ndBase forty",                 // stage-8 vs compacted sig
+      23L -> "and it was entirely a new different document today")
+    mem.addData(e1: _*); run()
+    Streams.compactHistory(spark, fph)
+    Streams.compactHistory(spark, sgh)
+    mem.addData(e2: _*); run()
+    val streamSurv = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchSurv = graft.text.Curate.releaseVerdicts(
+        (e1 ++ e2).toDF("doc_id", "text"), "doc_id", "text",
+        Seq("bad phrase"), bench, minTokens = 3L,
+        maxMeanBitsMicro = 21000000L, knRef = Some(ref))
+      .filter(col("stage").isNull)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamSurv == batchSurv, s"stream=$streamSurv batch=$batchSurv")
+    assert(streamSurv == Set(1L, 6L, 23L))
+    spark.catalog.clearCache()
+  }
+
+  test("a compaction crash between renames is detected: missing live " +
+      "dir with a leftover sibling fails loudly instead of reading " +
+      "empty history") {
+    import spark.implicits._
+    val dir = tmp("cw-live")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+      .write.mode("overwrite").parquet(dir)
+    // simulate the window between swapRewrite's two renames: the live
+    // dir has moved to .old, the compact copy never renamed in
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    val e = intercept[IllegalArgumentException] {
+      Streams.compactHistory(spark, dir)
+    }
+    assert(e.getMessage.contains("compaction crashed between its renames"),
+      e.getMessage)
+    // recovery per the message: rename the complete copy back, proceed
+    assert(new java.io.File(dir + ".old").renameTo(new java.io.File(dir)))
+    Streams.compactHistory(spark, dir)
+    assert(spark.read.parquet(dir).count() == 2L)
+  }
 }

@@ -249,7 +249,7 @@ class VectorSinksSpec extends SparkSuite {
     def run(): Unit = {
       val q = VectorSinks.upsertKnnGraphSink(changes, dim, gk, bits,
         bands, bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp,
-        Trigger.AvailableNow())
+        trigger = Trigger.AvailableNow())
       q.awaitTermination(180000)
     }
     def add(r: Range) = r.map(i => (i.toLong, vec(i), "add"))
@@ -299,6 +299,213 @@ class VectorSinksSpec extends SparkSuite {
     assert(!repairPlan.contains("CartesianProduct"), repairPlan.take(500))
   }
 
+  test("upsertKnnGraphSink round 13: UPDATE (add of a live id) and " +
+      "RE-ADD (add after delete) equal the batch graph on the latest " +
+      "versions; a torn update epoch replays identically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double], String)]
+    val changes = mem.toDF().toDF("id", "ev", "op")
+    val (bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp) =
+      (tmp("ur-bands"), tmp("ur-vecs"), tmp("ur-tombs"), tmp("ur-edges"),
+        tmp("ur-mark"), tmp("ur-ckp"))
+    Seq(bandsDir, vecsDir, tombsDir, edgesDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    def run(): Unit = {
+      val q = VectorSinks.upsertKnnGraphSink(changes, dim, gk, bits,
+        bands, bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    def add(r: Range) = r.map(i => (i.toLong, vec(i), "add"))
+    val (v5, v2) = (vec(105), vec(202))
+    mem.addData(add(0 until 14): _*); run()
+    mem.addData((add(14 until 20) :+ ((5L, Seq.empty[Double], "del"))): _*)
+    run()
+    // epoch 2: RE-ADD 5 with a NEW vector + UPDATE live id 2 in place
+    mem.addData((5L, v5, "add"), (2L, v2, "add")); run()
+
+    val latest = (0 until 20).map { i =>
+      (i.toLong, i match { case 5 => v5; case 2 => v2; case _ => vec(i) })
+    }
+    val batch = edgeSet(GraphANN.knnGraph(
+      latest.toDF("id", "ev"), dim, gk, bits, bands))
+    val streamed = edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir))
+    assert(streamed == batch,
+      s"streamed-only=${(streamed -- batch).take(5)} " +
+        s"batch-only=${(batch -- streamed).take(5)}")
+
+    // torn replay of the update/re-add epoch: marker + commit gone
+    // after every versioned append landed — the strictly-before epoch
+    // filter must reconstruct the first run's state exactly
+    val ms = new java.io.File(markers).listFiles()
+      .filter(_.getName.endsWith(".done")).sortBy(_.getName)
+    assert(ms.nonEmpty && ms.last.delete())
+    tearLastCommit(ckp)
+    run()
+    assert(edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir)) == batch)
+  }
+
+  test("upsertKnnGraphSink assignment option: liveAssignmentsVersioned " +
+      "sees deletes, updates and re-adds; enumerated compaction never " +
+      "resurrects erased ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double], String)]
+    val changes = mem.toDF().toDF("id", "ev", "op")
+    val (bandsDir, vecsDir, tombsDir, edgesDir, assignDir, markers, ckp) =
+      (tmp("ua-bands"), tmp("ua-vecs"), tmp("ua-tombs"), tmp("ua-edges"),
+        tmp("ua-assign"), tmp("ua-mark"), tmp("ua-ckp"))
+    Seq(bandsDir, vecsDir, tombsDir, edgesDir, assignDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    val cents = IVF.collectCentroids(
+      Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2))).toDF("cid", "cv"),
+      "cid", "cv")
+    def run(): Unit = {
+      val q = VectorSinks.upsertKnnGraphSink(changes, dim, gk, bits,
+        bands, bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp,
+        assignCents = cents, assignDir = assignDir,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    def add(r: Range) = r.map(i => (i.toLong, vec(i), "add"))
+    val v4 = vec(204)
+    mem.addData(add(0 until 10): _*); run()
+    mem.addData((4L, v4, "add"), (3L, Seq.empty[Double], "del")); run()
+    mem.addData((3L, vec(103), "add")); run() // re-add after delete
+
+    val latest = (0 until 10).map { i =>
+      (i.toLong, i match { case 3 => vec(103); case 4 => v4; case _ => vec(i) })
+    }
+    val expect = IVF.assign(latest.toDF("id", "ev"), cents)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val versioned = VectorSinks
+      .liveAssignmentsVersioned(spark, assignDir, tombsDir)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(versioned == expect)
+    // the conservative readout hides the once-tombstoned id 3 forever
+    val conservative = VectorSinks
+      .liveAssignments(spark, assignDir, tombsDir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(conservative == expect.keySet - 3L)
+
+    // erase id 7, then compact with the assign dir ENUMERATED: the
+    // erased id must be physically gone from every dir (no row for a
+    // resurrect to come from), tombstones cleared, and the revived id 3
+    // visible in BOTH readouts afterwards
+    mem.addData((7L, Seq.empty[Double], "del")); run()
+    VectorSinks.compactVectorState(spark, bandsDir, vecsDir, tombsDir,
+      assignDirs = Seq(assignDir))
+    assert(!new java.io.File(tombsDir).exists())
+    assert(spark.read.parquet(assignDir)
+      .filter(col("id") === 7L).count() == 0L)
+    assert(spark.read.parquet(vecsDir)
+      .filter(col("id") === 7L).count() == 0L)
+    // the updated id 4 keeps exactly ONE (latest) assignment row
+    assert(spark.read.parquet(assignDir)
+      .filter(col("id") === 4L).count() == 1L)
+    val afterCompact = VectorSinks
+      .liveAssignments(spark, assignDir, tombsDir)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterCompact == expect - 7L)
+
+    // the stream continues over the compacted state with full parity
+    mem.addData(add(10 until 14): _*); run()
+    val live2 = (latest.filter(_._1 != 7L) ++
+      (10 until 14).map(i => (i.toLong, vec(i)))).toDF("id", "ev")
+    assert(edgeSet(VectorSinks.latestKnnGraph(spark, edgesDir)) ==
+      edgeSet(GraphANN.knnGraph(live2, dim, gk, bits, bands)))
+  }
+
+  test("recenterVectorState: post-recenter assignments equal batch " +
+      "IVF.assign on the new centroids (= the Lloyd update), recall " +
+      "under drift never degrades, and the relaunched sink keeps parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("id", "ev")
+    val (assignDir, markers, ckp) =
+      (tmp("rc-assign"), tmp("rc-mark"), tmp("rc-ckp"))
+    Files.delete(java.nio.file.Paths.get(assignDir))
+    val noTombs = tmp("rc-no-tombs") + "/none"
+    val cents0 = IVF.collectCentroids(
+      Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2))).toDF("cid", "cv"),
+      "cid", "cv")
+    // a drifted cluster the launch-time centroids never saw
+    def drift(i: Int): Seq[Double] =
+      Seq.tabulate(dim)(d => math.sin(77 + d) * 3 + math.sin(i * 8 + d) * 0.2)
+    def run(c: Seq[(Long, Seq[Double])], cp: String): Unit = {
+      val q = VectorSinks.incrementalIvfAssignSink(vecs, c,
+        assignDir, markers, cp, Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    val orig = (0 until 18).map(i => (i.toLong, vec(i)))
+    val drifted = (100 until 118).map(i => (i.toLong, drift(i)))
+    mem.addData(orig: _*); run(cents0, ckp)
+    mem.addData(drifted: _*); run(cents0, ckp)
+
+    val union = (orig ++ drifted).toDF("id", "ev")
+    val newCents = VectorSinks.recenterVectorState(spark, assignDir, noTombs)
+
+    // parity 1: the returned model IS the Lloyd update on the union
+    val lloyd = graft.similarity.KMeans.lloydStep(union, cents0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toVector)
+      .toMap
+    assert(newCents.toMap == lloyd)
+    // parity 2: the rewritten dir IS batch IVF.assign on the new model
+    val rewritten = VectorSinks.liveAssignments(spark, assignDir, noTombs)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchAssign = IVF.assign(union, newCents)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rewritten == batchAssign)
+
+    // drift probe: a query inside the drifted cluster — the recentered
+    // model's nProbe=1 recall@3 vs brute must not be worse than the
+    // stale model's, and the probed centroid must have moved TOWARD the
+    // drifted mass (cosine to the drifted mean strictly improves)
+    val queries = Seq((0L, drift(200))).toDF("qid", "qv")
+    def recall(c: Seq[(Long, Seq[Double])]): Int = {
+      val got = IVF.topK(union, queries, c, nProbe = 1, k = 3)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val brute = Similarity.bruteForceTopK(union, queries, 3)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      (got & brute).size
+    }
+    val (rOld, rNew) = (recall(cents0), recall(newCents))
+    assert(rNew >= rOld, s"recall degraded: stale=$rOld recentered=$rNew")
+    val dMean = Seq.tabulate(dim)(d =>
+      drifted.map(_._2(d)).sum / drifted.size)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val dCell = IVF.assign(drifted.toDF("id", "ev"), newCents)
+      .groupBy(col("cell")).count().orderBy(col("count").desc)
+      .collect().head.getLong(0)
+    assert(cos(newCents.toMap.apply(dCell), dMean) >
+      cos(cents0.toMap.apply(dCell), dMean),
+      "recenter did not move the drifted cell's centroid toward the drift")
+
+    // relaunch with the returned model: subsequent epochs keep the
+    // liveAssignments ≡ IVF.assign(live union, current model) invariant
+    mem.addData((200 until 206).map(i => (i.toLong, drift(i))): _*)
+    run(newCents, ckp)
+    val union2 = (orig ++ drifted ++
+      (200 until 206).map(i => (i.toLong, drift(i)))).toDF("id", "ev")
+    val after = VectorSinks.liveAssignments(spark, assignDir, noTombs)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch2 = IVF.assign(union2, newCents)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == batch2)
+  }
+
   test("compactVectorState: tombstoned/duplicate rows physically drop, " +
       "tombstones clear, and epochs AFTER compaction still reproduce " +
       "the batch graph") {
@@ -314,7 +521,7 @@ class VectorSinksSpec extends SparkSuite {
     def run(): Unit = {
       val q = VectorSinks.upsertKnnGraphSink(changes, dim, gk, bits,
         bands, bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp,
-        Trigger.AvailableNow())
+        trigger = Trigger.AvailableNow())
       q.awaitTermination(180000)
     }
     def add(r: Range) = r.map(i => (i.toLong, vec(i), "add"))
