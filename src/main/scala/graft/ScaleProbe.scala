@@ -304,6 +304,27 @@ object ScaleProbe {
             .limit(50),
           dim = 64, k = 8, bits = 6, bands = 3).count()
       }
+      // CDC upsert epoch (round 13): a FIXED mixed delta (new ids +
+      // updates of live ids) + a FIXED 50-id tombstone set against the
+      // m×-grown VERSIONED histories — r13's latest-event-wins live
+      // view adds two keyed aggs of slim (id, epoch) projections on
+      // top of the r12 fold, so this must track knngraph_epoch's
+      // curve (history-scan-bound), not the pair count
+      val pvV = embAll.withColumn("epoch", col("id") % 3)
+      val pbV = gHistBands.withColumn("epoch", col("id") % 3)
+      val ptV = embAll.select(col("id")).filter(col("id") % 10 === 7)
+        .limit(50).withColumn("epoch", lit(2L))
+      val uDelta = t.embeddings
+        .select((col("vec_id") + 900000000L).as("id"),
+          similarity.Similarity.toDouble(col("embedding")).as("ev"))
+        .filter(col("id") % 10 === 0)
+        .unionByName(embAll.filter(col("id") % 97 === 0).limit(20))
+      val uTomb = embAll.select(col("id")).filter(col("id") % 10 === 1)
+        .limit(50)
+      time(s"upsert_epoch_x$m") {
+        streaming.VectorSinks.upsertGraphEpoch(uDelta, uTomb, pvV, pbV,
+          ptV, gPrev, dim = 64, k = 8, bits = 6, bands = 3).count()
+      }
       gHistBands.unpersist(); gPrev.unpersist(); embAll.unpersist()
 
       // round-6 heavy families — graph ops probe over m DISJOINT copies

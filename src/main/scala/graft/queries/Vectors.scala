@@ -281,6 +281,42 @@ object Vectors extends QueryModule {
     // mid-query collect is the [[graft.similarity.IVF.collectCentroids]]
     // contract; both assignment passes are zero-shuffle literal-centroid
     // scans. Output: each vector's post-recenter cell.
+    // SPHERICAL K-MEANS CONVERGENCE (round 13, beyond-list): the full
+    // driver-loop training path gated cross-engine — 3 iterations of
+    // (assign → exact-mean update), emitting per step the clustering
+    // OBJECTIVE Σ cos(x, assigned centroid), micro-quantized before the
+    // sum so it is an exact order-independent integer. Lloyd
+    // monotonicity (each step's objective ≥ the previous — cosine is
+    // scale-invariant, so the un-normalized exact mean scores exactly
+    // like the normalized spherical centroid) is observable in the
+    // output; the oracle replays all three assign/update rounds
+    // unrolled. Each scan is zero-shuffle (literal centroids); the two
+    // mean updates are one keyed agg each; collects are model-scale.
+    "q455_kmeans_convergence" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val b = base(t)
+      var cents = graft.similarity.IVF.collectCentroids(
+        t.embeddings.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            Similarity.toDouble(col("embedding")).as("cv")),
+        "cid", "cv")
+      (0 until 3).map { step =>
+        val bc = graft.similarity.IVF.bestCells(b, cents)
+        val obj = bc.agg(count(lit(1)).as("n"),
+            sum(floor(col("best_cos") * lit(1000000.0)).cast("long"))
+              .as("sum_qcos"))
+          .select(lit(step.toLong).as("step"), col("n"), col("sum_qcos"))
+        if (step < 2)
+          cents = graft.similarity.IVF.collectCentroids(
+            graft.similarity.KMeans
+              .exactMeanByKey(bc.select(col("cell"), col("ev")),
+                "cell", "ev")
+              .select(col("cell").as("cid"), col("vec").as("cv")),
+            "cid", "cv")
+        obj
+      }.reduce(_ unionByName _)
+    }),
+
     "q453_ivf_recenter" -> ((s, dir) => {
       val t = Tables(s, dir)
       val cents0 = graft.similarity.IVF.collectCentroids(
@@ -709,6 +745,55 @@ object Vectors extends QueryModule {
         |)
         |SELECT cell, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
         |FROM sums""".stripMargin,
+
+    // 3 unrolled (assign -> exact-mean) rounds + the per-step quantized
+    // objective — the q453 recenter replay iterated, sharing its
+    // bit-exactness argument (integer mean sums, identical double
+    // division sequence, scale-invariant cosine)
+    "q455_kmeans_convergence" -> {
+      def assignCte(s: Int) =
+        s"""a$s AS (
+          |  SELECT id, ev, cell, bc FROM (
+          |    SELECT b.id, b.ev, c.cid AS cell,
+          |           ${cosineSqlFor("ev", "cv")} AS bc,
+          |           row_number() OVER (PARTITION BY b.id
+          |             ORDER BY ${cosineSqlFor("ev", "cv")} DESC, c.cid) AS arn
+          |    FROM b CROSS JOIN c$s c
+          |  ) WHERE arn = 1
+          |)""".stripMargin
+      def meanCte(s: Int) =
+        s"""d$s AS (
+          |  SELECT cell, CAST(pr[2] AS BIGINT) AS pos,
+          |         CAST(floor(pr[1] * 1000000.0) AS BIGINT) AS q
+          |  FROM (SELECT cell, unnest(list_zip(ev, range(0, len(ev)))) AS pr
+          |        FROM a$s)
+          |), m$s AS (
+          |  SELECT cell, pos, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+          |  FROM d$s GROUP BY 1, 2
+          |), c${s + 1} AS (
+          |  SELECT cell AS cid,
+          |         list(CAST(sq AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS cv
+          |  FROM m$s GROUP BY cell
+          |)""".stripMargin
+      def objArm(s: Int) =
+        s"""SELECT CAST($s AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(floor(bc * 1000000.0) AS BIGINT)) AS BIGINT)
+          |         AS sum_qcos
+          |FROM a$s""".stripMargin
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), ${assignCte(0)}, ${meanCte(0)}, ${assignCte(1)},
+        |${meanCte(1)}, ${assignCte(2)}
+        |${objArm(0)}
+        |UNION ALL
+        |${objArm(1)}
+        |UNION ALL
+        |${objArm(2)}""".stripMargin
+    },
 
     // q58's Lloyd update composed with a SECOND assignment pass against
     // the updated model — the recenter-step replay. The new centroid

@@ -74,25 +74,38 @@ object IVF {
       vecCol: String = "ev"): DataFrame =
     base.withColumn("cell", cellExpr(col(vecCol), cents))
 
+  /** Every vector's nearest cell AND the cosine to it, with the vector
+    * kept — [[assign]] plus the assignment quality in one zero-shuffle
+    * scan (argmax ties best-cosine-then-lowest-cid, the oracle's
+    * `ORDER BY cos DESC, cid`). The shared core of [[outliers]] (which
+    * filters it) and the q455 spherical-k-means objective (which
+    * aggregates it: Σ cos(x, assigned centroid) is the quantity one
+    * Lloyd step provably does not decrease — cosine is scale-invariant,
+    * so the un-normalized exact mean scores identically to the
+    * normalized spherical centroid).
+    *
+    * @return (idCol, vecCol, cell, best_cos) */
+  def bestCells(base: DataFrame, cents: Seq[(Long, Seq[Double])],
+      idCol: String = "id", vecCol: String = "ev"): DataFrame = {
+    val best = array_max(scoredCells(col(vecCol), cents))
+    base.select(col(idCol), col(vecCol),
+      (-best.getField("nc")).as("cell"), best.getField("c").as("best_cos"))
+  }
+
   /** Embedding-space outlier report: vectors whose cosine to their
     * NEAREST centroid is below `minCos` — i.e. far from every cluster
     * the model knows. The noise/contamination filter run before
     * clustering-derived curation (SemDeDup cells, IVF search, per-cell
     * sampling all silently degrade on cluster-less vectors). Same
-    * zero-shuffle shape as [[assign]]: centroids are plan literals,
-    * the corpus is touched by one codegen'd scan-project, and the
-    * argmax tie (best cosine, then lowest cid) matches the oracle's
-    * `ORDER BY cos DESC, cid`.
+    * zero-shuffle shape as [[assign]] (see [[bestCells]]).
     *
     * @return (idCol, cell, best_cos) for vectors with best_cos < minCos */
   def outliers(base: DataFrame, cents: Seq[(Long, Seq[Double])],
       minCos: Double, idCol: String = "id",
-      vecCol: String = "ev"): DataFrame = {
-    val best = array_max(scoredCells(col(vecCol), cents))
-    base.select(col(idCol), (-best.getField("nc")).as("cell"),
-        best.getField("c").as("best_cos"))
+      vecCol: String = "ev"): DataFrame =
+    bestCells(base, cents, idCol, vecCol)
+      .select(col(idCol), col("cell"), col("best_cos"))
       .filter(col("best_cos") < minCos)
-  }
 
   /** IVF top-k: score only vectors in the query's `nProbe` nearest cells.
     * Output (qid, id, cosine, rn) — same contract as

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StateSinks {
 
-  import Streams.{epochSnapshots, stateFs}
+  import Streams.{completeEpochSnapshots, epochSnapshots, stateFs}
 
   /** Streaming incremental rollup maintenance — [[graft.ops.Rollups]]'s
     * mergeable state folded micro-batch by micro-batch: each epoch
@@ -71,8 +71,8 @@ object StateSinks {
   /** Read the newest state snapshot written by [[incrementalRollupSink]].
     * Fails with a clear message (not an NPE) when no snapshot exists. */
   def latestRollupState(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = epochSnapshots(spark, stateDir)
-    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    val dirs = completeEpochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no complete epoch=N snapshots under $stateDir")
     spark.read.parquet(dirs.last._2.toString)
   }
 
@@ -380,8 +380,8 @@ object StateSinks {
 
   /** The newest (source, n_docs, n_tokens) accounting snapshot. */
   def latestMixState(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = epochSnapshots(spark, stateDir)
-    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    val dirs = completeEpochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no complete epoch=N snapshots under $stateDir")
     spark.read.parquet(dirs.last._2.toString)
   }
 
@@ -515,8 +515,8 @@ object StateSinks {
     * state — (key, est), est over ALL epochs ingested. */
   def latestHeavyHitters(spark: SparkSession, stateDir: String,
       minFrac: Double): DataFrame = {
-    val dirs = epochSnapshots(spark, stateDir)
-    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    val dirs = completeEpochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no complete epoch=N snapshots under $stateDir")
     val st = spark.read.parquet(dirs.last._2.toString)
     val total = st.filter(col("is_sketch"))
       .select(col("est")).head.getLong(0)
@@ -528,8 +528,8 @@ object StateSinks {
   /** Estimate readout over [[hllRollupSink]]'s newest state. */
   def latestHllEstimates(spark: SparkSession, stateDir: String)
       : DataFrame = {
-    val dirs = epochSnapshots(spark, stateDir)
-    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    val dirs = completeEpochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no complete epoch=N snapshots under $stateDir")
     spark.read.parquet(dirs.last._2.toString)
       .withColumn("est_distinct",
         hll_sketch_estimate(col("dv_sketch")))
@@ -580,8 +580,8 @@ object StateSinks {
   /** Quantile readout over [[logBucketQuantileSink]]'s newest state. */
   def latestLogBucketQuantiles(spark: SparkSession, stateDir: String,
       ps: Seq[(Int, Int)], j: Int): DataFrame = {
-    val dirs = epochSnapshots(spark, stateDir)
-    require(dirs.nonEmpty, s"no epoch=N snapshots under $stateDir")
+    val dirs = completeEpochSnapshots(spark, stateDir)
+    require(dirs.nonEmpty, s"no complete epoch=N snapshots under $stateDir")
     graft.ops.Quantiles.logBucketAnswer(
       spark.read.parquet(dirs.last._2.toString), ps, j)
   }

@@ -194,6 +194,46 @@ object VectorSinks {
       .start()
   }
 
+  /** One epoch of the CDC upsert as a pure frame transform over the
+    * VERSIONED histories — [[upsertKnnGraphSink]] wraps it in state IO;
+    * ScaleProbe (`upsert_epoch`) times it against an m×-grown history.
+    * `pv`/`pb`/`pt` are the strictly-before-this-epoch, deduped rows of
+    * the vecs/bands/tombs dirs ((id, ev, epoch) / (id, band, bucket,
+    * epoch) / (id, epoch)). Exactness: latest-event-wins live view, then
+    * repair down to live ∖ effTomb (the q451 argument — prevEdges IS
+    * the exact graph on the pre-epoch live set), then fold the delta
+    * (the q450 monoid argument); the composition equals the batch graph
+    * on the latest live versions. The live-view derivation costs two
+    * keyed aggs of slim (id, epoch) projections riding the history scan
+    * the fold already pays. */
+  def upsertGraphEpoch(delta: DataFrame, tomb: DataFrame, pv: DataFrame,
+      pb: DataFrame, pt: DataFrame, prevEdges: DataFrame, dim: Int,
+      k: Int, bits: Int, bands: Int): DataFrame = {
+    // latest-event-wins live keys: (id, epoch-of-current-version)
+    val lastAdd = pv.groupBy(col("id")).agg(max(col("epoch")).as("epoch"))
+    val lastDel = pt.groupBy(col("id")).agg(max(col("epoch")).as("__de"))
+    val liveKeys = lastAdd.join(lastDel, Seq("id"), "left")
+      .filter(col("__de").isNull || col("epoch") > col("__de"))
+      .select(col("id"), col("epoch"))
+    val liveVecs = pv.join(liveKeys, Seq("id", "epoch"), "left_semi")
+      .select(col("id"), col("ev"))
+    val liveBands = pb.join(liveKeys, Seq("id", "epoch"), "left_semi")
+      .select(col("id"), col("band"), col("bucket"))
+    // an add of a LIVE id is an update: implicitly delete the old
+    // version before folding the new one in
+    val replaced = delta.select(col("id"))
+      .join(liveKeys.select(col("id")), Seq("id"), "left_semi")
+    val effTomb = tomb.unionByName(replaced).distinct()
+    val keptVecs = liveVecs.join(effTomb, Seq("id"), "left_anti")
+    val keptBands = liveBands.join(effTomb, Seq("id"), "left_anti")
+    // repair first (exact graph on live ∖ effTomb), then fold the
+    // delta (exact graph on survivors ∪ delta's latest versions)
+    val repaired = GraphANN.repairAfterDelete(keptBands, keptVecs,
+      prevEdges, effTomb, k)
+    knnGraphEpoch(delta, keptBands, keptVecs, repaired, dim, k, bits,
+      bands)
+  }
+
   /** The CDC form (round 12; re-add/update support round 13): ONE sink
     * consuming a change stream of inserts AND deletes — `op` = "add"
     * rows carry (id, ev), `op` = "del" rows carry the tombstoned id.
@@ -278,16 +318,6 @@ object VectorSinks {
           (if (dirExists(spark, tombsDir)) spark.read.parquet(tombsDir)
            else tomb.withColumn("epoch", lit(0L)).limit(0))
             .filter(col("epoch") < epochId).distinct()
-        // latest-event-wins live keys: (id, epoch-of-current-version)
-        val lastAdd = pv.groupBy(col("id")).agg(max(col("epoch")).as("epoch"))
-        val lastDel = pt.groupBy(col("id")).agg(max(col("epoch")).as("__de"))
-        val liveKeys = lastAdd.join(lastDel, Seq("id"), "left")
-          .filter(col("__de").isNull || col("epoch") > col("__de"))
-          .select(col("id"), col("epoch"))
-        val liveVecs = pv.join(liveKeys, Seq("id", "epoch"), "left_semi")
-          .select(col("id"), col("ev"))
-        val liveBands = pb.join(liveKeys, Seq("id", "epoch"), "left_semi")
-          .select(col("id"), col("band"), col("bucket"))
         val prev = epochSnapshots(spark, edgesDir)
           .filter(_._1 < epochId).lastOption
         val prevEdges = prev match {
@@ -296,18 +326,7 @@ object VectorSinks {
             .select(col("id").as("src"), col("id").as("dst"),
               lit(0.0).as("cosine"), lit(0L).as("rn"))
         }
-        // an add of a LIVE id is an update: implicitly delete the old
-        // version before folding the new one in
-        val replaced = delta.select(col("id"))
-          .join(liveKeys.select(col("id")), Seq("id"), "left_semi")
-        val effTomb = tomb.unionByName(replaced).distinct()
-        val keptVecs = liveVecs.join(effTomb, Seq("id"), "left_anti")
-        val keptBands = liveBands.join(effTomb, Seq("id"), "left_anti")
-        // repair first (exact graph on live ∖ effTomb), then fold the
-        // delta (exact graph on survivors ∪ delta's latest versions)
-        val repaired = GraphANN.repairAfterDelete(keptBands, keptVecs,
-          prevEdges, effTomb, k)
-        knnGraphEpoch(delta, keptBands, keptVecs, repaired, dim, k,
+        upsertGraphEpoch(delta, tomb, pv, pb, pt, prevEdges, dim, k,
             bits, bands)
           .write.mode("overwrite").parquet(s"$edgesDir/epoch=$epochId")
         // history appends AFTER the snapshot (torn replay heals on read)
