@@ -227,9 +227,14 @@ object VectorSinks {
     val keptVecs = liveVecs.join(effTomb, Seq("id"), "left_anti")
     val keptBands = liveBands.join(effTomb, Seq("id"), "left_anti")
     // repair first (exact graph on live ∖ effTomb), then fold the
-    // delta (exact graph on survivors ∪ delta's latest versions)
+    // delta (exact graph on survivors ∪ delta's latest versions).
+    // The fold consumes its prevEdges TWICE (affected-src semi +
+    // untouched anti) — for the sink that is a cheap parquet re-scan,
+    // but here the repair is a heavy lazy subtree, so materialize it
+    // once (n·k rows, the same size the sink writes per epoch anyway;
+    // measured: the epoch probe drops ~2x with the checkpoint)
     val repaired = GraphANN.repairAfterDelete(keptBands, keptVecs,
-      prevEdges, effTomb, k)
+      prevEdges, effTomb, k).localCheckpoint()
     knnGraphEpoch(delta, keptBands, keptVecs, repaired, dim, k, bits,
       bands)
   }
@@ -590,7 +595,17 @@ object VectorSinks {
     * union corpus on the current model (VectorSinksSpec asserts it,
     * plus a drift-then-recenter recall probe). Cross-engine: step 1 is
     * the q58 oracle-proven Lloyd update and step 2 the q36 assignment
-    * replay — q453 gates the composed recenter step in DuckDB. */
+    * replay — q453 gates the composed recenter step in DuckDB.
+    *
+    * LAYOUT CONTRACT: this reads through [[liveAssignments]]
+    * (permanent-tombstone semantics), which is exact for the standalone
+    * [[incrementalIvfAssignSink]] pairing (lifetime-unique ids). For
+    * the combined [[upsertKnnGraphSink]] layout — where a tombstoned id
+    * can be LIVE again via re-add — run [[compactVectorState]] FIRST
+    * (it bakes revivals in and clears the tombstones): recentering an
+    * uncompacted combined-sink dir would silently drop revived ids'
+    * rows, because the conservative readout hides them and the rewrite
+    * makes that permanent. */
   def recenterVectorState(spark: SparkSession, assignDir: String,
       tombsDir: String, scale: Double = 1e6): Seq[(Long, Seq[Double])] = {
     val live = liveAssignments(spark, assignDir, tombsDir)
