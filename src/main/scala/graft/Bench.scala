@@ -115,13 +115,14 @@ object Bench {
           text.Bpe.encode(docs, "doc_id", "text", trained)
         }
       },
-      "x37_cluster_table" ->
-        ((s, dir) => {
+      "x37_cluster_table" -> {
+        // one temp dir per process, reused across passes (per-run unique
+        // against concurrent benches, bounded on disk across passes)
+        lazy val x37Dir = java.nio.file.Files
+          .createTempDirectory("graft_cluster_table").toString
+        (s: org.apache.spark.sql.SparkSession, dir: String) => {
           import org.apache.spark.sql.functions._
-          // per-run temp dir: concurrent bench runs must not clobber
-          // each other's materialized table mid-read
-          val tableDir = java.nio.file.Files
-            .createTempDirectory("graft_cluster_table").toString
+          val tableDir = x37Dir
           val pairs = queries.VectorsDedup
             .minhashLshPipeline(s, dir, graft.functions.Hash64.hash60)
             .filter(col("est_jaccard") >= 0.5)
@@ -137,7 +138,8 @@ object Bench {
             "doc_id", "n_tokens").count()
           dedup.NearDup.dupFlowMatrix(ps, docs, "doc_id", "source").count()
           cl
-        }))
+        }
+      })
     // Untimed warmup: run EVERY query once at the tiny SF so each plan's
     // Janino/JIT compilation (the dominant 4-6 s first-evaluation noise,
     // keyed by plan structure, not data paths) is paid before timing —

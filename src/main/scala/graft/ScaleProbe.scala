@@ -319,7 +319,10 @@ object ScaleProbe {
           similarity.Similarity.toDouble(col("embedding")).as("ev"))
         .filter(col("id") % 10 === 0)
         .unionByName(embAll.filter(col("id") % 97 === 0).limit(20))
-      val uTomb = embAll.select(col("id")).filter(col("id") % 10 === 1)
+      // %97 exclusion keeps the tombstones DISJOINT from the delta's
+      // update leg — one-epoch add+del of the same id is contract-barred
+      val uTomb = embAll.select(col("id"))
+        .filter(col("id") % 10 === 1 && col("id") % 97 =!= 0)
         .limit(50)
       time(s"upsert_epoch_x$m") {
         streaming.VectorSinks.upsertGraphEpoch(uDelta, uTomb, pvV, pbV,

@@ -121,12 +121,15 @@ object CurationGates extends QueryModule {
     * times this entry so the gate-vs-production gap is an explicit
     * artifact number instead of a scaladoc claim. Timed region
     * includes the write and every consumer. */
+  // one temp dir per (process, data dir), reused across bench passes:
+  // per-run unique (concurrent bench runs never clobber each other) yet
+  // bounded on disk (repeated passes overwrite, never accumulate)
+  private val chainTableDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
   private[graft] def releaseChainOnce(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir).documents
-    // per-run temp dir (not a fixed path): concurrent bench runs on one
-    // host must not clobber each other's materialized table mid-read
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("graft_release_chain").toString
+    val tableDir = chainTableDirs.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft_release_chain").toString)
     graft.text.Curate.releaseVerdicts(releaseInput(base), "doc_id",
         "text", blockPhrases, releaseBench(base), minTokens = 10L)
       .join(releaseSources(base), "doc_id")

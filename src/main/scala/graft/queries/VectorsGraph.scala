@@ -194,11 +194,13 @@ object VectorsGraph extends QueryModule {
         bits = gBits, bands = gBands)
       val seeds = Vectors.queriesDf(t).select(col("qid"))
         .crossJoin(GraphANN.topLayer(base, gLayer, gSalt))
+      val nTotal = base.count() // once for all three sweep points
       sweepSels.map { case (label, m) =>
         val pred = col("id") % m === 1
         val (found, nScored, fb) = GraphANN.filteredTopKAdaptive(base,
           Vectors.queriesDf(t), edges, seeds, pred, beam = gBeam,
-          rounds = gLayerRounds, k = topK, minEligibleFrac = sweepMinFrac)
+          rounds = gLayerRounds, k = topK, minEligibleFrac = sweepMinFrac,
+          nTotal = Some(nTotal))
         recallGate(t, base.filter(pred), found, nScored)
           .select(lit(label).as("sel"), col("qid"), col("n_hits"),
             col("recall"), col("n_scored"), lit(fb).as("used_fallback"))

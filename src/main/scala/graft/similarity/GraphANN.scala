@@ -294,12 +294,15 @@ object GraphANN {
     * 5%), so each branch's full output is DuckDB-verified and the
     * sweep documents where the crossover sits.
     *
+    * @param nTotal precomputed corpus count — pass it when calling for
+    *               several predicates over one corpus (q454's sweep) so
+    *               the base scan is not re-counted per point
     * @return (topk, nScored, usedFallback) */
   def filteredTopKAdaptive(base: DataFrame, queries: DataFrame,
       edges: DataFrame, seeds: DataFrame, pred: Column, beam: Int,
-      rounds: Int, k: Int,
-      minEligibleFrac: Double = 0.05): (DataFrame, DataFrame, Boolean) = {
-    val n = base.count()
+      rounds: Int, k: Int, minEligibleFrac: Double = 0.05,
+      nTotal: Option[Long] = None): (DataFrame, DataFrame, Boolean) = {
+    val n = nTotal.getOrElse(base.count())
     val eligible = base.filter(pred)
     val ne = eligible.count()
     require(n > 0 && ne > 0, s"empty corpus ($n) or filter ($ne)")

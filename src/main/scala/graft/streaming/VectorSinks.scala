@@ -209,12 +209,7 @@ object VectorSinks {
   def upsertGraphEpoch(delta: DataFrame, tomb: DataFrame, pv: DataFrame,
       pb: DataFrame, pt: DataFrame, prevEdges: DataFrame, dim: Int,
       k: Int, bits: Int, bands: Int): DataFrame = {
-    // latest-event-wins live keys: (id, epoch-of-current-version)
-    val lastAdd = pv.groupBy(col("id")).agg(max(col("epoch")).as("epoch"))
-    val lastDel = pt.groupBy(col("id")).agg(max(col("epoch")).as("__de"))
-    val liveKeys = lastAdd.join(lastDel, Seq("id"), "left")
-      .filter(col("__de").isNull || col("epoch") > col("__de"))
-      .select(col("id"), col("epoch"))
+    val liveKeys = liveKeysOf(pv, pt)
     val liveVecs = pv.join(liveKeys, Seq("id", "epoch"), "left_semi")
       .select(col("id"), col("ev"))
     val liveBands = pb.join(liveKeys, Seq("id", "epoch"), "left_semi")
@@ -310,17 +305,17 @@ object VectorSinks {
         // replay's own rows are excluded so the replay sees exactly the
         // first run's state; dedup-on-read heals double-appends
         val pv =
-          (if (dirExists(spark, vecsDir)) spark.read.parquet(vecsDir)
+          (if (dirExists(spark, vecsDir)) readVersioned(spark, vecsDir)
            else delta.withColumn("epoch", lit(0L)).limit(0))
             .filter(col("epoch") < epochId)
             .dropDuplicates("id", "epoch")
         val pb =
-          (if (dirExists(spark, bandsDir)) spark.read.parquet(bandsDir)
+          (if (dirExists(spark, bandsDir)) readVersioned(spark, bandsDir)
            else GraphANN.bandedBuckets(delta, dim, bits, bands)
              .withColumn("epoch", lit(0L)).limit(0))
             .filter(col("epoch") < epochId).distinct()
         val pt =
-          (if (dirExists(spark, tombsDir)) spark.read.parquet(tombsDir)
+          (if (dirExists(spark, tombsDir)) readVersioned(spark, tombsDir)
            else tomb.withColumn("epoch", lit(0L)).limit(0))
             .filter(col("epoch") < epochId).distinct()
         val prev = epochSnapshots(spark, edgesDir)
@@ -435,6 +430,25 @@ object VectorSinks {
     spark.read.parquet(dirs.last._2.toString).select(col("id"))
   }
 
+  /** Read a state dir with schema-merge across file generations and a
+    * guaranteed `epoch` column: rows written before the round-13
+    * versioning (no epoch column, or nulls in a mixed dir) coalesce to
+    * epoch −1 — strictly older than every real epoch, which is exactly
+    * their semantics (a −1 add beats nothing; a −1 tombstone kills a −1
+    * add, the old permanent-tombstone contract). Plain
+    * `spark.read.parquet` would pick ONE file's schema on a mixed dir
+    * and silently drop or null the column for half the rows. The dir
+    * must exist — [[Streams.stateDirExists]] runs first, so a
+    * half-finished compaction fails with its recovery message instead
+    * of a bare path error. */
+  private def readVersioned(spark: SparkSession, dir: String): DataFrame = {
+    require(dirExists(spark, dir), s"state dir $dir does not exist")
+    val raw = spark.read.option("mergeSchema", "true").parquet(dir)
+    if (raw.columns.contains("epoch"))
+      raw.withColumn("epoch", coalesce(col("epoch"), lit(-1L)))
+    else raw.withColumn("epoch", lit(-1L))
+  }
+
   /** Newest-epoch row per id (torn-replay duplicates healed first) —
     * the latest-wins read every versioned dir shares. */
   private def latestPerId(df: DataFrame): DataFrame = {
@@ -443,6 +457,21 @@ object VectorSinks {
       deduped.groupBy(col("id")).agg(max(col("epoch")).as("epoch")),
       Seq("id", "epoch"), "left_semi")
   }
+
+  /** Latest-event-wins live keys (id, epoch-of-current-version) from
+    * versioned add rows `pv` (id, epoch, ...) and tombstone rows `pt`
+    * (id, epoch): live iff the newest add STRICTLY post-dates the
+    * newest delete. THE liveness rule — [[upsertGraphEpoch]],
+    * [[compactVectorState]] and [[liveAssignmentsVersioned]] all
+    * derive from this one definition, so the sink's live view, the
+    * compactor's keep set and the readout can never disagree on
+    * strictness or dedup keys. */
+  private def liveKeysOf(pv: DataFrame, pt: DataFrame): DataFrame =
+    pv.groupBy(col("id")).agg(max(col("epoch")).as("epoch"))
+      .join(pt.groupBy(col("id")).agg(max(col("epoch")).as("__de")),
+        Seq("id"), "left")
+      .filter(col("__de").isNull || col("epoch") > col("__de"))
+      .select(col("id"), col("epoch"))
 
   /** COMPACTION — the operational pass the append-only state dirs
     * promise (run it quiesced: the sinks are single-writer and this
@@ -476,31 +505,31 @@ object VectorSinks {
       vecsDir: String, tombsDir: String,
       assignDirs: Seq[String] = Seq.empty): Unit = {
     val versioned = dirExists(spark, vecsDir) &&
-      spark.read.parquet(vecsDir).columns.contains("epoch")
+      spark.read.option("mergeSchema", "true").parquet(vecsDir)
+        .columns.contains("epoch")
     if (versioned) {
-      // latest-event-wins live keys, materialized BEFORE any rewrite
-      // touches the dirs they derive from
-      val pv = spark.read.parquet(vecsDir).dropDuplicates("id", "epoch")
+      // latest-event-wins live keys (the ONE liveKeysOf rule),
+      // materialized BEFORE any rewrite touches their source dirs
+      val pv = readVersioned(spark, vecsDir).dropDuplicates("id", "epoch")
       val pt =
         if (dirExists(spark, tombsDir))
-          spark.read.parquet(tombsDir).distinct()
+          readVersioned(spark, tombsDir).distinct()
         else pv.select(col("id"), col("epoch")).limit(0)
-      val liveKeys = pv.groupBy(col("id")).agg(max(col("epoch")).as("epoch"))
-        .join(pt.groupBy(col("id")).agg(max(col("epoch")).as("__de")),
-          Seq("id"), "left")
-        .filter(col("__de").isNull || col("epoch") > col("__de"))
-        .select(col("id"), col("epoch"))
-        .localCheckpoint()
-      swapRewrite(spark, vecsDir)(df =>
-        df.dropDuplicates("id", "epoch")
+      val liveKeys = liveKeysOf(pv, pt).localCheckpoint()
+      // rewrites read through readVersioned (not swapRewrite's raw
+      // frame): a mixed pre/post-versioning dir needs the merged schema
+      // and the null-epoch coalesce for the (id, epoch) joins to hold
+      swapRewrite(spark, vecsDir)(_ =>
+        readVersioned(spark, vecsDir).dropDuplicates("id", "epoch")
           .join(liveKeys, Seq("id", "epoch"), "left_semi"))
-      swapRewrite(spark, bandsDir)(df =>
-        df.distinct().join(liveKeys, Seq("id", "epoch"), "left_semi"))
+      swapRewrite(spark, bandsDir)(_ =>
+        readVersioned(spark, bandsDir).distinct()
+          .join(liveKeys, Seq("id", "epoch"), "left_semi"))
       // assignment dirs may run their own epoch counter (the standalone
       // sink), so liveness joins on id and recency on the dir's OWN
       // epochs: keep each live id's newest assignment row
-      assignDirs.foreach(d => swapRewrite(spark, d)(df =>
-        latestPerId(df)
+      assignDirs.foreach(d => swapRewrite(spark, d)(_ =>
+        latestPerId(readVersioned(spark, d))
           .join(liveKeys.select(col("id")), Seq("id"), "left_semi")))
     } else {
       val tombs =
@@ -538,10 +567,7 @@ object VectorSinks {
     * [[liveAssignmentsVersioned]], which sees re-adds and updates. */
   def liveAssignments(spark: SparkSession, assignDir: String,
       tombsDir: String): DataFrame = {
-    val raw = spark.read.parquet(assignDir)
-    val assigned =
-      if (raw.columns.contains("epoch")) latestPerId(raw)
-      else raw.dropDuplicates("id")
+    val assigned = latestPerId(readVersioned(spark, assignDir))
     if (dirExists(spark, tombsDir))
       assigned.join(
         spark.read.parquet(tombsDir).select(col("id")).distinct(),
@@ -560,14 +586,12 @@ object VectorSinks {
     * there. */
   def liveAssignmentsVersioned(spark: SparkSession, assignDir: String,
       tombsDir: String): DataFrame = {
-    val latest = latestPerId(spark.read.parquet(assignDir))
+    val latest = latestPerId(readVersioned(spark, assignDir))
     if (!dirExists(spark, tombsDir)) latest
     else latest.join(
-        spark.read.parquet(tombsDir).distinct()
-          .groupBy(col("id")).agg(max(col("epoch")).as("__de")),
-        Seq("id"), "left")
-      .filter(col("__de").isNull || col("epoch") > col("__de"))
-      .drop("__de")
+        liveKeysOf(latest.select(col("id"), col("epoch")),
+          readVersioned(spark, tombsDir).distinct()),
+        Seq("id", "epoch"), "left_semi")
   }
 
   /** ONLINE CENTROID REFRESH (round 13) — the recenter pass the frozen-
@@ -597,24 +621,30 @@ object VectorSinks {
     * the q58 oracle-proven Lloyd update and step 2 the q36 assignment
     * replay — q453 gates the composed recenter step in DuckDB.
     *
-    * LAYOUT CONTRACT: this reads through [[liveAssignments]]
-    * (permanent-tombstone semantics), which is exact for the standalone
-    * [[incrementalIvfAssignSink]] pairing (lifetime-unique ids). For
-    * the combined [[upsertKnnGraphSink]] layout — where a tombstoned id
-    * can be LIVE again via re-add — run [[compactVectorState]] FIRST
-    * (it bakes revivals in and clears the tombstones): recentering an
-    * uncompacted combined-sink dir would silently drop revived ids'
-    * rows, because the conservative readout hides them and the rewrite
-    * makes that permanent. */
+    * Layout-safety (round-13 self-review fix): the TRAINING set is the
+    * conservative [[liveAssignments]] view (erasure-safe — a tombstoned
+    * id never contributes to the model, whatever the epoch counters
+    * mean), but the REWRITE reassigns EVERY id's latest row, so no row
+    * is lost in any layout: in the combined [[upsertKnnGraphSink]]
+    * pairing a revived id's row survives the recenter and
+    * [[liveAssignmentsVersioned]] keeps seeing it (with its new-model
+    * cell); dead ids' rows persist exactly as they did before — physical
+    * erasure remains [[compactVectorState]]'s job. */
   def recenterVectorState(spark: SparkSession, assignDir: String,
       tombsDir: String, scale: Double = 1e6): Seq[(Long, Seq[Double])] = {
-    val live = liveAssignments(spark, assignDir, tombsDir)
-      .localCheckpoint() // materialize BEFORE rewriting its source dir
+    // materialize BEFORE rewriting their source dir
+    val all = latestPerId(readVersioned(spark, assignDir))
+      .localCheckpoint()
+    val live =
+      if (dirExists(spark, tombsDir))
+        all.join(spark.read.parquet(tombsDir).select(col("id")).distinct(),
+          Seq("id"), "left_anti")
+      else all
     val newCents = KMeans.exactMeanByKey(live, "cell", "ev", scale)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](2).toVector))
       .sortBy(_._1).toVector
-    swapRewrite(spark, assignDir)(_ => IVF.assign(live, newCents))
+    swapRewrite(spark, assignDir)(_ => IVF.assign(all, newCents))
     newCents
   }
 

@@ -420,6 +420,60 @@ class VectorSinksSpec extends SparkSuite {
       edgeSet(GraphANN.knnGraph(live2, dim, gk, bits, bands)))
   }
 
+  test("recenterVectorState in the combined layout: trains on the " +
+      "conservative live view but preserves EVERY id's latest row — " +
+      "revived ids stay visible to the versioned readout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Seq[Double], String)]
+    val changes = mem.toDF().toDF("id", "ev", "op")
+    val (bandsDir, vecsDir, tombsDir, edgesDir, assignDir, markers, ckp) =
+      (tmp("rl-bands"), tmp("rl-vecs"), tmp("rl-tombs"), tmp("rl-edges"),
+        tmp("rl-assign"), tmp("rl-mark"), tmp("rl-ckp"))
+    Seq(bandsDir, vecsDir, tombsDir, edgesDir, assignDir)
+      .foreach(d => Files.delete(java.nio.file.Paths.get(d)))
+    val cents = IVF.collectCentroids(
+      Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2))).toDF("cid", "cv"),
+      "cid", "cv")
+    def run(): Unit = {
+      val q = VectorSinks.upsertKnnGraphSink(changes, dim, gk, bits,
+        bands, bandsDir, vecsDir, tombsDir, edgesDir, markers, ckp,
+        assignCents = cents, assignDir = assignDir,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000)
+    }
+    mem.addData((0 until 10).map(i => (i.toLong, vec(i), "add")): _*)
+    run()
+    mem.addData((4L, Seq.empty[Double], "del")); run()
+    mem.addData((4L, vec(104), "add")); run() // revived with a new vector
+
+    val latest = (0 until 10).map { i =>
+      (i.toLong, if (i == 4) vec(104) else vec(i))
+    }
+    val newCents =
+      VectorSinks.recenterVectorState(spark, assignDir, tombsDir)
+    // training excluded the tombstoned-once id 4 (erasure-safe view)...
+    val lloyd = graft.similarity.KMeans
+      .lloydStep(latest.filter(_._1 != 4L).toDF("id", "ev"), cents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toVector)
+      .toMap
+    assert(newCents.toMap == lloyd)
+    // ...but the REWRITE kept every id's latest row: the revived id is
+    // still there, reassigned to the new model
+    val versioned = VectorSinks
+      .liveAssignmentsVersioned(spark, assignDir, tombsDir)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = IVF.assign(latest.toDF("id", "ev"), newCents)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(versioned == expect)
+    // the conservative readout still hides it (tombstones untouched)
+    assert(VectorSinks.liveAssignments(spark, assignDir, tombsDir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet ==
+      expect.keySet - 4L)
+  }
+
   test("recenterVectorState: post-recenter assignments equal batch " +
       "IVF.assign on the new centroids (= the Lloyd update), recall " +
       "under drift never degrades, and the relaunched sink keeps parity") {
