@@ -58,16 +58,23 @@ def main():
     # Machine-drift normalization (round-12 item 5): x00_calibration is
     # a fixed synthetic workload benched into every artifact — identical
     # work both sides, so its ratio measures THIS pair of runs' machine
-    # condition, not the code. When both artifacts carry it, per-query
-    # ratios divide by the calibration ratio before flagging; the probe
-    # itself is exempt from flagging. Artifacts without it (pre-r12)
-    # diff exactly as before.
+    # condition, not the code. Round-13 finding: the probe's condition
+    # factor can DIVERGE from the suite's (r12->r13 the CPU-bound probe
+    # ran 0.68x while the parquet-heavy suite ran 1.06x, so dividing by
+    # it manufactured 126 false flags). A real regression inflates the
+    # RAW ratio and survives ANY honest normalization; drift inflates
+    # one view or the other. So when both artifacts carry the probe, a
+    # query is flagged only when BOTH its raw and calibrated ratios
+    # exceed the threshold (the conservative intersection), and both
+    # numbers print for the adjudication record. The probe itself is
+    # exempt. Artifacts without it (pre-r12) diff exactly as before.
     CAL = "x00_calibration"
     cal = None
     if CAL in pq and CAL in cq and pq[CAL] > 0 and cq[CAL] > 0:
         cal = cq[CAL] / pq[CAL]
         print(f"calibration: {pq[CAL]:.2f}s -> {cq[CAL]:.2f}s "
-              f"({cal:.2f}x machine drift; per-query ratios normalized)")
+              f"({cal:.2f}x machine drift; flags need raw AND "
+              "calibrated agreement)")
 
     slowdowns, speedups = [], []
     for name in shared:
@@ -75,12 +82,14 @@ def main():
             continue
         p, c = pq[name], cq[name]
         c_adj = c / cal if cal else c
-        if abs(c_adj - p) < args.floor:
+        # the floor and threshold apply to the raw numbers; calibration
+        # can only VETO a flag, never create one
+        if abs(c - p) < args.floor:
             continue
-        if c_adj > p * args.ratio:
-            slowdowns.append((name, p, c_adj))
-        elif p > c_adj * args.ratio:
-            speedups.append((name, p, c_adj))
+        if c > p * args.ratio and c_adj > p * args.ratio:
+            slowdowns.append((name, p, c))
+        elif p > c * args.ratio and p > c_adj * args.ratio:
+            speedups.append((name, p, c))
 
     # totals exclude the calibration probe (fixed synthetic work) and,
     # when it is present, print the machine-normalized ratio beside the
@@ -99,11 +108,14 @@ def main():
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
-    adj = " (calibrated)" if cal else ""
+    def cal_note(p, c):
+        return f", {c / cal / p:.2f}x cal" if cal else ""
     for name, p, c in sorted(speedups, key=lambda x: x[1] - x[2]):
-        print(f"FASTER  {name}: {p:.2f}s -> {c:.2f}s{adj} ({c / p:.2f}x)")
+        print(f"FASTER  {name}: {p:.2f}s -> {c:.2f}s "
+              f"({c / p:.2f}x raw{cal_note(p, c)})")
     for name, p, c in sorted(slowdowns, key=lambda x: x[1] - x[2]):
-        print(f"SLOWER  {name}: {p:.2f}s -> {c:.2f}s{adj} ({c / p:.2f}x)")
+        print(f"SLOWER  {name}: {p:.2f}s -> {c:.2f}s "
+              f"({c / p:.2f}x raw{cal_note(p, c)})")
     errs = {n: e for n, e in cur.get("errors", {}).items()}
     if errs:
         print(f"current-run errors ({len(errs)}): {', '.join(sorted(errs))}")
