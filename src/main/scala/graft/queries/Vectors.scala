@@ -281,6 +281,47 @@ object Vectors extends QueryModule {
     // mid-query collect is the [[graft.similarity.IVF.collectCentroids]]
     // contract; both assignment passes are zero-shuffle literal-centroid
     // scans. Output: each vector's post-recenter cell.
+    // BINARY-EMBEDDING ANN (round 13, beyond-list): the 4th compression
+    // route — 60-d sign signatures (one long per vector, ~32x memory
+    // cut), Hamming bit_count(xor) shortlist of 32 per query (ALU ops,
+    // no float math on the scan), exact-cosine re-rank of the
+    // shortlist, recall@5 vs brute + the honest n_scored (=32 exact
+    // scorings per query; the Hamming scan touches all n signatures but
+    // at ~1/60th the per-row cost — the memory-bandwidth argument
+    // binary embeddings exist for). Both stages replay in DuckDB
+    // (sign-of-component is bit-identical; Hamming is integer).
+    "q456_binary_ann_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val b = base(t)
+      val q = queriesDf(t)
+      val kShort = 32
+      val ham = b
+        .select(col("id"), Similarity.signBits(col("ev")).as("sig"))
+        .crossJoin(broadcast(q.select(col("qid"),
+          Similarity.signBits(col("qv")).as("qsig"))))
+        .select(col("qid"), col("id"),
+          bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long")
+            .as("ham"))
+      val shortlist = graft.similarity.TopK
+        .bottomKLongPerGroup(ham, Seq("qid"), "id", "ham", kShort)
+      val rerank = shortlist
+        .join(b, "id").join(q, "qid")
+        .select(col("qid"), col("id"),
+          Similarity.cosineNative(col("qv"), col("ev")).as("cosine"))
+      val found = graft.similarity.TopK
+        .perGroup(rerank, Seq("qid"), "id", "cosine", 5)
+        .select(col("qid"), col("id"))
+      val brute = Similarity.bruteForceTopK(b, q, 5)
+        .select(col("qid"), col("id"))
+      val hits = brute.join(found, Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
+        .withColumn("n_scored", lit(kShort.toLong))
+    }),
+
     // SPHERICAL K-MEANS CONVERGENCE (round 13, beyond-list): the full
     // driver-loop training path gated cross-engine — 3 iterations of
     // (assign → exact-mean update), emitting per step the clustering
@@ -745,6 +786,51 @@ object Vectors extends QueryModule {
         |)
         |SELECT cell, n, pos, CAST(s AS DOUBLE) / n / 1000000.0 AS c
         |FROM sums""".stripMargin,
+
+    // sign pack -> Hamming shortlist (ties by id) -> exact-cosine
+    // re-rank -> recall join, every stage integer-or-proven-fold exact
+    "q456_binary_ann_recall" ->
+      s"""WITH b AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), sigs AS (
+        |  SELECT id, ${Similarity.signBitsSql("ev")} AS sig FROM b
+        |), qsigs AS (
+        |  SELECT qid, ${Similarity.signBitsSql("qv")} AS qsig FROM q
+        |), short AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qs.qid, s.id,
+        |           row_number() OVER (PARTITION BY qs.qid
+        |             ORDER BY bit_count(xor(s.sig, qs.qsig)), s.id) AS hrn
+        |    FROM sigs s CROSS JOIN qsigs qs
+        |  ) WHERE hrn <= 32
+        |), found AS (
+        |  SELECT qid, id FROM (
+        |    SELECT sh.qid, sh.id,
+        |           row_number() OVER (PARTITION BY sh.qid
+        |             ORDER BY $cosineSql DESC, sh.id) AS rn
+        |    FROM short sh JOIN b ON sh.id = b.id JOIN q ON sh.qid = q.qid
+        |  ) WHERE rn <= 5
+        |), brute AS (
+        |  SELECT qid, id FROM (
+        |    SELECT q.qid, b.id,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY $cosineSql DESC, b.id) AS rn
+        |    FROM q CROSS JOIN b
+        |  ) WHERE rn <= 5
+        |), hits AS (
+        |  SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM brute JOIN found ON brute.qid = found.qid
+        |    AND brute.id = found.id
+        |  GROUP BY 1
+        |)
+        |SELECT q.qid, coalesce(n_hits, 0) AS n_hits,
+        |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall,
+        |       CAST(32 AS BIGINT) AS n_scored
+        |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
 
     // 3 unrolled (assign -> exact-mean) rounds + the per-step quantized
     // objective — the q453 recenter replay iterated, sharing its

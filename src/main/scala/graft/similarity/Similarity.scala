@@ -73,6 +73,33 @@ object Similarity {
     * |queries|×|tasks|×k rows. Round 2's `Window.partitionBy(qid)` funneled
     * the whole scored corpus into #queries partitions and sorted it —
     * invisible at sf0.1, fatal at 100 TB. */
+  /** 60-bit SIGN SIGNATURE of an embedding — bit p set iff component p
+    * is strictly positive. The binary-embedding route: the 4th ANN
+    * compression path next to LSH cells ([[lshBucket]]), PQ codes
+    * ([[PQ]]) and the k-NN graph ([[GraphANN]]) — 60 float components
+    * collapse to ONE portable long (≈32× memory cut), and candidate
+    * scoring becomes `bit_count(xor)` — a handful of ALU ops per pair
+    * instead of a 60-term float dot product, with exact-cosine re-rank
+    * of the Hamming shortlist recovering precision (q456 gates the
+    * recall). 60 bits, not 64: the hash60 convention — every value
+    * stays positive, so shifts and comparisons are engine-portable
+    * (bit 63 is sign territory). Sign-of-component is bit-identical
+    * across engines; no quantization argument needed. */
+  def signBits(ev: Column, bits: Int = 60): Column = {
+    require(bits >= 1 && bits <= 60)
+    (0 until bits)
+      .map(p => when(element_at(ev, p + 1) > 0, lit(1L << p))
+        .otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB mirror of [[signBits]]: same 1-based component indexing,
+    * same strict `> 0`, same shift domain. */
+  def signBitsSql(vecCol: String, bits: Int = 60): String =
+    s"CAST(list_sum(list_transform(range(0, $bits), p -> " +
+      s"CASE WHEN $vecCol[p + 1] > 0 THEN (CAST(1 AS BIGINT) << p) " +
+      "ELSE 0 END)) AS BIGINT)"
+
   def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = base.crossJoin(broadcast(queries))
       .withColumn("cosine", cosineNative(col("qv"), col("ev")))
