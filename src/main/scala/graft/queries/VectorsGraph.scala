@@ -190,10 +190,15 @@ object VectorsGraph extends QueryModule {
     "q454_filtered_ann_sweep" -> ((s, dir) => {
       val t = Tables(s, dir)
       val base = Vectors.base(t)
+      // checkpoint the shared legs ONCE: each sweep point's traversal
+      // would otherwise re-run the whole graph build and layer
+      // derivation (3 points × the q446 build — the same lineage
+      // blowup traverse() truncates internally, one level up)
       val edges = GraphANN.knnGraph(base, dim = 64, k = gK,
-        bits = gBits, bands = gBands)
+        bits = gBits, bands = gBands).localCheckpoint()
       val seeds = Vectors.queriesDf(t).select(col("qid"))
         .crossJoin(GraphANN.topLayer(base, gLayer, gSalt))
+        .localCheckpoint()
       val nTotal = base.count() // once for all three sweep points
       sweepSels.map { case (label, m) =>
         val pred = col("id") % m === 1

@@ -94,8 +94,14 @@ object Curate {
       textCol: String, phrases: Seq[String], minTokens: Long,
       maxMeanBitsMicro: Long, repNs: Seq[Int],
       knRef: Option[DataFrame] = None): DataFrame = {
+    // the gate frame feeds BOTH the keep-first arm and the final join —
+    // left lazy, the four stage-1–4 gates (repetition coverage and the
+    // KN model are the expensive ones) execute twice per query; the
+    // frame is 3 narrow columns, so the eager cut is the q401 lineage
+    // recipe applied one level down (measured: q403 28.7 s → the
+    // one-pass gate cost)
     val v = verdicts(docs, idCol, textCol, phrases, minTokens,
-      maxMeanBitsMicro, repNs, knRef)
+      maxMeanBitsMicro, repNs, knRef).localCheckpoint()
     val keep = v.filter(col("stage").isNull)
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
@@ -135,8 +141,11 @@ object Curate {
       maxMeanBitsMicro: Long = 5500000L,
       repNs: Seq[Int] = Seq(5, 10),
       knRef: Option[DataFrame] = None): DataFrame =
+    // the datasheet readout references the per-doc frame twice
+    // (per-stage drops + totals) — cut it so the dedup tail runs once
     datasheetFrom(verdictsWithDedup(docs, idCol, textCol, phrases,
-      minTokens, maxMeanBitsMicro, repNs, knRef), stageNames)
+      minTokens, maxMeanBitsMicro, repNs, knRef).localCheckpoint(),
+      stageNames)
 
   /** The datasheet readout over ANY per-doc verdict frame
     * (n_tokens, stage ∈ stages | NULL): the [[attrition]] shape, shared
@@ -185,7 +194,8 @@ object Curate {
       verdictsWithDedup(docs, idCol, textCol, phrases, minTokens,
         maxMeanBitsMicro, repNs, knRef)
         .join(srcFrame.select(col(idCol), col(srcCol).as("source")),
-          Seq(idCol)),
+          Seq(idCol))
+        .localCheckpoint(), // the readout references it twice
       stageNames)
 
   /** The per-source datasheet readout over ANY per-doc verdict frame
@@ -447,9 +457,11 @@ object Curate {
       repNs: Seq[Int] = Seq(5, 10), knRef: Option[DataFrame] = None,
       maxPiiHits: Long = 0L, decontamW: Int = 13,
       minAgree16: Int = 8): DataFrame =
+    // the readout references the per-doc frame twice — cut it so the
+    // post-v7 near-dup verdict join runs once
     datasheetFrom(releaseVerdicts(docs, idCol, textCol, phrases,
       benchmark, minTokens, maxMeanBitsMicro, repNs, knRef, maxPiiHits,
-      decontamW, minAgree16), releaseStageNames)
+      decontamW, minAgree16).localCheckpoint(), releaseStageNames)
 
   /** The released corpus with split assignment over the 8-stage
     * pipeline: (idCol, n_tokens, split). */
@@ -512,7 +524,8 @@ object Curate {
         minTokens, maxMeanBitsMicro, repNs, knRef, maxPiiHits,
         decontamW, minAgree16)
         .join(srcFrame.select(col(idCol), col(srcCol).as("source")),
-          Seq(idCol)),
+          Seq(idCol))
+        .localCheckpoint(), // the readout references it twice
       releaseStageNames)
 
   /** DuckDB oracle CTE chain for [[releaseVerdicts]] over `tableSql`
