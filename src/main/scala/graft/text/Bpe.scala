@@ -88,25 +88,39 @@ object Bpe {
       split(graft.functions.NormalizeText.normalizeText(text), "\\s+"),
       w => w =!= "")
     when(size(words) === 0, array_remove(array(lit("")), ""))
-      .otherwise(flatten(transform(words,
-        w => concat(byteEsc(w), array(lit("_"))))))
+      .otherwise(flatten(transform(wordsHex(words),
+        hx => concat(byteEscFromHex(hx), array(lit("_"))))))
   }
 
   /** The shared invertible byte escape: the unit UTF-8-hexed AS A WHOLE
     * (never split per Java char), ASCII `[a-z0-9]` bytes as themselves,
-    * every other byte as `<0xNN>` (see [[byteFallbackSymbols]]). */
-  private def byteEsc(w: Column): Column = {
+    * every other byte as `<0xNN>` (see [[byteFallbackSymbols]]).
+    *
+    * Expression shape matters here (guide §1.2 per-task work): an
+    * expression written on the OUTER lambda's variable re-evaluates
+    * inside every inner-lambda element — the original inlined
+    * `hex(encode(w))` under the per-byte lambda and sliced the group
+    * `g` once per comparison, so each WORD paid O(len·refs) hex
+    * re-encodes (measured: the seed projection alone cost 3.2 s at
+    * sf0.1). Nested `transform`s bind hex once per word and the 2-char
+    * group once per byte; same operations, same order, bit-identical
+    * symbols. */
+  private def wordsHex(words: Column): Column =
     // uppercase hex, 2 chars per byte (qualified: Bpe.encode shadows)
-    val hx = hex(org.apache.spark.sql.functions.encode(w, "UTF-8"))
-    transform(sequence(lit(1), (length(hx) / lit(2)).cast("int")),
-      i => {
-        val g = hx.substr(i * 2 - 1, lit(2))
-        when((g >= lit("30") && g <= lit("39")) ||
+    transform(words,
+      w => hex(org.apache.spark.sql.functions.encode(w, "UTF-8")))
+
+  /** The escape over an already-BOUND per-word hex string: groups
+    * first (one substr per byte), then the escape CASE on the bound
+    * group. */
+  private def byteEscFromHex(hx: Column): Column =
+    transform(
+      transform(sequence(lit(1), (length(hx) / lit(2)).cast("int")),
+        i => hx.substr(i * 2 - 1, lit(2))),
+      g => when((g >= lit("30") && g <= lit("39")) ||
           (g >= lit("61") && g <= lit("7A")),
-          decode(unhex(g), "UTF-8"))
-          .otherwise(concat(lit("<0x"), g, lit(">")))
-      })
-  }
+        decode(unhex(g), "UTF-8"))
+        .otherwise(concat(lit("<0x"), g, lit(">"))))
 
   /** PRE-TOKEN-AWARE byte-fallback seed (round-10 item 4): the same
     * invertible byte escape, but units come from [[TextAnalysis
@@ -129,8 +143,8 @@ object Bpe {
       graft.functions.NormalizeText.normalizeText(text),
       lit(TextAnalysis.preTokenRe), lit(0))
     when(size(units) === 0, array_remove(array(lit("")), ""))
-      .otherwise(flatten(transform(units,
-        u => concat(byteEsc(u), array(lit("_"))))))
+      .otherwise(flatten(transform(wordsHex(units),
+        hx => concat(byteEscFromHex(hx), array(lit("_"))))))
   }
 
   /** DuckDB byte-fallback seed fragment: yields (doc_id, toks) with the
