@@ -214,8 +214,15 @@ object LangModel {
     * @return (a, b, c12, c1, n1f, n1b, pkn) for bigrams with
     *         c12 ≥ `minCount` */
   def kneserNey(ref: DataFrame, textCol: String,
-      minCount: Long = 2L): DataFrame = {
-    val refb = explodedBigrams(ref, textCol)
+      minCount: Long = 2L): DataFrame =
+    kneserNeyFromPairs(explodedBigrams(ref, textCol), minCount)
+
+  /** [[kneserNey]] over an already-exploded (a, b) pair frame — lets
+    * the self-reference scorer share ONE tokenize+explode pass between
+    * the model leg and the scoring leg. */
+  private def kneserNeyFromPairs(pairs: DataFrame,
+      minCount: Long): DataFrame = {
+    val refb = pairs.select(col("a"), col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c12"))
       .persist()
@@ -254,10 +261,21 @@ object LangModel {
   def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       minCount: Long = 2L): DataFrame = {
-    val kn = kneserNey(ref, refTextCol, minCount)
+    // SELF-REFERENCE fast path (the q362/curation form — ref IS the
+    // corpus): tokenize+explode the bigrams ONCE and feed both the
+    // model leg and the scoring leg from the cut; the two legs'
+    // exchanges differ ((a,b) agg vs broadcast join), so ReuseExchange
+    // cannot share them and the lazy form pays the explode twice.
+    val selfRef = (ref eq docs) && refTextCol == textCol
+    val db0 =
+      if (selfRef) explodedBigrams(docs, textCol, col(idCol))
+        .localCheckpoint()
+      else null
+    val kn = (if (selfRef) kneserNeyFromPairs(db0, minCount)
+      else kneserNey(ref, refTextCol, minCount))
       .select(col("a"), col("b"),
         floor(col("pkn") * 1000000.0).cast("long").as("__pm"))
-    val db = explodedBigrams(docs, textCol, col(idCol))
+    val db = if (selfRef) db0 else explodedBigrams(docs, textCol, col(idCol))
     db.join(kn, Seq("a", "b"), "left")
       .select(col(idCol),
         (lit(21L) - blog(coalesce(col("__pm"), lit(0L)) + 1L)).as("__c"))
