@@ -68,12 +68,30 @@ object GraphANN {
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
       .distinct()
-    val scored = cand
-      .join(base.select(col("id").as("src"), col("ev").as("__sv")), "src")
-      .join(base.select(col("id").as("dst"), col("ev").as("__dv")), "dst")
+    TopK.perGroup(scoreCosine(cand, base), Seq("src"), "dst",
+      "cosine", k)
+  }
+
+  /** Exact-cosine scoring of a (src, dst) candidate frame against the
+    * corpus vectors, with per-VECTOR norms computed once on the n-row
+    * side instead of per candidate pair — the candidate mass is
+    * Σ|bucket|² ≫ n, so the lazy form re-derived sqrt(dot(v,v)) twice
+    * per pair (2 of the 3 dim-length dot products; guide §1.2
+    * per-task work). Same fold, same division order as
+    * [[Similarity.cosineNative]] (dot/‖s‖/‖d‖) — bit-identical
+    * cosines, q446/q450/q451's oracles gate it. */
+  private def scoreCosine(cand: DataFrame, vecs: DataFrame): DataFrame = {
+    val nd = graft.functions.DotProduct.dot _
+    val withN = vecs.select(col("id"), col("ev"),
+      sqrt(nd(col("ev"), col("ev"))).as("__nrm"))
+    cand
+      .join(withN.select(col("id").as("src"), col("ev").as("__sv"),
+        col("__nrm").as("__sn")), "src")
+      .join(withN.select(col("id").as("dst"), col("ev").as("__dv"),
+        col("__nrm").as("__dn")), "dst")
       .select(col("src"), col("dst"),
-        Similarity.cosineNative(col("__sv"), col("__dv")).as("cosine"))
-    TopK.perGroup(scored, Seq("src"), "dst", "cosine", k)
+        (nd(col("__sv"), col("__dv")) / col("__sn") / col("__dn"))
+          .as("cosine"))
   }
 
   /** Greedy beam search over a [[knnGraph]] edge list, batch form: all
@@ -155,13 +173,7 @@ object GraphANN {
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
       .distinct()
-    val scored = cand
-      .join(keptVecs.select(col("id").as("src"), col("ev").as("__sv")),
-        "src")
-      .join(keptVecs.select(col("id").as("dst"), col("ev").as("__dv")),
-        "dst")
-      .select(col("src"), col("dst"),
-        Similarity.cosineNative(col("__sv"), col("__dv")).as("cosine"))
+    val scored = scoreCosine(cand, keptVecs)
     val untouched = edges
       .join(affected, Seq("src"), "left_anti")
       .join(tomb.select(col("id").as("src")), Seq("src"), "left_anti")
