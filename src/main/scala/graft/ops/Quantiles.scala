@@ -26,6 +26,90 @@ object Quantiles {
   private def colName(p: Double): String =
     "p" + (p * 100).round.toString
 
+  /** Distinct-value count above which the histogram cumulative sums
+    * switch from the one-partition window (optimal when the histogram
+    * is small — the common bounded-integer-metric case) to the
+    * [[bucketedCum]] two-phase shape (the 100 TB high-cardinality
+    * path). Scale-adaptive per guide §2 — derived from the input, not
+    * a constant tuned for either local mode or the cluster: one
+    * partition sorting ≤ 2²⁰ narrow rows is sub-second anywhere, while
+    * beyond it the single sorted partition becomes the straggler. */
+  private val DISTRIBUTED_CUM_THRESHOLD = 1L << 20
+
+  /** Inclusive running sum of `term` over a checkpointed distinct-value
+    * histogram, routed by measured cardinality (a 1-row count on the
+    * already-materialized blocks — the contract-bounded driver
+    * round-trip idiom). */
+  private def histCum(hist: DataFrame, valName: String, term: Column,
+      desc: Boolean, cumName: String): DataFrame =
+    if (hist.count() > DISTRIBUTED_CUM_THRESHOLD)
+      bucketedCum(hist, valName, term, desc, cumName)
+    else {
+      val v = col(valName)
+      val w = Window.orderBy(if (desc) v.desc else v.asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.withColumn(cumName, sum(term).over(w))
+    }
+
+  /** TWO-PHASE distributed inclusive running sum of `term` over a
+    * DISTINCT-value histogram, in `valName` order (desc when `desc`) —
+    * the guide-§2 distributed-cumsum shape replacing the
+    * single-partition `Window.orderBy(value)` that [[histogramCuts]]
+    * and [[abcClassify]] used to run (fine for bounded integer metrics,
+    * a scale-killer for high-cardinality doubles at 100 TB — the
+    * `WindowExec: No Partition Defined` class):
+    *
+    *  1. the histogram stays lazy — its references below share one
+    *     identical aggregation exchange (ReuseExchange),
+    *  2. order-preserving range bucket from the broadcast (min, max) —
+    *     monotone double arithmetic, so bucket order = value order;
+    *     the bucket only PLACES rows, every sum stays exact integers,
+    *  3. per-bucket running sums in parallel (window partitioned by
+    *     bucket),
+    *  4. strictly-earlier-bucket offsets via a triangular join on the
+    *     ≤ `buckets`-row totals frame (window-free), broadcast back.
+    *
+    * Equal to the single-window form at every bucket count (the
+    * [[graft.ops.Sampling.bandedPrefix]] argument); the existing
+    * hand-derived + property suites gate the equivalence. Values must
+    * be NaN-free (the house integer-metric contract); non-numeric
+    * values degenerate to one bucket, still correct.
+    *
+    * Callers pass an already-checkpointed histogram: it feeds the
+    * (min, max) broadcast, both sides of the triangular offsets join,
+    * and the main leg, and those subtrees are NOT exchange-identical,
+    * so ReuseExchange cannot dedup them (measured 3.2× on q186 when
+    * left lazy). @return hist + `cumName` */
+  private[graft] def bucketedCum(hist: DataFrame, valName: String,
+      term: Column, desc: Boolean, cumName: String,
+      buckets: Int = 1024): DataFrame = {
+    val v = col(valName)
+    val mm = hist.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val width = (col("__hi").cast("double") - col("__lo").cast("double")) /
+      buckets
+    val raw = floor((v.cast("double") - col("__lo").cast("double")) / width)
+      .cast("int")
+    val b0 = when(col("__hi") <=> col("__lo") || !(width > 0.0), lit(0))
+      .otherwise(least(greatest(coalesce(raw, lit(0)), lit(0)),
+        lit(buckets - 1)))
+    val bucketed = hist.crossJoin(broadcast(mm))
+      .withColumn("__b", if (desc) lit(buckets - 1) - b0 else b0)
+      .drop("__lo", "__hi")
+    val perB = bucketed.groupBy(col("__b")).agg(sum(term).as("__bsum"))
+    val offsets = perB.as("a")
+      .join(perB.as("b"), col("b.__b") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(coalesce(sum(col("b.__bsum")), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(if (desc) v.desc else v.asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("__cin", sum(term).over(wIn))
+      .join(broadcast(offsets), "__b")
+      .withColumn(cumName, col("__cin") + col("__off"))
+      .drop("__b", "__cin", "__off")
+  }
+
   /** One row per group: `p<NN>` columns with the exact discrete quantile
     * values of `v` (long-typed, e.g. cents). */
   def exact(df: DataFrame, grp: Seq[Column], v: Column,
@@ -587,10 +671,15 @@ object Quantiles {
     // order would diverge cross-engine. n derives from the histogram
     // (sum of counts) — NOT a second scan of the input: the corpus is
     // read once, everything after is value-cardinality-sized.
+    // Histogram checkpointed once (value-cardinality-sized by
+    // contract; unreplicated blocks — the documented lineage-cut
+    // tradeoff), then the running sum routes on its measured size:
+    // single window below DISTRIBUTED_CUM_THRESHOLD, bucketed
+    // two-phase above it (the 100 TB high-cardinality-doubles path).
     val hist = df.where(v.isNotNull)
       .groupBy(v.as("__val")).agg(count(lit(1)).as("__k"))
-    val cum = hist
-      .withColumn("__cum", sum(col("__k")).over(Window.orderBy(col("__val"))))
+      .localCheckpoint()
+    val cum = histCum(hist, "__val", col("__k"), desc = false, "__cum")
       .crossJoin(broadcast(hist.agg(sum(col("__k")).as("__n"))))
     val aggs = qs.map { case (num, den) =>
       min(when(col("__cum") * den >= col("__n") * num, col("__val")))
@@ -717,14 +806,18 @@ object Quantiles {
       : DataFrame = {
     val items = df.select(col(idCol), col(valueCol))
       .filter(col(valueCol).isNotNull)
+    // Histogram checkpointed once, running sum routed on its measured
+    // size (single window when small, bucketed two-phase when large —
+    // see histogramCuts); the unconditional single-partition desc
+    // window + empty-partition total window this replaces were the §2
+    // scale-killer class on high-cardinality values.
     val hist = items.groupBy(col(valueCol))
       .agg(count(lit(1)).as("__n"))
-    val wRun = Window.orderBy(col(valueCol).desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    val classed = hist
-      .withColumn("cum", sum(col(valueCol) * col("__n")).over(wRun))
-      .withColumn("__total", sum(col(valueCol) * col("__n")).over(wAll))
+      .localCheckpoint()
+    val classed = histCum(hist, valueCol, col(valueCol) * col("__n"),
+        desc = true, "cum")
+      .crossJoin(broadcast(
+        hist.agg(sum(col(valueCol) * col("__n")).as("__total"))))
       .withColumn("abc_class",
         when(col("cum") * 5 <= col("__total") * 4, "A")
           .when(col("cum") * 20 <= col("__total") * 19, "B")

@@ -375,12 +375,20 @@ object Sampling {
     val wn = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (k, v)) => when(col(srcCol) === k, lit(v)).otherwise(acc) }
     val total = perSource.agg(sum(col(availCol)).as("__total"))
+    // Each round references the previous state TWICE (the rem aggregate
+    // + the next-generation projection), so left lazy the lineage fans
+    // out 2^rounds — whatever produced `perSource` (a corpus aggregation
+    // in q129's shape) re-executes 8× at rounds = 3 (q414's 172-Exchange
+    // before-plan, plans/r14). The state is source-cardinality, so the
+    // per-round eager cut is ~free (guide §7.2 duplicated subtrees;
+    // unreplicated blocks — the documented checkpoint tradeoff).
     var st = perSource
       .select(col(srcCol), col(availCol).cast("long").as("avail"))
       .crossJoin(broadcast(total))
       .withColumn("__b", expr(s"(__total * $budgetNum) div $budgetDen"))
       .select(col(srcCol), col("avail"), wn.as("wn"), col("__b"),
         lit(false).as("capped"), lit(0L).as("demand"))
+      .localCheckpoint()
     (1 to rounds).foreach { _ =>
       val rem = st.agg(
         sum(when(col("capped"), col("avail")).otherwise(0L)).as("__used"),
@@ -394,6 +402,7 @@ object Sampling {
         .withColumn("capped", col("capped") || col("demand") >= col("avail"))
         .select(col(srcCol), col("avail"), col("wn"), col("__b"),
           col("capped"), col("demand"))
+        .localCheckpoint()
     }
     st.select(col(srcCol), col("avail"), col("wn"),
       col("capped").cast("long").as("capped"),

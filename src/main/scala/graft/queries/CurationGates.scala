@@ -483,8 +483,12 @@ object CurationGates extends QueryModule {
       val alloc = graft.ops.Sampling.waterFillAllocation(ps, "source",
         "avail", Curation.budgetWeights, defaultWeight = 1L,
         budgetNum = 1L, budgetDen = 2L)
+      // referenced twice (layout input + the source/split join) — left
+      // lazy the whole water-fill + budget-sample chain executed twice
+      // per run (350-Exchange plan, see plans/r14/q443_*_before.txt)
       val sampled = graft.ops.Sampling.tokenBudgetSample(surv, "source",
         "doc_id", "n_tokens", alloc, "alloc", salt = "budget")
+        .localCheckpoint()
       graft.ops.Sharding.shardLayout(sampled, "doc_id",
           col("n_tokens"), nShards = 8, salt = "layout-rel")
         .join(sampled.select(col("doc_id"), col("source"), col("split")),

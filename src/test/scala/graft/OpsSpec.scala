@@ -2758,6 +2758,30 @@ class OpsSpec extends SparkSuite {
       5L -> "C"))
   }
 
+  test("bucketedCum: two-phase running sum ≡ single window, asc and " +
+      "desc, across buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values spread across the full long range so the range bucketing
+    // exercises many buckets AND collisions (both 2-bucket and 1024)
+    val vals = (Seq(-900000L, -1L, 0L, 3L, 7L, 12L, 999L, 40000L,
+      777777L, 900001L) ++ (1 to 50).map(i => i * 13L)).distinct
+    val hist = vals.map(v => (v, v % 7 + 1))
+      .toDF("v", "k").localCheckpoint()
+    for (desc <- Seq(false, true); buckets <- Seq(2, 16, 1024)) {
+      val got = Quantiles.bucketedCum(hist, "v", col("k"), desc, "cum",
+          buckets)
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("cum"))
+        .toMap
+      val w = Window.orderBy(if (desc) col("v").desc else col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val want = hist.withColumn("cum", sum(col("k")).over(w))
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("cum"))
+        .toMap
+      assert(got == want, s"desc=$desc buckets=$buckets")
+    }
+  }
+
   test("packedMaskAccounting: hand-derived fragments, pair sums, and leak share") {
     import spark.implicits._
     import graft.ops.Packing
