@@ -80,7 +80,10 @@ object NearDup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 16,
       hash: Column => Column = Hash64.hash60): DataFrame = {
-    val sh = docs
+    // the shingle+strong-hash projection is the operator's dominant
+    // cost and fuses into the input's scan stage — lift a
+    // single-row-group input to the core floor (identity at scale)
+    val sh = graft.Tables.scanFloor(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(array_distinct(shingles(col("__toks"), w))).as("sh"))
@@ -143,7 +146,9 @@ object NearDup {
         graft.functions.NormalizeText.normalizeText(col(textCol))
       else lower(col(textCol))
     val t = regexp_replace(base, "\\s+", " ")
-    val sh = docs
+    // char-gram hashing is ~7× denser than the word form — same
+    // scan-stage floor rationale as [[minhashSignatures]]
+    val sh = graft.Tables.scanFloor(docs)
       .select(col(idCol), t.as("__t"))
       .select(col(idCol), col("__t"),
         explode(sequence(lit(1),

@@ -65,7 +65,10 @@ object ExactSubstr {
       hash: Column => Column = Hash64.hash60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val grams = docs
+    // per-position explode + md5 fuses into the input's scan stage —
+    // lift a single-row-group corpus to the core floor (identity at
+    // scale — Tables.scanFloor)
+    val grams = graft.Tables.scanFloor(docs)
       .select(col(idCol), col(textCol).as("__t"))
       .filter(length(col("__t")) >= minLen)
       .select(col(idCol),
@@ -384,7 +387,9 @@ object ExactSubstr {
       minLenChars: Int, w: Int = 7, minDf: Int = 2, minRunGrams: Int = 5,
       hash: Column => Column = Hash64.hash60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    // scan floor BEFORE the persist: the persisted token frame keeps
+    // the input's partitioning for every downstream arm
+    val toks = graft.Tables.scanFloor(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .persist() // feeds the exact arm, the approx arm, and the offsets
     val norm = toks.select(col(idCol),

@@ -62,7 +62,11 @@ object SuffixArray {
     // Seed round: rank by the first 4 characters (one per-doc window —
     // skips the two widest doubling rounds, where every position of
     // ordinary text is still tied).
-    var fr = docs
+    // seed explode + 4-char slice fuses into the input's scan stage —
+    // lift a single-row-group corpus to the core floor (identity at
+    // scale — Tables.scanFloor); the doubling rounds that follow are
+    // per-doc windows whose exchange re-keys anyway
+    var fr = graft.Tables.scanFloor(docs)
       .select(col(idCol), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
       .select(col(idCol),
@@ -145,7 +149,11 @@ object SuffixArray {
     // rounds, where on ordinary text nearly every position is still
     // tied.
     val SEEDLOG = 5
-    val grams = docs
+    // the per-position explode + 32-char prefix slice fuses into the
+    // input's scan stage — a single-row-group corpus would build every
+    // seed gram in ONE task; the floor lifts it to the cores (identity
+    // at scale — Tables.scanFloor)
+    val grams = graft.Tables.scanFloor(docs)
       .select(col(idCol), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
       .select(col(idCol),

@@ -48,7 +48,10 @@ object Winnow {
       k: Int = 5, w: Int = 4,
       hash: Column => Column = Hash64.hash60): DataFrame = {
     require(k >= 1 && w >= 1, "gram size and window must be >= 1")
-    val withHs = docs
+    // gram hashing + window argmin fuse into the input's scan stage —
+    // lift a single-row-group corpus to the core floor (identity at
+    // scale — Tables.scanFloor)
+    val withHs = graft.Tables.scanFloor(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), NearDup.shingles(col("__toks"), k).as("__grams"))
       .select(col(idCol),
