@@ -47,9 +47,13 @@ object Densest {
       .localCheckpoint()
     val traces = scala.collection.mutable.Buffer.empty[DataFrame]
     (0 to rounds).foreach { r =>
+      // referenced by the round's stats, the trace entry, AND the
+      // survivor cut — checkpointed so the degree aggregation runs once
+      // per round instead of thrice (node-count × 2 columns)
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
       val stats = deg.agg(count(lit(1)).as("__v"),
         coalesce(sum(col("d")), lit(0L)).as("__e2"))
       traces += stats.filter(col("__v") > 0)

@@ -38,12 +38,19 @@ object PageRank {
       iters: Int = 3, scale: Long = 1000000000L,
       alphaNum: Long = 17L, alphaDen: Long = 20L): DataFrame = {
     require(iters >= 1 && alphaNum > 0 && alphaDen > alphaNum)
+    // e/nodes/eDeg are re-embedded by EVERY round's join — checkpointed
+    // once so the per-round chain reads cut leaves instead of replaying
+    // the distinct/union/degree subtrees (q63's before-plan re-planned
+    // 56 scans); the rank chain itself is linear (each generation
+    // referenced once) and stays lazy.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(outdeg, "src")
+    val eDeg = e.join(outdeg, "src").localCheckpoint()
     val base = scale * (alphaDen - alphaNum) / alphaDen
     var ranks = nodes.withColumn("r", lit(scale))
     (1 to iters).foreach { _ =>
@@ -83,15 +90,19 @@ object PageRank {
       scale: Long = 1000000000L, alphaNum: Long = 17L,
       alphaDen: Long = 20L): DataFrame = {
     require(iters >= 1 && alphaNum > 0 && alphaDen > alphaNum)
+    // same leaf checkpoints as [[pageRank]] — the per-round joins
+    // otherwise replay the distinct/union/degree subtrees every round
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .join(seeds.select(col("node")).distinct()
         .withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("s"))
+      .localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(outdeg, "src")
+    val eDeg = e.join(outdeg, "src").localCheckpoint()
     val base = scale * (alphaDen - alphaNum) / alphaDen
     var ranks = nodes.select(col("node"), col("s"),
       (col("s") * scale).as("r"))
@@ -136,8 +147,11 @@ object PageRank {
     require(iters >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+    // every round joins against sym — checkpointed once (the pageRank
+    // leaf recipe); the label chain is linear and stays lazy
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     (1 to iters).foreach { _ =>
@@ -279,16 +293,28 @@ object PageRank {
     * Scale shape: per round TWO keyed edge×score joins with map-side
     * combinable sums, and two ONE-ROW max aggregates joined back via
     * broadcast (the stat-broadcast idiom — never a collect). Each
-    * generation is referenced once; lineage grows linearly.
+    * generation is referenced TWICE (raw sum + its max) and the readout
+    * joins hub against auth, so generations are checkpointed (lineage
+    * truncation — see the in-body note).
     *
     * @return (node, hub_q, auth_q, hub, auth) — quantized longs + readout */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 2, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && scale > 0)
+    // Per-generation lineage truncation (the GraphANN.traverse recipe):
+    // each round references the previous score frame TWICE (the raw sum
+    // AND its 1-row max), and the final readout joins hub with auth —
+    // whose plan CONTAINS hub — so the lazy form fans out ~4× per round
+    // (q151's before-plan: 13,118 lines / 900 Exchanges / 544 scans,
+    // plans/r14). Frames are node-count × 2 columns; unreplicated
+    // checkpoint blocks — executor loss fails the query instead of
+    // recomputing (the documented tradeoff).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     var auth = nodes.withColumn("a", lit(scale))
     var hub: DataFrame = null
     (1 to iters).foreach { _ =>
@@ -299,6 +325,7 @@ object PageRank {
         .crossJoin(broadcast(hMax))
         .select(col("node"),
           expr(s"(coalesce(hs, 0L) * $scale) div hmax").as("h"))
+        .localCheckpoint()
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("as_"))
       val aMax = aRaw.agg(max(col("as_")).as("amax"))
@@ -306,6 +333,7 @@ object PageRank {
         .crossJoin(broadcast(aMax))
         .select(col("node"),
           expr(s"(coalesce(as_, 0L) * $scale) div amax").as("a"))
+        .localCheckpoint()
     }
     hub.join(auth, "node")
       .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"),
@@ -446,7 +474,10 @@ object PageRank {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+    // referenced three times below (both endpoint joins + the degree
+    // leg) — cut so the LPA rounds run once, not thrice
     val labels = labelPropagation(edges, srcCol, dstCol, iters)
+      .localCheckpoint()
     val mRow = und.agg(count(lit(1)).as("m"))
     val lu = labels.select(col("node").as("u"), col("community").as("cu"))
     val lv = labels.select(col("node").as("v"), col("community").as("cv"))
